@@ -1,0 +1,66 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+Local testing runs on ``local[N]``; the config block is written for the
+100 TB posture: AQE on (runtime re-plan, skew-join splitting, partition
+coalescing), nested-schema pruning on (FHIR structs are enormous — reading
+only the plucked subfields is the difference between scanning 2 columns and
+2,000), Arrow on for the few pandas-UDF paths, and a shuffle-partition
+count that callers override per deployment (32 locally; a real cluster
+would size this to ~2-3× total cores or rely on AQE coalescing from a
+high initial value).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Configs that matter at 100 TB, not just locally. Every one of these is a
+# stock Spark knob — no custom Catalyst rules are required for this engine
+# (see SURVEY.md §4).
+ENGINE_CONF: dict[str, str] = {
+    # Runtime re-planning: coalesce post-shuffle partitions, convert SMJ to
+    # broadcast when runtime stats allow, split skewed partitions.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # FHIR resource structs have hundreds of fields; queries pluck a handful.
+    # Nested pruning pushes the subfield projection into the scan.
+    "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
+    # Arrow batches for the pandas-UDF paths (multimodal decode, encoders).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Parquet scans: vectorized reader + predicate pushdown are defaults,
+    # stated here because the bench asserts on them.
+    "spark.sql.parquet.filterPushdown": "true",
+    # Timestamps in the fixtures are naive; keep parity with DuckDB.
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def get_spark(
+    app_name: str = "interop_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (falls back to
+    ``local[*]``). ``shuffle_partitions`` defaults to the core count —
+    on a real cluster pass the deployment's value or let AQE coalesce.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(ENGINE_CONF)
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus) if cpus else 32
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
