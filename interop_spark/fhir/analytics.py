@@ -1,0 +1,176 @@
+"""Named FHIR analytics — the reference notebook's flattening/join queries
+re-expressed as DataFrame functions over the bundle-row ``entry()`` frame.
+
+Each function mirrors one notebook query (citations into
+`/root/reference/01_dbignite_sample.py`) and returns the same column
+surface. All are pure Column expressions: explode → nested pluck → join on
+``bundleUUID`` — Catalyst prunes the untouched resource columns out of the
+scan, which is what makes these viable on 100 TB of bundles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col, explode
+
+from interop_spark.fhir.adt import get_action
+
+
+def _first(c):
+    """ANSI-safe element 0 (Spark 4 defaults to ANSI mode, where [0] on an
+    empty array raises INVALID_ARRAY_INDEX; get() returns NULL)."""
+    return F.get(c, 0)
+
+
+def patient_conditions(entry_df: DataFrame) -> DataFrame:
+    """Patient × Condition within a bundle (`01_dbignite_sample.py:47-72`)."""
+    p = entry_df.select(
+        col("bundleUUID"), explode("Patient").alias("patient")
+    )
+    c = entry_df.select(
+        col("bundleUUID"), explode("Condition").alias("condition")
+    )
+    return p.join(c, "bundleUUID").select(
+        col("bundleUUID").alias("UNIQUE_FHIR_ID"),
+        col("patient.id").alias("Patient"),
+        col("patient.birthDate").alias("Birth_date"),
+        _first(col("condition.clinicalStatus.coding.code")).alias("clinical_status"),
+        _first(col("condition.code.coding.code")).alias("condition_code"),
+        _first(col("condition.code.coding.system")).alias("condition_type_code"),
+        _first(col("condition.code.coding.display")).alias("condition_description"),
+        col("condition.recordedDate").alias("condition_date"),
+    )
+
+
+def patient_claims(entry_df: DataFrame) -> DataFrame:
+    """Patient × Claim within a bundle (`01_dbignite_sample.py:82-112`).
+
+    Note the field-pluck-over-array semantics: ``claim.item.productOrService
+    .coding.display`` stays array-valued (P3, `:91-93`)."""
+    p = entry_df.select(col("bundleUUID"), explode("Patient").alias("patient"))
+    c = entry_df.select(col("bundleUUID"), explode("Claim").alias("claim"))
+    return p.join(c, "bundleUUID").select(
+        col("bundleUUID").alias("UNIQUE_FHIR_ID"),
+        col("patient.id").alias("Patient"),
+        col("claim.patient.reference").alias("claim_patient_id"),
+        col("claim.id").alias("claim_id"),
+        col("patient.birthDate").alias("Birth_date"),
+        _first(col("claim.type.coding.code")).alias("claim_type_cd"),
+        _first(col("claim.insurance.coverage.reference")).alias("insurer"),
+        col("claim.total.value").alias("claim_billed_amount"),
+        # item[] × coding[] is array-of-array — pluck via transform+flatten
+        F.flatten(
+            F.transform(
+                col("claim.item"),
+                lambda it: it["productOrService"]["coding"]["display"],
+            )
+        ).alias("prcdr_description"),
+        F.flatten(
+            F.transform(
+                col("claim.item"),
+                lambda it: it["productOrService"]["coding"]["code"],
+            )
+        ).alias("prcdr_cd"),
+        F.flatten(
+            F.transform(
+                col("claim.item"),
+                lambda it: it["productOrService"]["coding"]["system"],
+            )
+        ).alias("prcdr_coding_system"),
+    )
+
+
+def medication_requests(entry_df: DataFrame) -> DataFrame:
+    """Patient × MedicationRequest (`01_dbignite_sample.py:151-174`); requires
+    the medicationCodeableConcept schema override (`:118-146`)."""
+    p = entry_df.select(col("bundleUUID"), explode("Patient").alias("patient"))
+    m = entry_df.select(
+        col("bundleUUID"), explode("MedicationRequest").alias("med")
+    )
+    return p.join(m, "bundleUUID").select(
+        col("bundleUUID").alias("UNIQUE_FHIR_ID"),
+        col("patient.id").alias("Patient"),
+        col("med.status").alias("status"),
+        col("med.intent").alias("intent"),
+        col("med.authoredOn").alias("authoredOn"),
+        col("med.medicationCodeableConcept.text").alias("rx_text"),
+        _first(col("med.medicationCodeableConcept.coding.code")).alias("rx_code"),
+        _first(col("med.medicationCodeableConcept.coding.system")).alias("code_type"),
+    )
+
+
+def providers_practitioners(entry_df: DataFrame) -> DataFrame:
+    """Practitioner contact-point flattening (`01_dbignite_sample.py:186-206`)."""
+    pr = entry_df.select(
+        col("bundleUUID"), explode("Practitioner").alias("practitioner")
+    )
+    return pr.select(
+        col("bundleUUID").alias("UNIQUE_FHIR_ID"),
+        col("practitioner.active").alias("active"),
+        col("practitioner.gender").alias("gender"),
+        _first(col("practitioner.telecom.system")).alias("primary_contact_method"),
+        _first(col("practitioner.telecom.value")).alias("primary_contact_value"),
+        _first(col("practitioner.telecom.use")).alias("primary_use"),
+    )
+
+
+def adt_events(entry_df: DataFrame, limit: int | None = 10) -> DataFrame:
+    """The ADT patient/action timeline (`01_dbignite_sample.py:431-459`):
+    MessageHeader × Patient joined on bundleUUID, identifier-system
+    extraction via higher-order ``filter``, ``get_action`` enrichment,
+    ordered ssn desc / timestamp desc."""
+    adt = entry_df.select(
+        col("timestamp"),
+        col("bundleUUID"),
+        explode("MessageHeader").alias("messageheader"),
+    )
+    patient = entry_df.select(
+        col("bundleUUID"), explode("Patient").alias("patient")
+    )
+    ssn = _first(F.filter(
+        col("patient.identifier"),
+        lambda x: x["system"] == "http://hl7.org/fhir/sid/us-ssn",
+    ))["value"]
+    dl = _first(F.filter(
+        col("patient.identifier"),
+        lambda x: F.get(x["type"]["coding"], 0)["code"] == "DL",
+    ))["value"]
+    empi = _first(F.filter(
+        col("patient.identifier"), lambda x: x["type"]["text"] == "EMPI"
+    ))["value"]
+    action = get_action(col("messageheader.eventCoding.code"))
+    out = (
+        adt.join(patient, "bundleUUID")
+        .select(
+            ssn.alias("ssn"),
+            col("timestamp").alias("event_timestamp"),
+            col("messageheader.eventCoding.code").alias("adt_type"),
+            action["action"].alias("action"),
+            action["description"].alias("description"),
+            col("messageheader.eventCoding.code").alias("code"),
+            col("messageheader.eventCoding.system").alias("system"),
+            F.get(_first(col("patient.name"))["given"], 0).alias("first_name"),
+            _first(col("patient.name"))["family"].alias("last_name"),
+            col("patient.birthDate").alias("birthDate"),
+            col("patient.gender").alias("gender"),
+            dl.alias("drivers_license_id"),
+            empi.alias("empi_id"),
+        )
+        .orderBy(col("ssn").desc(), col("event_timestamp").desc())
+    )
+    return out.limit(limit) if limit else out
+
+
+def omop_person(entry_df: DataFrame) -> DataFrame:
+    """OMOP CDM person projection (`01_dbignite_sample.py:472-484`)."""
+    p = entry_df.select(col("bundleUUID"), explode("Patient").alias("patient"))
+    return p.select(
+        col("patient.id").alias("person_id"),
+        col("patient.name").alias("name"),
+        col("patient.gender").alias("gender_source_value"),
+        F.year(F.to_date(col("patient.birthDate"))).alias("year_of_birth"),
+        F.month(F.to_date(col("patient.birthDate"))).alias("month_of_birth"),
+        F.dayofmonth(F.to_date(col("patient.birthDate"))).alias("day_of_birth"),
+        col("patient.address").alias("patient_address"),
+    )

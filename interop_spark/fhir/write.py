@@ -1,0 +1,85 @@
+"""Table sinks: per-resource bulk writes and flattened saveAsTable helpers.
+
+Reference surface:
+- ``bulk_table_write(location, write_mode, columns)`` — one table per
+  resource column, carrying ``bundleUUID`` (+ ``timestamp`` when present)
+  (`01_dbignite_sample.py:221-223,425-427`; written-table shape evidenced by
+  the sub-selects at `:241-242,455-456`).
+- flattened ``df.write.saveAsTable`` (K1, `:72,112,174,206`).
+
+Local test environments have no Unity Catalog, so 3-level names like
+``hls_healthcare.hls_dev.Patient`` fall back to a 2-level
+``hls_healthcare_hls_dev.Patient`` in the session catalog (SURVEY.md §7
+hard-part (e)). At scale the same code path writes through whatever
+catalog the session has configured.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+BUNDLE_META_COLS = ("bundleUUID", "bundleId", "bundleType", "timestamp", "_file_path")
+
+
+def resolve_table_name(spark: SparkSession, location: str, table: str) -> str:
+    """Map ``location + table`` to a writable identifier, creating the
+    database if needed. 3-level names collapse to ``<cat>_<schema>`` when
+    the session catalog is the only one available."""
+    parts = [p for p in location.split(".") if p]
+    try:
+        catalogs = {c.name for c in spark.catalog.listCatalogs()}
+    except Exception:
+        catalogs = {"spark_catalog"}
+    if len(parts) >= 2 and parts[0] not in catalogs:
+        db = "_".join(parts)
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
+        return f"`{db}`.`{table}`"
+    if len(parts) == 1:
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS `{parts[0]}`")
+        return f"`{parts[0]}`.`{table}`"
+    db = ".".join(f"`{p}`" for p in parts)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    return f"{db}.`{table}`"
+
+
+def resource_columns(df: DataFrame) -> list[str]:
+    return [c for c in df.columns if c not in BUNDLE_META_COLS]
+
+
+def bulk_table_write(
+    df: DataFrame,
+    location: str,
+    write_mode: str = "overwrite",
+    columns: list[str] | None = None,
+) -> None:
+    """Write each resource column as ``<location>.<Resource>`` with its
+    bundle lineage key (+ event timestamp for message bundles)."""
+    spark = df.sparkSession
+    targets = columns if columns is not None else resource_columns(df)
+    carry = ["bundleUUID"] + (["timestamp"] if "timestamp" in df.columns else [])
+    for rt in targets:
+        name = resolve_table_name(spark, location, rt)
+        (
+            df.select(*carry, rt)
+            .write.mode(write_mode)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+
+
+def save_as_table(df: DataFrame, full_name: str, mode: str = "overwrite") -> None:
+    """K1: flattened-projection sink with the same 3-level fallback."""
+    spark = df.sparkSession
+    loc, _, table = full_name.rpartition(".")
+    name = resolve_table_name(spark, loc, table) if loc else f"`{full_name}`"
+    df.write.mode(mode).format("parquet").saveAsTable(name)
+
+
+def drop_table_if_exists(spark: SparkSession, full_name: str) -> None:
+    """K4: idempotent re-run setup (`01_dbignite_sample.py:215-219`)."""
+    loc, _, table = full_name.rpartition(".")
+    if loc:
+        name = resolve_table_name(spark, loc, table)
+    else:
+        name = f"`{full_name}`"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")

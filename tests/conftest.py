@@ -13,11 +13,20 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from interop_spark.session import get_spark
 
-    s = get_spark(app_name="interop_spark_tests", master="local[4]",
-                  shuffle_partitions=4)
+    wh = tmp_path_factory.mktemp("warehouse")
+    s = get_spark(
+        app_name="interop_spark_tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={
+            "spark.sql.warehouse.dir": str(wh),
+            "javax.jdo.option.ConnectionURL":
+                f"jdbc:derby:;databaseName={wh}/metastore_db;create=true",
+        },
+    )
     yield s
 
 

@@ -1,0 +1,250 @@
+"""FHIR reader e2e: ingest the reference's own 4 ADT bundles and reproduce
+the notebook's ADT timeline (BASELINE.md 'FHIR e2e'), plus schema-override
+and bulk-write behavior on synthetic bundles."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+ADT_DIR = "/root/reference/sampledata/adt_records/"
+
+
+@pytest.fixture(scope="module")
+def adt_entry(spark):
+    from interop_spark.fhir import read_from_directory
+
+    return read_from_directory(ADT_DIR, spark=spark).entry()
+
+
+def test_entry_is_row_per_bundle(adt_entry):
+    assert adt_entry.count() == 4
+    cols = set(adt_entry.columns)
+    assert {"bundleUUID", "timestamp", "Patient", "MessageHeader"} <= cols
+
+
+def test_entry_resource_arrays(adt_entry):
+    rows = adt_entry.select("Patient", "MessageHeader", "Location").collect()
+    for r in rows:
+        assert len(r.Patient) == 1
+        assert len(r.MessageHeader) == 1
+    # ADT_A01 bundle has two Location resources → array captures both
+    assert any(r.Location and len(r.Location) >= 2 for r in rows)
+
+
+def test_bundle_uuid_deterministic(spark):
+    from interop_spark.fhir import read_from_directory
+
+    a = {r.bundleUUID for r in read_from_directory(ADT_DIR, spark=spark).entry().collect()}
+    b = {r.bundleUUID for r in read_from_directory(ADT_DIR, spark=spark).entry().collect()}
+    assert a == b and len(a) == 4
+
+
+def test_adt_timeline(adt_entry):
+    from interop_spark.fhir.adt import ADTActions
+    from interop_spark.fhir.analytics import adt_events
+
+    rows = adt_events(adt_entry).collect()
+    assert len(rows) == 4
+    # ordered ssn desc, timestamp desc
+    keys = [(r.ssn, r.event_timestamp) for r in rows]
+    assert keys == sorted(keys, key=lambda t: (t[0], t[1]), reverse=True)
+    # every row enriched with an action from the static HL7 table
+    assert all(r.action for r in rows)
+    admits = [r for r in rows if r.adt_type == "ADT_A01"]
+    assert admits and all(r.action == "admit" for r in admits)
+    # identifier-system extraction (ssn / DL / EMPI HOF filters)
+    assert all(r.ssn for r in rows)
+    assert all(r.first_name and r.last_name for r in rows)
+
+
+def test_adt_sql_udf(spark, adt_entry):
+    """The notebook's literal SQL shape: registered get_action + explode +
+    HOF filter + join on bundleUUID (`01_dbignite_sample.py:431-459`)."""
+    from interop_spark.fhir.adt import ADTActions
+
+    ADTActions(spark)
+    adt_entry.createOrReplaceTempView("adt_bundles")
+    out = spark.sql(
+        """
+        SELECT
+          filter(patient.identifier,
+                 x -> x.system == 'http://hl7.org/fhir/sid/us-ssn')[0].value AS ssn,
+          adt.timestamp AS event_timestamp,
+          get_action(adt.messageheader.eventCoding.code).action AS action,
+          patient.name[0].given[0] AS first_name
+        FROM (SELECT timestamp, bundleUUID,
+                     explode(MessageHeader) AS messageheader
+              FROM adt_bundles) adt
+        INNER JOIN (SELECT bundleUUID, explode(Patient) AS patient
+                    FROM adt_bundles) patient
+          ON patient.bundleUUID = adt.bundleUUID
+        ORDER BY ssn DESC, timestamp DESC
+        LIMIT 10
+        """
+    ).collect()
+    assert len(out) == 4
+    assert all(r.ssn and r.action for r in out)
+
+
+def _write_bundle(tmp_path, name: str, resources: list[dict], ts="2024-05-01T10:00:00.000Z"):
+    bundle = {
+        "resourceType": "Bundle",
+        "id": name,
+        "type": "message",
+        "timestamp": ts,
+        "entry": [{"fullUrl": f"urn:uuid:{i}", "resource": r}
+                  for i, r in enumerate(resources)],
+    }
+    (tmp_path / f"{name}.json").write_text(json.dumps(bundle))
+
+
+@pytest.fixture(scope="module")
+def synthea_like_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("bundles")
+    patient = {
+        "resourceType": "Patient",
+        "id": "pat-1",
+        "birthDate": "1980-02-03",
+        "gender": "female",
+        "name": [{"family": "Ng", "given": ["Ana"]}],
+        "address": [{"city": "Springfield", "line": ["1 Main St"]}],
+    }
+    condition = {
+        "resourceType": "Condition",
+        "id": "cond-1",
+        "clinicalStatus": {"coding": [{"code": "active", "system": "s"}]},
+        "code": {"coding": [{"code": "C01", "system": "SNOMED",
+                             "display": "Example condition"}]},
+        "recordedDate": "2021-01-01",
+        "subject": {"reference": "Patient/pat-1"},
+    }
+    claim = {
+        "resourceType": "Claim",
+        "id": "claim-1",
+        "type": {"coding": [{"code": "837I"}]},
+        "insurance": [{"coverage": {"reference": "Coverage/cov-1"}}],
+        "total": {"value": 1234.5, "currency": "USD"},
+        "item": [
+            {"productOrService": {"coding": [
+                {"code": "HC1", "system": "HCPCS", "display": "Proc one"}]}},
+            {"productOrService": {"coding": [
+                {"code": "HC2", "system": "HCPCS", "display": "Proc two"}]}},
+        ],
+        "patient": {"reference": "Patient/pat-1"},
+    }
+    med = {
+        "resourceType": "MedicationRequest",
+        "id": "med-1",
+        "status": "stopped",
+        "intent": "order",
+        "authoredOn": "2021-03-04",
+        "medicationCodeableConcept": {
+            "text": "Drugx 10mg",
+            "coding": [{"code": "rx-1", "system": "RxNorm"}],
+        },
+        "subject": {"reference": "Patient/pat-1"},
+    }
+    practitioner = {
+        "resourceType": "Practitioner",
+        "id": "doc-1",
+        "active": True,
+        "gender": "male",
+        "telecom": [{"system": "phone", "value": "555-1234", "use": "work"}],
+    }
+    _write_bundle(d, "b1", [patient, condition, claim, med, practitioner])
+    patient2 = dict(patient, id="pat-2")
+    _write_bundle(d, "b2", [patient2, condition])
+    return str(d)
+
+
+def test_flattening_queries(spark, synthea_like_dir):
+    from interop_spark.fhir import read_from_directory
+    from interop_spark.fhir.analytics import (
+        patient_claims,
+        patient_conditions,
+        providers_practitioners,
+        omop_person,
+    )
+
+    entry = read_from_directory(synthea_like_dir, spark=spark).entry()
+    pc = patient_conditions(entry).collect()
+    assert len(pc) == 2
+    assert {r.clinical_status for r in pc} == {"active"}
+    assert {r.condition_code for r in pc} == {"C01"}
+
+    cl = patient_claims(entry).collect()
+    assert len(cl) == 1
+    r = cl[0]
+    assert r.claim_type_cd == "837I"
+    assert r.claim_billed_amount == 1234.5
+    # P3 field-pluck over array-of-struct stays array-valued
+    assert sorted(r.prcdr_cd) == ["HC1", "HC2"]
+    assert r.insurer == "Coverage/cov-1"
+
+    pr = providers_practitioners(entry).collect()
+    assert len(pr) == 1 and pr[0].primary_contact_value == "555-1234"
+
+    om = {r.person_id: r for r in omop_person(entry).collect()}
+    assert om["pat-1"].year_of_birth == 1980
+    assert om["pat-1"].month_of_birth == 2
+    assert om["pat-1"].day_of_birth == 3
+
+
+def test_schema_override_medication(spark, synthea_like_dir):
+    """The reference's key 'dynamic schema' flow (`01_dbignite_sample.py:118-146`):
+    default MedicationRequest schema lacks medicationCodeableConcept; the
+    user replaces the resource schema wholesale and re-reads."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from interop_spark.fhir import FhirSchemaModel, read_from_directory
+    from interop_spark.fhir.analytics import medication_requests
+    from interop_spark.fhir.schema import CODEABLE_CONCEPT, MEDICATION_REQUEST
+
+    bundles = read_from_directory(synthea_like_dir, spark=spark)
+    default_entry = bundles.entry()
+    assert "medicationCodeableConcept" not in (
+        default_entry.schema["MedicationRequest"].dataType.elementType.fieldNames()
+    )
+
+    extended = StructType(
+        MEDICATION_REQUEST.fields
+        + [StructField("medicationCodeableConcept", CODEABLE_CONCEPT, True)]
+    )
+    entry = bundles.entry(
+        schemas=FhirSchemaModel().with_overrides({"MedicationRequest": extended})
+    )
+    mr = medication_requests(entry).collect()
+    assert len(mr) == 1
+    assert mr[0].rx_text == "Drugx 10mg"
+    assert mr[0].rx_code == "rx-1"
+    assert mr[0].code_type == "RxNorm"
+
+
+def test_bulk_table_write(spark, adt_entry, tmp_path):
+    from interop_spark.fhir.write import bulk_table_write, drop_table_if_exists
+
+    drop_table_if_exists(spark, "hls_healthcare.hls_dev.Patient")
+    drop_table_if_exists(spark, "hls_healthcare.hls_dev.MessageHeader")
+    bulk_table_write(
+        adt_entry,
+        location="hls_healthcare.hls_dev",
+        write_mode="overwrite",
+        columns=["Patient", "MessageHeader"],
+    )
+    pt = spark.table("hls_healthcare_hls_dev.Patient")
+    assert pt.count() == 4
+    assert {"bundleUUID", "timestamp", "Patient"} <= set(pt.columns)
+    # written tables support the notebook's downstream join SQL
+    n = (
+        pt.selectExpr("bundleUUID", "explode(Patient) AS patient")
+        .join(
+            spark.table("hls_healthcare_hls_dev.MessageHeader").selectExpr(
+                "bundleUUID", "explode(MessageHeader) AS mh"
+            ),
+            "bundleUUID",
+        )
+        .count()
+    )
+    assert n == 4

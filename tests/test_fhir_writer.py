@@ -1,0 +1,137 @@
+"""Writer path: relational rows → FHIR bundle JSON (reference
+`01_dbignite_sample.py:495-602`), including the encoder-override split and
+the reader round-trip (writer ∘ reader ≈ identity on mapped paths)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+HCPCS_URI = "http://www.cms.gov/Medicare/Coding/HCPCSReleaseCodeSets"
+ICD9_URI = "http://hl7.org/fhir/sid/icd-9-cm"
+
+
+@pytest.fixture(scope="module")
+def synpuf_df(spark):
+    # F4 fixture shape (FIXTURES.md): ben_sum ⋈ car_claims source rows
+    rows = [
+        ("P0001", "1923-05-01", "26950", 737363357976870, "A123,B456", "99213",
+         "4019", "2724"),
+        ("P0002", "1943-01-01", "26970", 737363357976871, "G0008", None,
+         "25000", None),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "DESYNPUF_ID string, BENE_BIRTH_DT string, BENE_COUNTY_CD string,"
+        "CLM_ID bigint, HCPCS_CD_1 string, HCPCS_CD_2 string,"
+        "ICD9_DGNS_CD_1 string, ICD9_DGNS_CD_2 string",
+    )
+
+
+@pytest.fixture(scope="module")
+def fhir_result(spark, synpuf_df):
+    from interop_spark.fhir import (
+        Bundle,
+        FhirEncoder,
+        FhirEncoderManager,
+        Mapping,
+        MappingManager,
+    )
+
+    maps = [
+        Mapping("DESYNPUF_ID", "Patient.id"),
+        Mapping("BENE_BIRTH_DT", "Patient.birthDate"),
+        Mapping("BENE_COUNTY_CD", "Patient.address.postalCode"),
+        Mapping("CLM_ID", "Claim.id"),
+        Mapping("HCPCS_CD_1", "Claim.procedure.procedureCodeableConcept.coding.code"),
+        Mapping("HCPCS_CD_2", "Claim.procedure.procedureCodeableConcept.coding.code"),
+        Mapping("ICD9_DGNS_CD_1", "Claim.diagnosis.diagnosisCodeableConcept.coding.code"),
+        Mapping("ICD9_DGNS_CD_2", "Claim.diagnosis.diagnosisCodeableConcept.coding.code"),
+    ]
+    em = FhirEncoderManager(
+        override_encoders={
+            "Claim.procedure.procedureCodeableConcept.coding": FhirEncoder(
+                False,
+                False,
+                lambda x: [{"code": c, "system": HCPCS_URI} for c in x.split(",")],
+            )
+        }
+    )
+    mm = MappingManager(maps, synpuf_df.schema, em)
+    return [json.loads(s) for s in Bundle(mm).df_to_fhir(synpuf_df).collect()]
+
+
+def test_bundle_shape(fhir_result):
+    assert len(fhir_result) == 2
+    for b in fhir_result:
+        assert b["resourceType"] == "Bundle"
+        types = [e["resource"]["resourceType"] for e in b["entry"]]
+        assert sorted(types) == ["Claim", "Patient"]
+
+
+def _resource(bundle, rt):
+    return next(e["resource"] for e in bundle["entry"]
+                if e["resource"]["resourceType"] == rt)
+
+
+def test_patient_mapping(fhir_result):
+    p = _resource(fhir_result[0], "Patient")
+    assert p["id"] == "P0001"
+    assert p["birthDate"] == "1923-05-01"
+    # address is a repeated FHIR element → single-element array
+    assert p["address"] == [{"postalCode": "26950"}]
+
+
+def test_claim_multisource_fanout(fhir_result):
+    """Two HCPCS source columns → two procedure entries; two ICD9 columns →
+    two diagnosis entries (`01_dbignite_sample.py:524-528`)."""
+    c = _resource(fhir_result[0], "Claim")
+    assert c["id"] == "737363357976870"
+    diags = [d["diagnosisCodeableConcept"]["coding"][0]["code"]
+             for d in c["diagnosis"]]
+    assert diags == ["4019", "2724"]
+
+
+def test_encoder_override_split(fhir_result):
+    """Encoder splits 'A123,B456' into two coding dicts with the hardcoded
+    system URI (`01_dbignite_sample.py:534-539`)."""
+    c = _resource(fhir_result[0], "Claim")
+    first_proc_coding = c["procedure"][0]["procedureCodeableConcept"]["coding"]
+    assert first_proc_coding == [
+        {"code": "A123", "system": HCPCS_URI},
+        {"code": "B456", "system": HCPCS_URI},
+    ]
+
+
+def test_null_source_dropped(fhir_result):
+    """Row 2 has NULL HCPCS_CD_2 / ICD9_DGNS_CD_2 → no empty elements."""
+    c = _resource(fhir_result[1], "Claim")
+    diags = [d["diagnosisCodeableConcept"]["coding"][0].get("code")
+             for d in c["diagnosis"]]
+    assert "25000" in diags and None not in diags
+
+
+def test_round_trip_reader(spark, fhir_result, tmp_path):
+    """writer ∘ reader ≈ identity on mapped paths (SURVEY.md §5.4)."""
+    from interop_spark.fhir import read_from_directory
+
+    d = tmp_path / "emitted"
+    d.mkdir()
+    for i, b in enumerate(fhir_result):
+        (d / f"bundle_{i}.json").write_text(json.dumps(b))
+    entry = read_from_directory(str(d), spark=spark).entry()
+    pats = entry.selectExpr("explode(Patient) AS p").select("p.id", "p.birthDate")
+    got = {(r.id, r.birthDate) for r in pats.collect()}
+    assert got == {("P0001", "1923-05-01"), ("P0002", "1943-01-01")}
+    claims = entry.selectExpr("explode(Claim) AS c").select("c.id")
+    assert {r.id for r in claims.collect()} == {
+        "737363357976870", "737363357976871"
+    }
+
+
+def test_mapping_validation(spark, synpuf_df):
+    from interop_spark.fhir import Mapping, MappingManager
+
+    with pytest.raises(ValueError, match="NOT_A_COL"):
+        MappingManager([Mapping("NOT_A_COL", "Patient.id")], synpuf_df.schema)
