@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query runs twice; the second (warm) time is reported — the first run
+amortizes JVM/code-gen/file-listing costs that a long-lived cluster session
+would not pay per query. ``value`` is the sum of warm times.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+# the queries a user of the reference would consider the workload's core:
+# scan-agg, star join, dedupe flags, top-k, event windowing, plus the
+# north-star pipeline ops (text, dedup, similarity)
+HEADLINE = [
+    "pricing_summary",
+    "multiway_join_agg",
+    "inner_equi_join",
+    "left_outer_exists_flag",
+    "topk_orders",
+    "latest_event_per_user",
+    "sessionize",
+    "text_token_stats",
+    "lang_id",
+    "exact_dedup",
+    "minhash_lsh_neardup",
+    "knn_cosine",
+    "lsh_bucket_sizes",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from interop_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="interop_spark_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_warm_total",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

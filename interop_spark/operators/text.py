@@ -1,0 +1,96 @@
+"""Text analysis operators over a string column — all pure Column
+expressions (no Python UDFs), designed so each has a DuckDB-expressible
+twin for the driver's correctness gate.
+
+Determinism contract: every function here uses only order-insensitive or
+positionally-stable constructs (md5, regexp, HOFs over arrays built by
+``split``), so Spark and DuckDB produce bit-identical results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small public stopword lists (frequency lists are public knowledge).
+# Kept tiny on purpose: the language-ID heuristic scores stopword hits.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "ich"),
+    "en": ("the", "a", "and", "is", "of", "to", "in", "it"),
+    "es": ("el", "la", "de", "que", "y", "es", "un", "no"),
+    "fr": ("le", "la", "et", "les", "des", "est", "un", "ne"),
+    "zh": ("的", "了", "是", "我", "不", "在", "有", "他"),
+}
+
+PUNCT_RE = r"[.,;:!?'\"()\[\]{}]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (BPE-ish regex splits come later via the
+    same split(regexp) shape)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_count(text: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens(text), lambda w: F.array_contains(arr, w)))
+
+
+def lang_id(text: Column) -> Column:
+    """n-gram/stopword heuristic language-ID: argmax of per-language
+    stopword hits, ties broken by language code order (deterministic)."""
+    scores = {lang: stopword_count(text, lang) for lang in sorted(STOPWORDS)}
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.lit(None).cast("string")
+    for lang in reversed(langs):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    # reversed + overwrite → first lang in sorted order wins ties
+    return pred
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.length(text) - F.length(F.regexp_replace(text, PUNCT_RE, ""))
+    return F.round(n_punct / F.greatest(F.length(text), F.lit(1)), 4)
+
+
+def avg_token_len(text: Column) -> Column:
+    t = tokens(text)
+    total = F.aggregate(
+        F.transform(t, lambda w: F.length(w)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(total / F.greatest(F.size(t), F.lit(1)), 4)
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    return F.round(
+        stopword_count(text, lang) / F.greatest(token_count(text), F.lit(1)), 4
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword presence −
+    punctuation excess. Deliberately simple and portable; the value is the
+    pipeline shape (scoring → filter at scale), not the heuristic."""
+    len_ok = F.when(
+        (F.length(text) >= 100) & (F.length(text) <= 20000), F.lit(0.5)
+    ).otherwise(F.lit(0.0))
+    stop_part = F.least(
+        F.round(stopword_ratio(text, "en") * 2, 4), F.lit(0.3)
+    )
+    punct_penalty = F.least(punct_ratio(text), F.lit(0.2))
+    return F.round(len_ok + stop_part - punct_penalty + F.lit(0.2), 4)
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 over whitespace-normalized lowercase text
+    (the exact-dedup key; a rolling/content-defined variant can slot in
+    behind the same column contract)."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))

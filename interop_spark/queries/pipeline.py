@@ -1,0 +1,410 @@
+"""Training-data-pipeline queries over ``documents`` / ``embeddings``
+(BASELINE.json north star), each with a DuckDB oracle twin generated from
+the SAME Python constants (stopword lists, hash seeds, band layout), so the
+two sides cannot drift.
+
+Dedup queries union the corpus with a deterministic mutation of itself
+(offset ids) so the near-/exact-duplicate sets are non-empty at every scale
+factor — a dedup query whose expected output is empty would be a vacuous
+correctness check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from interop_spark.io import load
+from interop_spark.operators import dedup as dd
+from interop_spark.operators import similarity as sim
+from interop_spark.operators import text as tx
+
+DUP_OFFSET = 1_000_000
+MINHASH_K = 12
+BANDS = 4
+ROWS = 3
+SHINGLE_N = 3
+EMB_DIM = 64
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + mean token length (SURVEY
+    north-star text ops)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.token_count(col("text")).alias("n_tokens"),
+        tx.avg_token_len(col("text")).alias("avg_token_len"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length band + stopword ratio − punctuation excess."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length(col("text")).alias("n_chars"),
+        tx.stopword_ratio(col("text"), "en").alias("stopword_ratio"),
+        tx.quality_score(col("text")).alias("quality"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language-ID heuristic with deterministic tie-break."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.lang_id(col("text")).alias("lang_pred"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 fingerprint over normalized text (exact-dedup key)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.fingerprint(col("text")).alias("fp"))
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+
+def _with_exact_dups(d: DataFrame) -> DataFrame:
+    """documents ∪ copy(ids offset): every text appears exactly twice."""
+    clone = d.select(
+        (col("doc_id") + DUP_OFFSET).alias("doc_id"),
+        # whitespace/case mutation: the normalized fingerprint must match
+        F.upper(col("text")).alias("text"),
+    )
+    return d.select("doc_id", "text").unionByName(clone)
+
+
+def _with_near_dups(d: DataFrame, limit: int) -> DataFrame:
+    """A small slice of documents ∪ near-dup mutations (first word dropped):
+    guaranteed high-Jaccard pairs for the LSH path."""
+    base = d.where(col("doc_id") < limit).select("doc_id", "text")
+    mutated = base.select(
+        (col("doc_id") + DUP_OFFSET).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    return base.unionByName(mutated)
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: normalized-fingerprint groupBy (uniform-shuffle
+    hash key), representative id + group size."""
+    d = _with_exact_dups(load(spark, sf_dir, "documents"))
+    return dd.exact_dup_groups(d, "text", "doc_id")
+
+
+def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates with exact-Jaccard verification:
+    shingle → 12-hash signature → 4 bands → band-key equi-join."""
+    d = _with_near_dups(load(spark, sf_dir, "documents"), limit=100)
+    return dd.minhash_candidate_pairs(
+        d, "doc_id", "text", k=MINHASH_K, bands=BANDS, rows=ROWS,
+        shingle_n=SHINGLE_N,
+    ).where(col("jaccard_sim") >= 0.5)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document (near-dup fingerprint; banded Hamming
+    join reuses the minhash LSH shape)."""
+    d = load(spark, sf_dir, "documents").where(col("doc_id") < 200)
+    return d.select("doc_id", dd.simhash(col("text")).alias("simhash"))
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard over a bounded id-range self-join (the
+    verification kernel of near-dedup, without the LSH filter)."""
+    d = load(spark, sf_dir, "documents").where(col("doc_id") < 30)
+    sh = d.select(
+        "doc_id", dd.word_shingles(col("text"), SHINGLE_N).alias("sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return a.join(b, col("a.doc_id") < col("b.doc_id")).select(
+        col("a.doc_id").alias("doc_a"),
+        col("b.doc_id").alias("doc_b"),
+        dd.jaccard(col("a.sh"), col("b.sh")).alias("jaccard_sim"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against the vec_id=0 embedding (broadcast
+    query vector; final step is TakeOrderedAndProject)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(col("vec_id") == 0).select(col("embedding").alias("qvec"))
+    return (
+        e.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                sim.cosine_sim(
+                    sim.as_double(col("embedding")), sim.as_double(col("qvec"))
+                ),
+                6,
+            ).alias("cosine_sim"),
+        )
+        .orderBy(col("cosine_sim").desc(), col("vec_id").asc())
+        .limit(10)
+    )
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components (posexplode → groupBy label,dim):
+    the aggregation kernel of IVF training / k-means steps."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", (col("pos") + 1).alias("dim"))
+        .agg(F.round(F.avg(col("v").cast("double")), 4).alias("avg_component"))
+    )
+
+
+def q_lsh_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket histogram (md5-derived deterministic
+    planes — the bucketing step of approximate NN at scale)."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            sim.lsh_bucket(col("embedding"), EMB_DIM, n_planes=6).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+QUERIES = {
+    "text_token_stats": q_text_token_stats,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "exact_dedup": q_exact_dedup,
+    "minhash_lsh_neardup": q_minhash_lsh_neardup,
+    "simhash": q_simhash,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "knn_cosine": q_knn_cosine,
+    "embedding_centroids": q_embedding_centroids,
+    "lsh_bucket_sizes": q_lsh_bucket_sizes,
+}
+
+# --------------------------------------------------------------------------
+# DuckDB oracle twins — generated from the same constants
+# --------------------------------------------------------------------------
+
+_TOKENS = "string_split_regex(trim(text), '\\s+')"
+
+
+def _dk_stop_count(lang: str, tokens_expr: str = "toks") -> str:
+    words = ", ".join(f"'{w}'" for w in tx.STOPWORDS[lang])
+    return f"len(list_filter({tokens_expr}, w -> list_contains([{words}], w)))"
+
+
+def _dk_lang_id() -> str:
+    langs = sorted(tx.STOPWORDS)
+    scores = ", ".join(f"s_{lang}" for lang in langs)
+    whens = " ".join(
+        f"WHEN s_{lang} = greatest({scores}) THEN '{lang}'" for lang in langs
+    )
+    return f"CASE {whens} END"
+
+
+def _dk_shingles(text_expr: str = "text") -> str:
+    n = SHINGLE_N
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len(string_split_regex(trim({text_expr}),"
+        f" '\\s+')) - {n - 1}, 1)),"
+        f" i -> array_to_string((string_split_regex(trim({text_expr}),"
+        f" '\\s+'))[i:i+{n - 1}], ' ')))"
+    )
+
+
+def _dk_minhash_sig(shingles_expr: str = "sh") -> str:
+    mins = ", ".join(
+        f"list_aggregate(list_transform({shingles_expr},"
+        f" s -> md5(concat('{j}|', s))), 'min')"
+        for j in range(MINHASH_K)
+    )
+    return f"[{mins}]"
+
+
+def _dk_band_keys(sig_expr: str = "sig") -> str:
+    keys = ", ".join(
+        "concat('{b}:', md5(concat_ws('|', {parts})))".format(
+            b=b,
+            parts=", ".join(
+                f"{sig_expr}[{b * ROWS + r + 1}]" for r in range(ROWS)
+            ),
+        )
+        for b in range(BANDS)
+    )
+    return f"[{keys}]"
+
+
+def _dk_simhash(tokens_expr: str) -> str:
+    th = (
+        f"list_transform(list_distinct({tokens_expr}),"
+        f" w -> CAST(concat('0x', substring(md5(w), 1, 15)) AS BIGINT))"
+    )
+    bits = " + ".join(
+        f"CASE WHEN 2 * len(list_filter(th, h -> (h >> {b}) & 1 = 1)) > len(th)"
+        f" THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(dd.SIMHASH_BITS)
+    )
+    return f"(SELECT {bits} FROM (SELECT {th} AS th))"
+
+
+def _dk_dot(a: str, b: str, dim: int = EMB_DIM) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {dim}),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _dk_norm(a: str, dim: int = EMB_DIM) -> str:
+    return (
+        f"sqrt(list_sum(list_transform(generate_series(1, {dim}),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+    )
+
+
+def _dk_planes_sql() -> str:
+    """The 6 deterministic hyperplanes as an inline VALUES list."""
+    rows = []
+    for i in range(6):
+        plane = sim._hyperplane(i, EMB_DIM)
+        arr = ", ".join(repr(x) for x in plane)
+        rows.append(f"({i}, [{arr}]::DOUBLE[])")
+    return ", ".join(rows)
+
+
+ORACLE = {
+    "text_token_stats": f"""
+        SELECT doc_id,
+               CAST(len({_TOKENS}) AS INTEGER) AS n_tokens,
+               round(list_sum(list_transform({_TOKENS}, w -> len(w)))
+                     / greatest(len({_TOKENS}), 1), 4) AS avg_token_len
+        FROM documents
+    """,
+    "text_quality": f"""
+        WITH t AS (
+          SELECT doc_id, text, {_TOKENS} AS toks,
+                 CAST(length(text) AS INTEGER) AS n_chars,
+                 length(text) - length(regexp_replace(text,
+                     '[.,;:!?''"()\\[\\]{{}}]', '', 'g')) AS n_punct
+          FROM documents
+        )
+        SELECT doc_id, n_chars,
+               round({_dk_stop_count('en')} * 1.0 / greatest(len(toks), 1), 4)
+                 AS stopword_ratio,
+               round(
+                 (CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 0.5 ELSE 0.0 END)
+                 + least(round(round({_dk_stop_count('en')} * 1.0
+                         / greatest(len(toks), 1), 4) * 2, 4), 0.3)
+                 - least(round(n_punct * 1.0 / greatest(n_chars, 1), 4), 0.2)
+                 + 0.2, 4) AS quality
+        FROM t
+    """,
+    "lang_id": f"""
+        WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+        s AS (
+          SELECT doc_id,
+                 {', '.join(f"{_dk_stop_count(lang)} AS s_{lang}"
+                            for lang in sorted(tx.STOPWORDS))}
+          FROM t
+        )
+        SELECT doc_id, {_dk_lang_id()} AS lang_pred FROM s
+    """,
+    "doc_fingerprint": """
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents
+    """,
+    "exact_dedup": f"""
+        WITH unioned AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + {DUP_OFFSET}, upper(text) FROM documents
+        )
+        SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+               min(doc_id) AS representative_id,
+               count(1) AS dup_count
+        FROM unioned GROUP BY 1
+    """,
+    "minhash_lsh_neardup": f"""
+        WITH unioned AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 100
+          UNION ALL
+          SELECT doc_id + {DUP_OFFSET},
+                 substring(text, instr(text, ' ') + 1)
+          FROM documents WHERE doc_id < 100
+        ),
+        sh AS (SELECT doc_id, {_dk_shingles()} AS sh FROM unioned),
+        sig AS (SELECT doc_id, sh, {_dk_minhash_sig()} AS sig FROM sh),
+        banded AS (
+          SELECT doc_id, sh, unnest({_dk_band_keys()}) AS band_key FROM sig
+        )
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+               round(len(list_intersect(l.sh, r.sh)) * 1.0
+                     / greatest(len(list_distinct(list_concat(l.sh, r.sh))), 1),
+                     4) AS jaccard_sim
+        FROM banded l JOIN banded r
+          ON l.band_key = r.band_key AND l.doc_id < r.doc_id
+        WHERE round(len(list_intersect(l.sh, r.sh)) * 1.0
+                    / greatest(len(list_distinct(list_concat(l.sh, r.sh))), 1),
+                    4) >= 0.5
+    """,
+    "simhash": f"""
+        SELECT doc_id, {_dk_simhash(_TOKENS)} AS simhash
+        FROM documents WHERE doc_id < 200
+    """,
+    "ngram_jaccard_pairs": f"""
+        WITH sh AS (
+          SELECT doc_id, {_dk_shingles()} AS sh
+          FROM documents WHERE doc_id < 30
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(len(list_intersect(a.sh, b.sh)) * 1.0
+                     / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1),
+                     4) AS jaccard_sim
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    """,
+    "knn_cosine": f"""
+        WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               round({_dk_dot('embedding', 'qvec')}
+                     / greatest({_dk_norm('embedding')} * {_dk_norm('qvec')},
+                                1e-12), 6) AS cosine_sim
+        FROM embeddings, q
+        ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
+    """,
+    "embedding_centroids": f"""
+        SELECT label, CAST(i AS INTEGER) AS dim,
+               round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS avg_component
+        FROM embeddings, unnest(generate_series(1, {EMB_DIM})) AS t(i)
+        GROUP BY label, i
+    """,
+    "lsh_bucket_sizes": f"""
+        WITH planes(plane_id, plane) AS (VALUES {_dk_planes_sql()}),
+        dots AS (
+          SELECT vec_id, plane_id,
+                 {_dk_dot('embedding', 'plane')} AS d
+          FROM embeddings, planes
+        ),
+        buckets AS (
+          SELECT vec_id,
+                 CAST(sum(CASE WHEN d >= 0 THEN (1 << plane_id) ELSE 0 END)
+                      AS INTEGER) AS bucket
+          FROM dots GROUP BY vec_id
+        )
+        SELECT bucket, count(1) AS n_vectors FROM buckets GROUP BY bucket
+    """,
+}

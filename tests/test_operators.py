@@ -1,0 +1,123 @@
+"""Unit tests for the pipeline operators not fully covered by the oracle
+parity suite: multimodal plumbing, LSH/IVF similarity, dedup building
+blocks."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    from interop_spark.operators.multimodal import MEDIA_SCHEMA
+
+    rows = [
+        (1, "image", b"\x89PNG fake bytes 1", 640, 480, None, None, "png"),
+        (2, "image", b"\x89PNG fake bytes 22", 800, 600, None, None, "png"),
+        (3, "audio", b"RIFF fake wav", None, None, 44100, None, "wav"),
+        (4, "video", b"\x00\x00ftyp fake mp4", 1920, 1080, None, 95, "mp4"),
+        (5, "image", None, 10, 10, None, None, "png"),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_extract_features_batch_shape(media_df):
+    from interop_spark.operators.multimodal import FEATURE_DIM, extract_features
+
+    out = {r.media_id: r for r in extract_features(media_df).collect()}
+    assert len(out) == 5
+    r1 = out[1]
+    assert r1.n_bytes == len(b"\x89PNG fake bytes 1")
+    assert r1.sha256 == hashlib.sha256(b"\x89PNG fake bytes 1").hexdigest()
+    assert len(r1.features) == FEATURE_DIM
+    assert all(0.0 <= x <= 1.0 for x in r1.features)
+    # deterministic fake decode
+    digest = hashlib.sha256(b"\x89PNG fake bytes 1").digest()
+    assert r1.features[0] == pytest.approx(digest[0] / 255.0)
+    # NULL payload → NULL features, not a crash
+    assert out[5].features is None and out[5].n_bytes == 0
+
+
+def test_decode_stub_raises():
+    from interop_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"bytes", fake=False)
+
+
+def test_frame_sample(media_df):
+    from interop_spark.operators.multimodal import frame_sample
+
+    frames = frame_sample(media_df, every_n=10).collect()
+    assert {r.media_id for r in frames} == {4}
+    assert [r.frame_index for r in frames] == list(range(0, 95, 10))
+
+
+def test_media_stats_prunes_binary(media_df):
+    from interop_spark.operators.multimodal import media_stats
+
+    out = {r.kind: r.n_media for r in media_stats(media_df).collect()}
+    assert out == {"image": 3, "audio": 1, "video": 1}
+
+
+def test_lsh_topk_subset_of_brute_force(spark, sf_dir):
+    """LSH top-k results must be a subset of the brute-force ranking's
+    candidate pool (same bucket ⇒ same scores)."""
+    from interop_spark.io import load
+    from interop_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    query = e.where(F.col("vec_id") == 0).collect()[0].embedding
+    brute = brute_force_topk(e, list(query), k=50).collect()
+    approx = lsh_topk(e, list(query), k=5, n_planes=4).collect()
+    assert approx, "query's own bucket must at least contain itself"
+    brute_scores = {r.vec_id: r.cosine_sim for r in brute}
+    # the query vector itself is in its own bucket and ranks first
+    assert approx[0].vec_id == 0
+    for r in approx:
+        if r.vec_id in brute_scores:
+            assert r.cosine_sim == pytest.approx(brute_scores[r.vec_id])
+
+
+def test_ivf_assign_cells(spark, sf_dir):
+    from interop_spark.io import load
+    from interop_spark.operators.similarity import ivf_assign
+
+    e = load(spark, sf_dir, "embeddings")
+    centroids = (
+        e.where(F.col("vec_id") < 4)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid"),
+        )
+    )
+    assigned = ivf_assign(e, centroids)
+    assert assigned.count() == e.count()
+    # each centroid vector must land in its own cell (cosine=1 with itself)
+    own = {r.vec_id: r.cell for r in assigned.where(F.col("vec_id") < 4).collect()}
+    assert own == {0: 0, 1: 1, 2: 2, 3: 3}
+    n_cells = assigned.select("cell").distinct().count()
+    assert 1 < n_cells <= 4
+
+
+def test_simhash_near_dup_property(spark):
+    """Near-identical docs differ in few simhash bits; unrelated docs in
+    many."""
+    from interop_spark.operators.dedup import simhash
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river"),
+        (2, "the quick brown fox jumps over the lazy dog near the ocean"),
+        (3, "completely different words about spark query engines and joins"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = {r.id: r.sh for r in df.select("id", simhash(F.col("text")).alias("sh")).collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(out[1], out[2]) < hamming(out[1], out[3])
+    assert hamming(out[1], out[2]) <= 12
