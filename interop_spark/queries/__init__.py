@@ -3,45 +3,36 @@
 Each module contributes ``QUERIES`` (name → fn(spark, sf_dir) → DataFrame)
 and ``ORACLE`` (name → DuckDB SQL twin). Names missing from ``ORACLE`` get
 the driver's weaker rows-only check (reserved for genuinely
-non-SQL-expressible operators).
+non-SQL-expressible operators; prefixed ``ro_``).
 """
 
 from __future__ import annotations
 
-from interop_spark.queries import relational
+import importlib
+
+_MODULES = (
+    "interop_spark.queries.relational",
+    "interop_spark.queries.functions_battery",
+    "interop_spark.queries.sqlapi",
+    "interop_spark.queries.pipeline",
+)
+
+
+def _merged(attr: str) -> dict:
+    out: dict = {}
+    for modname in _MODULES:
+        mod = importlib.import_module(modname)
+        part = getattr(mod, attr, {})
+        overlap = set(out) & set(part)
+        if overlap:
+            raise ValueError(f"duplicate query names across modules: {overlap}")
+        out.update(part)
+    return out
 
 
 def all_queries() -> dict:
-    merged = {}
-    merged.update(relational.QUERIES)
-    try:
-        from interop_spark.queries import pipeline
-
-        merged.update(pipeline.QUERIES)
-    except ImportError:
-        pass
-    try:
-        from interop_spark.queries import fhir_queries
-
-        merged.update(fhir_queries.QUERIES)
-    except ImportError:
-        pass
-    return merged
+    return _merged("QUERIES")
 
 
 def all_oracles() -> dict:
-    merged = {}
-    merged.update(relational.ORACLE)
-    try:
-        from interop_spark.queries import pipeline
-
-        merged.update(pipeline.ORACLE)
-    except ImportError:
-        pass
-    try:
-        from interop_spark.queries import fhir_queries
-
-        merged.update(fhir_queries.ORACLE)
-    except ImportError:
-        pass
-    return merged
+    return _merged("ORACLE")
