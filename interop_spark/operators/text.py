@@ -35,23 +35,34 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
-def stopword_count(text: Column, lang: str) -> Column:
+def stopword_count_of_tokens(toks: Column, lang: str) -> Column:
     words = STOPWORDS[lang]
     arr = F.array(*[F.lit(w) for w in words])
-    return F.size(F.filter(tokens(text), lambda w: F.array_contains(arr, w)))
+    return F.size(F.filter(toks, lambda w: F.array_contains(arr, w)))
 
 
-def lang_id(text: Column) -> Column:
-    """n-gram/stopword heuristic language-ID: argmax of per-language
-    stopword hits, ties broken by language code order (deterministic)."""
-    scores = {lang: stopword_count(text, lang) for lang in sorted(STOPWORDS)}
+def stopword_count(text: Column, lang: str) -> Column:
+    return stopword_count_of_tokens(tokens(text), lang)
+
+
+def lang_id_of_tokens(toks: Column) -> Column:
+    """argmax of per-language stopword hits over a pre-tokenized column,
+    ties broken by language code order (deterministic)."""
     langs = sorted(STOPWORDS)
+    scores = {lang: stopword_count_of_tokens(toks, lang) for lang in langs}
     best = F.greatest(*[scores[lang] for lang in langs])
     pred = F.lit(None).cast("string")
     for lang in reversed(langs):
         pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
     # reversed + overwrite → first lang in sorted order wins ties
     return pred
+
+
+def lang_id(text: Column) -> Column:
+    """n-gram/stopword heuristic language-ID. Prefer tokenizing once into a
+    column and calling ``lang_id_of_tokens`` when scoring at scale — the
+    single-expression form re-tokenizes per language score."""
+    return lang_id_of_tokens(tokens(text))
 
 
 def punct_ratio(text: Column) -> Column:

@@ -55,9 +55,14 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-hit language-ID heuristic with deterministic tie-break."""
+    """Stopword-hit language-ID heuristic with deterministic tie-break.
+    Tokenizes once into a column; the 10 per-language score expressions
+    share it instead of re-splitting the text."""
     d = load(spark, sf_dir, "documents")
-    return d.select("doc_id", tx.lang_id(col("text")).alias("lang_pred"))
+    toks = d.select("doc_id", tx.tokens(col("text")).alias("toks"))
+    return toks.select(
+        "doc_id", tx.lang_id_of_tokens(col("toks")).alias("lang_pred")
+    )
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
