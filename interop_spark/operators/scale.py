@@ -1,0 +1,65 @@
+"""Scale-engineering utilities: skew-aware joins and partitioned layouts.
+
+These are the knobs a 100 TB deployment turns when AQE alone isn't enough:
+
+- ``salted_join``: explicit key-salting for pathologically skewed join
+  keys (one hot bundleUUID / user_id). The small side is replicated
+  ``salt`` times (exploded), the big side gets a deterministic salt from a
+  uniform hash of its row — so the hot key's rows spread over ``salt``
+  reducers. AQE's skew-join split handles moderate skew; salting is for
+  the 1000× hot-key case where a single partition would spill.
+- ``write_partitioned`` / partition pruning: date-partitioned parquet
+  layout so time-ranged queries scan only matching directories
+  (verified by test: the plan's partition count drops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``big ⋈ small`` on ``key`` with ``salt``-way key salting.
+
+    big side: salt_i = pmod(hash(whole row key + a stable discriminator), salt)
+    — here a uniform pseudo-random derived from xxhash64 of the key plus
+    monotonically varying payload isn't available generically, so we hash
+    the key with ``spark_partition_id``-free randomness substitute:
+    xxhash64(key, monotonically_increasing_id) would be nondeterministic
+    under retries; instead we spread by xxhash64 of ALL big-side columns,
+    which is deterministic per row.
+    """
+    big_salted = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[col(c) for c in big.columns]), F.lit(salt))
+    )
+    small_salted = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = big_salted.join(small_salted, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Directory-partitioned parquet layout (the physical design that makes
+    partition pruning possible)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def with_date_partitions(df: DataFrame, ts_col: str) -> DataFrame:
+    """Add year/month partition columns from an event-time column."""
+    return df.withColumn("p_year", F.year(col(ts_col))).withColumn(
+        "p_month", F.month(col(ts_col))
+    )

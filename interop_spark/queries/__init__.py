@@ -12,6 +12,7 @@ import importlib
 
 _MODULES = (
     "interop_spark.queries.relational",
+    "interop_spark.queries.relational_ext",
     "interop_spark.queries.functions_battery",
     "interop_spark.queries.sqlapi",
     "interop_spark.queries.pipeline",

@@ -121,6 +121,93 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", dd.simhash(col("text")).alias("simhash"))
 
 
+def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: banded Hamming join — docs sharing any
+    15-bit band of their 60-bit simhash become candidates, verified by
+    Hamming distance ≤ 6 (bit_count of xor). Same bucket-groupBy shape as
+    the minhash path (one shuffle, no self-join)."""
+    d = _with_near_dups(load(spark, sf_dir, "documents"), limit=60)
+    sh = d.select("doc_id", dd.simhash(col("text")).alias("sh"))
+    banded = sh.select(
+        "doc_id",
+        "sh",
+        F.posexplode(dd.simhash_bands(col("sh"), bands=4)).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    buckets = (
+        banded.groupBy("band_idx", "band_val")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sh"))).alias("docs"))
+        .where(F.size("docs") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            col("docs"),
+            lambda x, i: F.transform(
+                F.slice(col("docs"), i + 2, F.greatest(F.size("docs"), F.lit(1))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(
+            col("p.a.doc_id").alias("doc_a"),
+            col("p.b.doc_id").alias("doc_b"),
+            F.bit_count(
+                col("p.a.sh").bitwiseXOR(col("p.b.sh"))
+            ).alias("hamming"),
+        )
+        .where(col("hamming") <= 6)
+        .distinct()
+    )
+
+
+def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style probe: 8 coarse centroids (vec_id<8), assign every vector
+    to its nearest centroid (broadcast join + argmax), then search only the
+    query's cell — the scan touches ~1/8 of the corpus at scale."""
+    e = load(spark, sf_dir, "embeddings")
+    cent = e.where(col("vec_id") < 8).select(
+        col("vec_id").alias("centroid_id"), col("embedding").alias("centroid")
+    )
+    sim_expr = sim.cosine_sim(
+        sim.as_double(col("embedding")), sim.as_double(col("centroid"))
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.round(sim_expr, 9).alias("v"), col("centroid_id").alias("k")
+                )
+            )["k"].alias("cell")
+        )
+        .join(e, "vec_id")
+    )
+    q = e.where(col("vec_id") == 0).select(col("embedding").alias("qvec"))
+    probed = assigned.join(
+        assigned.where(col("vec_id") == 0).select(col("cell").alias("qcell")),
+        col("cell") == col("qcell"),
+    )
+    return (
+        probed.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "cell",
+            F.round(
+                sim.cosine_sim(
+                    sim.as_double(col("embedding")), sim.as_double(col("qvec"))
+                ),
+                6,
+            ).alias("cosine_sim"),
+        )
+        .orderBy(col("cosine_sim").desc(), col("vec_id").asc())
+        .limit(5)
+    )
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard over a bounded id-range self-join (the
     verification kernel of near-dedup, without the LSH filter)."""
@@ -194,6 +281,8 @@ QUERIES = {
     "exact_dedup": q_exact_dedup,
     "minhash_lsh_neardup": q_minhash_lsh_neardup,
     "simhash": q_simhash,
+    "simhash_neardup_pairs": q_simhash_neardup_pairs,
+    "ivf_probe_topk": q_ivf_probe_topk,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "knn_cosine": q_knn_cosine,
     "embedding_centroids": q_embedding_centroids,
@@ -370,6 +459,53 @@ ORACLE = {
     "simhash": f"""
         SELECT doc_id, {_dk_simhash(_TOKENS)} AS simhash
         FROM documents WHERE doc_id < 200
+    """,
+    "simhash_neardup_pairs": f"""
+        WITH unioned AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 60
+          UNION ALL
+          SELECT doc_id + {DUP_OFFSET},
+                 substring(text, instr(text, ' ') + 1)
+          FROM documents WHERE doc_id < 60
+        ),
+        sh AS (SELECT doc_id, {_dk_simhash(_TOKENS)} AS sh FROM unioned),
+        banded AS (
+          SELECT doc_id, sh, b,
+                 (sh >> CAST(15 * b AS INTEGER)) & 32767 AS band_val
+          FROM sh, unnest(generate_series(0, 3)) AS t(b)
+        )
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+               CAST(bit_count(xor(l.sh, r.sh)) AS INTEGER) AS hamming
+        FROM banded l JOIN banded r
+          ON l.b = r.b AND l.band_val = r.band_val AND l.doc_id < r.doc_id
+        WHERE bit_count(xor(l.sh, r.sh)) <= 6
+    """,
+    "ivf_probe_topk": f"""
+        WITH cent AS (
+          SELECT vec_id AS centroid_id, embedding AS centroid
+          FROM embeddings WHERE vec_id < 8
+        ),
+        sims AS (
+          SELECT e.vec_id, c.centroid_id,
+                 round({_dk_dot('e.embedding', 'c.centroid')}
+                       / greatest({_dk_norm('e.embedding')}
+                                  * {_dk_norm('c.centroid')}, 1e-12), 9) AS v
+          FROM embeddings e, cent c
+        ),
+        cells AS (
+          SELECT vec_id, (max({{'v': v, 'k': centroid_id}})).k AS cell
+          FROM sims GROUP BY vec_id
+        ),
+        q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+        SELECT c.vec_id, c.cell,
+               round({_dk_dot('e.embedding', 'qvec')}
+                     / greatest({_dk_norm('e.embedding')} * {_dk_norm('qvec')},
+                                1e-12), 6) AS cosine_sim
+        FROM cells c
+        JOIN embeddings e ON c.vec_id = e.vec_id
+        CROSS JOIN q
+        WHERE c.cell = (SELECT cell FROM cells WHERE vec_id = 0)
+        ORDER BY cosine_sim DESC, c.vec_id ASC LIMIT 5
     """,
     "ngram_jaccard_pairs": f"""
         WITH sh AS (
