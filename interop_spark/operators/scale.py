@@ -63,3 +63,25 @@ def with_date_partitions(df: DataFrame, ts_col: str) -> DataFrame:
     return df.withColumn("p_year", F.year(col(ts_col))).withColumn(
         "p_month", F.month(col(ts_col))
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed managed table: two tables bucketed the same way join
+    WITHOUT a shuffle (the physical plan shows no Exchange on either side).
+    At 100 TB this is the difference between re-shuffling the fact table on
+    every join and reading it pre-co-located.
+
+    Buckets also bound per-task memory for bucketed reads and enable
+    bucket-pruned point lookups.
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)

@@ -249,6 +249,58 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: vectors sharing a 6-plane LSH
+    bucket with cosine ≥ 0.99. The corpus is unioned with exact clones
+    (id+offset) so the expected duplicate set is non-empty at every scale.
+    Same bucket-groupBy pair-generation shape as the text dedup paths —
+    at 100 TB this is one shuffle on the bucket id."""
+    e = load(spark, sf_dir, "embeddings").where(col("vec_id") < 300)
+    clones = e.select(
+        (col("vec_id") + DUP_OFFSET).alias("vec_id"), "embedding"
+    )
+    u = e.select("vec_id", "embedding").unionByName(clones)
+    banded = u.select(
+        "vec_id",
+        "embedding",
+        sim.lsh_bucket(col("embedding"), EMB_DIM, n_planes=6).alias("bucket"),
+    )
+    buckets = (
+        banded.groupBy("bucket")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("vec_id", "embedding"))
+            ).alias("docs")
+        )
+        .where(F.size("docs") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            col("docs"),
+            lambda x, i: F.transform(
+                F.slice(col("docs"), i + 2, F.greatest(F.size("docs"), F.lit(1))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(
+            col("p.a.vec_id").alias("vec_a"),
+            col("p.b.vec_id").alias("vec_b"),
+            F.round(
+                sim.cosine_sim(
+                    sim.as_double(col("p.a.embedding")),
+                    sim.as_double(col("p.b.embedding")),
+                ),
+                6,
+            ).alias("cosine_sim"),
+        )
+        .where(col("cosine_sim") >= 0.99)
+        .distinct()
+    )
+
+
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid components (posexplode → groupBy label,dim):
     the aggregation kernel of IVF training / k-means steps."""
@@ -285,6 +337,7 @@ QUERIES = {
     "ivf_probe_topk": q_ivf_probe_topk,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "knn_cosine": q_knn_cosine,
+    "embedding_neardup": q_embedding_neardup,
     "embedding_centroids": q_embedding_centroids,
     "lsh_bucket_sizes": q_lsh_bucket_sizes,
 }
@@ -526,6 +579,36 @@ ORACLE = {
                                 1e-12), 6) AS cosine_sim
         FROM embeddings, q
         ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
+    """,
+    "embedding_neardup": f"""
+        WITH planes(plane_id, plane) AS (VALUES {_dk_planes_sql()}),
+        u AS (
+          SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
+          UNION ALL
+          SELECT vec_id + {DUP_OFFSET}, embedding
+          FROM embeddings WHERE vec_id < 300
+        ),
+        buckets AS (
+          SELECT vec_id,
+                 CAST(sum(CASE WHEN {_dk_dot('embedding', 'plane')} >= 0
+                               THEN (1 << plane_id) ELSE 0 END) AS INTEGER)
+                   AS bucket
+          FROM u, planes GROUP BY vec_id
+        ),
+        banded AS (
+          SELECT u.vec_id, u.embedding, b.bucket
+          FROM u JOIN buckets b ON u.vec_id = b.vec_id
+        )
+        SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b,
+               round({_dk_dot('l.embedding', 'r.embedding')}
+                     / greatest({_dk_norm('l.embedding')}
+                                * {_dk_norm('r.embedding')}, 1e-12), 6)
+                 AS cosine_sim
+        FROM banded l JOIN banded r
+          ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+        WHERE round({_dk_dot('l.embedding', 'r.embedding')}
+                    / greatest({_dk_norm('l.embedding')}
+                               * {_dk_norm('r.embedding')}, 1e-12), 6) >= 0.99
     """,
     "embedding_centroids": f"""
         SELECT label, CAST(i AS INTEGER) AS dim,

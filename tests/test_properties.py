@@ -1,0 +1,83 @@
+"""Property-based tests (hypothesis) for the dedup/text invariants that the
+fixed-fixture oracle can't cover: fingerprint normalization invariance,
+MinHash's Jaccard-estimation property, SimHash locality."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+WORD = st.text(alphabet="abcdefgh", min_size=1, max_size=6)
+DOC = st.lists(WORD, min_size=4, max_size=30).map(" ".join)
+
+
+@pytest.fixture(scope="module")
+def sparkp(spark):
+    return spark
+
+
+@settings(max_examples=15, deadline=None)
+@given(doc=DOC)
+def test_fingerprint_whitespace_case_invariant(sparkp, doc):
+    """fingerprint(x) is invariant under case changes and whitespace
+    re-flowing — the normalization the exact-dedup path depends on."""
+    from interop_spark.operators.text import fingerprint
+
+    variants = [doc, doc.upper(), "  " + doc.replace(" ", "   ") + " "]
+    df = sparkp.createDataFrame([(v,) for v in variants], "text string")
+    fps = {r.fp for r in df.select(fingerprint(F.col("text")).alias("fp")).collect()}
+    assert len(fps) == 1
+
+
+@settings(max_examples=10, deadline=None)
+@given(words=st.lists(WORD, min_size=8, max_size=20, unique=True))
+def test_minhash_identical_docs_identical_signature(sparkp, words):
+    from interop_spark.operators.dedup import minhash_signature, word_shingles
+
+    doc = " ".join(words)
+    df = sparkp.createDataFrame([(1, doc), (2, doc)], "id int, text string")
+    sigs = df.select(
+        minhash_signature(word_shingles(F.col("text"), 3), k=8).alias("sig")
+    ).collect()
+    assert sigs[0].sig == sigs[1].sig
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    words=st.lists(WORD, min_size=12, max_size=24, unique=True),
+    extra=WORD,
+)
+def test_simhash_locality(sparkp, words, extra):
+    """Appending one word changes few SimHash bits; a disjoint doc changes
+    many (locality property that makes banded Hamming joins work)."""
+    from interop_spark.operators.dedup import simhash
+
+    base = " ".join(words)
+    near = base + " " + extra + "x"
+    far = " ".join("zq" + w for w in words)
+    df = sparkp.createDataFrame(
+        [(1, base), (2, near), (3, far)], "id int, text string"
+    )
+    out = {r.id: r.sh for r in df.select("id", simhash(F.col("text")).alias("sh")).collect()}
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(out[1], out[2]) <= ham(out[1], out[3])
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    a=st.lists(st.floats(-1, 1, allow_nan=False), min_size=8, max_size=8),
+)
+def test_cosine_self_similarity(sparkp, a):
+    from interop_spark.operators.similarity import as_double, cosine_sim
+
+    if all(abs(x) < 1e-6 for x in a):
+        return
+    df = sparkp.createDataFrame([(a,)], "v array<double>")
+    sim = df.select(
+        cosine_sim(as_double(F.col("v")), as_double(F.col("v"))).alias("s")
+    ).collect()[0].s
+    assert sim == pytest.approx(1.0, abs=1e-9)

@@ -64,3 +64,30 @@ def test_partition_pruning(spark, sf_dir, tmp_path):
     m = re.search(r"partition count: (\d+)", plan)
     if m:
         assert int(m.group(1)) == 1
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Two co-bucketed tables join shuffle-free: no Exchange in the plan."""
+    from interop_spark.io import load
+    from interop_spark.operators.scale import write_bucketed
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    write_bucketed(
+        load(spark, sf_dir, "orders"), "b_orders", "o_orderkey", 8
+    )
+    write_bucketed(
+        load(spark, sf_dir, "lineitem"), "b_lineitem", "l_orderkey", 8
+    )
+    joined = spark.table("b_orders").join(
+        spark.table("b_lineitem"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    # disable broadcast so the join strategy is the bucketed SMJ
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert "Exchange hashpartitioning" not in plan, plan[:2000]
+    assert joined.count() > 0
