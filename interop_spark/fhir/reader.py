@@ -22,6 +22,11 @@ Spark-first design — the hot path is a SINGLE JSON parse per document:
 bundleUUID is deterministic (md5 of the file path formatted as a UUID), so
 re-ingesting the same directory yields stable join/lineage keys — at
 100 TB a re-run of an idempotent pipeline must not mint new UUIDs.
+
+The nested-columnar posture (declared struct schemas + subfield pruning
+into the scan) follows the record-shredding model of Dremel (Melnik et
+al., VLDB 2010/2020) as implemented by parquet + Spark's
+nestedSchemaPruning.
 """
 
 from __future__ import annotations

@@ -1,5 +1,10 @@
 """Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
 
+Algorithms are the classic public constructions: MinHash resemblance
+sketches (Broder, "On the resemblance and containment of documents",
+1997) with banded LSH amplification, and SimHash (Charikar, "Similarity
+estimation techniques from rounding algorithms", STOC 2002).
+
 Scale design
 ------------
 - Exact dedup is a hash-groupBy on a fingerprint — one shuffle keyed by the

@@ -96,8 +96,38 @@ def q_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_select_star_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13: `c.*` beside explicit columns (`01_dbignite_sample.py:325`)."""
+    vn = _view(spark, sf_dir, "nation")
+    vr = _view(spark, sf_dir, "region")
+    return spark.sql(
+        f"""
+        SELECT n.*, r_name AS region_name
+        FROM {vn} n JOIN {vr} ON n_regionkey = r_regionkey
+        """
+    )
+
+
+def ro_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL-sketch distinct estimation (engine-plan extra, SURVEY §2.4):
+    deterministic for a fixed input but engine-specific, so rows-only."""
+    from interop_spark.io import load
+    from pyspark.sql import functions as F
+
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+    )
+
+
 QUERIES = {
     "groupby_ordinal_sql": q_groupby_ordinal_sql,
+    "select_star_expansion": q_select_star_expansion,
+    "ro_approx_count_distinct": ro_approx_count_distinct,
     "in_subquery": q_in_subquery,
     "scalar_subquery": q_scalar_subquery,
     "union_all_sql": q_union_all_sql,
@@ -106,6 +136,10 @@ QUERIES = {
 }
 
 ORACLE = {
+    "select_star_expansion": """
+        SELECT n.*, r_name AS region_name
+        FROM nation n JOIN region ON n_regionkey = r_regionkey
+    """,
     "groupby_ordinal_sql": """
         SELECT o_orderstatus AS status_cd, count(1) AS cnt
         FROM orders GROUP BY 1
