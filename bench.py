@@ -27,14 +27,21 @@ HEADLINE = [
     "multiway_join_agg",
     "inner_equi_join",
     "left_outer_exists_flag",
+    "merge_upsert",
+    "rollup_agg",
     "topk_orders",
     "latest_event_per_user",
     "sessionize",
+    "tumbling_window",
+    "conditional_agg",
     "text_token_stats",
     "lang_id",
     "exact_dedup",
     "minhash_lsh_neardup",
+    "simhash_neardup_pairs",
+    "embedding_neardup",
     "knn_cosine",
+    "ivf_probe_topk",
     "lsh_bucket_sizes",
 ]
 

@@ -99,6 +99,91 @@ def windowed_event_counts(
     )
 
 
+SESSION_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "events_in_session bigint, session_value double"
+)
+_SESSION_STATE_SCHEMA = (
+    "session_start double, last_ts double, n bigint, value_sum double"
+)
+
+
+def sessionize_stream(
+    events: DataFrame, gap_seconds: int = 1800
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: gap-based
+    sessionization. A session CLOSES when a later event for the same user
+    arrives more than ``gap_seconds`` after the previous one (emitting the
+    closed session), or when the state times out.
+
+    This is the streaming twin of the batch ``sessionize`` query (lag +
+    cumulative flag-sum); state per user is one open session (bounded).
+    The closure is self-contained so executors need no package install.
+    """
+    import pandas as pd  # noqa: F401 (documents the worker dependency)
+
+    gap = float(gap_seconds)
+
+    def _fn(key, pdfs, state):
+        import pandas as pd
+
+        user_id = key[0]
+        if state.hasTimedOut:
+            if state.exists:
+                s0, last, n, vsum = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "session_start": [pd.Timestamp(round(s0 * 1e6), unit="us")],
+                        "session_end": [pd.Timestamp(round(last * 1e6), unit="us")],
+                        "events_in_session": [n],
+                        "session_value": [round(vsum, 2)],
+                    }
+                )
+            return
+
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        out = []
+        if state.exists:
+            s0, last, n, vsum = state.get
+        else:
+            s0 = last = None
+            n, vsum = 0, 0.0
+        for ts, value in zip(rows["ts"], rows["value"]):
+            t = ts.timestamp()
+            if last is not None and t - last > gap:
+                out.append((s0, last, n, vsum))
+                s0, n, vsum = t, 0, 0.0
+            if s0 is None:
+                s0 = t
+            last = t
+            n += 1
+            vsum += float(value)
+        state.update((s0, last, n, vsum))
+        state.setTimeoutDuration(int(gap * 1000))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out),
+                    "session_start": [pd.Timestamp(round(o[0] * 1e6), unit="us") for o in out],
+                    "session_end": [pd.Timestamp(round(o[1] * 1e6), unit="us") for o in out],
+                    "events_in_session": [o[2] for o in out],
+                    "session_value": [round(o[3], 2) for o in out],
+                }
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def streaming_dedupe(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Exactly-once event feed: drop duplicate event_ids within the
     watermark horizon (bounded state — the streaming form of the

@@ -110,3 +110,50 @@ def test_stream_bundles(spark, tmp_path):
     assert len(rows) == 4
     assert all(r.np == 1 for r in rows)
     assert all(r.timestamp is not None for r in rows)
+
+
+def test_sessionize_stream_closed_sessions_match_batch(spark, event_json_dir):
+    """Sessions that CLOSE within the data (a later event arrives past the
+    gap) must match the batch sessionization exactly."""
+    from interop_spark.streaming import stream_events_json
+    from interop_spark.streaming.streams import sessionize_stream
+
+    GAP = 1800
+    q = (
+        sessionize_stream(stream_events_json(spark, event_json_dir), GAP)
+        .writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start, r.events_in_session, r.session_value)
+        for r in spark.table("sess_stream").collect()
+    }
+
+    # batch twin: closed sessions only (a later event exists past the gap)
+    import pandas as pd
+
+    src = spark.read.schema(
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        "value double, props string"
+    ).json(event_json_dir).toPandas()
+    expected = set()
+    for uid, g in src.sort_values(["ts", "event_id"]).groupby("user_id"):
+        s0 = last = None
+        n, vsum = 0, 0.0
+        for ts, value in zip(g["ts"], g["value"]):
+            t = ts.timestamp()
+            if last is not None and t - last > GAP:
+                expected.add((uid, pd.Timestamp(round(s0 * 1e6), unit="us"), n, round(vsum, 2)))
+                s0, n, vsum = t, 0, 0.0
+            if s0 is None:
+                s0 = t
+            last = t
+            n += 1
+            vsum += float(value)
+        # open tail session not emitted by the stream without timeout
+    assert expected, "fixture must contain closed sessions"
+    assert got == expected
