@@ -248,3 +248,48 @@ def test_bulk_table_write(spark, adt_entry, tmp_path):
         .count()
     )
     assert n == 4
+
+
+def test_shadow_fields_and_extensions_preserved(adt_entry):
+    """FHIR `_field` shadow elements and `extension` arrays must survive
+    ingestion (SURVEY.md §7 hard-part (c); data: ADT_A01 Patient)."""
+    from pyspark.sql import functions as F
+
+    p = adt_entry.selectExpr("explode(Patient) AS p")
+    shadow = p.select(
+        F.expr(
+            "get(get(filter(p.identifier, x -> x._system IS NOT NULL), 0)"
+            "._system.extension, 0).valueString"
+        ).alias("orig_text")
+    ).where(F.col("orig_text").isNotNull())
+    vals = {r.orig_text for r in shadow.collect()}
+    assert "MDMH MRN" in vals
+
+    ext = p.select(
+        F.expr(
+            "get(get(filter(p.extension, x -> x.url LIKE '%us-core-race%'), 0)"
+            ".extension, 0).valueString"
+        ).alias("race")
+    ).where(F.col("race").isNotNull())
+    assert ext.count() >= 1
+
+    marital = p.select(F.get(F.col("p.maritalStatus.coding"), 0)["display"].alias("m"))
+    assert "Married" in {r.m for r in marital.collect() if r.m}
+
+
+def test_ctas_sink(spark, adt_entry):
+    """K3: CREATE TABLE ... AS SELECT over the entry frame
+    (`01_dbignite_sample.py:472-484`)."""
+    from interop_spark.fhir.analytics import omop_person
+    from interop_spark.fhir.write import drop_table_if_exists
+
+    omop_person(adt_entry).createOrReplaceTempView("v_omop_src")
+    drop_table_if_exists(spark, "hls_healthcare.hls_dev.OMOP_PERSON")
+    spark.sql("CREATE DATABASE IF NOT EXISTS hls_healthcare_hls_dev")
+    spark.sql(
+        "CREATE TABLE hls_healthcare_hls_dev.OMOP_PERSON AS "
+        "SELECT * FROM v_omop_src"
+    )
+    t = spark.table("hls_healthcare_hls_dev.OMOP_PERSON")
+    assert t.count() == 4
+    assert "person_id" in t.columns and "year_of_birth" in t.columns

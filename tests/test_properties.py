@@ -81,3 +81,36 @@ def test_cosine_self_similarity(sparkp, a):
         cosine_sim(as_double(F.col("v")), as_double(F.col("v"))).alias("s")
     ).collect()[0].s
     assert sim == pytest.approx(1.0, abs=1e-9)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    pid=st.text(alphabet="abcdef0123456789-", min_size=1, max_size=20),
+    bdate=st.dates().map(str),
+    postal=st.text(alphabet="0123456789", min_size=3, max_size=8),
+)
+def test_writer_reader_roundtrip_property(sparkp, tmp_path_factory, pid, bdate, postal):
+    """writer ∘ reader ≈ identity on mapped paths for arbitrary values
+    (SURVEY.md §5.4)."""
+    import json
+
+    from interop_spark.fhir import Bundle, Mapping, MappingManager, read_from_directory
+
+    src = sparkp.createDataFrame(
+        [(pid, bdate, postal)], "PID string, BD string, PC string"
+    )
+    maps = [
+        Mapping("PID", "Patient.id"),
+        Mapping("BD", "Patient.birthDate"),
+        Mapping("PC", "Patient.address.postalCode"),
+    ]
+    out = Bundle(MappingManager(maps, src.schema)).df_to_fhir_df(src).collect()
+    d = tmp_path_factory.mktemp("rt")
+    (d / "b.json").write_text(out[0].value)
+    entry = read_from_directory(str(d), spark=sparkp).entry()
+    row = entry.selectExpr("explode(Patient) AS p").select(
+        "p.id", "p.birthDate", "p.address"
+    ).collect()[0]
+    assert row.id == pid
+    assert row.birthDate == bdate
+    assert row.address[0].postalCode == postal
