@@ -15,6 +15,7 @@ _MODULES = (
     "interop_spark.queries.relational_ext",
     "interop_spark.queries.functions_battery",
     "interop_spark.queries.sqlapi",
+    "interop_spark.queries.reshape",
     "interop_spark.queries.pipeline",
     "interop_spark.queries.temporal_q",
     "interop_spark.queries.fhir_queries",
