@@ -127,12 +127,35 @@ def minhash_candidate_pairs(
     ).select(
         "doc_id",
         "shingles",
-        lsh_band_keys(minhash_signature(F.col("shingles"), k), bands, rows).alias(
-            "band_keys"
-        ),
+        minhash_signature(F.col("shingles"), k).alias("sig"),
     )
+    # explode a CONSTANT band-index sequence and derive each band key
+    # after the explode: exploding the band_keys array directly makes
+    # InferFiltersFromGenerate push the whole minhash expression into the
+    # scan filter, doubling the (expensive) hashing work per row — the
+    # constant sequence folds that inferred filter away, and the signature
+    # is computed once per document in the pre-explode projection
     banded = sig.select(
-        "doc_id", "shingles", F.explode("band_keys").alias("band_key")
+        "doc_id",
+        "shingles",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("_b"),
+        F.col("sig"),
+    ).select(
+        "doc_id",
+        "shingles",
+        F.concat(
+            F.col("_b").cast("string"),
+            F.lit(":"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.element_at(F.col("sig"), F.col("_b") * rows + r + 1)
+                        for r in range(rows)
+                    ],
+                )
+            ),
+        ).alias("band_key"),
     )
     buckets = (
         banded.groupBy("band_key")
@@ -175,14 +198,20 @@ def _bit_test(bit: int):
     return lambda h: F.shiftright(h, bit) % 2 == 1
 
 
-def simhash(text: Column) -> Column:
-    """60-bit SimHash from md5-derived per-token hashes: bit b of the result
-    is the majority vote of bit b across the document's distinct tokens.
-    Unrolled per-bit expressions — all JVM-side, no shuffle."""
-    th = F.transform(
+def token_hashes(text: Column) -> Column:
+    """60-bit integer hash per distinct token (md5-derived, portable)."""
+    return F.transform(
         F.array_distinct(tokens(text)),
         lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint"),
     )
+
+
+def simhash_of_hashes(th: Column) -> Column:
+    """60-bit SimHash over a pre-computed token-hash array: bit b of the
+    result is the majority vote of bit b across tokens. Pass a
+    MATERIALIZED column (not the token_hashes expression inline): the 60
+    per-bit filters each reference the array, and feeding them the raw
+    expression makes codegen re-derive the md5 hashes per bit."""
     n = F.size(th)
     out = F.lit(0).cast("bigint")
     for b in range(SIMHASH_BITS):
@@ -191,6 +220,13 @@ def simhash(text: Column) -> Column:
             bit_count * 2 > n, F.lit(1 << b).cast("bigint")
         ).otherwise(F.lit(0).cast("bigint"))
     return out
+
+
+def simhash(text: Column) -> Column:
+    """Single-expression SimHash (convenience form; for hot paths
+    materialize ``token_hashes`` into a column and use
+    ``simhash_of_hashes`` — see the pipeline queries)."""
+    return simhash_of_hashes(token_hashes(text))
 
 
 def simhash_bands(sim: Column, bands: int = 4) -> Column:

@@ -118,7 +118,8 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document (near-dup fingerprint; banded Hamming
     join reuses the minhash LSH shape)."""
     d = load(spark, sf_dir, "documents").where(col("doc_id") < 200)
-    return d.select("doc_id", dd.simhash(col("text")).alias("simhash"))
+    th = d.select("doc_id", dd.token_hashes(col("text")).alias("th"))
+    return th.select("doc_id", dd.simhash_of_hashes(col("th")).alias("simhash"))
 
 
 def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -127,7 +128,8 @@ def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming distance ≤ 6 (bit_count of xor). Same bucket-groupBy shape as
     the minhash path (one shuffle, no self-join)."""
     d = _with_near_dups(load(spark, sf_dir, "documents"), limit=60)
-    sh = d.select("doc_id", dd.simhash(col("text")).alias("sh"))
+    th = d.select("doc_id", dd.token_hashes(col("text")).alias("th"))
+    sh = th.select("doc_id", dd.simhash_of_hashes(col("th")).alias("sh"))
     banded = sh.select(
         "doc_id",
         "sh",
