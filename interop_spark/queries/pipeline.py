@@ -327,7 +327,38 @@ def q_lsh_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates on a projection (the J3 dedupe intent in its
+    idiomatic one-call form; DISTINCT twin in the oracle)."""
+    d = _with_exact_dups(load(spark, sf_dir, "documents"))
+    return d.select(
+        tx.fingerprint(col("text")).alias("fp")
+    ).dropDuplicates(["fp"])
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation/test assignment by md5-derived
+    bucket — the reproducible split a training pipeline needs (stable
+    under re-runs and engine-independent, unlike rand() or engine hash
+    functions). Outputs per-split counts."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    split = (
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "validation")
+        .otherwise("test")
+    )
+    return d.select(split.alias("split")).groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
 QUERIES = {
+    "drop_duplicates": q_drop_duplicates,
+    "train_test_split": q_train_test_split,
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
@@ -436,6 +467,27 @@ def _dk_planes_sql() -> str:
 
 
 ORACLE = {
+    "drop_duplicates": f"""
+        SELECT DISTINCT
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM (
+          SELECT text FROM documents
+          UNION ALL
+          SELECT upper(text) FROM documents
+        )
+    """,
+    "train_test_split": """
+        WITH b AS (
+          SELECT CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+                                             1, 8)) AS BIGINT) % 100 AS bucket
+          FROM documents
+        )
+        SELECT CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'validation'
+                    ELSE 'test' END AS split,
+               count(1) AS n_docs
+        FROM b GROUP BY 1
+    """,
     "text_token_stats": f"""
         SELECT doc_id,
                CAST(len({_TOKENS}) AS INTEGER) AS n_tokens,
