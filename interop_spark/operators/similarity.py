@@ -101,7 +101,6 @@ def lsh_topk(
     """Approximate top-k: score only vectors in the query's LSH bucket.
     Recall depends on n_planes; the point is the pruned-scan plan shape."""
     dim = len(query)
-    qb_val = None  # computed by the same expression on a literal row
     q = query_vector_literal(query)
     bucketed = df.withColumn("_bucket", lsh_bucket(F.col(vec_col), dim, n_planes))
     query_bucket = lsh_bucket(q, dim, n_planes)
