@@ -15,9 +15,16 @@ Scale design
   small and AQE handles stragglers.
 - Portability: hash family is md5-of-(seed || shingle) with lexicographic
   min, which any engine reproduces exactly (used by the DuckDB oracle).
-- SimHash packs 60 bits from md5-derived token hashes; near-dup candidates
-  join on 15-bit bands (Hamming ≤ 3 within 60 bits guarantees one equal
-  band by pigeonhole across 4 bands).
+- SimHash packs 60 bits from md5-derived token hashes; the wide variant
+  packs 120 bits (two bigint halves) so candidate bands are 30 bits wide —
+  a ~1B-value key space whose bucket occupancy stays O(1) into the
+  billions of documents (15-bit bands saturate at ~32k keys/band and go
+  quadratic as the corpus grows).
+- Candidate pairing is a self-equi-join on the band key, NOT a per-bucket
+  collect_list: the join shuffles only (band_key, doc_id) pairs, AQE can
+  split a skewed band, and no task ever materializes a whole bucket in
+  one array. Shingles/vectors are re-joined from the compact doc table
+  only for the candidate pairs that survive banding.
 """
 
 from __future__ import annotations
@@ -112,22 +119,23 @@ def minhash_candidate_pairs(
     in-bucket pair generation (HOF over the sorted doc list) → distinct
     (a < b) pairs → exact Jaccard on the shingle sets.
 
-    One shuffle (the bucket groupBy), no self-join: candidate buckets are
-    tiny by construction (LSH spreads non-dups across the key space), so
-    collect_list per bucket is O(bucket²) only where near-dups actually
-    exist. A pathological all-identical corpus would skew one bucket —
-    salt the band key with a fingerprint prefix if that matters. The
-    shingle arrays ride along at test scale; at 100 TB you would re-join
-    them from a compact doc table instead.
+    Scale shape: the shuffle carries ONLY (band_key, doc_id) — the shingle
+    arrays (~10× the id bytes) never enter the exchange. Candidates come
+    from a self-equi-join on band_key (AQE-splittable if a band skews,
+    unlike a per-bucket collect_list, which caps bucket size at one task's
+    memory), are deduped to distinct (a < b) pairs, and only then re-join
+    the compact doc table twice to fetch shingles for exact-Jaccard
+    verification. At 100 TB the doc table would be a persisted/bucketed
+    intermediate; here it is recomputed, which Catalyst prunes to the
+    candidate ids via the join.
     """
     assert k >= bands * rows
-    sig = df.select(
+    shing = df.select(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(text_col), shingle_n).alias("shingles"),
-    ).select(
-        "doc_id",
-        "shingles",
-        minhash_signature(F.col("shingles"), k).alias("sig"),
+    )
+    sig = shing.select(
+        "doc_id", minhash_signature(F.col("shingles"), k).alias("sig")
     )
     # explode a CONSTANT band-index sequence and derive each band key
     # after the explode: exploding the band_keys array directly makes
@@ -137,12 +145,10 @@ def minhash_candidate_pairs(
     # is computed once per document in the pre-explode projection
     banded = sig.select(
         "doc_id",
-        "shingles",
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("_b"),
         F.col("sig"),
     ).select(
         "doc_id",
-        "shingles",
         F.concat(
             F.col("_b").cast("string"),
             F.lit(":"),
@@ -157,45 +163,46 @@ def minhash_candidate_pairs(
             ),
         ).alias("band_key"),
     )
-    buckets = (
-        banded.groupBy("band_key")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("doc_id", "shingles"))
-            ).alias("docs")
+    cand = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
-        .where(F.size("docs") >= 2)
-    )
-    # all (i < j) pairs within a bucket, as one flat HOF expression
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("docs"),
-            lambda x, i: F.transform(
-                F.slice(
-                    F.col("docs"), i + 2, F.greatest(F.size("docs"), F.lit(1))
-                ),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
-    return (
-        buckets.select(F.explode(pair_structs).alias("p"))
         .select(
-            F.col("p.a.doc_id").alias("doc_a"),
-            F.col("p.b.doc_id").alias("doc_b"),
-            jaccard(F.col("p.a.shingles"), F.col("p.b.shingles")).alias(
-                "jaccard_sim"
-            ),
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
         )
         .distinct()
     )
+    a = shing.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("_sh_a")
+    )
+    b = shing.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("_sh_b")
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            jaccard(F.col("_sh_a"), F.col("_sh_b")).alias("jaccard_sim"),
+        )
+    )
 
 
-def _bit_test(bit: int):
-    # factory, not default-arg lambda: F.filter passes (elem, idx) to binary
-    # lambdas; and shiftright (never `/`, which routes through double and
-    # loses precision past 2^53) keeps the math exact on 60-bit hashes
-    return lambda h: F.shiftright(h, bit) % 2 == 1
+def _bit_powers() -> Column:
+    """Constant array [2^0 .. 2^59] as bigint — bit b of hash h is tested
+    with ``h & 2^b`` (bitwiseAND/shiftleft, never `/` or pow(), which
+    route through double and lose precision past 2^53). Built as ONE
+    expression (constant-folded by Catalyst) rather than 60 ``F.lit``
+    py4j calls — the literal-per-bit form added ~0.5s of pure DataFrame
+    construction time per query."""
+    return F.expr(
+        f"transform(sequence(0, {SIMHASH_BITS - 1}),"
+        f" b -> shiftleft(cast(1 as bigint), b))"
+    )
 
 
 def token_hashes(text: Column) -> Column:
@@ -208,18 +215,37 @@ def token_hashes(text: Column) -> Column:
 
 def simhash_of_hashes(th: Column) -> Column:
     """60-bit SimHash over a pre-computed token-hash array: bit b of the
-    result is the majority vote of bit b across tokens. Pass a
-    MATERIALIZED column (not the token_hashes expression inline): the 60
-    per-bit filters each reference the array, and feeding them the raw
-    expression makes codegen re-derive the md5 hashes per bit."""
+    result is the majority vote of bit b across tokens.
+
+    One pass over the array: ``F.aggregate`` folds each token hash into an
+    array of 60 bit-counters (zip_with against the literal power array),
+    then a second 60-element fold packs the majority bits into one bigint.
+    (The naive form — 60 separate ``F.filter`` passes — re-traverses the
+    token array per bit and was the most expensive expression in the
+    round-1 bench.)"""
+    powers = _bit_powers()
     n = F.size(th)
-    out = F.lit(0).cast("bigint")
-    for b in range(SIMHASH_BITS):
-        bit_count = F.size(F.filter(th, _bit_test(b)))
-        out = out + F.when(
-            bit_count * 2 > n, F.lit(1 << b).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-    return out
+    counts = F.aggregate(
+        th,
+        F.array_repeat(F.lit(0), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            powers,
+            lambda c, p: c
+            + F.when(h.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(0)),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            powers,
+            lambda c, p: F.when(c * 2 > n, p).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
 
 
 def simhash(text: Column) -> Column:
@@ -238,4 +264,56 @@ def simhash_bands(sim: Column, bands: int = 4) -> Column:
             F.shiftright(sim, b * width) % F.lit(1 << width).cast("bigint")
             for b in range(bands)
         ]
+    )
+
+
+# --------------------------------------------------------------------------
+# Wide (120-bit) SimHash — the scale path for banded near-dup joins
+# --------------------------------------------------------------------------
+
+WIDE_BITS = 120  # two 60-bit bigint halves from md5 hex chars 1-15, 16-30
+WIDE_BAND_BITS = 30  # 4 bands × 30 bits → ~1.07e9 keys per band
+
+
+def token_hashes_wide(text: Column) -> Column:
+    """120-bit token hash as struct<hi,lo>: two independent 60-bit slices
+    of the token's md5 (hex chars 1-15 and 16-30)."""
+
+    def _h(w: Column, start: int) -> Column:
+        return F.conv(F.substring(F.md5(w), start, 15), 16, 10).cast("bigint")
+
+    return F.transform(
+        F.array_distinct(tokens(text)),
+        lambda w: F.struct(_h(w, 1).alias("hi"), _h(w, 16).alias("lo")),
+    )
+
+
+def simhash_wide_of_hashes(th: Column) -> Column:
+    """120-bit SimHash as struct<hi,lo> over ``token_hashes_wide`` output.
+    Each half is the one-pass 60-bit fold; total work is two traversals of
+    the token array regardless of bit width."""
+    hi = simhash_of_hashes(F.transform(th, lambda x: x["hi"]))
+    lo = simhash_of_hashes(F.transform(th, lambda x: x["lo"]))
+    return F.struct(hi.alias("hi"), lo.alias("lo"))
+
+
+def simhash_wide_bands(sh: Column) -> Column:
+    """Four 30-bit bands of a 120-bit simhash (2 per half). The 2³⁰ key
+    space per band keeps expected bucket occupancy O(1) into the billions
+    of documents — the scale fix over 15-bit bands, whose 32k key space
+    makes buckets (and the candidate join) grow linearly with the corpus.
+    Hamming ≤ 3 across the 120 bits still guarantees a shared band."""
+    mask = F.lit((1 << WIDE_BAND_BITS) - 1).cast("bigint")
+    return F.array(
+        sh["hi"].bitwiseAND(mask),
+        F.shiftright(sh["hi"], WIDE_BAND_BITS).bitwiseAND(mask),
+        sh["lo"].bitwiseAND(mask),
+        F.shiftright(sh["lo"], WIDE_BAND_BITS).bitwiseAND(mask),
+    )
+
+
+def hamming_wide(a: Column, b: Column) -> Column:
+    """Hamming distance between two 120-bit simhash structs."""
+    return F.bit_count(a["hi"].bitwiseXOR(b["hi"])) + F.bit_count(
+        a["lo"].bitwiseXOR(b["lo"])
     )

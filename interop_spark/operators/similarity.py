@@ -9,15 +9,18 @@
 - ``lsh_bucket``: random-hyperplane signature for approximate search. The
   hyperplanes are derived deterministically from md5 (no RNG), so plans and
   results are reproducible across runs and engines.
-- ``ivf_assign`` / ``ivf_topk``: IVF-style coarse quantization — assign
-  every vector to its nearest centroid, search only the query's cell(s).
-  At 100 TB the assignment is a broadcast join against C centroids and the
-  probe touches 1/C of the data.
+- ``ivf_assign``: IVF-style coarse quantization — assign every vector to
+  its nearest centroid, search only the query's cell(s). The assignment is
+  SHUFFLE-FREE on the vector side: the C centroids are collapsed into a
+  one-row array, broadcast, and the argmax is a per-row ``F.aggregate``
+  fold — no n×C row expansion, no groupBy, no re-join. At 100 TB the probe
+  then touches ~1/C of the data.
 """
 
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -78,6 +81,17 @@ def _hyperplane(seed: int, dim: int) -> list[float]:
     return out
 
 
+def recommended_n_planes(corpus_rows: int, target_bucket_size: int = 64) -> int:
+    """Plane count that keeps expected LSH bucket occupancy near
+    ``target_bucket_size``: ceil(log2(corpus / target)). A fixed plane
+    count is a scale bug — 2^planes buckets over a growing corpus means
+    bucket size (and any in-bucket pairing) grows linearly with the data;
+    scaling planes with log2(n) keeps per-bucket work constant."""
+    if corpus_rows <= target_bucket_size:
+        return 1
+    return max(1, math.ceil(math.log2(corpus_rows / target_bucket_size)))
+
+
 def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
     """Random-hyperplane LSH bucket id: bit i = sign(vec · plane_i)."""
     bucket = F.lit(0)
@@ -117,6 +131,52 @@ def lsh_topk(
     )
 
 
+def nearest_centroid(vec: Column, centroid_arr: Column) -> Column:
+    """Per-row argmax over an array<struct<k,v>> of centroids: one
+    ``F.aggregate`` fold, no row expansion. Similarity is rounded to 9
+    decimals before comparison (cross-engine float stability); ties go to
+    the LARGEST centroid id (matches ``max(struct(v, k))`` lexicographic
+    semantics) because the fold takes ``>=`` over an id-ascending array.
+    Returns the winning centroid id."""
+    sims = F.transform(
+        centroid_arr,
+        lambda c: F.struct(
+            F.round(cosine_sim(as_double(vec), as_double(c["v"])), 9).alias(
+                "v"
+            ),
+            c["k"].alias("k"),
+        ),
+    )
+    best = F.aggregate(
+        sims,
+        F.struct(
+            F.lit(-1e300).alias("v"), F.lit(-1).cast("bigint").alias("k")
+        ),
+        lambda acc, s: F.when(s["v"] >= acc["v"], s).otherwise(acc),
+    )
+    return best["k"]
+
+
+def centroid_array(
+    centroids: DataFrame,
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid",
+) -> DataFrame:
+    """Collapse a C-row centroid table into ONE row holding an id-sorted
+    array<struct<k,v>> — the broadcastable unit for shuffle-free
+    assignment. The collapse itself exchanges only C rows."""
+    return centroids.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(centroid_id).cast("bigint").alias("k"),
+                    F.col(centroid_vec).alias("v"),
+                )
+            )
+        ).alias("_cents")
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,
@@ -125,19 +185,16 @@ def ivf_assign(
     centroid_id: str = "centroid_id",
     centroid_vec: str = "centroid",
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (max cosine). Broadcast
-    cross-join against C centroids + window-min — the IVF build step."""
-    from pyspark.sql.window import Window
-
-    joined = df.crossJoin(F.broadcast(centroids)).withColumn(
-        "_sim",
-        cosine_sim(as_double(F.col(vec_col)), as_double(F.col(centroid_vec))),
-    )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("_sim").desc(), F.col(centroid_id).asc()
-    )
+    """Assign each vector to its nearest centroid (max cosine) — the IVF
+    build step. Plan shape: scan → BroadcastNestedLoopJoin against the
+    ONE-ROW centroid array → per-row argmax projection. No Exchange on the
+    vector side (the round-1 crossJoin+window version shuffled n×C rows)."""
+    cents = centroid_array(centroids, centroid_id, centroid_vec)
     return (
-        joined.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(id_col, vec_col, F.col(centroid_id).alias("cell"))
+        df.crossJoin(F.broadcast(cents))
+        .select(
+            id_col,
+            vec_col,
+            nearest_centroid(F.col(vec_col), F.col("_cents")).alias("cell"),
+        )
     )

@@ -26,6 +26,12 @@ BANDS = 4
 ROWS = 3
 SHINGLE_N = 3
 EMB_DIM = 64
+N_CENTROIDS = 8
+# near-dup corpus = 2 × 300 vectors; plane count derives from the scaling
+# rule (ceil(log2(600/16)) = 6) rather than a hard-coded constant — at a
+# bigger corpus the same rule yields more planes, keeping buckets O(1)
+NEARDUP_CORPUS = 600
+NEARDUP_PLANES = 6
 
 # --------------------------------------------------------------------------
 # Text analysis
@@ -123,74 +129,64 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates: banded Hamming join — docs sharing any
-    15-bit band of their 60-bit simhash become candidates, verified by
-    Hamming distance ≤ 6 (bit_count of xor). Same bucket-groupBy shape as
-    the minhash path (one shuffle, no self-join)."""
+    """SimHash near-dup candidates at the scale-safe width: docs sharing
+    any 30-bit band of their 120-bit simhash (2 bigint halves) become
+    candidates via a band-key SELF-JOIN, verified by Hamming ≤ 12 over the
+    full 120 bits. 30-bit bands give a ~1B key space per band (bucket
+    occupancy stays O(1) as the corpus grows; the round-1 15-bit bands
+    saturated at 32k keys), and the self-join shuffles only
+    (band, doc_id, sh) — AQE-splittable, no per-bucket collect_list."""
     d = _with_near_dups(load(spark, sf_dir, "documents"), limit=60)
-    th = d.select("doc_id", dd.token_hashes(col("text")).alias("th"))
-    sh = th.select("doc_id", dd.simhash_of_hashes(col("th")).alias("sh"))
+    th = d.select("doc_id", dd.token_hashes_wide(col("text")).alias("th"))
+    sh = th.select(
+        "doc_id", dd.simhash_wide_of_hashes(col("th")).alias("sh")
+    )
     banded = sh.select(
         "doc_id",
         "sh",
-        F.posexplode(dd.simhash_bands(col("sh"), bands=4)).alias(
+        F.posexplode(dd.simhash_wide_bands(col("sh"))).alias(
             "band_idx", "band_val"
         ),
     )
-    buckets = (
-        banded.groupBy("band_idx", "band_val")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sh"))).alias("docs"))
-        .where(F.size("docs") >= 2)
-    )
-    pair_structs = F.flatten(
-        F.transform(
-            col("docs"),
-            lambda x, i: F.transform(
-                F.slice(col("docs"), i + 2, F.greatest(F.size("docs"), F.lit(1))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
     return (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select(
-            col("p.a.doc_id").alias("doc_a"),
-            col("p.b.doc_id").alias("doc_b"),
-            F.bit_count(
-                col("p.a.sh").bitwiseXOR(col("p.b.sh"))
-            ).alias("hamming"),
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (col("l.band_idx") == col("r.band_idx"))
+            & (col("l.band_val") == col("r.band_val"))
+            & (col("l.doc_id") < col("r.doc_id")),
         )
-        .where(col("hamming") <= 6)
+        .select(
+            col("l.doc_id").alias("doc_a"),
+            col("r.doc_id").alias("doc_b"),
+            dd.hamming_wide(col("l.sh"), col("r.sh"))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .where(col("hamming") <= 12)
         .distinct()
     )
 
 
 def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style probe: 8 coarse centroids (vec_id<8), assign every vector
-    to its nearest centroid (broadcast join + argmax), then search only the
-    query's cell — the scan touches ~1/8 of the corpus at scale."""
+    """IVF-style probe: C coarse centroids (vec_id < N_CENTROIDS), assign
+    every vector to its nearest centroid SHUFFLE-FREE (one-row broadcast
+    centroid array + per-row ``F.aggregate`` argmax — the round-1 version
+    shuffled an n×C expansion through a groupBy and re-join), then search
+    only the query's cell — the scan touches ~1/C of the corpus at
+    scale."""
     e = load(spark, sf_dir, "embeddings")
-    cent = e.where(col("vec_id") < 8).select(
+    cent = e.where(col("vec_id") < N_CENTROIDS).select(
         col("vec_id").alias("centroid_id"), col("embedding").alias("centroid")
     )
-    sim_expr = sim.cosine_sim(
-        sim.as_double(col("embedding")), sim.as_double(col("centroid"))
-    )
-    assigned = (
-        e.crossJoin(F.broadcast(cent))
-        .groupBy("vec_id")
-        .agg(
-            F.max(
-                F.struct(
-                    F.round(sim_expr, 9).alias("v"), col("centroid_id").alias("k")
-                )
-            )["k"].alias("cell")
-        )
-        .join(e, "vec_id")
-    )
+    assigned = sim.ivf_assign(e, cent)
     q = e.where(col("vec_id") == 0).select(col("embedding").alias("qvec"))
     probed = assigned.join(
-        assigned.where(col("vec_id") == 0).select(col("cell").alias("qcell")),
+        F.broadcast(
+            assigned.where(col("vec_id") == 0).select(
+                col("cell").alias("qcell")
+            )
+        ),
         col("cell") == col("qcell"),
     )
     return (
@@ -252,11 +248,18 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: vectors sharing a 6-plane LSH
-    bucket with cosine ≥ 0.99. The corpus is unioned with exact clones
+    """Embedding-cosine near-duplicate pairs: vectors sharing a hyperplane
+    LSH bucket with cosine ≥ 0.99. The corpus is unioned with exact clones
     (id+offset) so the expected duplicate set is non-empty at every scale.
-    Same bucket-groupBy pair-generation shape as the text dedup paths —
-    at 100 TB this is one shuffle on the bucket id."""
+
+    Scale shape: the plane count comes from ``recommended_n_planes`` (log2
+    of corpus/target — buckets stay O(1) as data grows); candidates come
+    from a SELF-JOIN on the bucket id over a compact (vec_id, bucket)
+    projection (AQE-splittable; no per-bucket collect_list of vectors, so
+    no task-sized bucket array), and embeddings are re-joined only for the
+    surviving candidate pairs' cosine verification."""
+    n_planes = sim.recommended_n_planes(NEARDUP_CORPUS, target_bucket_size=16)
+    assert n_planes == NEARDUP_PLANES  # oracle twin inlines 6 planes
     e = load(spark, sf_dir, "embeddings").where(col("vec_id") < 300)
     clones = e.select(
         (col("vec_id") + DUP_OFFSET).alias("vec_id"), "embedding"
@@ -264,36 +267,30 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = e.select("vec_id", "embedding").unionByName(clones)
     banded = u.select(
         "vec_id",
-        "embedding",
-        sim.lsh_bucket(col("embedding"), EMB_DIM, n_planes=6).alias("bucket"),
+        sim.lsh_bucket(col("embedding"), EMB_DIM, n_planes).alias("bucket"),
     )
-    buckets = (
-        banded.groupBy("bucket")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("vec_id", "embedding"))
-            ).alias("docs")
+    cand = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (col("l.bucket") == col("r.bucket"))
+            & (col("l.vec_id") < col("r.vec_id")),
         )
-        .where(F.size("docs") >= 2)
-    )
-    pair_structs = F.flatten(
-        F.transform(
-            col("docs"),
-            lambda x, i: F.transform(
-                F.slice(col("docs"), i + 2, F.greatest(F.size("docs"), F.lit(1))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
-    return (
-        buckets.select(F.explode(pair_structs).alias("p"))
         .select(
-            col("p.a.vec_id").alias("vec_a"),
-            col("p.b.vec_id").alias("vec_b"),
+            col("l.vec_id").alias("vec_a"), col("r.vec_id").alias("vec_b")
+        )
+    )
+    a = u.select(col("vec_id").alias("vec_a"), col("embedding").alias("_e_a"))
+    b = u.select(col("vec_id").alias("vec_b"), col("embedding").alias("_e_b"))
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
             F.round(
                 sim.cosine_sim(
-                    sim.as_double(col("p.a.embedding")),
-                    sim.as_double(col("p.b.embedding")),
+                    sim.as_double(col("_e_a")), sim.as_double(col("_e_b"))
                 ),
                 6,
             ).alias("cosine_sim"),
@@ -429,17 +426,20 @@ def _dk_band_keys(sig_expr: str = "sig") -> str:
     return f"[{keys}]"
 
 
-def _dk_simhash(tokens_expr: str) -> str:
+def _dk_simhash(tokens_expr: str, start: int = 1, th_alias: str = "th") -> str:
+    """DuckDB twin of the one-pass simhash: ``start`` selects the md5 hex
+    slice (1 → hi half, 16 → lo half of the wide variant)."""
     th = (
         f"list_transform(list_distinct({tokens_expr}),"
-        f" w -> CAST(concat('0x', substring(md5(w), 1, 15)) AS BIGINT))"
+        f" w -> CAST(concat('0x', substring(md5(w), {start}, 15)) AS BIGINT))"
     )
     bits = " + ".join(
-        f"CASE WHEN 2 * len(list_filter(th, h -> (h >> {b}) & 1 = 1)) > len(th)"
+        f"CASE WHEN 2 * len(list_filter({th_alias},"
+        f" h -> (h >> {b}) & 1 = 1)) > len({th_alias})"
         f" THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
         for b in range(dd.SIMHASH_BITS)
     )
-    return f"(SELECT {bits} FROM (SELECT {th} AS th))"
+    return f"(SELECT {bits} FROM (SELECT {th} AS {th_alias}))"
 
 
 def _dk_dot(a: str, b: str, dim: int = EMB_DIM) -> str:
@@ -575,22 +575,31 @@ ORACLE = {
                  substring(text, instr(text, ' ') + 1)
           FROM documents WHERE doc_id < 60
         ),
-        sh AS (SELECT doc_id, {_dk_simhash(_TOKENS)} AS sh FROM unioned),
+        sh AS (
+          SELECT doc_id,
+                 {_dk_simhash(_TOKENS, 1, 'th_hi')} AS hi,
+                 {_dk_simhash(_TOKENS, 16, 'th_lo')} AS lo
+          FROM unioned
+        ),
         banded AS (
-          SELECT doc_id, sh, b,
-                 (sh >> CAST(15 * b AS INTEGER)) & 32767 AS band_val
+          SELECT doc_id, hi, lo, b,
+                 CASE WHEN b = 0 THEN hi & {(1 << 30) - 1}
+                      WHEN b = 1 THEN (hi >> 30) & {(1 << 30) - 1}
+                      WHEN b = 2 THEN lo & {(1 << 30) - 1}
+                      ELSE (lo >> 30) & {(1 << 30) - 1} END AS band_val
           FROM sh, unnest(generate_series(0, 3)) AS t(b)
         )
         SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
-               CAST(bit_count(xor(l.sh, r.sh)) AS INTEGER) AS hamming
+               CAST(bit_count(xor(l.hi, r.hi))
+                    + bit_count(xor(l.lo, r.lo)) AS INTEGER) AS hamming
         FROM banded l JOIN banded r
           ON l.b = r.b AND l.band_val = r.band_val AND l.doc_id < r.doc_id
-        WHERE bit_count(xor(l.sh, r.sh)) <= 6
+        WHERE bit_count(xor(l.hi, r.hi)) + bit_count(xor(l.lo, r.lo)) <= 12
     """,
     "ivf_probe_topk": f"""
         WITH cent AS (
           SELECT vec_id AS centroid_id, embedding AS centroid
-          FROM embeddings WHERE vec_id < 8
+          FROM embeddings WHERE vec_id < {N_CENTROIDS}
         ),
         sims AS (
           SELECT e.vec_id, c.centroid_id,

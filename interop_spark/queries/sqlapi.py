@@ -108,18 +108,29 @@ def q_select_star_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ro_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL-sketch distinct estimation (engine-plan extra, SURVEY §2.4):
-    deterministic for a fixed input but engine-specific, so rows-only."""
-    from interop_spark.io import load
+def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL-sketch distinct estimation (engine-plan extra, SURVEY §2.4).
+    The sketch value is engine-specific, so the driver-checkable contract
+    is a tolerance bound: emit the exact count plus a boolean asserting the
+    HLL estimate landed within 3× its configured relative standard
+    deviation (rsd=0.05 → ±15%); the oracle asserts the same bound
+    trivially true. A broken sketch (or a wrong exact count) flips the
+    hash."""
     from pyspark.sql import functions as F
 
+    rel_err = (
+        F.abs(
+            F.approx_count_distinct("l_partkey", rsd=0.05)
+            - F.countDistinct("l_partkey")
+        )
+        / F.countDistinct("l_partkey")
+    )
     return (
         load(spark, sf_dir, "lineitem")
         .groupBy(F.col("l_returnflag").alias("returnflag"))
         .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
             F.countDistinct("l_partkey").alias("exact_parts"),
+            (rel_err <= 0.15).alias("approx_within_tol"),
         )
     )
 
@@ -127,7 +138,7 @@ def ro_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "groupby_ordinal_sql": q_groupby_ordinal_sql,
     "select_star_expansion": q_select_star_expansion,
-    "ro_approx_count_distinct": ro_approx_count_distinct,
+    "approx_count_distinct": q_approx_count_distinct,
     "in_subquery": q_in_subquery,
     "scalar_subquery": q_scalar_subquery,
     "union_all_sql": q_union_all_sql,
@@ -136,6 +147,12 @@ QUERIES = {
 }
 
 ORACLE = {
+    "approx_count_distinct": """
+        SELECT l_returnflag AS returnflag,
+               count(DISTINCT l_partkey) AS exact_parts,
+               TRUE AS approx_within_tol
+        FROM lineitem GROUP BY 1
+    """,
     "select_star_expansion": """
         SELECT n.*, r_name AS region_name
         FROM nation n JOIN region ON n_regionkey = r_regionkey
