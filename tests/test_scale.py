@@ -91,3 +91,43 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     assert "Exchange hashpartitioning" not in plan, plan[:2000]
     assert joined.count() > 0
+
+
+def test_neardup_plans_have_no_collect_list(spark, sf_dir):
+    """Candidate pairing must be a band-key self-join, never a per-bucket
+    collect_list of payloads (a bucket-sized array caps at one task's
+    memory and defeats AQE skew splitting). Guards the round-2 rework of
+    the minhash / simhash / embedding near-dup paths."""
+    from interop_spark.queries import all_queries
+
+    qs = all_queries()
+    for name in (
+        "minhash_lsh_neardup",
+        "simhash_neardup_pairs",
+        "embedding_neardup",
+    ):
+        plan = (
+            qs[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "collect_list" not in plan, f"{name} pairs via collect_list"
+
+
+def test_ivf_assign_is_shuffle_free(spark, sf_dir):
+    """Cell assignment must not shuffle the vector side: the centroid
+    table collapses to a one-row broadcast array and the argmax is a
+    per-row fold, so the only Exchange in the plan is the C-row centroid
+    collapse (SinglePartition), never a hashpartitioning of vectors."""
+    from interop_spark.io import load
+    from interop_spark.operators.similarity import ivf_assign
+
+    e = load(spark, sf_dir, "embeddings")
+    cent = e.where(F.col("vec_id") < 8).selectExpr(
+        "vec_id AS centroid_id", "embedding AS centroid"
+    )
+    plan = (
+        ivf_assign(e, cent)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning" not in plan, plan[:2000]
