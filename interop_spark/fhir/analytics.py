@@ -24,7 +24,13 @@ def _first(c):
 
 
 def patient_conditions(entry_df: DataFrame) -> DataFrame:
-    """Patient × Condition within a bundle (`01_dbignite_sample.py:47-72`)."""
+    """Patient × Condition within a bundle (`01_dbignite_sample.py:47-72`).
+
+    Intentional normalization vs the reference: ``condition_description``
+    is ``code.coding[0].display`` (always populated in coded data) where
+    the reference projects ``Condition.code.text`` (free text, often
+    absent in coded sources). Swap the expression if text-fidelity to the
+    notebook matters more than coverage."""
     p = entry_df.select(
         col("bundleUUID"), explode("Patient").alias("patient")
     )
@@ -47,7 +53,15 @@ def patient_claims(entry_df: DataFrame) -> DataFrame:
     """Patient × Claim within a bundle (`01_dbignite_sample.py:82-112`).
 
     Note the field-pluck-over-array semantics: ``claim.item.productOrService
-    .coding.display`` stays array-valued (P3, `:91-93`)."""
+    .coding.display`` stays array-valued (P3, `:91-93`).
+
+    Intentional normalizations vs the reference: ``claim_patient_id`` and
+    ``insurer`` project the ``.reference`` STRING out of the FHIR
+    Reference struct (the reference returns the whole struct), and the
+    ``prcdr_*`` columns flatten the item[] × coding[] array-of-array to
+    ``array<string>`` (the reference yields the nested form). Flat scalar/
+    array columns join and aggregate directly; drop ``.reference`` /
+    ``F.flatten`` to recover the reference's exact shapes."""
     p = entry_df.select(col("bundleUUID"), explode("Patient").alias("patient"))
     c = entry_df.select(col("bundleUUID"), explode("Claim").alias("claim"))
     return p.join(c, "bundleUUID").select(

@@ -71,10 +71,19 @@ class Mapping:
 class FhirEncoder:
     """Per-path custom serializer (`01_dbignite_sample.py:532-539`).
 
-    ``f`` is a Python lambda taking the raw source cell and returning any
-    JSON-encodable value (scalar, dict, or list — lists expand in place).
-    ``one_to_one`` / ``src_like_tgt`` are carried for API parity with the
-    reference's constructor signature.
+    Contract (matches the reference): for an override keyed on a REPEATED
+    path (e.g. ``...coding``), ``f`` receives the partially-built target
+    value — the default-rendered list of dicts, so the reference's verbatim
+    ``lambda x: [... for y in x[0].get("code").split(",")]`` works
+    unchanged. For a non-repeated path, ``f`` receives the raw source cell
+    string (documented deviation: the partial value there is that same
+    scalar). A non-list return at a repeated path is wrapped in a
+    one-element array (repeated FHIR elements must serialize as arrays).
+
+    Encoder exceptions are RE-RAISED with path context — a buggy lambda
+    fails the job loudly instead of silently emitting ``default`` for
+    every row. ``one_to_one`` / ``src_like_tgt`` / ``default`` are carried
+    for API parity with the reference's constructor signature.
     """
 
     one_to_one: bool = True
@@ -82,20 +91,27 @@ class FhirEncoder:
     f: object = None
     default: str = ""
 
-    def to_udf(self):
+    def to_udf(self, partial_json: bool = False, wrap_array: bool = False,
+               path: str = ""):
         # capture plain locals only: referencing `self` would make
         # cloudpickle serialize FhirEncoder by module reference, requiring
         # interop_spark to be importable on every executor
         func = self.f
-        default = self.default
 
         def _encode(v):
             if v is None:
                 return None
+            x = json.loads(v) if partial_json else v
             try:
-                return json.dumps(func(v))
-            except Exception:
-                return json.dumps(default)
+                out = func(x)
+            except Exception as e:
+                raise RuntimeError(
+                    f"FhirEncoder override at {path!r} failed on input "
+                    f"{x!r}: {e}"
+                ) from e
+            if wrap_array and not isinstance(out, list):
+                out = [out]
+            return json.dumps(out)
 
         return F.udf(_encode, StringType())
 
@@ -161,9 +177,29 @@ class _Node:
         return n
 
 
-def _leaf_value(src: str) -> Column:
-    # FHIR primitives on the demo paths are strings (id, date, postalCode,
-    # codes); cast keeps e.g. bigint CLM_ID valid as a FHIR id.
+# JSON types for non-string FHIR primitives among the mapped paths, keyed
+# by (parent segment, leaf segment) or leaf segment alone (public R4
+# structure knowledge): Money/Quantity.value is decimal, *.sequence is
+# positiveInt, the listed leaves are FHIR booleans. Everything else is a
+# string primitive (id, code, date, uri, reference), where casting keeps
+# e.g. a bigint CLM_ID valid as a FHIR id.
+_DECIMAL_LEAVES = frozenset({("total", "value"), ("valueQuantity", "value"),
+                             ("quantity", "value"), ("unitPrice", "value")})
+_INT_LEAVES = frozenset({"sequence", "rank", "multipleBirthInteger"})
+_BOOLEAN_LEAVES = frozenset({"active", "preferred", "primary",
+                             "deceasedBoolean", "multipleBirthBoolean"})
+
+
+def _leaf_value(src: str, path: str = "") -> Column:
+    segs = path.split(".") if path else []
+    leaf = segs[-1] if segs else ""
+    parent = segs[-2] if len(segs) > 1 else ""
+    if (parent, leaf) in _DECIMAL_LEAVES:
+        return F.col(src).cast("double")
+    if leaf in _INT_LEAVES:
+        return F.col(src).cast("long")
+    if leaf in _BOOLEAN_LEAVES:
+        return F.col(src).cast("boolean")
     return F.col(src).cast("string")
 
 
@@ -172,30 +208,35 @@ def _render(
     path: str,
     em: FhirEncoderManager,
     pick: int | None,
+    skip_encoder: bool = False,
 ) -> Column | None:
     """Render the subtree at ``path`` to a Column.
 
     ``pick`` selects which parallel source a multi-source leaf should use
     (fan-out index fixed by the outermost repeated ancestor); None = not
-    under a fan-out yet.
+    under a fan-out yet. ``skip_encoder`` suppresses the override check at
+    THIS path only (used when building the partial value handed to a
+    repeated-path encoder lambda).
     """
     enc = em.get_encoder(path)
-    if enc is not None and enc.f is not None:
-        # scoped UDF: encode the (single) source feeding this subtree and
-        # splice its JSON output in as a VARIANT
+    if not skip_encoder and enc is not None and enc.f is not None:
+        # non-repeated override path — scoped UDF over the (single) source
+        # feeding this subtree; its JSON output re-enters the plan as a
+        # VARIANT (repeated paths are handled by the parent loop below,
+        # which builds the array-wrapped partial value first)
         srcs = _collect_sources(node)
         src = srcs[pick if pick is not None and pick < len(srcs) else 0]
-        return F.parse_json(enc.to_udf()(F.col(src)))
+        return F.parse_json(enc.to_udf(path=path)(F.col(src)))
 
     if node.sources:
         srcs = node.sources
         if pick is not None:
             src = srcs[pick] if pick < len(srcs) else None
-            return _leaf_value(src) if src is not None else None
+            return _leaf_value(src, path) if src is not None else None
         if len(srcs) == 1:
-            return _leaf_value(srcs[0])
+            return _leaf_value(srcs[0], path)
         # several sources, no repeated ancestor: emit an array of values
-        return F.array(*[_leaf_value(s) for s in srcs])
+        return F.array(*[_leaf_value(s, path) for s in srcs])
 
     fields = []
     for seg, child in node.children.items():
@@ -203,7 +244,28 @@ def _render(
         if seg in REPEATED_SEGMENTS:
             child_enc = em.get_encoder(seg_path)
             if child_enc is not None and child_enc.f is not None:
-                val = _render(child, seg_path, em, pick)
+                # reference contract: the lambda receives the PARTIALLY
+                # BUILT target (the default-rendered, array-wrapped value
+                # — its lambdas do `x[0].get("code")`), and its return
+                # replaces that array. The UDF input is gated on a source
+                # being set: Spark hoists Python UDFs out of CASE WHEN, so
+                # an ungated UDF would run the lambda on empty partials
+                # for rows the outer fan-out discards anyway.
+                inner = _render(
+                    child, seg_path, em, pick, skip_encoder=True
+                )
+                if inner is None:
+                    val = None
+                else:
+                    gate = _any_source_set(
+                        child, pick if pick is not None else 0
+                    )
+                    udf = child_enc.to_udf(
+                        partial_json=True, wrap_array=True, path=seg_path
+                    )
+                    val = F.parse_json(
+                        udf(F.when(gate, F.to_json(F.array(inner))))
+                    )
             elif pick is None and child.multi_fanout() > 1:
                 # outermost repeated segment under a multi-source path:
                 # fan out one element per source; elements whose sources

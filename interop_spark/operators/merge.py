@@ -1,0 +1,98 @@
+"""Relational emulation of Delta Lake ``MERGE INTO``.
+
+``delta-spark`` is not installable in this environment, so the reference's
+Delta sinks land as parquet tables (parity boundary documented in
+STATUS.md). This operator gives the MERGE *semantics* a user relies on,
+following the public Delta contract:
+
+- ``ON`` an equi-key set;
+- ``WHEN MATCHED THEN UPDATE SET *`` (source row replaces target row) or
+  ``WHEN MATCHED THEN DELETE``;
+- ``WHEN NOT MATCHED THEN INSERT *``;
+- multiple source rows matching the SAME target row raise at execution
+  time (Delta's multiple-source-row-matching error) — enforced with a
+  windowed count over matched source rows feeding ``raise_error`` inside a
+  filter (a filter is never pruned, unlike a projection). Pass
+  ``source_unique=True`` to skip the check and its window shuffle when the
+  caller guarantees key-uniqueness.
+
+Unlike Delta this returns the merged DataFrame rather than transactionally
+rewriting a table: the write layer (`interop_spark/fhir/write.py`)
+overwrites parquet tables wholesale, which is the non-transactional
+equivalent.
+
+Scale shape: one shuffle join per clause on the merge keys (left_semi /
+left_anti), all AQE-eligible; no window unless the duplicate check runs,
+and that window shares the merge-key partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _checked_unique(matched: DataFrame, keys: list[str]) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys)
+    msg = F.concat(
+        F.lit("MERGE: multiple source rows match target key ("),
+        F.concat_ws(",", *[F.col(k).cast("string") for k in keys]),
+        F.lit(")"),
+    )
+    return (
+        matched.withColumn("_match_cnt", F.count(F.lit(1)).over(w))
+        .where(
+            F.when(
+                F.col("_match_cnt") > 1, F.raise_error(msg).isNull()
+            ).otherwise(F.lit(True))
+        )
+        .drop("_match_cnt")
+    )
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+    source_unique: bool = False,
+) -> DataFrame:
+    """Merge ``source`` into ``target`` on ``keys`` with Delta MERGE
+    semantics; returns the merged DataFrame. Schemas must align by name
+    (``UPDATE SET *`` / ``INSERT *`` form).
+
+    when_matched: ``"update"`` | ``"delete"``;
+    when_not_matched: ``"insert"`` | ``"ignore"``.
+    """
+    if when_matched not in ("update", "delete"):
+        raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError(
+            f"when_not_matched must be insert|ignore, got {when_not_matched!r}"
+        )
+    missing = [c for c in target.columns if c not in source.columns]
+    if missing:
+        raise ValueError(
+            f"UPDATE SET * / INSERT * needs source to cover target columns; "
+            f"missing {missing}"
+        )
+    source = source.select(*target.columns)
+    tkeys = target.select(*keys)
+
+    parts: list[DataFrame] = [target.join(source.select(*keys), keys, "left_anti")]
+    if when_matched == "update":
+        matched = source.join(tkeys, keys, "left_semi")
+        if not source_unique:
+            matched = _checked_unique(matched, keys)
+        parts.append(matched)
+    # "delete": matched target rows are simply absent from the output
+    if when_not_matched == "insert":
+        parts.append(source.join(tkeys, keys, "left_anti"))
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

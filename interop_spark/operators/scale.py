@@ -36,7 +36,22 @@ def salted_join(
     xxhash64(key, monotonically_increasing_id) would be nondeterministic
     under retries; instead we spread by xxhash64 of ALL big-side columns,
     which is deterministic per row.
+
+    Only ``inner`` and big-side-preserving outer joins (``left``/
+    ``left_outer``) are supported: replicating the small side ``salt``
+    times would emit each unmatched small-side row ``salt`` times under
+    right/full outer, and semi/anti semantics invert which side may be
+    replicated. Limitation: big-side rows that are FULLY identical hash to
+    the same salt, so a hot key consisting of duplicate rows does not
+    spread — pre-tag such data with a distinct column first.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} only, got {how!r}: "
+            "the salt-replicated small side would duplicate unmatched "
+            "rows under right/full outer (and flip sides for semi/anti)"
+        )
     big_salted = big.withColumn(
         "_salt", F.pmod(F.xxhash64(*[col(c) for c in big.columns]), F.lit(salt))
     )

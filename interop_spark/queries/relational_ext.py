@@ -124,8 +124,14 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The staging-merge the reference's J3 flags feed (insert-new +
-    update-existing), as a pure-DataFrame merge: staging overrides target
-    by key, target rows without a staging match pass through."""
+    update-existing): Delta MERGE semantics (UPDATE SET * / INSERT *) via
+    the relational ``merge_into`` operator — staging overrides target by
+    key, target rows without a staging match pass through.
+    ``source_unique=True`` because the staging keys are unique by
+    construction (skips the duplicate-match check's window shuffle; the
+    checked path is covered by ``test_operators.py``)."""
+    from interop_spark.operators.merge import merge_into
+
     target = load(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.round(col("o_totalprice"), 2).alias("price"),
@@ -140,9 +146,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("staging").alias("src"),
         )
     )
-    merged = staging.unionByName(
-        target.join(staging.select("o_orderkey"), "o_orderkey", "left_anti")
-    )
+    merged = merge_into(target, staging, ["o_orderkey"], source_unique=True)
     return merged.select(
         col("o_orderkey").alias("orderkey"), "price", "src"
     )

@@ -49,12 +49,18 @@ def fhir_result(spark, synpuf_df):
         Mapping("ICD9_DGNS_CD_1", "Claim.diagnosis.diagnosisCodeableConcept.coding.code"),
         Mapping("ICD9_DGNS_CD_2", "Claim.diagnosis.diagnosisCodeableConcept.coding.code"),
     ]
+    # the reference's lambda VERBATIM (`01_dbignite_sample.py:534-536`):
+    # x is the partially-built target value (a list of dicts), not the
+    # raw source cell — a user porting their encoder must not need edits
     em = FhirEncoderManager(
         override_encoders={
             "Claim.procedure.procedureCodeableConcept.coding": FhirEncoder(
                 False,
                 False,
-                lambda x: [{"code": c, "system": HCPCS_URI} for c in x.split(",")],
+                lambda x: [
+                    {"code": y, "system": HCPCS_URI}
+                    for y in x[0].get("code").split(",")
+                ],
             )
         }
     )
@@ -135,3 +141,131 @@ def test_mapping_validation(spark, synpuf_df):
 
     with pytest.raises(ValueError, match="NOT_A_COL"):
         MappingManager([Mapping("NOT_A_COL", "Patient.id")], synpuf_df.schema)
+
+
+def test_encoder_nonlist_return_wrapped(spark, synpuf_df):
+    """An encoder returning a dict at a repeated path must still emit a
+    JSON array (FHIR cardinality 0..*), not a bare object."""
+    import json as _json
+
+    from interop_spark.fhir import (
+        Bundle,
+        FhirEncoder,
+        FhirEncoderManager,
+        Mapping,
+        MappingManager,
+    )
+
+    maps = [Mapping("HCPCS_CD_1",
+                    "Claim.procedure.procedureCodeableConcept.coding.code")]
+    em = FhirEncoderManager(
+        override_encoders={
+            "Claim.procedure.procedureCodeableConcept.coding": FhirEncoder(
+                False, False,
+                lambda x: {"code": x[0].get("code"), "system": HCPCS_URI},
+            )
+        }
+    )
+    mm = MappingManager(maps, synpuf_df.schema, em)
+    out = [_json.loads(s) for s in Bundle(mm).df_to_fhir(synpuf_df).collect()]
+    coding = out[0]["entry"][0]["resource"]["procedure"][0][
+        "procedureCodeableConcept"]["coding"]
+    assert isinstance(coding, list)
+    assert coding[0]["code"] == "A123,B456"
+
+
+def test_encoder_exception_propagates(spark, synpuf_df):
+    """A buggy encoder lambda must fail the job loudly (with the path in
+    the message), never silently emit defaults."""
+    from interop_spark.fhir import (
+        Bundle,
+        FhirEncoder,
+        FhirEncoderManager,
+        Mapping,
+        MappingManager,
+    )
+
+    maps = [Mapping("HCPCS_CD_1",
+                    "Claim.procedure.procedureCodeableConcept.coding.code")]
+    em = FhirEncoderManager(
+        override_encoders={
+            "Claim.procedure.procedureCodeableConcept.coding": FhirEncoder(
+                False, False, lambda x: x.undefined_attr,
+            )
+        }
+    )
+    mm = MappingManager(maps, synpuf_df.schema, em)
+    with pytest.raises(Exception, match="procedureCodeableConcept.coding"):
+        Bundle(mm).df_to_fhir(synpuf_df).collect()
+
+
+def test_writer_deep_paths_period_reference_money(spark):
+    """Deep non-repeated components one level past the notebook's demo
+    paths (`01_dbignite_sample.py:520-539`): Period start/end, Reference
+    string, typed Money value and positiveInt sequence — numerics/bools
+    must serialize as JSON numbers/booleans, not strings."""
+    import json as _json
+
+    from interop_spark.fhir import Bundle, Mapping, MappingManager
+
+    src = spark.createDataFrame(
+        [("c1", "2023-01-01", "2023-02-01", "Patient/p9", 123.45, 2, True)],
+        "CLM string, PSTART string, PEND string, PREF string,"
+        "AMOUNT double, SEQ int, ACTIVE boolean",
+    )
+    maps = [
+        Mapping("CLM", "Claim.id"),
+        Mapping("PSTART", "Claim.billablePeriod.start"),
+        Mapping("PEND", "Claim.billablePeriod.end"),
+        Mapping("PREF", "Claim.patient.reference"),
+        Mapping("AMOUNT", "Claim.total.value"),
+        Mapping("SEQ", "Claim.item.sequence"),
+        Mapping("ACTIVE", "Patient.active"),
+    ]
+    out = Bundle(MappingManager(maps, src.schema)).df_to_fhir_df(src).collect()
+    bundle = _json.loads(out[0].value)
+    res = {e["resource"]["resourceType"]: e["resource"]
+           for e in bundle["entry"]}
+    claim = res["Claim"]
+    assert claim["billablePeriod"] == {"start": "2023-01-01",
+                                       "end": "2023-02-01"}
+    assert claim["patient"] == {"reference": "Patient/p9"}
+    assert claim["total"] == {"value": 123.45}          # JSON number
+    assert claim["item"] == [{"sequence": 2}]           # positiveInt array
+    assert res["Patient"]["active"] is True             # JSON boolean
+
+
+@pytest.mark.parametrize("start,end,ref", [
+    ("1900-01-01", "1900-01-02", "Patient/x"),
+    ("2023-12-31", "2024-01-01", "Organization/abc-123"),
+])
+def test_writer_reader_roundtrip_period_reference(spark, tmp_path, start, end, ref):
+    """writer ∘ reader ≈ identity on Period/Reference paths."""
+    import json as _json
+
+    from interop_spark.fhir import (
+        Bundle,
+        Mapping,
+        MappingManager,
+        read_from_directory,
+    )
+
+    src = spark.createDataFrame(
+        [("e1", start, end, ref)],
+        "EID string, PSTART string, PEND string, SREF string",
+    )
+    maps = [
+        Mapping("EID", "Encounter.id"),
+        Mapping("PSTART", "Encounter.period.start"),
+        Mapping("PEND", "Encounter.period.end"),
+        Mapping("SREF", "Encounter.subject.reference"),
+    ]
+    out = Bundle(MappingManager(maps, src.schema)).df_to_fhir_df(src).collect()
+    d = tmp_path / f"rt_{start}"
+    d.mkdir()
+    (d / "b.json").write_text(out[0].value)
+    entry = read_from_directory(str(d), spark=spark).entry()
+    row = entry.selectExpr("explode(Encounter) AS e").select(
+        "e.id", "e.period.start", "e.period.end", "e.subject.reference"
+    ).collect()[0]
+    assert tuple(row) == ("e1", start, end, ref)

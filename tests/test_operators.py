@@ -121,3 +121,48 @@ def test_simhash_near_dup_property(spark):
 
     assert hamming(out[1], out[2]) < hamming(out[1], out[3])
     assert hamming(out[1], out[2]) <= 12
+
+
+def test_merge_into_delta_semantics(spark):
+    """UPDATE SET * / DELETE / INSERT * clause combinations match the
+    documented Delta MERGE behavior."""
+    from interop_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame(
+        [(1, "t1"), (2, "t2"), (3, "t3")], "k int, v string"
+    )
+    source = spark.createDataFrame(
+        [(2, "s2"), (4, "s4")], "k int, v string"
+    )
+    upsert = {
+        (r.k, r.v) for r in merge_into(target, source, ["k"]).collect()
+    }
+    assert upsert == {(1, "t1"), (2, "s2"), (3, "t3"), (4, "s4")}
+
+    deleted = {
+        (r.k, r.v)
+        for r in merge_into(
+            target, source, ["k"], when_matched="delete",
+            when_not_matched="ignore",
+        ).collect()
+    }
+    assert deleted == {(1, "t1"), (3, "t3")}
+
+
+def test_merge_into_duplicate_source_match_raises(spark):
+    """Two source rows hitting the same target key must fail at execution
+    (Delta's multiple-source-row-matching error), not silently duplicate."""
+    import pytest as _pytest
+
+    from interop_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame([(1, "t1")], "k int, v string")
+    dup_source = spark.createDataFrame(
+        [(1, "a"), (1, "b")], "k int, v string"
+    )
+    merged = merge_into(target, dup_source, ["k"])
+    with _pytest.raises(Exception, match="multiple source rows"):
+        merged.collect()
+    # non-matching duplicates are plain inserts — no error
+    ins_only = spark.createDataFrame([(9, "a"), (9, "b")], "k int, v string")
+    assert merge_into(target, ins_only, ["k"]).count() == 3

@@ -131,3 +131,17 @@ def test_ivf_assign_is_shuffle_free(spark, sf_dir):
         ivf_assign(e, cent)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange hashpartitioning" not in plan, plan[:2000]
+
+
+def test_salted_join_rejects_unsupported_how(spark, sf_dir):
+    """Right/full outer would emit unmatched small-side rows salt times."""
+    from interop_spark.io import load
+    from interop_spark.operators.scale import salted_join
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    for how in ("right", "full_outer", "left_semi", "left_anti"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(orders, customer, "o_custkey", salt=4, how=how)
