@@ -21,7 +21,10 @@ COMMENT = {
  "pricing_summary": "One scan of the fact table; partial (map-side) HashAggregate before the 2-key shuffle; the date filter reaches the parquet scan as a PushedFilter. At 100 TB: scales with scan bandwidth, shuffle is 6 rows.",
  "multiway_join_agg": "lineitem->orders shuffles once on the join key; customer/nation/region are BroadcastHashJoins. AQE can re-plan orders' side if runtime stats allow. At 100 TB: one fact shuffle, dims broadcast.",
  "latest_event_per_user": "Single shuffle on user_id feeding a windowed row_number; no join. At 100 TB: one shuffle keyed by entity, state bounded per group.",
- "minhash_lsh_neardup": "Per-row HOF signature computation (no shuffle), then ONE shuffle on the band key; pair generation inside each bucket. At 100 TB: shuffle volume = docs x bands keys, buckets stay small by LSH construction.",
+ "minhash_lsh_neardup": "Per-row HOF signature computation (no shuffle); candidates from a band-key SELF-JOIN over compact (band_key, doc_id) pairs -- the shingle payload never enters the exchange; shingles re-joined only for surviving pairs' Jaccard verification. At 100 TB: shuffle bytes = ids x bands, skewed bands split by AQE.",
+ "simhash_neardup_pairs": "120-bit simhash (two bigint halves, one-pass F.aggregate bit fold); 30-bit band self-join (about 1e9 keys per band keeps buckets O(1) as the corpus grows); Hamming verification on the joined pairs. At 100 TB: shuffle carries (band, id, 2 bigints) only.",
+ "embedding_neardup": "Hyperplane LSH bucket per vector (plane count from log2 corpus scaling); bucket-id self-join over compact (vec_id, bucket); embeddings re-joined for cosine verification of candidates only. No collect_list anywhere (plan-asserted).",
+ "ivf_probe_topk": "Centroids collapse to ONE row (array) and broadcast; cell assignment is a per-row F.aggregate argmax -- NO Exchange on the vector side (plan-asserted); probe filters to the query's cell then TakeOrderedAndProject.",
  "knn_cosine": "Query vector broadcast (BroadcastNestedLoopJoin over 1 row); per-row dot product; TakeOrderedAndProject for top-k. At 100 TB: embarrassingly parallel scan, k rows to driver.",
  "exact_dedup": "md5 fingerprint groupBy: uniform hash key -> skew-free single shuffle with map-side partial aggregation.",
 }
@@ -33,7 +36,8 @@ out = ["# PLANS — physical plans of the headline queries (sf0.1, AQE on)",
        "`python tests/gen_plans.py` after plan-affecting changes.",
        ""]
 for name in ["pricing_summary", "multiway_join_agg", "latest_event_per_user",
-             "exact_dedup", "minhash_lsh_neardup", "knn_cosine"]:
+             "exact_dedup", "minhash_lsh_neardup", "simhash_neardup_pairs",
+             "embedding_neardup", "ivf_probe_topk", "knn_cosine"]:
     df = qs[name](spark, SF)
     df.write.format("noop").mode("overwrite").save()  # let AQE finalize
     plan = df._jdf.queryExecution().executedPlan().toString()
