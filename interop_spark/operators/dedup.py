@@ -317,3 +317,63 @@ def hamming_wide(a: Column, b: Column) -> Column:
     return F.bit_count(a["hi"].bitwiseXOR(b["hi"])) + F.bit_count(
         a["lo"].bitwiseXOR(b["lo"])
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: every document gets
+    the MIN doc id reachable through the pair graph as its cluster id —
+    the step that turns pairwise candidates into "keep one representative
+    per duplicate cluster".
+
+    Algorithm: min-label propagation to fixpoint. Each iteration is one
+    shuffle join (neighbor-min) + a convergence check; lineage is
+    truncated per iteration with ``localCheckpoint`` so plans stay flat.
+    Iterations are bounded by component DIAMETER — near-dup clusters are
+    shallow (clones + chains), so 2-4 rounds converge. At 100 TB with
+    adversarial diameters, swap the propagation loop for the
+    large-star/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014) behind the same
+    (node, cluster) contract.
+    """
+    e = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nb = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("nb_node"))
+            .agg(F.min("label").alias("nb_label"))
+        )
+        new_labels = (
+            labels.join(nb, labels["node"] == nb["nb_node"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nb_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))

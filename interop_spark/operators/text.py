@@ -26,9 +26,29 @@ PUNCT_RE = r"[.,;:!?'\"()\[\]{}]"
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization (BPE-ish regex splits come later via the
-    same split(regexp) shape)."""
+    """Whitespace tokenization (see ``bpe_ish_tokens`` for the
+    subword-style variant)."""
     return F.split(F.trim(text), r"\s+")
+
+
+# GPT-2-style pre-tokenizer approximation (public pattern shape):
+# contraction suffixes, space-prefixed letter runs, digit runs, punctuation
+# runs. Uses only constructs with identical semantics in Java regex
+# (Spark) and default-mode RE2 (DuckDB) — both are leftmost-first on
+# alternations, so the contraction branch wins before the punct class.
+BPE_ISH_RE = r"'(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """BPE-ish token pieces: the pre-tokenization split every BPE-family
+    tokenizer applies before merges. Piece COUNT is the practical
+    training-pipeline statistic (≈ token budget per document); actual
+    merge tables are model-specific and out of scope."""
+    return F.regexp_extract_all(text, F.lit(BPE_ISH_RE), 0)
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    return F.size(bpe_ish_tokens(text))
 
 
 def token_count(text: Column) -> Column:

@@ -168,6 +168,105 @@ def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate CLUSTERS (connected components by
+    min-label propagation): the step that turns pairwise candidates into
+    'keep one representative per cluster'. Oracle is a DuckDB recursive
+    CTE over the same pair set."""
+    d = _with_near_dups(load(spark, sf_dir, "documents"), limit=40)
+    pairs = dd.minhash_candidate_pairs(
+        d, "doc_id", "text", k=MINHASH_K, bands=BANDS, rows=ROWS,
+        shingle_n=SHINGLE_N,
+    ).where(col("jaccard_sim") >= 0.5)
+    return dd.dedup_clusters(pairs)
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish piece counts per document — the token-budget
+    statistic a training pipeline sizes corpora with."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.token_count(col("text")).alias("n_ws_tokens"),
+        tx.bpe_ish_token_count(col("text")).alias("n_bpe_tokens"),
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf·(N/df) — rational
+    scoring (no ln) so both engines compute bit-identical doubles; output
+    carries only (doc, rank, term) so no float crosses the hash. Scale
+    shape: explode → two key-partitioned aggregations → term-key join →
+    WindowGroupLimit per doc."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents").where(col("doc_id") < 200)
+    toks = d.select("doc_id", F.explode(tx.tokens(col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            (col("tf") * col("n_docs") / col("df")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        col("score").desc(), col("term").asc()
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .where(col("term_rank") <= 3)
+        .select("doc_id", "term_rank", "term")
+    )
+
+
+def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched k-NN: 4 query vectors at once — broadcast the query set,
+    score every (vector, query) pair, WindowGroupLimit keeps top-5 per
+    query (one shuffle on query_id)."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(col("vec_id") < 4).select(
+        col("vec_id").alias("query_id"), col("embedding").alias("qvec")
+    )
+    scored = e.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            sim.cosine_sim(
+                sim.as_double(col("embedding")), sim.as_double(col("qvec"))
+            ),
+            6,
+        ).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        col("cosine_sim").desc(), col("vec_id").asc()
+    )
+    return scored.withColumn("knn_rank", F.row_number().over(w)).where(
+        col("knn_rank") <= 5
+    )
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan shape (multimodal §): every 10th frame
+    index per media row via an exploded sequence — the decode would hang
+    off the exploded rows, parallelizing by frame, not by video."""
+    from interop_spark.operators import multimodal as mm
+
+    d = load(spark, sf_dir, "documents").where(col("doc_id") < 50)
+    media = d.select(
+        col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        ((col("doc_id") % 97) + 1).cast("int").alias("n_frames"),
+    )
+    return mm.frame_sample(media, every_n=10)
+
+
 def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style probe: C coarse centroids (vec_id < N_CENTROIDS), assign
     every vector to its nearest centroid SHUFFLE-FREE (one-row broadcast
@@ -370,6 +469,11 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "embedding_centroids": q_embedding_centroids,
     "lsh_bucket_sizes": q_lsh_bucket_sizes,
+    "neardup_clusters": q_neardup_clusters,
+    "token_count_bpe": q_token_count_bpe,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "knn_batch": q_knn_batch,
+    "frame_sample": q_frame_sample,
 }
 
 # --------------------------------------------------------------------------
@@ -456,6 +560,36 @@ def _dk_norm(a: str, dim: int = EMB_DIM) -> str:
     )
 
 
+def _dk_minhash_pair_ctes(limit: int) -> str:
+    """CTE chain ending in ``mh_pairs`` (doc_a, doc_b, jaccard_sim ≥ 0.5)
+    — shared by the pair query and the clusters oracle's recursive CTE."""
+    jac = (
+        "round(len(list_intersect(l.sh, r.sh)) * 1.0"
+        " / greatest(len(list_distinct(list_concat(l.sh, r.sh))), 1), 4)"
+    )
+    return f"""
+        unioned AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < {limit}
+          UNION ALL
+          SELECT doc_id + {DUP_OFFSET},
+                 substring(text, instr(text, ' ') + 1)
+          FROM documents WHERE doc_id < {limit}
+        ),
+        sh AS (SELECT doc_id, {_dk_shingles()} AS sh FROM unioned),
+        sig AS (SELECT doc_id, sh, {_dk_minhash_sig()} AS sig FROM sh),
+        banded AS (
+          SELECT doc_id, sh, unnest({_dk_band_keys()}) AS band_key FROM sig
+        ),
+        mh_pairs AS (
+          SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                 {jac} AS jaccard_sim
+          FROM banded l JOIN banded r
+            ON l.band_key = r.band_key AND l.doc_id < r.doc_id
+          WHERE {jac} >= 0.5
+        )
+    """
+
+
 def _dk_planes_sql() -> str:
     """The 6 deterministic hyperplanes as an inline VALUES list."""
     rows = []
@@ -540,29 +674,10 @@ ORACLE = {
                count(1) AS dup_count
         FROM unioned GROUP BY 1
     """,
-    "minhash_lsh_neardup": f"""
-        WITH unioned AS (
-          SELECT doc_id, text FROM documents WHERE doc_id < 100
-          UNION ALL
-          SELECT doc_id + {DUP_OFFSET},
-                 substring(text, instr(text, ' ') + 1)
-          FROM documents WHERE doc_id < 100
-        ),
-        sh AS (SELECT doc_id, {_dk_shingles()} AS sh FROM unioned),
-        sig AS (SELECT doc_id, sh, {_dk_minhash_sig()} AS sig FROM sh),
-        banded AS (
-          SELECT doc_id, sh, unnest({_dk_band_keys()}) AS band_key FROM sig
-        )
-        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
-               round(len(list_intersect(l.sh, r.sh)) * 1.0
-                     / greatest(len(list_distinct(list_concat(l.sh, r.sh))), 1),
-                     4) AS jaccard_sim
-        FROM banded l JOIN banded r
-          ON l.band_key = r.band_key AND l.doc_id < r.doc_id
-        WHERE round(len(list_intersect(l.sh, r.sh)) * 1.0
-                    / greatest(len(list_distinct(list_concat(l.sh, r.sh))), 1),
-                    4) >= 0.5
-    """,
+    "minhash_lsh_neardup": (
+        "WITH " + _dk_minhash_pair_ctes(100)
+        + " SELECT doc_a, doc_b, jaccard_sim FROM mh_pairs"
+    ),
     "simhash": f"""
         SELECT doc_id, {_dk_simhash(_TOKENS)} AS simhash
         FROM documents WHERE doc_id < 200
@@ -693,5 +808,79 @@ ORACLE = {
           FROM dots GROUP BY vec_id
         )
         SELECT bucket, count(1) AS n_vectors FROM buckets GROUP BY bucket
+    """,
+    "neardup_clusters": (
+        "WITH RECURSIVE " + _dk_minhash_pair_ctes(40) + """,
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+          UNION
+          SELECT doc_b, doc_a FROM mh_pairs
+        ),
+        reach AS (
+          SELECT src AS node, src AS lab FROM edges
+          UNION
+          SELECT e.dst, reach.lab FROM reach JOIN edges e ON e.src = reach.node
+        )
+        SELECT node AS doc_id, min(lab) AS cluster FROM reach GROUP BY node
+    """
+    ),
+    "token_count_bpe": f"""
+        SELECT doc_id,
+               CAST(len({_TOKENS}) AS INTEGER) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text,
+                    '{tx.BPE_ISH_RE.replace("'", "''")}')) AS INTEGER)
+                 AS n_bpe_tokens
+        FROM documents
+    """,
+    "tfidf_top_terms": f"""
+        WITH t AS (
+          SELECT doc_id, unnest({_TOKENS}) AS term
+          FROM documents WHERE doc_id < 200
+        ),
+        tf AS (SELECT doc_id, term, count(1) AS tf FROM t GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(1) AS df FROM tf GROUP BY 1),
+        nd AS (SELECT count(1) AS n_docs FROM documents WHERE doc_id < 200),
+        scored AS (
+          SELECT doc_id, term, tf * n_docs * 1.0 / df AS score
+          FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+        ),
+        ranked AS (
+          SELECT doc_id, term,
+                 CAST(row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, term ASC
+                 ) AS INTEGER) AS term_rank
+          FROM scored
+        )
+        SELECT doc_id, term_rank, term FROM ranked WHERE term_rank <= 3
+    """,
+    "knn_batch": f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS qvec
+          FROM embeddings WHERE vec_id < 4
+        ),
+        scored AS (
+          SELECT query_id, e.vec_id,
+                 round({_dk_dot('e.embedding', 'qvec')}
+                       / greatest({_dk_norm('e.embedding')}
+                                  * {_dk_norm('qvec')}, 1e-12), 6)
+                   AS cosine_sim
+          FROM embeddings e CROSS JOIN q
+        ),
+        ranked AS (
+          SELECT query_id, vec_id, cosine_sim,
+                 CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine_sim DESC, vec_id ASC
+                 ) AS INTEGER) AS knn_rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, cosine_sim, knn_rank
+        FROM ranked WHERE knn_rank <= 5
+    """,
+    "frame_sample": """
+        SELECT doc_id AS media_id,
+               CAST(unnest(generate_series(0, CAST(doc_id % 97 AS INTEGER),
+                                           10)) AS INTEGER) AS frame_index
+        FROM documents WHERE doc_id < 50
     """,
 }
