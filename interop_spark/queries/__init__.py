@@ -22,8 +22,8 @@ _MODULES = (
     "interop_spark.queries.reshape",
     "interop_spark.queries.fhir_queries",
     "interop_spark.queries.sqlapi",
-    "interop_spark.queries.relational",
     "interop_spark.queries.relational_ext",
+    "interop_spark.queries.relational",
     "interop_spark.queries.functions_battery",
 )
 

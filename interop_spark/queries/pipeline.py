@@ -267,6 +267,51 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.frame_sample(media, every_n=10)
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling: each source stratum gets its
+    own rate, membership decided by md5(doc_id) bucket — rerun-stable and
+    engine-independent (rand()/TABLESAMPLE are neither), so a training
+    pipeline can reproduce the exact corpus cut. Outputs per-stratum
+    total/sampled accounting."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    # per-stratum rate derived from the stratum key itself (10-49%)
+    rate = (F.length(col("source")) * 7) % 40 + 10
+    return (
+        d.select("source", bucket.alias("bucket"), rate.alias("rate"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count_if(col("bucket") < col("rate")).alias("n_sampled"),
+        )
+    )
+
+
+def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only multimodal aggregate: the scan must touch only the
+    small typed columns, never a binary payload (column pruning is what
+    makes media catalogs queryable at 100 TB)."""
+    from interop_spark.operators import multimodal as mm
+
+    d = load(spark, sf_dir, "documents")
+    media = d.select(
+        col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        ((col("doc_id") % 640) + 1).cast("int").alias("width"),
+        ((col("doc_id") % 480) + 1).cast("int").alias("height"),
+    )
+    out = mm.media_stats(media)
+    return out.select(
+        "kind", "n_media", F.round(col("avg_pixels"), 4).alias("avg_pixels")
+    )
+
+
 def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style probe: C coarse centroids (vec_id < N_CENTROIDS), assign
     every vector to its nearest centroid SHUFFLE-FREE (one-row broadcast
@@ -474,6 +519,8 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "knn_batch": q_knn_batch,
     "frame_sample": q_frame_sample,
+    "stratified_sample": q_stratified_sample,
+    "media_stats": q_media_stats,
 }
 
 # --------------------------------------------------------------------------
@@ -882,5 +929,30 @@ ORACLE = {
                CAST(unnest(generate_series(0, CAST(doc_id % 97 AS INTEGER),
                                            10)) AS INTEGER) AS frame_index
         FROM documents WHERE doc_id < 50
+    """,
+    "stratified_sample": """
+        WITH b AS (
+          SELECT source,
+                 CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+                                             1, 8)) AS BIGINT) % 100 AS bucket,
+                 (length(source) * 7) % 40 + 10 AS rate
+          FROM documents
+        )
+        SELECT source, count(1) AS n_total,
+               count(1) FILTER (WHERE bucket < rate) AS n_sampled
+        FROM b GROUP BY 1
+    """,
+    "media_stats": """
+        WITH media AS (
+          SELECT doc_id AS media_id,
+                 (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INTEGER) + 1]
+                   AS kind,
+                 CAST((doc_id % 640) + 1 AS INTEGER) AS width,
+                 CAST((doc_id % 480) + 1 AS INTEGER) AS height
+          FROM documents
+        )
+        SELECT kind, count(1) AS n_media,
+               round(avg(width * height), 4) AS avg_pixels
+        FROM media GROUP BY 1
     """,
 }

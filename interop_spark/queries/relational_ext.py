@@ -152,8 +152,32 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-salted join, driver-verified against the plain join's
+    results: salting must be a pure physical rewrite (spread a hot key
+    over `salt` reducers) with zero semantic effect — the oracle is the
+    unsalted join."""
+    from interop_spark.operators.scale import salted_join
+
+    orders = load(spark, sf_dir, "orders")
+    customer = (
+        load(spark, sf_dir, "customer")
+        .withColumnRenamed("c_custkey", "o_custkey")
+        .select("o_custkey", "c_mktsegment")
+    )
+    return (
+        salted_join(orders, customer, "o_custkey", salt=8)
+        .groupBy(col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
 QUERIES = {
     "rollup_agg": q_rollup_agg,
+    "salted_join_agg": q_salted_join_agg,
     "cube_agg": q_cube_agg,
     "grouping_sets": q_grouping_sets,
     "argmax_agg": q_argmax_agg,
@@ -163,6 +187,12 @@ QUERIES = {
 }
 
 ORACLE = {
+    "salted_join_agg": """
+        SELECT c_mktsegment AS mktsegment, count(1) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
+    """,
     "rollup_agg": """
         SELECT coalesce(o_orderstatus, 'ALL') AS status,
                coalesce(o_orderpriority, 'ALL') AS priority,

@@ -135,8 +135,30 @@ def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantile (engine-plan extra, same contract as
+    approx_count_distinct): emit the exact interpolated median plus a
+    boolean asserting percentile_approx landed within 5% of it; the
+    oracle asserts the bound trivially true. Both engines compute the
+    exact side with the same linear-interpolation definition."""
+    from pyspark.sql import functions as F
+
+    exact = F.percentile("l_quantity", F.lit(0.5))
+    approx = F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000))
+    rel_err = F.abs(approx - exact) / F.greatest(exact, F.lit(1.0))
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.round(exact, 1).alias("exact_median"),
+            (rel_err <= 0.05).alias("approx_within_tol"),
+        )
+    )
+
+
 QUERIES = {
     "groupby_ordinal_sql": q_groupby_ordinal_sql,
+    "approx_quantile": q_approx_quantile,
     "select_star_expansion": q_select_star_expansion,
     "approx_count_distinct": q_approx_count_distinct,
     "in_subquery": q_in_subquery,
@@ -147,6 +169,12 @@ QUERIES = {
 }
 
 ORACLE = {
+    "approx_quantile": """
+        SELECT l_returnflag AS returnflag,
+               round(quantile_cont(l_quantity, 0.5), 1) AS exact_median,
+               TRUE AS approx_within_tol
+        FROM lineitem GROUP BY 1
+    """,
     "approx_count_distinct": """
         SELECT l_returnflag AS returnflag,
                count(DISTINCT l_partkey) AS exact_parts,
