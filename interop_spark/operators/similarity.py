@@ -50,6 +50,17 @@ def cosine_sim(a: Column, b: Column) -> Column:
     )
 
 
+def cosine_sim_given_norms(
+    a: Column, b: Column, norm_a: Column, norm_b: Column
+) -> Column:
+    """``cosine_sim`` with the norms supplied as materialized columns —
+    same expression shape and multiplication order, so results are
+    bit-identical, but each factored-out norm saves one full array pass
+    per evaluation (the win when one side is a broadcast query row whose
+    norm would otherwise be re-derived per scored vector)."""
+    return dot(a, b) / F.greatest(norm_a * norm_b, F.lit(1e-12))
+
+
 def query_vector_literal(vec: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec])
 
@@ -131,22 +142,43 @@ def lsh_topk(
     )
 
 
-def nearest_centroid(vec: Column, centroid_arr: Column) -> Column:
-    """Per-row argmax over an array<struct<k,v>> of centroids: one
+def nearest_centroid(
+    vec: Column, centroid_arr: Column, vec_norm: Column | None = None
+) -> Column:
+    """Per-row argmax over an array<struct<k,v[,norm]>> of centroids: one
     ``F.aggregate`` fold, no row expansion. Similarity is rounded to 9
     decimals before comparison (cross-engine float stability); ties go to
     the LARGEST centroid id (matches ``max(struct(v, k))`` lexicographic
     semantics) because the fold takes ``>=`` over an id-ascending array.
-    Returns the winning centroid id."""
-    sims = F.transform(
-        centroid_arr,
-        lambda c: F.struct(
-            F.round(cosine_sim(as_double(vec), as_double(c["v"])), 9).alias(
-                "v"
+    Returns the winning centroid id.
+
+    Pass ``vec_norm`` (a materialized column) when the centroid array
+    carries precomputed ``norm`` fields: the fold then does ONE array pass
+    per centroid (the dot product) instead of three — the norms are the
+    same ``l2_norm`` expression in the same multiplication order, so the
+    rounded similarity is bit-identical to ``cosine_sim``."""
+    if vec_norm is not None:
+        sims = F.transform(
+            centroid_arr,
+            lambda c: F.struct(
+                F.round(
+                    dot(as_double(vec), as_double(c["v"]))
+                    / F.greatest(vec_norm * c["norm"], F.lit(1e-12)),
+                    9,
+                ).alias("v"),
+                c["k"].alias("k"),
             ),
-            c["k"].alias("k"),
-        ),
-    )
+        )
+    else:
+        sims = F.transform(
+            centroid_arr,
+            lambda c: F.struct(
+                F.round(
+                    cosine_sim(as_double(vec), as_double(c["v"])), 9
+                ).alias("v"),
+                c["k"].alias("k"),
+            ),
+        )
     best = F.aggregate(
         sims,
         F.struct(
@@ -163,14 +195,17 @@ def centroid_array(
     centroid_vec: str = "centroid",
 ) -> DataFrame:
     """Collapse a C-row centroid table into ONE row holding an id-sorted
-    array<struct<k,v>> — the broadcastable unit for shuffle-free
-    assignment. The collapse itself exchanges only C rows."""
+    array<struct<k,v,norm>> — the broadcastable unit for shuffle-free
+    assignment, with each centroid's l2 norm precomputed once here
+    instead of once per (vector, centroid) in the fold. The collapse
+    itself exchanges only C rows."""
     return centroids.agg(
         F.array_sort(
             F.collect_list(
                 F.struct(
                     F.col(centroid_id).cast("bigint").alias("k"),
                     F.col(centroid_vec).alias("v"),
+                    l2_norm(as_double(F.col(centroid_vec))).alias("norm"),
                 )
             )
         ).alias("_cents")
@@ -190,11 +225,16 @@ def ivf_assign(
     ONE-ROW centroid array → per-row argmax projection. No Exchange on the
     vector side (the round-1 crossJoin+window version shuffled n×C rows)."""
     cents = centroid_array(centroids, centroid_id, centroid_vec)
-    return (
-        df.crossJoin(F.broadcast(cents))
-        .select(
-            id_col,
-            vec_col,
-            nearest_centroid(F.col(vec_col), F.col("_cents")).alias("cell"),
-        )
+    joined = df.crossJoin(F.broadcast(cents)).withColumn(
+        "_vnorm", l2_norm(as_double(F.col(vec_col)))
     )
+    cell = nearest_centroid(
+        F.col(vec_col), F.col("_cents"), F.col("_vnorm")
+    )
+    # double-reference guard: with a single reference, CollapseProject
+    # inlines the norm into the per-centroid fold lambda, recomputing it
+    # C times per row; the isNotNull branch adds a second reference so the
+    # producing Project survives and the norm is evaluated once per row
+    # (null embeddings yield a null cell either way)
+    cell = F.when(F.col("_vnorm").isNotNull(), cell)
+    return joined.select(id_col, vec_col, cell.alias("cell"))

@@ -232,14 +232,19 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
     q = e.where(col("vec_id") < 4).select(
-        col("vec_id").alias("query_id"), col("embedding").alias("qvec")
+        col("vec_id").alias("query_id"),
+        col("embedding").alias("qvec"),
+        sim.l2_norm(sim.as_double(col("embedding"))).alias("_nq"),
     )
     scored = e.crossJoin(F.broadcast(q)).select(
         "query_id",
         "vec_id",
         F.round(
-            sim.cosine_sim(
-                sim.as_double(col("embedding")), sim.as_double(col("qvec"))
+            sim.cosine_sim_given_norms(
+                sim.as_double(col("embedding")),
+                sim.as_double(col("qvec")),
+                sim.l2_norm(sim.as_double(col("embedding"))),
+                col("_nq"),
             ),
             6,
         ).alias("cosine_sim"),
@@ -324,7 +329,10 @@ def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         col("vec_id").alias("centroid_id"), col("embedding").alias("centroid")
     )
     assigned = sim.ivf_assign(e, cent)
-    q = e.where(col("vec_id") == 0).select(col("embedding").alias("qvec"))
+    q = e.where(col("vec_id") == 0).select(
+        col("embedding").alias("qvec"),
+        sim.l2_norm(sim.as_double(col("embedding"))).alias("_nq"),
+    )
     probed = assigned.join(
         F.broadcast(
             assigned.where(col("vec_id") == 0).select(
@@ -339,8 +347,11 @@ def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "cell",
             F.round(
-                sim.cosine_sim(
-                    sim.as_double(col("embedding")), sim.as_double(col("qvec"))
+                sim.cosine_sim_given_norms(
+                    sim.as_double(col("embedding")),
+                    sim.as_double(col("qvec")),
+                    sim.l2_norm(sim.as_double(col("embedding"))),
+                    col("_nq"),
                 ),
                 6,
             ).alias("cosine_sim"),
@@ -372,16 +383,24 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 against the vec_id=0 embedding (broadcast
-    query vector; final step is TakeOrderedAndProject)."""
+    query vector; final step is TakeOrderedAndProject). The query norm is
+    computed once on the broadcast row, not re-derived per scored vector
+    (same expression/order → bit-identical rounded values)."""
     e = load(spark, sf_dir, "embeddings")
-    q = e.where(col("vec_id") == 0).select(col("embedding").alias("qvec"))
+    q = e.where(col("vec_id") == 0).select(
+        col("embedding").alias("qvec"),
+        sim.l2_norm(sim.as_double(col("embedding"))).alias("_nq"),
+    )
     return (
         e.crossJoin(F.broadcast(q))
         .select(
             "vec_id",
             F.round(
-                sim.cosine_sim(
-                    sim.as_double(col("embedding")), sim.as_double(col("qvec"))
+                sim.cosine_sim_given_norms(
+                    sim.as_double(col("embedding")),
+                    sim.as_double(col("qvec")),
+                    sim.l2_norm(sim.as_double(col("embedding"))),
+                    col("_nq"),
                 ),
                 6,
             ).alias("cosine_sim"),
