@@ -114,3 +114,74 @@ def test_writer_reader_roundtrip_property(sparkp, tmp_path_factory, pid, bdate, 
     assert row.id == pid
     assert row.birthDate == bdate
     assert row.address[0].postalCode == postal
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(
+            lambda p: p[0] < p[1]
+        ),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    )
+)
+def test_dedup_clusters_match_union_find(sparkp, edges):
+    """Cluster labels equal the min node of each connected component
+    (checked against a Python union-find on the same edges)."""
+    from interop_spark.operators.dedup import dedup_clusters
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+
+    pairs = sparkp.createDataFrame(edges, "doc_a int, doc_b int")
+    got = {r.doc_id: r.cluster for r in dedup_clusters(pairs).collect()}
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(doc=DOC)
+def test_bpe_pieces_reconstruct_text(sparkp, doc):
+    """Concatenated BPE-ish pieces reproduce the input up to whitespace
+    (the pre-tokenizer must not drop or invent characters)."""
+    from interop_spark.operators.text import bpe_ish_tokens
+
+    df = sparkp.createDataFrame([(doc,)], "text string")
+    pieces = df.select(
+        F.concat_ws("", bpe_ish_tokens(F.col("text"))).alias("joined")
+    ).collect()[0].joined
+    strip = lambda s: "".join(s.split())
+    assert strip(pieces) == strip(doc)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    tgt=st.lists(st.tuples(st.integers(0, 20), st.text("ab", max_size=3)),
+                 min_size=1, max_size=8, unique_by=lambda t: t[0]),
+    src=st.lists(st.tuples(st.integers(0, 20), st.text("cd", max_size=3)),
+                 min_size=0, max_size=8, unique_by=lambda t: t[0]),
+)
+def test_merge_into_upsert_property(sparkp, tgt, src):
+    """merge_into(update/insert) == dict-update semantics on unique keys."""
+    from interop_spark.operators.merge import merge_into
+
+    target = sparkp.createDataFrame(tgt, "k int, v string")
+    source = sparkp.createDataFrame(src, "k int, v string") if src else \
+        sparkp.createDataFrame([], "k int, v string")
+    expected = dict(tgt)
+    expected.update(dict(src))
+    got = {r.k: r.v for r in merge_into(target, source, ["k"]).collect()}
+    assert got == expected
