@@ -65,17 +65,52 @@ def stopword_count(text: Column, lang: str) -> Column:
     return stopword_count_of_tokens(tokens(text), lang)
 
 
-def lang_id_of_tokens(toks: Column) -> Column:
-    """argmax of per-language stopword hits over a pre-tokenized column,
-    ties broken by language code order (deterministic)."""
+def lang_scores_of_tokens(toks: Column) -> Column:
+    """Per-language stopword hit counts as ONE array column, computed in a
+    single pass over the tokens: each token updates all |langs| counters
+    via zip_with against the literal stopword-list array. (The per-language
+    ``stopword_count`` form re-traverses the token array once per language
+    per consumer — ~20 passes/row when both `greatest` and the argmax CASE
+    chain evaluate it.) Index i corresponds to sorted(STOPWORDS)[i]."""
     langs = sorted(STOPWORDS)
-    scores = {lang: stopword_count_of_tokens(toks, lang) for lang in langs}
-    best = F.greatest(*[scores[lang] for lang in langs])
+    wordsets = F.array(
+        *[F.array(*[F.lit(w) for w in STOPWORDS[lang]]) for lang in langs]
+    )
+    return F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), len(langs)),
+        lambda acc, w: F.zip_with(
+            acc,
+            wordsets,
+            lambda c, ws: c
+            + F.when(F.array_position(ws, w) > 0, F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        ),
+    )
+
+
+def lang_pred_of_scores(scores: Column) -> Column:
+    """argmax over a MATERIALIZED ``lang_scores_of_tokens`` column, ties
+    broken by language code order. Pass a named column, not the scores
+    expression inline — this references it |langs|+1 times."""
+    langs = sorted(STOPWORDS)
+    best = F.array_max(scores)
     pred = F.lit(None).cast("string")
-    for lang in reversed(langs):
-        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    for i, lang in reversed(list(enumerate(langs))):
+        pred = F.when(
+            F.element_at(scores, i + 1) == best, F.lit(lang)
+        ).otherwise(pred)
     # reversed + overwrite → first lang in sorted order wins ties
     return pred
+
+
+def lang_id_of_tokens(toks: Column) -> Column:
+    """argmax of per-language stopword hits over a pre-tokenized column,
+    ties broken by language code order (deterministic). Hot paths should
+    materialize ``lang_scores_of_tokens`` into a column and apply
+    ``lang_pred_of_scores`` so the score fold runs once."""
+    return lang_pred_of_scores(lang_scores_of_tokens(toks))
 
 
 def lang_id(text: Column) -> Column:

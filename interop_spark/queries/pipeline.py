@@ -62,12 +62,16 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language-ID heuristic with deterministic tie-break.
-    Tokenizes once into a column; the 10 per-language score expressions
-    share it instead of re-splitting the text."""
+    Tokenizes once, folds ALL per-language counters in one pass over the
+    tokens, materializes the score array, then argmaxes it — the
+    re-traverse-per-language form cost ~20 array passes per row."""
     d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", tx.tokens(col("text")).alias("toks"))
-    return toks.select(
-        "doc_id", tx.lang_id_of_tokens(col("toks")).alias("lang_pred")
+    scores = d.select(
+        "doc_id",
+        tx.lang_scores_of_tokens(tx.tokens(col("text"))).alias("sc"),
+    )
+    return scores.select(
+        "doc_id", tx.lang_pred_of_scores(col("sc")).alias("lang_pred")
     )
 
 
