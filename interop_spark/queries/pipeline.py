@@ -144,7 +144,8 @@ def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     th = d.select("doc_id", dd.token_hashes_wide(col("text")).alias("th"))
     sh = th.select(
         "doc_id", dd.simhash_wide_of_hashes(col("th")).alias("sh")
-    )
+    ).localCheckpoint()  # persist the signature table: the self-join would
+    # otherwise recompute the full hash pipeline on BOTH sides (2.5x)
     banded = sh.select(
         "doc_id",
         "sh",
@@ -435,7 +436,8 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = u.select(
         "vec_id",
         sim.lsh_bucket(col("embedding"), EMB_DIM, n_planes).alias("bucket"),
-    )
+    ).localCheckpoint()  # persist the bucket table: both self-join sides
+    # would otherwise recompute the n_planes dot products per vector
     cand = (
         banded.alias("l")
         .join(
