@@ -132,7 +132,10 @@ def minhash_candidate_pairs(
     local-mode analog of what a 100 TB run does anyway: persist the
     signature table before the candidate join.
     """
-    assert k >= bands * rows
+    if k < bands * rows:
+        raise ValueError(
+            f"minhash signature too short: k={k} < bands*rows={bands * rows}"
+        )
     shing = df.select(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(text_col), shingle_n).alias("shingles"),
@@ -341,11 +344,14 @@ def dedup_clusters(
     shuffle join (neighbor-min) + a convergence check; lineage is
     truncated per iteration with ``localCheckpoint`` so plans stay flat.
     Iterations are bounded by component DIAMETER — near-dup clusters are
-    shallow (clones + chains), so 2-4 rounds converge. At 100 TB with
-    adversarial diameters, swap the propagation loop for the
-    large-star/small-star algorithm (Kiveris et al., "Connected
-    Components in MapReduce and Beyond", SoCC 2014) behind the same
-    (node, cluster) contract.
+    shallow (clones + chains), so 2-4 rounds converge. Raises
+    ``RuntimeError`` if a fixpoint is not reached within ``max_iters``
+    (a silent partial result would split long duplicate chains into
+    multiple clusters and a keep-one-representative consumer would keep
+    extra near-duplicates). For adversarial diameters use
+    ``dedup_clusters_star`` (large-star/small-star; Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014), which
+    converges in O(log^2 n) rounds regardless of diameter.
     """
     e = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     edges = e.unionByName(
@@ -383,4 +389,106 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters: min-label propagation did not converge within "
+            f"max_iters={max_iters} (a component's diameter exceeds the "
+            f"iteration bound); raise max_iters or use dedup_clusters_star"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
+
+
+def dedup_clusters_star(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iters: int = 40,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — same (doc_id, cluster) contract as ``dedup_clusters``
+    but converges in O(log^2 n) rounds INDEPENDENT of component
+    diameter, which is what survives adversarial duplicate chains at
+    100 TB (min-label propagation needs diameter rounds).
+
+    Each operation is one groupBy over the edge set:
+
+    - large-star: every node connects its strictly-larger neighbors to
+      its minimum neighbor (incl. itself);
+    - small-star: every node connects its smaller-or-equal neighbors to
+      its minimum neighbor.
+
+    Edges monotonically point toward component minima; at fixpoint the
+    edge set is exactly a star per component rooted at the component's
+    min node, which IS the (node → cluster) labeling.
+    """
+    e = pairs.select(F.col(a).alias("u"), F.col(b).alias("v")).where(
+        F.col("u") != F.col("v")
+    )
+    # canonical undirected edge set
+    edges = (
+        e.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _neighborhoods(ed: DataFrame) -> DataFrame:
+        # symmetric adjacency (node, nbr) with self-loop so min includes self
+        return ed.select("u", "v").unionByName(
+            ed.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+
+    for _ in range(max_iters):
+        adj = _neighborhoods(edges)
+        # large-star: for each node, attach neighbors > node to
+        # min(neighborhood ∪ {node})
+        mins = adj.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            adj.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(
+                F.least("v", "m").alias("u"), F.greatest("v", "m").alias("v")
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star on the large-star output: attach neighbors <= node
+        # (and the node) to the neighborhood min
+        adj2 = _neighborhoods(large)
+        small_nbrs = adj2.where(F.col("v") <= F.col("u"))
+        mins2 = small_nbrs.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            small_nbrs.unionByName(
+                mins2.select(F.col("u"), F.col("u").alias("v"))
+            )
+            .join(mins2, "u")
+            .select(
+                F.least("v", "m").alias("u"), F.greatest("v", "m").alias("v")
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        converged = (
+            small.subtract(edges).limit(1).count() == 0
+            and edges.subtract(small).limit(1).count() == 0
+        )
+        edges = small
+        if converged:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters_star: no fixpoint within max_iters={max_iters}"
+        )
+    # fixpoint edge set = stars rooted at component minima
+    members = edges.select(
+        F.col("v").alias("doc_id"), F.col("u").alias("cluster")
+    )
+    roots = edges.select(F.col("u").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("cluster")
+    )
+    return members.unionByName(roots)

@@ -82,7 +82,18 @@ def merge_into(
     source = source.select(*target.columns)
     tkeys = target.select(*keys)
 
-    parts: list[DataFrame] = [target.join(source.select(*keys), keys, "left_anti")]
+    if when_matched == "delete" and not source_unique:
+        # Delta raises the same multiple-source-rows-match error for
+        # WHEN MATCHED DELETE. The matched set is not part of the output
+        # here, so route the anti-join's build side THROUGH the checked
+        # frame — the anti-join must evaluate every checked row to build
+        # its hash table, which forces the raise_error filter to run.
+        matched = source.join(tkeys, keys, "left_semi")
+        anti_keys = _checked_unique(matched, keys).select(*keys)
+    else:
+        anti_keys = source.select(*keys)
+
+    parts: list[DataFrame] = [target.join(anti_keys, keys, "left_anti")]
     if when_matched == "update":
         matched = source.join(tkeys, keys, "left_semi")
         if not source_unique:

@@ -186,7 +186,11 @@ def nearest_centroid(
         ),
         lambda acc, s: F.when(s["v"] >= acc["v"], s).otherwise(acc),
     )
-    return best["k"]
+    # If no centroid wins (empty centroid array, or every rounded
+    # similarity is NULL — e.g. a vector with a NULL element), surface
+    # NULL, not the -1 init sentinel: -1 would flow downstream as a
+    # real-looking cluster id.
+    return F.when(best["k"] >= 0, best["k"])
 
 
 def centroid_array(

@@ -36,7 +36,10 @@ def tokens(text: Column) -> Column:
 # runs. Uses only constructs with identical semantics in Java regex
 # (Spark) and default-mode RE2 (DuckDB) — both are leftmost-first on
 # alternations, so the contraction branch wins before the punct class.
-BPE_ISH_RE = r"'(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+# Whitespace is the EXPLICIT class [ \t\n\f\r], not \s: Java's
+# non-Unicode \s includes \x0B (vertical tab) while RE2's does not, and
+# this constant is interpolated verbatim into the DuckDB oracle twin.
+BPE_ISH_RE = r"'(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\f\r]+"
 
 
 def bpe_ish_tokens(text: Column) -> Column:

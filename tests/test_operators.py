@@ -166,3 +166,65 @@ def test_merge_into_duplicate_source_match_raises(spark):
     # non-matching duplicates are plain inserts — no error
     ins_only = spark.createDataFrame([(9, "a"), (9, "b")], "k int, v string")
     assert merge_into(target, ins_only, ["k"]).count() == 3
+
+
+def test_merge_into_delete_duplicate_source_match_raises(spark):
+    """Delta raises the multiple-source-rows-match error for WHEN MATCHED
+    DELETE too — the checked frame feeds the anti-join build side, so
+    the error fires even though matched rows are absent from the
+    output."""
+    import pytest as _pytest
+
+    from interop_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    dup_source = spark.createDataFrame(
+        [(1, "x"), (1, "y")], "k int, v string"
+    )
+    merged = merge_into(target, dup_source, ["k"], when_matched="delete")
+    with _pytest.raises(Exception, match="multiple source rows"):
+        merged.collect()
+    # source_unique=True skips the check: both matched rows deleted
+    ok = merge_into(
+        target, dup_source, ["k"], when_matched="delete",
+        when_not_matched="ignore", source_unique=True,
+    )
+    assert [(r.k, r.v) for r in ok.collect()] == [(2, "b")]
+
+
+def test_dedup_clusters_nonconvergence_raises(spark):
+    """A chain longer than max_iters propagation rounds must raise, not
+    silently return split cluster labels."""
+    import pytest as _pytest
+
+    from interop_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_star,
+    )
+
+    chain = [(i, i + 1) for i in range(12)]  # diameter 12 > max_iters=3
+    pairs = spark.createDataFrame(chain, "doc_a int, doc_b int")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(pairs, max_iters=3)
+    # the star algorithm is diameter-independent: same graph, few rounds
+    got = {r.doc_id: r.cluster for r in
+           dedup_clusters_star(pairs, max_iters=8).collect()}
+    assert got == {i: 0 for i in range(13)}
+
+
+def test_nearest_centroid_no_winner_is_null(spark):
+    """Empty centroid array / NULL similarities yield NULL, never the -1
+    init sentinel (which would flow on as a real-looking cluster id)."""
+    from pyspark.sql import functions as F
+
+    from interop_spark.operators.similarity import nearest_centroid
+
+    df = spark.createDataFrame(
+        [([1.0, 0.0],)], "vec array<double>"
+    ).withColumn("empty_cents", F.expr(
+        "CAST(array() AS array<struct<k:bigint,v:array<double>>>)"
+    ))
+    row = df.select(
+        nearest_centroid(F.col("vec"), F.col("empty_cents")).alias("cell")
+    ).collect()[0]
+    assert row.cell is None

@@ -185,3 +185,39 @@ def test_merge_into_upsert_property(sparkp, tgt, src):
     expected.update(dict(src))
     got = {r.k: r.v for r in merge_into(target, source, ["k"]).collect()}
     assert got == expected
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(
+            lambda p: p[0] < p[1]
+        ),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    )
+)
+def test_dedup_clusters_star_match_union_find(sparkp, edges):
+    """large-star/small-star labels equal min-of-component (same oracle
+    as the propagation variant, checked against Python union-find)."""
+    from interop_spark.operators.dedup import dedup_clusters_star
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+
+    pairs = sparkp.createDataFrame(edges, "doc_a int, doc_b int")
+    got = {r.doc_id: r.cluster for r in dedup_clusters_star(pairs).collect()}
+    assert got == expected
