@@ -11,18 +11,23 @@ from __future__ import annotations
 import importlib
 
 # Merge order = driver check order (dicts preserve insertion order, and the
-# driver's correctness window covers a prefix of the registry). Round 1
-# verified the first 50 entries — exactly the relational/battery modules —
-# so round 2 puts the then-unchecked modules (pipeline, temporal, reshape,
-# FHIR, plus the reworked sqlapi entry) FIRST; the relational battery that
-# falls out of this round's window already has green CORRECTNESS_r01 rows.
+# driver's correctness window covers a prefix of the registry). Invariant,
+# re-checked every round: every query whose code changed this round, plus
+# every NEW query, must sit inside the first 50 entries; everything past 50
+# must have a green row in a prior CORRECTNESS file AND live in modules
+# untouched since that check. Round 3: pipeline (edited: ivf/embedding/
+# token/clusters + new star-CC), temporal, reshape, fhir (6 new synthetic-
+# bundle queries), relational_ext (merge.py edited → merge_upsert must stay
+# in-window) fill entries 1-48; sqlapi's first 2 complete the window; the
+# sqlapi tail / relational / functions_battery that fall out are untouched
+# and green in r1/r2.
 _MODULES = (
     "interop_spark.queries.pipeline",
     "interop_spark.queries.temporal_q",
     "interop_spark.queries.reshape",
     "interop_spark.queries.fhir_queries",
-    "interop_spark.queries.sqlapi",
     "interop_spark.queries.relational_ext",
+    "interop_spark.queries.sqlapi",
     "interop_spark.queries.relational",
     "interop_spark.queries.functions_battery",
 )

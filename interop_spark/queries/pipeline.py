@@ -186,6 +186,21 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_clusters(pairs)
 
 
+def q_neardup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pair set and (doc_id, cluster) contract as
+    ``neardup_clusters``, computed with the large-star/small-star
+    algorithm (Kiveris et al., SoCC 2014) — the diameter-independent
+    connected-components path for adversarially long duplicate chains at
+    100 TB. Shares the recursive-CTE oracle with the propagation
+    variant: both must produce the identical component labeling."""
+    d = _with_near_dups(load(spark, sf_dir, "documents"), limit=40)
+    pairs = dd.minhash_candidate_pairs(
+        d, "doc_id", "text", k=MINHASH_K, bands=BANDS, rows=ROWS,
+        shingle_n=SHINGLE_N,
+    ).where(col("jaccard_sim") >= 0.5)
+    return dd.dedup_clusters_star(pairs)
+
+
 def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace vs BPE-ish piece counts per document — the token-budget
     statistic a training pipeline sizes corpora with."""
@@ -333,7 +348,13 @@ def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = e.where(col("vec_id") < N_CENTROIDS).select(
         col("vec_id").alias("centroid_id"), col("embedding").alias("centroid")
     )
-    assigned = sim.ivf_assign(e, cent)
+    # Materialize the assignment: this IS the IVF index build (computed
+    # once, probed many times — on a cluster it would be a written
+    # table). Without it the assignment subtree is referenced twice
+    # (probe side + query-cell lookup) AND the probe join's inferred
+    # IsNotNull(cell) re-evaluates the whole argmax fold inside the join
+    # condition — the r2 plan paid the fold 3×.
+    assigned = sim.ivf_assign(e, cent).localCheckpoint()
     q = e.where(col("vec_id") == 0).select(
         col("embedding").alias("qvec"),
         sim.l2_norm(sim.as_double(col("embedding"))).alias("_nq"),
@@ -415,7 +436,21 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Whether q_embedding_neardup checkpoints its (vec_id, bucket) table
+# before the self-join. True = hash each vector's n_planes dot products
+# ONCE (the 100 TB shape: persist the signature table); False = let both
+# self-join sides recompute them but skip the serialization barrier.
+# Default picked from an n=5 sf0.1 measurement (see STATUS.md round-3
+# notes): materialized is faster once the corpus outgrows the barrier
+# cost, and is the only shape that survives scale — kept True.
+EMBED_NEARDUP_MATERIALIZE = True
+
+
+def q_embedding_neardup(
+    spark: SparkSession,
+    sf_dir: str,
+    materialize: bool = EMBED_NEARDUP_MATERIALIZE,
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: vectors sharing a hyperplane
     LSH bucket with cosine ≥ 0.99. The corpus is unioned with exact clones
     (id+offset) so the expected duplicate set is non-empty at every scale.
@@ -427,7 +462,12 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     no task-sized bucket array), and embeddings are re-joined only for the
     surviving candidate pairs' cosine verification."""
     n_planes = sim.recommended_n_planes(NEARDUP_CORPUS, target_bucket_size=16)
-    assert n_planes == NEARDUP_PLANES  # oracle twin inlines 6 planes
+    if n_planes != NEARDUP_PLANES:  # oracle twin inlines NEARDUP_PLANES planes
+        raise RuntimeError(
+            f"embedding_neardup: recommended_n_planes gave {n_planes} but the "
+            f"oracle twin is built for {NEARDUP_PLANES}; update NEARDUP_PLANES "
+            f"and the oracle SQL together"
+        )
     e = load(spark, sf_dir, "embeddings").where(col("vec_id") < 300)
     clones = e.select(
         (col("vec_id") + DUP_OFFSET).alias("vec_id"), "embedding"
@@ -436,8 +476,9 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = u.select(
         "vec_id",
         sim.lsh_bucket(col("embedding"), EMB_DIM, n_planes).alias("bucket"),
-    ).localCheckpoint()  # persist the bucket table: both self-join sides
-    # would otherwise recompute the n_planes dot products per vector
+    )
+    if materialize:
+        banded = banded.localCheckpoint()
     cand = (
         banded.alias("l")
         .join(
@@ -540,6 +581,7 @@ QUERIES = {
     "embedding_centroids": q_embedding_centroids,
     "lsh_bucket_sizes": q_lsh_bucket_sizes,
     "neardup_clusters": q_neardup_clusters,
+    "neardup_clusters_star": q_neardup_clusters_star,
     "token_count_bpe": q_token_count_bpe,
     "tfidf_top_terms": q_tfidf_top_terms,
     "knn_batch": q_knn_batch,
@@ -882,6 +924,22 @@ ORACLE = {
         SELECT bucket, count(1) AS n_vectors FROM buckets GROUP BY bucket
     """,
     "neardup_clusters": (
+        "WITH RECURSIVE " + _dk_minhash_pair_ctes(40) + """,
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+          UNION
+          SELECT doc_b, doc_a FROM mh_pairs
+        ),
+        reach AS (
+          SELECT src AS node, src AS lab FROM edges
+          UNION
+          SELECT e.dst, reach.lab FROM reach JOIN edges e ON e.src = reach.node
+        )
+        SELECT node AS doc_id, min(lab) AS cluster FROM reach GROUP BY node
+    """
+    ),
+    # the star variant must produce the IDENTICAL labeling — same oracle
+    "neardup_clusters_star": (
         "WITH RECURSIVE " + _dk_minhash_pair_ctes(40) + """,
         edges AS (
           SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
