@@ -1,0 +1,253 @@
+"""Deterministic synthetic FHIR bundle generation.
+
+The reference snapshot ships only 4 ADT sample bundles
+(`sampledata/adt_records/`), which exercises the reader but not the
+notebook's flattening analytics (`01_dbignite_sample.py:47-56,82-94,
+151-160,186-193,471-484` need Condition/Claim/MedicationRequest/
+Practitioner resources) and says nothing about reader THROUGHPUT. This
+module derives a bundle corpus from the TPC-H ``customer`` table with
+pure Column expressions:
+
+- every field of every resource is a deterministic function of
+  ``c_custkey`` (and ``c_name``/``c_acctbal``), so a DuckDB oracle can
+  reproduce the flattened analytics output relationally — the whole
+  JSON-encode → variant-parse → typed-extract → explode/join path gets
+  a full value-hash gate;
+- the JSON is built JVM-side (``to_json`` over typed structs + concat),
+  so generation itself distributes — at 100 TB this same expression
+  tree is how you'd mint test corpora on a cluster, not a driver loop.
+
+``write_corpus`` materializes one .json FILE per bundle (deterministic
+names) so ``read_from_directory`` — the reader's real file path — can be
+benchmarked over thousands of files instead of the reference's 4.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+# One schema version for the on-disk corpus cache; bump when the bundle
+# content below changes so stale fixture directories are regenerated.
+CORPUS_VERSION = "v1"
+
+CPT = "http://www.ama-assn.org/go/cpt"
+SNOMED = "http://snomed.info/sct"
+RXNORM = "http://www.nlm.nih.gov/research/umls/rxnorm"
+CLAIM_TYPES = ("institutional", "oral", "pharmacy", "professional")
+MED_STATUSES = ("active", "completed", "stopped")
+
+
+def _cat(*parts) -> F.Column:
+    """concat() with automatic string casts for non-literal parts."""
+    return F.concat(
+        *[F.lit(p) if isinstance(p, str) else p.cast("string") for p in parts]
+    )
+
+
+def _pick(options: tuple[str, ...], idx) -> F.Column:
+    """options[k % len] as a Column (1-based element_at)."""
+    return F.element_at(
+        F.array(*[F.lit(o) for o in options]),
+        (idx % len(options) + 1).cast("int"),
+    )
+
+
+def _codeable(code, display, system: str) -> F.Column:
+    return F.struct(
+        F.array(
+            F.struct(
+                F.lit(system).alias("system"),
+                code.alias("code"),
+                display.alias("display"),
+            )
+        ).alias("coding")
+    )
+
+
+def bundle_json_df(
+    spark: SparkSession, sf_dir: str, max_custkey: int = 400
+) -> DataFrame:
+    """(value, _file_path) frame of synthetic bundle JSON documents — one
+    bundle per customer with c_custkey < ``max_custkey``, each holding a
+    Patient, Condition, Claim (2 items), MedicationRequest and
+    Practitioner whose fields are closed-form functions of c_custkey.
+    ``_file_path`` is the stable pseudo-path ``mem://bundles/<key>`` so
+    bundleUUIDs are reproducible and oracle-computable (md5 of the same
+    string)."""
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    k = col("c_custkey")
+    birth = F.format_string(
+        "%04d-%02d-%02d", (k % 50 + 1950).cast("int"),
+        (k % 12 + 1).cast("int"), (k % 28 + 1).cast("int"),
+    )
+    patient = F.struct(
+        F.lit("Patient").alias("resourceType"),
+        _cat("p-", k).alias("id"),
+        F.array(
+            F.struct(
+                F.lit("official").alias("use"),
+                col("c_name").alias("text"),
+                _cat("F", k % 100).alias("family"),
+                F.array(_cat("G", k % 100)).alias("given"),
+            )
+        ).alias("name"),
+        F.when(k % 2 == 0, F.lit("male")).otherwise(F.lit("female")).alias("gender"),
+        birth.alias("birthDate"),
+        F.array(
+            F.struct(
+                F.lit("home").alias("use"),
+                _cat("city-", k % 25).alias("city"),
+                _cat("S", k % 50).alias("state"),
+                F.format_string("%05d", (k % 99999).cast("int")).alias("postalCode"),
+                F.lit("US").alias("country"),
+            )
+        ).alias("address"),
+    )
+    condition = F.struct(
+        F.lit("Condition").alias("resourceType"),
+        _cat("cond-", k).alias("id"),
+        F.struct(
+            F.array(
+                F.struct(
+                    F.when(k % 3 == 0, F.lit("resolved"))
+                    .otherwise(F.lit("active"))
+                    .alias("code")
+                )
+            ).alias("coding")
+        ).alias("clinicalStatus"),
+        _codeable(_cat("C", k % 50), _cat("cond-", k % 50), SNOMED).alias("code"),
+        F.struct(_cat("Patient/p-", k).alias("reference")).alias("subject"),
+        F.format_string(
+            "%04d-%02d-%02d", (k % 8 + 2015).cast("int"),
+            ((k + 3) % 12 + 1).cast("int"), ((k + 5) % 28 + 1).cast("int"),
+        ).alias("recordedDate"),
+    )
+    item = lambda off: F.struct(  # noqa: E731 - local shape helper
+        F.lit(off + 1).alias("sequence"),
+        _codeable(
+            _cat("PR", (k + off) % 40), _cat("proc-", (k + off) % 40), CPT
+        ).alias("productOrService"),
+    )
+    claim = F.struct(
+        F.lit("Claim").alias("resourceType"),
+        _cat("cl-", k).alias("id"),
+        F.lit("active").alias("status"),
+        _codeable(_pick(CLAIM_TYPES, k), _pick(CLAIM_TYPES, k), "claim-type").alias(
+            "type"
+        ),
+        F.struct(_cat("Patient/p-", k).alias("reference")).alias("patient"),
+        F.array(
+            F.struct(
+                F.lit(1).alias("sequence"),
+                F.lit(True).alias("focal"),
+                F.struct(_cat("Coverage/cov-", k % 7).alias("reference")).alias(
+                    "coverage"
+                ),
+            )
+        ).alias("insurance"),
+        F.array(item(0), item(1)).alias("item"),
+        F.struct(
+            col("c_acctbal").alias("value"), F.lit("USD").alias("currency")
+        ).alias("total"),
+    )
+    medreq = F.struct(
+        F.lit("MedicationRequest").alias("resourceType"),
+        _cat("mr-", k).alias("id"),
+        _pick(MED_STATUSES, k).alias("status"),
+        F.lit("order").alias("intent"),
+        F.struct(
+            F.array(
+                F.struct(
+                    F.lit(RXNORM).alias("system"),
+                    _cat("RX", k % 30).alias("code"),
+                )
+            ).alias("coding"),
+            _cat("med-", k % 30).alias("text"),
+        ).alias("medicationCodeableConcept"),
+        F.struct(_cat("Patient/p-", k).alias("reference")).alias("subject"),
+        F.format_string(
+            "%04d-%02d-%02d", (k % 6 + 2018).cast("int"),
+            ((k + 1) % 12 + 1).cast("int"), ((k + 7) % 28 + 1).cast("int"),
+        ).alias("authoredOn"),
+    )
+    practitioner = F.struct(
+        F.lit("Practitioner").alias("resourceType"),
+        _cat("dr-", k).alias("id"),
+        (k % 2 == 0).alias("active"),
+        F.when(k % 2 == 0, F.lit("female")).otherwise(F.lit("male")).alias("gender"),
+        F.array(
+            F.struct(
+                F.lit("phone").alias("system"),
+                F.format_string("555-%04d", (k % 10000).cast("int")).alias("value"),
+                F.lit("work").alias("use"),
+            )
+        ).alias("telecom"),
+    )
+
+    def entry_json(resource: F.Column) -> F.Column:
+        return F.to_json(F.struct(resource.alias("resource")))
+
+    bundle = F.concat(
+        F.lit('{"resourceType":"Bundle","id":"'),
+        _cat("b-", k),
+        F.lit('","type":"transaction","timestamp":"2024-01-01T00:00:00Z","entry":['),
+        F.concat_ws(
+            ",",
+            entry_json(patient),
+            entry_json(condition),
+            entry_json(claim),
+            entry_json(medreq),
+            entry_json(practitioner),
+        ),
+        F.lit("]}"),
+    )
+    return c.where(k < max_custkey).select(
+        bundle.alias("value"), _cat("mem://bundles/", k).alias("_file_path")
+    )
+
+
+def corpus_dir(sf_dir: str, max_custkey: int) -> str:
+    """Stable on-disk location for the generated file corpus; keyed by sf
+    and generator version so distinct scales/content never collide."""
+    sf_name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(
+        "/tmp/interop_spark_fixtures",
+        f"bundles-{sf_name}-k{max_custkey}-{CORPUS_VERSION}",
+    )
+
+
+def write_corpus(
+    spark: SparkSession, sf_dir: str, max_custkey: int = 1200
+) -> str:
+    """Materialize the synthetic corpus as one .json file per bundle with
+    DETERMINISTIC names (bundle-<key>.json) and return the directory.
+    Idempotent: a completed corpus (marker file) is reused.
+
+    The collect is bounded fixture tooling (≤ a few thousand small JSON
+    strings), not a pipeline operator — the distributed write path for a
+    real corpus is ``bundle_json_df(...).write`` to an object store.
+    """
+    out = corpus_dir(sf_dir, max_custkey)
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+    rows = bundle_json_df(spark, sf_dir, max_custkey=max_custkey).collect()
+    tmp = out + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    for r in rows:
+        key = r["_file_path"].rsplit("/", 1)[-1]
+        with open(os.path.join(tmp, f"bundle-{int(key):06d}.json"), "w") as f:
+            f.write(r["value"])
+    with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+        f.write(f"{len(rows)}\n")
+    if os.path.exists(out):  # lost a race with a concurrent generator
+        import shutil
+
+        shutil.rmtree(tmp)
+    else:
+        os.rename(tmp, out)
+    return out

@@ -50,6 +50,57 @@ def _uuid_from_md5(col):
     )
 
 
+def entry_from_json(raw: DataFrame, schemas: FhirSchemaModel | None = None) -> DataFrame:
+    """Bundle-row DataFrame from a frame of raw bundle JSON documents.
+
+    ``raw`` must carry ``value`` (the bundle JSON text) and ``_file_path``
+    (the provenance string that seeds the deterministic bundleUUID). This
+    is the parse core of ``FhirBundles.entry()`` — exposed so callers can
+    ingest bundles that never touched a filesystem (message queues,
+    generated fixtures, streaming micro-batches): same single-parse
+    VARIANT path, same typed extraction, same bundleUUID derivation.
+    """
+    schemas = schemas or FhirSchemaModel()
+    # try_parse_json: a single corrupt document among millions must degrade
+    # to a NULL row (auditable via _file_path), not abort the job
+    v = raw.select(
+        _uuid_from_md5(F.md5(F.col("_file_path"))).alias("bundleUUID"),
+        F.col("_file_path"),
+        F.try_parse_json(F.col("value")).alias("_v"),
+    )
+    cols = [
+        F.col("bundleUUID"),
+        F.variant_get("_v", "$.id", "string").alias("bundleId"),
+        F.variant_get("_v", "$.type", "string").alias("bundleType"),
+        F.variant_get("_v", "$.timestamp", "string")
+        .cast("timestamp")
+        .alias("timestamp"),
+    ]
+    entries = F.variant_get("_v", "$.entry", "array<variant>")
+
+    # factory closures: F.filter/F.transform pass (element, index) when
+    # the lambda is binary, so default-arg captures would be clobbered
+    def _matcher(rt_name):
+        return lambda e: (
+            F.variant_get(e, "$.resource.resourceType", "string")
+            == F.lit(rt_name)
+        )
+
+    def _extractor(ddl):
+        return lambda e: F.variant_get(e, "$.resource", ddl)
+
+    for rt in schemas.resource_types():
+        rt_schema: StructType = schemas.schema(rt)
+        matching = F.filter(entries, _matcher(rt))
+        typed = F.transform(matching, _extractor(rt_schema.simpleString()))
+        # absent resource type → NULL column (explode() then yields no
+        # rows, matching the reference's behavior for missing resources)
+        cols.append(
+            F.when(F.size(typed) > 0, typed).alias(rt)
+        )
+    return v.select(*cols)
+
+
 class FhirBundles:
     """Lazy handle over a directory of FHIR bundle JSON files."""
 
@@ -63,49 +114,11 @@ class FhirBundles:
     def entry(self, schemas: FhirSchemaModel | None = None) -> DataFrame:
         """Bundle-row DataFrame: bundleUUID, timestamp, bundle metadata, and
         one ``array<struct>`` column per resource type in ``schemas``."""
-        schemas = schemas or FhirSchemaModel()
         raw = self.spark.read.text(self.path, wholetext=True).select(
             F.col("value"),
             F.col("_metadata.file_path").alias("_file_path"),
         )
-        # try_parse_json: a single corrupt file among millions must degrade
-        # to a NULL row (auditable via _file_path), not abort the job
-        v = raw.select(
-            _uuid_from_md5(F.md5(F.col("_file_path"))).alias("bundleUUID"),
-            F.col("_file_path"),
-            F.try_parse_json(F.col("value")).alias("_v"),
-        )
-        cols = [
-            F.col("bundleUUID"),
-            F.variant_get("_v", "$.id", "string").alias("bundleId"),
-            F.variant_get("_v", "$.type", "string").alias("bundleType"),
-            F.variant_get("_v", "$.timestamp", "string")
-            .cast("timestamp")
-            .alias("timestamp"),
-        ]
-        entries = F.variant_get("_v", "$.entry", "array<variant>")
-
-        # factory closures: F.filter/F.transform pass (element, index) when
-        # the lambda is binary, so default-arg captures would be clobbered
-        def _matcher(rt_name):
-            return lambda e: (
-                F.variant_get(e, "$.resource.resourceType", "string")
-                == F.lit(rt_name)
-            )
-
-        def _extractor(ddl):
-            return lambda e: F.variant_get(e, "$.resource", ddl)
-
-        for rt in schemas.resource_types():
-            rt_schema: StructType = schemas.schema(rt)
-            matching = F.filter(entries, _matcher(rt))
-            typed = F.transform(matching, _extractor(rt_schema.simpleString()))
-            # absent resource type → NULL column (explode() then yields no
-            # rows, matching the reference's behavior for missing resources)
-            cols.append(
-                F.when(F.size(typed) > 0, typed).alias(rt)
-            )
-        self._entry_df = v.select(*cols)
+        self._entry_df = entry_from_json(raw, schemas=schemas)
         return self._entry_df
 
     # -- sinks ---------------------------------------------------------------

@@ -132,11 +132,134 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Flattening analytics over the synthetic bundle corpus (fhir/gen.py):
+# every resource field is a closed-form function of c_custkey, so each
+# notebook analytics projection gets a RELATIONAL oracle over `customer`
+# that the whole JSON-encode → variant-parse → typed-extract → explode/
+# join path must reproduce value-for-value.
+# --------------------------------------------------------------------------
+
+_SYNTH_LIMIT = 400  # bundles in the in-memory fixture (sf0.01 has 1500)
+_CORPUS_LIMIT = 1200  # bundles in the on-disk reader-throughput corpus
+
+
+def _synthetic_entry(spark: SparkSession, sf_dir: str, schemas=None):
+    from interop_spark.fhir.gen import bundle_json_df
+    from interop_spark.fhir.reader import entry_from_json
+
+    raw = bundle_json_df(spark, sf_dir, max_custkey=_SYNTH_LIMIT)
+    return entry_from_json(raw, schemas=schemas)
+
+
+def q_fhir_patient_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patient × Condition flattening (`01_dbignite_sample.py:47-72`) over
+    the synthetic corpus, end-to-end through the reader's parse path."""
+    from interop_spark.fhir.analytics import patient_conditions
+
+    return patient_conditions(_synthetic_entry(spark, sf_dir))
+
+
+def q_fhir_patient_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patient × Claim flattening (`01_dbignite_sample.py:82-112`). The
+    prcdr_* item[]×coding[] columns are array<string>; they are rendered
+    with array_join for the hash compare (arrays never cross the driver
+    compare — pandas renders Spark lists vs DuckDB arrays differently)."""
+    from interop_spark.fhir.analytics import patient_claims
+
+    out = patient_claims(_synthetic_entry(spark, sf_dir))
+    return out.select(
+        *[c for c in out.columns if not c.startswith("prcdr_")],
+        *[
+            F.array_join(col(c), "|").alias(c)
+            for c in ("prcdr_description", "prcdr_cd", "prcdr_coding_system")
+        ],
+    )
+
+
+def q_fhir_medication_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patient × MedicationRequest (`01_dbignite_sample.py:151-174`) —
+    exercises the S4 schema-override path: the default MedicationRequest
+    schema LACKS medicationCodeableConcept (matching the reference) and
+    the query must extend it (`01_dbignite_sample.py:118-146`)."""
+    from pyspark.sql.types import StructField, StructType
+
+    from interop_spark.fhir.analytics import medication_requests
+    from interop_spark.fhir.schema import (
+        CODEABLE_CONCEPT,
+        MEDICATION_REQUEST,
+        FhirSchemaModel,
+    )
+
+    extended = StructType(
+        MEDICATION_REQUEST.fields
+        + [StructField("medicationCodeableConcept", CODEABLE_CONCEPT, True)]
+    )
+    schemas = FhirSchemaModel().with_overrides({"MedicationRequest": extended})
+    return medication_requests(_synthetic_entry(spark, sf_dir, schemas=schemas))
+
+
+def q_fhir_providers_practitioners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Practitioner contact-point flattening (`01_dbignite_sample.py:186-206`)."""
+    from interop_spark.fhir.analytics import providers_practitioners
+
+    return providers_practitioners(_synthetic_entry(spark, sf_dir))
+
+
+def q_fhir_omop_person(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OMOP CDM person projection (`01_dbignite_sample.py:472-484`). The
+    name/address array<struct> columns are rendered to their first
+    element's scalar fields for the hash compare."""
+    from interop_spark.fhir.analytics import omop_person
+
+    o = omop_person(_synthetic_entry(spark, sf_dir))
+    first_name = F.get(col("name"), 0)
+    return o.select(
+        "person_id",
+        F.get(first_name["given"], 0).alias("given_name"),
+        first_name["family"].alias("family_name"),
+        "gender_source_value",
+        "year_of_birth",
+        "month_of_birth",
+        "day_of_birth",
+        F.get(col("patient_address"), 0)["city"].alias("city"),
+    )
+
+
+def q_fhir_ingest_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reader THROUGHPUT path over a real file corpus: ~1200 generated
+    bundle files (one .json per bundle, deterministic content) →
+    ``read_from_directory`` → typed extraction → Patient×Condition
+    flatten → cohort aggregate. This is the evidence that the
+    single-parse VARIANT design holds beyond the reference's 4 sample
+    files; the oracle recomputes the cohorts relationally."""
+    from interop_spark.fhir import read_from_directory
+    from interop_spark.fhir.analytics import patient_conditions
+    from interop_spark.fhir.gen import write_corpus
+
+    corpus = write_corpus(spark, sf_dir, max_custkey=_CORPUS_LIMIT)
+    entry = read_from_directory(
+        "file://" + corpus + "/*.json", spark=spark
+    ).entry()
+    pc = patient_conditions(entry)
+    return pc.groupBy("condition_code", "clinical_status").agg(
+        F.count(F.lit(1)).alias("n_patients"),
+        F.min("Patient").alias("min_patient"),
+        F.max("condition_date").alias("max_condition_date"),
+    )
+
+
 QUERIES = {
     "bundle_collect_flatten": q_bundle_collect_flatten,
     "fhir_adt_timeline": q_fhir_adt_timeline,
     "fhir_writer_roundtrip": q_fhir_writer_roundtrip,
     "multimodal_features": q_multimodal_features,
+    "fhir_patient_conditions": q_fhir_patient_conditions,
+    "fhir_patient_claims": q_fhir_patient_claims,
+    "fhir_medication_requests": q_fhir_medication_requests,
+    "fhir_providers_practitioners": q_fhir_providers_practitioners,
+    "fhir_omop_person": q_fhir_omop_person,
+    "fhir_ingest_corpus": q_fhir_ingest_corpus,
 }
 
 # the 4 deterministic rows adt_events yields from the reference's sample
@@ -190,7 +313,111 @@ def _adt_values_sql() -> str:
     )
 
 
+def _dk_uuid(expr: str) -> str:
+    """DuckDB twin of reader._uuid_from_md5: md5 hex → 8-4-4-4-12."""
+    m = f"md5({expr})"
+    return (
+        f"concat_ws('-', substr({m},1,8), substr({m},9,4), substr({m},13,4), "
+        f"substr({m},17,4), substr({m},21,12))"
+    )
+
+
+# closed-form twins of the fhir/gen.py field derivations
+_DK_UUID = _dk_uuid("'mem://bundles/' || c_custkey::VARCHAR")
+_DK_BIRTH = (
+    "printf('%04d-%02d-%02d', 1950 + c_custkey % 50, "
+    "c_custkey % 12 + 1, c_custkey % 28 + 1)"
+)
+_DK_COND_DATE = (
+    "printf('%04d-%02d-%02d', 2015 + c_custkey % 8, "
+    "(c_custkey + 3) % 12 + 1, (c_custkey + 5) % 28 + 1)"
+)
+_DK_CLIN_STATUS = (
+    "CASE WHEN c_custkey % 3 = 0 THEN 'resolved' ELSE 'active' END"
+)
+_DK_CLAIM_TYPE = (
+    "CASE (c_custkey % 4) WHEN 0 THEN 'institutional' WHEN 1 THEN 'oral' "
+    "WHEN 2 THEN 'pharmacy' ELSE 'professional' END"
+)
+_DK_MED_STATUS = (
+    "CASE (c_custkey % 3) WHEN 0 THEN 'active' WHEN 1 THEN 'completed' "
+    "ELSE 'stopped' END"
+)
+_CPT = "http://www.ama-assn.org/go/cpt"
+
+
 ORACLE = {
+    "fhir_patient_conditions": f"""
+        SELECT {_DK_UUID} AS UNIQUE_FHIR_ID,
+               'p-' || c_custkey::VARCHAR AS Patient,
+               {_DK_BIRTH} AS Birth_date,
+               {_DK_CLIN_STATUS} AS clinical_status,
+               'C' || (c_custkey % 50)::VARCHAR AS condition_code,
+               'http://snomed.info/sct' AS condition_type_code,
+               'cond-' || (c_custkey % 50)::VARCHAR AS condition_description,
+               {_DK_COND_DATE} AS condition_date
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+    """,
+    "fhir_patient_claims": f"""
+        SELECT {_DK_UUID} AS UNIQUE_FHIR_ID,
+               'p-' || c_custkey::VARCHAR AS Patient,
+               'Patient/p-' || c_custkey::VARCHAR AS claim_patient_id,
+               'cl-' || c_custkey::VARCHAR AS claim_id,
+               {_DK_BIRTH} AS Birth_date,
+               {_DK_CLAIM_TYPE} AS claim_type_cd,
+               'Coverage/cov-' || (c_custkey % 7)::VARCHAR AS insurer,
+               c_acctbal AS claim_billed_amount,
+               'proc-' || (c_custkey % 40)::VARCHAR || '|' ||
+                 'proc-' || ((c_custkey + 1) % 40)::VARCHAR AS prcdr_description,
+               'PR' || (c_custkey % 40)::VARCHAR || '|' ||
+                 'PR' || ((c_custkey + 1) % 40)::VARCHAR AS prcdr_cd,
+               '{_CPT}|{_CPT}' AS prcdr_coding_system
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+    """,
+    "fhir_medication_requests": f"""
+        SELECT {_DK_UUID} AS UNIQUE_FHIR_ID,
+               'p-' || c_custkey::VARCHAR AS Patient,
+               {_DK_MED_STATUS} AS status,
+               'order' AS intent,
+               printf('%04d-%02d-%02d', 2018 + c_custkey % 6,
+                      (c_custkey + 1) % 12 + 1,
+                      (c_custkey + 7) % 28 + 1) AS authoredOn,
+               'med-' || (c_custkey % 30)::VARCHAR AS rx_text,
+               'RX' || (c_custkey % 30)::VARCHAR AS rx_code,
+               'http://www.nlm.nih.gov/research/umls/rxnorm' AS code_type
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+    """,
+    "fhir_providers_practitioners": f"""
+        SELECT {_DK_UUID} AS UNIQUE_FHIR_ID,
+               (c_custkey % 2 = 0) AS active,
+               CASE WHEN c_custkey % 2 = 0 THEN 'female' ELSE 'male' END
+                 AS gender,
+               'phone' AS primary_contact_method,
+               printf('555-%04d', c_custkey % 10000) AS primary_contact_value,
+               'work' AS primary_use
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+    """,
+    "fhir_omop_person": f"""
+        SELECT 'p-' || c_custkey::VARCHAR AS person_id,
+               'G' || (c_custkey % 100)::VARCHAR AS given_name,
+               'F' || (c_custkey % 100)::VARCHAR AS family_name,
+               CASE WHEN c_custkey % 2 = 0 THEN 'male' ELSE 'female' END
+                 AS gender_source_value,
+               CAST(1950 + c_custkey % 50 AS INTEGER) AS year_of_birth,
+               CAST(c_custkey % 12 + 1 AS INTEGER) AS month_of_birth,
+               CAST(c_custkey % 28 + 1 AS INTEGER) AS day_of_birth,
+               'city-' || (c_custkey % 25)::VARCHAR AS city
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+    """,
+    "fhir_ingest_corpus": f"""
+        SELECT 'C' || (c_custkey % 50)::VARCHAR AS condition_code,
+               {_DK_CLIN_STATUS} AS clinical_status,
+               count(1) AS n_patients,
+               min('p-' || c_custkey::VARCHAR) AS min_patient,
+               max({_DK_COND_DATE}) AS max_condition_date
+        FROM customer WHERE c_custkey < {_CORPUS_LIMIT}
+        GROUP BY 1, 2
+    """,
     "bundle_collect_flatten": """
         SELECT c_name AS customer_name,
                o_orderkey AS order_id,

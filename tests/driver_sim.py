@@ -42,6 +42,13 @@ def canon(v):
 
 
 qs, os_ = mod.queries(), mod.oracle_sql()
+if len(sys.argv) > 1:  # optional subset: driver_sim.py name1 name2 ...
+    keep = set(sys.argv[1:])
+    unknown = keep - set(qs)
+    if unknown:
+        sys.exit(f"unknown query names: {sorted(unknown)}")
+    qs = {k: v for k, v in qs.items() if k in keep}
+    os_ = {k: v for k, v in os_.items() if k in keep}
 print(f"\n== t2 correctness: {len(qs)} queries, {len(os_)} oracles, sf0.01 ==")
 fails = []
 for name in sorted(qs):
