@@ -57,14 +57,34 @@ REPEATED_SEGMENTS = frozenset(
 
 @dataclass
 class Mapping:
-    """Declare ``src column → FHIR path`` (`01_dbignite_sample.py:520-529`)."""
+    """Declare ``src column → FHIR path`` (`01_dbignite_sample.py:520-529`).
+
+    ``literal=True`` makes ``src`` a constant VALUE instead of a column
+    name — the idiom for fixed discriminators like the us-core-race
+    extension url (``sampledata/adt_records/ADT_A01_FHIR.json``):
+
+        Mapping(US_CORE_RACE_URL, 'Patient.extension.url', literal=True),
+        Mapping('RACE_TEXT', 'Patient.extension.extension.valueString'),
+
+    Literal-only elements never gate fan-out: an extension entry whose
+    data columns are all NULL is dropped even though its url constant is
+    always set.
+    """
 
     src: str
     fhir_path: str
+    literal: bool = False
 
     @property
     def resource_type(self) -> str:
         return self.fhir_path.split(".")[0]
+
+
+@dataclass(frozen=True)
+class _Lit:
+    """Marker for a literal source value inside the mapping tree."""
+
+    value: str
 
 
 @dataclass
@@ -140,7 +160,10 @@ class MappingManager:
         self.src_schema = src_schema
         self.encoder_manager = encoder_manager or FhirEncoderManager()
         names = set(src_schema.fieldNames())
-        missing = [m.src for m in self.mappings if m.src not in names]
+        missing = [
+            m.src for m in self.mappings
+            if not m.literal and m.src not in names
+        ]
         if missing:
             raise ValueError(
                 f"mapping source columns not in DataFrame schema: {missing}"
@@ -190,17 +213,22 @@ _BOOLEAN_LEAVES = frozenset({"active", "preferred", "primary",
                              "deceasedBoolean", "multipleBirthBoolean"})
 
 
-def _leaf_value(src: str, path: str = "") -> Column:
+def _src_col(src) -> Column:
+    return F.lit(src.value) if isinstance(src, _Lit) else F.col(src)
+
+
+def _leaf_value(src, path: str = "") -> Column:
     segs = path.split(".") if path else []
     leaf = segs[-1] if segs else ""
     parent = segs[-2] if len(segs) > 1 else ""
+    c = _src_col(src)
     if (parent, leaf) in _DECIMAL_LEAVES:
-        return F.col(src).cast("double")
+        return c.cast("double")
     if leaf in _INT_LEAVES:
-        return F.col(src).cast("long")
+        return c.cast("long")
     if leaf in _BOOLEAN_LEAVES:
-        return F.col(src).cast("boolean")
-    return F.col(src).cast("string")
+        return c.cast("boolean")
+    return c.cast("string")
 
 
 def _render(
@@ -226,7 +254,7 @@ def _render(
         # which builds the array-wrapped partial value first)
         srcs = _collect_sources(node)
         src = srcs[pick if pick is not None and pick < len(srcs) else 0]
-        return F.parse_json(enc.to_udf(path=path)(F.col(src)))
+        return F.parse_json(enc.to_udf(path=path)(_src_col(src)))
 
     if node.sources:
         srcs = node.sources
@@ -294,10 +322,14 @@ def _render(
 
 
 def _any_source_set(node: _Node, pick: int) -> Column:
-    """True when any source feeding fan-out element ``pick`` is non-null."""
+    """True when any COLUMN source feeding fan-out element ``pick`` is
+    non-null. Literal sources are constants and don't count — an element
+    carrying only literals (e.g. a bare extension url) must not force
+    emission when its data columns are NULL."""
     cond = F.lit(False)
     for s in _sources_for_pick(node, pick):
-        cond = cond | F.col(s).isNotNull()
+        if not isinstance(s, _Lit):
+            cond = cond | F.col(s).isNotNull()
     return cond
 
 
@@ -334,7 +366,7 @@ class Bundle:
             root = _Node()
             for m in maps:
                 segs = m.fhir_path.split(".")[1:]
-                root.insert(segs, m.src)
+                root.insert(segs, _Lit(m.src) if m.literal else m.src)
             body = _render(root, rt, em, None)
             resource_fields = [F.lit(rt).alias("resourceType")]
             if body is not None:

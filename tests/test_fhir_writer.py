@@ -269,3 +269,78 @@ def test_writer_reader_roundtrip_period_reference(spark, tmp_path, start, end, r
         "e.id", "e.period.start", "e.period.end", "e.subject.reference"
     ).collect()[0]
     assert tuple(row) == ("e1", start, end, ref)
+
+
+US_CORE_RACE = (
+    "http://hl7.org/fhir/us/core/StructureDefinition/us-core-race"
+)
+US_CORE_ETHNICITY = (
+    "http://hl7.org/fhir/us/core/StructureDefinition/us-core-ethnicity"
+)
+
+
+def test_extension_encoding_roundtrip(spark, tmp_path):
+    """Writer `extension` element support (us-core-race/ethnicity shape
+    from `sampledata/adt_records/ADT_A01_FHIR.json`): literal url
+    discriminators + data-column valueStrings, nested one level, then
+    read back through the reader (writer ∘ reader ≈ identity). The row
+    with a NULL ethnicity must emit only the race extension."""
+    from interop_spark.fhir import (
+        Bundle,
+        Mapping,
+        MappingManager,
+        read_from_directory,
+    )
+
+    src = spark.createDataFrame(
+        [("p1", "White", "Not Hispanic or Latino"), ("p2", "Asian", None)],
+        "PID string, RACE_TEXT string, ETH_TEXT string",
+    )
+    maps = [
+        Mapping("PID", "Patient.id"),
+        Mapping(US_CORE_RACE, "Patient.extension.url", literal=True),
+        Mapping("text", "Patient.extension.extension.url", literal=True),
+        Mapping("RACE_TEXT", "Patient.extension.extension.valueString"),
+        Mapping(US_CORE_ETHNICITY, "Patient.extension.url", literal=True),
+        Mapping("text", "Patient.extension.extension.url", literal=True),
+        Mapping("ETH_TEXT", "Patient.extension.extension.valueString"),
+    ]
+    out = Bundle(MappingManager(maps, src.schema)).df_to_fhir_df(src).collect()
+
+    # raw JSON shape first (independent of the reader's schema)
+    by_id = {}
+    for r in out:
+        b = json.loads(r.value)
+        res = b["entry"][0]["resource"]
+        by_id[res["id"]] = res.get("extension", [])
+    assert [e["url"] for e in by_id["p1"]] == [US_CORE_RACE, US_CORE_ETHNICITY]
+    assert by_id["p1"][0]["extension"] == [
+        {"url": "text", "valueString": "White"}
+    ]
+    assert by_id["p1"][1]["extension"] == [
+        {"url": "text", "valueString": "Not Hispanic or Latino"}
+    ]
+    # NULL ethnicity → that extension entry dropped despite its literals
+    assert [e["url"] for e in by_id["p2"]] == [US_CORE_RACE]
+
+    # reader round-trip: the declared Patient schema carries extension[]
+    d = tmp_path / "ext_rt"
+    d.mkdir()
+    for i, r in enumerate(out):
+        (d / f"b{i}.json").write_text(r.value)
+    entry = read_from_directory(str(d), spark=spark).entry()
+    rows = (
+        entry.selectExpr("explode(Patient) AS p")
+        .selectExpr(
+            "p.id AS id",
+            "transform(p.extension, e -> e.url) AS urls",
+            "transform(p.extension, e -> e.extension[0].valueString) AS vals",
+        )
+        .collect()
+    )
+    got = {r["id"]: (r["urls"], r["vals"]) for r in rows}
+    assert got["p1"] == (
+        [US_CORE_RACE, US_CORE_ETHNICITY],
+        ["White", "Not Hispanic or Latino"],
+    )
+    assert got["p2"] == ([US_CORE_RACE], ["Asian"])
