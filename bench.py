@@ -3,9 +3,12 @@
 local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query runs twice; the second (warm) time is reported — the first run
-amortizes JVM/code-gen/file-listing costs that a long-lived cluster session
-would not pay per query. ``value`` is the sum of warm times.
+Each query runs once to warm (JVM/code-gen/file-listing costs a
+long-lived cluster session would not pay per query), then
+$SPARK_GRAFT_REPS (default 5) timed runs; the per-query MEDIAN is
+reported — round-2 showed n<=2 lets single-run noise masquerade as
+regressions (lsh_bucket_sizes +40% with zero code change on its path).
+``value`` is the sum of medians.
 """
 
 from __future__ import annotations
@@ -43,6 +46,7 @@ HEADLINE = [
     "knn_cosine",
     "ivf_probe_topk",
     "lsh_bucket_sizes",
+    "fhir_ingest_corpus",
 ]
 
 
@@ -62,13 +66,18 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     queries = entry_mod.queries()
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "5"))
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+        samples.sort()
+        times[name] = round(samples[len(samples) // 2], 3)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
@@ -79,6 +88,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf else None,
+                "reps": reps,
             }
         )
     )

@@ -24,7 +24,7 @@ COMMENT = {
  "minhash_lsh_neardup": "Per-row HOF signature computation (no shuffle); candidates from a band-key SELF-JOIN over compact (band_key, doc_id) pairs -- the shingle payload never enters the exchange; shingles re-joined only for surviving pairs' Jaccard verification. At 100 TB: shuffle bytes = ids x bands, skewed bands split by AQE.",
  "simhash_neardup_pairs": "120-bit simhash (two bigint halves, one-pass F.aggregate bit fold); 30-bit band self-join (about 1e9 keys per band keeps buckets O(1) as the corpus grows); Hamming verification on the joined pairs. At 100 TB: shuffle carries (band, id, 2 bigints) only.",
  "embedding_neardup": "Hyperplane LSH bucket per vector (plane count from log2 corpus scaling); bucket-id self-join over compact (vec_id, bucket); embeddings re-joined for cosine verification of candidates only. No collect_list anywhere (plan-asserted).",
- "ivf_probe_topk": "Centroids collapse to ONE row (array) and broadcast; cell assignment is a per-row F.aggregate argmax -- NO Exchange on the vector side (plan-asserted); probe filters to the query's cell then TakeOrderedAndProject.",
+ "ivf_probe_topk": "Centroids collapse to ONE row (array) and broadcast; cell assignment is a per-row F.aggregate argmax -- NO Exchange on the vector side (plan-asserted). The assignment is localCheckpoint-ed (the IVF index build, computed once and probed many times) so the probe join scans materialized (vec_id, cell) rows instead of re-evaluating the argmax fold inside the join condition; probe filters to the query cell then TakeOrderedAndProject.",
  "knn_cosine": "Query vector broadcast (BroadcastNestedLoopJoin over 1 row); per-row dot product; TakeOrderedAndProject for top-k. At 100 TB: embarrassingly parallel scan, k rows to driver.",
  "exact_dedup": "md5 fingerprint groupBy: uniform hash key -> skew-free single shuffle with map-side partial aggregation.",
 }
@@ -34,6 +34,13 @@ out = ["# PLANS — physical plans of the headline queries (sf0.1, AQE on)",
        "Generated from `.explain` on the live session. For each query: the",
        "scale-relevant plan facts, then the executed plan. Regenerate with",
        "`python tests/gen_plans.py` after plan-affecting changes.",
+       "",
+       "NOTE: queries that persist their signature/assignment tables",
+       "(minhash/simhash/embedding pairing, IVF probe) show the persisted",
+       "table as `Scan ExistingRDD` — the checkpoint boundary truncates",
+       "lineage, which is exactly the point (hash once, join many). The",
+       "BUILD plan of each persisted table (with its PushedFilters and",
+       "pruned ReadSchema) is dumped separately below the probe plan.",
        ""]
 for name in ["pricing_summary", "multiway_join_agg", "latest_event_per_user",
              "exact_dedup", "minhash_lsh_neardup", "simhash_neardup_pairs",
@@ -57,5 +64,36 @@ for name in ["pricing_summary", "multiway_join_agg", "latest_event_per_user",
     # keep plan body compact: first 40 lines
     body = "\n".join(plan.splitlines()[:40])
     out.append("```\n" + body + "\n```\n")
+
+# build plans of the persisted tables (pre-checkpoint lineage): these carry
+# the FileScan facts the probe plans no longer show
+from pyspark.sql import functions as F
+from interop_spark.io import load
+from interop_spark.operators import dedup as dd, similarity as sim
+from interop_spark.queries import pipeline as pl
+
+docs = load(spark, SF, "documents").where(F.col("doc_id") < 100)
+builds = {
+    "minhash signature/band build (persisted before the self-join)":
+        dd.minhash_candidate_pairs(
+            pl._with_near_dups(load(spark, SF, "documents"), limit=100),
+            "doc_id", "text", k=pl.MINHASH_K, bands=pl.BANDS, rows=pl.ROWS,
+            shingle_n=pl.SHINGLE_N, materialize=False),
+    "embedding bucket build (persisted before the self-join)":
+        pl.q_embedding_neardup(spark, SF, materialize=False),
+}
+out.append("## build plans of persisted tables\n")
+for title, df in builds.items():
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = re.sub(r"#\d+L?", "", plan)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    reads = re.findall(r"ReadSchema: struct<([^>]*)", plan)
+    out.append(f"### {title}\n")
+    out.append(f"- pushed filters: {[p for p in pushed if p][:2]}")
+    out.append(f"- read schemas (pruned): {[r[:80] for r in reads[:3]]}")
+    out.append("")
+    lines = [ln if len(ln) <= 400 else ln[:400] + " ...<truncated>"
+             for ln in plan.splitlines()[:30]]
+    out.append("```\n" + "\n".join(lines) + "\n```\n")
 open("/root/repo/PLANS.md", "w").write("\n".join(out))
 print("written", len(out), "lines")
