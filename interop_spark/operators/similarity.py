@@ -193,6 +193,30 @@ def nearest_centroid(
     return F.when(best["k"] >= 0, best["k"])
 
 
+def query_cells(
+    vec: Column, centroid_arr: Column, vec_norm: Column, nprobe: int
+) -> Column:
+    """Top-``nprobe`` centroid ids for a query vector — the multi-probe
+    extension of ``nearest_centroid``: probing the q nearest cells
+    instead of 1 recovers most of the recall a hard cell boundary costs
+    (the standard IVF nprobe knob). Ranking is (rounded-9 cosine DESC,
+    centroid id DESC), identical tie semantics to the single-probe
+    argmax, so nprobe=1 reproduces ``nearest_centroid`` exactly."""
+    sims = F.transform(
+        centroid_arr,
+        lambda c: F.struct(
+            F.round(
+                dot(as_double(vec), as_double(c["v"]))
+                / F.greatest(vec_norm * c["norm"], F.lit(1e-12)),
+                9,
+            ).alias("v"),
+            c["k"].alias("k"),
+        ),
+    )
+    ranked = F.reverse(F.array_sort(sims))  # (v, k) ascending → reversed
+    return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["k"])
+
+
 def centroid_array(
     centroids: DataFrame,
     centroid_id: str = "centroid_id",

@@ -16,11 +16,12 @@ import importlib
 # every NEW query, must sit inside the first 50 entries; everything past 50
 # must have a green row in a prior CORRECTNESS file AND live in modules
 # untouched since that check. Round 3: pipeline (edited: ivf/embedding/
-# token/clusters + new star-CC), temporal, reshape, fhir (6 new synthetic-
-# bundle queries), relational_ext (merge.py edited → merge_upsert must stay
-# in-window) fill entries 1-48; sqlapi's first 2 complete the window; the
-# sqlapi tail / relational / functions_battery that fall out are untouched
-# and green in r1/r2.
+# token/clusters; new star-CC, multi-probe, dedup-representatives),
+# temporal, reshape, fhir (6 new synthetic-bundle queries), relational_ext
+# (merge.py edited → merge_upsert must stay in-window) fill entries 1-50
+# EXACTLY — pipeline(26) + temporal(2) + reshape(4) + fhir(10) +
+# relational_ext(8, ending in merge_upsert at #50). ALL of sqlapi /
+# relational / functions_battery is out: untouched this round, green r1/r2.
 _MODULES = (
     "interop_spark.queries.pipeline",
     "interop_spark.queries.temporal_q",

@@ -27,6 +27,7 @@ ROWS = 3
 SHINGLE_N = 3
 EMB_DIM = 64
 N_CENTROIDS = 8
+NPROBE = 3
 # near-dup corpus = 2 × 300 vectors; plane count derives from the scaling
 # rule (ceil(log2(600/16)) = 6) rather than a hard-coded constant — at a
 # bigger corpus the same rule yields more planes, keeping buckets O(1)
@@ -387,6 +388,68 @@ def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF multi-probe: rank the broadcast centroid array against the
+    query row, probe the NPROBE nearest cells (the standard recall knob —
+    a hard cell boundary drops neighbors that fall just across it), then
+    exact top-5 within the probed cells. The scan still touches
+    ~NPROBE/C of the corpus at scale; the probe join is a broadcast of
+    ONE query row carrying its cell array."""
+    e = load(spark, sf_dir, "embeddings")
+    cent = e.where(col("vec_id") < N_CENTROIDS).select(
+        col("vec_id").alias("centroid_id"), col("embedding").alias("centroid")
+    )
+    assigned = sim.ivf_assign(e, cent).localCheckpoint()
+    cents = sim.centroid_array(cent)
+    q = e.where(col("vec_id") == 0).select(
+        col("embedding").alias("qvec"),
+        sim.l2_norm(sim.as_double(col("embedding"))).alias("_nq"),
+    )
+    qrow = q.crossJoin(F.broadcast(cents)).select(
+        "qvec",
+        "_nq",
+        sim.query_cells(
+            col("qvec"), col("_cents"), col("_nq"), NPROBE
+        ).alias("qcells"),
+    )
+    return (
+        assigned.join(
+            F.broadcast(qrow), F.array_contains(col("qcells"), col("cell"))
+        )
+        .select(
+            "vec_id",
+            "cell",
+            F.round(
+                sim.cosine_sim_given_norms(
+                    sim.as_double(col("embedding")),
+                    sim.as_double(col("qvec")),
+                    sim.l2_norm(sim.as_double(col("embedding"))),
+                    col("_nq"),
+                ),
+                6,
+            ).alias("cosine_sim"),
+        )
+        .orderBy(col("cosine_sim").desc(), col("vec_id").asc())
+        .limit(5)
+    )
+
+
+def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step the near-dup stack exists for: candidate pairs → clusters
+    → KEEP ONE REPRESENTATIVE per duplicate cluster (the min doc id) —
+    unpaired documents survive untouched. Uses the diameter-independent
+    star clusterer, so a pathological duplicate chain cannot silently
+    split (and over-retain) at scale."""
+    d = _with_near_dups(load(spark, sf_dir, "documents"), limit=40)
+    pairs = dd.minhash_candidate_pairs(
+        d, "doc_id", "text", k=MINHASH_K, bands=BANDS, rows=ROWS,
+        shingle_n=SHINGLE_N,
+    ).where(col("jaccard_sim") >= 0.5)
+    clusters = dd.dedup_clusters_star(pairs)
+    non_reps = clusters.where(col("doc_id") != col("cluster")).select("doc_id")
+    return d.select("doc_id").join(non_reps, "doc_id", "left_anti")
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard over a bounded id-range self-join (the
     verification kernel of near-dedup, without the LSH filter)."""
@@ -575,6 +638,8 @@ QUERIES = {
     "simhash": q_simhash,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "ivf_probe_topk": q_ivf_probe_topk,
+    "ivf_multiprobe_topk": q_ivf_multiprobe_topk,
+    "dedup_representatives": q_dedup_representatives,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "knn_cosine": q_knn_cosine,
     "embedding_neardup": q_embedding_neardup,
@@ -852,6 +917,56 @@ ORACLE = {
         WHERE c.cell = (SELECT cell FROM cells WHERE vec_id = 0)
         ORDER BY cosine_sim DESC, c.vec_id ASC LIMIT 5
     """,
+    "ivf_multiprobe_topk": f"""
+        WITH cent AS (
+          SELECT vec_id AS centroid_id, embedding AS centroid
+          FROM embeddings WHERE vec_id < {N_CENTROIDS}
+        ),
+        sims AS (
+          SELECT e.vec_id, c.centroid_id,
+                 round({_dk_dot('e.embedding', 'c.centroid')}
+                       / greatest({_dk_norm('e.embedding')}
+                                  * {_dk_norm('c.centroid')}, 1e-12), 9) AS v
+          FROM embeddings e, cent c
+        ),
+        cells AS (
+          SELECT vec_id, (max({{'v': v, 'k': centroid_id}})).k AS cell
+          FROM sims GROUP BY vec_id
+        ),
+        qcells AS (
+          SELECT centroid_id FROM sims WHERE vec_id = 0
+          ORDER BY v DESC, centroid_id DESC LIMIT {NPROBE}
+        ),
+        q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+        SELECT c.vec_id, c.cell,
+               round({_dk_dot('e.embedding', 'qvec')}
+                     / greatest({_dk_norm('e.embedding')} * {_dk_norm('qvec')},
+                                1e-12), 6) AS cosine_sim
+        FROM cells c
+        JOIN embeddings e ON c.vec_id = e.vec_id
+        CROSS JOIN q
+        WHERE c.cell IN (SELECT centroid_id FROM qcells)
+        ORDER BY cosine_sim DESC, c.vec_id ASC LIMIT 5
+    """,
+    "dedup_representatives": (
+        "WITH RECURSIVE " + _dk_minhash_pair_ctes(40) + """,
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+          UNION
+          SELECT doc_b, doc_a FROM mh_pairs
+        ),
+        reach AS (
+          SELECT src AS node, src AS lab FROM edges
+          UNION
+          SELECT e.dst, reach.lab FROM reach JOIN edges e ON e.src = reach.node
+        ),
+        labels AS (
+          SELECT node, min(lab) AS cluster FROM reach GROUP BY node
+        )
+        SELECT u.doc_id FROM unioned u
+        WHERE u.doc_id NOT IN (SELECT node FROM labels WHERE cluster <> node)
+    """
+    ),
     "ngram_jaccard_pairs": f"""
         WITH sh AS (
           SELECT doc_id, {_dk_shingles()} AS sh
