@@ -184,6 +184,86 @@ def sessionize_stream(
     )
 
 
+def sessionize_stream_event_time(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Event-time-timeout sessionization: like ``sessionize_stream`` but a
+    session also closes when the WATERMARK passes its last event plus the
+    gap (``GroupStateTimeout.EventTimeTimeout``), not when wall-clock
+    elapses. Closure is therefore a deterministic function of the DATA —
+    replaying the same files yields the same emitted sessions regardless
+    of processing speed, which is what makes backfills reproducible. A
+    session whose deadline the watermark has not reached stays open (and
+    unemitted) when the stream stops.
+    """
+    import pandas as pd  # noqa: F401 (documents the worker dependency)
+
+    gap = float(gap_seconds)
+
+    def _fn(key, pdfs, state):
+        import pandas as pd
+
+        user_id = key[0]
+
+        def emit(s0, last, n, vsum):
+            return pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(round(s0 * 1e6), unit="us")],
+                    "session_end": [pd.Timestamp(round(last * 1e6), unit="us")],
+                    "events_in_session": [n],
+                    "session_value": [round(vsum, 2)],
+                }
+            )
+
+        if state.hasTimedOut:
+            if state.exists:
+                s0, last, n, vsum = state.get
+                state.remove()
+                yield emit(s0, last, n, vsum)
+            return
+
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        out = []
+        if state.exists:
+            s0, last, n, vsum = state.get
+        else:
+            s0 = last = None
+            n, vsum = 0, 0.0
+        for ts, value in zip(rows["ts"], rows["value"]):
+            t = ts.timestamp()
+            if last is not None and t - last > gap:
+                out.append((s0, last, n, vsum))
+                s0, n, vsum = t, 0, 0.0
+            if s0 is None:
+                s0 = t
+            last = t
+            n += 1
+            vsum += float(value)
+        state.update((s0, last, n, vsum))
+        # close when the watermark passes last+gap; the timestamp must be
+        # strictly ahead of the current watermark or Spark rejects it
+        deadline_ms = int((last + gap) * 1000)
+        state.setTimeoutTimestamp(
+            max(deadline_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        for o in out:
+            yield emit(*o)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.groupBy("user_id").applyInPandasWithState(
+        _fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def streaming_dedupe(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Exactly-once event feed: drop duplicate event_ids within the
     watermark horizon (bounded state — the streaming form of the

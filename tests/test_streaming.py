@@ -157,3 +157,72 @@ def test_sessionize_stream_closed_sessions_match_batch(spark, event_json_dir):
         # open tail session not emitted by the stream without timeout
     assert expected, "fixture must contain closed sessions"
     assert got == expected
+
+
+def test_sessionize_event_time_timeout(spark, tmp_path):
+    """Event-time-timeout sessionization is a deterministic function of
+    the data: sessions whose (last event + gap) falls behind the final
+    watermark are emitted via timeout (u1), gap-closed sessions emit as
+    usual (u2's first), and sessions still inside the watermark horizon
+    stay open and unemitted (u2's second, u3)."""
+    import json as _json
+
+    from interop_spark.streaming.streams import (
+        sessionize_stream_event_time,
+        stream_events_json,
+    )
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    t0 = 1700000000  # 2023-11-14T22:13:20Z
+    HOUR = 3600
+
+    def ev(eid, ts, uid, value):
+        return _json.dumps(
+            {
+                "event_id": eid,
+                "ts": __import__("datetime").datetime.fromtimestamp(
+                    ts, __import__("datetime").timezone.utc
+                ).strftime("%Y-%m-%dT%H:%M:%S.000Z"),
+                "user_id": uid,
+                "event_type": "x",
+                "value": value,
+                "props": "{}",
+            }
+        )
+
+    lines = [
+        ev(1, t0, 1, 1.0),
+        ev(2, t0 + 300, 1, 2.0),
+        ev(3, t0 + 600, 1, 3.0),   # u1: last=t0+600, deadline t0+2400
+        ev(4, t0, 2, 5.0),          # u2 first session
+        ev(5, t0 + 3 * HOUR, 2, 7.0),  # gap-closes u2's first; open tail
+        ev(6, t0 + 3 * HOUR, 3, 9.0),  # u3: open tail
+    ]
+    (d / "events.json").write_text("\n".join(lines))
+
+    q = (
+        sessionize_stream_event_time(
+            stream_events_json(spark, str(d)), gap_seconds=1800,
+            watermark="10 minutes",
+        )
+        .writeStream.format("memory")
+        .queryName("sess_et")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, int(r.session_start.timestamp()),
+         int(r.session_end.timestamp()), r.events_in_session,
+         r.session_value)
+        for r in spark.table("sess_et").collect()
+    }
+    # final watermark = (t0+3h) - 10min; u1's deadline t0+2400 is behind
+    # it -> timeout-emitted; u2's first closed by the gap in-batch; the
+    # two tails (deadline t0+3h+30min) are ahead of it -> stay open
+    assert got == {
+        (1, t0, t0 + 600, 3, 6.0),
+        (2, t0, t0, 1, 5.0),
+    }
