@@ -228,3 +228,37 @@ def test_nearest_centroid_no_winner_is_null(spark):
         nearest_centroid(F.col("vec"), F.col("empty_cents")).alias("cell")
     ).collect()[0]
     assert row.cell is None
+
+
+def test_query_cells_nprobe1_matches_nearest_centroid(spark):
+    """Multi-probe with nprobe=1 must reproduce the single-probe argmax
+    exactly (same rounded similarity, same tie semantics)."""
+    from pyspark.sql import functions as F
+
+    from interop_spark.operators import similarity as sim
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cent = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    cents = sim.centroid_array(cent)
+    probed = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("_vn", sim.l2_norm(sim.as_double(F.col("embedding"))))
+        .select(
+            "vec_id",
+            sim.nearest_centroid(
+                F.col("embedding"), F.col("_cents"), F.col("_vn")
+            ).alias("cell"),
+            F.get(
+                sim.query_cells(
+                    F.col("embedding"), F.col("_cents"), F.col("_vn"), 1
+                ),
+                0,
+            ).alias("cell1"),
+        )
+    )
+    assert probed.where(
+        ~F.col("cell").eqNullSafe(F.col("cell1"))
+    ).count() == 0
