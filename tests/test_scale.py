@@ -145,3 +145,47 @@ def test_salted_join_rejects_unsupported_how(spark, sf_dir):
     for how in ("right", "full_outer", "left_semi", "left_anti"):
         with pytest.raises(ValueError, match="salted_join supports"):
             salted_join(orders, customer, "o_custkey", salt=4, how=how)
+
+
+def test_ivf_probe_plans_scan_materialized_assignment(spark, sf_dir):
+    """Both probe queries must read the persisted assignment (ExistingRDD
+    scan) instead of re-evaluating the argmax fold inside the probe join
+    — the round-2 plan paid the fold 3× via the inferred IsNotNull(cell)
+    pushed into the join condition. Also: no hashpartitioning Exchange
+    anywhere (the probe is a one-row broadcast)."""
+    from interop_spark.queries import all_queries
+
+    qs = all_queries()
+    for name in ("ivf_probe_topk", "ivf_multiprobe_topk"):
+        plan = (
+            qs[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Scan ExistingRDD" in plan, f"{name}: assignment not persisted"
+        assert "Exchange hashpartitioning" not in plan, f"{name} shuffles"
+        # the cell filter/join condition must reference the materialized
+        # `cell` column, never re-evaluate the argmax fold (the r2 bug):
+        # no Filter/Join line may contain an aggregate fold
+        for line in plan.splitlines():
+            ls = line.strip()
+            if ls.startswith(("Filter", "+- Filter", ":- Filter")) or (
+                "Join" in ls and "cell" in ls
+            ):
+                assert "aggregate(" not in ls, f"{name}: fold in {ls[:120]}"
+
+
+def test_ingest_corpus_prunes_resource_columns(spark, sf_dir):
+    """The bundle-corpus cohort query declares only Patient/Condition:
+    no other resource type's extraction may appear in the plan."""
+    from interop_spark.queries import all_queries
+
+    plan = (
+        all_queries()["fhir_ingest_corpus"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    for rt in ("Claim", "MedicationRequest", "Practitioner", "Encounter"):
+        assert f"as resourceType) = {rt}" not in plan
