@@ -163,3 +163,82 @@ def fingerprint(text: Column) -> Column:
     (the exact-dedup key; a rolling/content-defined variant can slot in
     behind the same column contract)."""
     return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality signals (Rae et al., "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", 2021, §A1.1
+# — the public rule set most production text-curation pipelines start
+# from). All pure Column expressions: one filter pass over 100 TB of text
+# stays entirely JVM-side.
+# ---------------------------------------------------------------------------
+
+ELLIPSIS_RE = r"(\.\.\.|…)$"
+BULLET_RE = r"^\s*([-*•])"
+
+
+def symbol_word_ratio(text: Column) -> Column:
+    """(# of '#' and ellipsis occurrences) / words — Gopher drops docs
+    above 0.1."""
+    hashes = F.length(text) - F.length(F.regexp_replace(text, r"#", ""))
+    ell = F.size(F.regexp_extract_all(text, F.lit(r"(\.\.\.|…)"), 0))
+    return F.round(
+        (hashes + ell) / F.greatest(token_count(text), F.lit(1)), 4
+    )
+
+
+def alpha_word_ratio(text: Column) -> Column:
+    """Fraction of words containing at least one alphabetic character —
+    Gopher requires ≥ 0.8."""
+    t = tokens(text)
+    n_alpha = F.size(F.filter(t, lambda w: w.rlike("[A-Za-z]")))
+    return F.round(n_alpha / F.greatest(F.size(t), F.lit(1)), 4)
+
+
+def line_stats(text: Column) -> Column:
+    """struct(bullet_ratio, ellipsis_ratio, dup_line_ratio) over the
+    document's lines: fraction of lines starting with a bullet (Gopher
+    caps 0.9), ending in an ellipsis (cap 0.3), and exact-duplicate lines
+    (repetition signal). One split, three folds over the line array."""
+    lines = F.split(text, r"\n")
+    n = F.greatest(F.size(lines), F.lit(1))
+    bullets = F.size(F.filter(lines, lambda l: l.rlike(BULLET_RE)))
+    ellipses = F.size(F.filter(lines, lambda l: l.rlike(ELLIPSIS_RE)))
+    dup = F.size(lines) - F.size(F.array_distinct(lines))
+    return F.struct(
+        F.round(bullets / n, 4).alias("bullet_ratio"),
+        F.round(ellipses / n, 4).alias("ellipsis_ratio"),
+        F.round(dup / n, 4).alias("dup_line_ratio"),
+    )
+
+
+def gopher_quality_flags(text: Column) -> Column:
+    """struct of the Gopher §A1.1 keep/drop signals with their published
+    thresholds. A curation pipeline filters on ``flags.keep`` (or
+    inspects individual signals); computing all signals in one projection
+    means ONE pass over the corpus."""
+    n_words = token_count(text)
+    mean_len = avg_token_len(text)
+    sym = symbol_word_ratio(text)
+    alpha = alpha_word_ratio(text)
+    ls = line_stats(text)
+    keep = (
+        (n_words >= 50)
+        & (n_words <= 100000)
+        & (mean_len >= 3)
+        & (mean_len <= 10)
+        & (sym < 0.1)
+        & (alpha >= 0.8)
+        & (ls["bullet_ratio"] < 0.9)
+        & (ls["ellipsis_ratio"] < 0.3)
+    )
+    return F.struct(
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        sym.alias("symbol_word_ratio"),
+        alpha.alias("alpha_word_ratio"),
+        ls["bullet_ratio"].alias("bullet_ratio"),
+        ls["ellipsis_ratio"].alias("ellipsis_ratio"),
+        ls["dup_line_ratio"].alias("dup_line_ratio"),
+        keep.alias("keep"),
+    )

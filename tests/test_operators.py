@@ -262,3 +262,42 @@ def test_query_cells_nprobe1_matches_nearest_centroid(spark):
     assert probed.where(
         ~F.col("cell").eqNullSafe(F.col("cell1"))
     ).count() == 0
+
+
+def test_gopher_quality_flags(spark):
+    """Gopher §A1.1 signals: a clean prose doc keeps, pathological docs
+    (symbol spam, bullet lists, non-alpha tokens) drop on the right
+    signal."""
+    from pyspark.sql import functions as F
+
+    from interop_spark.operators.text import gopher_quality_flags
+
+    prose = " ".join(
+        "the quick brown fox jumps over a lazy dog near the old river bank"
+        .split() * 5
+    )
+    symbols = " ".join(["### ##" for _ in range(40)])
+    bullets = "\n".join([f"- item {i}" for i in range(20)])
+    nonalpha = " ".join([str(i) for i in range(100)])
+    df = spark.createDataFrame(
+        [("prose", prose), ("symbols", symbols), ("bullets", bullets),
+         ("nonalpha", nonalpha)],
+        "name string, text string",
+    ).select("name", gopher_quality_flags(F.col("text")).alias("q"))
+    rows = {r.name: r.q.asDict() for r in df.collect()}
+    assert rows["prose"]["keep"] is True
+    assert rows["symbols"]["keep"] is False
+    assert rows["symbols"]["symbol_word_ratio"] >= 0.1
+    assert rows["bullets"]["keep"] is False
+    assert rows["bullets"]["bullet_ratio"] >= 0.9
+    assert rows["nonalpha"]["keep"] is False
+    assert rows["nonalpha"]["alpha_word_ratio"] < 0.8
+    # dup-line repetition signal fires on repeated lines
+    rep = "\n".join(["same line of text here"] * 10)
+    q = (
+        spark.range(1)
+        .select(gopher_quality_flags(F.lit(rep)).alias("q"))
+        .collect()[0]
+        .q.asDict()
+    )
+    assert q["dup_line_ratio"] >= 0.8
