@@ -240,6 +240,78 @@ def centroid_array(
     )
 
 
+class IVFIndex:
+    """A built IVF index: the MATERIALIZED (id, vector, cell) assignment
+    plus the one-row broadcast centroid array. Build once, search many —
+    the assignment is the expensive pass over the corpus (and on a
+    cluster would be a written table); every search touches ~nprobe/C of
+    it via a cheap cell filter against one broadcast query row."""
+
+    def __init__(
+        self, assigned: DataFrame, cents: DataFrame, id_col: str, vec_col: str
+    ):
+        self.assigned = assigned
+        self.cents = cents
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def search(
+        self, query: list[float], k: int = 10, nprobe: int = 1
+    ) -> DataFrame:
+        """Top-k by cosine within the query's ``nprobe`` nearest cells.
+        ``nprobe = C`` degenerates to exact brute force (every cell
+        probed), which is the recall ceiling the tests pin."""
+        qv = query_vector_literal(query)
+        qrow = self.cents.select(
+            qv.alias("_qvec"),
+            l2_norm(as_double(qv)).alias("_nq"),
+            F.col("_cents").alias("_qcents"),
+        ).select(
+            "_qvec",
+            "_nq",
+            query_cells(
+                F.col("_qvec"), F.col("_qcents"), F.col("_nq"), nprobe
+            ).alias("_qcells"),
+        )
+        return (
+            self.assigned.join(
+                F.broadcast(qrow),
+                F.array_contains(F.col("_qcells"), F.col("cell")),
+            )
+            .select(
+                self.id_col,
+                "cell",
+                F.round(
+                    cosine_sim_given_norms(
+                        as_double(F.col(self.vec_col)),
+                        as_double(F.col("_qvec")),
+                        l2_norm(as_double(F.col(self.vec_col))),
+                        F.col("_nq"),
+                    ),
+                    6,
+                ).alias("cosine_sim"),
+            )
+            .orderBy(F.col("cosine_sim").desc(), F.col(self.id_col).asc())
+            .limit(k)
+        )
+
+
+def ivf_build(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid",
+) -> IVFIndex:
+    """Build (and materialize) an IVF index over ``df``. See IVFIndex."""
+    cents = centroid_array(centroids, centroid_id, centroid_vec)
+    assigned = ivf_assign(
+        df, centroids, id_col, vec_col, centroid_id, centroid_vec
+    ).localCheckpoint()
+    return IVFIndex(assigned, cents, id_col, vec_col)
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,

@@ -301,3 +301,36 @@ def test_gopher_quality_flags(spark):
         .q.asDict()
     )
     assert q["dup_line_ratio"] >= 0.8
+
+
+def test_ivf_index_full_probe_matches_brute_force(spark, sf_dir):
+    """ivf_build + search with nprobe=C (every cell probed) must equal
+    exact brute-force top-k — the recall ceiling; nprobe=1 results are a
+    subset of the full-probe candidate pool with identical scores."""
+    from interop_spark.io import load
+    from interop_spark.operators.similarity import brute_force_topk, ivf_build
+
+    e = load(spark, sf_dir, "embeddings")
+    C = 4
+    cent = e.where(F.col("vec_id") < C).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    idx = ivf_build(e, cent)
+    query = list(e.where(F.col("vec_id") == 0).collect()[0].embedding)
+
+    brute = [
+        (r.vec_id, r.cosine_sim) for r in brute_force_topk(e, query, k=10).collect()
+    ]
+    full = [
+        (r.vec_id, r.cosine_sim)
+        for r in idx.search(query, k=10, nprobe=C).collect()
+    ]
+    assert full == brute
+
+    brute_scores = dict(brute)
+    one = idx.search(query, k=10, nprobe=1).collect()
+    assert one[0].vec_id == 0  # the query's own vector leads its cell
+    for r in one:
+        if r.vec_id in brute_scores:
+            assert r.cosine_sim == brute_scores[r.vec_id]
