@@ -32,7 +32,7 @@ from pyspark.sql.functions import col
 
 # One schema version for the on-disk corpus cache; bump when the bundle
 # content below changes so stale fixture directories are regenerated.
-CORPUS_VERSION = "v1"
+CORPUS_VERSION = "v2"
 
 CPT = "http://www.ama-assn.org/go/cpt"
 SNOMED = "http://snomed.info/sct"
@@ -56,8 +56,11 @@ def _pick(options: tuple[str, ...], idx) -> F.Column:
     )
 
 
-def _codeable(code, display, system: str) -> F.Column:
-    return F.struct(
+def _codeable(code, display, system: str, text=None) -> F.Column:
+    """CodeableConcept with one coding; ``text`` fills the free-text field
+    the reference notebook projects (`01_dbignite_sample.py:52`) so both
+    the coded and the text-fidelity projections are exercisable."""
+    fields = [
         F.array(
             F.struct(
                 F.lit(system).alias("system"),
@@ -65,7 +68,10 @@ def _codeable(code, display, system: str) -> F.Column:
                 display.alias("display"),
             )
         ).alias("coding")
-    )
+    ]
+    if text is not None:
+        fields.append(text.alias("text"))
+    return F.struct(*fields)
 
 
 def bundle_json_df(
@@ -119,7 +125,10 @@ def bundle_json_df(
                 )
             ).alias("coding")
         ).alias("clinicalStatus"),
-        _codeable(_cat("C", k % 50), _cat("cond-", k % 50), SNOMED).alias("code"),
+        _codeable(
+            _cat("C", k % 50), _cat("cond-", k % 50), SNOMED,
+            text=_cat("condtext-", k % 50),
+        ).alias("code"),
         F.struct(_cat("Patient/p-", k).alias("reference")).alias("subject"),
         F.format_string(
             "%04d-%02d-%02d", (k % 8 + 2015).cast("int"),
