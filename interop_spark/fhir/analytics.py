@@ -188,3 +188,44 @@ def omop_person(entry_df: DataFrame) -> DataFrame:
         F.dayofmonth(F.to_date(col("patient.birthDate"))).alias("day_of_birth"),
         col("patient.address").alias("patient_address"),
     )
+
+
+def patient_observations(entry_df: DataFrame) -> DataFrame:
+    """Patient × Observation within a bundle — the Synthea-type analog of
+    ``patient_conditions`` (the reference's demo dataset contains
+    Observation bundles, reference README.md:31, but its notebook never
+    flattens them; same explode → pluck → bundleUUID-join shape,
+    `01_dbignite_sample.py:47-72`)."""
+    p = entry_df.select(col("bundleUUID"), explode("Patient").alias("patient"))
+    o = entry_df.select(
+        col("bundleUUID"), explode("Observation").alias("obs")
+    )
+    return p.join(o, "bundleUUID").select(
+        col("bundleUUID").alias("UNIQUE_FHIR_ID"),
+        col("patient.id").alias("Patient"),
+        col("obs.status").alias("obs_status"),
+        _first(col("obs.code.coding.code")).alias("obs_code"),
+        _first(col("obs.code.coding.system")).alias("obs_code_system"),
+        col("obs.valueQuantity.value").alias("obs_value"),
+        col("obs.valueQuantity.unit").alias("obs_unit"),
+        col("obs.effectiveDateTime").alias("effective_date"),
+    )
+
+
+def condition_text(entry_df: DataFrame) -> DataFrame:
+    """Text-fidelity Condition projection: the reference projects
+    ``Condition.code.text`` (free text, `01_dbignite_sample.py:52`) where
+    ``patient_conditions`` normalizes to ``coding[0].display``; this
+    variant carries BOTH so the fidelity choice is the caller's."""
+    c = entry_df.select(
+        col("bundleUUID"), explode("Condition").alias("condition")
+    )
+    return c.select(
+        col("bundleUUID").alias("UNIQUE_FHIR_ID"),
+        col("condition.id").alias("condition_id"),
+        _first(col("condition.code.coding.code")).alias("condition_code"),
+        col("condition.code.text").alias("condition_text"),
+        _first(col("condition.code.coding.display")).alias(
+            "condition_description"
+        ),
+    )

@@ -32,7 +32,8 @@ from pyspark.sql.functions import col
 
 # One schema version for the on-disk corpus cache; bump when the bundle
 # content below changes so stale fixture directories are regenerated.
-CORPUS_VERSION = "v2"
+CORPUS_VERSION = "v3"  # v3: + Observation resource per bundle
+LOINC = "http://loinc.org"
 
 CPT = "http://www.ama-assn.org/go/cpt"
 SNOMED = "http://snomed.info/sct"
@@ -79,8 +80,8 @@ def bundle_json_df(
 ) -> DataFrame:
     """(value, _file_path) frame of synthetic bundle JSON documents — one
     bundle per customer with c_custkey < ``max_custkey``, each holding a
-    Patient, Condition, Claim (2 items), MedicationRequest and
-    Practitioner whose fields are closed-form functions of c_custkey.
+    Patient, Condition, Claim (2 items), MedicationRequest, Practitioner
+    and Observation whose fields are closed-form functions of c_custkey.
     ``_file_path`` is the stable pseudo-path ``mem://bundles/<key>`` so
     bundleUUIDs are reproducible and oracle-computable (md5 of the same
     string)."""
@@ -197,6 +198,28 @@ def bundle_json_df(
         ).alias("telecom"),
     )
 
+    observation = F.struct(
+        F.lit("Observation").alias("resourceType"),
+        _cat("obs-", k).alias("id"),
+        _pick(("final", "amended", "preliminary"), k).alias("status"),
+        _codeable(_cat("L", k % 20), _cat("loinc-", k % 20), LOINC).alias(
+            "code"
+        ),
+        F.struct(_cat("Patient/p-", k).alias("reference")).alias("subject"),
+        F.format_string(
+            "%04d-%02d-%02d", (k % 5 + 2019).cast("int"),
+            ((k + 2) % 12 + 1).cast("int"), ((k + 9) % 28 + 1).cast("int"),
+        ).alias("effectiveDateTime"),
+        F.struct(
+            # integer part + m/10.0: exactly the double DuckDB computes
+            # from the same expression, and JSON shortest-repr round-trips
+            (k % 60 + 140 + (k % 10) / F.lit(10.0)).alias("value"),
+            F.lit("cm").alias("unit"),
+            F.lit("http://unitsofmeasure.org").alias("system"),
+            F.lit("cm").alias("code"),
+        ).alias("valueQuantity"),
+    )
+
     def entry_json(resource: F.Column) -> F.Column:
         return F.to_json(F.struct(resource.alias("resource")))
 
@@ -211,6 +234,7 @@ def bundle_json_df(
             entry_json(claim),
             entry_json(medreq),
             entry_json(practitioner),
+            entry_json(observation),
         ),
         F.lit("]}"),
     )
@@ -245,18 +269,23 @@ def write_corpus(
     if os.path.exists(marker):
         return out
     rows = bundle_json_df(spark, sf_dir, max_custkey=max_custkey).collect()
-    tmp = out + ".tmp"
-    os.makedirs(tmp, exist_ok=True)
+    # Stage into a PER-PROCESS dir: a shared `out + ".tmp"` would let two
+    # concurrent generators interleave writes (and the loser's cleanup
+    # delete a third writer's files). The atomic os.rename is the only
+    # commit point; losing the rename race (or finding `out` already
+    # present) just means another writer won — discard our staging copy.
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp)
     for r in rows:
         key = r["_file_path"].rsplit("/", 1)[-1]
         with open(os.path.join(tmp, f"bundle-{int(key):06d}.json"), "w") as f:
             f.write(r["value"])
     with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
         f.write(f"{len(rows)}\n")
-    if os.path.exists(out):  # lost a race with a concurrent generator
+    try:
+        os.rename(tmp, out)
+    except OSError:  # lost the race: a complete corpus already landed
         import shutil
 
-        shutil.rmtree(tmp)
-    else:
-        os.rename(tmp, out)
+        shutil.rmtree(tmp, ignore_errors=True)
     return out

@@ -50,7 +50,11 @@ def _uuid_from_md5(col):
     )
 
 
-def entry_from_json(raw: DataFrame, schemas: FhirSchemaModel | None = None) -> DataFrame:
+def entry_from_json(
+    raw: DataFrame,
+    schemas: FhirSchemaModel | None = None,
+    include_other: bool = False,
+) -> DataFrame:
     """Bundle-row DataFrame from a frame of raw bundle JSON documents.
 
     ``raw`` must carry ``value`` (the bundle JSON text) and ``_file_path``
@@ -59,6 +63,14 @@ def entry_from_json(raw: DataFrame, schemas: FhirSchemaModel | None = None) -> D
     ingest bundles that never touched a filesystem (message queues,
     generated fixtures, streaming micro-batches): same single-parse
     VARIANT path, same typed extraction, same bundleUUID derivation.
+
+    ``include_other=True`` adds an ``_other`` column
+    (array<struct<resourceType,resource>>, the resource re-serialized as
+    JSON text) holding every entry whose resourceType is NOT in
+    ``schemas`` — so resources outside the declared catalog are
+    auditable instead of silently dropped. Off by default: the extra
+    array traversal + re-serialization is only worth paying when the
+    catalog might not cover the corpus.
     """
     schemas = schemas or FhirSchemaModel()
     # try_parse_json: a single corrupt document among millions must degrade
@@ -98,6 +110,27 @@ def entry_from_json(raw: DataFrame, schemas: FhirSchemaModel | None = None) -> D
         cols.append(
             F.when(F.size(typed) > 0, typed).alias(rt)
         )
+    if include_other:
+        known = [F.lit(rt) for rt in schemas.resource_types()]
+        rt_of = lambda e: F.variant_get(  # noqa: E731 - local shape helper
+            e, "$.resource.resourceType", "string"
+        )
+        others = F.transform(
+            F.filter(
+                entries,
+                lambda e: ~F.coalesce(
+                    rt_of(e).isin(*known) if known else F.lit(False),
+                    F.lit(False),
+                ),
+            ),
+            lambda e: F.struct(
+                rt_of(e).alias("resourceType"),
+                F.to_json(F.variant_get(e, "$.resource", "variant")).alias(
+                    "resource"
+                ),
+            ),
+        )
+        cols.append(F.when(F.size(others) > 0, others).alias("_other"))
     return v.select(*cols)
 
 
@@ -124,9 +157,15 @@ class FhirBundles:
 
     # -- ingestion ----------------------------------------------------------
 
-    def entry(self, schemas: FhirSchemaModel | None = None) -> DataFrame:
+    def entry(
+        self,
+        schemas: FhirSchemaModel | None = None,
+        include_other: bool = False,
+    ) -> DataFrame:
         """Bundle-row DataFrame: bundleUUID, timestamp, bundle metadata, and
-        one ``array<struct>`` column per resource type in ``schemas``."""
+        one ``array<struct>`` column per resource type in ``schemas``
+        (plus ``_other`` for out-of-catalog resources when
+        ``include_other=True``)."""
         reader = self.spark.read
         if self.glob_filter:
             reader = reader.option("pathGlobFilter", self.glob_filter)
@@ -134,7 +173,9 @@ class FhirBundles:
             F.col("value"),
             F.col("_metadata.file_path").alias("_file_path"),
         )
-        self._entry_df = entry_from_json(raw, schemas=schemas)
+        self._entry_df = entry_from_json(
+            raw, schemas=schemas, include_other=include_other
+        )
         return self._entry_df
 
     # -- sinks ---------------------------------------------------------------

@@ -179,18 +179,24 @@ def nearest_centroid(
                 c["k"].alias("k"),
             ),
         )
+    # NULL-initialized accumulator: a centroid with a NULL rounded
+    # similarity never replaces the best, and "nothing won yet" is
+    # NULL-k — distinguishable from EVERY real id, so legitimately
+    # negative centroid ids survive (a -1 init sentinel would alias
+    # part of the id domain and silently null it out).
     best = F.aggregate(
         sims,
         F.struct(
-            F.lit(-1e300).alias("v"), F.lit(-1).cast("bigint").alias("k")
+            F.lit(None).cast("double").alias("v"),
+            F.lit(None).cast("bigint").alias("k"),
         ),
-        lambda acc, s: F.when(s["v"] >= acc["v"], s).otherwise(acc),
+        lambda acc, s: F.when(
+            s["v"].isNotNull() & (acc["v"].isNull() | (s["v"] >= acc["v"])), s
+        ).otherwise(acc),
     )
-    # If no centroid wins (empty centroid array, or every rounded
-    # similarity is NULL — e.g. a vector with a NULL element), surface
-    # NULL, not the -1 init sentinel: -1 would flow downstream as a
-    # real-looking cluster id.
-    return F.when(best["k"] >= 0, best["k"])
+    # Empty centroid array, or every rounded similarity NULL (e.g. a
+    # vector with a NULL element) → NULL cell.
+    return best["k"]
 
 
 def query_cells(

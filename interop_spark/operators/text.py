@@ -231,6 +231,10 @@ def gopher_quality_flags(text: Column) -> Column:
         & (alpha >= 0.8)
         & (ls["bullet_ratio"] < 0.9)
         & (ls["ellipsis_ratio"] < 0.3)
+        # repetition gate: Gopher drops documents whose duplicate-line
+        # fraction exceeds 0.30; without this, `keep` is laxer than the
+        # cited rule set even though the signal is computed
+        & (ls["dup_line_ratio"] <= 0.30)
     )
     return F.struct(
         n_words.alias("n_words"),

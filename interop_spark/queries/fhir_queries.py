@@ -144,12 +144,33 @@ _SYNTH_LIMIT = 400  # bundles in the in-memory fixture (sf0.01 has 1500)
 _CORPUS_LIMIT = 1200  # bundles in the on-disk reader-throughput corpus
 
 
+# One JSON-encode → variant-parse per (session, sf, schema-map): the five
+# synthetic analytics queries share the materialized entry frame instead
+# of re-running the encode+parse subtree each (round-3 verdict item) —
+# the localCheckpoint lives for the session, exactly the driver's
+# correctness-gate usage pattern.
+_ENTRY_CACHE: dict = {}
+
+
 def _synthetic_entry(spark: SparkSession, sf_dir: str, schemas=None):
     from interop_spark.fhir.gen import bundle_json_df
     from interop_spark.fhir.reader import entry_from_json
 
-    raw = bundle_json_df(spark, sf_dir, max_custkey=_SYNTH_LIMIT)
-    return entry_from_json(raw, schemas=schemas)
+    schema_key = (
+        None
+        if schemas is None
+        else tuple(
+            (rt, schemas.schema(rt).simpleString())
+            for rt in sorted(schemas.resource_types())
+        )
+    )
+    key = (spark.sparkContext.applicationId, sf_dir, schema_key)
+    df = _ENTRY_CACHE.get(key)
+    if df is None:
+        raw = bundle_json_df(spark, sf_dir, max_custkey=_SYNTH_LIMIT)
+        df = entry_from_json(raw, schemas=schemas).localCheckpoint(eager=False)
+        _ENTRY_CACHE[key] = df
+    return df
 
 
 def q_fhir_patient_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,6 +247,27 @@ def q_fhir_omop_person(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fhir_patient_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patient × Observation flattening over the synthetic corpus — the
+    first query through the data-file catalog's Synthea types (round-4:
+    Observation schemas existed nowhere in round 3). valueQuantity.value
+    is a double computed identically in both engines (int + m/10.0) and
+    JSON shortest-repr round-trips it exactly."""
+    from interop_spark.fhir.analytics import patient_observations
+
+    return patient_observations(_synthetic_entry(spark, sf_dir))
+
+
+def q_fhir_condition_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condition text-fidelity projection: code.text (the reference's
+    choice, `01_dbignite_sample.py:52`) alongside coding[0].display —
+    pins that the parse path carries free-text fields, not only coded
+    ones (STATUS round-3 'known gaps' candidate)."""
+    from interop_spark.fhir.analytics import condition_text
+
+    return condition_text(_synthetic_entry(spark, sf_dir))
+
+
 def q_fhir_ingest_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reader THROUGHPUT path over a real file corpus: ~1200 generated
     bundle files (one .json per bundle, deterministic content) →
@@ -275,6 +317,8 @@ QUERIES = {
     "fhir_providers_practitioners": q_fhir_providers_practitioners,
     "fhir_omop_person": q_fhir_omop_person,
     "fhir_ingest_corpus": q_fhir_ingest_corpus,
+    "fhir_patient_observations": q_fhir_patient_observations,
+    "fhir_condition_text": q_fhir_condition_text,
 }
 
 # the 4 deterministic rows adt_events yields from the reference's sample
@@ -432,6 +476,28 @@ ORACLE = {
                max({_DK_COND_DATE}) AS max_condition_date
         FROM customer WHERE c_custkey < {_CORPUS_LIMIT}
         GROUP BY 1, 2
+    """,
+    "fhir_patient_observations": f"""
+        SELECT {_DK_UUID} AS UNIQUE_FHIR_ID,
+               'p-' || c_custkey::VARCHAR AS Patient,
+               CASE (c_custkey % 3) WHEN 0 THEN 'final'
+                 WHEN 1 THEN 'amended' ELSE 'preliminary' END AS obs_status,
+               'L' || (c_custkey % 20)::VARCHAR AS obs_code,
+               'http://loinc.org' AS obs_code_system,
+               c_custkey % 60 + 140 + (c_custkey % 10) / 10.0 AS obs_value,
+               'cm' AS obs_unit,
+               printf('%04d-%02d-%02d', 2019 + c_custkey % 5,
+                      (c_custkey + 2) % 12 + 1,
+                      (c_custkey + 9) % 28 + 1) AS effective_date
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+    """,
+    "fhir_condition_text": f"""
+        SELECT {_DK_UUID} AS UNIQUE_FHIR_ID,
+               'cond-' || c_custkey::VARCHAR AS condition_id,
+               'C' || (c_custkey % 50)::VARCHAR AS condition_code,
+               'condtext-' || (c_custkey % 50)::VARCHAR AS condition_text,
+               'cond-' || (c_custkey % 50)::VARCHAR AS condition_description
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
     """,
     "bundle_collect_flatten": """
         SELECT c_name AS customer_name,

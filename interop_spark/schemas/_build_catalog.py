@@ -1,0 +1,642 @@
+"""Catalog builder — regenerates the JSON schema data files in this
+directory (`<ResourceType>.json`, Spark ``StructType.jsonValue()`` format).
+
+The engine NEVER imports this module: `fhir/schema.py` loads the JSON
+files directly (SURVEY §7.2 "schemas as data files, not code"). This
+script is the provenance of those files — rerun it after editing a
+resource definition:
+
+    python -m interop_spark.schemas._build_catalog
+
+Definitions are hand-derived from the public FHIR R4 specification
+(hl7.org/fhir/R4): the 13 resource types the reference's notebook and
+sample bundles touch (`01_dbignite_sample.py:141-146`,
+`sampledata/adt_records/ADT_A01_FHIR.json`) plus the types a real
+Synthea export contains (reference `README.md:31` names Observation /
+Immunization / DiagnosticReport / Procedure bundles) and the common
+companions (CarePlan, AllergyIntolerance, Device, Goal, Medication,
+ImagingStudy, SupplyDelivery, ExplanationOfBenefit, DocumentReference,
+Provenance) — so pointing ``read_from_directory`` at real Synthea
+output yields typed columns instead of silently dropping resources.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from interop_spark.fhir.schema import (
+    ADDRESS,
+    ANNOTATION,
+    ATTACHMENT,
+    CODEABLE_CONCEPT,
+    CODING,
+    CONTACT_POINT,
+    EXTENSION,
+    HUMAN_NAME,
+    IDENTIFIER,
+    MONEY,
+    PERIOD,
+    QUANTITY,
+    REFERENCE,
+    B,
+    D,
+    I,
+    S,
+    _arr,
+    _resource,
+    _struct,
+)
+
+# ---- the 13 resource types in evidence in the reference -------------------
+
+PATIENT = _resource(
+    identifier=_arr(IDENTIFIER),
+    active=B,
+    name=_arr(HUMAN_NAME),
+    telecom=_arr(CONTACT_POINT),
+    gender=S,
+    birthDate=S,
+    deceasedBoolean=B,
+    deceasedDateTime=S,
+    address=_arr(ADDRESS),
+    maritalStatus=CODEABLE_CONCEPT,
+    multipleBirthBoolean=B,
+    multipleBirthInteger=I,
+    communication=_arr(_struct(language=CODEABLE_CONCEPT, preferred=B)),
+    generalPractitioner=_arr(REFERENCE),
+    managingOrganization=REFERENCE,
+    extension=_arr(EXTENSION),
+)
+
+MESSAGE_HEADER = _resource(
+    eventCoding=CODING,
+    definition=S,
+    source=_struct(name=S, software=S, version=S, endpoint=S),
+    destination=_arr(_struct(name=S, endpoint=S, receiver=REFERENCE)),
+    focus=_arr(REFERENCE),
+    sender=REFERENCE,
+    enterer=REFERENCE,
+    author=REFERENCE,
+    responsible=REFERENCE,
+    reason=CODEABLE_CONCEPT,
+)
+
+ENCOUNTER = _resource(
+    identifier=_arr(IDENTIFIER),
+    status=S,
+    **{"class": CODING},
+    type=_arr(CODEABLE_CONCEPT),
+    serviceType=CODEABLE_CONCEPT,
+    priority=CODEABLE_CONCEPT,
+    subject=REFERENCE,
+    participant=_arr(
+        _struct(type=_arr(CODEABLE_CONCEPT), period=PERIOD, individual=REFERENCE)
+    ),
+    period=PERIOD,
+    reasonCode=_arr(CODEABLE_CONCEPT),
+    hospitalization=_struct(
+        admitSource=CODEABLE_CONCEPT,
+        dischargeDisposition=CODEABLE_CONCEPT,
+        destination=REFERENCE,
+    ),
+    location=_arr(
+        _struct(location=REFERENCE, status=S, physicalType=CODEABLE_CONCEPT)
+    ),
+    serviceProvider=REFERENCE,
+    account=_arr(REFERENCE),
+)
+
+ACCOUNT = _resource(
+    identifier=_arr(IDENTIFIER),
+    status=S,
+    type=CODEABLE_CONCEPT,
+    name=S,
+    subject=_arr(REFERENCE),
+    servicePeriod=PERIOD,
+    coverage=_arr(_struct(coverage=REFERENCE, priority=I)),
+    owner=REFERENCE,
+    description=S,
+    guarantor=_arr(_struct(party=REFERENCE, onHold=B, period=PERIOD)),
+)
+
+RELATED_PERSON = _resource(
+    identifier=_arr(IDENTIFIER),
+    active=B,
+    patient=REFERENCE,
+    relationship=_arr(CODEABLE_CONCEPT),
+    name=_arr(HUMAN_NAME),
+    telecom=_arr(CONTACT_POINT),
+    gender=S,
+    birthDate=S,
+    address=_arr(ADDRESS),
+)
+
+ORGANIZATION = _resource(
+    identifier=_arr(IDENTIFIER),
+    active=B,
+    type=_arr(CODEABLE_CONCEPT),
+    name=S,
+    telecom=_arr(CONTACT_POINT),
+    address=_arr(ADDRESS),
+    partOf=REFERENCE,
+)
+
+PRACTITIONER = _resource(
+    identifier=_arr(IDENTIFIER),
+    active=B,
+    name=_arr(HUMAN_NAME),
+    telecom=_arr(CONTACT_POINT),
+    address=_arr(ADDRESS),
+    gender=S,
+    birthDate=S,
+    qualification=_arr(
+        _struct(identifier=_arr(IDENTIFIER), code=CODEABLE_CONCEPT, period=PERIOD)
+    ),
+)
+
+CARE_TEAM = _resource(
+    identifier=_arr(IDENTIFIER),
+    status=S,
+    name=S,
+    subject=REFERENCE,
+    encounter=REFERENCE,
+    participant=_arr(
+        _struct(role=_arr(CODEABLE_CONCEPT), member=REFERENCE, period=PERIOD)
+    ),
+)
+
+LOCATION = _resource(
+    identifier=_arr(IDENTIFIER),
+    status=S,
+    name=S,
+    mode=S,
+    type=_arr(CODEABLE_CONCEPT),
+    telecom=_arr(CONTACT_POINT),
+    address=ADDRESS,
+    physicalType=CODEABLE_CONCEPT,
+    partOf=REFERENCE,
+)
+
+COVERAGE = _resource(
+    identifier=_arr(IDENTIFIER),
+    status=S,
+    type=CODEABLE_CONCEPT,
+    policyHolder=REFERENCE,
+    subscriber=REFERENCE,
+    subscriberId=S,
+    beneficiary=REFERENCE,
+    dependent=S,
+    relationship=CODEABLE_CONCEPT,
+    period=PERIOD,
+    payor=_arr(REFERENCE),
+    **{"class": _arr(_struct(type=CODEABLE_CONCEPT, value=S, name=S))},
+    order=I,
+    network=S,
+)
+
+CONDITION = _resource(
+    identifier=_arr(IDENTIFIER),
+    clinicalStatus=CODEABLE_CONCEPT,
+    verificationStatus=CODEABLE_CONCEPT,
+    category=_arr(CODEABLE_CONCEPT),
+    severity=CODEABLE_CONCEPT,
+    code=CODEABLE_CONCEPT,
+    subject=REFERENCE,
+    encounter=REFERENCE,
+    onsetDateTime=S,
+    abatementDateTime=S,
+    recordedDate=S,
+)
+
+CLAIM = _resource(
+    identifier=_arr(IDENTIFIER),
+    status=S,
+    type=CODEABLE_CONCEPT,
+    use=S,
+    patient=REFERENCE,
+    billablePeriod=PERIOD,
+    created=S,
+    provider=REFERENCE,
+    priority=CODEABLE_CONCEPT,
+    prescription=REFERENCE,
+    insurance=_arr(_struct(sequence=I, focal=B, coverage=REFERENCE)),
+    diagnosis=_arr(
+        _struct(
+            sequence=I,
+            diagnosisCodeableConcept=CODEABLE_CONCEPT,
+            diagnosisReference=REFERENCE,
+        )
+    ),
+    procedure=_arr(
+        _struct(
+            sequence=I,
+            procedureCodeableConcept=CODEABLE_CONCEPT,
+            procedureReference=REFERENCE,
+        )
+    ),
+    item=_arr(
+        _struct(
+            sequence=I,
+            productOrService=CODEABLE_CONCEPT,
+            servicedPeriod=PERIOD,
+            encounter=_arr(REFERENCE),
+            unitPrice=MONEY,
+            net=MONEY,
+        )
+    ),
+    total=MONEY,
+)
+
+# The reference demonstrates that MedicationRequest's default schema LACKS
+# medicationCodeableConcept and must be user-extended
+# (`01_dbignite_sample.py:118-146`); we keep the same default so the
+# override path is exercised identically.
+MEDICATION_REQUEST = _resource(
+    identifier=_arr(IDENTIFIER),
+    status=S,
+    intent=S,
+    medicationReference=REFERENCE,
+    subject=REFERENCE,
+    encounter=REFERENCE,
+    authoredOn=S,
+    requester=REFERENCE,
+    reasonReference=_arr(REFERENCE),
+    dosageInstruction=_arr(
+        _struct(sequence=I, text=S, asNeededBoolean=B)
+    ),
+)
+
+# ---- the Synthea types (reference README.md:31) ----------------------------
+
+OBSERVATION = _resource(
+    identifier=_arr(IDENTIFIER),
+    basedOn=_arr(REFERENCE),
+    status=S,
+    category=_arr(CODEABLE_CONCEPT),
+    code=CODEABLE_CONCEPT,
+    subject=REFERENCE,
+    encounter=REFERENCE,
+    effectiveDateTime=S,
+    effectivePeriod=PERIOD,
+    issued=S,
+    performer=_arr(REFERENCE),
+    valueQuantity=QUANTITY,
+    valueCodeableConcept=CODEABLE_CONCEPT,
+    valueString=S,
+    valueBoolean=B,
+    valueInteger=I,
+    dataAbsentReason=CODEABLE_CONCEPT,
+    interpretation=_arr(CODEABLE_CONCEPT),
+    note=_arr(ANNOTATION),
+    bodySite=CODEABLE_CONCEPT,
+    method=CODEABLE_CONCEPT,
+    referenceRange=_arr(
+        _struct(low=QUANTITY, high=QUANTITY, type=CODEABLE_CONCEPT, text=S)
+    ),
+    component=_arr(
+        _struct(
+            code=CODEABLE_CONCEPT,
+            valueQuantity=QUANTITY,
+            valueCodeableConcept=CODEABLE_CONCEPT,
+            valueString=S,
+            dataAbsentReason=CODEABLE_CONCEPT,
+        )
+    ),
+)
+
+PROCEDURE = _resource(
+    identifier=_arr(IDENTIFIER),
+    status=S,
+    statusReason=CODEABLE_CONCEPT,
+    category=CODEABLE_CONCEPT,
+    code=CODEABLE_CONCEPT,
+    subject=REFERENCE,
+    encounter=REFERENCE,
+    performedDateTime=S,
+    performedPeriod=PERIOD,
+    recorder=REFERENCE,
+    asserter=REFERENCE,
+    performer=_arr(
+        _struct(function=CODEABLE_CONCEPT, actor=REFERENCE, onBehalfOf=REFERENCE)
+    ),
+    location=REFERENCE,
+    reasonCode=_arr(CODEABLE_CONCEPT),
+    reasonReference=_arr(REFERENCE),
+    bodySite=_arr(CODEABLE_CONCEPT),
+    outcome=CODEABLE_CONCEPT,
+    report=_arr(REFERENCE),
+    note=_arr(ANNOTATION),
+)
+
+IMMUNIZATION = _resource(
+    identifier=_arr(IDENTIFIER),
+    status=S,
+    statusReason=CODEABLE_CONCEPT,
+    vaccineCode=CODEABLE_CONCEPT,
+    patient=REFERENCE,
+    encounter=REFERENCE,
+    occurrenceDateTime=S,
+    recorded=S,
+    primarySource=B,
+    location=REFERENCE,
+    manufacturer=REFERENCE,
+    lotNumber=S,
+    expirationDate=S,
+    site=CODEABLE_CONCEPT,
+    route=CODEABLE_CONCEPT,
+    doseQuantity=QUANTITY,
+    performer=_arr(_struct(function=CODEABLE_CONCEPT, actor=REFERENCE)),
+    note=_arr(ANNOTATION),
+    reasonCode=_arr(CODEABLE_CONCEPT),
+    protocolApplied=_arr(
+        _struct(
+            series=S,
+            doseNumberPositiveInt=I,
+            targetDisease=_arr(CODEABLE_CONCEPT),
+        )
+    ),
+)
+
+DIAGNOSTIC_REPORT = _resource(
+    identifier=_arr(IDENTIFIER),
+    basedOn=_arr(REFERENCE),
+    status=S,
+    category=_arr(CODEABLE_CONCEPT),
+    code=CODEABLE_CONCEPT,
+    subject=REFERENCE,
+    encounter=REFERENCE,
+    effectiveDateTime=S,
+    effectivePeriod=PERIOD,
+    issued=S,
+    performer=_arr(REFERENCE),
+    resultsInterpreter=_arr(REFERENCE),
+    result=_arr(REFERENCE),
+    conclusion=S,
+    conclusionCode=_arr(CODEABLE_CONCEPT),
+    presentedForm=_arr(ATTACHMENT),
+)
+
+# ---- common companions in real exports -------------------------------------
+
+ALLERGY_INTOLERANCE = _resource(
+    identifier=_arr(IDENTIFIER),
+    clinicalStatus=CODEABLE_CONCEPT,
+    verificationStatus=CODEABLE_CONCEPT,
+    type=S,
+    category=_arr(S),
+    criticality=S,
+    code=CODEABLE_CONCEPT,
+    patient=REFERENCE,
+    encounter=REFERENCE,
+    onsetDateTime=S,
+    recordedDate=S,
+    recorder=REFERENCE,
+    note=_arr(ANNOTATION),
+    reaction=_arr(
+        _struct(
+            substance=CODEABLE_CONCEPT,
+            manifestation=_arr(CODEABLE_CONCEPT),
+            severity=S,
+        )
+    ),
+)
+
+CARE_PLAN = _resource(
+    identifier=_arr(IDENTIFIER),
+    basedOn=_arr(REFERENCE),
+    status=S,
+    intent=S,
+    category=_arr(CODEABLE_CONCEPT),
+    title=S,
+    description=S,
+    subject=REFERENCE,
+    encounter=REFERENCE,
+    period=PERIOD,
+    created=S,
+    author=REFERENCE,
+    careTeam=_arr(REFERENCE),
+    addresses=_arr(REFERENCE),
+    goal=_arr(REFERENCE),
+    activity=_arr(
+        _struct(
+            outcomeCodeableConcept=_arr(CODEABLE_CONCEPT),
+            detail=_struct(
+                code=CODEABLE_CONCEPT,
+                status=S,
+                location=REFERENCE,
+                description=S,
+            ),
+        )
+    ),
+)
+
+DEVICE = _resource(
+    identifier=_arr(IDENTIFIER),
+    udiCarrier=_arr(
+        _struct(deviceIdentifier=S, issuer=S, jurisdiction=S, carrierHRF=S)
+    ),
+    status=S,
+    manufacturer=S,
+    manufactureDate=S,
+    expirationDate=S,
+    lotNumber=S,
+    serialNumber=S,
+    deviceName=_arr(_struct(name=S, type=S)),
+    modelNumber=S,
+    type=CODEABLE_CONCEPT,
+    patient=REFERENCE,
+    owner=REFERENCE,
+)
+
+GOAL = _resource(
+    identifier=_arr(IDENTIFIER),
+    lifecycleStatus=S,
+    achievementStatus=CODEABLE_CONCEPT,
+    category=_arr(CODEABLE_CONCEPT),
+    priority=CODEABLE_CONCEPT,
+    description=CODEABLE_CONCEPT,
+    subject=REFERENCE,
+    startDate=S,
+    target=_arr(
+        _struct(
+            measure=CODEABLE_CONCEPT,
+            detailQuantity=QUANTITY,
+            dueDate=S,
+        )
+    ),
+    statusDate=S,
+    expressedBy=REFERENCE,
+    addresses=_arr(REFERENCE),
+    note=_arr(ANNOTATION),
+)
+
+MEDICATION = _resource(
+    identifier=_arr(IDENTIFIER),
+    code=CODEABLE_CONCEPT,
+    status=S,
+    manufacturer=REFERENCE,
+    form=CODEABLE_CONCEPT,
+    amount=_struct(numerator=QUANTITY, denominator=QUANTITY),
+    ingredient=_arr(
+        _struct(
+            itemCodeableConcept=CODEABLE_CONCEPT,
+            itemReference=REFERENCE,
+            isActive=B,
+        )
+    ),
+    batch=_struct(lotNumber=S, expirationDate=S),
+)
+
+IMAGING_STUDY = _resource(
+    identifier=_arr(IDENTIFIER),
+    status=S,
+    subject=REFERENCE,
+    encounter=REFERENCE,
+    started=S,
+    numberOfSeries=I,
+    numberOfInstances=I,
+    procedureCode=_arr(CODEABLE_CONCEPT),
+    location=REFERENCE,
+    series=_arr(
+        _struct(
+            uid=S,
+            number=I,
+            modality=CODING,
+            description=S,
+            numberOfInstances=I,
+            bodySite=CODING,
+            started=S,
+            instance=_arr(_struct(uid=S, sopClass=CODING, number=I, title=S)),
+        )
+    ),
+)
+
+SUPPLY_DELIVERY = _resource(
+    identifier=_arr(IDENTIFIER),
+    status=S,
+    patient=REFERENCE,
+    type=CODEABLE_CONCEPT,
+    suppliedItem=_struct(quantity=QUANTITY, itemCodeableConcept=CODEABLE_CONCEPT),
+    occurrenceDateTime=S,
+    supplier=REFERENCE,
+    destination=REFERENCE,
+)
+
+EXPLANATION_OF_BENEFIT = _resource(
+    identifier=_arr(IDENTIFIER),
+    status=S,
+    type=CODEABLE_CONCEPT,
+    use=S,
+    patient=REFERENCE,
+    billablePeriod=PERIOD,
+    created=S,
+    insurer=REFERENCE,
+    provider=REFERENCE,
+    referral=REFERENCE,
+    facility=REFERENCE,
+    claim=REFERENCE,
+    outcome=S,
+    careTeam=_arr(
+        _struct(sequence=I, provider=REFERENCE, role=CODEABLE_CONCEPT)
+    ),
+    insurance=_arr(_struct(focal=B, coverage=REFERENCE)),
+    diagnosis=_arr(
+        _struct(
+            sequence=I,
+            diagnosisCodeableConcept=CODEABLE_CONCEPT,
+            diagnosisReference=REFERENCE,
+            type=_arr(CODEABLE_CONCEPT),
+        )
+    ),
+    item=_arr(
+        _struct(
+            sequence=I,
+            category=CODEABLE_CONCEPT,
+            productOrService=CODEABLE_CONCEPT,
+            servicedPeriod=PERIOD,
+            locationCodeableConcept=CODEABLE_CONCEPT,
+            encounter=_arr(REFERENCE),
+            unitPrice=MONEY,
+            net=MONEY,
+            adjudication=_arr(
+                _struct(category=CODEABLE_CONCEPT, amount=MONEY)
+            ),
+        )
+    ),
+    total=_arr(_struct(category=CODEABLE_CONCEPT, amount=MONEY)),
+    payment=_struct(amount=MONEY),
+)
+
+DOCUMENT_REFERENCE = _resource(
+    identifier=_arr(IDENTIFIER),
+    status=S,
+    docStatus=S,
+    type=CODEABLE_CONCEPT,
+    category=_arr(CODEABLE_CONCEPT),
+    subject=REFERENCE,
+    date=S,
+    author=_arr(REFERENCE),
+    custodian=REFERENCE,
+    content=_arr(_struct(attachment=ATTACHMENT, format=CODING)),
+    context=_struct(
+        encounter=_arr(REFERENCE), period=PERIOD, facilityType=CODEABLE_CONCEPT
+    ),
+)
+
+PROVENANCE = _resource(
+    target=_arr(REFERENCE),
+    recorded=S,
+    agent=_arr(
+        _struct(
+            type=CODEABLE_CONCEPT,
+            role=_arr(CODEABLE_CONCEPT),
+            who=REFERENCE,
+            onBehalfOf=REFERENCE,
+        )
+    ),
+)
+
+CATALOG = {
+    "Patient": PATIENT,
+    "MessageHeader": MESSAGE_HEADER,
+    "Encounter": ENCOUNTER,
+    "Account": ACCOUNT,
+    "RelatedPerson": RELATED_PERSON,
+    "Organization": ORGANIZATION,
+    "Practitioner": PRACTITIONER,
+    "CareTeam": CARE_TEAM,
+    "Location": LOCATION,
+    "Coverage": COVERAGE,
+    "Condition": CONDITION,
+    "Claim": CLAIM,
+    "MedicationRequest": MEDICATION_REQUEST,
+    "Observation": OBSERVATION,
+    "Procedure": PROCEDURE,
+    "Immunization": IMMUNIZATION,
+    "DiagnosticReport": DIAGNOSTIC_REPORT,
+    "AllergyIntolerance": ALLERGY_INTOLERANCE,
+    "CarePlan": CARE_PLAN,
+    "Device": DEVICE,
+    "Goal": GOAL,
+    "Medication": MEDICATION,
+    "ImagingStudy": IMAGING_STUDY,
+    "SupplyDelivery": SUPPLY_DELIVERY,
+    "ExplanationOfBenefit": EXPLANATION_OF_BENEFIT,
+    "DocumentReference": DOCUMENT_REFERENCE,
+    "Provenance": PROVENANCE,
+}
+
+
+def main() -> None:
+    here = os.path.dirname(os.path.abspath(__file__))
+    for name, st in CATALOG.items():
+        path = os.path.join(here, f"{name}.json")
+        with open(path, "w") as f:
+            json.dump(st.jsonValue(), f, indent=1, sort_keys=True)
+            f.write("\n")
+    print(f"wrote {len(CATALOG)} schema files to {here}")
+
+
+if __name__ == "__main__":
+    main()

@@ -106,6 +106,9 @@ SESSION_SCHEMA = (
 _SESSION_STATE_SCHEMA = (
     "session_start double, last_ts double, n bigint, value_sum double"
 )
+# event-time variant: state is the buffered (ts, value) events of OPEN
+# sessions, so late-but-admissible arrivals re-derive sessions correctly
+_SESSION_BUFFER_STATE_SCHEMA = "ts array<double>, value array<double>"
 
 
 def sessionize_stream(
@@ -189,14 +192,28 @@ def sessionize_stream_event_time(
     gap_seconds: int = 1800,
     watermark: str = "10 minutes",
 ) -> DataFrame:
-    """Event-time-timeout sessionization: like ``sessionize_stream`` but a
-    session also closes when the WATERMARK passes its last event plus the
-    gap (``GroupStateTimeout.EventTimeTimeout``), not when wall-clock
-    elapses. Closure is therefore a deterministic function of the DATA —
-    replaying the same files yields the same emitted sessions regardless
-    of processing speed, which is what makes backfills reproducible. A
-    session whose deadline the watermark has not reached stays open (and
-    unemitted) when the stream stops.
+    """Event-time-timeout sessionization: a session closes when the
+    WATERMARK passes its last event plus the gap
+    (``GroupStateTimeout.EventTimeTimeout``), not when wall-clock elapses.
+
+    The state is the BUFFER of events belonging to still-open sessions,
+    and sessions are re-derived from the ordered merge of that buffer on
+    every invocation — so out-of-order arrival ACROSS micro-batches
+    (exactly the case event-time + watermark exists for) lands in the
+    right place: a late event inside the watermark extends/backfills its
+    session instead of regressing ``session_end`` or being merged without
+    updating ``session_start``. A session is emitted only once its
+    ``last + gap`` deadline is at or behind the watermark, at which point
+    no admissible future event can join it (any joiner would carry
+    ``ts <= last + gap <= watermark`` and be dropped as too late) — the
+    emitted session SET is therefore a deterministic function of the
+    data, independent of batch boundaries, which is what makes backfills
+    reproducible. Sessions still inside the watermark horizon stay open
+    (and unemitted) when the stream stops.
+
+    State is bounded: only events of open sessions are buffered, i.e.
+    events newer than roughly ``watermark − gap`` per user — the same
+    bound Spark's built-in ``session_window`` state carries.
     """
     import pandas as pd  # noqa: F401 (documents the worker dependency)
 
@@ -206,9 +223,53 @@ def sessionize_stream_event_time(
         import pandas as pd
 
         user_id = key[0]
+        wm_sec = state.getCurrentWatermarkMs() / 1000.0
 
-        def emit(s0, last, n, vsum):
-            return pd.DataFrame(
+        buf_ts: list = []
+        buf_val: list = []
+        if state.exists:
+            ts0, val0 = state.get
+            buf_ts, buf_val = list(ts0), list(val0)
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                buf_ts.extend(t.timestamp() for t in pdf["ts"])
+                buf_val.extend(float(v) for v in pdf["value"])
+
+        # ordered merge of buffered + new events; (ts, value) is a
+        # deterministic sort key, so replay order never changes sessions
+        events_sorted = sorted(zip(buf_ts, buf_val))
+        sessions: list[list] = []  # [s0, last, n, vsum, [(t, v), ...]]
+        for t, v in events_sorted:
+            if sessions and t - sessions[-1][1] <= gap:
+                s = sessions[-1]
+                s[1] = t
+                s[2] += 1
+                s[3] += v
+                s[4].append((t, v))
+            else:
+                sessions.append([t, t, 1, v, [(t, v)]])
+
+        closed = [s for s in sessions if s[1] + gap <= wm_sec]
+        open_ = [s for s in sessions if s[1] + gap > wm_sec]
+
+        if open_:
+            keep = [p for s in open_ for p in s[4]]
+            state.update((
+                [p[0] for p in keep],
+                [p[1] for p in keep],
+            ))
+            # wake when the earliest open deadline falls behind the
+            # watermark; must be strictly ahead of the current watermark
+            # or Spark rejects the timestamp
+            deadline_ms = int(min(s[1] + gap for s in open_) * 1000)
+            state.setTimeoutTimestamp(
+                max(deadline_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        elif state.exists:
+            state.remove()
+
+        for s0, last, n, vsum, _ in closed:
+            yield pd.DataFrame(
                 {
                     "user_id": [user_id],
                     "session_start": [pd.Timestamp(round(s0 * 1e6), unit="us")],
@@ -218,47 +279,13 @@ def sessionize_stream_event_time(
                 }
             )
 
-        if state.hasTimedOut:
-            if state.exists:
-                s0, last, n, vsum = state.get
-                state.remove()
-                yield emit(s0, last, n, vsum)
-            return
-
-        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
-        out = []
-        if state.exists:
-            s0, last, n, vsum = state.get
-        else:
-            s0 = last = None
-            n, vsum = 0, 0.0
-        for ts, value in zip(rows["ts"], rows["value"]):
-            t = ts.timestamp()
-            if last is not None and t - last > gap:
-                out.append((s0, last, n, vsum))
-                s0, n, vsum = t, 0, 0.0
-            if s0 is None:
-                s0 = t
-            last = t
-            n += 1
-            vsum += float(value)
-        state.update((s0, last, n, vsum))
-        # close when the watermark passes last+gap; the timestamp must be
-        # strictly ahead of the current watermark or Spark rejects it
-        deadline_ms = int((last + gap) * 1000)
-        state.setTimeoutTimestamp(
-            max(deadline_ms, state.getCurrentWatermarkMs() + 1)
-        )
-        for o in out:
-            yield emit(*o)
-
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
     return src.groupBy("user_id").applyInPandasWithState(
         _fn,
         outputStructType=SESSION_SCHEMA,
-        stateStructType=_SESSION_STATE_SCHEMA,
+        stateStructType=_SESSION_BUFFER_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -321,3 +321,111 @@ def test_condition_text_fidelity_projection(spark):
         r.via_display.replace("cond-", "") == r.via_text.replace("condtext-", "")
         for r in rows
     )
+
+
+def test_catalog_covers_synthea_types(spark, tmp_path):
+    """A bundle holding the resource types a real Synthea export contains
+    (reference README.md:31: Observation, Immunization, DiagnosticReport,
+    Procedure) yields TYPED columns from the default data-file catalog —
+    the round-3 gap where these silently produced no columns."""
+    from interop_spark.fhir import read_from_directory
+
+    bundle = {
+        "resourceType": "Bundle",
+        "id": "syn-1",
+        "type": "transaction",
+        "timestamp": "2024-02-02T00:00:00Z",
+        "entry": [
+            {"resource": {
+                "resourceType": "Observation",
+                "id": "obs-1",
+                "status": "final",
+                "code": {"coding": [{"system": "http://loinc.org",
+                                     "code": "8302-2",
+                                     "display": "Body Height"}]},
+                "subject": {"reference": "Patient/p-1"},
+                "effectiveDateTime": "2024-01-15T10:00:00Z",
+                "valueQuantity": {"value": 172.1, "unit": "cm",
+                                  "system": "http://unitsofmeasure.org",
+                                  "code": "cm"},
+            }},
+            {"resource": {
+                "resourceType": "Procedure",
+                "id": "proc-1",
+                "status": "completed",
+                "code": {"coding": [{"system": "http://snomed.info/sct",
+                                     "code": "80146002"}]},
+                "subject": {"reference": "Patient/p-1"},
+                "performedDateTime": "2024-01-16T09:30:00Z",
+            }},
+            {"resource": {
+                "resourceType": "Immunization",
+                "id": "imm-1",
+                "status": "completed",
+                "vaccineCode": {"coding": [{"code": "140"}]},
+                "patient": {"reference": "Patient/p-1"},
+                "occurrenceDateTime": "2024-01-17",
+            }},
+            {"resource": {
+                "resourceType": "DiagnosticReport",
+                "id": "dr-1",
+                "status": "final",
+                "code": {"coding": [{"code": "58410-2"}]},
+                "subject": {"reference": "Patient/p-1"},
+                "result": [{"reference": "Observation/obs-1"}],
+            }},
+        ],
+    }
+    d = tmp_path / "synthea"
+    d.mkdir()
+    (d / "b1.json").write_text(json.dumps(bundle))
+
+    entry = read_from_directory(str(d), spark=spark).entry()
+    row = entry.collect()[0]
+    assert row.Observation[0].valueQuantity.value == 172.1
+    assert row.Observation[0].code.coding[0].code == "8302-2"
+    assert row.Procedure[0].performedDateTime == "2024-01-16T09:30:00Z"
+    assert row.Immunization[0].vaccineCode.coding[0].code == "140"
+    assert row.DiagnosticReport[0].result[0].reference == "Observation/obs-1"
+
+
+def test_unknown_resource_type_surfaces_in_other(spark, tmp_path):
+    """A resource type OUTSIDE the catalog must be auditable, not silently
+    dropped: include_other=True lands it in `_other` with its raw JSON."""
+    from interop_spark.fhir import read_from_directory
+    from interop_spark.fhir.schema import FhirSchemaModel
+
+    bundle = {
+        "resourceType": "Bundle",
+        "id": "x-1",
+        "type": "transaction",
+        "timestamp": "2024-02-02T00:00:00Z",
+        "entry": [
+            {"resource": {"resourceType": "Patient", "id": "p-9"}},
+            {"resource": {"resourceType": "Basic", "id": "basic-1",
+                          "code": {"coding": [{"code": "referral"}]}}},
+        ],
+    }
+    d = tmp_path / "other"
+    d.mkdir()
+    (d / "b1.json").write_text(json.dumps(bundle))
+
+    entry = read_from_directory(str(d), spark=spark).entry(include_other=True)
+    row = entry.collect()[0]
+    assert row.Patient[0].id == "p-9"
+    assert len(row._other) == 1
+    assert row._other[0].resourceType == "Basic"
+    assert json.loads(row._other[0].resource)["id"] == "basic-1"
+
+    # default stays lean: no _other column unless asked for
+    assert "_other" not in read_from_directory(str(d), spark=spark).entry().columns
+
+    # a restricted schema map pushes even KNOWN types into _other
+    restricted = read_from_directory(str(d), spark=spark).entry(
+        schemas=FhirSchemaModel(
+            fhir_resource_map={"Patient": FhirSchemaModel().schema("Patient")}
+        ),
+        include_other=True,
+    )
+    r2 = restricted.collect()[0]
+    assert {o.resourceType for o in r2._other} == {"Basic"}

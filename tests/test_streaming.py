@@ -226,3 +226,80 @@ def test_sessionize_event_time_timeout(spark, tmp_path):
         (1, t0, t0 + 600, 3, 6.0),
         (2, t0, t0, 1, 5.0),
     }
+
+
+def test_sessionize_event_time_out_of_order_across_batches(spark, tmp_path):
+    """Out-of-order arrival ACROSS micro-batches, inside the watermark —
+    the case event-time sessionization exists for. A late event that
+    precedes the stored session must backfill session_start (not be
+    merged without it) and must never regress session_end; the emitted
+    session is identical to what an in-order replay yields."""
+    import datetime as _dt
+    import json as _json
+    import os as _os
+
+    from interop_spark.streaming.streams import (
+        EVENT_JSON_SCHEMA,
+        sessionize_stream_event_time,
+    )
+
+    d = tmp_path / "ev_ooo"
+    d.mkdir()
+    t0 = 1700000000
+    HOUR = 3600
+
+    def ev(eid, ts, uid, value):
+        return _json.dumps(
+            {
+                "event_id": eid,
+                "ts": _dt.datetime.fromtimestamp(
+                    ts, _dt.timezone.utc
+                ).strftime("%Y-%m-%dT%H:%M:%S.000Z"),
+                "user_id": uid,
+                "event_type": "x",
+                "value": value,
+                "props": "{}",
+            }
+        )
+
+    # batch 1: the session's LATEST event arrives first
+    (d / "f1.json").write_text(ev(1, t0 + 600, 1, 3.0))
+    # batch 2: two OLDER events for the same session — admissible, since
+    # the watermark after batch 1 is (t0+600) - 10min = t0 < t0+300;
+    # one even precedes the stored first event (start must backfill)
+    (d / "f2.json").write_text(
+        "\n".join([ev(2, t0 + 300, 1, 2.0), ev(3, t0, 1, 1.0)])
+    )
+    # batch 3: a far-future event pushes the watermark past the deadline
+    (d / "f3.json").write_text(ev(4, t0 + 3 * HOUR, 2, 9.0))
+    # force discovery order = f1, f2, f3 (file source orders by mod time)
+    for i, name in enumerate(("f1.json", "f2.json", "f3.json")):
+        _os.utime(d / name, (t0 + i * 100, t0 + i * 100))
+
+    src = (
+        spark.readStream.schema(EVENT_JSON_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+        .json(str(d))
+    )
+    q = (
+        sessionize_stream_event_time(
+            src, gap_seconds=1800, watermark="10 minutes",
+        )
+        .writeStream.format("memory")
+        .queryName("sess_ooo")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    # availableNow honors maxFilesPerTrigger=1 → 3 separate micro-batches
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, int(r.session_start.timestamp()),
+         int(r.session_end.timestamp()), r.events_in_session,
+         r.session_value)
+        for r in spark.table("sess_ooo").collect()
+    }
+    # u1's merged session: start at the LATE-arriving earliest event t0,
+    # end at t0+600 (never regressed), all 3 events, value 1+2+3;
+    # u2's tail is still ahead of the final watermark → unemitted
+    assert got == {(1, t0, t0 + 600, 3, 6.0)}
