@@ -334,3 +334,79 @@ def test_ivf_index_full_probe_matches_brute_force(spark, sf_dir):
     for r in one:
         if r.vec_id in brute_scores:
             assert r.cosine_sim == brute_scores[r.vec_id]
+
+
+# ---------------------------------------------------------------------------
+# k-means training (operators/kmeans.py)
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_objective_nondecreasing(spark, sf_dir):
+    """Spherical k-means property: each Lloyd iteration's average-cosine
+    objective is >= the previous one's (mean update = mean direction;
+    cosine is scale-invariant), up to the 9-decimal rounding the
+    assignment applies."""
+    from pyspark.sql.functions import col
+
+    from interop_spark.io import load
+    from interop_spark.operators.kmeans import (
+        centroid_update,
+        kmeans_init,
+        kmeans_objective,
+    )
+    from interop_spark.operators.similarity import ivf_assign
+
+    e = load(spark, sf_dir, "embeddings")
+    cents = kmeans_init(e, 4)
+    objs = []
+    for _ in range(4):
+        assigned = ivf_assign(e, cents).localCheckpoint()
+        objs.append(kmeans_objective(assigned, cents))
+        cents = centroid_update(assigned)
+    # final objective against the last update too
+    assigned = ivf_assign(e, cents).localCheckpoint()
+    objs.append(kmeans_objective(assigned, cents))
+    for prev, nxt in zip(objs, objs[1:]):
+        assert nxt >= prev - 1e-6, objs
+
+
+def test_kmeans_fit_converges_and_is_fixpoint(spark, sf_dir):
+    from pyspark.sql.functions import col
+
+    from interop_spark.io import load
+    from interop_spark.operators.kmeans import kmeans_fit
+    from interop_spark.operators.similarity import ivf_assign
+
+    e = load(spark, sf_dir, "embeddings")
+    cents, assigned, n_iters, converged = kmeans_fit(e, k=4, max_iters=20)
+    assert converged, f"did not converge in 20 iters"
+    assert n_iters >= 1
+    assert cents.count() <= 4  # empty cells may drop
+    # fixpoint: re-assigning against the returned centroids reproduces
+    # the returned assignment exactly
+    re = ivf_assign(e, cents).withColumnRenamed("cell", "cell2")
+    diff = (
+        assigned.join(re.select("vec_id", "cell2"), "vec_id")
+        .where(~col("cell").eqNullSafe(col("cell2")))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_kmeans_centroid_update_drops_empty_cells_only(spark, sf_dir):
+    """centroid_update output ids are a subset of assigned cells, and
+    every non-empty cell yields exactly one centroid of full dimension."""
+    from pyspark.sql import functions as F
+
+    from interop_spark.io import load
+    from interop_spark.operators.kmeans import kmeans_init, kmeans_one_step
+
+    e = load(spark, sf_dir, "embeddings")
+    cents = kmeans_one_step(e, kmeans_init(e, 4))
+    rows = cents.select(
+        "centroid_id", F.size("centroid").alias("d")
+    ).collect()
+    assert 1 <= len(rows) <= 4
+    assert len({r.centroid_id for r in rows}) == len(rows)
+    dim = len(e.select("embedding").first()[0])
+    assert all(r.d == dim for r in rows)
