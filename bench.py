@@ -50,6 +50,93 @@ HEADLINE = [
 ]
 
 
+def _scaled_documents(spark, sf_dir: str, mult: int):
+    """documents × ``mult`` derived from the driver's own parquet (no
+    sf1.0 fixture exists): each replica gets a distinct doc_id range and
+    a per-replica text suffix so neither fingerprints nor signatures
+    collapse across replicas."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col
+
+    d = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    if mult == 1:
+        return d
+    reps = spark.range(mult).select(col("id").alias("rep"))
+    return d.crossJoin(reps).select(
+        (col("doc_id") * mult + col("rep")).alias("doc_id"),
+        F.when(col("rep") == 0, col("text"))
+        .otherwise(F.concat(col("text"), F.lit(" v"), col("rep")))
+        .alias("text"),
+    )
+
+
+def _scaling_probes(spark, sf_dir: str) -> dict:
+    """Scaling-curve evidence (round-3 verdict item 7): the dedup
+    operators' claimed linear-in-corpus behavior, measured. Each probe
+    runs the REAL operator over the full documents table at 1x and 10x
+    volume; with plan/codegen cost fixed, the 10x time must come in well
+    under 10x the 1x time at this scale."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col
+
+    from interop_spark.operators import dedup as dd
+
+    def simhash_pairs(d):
+        # the q_simhash_neardup_pairs operator body, parameterized on its
+        # input (the query itself pins a bounded oracle slice)
+        sh = d.select(
+            "doc_id", dd.simhash_wide_of_hashes(dd.token_hashes_wide(col("text"))).alias("sh")
+        ).localCheckpoint()
+        banded = sh.select(
+            "doc_id", "sh",
+            F.posexplode(dd.simhash_wide_bands(col("sh"))).alias("band_idx", "band_val"),
+        )
+        return (
+            banded.alias("l")
+            .join(
+                banded.alias("r"),
+                (col("l.band_idx") == col("r.band_idx"))
+                & (col("l.band_val") == col("r.band_val"))
+                & (col("l.doc_id") < col("r.doc_id")),
+            )
+            .select(
+                col("l.doc_id").alias("doc_a"),
+                col("r.doc_id").alias("doc_b"),
+                dd.hamming_wide(col("l.sh"), col("r.sh")).cast("int").alias("hamming"),
+            )
+            .where(col("hamming") <= 12)
+            .distinct()
+        )
+
+    probes = {
+        "exact_dedup": lambda d: dd.exact_dup_groups(d, "text", "doc_id"),
+        "minhash_lsh_neardup": lambda d: dd.minhash_candidate_pairs(
+            d, "doc_id", "text"
+        ),
+        "simhash_neardup_pairs": simhash_pairs,
+    }
+    out: dict = {}
+    for name, fn in probes.items():
+        entry = {}
+        for mult in (1, 10):
+            d = _scaled_documents(spark, sf_dir, mult)
+            samples = []
+            for _ in range(3 if mult == 1 else 2):
+                t0 = _time.time()
+                fn(d).write.format("noop").mode("overwrite").save()
+                samples.append(_time.time() - t0)
+            entry[f"x{mult}"] = round(min(samples), 3)
+        entry["ratio_10x"] = round(entry["x10"] / max(entry["x1"], 1e-9), 1)
+        out[name] = entry
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -80,18 +167,17 @@ def main() -> None:
         times[name] = round(samples[len(samples) // 2], 3)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_warm_total",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf else None,
-                "reps": reps,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_warm_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf else None,
+        "reps": reps,
+    }
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+        result["scaling"] = _scaling_probes(spark, sf_dir)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -92,11 +92,15 @@ def q_fhir_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             col("c_custkey").cast("string").alias("CUST_ID"),
             col("c_name").alias("CUST_NAME"),
+            # non-string leaf: the oracle guards the writer's typed-leaf
+            # encoding (JSON number, not string) end-to-end
+            (col("c_custkey") % 4).cast("int").alias("MULTI_BIRTH"),
         )
     )
     maps = [
         Mapping("CUST_ID", "Patient.id"),
         Mapping("CUST_NAME", "Patient.name.text"),
+        Mapping("MULTI_BIRTH", "Patient.multipleBirthInteger"),
     ]
     emitted = Bundle(MappingManager(maps, src.schema)).df_to_fhir_df(src)
     v = emitted.select(F.try_parse_json(col("value")).alias("v"))
@@ -105,6 +109,9 @@ def q_fhir_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(
             "v", "$.entry[0].resource.name[0].text", "string"
         ).alias("patient_name"),
+        F.variant_get(
+            "v", "$.entry[0].resource.multipleBirthInteger", "bigint"
+        ).alias("multiple_birth"),
     )
 
 
@@ -509,7 +516,8 @@ ORACLE = {
     "fhir_adt_timeline": _adt_values_sql(),
     "fhir_writer_roundtrip": """
         SELECT CAST(c_custkey AS VARCHAR) AS patient_id,
-               c_name AS patient_name
+               c_name AS patient_name,
+               CAST(c_custkey % 4 AS BIGINT) AS multiple_birth
         FROM customer WHERE c_custkey < 50
     """,
     "multimodal_features": """

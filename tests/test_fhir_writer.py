@@ -344,3 +344,56 @@ def test_extension_encoding_roundtrip(spark, tmp_path):
         ["White", "Not Hispanic or Latino"],
     )
     assert got["p2"] == ([US_CORE_RACE], ["Asian"])
+
+
+def test_writer_reader_roundtrip_unitprice_multiplebirth(spark, tmp_path):
+    """writer ∘ reader ≈ identity on the round-4 typed deep paths:
+    Claim.item.unitPrice.value (decimal inside a repeated item) and
+    Patient.multipleBirthInteger (integer-valued choice field) — both
+    must survive as JSON numbers and re-read through the declared
+    catalog schemas with their numeric types intact."""
+    import json as _json
+
+    from interop_spark.fhir import (
+        Bundle,
+        Mapping,
+        MappingManager,
+        read_from_directory,
+    )
+
+    src = spark.createDataFrame(
+        [("p1", 3, "c1", 19.99, 1), ("p2", 0, "c2", 250.5, 2)],
+        "PID string, MBI int, CLM string, UNIT double, SEQ int",
+    )
+    maps = [
+        Mapping("PID", "Patient.id"),
+        Mapping("MBI", "Patient.multipleBirthInteger"),
+        Mapping("CLM", "Claim.id"),
+        Mapping("UNIT", "Claim.item.unitPrice.value"),
+        Mapping("SEQ", "Claim.item.sequence"),
+    ]
+    out = Bundle(MappingManager(maps, src.schema)).df_to_fhir_df(src).collect()
+    # JSON numbers, not strings
+    b0 = _json.loads(out[0].value)
+    res = {e["resource"]["resourceType"]: e["resource"] for e in b0["entry"]}
+    assert isinstance(res["Patient"]["multipleBirthInteger"], int)
+    assert isinstance(res["Claim"]["item"][0]["unitPrice"]["value"], float)
+
+    d = tmp_path / "rt_unit"
+    d.mkdir()
+    for i, r in enumerate(out):
+        (d / f"b{i}.json").write_text(r.value)
+    entry = read_from_directory(str(d), spark=spark).entry()
+    got = {
+        (r.pid, r.mbi, r.cid, r.unit, r.seq)
+        for r in entry.selectExpr(
+            "explode(Patient) AS p", "Claim"
+        ).selectExpr(
+            "p.id AS pid",
+            "p.multipleBirthInteger AS mbi",
+            "Claim[0].id AS cid",
+            "Claim[0].item[0].unitPrice.value AS unit",
+            "Claim[0].item[0].sequence AS seq",
+        ).collect()
+    }
+    assert got == {("p1", 3, "c1", 19.99, 1), ("p2", 0, "c2", 250.5, 2)}
