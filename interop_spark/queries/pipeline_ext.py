@@ -71,7 +71,11 @@ def q_kmeans_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic first-k seeding, posexploded to (centroid_id, dim,
     comp) rows so the 64-dim centroid arrays get a full value-hash
     oracle. comp is the operator's 9-decimal component re-rounded to 4
-    for cross-engine mean stability."""
+    for cross-engine mean stability, then ``+ 0.0`` to normalize signed
+    zero — a mean like -0.000044 rounds to -0.0 in DuckDB but +0.0 in
+    Spark, and the driver's value hash distinguishes them (the round-4
+    failure); IEEE -0.0 + 0.0 = +0.0 collapses both engines to the same
+    bits."""
     from interop_spark.operators.kmeans import kmeans_init, kmeans_one_step
 
     e = load(spark, sf_dir, "embeddings")
@@ -81,7 +85,7 @@ def q_kmeans_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "centroid_id",
         (col("pos") + 1).alias("dim"),
-        F.round(col("c"), 4).alias("comp"),
+        (F.round(col("c"), 4) + F.lit(0.0)).alias("comp"),
     )
 
 
@@ -183,7 +187,7 @@ ORACLE = {
         )
         SELECT cells.cell AS centroid_id,
                g.i AS dim,
-               round(round(avg(CAST(e.embedding[g.i] AS DOUBLE)), 9), 4)
+               round(round(avg(CAST(e.embedding[g.i] AS DOUBLE)), 9), 4) + 0.0
                  AS comp
         FROM cells
         JOIN embeddings e ON cells.vec_id = e.vec_id

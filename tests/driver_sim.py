@@ -37,7 +37,10 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return repr(v + 0.0)
+        # sign-preserving: the driver's hash distinguishes -0.0 from +0.0
+        # (round-4 kmeans_one_step failed on exactly this while `v + 0.0`
+        # here collapsed the sign and printed ALL MATCH)
+        return repr(v)
     return str(v)
 
 
