@@ -63,14 +63,24 @@ def _scaled_documents(spark, sf_dir: str, mult: int):
     d = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet")).select(
         "doc_id", "text"
     )
+    # the sf0.1 parquet is ONE file → one input split → one task; without
+    # an explicit repartition the whole probe runs single-core and the
+    # replicated corpus concentrates in one partition (the round-4 OOM).
+    # A 100 TB table has thousands of splits and never hits this; the
+    # probe must model that, not the single-file degenerate case.
+    par = spark.sparkContext.defaultParallelism
     if mult == 1:
-        return d
+        return d.repartition(par)
     reps = spark.range(mult).select(col("id").alias("rep"))
-    return d.crossJoin(reps).select(
-        (col("doc_id") * mult + col("rep")).alias("doc_id"),
-        F.when(col("rep") == 0, col("text"))
-        .otherwise(F.concat(col("text"), F.lit(" v"), col("rep")))
-        .alias("text"),
+    return (
+        d.crossJoin(reps)
+        .select(
+            (col("doc_id") * mult + col("rep")).alias("doc_id"),
+            F.when(col("rep") == 0, col("text"))
+            .otherwise(F.concat(col("text"), F.lit(" v"), col("rep")))
+            .alias("text"),
+        )
+        .repartition(par)
     )
 
 
@@ -124,15 +134,22 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
     out: dict = {}
     for name, fn in probes.items():
         entry = {}
-        for mult in (1, 10):
-            d = _scaled_documents(spark, sf_dir, mult)
-            samples = []
-            for _ in range(3 if mult == 1 else 2):
-                t0 = _time.time()
-                fn(d).write.format("noop").mode("overwrite").save()
-                samples.append(_time.time() - t0)
-            entry[f"x{mult}"] = round(min(samples), 3)
-        entry["ratio_10x"] = round(entry["x10"] / max(entry["x1"], 1e-9), 1)
+        try:
+            for mult in (1, 10):
+                d = _scaled_documents(spark, sf_dir, mult)
+                samples = []
+                for _ in range(3 if mult == 1 else 2):
+                    t0 = _time.time()
+                    fn(d).write.format("noop").mode("overwrite").save()
+                    samples.append(_time.time() - t0)
+                    # free each sample's localCheckpoint blocks (signature
+                    # frames checkpoint internally); ContextCleaner drops
+                    # RDD blocks once the JVM refs are collected
+                    spark._jvm.System.gc()
+                entry[f"x{mult}"] = round(min(samples), 3)
+            entry["ratio_10x"] = round(entry["x10"] / max(entry["x1"], 1e-9), 1)
+        except Exception as e:  # a probe failure must not void the bench
+            entry["error"] = f"{type(e).__name__}: {e}"[:300]
         out[name] = entry
     return out
 
@@ -175,8 +192,16 @@ def main() -> None:
         "sf": float(sf) if sf else None,
         "reps": reps,
     }
+    # safety net: the headline numbers exist in the output even if the
+    # probes below take the JVM down (round-4 lost the whole artifact
+    # that way). Prefixed + stderr so the driver's one-JSON-line stdout
+    # contract still holds.
+    print("HEADLINE (pre-probe): " + json.dumps(result), file=sys.stderr, flush=True)
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
-        result["scaling"] = _scaling_probes(spark, sf_dir)
+        try:
+            result["scaling"] = _scaling_probes(spark, sf_dir)
+        except Exception as e:
+            result["scaling"] = {"error": f"{type(e).__name__}: {e}"[:300]}
     print(json.dumps(result))
 
 

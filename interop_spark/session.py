@@ -35,6 +35,13 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.parquet.filterPushdown": "true",
     # Timestamps in the fixtures are naive; keep parity with DuckDB.
     "spark.sql.session.timeZone": "UTC",
+    # local[N] puts driver + all executor threads + every localCheckpoint
+    # block in ONE JVM; Spark's 1 GiB default heap on a 32-core/128 GiB
+    # box OOMs under any real working set (round-4 bench died exactly
+    # this way). Only effective at JVM launch — a no-op when getOrCreate
+    # returns an existing session, which is the desired semantics. On a
+    # real cluster the deployment sets executor/driver memory instead.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }
 
 
