@@ -113,6 +113,7 @@ def minhash_candidate_pairs(
     rows: int = 3,
     shingle_n: int = 3,
     materialize: bool = True,
+    spread: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate candidates with exact-Jaccard verification.
 
@@ -131,11 +132,21 @@ def minhash_candidate_pairs(
     once per verification side (~2.5× wall-clock at test scale) — the
     local-mode analog of what a 100 TB run does anyway: persist the
     signature table before the candidate join.
+
+    ``spread=True`` repartitions the input to ``defaultParallelism``
+    before the (CPU-heavy) shingle+signature projection. Per-row
+    signature work inherits the INPUT's split count — fine on a
+    many-split 100 TB table, pathological on a single large file where
+    the whole corpus hashes on one core (the round-4 scaling probes
+    measured exactly that). Values are unaffected; pass ``False`` when
+    the input's partitioning is already wide.
     """
     if k < bands * rows:
         raise ValueError(
             f"minhash signature too short: k={k} < bands*rows={bands * rows}"
         )
+    if spread:
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     shing = df.select(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(text_col), shingle_n).alias("shingles"),
@@ -286,15 +297,23 @@ WIDE_BAND_BITS = 30  # 4 bands × 30 bits → ~1.07e9 keys per band
 
 
 def token_hashes_wide(text: Column) -> Column:
-    """120-bit token hash as struct<hi,lo>: two independent 60-bit slices
-    of the token's md5 (hex chars 1-15 and 16-30)."""
+    """120-bit token hash as struct<hi,lo>: two 60-bit slices of the
+    token's md5 (hex chars 1-15 and 16-30).
 
-    def _h(w: Column, start: int) -> Column:
-        return F.conv(F.substring(F.md5(w), start, 15), 16, 10).cast("bigint")
-
+    The md5 is evaluated ONCE per token (a first ``transform`` binds the
+    hex digest, a second slices both halves) — the fused form computed
+    ``F.md5(w)`` twice per token because HOF lambdas get no common-
+    subexpression elimination, and the round-4 scaling probes showed the
+    digest is the dominant per-doc signature cost. Values are identical
+    to the fused form (same digest, same slices), so the DuckDB oracle
+    and all downstream simhash results are unchanged."""
+    digests = F.transform(F.array_distinct(tokens(text)), lambda w: F.md5(w))
     return F.transform(
-        F.array_distinct(tokens(text)),
-        lambda w: F.struct(_h(w, 1).alias("hi"), _h(w, 16).alias("lo")),
+        digests,
+        lambda h: F.struct(
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint").alias("hi"),
+            F.conv(F.substring(h, 16, 15), 16, 10).cast("bigint").alias("lo"),
+        ),
     )
 
 
