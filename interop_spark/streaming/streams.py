@@ -203,9 +203,18 @@ def sessionize_stream_event_time(
     right place: a late event inside the watermark extends/backfills its
     session instead of regressing ``session_end`` or being merged without
     updating ``session_start``. A session is emitted only once its
-    ``last + gap`` deadline is at or behind the watermark, at which point
-    no admissible future event can join it (any joiner would carry
-    ``ts <= last + gap <= watermark`` and be dropped as too late) — the
+    ``last + gap`` deadline is STRICTLY behind the watermark, at which
+    point no admissible future event can join it. Admission semantics,
+    measured on this Spark build (see
+    ``test_sessionize_event_time_boundary_joiner_at_watermark``): with
+    ``EventTimeTimeout``, Spark's late-row filter drops events unless
+    ``ts > previous batch's watermark`` — an event at exactly
+    ``ts == watermark`` is NOT delivered, so even the non-strict close
+    (``<=``) could never lose an on-the-boundary joiner. The strict
+    close is kept as defense-in-depth: under either admission boundary
+    (``>`` or ``>=`` the late watermark) every event that Spark can
+    still deliver finds its session open, at the cost of holding a
+    deadline==watermark session one extra batch — the
     emitted session SET is therefore a deterministic function of the
     data, independent of batch boundaries, which is what makes backfills
     reproducible. Sessions still inside the watermark horizon stay open
@@ -249,8 +258,13 @@ def sessionize_stream_event_time(
             else:
                 sessions.append([t, t, 1, v, [(t, v)]])
 
-        closed = [s for s in sessions if s[1] + gap <= wm_sec]
-        open_ = [s for s in sessions if s[1] + gap > wm_sec]
+        # strict <: keeps a deadline==watermark session open one more
+        # batch. On this Spark build the late filter already drops a
+        # ts==watermark joiner (admission requires ts > the previous
+        # batch's watermark), so <= would also be safe — strict is
+        # version-robust should admission ever become inclusive.
+        closed = [s for s in sessions if s[1] + gap < wm_sec]
+        open_ = [s for s in sessions if s[1] + gap >= wm_sec]
 
         if open_:
             keep = [p for s in open_ for p in s[4]]

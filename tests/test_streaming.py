@@ -303,3 +303,96 @@ def test_sessionize_event_time_out_of_order_across_batches(spark, tmp_path):
     # end at t0+600 (never regressed), all 3 events, value 1+2+3;
     # u2's tail is still ahead of the final watermark → unemitted
     assert got == {(1, t0, t0 + 600, 3, 6.0)}
+
+
+def test_sessionize_event_time_boundary_joiner_at_watermark(spark, tmp_path):
+    """Pins the watermark-boundary admission semantics the closure rule
+    depends on (measured on this Spark build with an invocation-logging
+    probe): with EventTimeTimeout, the late-row filter delivers an event
+    only if ts > the PREVIOUS batch's watermark — a joiner at exactly
+    ts == watermark is dropped before the state function ever sees it.
+    Consequently a session whose deadline sits exactly on the watermark
+    can never be extended, the emitted set below is identical under the
+    strict (<) and non-strict (<=) closes, and the in-order replay that
+    WOULD have merged all three u1 events into one session is
+    unreachable through this stream. If a Spark upgrade makes admission
+    inclusive (ts >= late watermark), this test fails with u1's events
+    merged into (t0, t0+2400, 3, 6.0) — exactly the case the strict
+    close is kept for."""
+    import datetime as _dt
+    import json as _json
+    import os as _os
+
+    from interop_spark.streaming.streams import (
+        EVENT_JSON_SCHEMA,
+        sessionize_stream_event_time,
+    )
+
+    d = tmp_path / "ev_bnd"
+    d.mkdir()
+    t0 = 1700000000
+    HOUR = 3600
+
+    def ev(eid, ts, uid, value):
+        return _json.dumps(
+            {
+                "event_id": eid,
+                "ts": _dt.datetime.fromtimestamp(
+                    ts, _dt.timezone.utc
+                ).strftime("%Y-%m-%dT%H:%M:%S.000Z"),
+                "user_id": uid,
+                "event_type": "x",
+                "value": value,
+                "props": "{}",
+            }
+        )
+
+    # b1: u1's first event; session deadline = t0+1800
+    (d / "f1.json").write_text(ev(1, t0, 1, 1.0))
+    # b2: u2 @ t0+2400 pushes the NEXT batch's watermark to exactly
+    # t0+1800 == u1's deadline
+    (d / "f2.json").write_text(ev(2, t0 + 2400, 2, 5.0))
+    # b3: a LATER u1 event (new-session distance) triggers u1's group at
+    # wm == deadline; strict close keeps the t0 session open one more
+    # batch. Max event time unchanged, wm stays t0+1800.
+    (d / "f3.json").write_text(ev(3, t0 + 2400, 1, 3.0))
+    # b4: the boundary joiner at exactly ts == wm == t0+1800 — would
+    # bridge u1's two events into ONE session, but the late filter drops
+    # it (t0+1800 is not > the previous batch's watermark t0+1800)
+    (d / "f4.json").write_text(ev(4, t0 + 1800, 1, 2.0))
+    # b5: far-future u2 event advances the watermark past every deadline
+    (d / "f5.json").write_text(ev(5, t0 + 3 * HOUR, 2, 9.0))
+    for i, name in enumerate(("f1.json", "f2.json", "f3.json", "f4.json",
+                              "f5.json")):
+        _os.utime(d / name, (t0 + i * 100, t0 + i * 100))
+
+    src = (
+        spark.readStream.schema(EVENT_JSON_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        sessionize_stream_event_time(
+            src, gap_seconds=1800, watermark="10 minutes",
+        )
+        .writeStream.format("memory")
+        .queryName("sess_bnd")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = {
+        (r.user_id, int(r.session_start.timestamp()),
+         int(r.session_end.timestamp()), r.events_in_session,
+         r.session_value)
+        for r in spark.table("sess_bnd").collect()
+    }
+    # the boundary joiner never reaches the operator, so u1's two events
+    # finalize as separate singleton sessions; u2's first session closes
+    # under the final watermark, its tail stays open
+    assert got == {
+        (1, t0, t0, 1, 1.0),
+        (1, t0 + 2400, t0 + 2400, 1, 3.0),
+        (2, t0 + 2400, t0 + 2400, 1, 5.0),
+    }
