@@ -36,35 +36,66 @@ _MODULES = (
 # oracles locally each round (round 4: ALL MATCH at sf0.01; see
 # STATUS.md).
 #
-# Round-4 window (50):
-#   * fhir_queries, all 12 — fhir/schema.py (data-file catalog),
-#     fhir/gen.py (Observation resource), fhir/analytics.py and
-#     fhir/writer.py changed; 2 queries are NEW
-#     (fhir_patient_observations, fhir_condition_text).
-#   * pipeline_ext, all 3 — NEW (gopher_quality_flags, ivf_index_search,
-#     kmeans_one_step).
-#   * ivf_probe_topk, ivf_multiprobe_topk — operators/similarity.py
-#     changed: nearest_centroid's argmax accumulator is now
-#     NULL-initialized. Finer-than-module claim for the OTHER
-#     similarity-importing queries (knn_cosine, knn_batch,
-#     lsh_bucket_sizes, embedding_neardup, embedding_centroids): the
-#     round-4 similarity.py diff touches only nearest_centroid, which
-#     none of them call (they use cosine/lsh/brute-force kernels), and
-#     operators/text.py's diff touches only gopher_quality_flags, which
-#     no round-3 query calls — all five (and the rest of pipeline)
-#     retain their r3 green under unchanged code paths.
-#   * relational, all 28 + functions_battery 5 (string_funcs, date_funcs,
-#     arith_funcs, agg_stats, tumbling_window) — STALENESS ROTATION:
-#     these were last driver-checked in round 1; their modules are
-#     untouched, this re-verifies 33 of the 44 r1/r2-era rows.
+# Round-5 window (50):
+#   * sqlapi, all 9 + lead_lag + conditional_agg — STALENESS ROTATION
+#     per the round-4 plan: the last r1/r2-era rows re-verify; after
+#     this round every green row is r3 or newer. Their modules are
+#     untouched this round.
+#   * pipeline_ext, all 7 — kmeans_one_step changed (signed-zero
+#     normalization, the round-4 failure); kmeans_fit, pii_redact,
+#     decontam_ngram_overlap, dup_ngram_stats are NEW; module shared by
+#     gopher/ivf_index_search.
+#   * fhir_queries, all 12 — module changed: _ENTRY_CACHE eviction,
+#     fhir_writer_roundtrip widened with Money/Period leaves.
+#   * dedup.py-affected pipeline queries (5): the round-5 dedup diff
+#     touches token_hashes_wide (single-md5 digest; consumed only by
+#     simhash_neardup_pairs among queries) and minhash_candidate_pairs
+#     (new spread repartition; consumed by minhash_lsh_neardup,
+#     neardup_clusters, neardup_clusters_star, dedup_representatives).
+#     Finer-than-module claim for the REST of pipeline: exact_dedup
+#     (exact_dup_groups), simhash (token_hashes/simhash_of_hashes,
+#     60-bit path), doc_fingerprint (text.fingerprint) and the
+#     similarity/text-backed queries touch no changed function — and
+#     the two riskiest of those (exact_dedup, simhash) are in-window
+#     anyway via the staleness slots below.
+#   * staleness rotation (15): relational_ext 8 + temporal_q 2 +
+#     reshape 3 (all r3, untouched) + 2 r3-era pipeline rows
+#     (exact_dedup, simhash — the two whose dedup.py finer-than-module
+#     claims deserve re-execution).
 #
-# Out-of-window residue after round 4: sqlapi (9, r2-green) + lead_lag /
-# conditional_agg (r1-green) + the r3-green pipeline/temporal/reshape/
-# relational_ext rows. ROUND-5 ROTATION PLAN: put sqlapi + lead_lag +
-# conditional_agg in the window first — that retires every pre-r3 row.
+# Out-of-window residue after round 5: relational 28 + functions_battery
+# 5 (r4-green, untouched) + date_series (r3, untouched reshape) + the
+# remaining r3-green pipeline rows (ivf_probe/multiprobe r4). ROUND-6
+# ROTATION PLAN: the r3-era pipeline remainder (drop_duplicates,
+# train_test_split, text_*, lang_id, doc_fingerprint, knn_cosine,
+# knn_batch, embedding_neardup, embedding_centroids, lsh_bucket_sizes,
+# token_count_bpe, tfidf_top_terms, frame_sample, stratified_sample,
+# media_stats, ngram_jaccard_pairs) + date_series — that retires the
+# last r3 rows.
 # --------------------------------------------------------------------------
 _WINDOW = (
-    # fhir (12)
+    # staleness rotation: sqlapi (9, r2-era)
+    "groupby_ordinal_sql",
+    "approx_quantile",
+    "select_star_expansion",
+    "approx_count_distinct",
+    "in_subquery",
+    "scalar_subquery",
+    "union_all_sql",
+    "cross_join_sql",
+    "correlated_exists",
+    # staleness rotation: functions_battery residue (2, r1-era)
+    "lead_lag",
+    "conditional_agg",
+    # pipeline_ext (7; kmeans_one_step changed, 4 new)
+    "gopher_quality_flags",
+    "ivf_index_search",
+    "kmeans_one_step",
+    "kmeans_fit",
+    "pii_redact",
+    "decontam_ngram_overlap",
+    "dup_ngram_stats",
+    # fhir (12; module changed: cache eviction + widened roundtrip)
     "bundle_collect_flatten",
     "fhir_adt_timeline",
     "fhir_writer_roundtrip",
@@ -77,48 +108,30 @@ _WINDOW = (
     "fhir_ingest_corpus",
     "fhir_patient_observations",
     "fhir_condition_text",
-    # pipeline_ext (3, new)
-    "gopher_quality_flags",
-    "ivf_index_search",
-    "kmeans_one_step",
-    # similarity.py-affected (2)
-    "ivf_probe_topk",
-    "ivf_multiprobe_topk",
-    # staleness rotation: relational (28, r1-era)
-    "scan_project_filter",
-    "like_filter_or",
-    "substring_key",
-    "date_parts",
-    "case_when_literal",
-    "json_extract",
-    "inner_equi_join",
-    "computed_key_join",
-    "join_filter_pushdown",
-    "left_outer_exists_flag",
-    "left_semi_join",
-    "left_anti_join",
-    "multiway_join_agg",
-    "groupby_count",
-    "pricing_summary",
-    "count_distinct",
-    "agg_minmax",
-    "having_filter",
-    "topk_orders",
-    "set_union",
-    "set_intersect",
-    "set_except",
-    "explode_roundtrip",
-    "hof_filter_array",
-    "nested_struct_pluck",
-    "latest_event_per_user",
-    "running_total",
-    "sessionize",
-    # staleness rotation: functions_battery (5, r1-era)
-    "string_funcs",
-    "date_funcs",
-    "arith_funcs",
-    "agg_stats",
-    "tumbling_window",
+    # dedup.py-affected (5)
+    "simhash_neardup_pairs",
+    "minhash_lsh_neardup",
+    "neardup_clusters",
+    "neardup_clusters_star",
+    "dedup_representatives",
+    # staleness rotation: relational_ext (8, r3)
+    "rollup_agg",
+    "salted_join_agg",
+    "cube_agg",
+    "grouping_sets",
+    "argmax_agg",
+    "pivot_agg",
+    "array_funcs",
+    "merge_upsert",
+    # staleness rotation: temporal_q (2, r3) + reshape (3, r3)
+    "asof_join",
+    "range_join_pairs",
+    "unpivot",
+    "window_rank_battery",
+    "string_agg_sorted",
+    # staleness rotation: r3-era pipeline rows (2)
+    "exact_dedup",
+    "simhash",
 )
 
 

@@ -89,10 +89,240 @@ def q_kmeans_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KM_FIT_K = 4  # small-k fixpoint run — distinct from the one-step K
+KM_FIT_ITERS = 5
+
+
+def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Lloyd TRAINING LOOP (k=4, max_iters=5, deterministic
+    first-k seeding) as a driver query — `kmeans_one_step` checks one
+    update; this checks the iterated composition including the
+    assignment argmax chain across iterations. The oracle unrolls 5
+    steps as chained CTEs; early convergence is oracle-equivalent
+    because a Lloyd step at an assignment fixpoint reproduces the same
+    centroids (the per-iteration 9-decimal rounding is replicated on
+    both sides, so the fixpoint is bit-identical too). Output rounding
+    gets the same signed-zero normalization as `kmeans_one_step`."""
+    from interop_spark.operators.kmeans import kmeans_fit, kmeans_init
+
+    e = load(spark, sf_dir, "embeddings")
+    cents, _assigned, _n, _conv = kmeans_fit(
+        e, k=KM_FIT_K, max_iters=KM_FIT_ITERS, init=kmeans_init(e, KM_FIT_K)
+    )
+    return cents.select(
+        "centroid_id", F.posexplode("centroid").alias("pos", "c")
+    ).select(
+        "centroid_id",
+        (col("pos") + 1).alias("dim"),
+        (F.round(col("c"), 4) + F.lit(0.0)).alias("comp"),
+    )
+
+
+def _kmeans_fit_oracle(k: int, iters: int) -> str:
+    """Unrolled Lloyd iterations as chained CTEs. Each step replicates
+    the operator's rounding exactly: assignment cosine rounded to 9
+    (argmax = max(struct(v, centroid_id)) — ties to the higher id, the
+    ``ivf_assign`` contract), update = per-(cell, dim) mean rounded to
+    9, centroid arrays reassembled in dim order."""
+    parts = [
+        f"""cent0 AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+          FROM embeddings ORDER BY vec_id LIMIT {k}
+        )"""
+    ]
+    for it in range(1, iters + 1):
+        prev = f"cent{it - 1}"
+        parts.append(f"""sims{it} AS (
+          SELECT e.vec_id, c.centroid_id,
+                 round({_dk_dot('e.embedding', 'c.centroid')}
+                       / greatest({_dk_norm('e.embedding')}
+                                  * {_dk_norm('c.centroid')}, 1e-12), 9) AS v
+          FROM embeddings e, {prev} c
+        )""")
+        parts.append(f"""cells{it} AS (
+          SELECT vec_id, (max({{'v': v, 'k': centroid_id}})).k AS cell
+          FROM sims{it} GROUP BY vec_id
+        )""")
+        parts.append(f"""comp{it} AS (
+          SELECT cells{it}.cell, g.i,
+                 round(avg(CAST(e.embedding[g.i] AS DOUBLE)), 9) AS m
+          FROM cells{it}
+          JOIN embeddings e ON cells{it}.vec_id = e.vec_id
+          CROSS JOIN generate_series(1, {EMB_DIM}) AS g(i)
+          GROUP BY cells{it}.cell, g.i
+        )""")
+        parts.append(f"""cent{it} AS (
+          SELECT cell AS centroid_id, list(m ORDER BY i) AS centroid
+          FROM comp{it} GROUP BY cell
+        )""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT centroid_id, g.i AS dim,
+               round(centroid[g.i], 4) + 0.0 AS comp
+        FROM cent{iters} CROSS JOIN generate_series(1, {EMB_DIM}) AS g(i)
+    """
+    )
+
+
+# --------------------------------------------------------------------------
+# Round-5 pipeline additions: PII scrubbing, train/eval decontamination,
+# Gopher repetition signals — the remaining first-class text-pipeline ops
+# a 100 TB training-data run needs.
+# --------------------------------------------------------------------------
+
+# Conservative patterns with identical semantics in Java regex (Spark)
+# and RE2 (DuckDB): explicit classes, no lookaround, \b word boundaries.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b555-[0-9]{4}\b"
+
+DECONTAM_N = 8  # n-gram width for the overlap check (13 in the papers;
+#                 8 keeps the tiny fixture's shingle sets non-degenerate)
+DECONTAM_EVAL = 30  # doc_id < 30 = the "benchmark" set
+DECONTAM_TRAIN_HI = 200  # clean-train slice proving specificity
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: e-mail/phone redaction + per-doc match counts, one
+    projection pass (JVM regex — the shape that runs at 100 TB). The
+    corpus has no PII, so each doc gets a deterministic synthetic
+    contact line appended; the op must find and redact exactly those.
+    The redacted text is emitted as md5 so the full string (not a
+    truncation) is value-checked."""
+    d = load(spark, sf_dir, "documents")
+    aug = F.concat(
+        col("text"),
+        F.lit(" Contact: user"),
+        col("doc_id").cast("string"),
+        F.lit("@example.com or 555-01"),
+        F.lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit("."),
+    )
+    t = d.select("doc_id", aug.alias("t2"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(col("t2"), PII_EMAIL_RE, "[EMAIL]"),
+        PII_PHONE_RE,
+        "[PHONE]",
+    )
+    return t.select(
+        "doc_id",
+        F.regexp_count(col("t2"), F.lit(PII_EMAIL_RE)).cast("bigint").alias(
+            "n_emails"
+        ),
+        F.regexp_count(col("t2"), F.lit(PII_PHONE_RE)).cast("bigint").alias(
+            "n_phones"
+        ),
+        F.md5(redacted).alias("redacted_md5"),
+        F.length(redacted).cast("bigint").alias("redacted_len"),
+    )
+
+
+def q_decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: count shared word 8-grams between each
+    train doc and each benchmark doc (the exact-substring contamination
+    check of the public eval-decontamination recipes). Shape: distinct
+    shingles per doc → md5 → equi-join on the hash → pair count — at
+    100 TB the shuffle carries (hash, doc_id) pairs only, and the small
+    eval side broadcasts. The fixture guarantees hits: train includes a
+    first-word-dropped mutation of every eval doc (near-total overlap)
+    plus untouched docs 30..200 (must not collide — specificity)."""
+    from interop_spark.operators.dedup import word_shingles
+    from interop_spark.queries.pipeline import DUP_OFFSET
+
+    d = load(spark, sf_dir, "documents")
+    ev = d.where(col("doc_id") < DECONTAM_EVAL).select("doc_id", "text")
+    train = (
+        ev.select(
+            (col("doc_id") + DUP_OFFSET).alias("doc_id"),
+            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+        )
+        .unionByName(
+            d.where(
+                (col("doc_id") >= DECONTAM_EVAL)
+                & (col("doc_id") < DECONTAM_TRAIN_HI)
+            ).select("doc_id", "text")
+        )
+    )
+
+    def sh(df, alias):
+        return df.select(
+            col("doc_id").alias(alias),
+            F.explode(word_shingles(col("text"), DECONTAM_N)).alias("s"),
+        ).select(alias, F.md5(col("s")).alias("h"))
+
+    return (
+        sh(train, "train_doc_id")
+        .join(F.broadcast(sh(ev, "eval_doc_id")), "h")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+
+
+def q_dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals (§A1.1 beyond the line-level gate in
+    `gopher_quality_flags`): per-doc bigram total, the most frequent
+    bigram's count, and its fraction.
+
+    ZERO-shuffle shape: the top-bigram multiplicity is doc-local, so
+    instead of explode → groupBy(doc, bigram) → groupBy(doc) (two
+    exchanges whose key space is the corpus's distinct bigrams) the
+    bigram array is sorted per row and one ``F.aggregate`` fold finds
+    the longest equal run — a pure projection that scans the corpus
+    once at any scale."""
+    from interop_spark.operators.text import tokens
+
+    d = load(spark, sf_dir, "documents")
+    t = tokens(col("text"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+    )
+
+    def _step(a, x):
+        run = (
+            F.when(x == a["prev"], a["run"] + 1)
+            .otherwise(F.lit(1))
+            .cast("bigint")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(a["best"], run).alias("best"),
+        )
+
+    folded = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(0).cast("bigint").alias("best"),
+        ),
+        _step,
+    )
+    return d.select(
+        "doc_id",
+        F.size(bigrams).cast("bigint").alias("n_bigrams"),
+        folded["best"].alias("top_bigram_n"),
+        # UNROUNDED: an integer÷integer double division is bit-identical
+        # across engines, while round()ing a quotient risks the
+        # shortest-repr-vs-exact-binary half-boundary divergence
+        (
+            folded["best"].cast("double")
+            / F.size(bigrams).cast("double")
+        ).alias("top_bigram_frac"),
+    )
+
+
 QUERIES = {
     "gopher_quality_flags": q_gopher_quality_flags,
     "ivf_index_search": q_ivf_index_search,
     "kmeans_one_step": q_kmeans_one_step,
+    "kmeans_fit": q_kmeans_fit,
+    "pii_redact": q_pii_redact,
+    "decontam_ngram_overlap": q_decontam_ngram_overlap,
+    "dup_ngram_stats": q_dup_ngram_stats,
 }
 
 
@@ -193,5 +423,87 @@ ORACLE = {
         JOIN embeddings e ON cells.vec_id = e.vec_id
         CROSS JOIN generate_series(1, {EMB_DIM}) AS g(i)
         GROUP BY cells.cell, g.i
+    """,
+    "kmeans_fit": _kmeans_fit_oracle(KM_FIT_K, KM_FIT_ITERS),
+    "pii_redact": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 text || ' Contact: user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com or 555-01'
+                      || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                      || '.' AS t2
+          FROM documents
+        ),
+        r AS (
+          SELECT doc_id, t2,
+                 regexp_replace(
+                   regexp_replace(t2, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+                   '{PII_PHONE_RE}', '[PHONE]', 'g') AS red
+          FROM t
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t2, '{PII_EMAIL_RE}')) AS BIGINT)
+                 AS n_emails,
+               CAST(len(regexp_extract_all(t2, '{PII_PHONE_RE}')) AS BIGINT)
+                 AS n_phones,
+               md5(red) AS redacted_md5,
+               CAST(length(red) AS BIGINT) AS redacted_len
+        FROM r
+    """,
+    "decontam_ngram_overlap": f"""
+        WITH ev AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < {DECONTAM_EVAL}
+        ),
+        train AS (
+          SELECT doc_id + 1000000 AS doc_id,
+                 substring(text, instr(text, ' ') + 1) AS text
+          FROM ev
+          UNION ALL
+          SELECT doc_id, text FROM documents
+          WHERE doc_id >= {DECONTAM_EVAL} AND doc_id < {DECONTAM_TRAIN_HI}
+        ),
+        tsh AS (
+          SELECT doc_id AS train_doc_id,
+                 md5(unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(
+                     len(string_split_regex(trim(text), '\\s+'))
+                     - {DECONTAM_N - 1}, 1)),
+                   i -> array_to_string(
+                     (string_split_regex(trim(text), '\\s+'))
+                       [i:i+{DECONTAM_N - 1}], ' '))))) AS h
+          FROM train
+        ),
+        esh AS (
+          SELECT doc_id AS eval_doc_id,
+                 md5(unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(
+                     len(string_split_regex(trim(text), '\\s+'))
+                     - {DECONTAM_N - 1}, 1)),
+                   i -> array_to_string(
+                     (string_split_regex(trim(text), '\\s+'))
+                       [i:i+{DECONTAM_N - 1}], ' '))))) AS h
+          FROM ev
+        )
+        SELECT train_doc_id, eval_doc_id,
+               CAST(count(*) AS BIGINT) AS n_shared_ngrams
+        FROM tsh JOIN esh USING (h)
+        GROUP BY train_doc_id, eval_doc_id
+    """,
+    "dup_ngram_stats": f"""
+        WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+        bg AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, greatest(len(toks) - 1, 1)),
+                   i -> array_to_string(toks[i:i+1], ' '))) AS bg
+          FROM t
+        ),
+        c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg)
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_bigrams,
+               CAST(max(c) AS BIGINT) AS top_bigram_n,
+               CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+                 AS top_bigram_frac
+        FROM c GROUP BY doc_id
     """,
 }
