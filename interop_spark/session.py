@@ -45,6 +45,41 @@ ENGINE_CONF: dict[str, str] = {
 }
 
 
+def object_store_conf(
+    committer: str = "magic", threads: int = 64
+) -> dict[str, str]:
+    """Recommended s3a posture for running this engine against an object
+    store (public hadoop-aws knowledge; UNTESTED here — the sandbox has
+    no S3, so this is the documented config path the reader's
+    ``pathGlobFilter`` listing strategy was designed for).
+
+    - S3A committers ("magic" or "directory" staging) replace the
+      rename-based FileOutputCommitter: object stores have no atomic
+      rename, so v1/v2 commit algorithms are both slow AND unsafe there.
+    - Listing/connection parallelism sized for thousand-file directory
+      scans (the FhirBundles corpus shape): `fs.s3a.connection.maximum`
+      must exceed the executor thread count or listings serialize.
+    - `fs.s3a.experimental.input.fadvise=normal` adapts between
+      sequential (wholetext bundle reads) and random (parquet footer)
+      access patterns.
+
+    Merge into ``get_spark(extra_conf=...)``.
+    """
+    return {
+        "spark.hadoop.fs.s3a.committer.name": committer,
+        "spark.sql.sources.commitProtocolClass": (
+            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+        ),
+        "spark.sql.parquet.output.committer.class": (
+            "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+        ),
+        "spark.hadoop.fs.s3a.connection.maximum": str(threads),
+        "spark.hadoop.fs.s3a.threads.max": str(threads),
+        "spark.hadoop.fs.s3a.experimental.input.fadvise": "normal",
+        "spark.hadoop.fs.s3a.directory.marker.retention": "keep",
+    }
+
+
 def get_spark(
     app_name: str = "interop_spark",
     master: str | None = None,

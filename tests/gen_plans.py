@@ -27,6 +27,10 @@ COMMENT = {
  "ivf_probe_topk": "Centroids collapse to ONE row (array) and broadcast; cell assignment is a per-row F.aggregate argmax -- NO Exchange on the vector side (plan-asserted). The assignment is localCheckpoint-ed (the IVF index build, computed once and probed many times) so the probe join scans materialized (vec_id, cell) rows instead of re-evaluating the argmax fold inside the join condition; probe filters to the query cell then TakeOrderedAndProject.",
  "knn_cosine": "Query vector broadcast (BroadcastNestedLoopJoin over 1 row); per-row dot product; TakeOrderedAndProject for top-k. At 100 TB: embarrassingly parallel scan, k rows to driver.",
  "exact_dedup": "md5 fingerprint groupBy: uniform hash key -> skew-free single shuffle with map-side partial aggregation.",
+ "pii_redact": "Regex redaction + match counts as ONE JVM projection pass -- zero exchanges; at 100 TB this is scan-bandwidth-bound.",
+ "decontam_ngram_overlap": "Distinct word-8-gram shingles per doc, md5-hashed; the small eval side BROADCASTS so the only exchange is the pair-count aggregation over (train, eval) hits. At 100 TB: shuffle carries only matched (hash, id, id) rows.",
+ "dup_ngram_stats": "Zero-shuffle Gopher repetition signal: per-row array_sort + one F.aggregate fold finds the top-bigram multiplicity doc-locally -- no explode, no keyed exchange on the corpus's distinct-bigram space.",
+ "kmeans_fit": "Per-iteration: broadcast one-row centroid array, per-row argmax assignment (localCheckpoint truncates lineage), then ONE (cell, dim)-keyed exchange carrying map-side-combined partial sums. The executed plan shows the final iteration; earlier iterations are the Scan ExistingRDD checkpoints.",
 }
 
 out = ["# PLANS — physical plans of the headline queries (sf0.1, AQE on)",
@@ -44,7 +48,9 @@ out = ["# PLANS — physical plans of the headline queries (sf0.1, AQE on)",
        ""]
 for name in ["pricing_summary", "multiway_join_agg", "latest_event_per_user",
              "exact_dedup", "minhash_lsh_neardup", "simhash_neardup_pairs",
-             "embedding_neardup", "ivf_probe_topk", "knn_cosine"]:
+             "embedding_neardup", "ivf_probe_topk", "knn_cosine",
+             "pii_redact", "decontam_ngram_overlap", "dup_ngram_stats",
+             "kmeans_fit"]:
     df = qs[name](spark, SF)
     df.write.format("noop").mode("overwrite").save()  # let AQE finalize
     plan = df._jdf.queryExecution().executedPlan().toString()
