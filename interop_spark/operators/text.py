@@ -246,3 +246,109 @@ def gopher_quality_flags(text: Column) -> Column:
         ls["dup_line_ratio"].alias("dup_line_ratio"),
         keep.alias("keep"),
     )
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Word n-grams joined with single spaces (WITH multiplicity — the
+    repetition signals need counts, unlike the dedup shingles)."""
+    t = tokens(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+
+
+def _run_fold(sorted_ngrams: Column) -> Column:
+    """Fold a SORTED n-gram array into struct(top_chars, dup_chars):
+    ``top_chars`` = count × char-length of the most frequent n-gram
+    (ties: higher count first, then longer string — deterministic and
+    replicated by the oracle's lexicographic struct max), ``dup_chars``
+    = Σ count × char-length over n-grams occurring ≥ 2 times. Equal
+    values are adjacent after the sort, so one pass over runs suffices —
+    doc-local, zero shuffle, any corpus size."""
+
+    def _close(a):
+        # contributions of the run that just ended (prev × run)
+        plen = F.length(a["prev"]).cast("bigint")
+        is_top = (a["run"] > a["top_c"]) | (
+            (a["run"] == a["top_c"]) & (plen > a["top_l"])
+        )
+        return (
+            F.when(is_top, a["run"]).otherwise(a["top_c"]),
+            F.when(is_top, plen).otherwise(a["top_l"]),
+            a["dup"]
+            + F.when(a["run"] >= 2, a["run"] * plen).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        )
+
+    def _step(a, x):
+        same = x == a["prev"]
+        tc, tl, dup = _close(a)
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, a["run"] + 1)
+            .otherwise(F.lit(1))
+            .cast("bigint")
+            .alias("run"),
+            F.when(same, a["top_c"]).otherwise(tc).alias("top_c"),
+            F.when(same, a["top_l"]).otherwise(tl).alias("top_l"),
+            F.when(same, a["dup"]).otherwise(dup).alias("dup"),
+        )
+
+    def _finish(a):
+        tc, tl, dup = _close(a)  # close the final run
+        return F.struct(
+            (tc * tl).alias("top_chars"), dup.alias("dup_chars")
+        )
+
+    zero = F.lit(0).cast("bigint")
+    return F.aggregate(
+        sorted_ngrams,
+        F.struct(
+            F.lit("").alias("prev"),
+            zero.alias("run"),
+            zero.alias("top_c"),
+            zero.alias("top_l"),
+            zero.alias("dup"),
+        ),
+        _step,
+        _finish,
+    )
+
+
+def repetition_signals(
+    text: Column,
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+) -> Column:
+    """The remaining Gopher §A1.1 repetition signals beyond the
+    line-level gate: for n in ``top_ns`` the fraction of characters in
+    the most frequent word n-gram (count × n-gram length / doc length),
+    and for n in ``dup_ns`` the fraction of characters in word n-grams
+    occurring more than once. Character counts use the space-joined
+    n-gram string (occurrences counted with multiplicity, overlaps NOT
+    deduplicated — the simple deterministic definition, stated here
+    because published implementations vary on overlap handling).
+
+    All fractions are UNROUNDED bigint÷bigint double divisions
+    (bit-identical across engines). One projection pass; each n costs a
+    per-row sort + fold of the n-gram array — O(T log T) per doc,
+    doc-local, so the operator is scan-bound at any corpus size."""
+    nchars = F.greatest(F.length(text), F.lit(1)).cast("bigint")
+    fields = []
+    for n in top_ns:
+        r = _run_fold(F.array_sort(word_ngrams(text, n)))
+        fields.append(
+            (r["top_chars"].cast("double") / nchars.cast("double")).alias(
+                f"top_{n}gram_char_frac"
+            )
+        )
+    for n in dup_ns:
+        r = _run_fold(F.array_sort(word_ngrams(text, n)))
+        fields.append(
+            (r["dup_chars"].cast("double") / nchars.cast("double")).alias(
+                f"dup_{n}gram_char_frac"
+            )
+        )
+    return F.struct(*fields)

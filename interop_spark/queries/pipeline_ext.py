@@ -315,8 +315,81 @@ def q_dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REP_TOP_NS = (2, 3, 4)
+REP_DUP_NS = (5, 6, 7, 8, 9, 10)
+
+
+def q_gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining Gopher §A1.1 repetition signals (top-{2,3,4}-gram
+    char fraction, dup-{5..10}-gram char fraction) — computed doc-locally
+    as sorted-run folds (zero shuffle; see
+    ``operators/text.repetition_signals``)."""
+    d = load(spark, sf_dir, "documents")
+    r = tx.repetition_signals(
+        col("text"), top_ns=REP_TOP_NS, dup_ns=REP_DUP_NS
+    )
+    names = [f"top_{n}gram_char_frac" for n in REP_TOP_NS] + [
+        f"dup_{n}gram_char_frac" for n in REP_DUP_NS
+    ]
+    return d.withColumn("_r", r).select(
+        "doc_id", *[col(f"_r.{c}").alias(c) for c in names]
+    )
+
+
+def _repetition_oracle() -> str:
+    """Per n: unnest the multiplicity-preserving n-gram list, count per
+    (doc, gram), then per doc take the lexicographic struct max on
+    (count, length) — the fold's tie-break — and the Σ count×length of
+    grams with count ≥ 2."""
+    ctes = [
+        "t AS (SELECT doc_id,"
+        " CAST(greatest(length(text), 1) AS BIGINT) AS nc,"
+        f" {_TOKENS} AS toks FROM documents)"
+    ]
+    for n in REP_TOP_NS + REP_DUP_NS:
+        ctes.append(
+            f"""a{n} AS (
+          SELECT doc_id, count(*) AS c, length(g) AS l FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                     generate_series(1, greatest(len(toks) - {n - 1}, 1)),
+                     i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS g
+            FROM t
+          ) GROUP BY doc_id, g
+        )"""
+        )
+        ctes.append(
+            f"""s{n} AS (
+          SELECT doc_id,
+                 (max({{'c': c, 'l': l}})).c * (max({{'c': c, 'l': l}})).l
+                   AS top_chars,
+                 sum(CASE WHEN c >= 2 THEN c * l ELSE 0 END) AS dup_chars
+          FROM a{n} GROUP BY doc_id
+        )"""
+        )
+    cols = [
+        f"CAST(s{n}.top_chars AS DOUBLE) / CAST(t.nc AS DOUBLE)"
+        f" AS top_{n}gram_char_frac"
+        for n in REP_TOP_NS
+    ] + [
+        f"CAST(s{n}.dup_chars AS DOUBLE) / CAST(t.nc AS DOUBLE)"
+        f" AS dup_{n}gram_char_frac"
+        for n in REP_DUP_NS
+    ]
+    joins = " ".join(
+        f"JOIN s{n} ON t.doc_id = s{n}.doc_id"
+        for n in REP_TOP_NS + REP_DUP_NS
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT t.doc_id, {', '.join(cols)} FROM t {joins}"
+    )
+
+
 QUERIES = {
     "gopher_quality_flags": q_gopher_quality_flags,
+    "gopher_repetition_signals": q_gopher_repetition_signals,
     "ivf_index_search": q_ivf_index_search,
     "kmeans_one_step": q_kmeans_one_step,
     "kmeans_fit": q_kmeans_fit,
@@ -425,6 +498,7 @@ ORACLE = {
         GROUP BY cells.cell, g.i
     """,
     "kmeans_fit": _kmeans_fit_oracle(KM_FIT_K, KM_FIT_ITERS),
+    "gopher_repetition_signals": _repetition_oracle(),
     "pii_redact": f"""
         WITH t AS (
           SELECT doc_id,

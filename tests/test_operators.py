@@ -303,6 +303,47 @@ def test_gopher_quality_flags(spark):
     assert q["dup_line_ratio"] >= 0.8
 
 
+def test_repetition_signals_hand_computed(spark):
+    """Repetition signals against hand-computed values: 'a b a b a b'
+    has bigrams [a b, b a, a b, b a, a b] sorted → runs (a b)×3,
+    (b a)×2 → top bigram 'a b' (3 occurrences × 3 chars = 9) over 11
+    chars; every bigram is duplicated, so dup chars at n=2 would be
+    3·3+2·3=15 — but dup fractions are only emitted for n≥5, so a
+    10-word exact repetition drives the 5-gram dup signal instead."""
+    from pyspark.sql import functions as F
+
+    from interop_spark.operators.text import repetition_signals
+
+    doc = "a b a b a b"  # 11 chars
+    r = (
+        spark.range(1)
+        .select(
+            repetition_signals(F.lit(doc), top_ns=(2,), dup_ns=(2,)).alias(
+                "r"
+            )
+        )
+        .collect()[0]
+        .r.asDict()
+    )
+    assert r["top_2gram_char_frac"] == 9 / 11
+    assert r["dup_2gram_char_frac"] == 15 / 11
+    # a unique-word doc has no repetition: top n-gram count is 1 and no
+    # n-gram duplicates
+    uniq = "one two three four five six seven eight nine ten"
+    r2 = (
+        spark.range(1)
+        .select(
+            repetition_signals(F.lit(uniq), top_ns=(2,), dup_ns=(5,)).alias(
+                "r"
+            )
+        )
+        .collect()[0]
+        .r.asDict()
+    )
+    assert r2["dup_5gram_char_frac"] == 0.0
+    assert 0 < r2["top_2gram_char_frac"] < 0.5
+
+
 def test_ivf_index_full_probe_matches_brute_force(spark, sf_dir):
     """ivf_build + search with nprobe=C (every cell probed) must equal
     exact brute-force top-k — the recall ceiling; nprobe=1 results are a
