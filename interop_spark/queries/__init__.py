@@ -41,10 +41,11 @@ _MODULES = (
 #     per the round-4 plan: the last r1/r2-era rows re-verify; after
 #     this round every green row is r3 or newer. Their modules are
 #     untouched this round.
-#   * pipeline_ext, all 8 — kmeans_one_step changed (signed-zero
+#   * pipeline_ext, all 10 — kmeans_one_step changed (signed-zero
 #     normalization, the round-4 failure); kmeans_fit, pii_redact,
 #     decontam_ngram_overlap, dup_ngram_stats,
-#     gopher_repetition_signals are NEW; module shared by
+#     gopher_repetition_signals, sequence_pack, domain_mix_sample are
+#     NEW; module shared by
 #     gopher/ivf_index_search. operators/text.py's round-5 diff is
 #     ADDITIVE ONLY (new word_ngrams/_run_fold/repetition_signals,
 #     consumed solely by the new in-window query) — no existing text
@@ -64,10 +65,11 @@ _MODULES = (
 #     similarity/text-backed queries touch no changed function — and
 #     the two riskiest of those (exact_dedup, simhash) are in-window
 #     anyway via the staleness slots below.
-#   * staleness rotation (14): relational_ext 8 + temporal_q 2 +
-#     reshape 2 (all r3, untouched) + 2 r3-era pipeline rows
-#     (exact_dedup, simhash — the two whose dedup.py finer-than-module
-#     claims deserve re-execution). unpivot/date_series defer to r6.
+#   * staleness rotation (12): relational_ext 8 + temporal_q 2 (all
+#     r3, untouched) + 2 r3-era pipeline rows (exact_dedup, simhash —
+#     the two whose dedup.py finer-than-module claims deserve
+#     re-execution). All 4 reshape rows defer to r6 (r3-green,
+#     untouched) — displaced by this round's new queries.
 #
 # Out-of-window residue after round 5: relational 28 + functions_battery
 # 5 (r4-green, untouched) + date_series (r3, untouched reshape) + the
@@ -93,7 +95,7 @@ _WINDOW = (
     # staleness rotation: functions_battery residue (2, r1-era)
     "lead_lag",
     "conditional_agg",
-    # pipeline_ext (8; kmeans_one_step changed, 5 new)
+    # pipeline_ext (10; kmeans_one_step changed, 7 new)
     "gopher_quality_flags",
     "gopher_repetition_signals",
     "ivf_index_search",
@@ -102,6 +104,8 @@ _WINDOW = (
     "pii_redact",
     "decontam_ngram_overlap",
     "dup_ngram_stats",
+    "sequence_pack",
+    "domain_mix_sample",
     # fhir (12; module changed: cache eviction + widened roundtrip)
     "bundle_collect_flatten",
     "fhir_adt_timeline",
@@ -130,11 +134,9 @@ _WINDOW = (
     "pivot_agg",
     "array_funcs",
     "merge_upsert",
-    # staleness rotation: temporal_q (2, r3) + reshape (2, r3)
+    # staleness rotation: temporal_q (2, r3)
     "asof_join",
     "range_join_pairs",
-    "window_rank_battery",
-    "string_agg_sorted",
     # staleness rotation: r3-era pipeline rows (2)
     "exact_dedup",
     "simhash",

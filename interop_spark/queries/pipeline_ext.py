@@ -387,9 +387,88 @@ def _repetition_oracle() -> str:
     )
 
 
+PACK_CAPACITY = 512  # context-window token budget
+PACK_GROUPS = 8  # parallel packing shards (scale knob: shards pack
+#                  independently, so the global-order window bottleneck
+#                  never materializes)
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, concat-then-chunk style (the GPT-line recipe:
+    concatenate documents in a deterministic order, slice into
+    fixed-size context windows; a doc can straddle two windows). Packing
+    is per SHARD (doc_id % G) so the cumulative-sum window partitions —
+    a single global ordering would serialize at scale. Emits each doc's
+    first/last window index within its shard."""
+    from pyspark.sql.window import Window
+
+    from interop_spark.operators.text import token_count
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        (col("doc_id") % PACK_GROUPS).alias("grp"),
+        token_count(col("text")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return t.select(
+        "doc_id",
+        "grp",
+        "n_tokens",
+        F.floor((cum - col("n_tokens")) / PACK_CAPACITY)
+        .cast("bigint")
+        .alias("first_window"),
+        F.floor((cum - 1) / PACK_CAPACITY).cast("bigint").alias(
+            "last_window"
+        ),
+    )
+
+
+# per-source sampling rates: a deterministic "domain mixing" recipe
+# (web-scale pipelines weight sources; here rate derives from the
+# source's numeric suffix so the oracle can recompute it)
+def _mix_rate_sql(src: str) -> str:
+    # CAST to DOUBLE: bare literals would unify to DECIMAL with
+    # engine-specific scales (0.50 vs 0.5) and break the value hash
+    return (
+        f"CAST(CASE CAST(regexp_extract({src}, '([0-9]+)$', 1) AS INTEGER)"
+        " % 4 WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 WHEN 2 THEN 0.25 "
+        "ELSE 0.1 END AS DOUBLE)"
+    )
+
+
+def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix downsampling: per-source target rates applied with a
+    deterministic hash-Bernoulli (uniform = first 15 md5 hex chars of
+    the doc id / 16^15 — reproducible across engines and runs, no RNG).
+    Emits per-source totals so the oracle value-checks both the rate
+    derivation and the hash-gate population."""
+    d = load(spark, sf_dir, "documents")
+    rate = F.expr(_mix_rate_sql("source"))
+    u = F.conv(
+        F.substring(F.md5(col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("double") / F.lit(float(16**15))
+    keep = (u < rate).cast("int")
+    return (
+        d.select("source", rate.alias("rate"), keep.alias("keep"))
+        .groupBy("source", "rate")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum("keep").cast("bigint").alias("n_kept"),
+        )
+    )
+
+
 QUERIES = {
     "gopher_quality_flags": q_gopher_quality_flags,
     "gopher_repetition_signals": q_gopher_repetition_signals,
+    "sequence_pack": q_sequence_pack,
+    "domain_mix_sample": q_domain_mix_sample,
     "ivf_index_search": q_ivf_index_search,
     "kmeans_one_step": q_kmeans_one_step,
     "kmeans_fit": q_kmeans_fit,
@@ -499,6 +578,41 @@ ORACLE = {
     """,
     "kmeans_fit": _kmeans_fit_oracle(KM_FIT_K, KM_FIT_ITERS),
     "gopher_repetition_signals": _repetition_oracle(),
+    "sequence_pack": f"""
+        WITH t AS (
+          SELECT doc_id, doc_id % {PACK_GROUPS} AS grp,
+                 CAST(len({_TOKENS}) AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, grp, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+          FROM t
+        )
+        SELECT doc_id, grp, n_tokens,
+               CAST(floor((cum - n_tokens) / {PACK_CAPACITY}) AS BIGINT)
+                 AS first_window,
+               CAST(floor((cum - 1) / {PACK_CAPACITY}) AS BIGINT)
+                 AS last_window
+        FROM c
+    """,
+    "domain_mix_sample": f"""
+        WITH t AS (
+          SELECT source, {_mix_rate_sql('source')} AS rate,
+                 CASE WHEN CAST(concat('0x',
+                        substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) / CAST(power(16, 15) AS DOUBLE)
+                      < {_mix_rate_sql('source')}
+                      THEN 1 ELSE 0 END AS keep
+          FROM documents
+        )
+        SELECT source, rate,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(keep) AS BIGINT) AS n_kept
+        FROM t GROUP BY source, rate
+    """,
     "pii_redact": f"""
         WITH t AS (
           SELECT doc_id,
