@@ -73,13 +73,14 @@ def entry_from_json(
     catalog might not cover the corpus.
 
     COST NOTE: the default catalog builds one filter+transform traversal
-    of the entries array per resource type — 27 with the full catalog.
+    of the entries array per resource type — 39 with the full catalog.
     That is the reference's behavior (and declared-schema extraction
     keeps it correct), but callers that know their resource types should
     pass a narrowed ``FhirSchemaModel``: measured on the 400-bundle
-    sf0.01 fixture, full-catalog entry() = ~1.5 s vs ~0.23 s for a
-    2-type model (~6.5×) — the per-type traversals, not the JSON parse,
-    dominate (``fhir_ingest_corpus`` does exactly this narrowing).
+    sf0.01 fixture, full-catalog entry() = ~2.1 s (39 types; ~1.5 s at
+    the former 27) vs ~0.23 s for a 2-type model (~9×) — the per-type
+    traversals, not the JSON parse, dominate (``fhir_ingest_corpus``
+    does exactly this narrowing).
     """
     schemas = schemas or FhirSchemaModel()
     # try_parse_json: a single corrupt document among millions must degrade

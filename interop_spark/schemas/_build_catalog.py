@@ -597,6 +597,194 @@ PROVENANCE = _resource(
     ),
 )
 
+# ---- round-5 widening: the next tier of common R4 exchange types ----------
+# (hl7.org/fhir/R4 structure definitions; medication lifecycle, orders,
+# scheduling, and the Media type the multimodal operators pair with)
+
+MEDICATION_ADMINISTRATION = _resource(
+    identifier=_arr(IDENTIFIER),
+    status=S,
+    medicationCodeableConcept=CODEABLE_CONCEPT,
+    medicationReference=REFERENCE,
+    subject=REFERENCE,
+    context=REFERENCE,
+    effectiveDateTime=S,
+    effectivePeriod=PERIOD,
+    performer=_arr(_struct(function=CODEABLE_CONCEPT, actor=REFERENCE)),
+    reasonCode=_arr(CODEABLE_CONCEPT),
+    request=REFERENCE,
+    dosage=_struct(
+        text=S,
+        route=CODEABLE_CONCEPT,
+        dose=QUANTITY,
+        rateQuantity=QUANTITY,
+    ),
+)
+
+MEDICATION_DISPENSE = _resource(
+    identifier=_arr(IDENTIFIER),
+    status=S,
+    medicationCodeableConcept=CODEABLE_CONCEPT,
+    medicationReference=REFERENCE,
+    subject=REFERENCE,
+    context=REFERENCE,
+    performer=_arr(_struct(function=CODEABLE_CONCEPT, actor=REFERENCE)),
+    authorizingPrescription=_arr(REFERENCE),
+    quantity=QUANTITY,
+    daysSupply=QUANTITY,
+    whenPrepared=S,
+    whenHandedOver=S,
+    dosageInstruction=_arr(
+        _struct(text=S, route=CODEABLE_CONCEPT, doseQuantity=QUANTITY)
+    ),
+)
+
+MEDICATION_STATEMENT = _resource(
+    identifier=_arr(IDENTIFIER),
+    status=S,
+    medicationCodeableConcept=CODEABLE_CONCEPT,
+    medicationReference=REFERENCE,
+    subject=REFERENCE,
+    context=REFERENCE,
+    effectiveDateTime=S,
+    effectivePeriod=PERIOD,
+    dateAsserted=S,
+    reasonCode=_arr(CODEABLE_CONCEPT),
+)
+
+SERVICE_REQUEST = _resource(
+    identifier=_arr(IDENTIFIER),
+    status=S,
+    intent=S,
+    category=_arr(CODEABLE_CONCEPT),
+    priority=S,
+    code=CODEABLE_CONCEPT,
+    subject=REFERENCE,
+    encounter=REFERENCE,
+    occurrenceDateTime=S,
+    occurrencePeriod=PERIOD,
+    requester=REFERENCE,
+    performer=_arr(REFERENCE),
+    reasonCode=_arr(CODEABLE_CONCEPT),
+)
+
+SPECIMEN = _resource(
+    identifier=_arr(IDENTIFIER),
+    accessionIdentifier=IDENTIFIER,
+    status=S,
+    type=CODEABLE_CONCEPT,
+    subject=REFERENCE,
+    receivedTime=S,
+    collection=_struct(
+        collector=REFERENCE,
+        collectedDateTime=S,
+        quantity=QUANTITY,
+        bodySite=CODEABLE_CONCEPT,
+    ),
+)
+
+PRACTITIONER_ROLE = _resource(
+    identifier=_arr(IDENTIFIER),
+    active=B,
+    period=PERIOD,
+    practitioner=REFERENCE,
+    organization=REFERENCE,
+    code=_arr(CODEABLE_CONCEPT),
+    specialty=_arr(CODEABLE_CONCEPT),
+    location=_arr(REFERENCE),
+    telecom=_arr(CONTACT_POINT),
+)
+
+FAMILY_MEMBER_HISTORY = _resource(
+    identifier=_arr(IDENTIFIER),
+    status=S,
+    patient=REFERENCE,
+    date=S,
+    relationship=CODEABLE_CONCEPT,
+    sex=CODEABLE_CONCEPT,
+    bornDate=S,
+    condition=_arr(
+        _struct(
+            code=CODEABLE_CONCEPT,
+            onsetAge=QUANTITY,
+            contributedToDeath=B,
+        )
+    ),
+)
+
+EPISODE_OF_CARE = _resource(
+    identifier=_arr(IDENTIFIER),
+    status=S,
+    type=_arr(CODEABLE_CONCEPT),
+    patient=REFERENCE,
+    managingOrganization=REFERENCE,
+    period=PERIOD,
+    careManager=REFERENCE,
+)
+
+APPOINTMENT = _resource(
+    identifier=_arr(IDENTIFIER),
+    status=S,
+    serviceCategory=_arr(CODEABLE_CONCEPT),
+    serviceType=_arr(CODEABLE_CONCEPT),
+    appointmentType=CODEABLE_CONCEPT,
+    reasonCode=_arr(CODEABLE_CONCEPT),
+    priority=I,
+    description=S,
+    start=S,
+    end=S,
+    participant=_arr(
+        _struct(
+            type=_arr(CODEABLE_CONCEPT),
+            actor=REFERENCE,
+            required=S,
+            status=S,
+        )
+    ),
+)
+
+COMMUNICATION = _resource(
+    identifier=_arr(IDENTIFIER),
+    status=S,
+    category=_arr(CODEABLE_CONCEPT),
+    priority=S,
+    subject=REFERENCE,
+    encounter=REFERENCE,
+    sent=S,
+    received=S,
+    sender=REFERENCE,
+    recipient=_arr(REFERENCE),
+    payload=_arr(_struct(contentString=S)),
+)
+
+CONSENT = _resource(
+    identifier=_arr(IDENTIFIER),
+    status=S,
+    scope=CODEABLE_CONCEPT,
+    category=_arr(CODEABLE_CONCEPT),
+    patient=REFERENCE,
+    dateTime=S,
+    performer=_arr(REFERENCE),
+    organization=_arr(REFERENCE),
+    policyRule=CODEABLE_CONCEPT,
+)
+
+MEDIA = _resource(
+    identifier=_arr(IDENTIFIER),
+    status=S,
+    type=CODEABLE_CONCEPT,
+    modality=CODEABLE_CONCEPT,
+    subject=REFERENCE,
+    encounter=REFERENCE,
+    createdDateTime=S,
+    operator=REFERENCE,
+    content=ATTACHMENT,
+    height=I,
+    width=I,
+    frames=I,
+    duration=D,
+)
+
 CATALOG = {
     "Patient": PATIENT,
     "MessageHeader": MESSAGE_HEADER,
@@ -625,6 +813,18 @@ CATALOG = {
     "ExplanationOfBenefit": EXPLANATION_OF_BENEFIT,
     "DocumentReference": DOCUMENT_REFERENCE,
     "Provenance": PROVENANCE,
+    "MedicationAdministration": MEDICATION_ADMINISTRATION,
+    "MedicationDispense": MEDICATION_DISPENSE,
+    "MedicationStatement": MEDICATION_STATEMENT,
+    "ServiceRequest": SERVICE_REQUEST,
+    "Specimen": SPECIMEN,
+    "PractitionerRole": PRACTITIONER_ROLE,
+    "FamilyMemberHistory": FAMILY_MEMBER_HISTORY,
+    "EpisodeOfCare": EPISODE_OF_CARE,
+    "Appointment": APPOINTMENT,
+    "Communication": COMMUNICATION,
+    "Consent": CONSENT,
+    "Media": MEDIA,
 }
 
 
