@@ -317,6 +317,51 @@ def _run_fold(sorted_ngrams: Column) -> Column:
     )
 
 
+def token_entropy(text: Column) -> Column:
+    """Unigram token entropy in nats — ``ln(N) − Σ c·ln(c) / N`` over
+    the doc's token counts (0 for a one-token-type doc; higher = more
+    lexically diverse). A cheap perplexity proxy used as a quality
+    signal alongside the Gopher gates. Doc-local zero-shuffle shape:
+    sort the token array, fold over equal runs accumulating c·ln(c).
+    UNROUNDED — callers that hash results across engines should round
+    and signed-zero-normalize (an all-equal doc's entropy is a
+    floating ~0 that can land on either side of zero)."""
+    t = tokens(text)
+    n = F.greatest(F.size(t), F.lit(1)).cast("double")
+
+    def _close(a):
+        # guard run=0 (initial acc): Spark's log(0) is NULL and would
+        # poison the whole fold through 0 * NULL
+        return F.when(
+            a["run"] > 0,
+            a["s"]
+            + a["run"].cast("double") * F.log(a["run"].cast("double")),
+        ).otherwise(a["s"])
+
+    def _step(a, x):
+        same = x == a["prev"]
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, a["run"] + 1)
+            .otherwise(F.lit(1))
+            .cast("bigint")
+            .alias("run"),
+            F.when(same, a["s"]).otherwise(_close(a)).alias("s"),
+        )
+
+    folded = F.aggregate(
+        F.array_sort(t),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(0.0).alias("s"),
+        ),
+        _step,
+        _close,
+    )
+    return F.log(n) - folded / n
+
+
 def repetition_signals(
     text: Column,
     top_ns: tuple = (2, 3, 4),

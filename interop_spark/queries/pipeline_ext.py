@@ -464,11 +464,27 @@ def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram token entropy per document (cheap perplexity proxy; see
+    ``operators/text.token_entropy``). Rounded to 6 and signed-zero
+    normalized on BOTH sides: an all-equal-token doc's entropy is a
+    floating ~0 whose sign may differ between libm implementations."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tx.tokens(col("text"))).cast("bigint").alias("n_tokens"),
+        (F.round(tx.token_entropy(col("text")), 6) + F.lit(0.0)).alias(
+            "token_entropy"
+        ),
+    )
+
+
 QUERIES = {
     "gopher_quality_flags": q_gopher_quality_flags,
     "gopher_repetition_signals": q_gopher_repetition_signals,
     "sequence_pack": q_sequence_pack,
     "domain_mix_sample": q_domain_mix_sample,
+    "token_entropy": q_token_entropy,
     "ivf_index_search": q_ivf_index_search,
     "kmeans_one_step": q_kmeans_one_step,
     "kmeans_fit": q_kmeans_fit,
@@ -578,6 +594,23 @@ ORACLE = {
     """,
     "kmeans_fit": _kmeans_fit_oracle(KM_FIT_K, KM_FIT_ITERS),
     "gopher_repetition_signals": _repetition_oracle(),
+    "token_entropy": f"""
+        WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+        c AS (
+          SELECT doc_id, count(*) AS c FROM (
+            SELECT doc_id, unnest(toks) AS w FROM t
+          ) GROUP BY doc_id, w
+        ),
+        s AS (
+          SELECT doc_id,
+                 sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS s,
+                 CAST(sum(c) AS DOUBLE) AS n
+          FROM c GROUP BY doc_id
+        )
+        SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+               round(ln(n) - s / n, 6) + 0.0 AS token_entropy
+        FROM s
+    """,
     "sequence_pack": f"""
         WITH t AS (
           SELECT doc_id, doc_id % {PACK_GROUPS} AS grp,

@@ -311,3 +311,33 @@ def streaming_dedupe(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     reference's J3 dedupe flags)."""
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
     return src.dropDuplicates(["event_id"])
+
+
+def enrich_events(
+    events: DataFrame,
+    dim: DataFrame,
+    dim_key: str = "c_custkey",
+    event_key: str = "user_id",
+) -> DataFrame:
+    """Stream-static enrichment: join the (streaming) event feed to a
+    static dimension — the standard lookup-table pattern. The static
+    side is explicitly ``broadcast()``: stream-static joins re-execute
+    the static side per micro-batch, so a shuffled dim would pay a full
+    exchange every trigger, while a broadcast ships once per executor
+    and the stream side never shuffles. Left join: an event with no dim
+    row must survive (NULL-enriched), not vanish from the feed.
+
+    Works identically on batch and streaming inputs, which is what the
+    stream==batch equality test asserts.
+    """
+    d = F.broadcast(
+        dim.select(
+            F.col(dim_key).alias(event_key),
+            F.col("c_name").alias("customer_name"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+    )
+    return events.join(d, event_key, "left").select(
+        "event_id", "ts", event_key, "event_type", "value",
+        "customer_name", "mktsegment",
+    )

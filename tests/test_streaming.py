@@ -86,6 +86,33 @@ def test_streaming_dedupe(spark, event_json_dir, tmp_path):
     assert n == 300  # duplicates dropped
 
 
+def test_enrich_events_stream_equals_batch(spark, sf_dir, event_json_dir):
+    """Stream-static broadcast enrichment: the streamed left join to the
+    customer dim equals the batch join, and events without a dim row
+    survive NULL-enriched."""
+    from interop_spark.io import load
+    from interop_spark.streaming import stream_events_json
+    from interop_spark.streaming.streams import enrich_events
+
+    dim = load(spark, sf_dir, "customer")
+    enriched = enrich_events(stream_events_json(spark, event_json_dir), dim)
+    _run_stream(enriched, "enriched")
+    key = lambda r: (r.event_id, r.user_id, r.customer_name, r.mktsegment)
+    got = sorted(key(r) for r in spark.table("enriched").collect())
+
+    batch_src = spark.read.schema(
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        "value double, props string"
+    ).json(event_json_dir)
+    expected = sorted(
+        key(r) for r in enrich_events(batch_src, dim).collect()
+    )
+    assert got == expected and len(got) == 300
+    # the plan must broadcast the dim (stream side never shuffles)
+    plan = enrich_events(batch_src, dim)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_stream_bundles(spark, tmp_path):
     from interop_spark.streaming import stream_bundles_from_directory
 
