@@ -344,3 +344,44 @@ def ivf_assign(
     # (null embeddings yield a null cell either way)
     cell = F.when(F.col("_vnorm").isNotNull(), cell)
     return joined.select(id_col, vec_col, cell.alias("cell"))
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (int8) — embedding storage compression
+# ---------------------------------------------------------------------------
+
+
+def sq8_encode(vec: Column) -> Column:
+    """Per-vector int8 scalar quantization: struct(mn, scale, codes)
+    with ``code[i] = round((x[i] - mn) / scale)`` into [0, 255] (mn/mx
+    from the vector itself; a constant vector gets scale 0 and all-zero
+    codes). 4x smaller than float32 at ~1e-2 max error on unit-scale
+    embeddings — the standard first rung of the compression ladder
+    before PQ. Pure HOF expression: encoding a 100 TB embedding table
+    is one scan, no shuffle.
+
+    Parity note: the quantizer quotient is rounded to 0 decimals, where
+    Spark (BigDecimal HALF_UP on the shortest repr) and DuckDB (round
+    half away from zero on the exact binary) agree for every
+    nonnegative double — the only shortest-repr string ending in ``.5``
+    belongs to the exactly-representable half, which both round up.
+    """
+    v = as_double(vec)
+    mn = F.array_min(v)
+    scale = (F.array_max(v) - mn) / F.lit(255.0)
+    codes = F.transform(
+        v,
+        lambda x: F.when(scale > 0, F.round((x - mn) / scale))
+        .otherwise(F.lit(0.0))
+        .cast("int"),
+    )
+    return F.struct(
+        mn.alias("mn"), scale.alias("scale"), codes.alias("codes")
+    )
+
+
+def sq8_decode(sq: Column) -> Column:
+    """Dequantize: ``x'[i] = mn + code[i] * scale`` (array<double>)."""
+    return F.transform(
+        sq["codes"], lambda c: sq["mn"] + c.cast("double") * sq["scale"]
+    )

@@ -41,18 +41,20 @@ _MODULES = (
 #     per the round-4 plan: the last r1/r2-era rows re-verify; after
 #     this round every green row is r3 or newer. Their modules are
 #     untouched this round.
-#   * pipeline_ext, all 11 — kmeans_one_step changed (signed-zero
+#   * pipeline_ext, all 12 — kmeans_one_step changed (signed-zero
 #     normalization, the round-4 failure); kmeans_fit, pii_redact,
 #     decontam_ngram_overlap, dup_ngram_stats,
 #     gopher_repetition_signals, sequence_pack, domain_mix_sample,
-#     token_entropy are NEW; module shared by
-#     gopher/ivf_index_search. operators/text.py's round-5 diff is
-#     ADDITIVE ONLY (new word_ngrams/_run_fold/repetition_signals/
-#     token_entropy, consumed solely by the new in-window queries) — no
-#     existing text function changed, so the out-of-window text
-#     consumers (text_token_stats, text_quality, lang_id,
-#     token_count_bpe, tfidf_top_terms, doc_fingerprint, …) retain
-#     their r3 green.
+#     token_entropy, sq8_roundtrip are NEW; module shared by
+#     gopher/ivf_index_search. operators/text.py's and similarity.py's
+#     round-5 diffs are ADDITIVE ONLY (new word_ngrams/_run_fold/
+#     repetition_signals/token_entropy and sq8_encode/sq8_decode,
+#     consumed solely by the new in-window queries) — no existing
+#     function changed, so the out-of-window text/similarity consumers
+#     (text_token_stats, text_quality, lang_id, token_count_bpe,
+#     tfidf_top_terms, doc_fingerprint, knn_cosine, knn_batch,
+#     embedding_neardup, embedding_centroids, lsh_bucket_sizes,
+#     ivf_probe/multiprobe, …) retain their r3/r4 green.
 #   * fhir_queries, all 12 — module changed: _ENTRY_CACHE eviction,
 #     fhir_writer_roundtrip widened with Money/Period leaves.
 #   * dedup.py-affected pipeline queries (5): the round-5 dedup diff
@@ -66,11 +68,12 @@ _MODULES = (
 #     similarity/text-backed queries touch no changed function — and
 #     the two riskiest of those (exact_dedup, simhash) are in-window
 #     anyway via the staleness slots below.
-#   * staleness rotation (11): relational_ext 7 + temporal_q 2 (all
+#   * staleness rotation (10): relational_ext 6 + temporal_q 2 (all
 #     r3, untouched) + 2 r3-era pipeline rows (exact_dedup, simhash —
 #     the two whose dedup.py finer-than-module claims deserve
-#     re-execution). All 4 reshape rows + array_funcs defer to r6
-#     (r3-green, untouched) — displaced by this round's new queries.
+#     re-execution). All 4 reshape rows + array_funcs + pivot_agg
+#     defer to r6 (r3-green, untouched) — displaced by this round's
+#     new queries.
 #
 # Out-of-window residue after round 5: relational 28 + functions_battery
 # 5 (r4-green, untouched) + date_series (r3, untouched reshape) + the
@@ -108,6 +111,7 @@ _WINDOW = (
     "sequence_pack",
     "domain_mix_sample",
     "token_entropy",
+    "sq8_roundtrip",
     # fhir (12; module changed: cache eviction + widened roundtrip)
     "bundle_collect_flatten",
     "fhir_adt_timeline",
@@ -127,13 +131,13 @@ _WINDOW = (
     "neardup_clusters",
     "neardup_clusters_star",
     "dedup_representatives",
-    # staleness rotation: relational_ext (7, r3; array_funcs defers)
+    # staleness rotation: relational_ext (6, r3; array_funcs and
+    # pivot_agg defer)
     "rollup_agg",
     "salted_join_agg",
     "cube_agg",
     "grouping_sets",
     "argmax_agg",
-    "pivot_agg",
     "merge_upsert",
     # staleness rotation: temporal_q (2, r3)
     "asof_join",

@@ -479,12 +479,38 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sq8_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization fidelity: encode → decode every
+    embedding and report max reconstruction error + cosine similarity
+    between the original and dequantized vector. One scan, no shuffle —
+    the compression sweep a 100 TB embedding store runs before
+    switching its ANN index to quantized codes."""
+    from interop_spark.operators.similarity import (
+        as_double,
+        cosine_sim,
+        sq8_decode,
+        sq8_encode,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    x = as_double(col("embedding"))
+    xp = sq8_decode(sq8_encode(col("embedding")))
+    return e.select(
+        "vec_id",
+        F.round(
+            F.array_max(F.zip_with(x, xp, lambda a, b: F.abs(a - b))), 9
+        ).alias("max_abs_err"),
+        F.round(cosine_sim(x, xp), 9).alias("cosine_fidelity"),
+    )
+
+
 QUERIES = {
     "gopher_quality_flags": q_gopher_quality_flags,
     "gopher_repetition_signals": q_gopher_repetition_signals,
     "sequence_pack": q_sequence_pack,
     "domain_mix_sample": q_domain_mix_sample,
     "token_entropy": q_token_entropy,
+    "sq8_roundtrip": q_sq8_roundtrip,
     "ivf_index_search": q_ivf_index_search,
     "kmeans_one_step": q_kmeans_one_step,
     "kmeans_fit": q_kmeans_fit,
@@ -594,6 +620,33 @@ ORACLE = {
     """,
     "kmeans_fit": _kmeans_fit_oracle(KM_FIT_K, KM_FIT_ITERS),
     "gopher_repetition_signals": _repetition_oracle(),
+    "sq8_roundtrip": f"""
+        WITH v AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+          FROM embeddings
+        ),
+        e AS (
+          SELECT vec_id, x, list_min(x) AS mn,
+                 (list_max(x) - list_min(x)) / 255.0 AS scale
+          FROM v
+        ),
+        d AS (
+          SELECT vec_id, x,
+                 list_transform(x, xi -> mn +
+                   (CASE WHEN scale > 0 THEN round((xi - mn) / scale)
+                         ELSE 0 END) * scale) AS xp
+          FROM e
+        )
+        SELECT vec_id,
+               round(list_max(list_transform(
+                 generate_series(1, {EMB_DIM}), i -> abs(x[i] - xp[i]))), 9)
+                 AS max_abs_err,
+               round({_dk_dot('x', 'xp')}
+                     / greatest({_dk_norm('x')} * {_dk_norm('xp')}, 1e-12),
+                     9) AS cosine_fidelity
+        FROM d
+    """,
     "token_entropy": f"""
         WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
         c AS (
