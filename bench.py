@@ -124,19 +124,60 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
             .distinct()
         )
 
+    def _scaled_embeddings(mult: int):
+        import os as _os
+
+        e = spark.read.parquet(
+            _os.path.join(sf_dir, "embeddings.parquet")
+        ).select("vec_id", "embedding")
+        par = spark.sparkContext.defaultParallelism
+        if mult == 1:
+            return e.repartition(par)
+        reps = spark.range(mult).select(col("id").alias("rep"))
+        return (
+            e.crossJoin(reps)
+            .select(
+                (col("vec_id") * mult + col("rep")).alias("vec_id"),
+                "embedding",
+            )
+            .repartition(par)
+        )
+
+    def ivf_assign_probe(d):
+        # the ANN scale path's per-vector cost: broadcast one-row
+        # centroid array + per-row argmax fold (no vector-side shuffle)
+        from interop_spark.operators.similarity import ivf_assign
+
+        cents = (
+            spark.read.parquet(
+                __import__("os").path.join(sf_dir, "embeddings.parquet")
+            )
+            .where(col("vec_id") < 8)
+            .select(
+                col("vec_id").alias("centroid_id"),
+                col("embedding").alias("centroid"),
+            )
+        )
+        return ivf_assign(d, cents)
+
     probes = {
         "exact_dedup": lambda d: dd.exact_dup_groups(d, "text", "doc_id"),
         "minhash_lsh_neardup": lambda d: dd.minhash_candidate_pairs(
-            d, "doc_id", "text"
+            d, "doc_id", "text", spread=False  # input pre-repartitioned
         ),
         "simhash_neardup_pairs": simhash_pairs,
+        "ivf_assign": ivf_assign_probe,
     }
     out: dict = {}
     for name, fn in probes.items():
         entry = {}
+        scaled = (
+            _scaled_embeddings if name == "ivf_assign" else
+            lambda m: _scaled_documents(spark, sf_dir, m)
+        )
         try:
             for mult in (1, 10):
-                d = _scaled_documents(spark, sf_dir, mult)
+                d = scaled(mult)
                 samples = []
                 for _ in range(3 if mult == 1 else 2):
                     t0 = _time.time()
