@@ -12,12 +12,15 @@ from interop_spark.operators.dedup import (  # noqa: F401
     simhash_bands,
     word_shingles,
 )
+from interop_spark.operators.pq import l2sq, subvector  # noqa: F401
 from interop_spark.operators.similarity import (  # noqa: F401
     as_double,
     cosine_sim,
     dot,
     l2_norm,
     lsh_bucket,
+    sq8_decode,
+    sq8_encode,
 )
 from interop_spark.operators.text import (  # noqa: F401
     avg_token_len,
@@ -26,8 +29,11 @@ from interop_spark.operators.text import (  # noqa: F401
     lang_id_of_tokens,
     punct_ratio,
     quality_score,
+    repetition_signals,
     stopword_count,
     stopword_ratio,
     token_count,
+    token_entropy,
     tokens,
+    word_ngrams,
 )

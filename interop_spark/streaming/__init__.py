@@ -1,4 +1,7 @@
 from interop_spark.streaming.streams import (  # noqa: F401
+    enrich_events,
+    sessionize_stream,
+    sessionize_stream_event_time,
     stream_bundles_from_directory,
     stream_events_json,
     streaming_dedupe,
