@@ -32,18 +32,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from interop_spark.operators.text import fingerprint, tokens
+from interop_spark.operators.text import fingerprint, tokens, word_ngrams
 
 SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed 64-bit long
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a document."""
-    t = tokens(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
-    )
+    """Distinct word n-gram shingles of a document (the SET form of
+    ``text.word_ngrams`` — one shared construction so the short-doc
+    clamp semantics can never diverge between the dedup and
+    repetition-signal paths)."""
+    return F.array_distinct(word_ngrams(text, n))
 
 
 def _seeded_md5(j: int):

@@ -83,7 +83,11 @@ def pq_train(
             as_double(subvector(col(vec_col), m, sub_dim)).alias("sv"),
         )
         # deterministic first-k seeding, then Lloyd under L2: assign by
-        # argmin l2sq to the codebook literal, update = per-cell mean
+        # argmin l2sq to the codebook literal; the update reuses
+        # kmeans.centroid_update (per-cell component means — the same
+        # one-keyed-shuffle step, including its cross-engine round-9)
+        from interop_spark.operators.kmeans import centroid_update
+
         cents = [
             [float(x) for x in r[0]]
             for r in sub.orderBy("sid").limit(k).select("sv").collect()
@@ -92,20 +96,11 @@ def pq_train(
             assigned = sub.select(
                 "sid", "sv", _argmin_code(col("sv"), cents).alias("cell")
             )
-            rows = (
-                assigned.select("cell", F.posexplode("sv").alias("pos", "v"))
-                .groupBy("cell", "pos")
-                .agg(F.avg("v").alias("mcomp"))
-                .groupBy("cell")
-                .agg(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("pos", "mcomp"))),
-                        lambda s: s["mcomp"],
-                    ).alias("centroid")
-                )
-                .collect()
-            )
-            new = {int(r["cell"]): [float(x) for x in r["centroid"]] for r in rows}
+            rows = centroid_update(assigned, vec_col="sv").collect()
+            new = {
+                int(r["centroid_id"]): [float(x) for x in r["centroid"]]
+                for r in rows
+            }
             # empty cells keep their previous codeword (standard practice)
             cents = [new.get(c, cents[c]) for c in range(len(cents))]
         out.append(cents)
@@ -149,8 +144,15 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Encode every vector as M code ids: ``(id, codes array<int>)``.
-    Pure projection — M small argmin folds per row, zero shuffle."""
+    Pure projection — M small argmin folds per row, zero shuffle.
+
+    A NULL or wrong-dimension vector yields NULL codes (the module's
+    ``ivf_assign`` null contract) — without the guard the argmin fold's
+    NULL distances fall through every comparison and such rows would
+    silently encode as centroid 0 in every subspace, then outrank real
+    neighbors in ADC search."""
     sub_dim = len(codebooks[0][0])
+    dim = sub_dim * len(codebooks)
     codes = F.array(
         *[
             _argmin_code(
@@ -159,7 +161,8 @@ def pq_encode(
             for m, cb_m in enumerate(codebooks)
         ]
     )
-    return df.select(col(id_col), codes.alias("codes"))
+    valid = col(vec_col).isNotNull() & (F.size(col(vec_col)) == dim)
+    return df.select(col(id_col), F.when(valid, codes).alias("codes"))
 
 
 def pq_adc_topk(

@@ -99,7 +99,7 @@ _WINDOW = (
     # staleness rotation: functions_battery residue (2, r1-era)
     "lead_lag",
     "conditional_agg",
-    # pipeline_ext (10; kmeans_one_step changed, 7 new)
+    # pipeline_ext (12; kmeans_one_step changed, 9 new)
     "gopher_quality_flags",
     "gopher_repetition_signals",
     "ivf_index_search",

@@ -17,6 +17,7 @@ from pyspark.sql.functions import col
 from interop_spark.io import load
 from interop_spark.operators import text as tx
 from interop_spark.queries.pipeline import (
+    DUP_OFFSET,
     EMB_DIM,
     N_CENTROIDS,
     _dk_dot,
@@ -229,7 +230,6 @@ def q_decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-word-dropped mutation of every eval doc (near-total overlap)
     plus untouched docs 30..200 (must not collide — specificity)."""
     from interop_spark.operators.dedup import word_shingles
-    from interop_spark.queries.pipeline import DUP_OFFSET
 
     d = load(spark, sf_dir, "documents")
     ev = d.where(col("doc_id") < DECONTAM_EVAL).select("doc_id", "text")
@@ -271,14 +271,8 @@ def q_dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram array is sorted per row and one ``F.aggregate`` fold finds
     the longest equal run — a pure projection that scans the corpus
     once at any scale."""
-    from interop_spark.operators.text import tokens
-
     d = load(spark, sf_dir, "documents")
-    t = tokens(col("text"))
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(t) - 1, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
-    )
+    bigrams = tx.word_ngrams(col("text"), 2)
 
     def _step(a, x):
         run = (
@@ -434,9 +428,14 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # source's numeric suffix so the oracle can recompute it)
 def _mix_rate_sql(src: str) -> str:
     # CAST to DOUBLE: bare literals would unify to DECIMAL with
-    # engine-specific scales (0.50 vs 0.5) and break the value hash
+    # engine-specific scales (0.50 vs 0.5) and break the value hash.
+    # TRY_CAST, not CAST: on a source with no trailing digit,
+    # regexp_extract returns '' and DuckDB's plain CAST('' AS INTEGER)
+    # RAISES while Spark's non-ANSI cast yields NULL — TRY_CAST gives
+    # both engines the same NULL → ELSE 0.1 path.
     return (
-        f"CAST(CASE CAST(regexp_extract({src}, '([0-9]+)$', 1) AS INTEGER)"
+        f"CAST(CASE TRY_CAST(regexp_extract({src}, '([0-9]+)$', 1)"
+        " AS INTEGER)"
         " % 4 WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 WHEN 2 THEN 0.25 "
         "ELSE 0.1 END AS DOUBLE)"
     )
@@ -729,7 +728,7 @@ ORACLE = {
           SELECT doc_id, text FROM documents WHERE doc_id < {DECONTAM_EVAL}
         ),
         train AS (
-          SELECT doc_id + 1000000 AS doc_id,
+          SELECT doc_id + {DUP_OFFSET} AS doc_id,
                  substring(text, instr(text, ' ') + 1) AS text
           FROM ev
           UNION ALL

@@ -378,6 +378,25 @@ def test_pq_adc_equals_exact_distance_to_reconstruction(spark, sf_dir):
     assert top[0].adc_dist <= top[-1].adc_dist
 
 
+def test_pq_encode_null_contract(spark, sf_dir):
+    """A NULL or wrong-dimension embedding must yield NULL codes (the
+    module's ivf_assign contract) — not silently encode as centroid 0
+    and outrank real neighbors in ADC search."""
+    from interop_spark.io import load
+    from interop_spark.operators.pq import pq_encode, pq_train
+
+    e = load(spark, sf_dir, "embeddings").limit(32)
+    cbs = pq_train(e, m_subspaces=8, k=4, iters=0)
+    bad = spark.createDataFrame(
+        [(9001, None), (9002, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r.codes for r in pq_encode(bad, cbs).collect()}
+    assert rows[9001] is None and rows[9002] is None
+    good = {r.vec_id: r.codes for r in pq_encode(e, cbs).collect()}
+    assert all(cs is not None for cs in good.values())
+
+
 def test_pq_training_reduces_quantization_error(spark, sf_dir):
     """Lloyd iterations do not worsen the codebook: mean squared
     reconstruction error after 2 iterations <= after 0 (seeding only)."""

@@ -1,4 +1,6 @@
 """Session-config contracts (no SparkSession needed)."""
+import os
+
 from interop_spark.session import ENGINE_CONF, object_store_conf
 
 
@@ -11,7 +13,11 @@ def test_engine_conf_scale_posture():
         == "true"
     )
     mem = ENGINE_CONF["spark.driver.memory"]
-    assert mem.endswith("g") and int(mem[:-1]) >= 8
+    # the conf honors the documented override (baked in at import time);
+    # only assert the 16g DEFAULT when the env hook isn't in use — a
+    # user-chosen '24576m' or '4g' is the override working as designed
+    override = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    assert mem == (override if override else "16g")
 
 
 def test_object_store_conf_shape():
