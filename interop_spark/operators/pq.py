@@ -116,7 +116,10 @@ def _codebook_literal(cb_m: list[list[float]]) -> Column:
 def _argmin_code(sv: Column, cb_m: list[list[float]]) -> Column:
     """0-based code of the L2-nearest codeword — a fold over the
     codebook literal carrying (best_dist, best_idx, cur_idx); ties go to
-    the LOWEST code id (strict <), deterministically."""
+    the LOWEST code id (strict <), deterministically. The distance is
+    rounded to 9 decimals before comparison — the engine-wide argmin/
+    argmax posture (same as ``ivf_assign``'s cosine): summation-order
+    ULP differences between engines must not flip a near-tie."""
     init = F.struct(
         F.lit(float("inf")).alias("bd"),
         F.lit(0).alias("bi"),
@@ -124,7 +127,7 @@ def _argmin_code(sv: Column, cb_m: list[list[float]]) -> Column:
     )
 
     def _step(a, cw):
-        d = l2sq(sv, cw)
+        d = F.round(l2sq(sv, cw), 9)
         better = d < a["bd"]
         return F.struct(
             F.when(better, d).otherwise(a["bd"]).alias("bd"),

@@ -45,16 +45,24 @@ _MODULES = (
 #     normalization, the round-4 failure); kmeans_fit, pii_redact,
 #     decontam_ngram_overlap, dup_ngram_stats,
 #     gopher_repetition_signals, sequence_pack, domain_mix_sample,
-#     token_entropy, sq8_roundtrip are NEW; module shared by
+#     token_entropy, sq8_roundtrip, pq_encode are NEW; module shared by
 #     gopher/ivf_index_search. operators/text.py's and similarity.py's
 #     round-5 diffs are ADDITIVE ONLY (new word_ngrams/_run_fold/
 #     repetition_signals/token_entropy and sq8_encode/sq8_decode,
-#     consumed solely by the new in-window queries) — no existing
-#     function changed, so the out-of-window text/similarity consumers
-#     (text_token_stats, text_quality, lang_id, token_count_bpe,
-#     tfidf_top_terms, doc_fingerprint, knn_cosine, knn_batch,
-#     embedding_neardup, embedding_centroids, lsh_bucket_sizes,
-#     ivf_probe/multiprobe, …) retain their r3/r4 green.
+#     consumed solely by the new in-window queries; operators/pq.py is
+#     a NEW module) — no existing function changed except
+#     dedup.word_shingles' body becoming array_distinct(word_ngrams),
+#     which builds the IDENTICAL expression tree (same sequence/slice/
+#     clamp/concat_ws/array_distinct chain, verified by the local
+#     all-queries run): its in-window consumers (minhash*, decontam)
+#     re-verify anyway and its one out-of-window consumer
+#     (ngram_jaccard_pairs) keeps its r3 green under the identical
+#     expression. The out-of-window text/similarity consumers
+#     (text_token_stats, text_quality,
+#     lang_id, token_count_bpe, tfidf_top_terms, doc_fingerprint,
+#     knn_cosine, knn_batch, embedding_neardup, embedding_centroids,
+#     lsh_bucket_sizes, ivf_probe/multiprobe, …) retain their r3/r4
+#     green.
 #   * fhir_queries, all 12 — module changed: _ENTRY_CACHE eviction,
 #     fhir_writer_roundtrip widened with Money/Period leaves.
 #   * dedup.py-affected pipeline queries (5): the round-5 dedup diff
@@ -99,7 +107,7 @@ _WINDOW = (
     # staleness rotation: functions_battery residue (2, r1-era)
     "lead_lag",
     "conditional_agg",
-    # pipeline_ext (12; kmeans_one_step changed, 9 new)
+    # pipeline_ext (13; kmeans_one_step changed, 10 new)
     "gopher_quality_flags",
     "gopher_repetition_signals",
     "ivf_index_search",
@@ -112,6 +120,7 @@ _WINDOW = (
     "domain_mix_sample",
     "token_entropy",
     "sq8_roundtrip",
+    "pq_encode",
     # fhir (12; module changed: cache eviction + widened roundtrip)
     "bundle_collect_flatten",
     "fhir_adt_timeline",
@@ -131,12 +140,11 @@ _WINDOW = (
     "neardup_clusters",
     "neardup_clusters_star",
     "dedup_representatives",
-    # staleness rotation: relational_ext (6, r3; array_funcs and
-    # pivot_agg defer)
+    # staleness rotation: relational_ext (5, r3; array_funcs,
+    # pivot_agg, grouping_sets defer)
     "rollup_agg",
     "salted_join_agg",
     "cube_agg",
-    "grouping_sets",
     "argmax_agg",
     "merge_upsert",
     # staleness rotation: temporal_q (2, r3)

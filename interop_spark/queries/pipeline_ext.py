@@ -503,6 +503,93 @@ def q_sq8_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_M = 4  # subspaces (dim 64 → 16-dim subvectors)
+PQ_K = 4  # codewords per subspace
+PQ_ITERS = 1  # Lloyd iterations per codebook
+
+
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding as a driver query: train M=4
+    codebooks (first-k seeding + 1 Lloyd iteration under L2, the
+    round-9 cross-engine posture throughout) and emit every vector's
+    codes as (vec_id, m, code) rows — an all-integer output, so the
+    value hash pins the entire train→encode pipeline including the
+    argmin tie-breaks."""
+    from interop_spark.operators.pq import pq_encode, pq_train
+
+    e = load(spark, sf_dir, "embeddings")
+    cbs = pq_train(
+        e, m_subspaces=PQ_M, k=PQ_K, iters=PQ_ITERS, dim=EMB_DIM
+    )
+    return pq_encode(e, cbs).select(
+        "vec_id", F.posexplode("codes").alias("m", "code")
+    )
+
+
+def _pq_encode_oracle() -> str:
+    """DuckDB twin of train(M,k,1 iter)+encode with the subspace as a
+    DATA dimension: slice subvectors for every (vec, m), seed each
+    subspace's codebook from the k lowest-id vectors, run one Lloyd
+    step (argmin of the ROUND-9 squared L2 via lexicographic struct
+    min — ties to the lowest code, the fold's contract; per-(cell,pos)
+    means rounded to 9; empty cells keep their seed codeword via the
+    LEFT JOIN coalesce), then re-assign against the updated codebooks."""
+    sub = EMB_DIM // PQ_M
+    sv = (
+        f"list_transform(list_slice(embedding, m * {sub} + 1,"
+        f" m * {sub} + {sub}), x -> CAST(x AS DOUBLE))"
+    )
+    d2 = (
+        f"round(list_sum(list_transform(generate_series(1, {sub}),"
+        f" i -> (sv[i] - c[i]) * (sv[i] - c[i]))), 9)"
+    )
+    return f"""
+        WITH sv AS (
+          SELECT vec_id, g.m, {sv} AS sv
+          FROM embeddings
+          CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m)
+            AS g
+        ),
+        seed AS (
+          SELECT m, row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1
+                   AS code,
+                 sv AS c
+          FROM sv QUALIFY code < {PQ_K}
+        ),
+        a1 AS (
+          SELECT s.vec_id, s.m,
+                 (min({{'d': {d2.replace("c[i]", "sd.c[i]")
+                              .replace("sv[i]", "s.sv[i]")},
+                       'k': sd.code}})).k AS cell
+          FROM sv s JOIN seed sd ON s.m = sd.m
+          GROUP BY s.vec_id, s.m
+        ),
+        upd AS (
+          SELECT a1.m, a1.cell AS code,
+                 g.i AS pos, round(avg(s.sv[g.i]), 9) AS comp
+          FROM a1
+          JOIN sv s ON a1.vec_id = s.vec_id AND a1.m = s.m
+          CROSS JOIN generate_series(1, {sub}) AS g(i)
+          GROUP BY a1.m, a1.cell, g.i
+        ),
+        upd_arr AS (
+          SELECT m, code, list(comp ORDER BY pos) AS c
+          FROM upd GROUP BY m, code
+        ),
+        cb AS (
+          SELECT seed.m, seed.code, coalesce(upd_arr.c, seed.c) AS c
+          FROM seed LEFT JOIN upd_arr
+            ON seed.m = upd_arr.m AND seed.code = upd_arr.code
+        )
+        SELECT s.vec_id, CAST(s.m AS INTEGER) AS m,
+               CAST((min({{'d': {d2.replace("c[i]", "cb.c[i]")
+                                 .replace("sv[i]", "s.sv[i]")},
+                     'k': cb.code}})).k AS INTEGER) AS code
+        FROM sv s JOIN cb ON s.m = cb.m
+        GROUP BY s.vec_id, s.m
+    """
+
+
 QUERIES = {
     "gopher_quality_flags": q_gopher_quality_flags,
     "gopher_repetition_signals": q_gopher_repetition_signals,
@@ -510,6 +597,7 @@ QUERIES = {
     "domain_mix_sample": q_domain_mix_sample,
     "token_entropy": q_token_entropy,
     "sq8_roundtrip": q_sq8_roundtrip,
+    "pq_encode": q_pq_encode,
     "ivf_index_search": q_ivf_index_search,
     "kmeans_one_step": q_kmeans_one_step,
     "kmeans_fit": q_kmeans_fit,
@@ -619,6 +707,7 @@ ORACLE = {
     """,
     "kmeans_fit": _kmeans_fit_oracle(KM_FIT_K, KM_FIT_ITERS),
     "gopher_repetition_signals": _repetition_oracle(),
+    "pq_encode": _pq_encode_oracle(),
     "sq8_roundtrip": f"""
         WITH v AS (
           SELECT vec_id,
