@@ -194,12 +194,17 @@ def pq_adc_topk(
     tbl = F.array(
         *[F.array(*[F.lit(float(x)) for x in row]) for row in table]
     )
-    dist = F.aggregate(
-        F.zip_with(
-            col("codes"), tbl, lambda c, row: F.element_at(row, c + 1)
+    dist = F.round(
+        F.aggregate(
+            F.zip_with(
+                col("codes"), tbl, lambda c, row: F.element_at(row, c + 1)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+        9,  # round-9 before ranking: the top-k BOUNDARY must not
+        #     depend on cross-engine summation-order ULPs (with the
+        #     id tie-break below, the k-th row is then deterministic)
     )
     return (
         encoded.select(col(id_col), dist.alias("adc_dist"))

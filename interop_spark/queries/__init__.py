@@ -45,7 +45,8 @@ _MODULES = (
 #     normalization, the round-4 failure); kmeans_fit, pii_redact,
 #     decontam_ngram_overlap, dup_ngram_stats,
 #     gopher_repetition_signals, sequence_pack, domain_mix_sample,
-#     token_entropy, sq8_roundtrip, pq_encode are NEW; module shared by
+#     token_entropy, sq8_roundtrip, pq_encode, pq_adc_topk are NEW;
+#     module shared by
 #     gopher/ivf_index_search. operators/text.py's and similarity.py's
 #     round-5 diffs are ADDITIVE ONLY (new word_ngrams/_run_fold/
 #     repetition_signals/token_entropy and sq8_encode/sq8_decode,
@@ -107,7 +108,7 @@ _WINDOW = (
     # staleness rotation: functions_battery residue (2, r1-era)
     "lead_lag",
     "conditional_agg",
-    # pipeline_ext (13; kmeans_one_step changed, 10 new)
+    # pipeline_ext (14; kmeans_one_step changed, 11 new)
     "gopher_quality_flags",
     "gopher_repetition_signals",
     "ivf_index_search",
@@ -121,6 +122,7 @@ _WINDOW = (
     "token_entropy",
     "sq8_roundtrip",
     "pq_encode",
+    "pq_adc_topk",
     # fhir (12; module changed: cache eviction + widened roundtrip)
     "bundle_collect_flatten",
     "fhir_adt_timeline",
@@ -140,11 +142,10 @@ _WINDOW = (
     "neardup_clusters",
     "neardup_clusters_star",
     "dedup_representatives",
-    # staleness rotation: relational_ext (5, r3; array_funcs,
-    # pivot_agg, grouping_sets defer)
+    # staleness rotation: relational_ext (4, r3; array_funcs,
+    # pivot_agg, grouping_sets, cube_agg defer)
     "rollup_agg",
     "salted_join_agg",
-    "cube_agg",
     "argmax_agg",
     "merge_upsert",
     # staleness rotation: temporal_q (2, r3)

@@ -506,6 +506,8 @@ def q_sq8_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_M = 4  # subspaces (dim 64 → 16-dim subvectors)
 PQ_K = 4  # codewords per subspace
 PQ_ITERS = 1  # Lloyd iterations per codebook
+PQ_QUERY_ID = 1  # ADC search query vector
+PQ_TOPK = 10
 
 
 def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -526,14 +528,36 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_encode_oracle() -> str:
-    """DuckDB twin of train(M,k,1 iter)+encode with the subspace as a
-    DATA dimension: slice subvectors for every (vec, m), seed each
-    subspace's codebook from the k lowest-id vectors, run one Lloyd
-    step (argmin of the ROUND-9 squared L2 via lexicographic struct
-    min — ties to the lowest code, the fold's contract; per-(cell,pos)
-    means rounded to 9; empty cells keep their seed codeword via the
-    LEFT JOIN coalesce), then re-assign against the updated codebooks."""
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC search as a driver query: train + encode (same params as
+    `pq_encode`), then rank every vector by its approximate squared L2
+    distance to the vec_id={PQ_QUERY_ID} query via M table lookups —
+    the search half of the PQ pipeline, top-k boundary pinned by the
+    round-9 distance + id tie-break."""
+    from interop_spark.operators.pq import pq_adc_topk, pq_encode, pq_train
+
+    e = load(spark, sf_dir, "embeddings")
+    cbs = pq_train(
+        e, m_subspaces=PQ_M, k=PQ_K, iters=PQ_ITERS, dim=EMB_DIM
+    )
+    q = [
+        float(x)
+        for x in e.where(col("vec_id") == PQ_QUERY_ID)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+    return pq_adc_topk(pq_encode(e, cbs), q, cbs, k=PQ_TOPK)
+
+
+def _pq_chain() -> str:
+    """Shared DuckDB CTE chain: train(M,k,1 iter) codebooks + every
+    vector's codes, with the subspace as a DATA dimension — slice
+    subvectors for every (vec, m), seed each subspace's codebook from
+    the k lowest-id vectors, run one Lloyd step (argmin of the ROUND-9
+    squared L2 via lexicographic struct min — ties to the lowest code,
+    the fold's contract; per-(cell,pos) means rounded to 9; empty cells
+    keep their seed codeword via the LEFT JOIN coalesce), then
+    re-assign against the updated codebooks."""
     sub = EMB_DIM // PQ_M
     sv = (
         f"list_transform(list_slice(embedding, m * {sub} + 1,"
@@ -580,14 +604,43 @@ def _pq_encode_oracle() -> str:
           SELECT seed.m, seed.code, coalesce(upd_arr.c, seed.c) AS c
           FROM seed LEFT JOIN upd_arr
             ON seed.m = upd_arr.m AND seed.code = upd_arr.code
+        ),
+        codes AS (
+          SELECT s.vec_id, CAST(s.m AS INTEGER) AS m,
+                 CAST((min({{'d': {d2.replace("c[i]", "cb.c[i]")
+                                   .replace("sv[i]", "s.sv[i]")},
+                       'k': cb.code}})).k AS INTEGER) AS code
+          FROM sv s JOIN cb ON s.m = cb.m
+          GROUP BY s.vec_id, s.m
+        )"""
+
+
+def _pq_encode_oracle() -> str:
+    return _pq_chain() + "\n        SELECT vec_id, m, code FROM codes"
+
+
+def _pq_adc_oracle() -> str:
+    """ADC search twin: the query vector's per-subspace distance to
+    every codeword (the table pq_adc_topk computes driver-side), summed
+    over each vector's codes and rounded to 9 before the ranked top-k
+    (adc order then vec_id — the operator's deterministic tie-break)."""
+    sub = EMB_DIM // PQ_M
+    return (
+        _pq_chain()
+        + f""",
+        q AS (SELECT m, sv AS qv FROM sv WHERE vec_id = {PQ_QUERY_ID}),
+        tbl AS (
+          SELECT cb.m, cb.code,
+                 list_sum(list_transform(generate_series(1, {sub}),
+                   i -> (q.qv[i] - cb.c[i]) * (q.qv[i] - cb.c[i]))) AS d
+          FROM cb JOIN q ON cb.m = q.m
         )
-        SELECT s.vec_id, CAST(s.m AS INTEGER) AS m,
-               CAST((min({{'d': {d2.replace("c[i]", "cb.c[i]")
-                                 .replace("sv[i]", "s.sv[i]")},
-                     'k': cb.code}})).k AS INTEGER) AS code
-        FROM sv s JOIN cb ON s.m = cb.m
-        GROUP BY s.vec_id, s.m
+        SELECT c.vec_id, round(sum(t.d), 9) AS adc_dist
+        FROM codes c JOIN tbl t ON c.m = t.m AND c.code = t.code
+        GROUP BY c.vec_id
+        ORDER BY adc_dist ASC, c.vec_id ASC LIMIT {PQ_TOPK}
     """
+    )
 
 
 QUERIES = {
@@ -598,6 +651,7 @@ QUERIES = {
     "token_entropy": q_token_entropy,
     "sq8_roundtrip": q_sq8_roundtrip,
     "pq_encode": q_pq_encode,
+    "pq_adc_topk": q_pq_adc_topk,
     "ivf_index_search": q_ivf_index_search,
     "kmeans_one_step": q_kmeans_one_step,
     "kmeans_fit": q_kmeans_fit,
@@ -708,6 +762,7 @@ ORACLE = {
     "kmeans_fit": _kmeans_fit_oracle(KM_FIT_K, KM_FIT_ITERS),
     "gopher_repetition_signals": _repetition_oracle(),
     "pq_encode": _pq_encode_oracle(),
+    "pq_adc_topk": _pq_adc_oracle(),
     "sq8_roundtrip": f"""
         WITH v AS (
           SELECT vec_id,
