@@ -30,16 +30,24 @@ TABLES = (
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores ts as INT64 TIMESTAMP(NANOS) which the Spark
-        # parquet reader rejects; read nanos as long and convert to a
-        # microsecond timestamp engine-side (runtime-settable legacy conf,
-        # applied here so it also holds under a caller-provided session).
+        # events.parquet has shipped with two `ts` encodings across fixture
+        # generations: INT64 TIMESTAMP(NANOS) (which Spark's parquet reader
+        # only accepts as raw longs under the legacy conf) and plain
+        # timestamp[us]. Be type-adaptive: set the legacy conf so both parse,
+        # then convert only when ts actually read back as long nanos.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # integer `div`, not `/`: epoch-nanos exceed double's 2^53 mantissa
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # integer `div`, not `/`: epoch-nanos exceed double's 2^53 mantissa
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if isinstance(ts_type, TimestampNTZType):
+            # session-TZ semantics to match the duckdb oracle comparison
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
