@@ -12,11 +12,11 @@ vectors with M table lookups instead of d multiplies.
 
 Spark-first shapes:
 
-- **Training** runs per subspace over the ``(vec_id, subvec)`` slice
-  projection — per iteration one corpus scan + a k·(d/M) aggregate
-  (the same scalable step as ``operators/kmeans.py``). Subspaces train
-  sequentially here (M small jobs); at cluster scale the M subproblems
-  are independent jobs.
+- **Training** treats the subspace index as a DATA dimension: each
+  vector explodes into M ``(m, subvec)`` rows once, and every Lloyd
+  iteration is ONE corpus scan + one ``(m, cell, pos)``-keyed aggregate
+  that updates all M codebooks together (iters+1 scans total including
+  the seed pass) — not M sequential per-subspace jobs.
 - **Encoding** is a ZERO-shuffle projection: all M codebooks collapse
   into one literal/broadcast structure and each row takes M small
   argmin folds.
@@ -25,10 +25,9 @@ Spark-first shapes:
   a literal, and scores every encoded row with M ``element_at`` lookups
   — a pure projection followed by TakeOrderedAndProject for top-k.
 
-Driver-oracle promotion of ``pq_encode``/ADC is the round-6 plan (the
-round-5 check window is full); until then the operators are
-pytest-verified (exactness of the L2 decomposition, encode determinism,
-recall sanity).
+``pq_encode``/``pq_adc_topk`` are driver-oracle queries
+(``queries/pipeline_ext.py``); pytest additionally pins exactness of the
+L2 decomposition, encode determinism, and recall sanity.
 """
 
 from __future__ import annotations
@@ -76,35 +75,71 @@ def pq_train(
     if dim % m_subspaces:
         raise ValueError(f"dim {dim} not divisible by M={m_subspaces}")
     sub_dim = dim // m_subspaces
-    out: list[list[list[float]]] = []
-    for m in range(m_subspaces):
-        sub = df.select(
-            col(id_col).alias("sid"),
-            as_double(subvector(col(vec_col), m, sub_dim)).alias("sv"),
-        )
-        # deterministic first-k seeding, then Lloyd under L2: assign by
-        # argmin l2sq to the codebook literal; the update reuses
-        # kmeans.centroid_update (per-cell component means — the same
-        # one-keyed-shuffle step, including its cross-engine round-9)
-        from interop_spark.operators.kmeans import centroid_update
-
-        cents = [
-            [float(x) for x in r[0]]
-            for r in sub.orderBy("sid").limit(k).select("sv").collect()
+    # deterministic first-k seeding: the k lowest-id FULL vectors in one
+    # bounded job, sliced into the M×k seed codewords driver-side —
+    # identical seeds to slicing per subspace, at 1/M the scans.
+    seeds = (
+        df.select(col(id_col).alias("sid"), as_double(col(vec_col)).alias("v"))
+        .orderBy("sid")
+        .limit(k)
+        .collect()
+    )
+    cbs: list[list[list[float]]] = [
+        [
+            [float(x) for x in r["v"][m * sub_dim : (m + 1) * sub_dim]]
+            for r in seeds
         ]
-        for _ in range(iters):
-            assigned = sub.select(
-                "sid", "sv", _argmin_code(col("sv"), cents).alias("cell")
+        for m in range(m_subspaces)
+    ]
+    # subspace index as a data dimension: explode each vector into M
+    # (m, sv) rows so ONE scan + ONE (m, cell, pos)-keyed aggregate per
+    # Lloyd iteration updates all M codebooks (shuffle carries map-side
+    # combined partials, never raw vectors — kmeans.centroid_update's
+    # shape, keyed by subspace as well as cell).
+    exploded = df.select(
+        col(id_col).alias("sid"),
+        F.posexplode(
+            F.array(
+                *[
+                    as_double(subvector(col(vec_col), m, sub_dim))
+                    for m in range(m_subspaces)
+                ]
             )
-            rows = centroid_update(assigned, vec_col="sv").collect()
-            new = {
-                int(r["centroid_id"]): [float(x) for x in r["centroid"]]
-                for r in rows
-            }
-            # empty cells keep their previous codeword (standard practice)
-            cents = [new.get(c, cents[c]) for c in range(len(cents))]
-        out.append(cents)
-    return out
+        ).alias("m", "sv"),
+    )
+    for _ in range(iters):
+        cbs_lit = F.array(*[_codebook_literal(cb_m) for cb_m in cbs])
+        assigned = exploded.select(
+            "m",
+            "sv",
+            _argmin_code_col(
+                col("sv"), F.element_at(cbs_lit, col("m") + 1)
+            ).alias("cell"),
+        )
+        rows = (
+            assigned.where(col("cell").isNotNull())
+            .select("m", "cell", F.posexplode("sv").alias("pos", "v"))
+            .groupBy("m", "cell", "pos")
+            .agg(F.round(F.avg(col("v").cast("double")), 9).alias("mu"))
+            .groupBy("m", "cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mu"))),
+                    lambda s: s["mu"],
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        new = {
+            (int(r["m"]), int(r["cell"])): [float(x) for x in r["centroid"]]
+            for r in rows
+        }
+        # empty cells keep their previous codeword (standard practice)
+        cbs = [
+            [new.get((m, c), cbs[m][c]) for c in range(k)]
+            for m in range(m_subspaces)
+        ]
+    return cbs
 
 
 def _codebook_literal(cb_m: list[list[float]]) -> Column:
@@ -113,13 +148,14 @@ def _codebook_literal(cb_m: list[list[float]]) -> Column:
     )
 
 
-def _argmin_code(sv: Column, cb_m: list[list[float]]) -> Column:
-    """0-based code of the L2-nearest codeword — a fold over the
-    codebook literal carrying (best_dist, best_idx, cur_idx); ties go to
-    the LOWEST code id (strict <), deterministically. The distance is
-    rounded to 9 decimals before comparison — the engine-wide argmin/
-    argmax posture (same as ``ivf_assign``'s cosine): summation-order
-    ULP differences between engines must not flip a near-tie."""
+def _argmin_code_col(sv: Column, cb_col: Column) -> Column:
+    """0-based code of the L2-nearest codeword in ``cb_col`` (an
+    ``array<array<double>>`` Column) — a fold carrying (best_dist,
+    best_idx, cur_idx); ties go to the LOWEST code id (strict <),
+    deterministically. The distance is rounded to 9 decimals before
+    comparison — the engine-wide argmin/argmax posture (same as
+    ``ivf_assign``'s cosine): summation-order ULP differences between
+    engines must not flip a near-tie."""
     init = F.struct(
         F.lit(float("inf")).alias("bd"),
         F.lit(0).alias("bi"),
@@ -135,9 +171,11 @@ def _argmin_code(sv: Column, cb_m: list[list[float]]) -> Column:
             (a["i"] + 1).alias("i"),
         )
 
-    return F.aggregate(
-        _codebook_literal(cb_m), init, _step, lambda a: a["bi"]
-    )
+    return F.aggregate(cb_col, init, _step, lambda a: a["bi"])
+
+
+def _argmin_code(sv: Column, cb_m: list[list[float]]) -> Column:
+    return _argmin_code_col(sv, _codebook_literal(cb_m))
 
 
 def pq_encode(
