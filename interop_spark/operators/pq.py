@@ -183,9 +183,11 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Encode every vector as M code ids: ``(id, codes array<int>)``.
-    Pure projection — M small argmin folds per row, zero shuffle.
+    """Encode every vector as M code ids: ``(id[, *keep], codes
+    array<int>)``. Pure projection — M small argmin folds per row, zero
+    shuffle. ``keep`` carries extra columns through (e.g. an IVF cell).
 
     A NULL or wrong-dimension vector yields NULL codes (the module's
     ``ivf_assign`` null contract) — without the guard the argmin fold's
@@ -203,7 +205,9 @@ def pq_encode(
         ]
     )
     valid = col(vec_col).isNotNull() & (F.size(col(vec_col)) == dim)
-    return df.select(col(id_col), F.when(valid, codes).alias("codes"))
+    return df.select(
+        col(id_col), *keep, F.when(valid, codes).alias("codes")
+    )
 
 
 def pq_adc_topk(
@@ -212,6 +216,7 @@ def pq_adc_topk(
     codebooks: list[list[list[float]]],
     k: int = 10,
     id_col: str = "vec_id",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Asymmetric distance search: score = Σ_m table[m][code_m], where
     ``table[m][c] = ||q_m - codebook[m][c]||²`` is computed DRIVER-side
@@ -245,7 +250,54 @@ def pq_adc_topk(
         #     id tie-break below, the k-th row is then deterministic)
     )
     return (
-        encoded.select(col(id_col), dist.alias("adc_dist"))
+        encoded.select(col(id_col), *keep, dist.alias("adc_dist"))
         .orderBy(col("adc_dist").asc(), col(id_col).asc())
         .limit(k)
+    )
+
+
+def ivfpq_search(
+    df: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ composed index search — the realistic 100 TB ANN layout:
+    coarse IVF cells hold PQ codes, and a query ADC-scores only the
+    rows in its ``nprobe`` nearest cells (Jégou et al. 2011 §V).
+
+    Plan shape end-to-end: ``ivf_assign`` (one-row broadcast centroid
+    array, no vector-side Exchange) → ``pq_encode`` projection carrying
+    the cell through → broadcast one-row probe join filtering to the
+    query's cells → literal-table ADC projection →
+    TakeOrderedAndProject. Zero shuffles on the corpus side; on a
+    cluster the encoded (cell, codes) table is the written index and a
+    search touches ~nprobe/C of it via cell-partition pruning."""
+    from interop_spark.operators.similarity import (
+        centroid_array,
+        ivf_assign,
+        l2_norm,
+        query_cells,
+        query_vector_literal,
+    )
+
+    assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
+    encoded = pq_encode(
+        assigned, codebooks, id_col=id_col, vec_col=vec_col, keep=("cell",)
+    )
+    qv = query_vector_literal(query)
+    qrow = centroid_array(centroids).select(
+        query_cells(
+            qv, col("_cents"), l2_norm(as_double(qv)), nprobe
+        ).alias("_qcells")
+    )
+    probed = encoded.join(
+        F.broadcast(qrow), F.array_contains(col("_qcells"), col("cell"))
+    )
+    return pq_adc_topk(
+        probed, query, codebooks, k=k, id_col=id_col, keep=("cell",)
     )

@@ -549,6 +549,36 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(pq_encode(e, cbs), q, cbs, k=PQ_TOPK)
 
 
+IVFPQ_NPROBE = 2
+
+
+def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed index search as a driver query: coarse IVF cells
+    (first-C centroids, `ivf_index_search`'s layout) store PQ codes
+    (`pq_encode`'s codebooks), and the vec_id={PQ_QUERY_ID} query
+    ADC-scores only its {IVFPQ_NPROBE} nearest cells — the realistic
+    100 TB ANN layout, pinned end-to-end: cell assignment, probe
+    selection, train→encode, and the ADC top-k boundary."""
+    from interop_spark.operators.pq import ivfpq_search, pq_train
+
+    e = load(spark, sf_dir, "embeddings")
+    cent = e.where(col("vec_id") < N_CENTROIDS).select(
+        col("vec_id").alias("centroid_id"), col("embedding").alias("centroid")
+    )
+    cbs = pq_train(
+        e, m_subspaces=PQ_M, k=PQ_K, iters=PQ_ITERS, dim=EMB_DIM
+    )
+    q = [
+        float(x)
+        for x in e.where(col("vec_id") == PQ_QUERY_ID)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+    return ivfpq_search(
+        e, cent, cbs, q, k=PQ_TOPK, nprobe=IVFPQ_NPROBE
+    )
+
+
 def _pq_chain() -> str:
     """Shared DuckDB CTE chain: train(M,k,1 iter) codebooks + every
     vector's codes, with the subspace as a DATA dimension — slice
@@ -643,6 +673,53 @@ def _pq_adc_oracle() -> str:
     )
 
 
+def _ivfpq_oracle() -> str:
+    """IVF-PQ twin: the `_pq_chain` train/encode CTEs composed with
+    `ivf_index_search`'s cell CTEs — ADC distances summed per vector,
+    restricted to the query's nprobe cells (probe ranking = round-9
+    cosine DESC then centroid_id DESC, `query_cells`' tie order), then
+    the round-9 + vec_id-tie top-k boundary."""
+    sub = EMB_DIM // PQ_M
+    return (
+        _pq_chain()
+        + f""",
+        cent AS (
+          SELECT vec_id AS centroid_id, embedding AS centroid
+          FROM embeddings WHERE vec_id < {N_CENTROIDS}
+        ),
+        sims AS (
+          SELECT e.vec_id, c.centroid_id,
+                 round({_dk_dot('e.embedding', 'c.centroid')}
+                       / greatest({_dk_norm('e.embedding')}
+                                  * {_dk_norm('c.centroid')}, 1e-12), 9) AS v
+          FROM embeddings e, cent c
+        ),
+        cells AS (
+          SELECT vec_id, (max({{'v': v, 'k': centroid_id}})).k AS cell
+          FROM sims GROUP BY vec_id
+        ),
+        qcells AS (
+          SELECT centroid_id FROM sims WHERE vec_id = {PQ_QUERY_ID}
+          ORDER BY v DESC, centroid_id DESC LIMIT {IVFPQ_NPROBE}
+        ),
+        q AS (SELECT m, sv AS qv FROM sv WHERE vec_id = {PQ_QUERY_ID}),
+        tbl AS (
+          SELECT cb.m, cb.code,
+                 list_sum(list_transform(generate_series(1, {sub}),
+                   i -> (q.qv[i] - cb.c[i]) * (q.qv[i] - cb.c[i]))) AS d
+          FROM cb JOIN q ON cb.m = q.m
+        )
+        SELECT c.vec_id, cl.cell, round(sum(t.d), 9) AS adc_dist
+        FROM codes c
+        JOIN cells cl ON c.vec_id = cl.vec_id
+        JOIN tbl t ON c.m = t.m AND c.code = t.code
+        WHERE cl.cell IN (SELECT centroid_id FROM qcells)
+        GROUP BY c.vec_id, cl.cell
+        ORDER BY adc_dist ASC, c.vec_id ASC LIMIT {PQ_TOPK}
+    """
+    )
+
+
 QUERIES = {
     "gopher_quality_flags": q_gopher_quality_flags,
     "gopher_repetition_signals": q_gopher_repetition_signals,
@@ -652,6 +729,7 @@ QUERIES = {
     "sq8_roundtrip": q_sq8_roundtrip,
     "pq_encode": q_pq_encode,
     "pq_adc_topk": q_pq_adc_topk,
+    "ivfpq_search": q_ivfpq_search,
     "ivf_index_search": q_ivf_index_search,
     "kmeans_one_step": q_kmeans_one_step,
     "kmeans_fit": q_kmeans_fit,
@@ -763,6 +841,7 @@ ORACLE = {
     "gopher_repetition_signals": _repetition_oracle(),
     "pq_encode": _pq_encode_oracle(),
     "pq_adc_topk": _pq_adc_oracle(),
+    "ivfpq_search": _ivfpq_oracle(),
     "sq8_roundtrip": f"""
         WITH v AS (
           SELECT vec_id,

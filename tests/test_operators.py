@@ -529,3 +529,48 @@ def test_kmeans_centroid_update_drops_empty_cells_only(spark, sf_dir):
     assert len({r.centroid_id for r in rows}) == len(rows)
     dim = len(e.select("embedding").first()[0])
     assert all(r.d == dim for r in rows)
+
+
+def test_ivfpq_nprobe_all_cells_equals_full_adc(spark, sf_dir):
+    """IVF-PQ with nprobe = C (every cell probed) degenerates to the
+    unpartitioned ADC top-k — the recall ceiling; and with nprobe=1 the
+    result is a subset of that full ranking restricted to one cell."""
+    from interop_spark.io import load
+    from interop_spark.operators.pq import (
+        ivfpq_search,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+    from pyspark.sql import functions as F
+
+    e = load(spark, sf_dir, "embeddings").limit(200)
+    C, M, K = 4, 8, 4
+    cent = e.where(F.col("vec_id") < C).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    cbs = pq_train(e, m_subspaces=M, k=K, iters=1)
+    q = [
+        float(x)
+        for x in e.where(F.col("vec_id") == 1)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+    full = [
+        (r.vec_id, r.adc_dist)
+        for r in pq_adc_topk(pq_encode(e, cbs), q, cbs, k=10).collect()
+    ]
+    allcells = [
+        (r.vec_id, r.adc_dist)
+        for r in ivfpq_search(e, cent, cbs, q, k=10, nprobe=C).collect()
+    ]
+    assert allcells == full
+    one = ivfpq_search(e, cent, cbs, q, k=10, nprobe=1).collect()
+    assert 0 < len(one) <= 10
+    cells = {r.cell for r in one}
+    assert len(cells) == 1
+    full_dist = dict(full)
+    for r in one:
+        if r.vec_id in full_dist:
+            assert r.adc_dist == full_dist[r.vec_id]
