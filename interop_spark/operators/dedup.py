@@ -510,3 +510,122 @@ def dedup_clusters_star(
         "doc_id", F.col("doc_id").alias("cluster")
     )
     return members.unionByName(roots)
+
+
+# ---------------------------------------------------------------------------
+# Exact substring deduplication (Lee et al., "Deduplicating Training Data
+# Makes Language Models Better", ACL 2022 — public algorithm family). The
+# suffix-array construction is replaced by a Spark-native strided
+# fingerprint join: hash fixed-width character windows on a stride grid,
+# equi-join window hashes across documents, and merge consecutive matched
+# windows on each (doc_a, doc_b, diagonal) into maximal duplicated runs.
+# A shared substring is detected when its occurrences sit on congruent
+# stride offsets (the standard strided-fingerprinting tradeoff; shrink
+# the stride — or use stride=1 — for full sensitivity at higher cost).
+
+
+def substring_windows(
+    df: DataFrame,
+    w: int = 40,
+    stride: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per (doc, grid position): ``(id, pos, h)`` where ``h`` is
+    the md5 of the w-char window at 1-based ``pos`` — a zero-shuffle
+    explode projection (~len/stride rows per doc)."""
+    n = (
+        F.when(
+            F.length(F.col(text_col)) >= w,
+            ((F.length(F.col(text_col)) - w) / stride).cast("int") + 1,
+        )
+        .otherwise(0)
+    )
+    wins = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.struct(
+                (i * stride + 1).alias("pos"),
+                F.md5(
+                    F.substring(F.col(text_col), i * stride + 1, w)
+                ).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array())
+    return df.select(
+        F.col(id_col), F.explode(wins).alias("_w")
+    ).select(id_col, F.col("_w.pos").alias("pos"), F.col("_w.h").alias("h"))
+
+
+def substring_dup_runs(
+    df: DataFrame,
+    w: int = 40,
+    stride: int = 10,
+    max_hash_docs: int | None = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal cross-document duplicated substring runs:
+    ``(doc_a, doc_b, start_a, start_b, match_len, n_windows)`` with
+    ``doc_a < doc_b`` and ``match_len = span + w`` chars.
+
+    Plan shape: window projection → (optional) hash-frequency guard →
+    self-equi-join on the window hash → per-(pair, diagonal) window
+    run-merge. All shuffles are keyed by high-cardinality hashes or
+    (pair, diagonal) keys; ``max_hash_docs`` drops boilerplate windows
+    shared by more than that many documents, which otherwise contribute
+    O(n²) candidate pairs per hash (handle such runaway content with
+    the doc-level dedup family instead)."""
+    from pyspark.sql.window import Window
+
+    wins = substring_windows(df, w, stride, id_col, text_col)
+    if max_hash_docs is not None:
+        keep = (
+            wins.groupBy("h")
+            .agg(F.countDistinct(id_col).alias("_nd"))
+            .where(F.col("_nd") <= max_hash_docs)
+            .select("h")
+        )
+        wins = wins.join(keep, "h")
+    a = wins.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("pos").alias("pos_a"),
+        "h",
+    )
+    b = wins.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("pos").alias("pos_b"),
+        "h",
+    )
+    m = a.join(b, "h").where(F.col("doc_a") < F.col("doc_b"))
+    diag = (F.col("pos_a") - F.col("pos_b")).alias("diag")
+    m = m.select("doc_a", "doc_b", "pos_a", "pos_b", diag)
+    win = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    prev = F.lag("pos_a").over(win)
+    new_run = F.when(
+        prev.isNull() | (F.col("pos_a") - prev != stride), 1
+    ).otherwise(0)
+    runs = m.withColumn(
+        "run_id",
+        F.sum(new_run).over(
+            win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b", "diag", "run_id")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.max("pos_a") - F.min("pos_a") + w).alias("match_len"),
+            F.count("*").alias("n_windows"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "start_a",
+            "start_b",
+            "match_len",
+            "n_windows",
+        )
+    )

@@ -673,6 +673,80 @@ def _pq_adc_oracle() -> str:
     )
 
 
+SUBDUP_W = 40  # window width (chars)
+SUBDUP_S = 10  # stride
+SUBDUP_CAP = 64  # max docs sharing a window hash
+
+
+def q_substring_dup_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (Lee et al. 2022 family) as a driver
+    query: strided {SUBDUP_W}-char window hashes → cross-doc equi-join
+    → per-diagonal run merge into maximal duplicated spans. All-integer
+    output pins window placement, the hash join, and the run-merge
+    boundaries."""
+    from interop_spark.operators.dedup import substring_dup_runs
+
+    d = load(spark, sf_dir, "documents")
+    return substring_dup_runs(
+        d, w=SUBDUP_W, stride=SUBDUP_S, max_hash_docs=SUBDUP_CAP
+    )
+
+
+def _substring_dup_oracle() -> str:
+    """Run-merge twin: the same stride grid via generate_series, the
+    same md5 window hashes, DuckDB window functions for the
+    new-run/run-id merge."""
+    w, s, cap = SUBDUP_W, SUBDUP_S, SUBDUP_CAP
+    return f"""
+        WITH d AS (
+          SELECT doc_id, text,
+                 CASE WHEN length(text) >= {w}
+                      THEN (length(text) - {w}) // {s} + 1 ELSE 0 END AS n
+          FROM documents
+        ),
+        wins AS (
+          SELECT doc_id, u.pos AS pos, u.h AS h
+          FROM (SELECT doc_id,
+                       unnest(list_transform(generate_series(0, n - 1),
+                         i -> struct_pack(pos := i*{s} + 1,
+                                h := md5(substr(text, i*{s} + 1, {w})))))
+                         AS u
+                FROM d)
+        ),
+        keep AS (
+          SELECT h FROM wins GROUP BY h
+          HAVING count(DISTINCT doc_id) <= {cap}
+        ),
+        w2 AS (SELECT wins.* FROM wins JOIN keep USING (h)),
+        m AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+          FROM w2 a JOIN w2 b ON a.h = b.h AND a.doc_id < b.doc_id
+        ),
+        r AS (
+          SELECT *,
+                 CASE WHEN lag(pos_a) OVER win IS NULL
+                        OR pos_a - lag(pos_a) OVER win <> {s}
+                      THEN 1 ELSE 0 END AS nr
+          FROM m
+          WINDOW win AS (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a)
+        ),
+        r2 AS (
+          SELECT *,
+                 sum(nr) OVER (PARTITION BY doc_a, doc_b, diag
+                               ORDER BY pos_a
+                               ROWS UNBOUNDED PRECEDING) AS run_id
+          FROM r
+        )
+        SELECT doc_a, doc_b,
+               CAST(min(pos_a) AS INTEGER) AS start_a,
+               CAST(min(pos_b) AS INTEGER) AS start_b,
+               CAST(max(pos_a) - min(pos_a) + {w} AS INTEGER) AS match_len,
+               count(*) AS n_windows
+        FROM r2 GROUP BY doc_a, doc_b, diag, run_id
+    """
+
+
 def _ivfpq_oracle() -> str:
     """IVF-PQ twin: the `_pq_chain` train/encode CTEs composed with
     `ivf_index_search`'s cell CTEs — ADC distances summed per vector,
@@ -730,6 +804,7 @@ QUERIES = {
     "pq_encode": q_pq_encode,
     "pq_adc_topk": q_pq_adc_topk,
     "ivfpq_search": q_ivfpq_search,
+    "substring_dup_runs": q_substring_dup_runs,
     "ivf_index_search": q_ivf_index_search,
     "kmeans_one_step": q_kmeans_one_step,
     "kmeans_fit": q_kmeans_fit,
@@ -842,6 +917,7 @@ ORACLE = {
     "pq_encode": _pq_encode_oracle(),
     "pq_adc_topk": _pq_adc_oracle(),
     "ivfpq_search": _ivfpq_oracle(),
+    "substring_dup_runs": _substring_dup_oracle(),
     "sq8_roundtrip": f"""
         WITH v AS (
           SELECT vec_id,

@@ -574,3 +574,41 @@ def test_ivfpq_nprobe_all_cells_equals_full_adc(spark, sf_dir):
     for r in one:
         if r.vec_id in full_dist:
             assert r.adc_dist == full_dist[r.vec_id]
+
+
+def test_substring_dup_runs_hits_and_specificity(spark):
+    """A planted 100-char substring shared by two docs (at stride-
+    congruent offsets) is recovered as one maximal run with correct
+    placement; a doc with no 40-char overlap yields no pairs; and the
+    hash-frequency cap suppresses boilerplate shared by every doc."""
+    import random
+
+    from interop_spark.operators.dedup import substring_dup_runs
+
+    rng = random.Random(7)
+
+    def rand_text(n):
+        return "".join(rng.choice("abcdefghij ") for _ in range(n))
+
+    shared = rand_text(100)
+    w, s = 40, 10
+    # offsets 0 and 50 are congruent mod stride
+    docs = [
+        (1, rand_text(0) + shared + rand_text(80)),
+        (2, rand_text(50) + shared + rand_text(30)),
+        (3, rand_text(200)),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    runs = substring_dup_runs(df, w=w, stride=s).collect()
+    assert {(r.doc_a, r.doc_b) for r in runs} == {(1, 2)}
+    [r] = runs
+    # windows at doc1 pos 1,11,...,61 cover the shared region
+    assert r.start_a == 1 and r.start_b == 51
+    assert r.match_len == 100 and r.n_windows == 7
+
+    # cap: the same content in MORE docs than max_hash_docs is dropped
+    many = spark.createDataFrame(
+        [(i, shared) for i in range(10)], ["doc_id", "text"]
+    )
+    assert substring_dup_runs(many, w=w, stride=s, max_hash_docs=5).count() == 0
+    assert substring_dup_runs(many, w=w, stride=s, max_hash_docs=None).count() == 45
