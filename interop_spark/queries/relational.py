@@ -455,6 +455,18 @@ def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static broadcast enrichment
+    (`streaming/streams.py:enrich_events`, which runs identically on
+    batch and streaming inputs): events LEFT JOIN the customer
+    dimension — broadcast, so the event side never shuffles."""
+    from interop_spark.streaming.streams import enrich_events
+
+    ev = load(spark, sf_dir, "events")
+    dim = load(spark, sf_dir, "customer")
+    return enrich_events(ev, dim)
+
+
 def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative window aggregate: per-user running sum of event value."""
     from pyspark.sql.window import Window
@@ -532,6 +544,7 @@ QUERIES = {
     "hof_filter_array": q_hof_filter_array,
     "nested_struct_pluck": q_nested_struct_pluck,
     "latest_event_per_user": q_latest_event_per_user,
+    "enrich_events": q_enrich_events,
     "running_total": q_running_total,
     "sessionize": q_sessionize,
 }
@@ -697,6 +710,11 @@ ORACLE = {
                                         ORDER BY ts DESC, event_id DESC) AS rn
               FROM events)
         WHERE rn = 1
+    """,
+    "enrich_events": """
+        SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value,
+               c.c_name AS customer_name, c.c_mktsegment AS mktsegment
+        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
     """,
     "running_total": """
         SELECT user_id, event_id,
