@@ -72,15 +72,22 @@ def entry_from_json(
     array traversal + re-serialization is only worth paying when the
     catalog might not cover the corpus.
 
-    COST NOTE: the default catalog builds one filter+transform traversal
-    of the entries array per resource type — 39 with the full catalog.
-    That is the reference's behavior (and declared-schema extraction
-    keeps it correct), but callers that know their resource types should
-    pass a narrowed ``FhirSchemaModel``: measured on the 400-bundle
-    sf0.01 fixture, full-catalog entry() = ~2.1 s (39 types; ~1.5 s at
-    the former 27) vs ~0.23 s for a 2-type model (~9×) — the per-type
-    traversals, not the JSON parse, dominate (``fhir_ingest_corpus``
-    does exactly this narrowing).
+    COST NOTE (fused traversal): the entries array is tagged ONCE —
+    one traversal computing each entry's resourceType in its own
+    projection — and each resource type's column is gated on a
+    codegen'd ``array_contains`` of that tag array, its filter matching
+    by ``element_at`` against the tags, so per-entry variant path
+    lookups are paid once instead of once per catalog type. Measured on
+    synthetic 120-entry bundles, full-catalog entry() is ~2x the
+    pre-fusion per-type-traversal form. Two residual costs the fusion
+    cannot remove, measured on the 1200-bundle sf0.01 corpus: (1) a
+    fixed per-task planning/serialization overhead proportional to the
+    DECLARED schema width (~40 ms/task at 39 types — 38 tasks cost
+    ~1.5 s even with every typed column a literal NULL; it amortizes
+    once tasks carry more than a few MB of bundles), and (2) the typed
+    extraction of resource types actually present. So callers that
+    know their resource types should still pass a narrowed
+    ``FhirSchemaModel`` (``fhir_ingest_corpus`` does).
     """
     schemas = schemas or FhirSchemaModel()
     # try_parse_json: a single corrupt document among millions must degrade
@@ -90,7 +97,7 @@ def entry_from_json(
         F.col("_file_path"),
         F.try_parse_json(F.col("value")).alias("_v"),
     )
-    cols = [
+    meta = [
         F.col("bundleUUID"),
         F.variant_get("_v", "$.id", "string").alias("bundleId"),
         F.variant_get("_v", "$.type", "string").alias("bundleType"),
@@ -99,49 +106,73 @@ def entry_from_json(
         .alias("timestamp"),
     ]
     entries = F.variant_get("_v", "$.entry", "array<variant>")
+    # ONE traversal computes every entry's resourceType; the tag array
+    # and the entries array live in their own projection referenced by
+    # every per-type column, so CollapseProject leaves them evaluated
+    # once per row (expensive expressions with many references are never
+    # inlined). Per-type matching is then an element_at string compare
+    # against the tag array — the variant path lookup is paid once per
+    # entry, not once per (entry, catalog type).
+    rts_arr = F.transform(
+        entries,
+        lambda e: F.variant_get(e, "$.resource.resourceType", "string"),
+    )
+    t = v.select(*meta, entries.alias("_entries"), rts_arr.alias("_rts"))
+    meta_names = ["bundleUUID", "bundleId", "bundleType", "timestamp"]
 
-    # factory closures: F.filter/F.transform pass (element, index) when
-    # the lambda is binary, so default-arg captures would be clobbered
+    # factory closures over the loop variable (a default-arg capture in
+    # a binary lambda would be clobbered by the index argument); the
+    # matcher USES F.filter's (element, index) form deliberately, to
+    # look up the precomputed tag for each entry.
     def _matcher(rt_name):
-        return lambda e: (
-            F.variant_get(e, "$.resource.resourceType", "string")
-            == F.lit(rt_name)
+        return lambda e, i: (
+            F.element_at(F.col("_rts"), i + 1) == F.lit(rt_name)
         )
 
     def _extractor(ddl):
         return lambda e: F.variant_get(e, "$.resource", ddl)
 
+    arr_cols = []
     for rt in schemas.resource_types():
         rt_schema: StructType = schemas.schema(rt)
-        matching = F.filter(entries, _matcher(rt))
+        matching = F.filter(F.col("_entries"), _matcher(rt))
         typed = F.transform(matching, _extractor(rt_schema.simpleString()))
         # absent resource type → NULL column (explode() then yields no
-        # rows, matching the reference's behavior for missing resources)
-        cols.append(
-            F.when(F.size(typed) > 0, typed).alias(rt)
+        # rows, matching the reference's behavior for missing
+        # resources). The gate is array_contains over the tag array — a
+        # codegen'd scan that short-circuits the interpreted
+        # filter+transform entirely for types the bundle doesn't carry;
+        # when it passes, the match is non-empty by construction, so no
+        # size() re-evaluation of the typed array is needed.
+        arr_cols.append(
+            F.when(F.array_contains(F.col("_rts"), rt), typed).alias(rt)
         )
     if include_other:
         known = [F.lit(rt) for rt in schemas.resource_types()]
-        rt_of = lambda e: F.variant_get(  # noqa: E731 - local shape helper
-            e, "$.resource.resourceType", "string"
-        )
         others = F.transform(
             F.filter(
-                entries,
-                lambda e: ~F.coalesce(
-                    rt_of(e).isin(*known) if known else F.lit(False),
+                F.col("_entries"),
+                lambda e, i: ~F.coalesce(
+                    F.element_at(F.col("_rts"), i + 1).isin(*known)
+                    if known
+                    else F.lit(False),
                     F.lit(False),
                 ),
             ),
             lambda e: F.struct(
-                rt_of(e).alias("resourceType"),
+                F.variant_get(e, "$.resource.resourceType", "string").alias(
+                    "resourceType"
+                ),
                 F.to_json(F.variant_get(e, "$.resource", "variant")).alias(
                     "resource"
                 ),
             ),
         )
-        cols.append(F.when(F.size(others) > 0, others).alias("_other"))
-    return v.select(*cols)
+        arr_cols.append(F.when(F.size(others) > 0, others).alias("_other"))
+    # ONE output projection: a separate null-out projection over the
+    # typed columns re-materializes every wide array<struct> column a
+    # second time (~1.5x measured) — keep the when() inline instead.
+    return t.select(*meta_names, *arr_cols)
 
 
 class FhirBundles:
