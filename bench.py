@@ -213,16 +213,27 @@ def main() -> None:
     queries = entry_mod.queries()
     reps = int(os.environ.get("SPARK_GRAFT_REPS", "5"))
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        fn = queries[name]
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
-        samples = []
-        for _ in range(reps):
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples.append(time.time() - t0)
-        samples.sort()
-        times[name] = round(samples[len(samples) // 2], 3)
+        # per-query fault isolation (the round-6 lesson: one query's
+        # loader assumption going stale must cost that query's row, not
+        # the whole artifact)
+        try:
+            fn = queries[name]
+            fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()  # warm
+            samples = []
+            for _ in range(reps):
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                samples.append(time.time() - t0)
+            samples.sort()
+            times[name] = round(samples[len(samples) // 2], 3)
+        except Exception as e:
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     result = {
@@ -233,6 +244,8 @@ def main() -> None:
         "sf": float(sf) if sf else None,
         "reps": reps,
     }
+    if errors:
+        result["errors"] = errors
     # safety net: the headline numbers exist in the output even if the
     # probes below take the JVM down (round-4 lost the whole artifact
     # that way). Prefixed + stderr so the driver's one-JSON-line stdout

@@ -12,8 +12,22 @@ if REPO_ROOT not in sys.path:
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
-@pytest.fixture(scope="session")
-def spark(tmp_path_factory):
+@pytest.fixture(scope="session", autouse=True)
+def _fixture_schema_guard():
+    """Fail fast, with an explanation, when the driver regenerates the
+    testdata with an encoding the loader doesn't know (the round-6
+    events.ts drift cost a whole round) — one clear assertion beats 30
+    identical mid-suite tracebacks."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(SF_DIR, "events.parquet")
+    if os.path.exists(path):
+        ts = pq.read_schema(path).field("ts").type
+        known = ("timestamp[us]", "timestamp[ns]", "timestamp[ms]", "int64")
+        assert str(ts) in known, (
+            f"events.parquet ts encoding drifted to {ts}; teach "
+            f"interop_spark.io.load's type-adaptive branch about it"
+        )
     from interop_spark.session import get_spark
 
     wh = tmp_path_factory.mktemp("warehouse")
