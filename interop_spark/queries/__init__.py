@@ -36,7 +36,52 @@ _MODULES = (
 # oracles locally each round (round 4: ALL MATCH at sf0.01; see
 # STATUS.md).
 #
-# Round-5 window (50):
+# Round-7 window (50):
+#   * events-repair (10): the io.py events loader changed this round
+#     (type-adaptive ts). Finer-than-module claim for the REST of the
+#     registry: the diff is entirely inside the `name == "events"`
+#     branch; every other table's load path is the byte-identical
+#     final-line `spark.read.parquet`. Every query that loads events
+#     is in-window so the driver itself witnesses the repair:
+#     json_extract, latest_event_per_user, running_total, sessionize,
+#     tumbling_window, lead_lag, conditional_agg, asof_join,
+#     range_join_pairs, plus the NEW enrich_events.
+#   * PQ (3): operators/pq.py restructured pq_train (single-pass keyed
+#     aggregate; codebooks verified bit-identical) and added keep=
+#     pass-throughs — pq_encode, pq_adc_topk re-verify; ivfpq_search
+#     is NEW.
+#   * substring_dup_runs (1): NEW (operators/dedup.py diff is ADDITIVE
+#     ONLY — two appended functions consumed solely by this query; no
+#     existing dedup function changed, so prior dedup rows keep their
+#     r5/r6 green).
+#   * fhir reader-affected (9): fhir/reader.py's entry_from_json was
+#     restructured (fused tag traversal). In-window: every query whose
+#     transitive imports reach entry()/entry_from_json —
+#     fhir_adt_timeline, fhir_patient_{conditions,claims,observations},
+#     fhir_medication_requests, fhir_providers_practitioners,
+#     fhir_omop_person, fhir_ingest_corpus, fhir_condition_text.
+#     Finer-than-module claim for the other three fhir rows:
+#     bundle_collect_flatten (relational data only),
+#     fhir_writer_roundtrip (writer path only), multimodal_features
+#     (documents + multimodal operator) never touch the reader, and
+#     queries/fhir_queries.py itself is untouched this round.
+#   * overdue staleness rotation (25) — the round-6 plan, never
+#     executed because round 6 had zero turns: the 17 r3-era pipeline
+#     rows (drop_duplicates, train_test_split, text_token_stats,
+#     text_quality, lang_id, doc_fingerprint, knn_cosine, knn_batch,
+#     embedding_neardup, embedding_centroids, lsh_bucket_sizes,
+#     token_count_bpe, tfidf_top_terms, frame_sample,
+#     stratified_sample, media_stats, ngram_jaccard_pairs) + all 4
+#     reshape rows (unpivot, window_rank_battery, string_agg_sorted,
+#     date_series) + the 4 deferred relational_ext rows (array_funcs,
+#     pivot_agg, grouping_sets, cube_agg). All untouched this round.
+#   * spare staleness slots (2): nested_struct_pluck, hof_filter_array
+#     — the HOF-heaviest r4-era relational rows.
+# After this round no green row is older than r4, and the r4 residue
+# is relational + functions_battery only (both modules additive-or-
+# untouched since their checks).
+#
+# Round-5 window (50), for history:
 #   * sqlapi, all 9 + lead_lag + conditional_agg — STALENESS ROTATION
 #     per the round-4 plan: the last r1/r2-era rows re-verify; after
 #     this round every green row is r3 or newer. Their modules are
@@ -95,39 +140,25 @@ _MODULES = (
 # last r3 rows.
 # --------------------------------------------------------------------------
 _WINDOW = (
-    # staleness rotation: sqlapi (9, r2-era)
-    "groupby_ordinal_sql",
-    "approx_quantile",
-    "select_star_expansion",
-    "approx_count_distinct",
-    "in_subquery",
-    "scalar_subquery",
-    "union_all_sql",
-    "cross_join_sql",
-    "correlated_exists",
-    # staleness rotation: functions_battery residue (2, r1-era)
+    # events-repair (10): io.py type-adaptive loader
+    "json_extract",
+    "latest_event_per_user",
+    "running_total",
+    "sessionize",
+    "enrich_events",
+    "tumbling_window",
     "lead_lag",
     "conditional_agg",
-    # pipeline_ext (14; kmeans_one_step changed, 11 new)
-    "gopher_quality_flags",
-    "gopher_repetition_signals",
-    "ivf_index_search",
-    "kmeans_one_step",
-    "kmeans_fit",
-    "pii_redact",
-    "decontam_ngram_overlap",
-    "dup_ngram_stats",
-    "sequence_pack",
-    "domain_mix_sample",
-    "token_entropy",
-    "sq8_roundtrip",
+    "asof_join",
+    "range_join_pairs",
+    # PQ (3): single-pass pq_train + new composed index
     "pq_encode",
     "pq_adc_topk",
-    # fhir (12; module changed: cache eviction + widened roundtrip)
-    "bundle_collect_flatten",
+    "ivfpq_search",
+    # new dedup family member
+    "substring_dup_runs",
+    # fhir reader-affected (9): fused entry() traversal
     "fhir_adt_timeline",
-    "fhir_writer_roundtrip",
-    "multimodal_features",
     "fhir_patient_conditions",
     "fhir_patient_claims",
     "fhir_medication_requests",
@@ -136,24 +167,37 @@ _WINDOW = (
     "fhir_ingest_corpus",
     "fhir_patient_observations",
     "fhir_condition_text",
-    # dedup.py-affected (5)
-    "simhash_neardup_pairs",
-    "minhash_lsh_neardup",
-    "neardup_clusters",
-    "neardup_clusters_star",
-    "dedup_representatives",
-    # staleness rotation: relational_ext (4, r3; array_funcs,
-    # pivot_agg, grouping_sets, cube_agg defer)
-    "rollup_agg",
-    "salted_join_agg",
-    "argmax_agg",
-    "merge_upsert",
-    # staleness rotation: temporal_q (2, r3)
-    "asof_join",
-    "range_join_pairs",
-    # staleness rotation: r3-era pipeline rows (2)
-    "exact_dedup",
-    "simhash",
+    # overdue staleness rotation: r3-era pipeline rows (17)
+    "drop_duplicates",
+    "train_test_split",
+    "text_token_stats",
+    "text_quality",
+    "lang_id",
+    "doc_fingerprint",
+    "knn_cosine",
+    "knn_batch",
+    "embedding_neardup",
+    "embedding_centroids",
+    "lsh_bucket_sizes",
+    "token_count_bpe",
+    "tfidf_top_terms",
+    "frame_sample",
+    "stratified_sample",
+    "media_stats",
+    "ngram_jaccard_pairs",
+    # overdue staleness rotation: reshape (4, incl date_series)
+    "unpivot",
+    "window_rank_battery",
+    "string_agg_sorted",
+    "date_series",
+    # overdue staleness rotation: deferred relational_ext (4)
+    "array_funcs",
+    "pivot_agg",
+    "grouping_sets",
+    "cube_agg",
+    # spare staleness slots (2): HOF-heaviest r4 relational rows
+    "nested_struct_pluck",
+    "hof_filter_array",
 )
 
 

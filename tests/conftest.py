@@ -28,6 +28,10 @@ def _fixture_schema_guard():
             f"events.parquet ts encoding drifted to {ts}; teach "
             f"interop_spark.io.load's type-adaptive branch about it"
         )
+
+
+@pytest.fixture(scope="session")
+def spark(tmp_path_factory):
     from interop_spark.session import get_spark
 
     wh = tmp_path_factory.mktemp("warehouse")
