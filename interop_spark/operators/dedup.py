@@ -629,3 +629,103 @@ def substring_dup_runs(
             "n_windows",
         )
     )
+
+
+def winnow_select(hs: Column, w: int = 8) -> Column:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003 — public algorithm): hash every k-gram, then in each window of
+    ``w`` consecutive k-gram hashes select the minimum (rightmost on
+    ties), recording each selection once. Guarantee: any substring
+    match of length >= w + k - 1 shares at least one fingerprint —
+    REGARDLESS of offset alignment, which the strided
+    ``substring_windows`` grid cannot promise.
+
+    Zero-shuffle per-doc expression pair: ``kgram_hash_structs`` builds
+    the (hash, -pos) array once, and the per-window rightmost-min is
+    ``array_min`` over its slices (lexicographic struct ordering: min
+    hash, then max pos), so both Spark and the DuckDB oracle evaluate
+    the identical selection rule. ``text`` must be a MATERIALIZED
+    ``array<struct<h,np>>`` column produced by ``kgram_hash_structs``
+    in its OWN projection — an inline expression referenced inside the
+    window lambda would be re-evaluated once per window (O(m²) md5
+    calls; measured pathological). Returns ``array<struct<h,np>>``
+    (fingerprint hash, NEGATED 1-based k-gram position); empty array
+    when there are fewer than ``w`` k-grams."""
+    m = F.size(hs)
+    sel = F.transform(
+        F.sequence(F.lit(1), F.greatest(m - w + 1, F.lit(1))),
+        lambda i: F.array_min(F.slice(hs, i, w)),
+    )
+    return F.when(m >= w, F.array_distinct(sel)).otherwise(
+        F.array().cast("array<struct<h:string,np:int>>")
+    )
+
+
+def kgram_hash_structs(text: Column, k: int = 20) -> Column:
+    """One (md5-of-k-gram, -pos) struct per 1-based position — the
+    winnowing input array; empty when the text is shorter than k."""
+    m = F.length(text) - k + 1
+    arr = F.transform(
+        F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+        lambda p: F.struct(
+            F.md5(F.substring(text, p, k)).alias("h"),
+            (-p).alias("np"),
+        ),
+    )
+    return F.when(m >= 1, arr).otherwise(
+        F.array().cast("array<struct<h:string,np:int>>")
+    )
+
+
+def winnow_dup_pairs(
+    df: DataFrame,
+    k: int = 20,
+    w: int = 8,
+    max_hash_docs: int | None = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document near-dup candidates from shared winnowing
+    fingerprints: ``(doc_a, doc_b, n_shared, first_a, first_b)`` with
+    ``doc_a < doc_b``, ``n_shared`` = distinct shared fingerprint
+    hashes and ``first_*`` = each side's earliest fingerprinted k-gram
+    position among the shared hashes. Same plan scale shape as
+    ``substring_dup_runs``: per-doc projection → hash-frequency guard
+    → self-equi-join on the fingerprint hash → pair aggregate."""
+    hs = df.select(
+        F.col(id_col),
+        kgram_hash_structs(F.col(text_col), k).alias("_hs"),
+    )
+    fps = hs.select(
+        F.col(id_col),
+        F.explode(winnow_select(F.col("_hs"), w)).alias("_f"),
+    ).select(
+        id_col,
+        F.col("_f.h").alias("h"),
+        (-F.col("_f.np")).alias("pos"),
+    )
+    if max_hash_docs is not None:
+        keep = (
+            fps.groupBy("h")
+            .agg(F.countDistinct(id_col).alias("_nd"))
+            .where(F.col("_nd") <= max_hash_docs)
+            .select("h")
+        )
+        fps = fps.join(keep, "h")
+    a = fps.select(
+        F.col(id_col).alias("doc_a"), F.col("pos").alias("pos_a"), "h"
+    )
+    b = fps.select(
+        F.col(id_col).alias("doc_b"), F.col("pos").alias("pos_b"), "h"
+    )
+    return (
+        a.join(b, "h")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.countDistinct("h").alias("n_shared"),
+            F.min("pos_a").alias("first_a"),
+            F.min("pos_b").alias("first_b"),
+        )
+    )

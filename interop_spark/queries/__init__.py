@@ -75,8 +75,11 @@ _MODULES = (
 #     reshape rows (unpivot, window_rank_battery, string_agg_sorted,
 #     date_series) + the 4 deferred relational_ext rows (array_funcs,
 #     pivot_agg, grouping_sets, cube_agg). All untouched this round.
-#   * spare staleness slots (2): nested_struct_pluck, hof_filter_array
-#     — the HOF-heaviest r4-era relational rows.
+#   * winnow_dup_pairs (1): NEW (Schleimer 2003 winnowing; additive
+#     dedup.py functions consumed solely by it).
+#   * spare staleness slot (1): nested_struct_pluck — an HOF-heavy
+#     r4-era relational row (hof_filter_array stays r4-green,
+#     untouched, next in the rotation queue).
 # After this round no green row is older than r4, and the r4 residue
 # is relational + functions_battery only (both modules additive-or-
 # untouched since their checks).
@@ -155,8 +158,9 @@ _WINDOW = (
     "pq_encode",
     "pq_adc_topk",
     "ivfpq_search",
-    # new dedup family member
+    # new dedup family members
     "substring_dup_runs",
+    "winnow_dup_pairs",
     # fhir reader-affected (9): fused entry() traversal
     "fhir_adt_timeline",
     "fhir_patient_conditions",
@@ -195,9 +199,8 @@ _WINDOW = (
     "pivot_agg",
     "grouping_sets",
     "cube_agg",
-    # spare staleness slots (2): HOF-heaviest r4 relational rows
+    # spare staleness slot (1): an HOF-heavy r4 relational row
     "nested_struct_pluck",
-    "hof_filter_array",
 )
 
 

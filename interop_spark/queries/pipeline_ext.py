@@ -747,6 +747,69 @@ def _substring_dup_oracle() -> str:
     """
 
 
+WINNOW_K = 20  # k-gram width (chars)
+WINNOW_W = 8  # winnowing window (k-gram hashes)
+
+
+def q_winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint dedup (Schleimer et al. 2003) as a driver
+    query: per-doc k-gram hashes → rightmost-min-per-window selection →
+    cross-doc fingerprint equi-join — the offset-ROBUST complement to
+    `substring_dup_runs`' stride grid (guarantee: any >= w+k-1 char
+    shared substring is caught regardless of alignment)."""
+    from interop_spark.operators.dedup import winnow_dup_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return winnow_dup_pairs(d, k=WINNOW_K, w=WINNOW_W, max_hash_docs=64)
+
+
+def _winnow_oracle() -> str:
+    """Selection twin: the identical (h, -pos) struct-min rule via
+    list_sort(...)[1] over list slices (list_aggregate('min') does not
+    support struct elements) — lexicographic struct ordering picks min
+    hash then rightmost position in both engines."""
+    k, w, cap = WINNOW_K, WINNOW_W, 64
+    return f"""
+        WITH hs AS (
+          SELECT doc_id,
+                 CASE WHEN length(text) - {k} + 1 >= 1
+                      THEN list_transform(
+                             generate_series(1, length(text) - {k} + 1),
+                             p -> struct_pack(h := md5(substr(text, p, {k})),
+                                              np := -p))
+                      ELSE [] END AS a
+          FROM documents
+        ),
+        sel AS (
+          SELECT doc_id,
+                 CASE WHEN len(a) >= {w}
+                      THEN list_transform(
+                             generate_series(1, len(a) - {w} + 1),
+                             i -> (list_sort(
+                                     list_slice(a, i, i + {w} - 1)))[1])
+                      ELSE [] END AS fps
+          FROM hs
+        ),
+        fp AS (
+          -- row-level DISTINCT stands in for Spark's array_distinct
+          -- (list_distinct on struct lists is unimplemented)
+          SELECT DISTINCT doc_id, u.h AS h, -u.np AS pos
+          FROM (SELECT doc_id, unnest(fps) AS u FROM sel)
+        ),
+        keep AS (
+          SELECT h FROM fp GROUP BY h
+          HAVING count(DISTINCT doc_id) <= {cap}
+        ),
+        f2 AS (SELECT fp.* FROM fp JOIN keep USING (h))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(DISTINCT a.h) AS n_shared,
+               CAST(min(a.pos) AS INTEGER) AS first_a,
+               CAST(min(b.pos) AS INTEGER) AS first_b
+        FROM f2 a JOIN f2 b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    """
+
+
 def _ivfpq_oracle() -> str:
     """IVF-PQ twin: the `_pq_chain` train/encode CTEs composed with
     `ivf_index_search`'s cell CTEs — ADC distances summed per vector,
@@ -805,6 +868,7 @@ QUERIES = {
     "pq_adc_topk": q_pq_adc_topk,
     "ivfpq_search": q_ivfpq_search,
     "substring_dup_runs": q_substring_dup_runs,
+    "winnow_dup_pairs": q_winnow_dup_pairs,
     "ivf_index_search": q_ivf_index_search,
     "kmeans_one_step": q_kmeans_one_step,
     "kmeans_fit": q_kmeans_fit,
@@ -918,6 +982,7 @@ ORACLE = {
     "pq_adc_topk": _pq_adc_oracle(),
     "ivfpq_search": _ivfpq_oracle(),
     "substring_dup_runs": _substring_dup_oracle(),
+    "winnow_dup_pairs": _winnow_oracle(),
     "sq8_roundtrip": f"""
         WITH v AS (
           SELECT vec_id,

@@ -612,3 +612,38 @@ def test_substring_dup_runs_hits_and_specificity(spark):
     )
     assert substring_dup_runs(many, w=w, stride=s, max_hash_docs=5).count() == 0
     assert substring_dup_runs(many, w=w, stride=s, max_hash_docs=None).count() == 45
+
+
+def test_winnow_catches_offset_misaligned_overlap(spark):
+    """Winnowing's guarantee vs the stride grid: a shared substring at
+    NON-congruent offsets (mod stride) is invisible to
+    substring_dup_runs but must be caught by winnow_dup_pairs (any
+    shared run >= w + k - 1 chars shares a fingerprint at any
+    alignment); an unrelated doc stays unpaired."""
+    import random
+
+    from interop_spark.operators.dedup import (
+        substring_dup_runs,
+        winnow_dup_pairs,
+    )
+
+    rng = random.Random(11)
+
+    def rand_text(n):
+        return "".join(rng.choice("abcdefghij ") for _ in range(n))
+
+    shared = rand_text(120)
+    docs = [
+        (1, shared + rand_text(60)),
+        (2, rand_text(37) + shared + rand_text(40)),  # 37 % 10 != 0
+        (3, rand_text(250)),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    strided = substring_dup_runs(df, w=40, stride=10).collect()
+    assert strided == []  # the grid misses misaligned overlap
+    winnowed = winnow_dup_pairs(df, k=20, w=8).collect()
+    assert {(r.doc_a, r.doc_b) for r in winnowed} == {(1, 2)}
+    [r] = winnowed
+    # the 120-char run yields many shared fingerprints, first within it
+    assert r.n_shared >= 3
+    assert r.first_a <= 120 and 38 <= r.first_b <= 157
