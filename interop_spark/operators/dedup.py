@@ -565,6 +565,7 @@ def substring_dup_runs(
     max_hash_docs: int | None = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize: bool = True,
 ) -> DataFrame:
     """Maximal cross-document duplicated substring runs:
     ``(doc_a, doc_b, start_a, start_b, match_len, n_windows)`` with
@@ -576,10 +577,17 @@ def substring_dup_runs(
     (pair, diagonal) keys; ``max_hash_docs`` drops boilerplate windows
     shared by more than that many documents, which otherwise contribute
     O(n²) candidate pairs per hash (handle such runaway content with
-    the doc-level dedup family instead)."""
+    the doc-level dedup family instead).
+
+    ``materialize=True`` checkpoints the window-hash table so the text
+    is scanned and hashed ONCE instead of once per self-join side plus
+    once for the frequency guard — the minhash pattern: persist the
+    fingerprint table before the candidate join."""
     from pyspark.sql.window import Window
 
     wins = substring_windows(df, w, stride, id_col, text_col)
+    if materialize:
+        wins = wins.localCheckpoint()
     if max_hash_docs is not None:
         keep = (
             wins.groupBy("h")
@@ -685,6 +693,7 @@ def winnow_dup_pairs(
     max_hash_docs: int | None = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize: bool = True,
 ) -> DataFrame:
     """Cross-document near-dup candidates from shared winnowing
     fingerprints: ``(doc_a, doc_b, n_shared, first_a, first_b)`` with
@@ -692,7 +701,9 @@ def winnow_dup_pairs(
     hashes and ``first_*`` = each side's earliest fingerprinted k-gram
     position among the shared hashes. Same plan scale shape as
     ``substring_dup_runs``: per-doc projection → hash-frequency guard
-    → self-equi-join on the fingerprint hash → pair aggregate."""
+    → self-equi-join on the fingerprint hash → pair aggregate.
+    ``materialize=True`` checkpoints the fingerprint table so k-gram
+    hashing + selection runs once, not once per join side."""
     hs = df.select(
         F.col(id_col),
         kgram_hash_structs(F.col(text_col), k).alias("_hs"),
@@ -705,6 +716,8 @@ def winnow_dup_pairs(
         F.col("_f.h").alias("h"),
         (-F.col("_f.np")).alias("pos"),
     )
+    if materialize:
+        fps = fps.localCheckpoint()
     if max_hash_docs is not None:
         keep = (
             fps.groupBy("h")

@@ -31,6 +31,10 @@ COMMENT = {
  "decontam_ngram_overlap": "Distinct word-8-gram shingles per doc, md5-hashed; the small eval side BROADCASTS so the only exchange is the pair-count aggregation over (train, eval) hits. At 100 TB: shuffle carries only matched (hash, id, id) rows.",
  "dup_ngram_stats": "Zero-shuffle Gopher repetition signal: per-row array_sort + one F.aggregate fold finds the top-bigram multiplicity doc-locally -- no explode, no keyed exchange on the corpus's distinct-bigram space.",
  "kmeans_fit": "Per-iteration: broadcast one-row centroid array, per-row argmax assignment (localCheckpoint truncates lineage), then ONE (cell, dim)-keyed exchange carrying map-side-combined partial sums. The executed plan shows the final iteration; earlier iterations are the Scan ExistingRDD checkpoints.",
+ "substring_dup_runs": "Strided window hashes are a zero-shuffle explode projection; the hash-frequency guard and the cross-doc candidate join are equi-joins on the md5 window hash (uniform key, no skew); the run merge windows over fine-grained (doc_a, doc_b, diagonal) keys. At 100 TB: shuffle carries (id, pos, 32-char hash) rows, ~len/stride per doc.",
+ "winnow_dup_pairs": "Winnowing selection (array_min over (hash,-pos) struct slices) is doc-local -- zero shuffle until the fingerprint equi-join; fingerprint density ~2/(w+1) of k-gram count bounds the join input. Same frequency-capped join shape as substring_dup_runs.",
+ "ivfpq_search": "IVF-PQ composed index: one-row broadcast centroid array for cell assignment (no vector-side Exchange), PQ encode as a literal-codebook argmin projection, broadcast one-row probe join filtering to the query's nprobe cells, ADC as literal-table lookups, TakeOrderedAndProject. Zero corpus-side shuffles end-to-end; at 100 TB the (cell, codes) table is the written index and cell pruning bounds each search.",
+ "enrich_events": "Stream-static enrichment's batch twin: the customer dim BROADCASTS (explicit broadcast()), the event side never shuffles -- per micro-batch re-execution of the static side ships once per executor.",
 }
 
 out = ["# PLANS — physical plans of the headline queries (sf0.1, AQE on)",
@@ -50,7 +54,8 @@ for name in ["pricing_summary", "multiway_join_agg", "latest_event_per_user",
              "exact_dedup", "minhash_lsh_neardup", "simhash_neardup_pairs",
              "embedding_neardup", "ivf_probe_topk", "knn_cosine",
              "pii_redact", "decontam_ngram_overlap", "dup_ngram_stats",
-             "kmeans_fit"]:
+             "kmeans_fit", "substring_dup_runs", "winnow_dup_pairs",
+             "ivfpq_search", "enrich_events"]:
     df = qs[name](spark, SF)
     df.write.format("noop").mode("overwrite").save()  # let AQE finalize
     plan = df._jdf.queryExecution().executedPlan().toString()
