@@ -385,3 +385,94 @@ def sq8_decode(sq: Column) -> Column:
     return F.transform(
         sq["codes"], lambda c: sq["mn"] + c.cast("double") * sq["scale"]
     )
+
+
+def semdedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023 — public method):
+    cluster embeddings (here: the engine's IVF cell assignment), then
+    within each cell drop every vector that has a >= ``tau`` cosine
+    neighbor ranked better by the keep rule. Keep rule (deterministic):
+    among semantic duplicates, keep the vector with the LOWEST
+    rounded-9 cosine to its cell centroid (the paper's low-centroid-
+    similarity choice), ties to the LOWEST id.
+
+    Returns the KEPT rows: ``(id, cell, ccos)`` with ``ccos`` the
+    round-6 centroid cosine (round-9 internally for the rank compare —
+    the engine's cross-engine tie posture).
+
+    Scale shape: one broadcast cell assignment (no vector-side
+    Exchange), a cell-keyed join to score centroid cosines, then the
+    within-cell pair join — quadratic IN THE CELL, the algorithm's real
+    shape; cluster count must grow with the corpus so cells stay
+    bounded (the paper uses ~100k clusters at web scale). The pair join
+    is an equi-join on the cell id, AQE-splittable."""
+    assigned = ivf_assign(
+        df, centroids, id_col, vec_col, centroid_id, centroid_vec
+    )
+    cent = centroids.select(
+        F.col(centroid_id).cast("bigint").alias("cell"),
+        F.col(centroid_vec).alias("_cvec"),
+    )
+    scored = (
+        assigned.join(F.broadcast(cent), "cell")
+        .select(
+            F.col(id_col),
+            "cell",
+            F.col(vec_col),
+            F.round(
+                cosine_sim(
+                    as_double(F.col(vec_col)), as_double(F.col("_cvec"))
+                ),
+                9,
+            ).alias("_ccos9"),
+        )
+        .localCheckpoint()
+    )
+    a = scored.select(
+        F.col(id_col).alias("_aid"),
+        F.col("cell"),
+        F.col(vec_col).alias("_va"),
+        F.col("_ccos9").alias("_accos"),
+    )
+    b = scored.select(
+        F.col(id_col).alias("_bid"),
+        F.col("cell"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_ccos9").alias("_bccos"),
+    )
+    dropped = (
+        a.join(b, "cell")
+        .where(F.col("_aid") != F.col("_bid"))
+        .where(
+            F.round(
+                cosine_sim(as_double(F.col("_va")), as_double(F.col("_vb"))),
+                9,
+            )
+            >= F.lit(tau)
+        )
+        .where(
+            (F.col("_bccos") < F.col("_accos"))
+            | (
+                (F.col("_bccos") == F.col("_accos"))
+                & (F.col("_bid") < F.col("_aid"))
+            )
+        )
+        .select(F.col("_aid"))
+        .distinct()
+    )
+    return scored.join(
+        dropped, scored[id_col] == dropped["_aid"], "left_anti"
+    ).select(
+        id_col,
+        "cell",
+        F.round(F.col("_ccos9"), 6).alias("ccos"),
+    )

@@ -75,11 +75,11 @@ _MODULES = (
 #     reshape rows (unpivot, window_rank_battery, string_agg_sorted,
 #     date_series) + the 4 deferred relational_ext rows (array_funcs,
 #     pivot_agg, grouping_sets, cube_agg). All untouched this round.
-#   * winnow_dup_pairs (1): NEW (Schleimer 2003 winnowing; additive
-#     dedup.py functions consumed solely by it).
-#   * spare staleness slot (1): nested_struct_pluck — an HOF-heavy
-#     r4-era relational row (hof_filter_array stays r4-green,
-#     untouched, next in the rotation queue).
+#   * winnow_dup_pairs + semdedup_keep (2): NEW (Schleimer 2003
+#     winnowing; SemDeDup 2023 — additive dedup.py/similarity.py
+#     functions consumed solely by them). They take the two spare
+#     slots; nested_struct_pluck/hof_filter_array stay r4-green,
+#     untouched, next in the rotation queue.
 # After this round no green row is older than r4, and the r4 residue
 # is relational + functions_battery only (both modules additive-or-
 # untouched since their checks).
@@ -161,6 +161,7 @@ _WINDOW = (
     # new dedup family members
     "substring_dup_runs",
     "winnow_dup_pairs",
+    "semdedup_keep",
     # fhir reader-affected (9): fused entry() traversal
     "fhir_adt_timeline",
     "fhir_patient_conditions",
@@ -199,8 +200,6 @@ _WINDOW = (
     "pivot_agg",
     "grouping_sets",
     "cube_agg",
-    # spare staleness slot (1): an HOF-heavy r4 relational row
-    "nested_struct_pluck",
 )
 
 

@@ -747,6 +747,88 @@ def _substring_dup_oracle() -> str:
     """
 
 
+SEMDEDUP_N = 500  # corpus slice
+SEMDEDUP_CLONES = 100  # planted semantic duplicates
+SEMDEDUP_OFF = 10_000_000  # clone id offset
+SEMDEDUP_TAU = 0.95
+
+
+def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) as a driver query: IVF cells over a
+    {SEMDEDUP_N}-vector slice unioned with {SEMDEDUP_CLONES} exact
+    clones (so the semantic-duplicate set is non-empty at every scale),
+    within-cell >= tau pruning keeping the lowest-centroid-cosine
+    representative. Output = the kept rows."""
+    from interop_spark.operators.similarity import semdedup
+
+    e = load(spark, sf_dir, "embeddings").where(
+        col("vec_id") < SEMDEDUP_N
+    )
+    clones = e.where(col("vec_id") < SEMDEDUP_CLONES).select(
+        (col("vec_id") + SEMDEDUP_OFF).alias("vec_id"), "embedding"
+    )
+    corpus = e.select("vec_id", "embedding").unionAll(clones)
+    cent = e.where(col("vec_id") < N_CENTROIDS).select(
+        col("vec_id").alias("centroid_id"), col("embedding").alias("centroid")
+    )
+    return semdedup(corpus, cent, tau=SEMDEDUP_TAU)
+
+
+def _semdedup_oracle() -> str:
+    """Twin of the cluster-then-prune pipeline: cells via the round-9
+    argmax (ties to the largest centroid id), centroid cosines round-9
+    for the keep-rule compare (round-6 in the output), the drop rule as
+    an EXISTS over within-cell >= tau pairs."""
+    return f"""
+        WITH corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          WHERE vec_id < {SEMDEDUP_N}
+          UNION ALL
+          SELECT vec_id + {SEMDEDUP_OFF}, embedding FROM embeddings
+          WHERE vec_id < {SEMDEDUP_CLONES}
+        ),
+        cent AS (
+          SELECT vec_id AS centroid_id, embedding AS centroid
+          FROM embeddings WHERE vec_id < {N_CENTROIDS}
+        ),
+        sims AS (
+          SELECT e.vec_id, c.centroid_id,
+                 round({_dk_dot('e.embedding', 'c.centroid')}
+                       / greatest({_dk_norm('e.embedding')}
+                                  * {_dk_norm('c.centroid')}, 1e-12), 9) AS v
+          FROM corpus e, cent c
+        ),
+        cells AS (
+          SELECT vec_id, (max({{'v': v, 'k': centroid_id}})).k AS cell
+          FROM sims GROUP BY vec_id
+        ),
+        scored AS (
+          SELECT ce.vec_id, ce.cell, e.embedding,
+                 round({_dk_dot('e.embedding', 'c.centroid')}
+                       / greatest({_dk_norm('e.embedding')}
+                                  * {_dk_norm('c.centroid')}, 1e-12), 9)
+                   AS ccos9
+          FROM cells ce
+          JOIN corpus e USING (vec_id)
+          JOIN cent c ON ce.cell = c.centroid_id
+        ),
+        dropped AS (
+          SELECT DISTINCT a.vec_id
+          FROM scored a JOIN scored b
+            ON a.cell = b.cell AND a.vec_id <> b.vec_id
+          WHERE round({_dk_dot('a.embedding', 'b.embedding')}
+                      / greatest({_dk_norm('a.embedding')}
+                                 * {_dk_norm('b.embedding')}, 1e-12), 9)
+                  >= {SEMDEDUP_TAU}
+            AND (b.ccos9 < a.ccos9
+                 OR (b.ccos9 = a.ccos9 AND b.vec_id < a.vec_id))
+        )
+        SELECT s.vec_id, s.cell, round(s.ccos9, 6) AS ccos
+        FROM scored s
+        WHERE s.vec_id NOT IN (SELECT vec_id FROM dropped)
+    """
+
+
 WINNOW_K = 20  # k-gram width (chars)
 WINNOW_W = 8  # winnowing window (k-gram hashes)
 
@@ -869,6 +951,7 @@ QUERIES = {
     "ivfpq_search": q_ivfpq_search,
     "substring_dup_runs": q_substring_dup_runs,
     "winnow_dup_pairs": q_winnow_dup_pairs,
+    "semdedup_keep": q_semdedup_keep,
     "ivf_index_search": q_ivf_index_search,
     "kmeans_one_step": q_kmeans_one_step,
     "kmeans_fit": q_kmeans_fit,
@@ -983,6 +1066,7 @@ ORACLE = {
     "ivfpq_search": _ivfpq_oracle(),
     "substring_dup_runs": _substring_dup_oracle(),
     "winnow_dup_pairs": _winnow_oracle(),
+    "semdedup_keep": _semdedup_oracle(),
     "sq8_roundtrip": f"""
         WITH v AS (
           SELECT vec_id,

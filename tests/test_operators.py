@@ -647,3 +647,32 @@ def test_winnow_catches_offset_misaligned_overlap(spark):
     # the 120-char run yields many shared fingerprints, first within it
     assert r.n_shared >= 3
     assert r.first_a <= 120 and 38 <= r.first_b <= 157
+
+
+def test_semdedup_drops_clones_keeps_tie_lowest_id(spark, sf_dir):
+    """SemDeDup semantics: an exact clone forms a tau-duplicate pair
+    with equal centroid cosine, so the tie rule keeps the LOWER id (the
+    original) and drops the clone; vectors without a tau-neighbor are
+    all kept."""
+    from interop_spark.io import load
+    from interop_spark.operators.similarity import semdedup
+    from pyspark.sql import functions as F
+
+    e = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    clones = e.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    cent = e.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    kept = semdedup(
+        e.select("vec_id", "embedding").unionAll(clones), cent, tau=0.95
+    )
+    ids = {r.vec_id for r in kept.collect()}
+    assert set(range(100)) <= ids  # every original survives
+    assert not any(i >= 1000 for i in ids)  # every clone dropped
+
+    # no planted duplicates -> nothing dropped
+    kept2 = semdedup(e.select("vec_id", "embedding"), cent, tau=0.9999)
+    assert kept2.count() == 100
