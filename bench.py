@@ -167,12 +167,45 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
         ),
         "simhash_neardup_pairs": simhash_pairs,
         "ivf_assign": ivf_assign_probe,
+        # the substring-dedup family's full window-hash → frequency
+        # guard → candidate join → run-merge pipeline. NOTE: this probe
+        # uses ROTATED replica text (not the shared-prefix suffix
+        # variant) — a suffix leaves every prefix window identical
+        # across replicas, which inflates candidate pairs QUADRATICALLY
+        # in the replication factor and would measure the corpus's
+        # duplication, not the operator's scaling.
+        "substring_dup_runs": lambda d: dd.substring_dup_runs(d),
     }
+
+    def _rotated_documents(mult: int):
+        import os as _os
+
+        d = spark.read.parquet(
+            _os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id", "text")
+        par = spark.sparkContext.defaultParallelism
+        if mult == 1:
+            return d.repartition(par)
+        reps = spark.range(mult).select(col("id").alias("rep"))
+        big = 1 << 20
+        rotated = F.concat(
+            F.substring(col("text"), col("rep") + 1, F.lit(big)),
+            F.substring(col("text"), F.lit(1), col("rep")),
+        )
+        return (
+            d.crossJoin(reps)
+            .select(
+                (col("doc_id") * mult + col("rep")).alias("doc_id"),
+                rotated.alias("text"),
+            )
+            .repartition(par)
+        )
     out: dict = {}
     for name, fn in probes.items():
         entry = {}
         scaled = (
             _scaled_embeddings if name == "ivf_assign" else
+            _rotated_documents if name == "substring_dup_runs" else
             lambda m: _scaled_documents(spark, sf_dir, m)
         )
         try:
