@@ -325,3 +325,78 @@ def test_token_entropy_bounds(sparkp, doc):
         assert -1e-9 <= r.h <= math.log(max(r.n, 1)) + 1e-9
     assert abs(rows[1].h) < 1e-12
     assert abs(rows[2].h - math.log(9)) < 1e-9
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    data=st.data(),
+    shared_len=st.integers(min_value=27, max_value=80),
+    off_a=st.integers(min_value=0, max_value=40),
+    off_b=st.integers(min_value=0, max_value=40),
+)
+def test_winnowing_guarantee_any_alignment(
+    sparkp, data, shared_len, off_a, off_b
+):
+    """The winnowing theorem, fuzzed: any shared substring of length
+    >= w + k - 1 (k=20, w=8 -> 27) yields at least one shared
+    fingerprint hash, at ARBITRARY (unaligned) offsets."""
+    import random
+
+    from interop_spark.operators.dedup import winnow_dup_pairs
+
+    seed = data.draw(st.integers(min_value=0, max_value=2**31))
+    rng = random.Random(seed)
+
+    def rand_text(n):
+        return "".join(
+            rng.choice("abcdefghijklmnop ") for _ in range(n)
+        )
+
+    shared = rand_text(shared_len)
+    doc_a = rand_text(off_a) + shared + rand_text(10)
+    doc_b = rand_text(off_b) + shared + rand_text(25)
+    df = sparkp.createDataFrame(
+        [(1, doc_a), (2, doc_b)], "doc_id long, text string"
+    )
+    pairs = winnow_dup_pairs(df, k=20, w=8, max_hash_docs=None).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(1, 2)}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    data=st.data(),
+    n_grid=st.integers(min_value=0, max_value=6),
+)
+def test_substring_runs_report_exact_grid_span(sparkp, data, n_grid):
+    """substring_dup_runs run-merge arithmetic, fuzzed: a shared region
+    planted at stride-congruent offsets merges into ONE run whose
+    n_windows and match_len follow exactly from the grid geometry."""
+    import random
+
+    from interop_spark.operators.dedup import substring_dup_runs
+
+    w, s = 40, 10
+    seed = data.draw(st.integers(min_value=0, max_value=2**31))
+    rng = random.Random(seed)
+
+    def rand_text(n):
+        return "".join(
+            rng.choice("abcdefghijklmnop ") for _ in range(n)
+        )
+
+    # shared region spanning n_grid+1 grid windows exactly
+    shared = rand_text(w + s * n_grid)
+    off = s * data.draw(st.integers(min_value=0, max_value=5))
+    doc_a = shared + rand_text(15)
+    doc_b = rand_text(off) + shared + rand_text(15)
+    df = sparkp.createDataFrame(
+        [(1, doc_a), (2, doc_b)], "doc_id long, text string"
+    )
+    runs = substring_dup_runs(df, w=w, stride=s, max_hash_docs=None).collect()
+    grid_runs = [r for r in runs if r.doc_a == 1 and r.doc_b == 2]
+    assert len(grid_runs) >= 1
+    # the maximal run covering the region start has the exact geometry
+    main = [r for r in grid_runs if r.start_a == 1 and r.start_b == off + 1]
+    assert len(main) == 1
+    assert main[0].n_windows >= n_grid + 1
+    assert main[0].match_len >= w + s * n_grid
