@@ -84,6 +84,18 @@ _MODULES = (
 # is relational + functions_battery only (both modules additive-or-
 # untouched since their checks).
 #
+# ROUND-8 ROTATION PLAN (execute alongside whatever that round's diffs
+# force in-window): retire the r4-era residue — the ~24 relational
+# rows not already rotated (scan_project_filter, like_filter_or,
+# substring_key, date_parts, case_when_literal, json_extract is r7,
+# inner_equi_join, computed_key_join, join_filter_pushdown,
+# left_outer_exists_flag, left_semi_join, left_anti_join,
+# groupby_count, topk_orders, set_union, set_intersect, set_except,
+# explode_roundtrip, hof_filter_array, multiway_join_agg,
+# pricing_summary, groupby_agg_battery, …) + functions_battery's
+# string_funcs/date_funcs/arith_funcs/agg_stats. Then the oldest rows
+# are the r5 sqlapi/pipeline_ext re-checks.
+#
 # Round-5 window (50), for history:
 #   * sqlapi, all 9 + lead_lag + conditional_agg — STALENESS ROTATION
 #     per the round-4 plan: the last r1/r2-era rows re-verify; after
