@@ -28,6 +28,35 @@ def _fixture_schema_guard():
             f"events.parquet ts encoding drifted to {ts}; teach "
             f"interop_spark.io.load's type-adaptive branch about it"
         )
+    # the other drift-sensitive dtypes: embeddings' element type feeds
+    # as_double casts (float/double both fine, anything else is not),
+    # and the TPC-H date columns feed date arithmetic
+    checks = {
+        ("embeddings.parquet", "embedding"): (
+            "list<element: float>",
+            "list<item: float>",
+            "list<element: double>",
+            "list<item: double>",
+        ),
+        ("orders.parquet", "o_orderdate"): (
+            "date32[day]",
+            "timestamp[us]",
+            "timestamp[ns]",
+        ),
+        ("lineitem.parquet", "l_shipdate"): (
+            "date32[day]",
+            "timestamp[us]",
+            "timestamp[ns]",
+        ),
+    }
+    for (fname, field), ok in checks.items():
+        fpath = os.path.join(SF_DIR, fname)
+        if os.path.exists(fpath):
+            t = str(pq.read_schema(fpath).field(field).type)
+            assert t in ok, (
+                f"{fname} {field} encoding drifted to {t} (known: {ok}); "
+                f"audit the queries reading it before trusting results"
+            )
 
 
 @pytest.fixture(scope="session")
