@@ -301,3 +301,112 @@ def ivfpq_search(
     return pq_adc_topk(
         probed, query, codebooks, k=k, id_col=id_col, keep=("cell",)
     )
+
+
+def ivfpq_residual_search(
+    df: DataFrame,
+    centroids: DataFrame,
+    query: list[float],
+    m_subspaces: int = 4,
+    k_codes: int = 16,
+    iters: int = 1,
+    k: int = 10,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding (Jégou et al. 2011 §V.B — the
+    production IVF-PQ): PQ codebooks train on ``x − centroid(cell)``
+    rather than raw vectors, concentrating the quantizer's budget on
+    the within-cell displacement, and ADC uses a PER-CELL distance
+    table built from the query's residual against each probed cell.
+
+    Plan shape mirrors ``ivfpq_search`` (broadcast assignment →
+    zero-shuffle residual projection + encode → broadcast probe join →
+    literal-table ADC → TakeOrderedAndProject) with one addition: the
+    ADC table is a cell-keyed CASE chain over the (bounded, broadcast-
+    able by contract) centroid set, so rows in different probed cells
+    score against their own tables in the same projection."""
+    from interop_spark.operators.similarity import (
+        as_double,
+        centroid_array,
+        ivf_assign,
+        l2_norm,
+        query_cells,
+        query_vector_literal,
+    )
+
+    assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
+    cent = centroids.select(
+        col("centroid_id").cast("bigint").alias("cell"),
+        col("centroid").alias("_cvec"),
+    )
+    res = assigned.join(F.broadcast(cent), "cell").select(
+        col(id_col),
+        col("cell"),
+        F.zip_with(
+            as_double(col(vec_col)),
+            as_double(col("_cvec")),
+            lambda x, y: x - y,
+        ).alias("_res"),
+    )
+    cbs = pq_train(
+        res, m_subspaces, k_codes, iters, id_col=id_col, vec_col="_res",
+        dim=dim,
+    )
+    encoded = pq_encode(res, cbs, id_col=id_col, vec_col="_res", keep=("cell",))
+    qv = query_vector_literal(query)
+    qrow = centroid_array(centroids).select(
+        query_cells(
+            qv, col("_cents"), l2_norm(as_double(qv)), nprobe
+        ).alias("_qcells")
+    )
+    probed = encoded.join(
+        F.broadcast(qrow), F.array_contains(col("_qcells"), col("cell"))
+    )
+    # per-cell ADC tables, driver-side (C·d·k multiplies — the same
+    # bounded-centroid contract as the codebook literals)
+    cent_vecs = {
+        int(r[0]): [float(x) for x in r[1]]
+        for r in centroids.select("centroid_id", "centroid").collect()
+    }
+    sub = len(cbs[0][0])
+
+    def _table(cell: int) -> list[list[float]]:
+        qres = [query[i] - cent_vecs[cell][i] for i in range(len(query))]
+        return [
+            [
+                sum(
+                    (qres[m * sub + j] - cw[j]) ** 2 for j in range(sub)
+                )
+                for cw in cb_m
+            ]
+            for m, cb_m in enumerate(cbs)
+        ]
+
+    tbl = None
+    for cell in sorted(cent_vecs):
+        lit = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in row])
+                for row in _table(cell)
+            ]
+        )
+        cond = col("cell") == F.lit(cell)
+        tbl = F.when(cond, lit) if tbl is None else tbl.when(cond, lit)
+    dist = F.round(
+        F.aggregate(
+            F.zip_with(
+                col("codes"), tbl, lambda c, row: F.element_at(row, c + 1)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        9,
+    )
+    return (
+        probed.select(col(id_col), col("cell"), dist.alias("adc_dist"))
+        .orderBy(col("adc_dist").asc(), col(id_col).asc())
+        .limit(k)
+    )

@@ -166,10 +166,11 @@ _WINDOW = (
     "conditional_agg",
     "asof_join",
     "range_join_pairs",
-    # PQ (3): single-pass pq_train + new composed index
+    # PQ (4): single-pass pq_train + new composed indexes
     "pq_encode",
     "pq_adc_topk",
     "ivfpq_search",
+    "ivfpq_residual_search",
     # new dedup family members
     "substring_dup_runs",
     "winnow_dup_pairs",
@@ -202,11 +203,13 @@ _WINDOW = (
     "stratified_sample",
     "media_stats",
     "ngram_jaccard_pairs",
-    # overdue staleness rotation: reshape (4, incl date_series)
+    # overdue staleness rotation: reshape (3 of 4 — date_series, the
+    # lowest-risk row of the overdue set (constant generator, untouched
+    # module), defers ONE more round, displaced by the new
+    # ivfpq_residual_search; it leads the r8 rotation queue)
     "unpivot",
     "window_rank_battery",
     "string_agg_sorted",
-    "date_series",
     # overdue staleness rotation: deferred relational_ext (4)
     "array_funcs",
     "pivot_agg",

@@ -579,7 +579,7 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_chain() -> str:
+def _pq_chain(src: str = "embeddings", prefix: str = "") -> str:
     """Shared DuckDB CTE chain: train(M,k,1 iter) codebooks + every
     vector's codes, with the subspace as a DATA dimension — slice
     subvectors for every (vec, m), seed each subspace's codebook from
@@ -587,7 +587,11 @@ def _pq_chain() -> str:
     squared L2 via lexicographic struct min — ties to the lowest code,
     the fold's contract; per-(cell,pos) means rounded to 9; empty cells
     keep their seed codeword via the LEFT JOIN coalesce), then
-    re-assign against the updated codebooks."""
+    re-assign against the updated codebooks.
+
+    ``src`` is the CTE/table providing (vec_id, embedding); ``prefix``
+    injects CTEs ahead of ``sv`` (e.g. the IVF cell + residual chain
+    for residual-encoded PQ)."""
     sub = EMB_DIM // PQ_M
     sv = (
         f"list_transform(list_slice(embedding, m * {sub} + 1,"
@@ -598,9 +602,9 @@ def _pq_chain() -> str:
         f" i -> (sv[i] - c[i]) * (sv[i] - c[i]))), 9)"
     )
     return f"""
-        WITH sv AS (
+        WITH {prefix}sv AS (
           SELECT vec_id, g.m, {sv} AS sv
-          FROM embeddings
+          FROM {src}
           CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m)
             AS g
         ),
@@ -745,6 +749,108 @@ def _substring_dup_oracle() -> str:
                count(*) AS n_windows
         FROM r2 GROUP BY doc_a, doc_b, diag, run_id
     """
+
+
+def q_ivfpq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with residual encoding as a driver query (same cells,
+    codebook params, query, and probe count as `ivfpq_search`): PQ
+    trains on x − centroid(cell) and ADC scores against per-cell query
+    residual tables — pins the residual projection, the residual-space
+    train→encode, and the cell-keyed ADC boundary."""
+    from interop_spark.operators.pq import ivfpq_residual_search
+
+    e = load(spark, sf_dir, "embeddings")
+    cent = e.where(col("vec_id") < N_CENTROIDS).select(
+        col("vec_id").alias("centroid_id"), col("embedding").alias("centroid")
+    )
+    q = [
+        float(x)
+        for x in e.where(col("vec_id") == PQ_QUERY_ID)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+    return ivfpq_residual_search(
+        e,
+        cent,
+        q,
+        m_subspaces=PQ_M,
+        k_codes=PQ_K,
+        iters=PQ_ITERS,
+        k=PQ_TOPK,
+        nprobe=IVFPQ_NPROBE,
+        dim=EMB_DIM,
+    )
+
+
+def _ivfpq_residual_oracle() -> str:
+    """Residual twin: the IVF cell chain feeds a residual CTE that
+    becomes `_pq_chain`'s source, and ADC joins a per-cell table built
+    from the query's residual against each centroid."""
+    sub = EMB_DIM // PQ_M
+    prefix = f"""cent AS (
+          SELECT vec_id AS centroid_id, embedding AS centroid
+          FROM embeddings WHERE vec_id < {N_CENTROIDS}
+        ),
+        sims AS (
+          SELECT e.vec_id, c.centroid_id,
+                 round({_dk_dot('e.embedding', 'c.centroid')}
+                       / greatest({_dk_norm('e.embedding')}
+                                  * {_dk_norm('c.centroid')}, 1e-12), 9) AS v
+          FROM embeddings e, cent c
+        ),
+        cells AS (
+          SELECT vec_id, (max({{'v': v, 'k': centroid_id}})).k AS cell
+          FROM sims GROUP BY vec_id
+        ),
+        res AS (
+          SELECT e.vec_id,
+                 list_transform(generate_series(1, {EMB_DIM}),
+                   i -> CAST(e.embedding[i] AS DOUBLE)
+                        - CAST(c.centroid[i] AS DOUBLE)) AS embedding
+          FROM embeddings e
+          JOIN cells ce ON e.vec_id = ce.vec_id
+          JOIN cent c ON ce.cell = c.centroid_id
+        ),
+        """
+    return (
+        _pq_chain(src="res", prefix=prefix)
+        + f""",
+        qcells AS (
+          SELECT centroid_id FROM sims WHERE vec_id = {PQ_QUERY_ID}
+          ORDER BY v DESC, centroid_id DESC LIMIT {IVFPQ_NPROBE}
+        ),
+        qres AS (
+          SELECT c.centroid_id AS cell,
+                 list_transform(generate_series(1, {EMB_DIM}),
+                   i -> CAST(q.embedding[i] AS DOUBLE)
+                        - CAST(c.centroid[i] AS DOUBLE)) AS qr
+          FROM cent c
+          CROSS JOIN (SELECT embedding FROM embeddings
+                      WHERE vec_id = {PQ_QUERY_ID}) q
+        ),
+        qsv AS (
+          SELECT cell, g.m,
+                 list_transform(list_slice(qr, g.m * {sub} + 1,
+                   g.m * {sub} + {sub}), x -> x) AS qv
+          FROM qres
+          CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m)
+            AS g
+        ),
+        tbl AS (
+          SELECT qsv.cell, cb.m, cb.code,
+                 list_sum(list_transform(generate_series(1, {sub}),
+                   i -> (qsv.qv[i] - cb.c[i]) * (qsv.qv[i] - cb.c[i]))) AS d
+          FROM cb JOIN qsv ON cb.m = qsv.m
+        )
+        SELECT c.vec_id, cl.cell, round(sum(t.d), 9) AS adc_dist
+        FROM codes c
+        JOIN cells cl ON c.vec_id = cl.vec_id
+        JOIN tbl t ON t.cell = cl.cell AND c.m = t.m AND c.code = t.code
+        WHERE cl.cell IN (SELECT centroid_id FROM qcells)
+        GROUP BY c.vec_id, cl.cell
+        ORDER BY adc_dist ASC, c.vec_id ASC LIMIT {PQ_TOPK}
+    """
+    )
 
 
 SEMDEDUP_N = 500  # corpus slice
@@ -949,6 +1055,7 @@ QUERIES = {
     "pq_encode": q_pq_encode,
     "pq_adc_topk": q_pq_adc_topk,
     "ivfpq_search": q_ivfpq_search,
+    "ivfpq_residual_search": q_ivfpq_residual_search,
     "substring_dup_runs": q_substring_dup_runs,
     "winnow_dup_pairs": q_winnow_dup_pairs,
     "semdedup_keep": q_semdedup_keep,
@@ -1064,6 +1171,7 @@ ORACLE = {
     "pq_encode": _pq_encode_oracle(),
     "pq_adc_topk": _pq_adc_oracle(),
     "ivfpq_search": _ivfpq_oracle(),
+    "ivfpq_residual_search": _ivfpq_residual_oracle(),
     "substring_dup_runs": _substring_dup_oracle(),
     "winnow_dup_pairs": _winnow_oracle(),
     "semdedup_keep": _semdedup_oracle(),

@@ -676,3 +676,34 @@ def test_semdedup_drops_clones_keeps_tie_lowest_id(spark, sf_dir):
     # no planted duplicates -> nothing dropped
     kept2 = semdedup(e.select("vec_id", "embedding"), cent, tau=0.9999)
     assert kept2.count() == 100
+
+
+def test_ivfpq_residual_self_match_is_exact_at_seed(spark, sf_dir):
+    """Residual IVF-PQ: with iters=0 the codebooks ARE the first-k
+    residuals, so a seed vector's own residual encodes losslessly and
+    its ADC distance to itself is exactly 0.0 — and it ranks first for
+    its own query."""
+    from interop_spark.io import load
+    from interop_spark.operators.pq import ivfpq_residual_search
+    from pyspark.sql import functions as F
+
+    e = load(spark, sf_dir, "embeddings").limit(200)
+    C = 4
+    cent = e.where(F.col("vec_id") < C).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    q = [
+        float(x)
+        for x in e.where(F.col("vec_id") == 1)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+    # vec_id=1 is among the k_codes lowest ids -> its residual is a
+    # seed codeword in every subspace
+    top = ivfpq_residual_search(
+        e, cent, q, m_subspaces=8, k_codes=4, iters=0, k=5, nprobe=C
+    ).collect()
+    assert top[0].vec_id == 1
+    assert top[0].adc_dist == 0.0
+    assert all(r.adc_dist >= 0.0 for r in top)
