@@ -34,6 +34,7 @@ COMMENT = {
  "substring_dup_runs": "Strided window hashes are a zero-shuffle explode projection; the hash-frequency guard and the cross-doc candidate join are equi-joins on the md5 window hash (uniform key, no skew); the run merge windows over fine-grained (doc_a, doc_b, diagonal) keys. At 100 TB: shuffle carries (id, pos, 32-char hash) rows, ~len/stride per doc.",
  "winnow_dup_pairs": "Winnowing selection (array_min over (hash,-pos) struct slices) is doc-local -- zero shuffle until the fingerprint equi-join; fingerprint density ~2/(w+1) of k-gram count bounds the join input. Same frequency-capped join shape as substring_dup_runs.",
  "ivfpq_search": "IVF-PQ composed index: one-row broadcast centroid array for cell assignment (no vector-side Exchange), PQ encode as a literal-codebook argmin projection, broadcast one-row probe join filtering to the query's nprobe cells, ADC as literal-table lookups, TakeOrderedAndProject. Zero corpus-side shuffles end-to-end; at 100 TB the (cell, codes) table is the written index and cell pruning bounds each search.",
+ "ivfpq_residual_search": "Residual IVF-PQ (Jegou V.B): same zero-shuffle shape as ivfpq_search plus a broadcast cell-centroid join for the residual projection; the ADC table is a cell-keyed CASE chain over per-cell query-residual tables, still one projection.",
  "enrich_events": "Stream-static enrichment's batch twin: the customer dim BROADCASTS (explicit broadcast()), the event side never shuffles -- per micro-batch re-execution of the static side ships once per executor.",
 }
 
@@ -55,7 +56,7 @@ for name in ["pricing_summary", "multiway_join_agg", "latest_event_per_user",
              "embedding_neardup", "ivf_probe_topk", "knn_cosine",
              "pii_redact", "decontam_ngram_overlap", "dup_ngram_stats",
              "kmeans_fit", "substring_dup_runs", "winnow_dup_pairs",
-             "ivfpq_search", "enrich_events"]:
+             "ivfpq_search", "ivfpq_residual_search", "enrich_events"]:
     df = qs[name](spark, SF)
     df.write.format("noop").mode("overwrite").save()  # let AQE finalize
     plan = df._jdf.queryExecution().executedPlan().toString()
