@@ -397,3 +397,42 @@ def repetition_signals(
             )
         )
     return F.struct(*fields)
+
+
+def token_bucket(tok: Column, n_buckets: int) -> Column:
+    """Feature-hash bucket of a token: first 8 hex chars of md5 as an
+    integer, mod ``n_buckets`` — the hashing-trick feature map
+    (Weinberger et al., ICML 2009), reproducible in any engine that can
+    parse hex (the DuckDB twin casts '0x' || substr(md5, 1, 8))."""
+    return (
+        F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("bigint")
+        % n_buckets
+    )
+
+
+def hashed_linear_logit(
+    text: Column, weights: list[float], bias: float = 0.0
+) -> Column:
+    """Linear text-classifier inference in the fastText architecture
+    (Joulin et al., "Bag of Tricks for Efficient Text Classification",
+    2016 — public): mean of hashed-bucket token weights + bias. This is
+    the score used by classifier-based corpus filtering; plug in any
+    trained weight vector. Returns the round-6 LOGIT (monotone in the
+    probability; apply a sigmoid downstream if calibrated outputs are
+    needed — kept out of the engine's oracle-checked path because
+    libm/JVM `exp` can differ in the last ULP across engines).
+
+    Plan shape: weights embed as a literal bucket array (broadcast at
+    real weight sizes) and the score is one fold per row — zero
+    shuffle, scan-bandwidth bound."""
+    n = len(weights)
+    wlit = F.array(*[F.lit(float(w)) for w in weights])
+    toks = tokens(text)
+    s = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc
+        + F.element_at(wlit, (token_bucket(t, n) + 1).cast("int")),
+    )
+    mean = s / F.greatest(F.size(toks), F.lit(1))
+    return F.round(mean + F.lit(float(bias)), 6)

@@ -171,10 +171,11 @@ _WINDOW = (
     "pq_adc_topk",
     "ivfpq_search",
     "ivfpq_residual_search",
-    # new dedup family members
+    # new dedup/filter family members
     "substring_dup_runs",
     "winnow_dup_pairs",
     "semdedup_keep",
+    "quality_classifier_filter",
     # fhir reader-affected (9): fused entry() traversal
     "fhir_adt_timeline",
     "fhir_patient_conditions",
@@ -203,13 +204,13 @@ _WINDOW = (
     "stratified_sample",
     "media_stats",
     "ngram_jaccard_pairs",
-    # overdue staleness rotation: reshape (3 of 4 — date_series, the
-    # lowest-risk row of the overdue set (constant generator, untouched
-    # module), defers ONE more round, displaced by the new
-    # ivfpq_residual_search; it leads the r8 rotation queue)
+    # overdue staleness rotation: reshape (2 of 4 — date_series and
+    # string_agg_sorted, the lowest-risk rows of the overdue set
+    # (untouched module), defer ONE more round, displaced by the new
+    # ivfpq_residual_search and quality_classifier_filter; they lead
+    # the r8 rotation queue)
     "unpivot",
     "window_rank_battery",
-    "string_agg_sorted",
     # overdue staleness rotation: deferred relational_ext (4)
     "array_funcs",
     "pivot_agg",

@@ -853,6 +853,53 @@ def _ivfpq_residual_oracle() -> str:
     )
 
 
+QC_BUCKETS = 64
+# deterministic pseudo-trained weights (a real deployment loads a
+# trained vector; the SAME list feeds the Spark literal AND the oracle
+# SQL, so the check pins the inference plumbing, not the training).
+# DYADIC values (k/1024): each weight is exactly representable and a
+# few hundred of them sum EXACTLY in double, so both engines compute
+# bit-identical scores — no round-boundary ULP flips.
+QC_WEIGHTS = [
+    ((b * 2654435761) % 2049 - 1024) / 1024
+    for b in range(QC_BUCKETS)
+]
+QC_BIAS = 0.0625  # 1/16, dyadic
+QC_THRESHOLD = 0.0
+
+
+def q_quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based corpus filtering (the fastText-architecture
+    linear scorer of Joulin et al. 2016, as used by modern quality
+    filters): per-doc hashed-bag-of-words logit + keep flag at a
+    threshold. One zero-shuffle projection over the corpus."""
+    d = load(spark, sf_dir, "documents")
+    score = tx.hashed_linear_logit(col("text"), QC_WEIGHTS, QC_BIAS)
+    return d.select(
+        "doc_id",
+        score.alias("score"),
+        (score > F.lit(QC_THRESHOLD)).alias("keep"),
+    )
+
+
+def _quality_classifier_oracle() -> str:
+    w_sql = "[" + ", ".join(repr(float(w)) for w in QC_WEIGHTS) + "]"
+    toks = "string_split_regex(trim(text), '\\s+')"
+    bucket = (
+        f"CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % {QC_BUCKETS}"
+    )
+    return f"""
+        WITH s AS (
+          SELECT doc_id,
+                 round(coalesce(list_sum(list_transform({toks},
+                         t -> ({w_sql})[({bucket}) + 1])), 0)
+                       / greatest(len({toks}), 1) + {QC_BIAS}, 6) AS score
+          FROM documents
+        )
+        SELECT doc_id, score, score > {QC_THRESHOLD} AS keep FROM s
+    """
+
+
 SEMDEDUP_N = 500  # corpus slice
 SEMDEDUP_CLONES = 100  # planted semantic duplicates
 SEMDEDUP_OFF = 10_000_000  # clone id offset
@@ -1059,6 +1106,7 @@ QUERIES = {
     "substring_dup_runs": q_substring_dup_runs,
     "winnow_dup_pairs": q_winnow_dup_pairs,
     "semdedup_keep": q_semdedup_keep,
+    "quality_classifier_filter": q_quality_classifier_filter,
     "ivf_index_search": q_ivf_index_search,
     "kmeans_one_step": q_kmeans_one_step,
     "kmeans_fit": q_kmeans_fit,
@@ -1175,6 +1223,7 @@ ORACLE = {
     "substring_dup_runs": _substring_dup_oracle(),
     "winnow_dup_pairs": _winnow_oracle(),
     "semdedup_keep": _semdedup_oracle(),
+    "quality_classifier_filter": _quality_classifier_oracle(),
     "sq8_roundtrip": f"""
         WITH v AS (
           SELECT vec_id,

@@ -707,3 +707,38 @@ def test_ivfpq_residual_self_match_is_exact_at_seed(spark, sf_dir):
     assert top[0].vec_id == 1
     assert top[0].adc_dist == 0.0
     assert all(r.adc_dist >= 0.0 for r in top)
+
+
+def test_hashed_linear_logit_edges(spark):
+    """Classifier inference edges: an empty doc scores exactly the
+    bias; a single-token doc scores bias + its bucket weight; scores
+    are deterministic across runs."""
+    from interop_spark.operators.text import hashed_linear_logit
+    from pyspark.sql import functions as F
+
+    w = [i / 1024 for i in range(-8, 8)]
+    df = spark.createDataFrame(
+        [(1, ""), (2, "hello"), (3, "hello hello")],
+        "doc_id long, text string",
+    )
+    s = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id",
+            hashed_linear_logit(F.col("text"), w, bias=0.0625).alias("s"),
+        ).collect()
+    }
+    # empty text tokenizes to [''] (split semantics, matching the
+    # oracle's string_split_regex): one empty token's bucket weight
+    empty_bucket = int("d41d8cd9", 16) % len(w)  # md5('') prefix
+    assert s[1] == round(0.0625 + w[empty_bucket], 6)
+    # mean of identical tokens == the single token's score
+    assert s[2] == s[3]
+    s2 = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id",
+            hashed_linear_logit(F.col("text"), w, bias=0.0625).alias("s"),
+        ).collect()
+    }
+    assert s == s2
