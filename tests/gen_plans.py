@@ -36,6 +36,8 @@ COMMENT = {
  "ivfpq_search": "IVF-PQ composed index: one-row broadcast centroid array for cell assignment (no vector-side Exchange), PQ encode as a literal-codebook argmin projection, broadcast one-row probe join filtering to the query's nprobe cells, ADC as literal-table lookups, TakeOrderedAndProject. Zero corpus-side shuffles end-to-end; at 100 TB the (cell, codes) table is the written index and cell pruning bounds each search.",
  "ivfpq_residual_search": "Residual IVF-PQ (Jegou V.B): same zero-shuffle shape as ivfpq_search plus a broadcast cell-centroid join for the residual projection; the ADC table is a cell-keyed CASE chain over per-cell query-residual tables, still one projection.",
  "enrich_events": "Stream-static enrichment's batch twin: the customer dim BROADCASTS (explicit broadcast()), the event side never shuffles -- per micro-batch re-execution of the static side ships once per executor.",
+ "semdedup_keep": "SemDeDup cluster-then-prune: broadcast IVF cell assignment (no vector-side Exchange), broadcast centroid join for the scoring pass, then the within-cell pair join -- quadratic IN THE CELL by design (cluster count must scale with the corpus), keyed by the cell id so AQE can split hot cells.",
+ "quality_classifier_filter": "Classifier-based filtering: weights embed as a literal bucket array and the hashed-bag-of-words logit is ONE fold per row -- zero exchanges, scan-bandwidth bound at any scale.",
 }
 
 out = ["# PLANS — physical plans of the headline queries (sf0.1, AQE on)",
@@ -56,7 +58,8 @@ for name in ["pricing_summary", "multiway_join_agg", "latest_event_per_user",
              "embedding_neardup", "ivf_probe_topk", "knn_cosine",
              "pii_redact", "decontam_ngram_overlap", "dup_ngram_stats",
              "kmeans_fit", "substring_dup_runs", "winnow_dup_pairs",
-             "ivfpq_search", "ivfpq_residual_search", "enrich_events"]:
+             "ivfpq_search", "ivfpq_residual_search", "enrich_events",
+             "semdedup_keep", "quality_classifier_filter"]:
     df = qs[name](spark, SF)
     df.write.format("noop").mode("overwrite").save()  # let AQE finalize
     plan = df._jdf.queryExecution().executedPlan().toString()
