@@ -187,5 +187,46 @@ def test_ingest_corpus_prunes_resource_columns(spark, sf_dir):
         .optimizedPlan()
         .toString()
     )
+    # the fused tag traversal matches per type via element_at equality
+    # and an array_contains gate — neither idiom may reference an
+    # undeclared type (the type NAME can still appear inside declared
+    # types' field names, e.g. Patient.generalPractitioner)
     for rt in ("Claim", "MedicationRequest", "Practitioner", "Encounter"):
-        assert f"as resourceType) = {rt}" not in plan
+        assert f"= {rt})" not in plan
+        assert f", {rt})" not in plan
+
+
+def test_ivfpq_and_classifier_plans_have_no_exchange(spark, sf_dir):
+    """The zero-shuffle claims, pinned: IVF-PQ search (both variants)
+    and classifier filtering must plan without any Exchange — broadcast
+    assignment + literal tables only."""
+    from interop_spark.queries import all_queries
+
+    q = all_queries()
+    for name in (
+        "ivfpq_search",
+        "ivfpq_residual_search",
+        "quality_classifier_filter",
+    ):
+        plan = (
+            q[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange hashpartitioning" not in plan, name
+
+
+def test_enrich_events_broadcasts_dim(spark, sf_dir):
+    """The stream-static enrichment's batch twin: dim broadcast, event
+    side unshuffled."""
+    from interop_spark.queries import all_queries
+
+    plan = (
+        all_queries()["enrich_events"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
