@@ -134,9 +134,12 @@ def pq_train(
             (int(r["m"]), int(r["cell"])): [float(x) for x in r["centroid"]]
             for r in rows
         }
-        # empty cells keep their previous codeword (standard practice)
+        # empty cells keep their previous codeword (standard practice).
+        # Iterate the ACTUAL codebook length, not k: first-k seeding on a
+        # corpus with fewer than k vectors yields a shorter seed list, and
+        # assigned cells can only reference those existing codewords.
         cbs = [
-            [new.get((m, c), cbs[m][c]) for c in range(k)]
+            [new.get((m, c), cbs[m][c]) for c in range(len(cbs[m]))]
             for m in range(m_subspaces)
         ]
     return cbs

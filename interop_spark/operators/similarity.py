@@ -405,6 +405,20 @@ def semdedup(
     rounded-9 cosine to its cell centroid (the paper's low-centroid-
     similarity choice), ties to the LOWEST id.
 
+    Drop rule is PAIRWISE and intentionally non-transitive: a vector is
+    dropped if ANY >= ``tau`` neighbor ranks better, even when that
+    neighbor is itself dropped. On duplicate CHAINS (a~b, b~c, a!~c)
+    this can drop both b and c, leaving only a — i.e. a connected
+    near-duplicate component keeps its single best-ranked member, not
+    one representative per pairwise-duplicate subset. This is more
+    aggressive than a keep-one-per-group reading of SemDeDup and is the
+    deliberate choice here: it is a single self-join + anti-join (no
+    iterative connected-components pass over every cell), the extra
+    drops are themselves within ``tau``-chain distance of the kept
+    member, and the DuckDB oracle encodes the identical rule. Callers
+    needing per-group representatives should run ``dedup_clusters_star``
+    over the >= ``tau`` pair list instead.
+
     Returns the KEPT rows: ``(id, cell, ccos)`` with ``ccos`` the
     round-6 centroid cosine (round-9 internally for the rank compare —
     the engine's cross-engine tie posture).

@@ -883,6 +883,13 @@ def q_quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _quality_classifier_oracle() -> str:
+    # NULL-text guard: Spark's hashed_linear_logit folds over NULL tokens
+    # and yields a NULL score (keep = NULL); without the CASE the
+    # coalesce(list_sum, 0)/greatest(len, 1) pair would score NULL text
+    # as `bias`. The documents fixture has no NULL text today, but fixture
+    # regeneration is a known drift mode — both engines must agree by
+    # construction, not by fixture luck (pinned in
+    # tests/test_operators_ext.py::test_quality_classifier_null_text).
     w_sql = "[" + ", ".join(repr(float(w)) for w in QC_WEIGHTS) + "]"
     toks = "string_split_regex(trim(text), '\\s+')"
     bucket = (
@@ -891,9 +898,11 @@ def _quality_classifier_oracle() -> str:
     return f"""
         WITH s AS (
           SELECT doc_id,
+                 CASE WHEN text IS NULL THEN NULL ELSE
                  round(coalesce(list_sum(list_transform({toks},
                          t -> ({w_sql})[({bucket}) + 1])), 0)
-                       / greatest(len({toks}), 1) + {QC_BIAS}, 6) AS score
+                       / greatest(len({toks}), 1) + {QC_BIAS}, 6)
+                 END AS score
           FROM documents
         )
         SELECT doc_id, score, score > {QC_THRESHOLD} AS keep FROM s

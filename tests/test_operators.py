@@ -742,3 +742,71 @@ def test_hashed_linear_logit_edges(spark):
         ).collect()
     }
     assert s == s2
+
+
+def test_quality_classifier_null_text(spark, tmp_path):
+    """NULL-text parity by construction, not by fixture luck: the
+    documents fixture has no NULL text today, but fixture regeneration
+    is a known drift mode. Both the Spark query and its DuckDB oracle
+    must yield a NULL score and NULL keep on a NULL-text row (the
+    oracle's coalesce(list_sum, 0) would otherwise score it as `bias`)."""
+    import duckdb
+    import pandas as pd
+
+    from interop_spark.queries.pipeline_ext import (
+        _quality_classifier_oracle,
+        q_quality_classifier_filter,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["hello world", None, ""],
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": [11, 0, 0],
+        }
+    )
+    d = str(tmp_path / "nulltext")
+    import os
+
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "documents.parquet"))
+
+    sdf = q_quality_classifier_filter(spark, d).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM '{d}/documents.parquet'"
+    )
+    ddf = con.execute(_quality_classifier_oracle()).df()
+    con.close()
+
+    s = sdf.set_index("doc_id").sort_index()
+    o = ddf.set_index("doc_id").sort_index()
+    # doc 2 (NULL text): both engines NULL score, NULL keep
+    assert pd.isna(s.loc[2, "score"]) and pd.isna(o.loc[2, "score"])
+    assert pd.isna(s.loc[2, "keep"]) and pd.isna(o.loc[2, "keep"])
+    # docs 1 and 3 (real + empty text): identical non-null scores
+    for i in (1, 3):
+        assert s.loc[i, "score"] == o.loc[i, "score"], (
+            i, s.loc[i, "score"], o.loc[i, "score"],
+        )
+        assert bool(s.loc[i, "keep"]) == bool(o.loc[i, "keep"])
+
+
+def test_pq_train_short_corpus_no_raise(spark):
+    """Corpus with fewer than k vectors: first-k seeding yields a short
+    seed list; the Lloyd rebuild must iterate the ACTUAL codebook length
+    (a range(k) rebuild indexed past the seeds and raised IndexError)."""
+    from interop_spark.operators.pq import pq_train
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i + 1), float(2 * i), 1.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    cbs = pq_train(df, m_subspaces=2, k=16, iters=2, dim=4)
+    assert len(cbs) == 2
+    # 5 seeds, never padded to k
+    assert all(len(cb_m) == 5 for cb_m in cbs)
+    assert all(len(cw) == 2 for cb_m in cbs for cw in cb_m)
