@@ -41,10 +41,14 @@ def test_extract_features_batch_shape(media_df):
     assert out[5].features is None and out[5].n_bytes == 0
 
 
-def test_decode_stub_raises():
+def test_decode_unrecognized_raises_value_error():
+    """r8 contract: real decode handles png/jpeg/gif (header-level or
+    better) and raises ValueError ONLY on unrecognized containers; the
+    old NotImplementedError stub is gone (test_multimodal_decode.py
+    covers the positive paths)."""
     from interop_spark.operators.multimodal import decode_image
 
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_image(b"bytes", fake=False)
 
 
