@@ -338,6 +338,66 @@ def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image header decode, driver-verified: build actual PNG /
+    JPEG / GIF container bytes JVM-side (hex expressions → to_binary;
+    dims are closed-form functions of doc_id), parse them back with the
+    stdlib struct walker in ``multimodal.image_dims`` (mapInPandas), and
+    validate parsed width/height against the declared metadata.
+
+    Triangulated correctness: blob CONSTRUCTION is Spark hex/concat
+    expressions, PARSING is Python struct over the real container
+    layouts, and the oracle recomputes the dims relationally from
+    doc_id — a bug in either side breaks the match. pytest additionally
+    pins the parser against fixed real bytes (incl. a full zlib PNG
+    pixel decode) in test_multimodal_decode.py."""
+    from interop_spark.operators import multimodal as mm
+
+    d = load(spark, sf_dir, "documents").where(col("doc_id") < 300)
+    w = (col("doc_id") % 640 + 1).cast("int")
+    h = (col("doc_id") % 480 + 1).cast("int")
+    w16, h16 = F.lpad(F.hex(w), 4, "0"), F.lpad(F.hex(h), 4, "0")
+    w32, h32 = F.lpad(F.hex(w), 8, "0"), F.lpad(F.hex(h), 8, "0")
+    # PNG: signature + IHDR(len 13) + u32be dims + depth8/RGB/std flags
+    png = F.concat(
+        F.lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+        w32, h32, F.lit("0802000000"),
+    )
+    # JPEG: SOI + APP0(JFIF, 14-byte payload) + SOF0(len 17: precision,
+    # u16be height THEN width, 3 components) — the walker must skip APP0
+    jpeg = F.concat(
+        F.lit("FFD8" + "FFE0" + "0010" + "4A46494600" + "00" * 9
+              + "FFC0" + "0011" + "08"),
+        h16, w16, F.lit("03" + "011100" + "021101" + "031101"),
+    )
+    # GIF89a: logical-screen descriptor carries u16 LITTLE-endian dims
+    def le(be16):
+        return F.concat(F.substring(be16, 3, 2), F.substring(be16, 1, 2))
+
+    gif = F.concat(F.lit("474946383961"), le(w16), le(h16), F.lit("F70000"))
+    media = d.select(
+        col("doc_id").alias("media_id"),
+        F.to_binary(
+            F.element_at(
+                F.array(png, jpeg, gif), (col("doc_id") % 3 + 1).cast("int")
+            ),
+            F.lit("hex"),
+        ).alias("data"),
+        w.alias("_mw"),
+        h.alias("_mh"),
+    )
+    parsed = mm.image_dims(media)
+    return parsed.join(media.select("media_id", "_mw", "_mh"), "media_id").select(
+        "media_id",
+        "format",
+        "width",
+        "height",
+        ((col("width") == col("_mw")) & (col("height") == col("_mh"))).alias(
+            "dims_ok"
+        ),
+    )
+
+
 def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style probe: C coarse centroids (vec_id < N_CENTROIDS), assign
     every vector to its nearest centroid SHUFFLE-FREE (one-row broadcast
@@ -432,6 +492,185 @@ def q_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(col("cosine_sim").desc(), col("vec_id").asc())
         .limit(5)
     )
+
+
+CLEAN_LIMIT = 40
+CLEAN_EXACT_N = 20
+CLEAN_SEM_N = 10
+CLEAN_EXACT_OFF = 2_000_000
+CLEAN_SEM_OFF = 3_000_000
+CLEAN_TAU = 0.95
+
+
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shape a real 100 TB corpus-cleaning job runs: the dedup
+    family COMPOSED end-to-end — exact fingerprint dedup → MinHash+LSH
+    near-dup → SemDeDup semantic dedup — emitting per-stage accounting
+    (n_in / n_dropped / n_out), each stage consuming the previous
+    stage's keep-list.
+
+    The corpus is the base slice ∪ three planted duplicate families,
+    one per stage: exact clones (same text), near clones (first word
+    dropped — high Jaccard), and semantic clones (word order REVERSED —
+    near-zero 3-gram shingle overlap, so MinHash cannot see them, but
+    the embedding is the parent's, so SemDeDup can). Stage drops are
+    pairwise (near-dup: drop the larger id of a verified >= 0.5 pair;
+    semantic: semdedup's documented chain-over-drop rule).
+
+    Scale shape: each stage's keep-list is localCheckpoint-ed — the
+    local-mode analog of the materialized table a cluster pipeline
+    writes between stages (each list feeds both the next stage and the
+    accounting aggregate, so recomputation would double every stage)."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    base = d.where(col("doc_id") < CLEAN_LIMIT).select("doc_id", "text")
+    exact_c = base.where(col("doc_id") < CLEAN_EXACT_N).select(
+        (col("doc_id") + CLEAN_EXACT_OFF).alias("doc_id"), "text"
+    )
+    near_c = base.select(
+        (col("doc_id") + DUP_OFFSET).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    sem_c = base.where(col("doc_id") < CLEAN_SEM_N).select(
+        (col("doc_id") + CLEAN_SEM_OFF).alias("doc_id"),
+        F.concat_ws(
+            " ", F.reverse(F.split(F.trim(col("text")), r"\s+"))
+        ).alias("text"),
+    )
+    corpus = (
+        base.unionByName(exact_c)
+        .unionByName(near_c)
+        .unionByName(sem_c)
+        .localCheckpoint()
+    )
+
+    # stage 1: exact — keep the min id per normalized fingerprint
+    fp = corpus.select("doc_id", "text", tx.fingerprint(col("text")).alias("_fp"))
+    reps = fp.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
+    keep1 = fp.join(reps, ["_fp", "doc_id"]).select("doc_id", "text")
+    keep1 = keep1.localCheckpoint()
+
+    # stage 2: near-dup — drop the larger id of every verified pair
+    pairs = dd.minhash_candidate_pairs(
+        keep1, "doc_id", "text", k=MINHASH_K, bands=BANDS, rows=ROWS,
+        shingle_n=SHINGLE_N,
+    ).where(col("jaccard_sim") >= 0.5)
+    drop2 = pairs.select(col("doc_b").alias("doc_id")).distinct()
+    keep2 = keep1.join(drop2, "doc_id", "left_anti").localCheckpoint()
+
+    # stage 3: semantic — semdedup over the survivors' embeddings
+    # (offsets are multiples of 1M, so parent vec_id = doc_id % 1M)
+    cent = e.where(col("vec_id") < N_CENTROIDS).select(
+        col("vec_id").alias("centroid_id"), col("embedding").alias("centroid")
+    )
+    vecs = (
+        keep2.select("doc_id", (col("doc_id") % 1_000_000).alias("_bid"))
+        .join(e.select(col("vec_id").alias("_bid"), "embedding"), "_bid")
+        .select("doc_id", "embedding")
+    )
+    kept3 = sim.semdedup(vecs, cent, tau=CLEAN_TAU, id_col="doc_id")
+
+    def cnt(df, alias):
+        return df.agg(F.count(F.lit(1)).alias(alias))
+
+    def row(n_in_df, n_out_df, name):
+        return (
+            cnt(n_in_df, "n_in")
+            .crossJoin(cnt(n_out_df, "n_out"))
+            .select(
+                F.lit(name).alias("stage"),
+                "n_in",
+                (col("n_in") - col("n_out")).alias("n_dropped"),
+                "n_out",
+            )
+        )
+
+    return (
+        row(corpus, keep1, "1_exact")
+        .unionAll(row(keep1, keep2, "2_minhash"))
+        .unionAll(row(keep2, kept3, "3_semdedup"))
+    )
+
+
+RECALL_K = 10
+RECALL_NPROBES = (1, 2, 4)
+
+
+def q_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN retrieval-quality instrumentation: recall@{RECALL_K} of the
+    IVF probe against exact brute-force ground truth, at nprobe 1/2/4.
+    Both sides are deterministic (round-9 ranking, id tie-breaks), so
+    the whole recall curve is a value-hashed oracle row — a codebook or
+    nprobe regression that silently hurts retrieval quality flips this
+    row red even though every individual search row would still "work".
+
+    Shape at scale: ground truth is one brute-force scan (the thing IVF
+    exists to avoid — priced here once, as instrumentation); each probe
+    reuses the checkpointed cell assignment and touches ~nprobe/C of the
+    corpus; the per-probe hit-count joins are on {RECALL_K}-row sets."""
+    e = load(spark, sf_dir, "embeddings")
+    cent = e.where(col("vec_id") < N_CENTROIDS).select(
+        col("vec_id").alias("centroid_id"), col("embedding").alias("centroid")
+    )
+    assigned = sim.ivf_assign(e, cent).localCheckpoint()
+    cents = sim.centroid_array(cent)
+    q = e.where(col("vec_id") == 0).select(
+        col("embedding").alias("qvec"),
+        sim.l2_norm(sim.as_double(col("embedding"))).alias("_nq"),
+    )
+
+    def scored_ids(df):
+        """Round-9 cosine ranking with the id tie-break, top-RECALL_K."""
+        return (
+            df.crossJoin(F.broadcast(q))
+            .select(
+                "vec_id",
+                F.round(
+                    sim.cosine_sim_given_norms(
+                        sim.as_double(col("embedding")),
+                        sim.as_double(col("qvec")),
+                        sim.l2_norm(sim.as_double(col("embedding"))),
+                        col("_nq"),
+                    ),
+                    9,
+                ).alias("_c9"),
+            )
+            .orderBy(col("_c9").desc(), col("vec_id").asc())
+            .limit(RECALL_K)
+            .select("vec_id")
+        )
+
+    exact = scored_ids(e).localCheckpoint()
+    parts = []
+    for n in RECALL_NPROBES:
+        qrow = q.crossJoin(F.broadcast(cents)).select(
+            "qvec",
+            sim.query_cells(col("qvec"), col("_cents"), col("_nq"), n).alias(
+                "qcells"
+            ),
+        )
+        cand = assigned.join(
+            F.broadcast(qrow), F.array_contains(col("qcells"), col("cell"))
+        ).select("vec_id", "embedding")
+        hits = (
+            scored_ids(cand)
+            .join(exact, "vec_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        parts.append(
+            hits.select(
+                F.lit(n).alias("nprobe"),
+                F.lit(RECALL_K).alias("k"),
+                col("n_hit"),
+                F.round(col("n_hit") / F.lit(float(RECALL_K)), 6).alias(
+                    "recall"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -639,6 +878,8 @@ QUERIES = {
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "ivf_probe_topk": q_ivf_probe_topk,
     "ivf_multiprobe_topk": q_ivf_multiprobe_topk,
+    "ivf_recall_at_k": q_ivf_recall_at_k,
+    "corpus_clean": q_corpus_clean,
     "dedup_representatives": q_dedup_representatives,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "knn_cosine": q_knn_cosine,
@@ -653,6 +894,7 @@ QUERIES = {
     "frame_sample": q_frame_sample,
     "stratified_sample": q_stratified_sample,
     "media_stats": q_media_stats,
+    "image_dims": q_image_dims,
 }
 
 # --------------------------------------------------------------------------
@@ -737,6 +979,174 @@ def _dk_norm(a: str, dim: int = EMB_DIM) -> str:
         f"sqrt(list_sum(list_transform(generate_series(1, {dim}),"
         f" i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
     )
+
+
+def _corpus_clean_oracle() -> str:
+    """Twin of the composed cleaning pipeline: QUALIFY-min fingerprint
+    keep, the standard minhash CTE chain re-rooted on stage-1 survivors,
+    and the semdedup cell/prune chain re-rooted on stage-2 survivors —
+    same round-9/argmax/tie postures as the standalone oracles."""
+    jac = (
+        "round(len(list_intersect(l.sh, r.sh)) * 1.0"
+        " / greatest(len(list_distinct(list_concat(l.sh, r.sh))), 1), 4)"
+    )
+    return f"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < {CLEAN_LIMIT}
+          UNION ALL
+          SELECT doc_id + {CLEAN_EXACT_OFF}, text FROM documents
+          WHERE doc_id < {CLEAN_EXACT_N}
+          UNION ALL
+          SELECT doc_id + {DUP_OFFSET},
+                 substring(text, instr(text, ' ') + 1)
+          FROM documents WHERE doc_id < {CLEAN_LIMIT}
+          UNION ALL
+          SELECT doc_id + {CLEAN_SEM_OFF},
+                 array_to_string(
+                   list_reverse(string_split_regex(trim(text), '\\s+')), ' ')
+          FROM documents WHERE doc_id < {CLEAN_SEM_N}
+        ),
+        fp AS (
+          SELECT doc_id, text,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+          FROM corpus
+        ),
+        keep1 AS (
+          SELECT doc_id, text FROM fp
+          QUALIFY doc_id = min(doc_id) OVER (PARTITION BY f)
+        ),
+        sh AS (SELECT doc_id, {_dk_shingles()} AS sh FROM keep1),
+        sig AS (SELECT doc_id, sh, {_dk_minhash_sig()} AS sig FROM sh),
+        banded AS (
+          SELECT doc_id, sh, unnest({_dk_band_keys()}) AS band_key FROM sig
+        ),
+        mh_pairs AS (
+          SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+          FROM banded l JOIN banded r
+            ON l.band_key = r.band_key AND l.doc_id < r.doc_id
+          WHERE {jac} >= 0.5
+        ),
+        keep2 AS (
+          SELECT doc_id, text FROM keep1
+          WHERE doc_id NOT IN (SELECT doc_b FROM mh_pairs)
+        ),
+        cent AS (
+          SELECT vec_id AS centroid_id, embedding AS centroid
+          FROM embeddings WHERE vec_id < {N_CENTROIDS}
+        ),
+        vecs AS (
+          SELECT k.doc_id, e.embedding FROM keep2 k
+          JOIN embeddings e ON e.vec_id = k.doc_id % 1000000
+        ),
+        vsims AS (
+          SELECT v.doc_id, c.centroid_id,
+                 round({_dk_dot('v.embedding', 'c.centroid')}
+                       / greatest({_dk_norm('v.embedding')}
+                                  * {_dk_norm('c.centroid')}, 1e-12), 9) AS v
+          FROM vecs v, cent c
+        ),
+        vcells AS (
+          SELECT doc_id, (max({{'v': v, 'k': centroid_id}})).k AS cell
+          FROM vsims GROUP BY doc_id
+        ),
+        vscored AS (
+          SELECT ce.doc_id, ce.cell, v.embedding, s.v AS ccos9
+          FROM vcells ce
+          JOIN vecs v USING (doc_id)
+          JOIN vsims s ON s.doc_id = ce.doc_id AND s.centroid_id = ce.cell
+        ),
+        dropped3 AS (
+          SELECT DISTINCT a.doc_id
+          FROM vscored a JOIN vscored b
+            ON a.cell = b.cell AND a.doc_id <> b.doc_id
+          WHERE round({_dk_dot('a.embedding', 'b.embedding')}
+                      / greatest({_dk_norm('a.embedding')}
+                                 * {_dk_norm('b.embedding')}, 1e-12), 9)
+                  >= {CLEAN_TAU}
+            AND (b.ccos9 < a.ccos9
+                 OR (b.ccos9 = a.ccos9 AND b.doc_id < a.doc_id))
+        ),
+        keep3 AS (
+          SELECT doc_id FROM vscored
+          WHERE doc_id NOT IN (SELECT doc_id FROM dropped3)
+        )
+        SELECT '1_exact' AS stage,
+               (SELECT count(*) FROM corpus) AS n_in,
+               (SELECT count(*) FROM corpus)
+                 - (SELECT count(*) FROM keep1) AS n_dropped,
+               (SELECT count(*) FROM keep1) AS n_out
+        UNION ALL
+        SELECT '2_minhash',
+               (SELECT count(*) FROM keep1),
+               (SELECT count(*) FROM keep1) - (SELECT count(*) FROM keep2),
+               (SELECT count(*) FROM keep2)
+        UNION ALL
+        SELECT '3_semdedup',
+               (SELECT count(*) FROM keep2),
+               (SELECT count(*) FROM keep2) - (SELECT count(*) FROM keep3),
+               (SELECT count(*) FROM keep3)
+    """
+
+
+def _ivf_recall_oracle() -> str:
+    """Twin of q_ivf_recall_at_k: recomputes BOTH the exact ground truth
+    and every probed candidate set relationally (same round-9 ranking,
+    same argmax / probe-order tie semantics as the ivf_probe/multiprobe
+    oracles), then counts the overlap per nprobe."""
+    cos_q = (
+        f"round({_dk_dot('e.embedding', 'qvec')}"
+        f" / greatest({_dk_norm('e.embedding')} * {_dk_norm('qvec')},"
+        f" 1e-12), 9)"
+    )
+    approx = "\n".join(
+        f"""
+        approx{n} AS (
+          SELECT s.vec_id FROM scored s JOIN cells cl ON s.vec_id = cl.vec_id
+          WHERE cl.cell IN (SELECT centroid_id FROM qc
+                            ORDER BY v DESC, centroid_id DESC LIMIT {n})
+          ORDER BY s.c9 DESC, s.vec_id ASC LIMIT {RECALL_K}
+        ),"""
+        for n in RECALL_NPROBES
+    )
+    unions = "\n        UNION ALL\n".join(
+        f"""
+        SELECT CAST({n} AS INTEGER) AS nprobe,
+               CAST({RECALL_K} AS INTEGER) AS k,
+               CAST(count(*) AS BIGINT) AS n_hit,
+               round(CAST(count(*) AS DOUBLE) / {RECALL_K}, 6) AS recall
+        FROM approx{n} JOIN exact USING (vec_id)"""
+        for n in RECALL_NPROBES
+    )
+    return f"""
+        WITH cent AS (
+          SELECT vec_id AS centroid_id, embedding AS centroid
+          FROM embeddings WHERE vec_id < {N_CENTROIDS}
+        ),
+        csims AS (
+          SELECT e.vec_id, c.centroid_id,
+                 round({_dk_dot('e.embedding', 'c.centroid')}
+                       / greatest({_dk_norm('e.embedding')}
+                                  * {_dk_norm('c.centroid')}, 1e-12), 9) AS v
+          FROM embeddings e, cent c
+        ),
+        cells AS (
+          SELECT vec_id, (max({{'v': v, 'k': centroid_id}})).k AS cell
+          FROM csims GROUP BY vec_id
+        ),
+        q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+        scored AS (
+          SELECT e.vec_id, {cos_q} AS c9
+          FROM embeddings e CROSS JOIN q
+        ),
+        exact AS (
+          SELECT vec_id FROM scored ORDER BY c9 DESC, vec_id ASC
+          LIMIT {RECALL_K}
+        ),
+        qc AS (SELECT centroid_id, v FROM csims WHERE vec_id = 0),
+        {approx}
+        dummy AS (SELECT 1)
+        {unions}
+    """
 
 
 def _dk_minhash_pair_ctes(limit: int) -> str:
@@ -1152,5 +1562,20 @@ ORACLE = {
         SELECT kind, count(1) AS n_media,
                round(avg(width * height), 4) AS avg_pixels
         FROM media GROUP BY 1
+    """,
+    "ivf_recall_at_k": _ivf_recall_oracle(),
+    "corpus_clean": _corpus_clean_oracle(),
+    # dims are closed-form in doc_id, so the oracle never touches the
+    # binary: a parser (or blob-construction) bug on the Spark side
+    # breaks width/height/dims_ok against this relational recomputation
+    "image_dims": """
+        SELECT doc_id AS media_id,
+               CASE CAST(doc_id % 3 AS INTEGER)
+                    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif'
+               END AS format,
+               CAST((doc_id % 640) + 1 AS INTEGER) AS width,
+               CAST((doc_id % 480) + 1 AS INTEGER) AS height,
+               true AS dims_ok
+        FROM documents WHERE doc_id < 300
     """,
 }
