@@ -909,6 +909,106 @@ def _quality_classifier_oracle() -> str:
     """
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE BPE encoding (Sennrich 2016 merge loop) against the literal
+    toy merge table — not the pre-tokenizer piece count of
+    ``token_count_bpe``. Per doc: token count, total BPE piece count,
+    and an order-independent hash over every (word → pieces) encoding
+    (so two docs can't match by piece-count coincidence — the actual
+    subword strings are pinned).
+
+    Scale shape: the merge loop (the only Python here) runs once per
+    DISTINCT word via an Arrow-batched pandas UDF — dictionary-encode,
+    then equi-join the small (word → pieces) dictionary back onto the
+    exploded token stream and aggregate. The token explode is the same
+    shuffle any tokenizing pipeline pays; the Python side never sees
+    the corpus, only the vocabulary."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(tx.tokens(col("text"))).alias("w")
+    ).where(col("w") != "")
+    vocab = words.select("w").distinct()
+    enc = vocab.select("w", tx.bpe_pieces_udf()(col("w")).alias("pieces_str"))
+    return (
+        words.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.size(F.split(col("pieces_str"), " ")))
+            .cast("bigint")
+            .alias("n_pieces"),
+            F.sum(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                col("w"), F.lit("->"), col("pieces_str")
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+            ).alias("enc_hash"),
+        )
+    )
+
+
+def _bpe_oracle() -> str:
+    """Recursive-CTE replay of the identical merge loop: each recursion
+    step fuses the LEFTMOST occurrence of the MIN-RANK applicable merge
+    (a correlated ORDER BY rank LIMIT 1 splice on a chr(31)-delimited
+    piece string); a word's terminal state is the row where no merge
+    pattern occurs. chr(31) cannot appear in whitespace-split tokens."""
+    mrows = ", ".join(
+        f"({i}, chr(31) || '{a}' || chr(31) || '{b}' || chr(31),"
+        f" chr(31) || '{a}{b}' || chr(31))"
+        for i, (a, b) in enumerate(tx.DEFAULT_BPE_MERGES)
+    )
+    return f"""
+        WITH RECURSIVE
+        merges(rank, pat, rep) AS (SELECT * FROM (VALUES {mrows})),
+        words AS (
+          SELECT doc_id, unnest({_TOKENS}) AS w FROM documents
+        ),
+        vocab AS (SELECT DISTINCT w FROM words WHERE w <> ''),
+        enc AS (
+          SELECT w,
+                 chr(31) || regexp_replace(w, '(.)', '\\1' || chr(31), 'g')
+                   AS s
+          FROM vocab
+          UNION ALL
+          SELECT w,
+                 (SELECT substr(s, 1, position(m.pat IN s) - 1) || m.rep
+                         || substr(s, position(m.pat IN s) + length(m.pat))
+                  FROM merges m WHERE position(m.pat IN s) > 0
+                  ORDER BY m.rank LIMIT 1)
+          FROM enc
+          WHERE EXISTS (SELECT 1 FROM merges m
+                        WHERE position(m.pat IN s) > 0)
+        ),
+        pieced AS (
+          SELECT w,
+                 replace(trim(s, chr(31)), chr(31), ' ') AS pieces_str
+          FROM enc
+          WHERE NOT EXISTS (SELECT 1 FROM merges m
+                            WHERE position(m.pat IN s) > 0)
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(len(string_split(p.pieces_str, ' '))) AS BIGINT)
+                 AS n_pieces,
+               CAST(sum(CAST(concat('0x',
+                        substr(md5(concat(w, '->', p.pieces_str)), 1, 8))
+                      AS BIGINT)) AS BIGINT) AS enc_hash
+        FROM words JOIN pieced p USING (w)
+        WHERE w <> ''
+        GROUP BY doc_id
+    """
+
+
 SEMDEDUP_N = 500  # corpus slice
 SEMDEDUP_CLONES = 100  # planted semantic duplicates
 SEMDEDUP_OFF = 10_000_000  # clone id offset
@@ -1116,6 +1216,7 @@ QUERIES = {
     "winnow_dup_pairs": q_winnow_dup_pairs,
     "semdedup_keep": q_semdedup_keep,
     "quality_classifier_filter": q_quality_classifier_filter,
+    "bpe_encode": q_bpe_encode,
     "ivf_index_search": q_ivf_index_search,
     "kmeans_one_step": q_kmeans_one_step,
     "kmeans_fit": q_kmeans_fit,
@@ -1233,6 +1334,7 @@ ORACLE = {
     "winnow_dup_pairs": _winnow_oracle(),
     "semdedup_keep": _semdedup_oracle(),
     "quality_classifier_filter": _quality_classifier_oracle(),
+    "bpe_encode": _bpe_oracle(),
     "sq8_roundtrip": f"""
         WITH v AS (
           SELECT vec_id,

@@ -1,0 +1,106 @@
+"""True-BPE merge loop: pin the one-at-a-time leftmost fusion against a
+fuse-all-occurrences reference (the paper's step), against hand-computed
+encodings, and against the DuckDB recursive-CTE twin on real vocabulary."""
+
+from __future__ import annotations
+
+import pytest
+
+from interop_spark.operators.text import (
+    DEFAULT_BPE_MERGES,
+    bpe_pieces_udf,
+    bpe_word_pieces,
+)
+
+
+def _bpe_reference_fuse_all(word, merges):
+    """Sennrich 2016 reference step: find the min-rank pair present,
+    fuse ALL its occurrences left-to-right (non-overlapping), repeat."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    pieces = list(word)
+    while len(pieces) > 1:
+        present = {
+            ranks[(a, b)]
+            for a, b in zip(pieces, pieces[1:])
+            if (a, b) in ranks
+        }
+        if not present:
+            break
+        a, b = merges[min(present)]
+        out, i = [], 0
+        while i < len(pieces):
+            if i + 1 < len(pieces) and pieces[i] == a and pieces[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(pieces[i])
+                i += 1
+        pieces = out
+    return pieces
+
+
+def test_bpe_known_encodings():
+    assert bpe_word_pieces("the") == ["the"]
+    assert bpe_word_pieces("then") == ["the", "n"]  # (t,h),(th,e) beat (e,n)
+    assert bpe_word_pieces("and") == ["and"]
+    assert bpe_word_pieces("xyz") == ["x", "y", "z"]  # no merge applies
+    assert bpe_word_pieces("") == []
+    assert bpe_word_pieces("a") == ["a"]
+    # uppercase never matches the lowercase toy table
+    assert bpe_word_pieces("THE") == ["T", "H", "E"]
+
+
+def test_bpe_rank_order_not_length_order():
+    # "in" (rank 2) fuses before "it" (rank 14) in "init":
+    # i n i t -> in i t -> in it
+    assert bpe_word_pieces("init") == ["in", "it"]
+
+
+def test_bpe_matches_fuse_all_reference_on_fixture_vocab():
+    import duckdb
+
+    con = duckdb.connect()
+    words = [
+        r[0]
+        for r in con.execute(
+            "SELECT DISTINCT unnest(string_split_regex(trim(text), '\\s+'))"
+            " FROM '/root/testdata/sf0.01/documents.parquet'"
+        ).fetchall()
+    ]
+    con.close()
+    assert len(words) > 20
+    adversarial = [
+        "ananan", "ththe", "thethethe", "attat", "alall", "ononon",
+        "restate", "interesting", "condescending", "thereof",
+    ]
+    for w in words + adversarial:
+        assert bpe_word_pieces(w) == _bpe_reference_fuse_all(
+            w, DEFAULT_BPE_MERGES
+        ), w
+
+
+def test_bpe_pieces_concat_invariant():
+    for w in ("understanding", "constant", "theoretical", "a1b2", "église"):
+        assert "".join(bpe_word_pieces(w)) == w
+
+
+def test_bpe_udf_matches_pure_python(spark):
+    words = ["the", "understanding", "xyz", "init", "allocate", ""]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r.w: r.p
+        for r in df.select("w", bpe_pieces_udf()(df.w).alias("p")).collect()
+    }
+    for w in words:
+        assert got[w] == " ".join(bpe_word_pieces(w)), w
+
+
+def test_bpe_merge_table_is_consistent():
+    """Every merge's parts must be base characters or products of
+    earlier merges — the precondition for the fuse-one ≡ fuse-all
+    equivalence the docstring claims."""
+    known = set()
+    for a, b in DEFAULT_BPE_MERGES:
+        for part in (a, b):
+            assert len(part) == 1 or part in known, (a, b, part)
+        known.add(a + b)
