@@ -202,15 +202,24 @@ class _Node:
 
 # JSON types for non-string FHIR primitives among the mapped paths, keyed
 # by (parent segment, leaf segment) or leaf segment alone (public R4
-# structure knowledge): Money/Quantity.value is decimal, *.sequence is
-# positiveInt, the listed leaves are FHIR booleans. Everything else is a
-# string primitive (id, code, date, uri, reference), where casting keeps
-# e.g. a bigint CLM_ID valid as a FHIR id.
+# structure knowledge): Money/Quantity.value is decimal; *.sequence is
+# positiveInt and the other _INT_LEAVES are R4 positiveInt/unsignedInt
+# leaves; the listed leaves are FHIR booleans; _INSTANT_LEAVES are FHIR
+# `instant` primitives (JSON string, but timestamp-typed sources need the
+# ISO-8601 'T' separator a plain string cast doesn't produce). Everything
+# else is a string primitive — id, code, date, dateTime, uri, url,
+# canonical, oid — where casting keeps e.g. a bigint CLM_ID valid as a
+# FHIR id (canonical/uri values are already strings in any sane source).
 _DECIMAL_LEAVES = frozenset({("total", "value"), ("valueQuantity", "value"),
                              ("quantity", "value"), ("unitPrice", "value")})
-_INT_LEAVES = frozenset({"sequence", "rank", "multipleBirthInteger"})
+_INT_LEAVES = frozenset({"sequence", "rank", "multipleBirthInteger",
+                         "numberOfRepeatsAllowed", "numberOfSeries",
+                         "numberOfInstances"})
 _BOOLEAN_LEAVES = frozenset({"active", "preferred", "primary",
                              "deceasedBoolean", "multipleBirthBoolean"})
+# R4 `instant` elements among commonly mapped paths: Observation.issued,
+# Provenance/AuditEvent.recorded, Meta.lastUpdated
+_INSTANT_LEAVES = frozenset({"issued", "recorded", "lastUpdated"})
 
 
 def _src_col(src) -> Column:
@@ -228,6 +237,11 @@ def _leaf_value(src, path: str = "") -> Column:
         return c.cast("long")
     if leaf in _BOOLEAN_LEAVES:
         return c.cast("boolean")
+    if leaf in _INSTANT_LEAVES:
+        # timestamp(_ntz) sources stringify as "yyyy-MM-dd HH:mm:ss";
+        # FHIR instant is the ISO-8601 'T' form. String sources in ISO
+        # form contain no space and pass through unchanged.
+        return F.replace(c.cast("string"), F.lit(" "), F.lit("T"))
     return c.cast("string")
 
 

@@ -88,9 +88,13 @@ def q_fhir_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Typed-leaf coverage (the `ADT_A01_FHIR.json` shapes): an integer
     (Patient.multipleBirthInteger), a Money decimal under a repeated
     segment (Claim.item.unitPrice.value — must emit a JSON number and
-    survive the double round-trip bit-exactly), and a Period
+    survive the double round-trip bit-exactly), a Period
     (Claim.billablePeriod.start/end — two string leaves under one
-    non-repeated complex element)."""
+    non-repeated complex element), an R4 unsignedInt
+    (MedicationRequest.dispenseRequest.numberOfRepeatsAllowed — JSON
+    number), and an `instant` from a TIMESTAMP_NTZ source
+    (Observation.issued — the writer must emit the ISO-8601 'T' form,
+    not the space-separated string a plain cast produces)."""
     from interop_spark.fhir import Bundle, Mapping, MappingManager
 
     src = (
@@ -114,6 +118,14 @@ def q_fhir_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                            (col("c_custkey") % 28).cast("int") + 30),
                 "yyyy-MM-dd",
             ).alias("CLM_END"),
+            (col("c_custkey") + 200000).cast("string").alias("MED_ID"),
+            (col("c_custkey") % 5).cast("int").alias("MED_REFILLS"),
+            (col("c_custkey") + 300000).cast("string").alias("OBS_ID"),
+            F.expr(
+                "make_timestamp_ntz(1995, 1, 1,"
+                " CAST(c_custkey % 24 AS INT),"
+                " CAST(c_custkey % 60 AS INT), 0)"
+            ).alias("OBS_ISSUED"),
         )
     )
     maps = [
@@ -124,6 +136,13 @@ def q_fhir_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         Mapping("CLM_UNIT_PRICE", "Claim.item.unitPrice.value"),
         Mapping("CLM_START", "Claim.billablePeriod.start"),
         Mapping("CLM_END", "Claim.billablePeriod.end"),
+        Mapping("MED_ID", "MedicationRequest.id"),
+        Mapping(
+            "MED_REFILLS",
+            "MedicationRequest.dispenseRequest.numberOfRepeatsAllowed",
+        ),
+        Mapping("OBS_ID", "Observation.id"),
+        Mapping("OBS_ISSUED", "Observation.issued"),
     ]
     emitted = Bundle(MappingManager(maps, src.schema)).df_to_fhir_df(src)
     v = emitted.select(F.try_parse_json(col("value")).alias("v"))
@@ -147,6 +166,20 @@ def q_fhir_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(
             "v", "$.entry[1].resource.billablePeriod.end", "string"
         ).alias("period_end"),
+        F.variant_get(
+            "v", "$.entry[2].resource.id", "string"
+        ).alias("med_id"),
+        F.variant_get(
+            "v",
+            "$.entry[2].resource.dispenseRequest.numberOfRepeatsAllowed",
+            "bigint",
+        ).alias("med_refills"),
+        F.variant_get(
+            "v", "$.entry[3].resource.id", "string"
+        ).alias("obs_id"),
+        F.variant_get(
+            "v", "$.entry[3].resource.issued", "string"
+        ).alias("obs_issued"),
     )
 
 
@@ -583,7 +616,14 @@ ORACLE = {
                         '%Y-%m-%d') AS period_start,
                strftime(DATE '1995-01-01'
                         + to_days(CAST(c_custkey % 28 AS INTEGER) + 30),
-                        '%Y-%m-%d') AS period_end
+                        '%Y-%m-%d') AS period_end,
+               CAST(c_custkey + 200000 AS VARCHAR) AS med_id,
+               CAST(c_custkey % 5 AS BIGINT) AS med_refills,
+               CAST(c_custkey + 300000 AS VARCHAR) AS obs_id,
+               concat('1995-01-01T',
+                      lpad(CAST(c_custkey % 24 AS VARCHAR), 2, '0'), ':',
+                      lpad(CAST(c_custkey % 60 AS VARCHAR), 2, '0'),
+                      ':00') AS obs_issued
         FROM customer WHERE c_custkey < 50
     """,
     "multimodal_features": """
