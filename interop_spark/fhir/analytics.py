@@ -17,6 +17,25 @@ from pyspark.sql.functions import col, explode
 from interop_spark.fhir.adt import get_action
 
 
+def _explode2(
+    entry_df: DataFrame,
+    arr_a: str,
+    alias_a: str,
+    arr_b: str,
+    alias_b: str,
+    extra: list[str] | None = None,
+) -> DataFrame:
+    """Within-bundle cross product of two resource arrays as SEQUENTIAL
+    explodes over one scan — the shuffle-free, single-parse replacement
+    for joining two separately-exploded frames on bundleUUID (both
+    arrays are columns of the same entry row; an equi-self-join re-parses
+    the source once per side and exchanges what never left the row)."""
+    keep = ["bundleUUID", *(extra or [])]
+    return entry_df.select(
+        *keep, explode(arr_a).alias(alias_a), col(arr_b)
+    ).select(*keep, alias_a, explode(arr_b).alias(alias_b))
+
+
 def _first(c):
     """ANSI-safe element 0 (Spark 4 defaults to ANSI mode, where [0] on an
     empty array raises INVALID_ARRAY_INDEX; get() returns NULL)."""
@@ -30,14 +49,16 @@ def patient_conditions(entry_df: DataFrame) -> DataFrame:
     is ``code.coding[0].display`` (always populated in coded data) where
     the reference projects ``Condition.code.text`` (free text, often
     absent in coded sources). Swap the expression if text-fidelity to the
-    notebook matters more than coverage."""
-    p = entry_df.select(
-        col("bundleUUID"), explode("Patient").alias("patient")
-    )
-    c = entry_df.select(
-        col("bundleUUID"), explode("Condition").alias("condition")
-    )
-    return p.join(c, "bundleUUID").select(
+    notebook matters more than coverage.
+
+    Plan shape: the reference joins two exploded frames on bundleUUID —
+    but both arrays live in the SAME entry row, so the within-bundle
+    cross product is two SEQUENTIAL explodes in one projection: no
+    shuffle, and (decisively for the file-corpus path) ONE evaluation of
+    the variant-parse subtree instead of one per join side. Inner
+    ``explode`` drops bundles missing either resource, exactly like the
+    inner join did."""
+    return _explode2(entry_df, "Patient", "patient", "Condition", "condition").select(
         col("bundleUUID").alias("UNIQUE_FHIR_ID"),
         col("patient.id").alias("Patient"),
         col("patient.birthDate").alias("Birth_date"),
@@ -61,10 +82,10 @@ def patient_claims(entry_df: DataFrame) -> DataFrame:
     ``prcdr_*`` columns flatten the item[] × coding[] array-of-array to
     ``array<string>`` (the reference yields the nested form). Flat scalar/
     array columns join and aggregate directly; drop ``.reference`` /
-    ``F.flatten`` to recover the reference's exact shapes."""
-    p = entry_df.select(col("bundleUUID"), explode("Patient").alias("patient"))
-    c = entry_df.select(col("bundleUUID"), explode("Claim").alias("claim"))
-    return p.join(c, "bundleUUID").select(
+    ``F.flatten`` to recover the reference's exact shapes. Plan shape:
+    sequential explodes, not a bundleUUID self-join (see
+    ``patient_conditions``)."""
+    return _explode2(entry_df, "Patient", "patient", "Claim", "claim").select(
         col("bundleUUID").alias("UNIQUE_FHIR_ID"),
         col("patient.id").alias("Patient"),
         col("claim.patient.reference").alias("claim_patient_id"),
@@ -97,12 +118,11 @@ def patient_claims(entry_df: DataFrame) -> DataFrame:
 
 def medication_requests(entry_df: DataFrame) -> DataFrame:
     """Patient × MedicationRequest (`01_dbignite_sample.py:151-174`); requires
-    the medicationCodeableConcept schema override (`:118-146`)."""
-    p = entry_df.select(col("bundleUUID"), explode("Patient").alias("patient"))
-    m = entry_df.select(
-        col("bundleUUID"), explode("MedicationRequest").alias("med")
-    )
-    return p.join(m, "bundleUUID").select(
+    the medicationCodeableConcept schema override (`:118-146`). Plan
+    shape: sequential explodes (see ``patient_conditions``)."""
+    return _explode2(
+        entry_df, "Patient", "patient", "MedicationRequest", "med"
+    ).select(
         col("bundleUUID").alias("UNIQUE_FHIR_ID"),
         col("patient.id").alias("Patient"),
         col("med.status").alias("status"),
@@ -133,14 +153,12 @@ def adt_events(entry_df: DataFrame, limit: int | None = 10) -> DataFrame:
     """The ADT patient/action timeline (`01_dbignite_sample.py:431-459`):
     MessageHeader × Patient joined on bundleUUID, identifier-system
     extraction via higher-order ``filter``, ``get_action`` enrichment,
-    ordered ssn desc / timestamp desc."""
-    adt = entry_df.select(
-        col("timestamp"),
-        col("bundleUUID"),
-        explode("MessageHeader").alias("messageheader"),
-    )
-    patient = entry_df.select(
-        col("bundleUUID"), explode("Patient").alias("patient")
+    ordered ssn desc / timestamp desc. Plan shape: sequential explodes
+    over one scan (see ``patient_conditions``), carrying ``timestamp``
+    through."""
+    flat = _explode2(
+        entry_df, "MessageHeader", "messageheader", "Patient", "patient",
+        extra=["timestamp"],
     )
     ssn = _first(F.filter(
         col("patient.identifier"),
@@ -155,7 +173,7 @@ def adt_events(entry_df: DataFrame, limit: int | None = 10) -> DataFrame:
     ))["value"]
     action = get_action(col("messageheader.eventCoding.code"))
     out = (
-        adt.join(patient, "bundleUUID")
+        flat
         .select(
             ssn.alias("ssn"),
             col("timestamp").alias("event_timestamp"),
@@ -194,13 +212,11 @@ def patient_observations(entry_df: DataFrame) -> DataFrame:
     """Patient × Observation within a bundle — the Synthea-type analog of
     ``patient_conditions`` (the reference's demo dataset contains
     Observation bundles, reference README.md:31, but its notebook never
-    flattens them; same explode → pluck → bundleUUID-join shape,
-    `01_dbignite_sample.py:47-72`)."""
-    p = entry_df.select(col("bundleUUID"), explode("Patient").alias("patient"))
-    o = entry_df.select(
-        col("bundleUUID"), explode("Observation").alias("obs")
-    )
-    return p.join(o, "bundleUUID").select(
+    flattens them; same explode → pluck shape, `01_dbignite_sample
+    .py:47-72`; sequential explodes, not a bundleUUID self-join)."""
+    return _explode2(
+        entry_df, "Patient", "patient", "Observation", "obs"
+    ).select(
         col("bundleUUID").alias("UNIQUE_FHIR_ID"),
         col("patient.id").alias("Patient"),
         col("obs.status").alias("obs_status"),

@@ -429,3 +429,29 @@ def test_unknown_resource_type_surfaces_in_other(spark, tmp_path):
     )
     r2 = restricted.collect()[0]
     assert {o.resourceType for o in r2._other} == {"Basic"}
+
+
+def test_explode2_preserves_cross_product_and_inner_semantics(spark):
+    """The r8 sequential-explode flatten must reproduce the old
+    bundleUUID self-join exactly: within-bundle CROSS product for
+    multi-resource bundles, and inner-join drop of bundles missing
+    either resource."""
+    from pyspark.sql import Row
+
+    from interop_spark.fhir.analytics import _explode2
+
+    entry = spark.createDataFrame(
+        [
+            Row(bundleUUID="b1", Patient=[Row(id="p1"), Row(id="p2")],
+                Condition=[Row(id="c1"), Row(id="c2"), Row(id="c3")]),
+            Row(bundleUUID="b2", Patient=[Row(id="p3")], Condition=[]),
+            Row(bundleUUID="b3", Patient=[], Condition=[Row(id="c4")]),
+        ]
+    )
+    rows = _explode2(entry, "Patient", "patient", "Condition", "condition")
+    got = sorted(
+        (r.bundleUUID, r.patient.id, r.condition.id) for r in rows.collect()
+    )
+    assert got == sorted(
+        ("b1", p, c) for p in ("p1", "p2") for c in ("c1", "c2", "c3")
+    )
