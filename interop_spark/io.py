@@ -51,6 +51,44 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Streaming twin of ``load``: a file-source ``readStream`` over the
+    same parquet, with the SAME type-adaptive events-ts handling (the
+    stream source needs an explicit schema, so the raw schema comes from
+    a footer-only batch read; the nanos/NTZ conversion then mirrors
+    ``load`` so stream and batch plans see identical column types)."""
+    path = f"{sf_dir}/{name}.parquet"
+
+    def _stream(schema):
+        # the fixture table is a single FILE; FileStreamSource insists
+        # its path be a DIRECTORY (basePath), so expose the file through
+        # a one-symlink temp directory. On a cluster the source is a
+        # real landing directory and this shim disappears.
+        import os
+        import tempfile
+
+        src_dir = path
+        if os.path.isfile(path):
+            src_dir = tempfile.mkdtemp(prefix=f"stream_{name}_")
+            os.symlink(path, os.path.join(src_dir, f"{name}.parquet"))
+        return spark.readStream.schema(schema).parquet(src_dir)
+
+    if name != "events":
+        return _stream(spark.read.parquet(path).schema)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    raw = spark.read.parquet(path)
+    df = _stream(raw.schema)
+    ts_type = raw.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(ts_type, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Register each fixture table as a temp view named after itself."""
     for name in tables:

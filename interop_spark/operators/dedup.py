@@ -742,3 +742,81 @@ def winnow_dup_pairs(
             F.min("pos_b").alias("first_b"),
         )
     )
+
+
+def paragraph_chunks(text: Column, n_words: int = 8) -> Column:
+    """Fixed-grid word chunks (stride = width = ``n_words``): the
+    "paragraph" unit for CCNet-style paragraph-hash dedup when the
+    corpus carries no layout newlines. Array of chunk strings in
+    document order; the final chunk may be short."""
+    toks = tokens(text)
+    n_chunks = F.ceil(F.size(toks) / F.lit(n_words)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+        lambda j: F.concat_ws(
+            " ", F.slice(toks, j * n_words + 1, n_words)
+        ),
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_words: int = 8,
+) -> DataFrame:
+    """CCNet-style paragraph-level dedup (Wenzek et al. 2019, §3.1 —
+    public): hash every paragraph, keep only the globally FIRST
+    occurrence (lowest ``(id, position)``), reassemble each document
+    from its surviving paragraphs. Cross-document: a paragraph repeated
+    in a later document is removed from it even though the later
+    document is otherwise unique.
+
+    Returns one row per input document:
+    ``(id, n_chunks, n_kept, clean_md5)`` with ``clean_md5`` the md5 of
+    the kept chunks joined by a single space (NULL when nothing
+    survives) — pinning the reassembly order, not just the counts.
+
+    Plan shape at 100 TB: posexplode → ONE md5-keyed window (the same
+    uniform shuffle as exact dedup — first-writer-wins needs no join
+    back) → one id-keyed aggregate. No collect, no all-pairs; skew is
+    bounded because a pathologically frequent paragraph concentrates
+    only its own occurrences (cap with a frequency guard upstream if a
+    boilerplate paragraph dominates — same posture as
+    ``substring_dup_runs``'s ``max_hash_docs``)."""
+    from pyspark.sql.window import Window
+
+    ch = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(paragraph_chunks(F.col(text_col), n_words)).alias(
+            "pos", "chunk"
+        ),
+    ).withColumn("h", F.md5(F.col("chunk")))
+    win = Window.partitionBy("h").orderBy("_id", "pos")
+    ranked = ch.withColumn("rn", F.row_number().over(win))
+    return (
+        ranked.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") == 1,
+                                F.struct("pos", "chunk"),
+                            )
+                        )
+                    ).getField("chunk"),
+                )
+            ).alias("clean_md5"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_chunks",
+            F.col("n_kept").cast("long").alias("n_kept"),
+            F.when(F.col("n_kept") > 0, F.col("clean_md5")).alias("clean_md5"),
+        )
+    )

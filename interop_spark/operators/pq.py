@@ -413,3 +413,49 @@ def ivfpq_residual_search(
         .orderBy(col("adc_dist").asc(), col(id_col).asc())
         .limit(k)
     )
+
+
+def ivfpq_rerank(
+    df: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    k: int = 10,
+    shortlist: int | None = None,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieval with EXACT refinement — the FAISS
+    ``IndexRefineFlat`` shape and the standard production recipe for
+    recovering recall lost to PQ compression: (1) ``ivfpq_search``
+    produces a compressed-domain ADC shortlist of ``shortlist``
+    (default 3k) candidates, (2) only those candidates' RAW vectors are
+    re-scored with exact squared L2 and the final top-k is ordered by
+    the exact distance (round-9, id tiebreak — the engine's
+    cross-engine posture).
+
+    Plan shape: stage 1 is the zero-corpus-shuffle ivfpq chain; stage 2
+    broadcasts the ≤``shortlist``-row candidate table against the
+    vector source, so the refinement is a broadcast-semi-join + one
+    projection — never a second ranking pass over the corpus. At
+    100 TB the raw-vector fetch is a point-lookup join against the
+    id-bucketed vector table; candidate count is a constant.
+
+    Returns ``(id, cell, adc_dist, exact_dist)`` — keeping the ADC
+    rank's distance alongside the exact one makes the refinement's
+    reordering observable (and oracle-checkable)."""
+    shortlist = 3 * k if shortlist is None else shortlist
+    cand = ivfpq_search(
+        df, centroids, codebooks, query,
+        k=shortlist, nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+    )
+    qv = F.array(*[F.lit(float(x)) for x in query])
+    exact = F.round(l2sq(as_double(col(vec_col)), as_double(qv)), 9)
+    return (
+        df.join(F.broadcast(cand), id_col)
+        .select(col(id_col), col("cell"), col("adc_dist"),
+                exact.alias("exact_dist"))
+        .orderBy(col("exact_dist").asc(), col(id_col).asc())
+        .limit(k)
+    )

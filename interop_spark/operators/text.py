@@ -544,3 +544,38 @@ def hashed_linear_logit(
     )
     mean = s / F.greatest(F.size(toks), F.lit(1))
     return F.round(mean + F.lit(float(bias)), 6)
+
+
+def c4_line_filter(text: Column, min_words: int = 5) -> Column:
+    """C4 cleaning heuristics (Raffel et al. 2020, §2.2 — public): keep
+    only lines that end in terminal punctuation (``. ! ? "``) AND have
+    at least ``min_words`` words; flag the whole document as dropped if
+    it contains a curly brace (code), the phrase "lorem ipsum"
+    (boilerplate), or retains fewer than 3 kept lines. Returns a struct
+    ``(n_lines, n_kept, doc_ok, clean_text)`` so one projection carries
+    both the per-line filter and the document verdict.
+
+    Pure Column expressions over a single ``split``/``filter`` pass —
+    zero shuffle, scan-bandwidth bound at 100 TB; no Python worker.
+    (Reference parity: none — the reference has no corpus-cleaning
+    surface; this is the training-data-pipeline mandate.)"""
+    lines = F.split(text, "\n")
+
+    def _keep(l):
+        words = F.size(F.split(F.trim(l), " +"))
+        terminal = l.rlike('[.!?"]$')
+        return terminal & (words >= min_words)
+
+    kept = F.filter(lines, _keep)
+    low = F.lower(text)
+    doc_ok = (
+        ~low.contains("lorem ipsum")
+        & ~low.contains("{")
+        & (F.size(kept) >= 3)
+    )
+    return F.struct(
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        doc_ok.alias("doc_ok"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )

@@ -865,6 +865,109 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM WAV decode, driver-verified — the audio analog of
+    ``image_dims``: build actual RIFF/WAVE containers JVM-side (hex
+    expressions → to_binary; header fields and 16-bit LE samples are
+    closed-form functions of doc_id), parse them back with the stdlib
+    struct walker in ``multimodal.audio_stats`` (mapInPandas), and the
+    oracle recomputes every parsed field — including the exact integer
+    sum of squared samples and the peak — relationally from doc_id.
+    Blob CONSTRUCTION (Spark expressions), PARSING (RIFF chunk walk +
+    struct), and the ORACLE are three independent encodings of the
+    layout; a bug in any one breaks the value-hash. pytest pins the
+    parser against stdlib ``wave``-written bytes in
+    test_multimodal_decode.py."""
+    from interop_spark.operators import multimodal as mm
+
+    d = load(spark, sf_dir, "documents").where(col("doc_id") < 300)
+
+    def le16(v):  # u16 little-endian hex of a (possibly negative) value
+        be = F.lpad(F.hex(F.pmod(v, F.lit(65536))), 4, "0")
+        return F.concat(F.substring(be, 3, 2), F.substring(be, 1, 2))
+
+    def le32(v):
+        be = F.lpad(F.hex(v.cast("long")), 8, "0")
+        return F.concat(
+            F.substring(be, 7, 2), F.substring(be, 5, 2),
+            F.substring(be, 3, 2), F.substring(be, 1, 2),
+        )
+
+    n = (col("doc_id") % 4 + 2).cast("int")  # 2..5 frames
+    sr = (F.lit(8000) + (col("doc_id") % 8) * 1000).cast("int")
+    data_len = n * 2
+    samples = F.concat(*[
+        F.when(
+            F.lit(i) < n,
+            le16((col("doc_id") * 37 + i * 101) % 1024 - 512),
+        ).otherwise(F.lit(""))
+        for i in range(5)
+    ])
+    wav_hex = F.concat(
+        F.lit("52494646"), le32(data_len + 36),            # RIFF + riff size
+        F.lit("57415645" + "666D7420" + "10000000"         # WAVE, fmt , 16
+              + "0100" + "0100"),                          # PCM tag, mono
+        le32(sr), le32(sr * 2),                            # rate, byte rate
+        F.lit("0200" + "1000"),                            # align 2, 16 bits
+        F.lit("64617461"), le32(data_len),                 # data chunk
+        samples,
+    )
+    media = d.select(
+        col("doc_id").alias("media_id"),
+        F.to_binary(wav_hex, F.lit("hex")).alias("data"),
+    )
+    return mm.audio_stats(media)
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph-hash dedup over the RAW corpus: fixed
+    8-word grid chunks, global first-occurrence-wins, per-doc survival
+    counts + an md5 of the reassembled text (the fixture's planted
+    near-dups share real cross-doc chunks — ~150 duplicate keys at
+    sf0.01, so the rule does real work). Oracle replays the identical
+    grid/hash/row_number pipeline in SQL."""
+    d = load(spark, sf_dir, "documents")
+    return dd.paragraph_dedup(d, "text", "doc_id").orderBy("doc_id")
+
+
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line+document filtering (Raffel et al. 2020) driver-verified
+    by triangulation: synthesize layout from the flat fixture text
+    (8-word lines; terminal '.' on lines where ``(doc_id+j) % 3 != 0``;
+    a "lorem ipsum" boilerplate line injected when ``doc_id % 23 == 0``
+    and a curly-brace code line when ``doc_id % 17 == 0``), run the
+    REAL regex/HOF operator ``text.c4_line_filter``, and let the oracle
+    recompute every verdict closed-form from doc_id — the operator's
+    regex path and the oracle's arithmetic must agree on every line."""
+    d = load(spark, sf_dir, "documents")
+    toks = tx.tokens(col("text"))
+    nch = F.ceil(F.size(toks) / F.lit(8)).cast("int")
+    did = col("doc_id")
+    lines = F.transform(
+        F.sequence(F.lit(0), F.greatest(nch - 1, F.lit(0))),
+        lambda j: F.concat(
+            F.concat_ws(" ", F.slice(toks, j * 8 + 1, 8)),
+            F.when((did + j) % 3 != 0, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    lines = F.when(
+        did % 23 == 0,
+        F.concat(lines, F.array(F.lit("lorem ipsum dolor sit amet."))),
+    ).otherwise(lines)
+    lines = F.when(
+        did % 17 == 0,
+        F.concat(lines, F.array(F.lit("function demo {"))),
+    ).otherwise(lines)
+    res = tx.c4_line_filter(F.array_join(lines, "\n"))
+    return d.select(
+        "doc_id",
+        res["n_lines"].alias("n_lines"),
+        res["n_kept"].alias("n_kept"),
+        res["doc_ok"].alias("doc_ok"),
+        F.when(res["n_kept"] > 0, F.md5(res["clean_text"])).alias("clean_md5"),
+    )
+
+
 QUERIES = {
     "drop_duplicates": q_drop_duplicates,
     "train_test_split": q_train_test_split,
@@ -895,6 +998,9 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "media_stats": q_media_stats,
     "image_dims": q_image_dims,
+    "audio_stats": q_audio_stats,
+    "paragraph_dedup": q_paragraph_dedup,
+    "c4_clean": q_c4_clean,
 }
 
 # --------------------------------------------------------------------------
@@ -1577,5 +1683,100 @@ ORACLE = {
                CAST((doc_id % 480) + 1 AS INTEGER) AS height,
                true AS dims_ok
         FROM documents WHERE doc_id < 300
+    """,
+    # third independent encoding of the WAV layout: recompute the PCM
+    # sample stream (and its exact integer power sum) from doc_id
+    "audio_stats": """
+        WITH f AS (
+          SELECT doc_id,
+                 CAST(doc_id % 4 + 2 AS INTEGER) AS n,
+                 CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS sr
+          FROM documents WHERE doc_id < 300
+        ), s AS (
+          SELECT f.doc_id, f.sr,
+                 CAST((f.doc_id * 37 + u.i * 101) % 1024 - 512 AS BIGINT) AS v
+          FROM f CROSS JOIN (SELECT unnest(range(0, 5)) AS i) u
+          WHERE u.i < f.n
+        )
+        SELECT doc_id AS media_id,
+               CAST(1 AS INTEGER) AS channels,
+               CAST(min(sr) AS INTEGER) AS sample_rate,
+               CAST(16 AS INTEGER) AS bits,
+               CAST(count(*) AS BIGINT) AS n_frames,
+               CAST(sum(v * v) AS BIGINT) AS sum_sq,
+               CAST(max(abs(v)) AS INTEGER) AS peak
+        FROM s GROUP BY doc_id
+    """,
+    # identical grid/hash/first-wins pipeline replayed relationally
+    "paragraph_dedup": f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKENS} AS w FROM documents
+        ), ch AS (
+          SELECT doc_id, u.i AS pos,
+                 array_to_string(w[u.i*8+1:u.i*8+8], ' ') AS chunk
+          FROM toks CROSS JOIN (SELECT unnest(range(0, 200)) AS i) u
+          WHERE u.i < greatest(CAST(ceil(len(w) / 8.0) AS INTEGER), 1)
+        ), h AS (
+          SELECT doc_id, pos, chunk,
+                 row_number() OVER (
+                   PARTITION BY md5(chunk) ORDER BY doc_id, pos
+                 ) AS rn
+          FROM ch
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept,
+               md5(string_agg(chunk, ' ' ORDER BY pos)
+                   FILTER (WHERE rn = 1)) AS clean_md5
+        FROM h GROUP BY doc_id
+    """,
+    # every verdict recomputed closed-form from doc_id (the Spark side
+    # runs the real regex/HOF operator over the synthesized lines)
+    "c4_clean": f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKENS} AS w FROM documents
+        ), f AS (
+          SELECT doc_id, w, len(w) AS n,
+                 greatest(CAST(ceil(len(w) / 8.0) AS INTEGER), 1) AS nch,
+                 (doc_id % 23 = 0) AS lorem,
+                 (doc_id % 17 = 0) AS brace
+          FROM toks
+        ), ln AS (
+          SELECT f.doc_id, f.nch, f.lorem, f.brace, u.i AS pos,
+                 array_to_string(f.w[u.i*8+1:u.i*8+8], ' ')
+                   || CASE WHEN (f.doc_id + u.i) % 3 <> 0
+                           THEN '.' ELSE '' END AS line,
+                 CASE WHEN (f.doc_id + u.i) % 3 <> 0
+                           AND least(8, f.n - u.i*8) >= 5
+                      THEN 1 ELSE 0 END AS kept
+          FROM f CROSS JOIN (SELECT unnest(range(0, 200)) AS i) u
+          WHERE u.i < f.nch
+        ), agg AS (
+          SELECT doc_id, min(nch) AS nch,
+                 bool_or(lorem) AS lorem, bool_or(brace) AS brace,
+                 sum(kept) AS kept_chunks,
+                 string_agg(line, chr(10) ORDER BY pos)
+                   FILTER (WHERE kept = 1) AS kept_text
+          FROM ln GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST(nch + CASE WHEN lorem THEN 1 ELSE 0 END
+                        + CASE WHEN brace THEN 1 ELSE 0 END
+                    AS INTEGER) AS n_lines,
+               CAST(kept_chunks + CASE WHEN lorem THEN 1 ELSE 0 END
+                    AS INTEGER) AS n_kept,
+               (NOT lorem AND NOT brace
+                AND kept_chunks + CASE WHEN lorem THEN 1 ELSE 0 END >= 3)
+                 AS doc_ok,
+               CASE WHEN kept_chunks + CASE WHEN lorem THEN 1 ELSE 0 END > 0
+                    THEN md5(CASE
+                      WHEN lorem AND kept_chunks > 0
+                        THEN kept_text || chr(10)
+                             || 'lorem ipsum dolor sit amet.'
+                      WHEN lorem THEN 'lorem ipsum dolor sit amet.'
+                      ELSE kept_text END)
+               END AS clean_md5
+        FROM agg
     """,
 }

@@ -579,6 +579,34 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ + exact refinement (FAISS IndexRefineFlat shape) as a
+    driver query: the ADC shortlist (3×k, same probe/tie posture as
+    `ivfpq_search`) is re-scored with exact squared L2 on the raw
+    vectors and re-ordered — pinning the full two-stage retrieval
+    boundary: compressed-domain candidate set AND the exact-distance
+    reordering on top of it."""
+    from interop_spark.operators.pq import ivfpq_rerank, pq_train
+
+    e = load(spark, sf_dir, "embeddings")
+    cent = e.where(col("vec_id") < N_CENTROIDS).select(
+        col("vec_id").alias("centroid_id"), col("embedding").alias("centroid")
+    )
+    cbs = pq_train(
+        e, m_subspaces=PQ_M, k=PQ_K, iters=PQ_ITERS, dim=EMB_DIM
+    )
+    q = [
+        float(x)
+        for x in e.where(col("vec_id") == PQ_QUERY_ID)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+    return ivfpq_rerank(
+        e, cent, cbs, q, k=PQ_TOPK, shortlist=3 * PQ_TOPK,
+        nprobe=IVFPQ_NPROBE,
+    )
+
+
 def _pq_chain(src: str = "embeddings", prefix: str = "") -> str:
     """Shared DuckDB CTE chain: train(M,k,1 iter) codebooks + every
     vector's codes, with the subspace as a DATA dimension — slice
@@ -1154,12 +1182,12 @@ def _winnow_oracle() -> str:
     """
 
 
-def _ivfpq_oracle() -> str:
-    """IVF-PQ twin: the `_pq_chain` train/encode CTEs composed with
+def _ivfpq_cte_chain() -> str:
+    """Shared IVF-PQ CTE chain: `_pq_chain` train/encode composed with
     `ivf_index_search`'s cell CTEs — ADC distances summed per vector,
     restricted to the query's nprobe cells (probe ranking = round-9
-    cosine DESC then centroid_id DESC, `query_cells`' tie order), then
-    the round-9 + vec_id-tie top-k boundary."""
+    cosine DESC then centroid_id DESC, `query_cells`' tie order) — up
+    through an ``adc`` CTE so search and rerank twins compose."""
     sub = EMB_DIM // PQ_M
     return (
         _pq_chain()
@@ -1189,14 +1217,54 @@ def _ivfpq_oracle() -> str:
                  list_sum(list_transform(generate_series(1, {sub}),
                    i -> (q.qv[i] - cb.c[i]) * (q.qv[i] - cb.c[i]))) AS d
           FROM cb JOIN q ON cb.m = q.m
+        ),
+        adc AS (
+          SELECT c.vec_id, cl.cell, round(sum(t.d), 9) AS adc_dist
+          FROM codes c
+          JOIN cells cl ON c.vec_id = cl.vec_id
+          JOIN tbl t ON c.m = t.m AND c.code = t.code
+          WHERE cl.cell IN (SELECT centroid_id FROM qcells)
+          GROUP BY c.vec_id, cl.cell
+        )"""
+    )
+
+
+def _ivfpq_oracle() -> str:
+    """IVF-PQ twin: the shared chain's ADC distances at the round-9 +
+    vec_id-tie top-k boundary."""
+    return (
+        _ivfpq_cte_chain()
+        + f"""
+        SELECT vec_id, cell, adc_dist FROM adc
+        ORDER BY adc_dist ASC, vec_id ASC LIMIT {PQ_TOPK}
+    """
+    )
+
+
+def _ivfpq_rerank_oracle() -> str:
+    """Rerank twin: the chain's ADC shortlist (3k, same tie order) has
+    its RAW vectors re-scored with exact round-9 squared L2 against the
+    full query vector; final top-k ordered by the exact distance."""
+    return (
+        _ivfpq_cte_chain()
+        + f""",
+        cand AS (
+          SELECT vec_id, cell, adc_dist FROM adc
+          ORDER BY adc_dist ASC, vec_id ASC LIMIT {3 * PQ_TOPK}
+        ),
+        qfull AS (
+          SELECT embedding AS qe FROM embeddings
+          WHERE vec_id = {PQ_QUERY_ID}
         )
-        SELECT c.vec_id, cl.cell, round(sum(t.d), 9) AS adc_dist
-        FROM codes c
-        JOIN cells cl ON c.vec_id = cl.vec_id
-        JOIN tbl t ON c.m = t.m AND c.code = t.code
-        WHERE cl.cell IN (SELECT centroid_id FROM qcells)
-        GROUP BY c.vec_id, cl.cell
-        ORDER BY adc_dist ASC, c.vec_id ASC LIMIT {PQ_TOPK}
+        SELECT e.vec_id, cand.cell, cand.adc_dist,
+               round(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                 i -> (CAST(e.embedding[i] AS DOUBLE)
+                       - CAST(q.qe[i] AS DOUBLE))
+                    * (CAST(e.embedding[i] AS DOUBLE)
+                       - CAST(q.qe[i] AS DOUBLE)))), 9) AS exact_dist
+        FROM embeddings e
+        JOIN cand ON e.vec_id = cand.vec_id, qfull q
+        ORDER BY exact_dist ASC, e.vec_id ASC LIMIT {PQ_TOPK}
     """
     )
 
@@ -1211,6 +1279,7 @@ QUERIES = {
     "pq_encode": q_pq_encode,
     "pq_adc_topk": q_pq_adc_topk,
     "ivfpq_search": q_ivfpq_search,
+    "ivfpq_rerank": q_ivfpq_rerank,
     "ivfpq_residual_search": q_ivfpq_residual_search,
     "substring_dup_runs": q_substring_dup_runs,
     "winnow_dup_pairs": q_winnow_dup_pairs,
@@ -1329,6 +1398,7 @@ ORACLE = {
     "pq_encode": _pq_encode_oracle(),
     "pq_adc_topk": _pq_adc_oracle(),
     "ivfpq_search": _ivfpq_oracle(),
+    "ivfpq_rerank": _ivfpq_rerank_oracle(),
     "ivfpq_residual_search": _ivfpq_residual_oracle(),
     "substring_dup_runs": _substring_dup_oracle(),
     "winnow_dup_pairs": _winnow_oracle(),

@@ -51,9 +51,51 @@ def q_range_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Structured Streaming run through the correctness gate:
+    file-source ``readStream`` over the events fixture → watermark +
+    tumbling-window aggregate (``streaming.windowed_event_counts``, the
+    same operator the stream==batch pytest pins) → ``availableNow``
+    trigger draining the source in one run → memory sink; the returned
+    DataFrame is the sink table. Deterministic because availableNow
+    processes ALL input and complete-mode emits every window's final
+    aggregate — so the batch oracle (identical to ``tumbling_window``'s)
+    applies exactly. Window start is emitted as epoch seconds for
+    engine-neutral comparison.
+
+    Scale posture: the same plan runs continuously on a cluster with a
+    directory source and append mode + watermark eviction; availableNow
+    + complete is the bounded-backfill configuration of that job, not a
+    test-only shape."""
+    import uuid
+
+    from interop_spark.io import load_stream
+    from interop_spark.streaming.streams import windowed_event_counts
+
+    name = "stream_windowed_counts_" + uuid.uuid4().hex[:8]
+    src = load_stream(spark, sf_dir, "events")
+    agg = windowed_event_counts(src, window="1 hour", watermark="2 hours")
+    out = agg.select(
+        col("window_start").cast("long").alias("window_epoch"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 QUERIES = {
     "asof_join": q_asof_join,
     "range_join_pairs": q_range_join_pairs,
+    "stream_windowed_counts": q_stream_windowed_counts,
 }
 
 ORACLE = {
@@ -88,5 +130,18 @@ ORACLE = {
           ON a.user_id = b.user_id AND a.event_id < b.event_id
         WHERE a.user_id < 40 AND b.user_id < 40
           AND abs(CAST(floor(epoch(a.ts)) AS BIGINT) - CAST(floor(epoch(b.ts)) AS BIGINT)) <= 300
+    """,
+    # the STREAMING run must equal the batch aggregate exactly
+    # (availableNow drains everything; complete mode emits final
+    # windows) — so the oracle is tumbling_window's, with the window
+    # struct's start instead of the floor-bucket arithmetic (identical
+    # values: Spark's 1-hour tumbling windows are epoch-aligned)
+    "stream_windowed_counts": """
+        SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+                 AS window_epoch,
+               event_type,
+               count(1) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1, 2
     """,
 }

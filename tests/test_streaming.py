@@ -423,3 +423,30 @@ def test_sessionize_event_time_boundary_joiner_at_watermark(spark, tmp_path):
         (1, t0 + 2400, t0 + 2400, 1, 3.0),
         (2, t0 + 2400, t0 + 2400, 1, 5.0),
     }
+
+
+def test_stream_windowed_counts_driver_query_equals_batch(spark, sf_dir):
+    """The driver-gate streaming row: load_stream parquet source →
+    availableNow → memory sink must equal the batch tumbling aggregate
+    (same epoch-bucket shape as the tumbling_window oracle)."""
+    from pyspark.sql import functions as F
+
+    from interop_spark.io import load
+    from interop_spark.queries.temporal_q import q_stream_windowed_counts
+
+    got = {
+        (r["window_epoch"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in q_stream_windowed_counts(spark, sf_dir).collect()
+    }
+    ev = load(spark, sf_dir, "events")
+    bucket = (F.floor(F.col("ts").cast("long") / 3600) * 3600).cast("bigint")
+    exp = {
+        (r["b"], r["event_type"]): (r["n"], r["v"])
+        for r in ev.groupBy(bucket.alias("b"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("v"),
+        )
+        .collect()
+    }
+    assert got == exp and len(got) > 0
