@@ -38,6 +38,11 @@ COMMENT = {
  "enrich_events": "Stream-static enrichment's batch twin: the customer dim BROADCASTS (explicit broadcast()), the event side never shuffles -- per micro-batch re-execution of the static side ships once per executor.",
  "semdedup_keep": "SemDeDup cluster-then-prune: broadcast IVF cell assignment (no vector-side Exchange), broadcast centroid join for the scoring pass, then the within-cell pair join -- quadratic IN THE CELL by design (cluster count must scale with the corpus), keyed by the cell id so AQE can split hot cells.",
  "quality_classifier_filter": "Classifier-based filtering: weights embed as a literal bucket array and the hashed-bag-of-words logit is ONE fold per row -- zero exchanges, scan-bandwidth bound at any scale.",
+ "paragraph_dedup": "CCNet paragraph-hash dedup: posexplode is a projection; exactly TWO exchanges -- the md5-hash window (first-occurrence-wins needs no join back) and the per-doc reassembly aggregate. Uniform hash key, skew bounded by per-paragraph occurrence counts.",
+ "c4_clean": "C4 line+doc filtering: split/filter/array_join HOFs in ONE projection -- zero exchanges, scan-bandwidth bound; the doc verdict and the cleaned text come from the same pass.",
+ "audio_stats": "PCM WAV decode in Arrow batches: one MapInPandas over (media_id, data) -- the projection pushed into the scan reads only those two columns; zero exchanges. Batch-peak memory, not partition-peak.",
+ "ivfpq_rerank": "Two-stage retrieval: the ivfpq ADC shortlist (3k rows) BROADCASTS against the raw-vector scan for exact re-scoring -- the corpus is never shuffled for refinement; TakeOrderedAndProject emits the final k.",
+ "fhir_ingest_corpus": "Directory ingest -> entry() -> cohort: ONE variant parse per file (the within-bundle Patient x Condition cross product is sequential explodes over the same scan, not a bundleUUID self-join that would re-parse per side); pathGlobFilter listing; the cohort aggregate is the only exchange.",
 }
 
 out = ["# PLANS — physical plans of the headline queries (sf0.1, AQE on)",
@@ -59,7 +64,9 @@ for name in ["pricing_summary", "multiway_join_agg", "latest_event_per_user",
              "pii_redact", "decontam_ngram_overlap", "dup_ngram_stats",
              "kmeans_fit", "substring_dup_runs", "winnow_dup_pairs",
              "ivfpq_search", "ivfpq_residual_search", "enrich_events",
-             "semdedup_keep", "quality_classifier_filter"]:
+             "semdedup_keep", "quality_classifier_filter",
+             "paragraph_dedup", "c4_clean", "audio_stats", "ivfpq_rerank",
+             "fhir_ingest_corpus"]:
     df = qs[name](spark, SF)
     df.write.format("noop").mode("overwrite").save()  # let AQE finalize
     plan = df._jdf.queryExecution().executedPlan().toString()

@@ -230,3 +230,41 @@ def test_enrich_events_broadcasts_dim(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_round8_new_query_plan_shapes(spark, sf_dir):
+    """Scale posture of the round-8 additions, pinned:
+
+    - c4_clean and audio_stats are per-row pipelines — ZERO Exchange
+      (audio additionally one MapInPandas, Arrow-batched);
+    - paragraph_dedup shuffles exactly twice (the md5-hash window and
+      the per-doc aggregate), never more — no join back, no collect;
+    - ivfpq_rerank's refinement joins the shortlist by BROADCAST (the
+      corpus is never shuffled for stage 2)."""
+    from interop_spark.queries import all_queries
+
+    q = all_queries()
+
+    def plan_of(name):
+        return (
+            q[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    for name in ("c4_clean", "audio_stats"):
+        p = plan_of(name)
+        assert "Exchange hashpartitioning" not in p, name
+    assert "MapInPandas" in plan_of("audio_stats")
+
+    p = plan_of("paragraph_dedup")
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "SortMergeJoin" not in p and "collect_set" not in p
+
+    p = plan_of("ivfpq_rerank")
+    assert "BroadcastHashJoin" in p
+    # the only hash exchanges allowed are inside the (driver-side
+    # collected) train/probe chain, not on the raw-vector corpus scan:
+    # stage-2's join must not shuffle the embeddings source
+    assert "SortMergeJoin" not in p
