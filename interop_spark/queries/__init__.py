@@ -20,6 +20,7 @@ _MODULES = (
     "interop_spark.queries.sqlapi",
     "interop_spark.queries.relational",
     "interop_spark.queries.functions_battery",
+    "interop_spark.queries.selection_q",
 )
 
 # --------------------------------------------------------------------------
@@ -203,6 +204,18 @@ _MODULES = (
 # last r3 rows.
 # --------------------------------------------------------------------------
 _WINDOW = (
+    # NEW in the round-8 continuation session (5): queries/selection_q.py
+    # + operators/retrieval.py are NEW ADDITIVE modules (imports only —
+    # no existing module changed), so only these five rows need window
+    # slots; they displace five more r4 relational rows
+    # (scan_project_filter, like_filter_or, date_parts,
+    # case_when_literal, count_distinct — all independently re-run
+    # green by the r7 judge) to the head of the round-9 queue.
+    "dsir_importance",
+    "bm25_topk",
+    "minhash_est_error",
+    "percentile_agg",
+    "scd2_intervals",
     # NEW this round (8)
     "image_dims",
     "ivf_recall_at_k",
@@ -239,10 +252,6 @@ _WINDOW = (
     # staleness rotation: the full r4 residue (26 relational/pipeline)
     "ivf_probe_topk",
     "ivf_multiprobe_topk",
-    "scan_project_filter",
-    "like_filter_or",
-    "date_parts",
-    "case_when_literal",
     "inner_equi_join",
     "computed_key_join",
     "join_filter_pushdown",
@@ -252,7 +261,6 @@ _WINDOW = (
     "multiway_join_agg",
     "groupby_count",
     "pricing_summary",
-    "count_distinct",
     "agg_minmax",
     "having_filter",
     "topk_orders",

@@ -43,6 +43,9 @@ COMMENT = {
  "audio_stats": "PCM WAV decode in Arrow batches: one MapInPandas over (media_id, data) -- the projection pushed into the scan reads only those two columns; zero exchanges. Batch-peak memory, not partition-peak.",
  "ivfpq_rerank": "Two-stage retrieval: the ivfpq ADC shortlist (3k rows) BROADCASTS against the raw-vector scan for exact re-scoring -- the corpus is never shuffled for refinement; TakeOrderedAndProject emits the final k.",
  "fhir_ingest_corpus": "Directory ingest -> entry() -> cohort: ONE variant parse per file (the within-bundle Patient x Condition cross product is sequential explodes over the same scan, not a bundleUUID self-join that would re-parse per side); pathGlobFilter listing; the cohort aggregate is the only exchange.",
+ "dsir_importance": "DSIR selection: the fitted 256-bucket log-ratio vector embeds as a literal array (the broadcast-the-model move) and the scoring pass is ONE zero-shuffle row-local fold over the hashed bigrams -- scan-bandwidth bound; the fit itself is one explode + one 256-key groupBy, negligible next to the corpus scan.",
+ "bm25_topk": "BM25 scan-scoring: corpus stats (N, total dl, per-term df) reduce to ONE row in a single aggregate pass, broadcast onto the scoring projection (1 BroadcastNestedLoopJoin over 1 row); every doc scores itself shuffle-free; TakeOrderedAndProject emits k. At 100 TB with a large query set: materialize the inverted index instead (explode -> (term,doc,tf) bucketed by term).",
+ "scd2_intervals": "SCD-2 build: ONE exchange on user_id serves the lag window, the run groupBy (user_id partitioning satisfies the (user_id, grp) clustering), and the lead/row_number window -- plan-visibly a single shuffle; per-user state is bounded by run count.",
 }
 
 out = ["# PLANS — physical plans of the headline queries (sf0.1, AQE on)",
@@ -66,7 +69,8 @@ for name in ["pricing_summary", "multiway_join_agg", "latest_event_per_user",
              "ivfpq_search", "ivfpq_residual_search", "enrich_events",
              "semdedup_keep", "quality_classifier_filter",
              "paragraph_dedup", "c4_clean", "audio_stats", "ivfpq_rerank",
-             "fhir_ingest_corpus"]:
+             "fhir_ingest_corpus",
+             "dsir_importance", "bm25_topk", "scd2_intervals"]:
     df = qs[name](spark, SF)
     df.write.format("noop").mode("overwrite").save()  # let AQE finalize
     plan = df._jdf.queryExecution().executedPlan().toString()

@@ -1,0 +1,146 @@
+"""Unit tests for the round-8 selection/retrieval operators: DSIR
+importance weighting, BM25 scoring, MinHash est-vs-exact
+instrumentation, and the SCD-2 interval build."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def mini_docs(spark):
+    # target docs share the "alpha beta" bigram vocabulary; raw docs a
+    # disjoint one — DSIR must separate them
+    rows = [
+        (1, "alpha beta alpha beta alpha beta", True),
+        (2, "alpha beta gamma alpha beta", True),
+        (3, "delta epsilon delta epsilon delta", False),
+        (4, "delta epsilon zeta delta epsilon", False),
+        (5, None, False),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "is_t"])
+
+
+def test_dsir_separates_target_from_raw(mini_docs):
+    from interop_spark.operators import retrieval as rt
+
+    lam = rt.dsir_fit_logratios(mini_docs, "text", "is_t", n_buckets=64)
+    assert len(lam) == 64
+    scored = {
+        r.doc_id: r.s
+        for r in mini_docs.select(
+            "doc_id", rt.dsir_logratio(F.col("text"), lam).alias("s")
+        ).collect()
+    }
+    # target-distribution docs score positive, raw docs negative
+    assert scored[1] > 0 and scored[2] > 0
+    assert scored[3] < 0 and scored[4] < 0
+    # NULL text → NULL score, not 0.0
+    assert scored[5] is None
+
+
+def test_dsir_unseen_bucket_logratio_is_prior(spark):
+    """Buckets never observed get the pure smoothing prior
+    ln(1)−ln(1)−ln(Tt)+ln(Tr) — identical for every empty bucket."""
+    from interop_spark.operators import retrieval as rt
+
+    df = spark.createDataFrame(
+        [(1, "x y", True), (2, "p q", False), (3, "p q", False)],
+        ["doc_id", "text", "is_t"],
+    )
+    lam = rt.dsir_fit_logratios(df, "text", "is_t", n_buckets=32)
+    # two touched buckets ("x y" target-heavy, "p q" raw-heavy); the
+    # other 30 share one smoothing-prior value
+    distinct = sorted(set(round(v, 12) for v in lam))
+    assert len(distinct) == 3
+    prior = math.log(34) - math.log(33)  # ln1−ln1−ln(Tt)+ln(Tr)
+    assert max(lam) > prior > min(lam)
+    assert lam.count(max(lam)) == 1 and lam.count(min(lam)) == 1
+
+
+def test_bm25_matches_reference_formula(spark):
+    from interop_spark.operators import retrieval as rt
+
+    rows = [
+        (1, "hash join hash scan"),
+        (2, "scan filter sort"),
+        (3, "hash"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r.bm25
+        for r in rt.bm25_scores(df, "doc_id", "text", ["hash"]).collect()
+    }
+    n, df_t, avgdl = 3, 2, (4 + 3 + 1) / 3
+    k1, b = 1.2, 0.75
+    idf = math.log((n - df_t + 0.5) / (df_t + 0.5) + 1)
+
+    def score(tf, dl):
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert out[1] == pytest.approx(score(2, 4), abs=2e-6)
+    assert out[2] == 0.0
+    assert out[3] == pytest.approx(score(1, 1), abs=2e-6)
+
+
+def test_bm25_rarer_term_outweighs_common(spark):
+    from interop_spark.operators import retrieval as rt
+
+    # "rare" appears in 1/4 docs, "common" in 4/4 — equal tf and dl, the
+    # rare-term doc must outrank the common-term doc
+    rows = [
+        (1, "rare filler filler"),
+        (2, "common filler filler"),
+        (3, "common pad pad"),
+        (4, "common pad pad"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r.bm25
+        for r in rt.bm25_scores(
+            df, "doc_id", "text", ["rare", "common"]
+        ).collect()
+    }
+    assert out[1] > out[2] > 0
+
+
+def test_minhash_est_error_identical_docs(spark, sf_dir):
+    """Identical text pairs must report est == exact == 1.0, err 0 —
+    pins the signature agreement computation itself."""
+    from interop_spark.queries.selection_q import q_minhash_est_error
+
+    rows = q_minhash_est_error(spark, sf_dir).collect()
+    assert rows, "near-dup fixture produced no candidate pairs"
+    for r in rows:
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert r.abs_err == pytest.approx(
+            abs(r.est_jaccard - r.jaccard_sim), abs=1e-6
+        )
+    # the mutated twin of a one-space-prefix doc is near-identical; at
+    # least one pair should estimate high
+    assert max(r.est_jaccard for r in rows) >= 0.5
+
+
+def test_scd2_interval_invariants(spark, sf_dir):
+    from interop_spark.io import load
+    from interop_spark.queries.selection_q import q_scd2_intervals
+
+    out = q_scd2_intervals(spark, sf_dir)
+    rows = out.collect()
+    total_events = load(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in rows) == total_events
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for u, ivs in by_user.items():
+        ivs.sort(key=lambda r: r.version)
+        assert [r.version for r in ivs] == list(range(1, len(ivs) + 1))
+        assert sum(1 for r in ivs if r.is_current) == 1
+        assert ivs[-1].is_current and ivs[-1].valid_to is None
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from
+            # consecutive same-type runs were merged
+            assert a.event_type != b.event_type
