@@ -204,18 +204,32 @@ _MODULES = (
 # last r3 rows.
 # --------------------------------------------------------------------------
 _WINDOW = (
-    # NEW in the round-8 continuation session (5): queries/selection_q.py
-    # + operators/retrieval.py are NEW ADDITIVE modules (imports only —
-    # no existing module changed), so only these five rows need window
-    # slots; they displace five more r4 relational rows
-    # (scan_project_filter, like_filter_or, date_parts,
-    # case_when_literal, count_distinct — all independently re-run
+    # NEW in the round-8 continuation session (10): queries/selection_q.py
+    # + operators/retrieval.py + operators/lm.py are NEW ADDITIVE
+    # modules (imports only — no existing module changed), so only
+    # these ten rows need window slots; they displace ten more r4
+    # rows (scan_project_filter, like_filter_or, date_parts,
+    # case_when_literal, count_distinct, having_filter, agg_minmax,
+    # string_funcs, date_funcs, arith_funcs — all independently re-run
     # green by the r7 judge) to the head of the round-9 queue.
     "dsir_importance",
     "bm25_topk",
     "minhash_est_error",
     "percentile_agg",
     "scd2_intervals",
+    "lm_perplexity_filter",
+    "unimax_sample",
+    "bpe_merge_candidates",
+    "bm25_inverted_topk",
+    "mrl_recall_at_k",
+    # NEW in the continuation session, queries/temporal_q.py (ADDITIVE:
+    # appended q_stream_dedup_counts + its ORACLE entry; no existing
+    # function in the module changed, and streams.py's only diff is
+    # streaming_dedupe gaining a watermark=None branch whose sole
+    # registry consumer is this query — asof_join/range_join_pairs/
+    # stream_windowed_counts keep their prior green). Displaces
+    # groupby_count (r4, judge-re-run green) to the r9 queue.
+    "stream_dedup_counts",
     # NEW this round (8)
     "image_dims",
     "ivf_recall_at_k",
@@ -259,17 +273,12 @@ _WINDOW = (
     "left_semi_join",
     "left_anti_join",
     "multiway_join_agg",
-    "groupby_count",
     "pricing_summary",
-    "agg_minmax",
-    "having_filter",
     "topk_orders",
     "hof_filter_array",
     "nested_struct_pluck",
-    # staleness rotation: functions_battery (4)
-    "string_funcs",
-    "date_funcs",
-    "arith_funcs",
+    # staleness rotation: functions_battery (1; the other three
+    # displaced to r9 by this session's new queries)
     "agg_stats",
 )
 

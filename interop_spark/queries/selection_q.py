@@ -14,6 +14,12 @@ Adds five oracle-backed driver queries:
 - ``scd2_intervals`` — SCD-2 validity intervals from an event stream
   (the change-data-capture shape the reference's Delta MERGE sinks
   feed; cf. `01_dbignite_sample.py:221-223`'s upsert tables)
+- ``lm_perplexity_filter`` — CCNet-style LM quality filtering
+  (Wenzek et al. 2020): bigram LM trained on a reference slice,
+  per-doc mean negative log-likelihood + keep flag
+- ``unimax_sample`` — UniMax-style language-balanced sampling
+  (Chung et al. 2023): per-language budget as an exact integer
+  hash-Bernoulli rate — no window, no skewed per-language sort
 """
 
 from __future__ import annotations
@@ -25,6 +31,7 @@ from pyspark.sql.functions import col
 from interop_spark.io import load
 from interop_spark.operators import dedup as dd
 from interop_spark.operators import retrieval as rt
+from interop_spark.operators.text import tokens as tx_tokens
 from interop_spark.queries.pipeline import (
     BANDS,
     DUP_OFFSET,
@@ -423,12 +430,414 @@ def _scd2_oracle() -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# CCNet-style LM perplexity filter
+# --------------------------------------------------------------------------
+
+# median-ish of the fixture's avg_nll distribution (≈3.53 at sf0.01,
+# ≈3.44 at sf0.1) so the keep flag actually discriminates; a real CCNet
+# deployment sets this from the reference corpus's perplexity terciles
+LM_NLL_THRESHOLD = 3.5
+
+
+def q_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet LM quality filtering (Wenzek et al. 2020): train an
+    add-one bigram LM on the reference slice (doc_id % 10 == 0 — the
+    deterministic stand-in for the trusted corpus), score every
+    document's mean negative log-likelihood, and keep docs below the
+    threshold. Training and scoring are keyed joins/aggs end-to-end —
+    the LM is a TABLE, never a driver object (see ``operators/lm``)."""
+    from interop_spark.operators import lm
+
+    d = load(spark, sf_dir, "documents")
+    ref = d.where(col("doc_id") % 10 == 0)
+    uni, big, vocab = lm.bigram_lm_tables(ref, "text")
+    s = lm.score_nll(d, "doc_id", "text", uni, big, vocab)
+    return s.select(
+        "doc_id",
+        "avg_nll",
+        "n_bigrams",
+        (col("avg_nll") < F.lit(LM_NLL_THRESHOLD)).alias("keep"),
+    )
+
+
+def _lm_perplexity_oracle() -> str:
+    toks = "string_split_regex(trim(text), '\\s+')"
+    return f"""
+        WITH tk AS (
+          SELECT doc_id, {toks} AS t FROM documents
+        ),
+        ref AS (SELECT t FROM tk WHERE doc_id % 10 = 0),
+        uni AS (
+          SELECT w AS p, count(*) AS cu
+          FROM ref, unnest(t) AS u(w) GROUP BY 1
+        ),
+        big AS (
+          SELECT t[i] AS p, t[i + 1] AS w, count(*) AS cb
+          FROM ref, unnest(generate_series(1, len(t) - 1)) AS g(i)
+          GROUP BY 1, 2
+        ),
+        vs AS (SELECT count(*) + 1 AS v FROM uni),
+        pairs AS (
+          SELECT doc_id, t[i] AS p, t[i + 1] AS w
+          FROM tk, unnest(generate_series(1, len(t) - 1)) AS g(i)
+        ),
+        j AS (
+          SELECT doc_id,
+                 ln(CAST(coalesce(b.cb, 0) + 1 AS DOUBLE)
+                    / CAST(coalesce(u.cu, 0) + vs.v AS DOUBLE)) AS lnp
+          FROM pairs pa
+          LEFT JOIN big b ON pa.p = b.p AND pa.w = b.w
+          LEFT JOIN uni u ON pa.p = u.p
+          CROSS JOIN vs
+        ),
+        s AS (
+          SELECT doc_id, round(-avg(lnp), 6) + 0.0 AS avg_nll,
+                 count(*) AS n_bigrams
+          FROM j GROUP BY 1
+        )
+        SELECT d.doc_id, s.avg_nll, coalesce(s.n_bigrams, 0) AS n_bigrams,
+               s.avg_nll < {repr(LM_NLL_THRESHOLD)} AS keep
+        FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+    """
+
+
+# --------------------------------------------------------------------------
+# UniMax-style language-balanced sampling
+# --------------------------------------------------------------------------
+
+UNIMAX_BUDGET = 150
+_UNIMAX_DENOM = 1_000_000
+
+
+def q_unimax_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced corpus sampling in the UniMax spirit (Chung
+    et al. 2023): each language gets a document budget; over-budget
+    languages are downsampled at rate budget/count via a deterministic
+    hash-Bernoulli — ``bucket(doc_id) · count < budget · 10⁶`` in EXACT
+    integer arithmetic. No per-language sort/window (which would put a
+    whole language's corpus through one skewed partition at 100 TB):
+    one tiny per-language count aggregate broadcasts back onto a
+    zero-shuffle keep projection."""
+    from interop_spark.operators.text import token_bucket
+
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("lang_docs"))
+    bucket = token_bucket(col("doc_id").cast("string"), _UNIMAX_DENOM)
+    return (
+        d.join(F.broadcast(counts), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "lang_docs",
+            (
+                bucket * col("lang_docs")
+                < F.lit(UNIMAX_BUDGET) * F.lit(_UNIMAX_DENOM)
+            ).alias("keep"),
+        )
+    )
+
+
+def _unimax_oracle() -> str:
+    bucket = (
+        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+        f" AS BIGINT) % {_UNIMAX_DENOM}"
+    )
+    return f"""
+        WITH c AS (SELECT lang, count(*) AS lang_docs FROM documents
+                   GROUP BY lang)
+        SELECT d.doc_id, d.lang, c.lang_docs,
+               ({bucket}) * c.lang_docs
+                 < {UNIMAX_BUDGET} * {_UNIMAX_DENOM} AS keep
+        FROM documents d JOIN c ON d.lang = c.lang
+    """
+
+
+# --------------------------------------------------------------------------
+# BPE merge-candidate counting (vocab induction, step 1 of BPE training)
+# --------------------------------------------------------------------------
+
+BPE_TOP_MERGES = 20
+
+
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of BPE vocabulary TRAINING (Sennrich et al.
+    2016 §3.2): count adjacent symbol pairs across the corpus weighted
+    by word frequency and emit the top merge candidates — the
+    complement of ``bpe_encode``'s fixed-vocab ENCODING. Shape: the
+    word-frequency table (explode + count — the shuffle any tokenizer
+    trainer pays once) then per-DISTINCT-word pair explode, so pair
+    counting scales with vocabulary size, not corpus size."""
+    d = load(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(tx_tokens(col("text"))).alias("w"))
+        .where(col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = wf.select(
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length("w") - 1, F.lit(1))
+                ),
+                lambda i: col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "c",
+    ).where(F.length("pair") == 2)
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").alias("pair_count"))
+        .orderBy(col("pair_count").desc(), "pair")
+        .limit(BPE_TOP_MERGES)
+    )
+
+
+def _bpe_merge_oracle() -> str:
+    toks = "string_split_regex(trim(text), '\\s+')"
+    return f"""
+        WITH wf AS (
+          SELECT w, count(*) AS c
+          FROM (SELECT unnest({toks}) AS w FROM documents)
+          WHERE w <> '' GROUP BY w
+        ),
+        p AS (
+          SELECT substr(w, i, 2) AS pair, c
+          FROM wf, unnest(generate_series(1, greatest(len(w) - 1, 1)))
+            AS g(i)
+        )
+        SELECT pair, CAST(sum(c) AS BIGINT) AS pair_count
+        FROM p WHERE length(pair) = 2
+        GROUP BY pair ORDER BY pair_count DESC, pair
+        LIMIT {BPE_TOP_MERGES}
+    """
+
+
+# --------------------------------------------------------------------------
+# Inverted-index BM25 (the 100 TB retrieval shape, runnable)
+# --------------------------------------------------------------------------
+
+def q_bm25_inverted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path ``bm25_topk``'s docstring promises, as runnable
+    code: materialize the inverted index (explode → (term, doc, tf),
+    the posting table a real deployment buckets by term), equi-join the
+    query terms against it, and aggregate per-doc scores. Only
+    documents containing ≥1 query term ever leave the posting join —
+    the corpus is never re-scanned per query. Must rank identically to
+    the scan-scoring twin (pinned in tests)."""
+    d = load(spark, sf_dir, "documents")
+    toks = tx_tokens(col("text"))
+    base = d.select(
+        "doc_id", toks.alias("_toks"), F.size(toks).alias("_dl")
+    )
+    posting = (
+        base.select("doc_id", F.explode("_toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    qterms = spark.createDataFrame(
+        [(t,) for t in BM25_TERMS], ["term"]
+    )
+    hits = posting.join(F.broadcast(qterms), "term")
+    dfc = hits.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("dft")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("_nd"),
+        F.sum("_dl").cast("double").alias("_tdl"),
+    )
+    k1, b = BM25_K1, BM25_B
+    tfd = col("tf").cast("double")
+    dld = col("_dl").cast("double")
+    idf = F.log(
+        (col("_nd") - col("dft") + F.lit(0.5))
+        / (col("dft") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    term_score = idf * (tfd * F.lit(k1 + 1.0)) / (
+        tfd
+        + F.lit(k1)
+        * (
+            F.lit(1.0)
+            - F.lit(b)
+            + F.lit(b) * dld / (col("_tdl") / col("_nd"))
+        )
+    )
+    sc = (
+        hits.join(F.broadcast(dfc), "term")
+        .join(base.select("doc_id", "_dl"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            (F.round(F.sum(term_score), 6) + F.lit(0.0)).alias("bm25")
+        )
+    )
+    return (
+        sc.where(col("bm25") > 0)
+        .orderBy(col("bm25").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+def _bm25_inverted_oracle() -> str:
+    toks = "string_split_regex(trim(text), '\\s+')"
+    vals = ", ".join(f"('{t}')" for t in BM25_TERMS)
+    k1, b, k1p1 = repr(BM25_K1), repr(BM25_B), repr(BM25_K1 + 1.0)
+    return f"""
+        WITH d AS (
+          SELECT doc_id, {toks} AS toks, len({toks}) AS dl FROM documents
+        ),
+        post AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+          GROUP BY doc_id, term
+        ),
+        qt AS (SELECT * FROM (VALUES {vals}) AS t(term)),
+        hits AS (SELECT p.doc_id, p.term, p.tf FROM post p
+                 JOIN qt USING (term)),
+        dfc AS (SELECT term, CAST(count(*) AS DOUBLE) AS dft
+                FROM hits GROUP BY term),
+        s AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+                     CAST(sum(dl) AS DOUBLE) AS tdl FROM d),
+        sc AS (
+          SELECT h.doc_id,
+                 round(sum(
+                   ln((s.nd - dfc.dft + 0.5) / (dfc.dft + 0.5) + 1.0)
+                   * (CAST(h.tf AS DOUBLE) * {k1p1})
+                   / (CAST(h.tf AS DOUBLE) + {k1} * (1.0 - {b}
+                      + {b} * CAST(d2.dl AS DOUBLE) / (s.tdl / s.nd)))
+                 ), 6) + 0.0 AS bm25
+          FROM hits h
+          JOIN dfc USING (term)
+          JOIN (SELECT doc_id, dl FROM d) d2 USING (doc_id)
+          CROSS JOIN s
+          GROUP BY h.doc_id
+        )
+        SELECT doc_id, bm25 FROM sc
+        WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOPK}
+    """
+
+
+# --------------------------------------------------------------------------
+# Matryoshka truncated-embedding recall
+# --------------------------------------------------------------------------
+
+MRL_DIMS = (8, 16, 32)
+MRL_K = 10
+
+
+def q_mrl_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation retrieval instrumentation (Kusupati
+    et al., "Matryoshka Representation Learning", 2022): recall@k of
+    cosine ranking over the embedding's FIRST-d prefix (d ∈ 8/16/32)
+    against the full-dimension ground truth — the quality curve behind
+    the truncate-for-cheap-first-pass retrieval pattern. Same
+    deterministic round-9 ranking + id tie-break as
+    ``ivf_recall_at_k``, so the whole curve is one value-hashed row."""
+    from interop_spark.operators import similarity as sim
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(col("vec_id") == 0).select(
+        col("embedding").alias("qvec")
+    )
+
+    def topk_ids(dims: int | None):
+        emb = sim.as_double(col("embedding"))
+        qv = sim.as_double(col("qvec"))
+        if dims is not None:
+            emb = F.slice(emb, 1, dims)
+            qv = F.slice(qv, 1, dims)
+        return (
+            e.crossJoin(F.broadcast(q))
+            .select(
+                "vec_id",
+                F.round(sim.cosine_sim(emb, qv), 9).alias("_c9"),
+            )
+            .orderBy(col("_c9").desc(), col("vec_id").asc())
+            .limit(MRL_K)
+            .select("vec_id")
+        )
+
+    exact = topk_ids(None).localCheckpoint()
+    parts = []
+    for dp in MRL_DIMS:
+        hits = (
+            topk_ids(dp)
+            .join(exact, "vec_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        parts.append(
+            hits.select(
+                F.lit(dp).alias("dims"),
+                F.lit(MRL_K).alias("k"),
+                col("n_hit"),
+                F.round(col("n_hit") / F.lit(float(MRL_K)), 6).alias(
+                    "recall"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def _mrl_recall_oracle() -> str:
+    from interop_spark.queries.pipeline import _dk_dot, _dk_norm
+
+    def scored(dims: int) -> str:
+        return (
+            f"round({_dk_dot('e.embedding', 'q.qvec', dims)}"
+            f" / greatest({_dk_norm('e.embedding', dims)}"
+            f" * {_dk_norm('q.qvec', dims)}, 1e-12), 9)"
+        )
+
+    tops = "\n".join(
+        f"""
+        top{dp} AS (
+          SELECT vec_id FROM (
+            SELECT e.vec_id, {scored(dp)} AS c
+            FROM embeddings e CROSS JOIN q
+          ) ORDER BY c DESC, vec_id ASC LIMIT {MRL_K}
+        ),"""
+        for dp in MRL_DIMS
+    )
+    unions = "\n        UNION ALL\n".join(
+        f"""
+        SELECT CAST({dp} AS INTEGER) AS dims,
+               CAST({MRL_K} AS INTEGER) AS k,
+               CAST(count(*) AS BIGINT) AS n_hit,
+               round(CAST(count(*) AS DOUBLE) / {MRL_K}, 6) AS recall
+        FROM top{dp} JOIN exact USING (vec_id)"""
+        for dp in MRL_DIMS
+    )
+    return f"""
+        WITH q AS (SELECT embedding AS qvec FROM embeddings
+                   WHERE vec_id = 0),
+        exact AS (
+          SELECT vec_id FROM (
+            SELECT e.vec_id, {scored(64)} AS c
+            FROM embeddings e CROSS JOIN q
+          ) ORDER BY c DESC, vec_id ASC LIMIT {MRL_K}
+        ),
+        {tops}
+        dummy AS (SELECT 1)
+        {unions}
+    """
+
+
 QUERIES = {
     "dsir_importance": q_dsir_importance,
     "bm25_topk": q_bm25_topk,
     "minhash_est_error": q_minhash_est_error,
     "percentile_agg": q_percentile_agg,
     "scd2_intervals": q_scd2_intervals,
+    "lm_perplexity_filter": q_lm_perplexity_filter,
+    "unimax_sample": q_unimax_sample,
+    "bpe_merge_candidates": q_bpe_merge_candidates,
+    "bm25_inverted_topk": q_bm25_inverted_topk,
+    "mrl_recall_at_k": q_mrl_recall_at_k,
 }
 
 ORACLE = {
@@ -437,4 +846,9 @@ ORACLE = {
     "minhash_est_error": _minhash_est_oracle(),
     "percentile_agg": _percentile_oracle(),
     "scd2_intervals": _scd2_oracle(),
+    "lm_perplexity_filter": _lm_perplexity_oracle(),
+    "unimax_sample": _unimax_oracle(),
+    "bpe_merge_candidates": _bpe_merge_oracle(),
+    "bm25_inverted_topk": _bm25_inverted_oracle(),
+    "mrl_recall_at_k": _mrl_recall_oracle(),
 }

@@ -92,10 +92,57 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming INCREMENTAL DEDUP through the correctness gate: the
+    events source unioned with a planted replay of every third event
+    (two independent file sources — the at-least-once redelivery shape)
+    → ``streaming.streaming_dedupe`` keyed on event_id → append to a
+    memory sink via availableNow → per-type counts over the sink. If
+    the stateful dedup leaks a single replayed row, the counts diverge
+    from the batch oracle (which never sees the replays at all).
+
+    ``watermark=None`` is the bounded-backfill configuration: with a
+    horizon, results would depend on which file the source lists first
+    (see ``streaming_dedupe``'s docstring); a continuous deployment
+    sets the horizon and accepts that contract.
+
+    Scale posture: dropDuplicates state is a hash per key within the
+    horizon, sharded by key across executors — the streaming form of
+    the exact-dedup shuffle."""
+    import uuid
+
+    from interop_spark.io import load_stream
+    from interop_spark.streaming.streams import streaming_dedupe
+
+    name = "stream_dedup_" + uuid.uuid4().hex[:8]
+    src = load_stream(spark, sf_dir, "events")
+    replay = load_stream(spark, sf_dir, "events").where(
+        col("event_id") % 3 == 0
+    )
+    dedup = streaming_dedupe(src.unionByName(replay), watermark=None)
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.round(F.sum("value"), 6) + F.lit(0.0)).alias("total_value"),
+        )
+    )
+
+
 QUERIES = {
     "asof_join": q_asof_join,
     "range_join_pairs": q_range_join_pairs,
     "stream_windowed_counts": q_stream_windowed_counts,
+    "stream_dedup_counts": q_stream_dedup_counts,
 }
 
 ORACLE = {
@@ -136,6 +183,11 @@ ORACLE = {
     # windows) — so the oracle is tumbling_window's, with the window
     # struct's start instead of the floor-bucket arithmetic (identical
     # values: Spark's 1-hour tumbling windows are epoch-aligned)
+    "stream_dedup_counts": """
+        SELECT event_type, count(*) AS n_events,
+               round(sum(value), 6) + 0.0 AS total_value
+        FROM events GROUP BY event_type
+    """,
     "stream_windowed_counts": """
         SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
                  AS window_epoch,

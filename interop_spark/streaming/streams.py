@@ -305,11 +305,22 @@ def sessionize_stream_event_time(
     )
 
 
-def streaming_dedupe(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+def streaming_dedupe(
+    events: DataFrame, watermark: str | None = "1 hour"
+) -> DataFrame:
     """Exactly-once event feed: drop duplicate event_ids within the
     watermark horizon (bounded state — the streaming form of the
-    reference's J3 dedupe flags)."""
-    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    reference's J3 dedupe flags). ``watermark=None`` keeps state for
+    the whole run — the bounded-backfill (availableNow) configuration,
+    where a horizon would make results depend on the order the source
+    lists its files (a replayed file processed after the watermark
+    advanced past its timestamps would be dropped as late wholesale);
+    a continuous deployment always sets a horizon."""
+    src = (
+        events.withWatermark("ts", watermark)
+        if events.isStreaming and watermark is not None
+        else events
+    )
     return src.dropDuplicates(["event_id"])
 
 

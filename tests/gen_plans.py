@@ -46,6 +46,9 @@ COMMENT = {
  "dsir_importance": "DSIR selection: the fitted 256-bucket log-ratio vector embeds as a literal array (the broadcast-the-model move) and the scoring pass is ONE zero-shuffle row-local fold over the hashed bigrams -- scan-bandwidth bound; the fit itself is one explode + one 256-key groupBy, negligible next to the corpus scan.",
  "bm25_topk": "BM25 scan-scoring: corpus stats (N, total dl, per-term df) reduce to ONE row in a single aggregate pass, broadcast onto the scoring projection (1 BroadcastNestedLoopJoin over 1 row); every doc scores itself shuffle-free; TakeOrderedAndProject emits k. At 100 TB with a large query set: materialize the inverted index instead (explode -> (term,doc,tf) bucketed by term).",
  "scd2_intervals": "SCD-2 build: ONE exchange on user_id serves the lag window, the run groupBy (user_id partitioning satisfies the (user_id, grp) clustering), and the lead/row_number window -- plan-visibly a single shuffle; per-user state is bounded by run count.",
+ "lm_perplexity_filter": "CCNet LM scoring: the bigram LM is a count TABLE (explode + keyed count), never a driver object; scoring left-joins the doc bigrams against it (broadcast at fixture scale, gram-key shuffle at LM scale) and aggregates per doc. Every stage is a keyed join/agg on uniformly-hashed string keys.",
+ "unimax_sample": "UniMax budget sampling: per-language counts reduce to a tiny broadcast dim; the keep decision is EXACT integer arithmetic in a zero-shuffle projection -- no per-language sort/window that would funnel a whole language through one partition.",
+ "bm25_inverted_topk": "Inverted-index BM25: the posting table (doc, term, tf) is the one corpus-scan shuffle; query terms BROADCAST against it so only matching postings flow onward; df/stats are tiny broadcast rows; the per-doc sum aggregates a handful of rows per doc. At 100 TB the posting table is written once, bucketed by term, and every query is a pruned equi-join.",
 }
 
 out = ["# PLANS — physical plans of the headline queries (sf0.1, AQE on)",
@@ -70,7 +73,9 @@ for name in ["pricing_summary", "multiway_join_agg", "latest_event_per_user",
              "semdedup_keep", "quality_classifier_filter",
              "paragraph_dedup", "c4_clean", "audio_stats", "ivfpq_rerank",
              "fhir_ingest_corpus",
-             "dsir_importance", "bm25_topk", "scd2_intervals"]:
+             "dsir_importance", "bm25_topk", "scd2_intervals",
+             "lm_perplexity_filter", "unimax_sample",
+             "bm25_inverted_topk"]:
     df = qs[name](spark, SF)
     df.write.format("noop").mode("overwrite").save()  # let AQE finalize
     plan = df._jdf.queryExecution().executedPlan().toString()

@@ -124,6 +124,119 @@ def test_minhash_est_error_identical_docs(spark, sf_dir):
     assert max(r.est_jaccard for r in rows) >= 0.5
 
 
+def test_bigram_lm_scores_reference_like_text_lower(spark):
+    from interop_spark.operators import lm
+
+    ref = spark.createDataFrame([(0, "a b a b")], ["doc_id", "text"])
+    uni, big, vocab = lm.bigram_lm_tables(ref, "text")
+    cand = spark.createDataFrame(
+        [(1, "a b"), (2, "z z"), (3, "x"), (4, None)], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: r
+        for r in lm.score_nll(cand, "doc_id", "text", uni, big, vocab)
+        .collect()
+    }
+    # uni: a→2 b→2; big: (a,b)→2 (b,a)→1; V = 2 distinct + 1 = 3
+    assert out[1].avg_nll == pytest.approx(-math.log((2 + 1) / (2 + 3)), abs=2e-6)
+    assert out[2].avg_nll == pytest.approx(-math.log(1 / 3), abs=2e-6)
+    assert out[1].avg_nll < out[2].avg_nll  # seen bigram beats unseen
+    # <2 tokens → no bigram evidence → NULL score, 0 pairs
+    assert out[3].avg_nll is None and out[3].n_bigrams == 0
+    assert out[4].avg_nll is None and out[4].n_bigrams == 0
+
+
+def test_unimax_rate_caps_overbudget_language(spark):
+    from pyspark.sql import functions as SF
+
+    from interop_spark.operators.text import token_bucket
+    from interop_spark.queries.selection_q import (
+        UNIMAX_BUDGET,
+        _UNIMAX_DENOM,
+    )
+
+    rows = [(i, "big" if i < 600 else "small") for i in range(650)]
+    d = spark.createDataFrame(rows, ["doc_id", "lang"])
+    counts = d.groupBy("lang").agg(SF.count(SF.lit(1)).alias("lang_docs"))
+    bucket = token_bucket(F.col("doc_id").cast("string"), _UNIMAX_DENOM)
+    kept = (
+        d.join(SF.broadcast(counts), "lang")
+        .where(bucket * F.col("lang_docs") < UNIMAX_BUDGET * _UNIMAX_DENOM)
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    by_lang = {r.lang: r["count"] for r in kept}
+    # under-budget language keeps everything
+    assert by_lang["small"] == 50
+    # over-budget language lands near the budget (hash-Bernoulli at
+    # rate 150/600: ±5σ ≈ ±53)
+    assert abs(by_lang["big"] - UNIMAX_BUDGET) < 55
+
+
+def test_bm25_inverted_matches_scan_scoring(spark, sf_dir):
+    """The posting-join BM25 must rank and score identically to the
+    scan-scoring form — same math, different plan."""
+    from interop_spark.queries.selection_q import (
+        q_bm25_inverted_topk,
+        q_bm25_topk,
+    )
+
+    inv = [(r.doc_id, r.bm25) for r in q_bm25_inverted_topk(spark, sf_dir).collect()]
+    scan = [(r.doc_id, r.bm25) for r in q_bm25_topk(spark, sf_dir).collect()]
+    assert inv == scan
+
+
+def test_bpe_merge_candidates_counts(spark):
+    from pyspark.sql import functions as SF
+
+    from interop_spark.queries.selection_q import BPE_TOP_MERGES
+
+    # replicate the pair-count logic on a controlled vocabulary
+    d = spark.createDataFrame(
+        [(1, "abab ab"), (2, "ab cd")], ["doc_id", "text"]
+    )
+    from interop_spark.operators.text import tokens
+
+    wf = (
+        d.select(SF.explode(tokens(SF.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(SF.count(SF.lit(1)).alias("c"))
+    )
+    pairs = wf.select(
+        SF.explode(
+            SF.transform(
+                SF.sequence(
+                    SF.lit(1), SF.greatest(SF.length("w") - 1, SF.lit(1))
+                ),
+                lambda i: SF.col("w").substr(i, SF.lit(2)),
+            )
+        ).alias("pair"),
+        "c",
+    ).where(SF.length("pair") == 2)
+    out = {
+        r.pair: r.s
+        for r in pairs.groupBy("pair")
+        .agg(SF.sum("c").alias("s"))
+        .collect()
+    }
+    # "abab": pairs ab,ba,ab ×1; "ab" ×2 (freq 2): ab ×2; "cd" ×1
+    assert out["ab"] == 2 + 2 and out["ba"] == 1 and out["cd"] == 1
+    assert BPE_TOP_MERGES > 0
+
+
+def test_mrl_recall_monotone_and_bounded(spark, sf_dir):
+    """Longer prefixes cannot hurt recall on this fixture (the 64-dim
+    ranking is the ground truth itself), and recall is in [0, 1]."""
+    from interop_spark.queries.selection_q import q_mrl_recall_at_k
+
+    rows = {r.dims: r for r in q_mrl_recall_at_k(spark, sf_dir).collect()}
+    assert set(rows) == {8, 16, 32}
+    for r in rows.values():
+        assert 0.0 <= r.recall <= 1.0
+        assert r.n_hit == round(r.recall * r.k)
+
+
 def test_scd2_interval_invariants(spark, sf_dir):
     from interop_spark.io import load
     from interop_spark.queries.selection_q import q_scd2_intervals

@@ -86,6 +86,28 @@ def test_streaming_dedupe(spark, event_json_dir, tmp_path):
     assert n == 300  # duplicates dropped
 
 
+def test_streaming_dedupe_no_watermark(spark, event_json_dir, tmp_path):
+    """watermark=None (the bounded-backfill configuration the
+    stream_dedup_counts driver row uses): state persists for the whole
+    run, so replays dedupe regardless of source file order."""
+    import os
+    import shutil
+
+    from interop_spark.streaming import stream_events_json, streaming_dedupe
+
+    dup_dir = tmp_path / "dup_nowm"
+    dup_dir.mkdir()
+    for f in os.listdir(event_json_dir):
+        shutil.copy(f"{event_json_dir}/{f}", dup_dir / f)
+        shutil.copy(f"{event_json_dir}/{f}", dup_dir / f"copy_{f}")
+
+    deduped = streaming_dedupe(
+        stream_events_json(spark, str(dup_dir)), watermark=None
+    )
+    _run_stream(deduped, "dedup_nowm")
+    assert spark.table("dedup_nowm").count() == 300
+
+
 def test_enrich_events_stream_equals_batch(spark, sf_dir, event_json_dir):
     """Stream-static broadcast enrichment: the streamed left join to the
     customer dim equals the batch join, and events without a dim row
