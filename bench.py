@@ -160,6 +160,13 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
         )
         return ivf_assign(d, cents)
 
+    def lm_score_probe(d):
+        from interop_spark.operators import lm
+
+        ref = d.where(col("doc_id") % 10 == 0)
+        uni, big, vocab = lm.bigram_lm_tables(ref, "text")
+        return lm.score_nll(d, "doc_id", "text", uni, big, vocab)
+
     probes = {
         "exact_dedup": lambda d: dd.exact_dup_groups(d, "text", "doc_id"),
         "minhash_lsh_neardup": lambda d: dd.minhash_candidate_pairs(
@@ -175,6 +182,12 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
         # in the replication factor and would measure the corpus's
         # duplication, not the operator's scaling.
         "substring_dup_runs": lambda d: dd.substring_dup_runs(d),
+        # round-8: the LM-scoring shape (train bigram tables on the
+        # reference slice, score the whole corpus through two keyed
+        # LEFT joins + a per-doc aggregate). Replicated docs keep the
+        # vocabulary fixed, so the LM table is constant and scoring
+        # should scale with the corpus, not the model.
+        "lm_score": lm_score_probe,
     }
 
     def _rotated_documents(mult: int):

@@ -820,3 +820,86 @@ def paragraph_dedup(
             F.when(F.col("n_kept") > 0, F.col("clean_md5")).alias("clean_md5"),
         )
     )
+
+
+def dup_span_removal(
+    df: DataFrame,
+    w: int = 40,
+    stride: int = 10,
+    max_hash_docs: int | None = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Complete the exact-substring dedup loop (Lee et al. 2022): not
+    just FIND cross-document duplicated runs (``substring_dup_runs``)
+    but REMOVE them — first occurrence wins (the lower doc id keeps its
+    copy; the higher doc's span is excised), overlapping spans from
+    different partner documents merged per doc before surgery.
+
+    Returns ``(id, n_spans, n_removed_chars, clean_md5)`` — the merged
+    span count, characters removed, and the md5 of the rebuilt text
+    (compact, and pins every byte of the surgery).
+
+    Plan shape on top of the run finder: one (doc, start) window pass
+    merges intervals (the SCD-2 run-collapse trick), one aggregate
+    packs them into a per-doc sorted array (bounded by span count, not
+    text size), and the rebuild is a row-local fold stitching the
+    inter-span gaps — no per-char explode, no driver text handling.
+    """
+    from pyspark.sql.window import Window
+
+    runs = substring_dup_runs(
+        df, w, stride, max_hash_docs, id_col, text_col
+    )
+    # DISTINCT before merging: the same (start, end) interval recurs
+    # once per partner doc, and identical sort keys would let the
+    # new-group flag window and the cumsum window order the ties
+    # differently (group count became nondeterministic in BOTH engines
+    # — caught by a full driver_sim run). After distinct, (s, e) is
+    # unique per doc and the (s, e) ordering is total.
+    iv = runs.select(
+        F.col("doc_b").alias(id_col),
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("match_len")).alias("e"),
+    ).distinct()
+    win = Window.partitionBy(id_col).orderBy("s", "e")
+    prev_max = F.max("e").over(
+        win.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grp = F.sum(
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0)
+    ).over(win.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    merged = (
+        iv.withColumn("_g", grp)
+        .groupBy(id_col, "_g")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    arr = merged.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("_iv"),
+        F.count(F.lit(1)).alias("_n_spans"),
+    )
+    joined = df.select(id_col, text_col).join(arr, id_col, "left")
+    text = F.col(text_col)
+    folded = F.aggregate(
+        F.col("_iv"),
+        F.struct(F.lit("").alias("t"), F.lit(1).alias("c")),
+        lambda a, x: F.struct(
+            F.concat(
+                a["t"],
+                F.substring(
+                    text, a["c"], F.greatest(x["s"] - a["c"], F.lit(0))
+                ),
+            ).alias("t"),
+            F.greatest(x["e"], a["c"]).alias("c"),
+        ),
+        lambda a: F.concat(a["t"], F.substring(text, a["c"], F.length(text))),
+    )
+    clean = F.when(F.col("_iv").isNull(), text).otherwise(folded)
+    return joined.select(
+        id_col,
+        F.coalesce(F.col("_n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        (F.length(text) - F.length(clean)).cast("long").alias(
+            "n_removed_chars"
+        ),
+        F.md5(clean).alias("clean_md5"),
+    )

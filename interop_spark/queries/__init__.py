@@ -141,9 +141,18 @@ _MODULES = (
 #     the oracle this cycle (VERDICT r7: "ALL 32 MATCH") and their
 #     plans are trivial — lead the round-9 queue. After this round the
 #     only pre-r6 greens are those five r4 rows.
-# ROUND-9 ROTATION PLAN: the r6 residue (exact_dedup, minhash/simhash
-# family, gopher rows, kmeans, sqlapi rows, …, ~35 rows) — they fit
-# one window with room for round-9 diffs.
+# ROUND-9 ROTATION PLAN (updated after the continuation session): the
+# r4 displaced set now numbers 18 (set_union, set_intersect,
+# set_except, explode_roundtrip, substring_key, scan_project_filter,
+# like_filter_or, date_parts, case_when_literal, count_distinct,
+# having_filter, agg_minmax, string_funcs, date_funcs, arith_funcs,
+# groupby_count, left_semi_join, left_anti_join) — all judge-re-run
+# green in r7, all trivial plans; they take priority, then as many of
+# the r6 residue (exact_dedup, minhash/simhash family, gopher rows,
+# kmeans, sqlapi rows, ~35 rows) as r9's own new/changed queries leave
+# room for; the remainder spills to r10 (the invariant holds either
+# way — every out-of-window row keeps a prior green on unchanged
+# code).
 #
 # Round-5 window (50), for history:
 #   * sqlapi, all 9 + lead_lag + conditional_agg — STALENESS ROTATION
@@ -222,6 +231,14 @@ _WINDOW = (
     "bpe_merge_candidates",
     "bm25_inverted_topk",
     "mrl_recall_at_k",
+    # classifier_train_steps + dup_span_removal displace left_semi_join
+    # + left_anti_join (r4, judge-re-run green) to the r9 queue.
+    # dup_span_removal's operator lives in dedup.py as an APPENDED
+    # function calling only the unchanged substring_dup_runs — no other
+    # dedup consumer is affected; its oracle composes
+    # pipeline_ext._substring_dup_oracle() as a CTE (import, no diff).
+    "classifier_train_steps",
+    "dup_span_removal",
     # NEW in the continuation session, queries/temporal_q.py (ADDITIVE:
     # appended q_stream_dedup_counts + its ORACLE entry; no existing
     # function in the module changed, and streams.py's only diff is
@@ -270,8 +287,6 @@ _WINDOW = (
     "computed_key_join",
     "join_filter_pushdown",
     "left_outer_exists_flag",
-    "left_semi_join",
-    "left_anti_join",
     "multiway_join_agg",
     "pricing_summary",
     "topk_orders",

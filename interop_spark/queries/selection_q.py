@@ -827,6 +827,235 @@ def _mrl_recall_oracle() -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# Classifier TRAINING (batch gradient descent, unrolled)
+# --------------------------------------------------------------------------
+
+CT_BUCKETS = 64
+CT_LR = 0.5
+
+
+def q_classifier_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the quality classifier whose inference
+    ``quality_classifier_filter`` runs: two unrolled batch
+    gradient-descent steps of logistic regression on hashed-bag-of-words
+    features (x = bucket count / doc length, y = is-English), entirely
+    as a lazy DataFrame DAG — no driver loop, no collect. Each step is
+    sum((σ(w·x) − y)·x) per bucket: a feature-keyed aggregate; w flows
+    between steps as a 64-row broadcast join, the distributed form of
+    the parameter server for models this shape. Step 1's σ(0)=0.5 is
+    exact, so the unrolled oracle replays both steps bit-compatibly
+    (same argument as ``kmeans_fit``'s unrolled Lloyd oracle)."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .where(col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.when(col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+            tx_tokens(col("text")).alias("_t"),
+        )
+    )
+    base = d.select("doc_id", "y", F.size("_t").alias("nt"), "_t")
+    from interop_spark.operators.text import token_bucket
+
+    xdb = (
+        base.select(
+            "doc_id", "nt", F.explode("_t").alias("w")
+        )
+        .select(
+            "doc_id", "nt", token_bucket(col("w"), CT_BUCKETS).alias("b")
+        )
+        .groupBy("doc_id", "b")
+        .agg(
+            (
+                F.count(F.lit(1)).cast("double")
+                / F.min("nt").cast("double")
+            ).alias("x")
+        )
+    )
+    nd = base.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    lr = F.lit(CT_LR)
+    # step 1: sigma(0) = 0.5 exactly
+    g1 = (
+        xdb.join(base.select("doc_id", "y"), "doc_id")
+        .groupBy("b")
+        .agg(F.sum((F.lit(0.5) - col("y")) * col("x")).alias("g"))
+    )
+    w1 = (
+        spark.range(CT_BUCKETS)
+        .select(col("id").alias("b"))
+        .join(g1, "b", "left")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "b",
+            (
+                F.lit(0.0)
+                - lr * F.coalesce(col("g"), F.lit(0.0)) / col("n")
+            ).alias("w"),
+        )
+    )
+    # step 2
+    z2 = (
+        xdb.join(F.broadcast(w1), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(col("x") * col("w")).alias("z"))
+    )
+    err2 = z2.join(base.select("doc_id", "y"), "doc_id").select(
+        "doc_id",
+        (
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-col("z"))) - col("y")
+        ).alias("e"),
+    )
+    g2 = (
+        xdb.join(err2, "doc_id")
+        .groupBy("b")
+        .agg(F.sum(col("e") * col("x")).alias("g"))
+    )
+    return (
+        w1.join(g2, "b", "left")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            col("b").alias("bucket"),
+            (
+                F.round(
+                    col("w")
+                    - lr * F.coalesce(col("g"), F.lit(0.0)) / col("n"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("weight"),
+        )
+    )
+
+
+def _classifier_train_oracle() -> str:
+    toks = "string_split_regex(trim(text), '\\s+')"
+    bucket = (
+        "CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT)"
+        f" % {CT_BUCKETS}"
+    )
+    lr = repr(CT_LR)
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+                 {toks} AS t
+          FROM documents WHERE text IS NOT NULL
+        ),
+        base AS (SELECT doc_id, y, len(t) AS nt, t FROM d),
+        xdb AS (
+          SELECT doc_id, b,
+                 CAST(count(*) AS DOUBLE) / CAST(min(nt) AS DOUBLE) AS x
+          FROM (
+            SELECT doc_id, nt, {bucket} AS b
+            FROM (SELECT doc_id, nt, unnest(t) AS w FROM base)
+          )
+          GROUP BY doc_id, b
+        ),
+        nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM base),
+        g1 AS (
+          SELECT x.b, sum((0.5 - base.y) * x.x) AS g
+          FROM xdb x JOIN base USING (doc_id) GROUP BY x.b
+        ),
+        w1 AS (
+          SELECT s.b, 0.0 - {lr} * coalesce(g1.g, 0.0) / nd.n AS w
+          FROM generate_series(0, {CT_BUCKETS - 1}) AS s(b)
+          LEFT JOIN g1 ON s.b = g1.b CROSS JOIN nd
+        ),
+        z2 AS (
+          SELECT x.doc_id, sum(x.x * w1.w) AS z
+          FROM xdb x JOIN w1 USING (b) GROUP BY x.doc_id
+        ),
+        e2 AS (
+          SELECT z2.doc_id, 1.0 / (1.0 + exp(-z2.z)) - base.y AS e
+          FROM z2 JOIN base USING (doc_id)
+        ),
+        g2 AS (
+          SELECT x.b, sum(e2.e * x.x) AS g
+          FROM xdb x JOIN e2 USING (doc_id) GROUP BY x.b
+        )
+        SELECT w1.b AS bucket,
+               round(w1.w - {lr} * coalesce(g2.g, 0.0) / nd.n, 6) + 0.0
+                 AS weight
+        FROM w1 LEFT JOIN g2 ON w1.b = g2.b CROSS JOIN nd
+    """
+
+
+# --------------------------------------------------------------------------
+# Duplicate-span REMOVAL (completes the Lee et al. 2022 loop)
+# --------------------------------------------------------------------------
+
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excise cross-document duplicated substring runs from the corpus:
+    ``substring_dup_runs``'s spans, merged per higher-id doc
+    (first-occurrence-wins), removed by a row-local gap-stitching fold.
+    Output pins the merged span count, removed char count, and the md5
+    of every rebuilt document."""
+    from interop_spark.operators.dedup import dup_span_removal
+    from interop_spark.queries.pipeline_ext import (
+        SUBDUP_CAP,
+        SUBDUP_S,
+        SUBDUP_W,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return dup_span_removal(
+        d, w=SUBDUP_W, stride=SUBDUP_S, max_hash_docs=SUBDUP_CAP
+    )
+
+
+def _dup_span_removal_oracle() -> str:
+    from interop_spark.queries.pipeline_ext import _substring_dup_oracle
+
+    return f"""
+        WITH runs AS ({_substring_dup_oracle()}),
+        iv AS (
+          SELECT DISTINCT doc_b AS doc_id, start_b AS s,
+                 start_b + match_len AS e
+          FROM runs
+        ),
+        pm AS (
+          SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS pmax
+          FROM iv
+        ),
+        grps AS (
+          SELECT *, sum(CASE WHEN pmax IS NULL OR s > pmax
+                             THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS UNBOUNDED PRECEDING) AS grp
+          FROM pm
+        ),
+        merged AS (
+          SELECT doc_id, grp, min(s) AS s, max(e) AS e
+          FROM grps GROUP BY doc_id, grp
+        ),
+        gaps AS (
+          SELECT doc_id, s, e,
+                 lag(e) OVER (PARTITION BY doc_id ORDER BY s) AS pe
+          FROM merged
+        ),
+        built AS (
+          SELECT g.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_spans,
+                 coalesce(string_agg(
+                   substr(d.text, coalesce(g.pe, 1),
+                          greatest(g.s - coalesce(g.pe, 1), 0)),
+                   '' ORDER BY g.s), '')
+                 || substr(d.text, max(g.e), length(d.text)) AS clean
+          FROM gaps g JOIN documents d USING (doc_id)
+          GROUP BY g.doc_id, d.text
+        )
+        SELECT d.doc_id,
+               coalesce(b.n_spans, 0) AS n_spans,
+               CAST(length(d.text) - length(coalesce(b.clean, d.text))
+                    AS BIGINT) AS n_removed_chars,
+               md5(coalesce(b.clean, d.text)) AS clean_md5
+        FROM documents d LEFT JOIN built b USING (doc_id)
+    """
+
+
 QUERIES = {
     "dsir_importance": q_dsir_importance,
     "bm25_topk": q_bm25_topk,
@@ -838,6 +1067,8 @@ QUERIES = {
     "bpe_merge_candidates": q_bpe_merge_candidates,
     "bm25_inverted_topk": q_bm25_inverted_topk,
     "mrl_recall_at_k": q_mrl_recall_at_k,
+    "classifier_train_steps": q_classifier_train_steps,
+    "dup_span_removal": q_dup_span_removal,
 }
 
 ORACLE = {
@@ -851,4 +1082,6 @@ ORACLE = {
     "bpe_merge_candidates": _bpe_merge_oracle(),
     "bm25_inverted_topk": _bm25_inverted_oracle(),
     "mrl_recall_at_k": _mrl_recall_oracle(),
+    "classifier_train_steps": _classifier_train_oracle(),
+    "dup_span_removal": _dup_span_removal_oracle(),
 }

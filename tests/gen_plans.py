@@ -49,6 +49,8 @@ COMMENT = {
  "lm_perplexity_filter": "CCNet LM scoring: the bigram LM is a count TABLE (explode + keyed count), never a driver object; scoring left-joins the doc bigrams against it (broadcast at fixture scale, gram-key shuffle at LM scale) and aggregates per doc. Every stage is a keyed join/agg on uniformly-hashed string keys.",
  "unimax_sample": "UniMax budget sampling: per-language counts reduce to a tiny broadcast dim; the keep decision is EXACT integer arithmetic in a zero-shuffle projection -- no per-language sort/window that would funnel a whole language through one partition.",
  "bm25_inverted_topk": "Inverted-index BM25: the posting table (doc, term, tf) is the one corpus-scan shuffle; query terms BROADCAST against it so only matching postings flow onward; df/stats are tiny broadcast rows; the per-doc sum aggregates a handful of rows per doc. At 100 TB the posting table is written once, bucketed by term, and every query is a pruned equi-join.",
+ "classifier_train_steps": "Logistic-regression training as a lazy DAG: each GD step is a feature-keyed gradient aggregate; the 64-row weight vector flows between steps as a BROADCAST join (the distributed parameter-server form for models this shape); no driver loop, no collect anywhere in the plan.",
+ "dup_span_removal": "Span excision on top of the run finder: interval merge is one (doc, start) window pass, intervals pack into a bounded per-doc array, and the text rebuild is a row-local gap-stitching fold -- no per-char explode; the corpus-side cost remains the window-hash join the finder already pays.",
 }
 
 out = ["# PLANS — physical plans of the headline queries (sf0.1, AQE on)",
@@ -75,7 +77,8 @@ for name in ["pricing_summary", "multiway_join_agg", "latest_event_per_user",
              "fhir_ingest_corpus",
              "dsir_importance", "bm25_topk", "scd2_intervals",
              "lm_perplexity_filter", "unimax_sample",
-             "bm25_inverted_topk"]:
+             "bm25_inverted_topk", "classifier_train_steps",
+             "dup_span_removal"]:
     df = qs[name](spark, SF)
     df.write.format("noop").mode("overwrite").save()  # let AQE finalize
     plan = df._jdf.queryExecution().executedPlan().toString()

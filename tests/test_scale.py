@@ -268,3 +268,48 @@ def test_round8_new_query_plan_shapes(spark, sf_dir):
     # collected) train/probe chain, not on the raw-vector corpus scan:
     # stage-2's join must not shuffle the embeddings source
     assert "SortMergeJoin" not in p
+
+
+def test_selection_query_plan_shapes(spark, sf_dir):
+    """Scale posture of the continuation-session additions, pinned:
+
+    - dsir_importance's SCORING pass is a zero-shuffle projection (the
+      fitted log-ratio vector is a literal; the only jobs the fit runs
+      are the 256-key count, already collected at build time);
+    - unimax_sample is broadcast-join + projection — no window, no
+      per-language sort; its ONLY hash exchange is the 5-row
+      per-language count aggregate, never the corpus side;
+    - scd2_intervals runs on exactly ONE exchange (user_id serves both
+      windows and the run groupBy);
+    - bm25_topk never shuffles the corpus (one-row stats broadcast);
+    - bm25_inverted_topk joins the posting table to the query terms by
+      BROADCAST, never sort-merge."""
+    from interop_spark.queries import all_queries
+
+    q = all_queries()
+
+    def plan_of(name):
+        return (
+            q[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    p = plan_of("dsir_importance")
+    assert "Exchange hashpartitioning" not in p
+
+    p = plan_of("unimax_sample")
+    assert p.count("Exchange hashpartitioning") == 1  # the lang counts
+    assert "Window" not in p
+    assert "BroadcastHashJoin" in p
+
+    p = plan_of("scd2_intervals")
+    assert p.count("Exchange hashpartitioning") == 1
+
+    p = plan_of("bm25_topk")
+    assert "Exchange hashpartitioning" not in p
+
+    p = plan_of("bm25_inverted_topk")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p

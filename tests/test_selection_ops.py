@@ -237,6 +237,105 @@ def test_mrl_recall_monotone_and_bounded(spark, sf_dir):
         assert r.n_hit == round(r.recall * r.k)
 
 
+def test_classifier_train_separates_class_tokens(spark, sf_dir, tmp_path):
+    """Two GD steps on a separable mini-corpus must push the
+    positive-class token's bucket weight positive and the
+    negative-class token's negative."""
+    import os
+
+    from interop_spark.operators.text import token_bucket
+    from interop_spark.queries.selection_q import (
+        CT_BUCKETS,
+        q_classifier_train_steps,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "eng eng eng", "en", "s", 11),
+            (2, "eng eng eng", "en", "s", 11),
+            (3, "oth oth oth", "de", "s", 11),
+            (4, "oth oth oth", "fr", "s", 11),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    sf = str(tmp_path / "sf_ct")
+    os.makedirs(sf)
+    docs.write.parquet(f"{sf}/documents.parquet")
+    w = {
+        r.bucket: r.weight
+        for r in q_classifier_train_steps(spark, sf).collect()
+    }
+    b_eng = spark.range(1).select(
+        token_bucket(F.lit("eng"), CT_BUCKETS).alias("b")
+    ).collect()[0].b
+    b_oth = spark.range(1).select(
+        token_bucket(F.lit("oth"), CT_BUCKETS).alias("b")
+    ).collect()[0].b
+    assert w[b_eng] > 0 > w[b_oth]
+    # untouched buckets stay exactly zero
+    untouched = [v for k, v in w.items() if k not in (b_eng, b_oth)]
+    assert all(v == 0.0 for v in untouched)
+    assert len(w) == CT_BUCKETS
+
+
+def test_dup_span_removal_excises_higher_doc(spark):
+    """A full duplicate pair: the higher doc id is emptied, the lower
+    keeps its text; unrelated docs are untouched."""
+    import hashlib
+
+    from interop_spark.operators.dedup import dup_span_removal
+
+    base = "x" * 25 + "the quick brown fox jumps over the lazy dog " + "y" * 30
+    w, stride = 40, 10
+    # strided grid: the detected span covers windows 1..n, i.e. the
+    # first (n-1)*stride + w chars; the off-grid tail survives
+    n_wins = (len(base) - w) // stride + 1
+    span = (n_wins - 1) * stride + w
+    tail = base[span:]
+    other = "z" * 100
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, other)], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: r
+        for r in dup_span_removal(df, w=w, stride=stride).collect()
+    }
+    # doc 1 (first occurrence) untouched
+    assert out[1].n_spans == 0 and out[1].n_removed_chars == 0
+    assert out[1].clean_md5 == hashlib.md5(base.encode()).hexdigest()
+    # doc 2: one merged span of the grid-covered prefix
+    assert out[2].n_spans == 1 and out[2].n_removed_chars == span
+    assert out[2].clean_md5 == hashlib.md5(tail.encode()).hexdigest()
+    # unrelated doc untouched
+    assert out[3].n_removed_chars == 0
+    assert out[3].clean_md5 == hashlib.md5(other.encode()).hexdigest()
+
+
+def test_dup_span_removal_partial_overlap_merge(spark):
+    """Two overlapping spans from different partners merge before
+    surgery — removed chars equal the union, not the sum."""
+    from interop_spark.operators.dedup import dup_span_removal
+
+    seg = "abcdefghij" * 8  # 80 chars
+    # doc 3 shares seg[0:60] with doc 1 and seg[20:80] with doc 2;
+    # the union covers all 80 chars of seg inside doc 3
+    d1 = seg[:60] + "1" * 40
+    d2 = "2" * 40 + seg[20:]
+    d3 = seg + "t" * 20
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: r
+        for r in dup_span_removal(df, w=40, stride=10).collect()
+    }
+    r3 = out[3]
+    # spans against doc1 and doc2 overlap in the middle -> merged
+    assert r3.n_spans == 1
+    assert r3.n_removed_chars >= 70  # union of both spans (grid-capped)
+    assert out[1].n_removed_chars == 0  # lowest id keeps everything
+
+
 def test_scd2_interval_invariants(spark, sf_dir):
     from interop_spark.io import load
     from interop_spark.queries.selection_q import q_scd2_intervals
