@@ -142,11 +142,12 @@ _MODULES = (
 #     plans are trivial — lead the round-9 queue. After this round the
 #     only pre-r6 greens are those five r4 rows.
 # ROUND-9 ROTATION PLAN (updated after the continuation session): the
-# r4 displaced set now numbers 18 (set_union, set_intersect,
+# r4 displaced set now numbers 19 (set_union, set_intersect,
 # set_except, explode_roundtrip, substring_key, scan_project_filter,
 # like_filter_or, date_parts, case_when_literal, count_distinct,
 # having_filter, agg_minmax, string_funcs, date_funcs, arith_funcs,
-# groupby_count, left_semi_join, left_anti_join) — all judge-re-run
+# groupby_count, left_semi_join, left_anti_join,
+# nested_struct_pluck) — all judge-re-run
 # green in r7, all trivial plans; they take priority, then as many of
 # the r6 residue (exact_dedup, minhash/simhash family, gopher rows,
 # kmeans, sqlapi rows, ~35 rows) as r9's own new/changed queries leave
@@ -239,6 +240,10 @@ _WINDOW = (
     # pipeline_ext._substring_dup_oracle() as a CTE (import, no diff).
     "classifier_train_steps",
     "dup_span_removal",
+    # video_meta (real MP4 mvhd decode; multimodal.py diff is ADDITIVE —
+    # appended parse_mp4/video_meta consumed only here) displaces
+    # nested_struct_pluck (r4, judge-re-run green) to the r9 queue
+    "video_meta",
     # NEW in the continuation session, queries/temporal_q.py (ADDITIVE:
     # appended q_stream_dedup_counts + its ORACLE entry; no existing
     # function in the module changed, and streams.py's only diff is
@@ -291,7 +296,6 @@ _WINDOW = (
     "pricing_summary",
     "topk_orders",
     "hof_filter_array",
-    "nested_struct_pluck",
     # staleness rotation: functions_battery (1; the other three
     # displaced to r9 by this session's new queries)
     "agg_stats",

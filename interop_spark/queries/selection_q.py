@@ -1056,6 +1056,70 @@ def _dup_span_removal_oracle() -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# Real video container decode (MP4 ftyp/moov/mvhd box walk)
+# --------------------------------------------------------------------------
+
+# rate/volume/reserved/matrix/predefined/next-track tail of an mvhd box
+# (80 bytes, constant)
+_MVHD_TAIL_HEX = (
+    "00010000" + "0100" + "0000" + "00000000" * 2
+    + "00010000" + "00000000" * 3 + "00010000" + "00000000" * 3
+    + "40000000" + "00000000" * 6 + "00000002"
+)
+
+
+def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 metadata decode, driver-verified (the video leg of the
+    image_dims/audio_stats triangle): build actual ISO-BMFF bytes
+    JVM-side — ftyp + moov/mvhd with version 0 (u32 times) on even ids
+    and version 1 (u64 times) on odd — parse them back with the stdlib
+    box walker (``multimodal.video_meta``, Arrow mapInPandas), and let
+    the oracle recompute brand/timescale/duration closed-form from
+    doc_id. A bug in the hex construction, the box walk, either mvhd
+    branch, or the integer duration math breaks the match."""
+    from interop_spark.operators import multimodal as mm
+
+    d = load(spark, sf_dir, "documents").where(col("doc_id") < 240)
+    ts = F.lit(600)
+    secs = (col("doc_id") % 3600 + 1).cast("int")
+    dur = secs * 600
+    ts32 = F.lpad(F.hex(ts), 8, "0")
+    dur32 = F.lpad(F.hex(dur), 8, "0")
+    dur64 = F.lpad(F.hex(dur), 16, "0")
+    ftyp = F.lit("00000010" + "66747970" + "69736F6D" + "00000200")
+    mvhd0 = F.concat(
+        F.lit("0000006C" + "6D766864" + "00000000" + "00000000" * 2),
+        ts32, dur32, F.lit(_MVHD_TAIL_HEX),
+    )
+    moov0 = F.concat(F.lit("00000074" + "6D6F6F76"), mvhd0)
+    mvhd1 = F.concat(
+        F.lit("00000078" + "6D766864" + "01000000" + "00000000" * 4),
+        ts32, dur64, F.lit(_MVHD_TAIL_HEX),
+    )
+    moov1 = F.concat(F.lit("00000080" + "6D6F6F76"), mvhd1)
+    blob = F.concat(
+        ftyp, F.when(col("doc_id") % 2 == 0, moov0).otherwise(moov1)
+    )
+    media = d.select(
+        col("doc_id").alias("media_id"),
+        F.to_binary(blob, F.lit("hex")).alias("data"),
+    )
+    return mm.video_meta(media)
+
+
+def _video_meta_oracle() -> str:
+    return """
+        SELECT doc_id AS media_id,
+               'isom' AS brand,
+               CAST(doc_id % 2 AS BIGINT) AS mvhd_version,
+               CAST(600 AS BIGINT) AS timescale,
+               CAST((doc_id % 3600 + 1) * 600 AS BIGINT) AS duration,
+               CAST(doc_id % 3600 + 1 AS BIGINT) AS duration_s
+        FROM documents WHERE doc_id < 240
+    """
+
+
 QUERIES = {
     "dsir_importance": q_dsir_importance,
     "bm25_topk": q_bm25_topk,
@@ -1069,6 +1133,7 @@ QUERIES = {
     "mrl_recall_at_k": q_mrl_recall_at_k,
     "classifier_train_steps": q_classifier_train_steps,
     "dup_span_removal": q_dup_span_removal,
+    "video_meta": q_video_meta,
 }
 
 ORACLE = {
@@ -1084,4 +1149,5 @@ ORACLE = {
     "mrl_recall_at_k": _mrl_recall_oracle(),
     "classifier_train_steps": _classifier_train_oracle(),
     "dup_span_removal": _dup_span_removal_oracle(),
+    "video_meta": _video_meta_oracle(),
 }

@@ -170,3 +170,65 @@ def test_image_dims_operator_mixed_batch(spark):
     assert (rows[2].format, rows[2].width, rows[2].height) == ("gif", 33, 44)
     assert rows[3].format is None and rows[3].width is None
     assert rows[4].format is None
+
+
+def _mp4_bytes(version: int, timescale: int, duration: int) -> bytes:
+    tail = (
+        struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24 + struct.pack(">I", 2)
+    )
+    if version == 0:
+        p = b"\x00\x00\x00\x00" + b"\x00" * 8 + struct.pack(
+            ">II", timescale, duration
+        ) + tail
+    else:
+        p = b"\x01\x00\x00\x00" + b"\x00" * 16 + struct.pack(
+            ">I", timescale
+        ) + struct.pack(">Q", duration) + tail
+    mvhd = struct.pack(">I", 8 + len(p)) + b"mvhd" + p
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00\x00\x02\x00"
+    return ftyp + moov
+
+
+def test_parse_mp4_both_mvhd_versions():
+    from interop_spark.operators.multimodal import parse_mp4
+
+    assert parse_mp4(_mp4_bytes(0, 600, 25200)) == ("isom", 0, 600, 25200)
+    # v1 carries a 64-bit duration
+    big = 10_000_000_000
+    assert parse_mp4(_mp4_bytes(1, 90000, big)) == ("isom", 1, 90000, big)
+
+
+def test_parse_mp4_rejects_garbage_and_truncation():
+    from interop_spark.operators.multimodal import parse_mp4
+
+    assert parse_mp4(None) is None
+    assert parse_mp4(b"notavideo" * 3) is None
+    good = _mp4_bytes(0, 600, 1200)
+    assert parse_mp4(good[:40]) is None  # moov truncated away
+    # a zero-size box must not loop forever
+    bad = good[:16] + struct.pack(">I", 0) + good[20:]
+    assert parse_mp4(bad) is None
+
+
+def test_video_meta_operator(spark):
+    from interop_spark.operators.multimodal import video_meta
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_mp4_bytes(0, 600, 1500))),
+            (2, bytearray(_mp4_bytes(1, 1000, 2500))),
+            (3, bytearray(b"junk")),
+        ],
+        "media_id long, data binary",
+    )
+    rows = {r.media_id: r for r in video_meta(df).collect()}
+    assert (rows[1].brand, rows[1].mvhd_version) == ("isom", 0)
+    assert (rows[1].timescale, rows[1].duration, rows[1].duration_s) == (
+        600, 1500, 2,
+    )
+    assert (rows[2].timescale, rows[2].duration_s) == (1000, 2)
+    assert rows[3].brand is None and rows[3].duration_s is None
