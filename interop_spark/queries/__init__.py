@@ -142,11 +142,11 @@ _MODULES = (
 #     plans are trivial — lead the round-9 queue. After this round the
 #     only pre-r6 greens are those five r4 rows.
 # ROUND-9 ROTATION PLAN (updated after the continuation session): the
-# r4 displaced set now numbers 19 (set_union, set_intersect,
-# set_except, explode_roundtrip, substring_key, scan_project_filter,
-# like_filter_or, date_parts, case_when_literal, count_distinct,
-# having_filter, agg_minmax, string_funcs, date_funcs, arith_funcs,
-# groupby_count, left_semi_join, left_anti_join,
+# r4 displaced set now numbers 20 (computed_key_join, set_union,
+# set_intersect, set_except, explode_roundtrip, substring_key,
+# scan_project_filter, like_filter_or, date_parts, case_when_literal,
+# count_distinct, having_filter, agg_minmax, string_funcs, date_funcs,
+# arith_funcs, groupby_count, left_semi_join, left_anti_join,
 # nested_struct_pluck) — all judge-re-run
 # green in r7, all trivial plans; they take priority, then as many of
 # the r6 residue (exact_dedup, minhash/simhash family, gopher rows,
@@ -244,6 +244,10 @@ _WINDOW = (
     # appended parse_mp4/video_meta consumed only here) displaces
     # nested_struct_pluck (r4, judge-re-run green) to the r9 queue
     "video_meta",
+    # hybrid_rrf_topk (RRF fusion of the BM25 + cosine shortlists)
+    # displaces computed_key_join (r4, judge-re-run green) to the r9
+    # queue
+    "hybrid_rrf_topk",
     # NEW in the continuation session, queries/temporal_q.py (ADDITIVE:
     # appended q_stream_dedup_counts + its ORACLE entry; no existing
     # function in the module changed, and streams.py's only diff is
@@ -289,7 +293,6 @@ _WINDOW = (
     "ivf_probe_topk",
     "ivf_multiprobe_topk",
     "inner_equi_join",
-    "computed_key_join",
     "join_filter_pushdown",
     "left_outer_exists_flag",
     "multiway_join_agg",

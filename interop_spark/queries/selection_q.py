@@ -1120,6 +1120,128 @@ def _video_meta_oracle() -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal rank fusion (BM25 ∪ vector cosine)
+# --------------------------------------------------------------------------
+
+RRF_C = 60
+RRF_SHORTLIST = 50
+RRF_TOPK = 10
+
+
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search via Reciprocal Rank Fusion (Cormack, Clarke &
+    Buettcher, SIGIR 2009): fuse the lexical BM25 ranking (query
+    ``{hash join vector stream}``) with the vector cosine ranking
+    (query embedding vec_id 0, ids shared with doc_id) as
+    ``Σ 1/(C + rank)`` over each source's top-{RRF_SHORTLIST}
+    shortlist. Ranks come from per-source TakeOrderedAndProject
+    shortlists and the rank windows run over those ≤{RRF_SHORTLIST}-row
+    sets — never a global corpus sort — which is exactly how a 100 TB
+    hybrid engine composes its per-index candidates. All-rational
+    arithmetic (integer ranks, two exact divisions), so the fused
+    scores are bit-identical across engines."""
+    from interop_spark.operators import similarity as sim
+
+    d = load(spark, sf_dir, "documents")
+    lex = (
+        rt.bm25_scores(d, "doc_id", "text", list(BM25_TERMS),
+                       k1=BM25_K1, b=BM25_B)
+        .where(col("bm25") > 0)
+        .orderBy(col("bm25").desc(), "doc_id")
+        .limit(RRF_SHORTLIST)
+    )
+    wlex = Window.orderBy(col("bm25").desc(), "doc_id")
+    lexr = lex.select(
+        "doc_id", F.row_number().over(wlex).alias("r_lex")
+    )
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(col("vec_id") == 0).select(
+        col("embedding").alias("qvec")
+    )
+    vec = (
+        e.crossJoin(F.broadcast(q))
+        .select(
+            col("vec_id").alias("doc_id"),
+            F.round(
+                sim.cosine_sim(
+                    sim.as_double(col("embedding")),
+                    sim.as_double(col("qvec")),
+                ),
+                9,
+            ).alias("cos"),
+        )
+        .orderBy(col("cos").desc(), "doc_id")
+        .limit(RRF_SHORTLIST)
+    )
+    wvec = Window.orderBy(col("cos").desc(), "doc_id")
+    vecr = vec.select(
+        "doc_id", F.row_number().over(wvec).alias("r_vec")
+    )
+    fused = lexr.join(vecr, "doc_id", "full_outer").select(
+        "doc_id",
+        "r_lex",
+        "r_vec",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_C) + col("r_lex")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_C) + col("r_vec")), F.lit(0.0)
+            )
+        ).alias("rrf"),
+    )
+    return (
+        fused.orderBy(col("rrf").desc(), "doc_id")
+        .limit(RRF_TOPK)
+        .select("doc_id", "r_lex", "r_vec", "rrf")
+    )
+
+
+def _hybrid_rrf_oracle() -> str:
+    from interop_spark.queries.pipeline import _dk_dot, _dk_norm
+
+    bm25 = _bm25_oracle()
+    cos = (
+        f"round({_dk_dot('e.embedding', 'q.qvec')}"
+        f" / greatest({_dk_norm('e.embedding')} * {_dk_norm('q.qvec')},"
+        f" 1e-12), 9)"
+    )
+    # reuse the BM25 oracle minus its trailing top-k/filter: inline the
+    # same CTE chain but shortlist RRF_SHORTLIST
+    bm25_shortlist = bm25.replace(
+        f"LIMIT {BM25_TOPK}", f"LIMIT {RRF_SHORTLIST}"
+    )
+    return f"""
+        WITH lex AS ({bm25_shortlist}),
+        lexr AS (
+          SELECT doc_id, row_number()
+                   OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+          FROM lex
+        ),
+        q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+        vec AS (
+          SELECT e.vec_id AS doc_id, {cos} AS cos
+          FROM embeddings e CROSS JOIN q
+          ORDER BY cos DESC, doc_id LIMIT {RRF_SHORTLIST}
+        ),
+        vecr AS (
+          SELECT doc_id, row_number()
+                   OVER (ORDER BY cos DESC, doc_id) AS r_vec
+          FROM vec
+        ),
+        fused AS (
+          SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+                 l.r_lex AS r_lex, v.r_vec AS r_vec,
+                 coalesce(1.0 / ({RRF_C} + l.r_lex), 0.0)
+                 + coalesce(1.0 / ({RRF_C} + v.r_vec), 0.0) AS rrf
+          FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
+        )
+        SELECT doc_id, r_lex, r_vec, rrf FROM fused
+        ORDER BY rrf DESC, doc_id LIMIT {RRF_TOPK}
+    """
+
+
 QUERIES = {
     "dsir_importance": q_dsir_importance,
     "bm25_topk": q_bm25_topk,
@@ -1134,6 +1256,7 @@ QUERIES = {
     "classifier_train_steps": q_classifier_train_steps,
     "dup_span_removal": q_dup_span_removal,
     "video_meta": q_video_meta,
+    "hybrid_rrf_topk": q_hybrid_rrf_topk,
 }
 
 ORACLE = {
@@ -1150,4 +1273,5 @@ ORACLE = {
     "classifier_train_steps": _classifier_train_oracle(),
     "dup_span_removal": _dup_span_removal_oracle(),
     "video_meta": _video_meta_oracle(),
+    "hybrid_rrf_topk": _hybrid_rrf_oracle(),
 }

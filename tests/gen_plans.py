@@ -52,6 +52,7 @@ COMMENT = {
  "classifier_train_steps": "Logistic-regression training as a lazy DAG: each GD step is a feature-keyed gradient aggregate; the 64-row weight vector flows between steps as a BROADCAST join (the distributed parameter-server form for models this shape); no driver loop, no collect anywhere in the plan.",
  "dup_span_removal": "Span excision on top of the run finder: interval merge is one (doc, start) window pass, intervals pack into a bounded per-doc array, and the text rebuild is a row-local gap-stitching fold -- no per-char explode; the corpus-side cost remains the window-hash join the finder already pays.",
  "video_meta": "MP4 box walk in Arrow batches: one MapInPandas over (media_id, data), zero exchanges -- the multimodal decode shape shared with image_dims/audio_stats; garbage rows yield NULLs, never task failures.",
+ "hybrid_rrf_topk": "RRF hybrid retrieval: each source contributes a TakeOrderedAndProject shortlist; rank windows run over those <=50-row sets (single-partition windows on shortlists are FINE -- the corpus is never globally sorted); the fusion join is tiny-by-construction.",
 }
 
 out = ["# PLANS — physical plans of the headline queries (sf0.1, AQE on)",
@@ -79,7 +80,7 @@ for name in ["pricing_summary", "multiway_join_agg", "latest_event_per_user",
              "dsir_importance", "bm25_topk", "scd2_intervals",
              "lm_perplexity_filter", "unimax_sample",
              "bm25_inverted_topk", "classifier_train_steps",
-             "dup_span_removal", "video_meta"]:
+             "dup_span_removal", "video_meta", "hybrid_rrf_topk"]:
     df = qs[name](spark, SF)
     df.write.format("noop").mode("overwrite").save()  # let AQE finalize
     plan = df._jdf.queryExecution().executedPlan().toString()

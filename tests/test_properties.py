@@ -400,3 +400,33 @@ def test_substring_runs_report_exact_grid_span(sparkp, data, n_grid):
     assert len(main) == 1
     assert main[0].n_windows >= n_grid + 1
     assert main[0].match_len >= w + s * n_grid
+
+
+@given(data=st.binary(min_size=0, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_parse_mp4_total_on_arbitrary_bytes(data):
+    """The box walker must terminate and return None-or-tuple on ANY
+    byte string (a media crawl is mostly garbage) — no exceptions, no
+    infinite walks on adversarial size fields."""
+    from interop_spark.operators.multimodal import parse_mp4
+
+    out = parse_mp4(data)
+    assert out is None or (len(out) == 4 and isinstance(out[1], int))
+
+
+@given(
+    prefix=st.binary(min_size=0, max_size=40),
+    ts=st.integers(min_value=1, max_value=2**32 - 1),
+    dur=st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=50, deadline=None)
+def test_parse_mp4_rejects_headerless_payloads(prefix, ts, dur):
+    """Without a leading ftyp box nothing parses, regardless of what
+    mvhd-like bytes appear later."""
+    import struct
+
+    from interop_spark.operators.multimodal import parse_mp4
+
+    body = struct.pack(">II", ts, dur)
+    if prefix[4:8] != b"ftyp":
+        assert parse_mp4(prefix + b"mvhd" + body) is None

@@ -336,6 +336,30 @@ def test_dup_span_removal_partial_overlap_merge(spark):
     assert out[1].n_removed_chars == 0  # lowest id keeps everything
 
 
+def test_hybrid_rrf_fuses_both_rankings(spark, sf_dir):
+    from interop_spark.queries.selection_q import (
+        RRF_C,
+        RRF_TOPK,
+        q_hybrid_rrf_topk,
+    )
+
+    rows = q_hybrid_rrf_topk(spark, sf_dir).collect()
+    assert 0 < len(rows) <= RRF_TOPK
+    scores = [r.rrf for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        expect = 0.0
+        if r.r_lex is not None:
+            expect += 1.0 / (RRF_C + r.r_lex)
+        if r.r_vec is not None:
+            expect += 1.0 / (RRF_C + r.r_vec)
+        assert r.rrf == pytest.approx(expect, abs=1e-12)
+        assert r.r_lex is not None or r.r_vec is not None
+    # fusion actually drew from both sources somewhere in the top-k
+    assert any(r.r_lex is not None for r in rows)
+    assert any(r.r_vec is not None for r in rows)
+
+
 def test_scd2_interval_invariants(spark, sf_dir):
     from interop_spark.io import load
     from interop_spark.queries.selection_q import q_scd2_intervals
