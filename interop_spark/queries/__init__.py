@@ -142,7 +142,8 @@ _MODULES = (
 #     plans are trivial — lead the round-9 queue. After this round the
 #     only pre-r6 greens are those five r4 rows.
 # ROUND-9 ROTATION PLAN (updated after the continuation session): the
-# r4 displaced set now numbers 20 (computed_key_join, set_union,
+# r4 displaced set now numbers 22 (computed_key_join, inner_equi_join,
+# left_outer_exists_flag, set_union,
 # set_intersect, set_except, explode_roundtrip, substring_key,
 # scan_project_filter, like_filter_or, date_parts, case_when_literal,
 # count_distinct, having_filter, agg_minmax, string_funcs, date_funcs,
@@ -248,6 +249,12 @@ _WINDOW = (
     # displaces computed_key_join (r4, judge-re-run green) to the r9
     # queue
     "hybrid_rrf_topk",
+    # bsq_hamming_search (1-bit sign quantization + Hamming top-k) and
+    # countmin_estimate (Count-Min sketch + exact-count instrumentation)
+    # displace inner_equi_join + left_outer_exists_flag (r4,
+    # judge-re-run green) to the r9 queue
+    "bsq_hamming_search",
+    "countmin_estimate",
     # NEW in the continuation session, queries/temporal_q.py (ADDITIVE:
     # appended q_stream_dedup_counts + its ORACLE entry; no existing
     # function in the module changed, and streams.py's only diff is
@@ -292,9 +299,7 @@ _WINDOW = (
     # staleness rotation: the full r4 residue (26 relational/pipeline)
     "ivf_probe_topk",
     "ivf_multiprobe_topk",
-    "inner_equi_join",
     "join_filter_pushdown",
-    "left_outer_exists_flag",
     "multiway_join_agg",
     "pricing_summary",
     "topk_orders",

@@ -1242,6 +1242,273 @@ def _hybrid_rrf_oracle() -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# Binary sign-quantized embeddings + Hamming search
+# --------------------------------------------------------------------------
+
+BSQ_TOPK = 10
+
+
+def q_bsq_hamming_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary sign quantization + Hamming search — the 1-bit/dim rung
+    below SQ8/PQ (classic binary-embedding retrieval): each 64-dim
+    vector compresses to TWO 32-bit sign words (two words, not one
+    64-bit code, because bit 63 would overflow DuckDB's BIGINT shift —
+    and a pair of u32s is also the portable layout), the query encodes
+    once, and distance is ``bit_count(xor(lo)) + bit_count(xor(hi))``.
+    64× compression; the scan reads 8 bytes/vector instead of 256.
+    Top-k with the id tie-break, plus membership against the exact
+    cosine top-k as inline recall instrumentation — all integer, so
+    bit-exact."""
+    from interop_spark.operators import similarity as sim
+
+    e = load(spark, sf_dir, "embeddings")
+
+    def word(vec, lo_bit):
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(31)),
+            F.lit(0).cast("bigint"),
+            # F.shiftleft needs a literal shift amount; 2^i via pow is
+            # exact for i <= 31 (well under double's 53-bit mantissa)
+            lambda acc, i: acc
+            + F.when(
+                F.element_at(vec, (i + 1 + lo_bit).cast("int")) > 0,
+                F.pow(F.lit(2.0), i).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint")),
+        )
+
+    codes = e.select(
+        "vec_id",
+        word(col("embedding"), F.lit(0)).alias("lo"),
+        word(col("embedding"), F.lit(32)).alias("hi"),
+    )
+    q = codes.where(col("vec_id") == 0).select(
+        col("lo").alias("qlo"), col("hi").alias("qhi")
+    )
+    ham = (
+        F.bit_count(col("lo").bitwiseXOR(col("qlo")))
+        + F.bit_count(col("hi").bitwiseXOR(col("qhi")))
+    ).cast("long")
+    ranked = (
+        codes.crossJoin(F.broadcast(q))
+        .select("vec_id", ham.alias("hamming"))
+        .orderBy(col("hamming").asc(), "vec_id")
+        .limit(BSQ_TOPK)
+    )
+    qv = e.where(col("vec_id") == 0).select(
+        col("embedding").alias("qvec")
+    )
+    exact = (
+        e.crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(
+                sim.cosine_sim(
+                    sim.as_double(col("embedding")),
+                    sim.as_double(col("qvec")),
+                ),
+                9,
+            ).alias("_c9"),
+        )
+        .orderBy(col("_c9").desc(), col("vec_id").asc())
+        .limit(BSQ_TOPK)
+        .select("vec_id", F.lit(True).alias("in_exact_topk"))
+    )
+    return ranked.join(exact, "vec_id", "left").select(
+        "vec_id",
+        "hamming",
+        F.coalesce(col("in_exact_topk"), F.lit(False)).alias(
+            "in_exact_topk"
+        ),
+    )
+
+
+def _bsq_oracle() -> str:
+    from interop_spark.queries.pipeline import _dk_dot, _dk_norm
+
+    def word(lo_bit):
+        return (
+            "list_sum(list_transform(generate_series(0, 31), i -> CASE"
+            f" WHEN embedding[i + 1 + {lo_bit}] > 0"
+            " THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END))"
+        )
+
+    cos = (
+        f"round({_dk_dot('e.embedding', 'q.qvec')}"
+        f" / greatest({_dk_norm('e.embedding')} * {_dk_norm('q.qvec')},"
+        f" 1e-12), 9)"
+    )
+    return f"""
+        WITH codes AS (
+          SELECT vec_id, {word(0)} AS lo, {word(32)} AS hi
+          FROM embeddings
+        ),
+        qc AS (SELECT lo AS qlo, hi AS qhi FROM codes WHERE vec_id = 0),
+        ranked AS (
+          SELECT c.vec_id,
+                 CAST(bit_count(xor(c.lo, qc.qlo))
+                      + bit_count(xor(c.hi, qc.qhi)) AS BIGINT) AS hamming
+          FROM codes c CROSS JOIN qc
+          ORDER BY hamming ASC, c.vec_id ASC LIMIT {BSQ_TOPK}
+        ),
+        q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+        exact AS (
+          SELECT vec_id FROM (
+            SELECT e.vec_id, {cos} AS c FROM embeddings e CROSS JOIN q
+          ) ORDER BY c DESC, vec_id ASC LIMIT {BSQ_TOPK}
+        )
+        SELECT r.vec_id, r.hamming,
+               (x.vec_id IS NOT NULL) AS in_exact_topk
+        FROM ranked r LEFT JOIN exact x ON r.vec_id = x.vec_id
+    """
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch with exact-count instrumentation
+# --------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 16
+CMS_PROBES = ("hash", "join", "vector", "stream", "zzz_absent_token")
+
+
+def q_countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over the token
+    stream: CMS_DEPTH seeded-md5 hash rows × CMS_WIDTH buckets built in
+    ONE explode + keyed count (the sketch is a depth×width-row table —
+    the mergeable, fixed-size summary a streaming counter keeps), then
+    point estimates ``min_j sketch[j][h_j(tok)]`` for a fixed probe
+    list next to the exact counts. CMS guarantees estimate ≥ exact; the
+    ``overestimate`` column exposes the collision error (width 16 is
+    deliberately UNDER the fixture's vocabulary so collisions are real:
+    some probes overestimate, min-over-rows rescues others), and an
+    absent token probes the all-collision floor. Fully integer →
+    bit-exact oracle."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tx_tokens(col("text"))).alias("w")).where(
+        col("w") != ""
+    )
+
+    rows = toks.select(
+        "w",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))
+        ).alias("j"),
+    )
+    # the bucket depends on j, so derive it after the depth explode
+    sketch = (
+        rows.withColumn(
+            "b",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            col("j").cast("string"), F.lit("|"), col("w")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % CMS_WIDTH,
+        )
+        .groupBy("j", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probes = spark.createDataFrame(
+        [(t,) for t in CMS_PROBES], ["token"]
+    ).select(
+        "token",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))
+        ).alias("j"),
+    ).withColumn(
+        "b",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        col("j").cast("string"), F.lit("|"), col("token")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % CMS_WIDTH,
+    )
+    est = (
+        probes.join(sketch, ["j", "b"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce(col("cnt"), F.lit(0))).alias("cms_est"))
+    )
+    exact = (
+        toks.groupBy(col("w").alias("token"))
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    return (
+        est.join(exact, "token", "left")
+        .select(
+            "token",
+            "cms_est",
+            F.coalesce(col("exact_cnt"), F.lit(0)).alias("exact_cnt"),
+            (
+                col("cms_est")
+                - F.coalesce(col("exact_cnt"), F.lit(0))
+            ).alias("overestimate"),
+        )
+        .orderBy("token")
+    )
+
+
+def _countmin_oracle() -> str:
+    toks = "string_split_regex(trim(text), '\\s+')"
+    vals = ", ".join(f"('{t}')" for t in CMS_PROBES)
+    bucket = (
+        "CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), '|',"
+        " {tok})), 1, 8)) AS BIGINT) % " + str(CMS_WIDTH)
+    )
+    return f"""
+        WITH t AS (
+          SELECT w FROM (SELECT unnest({toks}) AS w FROM documents)
+          WHERE w <> ''
+        ),
+        rows_ AS (
+          SELECT w, j FROM t,
+            unnest(generate_series(0, {CMS_DEPTH - 1})) AS g(j)
+        ),
+        sketch AS (
+          SELECT j, {bucket.format(tok='w')} AS b, count(*) AS cnt
+          FROM rows_ GROUP BY 1, 2
+        ),
+        probes AS (
+          SELECT token, j,
+                 {bucket.format(tok='token')} AS b
+          FROM (SELECT * FROM (VALUES {vals}) AS v(token)),
+            unnest(generate_series(0, {CMS_DEPTH - 1})) AS g(j)
+        ),
+        est AS (
+          SELECT p.token,
+                 CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS cms_est
+          FROM probes p LEFT JOIN sketch s ON p.j = s.j AND p.b = s.b
+          GROUP BY p.token
+        ),
+        exact AS (
+          SELECT w AS token, CAST(count(*) AS BIGINT) AS exact_cnt
+          FROM t GROUP BY w
+        )
+        SELECT e.token, e.cms_est,
+               coalesce(x.exact_cnt, 0) AS exact_cnt,
+               e.cms_est - coalesce(x.exact_cnt, 0) AS overestimate
+        FROM est e LEFT JOIN exact x ON e.token = x.token
+        ORDER BY e.token
+    """
+
+
 QUERIES = {
     "dsir_importance": q_dsir_importance,
     "bm25_topk": q_bm25_topk,
@@ -1257,6 +1524,8 @@ QUERIES = {
     "dup_span_removal": q_dup_span_removal,
     "video_meta": q_video_meta,
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
+    "bsq_hamming_search": q_bsq_hamming_search,
+    "countmin_estimate": q_countmin_estimate,
 }
 
 ORACLE = {
@@ -1274,4 +1543,6 @@ ORACLE = {
     "dup_span_removal": _dup_span_removal_oracle(),
     "video_meta": _video_meta_oracle(),
     "hybrid_rrf_topk": _hybrid_rrf_oracle(),
+    "bsq_hamming_search": _bsq_oracle(),
+    "countmin_estimate": _countmin_oracle(),
 }

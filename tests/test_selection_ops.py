@@ -360,6 +360,34 @@ def test_hybrid_rrf_fuses_both_rankings(spark, sf_dir):
     assert any(r.r_vec is not None for r in rows)
 
 
+def test_bsq_hamming_self_match_and_order(spark, sf_dir):
+    from interop_spark.queries.selection_q import q_bsq_hamming_search
+
+    rows = q_bsq_hamming_search(spark, sf_dir).collect()
+    assert rows
+    by_id = {r.vec_id: r for r in rows}
+    # the query vector's own code is at distance 0 and the exact
+    # cosine top-k contains it too
+    assert by_id[0].hamming == 0 and by_id[0].in_exact_topk
+    hams = sorted(r.hamming for r in rows)
+    assert all(0 <= h <= 64 for h in hams)
+
+
+def test_countmin_never_underestimates(spark, sf_dir):
+    from interop_spark.queries.selection_q import (
+        CMS_PROBES,
+        q_countmin_estimate,
+    )
+
+    rows = {r.token: r for r in q_countmin_estimate(spark, sf_dir).collect()}
+    assert set(rows) == set(CMS_PROBES)
+    for r in rows.values():
+        # the CMS one-sided error guarantee
+        assert r.cms_est >= r.exact_cnt
+        assert r.overestimate == r.cms_est - r.exact_cnt
+    assert rows["zzz_absent_token"].exact_cnt == 0
+
+
 def test_scd2_interval_invariants(spark, sf_dir):
     from interop_spark.io import load
     from interop_spark.queries.selection_q import q_scd2_intervals
