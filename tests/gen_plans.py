@@ -53,6 +53,8 @@ COMMENT = {
  "dup_span_removal": "Span excision on top of the run finder: interval merge is one (doc, start) window pass, intervals pack into a bounded per-doc array, and the text rebuild is a row-local gap-stitching fold -- no per-char explode; the corpus-side cost remains the window-hash join the finder already pays.",
  "video_meta": "MP4 box walk in Arrow batches: one MapInPandas over (media_id, data), zero exchanges -- the multimodal decode shape shared with image_dims/audio_stats; garbage rows yield NULLs, never task failures.",
  "hybrid_rrf_topk": "RRF hybrid retrieval: each source contributes a TakeOrderedAndProject shortlist; rank windows run over those <=50-row sets (single-partition windows on shortlists are FINE -- the corpus is never globally sorted); the fusion join is tiny-by-construction.",
+ "bsq_hamming_search": "Binary sign quantization: the encode is a per-row fold (zero shuffle), the search scans 8-byte codes with a broadcast one-row query -- 64x less scan bandwidth than raw vectors; TakeOrderedAndProject top-k.",
+ "countmin_estimate": "Count-Min build: ONE token explode x depth -> keyed count into a fixed depth*width-row sketch (the mergeable streaming summary); probes are a tiny broadcast join against it. Corpus cost is one explode+count regardless of vocabulary.",
 }
 
 out = ["# PLANS — physical plans of the headline queries (sf0.1, AQE on)",
@@ -80,7 +82,8 @@ for name in ["pricing_summary", "multiway_join_agg", "latest_event_per_user",
              "dsir_importance", "bm25_topk", "scd2_intervals",
              "lm_perplexity_filter", "unimax_sample",
              "bm25_inverted_topk", "classifier_train_steps",
-             "dup_span_removal", "video_meta", "hybrid_rrf_topk"]:
+             "dup_span_removal", "video_meta", "hybrid_rrf_topk",
+             "bsq_hamming_search", "countmin_estimate"]:
     df = qs[name](spark, SF)
     df.write.format("noop").mode("overwrite").save()  # let AQE finalize
     plan = df._jdf.queryExecution().executedPlan().toString()
