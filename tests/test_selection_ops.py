@@ -388,6 +388,35 @@ def test_countmin_never_underestimates(spark, sf_dir):
     assert rows["zzz_absent_token"].exact_cnt == 0
 
 
+def test_float_agg_queries_partitioning_invariant(spark, sf_dir):
+    """Summation order changes with the partition count; the round-6
+    contract must absorb it. Re-run the float-heaviest new queries
+    under a very different shuffle.partitions and require IDENTICAL
+    rounded output (the driver runs at whatever parallelism it
+    likes — also cross-checked vs DuckDB at local[2]/local[32] in the
+    round-8 session)."""
+    from interop_spark.queries.selection_q import (
+        q_classifier_train_steps,
+        q_lm_perplexity_filter,
+    )
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = []
+        for n in ("2", "31"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            lm = sorted(
+                map(tuple, q_lm_perplexity_filter(spark, sf_dir).collect())
+            )
+            ct = sorted(
+                map(tuple, q_classifier_train_steps(spark, sf_dir).collect())
+            )
+            results.append((lm, ct))
+        assert results[0] == results[1]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def test_scd2_interval_invariants(spark, sf_dir):
     from interop_spark.io import load
     from interop_spark.queries.selection_q import q_scd2_intervals
