@@ -142,8 +142,8 @@ _MODULES = (
 #     plans are trivial — lead the round-9 queue. After this round the
 #     only pre-r6 greens are those five r4 rows.
 # ROUND-9 ROTATION PLAN (updated after the continuation session): the
-# r4 displaced set now numbers 22 (computed_key_join, inner_equi_join,
-# left_outer_exists_flag, set_union,
+# r4 displaced set now numbers 23 (computed_key_join, inner_equi_join,
+# left_outer_exists_flag, topk_orders, set_union,
 # set_intersect, set_except, explode_roundtrip, substring_key,
 # scan_project_filter, like_filter_or, date_parts, case_when_literal,
 # count_distinct, having_filter, agg_minmax, string_funcs, date_funcs,
@@ -255,6 +255,9 @@ _WINDOW = (
     # judge-re-run green) to the r9 queue
     "bsq_hamming_search",
     "countmin_estimate",
+    # resample_ffill (gap-filled daily resample + forward fill)
+    # displaces topk_orders (r4, judge-re-run green) to the r9 queue
+    "resample_ffill",
     # NEW in the continuation session, queries/temporal_q.py (ADDITIVE:
     # appended q_stream_dedup_counts + its ORACLE entry; no existing
     # function in the module changed, and streams.py's only diff is
@@ -302,7 +305,6 @@ _WINDOW = (
     "join_filter_pushdown",
     "multiway_join_agg",
     "pricing_summary",
-    "topk_orders",
     "hof_filter_array",
     # staleness rotation: functions_battery (1; the other three
     # displaced to r9 by this session's new queries)

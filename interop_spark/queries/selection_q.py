@@ -1509,6 +1509,85 @@ def _countmin_oracle() -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# Time-series resample + forward fill
+# --------------------------------------------------------------------------
+
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled time-series resampling: per user, aggregate events to
+    a daily series, generate the dense day grid between that user's
+    first and last event (``sequence`` + explode — no driver-side
+    calendar), left-join the observed days in, and forward-fill the
+    value across gaps (``last IGNORE NULLS`` window). The
+    regularize-then-fill shape every downstream feature pipeline needs
+    from an irregular event stream. One user_id shuffle serves the
+    span aggregate, the grid join, and the fill window; the fill
+    carries the ROUNDED daily value, so cross-engine floats are
+    settled before the window propagates them."""
+    e = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", col("ts"))
+    daily = e.groupBy("user_id", day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.round(F.sum("value"), 6) + F.lit(0.0)).alias("day_value"),
+    )
+    span = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence(col("d0"), col("d1"), F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    j = grid.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.coalesce(col("n_events"), F.lit(0)).alias("n_events"),
+        F.last("day_value", ignorenulls=True).over(w).alias("value_ffill"),
+        col("day_value").isNull().alias("gap_filled"),
+    )
+
+
+def _resample_ffill_oracle() -> str:
+    return """
+        WITH daily AS (
+          SELECT user_id, date_trunc('day', ts) AS day,
+                 count(*) AS n_events,
+                 round(sum(value), 6) + 0.0 AS day_value
+          FROM events GROUP BY 1, 2
+        ),
+        span AS (
+          SELECT user_id, date_trunc('day', min(ts)) AS d0,
+                 date_trunc('day', max(ts)) AS d1
+          FROM events GROUP BY 1
+        ),
+        grid AS (
+          SELECT user_id, unnest(generate_series(d0, d1,
+                   INTERVAL 1 DAY)) AS day
+          FROM span
+        ),
+        j AS (
+          SELECT g.user_id, g.day, d.n_events, d.day_value
+          FROM grid g LEFT JOIN daily d
+            ON g.user_id = d.user_id AND g.day = d.day
+        )
+        SELECT user_id, day,
+               coalesce(n_events, 0) AS n_events,
+               last_value(day_value IGNORE NULLS) OVER
+                 (PARTITION BY user_id ORDER BY day
+                  ROWS UNBOUNDED PRECEDING) AS value_ffill,
+               day_value IS NULL AS gap_filled
+        FROM j
+    """
+
+
 QUERIES = {
     "dsir_importance": q_dsir_importance,
     "bm25_topk": q_bm25_topk,
@@ -1526,6 +1605,7 @@ QUERIES = {
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
     "bsq_hamming_search": q_bsq_hamming_search,
     "countmin_estimate": q_countmin_estimate,
+    "resample_ffill": q_resample_ffill,
 }
 
 ORACLE = {
@@ -1545,4 +1625,5 @@ ORACLE = {
     "hybrid_rrf_topk": _hybrid_rrf_oracle(),
     "bsq_hamming_search": _bsq_oracle(),
     "countmin_estimate": _countmin_oracle(),
+    "resample_ffill": _resample_ffill_oracle(),
 }

@@ -55,6 +55,7 @@ COMMENT = {
  "hybrid_rrf_topk": "RRF hybrid retrieval: each source contributes a TakeOrderedAndProject shortlist; rank windows run over those <=50-row sets (single-partition windows on shortlists are FINE -- the corpus is never globally sorted); the fusion join is tiny-by-construction.",
  "bsq_hamming_search": "Binary sign quantization: the encode is a per-row fold (zero shuffle), the search scans 8-byte codes with a broadcast one-row query -- 64x less scan bandwidth than raw vectors; TakeOrderedAndProject top-k.",
  "countmin_estimate": "Count-Min build: ONE token explode x depth -> keyed count into a fixed depth*width-row sketch (the mergeable streaming summary); probes are a tiny broadcast join against it. Corpus cost is one explode+count regardless of vocabulary.",
+ "resample_ffill": "Gap-filled resample: ONE user_id shuffle serves the daily aggregate, the span aggregate, the grid join, and the forward-fill window; the dense grid comes from sequence+explode (no driver-side calendar) and per-user state is bounded by the span in days.",
 }
 
 out = ["# PLANS — physical plans of the headline queries (sf0.1, AQE on)",
@@ -83,7 +84,8 @@ for name in ["pricing_summary", "multiway_join_agg", "latest_event_per_user",
              "lm_perplexity_filter", "unimax_sample",
              "bm25_inverted_topk", "classifier_train_steps",
              "dup_span_removal", "video_meta", "hybrid_rrf_topk",
-             "bsq_hamming_search", "countmin_estimate"]:
+             "bsq_hamming_search", "countmin_estimate",
+             "resample_ffill"]:
     df = qs[name](spark, SF)
     df.write.format("noop").mode("overwrite").save()  # let AQE finalize
     plan = df._jdf.queryExecution().executedPlan().toString()

@@ -417,6 +417,33 @@ def test_float_agg_queries_partitioning_invariant(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def test_resample_ffill_dense_grid_and_carry(spark, sf_dir):
+    from datetime import timedelta
+
+    from interop_spark.queries.selection_q import q_resample_ffill
+
+    rows = q_resample_ffill(spark, sf_dir).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for u, days in by_user.items():
+        days.sort(key=lambda r: r.day)
+        # the grid is dense: consecutive days, no holes
+        for a, b in zip(days, days[1:]):
+            assert b.day - a.day == timedelta(days=1)
+        # first day is observed (grid starts at the first event)
+        assert not days[0].gap_filled and days[0].n_events > 0
+        # gap rows carry the previous observed value and count 0
+        prev = days[0].value_ffill
+        for r in days[1:]:
+            if r.gap_filled:
+                assert r.n_events == 0 and r.value_ffill == prev
+            else:
+                assert r.n_events > 0
+                prev = r.value_ffill
+
+
 def test_scd2_interval_invariants(spark, sf_dir):
     from interop_spark.io import load
     from interop_spark.queries.selection_q import q_scd2_intervals
