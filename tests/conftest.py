@@ -57,6 +57,18 @@ def _fixture_schema_guard():
                 f"{fname} {field} encoding drifted to {t} (known: {ok}); "
                 f"audit the queries reading it before trusting results"
             )
+    # the embedding DIMENSION (64) is baked into every ANN/PQ/BSQ/MRL
+    # constant and oracle; a regenerated fixture with another dim would
+    # fail loudly under ANSI element_at but confusingly — assert it here
+    epath = os.path.join(SF_DIR, "embeddings.parquet")
+    if os.path.exists(epath):
+        first = next(pq.ParquetFile(epath).iter_batches(batch_size=1))
+        dim = len(first.column("embedding")[0])
+        assert dim == 64, (
+            f"embeddings dim drifted to {dim} (expected 64); update "
+            f"EMB_DIM and every dim-dependent oracle before trusting "
+            f"results"
+        )
 
 
 @pytest.fixture(scope="session")
