@@ -142,8 +142,8 @@ _MODULES = (
 #     plans are trivial — lead the round-9 queue. After this round the
 #     only pre-r6 greens are those five r4 rows.
 # ROUND-9 ROTATION PLAN (updated after the continuation session): the
-# r4 displaced set now numbers 23 (computed_key_join, inner_equi_join,
-# left_outer_exists_flag, topk_orders, set_union,
+# r4 displaced set now numbers 24 (computed_key_join, inner_equi_join,
+# left_outer_exists_flag, topk_orders, hof_filter_array, set_union,
 # set_intersect, set_except, explode_roundtrip, substring_key,
 # scan_project_filter, like_filter_or, date_parts, case_when_literal,
 # count_distinct, having_filter, agg_minmax, string_funcs, date_funcs,
@@ -258,6 +258,9 @@ _WINDOW = (
     # resample_ffill (gap-filled daily resample + forward fill)
     # displaces topk_orders (r4, judge-re-run green) to the r9 queue
     "resample_ffill",
+    # chunk_sliding (the RAG sliding-window chunker) displaces
+    # hof_filter_array (r4, judge-re-run green) to the r9 queue
+    "chunk_sliding",
     # NEW in the continuation session, queries/temporal_q.py (ADDITIVE:
     # appended q_stream_dedup_counts + its ORACLE entry; no existing
     # function in the module changed, and streams.py's only diff is
@@ -305,7 +308,6 @@ _WINDOW = (
     "join_filter_pushdown",
     "multiway_join_agg",
     "pricing_summary",
-    "hof_filter_array",
     # staleness rotation: functions_battery (1; the other three
     # displaced to r9 by this session's new queries)
     "agg_stats",

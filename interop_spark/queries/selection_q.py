@@ -1588,6 +1588,73 @@ def _resample_ffill_oracle() -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# Sliding-window chunking (the RAG/embedding-pipeline chunker)
+# --------------------------------------------------------------------------
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+def q_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the retrieval/embedding
+    pipeline's unit of work: {CHUNK_TOKENS}-token windows at stride
+    {CHUNK_STRIDE} (8-token overlap so no boundary context is lost),
+    emitted as (doc, chunk_idx, token count, chunk md5). Pure Column
+    expressions — the chunk count is closed-form, the windows are
+    ``slice`` over the token array, one explode; zero shuffles, so the
+    chunker is scan-bandwidth bound at any corpus size. The md5 pins
+    every chunk's exact text."""
+    d = load(spark, sf_dir, "documents")
+    tk = tx_tokens(col("text"))
+    n = F.size(tk)
+    c, s = CHUNK_TOKENS, CHUNK_STRIDE
+    n_chunks = F.when(
+        n > c,
+        (F.floor((n - c + (s - 1)) / F.lit(float(s))) + 1).cast("int"),
+    ).otherwise(F.lit(1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("idx"),
+            F.least(F.lit(c), n - i * s).alias("n_tokens"),
+            F.md5(
+                F.concat_ws(" ", F.slice(tk, i * s + 1, c))
+            ).alias("chunk_md5"),
+        ),
+    )
+    return d.select(
+        "doc_id", F.explode(chunks).alias("_c")
+    ).select(
+        "doc_id",
+        col("_c.idx").alias("chunk_idx"),
+        col("_c.n_tokens").alias("n_tokens"),
+        col("_c.chunk_md5").alias("chunk_md5"),
+    )
+
+
+def _chunk_sliding_oracle() -> str:
+    toks = "string_split_regex(trim(text), '\\s+')"
+    c, s = CHUNK_TOKENS, CHUNK_STRIDE
+    return f"""
+        WITH t AS (
+          SELECT doc_id, {toks} AS tk, len({toks}) AS n FROM documents
+        ),
+        cdef AS (
+          SELECT doc_id, tk, n,
+                 CASE WHEN n > {c}
+                      THEN CAST((n - {c} + {s - 1}) // {s} AS INTEGER) + 1
+                      ELSE 1 END AS nc
+          FROM t
+        )
+        SELECT doc_id, i AS chunk_idx,
+               least({c}, n - i * {s}) AS n_tokens,
+               md5(array_to_string(tk[i * {s} + 1 : i * {s} + {c}], ' '))
+                 AS chunk_md5
+        FROM cdef, unnest(generate_series(0, nc - 1)) AS g(i)
+    """
+
+
 QUERIES = {
     "dsir_importance": q_dsir_importance,
     "bm25_topk": q_bm25_topk,
@@ -1606,6 +1673,7 @@ QUERIES = {
     "bsq_hamming_search": q_bsq_hamming_search,
     "countmin_estimate": q_countmin_estimate,
     "resample_ffill": q_resample_ffill,
+    "chunk_sliding": q_chunk_sliding,
 }
 
 ORACLE = {
@@ -1626,4 +1694,5 @@ ORACLE = {
     "bsq_hamming_search": _bsq_oracle(),
     "countmin_estimate": _countmin_oracle(),
     "resample_ffill": _resample_ffill_oracle(),
+    "chunk_sliding": _chunk_sliding_oracle(),
 }

@@ -56,6 +56,7 @@ COMMENT = {
  "bsq_hamming_search": "Binary sign quantization: the encode is a per-row fold (zero shuffle), the search scans 8-byte codes with a broadcast one-row query -- 64x less scan bandwidth than raw vectors; TakeOrderedAndProject top-k.",
  "countmin_estimate": "Count-Min build: ONE token explode x depth -> keyed count into a fixed depth*width-row sketch (the mergeable streaming summary); probes are a tiny broadcast join against it. Corpus cost is one explode+count regardless of vocabulary.",
  "resample_ffill": "Gap-filled resample: ONE user_id shuffle serves the daily aggregate, the span aggregate, the grid join, and the forward-fill window; the dense grid comes from sequence+explode (no driver-side calendar) and per-user state is bounded by the span in days.",
+ "chunk_sliding": "Sliding-window chunking: closed-form chunk count, slice windows over the token array, one explode -- ZERO exchanges, scan-bandwidth bound; the chunker a RAG/embedding pipeline runs before encode.",
 }
 
 out = ["# PLANS — physical plans of the headline queries (sf0.1, AQE on)",
@@ -85,7 +86,7 @@ for name in ["pricing_summary", "multiway_join_agg", "latest_event_per_user",
              "bm25_inverted_topk", "classifier_train_steps",
              "dup_span_removal", "video_meta", "hybrid_rrf_topk",
              "bsq_hamming_search", "countmin_estimate",
-             "resample_ffill"]:
+             "resample_ffill", "chunk_sliding"]:
     df = qs[name](spark, SF)
     df.write.format("noop").mode("overwrite").save()  # let AQE finalize
     plan = df._jdf.queryExecution().executedPlan().toString()

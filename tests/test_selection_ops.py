@@ -444,6 +444,45 @@ def test_resample_ffill_dense_grid_and_carry(spark, sf_dir):
                 prev = r.value_ffill
 
 
+def test_chunk_sliding_overlap_and_coverage(spark):
+    import hashlib
+
+    from interop_spark.queries.selection_q import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        q_chunk_sliding,
+    )
+
+    # 85 tokens → ceil((85−32)/24)+1 = 4 chunks at 0/24/48/72; the last
+    # is a 13-token partial tail
+    words = [f"w{i}" for i in range(85)]
+    # the query reads documents.parquet from its sf_dir — point it at a
+    # temp fixture dir
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            [(1, " ".join(words))], ["doc_id", "text"]
+        ).write.parquet(f"{tmp}/documents.parquet")
+        rows = sorted(
+            q_chunk_sliding(spark, tmp).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+    assert [r.chunk_idx for r in rows] == [0, 1, 2, 3]
+    assert [r.n_tokens for r in rows] == [32, 32, 32, 13]
+    for r in rows:
+        start = r.chunk_idx * CHUNK_STRIDE
+        expect = " ".join(words[start : start + CHUNK_TOKENS])
+        assert r.chunk_md5 == hashlib.md5(expect.encode()).hexdigest()
+    # short doc → exactly one whole-doc chunk
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            [(2, "a b c")], ["doc_id", "text"]
+        ).write.parquet(f"{tmp}/documents.parquet")
+        short = q_chunk_sliding(spark, tmp).collect()
+    assert len(short) == 1 and short[0].n_tokens == 3
+
+
 def test_scd2_interval_invariants(spark, sf_dir):
     from interop_spark.io import load
     from interop_spark.queries.selection_q import q_scd2_intervals
