@@ -1604,8 +1604,11 @@ def q_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions — the chunk count is closed-form, the windows are
     ``slice`` over the token array, one explode; zero shuffles, so the
     chunker is scan-bandwidth bound at any corpus size. The md5 pins
-    every chunk's exact text."""
-    d = load(spark, sf_dir, "documents")
+    every chunk's exact text. NULL-text docs emit no chunks (explicit
+    guard on BOTH sides: Spark's ``concat_ws`` would turn a NULL slice
+    into ``md5('')`` while the oracle's ``array_to_string`` yields
+    NULL — the known fixture-drift divergence class)."""
+    d = load(spark, sf_dir, "documents").where(col("text").isNotNull())
     tk = tx_tokens(col("text"))
     n = F.size(tk)
     c, s = CHUNK_TOKENS, CHUNK_STRIDE
@@ -1639,6 +1642,7 @@ def _chunk_sliding_oracle() -> str:
     return f"""
         WITH t AS (
           SELECT doc_id, {toks} AS tk, len({toks}) AS n FROM documents
+          WHERE text IS NOT NULL
         ),
         cdef AS (
           SELECT doc_id, tk, n,

@@ -474,13 +474,15 @@ def test_chunk_sliding_overlap_and_coverage(spark):
         start = r.chunk_idx * CHUNK_STRIDE
         expect = " ".join(words[start : start + CHUNK_TOKENS])
         assert r.chunk_md5 == hashlib.md5(expect.encode()).hexdigest()
-    # short doc → exactly one whole-doc chunk
+    # short doc → exactly one whole-doc chunk; NULL text → no chunks
+    # (guarded on both sides — the fixture-drift divergence class)
     with tempfile.TemporaryDirectory() as tmp:
         spark.createDataFrame(
-            [(2, "a b c")], ["doc_id", "text"]
+            [(2, "a b c"), (3, None)], ["doc_id", "text"]
         ).write.parquet(f"{tmp}/documents.parquet")
         short = q_chunk_sliding(spark, tmp).collect()
     assert len(short) == 1 and short[0].n_tokens == 3
+    assert short[0].doc_id == 2
 
 
 def test_scd2_interval_invariants(spark, sf_dir):
