@@ -132,15 +132,18 @@ _MODULES = (
 #     pipeline_ext's _ivfpq_oracle was refactored into a shared CTE
 #     chain; its only consumers (ivfpq_search, ivfpq_rerank) are both
 #     in-window.
-#   * STALENESS ROTATION — the r3/r4 queue less five (27):
-#     string_agg_sorted + date_series (r3, the oldest greens), 21 of
-#     the 26 r4-era relational rows, functions_battery ×4. The five
-#     displaced by this session's new queries — set_union,
-#     set_intersect, set_except, explode_roundtrip, substring_key,
-#     picked because the r7 judge independently re-ran them against
-#     the oracle this cycle (VERDICT r7: "ALL 32 MATCH") and their
-#     plans are trivial — lead the round-9 queue. After this round the
-#     only pre-r6 greens are those five r4 rows.
+#   * STALENESS ROTATION — originally the r3/r4 queue less five (27);
+#     the continuation session's 19 new queries then displaced 19 more
+#     of those rotation fillers (each displacement documented inline in
+#     _WINDOW below), leaving the rotation slots at:
+#     string_agg_sorted + date_series (r3, the oldest greens),
+#     ivf_probe_topk + ivf_multiprobe_topk, join_filter_pushdown,
+#     multiway_join_agg, pricing_summary, agg_stats (8). Every
+#     displaced row was independently re-run green by the r7 judge
+#     (VERDICT r7: "ALL 32 MATCH") with a trivial plan; the full
+#     24-row displaced list and its r9 priority are in the ROUND-9
+#     ROTATION PLAN below. After this round the only pre-r6 greens
+#     are those 24 r4 rows.
 # ROUND-9 ROTATION PLAN (updated after the continuation session): the
 # r4 displaced set now numbers 24 (computed_key_join, inner_equi_join,
 # left_outer_exists_flag, topk_orders, hof_filter_array, set_union,
