@@ -544,40 +544,63 @@ def parse_mp4(data: bytes | None):
     """MP4/ISO-BMFF metadata from the container bytes (public box
     layout, ISO 14496-12): walk top-level boxes, read the ftyp major
     brand and the moov/mvhd movie header — version 0 (u32 times) and
-    version 1 (u64 times) both handled. Returns
-    ``(brand, mvhd_version, timescale, duration)`` or None. Module-level
-    twin of the closure inlined in ``video_meta`` (unit-pinned in
+    version 1 (u64 times) both handled, as are the spec's special size
+    encodings: size==1 (64-bit largesize follows the type, standard for
+    >4 GiB media) and size==0 (box extends to the end of the enclosing
+    scope). Returns ``(brand, mvhd_version, timescale, duration)`` or
+    None. Module-level twin of the closure inlined in ``video_meta``
+    (agreement pinned over a generated box corpus in
     test_multimodal_decode.py)."""
     import struct as _st
 
     if data is None or len(data) < 16 or data[4:8] != b"ftyp":
         return None
     brand = data[8:12].decode("ascii", "replace")
+
+    def _box(buf, i, end):
+        # -> (payload_start, box_end) or None; handles largesize/to-end
+        (size,) = _st.unpack(">I", buf[i : i + 4])
+        hdr = 8
+        if size == 1:
+            if i + 16 > end:
+                return None
+            (size,) = _st.unpack(">Q", buf[i + 8 : i + 16])
+            hdr = 16
+        elif size == 0:
+            size = end - i
+        if size < hdr:
+            return None
+        return (i + hdr, min(i + size, end))
+
     i, n = 0, len(data)
     while i + 8 <= n:
-        (size,) = _st.unpack(">I", data[i : i + 4])
         typ = data[i + 4 : i + 8]
-        if size < 8:
+        b = _box(data, i, n)
+        if b is None:
             return None
+        p, box_end = b
         if typ == b"moov":
-            j, end = i + 8, min(i + size, n)
+            j, end = p, box_end
             while j + 8 <= end:
-                (s2,) = _st.unpack(">I", data[j : j + 4])
                 t2 = data[j + 4 : j + 8]
-                if s2 < 8:
+                b2 = _box(data, j, end)
+                if b2 is None:
                     return None
+                p2, j_end = b2
                 if t2 == b"mvhd":
-                    v = data[j + 8]
-                    if v == 0 and j + 28 <= end:
-                        ts, dur = _st.unpack(">II", data[j + 20 : j + 28])
+                    v = data[p2]
+                    if v == 0 and p2 + 20 <= end:
+                        ts, dur = _st.unpack(
+                            ">II", data[p2 + 12 : p2 + 20]
+                        )
                         return (brand, 0, ts, dur)
-                    if v == 1 and j + 40 <= end:
-                        (ts,) = _st.unpack(">I", data[j + 28 : j + 32])
-                        (dur,) = _st.unpack(">Q", data[j + 32 : j + 40])
+                    if v == 1 and p2 + 32 <= end:
+                        (ts,) = _st.unpack(">I", data[p2 + 20 : p2 + 24])
+                        (dur,) = _st.unpack(">Q", data[p2 + 24 : p2 + 32])
                         return (brand, 1, ts, dur)
                     return None
-                j += s2
-        i += size
+                j = j_end
+        i = box_end
     return None
 
 
@@ -606,41 +629,59 @@ def video_meta(df: DataFrame) -> DataFrame:
 
         import pandas as pd
 
+        def _box(buf, i, end):
+            # identical to parse_mp4's helper (agreement pinned in
+            # test_multimodal_decode.py over a generated box corpus)
+            (size,) = _st.unpack(">I", buf[i : i + 4])
+            hdr = 8
+            if size == 1:
+                if i + 16 > end:
+                    return None
+                (size,) = _st.unpack(">Q", buf[i + 8 : i + 16])
+                hdr = 16
+            elif size == 0:
+                size = end - i
+            if size < hdr:
+                return None
+            return (i + hdr, min(i + size, end))
+
         def _parse(data):
             if data is None or len(data) < 16 or data[4:8] != b"ftyp":
                 return None
             brand = data[8:12].decode("ascii", "replace")
             i, n = 0, len(data)
             while i + 8 <= n:
-                (size,) = _st.unpack(">I", data[i : i + 4])
                 typ = data[i + 4 : i + 8]
-                if size < 8:
+                b = _box(data, i, n)
+                if b is None:
                     return None
+                p, box_end = b
                 if typ == b"moov":
-                    j, end = i + 8, min(i + size, n)
+                    j, end = p, box_end
                     while j + 8 <= end:
-                        (s2,) = _st.unpack(">I", data[j : j + 4])
                         t2 = data[j + 4 : j + 8]
-                        if s2 < 8:
+                        b2 = _box(data, j, end)
+                        if b2 is None:
                             return None
+                        p2, j_end = b2
                         if t2 == b"mvhd":
-                            v = data[j + 8]
-                            if v == 0 and j + 28 <= end:
+                            v = data[p2]
+                            if v == 0 and p2 + 20 <= end:
                                 ts, dur = _st.unpack(
-                                    ">II", data[j + 20 : j + 28]
+                                    ">II", data[p2 + 12 : p2 + 20]
                                 )
                                 return (brand, 0, ts, dur)
-                            if v == 1 and j + 40 <= end:
+                            if v == 1 and p2 + 32 <= end:
                                 (ts,) = _st.unpack(
-                                    ">I", data[j + 28 : j + 32]
+                                    ">I", data[p2 + 20 : p2 + 24]
                                 )
                                 (dur,) = _st.unpack(
-                                    ">Q", data[j + 32 : j + 40]
+                                    ">Q", data[p2 + 24 : p2 + 32]
                                 )
                                 return (brand, 1, ts, dur)
                             return None
-                        j += s2
-                i += size
+                        j = j_end
+                i = box_end
             return None
 
         for pdf in batches:

@@ -122,9 +122,16 @@ def bm25_scores(
     a broadcast cross-join attaches it and every document scores itself
     in one zero-shuffle projection. Returns (id, bm25 rounded to 6,
     signed-zero-normalized) for ALL documents; callers filter/top-k.
+
+    NULL-text rows are excluded up front (from the corpus stats AND the
+    scoring scan): under non-ANSI Spark ``size(tokens(NULL))`` is -1,
+    which would skew Σdl/avgdl and emit tf = -1 garbage while a SQL
+    oracle's NULL-skipping ``sum`` silently diverges — the known
+    fixture-drift class guarded identically in ``chunk_sliding`` and
+    ``dsir_logratio``.
     """
     toks = tx.tokens(F.col(text_col))
-    d = df.select(
+    d = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias(id_col),
         toks.alias("_toks"),
         F.size(toks).alias("_dl"),

@@ -144,7 +144,11 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_oracle() -> str:
+def _bm25_oracle(limit: int = BM25_TOPK) -> str:
+    """Parameterized so ``_hybrid_rrf_oracle`` can reuse the identical
+    CTE chain at its shortlist size instead of text-surgery on the
+    rendered SQL (which silently no-ops if the LIMIT formatting ever
+    changes)."""
     toks = "string_split_regex(trim(text), '\\s+')"
     dfs = ",\n                 ".join(
         f"CAST(sum(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END)"
@@ -165,6 +169,7 @@ def _bm25_oracle() -> str:
     return f"""
         WITH d AS (
           SELECT doc_id, {toks} AS toks, len({toks}) AS dl FROM documents
+          WHERE text IS NOT NULL
         ),
         s AS (
           SELECT CAST(count(*) AS DOUBLE) AS nd,
@@ -182,7 +187,7 @@ def _bm25_oracle() -> str:
           FROM t, s
         )
         SELECT doc_id, bm25 FROM sc
-        WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOPK}
+        WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT {limit}
     """
 
 
@@ -625,8 +630,10 @@ def q_bm25_inverted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query terms against it, and aggregate per-doc scores. Only
     documents containing ≥1 query term ever leave the posting join —
     the corpus is never re-scanned per query. Must rank identically to
-    the scan-scoring twin (pinned in tests)."""
-    d = load(spark, sf_dir, "documents")
+    the scan-scoring twin (pinned in tests). NULL-text rows are
+    excluded before the stats/posting build (same guard + rationale as
+    ``retrieval.bm25_scores``)."""
+    d = load(spark, sf_dir, "documents").where(col("text").isNotNull())
     toks = tx_tokens(col("text"))
     base = d.select(
         "doc_id", toks.alias("_toks"), F.size(toks).alias("_dl")
@@ -687,6 +694,7 @@ def _bm25_inverted_oracle() -> str:
     return f"""
         WITH d AS (
           SELECT doc_id, {toks} AS toks, len({toks}) AS dl FROM documents
+          WHERE text IS NOT NULL
         ),
         post AS (
           SELECT doc_id, term, count(*) AS tf
@@ -1201,17 +1209,14 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hybrid_rrf_oracle() -> str:
     from interop_spark.queries.pipeline import _dk_dot, _dk_norm
 
-    bm25 = _bm25_oracle()
     cos = (
         f"round({_dk_dot('e.embedding', 'q.qvec')}"
         f" / greatest({_dk_norm('e.embedding')} * {_dk_norm('q.qvec')},"
         f" 1e-12), 9)"
     )
-    # reuse the BM25 oracle minus its trailing top-k/filter: inline the
-    # same CTE chain but shortlist RRF_SHORTLIST
-    bm25_shortlist = bm25.replace(
-        f"LIMIT {BM25_TOPK}", f"LIMIT {RRF_SHORTLIST}"
-    )
+    # reuse the BM25 oracle's CTE chain at the shortlist size via its
+    # limit parameter (not string surgery on the rendered SQL)
+    bm25_shortlist = _bm25_oracle(limit=RRF_SHORTLIST)
     return f"""
         WITH lex AS ({bm25_shortlist}),
         lexr AS (
@@ -1551,7 +1556,9 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         F.coalesce(col("n_events"), F.lit(0)).alias("n_events"),
         F.last("day_value", ignorenulls=True).over(w).alias("value_ffill"),
-        col("day_value").isNull().alias("gap_filled"),
+        # the left-join MISS marks a gap (a day with events whose values
+        # all aggregate to NULL is observed, not a gap)
+        col("n_events").isNull().alias("gap_filled"),
     )
 
 
@@ -1583,7 +1590,7 @@ def _resample_ffill_oracle() -> str:
                last_value(day_value IGNORE NULLS) OVER
                  (PARTITION BY user_id ORDER BY day
                   ROWS UNBOUNDED PRECEDING) AS value_ffill,
-               day_value IS NULL AS gap_filled
+               n_events IS NULL AS gap_filled
         FROM j
     """
 

@@ -209,9 +209,71 @@ def test_parse_mp4_rejects_garbage_and_truncation():
     assert parse_mp4(b"notavideo" * 3) is None
     good = _mp4_bytes(0, 600, 1200)
     assert parse_mp4(good[:40]) is None  # moov truncated away
-    # a zero-size box must not loop forever
-    bad = good[:16] + struct.pack(">I", 0) + good[20:]
+    # a declared size below the header length is malformed
+    bad = good[:16] + struct.pack(">I", 4) + good[20:]
     assert parse_mp4(bad) is None
+    # a truncated largesize header is malformed
+    assert (
+        parse_mp4(good[:16] + struct.pack(">I", 1) + b"moov" + b"\x00")
+        is None
+    )
+
+
+def _mp4_special_corpus() -> list:
+    good = _mp4_bytes(0, 600, 1200)
+    mvhd = good[24:]
+    return [
+        good,
+        _mp4_bytes(1, 90000, 10_000_000_000),
+        # size == 0: top-level box extends to the end of the data
+        good[:16] + struct.pack(">I", 0) + good[20:],
+        # size == 1: 64-bit largesize follows the box type
+        good[:16]
+        + struct.pack(">I", 1)
+        + b"moov"
+        + struct.pack(">Q", 16 + len(mvhd))
+        + mvhd,
+        good[:40],
+        good[:16] + struct.pack(">I", 4) + good[20:],
+        b"junkjunkjunkjunkjunk",
+    ]
+
+
+def test_parse_mp4_special_size_encodings():
+    from interop_spark.operators.multimodal import parse_mp4
+
+    corpus = _mp4_special_corpus()
+    # size == 0 (to end of data) and size == 1 (largesize) are VALID
+    # ISO 14496-12 encodings, not malformed input
+    assert parse_mp4(corpus[2]) == ("isom", 0, 600, 1200)
+    assert parse_mp4(corpus[3]) == ("isom", 0, 600, 1200)
+
+
+def test_video_meta_closure_agrees_with_parse_mp4(spark):
+    """The inline closure in video_meta must agree with the
+    module-level parse_mp4 on every corpus entry, including the
+    special size encodings (guards against a fix landing in only one
+    of the two copies)."""
+    from interop_spark.operators.multimodal import parse_mp4, video_meta
+
+    corpus = _mp4_special_corpus()
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in enumerate(corpus)],
+        "media_id long, data binary",
+    )
+    rows = {r.media_id: r for r in video_meta(df).collect()}
+    for i, b in enumerate(corpus):
+        exp = parse_mp4(bytes(b))
+        got = rows[i]
+        if exp is None:
+            assert got.brand is None and got.timescale is None
+        else:
+            assert (
+                got.brand,
+                got.mvhd_version,
+                got.timescale,
+                got.duration,
+            ) == exp
 
 
 def test_video_meta_operator(spark):
