@@ -220,6 +220,20 @@ _BOOLEAN_LEAVES = frozenset({"active", "preferred", "primary",
 # R4 `instant` elements among commonly mapped paths: Observation.issued,
 # Provenance/AuditEvent.recorded, Meta.lastUpdated
 _INSTANT_LEAVES = frozenset({"issued", "recorded", "lastUpdated"})
+# R4 oid/uuid-VALUED uri leaves among commonly mapped paths
+# (Identifier.system, Bundle.entry.fullUrl): the FHIR `oid`/`uuid`
+# primitive value spaces are the urn forms (urn:oid:…, urn:uuid:…), but
+# sources almost always carry the bare value — normalize by prefixing
+# ONLY when the value is a bare OID / bare UUID, so scheme'd URIs
+# (http://…, urn:…) and free-text system ids pass through untouched.
+# `canonical` stays the plain string cast by design: its value space
+# (URL + optional |version suffix) is exactly what a string source holds.
+_URN_VALUE_LEAVES = frozenset({"system", "fullUrl"})
+_OID_RE = r"^[0-2](\.(0|[1-9][0-9]*))+$"
+_UUID_RE = (
+    r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+    r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+)
 
 
 def _src_col(src) -> Column:
@@ -242,6 +256,13 @@ def _leaf_value(src, path: str = "") -> Column:
         # FHIR instant is the ISO-8601 'T' form. String sources in ISO
         # form contain no space and pass through unchanged.
         return F.replace(c.cast("string"), F.lit(" "), F.lit("T"))
+    if leaf in _URN_VALUE_LEAVES:
+        s = c.cast("string")
+        return (
+            F.when(s.rlike(_OID_RE), F.concat(F.lit("urn:oid:"), s))
+            .when(s.rlike(_UUID_RE), F.concat(F.lit("urn:uuid:"), s))
+            .otherwise(s)
+        )
     return c.cast("string")
 
 

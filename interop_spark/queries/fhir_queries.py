@@ -92,9 +92,14 @@ def q_fhir_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Claim.billablePeriod.start/end — two string leaves under one
     non-repeated complex element), an R4 unsignedInt
     (MedicationRequest.dispenseRequest.numberOfRepeatsAllowed — JSON
-    number), and an `instant` from a TIMESTAMP_NTZ source
+    number), an `instant` from a TIMESTAMP_NTZ source
     (Observation.issued — the writer must emit the ISO-8601 'T' form,
-    not the space-separated string a plain cast produces)."""
+    not the space-separated string a plain cast produces), and the
+    urn-valued uri leaves: a bare OID source (Patient.identifier.system
+    — must emit urn:oid:…), a bare UUID source
+    (MedicationRequest.identifier.system — must emit urn:uuid:…), and
+    an http system (Claim.identifier.system, via a literal mapping)
+    that must pass through UNprefixed."""
     from interop_spark.fhir import Bundle, Mapping, MappingManager
 
     src = (
@@ -126,13 +131,37 @@ def q_fhir_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " CAST(c_custkey % 24 AS INT),"
                 " CAST(c_custkey % 60 AS INT), 0)"
             ).alias("OBS_ISSUED"),
+            # bare OID → writer must emit urn:oid:…
+            F.concat(
+                F.lit("2.16.840.1."), col("c_custkey").cast("string")
+            ).alias("PAT_ID_SYSTEM"),
+            F.concat(F.lit("ssn-"), col("c_custkey").cast("string")).alias(
+                "PAT_SSN"
+            ),
+            # bare UUID (deterministic, from the row key) → urn:uuid:…
+            F.concat_ws(
+                "-",
+                F.substring(F.md5(col("c_custkey").cast("string")), 1, 8),
+                F.substring(F.md5(col("c_custkey").cast("string")), 9, 4),
+                F.substring(F.md5(col("c_custkey").cast("string")), 13, 4),
+                F.substring(F.md5(col("c_custkey").cast("string")), 17, 4),
+                F.substring(F.md5(col("c_custkey").cast("string")), 21, 12),
+            ).alias("MED_URN"),
         )
     )
     maps = [
         Mapping("CUST_ID", "Patient.id"),
         Mapping("CUST_NAME", "Patient.name.text"),
         Mapping("MULTI_BIRTH", "Patient.multipleBirthInteger"),
+        Mapping("PAT_ID_SYSTEM", "Patient.identifier.system"),
+        Mapping("PAT_SSN", "Patient.identifier.value"),
         Mapping("CLM_ID", "Claim.id"),
+        Mapping(
+            "http://example.org/claims", "Claim.identifier.system",
+            literal=True,
+        ),
+        Mapping("CLM_ID", "Claim.identifier.value"),
+        Mapping("MED_URN", "MedicationRequest.identifier.system"),
         Mapping("CLM_UNIT_PRICE", "Claim.item.unitPrice.value"),
         Mapping("CLM_START", "Claim.billablePeriod.start"),
         Mapping("CLM_END", "Claim.billablePeriod.end"),
@@ -180,6 +209,21 @@ def q_fhir_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(
             "v", "$.entry[3].resource.issued", "string"
         ).alias("obs_issued"),
+        F.variant_get(
+            "v", "$.entry[0].resource.identifier[0].system", "string"
+        ).alias("pat_id_system"),
+        F.variant_get(
+            "v", "$.entry[0].resource.identifier[0].value", "string"
+        ).alias("pat_ssn"),
+        F.variant_get(
+            "v", "$.entry[1].resource.identifier[0].system", "string"
+        ).alias("claim_system"),
+        F.variant_get(
+            "v", "$.entry[1].resource.identifier[0].value", "string"
+        ).alias("claim_id2"),
+        F.variant_get(
+            "v", "$.entry[2].resource.identifier[0].system", "string"
+        ).alias("med_urn"),
     )
 
 
@@ -623,7 +667,19 @@ ORACLE = {
                concat('1995-01-01T',
                       lpad(CAST(c_custkey % 24 AS VARCHAR), 2, '0'), ':',
                       lpad(CAST(c_custkey % 60 AS VARCHAR), 2, '0'),
-                      ':00') AS obs_issued
+                      ':00') AS obs_issued,
+               'urn:oid:2.16.840.1.' || CAST(c_custkey AS VARCHAR)
+                 AS pat_id_system,
+               'ssn-' || CAST(c_custkey AS VARCHAR) AS pat_ssn,
+               'http://example.org/claims' AS claim_system,
+               CAST(c_custkey + 100000 AS VARCHAR) AS claim_id2,
+               'urn:uuid:' || concat_ws('-',
+                 substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8),
+                 substr(md5(CAST(c_custkey AS VARCHAR)), 9, 4),
+                 substr(md5(CAST(c_custkey AS VARCHAR)), 13, 4),
+                 substr(md5(CAST(c_custkey AS VARCHAR)), 17, 4),
+                 substr(md5(CAST(c_custkey AS VARCHAR)), 21, 12))
+                 AS med_urn
         FROM customer WHERE c_custkey < 50
     """,
     "multimodal_features": """

@@ -607,6 +607,128 @@ def q_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RERANK_SHORTLISTS = (PQ_TOPK, 3 * PQ_TOPK, 10 * PQ_TOPK)
+
+
+def q_ivfpq_rerank_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortlist-sensitivity instrumentation for the two-stage IVF-PQ +
+    exact-refinement path: recall@{PQ_TOPK} of ``ivfpq_rerank`` against
+    exact squared-L2 ground truth at shortlist ∈ {{k, 3k, 10k}} —
+    completing the recall-instrumentation family (ivf/mrl/minhash/
+    countmin) for the rerank boundary specifically, where a too-small
+    shortlist silently caps recall no matter how good the refinement
+    is. Deterministic round-9 ranking + vec_id tie-breaks on both
+    stages, so the whole sensitivity curve is one value-hashed row.
+
+    Shape at scale: ground truth is one brute-force scan (priced once,
+    as instrumentation); each sweep point reuses the same codebooks and
+    probes ~nprobe/C of the corpus, and every recall join is on
+    ≤{PQ_TOPK}-row sets."""
+    from interop_spark.operators.pq import ivfpq_rerank, l2sq, pq_train
+    from interop_spark.operators.similarity import as_double
+
+    e = load(spark, sf_dir, "embeddings")
+    cent = e.where(col("vec_id") < N_CENTROIDS).select(
+        col("vec_id").alias("centroid_id"), col("embedding").alias("centroid")
+    )
+    cbs = pq_train(
+        e, m_subspaces=PQ_M, k=PQ_K, iters=PQ_ITERS, dim=EMB_DIM
+    )
+    q = [
+        float(x)
+        for x in e.where(col("vec_id") == PQ_QUERY_ID)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+    qv = F.array(*[F.lit(float(x)) for x in q])
+    exact_topk = (
+        e.select(
+            "vec_id",
+            F.round(
+                l2sq(as_double(col("embedding")), as_double(qv)), 9
+            ).alias("_d"),
+        )
+        .orderBy(col("_d").asc(), col("vec_id").asc())
+        .limit(PQ_TOPK)
+        .select("vec_id")
+        .localCheckpoint()
+    )
+    parts = []
+    for s in RERANK_SHORTLISTS:
+        rr = ivfpq_rerank(
+            e, cent, cbs, q, k=PQ_TOPK, shortlist=s, nprobe=IVFPQ_NPROBE
+        ).select("vec_id")
+        hits = rr.join(exact_topk, "vec_id").agg(
+            F.count(F.lit(1)).alias("n_hit")
+        )
+        parts.append(
+            hits.select(
+                F.lit(s).alias("shortlist"),
+                F.lit(PQ_TOPK).alias("k"),
+                col("n_hit"),
+                F.round(col("n_hit") / F.lit(float(PQ_TOPK)), 6).alias(
+                    "recall"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def _ivfpq_rerank_sweep_oracle() -> str:
+    """Twin of q_ivfpq_rerank_sweep: the shared IVF-PQ chain's ADC
+    distances cut at each sweep shortlist, exact-rescored to top-k, and
+    intersected with the brute-force exact top-k."""
+    exact_d = (
+        f"round(list_sum(list_transform(generate_series(1, {EMB_DIM}),"
+        f" i -> (CAST(e.embedding[i] AS DOUBLE)"
+        f" - CAST(q.qe[i] AS DOUBLE))"
+        f" * (CAST(e.embedding[i] AS DOUBLE)"
+        f" - CAST(q.qe[i] AS DOUBLE)))), 9)"
+    )
+    ctes = [
+        f"""qfull AS (
+          SELECT embedding AS qe FROM embeddings
+          WHERE vec_id = {PQ_QUERY_ID}
+        )""",
+        f"""exactk AS (
+          SELECT e.vec_id FROM embeddings e, qfull q
+          ORDER BY {exact_d} ASC, e.vec_id ASC LIMIT {PQ_TOPK}
+        )""",
+    ]
+    parts = []
+    for s in RERANK_SHORTLISTS:
+        ctes.append(
+            f"""cand{s} AS (
+          SELECT vec_id FROM adc
+          ORDER BY adc_dist ASC, vec_id ASC LIMIT {s}
+        )"""
+        )
+        ctes.append(
+            f"""rr{s} AS (
+          SELECT e.vec_id FROM embeddings e
+          JOIN cand{s} USING (vec_id), qfull q
+          ORDER BY {exact_d} ASC, e.vec_id ASC LIMIT {PQ_TOPK}
+        )"""
+        )
+        parts.append(
+            f"""SELECT CAST({s} AS INTEGER) AS shortlist,
+               CAST({PQ_TOPK} AS INTEGER) AS k,
+               CAST(count(*) AS BIGINT) AS n_hit,
+               round(CAST(count(*) AS DOUBLE) / {PQ_TOPK}, 6) AS recall
+        FROM rr{s} JOIN exactk USING (vec_id)"""
+        )
+    return (
+        _ivfpq_cte_chain()
+        + ",\n        "
+        + ",\n        ".join(ctes)
+        + "\n        "
+        + "\n        UNION ALL\n        ".join(parts)
+    )
+
+
 def _pq_chain(src: str = "embeddings", prefix: str = "") -> str:
     """Shared DuckDB CTE chain: train(M,k,1 iter) codebooks + every
     vector's codes, with the subspace as a DATA dimension — slice
@@ -1280,6 +1402,7 @@ QUERIES = {
     "pq_adc_topk": q_pq_adc_topk,
     "ivfpq_search": q_ivfpq_search,
     "ivfpq_rerank": q_ivfpq_rerank,
+    "ivfpq_rerank_sweep": q_ivfpq_rerank_sweep,
     "ivfpq_residual_search": q_ivfpq_residual_search,
     "substring_dup_runs": q_substring_dup_runs,
     "winnow_dup_pairs": q_winnow_dup_pairs,
@@ -1399,6 +1522,7 @@ ORACLE = {
     "pq_adc_topk": _pq_adc_oracle(),
     "ivfpq_search": _ivfpq_oracle(),
     "ivfpq_rerank": _ivfpq_rerank_oracle(),
+    "ivfpq_rerank_sweep": _ivfpq_rerank_sweep_oracle(),
     "ivfpq_residual_search": _ivfpq_residual_oracle(),
     "substring_dup_runs": _substring_dup_oracle(),
     "winnow_dup_pairs": _winnow_oracle(),

@@ -138,11 +138,58 @@ def q_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_S = 1800
+SESSION_WM_S = 600  # "10 minutes" watermark delay
+
+
+def q_stream_sessionize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SESSIONIZATION through the correctness gate: the events
+    file source → ``sessionize_stream_event_time`` (the custom stateful
+    ``applyInPandasWithState`` operator, event-time timeout) → append to
+    a memory sink via availableNow. Only sessions CLOSED by the final
+    watermark (last event + gap strictly behind ``max(ts) − {SESSION_WM_S}s``)
+    are ever emitted, so the emitted set is a deterministic function of
+    the data — the batch ``sessionize`` lag+cumsum SQL restricted to the
+    same close predicate is an exact oracle. Session bounds are emitted
+    as epoch microseconds (the state roundtrip is exact at µs precision).
+
+    Scale posture: state per user is the event buffer of OPEN sessions
+    only (~watermark − gap of history), sharded by user_id across
+    executors; availableNow is the bounded-backfill configuration of the
+    continuously-running job."""
+    import uuid
+
+    from interop_spark.io import load_stream
+    from interop_spark.streaming.streams import sessionize_stream_event_time
+
+    name = "stream_sessionize_" + uuid.uuid4().hex[:8]
+    src = load_stream(spark, sf_dir, "events")
+    sess = sessionize_stream_event_time(
+        src, gap_seconds=SESSION_GAP_S, watermark=f"{SESSION_WM_S} seconds"
+    )
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros(col("session_start")).alias("start_us"),
+        F.unix_micros(col("session_end")).alias("end_us"),
+        "events_in_session",
+        "session_value",
+    )
+
+
 QUERIES = {
     "asof_join": q_asof_join,
     "range_join_pairs": q_range_join_pairs,
     "stream_windowed_counts": q_stream_windowed_counts,
     "stream_dedup_counts": q_stream_dedup_counts,
+    "stream_sessionize_counts": q_stream_sessionize_counts,
 }
 
 ORACLE = {
@@ -195,5 +242,40 @@ ORACLE = {
                count(1) AS n_events,
                round(sum(value), 2) AS total_value
         FROM events GROUP BY 1, 2
+    """,
+    # the batch sessionize lag+cumsum, restricted to sessions CLOSED by
+    # the final watermark — exactly what the streaming run emits. The
+    # watermark mirrors Spark's arithmetic: max event time truncated to
+    # ms, minus the delay, compared in float seconds like the stateful
+    # operator's close predicate.
+    "stream_sessionize_counts": f"""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                      > {SESSION_GAP_S} THEN 1 ELSE 0 END AS new_session
+          FROM events
+        ), sess AS (
+          SELECT user_id, ts, value,
+                 sum(new_session) OVER (PARTITION BY user_id
+                                        ORDER BY ts ASC, event_id ASC
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS session_id
+          FROM flagged
+        ), agg AS (
+          SELECT user_id,
+                 epoch_us(min(ts)) AS start_us,
+                 epoch_us(max(ts)) AS end_us,
+                 count(1) AS events_in_session,
+                 round(sum(value), 2) AS session_value
+          FROM sess GROUP BY user_id, session_id
+        ), wm AS (
+          SELECT (epoch_us(max(ts)) // 1000 - {SESSION_WM_S * 1000})
+                   / 1000.0 AS wm_sec
+          FROM events
+        )
+        SELECT user_id, start_us, end_us, events_in_session, session_value
+        FROM agg, wm
+        WHERE end_us / 1000000.0 + {float(SESSION_GAP_S)!r} < wm_sec
     """,
 }

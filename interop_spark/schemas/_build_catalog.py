@@ -828,6 +828,77 @@ CATALOG = {
 }
 
 
+# ---- full-catalog spine (FhirSchemaModel(full=True)) ----------------------
+#
+# The remaining R4 resource types (public list, hl7.org/fhir/R4/
+# resourcelist.html; Bundle is the envelope the reader itself parses and
+# Parameters is not a persistable DomainResource — both excluded). Each
+# gets the UNIVERSAL DomainResource spine only — id/meta/implicitRules/
+# language/text/extension/modifierExtension — which is honest for every
+# type (per-resource fields vary in type across resources, so a deeper
+# generic schema would misdeclare some of them; e.g. `identifier` is
+# 0..1 on QuestionnaireResponse but 0..* almost everywhere else). The
+# spine means full=True RECOGNIZES every R4 resource type (no silent
+# drop into `other`), and a user needing deep fields overrides that one
+# type via `with_overrides` — the reference's own mechanism.
+
+NARRATIVE = _struct(status=S, div=S)
+
+_SPINE = _resource(
+    implicitRules=S,
+    language=S,
+    text=NARRATIVE,
+    extension=_arr(EXTENSION),
+    modifierExtension=_arr(EXTENSION),
+)
+
+# Binary is a plain Resource with typed content fields — worth the exact
+# schema instead of the DomainResource spine (it has no text/extension).
+BINARY = _resource(contentType=S, data=S, securityContext=REFERENCE)
+
+FULL_SPINE_TYPES = [
+    "ActivityDefinition", "AdverseEvent", "AppointmentResponse",
+    "AuditEvent", "Basic", "BiologicallyDerivedProduct", "BodyStructure",
+    "CapabilityStatement", "CatalogEntry", "ChargeItem",
+    "ChargeItemDefinition", "ClaimResponse", "ClinicalImpression",
+    "CodeSystem", "CommunicationRequest", "CompartmentDefinition",
+    "Composition", "ConceptMap", "Contract", "CoverageEligibilityRequest",
+    "CoverageEligibilityResponse", "DetectedIssue", "DeviceDefinition",
+    "DeviceMetric", "DeviceRequest", "DeviceUseStatement",
+    "DocumentManifest", "EffectEvidenceSynthesis", "Endpoint",
+    "EnrollmentRequest", "EnrollmentResponse", "EventDefinition",
+    "Evidence", "EvidenceVariable", "ExampleScenario", "Flag",
+    "GraphDefinition", "Group", "GuidanceResponse", "HealthcareService",
+    "ImmunizationEvaluation", "ImmunizationRecommendation",
+    "ImplementationGuide", "InsurancePlan", "Invoice", "Library",
+    "Linkage", "List", "Measure", "MeasureReport", "MedicationKnowledge",
+    "MedicinalProduct", "MedicinalProductAuthorization",
+    "MedicinalProductContraindication", "MedicinalProductIndication",
+    "MedicinalProductIngredient", "MedicinalProductInteraction",
+    "MedicinalProductManufactured", "MedicinalProductPackaged",
+    "MedicinalProductPharmaceutical", "MedicinalProductUndesirableEffect",
+    "MessageDefinition", "MolecularSequence", "NamingSystem",
+    "NutritionOrder", "ObservationDefinition", "OperationDefinition",
+    "OperationOutcome", "OrganizationAffiliation", "PaymentNotice",
+    "PaymentReconciliation", "Person", "PlanDefinition", "Questionnaire",
+    "QuestionnaireResponse", "RequestGroup", "ResearchDefinition",
+    "ResearchElementDefinition", "ResearchStudy", "ResearchSubject",
+    "RiskAssessment", "RiskEvidenceSynthesis", "Schedule",
+    "SearchParameter", "Slot", "SpecimenDefinition",
+    "StructureDefinition", "StructureMap", "Subscription", "Substance",
+    "SubstanceNucleicAcid", "SubstancePolymer", "SubstanceProtein",
+    "SubstanceReferenceInformation", "SubstanceSourceMaterial",
+    "SubstanceSpecification", "SupplyRequest", "Task",
+    "TerminologyCapabilities", "TestReport", "TestScript", "ValueSet",
+    "VerificationResult", "VisionPrescription",
+]
+
+FULL_CATALOG = {name: _SPINE for name in FULL_SPINE_TYPES}
+FULL_CATALOG["Binary"] = BINARY
+
+assert not set(FULL_CATALOG) & set(CATALOG), "spine/curated overlap"
+
+
 def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     for name, st in CATALOG.items():
@@ -836,6 +907,14 @@ def main() -> None:
             json.dump(st.jsonValue(), f, indent=1, sort_keys=True)
             f.write("\n")
     print(f"wrote {len(CATALOG)} schema files to {here}")
+    full_dir = os.path.join(here, "full")
+    os.makedirs(full_dir, exist_ok=True)
+    for name, st in FULL_CATALOG.items():
+        path = os.path.join(full_dir, f"{name}.json")
+        with open(path, "w") as f:
+            json.dump(st.jsonValue(), f, indent=1, sort_keys=True)
+            f.write("\n")
+    print(f"wrote {len(FULL_CATALOG)} spine schema files to {full_dir}")
 
 
 if __name__ == "__main__":

@@ -24,52 +24,36 @@ EVENT_JSON_SCHEMA = (
 
 
 def stream_bundles_from_directory(
-    spark: SparkSession, path: str, schemas=None
+    spark: SparkSession, path: str, schemas=None, include_other: bool = False
 ) -> DataFrame:
     """Streaming twin of ``fhir.read_from_directory(...).entry()``: new
-    bundle JSON files appearing under ``path`` become bundle rows.
+    bundle JSON files appearing under ``path`` become bundle rows — the
+    Auto-Loader-style incremental-ingest shape of SURVEY §2.8.
 
-    Uses the text file source with ``wholetext`` (one row per file), then
-    the same variant-based extraction as the batch reader.
+    Delegates to the batch parse core ``entry_from_json`` over a
+    ``readStream`` text source (wholetext, one row per file): every
+    transformation in that core is a stateless projection, so the SAME
+    expression tree runs in both engines and stream==batch equality
+    holds by construction — identical columns (bundleId/bundleType
+    metadata, per-type arrays, ``_other``) and identical bundleUUIDs
+    (both sides seed from ``_metadata.file_path``). Pinned by
+    ``test_stream_bundles_equals_batch_entry`` on the reference's 4 ADT
+    fixtures.
+
+    At scale: the file source's incremental listing checkpoints which
+    files were seen (maxFilesPerTrigger for backpressure); everything
+    downstream is per-row projection — no state store, no watermark
+    needed until an aggregation is stacked on top.
     """
-    from interop_spark.fhir.reader import _uuid_from_md5
-    from interop_spark.fhir.schema import FhirSchemaModel
+    from interop_spark.fhir.reader import entry_from_json
 
-    schemas = schemas or FhirSchemaModel()
     raw = (
         spark.readStream.format("text")
         .option("wholetext", "true")
         .load(path)
         .select(F.col("value"), F.col("_metadata.file_path").alias("_file_path"))
     )
-    v = raw.select(
-        _uuid_from_md5(F.md5(F.col("_file_path"))).alias("bundleUUID"),
-        F.try_parse_json(F.col("value")).alias("_v"),
-    )
-    cols = [
-        F.col("bundleUUID"),
-        F.variant_get("_v", "$.type", "string").alias("bundleType"),
-        F.variant_get("_v", "$.timestamp", "string")
-        .cast("timestamp")
-        .alias("timestamp"),
-    ]
-    entries = F.variant_get("_v", "$.entry", "array<variant>")
-
-    def _matcher(rt_name):
-        return lambda e: (
-            F.variant_get(e, "$.resource.resourceType", "string") == F.lit(rt_name)
-        )
-
-    def _extractor(ddl):
-        return lambda e: F.variant_get(e, "$.resource", ddl)
-
-    for rt in schemas.resource_types():
-        typed = F.transform(
-            F.filter(entries, _matcher(rt)),
-            _extractor(schemas.schema(rt).simpleString()),
-        )
-        cols.append(F.when(F.size(typed) > 0, typed).alias(rt))
-    return v.select(*cols)
+    return entry_from_json(raw, schemas=schemas, include_other=include_other)
 
 
 def stream_events_json(spark: SparkSession, path: str) -> DataFrame:

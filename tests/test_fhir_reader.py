@@ -455,3 +455,47 @@ def test_explode2_preserves_cross_product_and_inner_semantics(spark):
     assert got == sorted(
         ("b1", p, c) for p in ("p1", "p2") for c in ("c1", "c2", "c3")
     )
+
+
+def test_full_catalog_recognizes_off_catalog_types(spark, tmp_path):
+    """FhirSchemaModel(full=True): every R4 resource type resolves — an
+    off-catalog resource (Task, Flag) materializes as a typed spine
+    column (id/meta/text/extension) instead of dropping into `_other`;
+    the curated deep schemas are unchanged."""
+    from interop_spark.fhir import read_from_directory
+    from interop_spark.fhir.schema import FhirSchemaModel
+
+    bundle = {
+        "resourceType": "Bundle",
+        "id": "full-1",
+        "type": "collection",
+        "timestamp": "2024-03-03T00:00:00Z",
+        "entry": [
+            {"resource": {"resourceType": "Patient", "id": "p-1",
+                          "name": [{"text": "Full Cat"}]}},
+            {"resource": {"resourceType": "Task", "id": "t-1",
+                          "language": "en",
+                          "text": {"status": "generated",
+                                   "div": "<div>do it</div>"}}},
+            {"resource": {"resourceType": "Flag", "id": "f-1",
+                          "meta": {"versionId": "7"}}},
+        ],
+    }
+    d = tmp_path / "fullcat"
+    d.mkdir()
+    (d / "b1.json").write_text(json.dumps(bundle))
+
+    full = FhirSchemaModel(full=True)
+    assert len(full.resource_types()) >= 140  # curated 39 + spine set
+
+    entry = read_from_directory(str(d), spark=spark).entry(schemas=full)
+    row = entry.collect()[0]
+    assert row.Patient[0].name[0].text == "Full Cat"
+    assert row.Task[0].id == "t-1"
+    assert row.Task[0].language == "en"
+    assert row.Task[0].text.status == "generated"
+    assert row.Flag[0].meta.versionId == "7"
+
+    # default catalog still drops them (into _other only when asked)
+    lean = read_from_directory(str(d), spark=spark).entry()
+    assert "Task" not in lean.columns and "Flag" not in lean.columns

@@ -397,3 +397,55 @@ def test_writer_reader_roundtrip_unitprice_multiplebirth(spark, tmp_path):
         ).collect()
     }
     assert got == {("p1", 3, "c1", 19.99, 1), ("p2", 0, "c2", 250.5, 2)}
+
+
+def test_writer_urn_value_leaves(spark):
+    """R4 oid/uuid value-space normalization on urn-valued uri leaves:
+    a bare OID gets urn:oid:, a bare UUID gets urn:uuid:, and scheme'd
+    or free-text system ids pass through untouched."""
+    import json as _json
+
+    from interop_spark.fhir import Bundle, Mapping, MappingManager
+
+    src = spark.createDataFrame(
+        [
+            (
+                "p1",
+                "2.16.840.1.113883.4.1",
+                "123-45-6789",
+                "c1",
+                "0f8fad5b-d9cb-469f-a165-70867728950e",
+            ),
+            ("p2", "http://hl7.org/fhir/sid/us-ssn", "987", "c2", "mrn-local"),
+        ],
+        "PID string, SYS string, VAL string, CLM string, CSYS string",
+    )
+    maps = [
+        Mapping("PID", "Patient.id"),
+        Mapping("SYS", "Patient.identifier.system"),
+        Mapping("VAL", "Patient.identifier.value"),
+        Mapping("CLM", "Claim.id"),
+        Mapping("CSYS", "Claim.identifier.system"),
+        Mapping("CLM", "Claim.identifier.value"),
+    ]
+    out = Bundle(MappingManager(maps, src.schema)).df_to_fhir_df(src).collect()
+    rows = {}
+    for r in out:
+        b = _json.loads(r.value)
+        res = {e["resource"]["resourceType"]: e["resource"] for e in b["entry"]}
+        rows[res["Patient"]["id"]] = res
+    assert (
+        rows["p1"]["Patient"]["identifier"][0]["system"]
+        == "urn:oid:2.16.840.1.113883.4.1"
+    )
+    assert rows["p1"]["Patient"]["identifier"][0]["value"] == "123-45-6789"
+    assert (
+        rows["p1"]["Claim"]["identifier"][0]["system"]
+        == "urn:uuid:0f8fad5b-d9cb-469f-a165-70867728950e"
+    )
+    # scheme'd URI and free-text ids must NOT be prefixed
+    assert (
+        rows["p2"]["Patient"]["identifier"][0]["system"]
+        == "http://hl7.org/fhir/sid/us-ssn"
+    )
+    assert rows["p2"]["Claim"]["identifier"][0]["system"] == "mrn-local"

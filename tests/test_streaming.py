@@ -472,3 +472,43 @@ def test_stream_windowed_counts_driver_query_equals_batch(spark, sf_dir):
         .collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_stream_bundles_equals_batch_entry(spark, tmp_path):
+    """Document-source streaming ingest parity (SURVEY §2.8): the
+    streaming bundle source must produce EXACTLY the batch entry() rows
+    for the reference's 4 ADT fixtures — same schema (bundleId/
+    bundleType metadata included), same bundleUUIDs, same nested
+    resource arrays."""
+    import os
+    import shutil
+
+    from interop_spark.fhir import read_from_directory
+    from interop_spark.streaming import stream_bundles_from_directory
+
+    d = tmp_path / "parity_bundles"
+    d.mkdir()
+    src = "/root/reference/sampledata/adt_records"
+    for f in os.listdir(src):
+        shutil.copy(f"{src}/{f}", d / f)
+
+    batch = read_from_directory(str(d), spark=spark).entry()
+    stream = stream_bundles_from_directory(spark, str(d))
+    assert stream.isStreaming
+    assert stream.schema == batch.schema
+
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("parity_bundles")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.bundleUUID: r
+        for r in spark.table("parity_bundles").collect()
+    }
+    want = {r.bundleUUID: r for r in batch.collect()}
+    assert set(got) == set(want) and len(want) == 4
+    for u in want:
+        assert got[u] == want[u]
