@@ -47,6 +47,16 @@ HEADLINE = [
     "ivf_probe_topk",
     "lsh_bucket_sizes",
     "fhir_ingest_corpus",
+    # round-9: the post-r5 operator families get headline timing guard
+    # (r8 verdict item 2) — PQ-chain ANN, substring/paragraph dedup,
+    # BM25 retrieval, BPE tokenization, and the composed cleaning
+    # pipeline were previously invisible to regression tracking
+    "ivfpq_search",
+    "substring_dup_runs",
+    "paragraph_dedup",
+    "bm25_topk",
+    "bpe_encode",
+    "corpus_clean",
 ]
 
 
@@ -167,6 +177,28 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
         uni, big, vocab = lm.bigram_lm_tables(ref, "text")
         return lm.score_nll(d, "doc_id", "text", uni, big, vocab)
 
+    def corpus_clean_probe(d):
+        # the composed cleaning pipeline's text stages (exact
+        # fingerprint keep-list → minhash near-dup drop → survivor
+        # anti-join) over the FULL scaled corpus — the keep-list flow
+        # q_corpus_clean pins on its planted fixture, at throughput
+        # scale. Stage 3 (semdedup) runs on embeddings, which don't
+        # replicate with the text corpus; its per-vector cost is the
+        # ivf_assign probe's.
+        from interop_spark.operators import text as tx
+
+        fp = d.select("doc_id", "text", tx.fingerprint(col("text")).alias("_fp"))
+        reps = fp.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
+        keep1 = (
+            fp.join(reps, ["_fp", "doc_id"]).select("doc_id", "text")
+            .localCheckpoint()
+        )
+        pairs = dd.minhash_candidate_pairs(
+            keep1, "doc_id", "text", spread=False
+        ).where(col("jaccard_sim") >= 0.5)
+        drop2 = pairs.select(col("doc_b").alias("doc_id")).distinct()
+        return keep1.join(drop2, "doc_id", "left_anti")
+
     probes = {
         "exact_dedup": lambda d: dd.exact_dup_groups(d, "text", "doc_id"),
         "minhash_lsh_neardup": lambda d: dd.minhash_candidate_pairs(
@@ -188,6 +220,20 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
         # vocabulary fixed, so the LM table is constant and scoring
         # should scale with the corpus, not the model.
         "lm_score": lm_score_probe,
+        # round-9 (r8 verdict item 2): the composed cleaning pipeline
+        # at corpus scale
+        "corpus_clean": corpus_clean_probe,
+        # round-9 (r8 verdict item 4): SKEWED-KEY dedup — a planted
+        # 2% near-duplicate hot cluster (one boilerplate text shared
+        # by every 50th doc). The cluster's shared window hashes
+        # appear in 100 docs at 1x / 1000 at 10x — both over the
+        # max_hash_docs=64 frequency guard (dedup.py), which must
+        # drop them BEFORE the self-join; without the guard the join
+        # would emit ~(0.02n)^2 x ~30 window pairs (quadratic in the
+        # cluster). Done = ratio_10x within ~2x of the uniform
+        # substring probe's (winnow_dup_pairs shares the identical
+        # guard pattern at dedup.py:725).
+        "substring_dup_skew": lambda d: dd.substring_dup_runs(d),
     }
 
     def _rotated_documents(mult: int):
