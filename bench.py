@@ -193,8 +193,14 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
             fp.join(reps, ["_fp", "doc_id"]).select("doc_id", "text")
             .localCheckpoint()
         )
+        # spread=True: keep1 exits the keep-list join with the join's
+        # output partitioning (32 shuffle partitions sized by the JOIN,
+        # not by the CPU-heavy shingle work that follows) — rebalancing
+        # to defaultParallelism before signature hashing is the r9
+        # verdict item-7 experiment and mirrors what the 100 TB run
+        # does after any selective filter stage.
         pairs = dd.minhash_candidate_pairs(
-            keep1, "doc_id", "text", spread=False
+            keep1, "doc_id", "text", spread=True
         ).where(col("jaccard_sim") >= 0.5)
         drop2 = pairs.select(col("doc_b").alias("doc_id")).distinct()
         return keep1.join(drop2, "doc_id", "left_anti")
@@ -223,17 +229,36 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
         # round-9 (r8 verdict item 2): the composed cleaning pipeline
         # at corpus scale
         "corpus_clean": corpus_clean_probe,
-        # round-9 (r8 verdict item 4): SKEWED-KEY dedup — a planted
-        # 2% near-duplicate hot cluster (one boilerplate text shared
-        # by every 50th doc). The cluster's shared window hashes
-        # appear in 100 docs at 1x / 1000 at 10x — both over the
-        # max_hash_docs=64 frequency guard (dedup.py), which must
-        # drop them BEFORE the self-join; without the guard the join
-        # would emit ~(0.02n)^2 x ~30 window pairs (quadratic in the
-        # cluster). Done = ratio_10x within ~2x of the uniform
-        # substring probe's (winnow_dup_pairs shares the identical
-        # guard pattern at dedup.py:725).
+        # round-10 (ADVICE r9 #1: the r9 probe never created the skew it
+        # claimed — plain replication leaves every window hash under the
+        # guard). SKEWED-KEY dedup, skew now PLANTED in the input (see
+        # _planted_skew_documents): every 50th ORIGINAL doc's text is
+        # overwritten with one fixed ~17-window boilerplate string,
+        # constant across replicas — its window hashes appear in 100
+        # docs at 1x / 1000 at 10x, both over the max_hash_docs=64
+        # frequency guard (dedup.py), which must drop them BEFORE the
+        # self-join. The other 98% of the input is the SAME rotated
+        # replication as the uniform substring probe, so planted skew
+        # is the only variable (ADVICE r9 #2). Done = ratio_10x within
+        # ~2x of the uniform probe's.
         "substring_dup_skew": lambda d: dd.substring_dup_runs(d),
+        # guard-OFF control on the identical planted input: without the
+        # frequency guard the hot cluster's pairs enter the join —
+        # ~0.02n² x ~17 window rows, quadratic in the cluster — so this
+        # ratio_10x diverging far above substring_dup_skew's is the
+        # direct evidence of what the guard prevents.
+        "substring_dup_skew_noguard": lambda d: dd.substring_dup_runs(
+            d, max_hash_docs=None
+        ),
+        # round-10 (r9 verdict item 6): the minhash band join under the
+        # same planted cluster. Identical texts produce identical band
+        # keys, so the cluster lands in 4 hot bands of 100/1000 docs;
+        # max_band_docs=64 (the band twin of max_hash_docs) drops those
+        # bands before the self-join. Done = ratio_10x within ~2x of
+        # the uniform minhash probe's.
+        "minhash_skew": lambda d: dd.minhash_candidate_pairs(
+            d, "doc_id", "text", spread=False, max_band_docs=64
+        ),
     }
 
     def _rotated_documents(mult: int):
@@ -259,11 +284,36 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
             )
             .repartition(par)
         )
+    # One fixed multi-window boilerplate (~210 chars => ~18 w=40/stride=10
+    # window hashes, and >3 word-shingle bands), planted VERBATIM (never
+    # rotated) on every 50th original doc so replicas share it exactly.
+    _BOILERPLATE = (
+        "This document is provided as is without warranty of any kind. "
+        "Redistribution and use in source and binary forms with or without "
+        "modification are permitted provided that the above copyright "
+        "notice and this permission notice appear in all copies."
+    )
+
+    def _planted_skew_documents(mult: int):
+        d = _rotated_documents(mult)
+        return d.select(
+            "doc_id",
+            F.when(
+                F.floor(col("doc_id") / mult) % 50 == 0, F.lit(_BOILERPLATE)
+            )
+            .otherwise(col("text"))
+            .alias("text"),
+        )
+
+    _SKEW_PROBES = frozenset(
+        {"substring_dup_skew", "substring_dup_skew_noguard", "minhash_skew"}
+    )
     out: dict = {}
     for name, fn in probes.items():
         entry = {}
         scaled = (
             _scaled_embeddings if name == "ivf_assign" else
+            _planted_skew_documents if name in _SKEW_PROBES else
             _rotated_documents if name == "substring_dup_runs" else
             lambda m: _scaled_documents(spark, sf_dir, m)
         )
@@ -305,6 +355,7 @@ def main() -> None:
     queries = entry_mod.queries()
     reps = int(os.environ.get("SPARK_GRAFT_REPS", "5"))
     times: dict[str, float] = {}
+    spread: dict[str, dict] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         # per-query fault isolation (the round-6 lesson: one query's
@@ -324,6 +375,18 @@ def main() -> None:
                 samples.append(time.time() - t0)
             samples.sort()
             times[name] = round(samples[len(samples) // 2], 3)
+            # min + sd alongside the median (r9 verdict item 1: the
+            # text/dedup family drifted 1.6-3.8x on untouched code —
+            # a regression call needs the same-run noise floor next to
+            # the point estimate; min is the machine's best case, sd
+            # the within-run jitter)
+            mean = sum(samples) / len(samples)
+            sd = (sum((s - mean) ** 2 for s in samples) / len(samples)) ** 0.5
+            spread[name] = {
+                "min": round(samples[0], 3),
+                "max": round(samples[-1], 3),
+                "sd": round(sd, 3),
+            }
         except Exception as e:
             errors[name] = f"{type(e).__name__}: {e}"[:300]
 
@@ -333,6 +396,7 @@ def main() -> None:
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "spread": spread,
         "sf": float(sf) if sf else None,
         "reps": reps,
     }

@@ -113,6 +113,7 @@ def minhash_candidate_pairs(
     shingle_n: int = 3,
     materialize: bool = True,
     spread: bool = True,
+    max_band_docs: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate candidates with exact-Jaccard verification.
 
@@ -139,6 +140,17 @@ def minhash_candidate_pairs(
     the whole corpus hashes on one core (the round-4 scaling probes
     measured exactly that). Values are unaffected; pass ``False`` when
     the input's partitioning is already wide.
+
+    ``max_band_docs`` is the hot-band frequency guard (the band-join twin
+    of ``substring_dup_runs``'s ``max_hash_docs``): a band key shared by
+    more than that many documents — a boilerplate mega-cluster — is
+    dropped BEFORE the self-join, which otherwise emits O(cluster²) pairs
+    per band for that cluster. Default ``None`` preserves exact
+    candidate-generation semantics (the oracle's); pass a cap at corpus
+    scale and collapse exact-identical texts first (fingerprint keep-list,
+    as ``corpus_clean`` does) so the guard only ever trims pathological
+    near-identical clusters, whose pairs a cluster-level output
+    (``dedup_clusters``) represents without enumerating.
     """
     if k < bands * rows:
         raise ValueError(
@@ -183,6 +195,14 @@ def minhash_candidate_pairs(
     )
     if materialize:
         banded = banded.localCheckpoint()
+    if max_band_docs is not None:
+        keep = (
+            banded.groupBy("band_key")
+            .agg(F.count(F.lit(1)).alias("_nd"))
+            .where(F.col("_nd") <= max_band_docs)
+            .select("band_key")
+        )
+        banded = banded.join(keep, "band_key")
     cand = (
         banded.alias("l")
         .join(
