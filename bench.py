@@ -57,6 +57,8 @@ HEADLINE = [
     "bm25_topk",
     "bpe_encode",
     "corpus_clean",
+    # round-10: the composed pretraining-data accounting pipeline
+    "pretrain_pipeline",
 ]
 
 

@@ -245,3 +245,58 @@ def condition_text(entry_df: DataFrame) -> DataFrame:
             "condition_description"
         ),
     )
+
+
+def diagnostic_reports(entry_df: DataFrame) -> DataFrame:
+    """Patient × DiagnosticReport within a bundle — the round-10 deep-
+    schema query for the lab-report type real Synthea corpora carry
+    (reference README.md:31 names DiagnosticReport bundles; flatten
+    shape per `01_dbignite_sample.py:47-72`). Sequential explodes over
+    one scan, no bundleUUID self-join."""
+    return _explode2(
+        entry_df, "Patient", "patient", "DiagnosticReport", "dx"
+    ).select(
+        col("bundleUUID").alias("UNIQUE_FHIR_ID"),
+        col("patient.id").alias("Patient"),
+        col("dx.id").alias("report_id"),
+        col("dx.status").alias("report_status"),
+        _first(col("dx.code.coding.code")).alias("report_code"),
+        _first(col("dx.code.coding.system")).alias("report_code_system"),
+        col("dx.effectiveDateTime").alias("effective_date"),
+        col("dx.conclusion").alias("conclusion"),
+        _first(col("dx.result.reference")).alias("first_result_ref"),
+    )
+
+
+def questionnaire_answers(entry_df: DataFrame) -> DataFrame:
+    """QuestionnaireResponse item/answer flattening — exercises the
+    round-10 promotion of QuestionnaireResponse from DomainResource
+    spine to a full element tree (repeated item[] with answer[]
+    value[x] choice leaves; schema-extension surface per
+    `01_dbignite_sample.py:123-146`). One row per (response, item):
+    explode the resource array, then the item array; answers are
+    plucked from the first answer element (the generator emits one
+    answer per item, value[x]-style)."""
+    qr = entry_df.select(
+        col("bundleUUID"), explode("QuestionnaireResponse").alias("qr")
+    )
+    items = qr.select(
+        col("bundleUUID").alias("UNIQUE_FHIR_ID"),
+        col("qr.id").alias("response_id"),
+        col("qr.status").alias("response_status"),
+        col("qr.questionnaire").alias("questionnaire"),
+        col("qr.authored").alias("authored"),
+        explode("qr.item").alias("item"),
+    )
+    first_answer = _first(col("item.answer"))
+    return items.select(
+        "UNIQUE_FHIR_ID",
+        "response_id",
+        "response_status",
+        "questionnaire",
+        "authored",
+        col("item.linkId").alias("link_id"),
+        col("item.text").alias("question_text"),
+        first_answer["valueInteger"].alias("answer_integer"),
+        first_answer["valueString"].alias("answer_string"),
+    )

@@ -32,7 +32,10 @@ from pyspark.sql.functions import col
 
 # One schema version for the on-disk corpus cache; bump when the bundle
 # content below changes so stale fixture directories are regenerated.
-CORPUS_VERSION = "v3"  # v3: + Observation resource per bundle
+# v3: + Observation resource per bundle
+# v4: + DiagnosticReport, QuestionnaireResponse (round-10 promoted deep
+#     schema), NutritionOrder (spine-only type — mixed-corpus retention)
+CORPUS_VERSION = "v4"
 LOINC = "http://loinc.org"
 
 CPT = "http://www.ama-assn.org/go/cpt"
@@ -80,8 +83,9 @@ def bundle_json_df(
 ) -> DataFrame:
     """(value, _file_path) frame of synthetic bundle JSON documents — one
     bundle per customer with c_custkey < ``max_custkey``, each holding a
-    Patient, Condition, Claim (2 items), MedicationRequest, Practitioner
-    and Observation whose fields are closed-form functions of c_custkey.
+    Patient, Condition, Claim (2 items), MedicationRequest, Practitioner,
+    Observation, DiagnosticReport, QuestionnaireResponse and a spine-only
+    NutritionOrder whose fields are closed-form functions of c_custkey.
     ``_file_path`` is the stable pseudo-path ``mem://bundles/<key>`` so
     bundleUUIDs are reproducible and oracle-computable (md5 of the same
     string)."""
@@ -220,6 +224,71 @@ def bundle_json_df(
         ).alias("valueQuantity"),
     )
 
+    diagreport = F.struct(
+        F.lit("DiagnosticReport").alias("resourceType"),
+        _cat("dx-", k).alias("id"),
+        _pick(("final", "amended", "corrected"), k).alias("status"),
+        _codeable(_cat("LAB", k % 15), _cat("panel-", k % 15), LOINC).alias(
+            "code"
+        ),
+        F.struct(_cat("Patient/p-", k).alias("reference")).alias("subject"),
+        F.format_string(
+            "%04d-%02d-%02d", (k % 4 + 2020).cast("int"),
+            ((k + 4) % 12 + 1).cast("int"), ((k + 11) % 28 + 1).cast("int"),
+        ).alias("effectiveDateTime"),
+        _cat("conclusion-", k % 10).alias("conclusion"),
+        F.array(
+            F.struct(_cat("Observation/obs-", k).alias("reference"))
+        ).alias("result"),
+    )
+
+    # QuestionnaireResponse exercises the round-10 promoted deep schema:
+    # repeated item[] with answer[] value[x] leaves. Both items share one
+    # struct shape (F.array needs homogeneous elements); to_json's
+    # default ignoreNullFields drops the absent choice field per item, so
+    # the emitted JSON is idiomatic value[x].
+    qr_item = lambda link, vi, vs: F.struct(  # noqa: E731 - shape helper
+        F.lit(link).alias("linkId"),
+        _cat("question-", link).alias("text"),
+        F.array(
+            F.struct(
+                vi.alias("valueInteger"),
+                vs.alias("valueString"),
+            )
+        ).alias("answer"),
+    )
+    qresp = F.struct(
+        F.lit("QuestionnaireResponse").alias("resourceType"),
+        _cat("qr-", k).alias("id"),
+        _pick(("completed", "in-progress", "amended"), k).alias("status"),
+        _cat("Questionnaire/phq-", k % 3).alias("questionnaire"),
+        F.struct(_cat("Patient/p-", k).alias("reference")).alias("subject"),
+        F.format_string(
+            "%04d-%02d-%02d", (k % 3 + 2021).cast("int"),
+            ((k + 6) % 12 + 1).cast("int"), ((k + 13) % 28 + 1).cast("int"),
+        ).alias("authored"),
+        F.array(
+            qr_item(
+                "score", (k % 27).cast("int"), F.lit(None).cast("string")
+            ),
+            qr_item(
+                "note", F.lit(None).cast("int"), _cat("note-", k % 7)
+            ),
+        ).alias("item"),
+    )
+
+    # NutritionOrder stays SPINE-ONLY in the catalog: status/intent are
+    # real R4 fields the spine does NOT declare — full=True must retain
+    # the row (id/language extracted) while ignoring the undeclared
+    # fields, which is the mixed-corpus retention contract.
+    nutrition = F.struct(
+        F.lit("NutritionOrder").alias("resourceType"),
+        _cat("nut-", k).alias("id"),
+        _pick(("en", "es", "fr"), k).alias("language"),
+        F.lit("active").alias("status"),
+        F.lit("order").alias("intent"),
+    )
+
     def entry_json(resource: F.Column) -> F.Column:
         return F.to_json(F.struct(resource.alias("resource")))
 
@@ -235,6 +304,9 @@ def bundle_json_df(
             entry_json(medreq),
             entry_json(practitioner),
             entry_json(observation),
+            entry_json(diagreport),
+            entry_json(qresp),
+            entry_json(nutrition),
         ),
         F.lit("]}"),
     )

@@ -51,8 +51,13 @@ REPEATED_SEGMENTS = frozenset(
         "item", "insurance", "entry", "payor", "class", "communication",
         "contact", "link", "focus", "destination", "category", "participant",
         "location", "reasonCode", "account", "subject_list", "qualification",
+        "content",  # DocumentReference/Communication content is 0..*
     }
 )
+# Segment-name cardinality is an approximation; these FULL paths override
+# it where the same segment name is 0..1/1..1 on a specific resource
+# (public R4 structure knowledge: Media.content is a single Attachment).
+_NONREPEATED_PATHS = frozenset({"Media.content"})
 
 
 @dataclass
@@ -214,7 +219,7 @@ _DECIMAL_LEAVES = frozenset({("total", "value"), ("valueQuantity", "value"),
                              ("quantity", "value"), ("unitPrice", "value")})
 _INT_LEAVES = frozenset({"sequence", "rank", "multipleBirthInteger",
                          "numberOfRepeatsAllowed", "numberOfSeries",
-                         "numberOfInstances"})
+                         "numberOfInstances", "size"})  # Attachment.size
 _BOOLEAN_LEAVES = frozenset({"active", "preferred", "primary",
                              "deceasedBoolean", "multipleBirthBoolean"})
 # R4 `instant` elements among commonly mapped paths: Observation.issued,
@@ -229,6 +234,19 @@ _INSTANT_LEAVES = frozenset({"issued", "recorded", "lastUpdated"})
 # `canonical` stays the plain string cast by design: its value space
 # (URL + optional |version suffix) is exactly what a string source holds.
 _URN_VALUE_LEAVES = frozenset({"system", "fullUrl"})
+# R4 base64Binary leaves among commonly mapped paths (Attachment.data /
+# Attachment.hash under their holding elements, Binary.data): the
+# mapping contract is that the SOURCE carries the raw content (string
+# or binary column) and the writer emits its base64 — mapping
+# pre-encoded base64 through a plain string leaf is always available by
+# NOT naming the path here (it would double-encode). `url`/`canonical`
+# stay plain string casts by design: their value spaces are exactly
+# what a string source holds.
+_BASE64_LEAVES = frozenset({
+    ("attachment", "data"), ("content", "data"), ("presentedForm", "data"),
+    ("photo", "data"), ("Binary", "data"),
+    ("attachment", "hash"), ("content", "hash"),
+})
 _OID_RE = r"^[0-2](\.(0|[1-9][0-9]*))+$"
 _UUID_RE = (
     r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
@@ -247,6 +265,11 @@ def _leaf_value(src, path: str = "") -> Column:
     c = _src_col(src)
     if (parent, leaf) in _DECIMAL_LEAVES:
         return c.cast("double")
+    if (parent, leaf) in _BASE64_LEAVES:
+        # raw content → base64Binary; a string source's UTF-8 bytes are
+        # the content (Spark 4's base64 is unchunked, matching the FHIR
+        # JSON form and DuckDB's to_base64)
+        return F.base64(c.cast("binary"))
     if leaf in _INT_LEAVES:
         return c.cast("long")
     if leaf in _BOOLEAN_LEAVES:
@@ -304,7 +327,7 @@ def _render(
     fields = []
     for seg, child in node.children.items():
         seg_path = f"{path}.{seg}" if path else seg
-        if seg in REPEATED_SEGMENTS:
+        if seg in REPEATED_SEGMENTS and seg_path not in _NONREPEATED_PATHS:
             child_enc = em.get_encoder(seg_path)
             if child_enc is not None and child_enc.f is not None:
                 # reference contract: the lambda receives the PARTIALLY

@@ -97,12 +97,60 @@ _MODULES = (
 #     decontam_ngram_overlap, dup_ngram_stats, gopher_quality_flags,
 #     gopher_repetition_signals, pii_redact, sequence_pack,
 #     merge_upsert, salted_join_agg (18).
-# ROUND-10 ROTATION PLAN: the 15 remaining r6 rows
-# (approx_count_distinct, approx_quantile, argmax_agg,
-# correlated_exists, cross_join_sql, groupby_ordinal_sql, in_subquery,
-# rollup_agg, scalar_subquery, select_star_expansion, union_all_sql,
-# bundle_collect_flatten, domain_mix_sample, token_entropy,
-# sq8_roundtrip) take priority, then the oldest r7 rows.
+# ROUND-10 window (50) — executes the round-10 rotation plan IN FULL:
+# forced set 19 + the complete 15-row r6 residue + 16 of the oldest r7
+# rows = 50 exactly. After this round no registry green is older than
+# r7 (the r9 verdict item-2 done-criterion); the remaining r7 rows
+# (embedding_neardup, embedding_centroids, lsh_bucket_sizes,
+# token_count_bpe, tfidf_top_terms, frame_sample, stratified_sample,
+# media_stats, ngram_jaccard_pairs, unpivot, window_rank_battery,
+# array_funcs, pivot_agg, grouping_sets, cube_agg, substring_dup_runs,
+# winnow_dup_pairs, semdedup_keep, knn_batch) head the ROUND-11 queue.
+#   * NEW this round (4): pretrain_pipeline (the composed
+#     quality->lang->dedup->pack accounting row; pipeline_ext.py diff
+#     is ADDITIVE — appended query/oracle pair only, so other
+#     pipeline_ext rows keep their green), fhir_diagnostic_reports
+#     (deep DiagnosticReport flatten), fhir_questionnaire_answers
+#     (round-10 promoted deep QuestionnaireResponse schema),
+#     fhir_mixed_resource_counts (FhirSchemaModel(full=True) retention
+#     of a spine-only type through the value-hash gate).
+#   * fhir/gen.py changed (corpus v4: + DiagnosticReport,
+#     QuestionnaireResponse, NutritionOrder per bundle): every
+#     _synthetic_entry/write_corpus consumer re-verifies —
+#     fhir_patient_conditions, fhir_patient_claims,
+#     fhir_medication_requests, fhir_providers_practitioners,
+#     fhir_omop_person, fhir_patient_observations, fhir_condition_text,
+#     fhir_ingest_corpus (8).
+#   * fhir/writer.py changed (_BASE64_LEAVES + Attachment.size int leaf
+#     + `content` repeated segment) and the roundtrip query widened:
+#     fhir_writer_roundtrip re-verifies (1).
+#   * schemas/ data files changed (5 types promoted to deep trees;
+#     curated catalog 39 → 44): every default-catalog entry() consumer
+#     re-verifies — the synthetic rows above already are;
+#     fhir_adt_timeline (reader over the ADT samples) is the remaining
+#     one (1). bundle_collect_flatten is relational-only (no reader
+#     import) and rotates on staleness below anyway.
+#   * operators/dedup.py changed (max_band_docs hot-band guard).
+#     Finer-than-module claim: both hunks are inside
+#     minhash_candidate_pairs (signature/docstring + the guard block,
+#     default None ⇒ identical semantics); its consumers re-verify —
+#     minhash_lsh_neardup, neardup_clusters, neardup_clusters_star,
+#     corpus_clean, dedup_representatives (5). simhash/substring/
+#     winnowing/paragraph functions are byte-identical, so their rows
+#     keep r9/r7 green (substring/winnow rows head the r11 queue).
+#   * STALENESS ROTATION, priority 1 — the complete 15-row r6 residue:
+#     approx_count_distinct, approx_quantile, argmax_agg,
+#     correlated_exists, cross_join_sql, groupby_ordinal_sql,
+#     in_subquery, rollup_agg, scalar_subquery, select_star_expansion,
+#     union_all_sql, bundle_collect_flatten, domain_mix_sample,
+#     token_entropy, sq8_roundtrip (15).
+#   * STALENESS ROTATION, priority 2 — 17 oldest r7 rows: the full
+#     events family (json_extract, latest_event_per_user, running_total,
+#     sessionize, tumbling_window, lead_lag, conditional_agg, asof_join,
+#     range_join_pairs, enrich_events), text_token_stats (the r9
+#     perf-flagged query — a driver-fresh green alongside the re-measure),
+#     drop_duplicates, train_test_split, text_quality, doc_fingerprint,
+#     knn_cosine (16).
 #
 # Round-7 window (50), for history:
 #   * events-repair (10): the io.py events loader changed this round
@@ -285,160 +333,79 @@ _MODULES = (
 # last r3 rows.
 # --------------------------------------------------------------------------
 _WINDOW = (
-    # --- ROUND 9: forced set (8) ---
-    "stream_sessionize_counts",
-    "ivfpq_rerank_sweep",
-    "bm25_topk",
-    "bm25_inverted_topk",
-    "hybrid_rrf_topk",
-    "resample_ffill",
-    "video_meta",
-    "fhir_writer_roundtrip",
-    # --- ROUND 9: the complete r4 staleness queue (24) ---
-    "computed_key_join",
-    "inner_equi_join",
-    "left_outer_exists_flag",
-    "topk_orders",
-    "hof_filter_array",
-    "set_union",
-    "set_intersect",
-    "set_except",
-    "explode_roundtrip",
-    "substring_key",
-    "scan_project_filter",
-    "like_filter_or",
-    "date_parts",
-    "case_when_literal",
-    "count_distinct",
-    "having_filter",
-    "agg_minmax",
-    "string_funcs",
-    "date_funcs",
-    "arith_funcs",
-    "groupby_count",
-    "left_semi_join",
-    "left_anti_join",
-    "nested_struct_pluck",
-    # --- ROUND 9: r6 rotation, complexity-first (18) ---
-    "exact_dedup",
-    "minhash_lsh_neardup",
-    "neardup_clusters",
-    "neardup_clusters_star",
-    "dedup_representatives",
-    "simhash",
-    "simhash_neardup_pairs",
-    "kmeans_one_step",
-    "kmeans_fit",
-    "ivf_index_search",
-    "decontam_ngram_overlap",
-    "dup_ngram_stats",
-    "gopher_quality_flags",
-    "gopher_repetition_signals",
-    "pii_redact",
-    "sequence_pack",
-    "merge_upsert",
-    "salted_join_agg",
-)
-
-# Round-8 window (50), for history:
-_WINDOW_R8 = (
-    # NEW in the round-8 continuation session (10): queries/selection_q.py
-    # + operators/retrieval.py + operators/lm.py are NEW ADDITIVE
-    # modules (imports only — no existing module changed), so only
-    # these ten rows need window slots; they displace ten more r4
-    # rows (scan_project_filter, like_filter_or, date_parts,
-    # case_when_literal, count_distinct, having_filter, agg_minmax,
-    # string_funcs, date_funcs, arith_funcs — all independently re-run
-    # green by the r7 judge) to the head of the round-9 queue.
-    "dsir_importance",
-    "bm25_topk",
-    "minhash_est_error",
-    "percentile_agg",
-    "scd2_intervals",
-    "lm_perplexity_filter",
-    "unimax_sample",
-    "bpe_merge_candidates",
-    "bm25_inverted_topk",
-    "mrl_recall_at_k",
-    # classifier_train_steps + dup_span_removal displace left_semi_join
-    # + left_anti_join (r4, judge-re-run green) to the r9 queue.
-    # dup_span_removal's operator lives in dedup.py as an APPENDED
-    # function calling only the unchanged substring_dup_runs — no other
-    # dedup consumer is affected; its oracle composes
-    # pipeline_ext._substring_dup_oracle() as a CTE (import, no diff).
-    "classifier_train_steps",
-    "dup_span_removal",
-    # video_meta (real MP4 mvhd decode; multimodal.py diff is ADDITIVE —
-    # appended parse_mp4/video_meta consumed only here) displaces
-    # nested_struct_pluck (r4, judge-re-run green) to the r9 queue
-    "video_meta",
-    # hybrid_rrf_topk (RRF fusion of the BM25 + cosine shortlists)
-    # displaces computed_key_join (r4, judge-re-run green) to the r9
-    # queue
-    "hybrid_rrf_topk",
-    # bsq_hamming_search (1-bit sign quantization + Hamming top-k) and
-    # countmin_estimate (Count-Min sketch + exact-count instrumentation)
-    # displace inner_equi_join + left_outer_exists_flag (r4,
-    # judge-re-run green) to the r9 queue
-    "bsq_hamming_search",
-    "countmin_estimate",
-    # resample_ffill (gap-filled daily resample + forward fill)
-    # displaces topk_orders (r4, judge-re-run green) to the r9 queue
-    "resample_ffill",
-    # chunk_sliding (the RAG sliding-window chunker) displaces
-    # hof_filter_array (r4, judge-re-run green) to the r9 queue
-    "chunk_sliding",
-    # NEW in the continuation session, queries/temporal_q.py (ADDITIVE:
-    # appended q_stream_dedup_counts + its ORACLE entry; no existing
-    # function in the module changed, and streams.py's only diff is
-    # streaming_dedupe gaining a watermark=None branch whose sole
-    # registry consumer is this query — asof_join/range_join_pairs/
-    # stream_windowed_counts keep their prior green). Displaces
-    # groupby_count (r4, judge-re-run green) to the r9 queue.
-    "stream_dedup_counts",
-    # NEW this round (8)
-    "image_dims",
-    "ivf_recall_at_k",
-    "corpus_clean",
-    "bpe_encode",
-    "audio_stats",
-    "paragraph_dedup",
-    "c4_clean",
-    "ivfpq_rerank",
-    "stream_windowed_counts",
-    # operators/pq.py changed (4)
-    "pq_encode",
-    "pq_adc_topk",
-    "ivfpq_search",
-    "ivfpq_residual_search",
-    # operators/text.py lang fast path (1)
-    "lang_id",
-    # pipeline_ext oracle NULL-guard (1)
-    "quality_classifier_filter",
-    # operators/multimodal.py decode rewrite (1)
-    "multimodal_features",
-    # fhir/analytics.py _explode2 rework (6)
+    # --- ROUND 10: new queries (4) ---
+    "pretrain_pipeline",
+    "fhir_diagnostic_reports",
+    "fhir_questionnaire_answers",
+    "fhir_mixed_resource_counts",
+    # --- ROUND 10: fhir/gen.py v4 corpus consumers (8) ---
     "fhir_patient_conditions",
     "fhir_patient_claims",
     "fhir_medication_requests",
-    "fhir_adt_timeline",
+    "fhir_providers_practitioners",
+    "fhir_omop_person",
     "fhir_patient_observations",
+    "fhir_condition_text",
     "fhir_ingest_corpus",
-    # fhir/writer.py typed-leaf widening (1)
+    # --- ROUND 10: writer + catalog diffs (2) ---
     "fhir_writer_roundtrip",
-    # staleness rotation: the r3 pair (2)
-    "string_agg_sorted",
-    "date_series",
-    # staleness rotation: the full r4 residue (26 relational/pipeline)
-    "ivf_probe_topk",
-    "ivf_multiprobe_topk",
-    "join_filter_pushdown",
-    "multiway_join_agg",
-    "pricing_summary",
-    # staleness rotation: functions_battery (1; the other three
-    # displaced to r9 by this session's new queries)
-    "agg_stats",
+    "fhir_adt_timeline",
+    # --- ROUND 10: minhash_candidate_pairs consumers (5) ---
+    "minhash_lsh_neardup",
+    "neardup_clusters",
+    "neardup_clusters_star",
+    "corpus_clean",
+    "dedup_representatives",
+    # --- ROUND 10: the complete r6 residue (15) ---
+    "approx_count_distinct",
+    "approx_quantile",
+    "argmax_agg",
+    "correlated_exists",
+    "cross_join_sql",
+    "groupby_ordinal_sql",
+    "in_subquery",
+    "rollup_agg",
+    "scalar_subquery",
+    "select_star_expansion",
+    "union_all_sql",
+    "bundle_collect_flatten",
+    "domain_mix_sample",
+    "token_entropy",
+    "sq8_roundtrip",
+    # --- ROUND 10: oldest r7 rows (16) ---
+    "json_extract",
+    "latest_event_per_user",
+    "running_total",
+    "sessionize",
+    "tumbling_window",
+    "lead_lag",
+    "conditional_agg",
+    "asof_join",
+    "range_join_pairs",
+    "enrich_events",
+    "text_token_stats",
+    "drop_duplicates",
+    "train_test_split",
+    "text_quality",
+    "doc_fingerprint",
+    "knn_cosine",
 )
+
+# Round-9 window (50), for history (see git log for the full tuple):
+# forced set 8 (stream_sessionize_counts, ivfpq_rerank_sweep, bm25_topk,
+# bm25_inverted_topk, hybrid_rrf_topk, resample_ffill, video_meta,
+# fhir_writer_roundtrip) + the complete 24-row r4 staleness queue
+# (computed_key_join … nested_struct_pluck) + 18 r6 rows
+# (exact_dedup … salted_join_agg).
+
+# Round-8 window (50), for history (full tuple in git history @ r9):
+# 10 selection_q/retrieval/lm rows (dsir_importance ... mrl_recall_at_k),
+# classifier_train_steps, dup_span_removal, video_meta, hybrid_rrf_topk,
+# bsq_hamming_search, countmin_estimate, resample_ffill, chunk_sliding,
+# stream_dedup_counts, 8 new r8 rows (image_dims ... ivfpq_rerank),
+# stream_windowed_counts, 4 pq rows, lang_id, quality_classifier_filter,
+# multimodal_features, 6 fhir rows, fhir_writer_roundtrip,
+# string_agg_sorted, date_series, 5 r4-residue rows, agg_stats.
 
 
 def _merged(attr: str) -> dict:

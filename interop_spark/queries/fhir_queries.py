@@ -99,7 +99,12 @@ def q_fhir_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     — must emit urn:oid:…), a bare UUID source
     (MedicationRequest.identifier.system — must emit urn:uuid:…), and
     an http system (Claim.identifier.system, via a literal mapping)
-    that must pass through UNprefixed."""
+    that must pass through UNprefixed. Round-10 widens with an
+    Attachment path (DocumentReference.content.attachment — the
+    repeated `content` segment): base64Binary `data` from a raw text
+    source (writer must emit its base64; round-trip re-decodes it), an
+    unsignedInt `size`, a plain-passthrough `url`, and a literal
+    `contentType`."""
     from interop_spark.fhir import Bundle, Mapping, MappingManager
 
     src = (
@@ -147,6 +152,18 @@ def q_fhir_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.substring(F.md5(col("c_custkey").cast("string")), 17, 4),
                 F.substring(F.md5(col("c_custkey").cast("string")), 21, 12),
             ).alias("MED_URN"),
+            # Attachment path (round-10 writer-residue widening): raw
+            # text content the writer must emit as base64Binary, plus
+            # the unsignedInt size and plain-url leaves
+            (col("c_custkey") + 400000).cast("string").alias("DOC_ID"),
+            F.concat(
+                F.lit("doc-note "), col("c_custkey").cast("string")
+            ).alias("DOC_NOTE"),
+            (col("c_custkey") % 900 + 100).cast("int").alias("DOC_SIZE"),
+            F.concat(
+                F.lit("http://files.example.org/doc-"),
+                col("c_custkey").cast("string"),
+            ).alias("DOC_URL"),
         )
     )
     maps = [
@@ -172,6 +189,15 @@ def q_fhir_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         Mapping("OBS_ID", "Observation.id"),
         Mapping("OBS_ISSUED", "Observation.issued"),
+        Mapping("DOC_ID", "DocumentReference.id"),
+        Mapping(
+            "text/plain",
+            "DocumentReference.content.attachment.contentType",
+            literal=True,
+        ),
+        Mapping("DOC_NOTE", "DocumentReference.content.attachment.data"),
+        Mapping("DOC_SIZE", "DocumentReference.content.attachment.size"),
+        Mapping("DOC_URL", "DocumentReference.content.attachment.url"),
     ]
     emitted = Bundle(MappingManager(maps, src.schema)).df_to_fhir_df(src)
     v = emitted.select(F.try_parse_json(col("value")).alias("v"))
@@ -224,6 +250,30 @@ def q_fhir_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(
             "v", "$.entry[2].resource.identifier[0].system", "string"
         ).alias("med_urn"),
+        F.variant_get(
+            "v", "$.entry[4].resource.id", "string"
+        ).alias("doc_id"),
+        F.variant_get(
+            "v",
+            "$.entry[4].resource.content[0].attachment.contentType",
+            "string",
+        ).alias("doc_content_type"),
+        F.variant_get(
+            "v", "$.entry[4].resource.content[0].attachment.data", "string"
+        ).alias("doc_data_b64"),
+        F.unbase64(
+            F.variant_get(
+                "v",
+                "$.entry[4].resource.content[0].attachment.data",
+                "string",
+            )
+        ).cast("string").alias("doc_note"),
+        F.variant_get(
+            "v", "$.entry[4].resource.content[0].attachment.size", "bigint"
+        ).alias("doc_size"),
+        F.variant_get(
+            "v", "$.entry[4].resource.content[0].attachment.url", "string"
+        ).alias("doc_url"),
     )
 
 
@@ -410,6 +460,70 @@ def q_fhir_condition_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return condition_text(_synthetic_entry(spark, sf_dir))
 
 
+def q_fhir_diagnostic_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patient × DiagnosticReport flattening — the lab-report type a real
+    Synthea corpus carries (reference README.md:31), end-to-end through
+    the reader's parse path (r9 verdict item 3's named query)."""
+    from interop_spark.fhir.analytics import diagnostic_reports
+
+    return diagnostic_reports(_synthetic_entry(spark, sf_dir))
+
+
+def q_fhir_questionnaire_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QuestionnaireResponse item/answer flattening through the round-10
+    promoted deep schema (DomainResource spine → full element tree with
+    repeated item[]/answer[] value[x] leaves). Proves promoted types
+    flatten end-to-end without a user override
+    (`01_dbignite_sample.py:123-146` is the override surface this
+    removes the need for)."""
+    from interop_spark.fhir.analytics import questionnaire_answers
+
+    return questionnaire_answers(_synthetic_entry(spark, sf_dir))
+
+
+def q_fhir_mixed_resource_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-corpus FULL-catalog ingest through the value-hash gate (r9
+    verdict item 4): the synthetic corpus carries a resource type that is
+    spine-only in the catalog (NutritionOrder — its status/intent fields
+    are NOT declared), and ``FhirSchemaModel(full=True)`` must retain its
+    rows with the spine fields (id, language) extracted rather than
+    silently dropping the type. One row per resource type: count, id
+    range, and the distinct-language count that only the spine-extracted
+    type populates (reference motivation: non-standard FHIR,
+    `01_dbignite_sample.py:118`)."""
+    from interop_spark.fhir.schema import FhirSchemaModel
+
+    entry = _synthetic_entry(
+        spark, sf_dir, schemas=FhirSchemaModel(full=True)
+    )
+    parts = []
+    for rt in (
+        "Patient",
+        "DiagnosticReport",
+        "QuestionnaireResponse",
+        "NutritionOrder",
+    ):
+        lang = (
+            col("r.language")
+            if rt == "NutritionOrder"
+            else F.lit(None).cast("string")
+        )
+        parts.append(
+            entry.select(
+                F.lit(rt).alias("resource_type"), F.explode(rt).alias("r")
+            ).select("resource_type", col("r.id").alias("rid"), lang.alias("lang"))
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    return u.groupBy("resource_type").agg(
+        F.count(F.lit(1)).alias("n_resources"),
+        F.min("rid").alias("min_id"),
+        F.max("rid").alias("max_id"),
+        F.count_distinct(col("lang")).alias("n_langs"),
+    )
+
+
 def q_fhir_ingest_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reader THROUGHPUT path over a real file corpus: ~1200 generated
     bundle files (one .json per bundle, deterministic content) →
@@ -461,6 +575,9 @@ QUERIES = {
     "fhir_ingest_corpus": q_fhir_ingest_corpus,
     "fhir_patient_observations": q_fhir_patient_observations,
     "fhir_condition_text": q_fhir_condition_text,
+    "fhir_diagnostic_reports": q_fhir_diagnostic_reports,
+    "fhir_questionnaire_answers": q_fhir_questionnaire_answers,
+    "fhir_mixed_resource_counts": q_fhir_mixed_resource_counts,
 }
 
 # the 4 deterministic rows adt_events yields from the reference's sample
@@ -633,6 +750,71 @@ ORACLE = {
                       (c_custkey + 9) % 28 + 1) AS effective_date
         FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
     """,
+    "fhir_diagnostic_reports": f"""
+        SELECT {_DK_UUID} AS UNIQUE_FHIR_ID,
+               'p-' || c_custkey::VARCHAR AS Patient,
+               'dx-' || c_custkey::VARCHAR AS report_id,
+               CASE (c_custkey % 3) WHEN 0 THEN 'final'
+                 WHEN 1 THEN 'amended' ELSE 'corrected' END AS report_status,
+               'LAB' || (c_custkey % 15)::VARCHAR AS report_code,
+               'http://loinc.org' AS report_code_system,
+               printf('%04d-%02d-%02d', 2020 + c_custkey % 4,
+                      (c_custkey + 4) % 12 + 1,
+                      (c_custkey + 11) % 28 + 1) AS effective_date,
+               'conclusion-' || (c_custkey % 10)::VARCHAR AS conclusion,
+               'Observation/obs-' || c_custkey::VARCHAR AS first_result_ref
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+    """,
+    "fhir_questionnaire_answers": f"""
+        WITH b AS (
+          SELECT c_custkey AS k, {_dk_uuid("'mem://bundles/' || c_custkey::VARCHAR")} AS u,
+                 'qr-' || c_custkey::VARCHAR AS rid,
+                 CASE (c_custkey % 3) WHEN 0 THEN 'completed'
+                   WHEN 1 THEN 'in-progress' ELSE 'amended' END AS st,
+                 'Questionnaire/phq-' || (c_custkey % 3)::VARCHAR AS q,
+                 printf('%04d-%02d-%02d', 2021 + c_custkey % 3,
+                        (c_custkey + 6) % 12 + 1,
+                        (c_custkey + 13) % 28 + 1) AS au
+          FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+        )
+        SELECT u AS UNIQUE_FHIR_ID, rid AS response_id, st AS response_status,
+               q AS questionnaire, au AS authored,
+               'score' AS link_id, 'question-score' AS question_text,
+               CAST(k % 27 AS INTEGER) AS answer_integer,
+               CAST(NULL AS VARCHAR) AS answer_string
+        FROM b
+        UNION ALL
+        SELECT u, rid, st, q, au,
+               'note', 'question-note',
+               CAST(NULL AS INTEGER),
+               'note-' || (k % 7)::VARCHAR
+        FROM b
+    """,
+    "fhir_mixed_resource_counts": f"""
+        WITH b AS (
+          SELECT c_custkey AS k FROM customer
+          WHERE c_custkey < {_SYNTH_LIMIT}
+        )
+        SELECT 'Patient' AS resource_type, count(1) AS n_resources,
+               min('p-' || k::VARCHAR) AS min_id,
+               max('p-' || k::VARCHAR) AS max_id,
+               CAST(0 AS BIGINT) AS n_langs
+        FROM b
+        UNION ALL
+        SELECT 'DiagnosticReport', count(1), min('dx-' || k::VARCHAR),
+               max('dx-' || k::VARCHAR), CAST(0 AS BIGINT)
+        FROM b
+        UNION ALL
+        SELECT 'QuestionnaireResponse', count(1), min('qr-' || k::VARCHAR),
+               max('qr-' || k::VARCHAR), CAST(0 AS BIGINT)
+        FROM b
+        UNION ALL
+        SELECT 'NutritionOrder', count(1), min('nut-' || k::VARCHAR),
+               max('nut-' || k::VARCHAR),
+               CAST(count(DISTINCT CASE (k % 3) WHEN 0 THEN 'en'
+                     WHEN 1 THEN 'es' ELSE 'fr' END) AS BIGINT)
+        FROM b
+    """,
     "fhir_condition_text": f"""
         SELECT {_DK_UUID} AS UNIQUE_FHIR_ID,
                'cond-' || c_custkey::VARCHAR AS condition_id,
@@ -679,7 +861,15 @@ ORACLE = {
                  substr(md5(CAST(c_custkey AS VARCHAR)), 13, 4),
                  substr(md5(CAST(c_custkey AS VARCHAR)), 17, 4),
                  substr(md5(CAST(c_custkey AS VARCHAR)), 21, 12))
-                 AS med_urn
+                 AS med_urn,
+               CAST(c_custkey + 400000 AS VARCHAR) AS doc_id,
+               'text/plain' AS doc_content_type,
+               to_base64(encode('doc-note ' || CAST(c_custkey AS VARCHAR)))
+                 AS doc_data_b64,
+               'doc-note ' || CAST(c_custkey AS VARCHAR) AS doc_note,
+               CAST(c_custkey % 900 + 100 AS BIGINT) AS doc_size,
+               'http://files.example.org/doc-' || CAST(c_custkey AS VARCHAR)
+                 AS doc_url
         FROM customer WHERE c_custkey < 50
     """,
     "multimodal_features": """

@@ -1391,6 +1391,84 @@ def _ivfpq_rerank_oracle() -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# Round-10: the composed PRETRAINING-DATA pipeline — the end-to-end shape
+# a training-data job runs (quality filter → language filter → exact
+# dedup → shard-packed context windows), with per-stage accounting in ONE
+# corpus pass.
+# --------------------------------------------------------------------------
+
+PP_MIN_TOKENS = 12  # quality gate: too-short docs out
+PP_MAX_CHARS = 400  # quality gate: over-long docs out
+PP_LANGS = ("en", "de", "fr")  # language allow-list
+
+
+def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed pretraining-data pipeline with per-stage accounting:
+    raw → quality (token/char bounds) → language allow-list → exact
+    fingerprint dedup (first-occurrence-wins among survivors) → greedy
+    shard packing into {PACK_CAPACITY}-token context windows.
+
+    Scale shape — ONE corpus scan: every stage is a per-row FLAG over
+    the same projection (no per-stage re-scan; a naive stage-by-stage
+    job reads the corpus once per stage), the dedup representative is
+    one fingerprint-keyed window, and the accounting is conditional
+    aggregation over the flags. The flag frame is localCheckpoint-ed
+    because both the accounting aggregate and the packing aggregate
+    consume it (two consumers, hash once). All outputs are integer
+    counts — no float-order sensitivity. ``n_windows`` uses integer
+    ceiling division ((s + cap - 1) div cap), exact in both engines."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "lang",
+        tx.token_count(col("text")).cast("bigint").alias("n_tok"),
+        F.length(col("text")).alias("n_chr"),
+        tx.fingerprint(col("text")).alias("_fp"),
+    )
+    q_ok = (col("n_tok") >= PP_MIN_TOKENS) & (col("n_chr") <= PP_MAX_CHARS)
+    flags = base.select(
+        "doc_id", "n_tok", "_fp", q_ok.alias("q_ok"),
+        (q_ok & col("lang").isin(*PP_LANGS)).alias("l_ok"),
+    )
+    keepmin = F.min(F.when(col("l_ok"), col("doc_id"))).over(
+        Window.partitionBy("_fp")
+    )
+    flags = flags.withColumn(
+        "keep", col("l_ok") & (col("doc_id") == keepmin)
+    ).localCheckpoint()
+
+    def _n(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    def _t(cond):
+        return F.sum(F.when(cond, col("n_tok")).otherwise(0))
+
+    acct = flags.agg(
+        F.count(F.lit(1)).alias("raw_docs"),
+        F.sum("n_tok").alias("raw_tokens"),
+        _n(col("q_ok")).alias("quality_docs"),
+        _t(col("q_ok")).alias("quality_tokens"),
+        _n(col("l_ok")).alias("lang_docs"),
+        _t(col("l_ok")).alias("lang_tokens"),
+        _n(col("keep")).alias("dedup_docs"),
+        _t(col("keep")).alias("dedup_tokens"),
+    )
+    win = (
+        flags.where(col("keep"))
+        .groupBy((col("doc_id") % PACK_GROUPS).alias("grp"))
+        .agg(F.sum("n_tok").alias("s"))
+        .agg(
+            F.sum(
+                F.expr(f"(s + {PACK_CAPACITY - 1}) div {PACK_CAPACITY}")
+            ).alias("n_windows")
+        )
+    )
+    return acct.crossJoin(win)
+
+
 QUERIES = {
     "gopher_quality_flags": q_gopher_quality_flags,
     "gopher_repetition_signals": q_gopher_repetition_signals,
@@ -1415,6 +1493,7 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "dup_ngram_stats": q_dup_ngram_stats,
+    "pretrain_pipeline": q_pretrain_pipeline,
 }
 
 
@@ -1592,6 +1671,57 @@ ORACLE = {
                CAST(floor((cum - 1) / {PACK_CAPACITY}) AS BIGINT)
                  AS last_window
         FROM c
+    """,
+    "pretrain_pipeline": f"""
+        WITH base AS (
+          SELECT doc_id, lang,
+                 CAST(len({_TOKENS}) AS BIGINT) AS n_tok,
+                 length(text) AS n_chr,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   AS f
+          FROM documents
+        ),
+        flags AS (
+          SELECT doc_id, n_tok, f,
+                 (n_tok >= {PP_MIN_TOKENS} AND n_chr <= {PP_MAX_CHARS})
+                   AS q_ok,
+                 (n_tok >= {PP_MIN_TOKENS} AND n_chr <= {PP_MAX_CHARS}
+                  AND lang IN ({', '.join("'" + x + "'" for x in PP_LANGS)}))
+                   AS l_ok
+          FROM base
+        ),
+        keepf AS (
+          SELECT *,
+                 (l_ok AND doc_id = min(CASE WHEN l_ok THEN doc_id END)
+                    OVER (PARTITION BY f)) AS keep
+          FROM flags
+        ),
+        acct AS (
+          SELECT CAST(count(1) AS BIGINT) AS raw_docs,
+                 CAST(sum(n_tok) AS BIGINT) AS raw_tokens,
+                 CAST(sum(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT)
+                   AS quality_docs,
+                 CAST(sum(CASE WHEN q_ok THEN n_tok ELSE 0 END) AS BIGINT)
+                   AS quality_tokens,
+                 CAST(sum(CASE WHEN l_ok THEN 1 ELSE 0 END) AS BIGINT)
+                   AS lang_docs,
+                 CAST(sum(CASE WHEN l_ok THEN n_tok ELSE 0 END) AS BIGINT)
+                   AS lang_tokens,
+                 CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS dedup_docs,
+                 CAST(sum(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT)
+                   AS dedup_tokens
+          FROM keepf
+        ),
+        win AS (
+          SELECT CAST(sum((s + {PACK_CAPACITY - 1}) // {PACK_CAPACITY})
+                      AS BIGINT) AS n_windows
+          FROM (
+            SELECT doc_id % {PACK_GROUPS} AS grp, sum(n_tok) AS s
+            FROM keepf WHERE keep GROUP BY 1
+          )
+        )
+        SELECT * FROM acct, win
     """,
     "domain_mix_sample": f"""
         WITH t AS (

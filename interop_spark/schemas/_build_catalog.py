@@ -785,6 +785,290 @@ MEDIA = _resource(
     duration=D,
 )
 
+# ---- round-10 promotions: the next tier of types real corpora hit -------
+#
+# Promoted from the full-catalog DomainResource spine to full element
+# trees (r9 verdict "What's missing" item 2): payer claim adjudication
+# (ClaimResponse), patient-reported data (QuestionnaireResponse),
+# clinical documents / IPS (Composition), workflow (Task), and risk
+# scoring (RiskAssessment). Element trees hand-derived from the public
+# R4 spec (hl7.org/fhir/R4/<type>.html). Promotion is MONOTONE: each
+# promoted type keeps every DomainResource spine field the spine schema
+# declared (implicitRules/language/text/extension/modifierExtension) —
+# a corpus that parsed under full=True must never lose fields when its
+# type is later promoted. QuestionnaireResponse.item and
+# Composition.section are RECURSIVE in the spec; Spark StructTypes
+# cannot recurse, so the tree is depth-limited to two nested levels —
+# the same wholesale-override escape hatch applies when a corpus nests
+# deeper (`01_dbignite_sample.py:123-146`).
+
+NARRATIVE = _struct(status=S, div=S)
+
+_ADJUDICATION = _struct(
+    category=CODEABLE_CONCEPT,
+    reason=CODEABLE_CONCEPT,
+    amount=MONEY,
+    value=D,
+)
+
+CLAIM_RESPONSE = _resource(
+    implicitRules=S,
+    language=S,
+    text=NARRATIVE,
+    extension=_arr(EXTENSION),
+    modifierExtension=_arr(EXTENSION),
+    identifier=_arr(IDENTIFIER),
+    status=S,
+    type=CODEABLE_CONCEPT,
+    subType=CODEABLE_CONCEPT,
+    use=S,
+    patient=REFERENCE,
+    created=S,
+    insurer=REFERENCE,
+    requestor=REFERENCE,
+    request=REFERENCE,
+    outcome=S,
+    disposition=S,
+    preAuthRef=S,
+    payeeType=CODEABLE_CONCEPT,
+    item=_arr(
+        _struct(
+            itemSequence=I,
+            noteNumber=_arr(I),
+            adjudication=_arr(_ADJUDICATION),
+        )
+    ),
+    total=_arr(_struct(category=CODEABLE_CONCEPT, amount=MONEY)),
+    payment=_struct(
+        type=CODEABLE_CONCEPT,
+        adjustment=MONEY,
+        adjustmentReason=CODEABLE_CONCEPT,
+        date=S,
+        amount=MONEY,
+        identifier=IDENTIFIER,
+    ),
+    fundsReserve=CODEABLE_CONCEPT,
+    formCode=CODEABLE_CONCEPT,
+    processNote=_arr(
+        _struct(number=I, type=S, text=S, language=CODEABLE_CONCEPT)
+    ),
+    communicationRequest=_arr(REFERENCE),
+    insurance=_arr(
+        _struct(
+            sequence=I,
+            focal=B,
+            coverage=REFERENCE,
+            businessArrangement=S,
+            claimResponse=REFERENCE,
+        )
+    ),
+    error=_arr(
+        _struct(
+            itemSequence=I,
+            detailSequence=I,
+            subDetailSequence=I,
+            code=CODEABLE_CONCEPT,
+        )
+    ),
+)
+
+# answer value[x] choice elements among the types a tabular source maps
+_QR_ANSWER_VALUES = dict(
+    valueBoolean=B,
+    valueDecimal=D,
+    valueInteger=I,
+    valueDate=S,
+    valueDateTime=S,
+    valueTime=S,
+    valueString=S,
+    valueUri=S,
+    valueQuantity=QUANTITY,
+    valueCoding=CODING,
+    valueReference=REFERENCE,
+)
+
+_QR_ITEM_LEAF = _struct(
+    linkId=S,
+    definition=S,
+    text=S,
+    answer=_arr(_struct(**_QR_ANSWER_VALUES)),
+)
+
+QUESTIONNAIRE_RESPONSE = _resource(
+    implicitRules=S,
+    language=S,
+    text=NARRATIVE,
+    extension=_arr(EXTENSION),
+    modifierExtension=_arr(EXTENSION),
+    identifier=IDENTIFIER,  # 0..1 here, unlike most resources
+    basedOn=_arr(REFERENCE),
+    partOf=_arr(REFERENCE),
+    questionnaire=S,
+    status=S,
+    subject=REFERENCE,
+    encounter=REFERENCE,
+    authored=S,
+    author=REFERENCE,
+    source=REFERENCE,
+    item=_arr(
+        _struct(
+            linkId=S,
+            definition=S,
+            text=S,
+            answer=_arr(_struct(**_QR_ANSWER_VALUES, item=_arr(_QR_ITEM_LEAF))),
+            item=_arr(_QR_ITEM_LEAF),
+        )
+    ),
+)
+
+_SECTION_LEAF = _struct(
+    title=S,
+    code=CODEABLE_CONCEPT,
+    author=_arr(REFERENCE),
+    focus=REFERENCE,
+    text=NARRATIVE,
+    mode=S,
+    orderedBy=CODEABLE_CONCEPT,
+    entry=_arr(REFERENCE),
+    emptyReason=CODEABLE_CONCEPT,
+)
+
+COMPOSITION = _resource(
+    implicitRules=S,
+    language=S,
+    text=NARRATIVE,
+    extension=_arr(EXTENSION),
+    modifierExtension=_arr(EXTENSION),
+    identifier=IDENTIFIER,  # 0..1
+    status=S,
+    type=CODEABLE_CONCEPT,
+    category=_arr(CODEABLE_CONCEPT),
+    subject=REFERENCE,
+    encounter=REFERENCE,
+    date=S,
+    author=_arr(REFERENCE),
+    title=S,
+    confidentiality=S,
+    attester=_arr(_struct(mode=S, time=S, party=REFERENCE)),
+    custodian=REFERENCE,
+    relatesTo=_arr(
+        _struct(code=S, targetIdentifier=IDENTIFIER, targetReference=REFERENCE)
+    ),
+    event=_arr(
+        _struct(
+            code=_arr(CODEABLE_CONCEPT), period=PERIOD, detail=_arr(REFERENCE)
+        )
+    ),
+    section=_arr(
+        _struct(
+            title=S,
+            code=CODEABLE_CONCEPT,
+            author=_arr(REFERENCE),
+            focus=REFERENCE,
+            text=NARRATIVE,
+            mode=S,
+            orderedBy=CODEABLE_CONCEPT,
+            entry=_arr(REFERENCE),
+            emptyReason=CODEABLE_CONCEPT,
+            section=_arr(_SECTION_LEAF),
+        )
+    ),
+)
+
+# Task.input/output value[x] spans every FHIR type; declare the choice
+# elements a tabular mapping realistically carries
+_TASK_VALUES = dict(
+    type=CODEABLE_CONCEPT,
+    valueBoolean=B,
+    valueDecimal=D,
+    valueInteger=I,
+    valueString=S,
+    valueDate=S,
+    valueDateTime=S,
+    valueCode=S,
+    valueUri=S,
+    valueQuantity=QUANTITY,
+    valueCodeableConcept=CODEABLE_CONCEPT,
+    valueReference=REFERENCE,
+)
+
+TASK = _resource(
+    implicitRules=S,
+    language=S,
+    text=NARRATIVE,
+    extension=_arr(EXTENSION),
+    modifierExtension=_arr(EXTENSION),
+    identifier=_arr(IDENTIFIER),
+    instantiatesCanonical=S,
+    instantiatesUri=S,
+    basedOn=_arr(REFERENCE),
+    groupIdentifier=IDENTIFIER,
+    partOf=_arr(REFERENCE),
+    status=S,
+    statusReason=CODEABLE_CONCEPT,
+    businessStatus=CODEABLE_CONCEPT,
+    intent=S,
+    priority=S,
+    code=CODEABLE_CONCEPT,
+    description=S,
+    focus=REFERENCE,
+    # `for` is a reserved word in many languages but a legal Spark/JSON
+    # field name; keyword-arg syntax can't express it, hence the dict
+    **{"for": REFERENCE},
+    encounter=REFERENCE,
+    executionPeriod=PERIOD,
+    authoredOn=S,
+    lastModified=S,
+    requester=REFERENCE,
+    performerType=_arr(CODEABLE_CONCEPT),
+    owner=REFERENCE,
+    location=REFERENCE,
+    reasonCode=CODEABLE_CONCEPT,
+    reasonReference=REFERENCE,
+    note=_arr(ANNOTATION),
+    restriction=_struct(
+        repetitions=I, period=PERIOD, recipient=_arr(REFERENCE)
+    ),
+    input=_arr(_struct(**_TASK_VALUES)),
+    output=_arr(_struct(**_TASK_VALUES)),
+)
+
+RISK_ASSESSMENT = _resource(
+    implicitRules=S,
+    language=S,
+    text=NARRATIVE,
+    extension=_arr(EXTENSION),
+    modifierExtension=_arr(EXTENSION),
+    identifier=_arr(IDENTIFIER),
+    basedOn=REFERENCE,
+    parent=REFERENCE,
+    status=S,
+    method=CODEABLE_CONCEPT,
+    code=CODEABLE_CONCEPT,
+    subject=REFERENCE,
+    encounter=REFERENCE,
+    occurrenceDateTime=S,
+    occurrencePeriod=PERIOD,
+    condition=REFERENCE,
+    performer=REFERENCE,
+    reasonCode=_arr(CODEABLE_CONCEPT),
+    reasonReference=_arr(REFERENCE),
+    basis=_arr(REFERENCE),
+    prediction=_arr(
+        _struct(
+            outcome=CODEABLE_CONCEPT,
+            probabilityDecimal=D,
+            qualitativeRisk=CODEABLE_CONCEPT,
+            relativeRisk=D,
+            whenPeriod=PERIOD,
+            whenRange=_struct(low=QUANTITY, high=QUANTITY),
+            rationale=S,
+        )
+    ),
+    mitigation=S,
+    note=_arr(ANNOTATION),
+)
+
 CATALOG = {
     "Patient": PATIENT,
     "MessageHeader": MESSAGE_HEADER,
@@ -825,6 +1109,11 @@ CATALOG = {
     "Communication": COMMUNICATION,
     "Consent": CONSENT,
     "Media": MEDIA,
+    "ClaimResponse": CLAIM_RESPONSE,
+    "QuestionnaireResponse": QUESTIONNAIRE_RESPONSE,
+    "Composition": COMPOSITION,
+    "Task": TASK,
+    "RiskAssessment": RISK_ASSESSMENT,
 }
 
 
@@ -842,8 +1131,6 @@ CATALOG = {
 # drop into `other`), and a user needing deep fields overrides that one
 # type via `with_overrides` — the reference's own mechanism.
 
-NARRATIVE = _struct(status=S, div=S)
-
 _SPINE = _resource(
     implicitRules=S,
     language=S,
@@ -860,9 +1147,9 @@ FULL_SPINE_TYPES = [
     "ActivityDefinition", "AdverseEvent", "AppointmentResponse",
     "AuditEvent", "Basic", "BiologicallyDerivedProduct", "BodyStructure",
     "CapabilityStatement", "CatalogEntry", "ChargeItem",
-    "ChargeItemDefinition", "ClaimResponse", "ClinicalImpression",
+    "ChargeItemDefinition", "ClinicalImpression",
     "CodeSystem", "CommunicationRequest", "CompartmentDefinition",
-    "Composition", "ConceptMap", "Contract", "CoverageEligibilityRequest",
+    "ConceptMap", "Contract", "CoverageEligibilityRequest",
     "CoverageEligibilityResponse", "DetectedIssue", "DeviceDefinition",
     "DeviceMetric", "DeviceRequest", "DeviceUseStatement",
     "DocumentManifest", "EffectEvidenceSynthesis", "Endpoint",
@@ -881,15 +1168,14 @@ FULL_SPINE_TYPES = [
     "NutritionOrder", "ObservationDefinition", "OperationDefinition",
     "OperationOutcome", "OrganizationAffiliation", "PaymentNotice",
     "PaymentReconciliation", "Person", "PlanDefinition", "Questionnaire",
-    "QuestionnaireResponse", "RequestGroup", "ResearchDefinition",
+    "RequestGroup", "ResearchDefinition",
     "ResearchElementDefinition", "ResearchStudy", "ResearchSubject",
-    "RiskAssessment", "RiskEvidenceSynthesis", "Schedule",
+    "RiskEvidenceSynthesis", "Schedule",
     "SearchParameter", "Slot", "SpecimenDefinition",
     "StructureDefinition", "StructureMap", "Subscription", "Substance",
     "SubstanceNucleicAcid", "SubstancePolymer", "SubstanceProtein",
     "SubstanceReferenceInformation", "SubstanceSourceMaterial",
-    "SubstanceSpecification", "SupplyRequest", "Task",
-    "TerminologyCapabilities", "TestReport", "TestScript", "ValueSet",
+    "SubstanceSpecification", "SupplyRequest", "TerminologyCapabilities", "TestReport", "TestScript", "ValueSet",
     "VerificationResult", "VisionPrescription",
 ]
 

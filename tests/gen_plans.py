@@ -57,6 +57,9 @@ COMMENT = {
  "countmin_estimate": "Count-Min build: ONE token explode x depth -> keyed count into a fixed depth*width-row sketch (the mergeable streaming summary); probes are a tiny broadcast join against it. Corpus cost is one explode+count regardless of vocabulary.",
  "resample_ffill": "Gap-filled resample: ONE user_id shuffle serves the daily aggregate, the span aggregate, the grid join, and the forward-fill window; the dense grid comes from sequence+explode (no driver-side calendar) and per-user state is bounded by the span in days.",
  "chunk_sliding": "Sliding-window chunking: closed-form chunk count, slice windows over the token array, one explode -- ZERO exchanges, scan-bandwidth bound; the chunker a RAG/embedding pipeline runs before encode.",
+ "corpus_clean": "Composed cleaning pipeline (exact fingerprint keep-list -> minhash near-dup drop -> semdedup embedding prune) with localCheckpoint between stages so each stage's lineage is truncated before the next self-join; per-stage drop counts ride along as literals. The executed plan shows the final keep-list anti-join over the persisted survivor tables (Scan ExistingRDD); each stage's build shape is the corresponding standalone query's plan.",
+ "bpe_encode": "True BPE encode: the merge loop runs per DISTINCT word (pandas_udf over the vocabulary table, cost scales with vocab not corpus); the corpus pass is then a broadcast word->pieces join + explode -- the corpus-side plan is one broadcast join, zero corpus shuffles.",
+ "text_token_stats": "Token/word statistics as pure Column folds (split + aggregate) in ONE projection -- zero exchanges; scan-bandwidth bound. The r9-flagged query: its plan has no shuffle to regress, so wall-clock moves only with machine load (see BENCH spread).",
 }
 
 out = ["# PLANS — physical plans of the headline queries (sf0.1, AQE on)",
@@ -86,7 +89,8 @@ for name in ["pricing_summary", "multiway_join_agg", "latest_event_per_user",
              "bm25_inverted_topk", "classifier_train_steps",
              "dup_span_removal", "video_meta", "hybrid_rrf_topk",
              "bsq_hamming_search", "countmin_estimate",
-             "resample_ffill", "chunk_sliding"]:
+             "resample_ffill", "chunk_sliding",
+             "corpus_clean", "bpe_encode", "text_token_stats"]:
     df = qs[name](spark, SF)
     df.write.format("noop").mode("overwrite").save()  # let AQE finalize
     plan = df._jdf.queryExecution().executedPlan().toString()

@@ -459,9 +459,10 @@ def test_explode2_preserves_cross_product_and_inner_semantics(spark):
 
 def test_full_catalog_recognizes_off_catalog_types(spark, tmp_path):
     """FhirSchemaModel(full=True): every R4 resource type resolves — an
-    off-catalog resource (Task, Flag) materializes as a typed spine
-    column (id/meta/text/extension) instead of dropping into `_other`;
-    the curated deep schemas are unchanged."""
+    off-catalog resource (Flag) materializes as a typed spine column
+    (id/meta/text/extension) instead of dropping into `_other`; Task
+    (promoted to a deep curated schema in round 10) must KEEP the spine
+    fields it had when it was spine-only (monotone promotion)."""
     from interop_spark.fhir import read_from_directory
     from interop_spark.fhir.schema import FhirSchemaModel
 
@@ -478,6 +479,9 @@ def test_full_catalog_recognizes_off_catalog_types(spark, tmp_path):
                           "text": {"status": "generated",
                                    "div": "<div>do it</div>"}}},
             {"resource": {"resourceType": "Flag", "id": "f-1",
+                          "language": "en",
+                          "text": {"status": "generated",
+                                   "div": "<div>flagged</div>"},
                           "meta": {"versionId": "7"}}},
         ],
     }
@@ -495,7 +499,11 @@ def test_full_catalog_recognizes_off_catalog_types(spark, tmp_path):
     assert row.Task[0].language == "en"
     assert row.Task[0].text.status == "generated"
     assert row.Flag[0].meta.versionId == "7"
+    assert row.Flag[0].language == "en"
+    assert row.Flag[0].text.status == "generated"
 
-    # default catalog still drops them (into _other only when asked)
+    # Task is curated (deep) since round 10 and appears in the default
+    # catalog; Flag stays spine-only and the default catalog drops it
+    # (into _other only when asked)
     lean = read_from_directory(str(d), spark=spark).entry()
-    assert "Task" not in lean.columns and "Flag" not in lean.columns
+    assert "Task" in lean.columns and "Flag" not in lean.columns

@@ -449,3 +449,65 @@ def test_writer_urn_value_leaves(spark):
         == "http://hl7.org/fhir/sid/us-ssn"
     )
     assert rows["p2"]["Claim"]["identifier"][0]["system"] == "mrn-local"
+
+
+def test_writer_attachment_base64_leaves(spark):
+    """Round-10 Attachment path: a raw-content source mapped to
+    Attachment.data is emitted as its base64 (string source => UTF-8
+    bytes; binary source => those bytes), size is a JSON number, url a
+    plain passthrough, and the repeated `content` segment wraps the
+    attachment in an array."""
+    import base64 as _b64
+    import json as _json
+
+    from interop_spark.fhir import Bundle, Mapping, MappingManager
+
+    src = spark.createDataFrame(
+        [("d1", "hello attachment", 17, "http://x.example/d1")],
+        "DID string, NOTE string, SZ int, URL string",
+    )
+    maps = [
+        Mapping("DID", "DocumentReference.id"),
+        Mapping(
+            "text/plain",
+            "DocumentReference.content.attachment.contentType",
+            literal=True,
+        ),
+        Mapping("NOTE", "DocumentReference.content.attachment.data"),
+        Mapping("SZ", "DocumentReference.content.attachment.size"),
+        Mapping("URL", "DocumentReference.content.attachment.url"),
+    ]
+    out = Bundle(MappingManager(maps, src.schema)).df_to_fhir_df(src).collect()
+    b = _json.loads(out[0].value)
+    doc = b["entry"][0]["resource"]
+    att = doc["content"][0]["attachment"]
+    assert isinstance(doc["content"], list)
+    assert att["contentType"] == "text/plain"
+    assert att["data"] == _b64.b64encode(b"hello attachment").decode()
+    assert att["size"] == 17 and isinstance(att["size"], int)
+    assert att["url"] == "http://x.example/d1"
+
+
+def test_writer_binary_source_base64(spark):
+    """A BINARY-typed source through an Attachment.data leaf encodes the
+    raw bytes (incl. non-UTF8) rather than a stringified repr."""
+    import base64 as _b64
+    import json as _json
+
+    from interop_spark.fhir import Bundle, Mapping, MappingManager
+
+    payload = bytes([0, 1, 2, 254, 255])
+    src = spark.createDataFrame(
+        [("m1", payload)], "MID string, BLOB binary"
+    )
+    maps = [
+        Mapping("MID", "Media.id"),
+        Mapping("BLOB", "Media.content.data"),
+    ]
+    out = Bundle(MappingManager(maps, src.schema)).df_to_fhir_df(src).collect()
+    b = _json.loads(out[0].value)
+    media = b["entry"][0]["resource"]
+    # Media.content is 1..1 in R4 — the _NONREPEATED_PATHS override must
+    # keep it a single Attachment object, not an array
+    assert isinstance(media["content"], dict)
+    assert media["content"]["data"] == _b64.b64encode(payload).decode()

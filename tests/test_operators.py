@@ -814,3 +814,31 @@ def test_pq_train_short_corpus_no_raise(spark):
     # 5 seeds, never padded to k
     assert all(len(cb_m) == 5 for cb_m in cbs)
     assert all(len(cw) == 2 for cb_m in cbs for cw in cb_m)
+
+
+def test_minhash_max_band_docs_drops_hot_cluster_only(spark):
+    """max_band_docs (round-10 hot-band guard): a mega-cluster of
+    identical texts shares every band key, so its bands exceed the cap
+    and its pairs vanish from the candidate set, while pairs that share
+    only non-hot bands survive. Default None keeps exact semantics."""
+    from interop_spark.operators.dedup import minhash_candidate_pairs
+
+    boiler = "all work and no play makes jack a dull boy " * 4
+    rows = [(i, boiler) for i in range(10)] + [
+        (100, "spark shuffles data between stages during wide joins"),
+        (101, "spark shuffles data between stages during wide joins"),
+        (102, "entirely unrelated text about parquet column pruning here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = minhash_candidate_pairs(df, "doc_id", "text", spread=False)
+    got_all = {(r.doc_a, r.doc_b) for r in uncapped.collect()}
+    assert (100, 101) in got_all
+    assert sum(1 for a, b in got_all if a < 100 and b < 100) == 45  # 10C2
+
+    capped = minhash_candidate_pairs(
+        df, "doc_id", "text", spread=False, max_band_docs=4
+    )
+    got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert (100, 101) in got  # 2-doc bands survive the cap
+    assert not any(a < 100 and b < 100 for a, b in got)  # cluster dropped
