@@ -60,6 +60,7 @@ COMMENT = {
  "corpus_clean": "Composed cleaning pipeline (exact fingerprint keep-list -> minhash near-dup drop -> semdedup embedding prune) with localCheckpoint between stages so each stage's lineage is truncated before the next self-join; per-stage drop counts ride along as literals. The executed plan shows the final keep-list anti-join over the persisted survivor tables (Scan ExistingRDD); each stage's build shape is the corresponding standalone query's plan.",
  "bpe_encode": "True BPE encode: the merge loop runs per DISTINCT word (pandas_udf over the vocabulary table, cost scales with vocab not corpus); the corpus pass is then a broadcast word->pieces join + explode -- the corpus-side plan is one broadcast join, zero corpus shuffles.",
  "text_token_stats": "Token/word statistics as pure Column folds (split + aggregate) in ONE projection -- zero exchanges; scan-bandwidth bound. The r9-flagged query: its plan has no shuffle to regress, so wall-clock moves only with machine load (see BENCH spread).",
+ "pretrain_pipeline": "Composed pretraining-data accounting in ONE corpus scan: every stage (quality, language, dedup-keep) is a per-row FLAG over the same projection, so the only exchanges are the fingerprint window (dedup representative) and the two tiny aggregates -- a naive stage-by-stage job re-reads the corpus once per stage. The flag frame is localCheckpoint-ed because accounting and packing both consume it.",
 }
 
 out = ["# PLANS — physical plans of the headline queries (sf0.1, AQE on)",
@@ -90,7 +91,8 @@ for name in ["pricing_summary", "multiway_join_agg", "latest_event_per_user",
              "dup_span_removal", "video_meta", "hybrid_rrf_topk",
              "bsq_hamming_search", "countmin_estimate",
              "resample_ffill", "chunk_sliding",
-             "corpus_clean", "bpe_encode", "text_token_stats"]:
+             "corpus_clean", "bpe_encode", "text_token_stats",
+             "pretrain_pipeline"]:
     df = qs[name](spark, SF)
     df.write.format("noop").mode("overwrite").save()  # let AQE finalize
     plan = df._jdf.queryExecution().executedPlan().toString()
