@@ -10,7 +10,12 @@ Capability parity targets (reference: /root/reference/01_dbignite_sample.py):
 """
 
 from interop_spark.fhir.adt import ADTActions  # noqa: F401
-from interop_spark.fhir.reader import FhirBundles, read_from_directory  # noqa: F401
+from interop_spark.fhir.reader import (  # noqa: F401
+    FhirBundles,
+    FhirNdjson,
+    read_from_directory,
+    read_from_ndjson,
+)
 from interop_spark.fhir.schema import FhirSchemaModel  # noqa: F401
 from interop_spark.fhir.writer import (  # noqa: F401
     Bundle,

@@ -361,3 +361,87 @@ def write_corpus(
 
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# NDJSON bulk-export fixture (round-10): the $export layout — one file per
+# resource type, one resource JSON per line — for the FhirNdjson reader.
+# --------------------------------------------------------------------------
+
+NDJSON_VERSION = "v1"
+
+
+def ndjson_resource_dfs(
+    spark: SparkSession, sf_dir: str, max_custkey: int = 400
+) -> dict[str, DataFrame]:
+    """Per-type single-column (``value``) frames of resource JSON lines,
+    fields closed-form in c_custkey (the SAME derivations as the bundle
+    corpus's Patient/Observation, so the relational oracles are shared
+    idioms). JSON is built JVM-side via ``to_json`` — generation
+    distributes like the bundle path."""
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    k = col("c_custkey")
+    patient = F.struct(
+        F.lit("Patient").alias("resourceType"),
+        _cat("p-", k).alias("id"),
+        F.when(k % 2 == 0, F.lit("male")).otherwise(F.lit("female")).alias(
+            "gender"
+        ),
+        F.format_string(
+            "%04d-%02d-%02d", (k % 50 + 1950).cast("int"),
+            (k % 12 + 1).cast("int"), (k % 28 + 1).cast("int"),
+        ).alias("birthDate"),
+    )
+    observation = F.struct(
+        F.lit("Observation").alias("resourceType"),
+        _cat("obs-", k).alias("id"),
+        _pick(("final", "amended", "preliminary"), k).alias("status"),
+        _codeable(_cat("L", k % 20), _cat("loinc-", k % 20), LOINC).alias(
+            "code"
+        ),
+        F.struct(_cat("Patient/p-", k).alias("reference")).alias("subject"),
+        F.struct(
+            (k % 60 + 140 + (k % 10) / F.lit(10.0)).alias("value"),
+            F.lit("cm").alias("unit"),
+        ).alias("valueQuantity"),
+    )
+    base = c.where(k < max_custkey)
+    return {
+        "Patient": base.select(F.to_json(patient).alias("value")),
+        "Observation": base.select(F.to_json(observation).alias("value")),
+    }
+
+
+def write_ndjson_corpus(
+    spark: SparkSession, sf_dir: str, max_custkey: int = 400
+) -> str:
+    """Materialize ``<Type>.ndjson`` files (deterministic content, sorted
+    by line) and return the directory. Idempotent via the same
+    marker/rename protocol as ``write_corpus``. Bounded fixture tooling:
+    a real export is written by the FHIR server, not by us."""
+    sf_name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(
+        "/tmp/interop_spark_fixtures",
+        f"ndjson-{sf_name}-k{max_custkey}-{NDJSON_VERSION}",
+    )
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+    dfs = ndjson_resource_dfs(spark, sf_dir, max_custkey)
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp)
+    n = 0
+    for rt, df in dfs.items():
+        lines = sorted(r["value"] for r in df.collect())
+        n += len(lines)
+        with open(os.path.join(tmp, f"{rt}.ndjson"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+        f.write(f"{n}\n")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

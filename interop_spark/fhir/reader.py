@@ -244,3 +244,93 @@ def read_from_directory(
     """Entry point mirroring ``dbignite.readers.read_from_directory``
     (`01_dbignite_sample.py:20,25`)."""
     return FhirBundles(path, spark=spark, glob_filter=glob_filter)
+
+
+class FhirNdjson:
+    """FHIR Bulk Data Access export ingestion: a directory of NDJSON
+    files (one resource JSON per LINE, conventionally one resource type
+    per file — the `$export` output layout, hl7.org/fhir/uv/bulkdata).
+
+    Scale shape vs the bundle path: bundle files must be read
+    ``wholetext`` (one task per file minimum), while NDJSON is
+    line-splittable — Spark splits a multi-GB Observation.ndjson across
+    tasks at parquet-like granularity, so ingest parallelism scales with
+    bytes, not file count. Each line is parsed ONCE into a VARIANT;
+    per-type extraction is a typed ``variant_get`` against the declared
+    catalog schema (same single-parse posture as ``entry()``,
+    reader.py:53).
+    """
+
+    def __init__(
+        self,
+        path: str,
+        spark: SparkSession | None = None,
+        glob_filter: str | None = None,
+    ):
+        self.path = path
+        self.glob_filter = glob_filter
+        self.spark = (
+            spark
+            or SparkSession.getActiveSession()
+            or SparkSession.builder.getOrCreate()
+        )
+
+    def _raw(self) -> DataFrame:
+        reader = self.spark.read
+        if self.glob_filter:
+            reader = reader.option("pathGlobFilter", self.glob_filter)
+        return reader.text(self.path).select(
+            F.col("value"),
+            F.col("_metadata.file_path").alias("_file_path"),
+        )
+
+    def resource_types(self) -> DataFrame:
+        """(resourceType, n_resources) over the export — the audit scan
+        run before deciding which catalog schemas to materialize."""
+        v = self._raw().select(
+            F.variant_get(
+                F.try_parse_json(F.col("value")),
+                "$.resourceType",
+                "string",
+            ).alias("resourceType")
+        )
+        return v.groupBy("resourceType").agg(
+            F.count(F.lit(1)).alias("n_resources")
+        )
+
+    def resource(
+        self,
+        resource_type: str,
+        schemas: FhirSchemaModel | None = None,
+    ) -> DataFrame:
+        """Typed rows of one resource type: every column of the catalog
+        StructType for ``resource_type``, plus ``_file_path`` provenance.
+        Lines of other types are filtered BEFORE the typed extraction, so
+        a mixed export (or a malformed line — NULL variant) costs one tag
+        probe, not a full struct materialization."""
+        schemas = schemas or FhirSchemaModel()
+        st = schemas.schema(resource_type)
+        v = self._raw().select(
+            F.col("_file_path"),
+            F.try_parse_json(F.col("value")).alias("_v"),
+        )
+        tagged = v.where(
+            F.variant_get("_v", "$.resourceType", "string")
+            == F.lit(resource_type)
+        )
+        typed = tagged.select(
+            F.col("_file_path"),
+            F.variant_get("_v", "$", st.simpleString()).alias("_r"),
+        )
+        return typed.select("_file_path", "_r.*")
+
+
+def read_from_ndjson(
+    path: str,
+    spark: SparkSession | None = None,
+    glob_filter: str | None = None,
+) -> FhirNdjson:
+    """Bulk-export counterpart of ``read_from_directory`` (the reference
+    ingests transaction bundles, `01_dbignite_sample.py:20,25`; the bulk
+    NDJSON layout is the other standard FHIR-at-rest format)."""
+    return FhirNdjson(path, spark=spark, glob_filter=glob_filter)

@@ -923,3 +923,49 @@ def dup_span_removal(
         ),
         F.md5(clean).alias("clean_md5"),
     )
+
+
+def edit_verified_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int | None = None,
+    **minhash_kwargs,
+) -> DataFrame:
+    """Near-duplicate pairs verified by TRUE edit distance (the
+    RETSim-style second stage): MinHash-LSH candidates re-joined to
+    their raw texts and scored with Levenshtein — absolute ``edit_dist``
+    plus ``norm_dist`` (distance / longer length). ``max_dist`` filters
+    survivors; ``None`` keeps every candidate with its distance.
+
+    Scale shape: Levenshtein is O(len_a x len_b) PER PAIR, so it must
+    never see all-pairs input — the band join (plus its ``max_band_docs``
+    guard) bounds the candidate count, and the verification itself is an
+    embarrassingly parallel projection over the joined pairs. The raw
+    texts enter the plan only for surviving candidates (two keyed joins),
+    never the band exchange.
+    """
+    cand = minhash_candidate_pairs(
+        df, id_col, text_col, **minhash_kwargs
+    ).select("doc_a", "doc_b")
+    a = df.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("_ta"))
+    b = df.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("_tb"))
+    out = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein(F.col("_ta"), F.col("_tb")).alias("edit_dist"),
+            F.round(
+                F.levenshtein(F.col("_ta"), F.col("_tb"))
+                / F.greatest(
+                    F.length(F.col("_ta")), F.length(F.col("_tb")), F.lit(1)
+                ),
+                4,
+            ).alias("norm_dist"),
+        )
+    )
+    if max_dist is not None:
+        out = out.where(F.col("edit_dist") <= max_dist)
+    return out

@@ -98,22 +98,28 @@ _MODULES = (
 #     gopher_repetition_signals, pii_redact, sequence_pack,
 #     merge_upsert, salted_join_agg (18).
 # ROUND-10 window (50) — executes the round-10 rotation plan IN FULL:
-# forced set 19 + the complete 15-row r6 residue + 16 of the oldest r7
+# forced set 22 + the complete 15-row r6 residue + 13 of the oldest r7
 # rows = 50 exactly. After this round no registry green is older than
 # r7 (the r9 verdict item-2 done-criterion); the remaining r7 rows
 # (embedding_neardup, embedding_centroids, lsh_bucket_sizes,
 # token_count_bpe, tfidf_top_terms, frame_sample, stratified_sample,
 # media_stats, ngram_jaccard_pairs, unpivot, window_rank_battery,
 # array_funcs, pivot_agg, grouping_sets, cube_agg, substring_dup_runs,
-# winnow_dup_pairs, semdedup_keep, knn_batch) head the ROUND-11 queue.
-#   * NEW this round (4): pretrain_pipeline (the composed
+# winnow_dup_pairs, semdedup_keep, knn_batch, text_quality,
+# doc_fingerprint, knn_cosine) head the ROUND-11 queue.
+#   * NEW this round (7): pretrain_pipeline (the composed
 #     quality->lang->dedup->pack accounting row; pipeline_ext.py diff
 #     is ADDITIVE — appended query/oracle pair only, so other
 #     pipeline_ext rows keep their green), fhir_diagnostic_reports
 #     (deep DiagnosticReport flatten), fhir_questionnaire_answers
 #     (round-10 promoted deep QuestionnaireResponse schema),
 #     fhir_mixed_resource_counts (FhirSchemaModel(full=True) retention
-#     of a spine-only type through the value-hash gate).
+#     of a spine-only type through the value-hash gate),
+#     fhir_ndjson_observations + fhir_ndjson_type_counts (the NDJSON
+#     bulk-export source — FhirNdjson reader + generator are ADDITIVE
+#     appends to reader.py/gen.py), and edit_distance_neardup
+#     (Levenshtein-verified LSH pairs; dedup.py append
+#     edit_verified_pairs + selection_q.py appended pair only).
 #   * fhir/gen.py changed (corpus v4: + DiagnosticReport,
 #     QuestionnaireResponse, NutritionOrder per bundle): every
 #     _synthetic_entry/write_corpus consumer re-verifies —
@@ -149,8 +155,7 @@ _MODULES = (
 #     sessionize, tumbling_window, lead_lag, conditional_agg, asof_join,
 #     range_join_pairs, enrich_events), text_token_stats (the r9
 #     perf-flagged query — a driver-fresh green alongside the re-measure),
-#     drop_duplicates, train_test_split, text_quality, doc_fingerprint,
-#     knn_cosine (16).
+#     drop_duplicates, train_test_split (13).
 #
 # Round-7 window (50), for history:
 #   * events-repair (10): the io.py events loader changed this round
@@ -333,8 +338,11 @@ _MODULES = (
 # last r3 rows.
 # --------------------------------------------------------------------------
 _WINDOW = (
-    # --- ROUND 10: new queries (4) ---
+    # --- ROUND 10: new queries (7) ---
     "pretrain_pipeline",
+    "fhir_ndjson_observations",
+    "fhir_ndjson_type_counts",
+    "edit_distance_neardup",
     "fhir_diagnostic_reports",
     "fhir_questionnaire_answers",
     "fhir_mixed_resource_counts",
@@ -372,7 +380,7 @@ _WINDOW = (
     "domain_mix_sample",
     "token_entropy",
     "sq8_roundtrip",
-    # --- ROUND 10: oldest r7 rows (16) ---
+    # --- ROUND 10: oldest r7 rows (13) ---
     "json_extract",
     "latest_event_per_user",
     "running_total",
@@ -386,9 +394,6 @@ _WINDOW = (
     "text_token_stats",
     "drop_duplicates",
     "train_test_split",
-    "text_quality",
-    "doc_fingerprint",
-    "knn_cosine",
 )
 
 # Round-9 window (50), for history (see git log for the full tuple):

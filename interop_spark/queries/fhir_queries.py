@@ -524,6 +524,44 @@ def q_fhir_mixed_resource_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fhir_ndjson_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FHIR Bulk Data NDJSON ingest (round-10 source widening): a
+    generated ``$export``-layout directory (Patient.ndjson +
+    Observation.ndjson, one resource per line) read through
+    ``FhirNdjson.resource("Observation")`` — line-splittable scan, one
+    variant parse per line, typed extraction against the declared
+    catalog schema. The Patient file sharing the directory proves the
+    resourceType tag filter (a Patient line must never surface here)."""
+    from interop_spark.fhir import read_from_ndjson
+    from interop_spark.fhir.gen import write_ndjson_corpus
+
+    d = write_ndjson_corpus(spark, sf_dir, max_custkey=_SYNTH_LIMIT)
+    obs = read_from_ndjson(
+        "file://" + d, spark=spark, glob_filter="*.ndjson"
+    ).resource("Observation")
+    return obs.select(
+        col("id").alias("obs_id"),
+        col("status").alias("obs_status"),
+        F.get(col("code.coding"), 0)["code"].alias("obs_code"),
+        col("subject.reference").alias("patient_ref"),
+        col("valueQuantity.value").alias("obs_value"),
+        col("valueQuantity.unit").alias("obs_unit"),
+    )
+
+
+def q_fhir_ndjson_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bulk-export audit scan: per-resourceType line counts over the
+    NDJSON directory (``FhirNdjson.resource_types()``) — the pass a real
+    job runs before deciding which catalog schemas to materialize."""
+    from interop_spark.fhir import read_from_ndjson
+    from interop_spark.fhir.gen import write_ndjson_corpus
+
+    d = write_ndjson_corpus(spark, sf_dir, max_custkey=_SYNTH_LIMIT)
+    return read_from_ndjson(
+        "file://" + d, spark=spark, glob_filter="*.ndjson"
+    ).resource_types()
+
+
 def q_fhir_ingest_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reader THROUGHPUT path over a real file corpus: ~1200 generated
     bundle files (one .json per bundle, deterministic content) →
@@ -578,6 +616,8 @@ QUERIES = {
     "fhir_diagnostic_reports": q_fhir_diagnostic_reports,
     "fhir_questionnaire_answers": q_fhir_questionnaire_answers,
     "fhir_mixed_resource_counts": q_fhir_mixed_resource_counts,
+    "fhir_ndjson_observations": q_fhir_ndjson_observations,
+    "fhir_ndjson_type_counts": q_fhir_ndjson_type_counts,
 }
 
 # the 4 deterministic rows adt_events yields from the reference's sample
@@ -814,6 +854,24 @@ ORACLE = {
                CAST(count(DISTINCT CASE (k % 3) WHEN 0 THEN 'en'
                      WHEN 1 THEN 'es' ELSE 'fr' END) AS BIGINT)
         FROM b
+    """,
+    "fhir_ndjson_observations": f"""
+        SELECT 'obs-' || c_custkey::VARCHAR AS obs_id,
+               CASE (c_custkey % 3) WHEN 0 THEN 'final'
+                 WHEN 1 THEN 'amended' ELSE 'preliminary' END AS obs_status,
+               'L' || (c_custkey % 20)::VARCHAR AS obs_code,
+               'Patient/p-' || c_custkey::VARCHAR AS patient_ref,
+               c_custkey % 60 + 140 + (c_custkey % 10) / 10.0 AS obs_value,
+               'cm' AS obs_unit
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+    """,
+    "fhir_ndjson_type_counts": f"""
+        SELECT 'Patient' AS resourceType,
+               CAST(count(1) AS BIGINT) AS n_resources
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+        UNION ALL
+        SELECT 'Observation', CAST(count(1) AS BIGINT)
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
     """,
     "fhir_condition_text": f"""
         SELECT {_DK_UUID} AS UNIQUE_FHIR_ID,

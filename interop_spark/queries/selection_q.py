@@ -1666,7 +1666,56 @@ def _chunk_sliding_oracle() -> str:
     """
 
 
+def q_edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETSim-style two-stage near-dup (round-10): MinHash-LSH candidate
+    generation, then TRUE Levenshtein verification on the surviving
+    pairs only — the edit-distance analog of exact-Jaccard
+    verification, for pipelines whose dup definition is char-level
+    (OCR noise, templated boilerplate with small substitutions).
+    Levenshtein is O(len²) per pair, so it must never see all-pairs
+    input; the band join bounds it. Planted first-word-dropped mutants
+    give known small distances."""
+    from interop_spark.operators.dedup import edit_verified_pairs
+
+    d = _with_near_dups(load(spark, sf_dir, "documents"), limit=100)
+    return edit_verified_pairs(
+        d, "doc_id", "text", k=MINHASH_K, bands=BANDS, rows=ROWS,
+        shingle_n=SHINGLE_N, spread=False,
+    )
+
+
+def _edit_distance_oracle() -> str:
+    return f"""
+        WITH unioned AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 100
+          UNION ALL
+          SELECT doc_id + {DUP_OFFSET},
+                 substring(text, instr(text, ' ') + 1)
+          FROM documents WHERE doc_id < 100
+        ),
+        sh AS (SELECT doc_id, text, {_dk_shingles()} AS sh FROM unioned),
+        sig AS (SELECT doc_id, text, {_dk_minhash_sig()} AS sig FROM sh),
+        banded AS (
+          SELECT doc_id, unnest({_dk_band_keys()}) AS band_key FROM sig
+        ),
+        pairs AS (
+          SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+          FROM banded l JOIN banded r
+            ON l.band_key = r.band_key AND l.doc_id < r.doc_id
+        )
+        SELECT p.doc_a, p.doc_b,
+               CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_dist,
+               round(levenshtein(a.text, b.text) * 1.0
+                     / greatest(greatest(length(a.text), length(b.text)), 1),
+                     4) AS norm_dist
+        FROM pairs p
+        JOIN unioned a ON p.doc_a = a.doc_id
+        JOIN unioned b ON p.doc_b = b.doc_id
+    """
+
+
 QUERIES = {
+    "edit_distance_neardup": q_edit_distance_neardup,
     "dsir_importance": q_dsir_importance,
     "bm25_topk": q_bm25_topk,
     "minhash_est_error": q_minhash_est_error,
@@ -1688,6 +1737,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "edit_distance_neardup": _edit_distance_oracle(),
     "dsir_importance": _dsir_oracle(),
     "bm25_topk": _bm25_oracle(),
     "minhash_est_error": _minhash_est_oracle(),

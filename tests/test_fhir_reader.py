@@ -507,3 +507,39 @@ def test_full_catalog_recognizes_off_catalog_types(spark, tmp_path):
     # (into _other only when asked)
     lean = read_from_directory(str(d), spark=spark).entry()
     assert "Task" in lean.columns and "Flag" not in lean.columns
+
+
+def test_ndjson_reader_type_filter_and_malformed_lines(spark, tmp_path):
+    """FhirNdjson (round-10 bulk-export source): per-type extraction
+    filters on the resourceType tag BEFORE typed materialization, a
+    malformed line degrades to a filtered-out NULL variant (never a task
+    failure), and resource_types() audits the directory."""
+    from interop_spark.fhir import read_from_ndjson
+
+    d = tmp_path / "bulk"
+    d.mkdir()
+    (d / "Patient.ndjson").write_text(
+        '{"resourceType":"Patient","id":"p-1","gender":"male"}\n'
+        '{"resourceType":"Patient","id":"p-2","gender":"female"}\n'
+        "this line is not json\n"
+    )
+    (d / "Observation.ndjson").write_text(
+        '{"resourceType":"Observation","id":"o-1","status":"final",'
+        '"valueQuantity":{"value":1.5,"unit":"cm"}}\n'
+    )
+    (d / "ignore.txt").write_text("not an export file\n")
+
+    nd = read_from_ndjson(str(d), spark=spark, glob_filter="*.ndjson")
+
+    pats = {r.id: r for r in nd.resource("Patient").collect()}
+    assert set(pats) == {"p-1", "p-2"}
+    assert pats["p-1"].gender == "male"
+    assert "_file_path" in nd.resource("Patient").columns
+
+    obs = nd.resource("Observation").collect()
+    assert len(obs) == 1 and obs[0].valueQuantity.value == 1.5
+
+    counts = {r.resourceType: r.n_resources for r in nd.resource_types().collect()}
+    # the malformed line surfaces as a NULL tag in the audit (visible,
+    # not silently dropped) and never reaches a typed resource frame
+    assert counts == {"Patient": 2, "Observation": 1, None: 1}
