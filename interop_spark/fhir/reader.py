@@ -246,6 +246,33 @@ def read_from_directory(
     return FhirBundles(path, spark=spark, glob_filter=glob_filter)
 
 
+def ndjson_resource_from_lines(
+    raw: DataFrame,
+    resource_type: str,
+    schemas: FhirSchemaModel | None = None,
+) -> DataFrame:
+    """Typed resource rows from a frame of NDJSON lines (``value`` +
+    ``_file_path``) — the parse core shared by the batch
+    ``FhirNdjson.resource`` and the streaming ``stream_ndjson_resources``
+    (stateless projections only, so stream==batch equality holds by
+    construction, the ``entry_from_json`` pattern). Lines of other types
+    — and malformed lines, whose ``try_parse_json`` is NULL — cost one
+    tag probe and are filtered BEFORE the typed struct materializes."""
+    schemas = schemas or FhirSchemaModel()
+    st = schemas.schema(resource_type)
+    v = raw.select(
+        F.col("_file_path"), F.try_parse_json(F.col("value")).alias("_v")
+    )
+    tagged = v.where(
+        F.variant_get("_v", "$.resourceType", "string")
+        == F.lit(resource_type)
+    )
+    return tagged.select(
+        F.col("_file_path"),
+        F.variant_get("_v", "$", st.simpleString()).alias("_r"),
+    ).select("_file_path", "_r.*")
+
+
 class FhirNdjson:
     """FHIR Bulk Data Access export ingestion: a directory of NDJSON
     files (one resource JSON per LINE, conventionally one resource type
@@ -304,25 +331,12 @@ class FhirNdjson:
         schemas: FhirSchemaModel | None = None,
     ) -> DataFrame:
         """Typed rows of one resource type: every column of the catalog
-        StructType for ``resource_type``, plus ``_file_path`` provenance.
-        Lines of other types are filtered BEFORE the typed extraction, so
-        a mixed export (or a malformed line — NULL variant) costs one tag
-        probe, not a full struct materialization."""
-        schemas = schemas or FhirSchemaModel()
-        st = schemas.schema(resource_type)
-        v = self._raw().select(
-            F.col("_file_path"),
-            F.try_parse_json(F.col("value")).alias("_v"),
+        StructType for ``resource_type``, plus ``_file_path`` provenance
+        (see ``ndjson_resource_from_lines`` for the filter-before-
+        materialize cost argument)."""
+        return ndjson_resource_from_lines(
+            self._raw(), resource_type, schemas=schemas
         )
-        tagged = v.where(
-            F.variant_get("_v", "$.resourceType", "string")
-            == F.lit(resource_type)
-        )
-        typed = tagged.select(
-            F.col("_file_path"),
-            F.variant_get("_v", "$", st.simpleString()).alias("_r"),
-        )
-        return typed.select("_file_path", "_r.*")
 
 
 def read_from_ndjson(

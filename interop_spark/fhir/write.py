@@ -17,6 +17,7 @@ catalog the session has configured.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 BUNDLE_META_COLS = ("bundleUUID", "bundleId", "bundleType", "timestamp", "_file_path")
 
@@ -83,3 +84,28 @@ def drop_table_if_exists(spark: SparkSession, full_name: str) -> None:
     else:
         name = f"`{full_name}`"
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def bulk_ndjson_write(
+    df: DataFrame,
+    location: str,
+    write_mode: str = "overwrite",
+    columns: list[str] | None = None,
+) -> None:
+    """Reverse bulk export (round-10, the sink twin of ``FhirNdjson``):
+    each resource column of an ``entry()`` bundle-row frame is exploded
+    and re-serialized as JSON lines under ``<location>/<Resource>/`` —
+    the FHIR Bulk Data ``$export`` layout, written DISTRIBUTED (part
+    files of lines; a single .ndjson file cannot be written in
+    parallel, and ``FhirNdjson``/any bulk importer consumes a directory
+    of line files identically).
+
+    ``to_json`` omits null fields, so the emitted lines carry only the
+    fields present in the source rows; ``resourceType`` is part of every
+    catalog StructType and round-trips."""
+    targets = columns if columns is not None else resource_columns(df)
+    for rt in targets:
+        exploded = df.select(F.explode(rt).alias("_r")).select(
+            F.to_json(F.col("_r")).alias("value")
+        )
+        exploded.write.mode(write_mode).text(f"{location.rstrip('/')}/{rt}")

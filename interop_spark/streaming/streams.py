@@ -336,3 +336,29 @@ def enrich_events(
         "event_id", "ts", event_key, "event_type", "value",
         "customer_name", "mktsegment",
     )
+
+
+def stream_ndjson_resources(
+    spark: SparkSession, path: str, resource_type: str, schemas=None
+) -> DataFrame:
+    """Streaming twin of ``FhirNdjson.resource`` (round-10): new NDJSON
+    bulk-export files (or part files a bulk exporter keeps appending)
+    landing under ``path`` become typed resource rows incrementally —
+    line-per-resource, so unlike the wholetext bundle stream each
+    micro-batch splits by bytes, not files.
+
+    Delegates to the batch parse core ``ndjson_resource_from_lines``
+    (the ``entry_from_json`` pattern): the tag filter + typed
+    ``variant_get`` are the SAME stateless projections the batch reader
+    runs, so stream==batch holds by construction.
+    """
+    from interop_spark.fhir.reader import ndjson_resource_from_lines
+
+    raw = (
+        spark.readStream.format("text")
+        .load(path)
+        .select(
+            F.col("value"), F.col("_metadata.file_path").alias("_file_path")
+        )
+    )
+    return ndjson_resource_from_lines(raw, resource_type, schemas=schemas)

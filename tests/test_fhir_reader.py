@@ -543,3 +543,30 @@ def test_ndjson_reader_type_filter_and_malformed_lines(spark, tmp_path):
     # the malformed line surfaces as a NULL tag in the audit (visible,
     # not silently dropped) and never reaches a typed resource frame
     assert counts == {"Patient": 2, "Observation": 1, None: 1}
+
+
+def test_bulk_ndjson_write_roundtrip(spark, tmp_path):
+    """Sink/source pair: entry() bundle-rows → bulk_ndjson_write ($export
+    layout, distributed part files of JSON lines) → FhirNdjson.resource
+    reads every resource back typed, per directory."""
+    from interop_spark.fhir import read_from_directory, read_from_ndjson
+    from interop_spark.fhir.write import bulk_ndjson_write
+
+    entry = read_from_directory(ADT_DIR, spark=spark).entry()
+    out = tmp_path / "export"
+    bulk_ndjson_write(entry, str(out), columns=["Patient", "MessageHeader"])
+
+    nd = read_from_ndjson(str(out / "Patient"), spark=spark)
+    pats = nd.resource("Patient").collect()
+    src_ids = {
+        p.id for r in entry.select("Patient").collect() for p in (r.Patient or [])
+    }
+    assert {p.id for p in pats} == src_ids and len(pats) == 4
+    # typed nested fields survive the explode -> to_json -> parse loop
+    assert all(p.name and p.name[0].family for p in pats)
+
+    mh = read_from_ndjson(str(out / "MessageHeader"), spark=spark)
+    heads = mh.resource("MessageHeader").collect()
+    assert len(heads) == 4 and all(h.eventCoding.code for h in heads)
+    # the tag filter keeps types apart even in a per-type directory
+    assert nd.resource("MessageHeader").count() == 0

@@ -512,3 +512,41 @@ def test_stream_bundles_equals_batch_entry(spark, tmp_path):
     assert set(got) == set(want) and len(want) == 4
     for u in want:
         assert got[u] == want[u]
+
+
+def test_stream_ndjson_equals_batch_resource(spark, tmp_path):
+    """NDJSON-source streaming ingest parity (round-10): the streaming
+    resource source must produce EXACTLY the batch
+    FhirNdjson.resource() rows — same schema, same typed values — for a
+    mixed-type export directory; both sides delegate to
+    ndjson_resource_from_lines."""
+    from interop_spark.fhir import read_from_ndjson
+    from interop_spark.streaming import stream_ndjson_resources
+
+    d = tmp_path / "parity_ndjson"
+    d.mkdir()
+    (d / "mixed.ndjson").write_text(
+        '{"resourceType":"Patient","id":"p-1","gender":"male"}\n'
+        '{"resourceType":"Observation","id":"o-1","status":"final"}\n'
+        '{"resourceType":"Patient","id":"p-2","gender":"female"}\n'
+        "garbage line\n"
+    )
+
+    batch = read_from_ndjson(str(d), spark=spark).resource("Patient")
+    stream = stream_ndjson_resources(spark, str(d), "Patient")
+    assert stream.isStreaming
+    assert stream.schema == batch.schema
+
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("parity_ndjson")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.id, r.gender)
+        for r in spark.sql("SELECT * FROM parity_ndjson").collect()
+    }
+    want = {(r.id, r.gender) for r in batch.collect()}
+    assert got == want == {("p-1", "male"), ("p-2", "female")}
