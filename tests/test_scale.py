@@ -313,3 +313,50 @@ def test_selection_query_plan_shapes(spark, sf_dir):
     p = plan_of("bm25_inverted_topk")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_round10_new_query_plan_shapes(spark, sf_dir):
+    """Scale posture of the round-10 additions, pinned:
+
+    - pretrain_pipeline computes every stage as flags over ONE scan:
+      the pre-checkpoint flag plan has exactly one hash Exchange (the
+      fingerprint window); the post-checkpoint accounting is aggregates
+      + a 1x1 broadcast cross join — never a corpus re-scan per stage;
+    - the NDJSON resource read is a pure projection pipeline — ZERO
+      Exchange (tag filter + typed variant_get, no join, no agg);
+    - edit_verified_pairs verifies ONLY candidates: its optimized plan
+      carries the Levenshtein on the pair join's output, never a
+      cartesian/all-pairs product."""
+    from interop_spark.fhir import read_from_ndjson
+    from interop_spark.fhir.gen import write_ndjson_corpus
+    from interop_spark.queries import all_queries
+
+    q = all_queries()
+
+    p = (
+        q["pretrain_pipeline"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # post-checkpoint: the two tiny aggregates (each one exchange at
+    # most under AQE) + the 1-row broadcast; the corpus scan and the
+    # fingerprint window live behind the checkpoint boundary
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert p.count("Scan ExistingRDD") >= 1  # the single flag frame
+
+    d = write_ndjson_corpus(spark, sf_dir, max_custkey=50)
+    obs = read_from_ndjson(
+        "file://" + d, spark=spark, glob_filter="*.ndjson"
+    ).resource("Observation")
+    p = obs._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p[:1500]
+
+    p = (
+        q["edit_distance_neardup"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "levenshtein" in p
+    assert "Cartesian" not in p and "collect_list" not in p
