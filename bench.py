@@ -307,6 +307,45 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
             .alias("text"),
         )
 
+    def _retokened_documents(mult: int):
+        # SimHash is a bag-of-token-hashes signature — it is invariant to
+        # word order AND rotation, so both replication modes above make
+        # every replica a GENUINE near-dup of its source (one token
+        # differs), and the probe's 10x ratio measures the quadratic
+        # cross-replica pair OUTPUT, not the operator's scaling (the r9
+        # "simhash 10.3 at the linear boundary" watch item was exactly
+        # this). Prefixing every token with the replica id gives replicas
+        # disjoint vocabularies — independent signatures, zero
+        # cross-replica candidates — so the ratio isolates the operator.
+        import os as _os
+
+        d = spark.read.parquet(
+            _os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id", "text")
+        par = spark.sparkContext.defaultParallelism
+        if mult == 1:
+            return d.repartition(par)
+        reps = spark.range(mult).select(col("id").alias("rep"))
+        retok = F.concat_ws(
+            " ",
+            F.transform(
+                F.split(F.trim(col("text")), r"\s+"),
+                lambda w: F.concat(
+                    F.lit("r"), col("rep").cast("string"), F.lit("_"), w
+                ),
+            ),
+        )
+        return (
+            d.crossJoin(reps)
+            .select(
+                (col("doc_id") * mult + col("rep")).alias("doc_id"),
+                F.when(col("rep") == 0, col("text")).otherwise(retok).alias(
+                    "text"
+                ),
+            )
+            .repartition(par)
+        )
+
     _SKEW_PROBES = frozenset(
         {"substring_dup_skew", "substring_dup_skew_noguard", "minhash_skew"}
     )
@@ -317,6 +356,7 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
             _scaled_embeddings if name == "ivf_assign" else
             _planted_skew_documents if name in _SKEW_PROBES else
             _rotated_documents if name == "substring_dup_runs" else
+            _retokened_documents if name == "simhash_neardup_pairs" else
             lambda m: _scaled_documents(spark, sf_dir, m)
         )
         try:
