@@ -969,3 +969,71 @@ def edit_verified_pairs(
     if max_dist is not None:
         out = out.where(F.col("edit_dist") <= max_dist)
     return out
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_line_df: int = 3,
+) -> DataFrame:
+    """Frequency-based boilerplate LINE removal (the CCNet/jusText
+    shape): a line occurring in more than ``max_line_df`` distinct
+    documents (nav menus, cookie banners, signatures) is removed from
+    EVERY document — unlike ``paragraph_dedup``'s first-occurrence-wins,
+    boilerplate keeps no representative. Returns
+    ``(id, n_lines, n_removed, clean_text)``.
+
+    Scale shape: posexplode is a projection; the line-frequency table is
+    one md5-keyed count (uniform hash key); the keep-join is an equi-join
+    on that hash; reassembly is a per-DOCUMENT sort+fold (array bounded
+    by the document's own line count — never a corpus-keyed array). Empty
+    and all-whitespace lines are never counted as boilerplate (they'd
+    tie most of the corpus into one hot key) and always survive."""
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    )
+    blank = F.trim(F.col("_line")) == ""
+    keyed = lines.select(
+        "_id", "_pos", "_line",
+        F.when(~blank, F.md5(F.col("_line"))).alias("_h"),
+    )
+    # localCheckpoint: the frequency aggregate and the keep-join both
+    # consume the exploded table — split/hash once
+    keyed = keyed.localCheckpoint()
+    hot = (
+        keyed.where(F.col("_h").isNotNull())
+        .groupBy("_h")
+        .agg(F.countDistinct("_id").alias("_df"))
+        .where(F.col("_df") > max_line_df)
+        .select("_h")
+    )
+    kept_agg = (
+        keyed.join(hot, "_h", "left_anti")
+        .groupBy("_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_pos"), F.col("_line")))
+            ).alias("_kept"),
+        )
+    )
+    total = keyed.groupBy("_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    # left join: a document that was ENTIRELY boilerplate still gets a
+    # row (empty clean_text), it must not vanish from the output
+    joined = total.join(kept_agg, "_id", "left").select(
+        "_id",
+        "n_lines",
+        F.coalesce(
+            F.col("_kept"),
+            F.array().cast("array<struct<_pos:int,_line:string>>"),
+        ).alias("_kept"),
+    )
+    return joined.select(
+        F.col("_id").alias(id_col),
+        F.col("n_lines"),
+        (F.col("n_lines") - F.size(F.col("_kept"))).alias("n_removed"),
+        F.array_join(
+            F.transform(F.col("_kept"), lambda s: s["_line"]), "\n"
+        ).alias("clean_text"),
+    )

@@ -579,3 +579,38 @@ def c4_line_filter(text: Column, min_words: int = 5) -> Column:
         doc_ok.alias("doc_ok"),
         F.array_join(kept, "\n").alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Encoding-quality signals (round-10): the ftfy-class gate real pipelines
+# run before any text op — mojibake (UTF-8 bytes misdecoded as Latin-1),
+# U+FFFD replacement chars, and C0 control chars are all cheap per-row
+# regex counts, pure Column expressions (one JVM pass over 100 TB of
+# text). Same Java/DuckDB regex semantics: character classes given as
+# explicit \\uXXXX escapes.
+# ---------------------------------------------------------------------------
+
+# high-frequency mojibake digraphs: the UTF-8 byte pairs/triples of
+# ’ “ ” – é read as Latin-1 (â€™, Ã©, ...) plus the generic
+# Ã/Â + Latin-1-high-byte continuation pattern
+_MOJIBAKE_RE = (
+    "(\u00e2\u20ac[\u2122\u0153\u009d\u201c\u201d\u2013\u2014]"
+    "|[\u00c3\u00c2][\u0080-\u00bf])"
+)
+# C0 controls minus \t\n\r, plus DEL
+_CONTROL_RE = "[\u0000-\u0008\u000b\u000c\u000e-\u001f\u007f]"
+
+
+def encoding_quality(text: Column) -> Column:
+    """Per-document encoding-health struct: replacement-char count,
+    control-char count, mojibake pattern hits, and the composite
+    ``enc_ok`` gate (no hits of any kind)."""
+    n_repl = F.regexp_count(text, F.lit("\ufffd"))
+    n_ctrl = F.regexp_count(text, F.lit(_CONTROL_RE))
+    n_moji = F.regexp_count(text, F.lit(_MOJIBAKE_RE))
+    return F.struct(
+        n_repl.alias("n_replacement"),
+        n_ctrl.alias("n_control"),
+        n_moji.alias("n_mojibake"),
+        ((n_repl + n_ctrl + n_moji) == 0).alias("enc_ok"),
+    )

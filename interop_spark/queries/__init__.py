@@ -98,7 +98,7 @@ _MODULES = (
 #     gopher_repetition_signals, pii_redact, sequence_pack,
 #     merge_upsert, salted_join_agg (18).
 # ROUND-10 window (50) — executes the round-10 rotation plan IN FULL:
-# forced set 22 + the complete 15-row r6 residue + 13 of the oldest r7
+# forced set 24 + the complete 15-row r6 residue + 11 of the oldest r7
 # rows = 50 exactly. After this round no registry green is older than
 # r7 (the r9 verdict item-2 done-criterion); the remaining r7 rows
 # (embedding_neardup, embedding_centroids, lsh_bucket_sizes,
@@ -106,7 +106,8 @@ _MODULES = (
 # media_stats, ngram_jaccard_pairs, unpivot, window_rank_battery,
 # array_funcs, pivot_agg, grouping_sets, cube_agg, substring_dup_runs,
 # winnow_dup_pairs, semdedup_keep, knn_batch, text_quality,
-# doc_fingerprint, knn_cosine) head the ROUND-11 queue.
+# doc_fingerprint, knn_cosine, drop_duplicates, train_test_split) head
+# the ROUND-11 queue.
 #   * NEW this round (7): pretrain_pipeline (the composed
 #     quality->lang->dedup->pack accounting row; pipeline_ext.py diff
 #     is ADDITIVE — appended query/oracle pair only, so other
@@ -117,9 +118,13 @@ _MODULES = (
 #     of a spine-only type through the value-hash gate),
 #     fhir_ndjson_observations + fhir_ndjson_type_counts (the NDJSON
 #     bulk-export source — FhirNdjson reader + generator are ADDITIVE
-#     appends to reader.py/gen.py), and edit_distance_neardup
+#     appends to reader.py/gen.py), edit_distance_neardup
 #     (Levenshtein-verified LSH pairs; dedup.py append
-#     edit_verified_pairs + selection_q.py appended pair only).
+#     edit_verified_pairs + selection_q.py appended pair only),
+#     encoding_quality (text.py appended encoding_quality op — planted
+#     mojibake/U+FFFD/control-char damage, regex counters value-hashed)
+#     and boilerplate_lines (dedup.py appended remove_boilerplate_lines
+#     — planted shared nav/footer lines excised from EVERY doc).
 #   * fhir/gen.py changed (corpus v4: + DiagnosticReport,
 #     QuestionnaireResponse, NutritionOrder per bundle): every
 #     _synthetic_entry/write_corpus consumer re-verifies —
@@ -155,7 +160,7 @@ _MODULES = (
 #     sessionize, tumbling_window, lead_lag, conditional_agg, asof_join,
 #     range_join_pairs, enrich_events), text_token_stats (the r9
 #     perf-flagged query — a driver-fresh green alongside the re-measure),
-#     drop_duplicates, train_test_split (13).
+#     (11).
 #
 # Round-7 window (50), for history:
 #   * events-repair (10): the io.py events loader changed this round
@@ -338,8 +343,10 @@ _MODULES = (
 # last r3 rows.
 # --------------------------------------------------------------------------
 _WINDOW = (
-    # --- ROUND 10: new queries (7) ---
+    # --- ROUND 10: new queries (9) ---
     "pretrain_pipeline",
+    "encoding_quality",
+    "boilerplate_lines",
     "fhir_ndjson_observations",
     "fhir_ndjson_type_counts",
     "edit_distance_neardup",
@@ -380,7 +387,7 @@ _WINDOW = (
     "domain_mix_sample",
     "token_entropy",
     "sq8_roundtrip",
-    # --- ROUND 10: oldest r7 rows (13) ---
+    # --- ROUND 10: oldest r7 rows (11) ---
     "json_extract",
     "latest_event_per_user",
     "running_total",
@@ -392,8 +399,6 @@ _WINDOW = (
     "range_join_pairs",
     "enrich_events",
     "text_token_stats",
-    "drop_duplicates",
-    "train_test_split",
 )
 
 # Round-9 window (50), for history (see git log for the full tuple):

@@ -1469,6 +1469,153 @@ def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acct.crossJoin(win)
 
 
+# --------------------------------------------------------------------------
+# Round-10: encoding-quality gate + frequency-based boilerplate removal
+# --------------------------------------------------------------------------
+
+BP_LIMIT = 200  # docs in the planted-boilerplate slice
+BP_MAX_DF = 3  # lines in more docs than this are boilerplate
+BP_LINE_A = "Subscribe to our newsletter today"
+BP_LINE_B = "All rights reserved."
+
+
+def q_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-health signals (the ftfy-class gate) over a corpus with
+    PLANTED damage: every 7th doc gets a mojibake suffix (UTF-8 é read
+    as Latin-1 → 'Ã©'), every 7th+1 two U+FFFD replacement chars, every
+    7th+2 a BEL control char — each a closed-form mutation both engines
+    apply identically, so the regex counters and the composite enc_ok
+    gate are value-hash-checked."""
+    d = load(spark, sf_dir, "documents").where(col("doc_id") < 400)
+    planted = d.select(
+        "doc_id",
+        F.when(
+            col("doc_id") % 7 == 0,
+            F.concat(col("text"), F.lit(" cafÃ©")),
+        )
+        .when(
+            col("doc_id") % 7 == 1,
+            F.concat(col("text"), F.lit(" ��")),
+        )
+        .when(
+            col("doc_id") % 7 == 2, F.concat(col("text"), F.lit("\u0007"))
+        )
+        .otherwise(col("text"))
+        .alias("text"),
+    )
+    q = tx.encoding_quality(col("text"))
+    return planted.select(
+        "doc_id",
+        q["n_replacement"].alias("n_replacement"),
+        q["n_control"].alias("n_control"),
+        q["n_mojibake"].alias("n_mojibake"),
+        q["enc_ok"].alias("enc_ok"),
+    )
+
+
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-based boilerplate line removal over planted nav/footer
+    lines: every 3rd doc carries a shared newsletter line, every 5th a
+    rights line — both exceed the document-frequency cap and must be
+    excised from EVERY document (no representative survives, unlike
+    paragraph_dedup). Output pins per-doc line counts and the md5 of the
+    rebuilt text."""
+    from interop_spark.operators.dedup import remove_boilerplate_lines
+
+    d = load(spark, sf_dir, "documents").where(col("doc_id") < BP_LIMIT)
+    docs = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            col("text"),
+            F.when(col("doc_id") % 3 == 0, F.lit(BP_LINE_A)),
+            F.when(col("doc_id") % 5 == 0, F.lit(BP_LINE_B)),
+        ).alias("text"),
+    )
+    out = remove_boilerplate_lines(docs, "doc_id", "text", BP_MAX_DF)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_removed",
+        F.md5(col("clean_text")).alias("clean_md5"),
+    )
+
+
+def _encoding_quality_oracle() -> str:
+    # RE2 twins of text._MOJIBAKE_RE / _CONTROL_RE (same codepoints,
+    # \x{...} escapes) — regexp_count ≡ len(regexp_extract_all)
+    moji = (
+        "(\\x{00e2}\\x{20ac}"
+        "[\\x{2122}\\x{0153}\\x{009d}\\x{201c}\\x{201d}\\x{2013}\\x{2014}]"
+        "|[\\x{00c3}\\x{00c2}][\\x{0080}-\\x{00bf}])"
+    )
+    ctrl = "[\\x{0000}-\\x{0008}\\x{000b}\\x{000c}\\x{000e}-\\x{001f}\\x{007f}]"
+    return f"""
+        WITH planted AS (
+          SELECT doc_id,
+                 CASE
+                   WHEN doc_id % 7 = 0 THEN text || ' caf' || chr(195) || chr(169)
+                   WHEN doc_id % 7 = 1 THEN text || ' ' || chr(65533) || chr(65533)
+                   WHEN doc_id % 7 = 2 THEN text || chr(7)
+                   ELSE text
+                 END AS text
+          FROM documents WHERE doc_id < 400
+        ),
+        c AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, chr(65533))) AS INTEGER)
+                   AS n_replacement,
+                 CAST(len(regexp_extract_all(text, '{ctrl}')) AS INTEGER)
+                   AS n_control,
+                 CAST(len(regexp_extract_all(text, '{moji}')) AS INTEGER)
+                   AS n_mojibake
+          FROM planted
+        )
+        SELECT doc_id, n_replacement, n_control, n_mojibake,
+               (n_replacement + n_control + n_mojibake = 0) AS enc_ok
+        FROM c
+    """
+
+
+def _boilerplate_oracle() -> str:
+    return f"""
+        WITH docs AS (
+          SELECT doc_id,
+                 concat_ws(chr(10), text,
+                   CASE WHEN doc_id % 3 = 0 THEN '{BP_LINE_A}' END,
+                   CASE WHEN doc_id % 5 = 0 THEN '{BP_LINE_B}' END) AS text
+          FROM documents WHERE doc_id < {BP_LIMIT}
+        ),
+        sp AS (SELECT doc_id, string_split(text, chr(10)) AS sp FROM docs),
+        lines AS (
+          SELECT doc_id, i - 1 AS pos, sp[i] AS line
+          FROM sp, unnest(generate_series(1, len(sp))) AS g(i)
+        ),
+        hot AS (
+          SELECT md5(line) AS h FROM lines WHERE trim(line) <> ''
+          GROUP BY 1 HAVING count(DISTINCT doc_id) > {BP_MAX_DF}
+        ),
+        kept AS (
+          SELECT l.doc_id, l.pos, l.line
+          FROM lines l LEFT JOIN hot ON md5(l.line) = hot.h
+          WHERE hot.h IS NULL
+        ),
+        total AS (
+          SELECT doc_id, CAST(count(1) AS BIGINT) AS n_lines
+          FROM lines GROUP BY 1
+        ),
+        k AS (
+          SELECT doc_id, CAST(count(1) AS BIGINT) AS n_kept,
+                 md5(string_agg(line, chr(10) ORDER BY pos)) AS cmd5
+          FROM kept GROUP BY 1
+        )
+        SELECT t.doc_id, t.n_lines,
+               t.n_lines - coalesce(k.n_kept, 0) AS n_removed,
+               coalesce(k.cmd5, md5('')) AS clean_md5
+        FROM total t LEFT JOIN k USING (doc_id)
+    """
+
+
 QUERIES = {
     "gopher_quality_flags": q_gopher_quality_flags,
     "gopher_repetition_signals": q_gopher_repetition_signals,
@@ -1494,6 +1641,8 @@ QUERIES = {
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "dup_ngram_stats": q_dup_ngram_stats,
     "pretrain_pipeline": q_pretrain_pipeline,
+    "encoding_quality": q_encoding_quality,
+    "boilerplate_lines": q_boilerplate_lines,
 }
 
 
@@ -1672,6 +1821,8 @@ ORACLE = {
                  AS last_window
         FROM c
     """,
+    "encoding_quality": _encoding_quality_oracle(),
+    "boilerplate_lines": _boilerplate_oracle(),
     "pretrain_pipeline": f"""
         WITH base AS (
           SELECT doc_id, lang,

@@ -842,3 +842,33 @@ def test_minhash_max_band_docs_drops_hot_cluster_only(spark):
     got = {(r.doc_a, r.doc_b) for r in capped.collect()}
     assert (100, 101) in got  # 2-doc bands survive the cap
     assert not any(a < 100 and b < 100 for a, b in got)  # cluster dropped
+
+
+def test_remove_boilerplate_lines_edges(spark):
+    """Boilerplate removal edge cases: a hot line vanishes from EVERY doc
+    (no representative), blank lines are never counted as boilerplate
+    and always survive, and an entirely-boilerplate document still emits
+    a row with empty clean_text."""
+    from interop_spark.operators.dedup import remove_boilerplate_lines
+
+    hot = "Subscribe now"
+    rows = [
+        (1, f"alpha one\n{hot}\n\nbody a"),
+        (2, f"beta two\n{hot}"),
+        (3, f"gamma three\n{hot}"),
+        (4, hot),  # entirely boilerplate
+        (5, "delta five\nunique line"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in remove_boilerplate_lines(
+            df, "doc_id", "text", max_line_df=3
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1].n_removed == 1 and out[1].n_lines == 4
+    # blank line survives (it would otherwise be the hottest key)
+    assert out[1].clean_text == "alpha one\n\nbody a"
+    assert out[4].n_removed == 1 and out[4].clean_text == ""
+    assert out[5].n_removed == 0
