@@ -300,3 +300,45 @@ def questionnaire_answers(entry_df: DataFrame) -> DataFrame:
         first_answer["valueInteger"].alias("answer_integer"),
         first_answer["valueString"].alias("answer_string"),
     )
+
+
+def omop_condition_occurrence(entry_df: DataFrame) -> DataFrame:
+    """OMOP CDM condition_occurrence projection — extends the reference's
+    person-only OMOP mapping (`01_dbignite_sample.py:472-484`) to the
+    next CDM table a real ETL lands: one row per Condition, person-keyed
+    via the within-bundle Patient (sequential explodes, one scan)."""
+    return _explode2(
+        entry_df, "Patient", "patient", "Condition", "condition"
+    ).select(
+        col("condition.id").alias("condition_occurrence_id"),
+        col("patient.id").alias("person_id"),
+        _first(col("condition.code.coding.code")).alias(
+            "condition_concept_code"
+        ),
+        _first(col("condition.code.coding.system")).alias(
+            "condition_vocabulary"
+        ),
+        col("condition.code.text").alias("condition_source_value"),
+        col("condition.recordedDate").alias("condition_start_date"),
+        _first(col("condition.clinicalStatus.coding.code")).alias(
+            "condition_status_source_value"
+        ),
+    )
+
+
+def omop_drug_exposure(entry_df: DataFrame) -> DataFrame:
+    """OMOP CDM drug_exposure projection from MedicationRequest (requires
+    the medicationCodeableConcept schema extension, the reference's own
+    override surface `01_dbignite_sample.py:118-146`)."""
+    return _explode2(
+        entry_df, "Patient", "patient", "MedicationRequest", "mr"
+    ).select(
+        col("mr.id").alias("drug_exposure_id"),
+        col("patient.id").alias("person_id"),
+        _first(col("mr.medicationCodeableConcept.coding.code")).alias(
+            "drug_concept_code"
+        ),
+        col("mr.medicationCodeableConcept.text").alias("drug_source_value"),
+        col("mr.authoredOn").alias("drug_exposure_start_date"),
+        col("mr.status").alias("drug_status_source_value"),
+    )

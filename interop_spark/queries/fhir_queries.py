@@ -524,6 +524,37 @@ def q_fhir_mixed_resource_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fhir_omop_condition_occurrence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OMOP condition_occurrence over the synthetic corpus (round-10 CDM
+    widening beyond the reference's person table)."""
+    from interop_spark.fhir.analytics import omop_condition_occurrence
+
+    return omop_condition_occurrence(_synthetic_entry(spark, sf_dir))
+
+
+def q_fhir_omop_drug_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OMOP drug_exposure over the synthetic corpus — runs through the
+    medicationCodeableConcept schema override like
+    ``fhir_medication_requests``."""
+    from pyspark.sql.types import StructField, StructType
+
+    from interop_spark.fhir.analytics import omop_drug_exposure
+    from interop_spark.fhir.schema import (
+        CODEABLE_CONCEPT,
+        MEDICATION_REQUEST,
+        FhirSchemaModel,
+    )
+
+    extended = StructType(
+        MEDICATION_REQUEST.fields
+        + [StructField("medicationCodeableConcept", CODEABLE_CONCEPT, True)]
+    )
+    schemas = FhirSchemaModel().with_overrides({"MedicationRequest": extended})
+    return omop_drug_exposure(_synthetic_entry(spark, sf_dir, schemas=schemas))
+
+
 def q_fhir_ndjson_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FHIR Bulk Data NDJSON ingest (round-10 source widening): a
     generated ``$export``-layout directory (Patient.ndjson +
@@ -618,6 +649,8 @@ QUERIES = {
     "fhir_mixed_resource_counts": q_fhir_mixed_resource_counts,
     "fhir_ndjson_observations": q_fhir_ndjson_observations,
     "fhir_ndjson_type_counts": q_fhir_ndjson_type_counts,
+    "fhir_omop_condition_occurrence": q_fhir_omop_condition_occurrence,
+    "fhir_omop_drug_exposure": q_fhir_omop_drug_exposure,
 }
 
 # the 4 deterministic rows adt_events yields from the reference's sample
@@ -854,6 +887,30 @@ ORACLE = {
                CAST(count(DISTINCT CASE (k % 3) WHEN 0 THEN 'en'
                      WHEN 1 THEN 'es' ELSE 'fr' END) AS BIGINT)
         FROM b
+    """,
+    "fhir_omop_condition_occurrence": f"""
+        SELECT 'cond-' || c_custkey::VARCHAR AS condition_occurrence_id,
+               'p-' || c_custkey::VARCHAR AS person_id,
+               'C' || (c_custkey % 50)::VARCHAR AS condition_concept_code,
+               'http://snomed.info/sct' AS condition_vocabulary,
+               'condtext-' || (c_custkey % 50)::VARCHAR
+                 AS condition_source_value,
+               printf('%04d-%02d-%02d', 2015 + c_custkey % 8,
+                      (c_custkey + 3) % 12 + 1,
+                      (c_custkey + 5) % 28 + 1) AS condition_start_date,
+               {_DK_CLIN_STATUS} AS condition_status_source_value
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+    """,
+    "fhir_omop_drug_exposure": f"""
+        SELECT 'mr-' || c_custkey::VARCHAR AS drug_exposure_id,
+               'p-' || c_custkey::VARCHAR AS person_id,
+               'RX' || (c_custkey % 30)::VARCHAR AS drug_concept_code,
+               'med-' || (c_custkey % 30)::VARCHAR AS drug_source_value,
+               printf('%04d-%02d-%02d', 2018 + c_custkey % 6,
+                      (c_custkey + 1) % 12 + 1,
+                      (c_custkey + 7) % 28 + 1) AS drug_exposure_start_date,
+               {_DK_MED_STATUS} AS drug_status_source_value
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
     """,
     "fhir_ndjson_observations": f"""
         SELECT 'obs-' || c_custkey::VARCHAR AS obs_id,

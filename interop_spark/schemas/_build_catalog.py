@@ -1069,6 +1069,101 @@ RISK_ASSESSMENT = _resource(
     note=_arr(ANNOTATION),
 )
 
+# Round-10 second batch: the scheduling trio (Schedule/Slot/
+# AppointmentResponse — operational FHIR complementing curated
+# Appointment) plus cohort types (Group, List). Same monotone-promotion
+# contract: spine fields retained.
+
+_SPINE_FIELDS = dict(
+    implicitRules=S,
+    language=S,
+    text=NARRATIVE,
+    extension=_arr(EXTENSION),
+    modifierExtension=_arr(EXTENSION),
+)
+
+SCHEDULE = _resource(
+    **_SPINE_FIELDS,
+    identifier=_arr(IDENTIFIER),
+    active=B,
+    serviceCategory=_arr(CODEABLE_CONCEPT),
+    serviceType=_arr(CODEABLE_CONCEPT),
+    specialty=_arr(CODEABLE_CONCEPT),
+    actor=_arr(REFERENCE),
+    planningHorizon=PERIOD,
+    comment=S,
+)
+
+SLOT = _resource(
+    **_SPINE_FIELDS,
+    identifier=_arr(IDENTIFIER),
+    serviceCategory=_arr(CODEABLE_CONCEPT),
+    serviceType=_arr(CODEABLE_CONCEPT),
+    specialty=_arr(CODEABLE_CONCEPT),
+    appointmentType=CODEABLE_CONCEPT,
+    schedule=REFERENCE,
+    status=S,
+    start=S,
+    end=S,
+    overbooked=B,
+    comment=S,
+)
+
+APPOINTMENT_RESPONSE = _resource(
+    **_SPINE_FIELDS,
+    identifier=_arr(IDENTIFIER),
+    appointment=REFERENCE,
+    start=S,
+    end=S,
+    participantType=_arr(CODEABLE_CONCEPT),
+    actor=REFERENCE,
+    participantStatus=S,
+    comment=S,
+)
+
+GROUP = _resource(
+    **_SPINE_FIELDS,
+    identifier=_arr(IDENTIFIER),
+    active=B,
+    type=S,
+    actual=B,
+    code=CODEABLE_CONCEPT,
+    name=S,
+    quantity=I,
+    managingEntity=REFERENCE,
+    characteristic=_arr(
+        _struct(
+            code=CODEABLE_CONCEPT,
+            valueCodeableConcept=CODEABLE_CONCEPT,
+            valueBoolean=B,
+            valueQuantity=QUANTITY,
+            valueReference=REFERENCE,
+            exclude=B,
+            period=PERIOD,
+        )
+    ),
+    member=_arr(_struct(entity=REFERENCE, period=PERIOD, inactive=B)),
+)
+
+LIST_RESOURCE = _resource(
+    **_SPINE_FIELDS,
+    identifier=_arr(IDENTIFIER),
+    status=S,
+    mode=S,
+    title=S,
+    code=CODEABLE_CONCEPT,
+    subject=REFERENCE,
+    encounter=REFERENCE,
+    date=S,
+    source=REFERENCE,
+    orderedBy=CODEABLE_CONCEPT,
+    note=_arr(ANNOTATION),
+    entry=_arr(
+        _struct(flag=CODEABLE_CONCEPT, deleted=B, date=S, item=REFERENCE)
+    ),
+    emptyReason=CODEABLE_CONCEPT,
+)
+
 CATALOG = {
     "Patient": PATIENT,
     "MessageHeader": MESSAGE_HEADER,
@@ -1114,6 +1209,11 @@ CATALOG = {
     "Composition": COMPOSITION,
     "Task": TASK,
     "RiskAssessment": RISK_ASSESSMENT,
+    "Schedule": SCHEDULE,
+    "Slot": SLOT,
+    "AppointmentResponse": APPOINTMENT_RESPONSE,
+    "Group": GROUP,
+    "List": LIST_RESOURCE,
 }
 
 
@@ -1144,8 +1244,7 @@ _SPINE = _resource(
 BINARY = _resource(contentType=S, data=S, securityContext=REFERENCE)
 
 FULL_SPINE_TYPES = [
-    "ActivityDefinition", "AdverseEvent", "AppointmentResponse",
-    "AuditEvent", "Basic", "BiologicallyDerivedProduct", "BodyStructure",
+    "ActivityDefinition", "AdverseEvent", "AuditEvent", "Basic", "BiologicallyDerivedProduct", "BodyStructure",
     "CapabilityStatement", "CatalogEntry", "ChargeItem",
     "ChargeItemDefinition", "ClinicalImpression",
     "CodeSystem", "CommunicationRequest", "CompartmentDefinition",
@@ -1155,10 +1254,10 @@ FULL_SPINE_TYPES = [
     "DocumentManifest", "EffectEvidenceSynthesis", "Endpoint",
     "EnrollmentRequest", "EnrollmentResponse", "EventDefinition",
     "Evidence", "EvidenceVariable", "ExampleScenario", "Flag",
-    "GraphDefinition", "Group", "GuidanceResponse", "HealthcareService",
+    "GraphDefinition", "GuidanceResponse", "HealthcareService",
     "ImmunizationEvaluation", "ImmunizationRecommendation",
     "ImplementationGuide", "InsurancePlan", "Invoice", "Library",
-    "Linkage", "List", "Measure", "MeasureReport", "MedicationKnowledge",
+    "Linkage", "Measure", "MeasureReport", "MedicationKnowledge",
     "MedicinalProduct", "MedicinalProductAuthorization",
     "MedicinalProductContraindication", "MedicinalProductIndication",
     "MedicinalProductIngredient", "MedicinalProductInteraction",
@@ -1170,8 +1269,7 @@ FULL_SPINE_TYPES = [
     "PaymentReconciliation", "Person", "PlanDefinition", "Questionnaire",
     "RequestGroup", "ResearchDefinition",
     "ResearchElementDefinition", "ResearchStudy", "ResearchSubject",
-    "RiskEvidenceSynthesis", "Schedule",
-    "SearchParameter", "Slot", "SpecimenDefinition",
+    "RiskEvidenceSynthesis", "SearchParameter", "SpecimenDefinition",
     "StructureDefinition", "StructureMap", "Subscription", "Substance",
     "SubstanceNucleicAcid", "SubstancePolymer", "SubstanceProtein",
     "SubstanceReferenceInformation", "SubstanceSourceMaterial",
@@ -1200,7 +1298,19 @@ def main() -> None:
         with open(path, "w") as f:
             json.dump(st.jsonValue(), f, indent=1, sort_keys=True)
             f.write("\n")
-    print(f"wrote {len(FULL_CATALOG)} spine schema files to {full_dir}")
+    # a type promoted out of the spine set must not leave a stale file
+    # behind (curated wins the name collision at load time, but the
+    # on-disk catalog should be exactly FULL_CATALOG)
+    stale = [
+        f for f in os.listdir(full_dir)
+        if f.endswith(".json") and f[:-5] not in FULL_CATALOG
+    ]
+    for f in stale:
+        os.remove(os.path.join(full_dir, f))
+    print(
+        f"wrote {len(FULL_CATALOG)} spine schema files to {full_dir}"
+        + (f" (removed {len(stale)} stale)" if stale else "")
+    )
 
 
 if __name__ == "__main__":
