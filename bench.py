@@ -441,6 +441,12 @@ def main() -> None:
         "spread": spread,
         "sf": float(sf) if sf else None,
         "reps": reps,
+        # exogenous machine noise next to the numbers it skews: this
+        # host carries external load (observed 1-min loadavg 8-11 with
+        # zero local jobs; a loaded run measured every query uniformly
+        # ~2x a quiet run's median on identical code). Interpret any
+        # cross-round per-query drift against this first.
+        "loadavg_1m": round(os.getloadavg()[0], 2),
     }
     if errors:
         result["errors"] = errors
