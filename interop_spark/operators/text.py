@@ -614,3 +614,34 @@ def encoding_quality(text: Column) -> Column:
         n_moji.alias("n_mojibake"),
         ((n_repl + n_ctrl + n_moji) == 0).alias("enc_ok"),
     )
+
+
+# Unicode script profiling (round-10): the multilingual complement to the
+# stopword lang-ID — char-class counts per major script plus a dominant-
+# script verdict, pure Column regexes (one JVM pass; gates mixed-script
+# corpora before any tokenizer that assumes one script).
+_SCRIPT_RES = {
+    "latin": "[A-Za-z\\u00c0-\\u024f]",
+    "cjk": "[\\u4e00-\\u9fff\\u3040-\\u30ff]",
+    "cyrillic": "[\\u0400-\\u04ff]",
+    "arabic": "[\\u0600-\\u06ff]",
+}
+
+
+def script_profile(text: Column) -> Column:
+    """Struct of per-script character counts (latin/cjk/cyrillic/arabic)
+    and ``dominant`` — the max-count script, ties broken by the fixed
+    declaration order so both engines pick identically."""
+    counts = {
+        name: F.regexp_count(text, F.lit(pat))
+        for name, pat in _SCRIPT_RES.items()
+    }
+    mx = F.greatest(*counts.values())
+    dom = F.lit(None).cast("string")
+    for name in reversed(list(counts)):  # first declared wins ties
+        dom = F.when(counts[name] == mx, F.lit(name)).otherwise(dom)
+    dom = F.when(mx > 0, dom)  # no script chars -> NULL
+    return F.struct(
+        *[c.alias(f"n_{n}") for n, c in counts.items()],
+        dom.alias("dominant"),
+    )

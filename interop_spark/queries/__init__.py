@@ -98,7 +98,7 @@ _MODULES = (
 #     gopher_repetition_signals, pii_redact, sequence_pack,
 #     merge_upsert, salted_join_agg (18).
 # ROUND-10 window (50) — executes the round-10 rotation plan IN FULL:
-# forced set 26 + the complete 15-row r6 residue + 9 of the oldest r7
+# forced set 27 + the complete 15-row r6 residue + 8 of the oldest r7
 # rows = 50 exactly. After this round no registry green is older than
 # r7 (the r9 verdict item-2 done-criterion); the remaining r7 rows
 # (embedding_neardup, embedding_centroids, lsh_bucket_sizes,
@@ -107,7 +107,7 @@ _MODULES = (
 # array_funcs, pivot_agg, grouping_sets, cube_agg, substring_dup_runs,
 # winnow_dup_pairs, semdedup_keep, knn_batch, text_quality,
 # doc_fingerprint, knn_cosine, drop_duplicates, train_test_split,
-# asof_join, range_join_pairs) head the ROUND-11 queue.
+# asof_join, range_join_pairs, enrich_events) head the ROUND-11 queue.
 #   * NEW this round (7): pretrain_pipeline (the composed
 #     quality->lang->dedup->pack accounting row; pipeline_ext.py diff
 #     is ADDITIVE — appended query/oracle pair only, so other
@@ -125,6 +125,8 @@ _MODULES = (
 #     mojibake/U+FFFD/control-char damage, regex counters value-hashed)
 #     boilerplate_lines (dedup.py appended remove_boilerplate_lines —
 #     planted shared nav/footer lines excised from EVERY doc), and
+#     script_profile (text.py appended Unicode-script counters —
+#     planted CJK/Cyrillic/Arabic runs, dominant-script verdict),
 #     fhir_omop_condition_occurrence + fhir_omop_drug_exposure (OMOP
 #     CDM widening beyond the reference's person table; analytics.py
 #     appends only). Second schema-promotion batch (Schedule, Slot,
@@ -349,8 +351,9 @@ _MODULES = (
 # last r3 rows.
 # --------------------------------------------------------------------------
 _WINDOW = (
-    # --- ROUND 10: new queries (11) ---
+    # --- ROUND 10: new queries (12) ---
     "pretrain_pipeline",
+    "script_profile",
     "fhir_omop_condition_occurrence",
     "fhir_omop_drug_exposure",
     "encoding_quality",
@@ -395,7 +398,7 @@ _WINDOW = (
     "domain_mix_sample",
     "token_entropy",
     "sq8_roundtrip",
-    # --- ROUND 10: oldest r7 rows (9) ---
+    # --- ROUND 10: oldest r7 rows (8) ---
     "json_extract",
     "latest_event_per_user",
     "running_total",
@@ -403,7 +406,6 @@ _WINDOW = (
     "tumbling_window",
     "lead_lag",
     "conditional_agg",
-    "enrich_events",
     "text_token_stats",
 )
 

@@ -1541,6 +1541,85 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script profiling over a corpus with PLANTED multilingual
+    runs: every 11th doc gets a CJK suffix, 11th+1 Cyrillic, 11th+2
+    Arabic — closed-form mutations both engines apply identically, so
+    the per-script counters and the dominant-script verdict (max count,
+    declaration-order tie-break) are value-hash-checked."""
+    d = load(spark, sf_dir, "documents").where(col("doc_id") < 400)
+    planted = d.select(
+        "doc_id",
+        F.when(
+            col("doc_id") % 11 == 0,
+            F.concat(col("text"), F.lit(" 汉字测试汉字")),
+        )
+        .when(
+            col("doc_id") % 11 == 1,
+            F.concat(col("text"), F.lit(" привет мир")),
+        )
+        .when(
+            col("doc_id") % 11 == 2,
+            F.concat(col("text"), F.lit(" مرحبا بالعالم")),
+        )
+        .otherwise(col("text"))
+        .alias("text"),
+    )
+    s = tx.script_profile(col("text"))
+    return planted.select(
+        "doc_id",
+        s["n_latin"].alias("n_latin"),
+        s["n_cjk"].alias("n_cjk"),
+        s["n_cyrillic"].alias("n_cyrillic"),
+        s["n_arabic"].alias("n_arabic"),
+        s["dominant"].alias("dominant"),
+    )
+
+
+def _script_profile_oracle() -> str:
+    pats = {
+        "latin": "[A-Za-z\\x{00c0}-\\x{024f}]",
+        "cjk": "[\\x{4e00}-\\x{9fff}\\x{3040}-\\x{30ff}]",
+        "cyrillic": "[\\x{0400}-\\x{04ff}]",
+        "arabic": "[\\x{0600}-\\x{06ff}]",
+    }
+    cnt = {
+        n: f"CAST(len(regexp_extract_all(text, '{p}')) AS INTEGER)"
+        for n, p in pats.items()
+    }
+    return f"""
+        WITH planted AS (
+          SELECT doc_id,
+                 CASE
+                   WHEN doc_id % 11 = 0 THEN text || ' 汉字测试汉字'
+                   WHEN doc_id % 11 = 1 THEN text || ' привет мир'
+                   WHEN doc_id % 11 = 2 THEN text || ' مرحبا بالعالم'
+                   ELSE text
+                 END AS text
+          FROM documents WHERE doc_id < 400
+        ),
+        c AS (
+          SELECT doc_id, {cnt['latin']} AS n_latin, {cnt['cjk']} AS n_cjk,
+                 {cnt['cyrillic']} AS n_cyrillic, {cnt['arabic']} AS n_arabic
+          FROM planted
+        )
+        SELECT doc_id, n_latin, n_cjk, n_cyrillic, n_arabic,
+               CASE
+                 WHEN greatest(n_latin, n_cjk, n_cyrillic, n_arabic) = 0
+                   THEN NULL
+                 WHEN n_latin = greatest(n_latin, n_cjk, n_cyrillic, n_arabic)
+                   THEN 'latin'
+                 WHEN n_cjk = greatest(n_latin, n_cjk, n_cyrillic, n_arabic)
+                   THEN 'cjk'
+                 WHEN n_cyrillic
+                      = greatest(n_latin, n_cjk, n_cyrillic, n_arabic)
+                   THEN 'cyrillic'
+                 ELSE 'arabic'
+               END AS dominant
+        FROM c
+    """
+
+
 def _encoding_quality_oracle() -> str:
     # RE2 twins of text._MOJIBAKE_RE / _CONTROL_RE (same codepoints,
     # \x{...} escapes) — regexp_count ≡ len(regexp_extract_all)
@@ -1643,6 +1722,7 @@ QUERIES = {
     "pretrain_pipeline": q_pretrain_pipeline,
     "encoding_quality": q_encoding_quality,
     "boilerplate_lines": q_boilerplate_lines,
+    "script_profile": q_script_profile,
 }
 
 
@@ -1821,6 +1901,7 @@ ORACLE = {
                  AS last_window
         FROM c
     """,
+    "script_profile": _script_profile_oracle(),
     "encoding_quality": _encoding_quality_oracle(),
     "boilerplate_lines": _boilerplate_oracle(),
     "pretrain_pipeline": f"""
