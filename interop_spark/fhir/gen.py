@@ -35,7 +35,8 @@ from pyspark.sql.functions import col
 # v3: + Observation resource per bundle
 # v4: + DiagnosticReport, QuestionnaireResponse (round-10 promoted deep
 #     schema), NutritionOrder (spine-only type — mixed-corpus retention)
-CORPUS_VERSION = "v4"
+# v5: + Slot (round-10 second promotion batch — scheduling coverage)
+CORPUS_VERSION = "v5"
 LOINC = "http://loinc.org"
 
 CPT = "http://www.ama-assn.org/go/cpt"
@@ -84,8 +85,9 @@ def bundle_json_df(
     """(value, _file_path) frame of synthetic bundle JSON documents — one
     bundle per customer with c_custkey < ``max_custkey``, each holding a
     Patient, Condition, Claim (2 items), MedicationRequest, Practitioner,
-    Observation, DiagnosticReport, QuestionnaireResponse and a spine-only
-    NutritionOrder whose fields are closed-form functions of c_custkey.
+    Observation, DiagnosticReport, QuestionnaireResponse, Slot and a
+    spine-only NutritionOrder whose fields are closed-form functions of
+    c_custkey.
     ``_file_path`` is the stable pseudo-path ``mem://bundles/<key>`` so
     bundleUUIDs are reproducible and oracle-computable (md5 of the same
     string)."""
@@ -289,6 +291,32 @@ def bundle_json_df(
         F.lit("order").alias("intent"),
     )
 
+    # Slot exercises the round-10 second promotion batch (scheduling):
+    # schedule reference, ISO start/end, appointmentType coding
+    slot = F.struct(
+        F.lit("Slot").alias("resourceType"),
+        _cat("slot-", k).alias("id"),
+        _pick(("busy", "free", "busy-tentative"), k).alias("status"),
+        F.struct(_cat("Schedule/sch-", k % 5).alias("reference")).alias(
+            "schedule"
+        ),
+        _codeable(
+            _pick(("ROUTINE", "WALKIN", "CHECKUP"), k + 1),
+            _cat("appt-", (k + 1) % 3),
+            "http://terminology.hl7.org/CodeSystem/v2-0276",
+        ).alias("appointmentType"),
+        F.format_string(
+            "%04d-%02d-%02dT%02d:00:00Z", (k % 2 + 2024).cast("int"),
+            ((k + 8) % 12 + 1).cast("int"), ((k + 17) % 28 + 1).cast("int"),
+            (k % 10 + 8).cast("int"),
+        ).alias("start"),
+        F.format_string(
+            "%04d-%02d-%02dT%02d:30:00Z", (k % 2 + 2024).cast("int"),
+            ((k + 8) % 12 + 1).cast("int"), ((k + 17) % 28 + 1).cast("int"),
+            (k % 10 + 8).cast("int"),
+        ).alias("end"),
+    )
+
     def entry_json(resource: F.Column) -> F.Column:
         return F.to_json(F.struct(resource.alias("resource")))
 
@@ -307,6 +335,7 @@ def bundle_json_df(
             entry_json(diagreport),
             entry_json(qresp),
             entry_json(nutrition),
+            entry_json(slot),
         ),
         F.lit("]}"),
     )

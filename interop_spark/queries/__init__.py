@@ -98,7 +98,7 @@ _MODULES = (
 #     gopher_repetition_signals, pii_redact, sequence_pack,
 #     merge_upsert, salted_join_agg (18).
 # ROUND-10 window (50) — executes the round-10 rotation plan IN FULL:
-# forced set 27 + the complete 15-row r6 residue + 8 of the oldest r7
+# forced set 28 + the complete 15-row r6 residue + 7 of the oldest r7
 # rows = 50 exactly. After this round no registry green is older than
 # r7 (the r9 verdict item-2 done-criterion); the remaining r7 rows
 # (embedding_neardup, embedding_centroids, lsh_bucket_sizes,
@@ -107,7 +107,8 @@ _MODULES = (
 # array_funcs, pivot_agg, grouping_sets, cube_agg, substring_dup_runs,
 # winnow_dup_pairs, semdedup_keep, knn_batch, text_quality,
 # doc_fingerprint, knn_cosine, drop_duplicates, train_test_split,
-# asof_join, range_join_pairs, enrich_events) head the ROUND-11 queue.
+# asof_join, range_join_pairs, enrich_events, conditional_agg) head
+# the ROUND-11 queue.
 #   * NEW this round (7): pretrain_pipeline (the composed
 #     quality->lang->dedup->pack accounting row; pipeline_ext.py diff
 #     is ADDITIVE — appended query/oracle pair only, so other
@@ -125,6 +126,9 @@ _MODULES = (
 #     mojibake/U+FFFD/control-char damage, regex counters value-hashed)
 #     boilerplate_lines (dedup.py appended remove_boilerplate_lines —
 #     planted shared nav/footer lines excised from EVERY doc), and
+#     fhir_slots (Slot flatten through the second promotion batch;
+#     corpus v5 adds the Slot resource — the v5 consumers are the same
+#     in-window synthetic rows as v4),
 #     script_profile (text.py appended Unicode-script counters —
 #     planted CJK/Cyrillic/Arabic runs, dominant-script verdict),
 #     fhir_omop_condition_occurrence + fhir_omop_drug_exposure (OMOP
@@ -351,8 +355,9 @@ _MODULES = (
 # last r3 rows.
 # --------------------------------------------------------------------------
 _WINDOW = (
-    # --- ROUND 10: new queries (12) ---
+    # --- ROUND 10: new queries (13) ---
     "pretrain_pipeline",
+    "fhir_slots",
     "script_profile",
     "fhir_omop_condition_occurrence",
     "fhir_omop_drug_exposure",
@@ -398,14 +403,13 @@ _WINDOW = (
     "domain_mix_sample",
     "token_entropy",
     "sq8_roundtrip",
-    # --- ROUND 10: oldest r7 rows (8) ---
+    # --- ROUND 10: oldest r7 rows (7) ---
     "json_extract",
     "latest_event_per_user",
     "running_total",
     "sessionize",
     "tumbling_window",
     "lead_lag",
-    "conditional_agg",
     "text_token_stats",
 )
 

@@ -524,6 +524,23 @@ def q_fhir_mixed_resource_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fhir_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slot flattening through the round-10 SECOND promotion batch
+    (Schedule/Slot/AppointmentResponse/Group/List): proves a batch-2
+    promoted type carries its deep fields end-to-end from generated
+    corpus JSON without a user override."""
+    entry = _synthetic_entry(spark, sf_dir)
+    s = entry.select(col("bundleUUID"), F.explode("Slot").alias("s"))
+    return s.select(
+        col("s.id").alias("slot_id"),
+        col("s.status").alias("slot_status"),
+        col("s.schedule.reference").alias("schedule_ref"),
+        F.get(col("s.appointmentType.coding"), 0)["code"].alias("appt_type"),
+        col("s.start").alias("slot_start"),
+        col("s.end").alias("slot_end"),
+    )
+
+
 def q_fhir_omop_condition_occurrence(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -651,6 +668,7 @@ QUERIES = {
     "fhir_ndjson_type_counts": q_fhir_ndjson_type_counts,
     "fhir_omop_condition_occurrence": q_fhir_omop_condition_occurrence,
     "fhir_omop_drug_exposure": q_fhir_omop_drug_exposure,
+    "fhir_slots": q_fhir_slots,
 }
 
 # the 4 deterministic rows adt_events yields from the reference's sample
@@ -887,6 +905,21 @@ ORACLE = {
                CAST(count(DISTINCT CASE (k % 3) WHEN 0 THEN 'en'
                      WHEN 1 THEN 'es' ELSE 'fr' END) AS BIGINT)
         FROM b
+    """,
+    "fhir_slots": f"""
+        SELECT 'slot-' || c_custkey::VARCHAR AS slot_id,
+               CASE (c_custkey % 3) WHEN 0 THEN 'busy'
+                 WHEN 1 THEN 'free' ELSE 'busy-tentative' END AS slot_status,
+               'Schedule/sch-' || (c_custkey % 5)::VARCHAR AS schedule_ref,
+               CASE ((c_custkey + 1) % 3) WHEN 0 THEN 'ROUTINE'
+                 WHEN 1 THEN 'WALKIN' ELSE 'CHECKUP' END AS appt_type,
+               printf('%04d-%02d-%02dT%02d:00:00Z', 2024 + c_custkey % 2,
+                      (c_custkey + 8) % 12 + 1, (c_custkey + 17) % 28 + 1,
+                      c_custkey % 10 + 8) AS slot_start,
+               printf('%04d-%02d-%02dT%02d:30:00Z', 2024 + c_custkey % 2,
+                      (c_custkey + 8) % 12 + 1, (c_custkey + 17) % 28 + 1,
+                      c_custkey % 10 + 8) AS slot_end
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
     """,
     "fhir_omop_condition_occurrence": f"""
         SELECT 'cond-' || c_custkey::VARCHAR AS condition_occurrence_id,

@@ -184,3 +184,53 @@ class TestIvfpqRerank:
         assert dists == sorted(dists)
         # the query vector itself must be its own exact-nearest hit
         assert rows[0]["vec_id"] == 1 and rows[0]["exact_dist"] == 0.0
+
+
+def test_encoding_quality_counters(spark):
+    from pyspark.sql import functions as F
+
+    from interop_spark.operators.text import encoding_quality
+
+    rows = [
+        (1, "clean ascii text"),
+        (2, "bad caf\u00c3\u00a9 and \u00e2\u20ac\u2122 smart quote"),
+        (3, "repl \ufffd\ufffd chars"),
+        (4, "ctrl\u0007\u0008here"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = {
+        r.id: r
+        for r in df.select(
+            "id", encoding_quality(F.col("text")).alias("q")
+        ).select("id", "q.*").collect()
+    }
+    assert out[1].enc_ok and out[1].n_mojibake == 0
+    assert out[2].n_mojibake == 2 and not out[2].enc_ok
+    assert out[3].n_replacement == 2
+    assert out[4].n_control == 2
+
+
+def test_script_profile_dominant(spark):
+    from pyspark.sql import functions as F
+
+    from interop_spark.operators.text import script_profile
+
+    rows = [
+        (1, "hello world"),
+        (2, "\u6c49\u5b57\u6d4b\u8bd5 ok"),  # 4 CJK vs 2 latin
+        (3, "\u043f\u0440\u0438\u0432\u0435\u0442"),
+        (4, "12345 !!!"),  # no script chars at all
+        (5, "ab \u6c49\u5b57"),  # 2 latin vs 2 cjk tie -> latin
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = {
+        r.id: r
+        for r in df.select(
+            "id", script_profile(F.col("text")).alias("s")
+        ).select("id", "s.*").collect()
+    }
+    assert out[1].dominant == "latin"
+    assert out[2].dominant == "cjk" and out[2].n_cjk == 4
+    assert out[3].dominant == "cyrillic"
+    assert out[4].dominant is None
+    assert out[5].dominant == "latin"  # declaration-order tie-break
