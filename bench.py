@@ -1,7 +1,10 @@
 #!/usr/bin/env python
 """Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
-local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS]. Prints ONE minimal JSON line:
 {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+(kept under the driver's ~2 KB stdout tail capture); per-query spread
+and the scaling probes are written to BENCH_DETAIL.json in the repo
+root, which is committed alongside the round artifacts.
 
 Each query runs once to warm (JVM/code-gen/file-listing costs a
 long-lived cluster session would not pay per query), then
@@ -261,6 +264,17 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
         "minhash_skew": lambda d: dd.minhash_candidate_pairs(
             d, "doc_id", "text", spread=False, max_band_docs=64
         ),
+        # round-11 (r10 verdict item 5): ivfpq_search drifted up two
+        # rounds on untouched code; the headline query re-TRAINS the PQ
+        # codebooks inside itself (amortized once at real scale), so the
+        # drift could live in training or in search. This probe splits
+        # them: codebooks + centroids are trained ONCE on the 1x corpus
+        # (driver-side literals thereafter), then the SEARCH path —
+        # ivf_assign → pq_encode → probe join → ADC top-k, the part that
+        # scales with the corpus — is timed at 1x and 10x. Done-bar:
+        # search-side ratio_10x ≲ 2 (the plan is a zero-corpus-shuffle
+        # projection chain, so it should scale with bytes scanned).
+        "ivfpq_search_only": "_IVFPQ_SPECIAL",
     }
 
     def _rotated_documents(mult: int):
@@ -349,11 +363,46 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
     _SKEW_PROBES = frozenset(
         {"substring_dup_skew", "substring_dup_skew_noguard", "minhash_skew"}
     )
+
+    def _make_ivfpq_search_fn():
+        # one-time training on the 1x corpus; the returned closure is the
+        # pure SEARCH path over driver-side literal codebooks/centroids
+        from interop_spark.operators import pq as pqm
+
+        base = _scaled_embeddings(1)
+        query = [
+            float(x)
+            for x in base.orderBy("vec_id").select("embedding").first()[0]
+        ]
+        dim = len(query)
+        m = next(m for m in (8, 4, 2, 1) if dim % m == 0)
+        cbs = pqm.pq_train(base, m_subspaces=m, k=16, iters=1, dim=dim)
+        cents = (
+            spark.read.parquet(
+                __import__("os").path.join(sf_dir, "embeddings.parquet")
+            )
+            .where(col("vec_id") < 8)
+            .select(
+                col("vec_id").alias("centroid_id"),
+                col("embedding").alias("centroid"),
+            )
+        )
+        return lambda d: pqm.ivfpq_search(
+            d, cents, cbs, query, k=10, nprobe=2
+        )
+
+    _EMB_PROBES = frozenset({"ivf_assign", "ivfpq_search_only"})
     out: dict = {}
     for name, fn in probes.items():
         entry = {}
+        if fn == "_IVFPQ_SPECIAL":
+            try:
+                fn = _make_ivfpq_search_fn()
+            except Exception as e:
+                out[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+                continue
         scaled = (
-            _scaled_embeddings if name == "ivf_assign" else
+            _scaled_embeddings if name in _EMB_PROBES else
             _planted_skew_documents if name in _SKEW_PROBES else
             _rotated_documents if name == "substring_dup_runs" else
             _retokened_documents if name == "simhash_neardup_pairs" else
@@ -433,12 +482,17 @@ def main() -> None:
             errors[name] = f"{type(e).__name__}: {e}"[:300]
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # STDOUT CONTRACT (r10 verdict item 1): the driver records only the
+    # LAST ~2000 bytes of stdout, and r10's spread block pushed the
+    # medians dict off the front — the regression-tracking payload was
+    # lost. stdout therefore carries ONLY the minimal headline JSON
+    # (metric/value/queries/sf/reps/loadavg, ~1 KB at 28 queries);
+    # spread + scaling probes go to the committed BENCH_DETAIL.json.
     result = {
         "metric": "headline_queries_warm_total",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
-        "spread": spread,
         "sf": float(sf) if sf else None,
         "reps": reps,
         # exogenous machine noise next to the numbers it skews: this
@@ -450,6 +504,10 @@ def main() -> None:
     }
     if errors:
         result["errors"] = errors
+    detail = {
+        "spread": spread,
+        "loadavg_1m_post_headline": round(os.getloadavg()[0], 2),
+    }
     # safety net: the headline numbers exist in the output even if the
     # probes below take the JVM down (round-4 lost the whole artifact
     # that way). Prefixed + stderr so the driver's one-JSON-line stdout
@@ -457,9 +515,16 @@ def main() -> None:
     print("HEADLINE (pre-probe): " + json.dumps(result), file=sys.stderr, flush=True)
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
         try:
-            result["scaling"] = _scaling_probes(spark, sf_dir)
+            detail["scaling"] = _scaling_probes(spark, sf_dir)
         except Exception as e:
-            result["scaling"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+            detail["scaling"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+    detail_path = os.path.join(REPO_ROOT, "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump({**result, **detail}, f, indent=1)
+            f.write("\n")
+    except OSError as e:  # read-only checkout must not void the bench
+        print(f"BENCH_DETAIL write failed: {e}", file=sys.stderr)
     print(json.dumps(result))
 
 
