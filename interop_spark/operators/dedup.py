@@ -152,6 +152,54 @@ def minhash_candidate_pairs(
     near-identical clusters, whose pairs a cluster-level output
     (``dedup_clusters``) represents without enumerating.
     """
+    cand, shing = _minhash_candidates(
+        df,
+        id_col,
+        text_col,
+        k=k,
+        bands=bands,
+        rows=rows,
+        shingle_n=shingle_n,
+        materialize=materialize,
+        spread=spread,
+        max_band_docs=max_band_docs,
+    )
+    a = shing.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("_sh_a")
+    )
+    b = shing.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("_sh_b")
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            jaccard(F.col("_sh_a"), F.col("_sh_b")).alias("jaccard_sim"),
+        )
+    )
+
+
+def _minhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 12,
+    bands: int = 4,
+    rows: int = 3,
+    shingle_n: int = 3,
+    materialize: bool = True,
+    spread: bool = True,
+    max_band_docs: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Candidate generation core of ``minhash_candidate_pairs`` (pure
+    code motion — identical expression tree): returns the distinct
+    (doc_a < doc_b) band-join candidates AND the shingle table, so
+    callers that verify with something other than exact Jaccard
+    (``edit_verified_pairs``' Levenshtein) can skip the two shingle
+    re-joins entirely — the unused shingle frame is lazy and never
+    enters their plan."""
     if k < bands * rows:
         raise ValueError(
             f"minhash signature too short: k={k} < bands*rows={bands * rows}"
@@ -215,21 +263,7 @@ def minhash_candidate_pairs(
         )
         .distinct()
     )
-    a = shing.select(
-        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("_sh_a")
-    )
-    b = shing.select(
-        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("_sh_b")
-    )
-    return (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            jaccard(F.col("_sh_a"), F.col("_sh_b")).alias("jaccard_sim"),
-        )
-    )
+    return cand, shing
 
 
 def _bit_powers() -> Column:
@@ -943,11 +977,13 @@ def edit_verified_pairs(
     guard) bounds the candidate count, and the verification itself is an
     embarrassingly parallel projection over the joined pairs. The raw
     texts enter the plan only for surviving candidates (two keyed joins),
-    never the band exchange.
+    never the band exchange. Candidates come from ``_minhash_candidates``
+    directly, so the exact-Jaccard shingle re-joins (a different verifier
+    this operator would discard) never enter the plan; Levenshtein is
+    computed once in an intermediate projection and reused by
+    ``norm_dist``.
     """
-    cand = minhash_candidate_pairs(
-        df, id_col, text_col, **minhash_kwargs
-    ).select("doc_a", "doc_b")
+    cand, _ = _minhash_candidates(df, id_col, text_col, **minhash_kwargs)
     a = df.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("_ta"))
     b = df.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("_tb"))
     out = (
@@ -957,13 +993,17 @@ def edit_verified_pairs(
             "doc_a",
             "doc_b",
             F.levenshtein(F.col("_ta"), F.col("_tb")).alias("edit_dist"),
-            F.round(
-                F.levenshtein(F.col("_ta"), F.col("_tb"))
-                / F.greatest(
-                    F.length(F.col("_ta")), F.length(F.col("_tb")), F.lit(1)
-                ),
-                4,
-            ).alias("norm_dist"),
+            F.greatest(
+                F.length(F.col("_ta")), F.length(F.col("_tb")), F.lit(1)
+            ).alias("_maxlen"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "edit_dist",
+            F.round(F.col("edit_dist") / F.col("_maxlen"), 4).alias(
+                "norm_dist"
+            ),
         )
     )
     if max_dist is not None:
