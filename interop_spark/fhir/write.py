@@ -102,8 +102,18 @@ def bulk_ndjson_write(
 
     ``to_json`` omits null fields, so the emitted lines carry only the
     fields present in the source rows; ``resourceType`` is part of every
-    catalog StructType and round-trips."""
+    catalog StructType and round-trips.
+
+    One write job runs per resource column, and each would re-execute
+    the full input lineage (for an ``entry()`` frame: the wholetext read
+    + JSON parse of every bundle, once per type) — so for >1 target the
+    input is lazily localCheckpoint'd: the parse runs once, the per-type
+    jobs read the materialized blocks. At real scale prefer passing a
+    narrow ``columns`` list (or staging ``entry()`` to a table) over
+    caching a full-catalog frame."""
     targets = columns if columns is not None else resource_columns(df)
+    if len(targets) > 1:
+        df = df.localCheckpoint(eager=False)
     for rt in targets:
         exploded = df.select(F.explode(rt).alias("_r")).select(
             F.to_json(F.col("_r")).alias("value")

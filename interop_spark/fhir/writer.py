@@ -417,9 +417,12 @@ class Bundle:
     def __init__(self, mapping_manager: MappingManager):
         self.mm = mapping_manager
 
-    def _bundle_column(self) -> Column:
+    def _resource_columns(self) -> dict[str, Column]:
+        """Per-resource-type struct Column (resourceType + mapped
+        fields) — the compile core shared by the bundle emitter and the
+        NDJSON emitter (pure code motion out of ``_bundle_column``)."""
         em = self.mm.encoder_manager
-        entries = []
+        out: dict[str, Column] = {}
         for rt, maps in self.mm.by_resource().items():
             root = _Node()
             for m in maps:
@@ -431,7 +434,13 @@ class Bundle:
                 # body is a struct; splice its fields beside resourceType
                 for seg, child in root.children.items():
                     resource_fields.append(body.getField(seg).alias(seg))
-            entry_struct = F.struct(F.struct(*resource_fields).alias("resource"))
+            out[rt] = F.struct(*resource_fields)
+        return out
+
+    def _bundle_column(self) -> Column:
+        entries = []
+        for rt, res in self._resource_columns().items():
+            entry_struct = F.struct(res.alias("resource"))
             # bundle entries are heterogeneous (Patient struct ≠ Claim
             # struct) but Spark arrays are homogeneous — normalize each
             # entry to VARIANT (JVM-side to_json→parse_json, no Python)
@@ -451,3 +460,46 @@ class Bundle:
     def df_to_fhir(self, df: DataFrame):
         """RDD[str] for API parity with the reference (`:542,547-548`)."""
         return self.df_to_fhir_df(df).rdd.map(lambda r: r[0])
+
+    def df_to_fhir_ndjson_df(self, df: DataFrame) -> DataFrame:
+        """(resourceType, value) frame — ONE NDJSON line per mapped
+        RESOURCE per input row, vs one bundle JSON string per row from
+        ``df_to_fhir_df``. This is the 100 TB-native output shape: lines
+        are splittable on re-ingest (``read_from_ndjson``), and a
+        downstream bulk importer consumes per-type files instead of
+        unpacking transaction bundles. ``to_json`` drops null fields, so
+        a row whose sources for a resource are all NULL still emits that
+        resource with only ``resourceType`` — filter upstream if
+        all-null rows must not produce resources."""
+        parts = [
+            df.select(
+                F.lit(rt).alias("resourceType"),
+                F.to_json(res).alias("value"),
+            )
+            for rt, res in self._resource_columns().items()
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def write_fhir_ndjson(
+        self, df: DataFrame, location: str, write_mode: str = "overwrite"
+    ) -> None:
+        """$export-layout sink for mapped relational rows:
+        ``<location>/<Type>/`` part files of resource JSON lines —
+        the reverse of ``FhirNdjson`` and the distributed counterpart
+        of ``df_to_fhir`` (no single-file bottleneck; each type writes
+        in parallel). One job per resource type re-executes the input
+        lineage; for >1 type the input is lazily localCheckpoint'd so
+        an expensive upstream (e.g. an ``entry()`` parse) runs once —
+        at real scale prefer staging the source to a table first."""
+        types = self.mm.by_resource()
+        if len(types) > 1:
+            df = df.localCheckpoint(eager=False)
+        for rt, res in self._resource_columns().items():
+            (
+                df.select(F.to_json(res).alias("value"))
+                .write.mode(write_mode)
+                .text(f"{location.rstrip('/')}/{rt}")
+            )

@@ -511,3 +511,60 @@ def test_writer_binary_source_base64(spark):
     # keep it a single Attachment object, not an array
     assert isinstance(media["content"], dict)
     assert media["content"]["data"] == _b64.b64encode(payload).decode()
+
+
+def test_ndjson_writer_roundtrip(spark, synpuf_df, tmp_path):
+    """Relational rows → ``write_fhir_ndjson`` → ``read_from_ndjson`` ≈
+    identity on mapped paths — the $export-layout reverse of the bundle
+    roundtrip (one splittable line per RESOURCE instead of one bundle
+    string per row; the 100 TB-native output format)."""
+    from interop_spark.fhir import (
+        Bundle,
+        Mapping,
+        MappingManager,
+        read_from_ndjson,
+    )
+
+    maps = [
+        Mapping("DESYNPUF_ID", "Patient.id"),
+        Mapping("BENE_BIRTH_DT", "Patient.birthDate"),
+        Mapping("BENE_COUNTY_CD", "Patient.address.postalCode"),
+        Mapping("CLM_ID", "Claim.id"),
+    ]
+    mm = MappingManager(maps, synpuf_df.schema)
+    b = Bundle(mm)
+
+    # (resourceType, value) frame: one line per mapped resource per row
+    nd = b.df_to_fhir_ndjson_df(synpuf_df)
+    assert nd.columns == ["resourceType", "value"]
+    per_type = {
+        r.resourceType: r.n
+        for r in nd.groupBy("resourceType").agg(
+            __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+        ).collect()
+    }
+    assert per_type == {"Patient": 2, "Claim": 2}
+
+    loc = str(tmp_path / "export")
+    b.write_fhir_ndjson(synpuf_df, loc)
+
+    pats = read_from_ndjson(loc + "/Patient", spark=spark).resource("Patient")
+    got = {
+        (r.id, r.birthDate) for r in pats.select("id", "birthDate").collect()
+    }
+    assert got == {("P0001", "1923-05-01"), ("P0002", "1943-01-01")}
+    pc = {r[0] for r in pats.selectExpr("address[0].postalCode").collect()}
+    assert pc == {"26950", "26970"}
+
+    claims = read_from_ndjson(loc + "/Claim", spark=spark).resource("Claim")
+    assert {r.id for r in claims.select("id").collect()} == {
+        "737363357976870",
+        "737363357976871",
+    }
+    # resourceType tag filter: the Patient directory yields no Claims
+    assert (
+        read_from_ndjson(loc + "/Patient", spark=spark)
+        .resource("Claim")
+        .count()
+        == 0
+    )
