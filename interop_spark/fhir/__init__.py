@@ -13,6 +13,7 @@ from interop_spark.fhir.adt import ADTActions  # noqa: F401
 from interop_spark.fhir.reader import (  # noqa: F401
     FhirBundles,
     FhirNdjson,
+    bundles_from_ndjson,
     read_from_directory,
     read_from_ndjson,
 )

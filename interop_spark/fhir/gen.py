@@ -36,7 +36,8 @@ from pyspark.sql.functions import col
 # v4: + DiagnosticReport, QuestionnaireResponse (round-10 promoted deep
 #     schema), NutritionOrder (spine-only type — mixed-corpus retention)
 # v5: + Slot (round-10 second promotion batch — scheduling coverage)
-CORPUS_VERSION = "v5"
+# v6: + Flag (round-11 third promotion batch — clinical alerting)
+CORPUS_VERSION = "v6"
 LOINC = "http://loinc.org"
 
 CPT = "http://www.ama-assn.org/go/cpt"
@@ -85,9 +86,9 @@ def bundle_json_df(
     """(value, _file_path) frame of synthetic bundle JSON documents — one
     bundle per customer with c_custkey < ``max_custkey``, each holding a
     Patient, Condition, Claim (2 items), MedicationRequest, Practitioner,
-    Observation, DiagnosticReport, QuestionnaireResponse, Slot and a
-    spine-only NutritionOrder whose fields are closed-form functions of
-    c_custkey.
+    Observation, DiagnosticReport, QuestionnaireResponse, Slot, Flag and
+    a spine-only NutritionOrder whose fields are closed-form functions
+    of c_custkey.
     ``_file_path`` is the stable pseudo-path ``mem://bundles/<key>`` so
     bundleUUIDs are reproducible and oracle-computable (md5 of the same
     string)."""
@@ -317,6 +318,33 @@ def bundle_json_df(
         ).alias("end"),
     )
 
+    # Flag exercises the round-11 third promotion batch (clinical
+    # alerting): R4 flag-category coding, active period, patient subject
+    flag = F.struct(
+        F.lit("Flag").alias("resourceType"),
+        _cat("flag-", k).alias("id"),
+        _pick(("active", "inactive", "entered-in-error"), k + 2).alias(
+            "status"
+        ),
+        F.array(
+            _codeable(
+                _pick(("safety", "clinical", "drug"), k),
+                _pick(("safety", "clinical", "drug"), k),
+                "http://terminology.hl7.org/CodeSystem/flag-category",
+            )
+        ).alias("category"),
+        _codeable(
+            _cat("FL", k % 10), _cat("flagcode-", k % 10), SNOMED
+        ).alias("code"),
+        F.struct(_cat("Patient/p-", k).alias("reference")).alias("subject"),
+        F.struct(
+            F.format_string(
+                "%04d-%02d-%02d", (k % 3 + 2022).cast("int"),
+                ((k + 10) % 12 + 1).cast("int"), ((k + 19) % 28 + 1).cast("int"),
+            ).alias("start")
+        ).alias("period"),
+    )
+
     def entry_json(resource: F.Column) -> F.Column:
         return F.to_json(F.struct(resource.alias("resource")))
 
@@ -336,6 +364,7 @@ def bundle_json_df(
             entry_json(qresp),
             entry_json(nutrition),
             entry_json(slot),
+            entry_json(flag),
         ),
         F.lit("]}"),
     )
@@ -397,7 +426,10 @@ def write_corpus(
 # resource type, one resource JSON per line — for the FhirNdjson reader.
 # --------------------------------------------------------------------------
 
-NDJSON_VERSION = "v1"
+# v2: + Condition (the type the patient-conditions flatten consumes, so
+#     the NDJSON→bundle-row bridge can be oracled against the same
+#     closed-form derivations as the bundle corpus)
+NDJSON_VERSION = "v2"
 
 
 def ndjson_resource_dfs(
@@ -434,10 +466,33 @@ def ndjson_resource_dfs(
             F.lit("cm").alias("unit"),
         ).alias("valueQuantity"),
     )
+    condition = F.struct(
+        F.lit("Condition").alias("resourceType"),
+        _cat("cond-", k).alias("id"),
+        F.struct(
+            F.array(
+                F.struct(
+                    F.when(k % 3 == 0, F.lit("resolved"))
+                    .otherwise(F.lit("active"))
+                    .alias("code")
+                )
+            ).alias("coding")
+        ).alias("clinicalStatus"),
+        _codeable(
+            _cat("C", k % 50), _cat("cond-", k % 50), SNOMED,
+            text=_cat("condtext-", k % 50),
+        ).alias("code"),
+        F.struct(_cat("Patient/p-", k).alias("reference")).alias("subject"),
+        F.format_string(
+            "%04d-%02d-%02d", (k % 8 + 2015).cast("int"),
+            ((k + 3) % 12 + 1).cast("int"), ((k + 5) % 28 + 1).cast("int"),
+        ).alias("recordedDate"),
+    )
     base = c.where(k < max_custkey)
     return {
         "Patient": base.select(F.to_json(patient).alias("value")),
         "Observation": base.select(F.to_json(observation).alias("value")),
+        "Condition": base.select(F.to_json(condition).alias("value")),
     }
 
 

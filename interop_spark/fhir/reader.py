@@ -348,3 +348,85 @@ def read_from_ndjson(
     ingests transaction bundles, `01_dbignite_sample.py:20,25`; the bulk
     NDJSON layout is the other standard FHIR-at-rest format)."""
     return FhirNdjson(path, spark=spark, glob_filter=glob_filter)
+
+
+def bundles_from_ndjson(
+    nd: FhirNdjson,
+    resource_types: list[str],
+    schemas: FhirSchemaModel | None = None,
+) -> DataFrame:
+    """Assemble a ``$export`` NDJSON directory into patient-centric
+    bundle rows — the bridge that lets every ``entry()``-consuming
+    analytic (``patient_conditions`` etc.) run unchanged on bulk-export
+    data (the reference's whole analytics surface consumes bundle rows,
+    `01_dbignite_sample.py:25-26,47-56`; bulk exports arrive per-type).
+
+    One output row per patient: the same meta columns ``entry()``
+    emits (bundleUUID deterministic from the synthetic provenance
+    ``ndjson://<patient_ref>``, so re-ingesting the same export yields
+    stable keys; ``bundleId`` carries the patient reference;
+    ``bundleType`` is the literal ``ndjson-export``; no export-level
+    timestamp) plus one ``array<struct>`` column per requested type.
+
+    Patient attribution: ``Patient`` rows key on ``Patient/<id>``;
+    every other type keys on the FHIR patient-compartment reference —
+    ``subject.reference`` / ``patient.reference``, whichever the
+    declared schema carries (coalesced when both). Rows with no
+    patient reference are dropped (un-attributable resources belong in
+    the per-type frames, not in patient bundles).
+
+    Scale shape: each type aggregates independently — one shuffle per
+    type keyed by patient reference, ``collect_list`` arrays bounded by
+    that PATIENT's compartment size (never corpus-keyed) — and the
+    per-type aggregates full-outer-join on the shared key, all sides
+    already partitioned by it (sort-merge reuses the exchange; AQE
+    coalesces). A patient with no rows of some type gets a NULL array,
+    matching ``entry()``'s absent-type contract (explode yields no
+    rows)."""
+    schemas = schemas or FhirSchemaModel()
+    joined: DataFrame | None = None
+    for rt in resource_types:
+        st = schemas.schema(rt)
+        fields = {f.name: f.dataType for f in st.fields}
+        if rt == "Patient":
+            key = F.concat(F.lit("Patient/"), F.col("id"))
+        else:
+            refs = [
+                F.col(f"{c}.reference")
+                for c in ("subject", "patient")
+                if c in fields
+                and isinstance(fields[c], StructType)
+                and "reference" in fields[c].fieldNames()
+            ]
+            if not refs:
+                raise ValueError(
+                    f"{rt}: declared schema has no subject/patient "
+                    "reference to attribute rows to a patient"
+                )
+            key = F.coalesce(*refs)
+        typed = nd.resource(rt, schemas=schemas)
+        agg = (
+            typed.where(key.isNotNull())
+            .groupBy(key.alias("_patient_ref"))
+            .agg(
+                F.collect_list(
+                    F.struct(*[F.col(f.name) for f in st.fields])
+                ).alias(rt)
+            )
+        )
+        joined = (
+            agg
+            if joined is None
+            else joined.join(agg, "_patient_ref", "full_outer")
+        )
+    if joined is None:
+        raise ValueError("resource_types must be non-empty")
+    return joined.select(
+        _uuid_from_md5(
+            F.md5(F.concat(F.lit("ndjson://"), F.col("_patient_ref")))
+        ).alias("bundleUUID"),
+        F.col("_patient_ref").alias("bundleId"),
+        F.lit("ndjson-export").alias("bundleType"),
+        F.lit(None).cast("timestamp").alias("timestamp"),
+        *resource_types,
+    )

@@ -541,6 +541,27 @@ def q_fhir_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fhir_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag flattening through the round-11 THIRD promotion batch
+    (Flag/DetectedIssue/ClinicalImpression/DeviceRequest/
+    CommunicationRequest): proves a batch-3 promoted type carries its
+    deep fields — array-of-CodeableConcept category, Period, subject
+    reference — end-to-end from generated corpus JSON without a user
+    override (the ``fhir_slots`` pattern for the new batch)."""
+    entry = _synthetic_entry(spark, sf_dir)
+    f = entry.select(col("bundleUUID"), F.explode("Flag").alias("f"))
+    return f.select(
+        col("f.id").alias("flag_id"),
+        col("f.status").alias("flag_status"),
+        F.get(F.get(col("f.category"), 0)["coding"], 0)["code"].alias(
+            "flag_category"
+        ),
+        F.get(col("f.code.coding"), 0)["code"].alias("flag_code"),
+        col("f.subject.reference").alias("patient_ref"),
+        col("f.period.start").alias("flag_start"),
+    )
+
+
 def q_fhir_omop_condition_occurrence(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -610,6 +631,40 @@ def q_fhir_ndjson_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).resource_types()
 
 
+def q_fhir_ndjson_patient_conditions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The NDJSON→bundle-row BRIDGE through the value-hash gate (r10
+    verdict item 6): ``bundles_from_ndjson`` groups the per-type
+    ``$export`` files (Patient.ndjson + Condition.ndjson) into one row
+    per patient with ``entry()``-shaped ``array<struct>`` columns, and
+    the UNCHANGED ``patient_conditions`` flatten runs on it — the same
+    analytic the bundle corpus feeds (``fhir_patient_conditions``),
+    proving export-layout data and transaction-bundle data converge on
+    one analytics surface. The oracle recomputes the flatten
+    relationally with the bridge's ``ndjson://<patient_ref>`` UUID
+    derivation."""
+    from interop_spark.fhir import bundles_from_ndjson, read_from_ndjson
+    from interop_spark.fhir.analytics import patient_conditions
+    from interop_spark.fhir.gen import write_ndjson_corpus
+    from interop_spark.fhir.schema import (
+        CONDITION,
+        PATIENT,
+        FhirSchemaModel,
+    )
+
+    d = write_ndjson_corpus(spark, sf_dir, max_custkey=_SYNTH_LIMIT)
+    nd = read_from_ndjson("file://" + d, spark=spark, glob_filter="*.ndjson")
+    entry = bundles_from_ndjson(
+        nd,
+        ["Patient", "Condition"],
+        schemas=FhirSchemaModel(
+            fhir_resource_map={"Patient": PATIENT, "Condition": CONDITION}
+        ),
+    )
+    return patient_conditions(entry)
+
+
 def q_fhir_ingest_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reader THROUGHPUT path over a real file corpus: ~1200 generated
     bundle files (one .json per bundle, deterministic content) →
@@ -666,9 +721,11 @@ QUERIES = {
     "fhir_mixed_resource_counts": q_fhir_mixed_resource_counts,
     "fhir_ndjson_observations": q_fhir_ndjson_observations,
     "fhir_ndjson_type_counts": q_fhir_ndjson_type_counts,
+    "fhir_ndjson_patient_conditions": q_fhir_ndjson_patient_conditions,
     "fhir_omop_condition_occurrence": q_fhir_omop_condition_occurrence,
     "fhir_omop_drug_exposure": q_fhir_omop_drug_exposure,
     "fhir_slots": q_fhir_slots,
+    "fhir_flags": q_fhir_flags,
 }
 
 # the 4 deterministic rows adt_events yields from the reference's sample
@@ -921,6 +978,20 @@ ORACLE = {
                       c_custkey % 10 + 8) AS slot_end
         FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
     """,
+    "fhir_flags": f"""
+        SELECT 'flag-' || c_custkey::VARCHAR AS flag_id,
+               CASE ((c_custkey + 2) % 3) WHEN 0 THEN 'active'
+                 WHEN 1 THEN 'inactive' ELSE 'entered-in-error'
+                 END AS flag_status,
+               CASE (c_custkey % 3) WHEN 0 THEN 'safety'
+                 WHEN 1 THEN 'clinical' ELSE 'drug' END AS flag_category,
+               'FL' || (c_custkey % 10)::VARCHAR AS flag_code,
+               'Patient/p-' || c_custkey::VARCHAR AS patient_ref,
+               printf('%04d-%02d-%02d', 2022 + c_custkey % 3,
+                      (c_custkey + 10) % 12 + 1,
+                      (c_custkey + 19) % 28 + 1) AS flag_start
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+    """,
     "fhir_omop_condition_occurrence": f"""
         SELECT 'cond-' || c_custkey::VARCHAR AS condition_occurrence_id,
                'p-' || c_custkey::VARCHAR AS person_id,
@@ -961,6 +1032,21 @@ ORACLE = {
         FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
         UNION ALL
         SELECT 'Observation', CAST(count(1) AS BIGINT)
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+        UNION ALL
+        SELECT 'Condition', CAST(count(1) AS BIGINT)
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+    """,
+    "fhir_ndjson_patient_conditions": f"""
+        SELECT {_dk_uuid("'ndjson://Patient/p-' || c_custkey::VARCHAR")}
+                 AS UNIQUE_FHIR_ID,
+               'p-' || c_custkey::VARCHAR AS Patient,
+               {_DK_BIRTH} AS Birth_date,
+               {_DK_CLIN_STATUS} AS clinical_status,
+               'C' || (c_custkey % 50)::VARCHAR AS condition_code,
+               'http://snomed.info/sct' AS condition_type_code,
+               'cond-' || (c_custkey % 50)::VARCHAR AS condition_description,
+               {_DK_COND_DATE} AS condition_date
         FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
     """,
     "fhir_condition_text": f"""

@@ -184,12 +184,57 @@ def q_stream_sessionize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_ndjson_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NDJSON bulk-export ingest through the correctness gate
+    (r10 verdict item 4 — previously pytest-only): the generated
+    ``$export`` directory read via ``stream_ndjson_resources`` (text
+    file source → one variant parse per LINE → resourceType tag filter
+    → typed extraction, the same stateless projections as the batch
+    ``FhirNdjson.resource``) → availableNow → append to a memory sink →
+    per-status aggregate over the sink. Deterministic because the
+    projection is stateless and availableNow drains every input file;
+    the non-Observation files (Patient/Condition lines, the _COMPLETE
+    marker) must be dropped by the tag filter or the counts diverge.
+
+    Scale posture: the same plan tails a live export continuously —
+    NDJSON micro-batches split by bytes, not files (reader.py
+    ``FhirNdjson``), so ingest parallelism survives one giant
+    Observation.ndjson."""
+    import uuid
+
+    from interop_spark.fhir.gen import write_ndjson_corpus
+    from interop_spark.queries.fhir_queries import _SYNTH_LIMIT
+    from interop_spark.streaming.streams import stream_ndjson_resources
+
+    name = "stream_ndjson_" + uuid.uuid4().hex[:8]
+    d = write_ndjson_corpus(spark, sf_dir, max_custkey=_SYNTH_LIMIT)
+    obs = stream_ndjson_resources(spark, "file://" + d, "Observation")
+    out = obs.select(
+        "id", "status", col("valueQuantity.value").alias("v")
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+        (F.round(F.sum("v"), 6) + F.lit(0.0)).alias("total_value"),
+    )
+
+
 QUERIES = {
     "asof_join": q_asof_join,
     "range_join_pairs": q_range_join_pairs,
     "stream_windowed_counts": q_stream_windowed_counts,
     "stream_dedup_counts": q_stream_dedup_counts,
     "stream_sessionize_counts": q_stream_sessionize_counts,
+    "stream_ndjson_counts": q_stream_ndjson_counts,
 }
 
 ORACLE = {
@@ -277,5 +322,19 @@ ORACLE = {
         SELECT user_id, start_us, end_us, events_in_session, session_value
         FROM agg, wm
         WHERE end_us / 1000000.0 + {float(SESSION_GAP_S)!r} < wm_sec
+    """,
+    # closed-form twin of fhir/gen.py's NDJSON Observation derivations
+    # (shared with fhir_queries' fhir_ndjson_observations oracle); the
+    # 400 literal is fhir_queries._SYNTH_LIMIT
+    "stream_ndjson_counts": """
+        SELECT CASE (c_custkey % 3) WHEN 0 THEN 'final'
+                 WHEN 1 THEN 'amended' ELSE 'preliminary' END AS status,
+               CAST(count(1) AS BIGINT) AS n_obs,
+               min('obs-' || c_custkey::VARCHAR) AS min_id,
+               max('obs-' || c_custkey::VARCHAR) AS max_id,
+               round(sum(c_custkey % 60 + 140 + (c_custkey % 10) / 10.0), 6)
+                 + 0.0 AS total_value
+        FROM customer WHERE c_custkey < 400
+        GROUP BY 1
     """,
 }
