@@ -1145,6 +1145,149 @@ GROUP = _resource(
     member=_arr(_struct(entity=REFERENCE, period=PERIOD, inactive=B)),
 )
 
+# Round-11 third batch: clinical workflow/alerting (Flag, DetectedIssue,
+# ClinicalImpression) and the remaining request types common in EHR
+# exchange (DeviceRequest, CommunicationRequest) — the types most often
+# present in care-coordination feeds that were still on the spine.
+# Element trees hand-derived from the public R4 spec
+# (hl7.org/fhir/R4/<type>.html); same monotone-promotion contract.
+
+FLAG = _resource(
+    **_SPINE_FIELDS,
+    identifier=_arr(IDENTIFIER),
+    status=S,
+    category=_arr(CODEABLE_CONCEPT),
+    code=CODEABLE_CONCEPT,
+    subject=REFERENCE,
+    period=PERIOD,
+    encounter=REFERENCE,
+    author=REFERENCE,
+)
+
+DETECTED_ISSUE = _resource(
+    **_SPINE_FIELDS,
+    identifier=_arr(IDENTIFIER),
+    status=S,
+    code=CODEABLE_CONCEPT,
+    severity=S,
+    patient=REFERENCE,
+    identifiedDateTime=S,
+    identifiedPeriod=PERIOD,
+    author=REFERENCE,
+    implicated=_arr(REFERENCE),
+    evidence=_arr(
+        _struct(code=_arr(CODEABLE_CONCEPT), detail=_arr(REFERENCE))
+    ),
+    detail=S,
+    reference=S,
+    mitigation=_arr(
+        _struct(action=CODEABLE_CONCEPT, date=S, author=REFERENCE)
+    ),
+)
+
+CLINICAL_IMPRESSION = _resource(
+    **_SPINE_FIELDS,
+    identifier=_arr(IDENTIFIER),
+    status=S,
+    statusReason=CODEABLE_CONCEPT,
+    code=CODEABLE_CONCEPT,
+    description=S,
+    subject=REFERENCE,
+    encounter=REFERENCE,
+    effectiveDateTime=S,
+    effectivePeriod=PERIOD,
+    date=S,
+    assessor=REFERENCE,
+    previous=REFERENCE,
+    problem=_arr(REFERENCE),
+    investigation=_arr(
+        _struct(code=CODEABLE_CONCEPT, item=_arr(REFERENCE))
+    ),
+    protocol=_arr(S),
+    summary=S,
+    finding=_arr(
+        _struct(
+            itemCodeableConcept=CODEABLE_CONCEPT,
+            itemReference=REFERENCE,
+            basis=S,
+        )
+    ),
+    prognosisCodeableConcept=_arr(CODEABLE_CONCEPT),
+    prognosisReference=_arr(REFERENCE),
+    supportingInfo=_arr(REFERENCE),
+    note=_arr(ANNOTATION),
+)
+
+DEVICE_REQUEST = _resource(
+    **_SPINE_FIELDS,
+    identifier=_arr(IDENTIFIER),
+    instantiatesCanonical=_arr(S),
+    instantiatesUri=_arr(S),
+    basedOn=_arr(REFERENCE),
+    priorRequest=_arr(REFERENCE),
+    groupIdentifier=IDENTIFIER,
+    status=S,
+    intent=S,
+    priority=S,
+    codeReference=REFERENCE,
+    codeCodeableConcept=CODEABLE_CONCEPT,
+    parameter=_arr(
+        _struct(
+            code=CODEABLE_CONCEPT,
+            valueCodeableConcept=CODEABLE_CONCEPT,
+            valueQuantity=QUANTITY,
+            valueBoolean=B,
+        )
+    ),
+    subject=REFERENCE,
+    encounter=REFERENCE,
+    occurrenceDateTime=S,
+    occurrencePeriod=PERIOD,
+    authoredOn=S,
+    requester=REFERENCE,
+    performerType=CODEABLE_CONCEPT,
+    performer=REFERENCE,
+    reasonCode=_arr(CODEABLE_CONCEPT),
+    reasonReference=_arr(REFERENCE),
+    insurance=_arr(REFERENCE),
+    supportingInfo=_arr(REFERENCE),
+    note=_arr(ANNOTATION),
+    relevantHistory=_arr(REFERENCE),
+)
+
+COMMUNICATION_REQUEST = _resource(
+    **_SPINE_FIELDS,
+    identifier=_arr(IDENTIFIER),
+    basedOn=_arr(REFERENCE),
+    replaces=_arr(REFERENCE),
+    groupIdentifier=IDENTIFIER,
+    status=S,
+    statusReason=CODEABLE_CONCEPT,
+    category=_arr(CODEABLE_CONCEPT),
+    priority=S,
+    doNotPerform=B,
+    medium=_arr(CODEABLE_CONCEPT),
+    subject=REFERENCE,
+    about=_arr(REFERENCE),
+    encounter=REFERENCE,
+    payload=_arr(
+        _struct(
+            contentString=S,
+            contentAttachment=ATTACHMENT,
+            contentReference=REFERENCE,
+        )
+    ),
+    occurrenceDateTime=S,
+    occurrencePeriod=PERIOD,
+    authoredOn=S,
+    requester=REFERENCE,
+    recipient=_arr(REFERENCE),
+    sender=REFERENCE,
+    reasonCode=_arr(CODEABLE_CONCEPT),
+    reasonReference=_arr(REFERENCE),
+    note=_arr(ANNOTATION),
+)
+
 LIST_RESOURCE = _resource(
     **_SPINE_FIELDS,
     identifier=_arr(IDENTIFIER),
@@ -1214,6 +1357,11 @@ CATALOG = {
     "AppointmentResponse": APPOINTMENT_RESPONSE,
     "Group": GROUP,
     "List": LIST_RESOURCE,
+    "Flag": FLAG,
+    "DetectedIssue": DETECTED_ISSUE,
+    "ClinicalImpression": CLINICAL_IMPRESSION,
+    "DeviceRequest": DEVICE_REQUEST,
+    "CommunicationRequest": COMMUNICATION_REQUEST,
 }
 
 
@@ -1246,14 +1394,14 @@ BINARY = _resource(contentType=S, data=S, securityContext=REFERENCE)
 FULL_SPINE_TYPES = [
     "ActivityDefinition", "AdverseEvent", "AuditEvent", "Basic", "BiologicallyDerivedProduct", "BodyStructure",
     "CapabilityStatement", "CatalogEntry", "ChargeItem",
-    "ChargeItemDefinition", "ClinicalImpression",
-    "CodeSystem", "CommunicationRequest", "CompartmentDefinition",
+    "ChargeItemDefinition", 
+    "CodeSystem", "CompartmentDefinition",
     "ConceptMap", "Contract", "CoverageEligibilityRequest",
-    "CoverageEligibilityResponse", "DetectedIssue", "DeviceDefinition",
-    "DeviceMetric", "DeviceRequest", "DeviceUseStatement",
+    "CoverageEligibilityResponse", "DeviceDefinition",
+    "DeviceMetric", "DeviceUseStatement",
     "DocumentManifest", "EffectEvidenceSynthesis", "Endpoint",
     "EnrollmentRequest", "EnrollmentResponse", "EventDefinition",
-    "Evidence", "EvidenceVariable", "ExampleScenario", "Flag",
+    "Evidence", "EvidenceVariable", "ExampleScenario", 
     "GraphDefinition", "GuidanceResponse", "HealthcareService",
     "ImmunizationEvaluation", "ImmunizationRecommendation",
     "ImplementationGuide", "InsurancePlan", "Invoice", "Library",

@@ -459,10 +459,12 @@ def test_explode2_preserves_cross_product_and_inner_semantics(spark):
 
 def test_full_catalog_recognizes_off_catalog_types(spark, tmp_path):
     """FhirSchemaModel(full=True): every R4 resource type resolves — an
-    off-catalog resource (Flag) materializes as a typed spine column
-    (id/meta/text/extension) instead of dropping into `_other`; Task
-    (promoted to a deep curated schema in round 10) must KEEP the spine
-    fields it had when it was spine-only (monotone promotion)."""
+    off-catalog resource (Person; Flag, the previous exemplar, was
+    promoted to the curated catalog in round 11) materializes as a typed
+    spine column (id/meta/text/extension) instead of dropping into
+    `_other`; Task (promoted to a deep curated schema in round 10) must
+    KEEP the spine fields it had when it was spine-only (monotone
+    promotion)."""
     from interop_spark.fhir import read_from_directory
     from interop_spark.fhir.schema import FhirSchemaModel
 
@@ -478,10 +480,10 @@ def test_full_catalog_recognizes_off_catalog_types(spark, tmp_path):
                           "language": "en",
                           "text": {"status": "generated",
                                    "div": "<div>do it</div>"}}},
-            {"resource": {"resourceType": "Flag", "id": "f-1",
+            {"resource": {"resourceType": "Person", "id": "per-1",
                           "language": "en",
                           "text": {"status": "generated",
-                                   "div": "<div>flagged</div>"},
+                                   "div": "<div>a person</div>"},
                           "meta": {"versionId": "7"}}},
         ],
     }
@@ -490,7 +492,7 @@ def test_full_catalog_recognizes_off_catalog_types(spark, tmp_path):
     (d / "b1.json").write_text(json.dumps(bundle))
 
     full = FhirSchemaModel(full=True)
-    assert len(full.resource_types()) >= 140  # curated 39 + spine set
+    assert len(full.resource_types()) >= 140  # curated + spine sets
 
     entry = read_from_directory(str(d), spark=spark).entry(schemas=full)
     row = entry.collect()[0]
@@ -498,15 +500,15 @@ def test_full_catalog_recognizes_off_catalog_types(spark, tmp_path):
     assert row.Task[0].id == "t-1"
     assert row.Task[0].language == "en"
     assert row.Task[0].text.status == "generated"
-    assert row.Flag[0].meta.versionId == "7"
-    assert row.Flag[0].language == "en"
-    assert row.Flag[0].text.status == "generated"
+    assert row.Person[0].meta.versionId == "7"
+    assert row.Person[0].language == "en"
+    assert row.Person[0].text.status == "generated"
 
     # Task is curated (deep) since round 10 and appears in the default
-    # catalog; Flag stays spine-only and the default catalog drops it
+    # catalog; Person stays spine-only and the default catalog drops it
     # (into _other only when asked)
     lean = read_from_directory(str(d), spark=spark).entry()
-    assert "Task" in lean.columns and "Flag" not in lean.columns
+    assert "Task" in lean.columns and "Person" not in lean.columns
 
 
 def test_ndjson_reader_type_filter_and_malformed_lines(spark, tmp_path):
@@ -570,3 +572,55 @@ def test_bulk_ndjson_write_roundtrip(spark, tmp_path):
     assert len(heads) == 4 and all(h.eventCoding.code for h in heads)
     # the tag filter keeps types apart even in a per-type directory
     assert nd.resource("MessageHeader").count() == 0
+
+
+def test_bundles_from_ndjson_bridge(spark, tmp_path):
+    """bundles_from_ndjson (round-11): per-type $export files assemble
+    into one bundle row per patient — full-outer across types (a
+    patient missing a type gets a NULL array, matching entry()'s
+    absent-type contract; a resource whose patient has no Patient row
+    still gets its own row), deterministic bundleUUID from the
+    ndjson:// provenance, and a type with no patient-compartment
+    reference in its schema is rejected loudly."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from interop_spark.fhir import bundles_from_ndjson, read_from_ndjson
+
+    d = tmp_path / "export"
+    d.mkdir()
+    (d / "Patient.ndjson").write_text(
+        '{"resourceType":"Patient","id":"p-1","gender":"male"}\n'
+        '{"resourceType":"Patient","id":"p-2","gender":"female"}\n'
+    )
+    (d / "Condition.ndjson").write_text(
+        '{"resourceType":"Condition","id":"c-1",'
+        '"subject":{"reference":"Patient/p-1"}}\n'
+        '{"resourceType":"Condition","id":"c-2",'
+        '"subject":{"reference":"Patient/p-1"}}\n'
+        '{"resourceType":"Condition","id":"c-3",'
+        '"subject":{"reference":"Patient/p-3"}}\n'
+    )
+    nd = read_from_ndjson(str(d), spark=spark)
+    entry = bundles_from_ndjson(nd, ["Patient", "Condition"])
+    rows = {r.bundleId: r for r in entry.collect()}
+    assert set(rows) == {"Patient/p-1", "Patient/p-2", "Patient/p-3"}
+    # full compartment
+    assert {c.id for c in rows["Patient/p-1"].Condition} == {"c-1", "c-2"}
+    assert rows["Patient/p-1"].Patient[0].gender == "male"
+    # patient with no conditions: NULL array (explode yields no rows)
+    assert rows["Patient/p-2"].Condition is None
+    # condition whose patient is absent from the export keeps its row
+    assert rows["Patient/p-3"].Patient is None
+    assert [c.id for c in rows["Patient/p-3"].Condition] == ["c-3"]
+    # deterministic UUID from the synthetic provenance
+    h = hashlib.md5(b"ndjson://Patient/p-1").hexdigest()
+    expect = f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+    assert rows["Patient/p-1"].bundleUUID == expect
+    # explode-based analytics shape: same as entry()
+    n = entry.selectExpr("explode(Condition) AS c").count()
+    assert n == 3
+    # a type with no subject/patient reference cannot be attributed
+    with _pytest.raises(ValueError, match="Practitioner"):
+        bundles_from_ndjson(nd, ["Practitioner"])
