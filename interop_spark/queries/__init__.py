@@ -31,345 +31,81 @@ _MODULES = (
 # this round, plus every query whose RESULT could be affected by this
 # round's diffs — judged module-granularly over the query's transitive
 # imports, with any finer-than-module claim justified per-diff below —
-# sits inside the first 50; everything past 50 has a green row in a prior
-# CORRECTNESS file AND its code is unchanged since that check. Belt and
-# suspenders: `tests/driver_sim.py` runs ALL queries against their
-# oracles locally each round (round 4: ALL MATCH at sf0.01; see
-# STATUS.md).
+# sits inside the first 50; everything past 50 has a green row in a
+# prior CORRECTNESS file AND its code is unchanged since that check.
+# Belt and suspenders: `tests/driver_sim.py` runs ALL queries against
+# their oracles locally each round (round 11: ALL MATCH at sf0.01; see
+# STATUS.md). Window tuples and per-round rationale for rounds 5-10
+# live in git history (prior revisions of this block — trimmed per
+# ADVICE r9 #3 / r10 verdict item 8; history belongs in git log).
 #
-# ROUND-9 window (50) — executes the round-9 rotation plan IN FULL:
-# forced set 8 + the COMPLETE 24-row r4 staleness queue + 18 of the 33
-# r6-residue rows = 50 exactly. Capped new-query count (2) per the r8
-# verdict so the queue actually drains; after this round no green row
-# is older than r6, and the only pre-r7 greens are 15 r6 rows (the 11
-# sqlapi rows + bundle_collect_flatten + domain_mix_sample +
-# token_entropy + sq8_roundtrip — all on modules untouched since r6),
-# which head the ROUND-10 queue.
-#   * NEW this round (2): stream_sessionize_counts (availableNow
-#     sessionizer through the value-hash gate; temporal_q.py diff is
-#     ADDITIVE — two consts + one appended query/oracle pair, so
-#     asof_join/range_join_pairs/stream_* keep their prior green) and
-#     ivfpq_rerank_sweep (shortlist-sensitivity recall row;
-#     pipeline_ext.py diff is ADDITIVE — appended pair only).
-#   * operators/retrieval.py changed (bm25_scores NULL-text guard —
-#     ADVICE r8 #1): bm25_topk re-verifies. Finer-than-module claim:
-#     the diff is confined to bm25_scores; dsir_* functions are
-#     byte-identical, so dsir_importance keeps its r8 green.
-#   * queries/selection_q.py changed (bm25 oracle WHERE + parameterized
-#     _bm25_oracle(limit=), RRF oracle reuse, resample gap-flag
-#     semantics): bm25_inverted_topk, hybrid_rrf_topk, resample_ffill
-#     re-verify (3). Finer-than-module claim: every other selection_q
-#     hunk-owner is one of those three queries (verified from the diff
-#     hunk list), so chunk_sliding/scd2_intervals/... keep r8 green.
-#   * operators/multimodal.py changed (parse_mp4 ISO-14496-12 special
-#     sizes + the inline video_meta closure): video_meta re-verifies.
-#     Finer-than-module claim: the two hunks sit entirely inside
-#     parse_mp4/video_meta; image_dims/audio_stats/multimodal_features/
-#     media_stats/frame_sample touch neither and keep r8/r7 green.
-#   * fhir/writer.py (urn:oid/urn:uuid uri-leaf normalization) +
-#     queries/fhir_queries.py (roundtrip widened with OID/UUID/http
-#     identifier paths — all hunks inside q_fhir_writer_roundtrip and
-#     its ORACLE entry): fhir_writer_roundtrip re-verifies (1).
-#   * fhir/schema.py: ADDITIVE (full_resource_map + full= kwarg; the
-#     default _load_catalog()/default_resource_map() paths are
-#     byte-equivalent), so no reader row re-verifies on its account.
-#   * streaming/streams.py: diff confined to
-#     stream_bundles_from_directory (now delegates to the batch
-#     entry_from_json core), whose only consumers are pytest parity
-#     tests — stream_windowed_counts/stream_dedup_counts consume
-#     load_stream + streaming_dedupe (both byte-identical) and keep
-#     their r8 green.
-#   * STALENESS ROTATION, priority 1 — the FULL 24-row r4 queue
-#     (displaced across r7/r8, judge-re-run green in r7 AND r8):
-#     computed_key_join, inner_equi_join, left_outer_exists_flag,
-#     topk_orders, hof_filter_array, set_union, set_intersect,
-#     set_except, explode_roundtrip, substring_key,
-#     scan_project_filter, like_filter_or, date_parts,
-#     case_when_literal, count_distinct, having_filter, agg_minmax,
-#     string_funcs, date_funcs, arith_funcs, groupby_count,
-#     left_semi_join, left_anti_join, nested_struct_pluck (24).
-#   * STALENESS ROTATION, priority 2 — 18 of the 33 r6 rows, picked by
-#     operator complexity (the dedup/similarity/kmeans/merge family,
-#     whose plans have the most surface): exact_dedup,
-#     minhash_lsh_neardup, neardup_clusters, neardup_clusters_star,
-#     dedup_representatives, simhash, simhash_neardup_pairs,
-#     kmeans_one_step, kmeans_fit, ivf_index_search,
-#     decontam_ngram_overlap, dup_ngram_stats, gopher_quality_flags,
-#     gopher_repetition_signals, pii_redact, sequence_pack,
-#     merge_upsert, salted_join_agg (18).
-# ROUND-10 window (50) — executes the round-10 rotation plan IN FULL:
-# forced set 28 + the complete 15-row r6 residue + 7 of the oldest r7
-# rows = 50 exactly. After this round no registry green is older than
-# r7 (the r9 verdict item-2 done-criterion); the remaining r7 rows
-# (embedding_neardup, embedding_centroids, lsh_bucket_sizes,
-# token_count_bpe, tfidf_top_terms, frame_sample, stratified_sample,
-# media_stats, ngram_jaccard_pairs, unpivot, window_rank_battery,
-# array_funcs, pivot_agg, grouping_sets, cube_agg, substring_dup_runs,
-# winnow_dup_pairs, semdedup_keep, knn_batch, text_quality,
-# doc_fingerprint, knn_cosine, drop_duplicates, train_test_split,
-# asof_join, range_join_pairs, enrich_events, conditional_agg) head
-# the ROUND-11 queue.
-#   * NEW this round (7): pretrain_pipeline (the composed
-#     quality->lang->dedup->pack accounting row; pipeline_ext.py diff
-#     is ADDITIVE — appended query/oracle pair only, so other
-#     pipeline_ext rows keep their green), fhir_diagnostic_reports
-#     (deep DiagnosticReport flatten), fhir_questionnaire_answers
-#     (round-10 promoted deep QuestionnaireResponse schema),
-#     fhir_mixed_resource_counts (FhirSchemaModel(full=True) retention
-#     of a spine-only type through the value-hash gate),
-#     fhir_ndjson_observations + fhir_ndjson_type_counts (the NDJSON
-#     bulk-export source — FhirNdjson reader + generator are ADDITIVE
-#     appends to reader.py/gen.py), edit_distance_neardup
-#     (Levenshtein-verified LSH pairs; dedup.py append
-#     edit_verified_pairs + selection_q.py appended pair only),
-#     encoding_quality (text.py appended encoding_quality op — planted
-#     mojibake/U+FFFD/control-char damage, regex counters value-hashed)
-#     boilerplate_lines (dedup.py appended remove_boilerplate_lines —
-#     planted shared nav/footer lines excised from EVERY doc), and
-#     fhir_slots (Slot flatten through the second promotion batch;
-#     corpus v5 adds the Slot resource — the v5 consumers are the same
-#     in-window synthetic rows as v4),
-#     script_profile (text.py appended Unicode-script counters —
-#     planted CJK/Cyrillic/Arabic runs, dominant-script verdict),
-#     fhir_omop_condition_occurrence + fhir_omop_drug_exposure (OMOP
-#     CDM widening beyond the reference's person table; analytics.py
-#     appends only). Second schema-promotion batch (Schedule, Slot,
-#     AppointmentResponse, Group, List → curated 49 deep / 95 spine)
-#     re-touches the catalog data files; the default-catalog entry()
-#     consumers above are already all in-window.
-#   * fhir/gen.py changed (corpus v4: + DiagnosticReport,
-#     QuestionnaireResponse, NutritionOrder per bundle): every
-#     _synthetic_entry/write_corpus consumer re-verifies —
+# ROUND-11 window (50) — executes the round-11 rotation plan IN FULL:
+# forced set 22 + the COMPLETE 28-row r7 queue = 50 exactly. After this
+# round no registry green is older than r8 (the r10 verdict item-2
+# done-criterion); the r8 greens (the r8 window, see git history) head
+# the ROUND-12 queue.
+#   * NEW this round (3): fhir_flags (corpus-v6 Flag flatten through
+#     the third schema-promotion batch), fhir_ndjson_patient_conditions
+#     (the NDJSON→bundle-row bridge: bundles_from_ndjson + the
+#     UNCHANGED patient_conditions flatten), stream_ndjson_counts
+#     (streaming NDJSON ingest, availableNow → memory sink — closes
+#     the last pytest-only stream operator).
+#   * operators/dedup.py changed: edit_verified_pairs now consumes the
+#     factored _minhash_candidates core (skips the exact-Jaccard
+#     verify joins it discarded; levenshtein computed once) →
+#     edit_distance_neardup re-verifies (1). Finer-than-module claim
+#     for the minhash rows: minhash_candidate_pairs's diff is PURE
+#     CODE MOTION into _minhash_candidates — analyzed plans verified
+#     byte-identical modulo expression ids for both max_band_docs
+#     configurations — so minhash_lsh_neardup, neardup_clusters(_star),
+#     corpus_clean, dedup_representatives keep their r10 green; the
+#     substring/simhash/winnowing/paragraph functions are
+#     byte-identical (substring/winnow rows rotate below anyway).
+#   * fhir/gen.py corpus v6 (+Flag per bundle) + the third promotion
+#     batch re-touching the catalog data files (5 new curated types;
+#     existing type files byte-identical): every synthetic-corpus /
+#     default-catalog entry() consumer re-verifies —
 #     fhir_patient_conditions, fhir_patient_claims,
 #     fhir_medication_requests, fhir_providers_practitioners,
 #     fhir_omop_person, fhir_patient_observations, fhir_condition_text,
-#     fhir_ingest_corpus (8).
-#   * fhir/writer.py changed (_BASE64_LEAVES + Attachment.size int leaf
-#     + `content` repeated segment) and the roundtrip query widened:
+#     fhir_ingest_corpus, fhir_slots, fhir_diagnostic_reports,
+#     fhir_questionnaire_answers, fhir_mixed_resource_counts,
+#     fhir_omop_condition_occurrence, fhir_omop_drug_exposure (14) —
+#     plus fhir_adt_timeline (reader over the ADT samples under the
+#     widened default catalog) (1).
+#   * fhir/gen.py NDJSON corpus v2 (+Condition.ndjson):
+#     fhir_ndjson_observations, fhir_ndjson_type_counts re-verify (2;
+#     type_counts' RESULT changes — new Condition row).
+#   * fhir/writer.py: _bundle_column's per-type struct build factored
+#     into _resource_columns (pure code motion; 18 writer pytests
+#     green incl. every roundtrip) + NEW NDJSON emitters
+#     (df_to_fhir_ndjson_df / write_fhir_ndjson, pytest-consumed) →
 #     fhir_writer_roundtrip re-verifies (1).
-#   * schemas/ data files changed (5 types promoted to deep trees;
-#     curated catalog 39 → 44): every default-catalog entry() consumer
-#     re-verifies — the synthetic rows above already are;
-#     fhir_adt_timeline (reader over the ADT samples) is the remaining
-#     one (1). bundle_collect_flatten is relational-only (no reader
-#     import) and rotates on staleness below anyway.
-#   * operators/dedup.py changed (max_band_docs hot-band guard).
-#     Finer-than-module claim: both hunks are inside
-#     minhash_candidate_pairs (signature/docstring + the guard block,
-#     default None ⇒ identical semantics); its consumers re-verify —
-#     minhash_lsh_neardup, neardup_clusters, neardup_clusters_star,
-#     corpus_clean, dedup_representatives (5). simhash/substring/
-#     winnowing/paragraph functions are byte-identical, so their rows
-#     keep r9/r7 green (substring/winnow rows head the r11 queue).
-#   * STALENESS ROTATION, priority 1 — the complete 15-row r6 residue:
-#     approx_count_distinct, approx_quantile, argmax_agg,
-#     correlated_exists, cross_join_sql, groupby_ordinal_sql,
-#     in_subquery, rollup_agg, scalar_subquery, select_star_expansion,
-#     union_all_sql, bundle_collect_flatten, domain_mix_sample,
-#     token_entropy, sq8_roundtrip (15).
-#   * STALENESS ROTATION, priority 2 — 17 oldest r7 rows: the full
-#     events family (json_extract, latest_event_per_user, running_total,
-#     sessionize, tumbling_window, lead_lag, conditional_agg, asof_join,
-#     range_join_pairs, enrich_events), text_token_stats (the r9
-#     perf-flagged query — a driver-fresh green alongside the re-measure),
-#     (11).
-#
-# Round-7 window (50), for history:
-#   * events-repair (10): the io.py events loader changed this round
-#     (type-adaptive ts). Finer-than-module claim for the REST of the
-#     registry: the diff is entirely inside the `name == "events"`
-#     branch; every other table's load path is the byte-identical
-#     final-line `spark.read.parquet`. Every query that loads events
-#     is in-window so the driver itself witnesses the repair:
-#     json_extract, latest_event_per_user, running_total, sessionize,
-#     tumbling_window, lead_lag, conditional_agg, asof_join,
-#     range_join_pairs, plus the NEW enrich_events.
-#   * PQ (3): operators/pq.py restructured pq_train (single-pass keyed
-#     aggregate; codebooks verified bit-identical) and added keep=
-#     pass-throughs — pq_encode, pq_adc_topk re-verify; ivfpq_search
-#     is NEW.
-#   * substring_dup_runs (1): NEW (operators/dedup.py diff is ADDITIVE
-#     ONLY — two appended functions consumed solely by this query; no
-#     existing dedup function changed, so prior dedup rows keep their
-#     r5/r6 green).
-#   * fhir reader-affected (9): fhir/reader.py's entry_from_json was
-#     restructured (fused tag traversal). In-window: every query whose
-#     transitive imports reach entry()/entry_from_json —
-#     fhir_adt_timeline, fhir_patient_{conditions,claims,observations},
-#     fhir_medication_requests, fhir_providers_practitioners,
-#     fhir_omop_person, fhir_ingest_corpus, fhir_condition_text.
-#     Finer-than-module claim for the other three fhir rows:
-#     bundle_collect_flatten (relational data only),
-#     fhir_writer_roundtrip (writer path only), multimodal_features
-#     (documents + multimodal operator) never touch the reader, and
-#     queries/fhir_queries.py itself is untouched this round.
-#   * overdue staleness rotation (25) — the round-6 plan, never
-#     executed because round 6 had zero turns: the 17 r3-era pipeline
-#     rows (drop_duplicates, train_test_split, text_token_stats,
-#     text_quality, lang_id, doc_fingerprint, knn_cosine, knn_batch,
+#   * fhir/write.py bulk_ndjson_write lazy localCheckpoint (ADVICE r10
+#     #4): pytest-only consumers; no registry row on its path.
+#   * queries/temporal_q.py + queries/fhir_queries.py diffs are
+#     appended query/oracle pairs plus the two ndjson ORACLE edits
+#     above (hunk-verified); every other row in those modules keeps
+#     its prior green (the corpus consumers are in-window anyway).
+#   * STALENESS ROTATION — the COMPLETE 28-row r7 queue (all r7-green,
+#     judge-re-run green in r10):
 #     embedding_neardup, embedding_centroids, lsh_bucket_sizes,
 #     token_count_bpe, tfidf_top_terms, frame_sample,
-#     stratified_sample, media_stats, ngram_jaccard_pairs) + all 4
-#     reshape rows (unpivot, window_rank_battery, string_agg_sorted,
-#     date_series) + the 4 deferred relational_ext rows (array_funcs,
-#     pivot_agg, grouping_sets, cube_agg). All untouched this round.
-#   * winnow_dup_pairs + semdedup_keep (2): NEW (Schleimer 2003
-#     winnowing; SemDeDup 2023 — additive dedup.py/similarity.py
-#     functions consumed solely by them). They take the two spare
-#     slots; nested_struct_pluck/hof_filter_array stay r4-green,
-#     untouched, next in the rotation queue.
-# After this round no green row is older than r4, and the r4 residue
-# is relational + functions_battery only (both modules additive-or-
-# untouched since their checks).
-#
-# Round-8 window (50) — executes the round-8 rotation plan below
-# IN FULL (forced set 18 + the complete r3/r4 staleness queue 32 = 50
-# exactly):
-#   * NEW this round (4): image_dims, ivf_recall_at_k, corpus_clean,
-#     bpe_encode.
-#   * operators/pq.py changed (pq_train empty-cell rebuild indexes
-#     len(cbs[m]) not k — ADVICE r7 #1): pq_encode, pq_adc_topk,
-#     ivfpq_search, ivfpq_residual_search (4).
-#   * operators/text.py changed: lang_scores_of_tokens gained the
-#     crc32 bloom-bitmask fast path → lang_id re-verifies (its only
-#     registry consumer — verified by grep; token_count/fingerprint/
-#     quality funcs untouched, so text_token_stats, text_quality,
-#     doc_fingerprint, token_count_bpe keep their r7 green).
-#   * queries/pipeline_ext.py: q_quality_classifier_filter oracle
-#     gained the NULL-text guard (ADVICE r7 #2) → in-window (1).
-#   * operators/multimodal.py: decode_image rewritten (real stdlib
-#     header/PNG decode) → multimodal_features (extract_features →
-#     decode_image) re-verifies even though its fake=True branch is
-#     byte-identical. Finer-than-module claim for media_stats (r7):
-#     mm.media_stats itself is untouched and never calls decode.
-#   * fhir/analytics.py: patient_conditions/patient_claims/
-#     medication_requests/adt_events/patient_observations rebuilt on
-#     _explode2 (sequential explodes replace bundleUUID self-joins) →
-#     fhir_patient_conditions, fhir_patient_claims,
-#     fhir_medication_requests, fhir_adt_timeline,
-#     fhir_patient_observations, fhir_ingest_corpus (imports
-#     patient_conditions) (6). Finer-than-module claim:
-#     omop_person/providers_practitioners/condition_text don't call
-#     _explode2 or any changed function (verified by grep), so
-#     fhir_omop_person, fhir_providers_practitioners,
-#     fhir_condition_text keep r7 green.
-#   * fhir/writer.py + q_fhir_writer_roundtrip widened (positiveInt/
-#     unsignedInt/instant leaves) → fhir_writer_roundtrip (1).
-#   * NEW in the round-8 build session (5): audio_stats (stdlib PCM
-#     WAV decode), paragraph_dedup (CCNet paragraph-hash dedup),
-#     c4_clean (C4 line/doc filtering), ivfpq_rerank (exact
-#     refinement), stream_windowed_counts (a REAL Structured
-#     Streaming run — availableNow + memory sink — through the full
-#     value-hash gate). Their operator diffs are ADDITIVE ONLY —
-#     appended functions in multimodal.py (parse_wav/audio_stats),
-#     dedup.py (paragraph_chunks/paragraph_dedup), text.py
-#     (c4_line_filter), pq.py (ivfpq_rerank), io.py (load_stream; the
-#     batch `load` body is byte-identical), each consumed solely by
-#     its new in-window query — so no out-of-window row is affected.
-#     pipeline_ext's _ivfpq_oracle was refactored into a shared CTE
-#     chain; its only consumers (ivfpq_search, ivfpq_rerank) are both
-#     in-window.
-#   * STALENESS ROTATION — originally the r3/r4 queue less five (27);
-#     the continuation session's 19 new queries then displaced 19 more
-#     of those rotation fillers (each displacement documented inline in
-#     _WINDOW below), leaving the rotation slots at:
-#     string_agg_sorted + date_series (r3, the oldest greens),
-#     ivf_probe_topk + ivf_multiprobe_topk, join_filter_pushdown,
-#     multiway_join_agg, pricing_summary, agg_stats (8). Every
-#     displaced row was independently re-run green by the r7 judge
-#     (VERDICT r7: "ALL 32 MATCH") with a trivial plan; the full
-#     24-row displaced list and its r9 priority are in the ROUND-9
-#     ROTATION PLAN below. After this round the only pre-r6 greens
-#     are those 24 r4 rows.
-# ROUND-9 ROTATION PLAN (updated after the continuation session): the
-# r4 displaced set now numbers 24 (computed_key_join, inner_equi_join,
-# left_outer_exists_flag, topk_orders, hof_filter_array, set_union,
-# set_intersect, set_except, explode_roundtrip, substring_key,
-# scan_project_filter, like_filter_or, date_parts, case_when_literal,
-# count_distinct, having_filter, agg_minmax, string_funcs, date_funcs,
-# arith_funcs, groupby_count, left_semi_join, left_anti_join,
-# nested_struct_pluck) — all judge-re-run
-# green in r7, all trivial plans; they take priority, then as many of
-# the r6 residue (exact_dedup, minhash/simhash family, gopher rows,
-# kmeans, sqlapi rows, ~35 rows) as r9's own new/changed queries leave
-# room for; the remainder spills to r10 (the invariant holds either
-# way — every out-of-window row keeps a prior green on unchanged
-# code).
-#
-# Round-5 window (50), for history:
-#   * sqlapi, all 9 + lead_lag + conditional_agg — STALENESS ROTATION
-#     per the round-4 plan: the last r1/r2-era rows re-verify; after
-#     this round every green row is r3 or newer. Their modules are
-#     untouched this round.
-#   * pipeline_ext, all 12 — kmeans_one_step changed (signed-zero
-#     normalization, the round-4 failure); kmeans_fit, pii_redact,
-#     decontam_ngram_overlap, dup_ngram_stats,
-#     gopher_repetition_signals, sequence_pack, domain_mix_sample,
-#     token_entropy, sq8_roundtrip, pq_encode, pq_adc_topk are NEW;
-#     module shared by
-#     gopher/ivf_index_search. operators/text.py's and similarity.py's
-#     round-5 diffs are ADDITIVE ONLY (new word_ngrams/_run_fold/
-#     repetition_signals/token_entropy and sq8_encode/sq8_decode,
-#     consumed solely by the new in-window queries; operators/pq.py is
-#     a NEW module) — no existing function changed except
-#     dedup.word_shingles' body becoming array_distinct(word_ngrams),
-#     which builds the IDENTICAL expression tree (same sequence/slice/
-#     clamp/concat_ws/array_distinct chain, verified by the local
-#     all-queries run): its in-window consumers (minhash*, decontam)
-#     re-verify anyway and its one out-of-window consumer
-#     (ngram_jaccard_pairs) keeps its r3 green under the identical
-#     expression. The out-of-window text/similarity consumers
-#     (text_token_stats, text_quality,
-#     lang_id, token_count_bpe, tfidf_top_terms, doc_fingerprint,
-#     knn_cosine, knn_batch, embedding_neardup, embedding_centroids,
-#     lsh_bucket_sizes, ivf_probe/multiprobe, …) retain their r3/r4
-#     green.
-#   * fhir_queries, all 12 — module changed: _ENTRY_CACHE eviction,
-#     fhir_writer_roundtrip widened with Money/Period leaves.
-#   * dedup.py-affected pipeline queries (5): the round-5 dedup diff
-#     touches token_hashes_wide (single-md5 digest; consumed only by
-#     simhash_neardup_pairs among queries) and minhash_candidate_pairs
-#     (new spread repartition; consumed by minhash_lsh_neardup,
-#     neardup_clusters, neardup_clusters_star, dedup_representatives).
-#     Finer-than-module claim for the REST of pipeline: exact_dedup
-#     (exact_dup_groups), simhash (token_hashes/simhash_of_hashes,
-#     60-bit path), doc_fingerprint (text.fingerprint) and the
-#     similarity/text-backed queries touch no changed function — and
-#     the two riskiest of those (exact_dedup, simhash) are in-window
-#     anyway via the staleness slots below.
-#   * staleness rotation (10): relational_ext 6 + temporal_q 2 (all
-#     r3, untouched) + 2 r3-era pipeline rows (exact_dedup, simhash —
-#     the two whose dedup.py finer-than-module claims deserve
-#     re-execution). All 4 reshape rows + array_funcs + pivot_agg
-#     defer to r6 (r3-green, untouched) — displaced by this round's
-#     new queries.
-#
-# Out-of-window residue after round 5: relational 28 + functions_battery
-# 5 (r4-green, untouched) + date_series (r3, untouched reshape) + the
-# remaining r3-green pipeline rows (ivf_probe/multiprobe r4). ROUND-6
-# ROTATION PLAN: the r3-era pipeline remainder (drop_duplicates,
-# train_test_split, text_*, lang_id, doc_fingerprint, knn_cosine,
-# knn_batch, embedding_neardup, embedding_centroids, lsh_bucket_sizes,
-# token_count_bpe, tfidf_top_terms, frame_sample, stratified_sample,
-# media_stats, ngram_jaccard_pairs) + date_series — that retires the
-# last r3 rows.
+#     stratified_sample, media_stats, ngram_jaccard_pairs, unpivot,
+#     window_rank_battery, array_funcs, pivot_agg, grouping_sets,
+#     cube_agg, substring_dup_runs, winnow_dup_pairs, semdedup_keep,
+#     knn_batch, text_quality, doc_fingerprint, knn_cosine,
+#     drop_duplicates, train_test_split, asof_join, range_join_pairs,
+#     enrich_events, conditional_agg (28).
 # --------------------------------------------------------------------------
 _WINDOW = (
-    # --- ROUND 10: new queries (13) ---
-    "pretrain_pipeline",
-    "fhir_slots",
-    "script_profile",
-    "fhir_omop_condition_occurrence",
-    "fhir_omop_drug_exposure",
-    "encoding_quality",
-    "boilerplate_lines",
-    "fhir_ndjson_observations",
-    "fhir_ndjson_type_counts",
+    # --- ROUND 11: new queries (3) ---
+    "fhir_flags",
+    "fhir_ndjson_patient_conditions",
+    "stream_ndjson_counts",
+    # --- ROUND 11: dedup.py edit-verify refactor (1) ---
     "edit_distance_neardup",
-    "fhir_diagnostic_reports",
-    "fhir_questionnaire_answers",
-    "fhir_mixed_resource_counts",
-    # --- ROUND 10: fhir/gen.py v4 corpus consumers (8) ---
+    # --- ROUND 11: corpus v6 + catalog batch-3 consumers (15) ---
     "fhir_patient_conditions",
     "fhir_patient_claims",
     "fhir_medication_requests",
@@ -378,56 +114,48 @@ _WINDOW = (
     "fhir_patient_observations",
     "fhir_condition_text",
     "fhir_ingest_corpus",
-    # --- ROUND 10: writer + catalog diffs (2) ---
-    "fhir_writer_roundtrip",
+    "fhir_slots",
+    "fhir_diagnostic_reports",
+    "fhir_questionnaire_answers",
+    "fhir_mixed_resource_counts",
+    "fhir_omop_condition_occurrence",
+    "fhir_omop_drug_exposure",
     "fhir_adt_timeline",
-    # --- ROUND 10: minhash_candidate_pairs consumers (5) ---
-    "minhash_lsh_neardup",
-    "neardup_clusters",
-    "neardup_clusters_star",
-    "corpus_clean",
-    "dedup_representatives",
-    # --- ROUND 10: the complete r6 residue (15) ---
-    "approx_count_distinct",
-    "approx_quantile",
-    "argmax_agg",
-    "correlated_exists",
-    "cross_join_sql",
-    "groupby_ordinal_sql",
-    "in_subquery",
-    "rollup_agg",
-    "scalar_subquery",
-    "select_star_expansion",
-    "union_all_sql",
-    "bundle_collect_flatten",
-    "domain_mix_sample",
-    "token_entropy",
-    "sq8_roundtrip",
-    # --- ROUND 10: oldest r7 rows (7) ---
-    "json_extract",
-    "latest_event_per_user",
-    "running_total",
-    "sessionize",
-    "tumbling_window",
-    "lead_lag",
-    "text_token_stats",
+    # --- ROUND 11: NDJSON corpus v2 consumers (2) ---
+    "fhir_ndjson_observations",
+    "fhir_ndjson_type_counts",
+    # --- ROUND 11: writer refactor (1) ---
+    "fhir_writer_roundtrip",
+    # --- ROUND 11: the complete r7 staleness queue (28) ---
+    "embedding_neardup",
+    "embedding_centroids",
+    "lsh_bucket_sizes",
+    "token_count_bpe",
+    "tfidf_top_terms",
+    "frame_sample",
+    "stratified_sample",
+    "media_stats",
+    "ngram_jaccard_pairs",
+    "unpivot",
+    "window_rank_battery",
+    "array_funcs",
+    "pivot_agg",
+    "grouping_sets",
+    "cube_agg",
+    "substring_dup_runs",
+    "winnow_dup_pairs",
+    "semdedup_keep",
+    "knn_batch",
+    "text_quality",
+    "doc_fingerprint",
+    "knn_cosine",
+    "drop_duplicates",
+    "train_test_split",
+    "asof_join",
+    "range_join_pairs",
+    "enrich_events",
+    "conditional_agg",
 )
-
-# Round-9 window (50), for history (see git log for the full tuple):
-# forced set 8 (stream_sessionize_counts, ivfpq_rerank_sweep, bm25_topk,
-# bm25_inverted_topk, hybrid_rrf_topk, resample_ffill, video_meta,
-# fhir_writer_roundtrip) + the complete 24-row r4 staleness queue
-# (computed_key_join … nested_struct_pluck) + 18 r6 rows
-# (exact_dedup … salted_join_agg).
-
-# Round-8 window (50), for history (full tuple in git history @ r9):
-# 10 selection_q/retrieval/lm rows (dsir_importance ... mrl_recall_at_k),
-# classifier_train_steps, dup_span_removal, video_meta, hybrid_rrf_topk,
-# bsq_hamming_search, countmin_estimate, resample_ffill, chunk_sliding,
-# stream_dedup_counts, 8 new r8 rows (image_dims ... ivfpq_rerank),
-# stream_windowed_counts, 4 pq rows, lang_id, quality_classifier_filter,
-# multimodal_features, 6 fhir rows, fhir_writer_roundtrip,
-# string_agg_sorted, date_series, 5 r4-residue rows, agg_stats.
 
 
 def _merged(attr: str) -> dict:
