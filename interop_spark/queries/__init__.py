@@ -42,8 +42,20 @@ _MODULES = (
 # ROUND-11 window (50) — executes the round-11 rotation plan IN FULL:
 # forced set 22 + the COMPLETE 28-row r7 queue = 50 exactly. After this
 # round no registry green is older than r8 (the r10 verdict item-2
-# done-criterion); the r8 greens (the r8 window, see git history) head
-# the ROUND-12 queue.
+# done-criterion). ROUND-12 QUEUE (computed from CORRECTNESS_r01-r10 +
+# this window): the 37 rows whose newest green is then r8 —
+# agg_stats, audio_stats, bpe_encode, bpe_merge_candidates,
+# bsq_hamming_search, c4_clean, chunk_sliding, classifier_train_steps,
+# countmin_estimate, date_series, dsir_importance, dup_span_removal,
+# image_dims, ivf_multiprobe_topk, ivf_probe_topk, ivf_recall_at_k,
+# ivfpq_rerank, ivfpq_residual_search, ivfpq_search,
+# join_filter_pushdown, lang_id, lm_perplexity_filter,
+# minhash_est_error, mrl_recall_at_k, multimodal_features,
+# multiway_join_agg, paragraph_dedup, percentile_agg, pq_adc_topk,
+# pq_encode, pricing_summary, quality_classifier_filter,
+# scd2_intervals, stream_dedup_counts, stream_windowed_counts,
+# string_agg_sorted, unimax_sample — leaving 13 slots for round-12
+# new/changed rows (the 45-row r9 residue spills to r13).
 #   * NEW this round (3): fhir_flags (corpus-v6 Flag flatten through
 #     the third schema-promotion batch), fhir_ndjson_patient_conditions
 #     (the NDJSON→bundle-row bridge: bundles_from_ndjson + the
