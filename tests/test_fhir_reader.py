@@ -624,3 +624,87 @@ def test_bundles_from_ndjson_bridge(spark, tmp_path):
     # a type with no subject/patient reference cannot be attributed
     with _pytest.raises(ValueError, match="Practitioner"):
         bundles_from_ndjson(nd, ["Practitioner"])
+
+
+def test_bridge_matches_bundle_path_on_same_corpus(spark, tmp_path):
+    """The SAME resources ingested as transaction bundles and as a
+    $export NDJSON directory produce identical patient_conditions rows
+    (modulo the bundleUUID provenance column, which is derived from the
+    file path on one side and the ndjson:// patient key on the other) —
+    the bridge's whole point: one analytics surface over both FHIR
+    at-rest layouts."""
+    import json as _json
+
+    from interop_spark.fhir import (
+        bundles_from_ndjson,
+        read_from_directory,
+        read_from_ndjson,
+    )
+    from interop_spark.fhir.analytics import patient_conditions
+
+    pats, conds = [], []
+    for i in range(12):
+        pats.append(
+            {
+                "resourceType": "Patient",
+                "id": f"p-{i}",
+                "birthDate": f"19{50 + i}-01-0{i % 9 + 1}",
+            }
+        )
+        for j in range(i % 3):  # 0..2 conditions per patient
+            conds.append(
+                {
+                    "resourceType": "Condition",
+                    "id": f"c-{i}-{j}",
+                    "clinicalStatus": {"coding": [{"code": "active"}]},
+                    "code": {
+                        "coding": [
+                            {"system": "s", "code": f"C{j}", "display": f"d{j}"}
+                        ]
+                    },
+                    "subject": {"reference": f"Patient/p-{i}"},
+                    "recordedDate": f"202{j}-02-03",
+                }
+            )
+    bd = tmp_path / "bundles"
+    bd.mkdir()
+    for i, p in enumerate(pats):
+        entry = [{"resource": p}] + [
+            {"resource": c}
+            for c in conds
+            if c["subject"]["reference"] == f"Patient/{p['id']}"
+        ]
+        (bd / f"b{i}.json").write_text(
+            _json.dumps(
+                {
+                    "resourceType": "Bundle",
+                    "id": f"b{i}",
+                    "type": "transaction",
+                    "entry": entry,
+                }
+            )
+        )
+    nd_dir = tmp_path / "export"
+    nd_dir.mkdir()
+    (nd_dir / "Patient.ndjson").write_text(
+        "\n".join(_json.dumps(p) for p in pats) + "\n"
+    )
+    (nd_dir / "Condition.ndjson").write_text(
+        "\n".join(_json.dumps(c) for c in conds) + "\n"
+    )
+
+    via_bundles = patient_conditions(
+        read_from_directory(str(bd), spark=spark).entry()
+    )
+    via_bridge = patient_conditions(
+        bundles_from_ndjson(
+            read_from_ndjson(str(nd_dir), spark=spark),
+            ["Patient", "Condition"],
+        )
+    )
+    cols = [c for c in via_bundles.columns if c != "UNIQUE_FHIR_ID"]
+    assert cols == [c for c in via_bridge.columns if c != "UNIQUE_FHIR_ID"]
+    a = sorted(map(tuple, via_bundles.select(cols).collect()))
+    b = sorted(map(tuple, via_bridge.select(cols).collect()))
+    assert a == b
+    assert len(a) == len(conds)

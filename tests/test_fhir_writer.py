@@ -568,3 +568,57 @@ def test_ndjson_writer_roundtrip(spark, synpuf_df, tmp_path):
         .count()
         == 0
     )
+
+
+def test_ndjson_emit_honors_encoder_overrides(spark, synpuf_df):
+    """The NDJSON emitter shares the mapping/encoder compile core with
+    the bundle emitter (_resource_columns): a path-keyed FhirEncoder
+    override (the reference's comma-split lambda) must shape the
+    emitted resource lines exactly as it shapes bundle entries."""
+    import json as _json
+
+    from interop_spark.fhir import (
+        Bundle,
+        FhirEncoder,
+        FhirEncoderManager,
+        Mapping,
+        MappingManager,
+    )
+
+    maps = [
+        Mapping("DESYNPUF_ID", "Patient.id"),
+        Mapping("CLM_ID", "Claim.id"),
+        Mapping(
+            "HCPCS_CD_1",
+            "Claim.procedure.procedureCodeableConcept.coding.code",
+        ),
+    ]
+    em = FhirEncoderManager(
+        override_encoders={
+            "Claim.procedure.procedureCodeableConcept.coding": FhirEncoder(
+                False,
+                False,
+                lambda x: [
+                    {"code": y, "system": HCPCS_URI}
+                    for y in x[0].get("code").split(",")
+                ],
+            )
+        }
+    )
+    nd = Bundle(MappingManager(maps, synpuf_df.schema, em)).df_to_fhir_ndjson_df(
+        synpuf_df
+    )
+    claims = [
+        _json.loads(r.value)
+        for r in nd.where("resourceType = 'Claim'").collect()
+    ]
+    assert len(claims) == 2
+    codings = [
+        c
+        for cl in claims
+        for proc in cl["procedure"]
+        for c in proc["procedureCodeableConcept"]["coding"]
+    ]
+    # the comma-joined source cell 'A123,B456' splits into two codings
+    assert {c["code"] for c in codings} == {"A123", "B456", "G0008"}
+    assert all(c["system"] == HCPCS_URI for c in codings)

@@ -360,3 +360,45 @@ def test_round10_new_query_plan_shapes(spark, sf_dir):
     )
     assert "levenshtein" in p
     assert "Cartesian" not in p and "collect_list" not in p
+
+
+def test_bundles_from_ndjson_plan_shape(spark, sf_dir):
+    """Scale posture of the round-11 NDJSON→bundle-row bridge, pinned:
+    one hash Exchange per resource type (the patient-keyed aggregate),
+    aggregation BEFORE the cross-type join (partial collect_list runs
+    map-side per type; the join carries per-patient arrays, never raw
+    resource rows), a key-equi SortMergeJoin/ShuffledHashJoin across
+    types — no cartesian, no corpus-keyed collect, and no window over
+    the whole corpus. The verify-join shuffles reuse the aggregate's
+    partitioning (the join key IS the groupBy key), so the full-outer
+    join adds no extra corpus-side Exchange beyond AQE bookkeeping."""
+    from interop_spark.fhir import bundles_from_ndjson, read_from_ndjson
+    from interop_spark.fhir.gen import write_ndjson_corpus
+    from interop_spark.fhir.schema import (
+        CONDITION,
+        PATIENT,
+        FhirSchemaModel,
+    )
+
+    d = write_ndjson_corpus(spark, sf_dir, max_custkey=50)
+    nd = read_from_ndjson(
+        "file://" + d, spark=spark, glob_filter="*.ndjson"
+    )
+    entry = bundles_from_ndjson(
+        nd,
+        ["Patient", "Condition"],
+        schemas=FhirSchemaModel(
+            fhir_resource_map={"Patient": PATIENT, "Condition": CONDITION}
+        ),
+    )
+    opt = entry._jdf.queryExecution().optimizedPlan().toString()
+    assert "Cartesian" not in opt
+    # exactly one collect_list aggregate per type, keyed on the patient
+    # reference — no corpus-global key anywhere
+    assert opt.count("collect_list(") == 2, opt[:2000]
+    ex = entry._jdf.queryExecution().executedPlan().toString()
+    # map-side partial collect_list per type (aggregate BEFORE the join)
+    assert ex.count("partial_collect_list") == 2, ex[:2000]
+    # per-type aggregate exchanges + at most the join's ENSURE exchanges
+    assert ex.count("Exchange hashpartitioning") <= 4, ex[:2000]
+    assert "FullOuter" in ex, ex[:2000]
