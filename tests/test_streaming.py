@@ -550,3 +550,24 @@ def test_stream_ndjson_equals_batch_resource(spark, tmp_path):
     }
     want = {(r.id, r.gender) for r in batch.collect()}
     assert got == want == {("p-1", "male"), ("p-2", "female")}
+
+
+def test_stream_ndjson_counts_partitioning_invariant(spark, sf_dir):
+    """The round-11 driver row sums doubles per status group; summation
+    order changes with the partition count, and the rounded contract
+    must absorb it (the driver runs at whatever parallelism it likes).
+    Identical output required under very different shuffle.partitions."""
+    from interop_spark.queries.temporal_q import q_stream_ndjson_counts
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = []
+        for n in ("2", "31"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            results.append(
+                sorted(map(tuple, q_stream_ndjson_counts(spark, sf_dir).collect()))
+            )
+        assert results[0] == results[1]
+        assert len(results[0]) == 3  # final / amended / preliminary
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
