@@ -1077,3 +1077,79 @@ def remove_boilerplate_lines(
             F.transform(F.col("_kept"), lambda s: s["_line"]), "\n"
         ).alias("clean_text"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter incremental dedup (membership against an ingested history)
+# --------------------------------------------------------------------------
+
+BLOOM_BITS = 4096
+BLOOM_HASHES = 3
+
+
+def _bloom_positions(fp: Column, n_bits: int, n_hashes: int) -> Column:
+    """The ``n_hashes`` bit positions of a fingerprint: seeded-md5 first
+    8 hex chars as an integer mod ``n_bits`` — the same portable hash
+    family as ``text.token_bucket``, so any engine reproduces the exact
+    bit pattern."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"bloom{j}|"), fp)), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % n_bits
+            for j in range(n_hashes)
+        ]
+    )
+
+
+def bloom_bits(
+    df: DataFrame,
+    text_col: str = "text",
+    n_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """ONE-row frame holding the history corpus's Bloom bitmap as a
+    sorted array of SET bit positions (``bits``) plus ``n_set_bits``.
+
+    Scale shape: the per-doc positions are a projection; the distinct
+    pass partial-aggregates map-side down to at most ``n_bits`` keys
+    (4096 here), so the shuffle carries O(n_bits) rows REGARDLESS of
+    corpus size — this is why a Bloom bitmap is the standard incremental
+    -ingest dedup structure at 100 TB: the history never re-scans, only
+    its fixed-size bitmap ships (broadcast) to the new batch."""
+    pos = df.select(
+        F.explode(
+            _bloom_positions(fingerprint(F.col(text_col)), n_bits, n_hashes)
+        ).alias("bit")
+    )
+    return (
+        pos.distinct()
+        .agg(F.array_sort(F.collect_list("bit")).alias("bits"))
+        .select("bits", F.size("bits").cast("long").alias("n_set_bits"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bits_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Probe every document of ``df`` against a ``bloom_bits`` bitmap:
+    ``probably_seen`` is true iff ALL of the fingerprint's bit positions
+    are set (the classic no-false-negative / some-false-positive
+    contract). Zero-shuffle on the probe side: the one-row bitmap is
+    broadcast and membership is an in-row ``array_contains`` fold."""
+    probe = _bloom_positions(fingerprint(F.col(text_col)), n_bits, n_hashes)
+    return df.crossJoin(F.broadcast(bits_df)).select(
+        F.col(id_col),
+        F.col("n_set_bits"),
+        F.forall(
+            probe, lambda p: F.array_contains(F.col("bits"), p)
+        ).alias("probably_seen"),
+    )

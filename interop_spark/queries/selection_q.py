@@ -1714,6 +1714,259 @@ def _edit_distance_oracle() -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# Temperature-scaled language sampling (α = 1/2, exact integer test)
+# --------------------------------------------------------------------------
+
+TEMP_RATE_NUM = 1  # base keep rate r0 = 1/4 for the LARGEST language
+TEMP_RATE_DEN = 4
+_TEMP_DENOM = 1_000_000
+_DK_BUCKET = (
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+    f" AS BIGINT) % {_TEMP_DENOM}"
+)
+
+
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual sampling — the mC4/XLM-R mixing
+    rule (Xue et al. 2021 §3.1; Conneau et al. 2020): languages are
+    sampled ∝ n_l^α with α < 1 so low-resource languages are
+    up-weighted. At α = 1/2 the per-document keep rate relative to the
+    largest language is r_l = min(1, r0·√(n_max/n_l)), and the
+    hash-Bernoulli test ``bucket/D < r_l`` SQUARES into exact integer
+    arithmetic: keep ⟺ bucket²·n_l·den² < D²·num²·n_max. No libm
+    ``pow`` (whose last ulp is engine-specific) and no cross-language
+    float sum — the only cross-language fact is an integer max.
+
+    Scale shape: one tiny per-language count aggregate and a one-row
+    max, both broadcast back onto a zero-shuffle keep projection (the
+    ``unimax_sample`` shape with a temperature numerator). The int64
+    products hold to ~10¹² docs per language at D = 10⁶; beyond that
+    widen the test to decimal(38,0)."""
+    from interop_spark.operators.text import token_bucket
+
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("lang_docs"))
+    mx = counts.agg(F.max("lang_docs").alias("max_docs"))
+    bucket = token_bucket(col("doc_id").cast("string"), _TEMP_DENOM)
+    kept = (
+        d.join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "lang",
+            "lang_docs",
+            "max_docs",
+            (
+                bucket * bucket * col("lang_docs")
+                * F.lit(TEMP_RATE_DEN * TEMP_RATE_DEN)
+                < F.lit(_TEMP_DENOM**2 * TEMP_RATE_NUM**2) * col("max_docs")
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+    return kept.groupBy("lang").agg(
+        F.min("lang_docs").alias("lang_docs"),
+        F.min("max_docs").alias("max_docs"),
+        F.sum("keep").cast("long").alias("n_kept"),
+    )
+
+
+def _temperature_oracle() -> str:
+    return f"""
+        WITH c AS (SELECT lang, count(*) AS lang_docs FROM documents
+                   GROUP BY lang),
+        m AS (SELECT max(lang_docs) AS max_docs FROM c),
+        b AS (
+          SELECT d.lang, c.lang_docs, m.max_docs,
+                 {_DK_BUCKET} AS bk
+          FROM documents d JOIN c ON d.lang = c.lang CROSS JOIN m
+        )
+        SELECT lang, min(lang_docs) AS lang_docs, min(max_docs) AS max_docs,
+               CAST(sum(CASE WHEN bk * bk * lang_docs
+                                  * {TEMP_RATE_DEN * TEMP_RATE_DEN}
+                             < {_TEMP_DENOM**2 * TEMP_RATE_NUM**2} * max_docs
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM b GROUP BY lang
+    """
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter incremental dedup (new batch vs ingested history)
+# --------------------------------------------------------------------------
+
+def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup with a Bloom membership filter (Bloom
+    1970; the structure CCNet-class pipelines use to dedup a NEW crawl
+    against petabytes of already-ingested history without re-scanning
+    it): even-id documents play the ingested history, odd-id documents
+    the new batch. The history collapses to a fixed 4096-bit bitmap
+    (``dedup.bloom_bits`` — the shuffle carries at most n_bits rows
+    regardless of history size) that broadcasts onto a zero-shuffle
+    probe of the batch. Output is the one-row audit: flagged counts
+    split into true duplicates vs false positives (ground truth via an
+    exact fingerprint semi-join — the expensive check the Bloom filter
+    exists to avoid; run here because the gate must prove the
+    no-false-NEGATIVE contract: every true dup must be flagged)."""
+    from interop_spark.operators.text import fingerprint
+
+    d = load(spark, sf_dir, "documents")
+    hist = d.where(col("doc_id") % 2 == 0)
+    batch = d.where(col("doc_id") % 2 == 1)
+    probed = dd.bloom_probe(batch, dd.bloom_bits(hist, "text"))
+    hist_fp = hist.select(
+        fingerprint(col("text")).alias("fp")
+    ).distinct().withColumn("_seen", F.lit(1))
+    truth = (
+        batch.select("doc_id", fingerprint(col("text")).alias("fp"))
+        .join(F.broadcast(hist_fp), "fp", "left")
+        .select(
+            "doc_id", F.coalesce(col("_seen"), F.lit(0)).alias("actual")
+        )
+    )
+    j = probed.join(truth, "doc_id")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.min("n_set_bits").alias("n_set_bits"),
+        F.sum(col("probably_seen").cast("int")).cast("long").alias(
+            "n_flagged"
+        ),
+        F.sum("actual").cast("long").alias("n_true_dups"),
+        F.sum(
+            (col("probably_seen") & (col("actual") == 0)).cast("int")
+        ).cast("long").alias("n_false_pos"),
+        F.sum(
+            ((~col("probably_seen")) & (col("actual") == 1)).cast("int")
+        ).cast("long").alias("n_false_neg"),
+    )
+
+
+def _bloom_oracle() -> str:
+    fp = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+    pos = ",\n                 ".join(
+        f"CAST(concat('0x', substr(md5('bloom{j}|' || {fp}), 1, 8))"
+        f" AS BIGINT) % {dd.BLOOM_BITS}"
+        for j in range(dd.BLOOM_HASHES)
+    )
+    return f"""
+        WITH hist_bits AS (
+          SELECT DISTINCT unnest([{pos}]) AS bit
+          FROM documents WHERE doc_id % 2 = 0
+        ),
+        bm AS (SELECT list(bit ORDER BY bit) AS bits,
+                      count(*) AS n_set_bits FROM hist_bits),
+        hist_fp AS (
+          SELECT DISTINCT {fp} AS hfp FROM documents WHERE doc_id % 2 = 0
+        ),
+        batch AS (
+          SELECT doc_id, [{pos}] AS probe, {fp} AS bfp
+          FROM documents WHERE doc_id % 2 = 1
+        ),
+        probed AS (
+          SELECT b.doc_id,
+                 len(list_filter(b.probe,
+                     p -> list_contains(bm.bits, p))) = {dd.BLOOM_HASHES}
+                   AS flagged,
+                 bm.n_set_bits,
+                 EXISTS (SELECT 1 FROM hist_fp h WHERE h.hfp = b.bfp)
+                   AS actual
+          FROM batch b CROSS JOIN bm
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_probed,
+               CAST(min(n_set_bits) AS BIGINT) AS n_set_bits,
+               CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_flagged,
+               CAST(sum(CASE WHEN actual THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_true_dups,
+               CAST(sum(CASE WHEN flagged AND NOT actual THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_false_pos,
+               CAST(sum(CASE WHEN NOT flagged AND actual THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_false_neg
+        FROM probed
+    """
+
+
+# --------------------------------------------------------------------------
+# Integer PageRank quality weighting over a derived link graph
+# --------------------------------------------------------------------------
+
+PR_ITERS = 3
+PR_TOPK = 20
+
+
+def q_pagerank_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph quality weighting for corpus curation (the Common
+    Crawl ranking family): 3 exact-integer PageRank iterations
+    (``graph.pagerank_int``) over a deterministic 2-out-link graph
+    derived from the document ids (dst = (7i+1) mod n and (13i+3) mod
+    n — closed-form so the DuckDB oracle rebuilds the identical graph),
+    then the top-20 ranks. Integer arithmetic makes the result
+    independent of Spark's float-sum order; the top-k is
+    TakeOrderedAndProject (never a global sort materialization), and
+    the rank_pos window runs over the 20 surviving rows only."""
+    from interop_spark.operators.graph import pagerank_int
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    nrow = d.agg(F.count(F.lit(1)).alias("n"))
+    nodes = d.select(col("doc_id").alias("node"))
+    edges = d.crossJoin(F.broadcast(nrow)).select(
+        col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                (col("doc_id") * 7 + 1) % col("n"),
+                (col("doc_id") * 13 + 3) % col("n"),
+            )
+        ).alias("dst"),
+        F.lit(2).alias("outdeg"),
+    )
+    pr = pagerank_int(nodes, edges, iterations=PR_ITERS)
+    top = pr.orderBy(col("rank_ppm").desc(), col("node").asc()).limit(
+        PR_TOPK
+    )
+    w = Window.orderBy(col("rank_ppm").desc(), col("node").asc())
+    return top.withColumn("rank_pos", F.row_number().over(w)).select(
+        "rank_pos", col("node").alias("doc_id"), "rank_ppm"
+    )
+
+
+def _pagerank_oracle() -> str:
+    from interop_spark.operators.graph import DAMP_DEN, DAMP_NUM, RANK_PPM
+
+    teleport = RANK_PPM * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
+    step = (
+        "SELECT nd.node AS node,\n"
+        f"             CAST({teleport} + coalesce(sum("
+        f"(r.r * {DAMP_NUM}) // ({DAMP_DEN} * e.outdeg)), 0) AS BIGINT)"
+        " AS r\n"
+        "      FROM nodes nd\n"
+        "      LEFT JOIN edges e ON e.dst = nd.node\n"
+        "      LEFT JOIN {prev} r ON r.node = e.src\n"
+        "      GROUP BY nd.node"
+    )
+    iters = ",\n        ".join(
+        f"i{k} AS ({step.format(prev=('r0' if k == 1 else f'i{k - 1}'))})"
+        for k in range(1, PR_ITERS + 1)
+    )
+    return f"""
+        WITH n AS (SELECT count(*) AS n FROM documents),
+        nodes AS (SELECT doc_id AS node FROM documents),
+        edges AS (
+          SELECT doc_id AS src,
+                 unnest([(doc_id * 7 + 1) % n.n,
+                         (doc_id * 13 + 3) % n.n]) AS dst,
+                 2 AS outdeg
+          FROM documents, n
+        ),
+        r0 AS (SELECT doc_id AS node, CAST({RANK_PPM} AS BIGINT) AS r
+               FROM documents),
+        {iters}
+        SELECT CAST(row_number() OVER (ORDER BY r DESC, node ASC)
+                 AS INTEGER) AS rank_pos,
+               node AS doc_id, r AS rank_ppm
+        FROM i{PR_ITERS} ORDER BY r DESC, node ASC LIMIT {PR_TOPK}
+    """
+
+
 QUERIES = {
     "edit_distance_neardup": q_edit_distance_neardup,
     "dsir_importance": q_dsir_importance,
@@ -1734,6 +1987,9 @@ QUERIES = {
     "countmin_estimate": q_countmin_estimate,
     "resample_ffill": q_resample_ffill,
     "chunk_sliding": q_chunk_sliding,
+    "temperature_sample": q_temperature_sample,
+    "bloom_dedup": q_bloom_dedup,
+    "pagerank_weights": q_pagerank_weights,
 }
 
 ORACLE = {
@@ -1756,4 +2012,7 @@ ORACLE = {
     "countmin_estimate": _countmin_oracle(),
     "resample_ffill": _resample_ffill_oracle(),
     "chunk_sliding": _chunk_sliding_oracle(),
+    "temperature_sample": _temperature_oracle(),
+    "bloom_dedup": _bloom_oracle(),
+    "pagerank_weights": _pagerank_oracle(),
 }

@@ -505,3 +505,106 @@ def test_scd2_interval_invariants(spark, sf_dir):
             assert a.valid_to == b.valid_from
             # consecutive same-type runs were merged
             assert a.event_type != b.event_type
+
+
+def test_bloom_no_false_negatives_and_planted_dup(spark):
+    """A batch doc whose normalized fingerprint exists in history MUST be
+    flagged (Bloom's no-false-negative contract), including a
+    whitespace/case mutation of a history text; a vocabulary-disjoint
+    doc is (with these sizes) not flagged."""
+    from interop_spark.operators import dedup as dd
+
+    hist = spark.createDataFrame(
+        [(0, "shared boilerplate text"), (2, "another history doc")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "  SHARED   boilerplate TEXT "),  # normalizes to doc 0's fp
+            (3, "completely unrelated fresh content xyzzy"),
+        ],
+        ["doc_id", "text"],
+    )
+    bits = dd.bloom_bits(hist, "text")
+    out = {
+        r.doc_id: r.probably_seen
+        for r in dd.bloom_probe(batch, bits).collect()
+    }
+    assert out[1] is True
+    assert out[3] is False  # 6 set bits of 4096: FP essentially impossible
+
+
+def test_bloom_bitmap_bounded_by_nbits(spark):
+    """The bitmap row never exceeds n_bits set positions regardless of
+    corpus size (the whole point of the structure)."""
+    from interop_spark.operators import dedup as dd
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id").cast("string")).alias("text"),
+    )
+    row = dd.bloom_bits(docs, "text", n_bits=64, n_hashes=4).collect()[0]
+    assert row.n_set_bits <= 64
+    assert sorted(row.bits) == list(row.bits)
+
+
+def test_pagerank_int_hand_computed_chain(spark):
+    """3-node cycle with one extra edge, 1 iteration, hand-checked
+    integer arithmetic: teleport 150000 + floor contributions."""
+    from interop_spark.operators.graph import pagerank_int
+
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], ["node"])
+    # 0 -> 1, 0 -> 2 (outdeg 2); 1 -> 2 (outdeg 1); 2 has no out-edges
+    # listed but appears as dst only (dangling sources are allowed)
+    edges = spark.createDataFrame(
+        [(0, 1, 2), (0, 2, 2), (1, 2, 1)], ["src", "dst", "outdeg"]
+    )
+    r1 = {
+        r.node: r.rank_ppm
+        for r in pagerank_int(nodes, edges, iterations=1).collect()
+    }
+    # node 0: teleport only = 150000
+    # node 1: 150000 + (1000000*85) div (100*2) = 150000 + 425000
+    # node 2: 150000 + 425000 + (1000000*85) div 100 = 150000+425000+850000
+    assert r1 == {0: 150_000, 1: 575_000, 2: 1_425_000}
+
+
+def test_pagerank_int_deterministic_across_partitionings(spark):
+    """Integer combine is order-independent: 1 vs 8 partitions give
+    byte-identical ranks (the reason the operator is integer-valued)."""
+    from interop_spark.operators.graph import pagerank_int
+
+    nodes = spark.range(50).select(F.col("id").alias("node"))
+    edges = spark.range(50).select(
+        F.col("id").alias("src"),
+        ((F.col("id") * 7 + 1) % 50).alias("dst"),
+        F.lit(1).alias("outdeg"),
+    )
+    a = sorted(
+        (r.node, r.rank_ppm)
+        for r in pagerank_int(
+            nodes.repartition(1), edges.repartition(1), 3
+        ).collect()
+    )
+    b = sorted(
+        (r.node, r.rank_ppm)
+        for r in pagerank_int(
+            nodes.repartition(8), edges.repartition(8), 3
+        ).collect()
+    )
+    assert a == b
+
+
+def test_temperature_sample_upweights_small_language(spark, sf_dir):
+    """The α=1/2 temperature rate must give the smallest language the
+    HIGHEST keep fraction and the largest language ~the base rate r0."""
+    from interop_spark.queries.selection_q import q_temperature_sample
+
+    rows = q_temperature_sample(spark, sf_dir).collect()
+    frac = {r.lang: r.n_kept / r.lang_docs for r in rows}
+    counts = {r.lang: r.lang_docs for r in rows}
+    biggest = max(counts, key=counts.get)
+    smallest = min(counts, key=counts.get)
+    assert frac[smallest] > frac[biggest]
+    # the largest language samples at ~r0 = 0.25 (hash-Bernoulli noise)
+    assert 0.15 < frac[biggest] < 0.35
