@@ -228,6 +228,68 @@ def q_stream_ndjson_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join through the correctness gate — the one
+    Structured Streaming join shape the batch twins don't cover: a
+    purchases stream joined to a clicks stream (two independent file
+    sources over the events fixture) on user_id with an event-time
+    interval predicate (click within [purchase−4h, purchase]), append
+    mode → availableNow → memory sink. Emitted pairs equal the batch
+    interval join EXACTLY because this is the bounded-backfill
+    configuration: no watermark means join state is never evicted, and
+    stream-stream INNER joins emit every match eventually regardless of
+    micro-batch boundaries — so the DuckDB batch join is an exact
+    oracle. (A continuous deployment sets watermarks on both sides plus
+    this same time constraint so state is bounded; that trades the
+    exact-replay guarantee for bounded memory, same contract as
+    ``stream_dedup_counts``.)
+
+    Scale posture: Spark keys the join state by user_id and the time
+    constraint lets the engine range-prune state lookups; the user<40
+    slice exists only to bound the oracle's quadratic check, not the
+    operator. Gap arithmetic is integer µs (epoch-µs div), never float
+    epoch seconds."""
+    import uuid
+
+    from interop_spark.io import load_stream
+
+    name = "stream_join_" + uuid.uuid4().hex[:8]
+    p = (
+        load_stream(spark, sf_dir, "events")
+        .where((col("event_type") == "purchase") & (col("user_id") < 40))
+        .select("user_id", col("ts").alias("p_ts"),
+                col("event_id").alias("purchase_id"))
+    )
+    c = (
+        load_stream(spark, sf_dir, "events")
+        .where((col("event_type") == "click") & (col("user_id") < 40))
+        .select(col("user_id").alias("c_user"), col("ts").alias("c_ts"),
+                col("event_id").alias("click_id"))
+    )
+    joined = p.join(
+        c,
+        (col("user_id") == col("c_user"))
+        & (col("c_ts") >= col("p_ts") - F.expr("INTERVAL 14400 SECONDS"))
+        & (col("c_ts") <= col("p_ts")),
+    ).select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        F.expr(
+            "(unix_micros(p_ts) - unix_micros(c_ts)) div 1000000"
+        ).alias("gap_seconds"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 QUERIES = {
     "asof_join": q_asof_join,
     "range_join_pairs": q_range_join_pairs,
@@ -235,9 +297,23 @@ QUERIES = {
     "stream_dedup_counts": q_stream_dedup_counts,
     "stream_sessionize_counts": q_stream_sessionize_counts,
     "stream_ndjson_counts": q_stream_ndjson_counts,
+    "stream_join_pairs": q_stream_join_pairs,
 }
 
 ORACLE = {
+    # the streaming inner interval join equals the batch join exactly
+    # (no-watermark bounded backfill: state never evicted, inner joins
+    # emit every match); integer-µs gap arithmetic on both sides
+    "stream_join_pairs": """
+        SELECT p.user_id,
+               p.event_id AS purchase_id,
+               c.event_id AS click_id,
+               (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_seconds
+        FROM events p JOIN events c ON p.user_id = c.user_id
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+          AND p.user_id < 40
+          AND c.ts >= p.ts - INTERVAL 14400 SECONDS AND c.ts <= p.ts
+    """,
     "asof_join": """
         WITH u AS (
           SELECT user_id, ts, 1 AS side, event_id,

@@ -571,3 +571,38 @@ def test_stream_ndjson_counts_partitioning_invariant(spark, sf_dir):
         assert len(results[0]) == 3  # final / amended / preliminary
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_stream_join_pairs_equals_batch_join(spark, sf_dir):
+    """Stream-stream inner interval join (no watermark, availableNow)
+    must emit EXACTLY the batch join's pairs — the bounded-backfill
+    guarantee the driver row relies on."""
+    from pyspark.sql import functions as F
+
+    from interop_spark.io import load
+    from interop_spark.queries.temporal_q import q_stream_join_pairs
+
+    streamed = sorted(
+        map(tuple, q_stream_join_pairs(spark, sf_dir).collect())
+    )
+    ev = load(spark, sf_dir, "events")
+    p = ev.where((F.col("event_type") == "purchase") & (F.col("user_id") < 40)).select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id")
+    )
+    c = ev.where((F.col("event_type") == "click") & (F.col("user_id") < 40)).select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    batch = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 14400 SECONDS"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select(
+        "user_id", "purchase_id", "click_id",
+        F.expr("(unix_micros(p_ts) - unix_micros(c_ts)) div 1000000").alias(
+            "gap_seconds"
+        ),
+    )
+    assert streamed == sorted(map(tuple, batch.collect()))
+    assert len(streamed) > 0
