@@ -326,6 +326,60 @@ def omop_condition_occurrence(entry_df: DataFrame) -> DataFrame:
     )
 
 
+def omop_visit_occurrence(entry_df: DataFrame) -> DataFrame:
+    """OMOP CDM visit_occurrence projection from Encounter — the CDM
+    table every cohort query joins for care-setting context (extends
+    the reference's person-only mapping, `01_dbignite_sample.py:472-484`).
+    Encounter.class is a bare R4 Coding (not a CodeableConcept), so the
+    concept code plucks directly, no array hop. Dates stay 'YYYY-MM-DD'
+    strings end-to-end (engine-neutral compare)."""
+    return _explode2(
+        entry_df, "Patient", "patient", "Encounter", "enc"
+    ).select(
+        col("enc.id").alias("visit_occurrence_id"),
+        col("patient.id").alias("person_id"),
+        col("enc.class.code").alias("visit_concept_code"),
+        col("enc.class.display").alias("visit_source_value"),
+        col("enc.period.start").alias("visit_start_date"),
+        col("enc.period.end").alias("visit_end_date"),
+        col("enc.status").alias("visit_status_source_value"),
+    )
+
+
+def omop_procedure_occurrence(entry_df: DataFrame) -> DataFrame:
+    """OMOP CDM procedure_occurrence projection from Procedure (CPT
+    coded with free-text source value; performedDateTime is the R4
+    performed[x] choice the generator emits)."""
+    return _explode2(
+        entry_df, "Patient", "patient", "Procedure", "prc"
+    ).select(
+        col("prc.id").alias("procedure_occurrence_id"),
+        col("patient.id").alias("person_id"),
+        _first(col("prc.code.coding.code")).alias("procedure_concept_code"),
+        _first(col("prc.code.coding.system")).alias("procedure_vocabulary"),
+        col("prc.code.text").alias("procedure_source_value"),
+        col("prc.performedDateTime").alias("procedure_date"),
+        col("prc.status").alias("procedure_status_source_value"),
+    )
+
+
+def omop_measurement(entry_df: DataFrame) -> DataFrame:
+    """OMOP CDM measurement projection from Observation (LOINC code,
+    valueQuantity numeric + unit) — the lab/vitals table, completing
+    the person/condition/drug/visit/procedure CDM core."""
+    return _explode2(
+        entry_df, "Patient", "patient", "Observation", "obs"
+    ).select(
+        col("obs.id").alias("measurement_id"),
+        col("patient.id").alias("person_id"),
+        _first(col("obs.code.coding.code")).alias("measurement_concept_code"),
+        _first(col("obs.code.coding.system")).alias("measurement_vocabulary"),
+        col("obs.effectiveDateTime").alias("measurement_date"),
+        col("obs.valueQuantity.value").alias("value_as_number"),
+        col("obs.valueQuantity.unit").alias("unit_source_value"),
+    )
+
+
 def omop_drug_exposure(entry_df: DataFrame) -> DataFrame:
     """OMOP CDM drug_exposure projection from MedicationRequest (requires
     the medicationCodeableConcept schema extension, the reference's own

@@ -37,7 +37,10 @@ from pyspark.sql.functions import col
 #     schema), NutritionOrder (spine-only type — mixed-corpus retention)
 # v5: + Slot (round-10 second promotion batch — scheduling coverage)
 # v6: + Flag (round-11 third promotion batch — clinical alerting)
-CORPUS_VERSION = "v6"
+# v7: + Encounter, Procedure (round-11 OMOP widening: visit_occurrence /
+#     procedure_occurrence sources — both types were already deep in the
+#     curated catalog, the corpus just never carried them)
+CORPUS_VERSION = "v7"
 LOINC = "http://loinc.org"
 
 CPT = "http://www.ama-assn.org/go/cpt"
@@ -86,9 +89,9 @@ def bundle_json_df(
     """(value, _file_path) frame of synthetic bundle JSON documents — one
     bundle per customer with c_custkey < ``max_custkey``, each holding a
     Patient, Condition, Claim (2 items), MedicationRequest, Practitioner,
-    Observation, DiagnosticReport, QuestionnaireResponse, Slot, Flag and
-    a spine-only NutritionOrder whose fields are closed-form functions
-    of c_custkey.
+    Observation, DiagnosticReport, QuestionnaireResponse, Slot, Flag,
+    Encounter, Procedure and a spine-only NutritionOrder whose fields
+    are closed-form functions of c_custkey.
     ``_file_path`` is the stable pseudo-path ``mem://bundles/<key>`` so
     bundleUUIDs are reproducible and oracle-computable (md5 of the same
     string)."""
@@ -345,6 +348,55 @@ def bundle_json_df(
         ).alias("period"),
     )
 
+    # Encounter exercises the R4 class Coding (a bare Coding, NOT a
+    # CodeableConcept — the classic R4 modeling trap) and Period bounds;
+    # source for the OMOP visit_occurrence mapping
+    encounter = F.struct(
+        F.lit("Encounter").alias("resourceType"),
+        _cat("enc-", k).alias("id"),
+        _pick(("finished", "in-progress", "cancelled"), k).alias("status"),
+        F.struct(
+            F.lit(
+                "http://terminology.hl7.org/CodeSystem/v3-ActCode"
+            ).alias("system"),
+            _pick(("AMB", "IMP", "EMER"), k + 1).alias("code"),
+            _pick(("ambulatory", "inpatient", "emergency"), k + 1).alias(
+                "display"
+            ),
+        ).alias("class"),
+        F.struct(_cat("Patient/p-", k).alias("reference")).alias("subject"),
+        F.struct(
+            F.format_string(
+                "%04d-%02d-%02d", (k % 6 + 2017).cast("int"),
+                ((k + 4) % 12 + 1).cast("int"), ((k + 6) % 28 + 1).cast("int"),
+            ).alias("start"),
+            F.format_string(
+                "%04d-%02d-%02d", (k % 6 + 2017).cast("int"),
+                ((k + 4) % 12 + 1).cast("int"),
+                ((k + 11) % 28 + 1).cast("int"),
+            ).alias("end"),
+        ).alias("period"),
+    )
+
+    # Procedure: CPT-coded with free text — source for the OMOP
+    # procedure_occurrence mapping
+    procedure = F.struct(
+        F.lit("Procedure").alias("resourceType"),
+        _cat("prc-", k).alias("id"),
+        _pick(("completed", "in-progress", "stopped"), k + 1).alias(
+            "status"
+        ),
+        _codeable(
+            _cat("PC", k % 35), _cat("procname-", k % 35), CPT,
+            text=_cat("proctext-", k % 35),
+        ).alias("code"),
+        F.struct(_cat("Patient/p-", k).alias("reference")).alias("subject"),
+        F.format_string(
+            "%04d-%02d-%02d", (k % 7 + 2016).cast("int"),
+            ((k + 5) % 12 + 1).cast("int"), ((k + 8) % 28 + 1).cast("int"),
+        ).alias("performedDateTime"),
+    )
+
     def entry_json(resource: F.Column) -> F.Column:
         return F.to_json(F.struct(resource.alias("resource")))
 
@@ -365,6 +417,8 @@ def bundle_json_df(
             entry_json(nutrition),
             entry_json(slot),
             entry_json(flag),
+            entry_json(encounter),
+            entry_json(procedure),
         ),
         F.lit("]}"),
     )

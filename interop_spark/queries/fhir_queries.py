@@ -593,6 +593,38 @@ def q_fhir_omop_drug_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return omop_drug_exposure(_synthetic_entry(spark, sf_dir, schemas=schemas))
 
 
+def q_fhir_omop_visit_occurrence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OMOP visit_occurrence over the synthetic corpus (round-11 CDM
+    widening: Encounter → visit, through corpus v7 — proves the deep
+    Encounter schema's bare-Coding ``class`` and Period bounds flatten
+    end-to-end)."""
+    from interop_spark.fhir.analytics import omop_visit_occurrence
+
+    return omop_visit_occurrence(_synthetic_entry(spark, sf_dir))
+
+
+def q_fhir_omop_procedure_occurrence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OMOP procedure_occurrence over the synthetic corpus (round-11
+    CDM widening: Procedure → procedure, corpus v7)."""
+    from interop_spark.fhir.analytics import omop_procedure_occurrence
+
+    return omop_procedure_occurrence(_synthetic_entry(spark, sf_dir))
+
+
+def q_fhir_omop_measurement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OMOP measurement over the synthetic corpus (Observation →
+    measurement: LOINC concept + numeric value + unit), completing the
+    CDM clinical core alongside person / condition_occurrence /
+    drug_exposure / visit_occurrence / procedure_occurrence."""
+    from interop_spark.fhir.analytics import omop_measurement
+
+    return omop_measurement(_synthetic_entry(spark, sf_dir))
+
+
 def q_fhir_ndjson_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FHIR Bulk Data NDJSON ingest (round-10 source widening): a
     generated ``$export``-layout directory (Patient.ndjson +
@@ -724,6 +756,9 @@ QUERIES = {
     "fhir_ndjson_patient_conditions": q_fhir_ndjson_patient_conditions,
     "fhir_omop_condition_occurrence": q_fhir_omop_condition_occurrence,
     "fhir_omop_drug_exposure": q_fhir_omop_drug_exposure,
+    "fhir_omop_visit_occurrence": q_fhir_omop_visit_occurrence,
+    "fhir_omop_procedure_occurrence": q_fhir_omop_procedure_occurrence,
+    "fhir_omop_measurement": q_fhir_omop_measurement,
     "fhir_slots": q_fhir_slots,
     "fhir_flags": q_fhir_flags,
 }
@@ -1014,6 +1049,53 @@ ORACLE = {
                       (c_custkey + 1) % 12 + 1,
                       (c_custkey + 7) % 28 + 1) AS drug_exposure_start_date,
                {_DK_MED_STATUS} AS drug_status_source_value
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+    """,
+    "fhir_omop_visit_occurrence": f"""
+        SELECT 'enc-' || c_custkey::VARCHAR AS visit_occurrence_id,
+               'p-' || c_custkey::VARCHAR AS person_id,
+               CASE ((c_custkey + 1) % 3) WHEN 0 THEN 'AMB'
+                 WHEN 1 THEN 'IMP' ELSE 'EMER' END AS visit_concept_code,
+               CASE ((c_custkey + 1) % 3) WHEN 0 THEN 'ambulatory'
+                 WHEN 1 THEN 'inpatient' ELSE 'emergency'
+                 END AS visit_source_value,
+               printf('%04d-%02d-%02d', 2017 + c_custkey % 6,
+                      (c_custkey + 4) % 12 + 1,
+                      (c_custkey + 6) % 28 + 1) AS visit_start_date,
+               printf('%04d-%02d-%02d', 2017 + c_custkey % 6,
+                      (c_custkey + 4) % 12 + 1,
+                      (c_custkey + 11) % 28 + 1) AS visit_end_date,
+               CASE (c_custkey % 3) WHEN 0 THEN 'finished'
+                 WHEN 1 THEN 'in-progress' ELSE 'cancelled'
+                 END AS visit_status_source_value
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+    """,
+    "fhir_omop_procedure_occurrence": f"""
+        SELECT 'prc-' || c_custkey::VARCHAR AS procedure_occurrence_id,
+               'p-' || c_custkey::VARCHAR AS person_id,
+               'PC' || (c_custkey % 35)::VARCHAR AS procedure_concept_code,
+               '{_CPT}' AS procedure_vocabulary,
+               'proctext-' || (c_custkey % 35)::VARCHAR
+                 AS procedure_source_value,
+               printf('%04d-%02d-%02d', 2016 + c_custkey % 7,
+                      (c_custkey + 5) % 12 + 1,
+                      (c_custkey + 8) % 28 + 1) AS procedure_date,
+               CASE ((c_custkey + 1) % 3) WHEN 0 THEN 'completed'
+                 WHEN 1 THEN 'in-progress' ELSE 'stopped'
+                 END AS procedure_status_source_value
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+    """,
+    "fhir_omop_measurement": f"""
+        SELECT 'obs-' || c_custkey::VARCHAR AS measurement_id,
+               'p-' || c_custkey::VARCHAR AS person_id,
+               'L' || (c_custkey % 20)::VARCHAR AS measurement_concept_code,
+               'http://loinc.org' AS measurement_vocabulary,
+               printf('%04d-%02d-%02d', 2019 + c_custkey % 5,
+                      (c_custkey + 2) % 12 + 1,
+                      (c_custkey + 9) % 28 + 1) AS measurement_date,
+               c_custkey % 60 + 140 + (c_custkey % 10) / 10.0
+                 AS value_as_number,
+               'cm' AS unit_source_value
         FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
     """,
     "fhir_ndjson_observations": f"""
