@@ -39,23 +39,36 @@ _MODULES = (
 # live in git history (prior revisions of this block — trimmed per
 # ADVICE r9 #3 / r10 verdict item 8; history belongs in git log).
 #
-# ROUND-11 window (50) — executes the round-11 rotation plan IN FULL:
-# forced set 22 + the COMPLETE 28-row r7 queue = 50 exactly. After this
-# round no registry green is older than r8 (the r10 verdict item-2
-# done-criterion). ROUND-12 QUEUE (computed from CORRECTNESS_r01-r10 +
-# this window): the 37 rows whose newest green is then r8 —
-# agg_stats, audio_stats, bpe_encode, bpe_merge_candidates,
-# bsq_hamming_search, c4_clean, chunk_sliding, classifier_train_steps,
-# countmin_estimate, date_series, dsir_importance, dup_span_removal,
-# image_dims, ivf_multiprobe_topk, ivf_probe_topk, ivf_recall_at_k,
-# ivfpq_rerank, ivfpq_residual_search, ivfpq_search,
-# join_filter_pushdown, lang_id, lm_perplexity_filter,
-# minhash_est_error, mrl_recall_at_k, multimodal_features,
-# multiway_join_agg, paragraph_dedup, percentile_agg, pq_adc_topk,
-# pq_encode, pricing_summary, quality_classifier_filter,
-# scd2_intervals, stream_dedup_counts, stream_windowed_counts,
-# string_agg_sorted, unimax_sample — leaving 13 slots for round-12
-# new/changed rows (the 45-row r9 residue spills to r13).
+# ROUND-11 window (50), CONTINUATION REVISION: the session added SEVEN
+# new oracle rows after the original round-11 rotation landed —
+# temperature_sample, bloom_dedup, pagerank_weights, stream_join_pairs,
+# fhir_omop_visit_occurrence, fhir_omop_procedure_occurrence,
+# fhir_omop_measurement — and new rows MUST sit in the first 50, so the
+# LAST seven of the r7 staleness queue are displaced to head the
+# round-12 queue (knn_cosine, text_quality, doc_fingerprint,
+# drop_duplicates, train_test_split, enrich_events, conditional_agg —
+# all r7-green AND judge-re-run green in r10). asof_join /
+# range_join_pairs stay in-window deliberately: temporal_q.py is a
+# touched module this round (stream_join_pairs appended; existing
+# functions hunk-verified byte-identical, but module-granular caution
+# keeps its two r7 rows checked). Other touched modules are additive-
+# only appends (selection_q.py, fhir_queries.py, operators/dedup.py,
+# fhir/analytics.py — hunk-verified: no existing function modified);
+# fhir/gen.py corpus v7 (+Encounter/Procedure) re-verifies every
+# synthetic-corpus consumer, all of which were already in-window.
+# ROUND-12 QUEUE: the 7 displaced r7 rows above, THEN the 37 rows whose
+# newest green is r8 — agg_stats, audio_stats, bpe_encode,
+# bpe_merge_candidates, bsq_hamming_search, c4_clean, chunk_sliding,
+# classifier_train_steps, countmin_estimate, date_series,
+# dsir_importance, dup_span_removal, image_dims, ivf_multiprobe_topk,
+# ivf_probe_topk, ivf_recall_at_k, ivfpq_rerank,
+# ivfpq_residual_search, ivfpq_search, join_filter_pushdown, lang_id,
+# lm_perplexity_filter, minhash_est_error, mrl_recall_at_k,
+# multimodal_features, multiway_join_agg, paragraph_dedup,
+# percentile_agg, pq_adc_topk, pq_encode, pricing_summary,
+# quality_classifier_filter, scd2_intervals, stream_dedup_counts,
+# stream_windowed_counts, string_agg_sorted, unimax_sample — leaving 6
+# slots for round-12 new/changed rows (the r9 residue spills to r13).
 #   * NEW this round (3): fhir_flags (corpus-v6 Flag flatten through
 #     the third schema-promotion batch), fhir_ndjson_patient_conditions
 #     (the NDJSON→bundle-row bridge: bundles_from_ndjson + the
@@ -99,16 +112,14 @@ _MODULES = (
 #     appended query/oracle pairs plus the two ndjson ORACLE edits
 #     above (hunk-verified); every other row in those modules keeps
 #     its prior green (the corpus consumers are in-window anyway).
-#   * STALENESS ROTATION — the COMPLETE 28-row r7 queue (all r7-green,
-#     judge-re-run green in r10):
-#     embedding_neardup, embedding_centroids, lsh_bucket_sizes,
-#     token_count_bpe, tfidf_top_terms, frame_sample,
+#   * STALENESS ROTATION — the r7 queue less the 7 rows displaced by
+#     the continuation's new queries (all r7-green, judge-re-run green
+#     in r10): embedding_neardup, embedding_centroids,
+#     lsh_bucket_sizes, token_count_bpe, tfidf_top_terms, frame_sample,
 #     stratified_sample, media_stats, ngram_jaccard_pairs, unpivot,
 #     window_rank_battery, array_funcs, pivot_agg, grouping_sets,
 #     cube_agg, substring_dup_runs, winnow_dup_pairs, semdedup_keep,
-#     knn_batch, text_quality, doc_fingerprint, knn_cosine,
-#     drop_duplicates, train_test_split, asof_join, range_join_pairs,
-#     enrich_events, conditional_agg (28).
+#     knn_batch, asof_join, range_join_pairs (21).
 # --------------------------------------------------------------------------
 _WINDOW = (
     # --- ROUND 11: new queries (3) ---
@@ -138,7 +149,15 @@ _WINDOW = (
     "fhir_ndjson_type_counts",
     # --- ROUND 11: writer refactor (1) ---
     "fhir_writer_roundtrip",
-    # --- ROUND 11: the complete r7 staleness queue (28) ---
+    # --- ROUND 11 continuation: new oracle rows (7) ---
+    "temperature_sample",
+    "bloom_dedup",
+    "pagerank_weights",
+    "stream_join_pairs",
+    "fhir_omop_visit_occurrence",
+    "fhir_omop_procedure_occurrence",
+    "fhir_omop_measurement",
+    # --- ROUND 11: the r7 staleness queue less the 7 displaced (21) ---
     "embedding_neardup",
     "embedding_centroids",
     "lsh_bucket_sizes",
@@ -158,15 +177,8 @@ _WINDOW = (
     "winnow_dup_pairs",
     "semdedup_keep",
     "knn_batch",
-    "text_quality",
-    "doc_fingerprint",
-    "knn_cosine",
-    "drop_duplicates",
-    "train_test_split",
     "asof_join",
     "range_join_pairs",
-    "enrich_events",
-    "conditional_agg",
 )
 
 
