@@ -275,6 +275,16 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
         # search-side ratio_10x ≲ 2 (the plan is a zero-corpus-shuffle
         # projection chain, so it should scale with bytes scanned).
         "ivfpq_search_only": "_IVFPQ_SPECIAL",
+        # round-11 continuation: the incremental-ingest Bloom probe —
+        # bitmap trained ONCE on the 1x history (fixed 4096-bit row,
+        # like a real nightly-ingest job reusing yesterday's filter),
+        # then the zero-shuffle probe over the 1x/10x batch. Done-bar:
+        # ratio_10x ~linear-in-bytes (pure broadcast + projection).
+        "bloom_probe": "_BLOOM_SPECIAL",
+        # round-11 continuation: 3 integer-PageRank iterations over the
+        # 2-out-link graph derived from the scaled corpus — K chained
+        # join+agg shuffles on uniform id keys; linear edge volume.
+        "pagerank": "_PAGERANK",
     }
 
     def _rotated_documents(mult: int):
@@ -391,6 +401,30 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
             d, cents, cbs, query, k=10, nprobe=2
         )
 
+    def _make_bloom_fn():
+        hist = _scaled_documents(spark, sf_dir, 1).where(
+            col("doc_id") % 2 == 0
+        )
+        bits = dd.bloom_bits(hist, "text").localCheckpoint()
+        return lambda d: dd.bloom_probe(d, bits)
+
+    def _pagerank_probe(d):
+        from interop_spark.operators.graph import pagerank_int
+
+        n = d.agg(F.count(F.lit(1)).alias("n"))
+        nodes = d.select(col("doc_id").alias("node"))
+        edges = d.crossJoin(F.broadcast(n)).select(
+            col("doc_id").alias("src"),
+            F.explode(
+                F.array(
+                    (col("doc_id") * 7 + 1) % col("n"),
+                    (col("doc_id") * 13 + 3) % col("n"),
+                )
+            ).alias("dst"),
+            F.lit(2).alias("outdeg"),
+        )
+        return pagerank_int(nodes, edges, iterations=3)
+
     _EMB_PROBES = frozenset({"ivf_assign", "ivfpq_search_only"})
     out: dict = {}
     for name, fn in probes.items():
@@ -401,6 +435,14 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
             except Exception as e:
                 out[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
                 continue
+        elif fn == "_BLOOM_SPECIAL":
+            try:
+                fn = _make_bloom_fn()
+            except Exception as e:
+                out[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+                continue
+        elif fn == "_PAGERANK":
+            fn = _pagerank_probe
         scaled = (
             _scaled_embeddings if name in _EMB_PROBES else
             _planted_skew_documents if name in _SKEW_PROBES else

@@ -402,3 +402,45 @@ def test_bundles_from_ndjson_plan_shape(spark, sf_dir):
     # per-type aggregate exchanges + at most the join's ENSURE exchanges
     assert ex.count("Exchange hashpartitioning") <= 4, ex[:2000]
     assert "FullOuter" in ex, ex[:2000]
+
+
+def test_round11_continuation_plan_shapes(spark, sf_dir):
+    """Scale posture of the round-11 continuation additions, pinned:
+
+    - bloom_probe is zero-shuffle on the PROBE side: the batch scan
+      crosses only a broadcast of the one-row bitmap; the single hash
+      Exchange in the whole plan is the bitmap build's distinct, whose
+      key space is capped at n_bits (4096) regardless of history size;
+    - pagerank_weights is joins + integer aggregates end-to-end: no
+      Cartesian, no collect_list, and the top-k is
+      TakeOrderedAndProject — never a global sort materialization;
+    - temperature_sample's keep projection is shuffle-free: the corpus
+      scan joins only broadcasts (per-language counts + one-row max);
+      the hash Exchanges belong to the tiny lang-keyed aggregates."""
+    from interop_spark.io import load
+    from interop_spark.operators import dedup as dd
+    from interop_spark.queries import all_queries
+
+    q = all_queries()
+
+    d = load(spark, sf_dir, "documents")
+    probe = dd.bloom_probe(
+        d.where(F.col("doc_id") % 2 == 1),
+        dd.bloom_bits(d.where(F.col("doc_id") % 2 == 0), "text"),
+    )
+    ex = probe._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in ex, ex[:1500]
+    assert ex.count("Exchange hashpartitioning") <= 1, ex[:2000]
+
+    pr = q["pagerank_weights"](spark, sf_dir)
+    opt = pr._jdf.queryExecution().optimizedPlan().toString()
+    assert "Cartesian" not in opt and "collect_list" not in opt
+    ex = pr._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in ex, ex[:2000]
+
+    ts = q["temperature_sample"](spark, sf_dir)
+    ex = ts._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in ex, ex[:1500]
+    # lang-count agg + one-row max + final per-lang agg only — the
+    # corpus-side keep projection adds no exchange of its own
+    assert ex.count("Exchange hashpartitioning") <= 3, ex[:2000]
