@@ -1153,3 +1153,54 @@ def bloom_probe(
             probe, lambda p: F.array_contains(F.col("bits"), p)
         ).alias("probably_seen"),
     )
+
+
+def containment_verified_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **minhash_kwargs,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs verified by exact shingle CONTAINMENT
+    (Broder 1997's second resemblance measure: |A∩B| / |A|): Jaccard
+    misses a short document wholly embedded in a long one (the union
+    dominates), which is exactly the quote/excerpt/template case —
+    containment flags it from the small side. Returns both directions
+    (``containment_a``, ``containment_b``) per surviving candidate.
+
+    Scale shape: candidates come from the shared MinHash band join
+    (``_minhash_candidates``), so the exact set intersection — O(|A|+|B|)
+    per pair — runs per CANDIDATE only; the shingle arrays re-join to
+    surviving pairs via two keyed equi-joins, never through the band
+    exchange."""
+    cand, shing = _minhash_candidates(df, id_col, text_col, **minhash_kwargs)
+    a = shing.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("_sa")
+    )
+    b = shing.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("_sb")
+    )
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size("_sa").alias("n_shingles_a"),
+            F.size("_sb").alias("n_shingles_b"),
+            inter.alias("_i"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shingles_a",
+            "n_shingles_b",
+            F.round(
+                F.col("_i") / F.greatest(F.col("n_shingles_a"), F.lit(1)), 4
+            ).alias("containment_a"),
+            F.round(
+                F.col("_i") / F.greatest(F.col("n_shingles_b"), F.lit(1)), 4
+            ).alias("containment_b"),
+        )
+    )

@@ -39,15 +39,17 @@ _MODULES = (
 # live in git history (prior revisions of this block — trimmed per
 # ADVICE r9 #3 / r10 verdict item 8; history belongs in git log).
 #
-# ROUND-11 window (50), CONTINUATION REVISION: the session added SEVEN
+# ROUND-11 window (50), CONTINUATION REVISION: the session added TEN
 # new oracle rows after the original round-11 rotation landed —
 # temperature_sample, bloom_dedup, pagerank_weights, stream_join_pairs,
 # fhir_omop_visit_occurrence, fhir_omop_procedure_occurrence,
-# fhir_omop_measurement — and new rows MUST sit in the first 50, so the
-# LAST seven of the r7 staleness queue are displaced to head the
-# round-12 queue (knn_cosine, text_quality, doc_fingerprint,
-# drop_duplicates, train_test_split, enrich_events, conditional_agg —
-# all r7-green AND judge-re-run green in r10). asof_join /
+# fhir_omop_measurement, containment_neardup, shard_assignment,
+# vocab_coverage — and new rows MUST sit in the first 50, so TEN rows
+# of the r7 staleness queue are displaced to head the round-12 queue
+# (knn_cosine, text_quality, doc_fingerprint, drop_duplicates,
+# train_test_split, enrich_events, conditional_agg, winnow_dup_pairs,
+# semdedup_keep, knn_batch — all r7-green AND judge-re-run green in
+# r10). asof_join /
 # range_join_pairs stay in-window deliberately: temporal_q.py is a
 # touched module this round (stream_join_pairs appended; existing
 # functions hunk-verified byte-identical, but module-granular caution
@@ -56,7 +58,7 @@ _MODULES = (
 # fhir/analytics.py — hunk-verified: no existing function modified);
 # fhir/gen.py corpus v7 (+Encounter/Procedure) re-verifies every
 # synthetic-corpus consumer, all of which were already in-window.
-# ROUND-12 QUEUE: the 7 displaced r7 rows above, THEN the 37 rows whose
+# ROUND-12 QUEUE: the 10 displaced r7 rows above, THEN the 37 rows whose
 # newest green is r8 — agg_stats, audio_stats, bpe_encode,
 # bpe_merge_candidates, bsq_hamming_search, c4_clean, chunk_sliding,
 # classifier_train_steps, countmin_estimate, date_series,
@@ -112,14 +114,13 @@ _MODULES = (
 #     appended query/oracle pairs plus the two ndjson ORACLE edits
 #     above (hunk-verified); every other row in those modules keeps
 #     its prior green (the corpus consumers are in-window anyway).
-#   * STALENESS ROTATION — the r7 queue less the 7 rows displaced by
+#   * STALENESS ROTATION — the r7 queue less the 10 rows displaced by
 #     the continuation's new queries (all r7-green, judge-re-run green
 #     in r10): embedding_neardup, embedding_centroids,
 #     lsh_bucket_sizes, token_count_bpe, tfidf_top_terms, frame_sample,
 #     stratified_sample, media_stats, ngram_jaccard_pairs, unpivot,
 #     window_rank_battery, array_funcs, pivot_agg, grouping_sets,
-#     cube_agg, substring_dup_runs, winnow_dup_pairs, semdedup_keep,
-#     knn_batch, asof_join, range_join_pairs (21).
+#     cube_agg, substring_dup_runs, asof_join, range_join_pairs (18).
 # --------------------------------------------------------------------------
 _WINDOW = (
     # --- ROUND 11: new queries (3) ---
@@ -157,7 +158,10 @@ _WINDOW = (
     "fhir_omop_visit_occurrence",
     "fhir_omop_procedure_occurrence",
     "fhir_omop_measurement",
-    # --- ROUND 11: the r7 staleness queue less the 7 displaced (21) ---
+    "containment_neardup",
+    "shard_assignment",
+    "vocab_coverage",
+    # --- ROUND 11: the r7 staleness queue less the 10 displaced (18) ---
     "embedding_neardup",
     "embedding_centroids",
     "lsh_bucket_sizes",
@@ -174,9 +178,6 @@ _WINDOW = (
     "grouping_sets",
     "cube_agg",
     "substring_dup_runs",
-    "winnow_dup_pairs",
-    "semdedup_keep",
-    "knn_batch",
     "asof_join",
     "range_join_pairs",
 )

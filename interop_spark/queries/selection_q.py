@@ -1967,6 +1967,163 @@ def _pagerank_oracle() -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# Containment near-dup, training-shard assignment, vocab coverage
+# --------------------------------------------------------------------------
+
+N_SHARDS = 16
+VOCAB_TOP = 64
+
+
+def q_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (Broder 1997 §2's second measure):
+    MinHash-LSH candidates verified by exact |A∩B|/|A| — the
+    quote/excerpt/template case Jaccard under-scores because the union
+    dominates. The planted first-word-dropped mutants are true subsets
+    of their sources, so their mutant-side containment pins at 1.0."""
+    from interop_spark.operators.dedup import containment_verified_pairs
+
+    d = _with_near_dups(load(spark, sf_dir, "documents"), limit=100)
+    return containment_verified_pairs(
+        d, "doc_id", "text", k=MINHASH_K, bands=BANDS, rows=ROWS,
+        shingle_n=SHINGLE_N, spread=False,
+    )
+
+
+def _containment_oracle() -> str:
+    return f"""
+        WITH unioned AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 100
+          UNION ALL
+          SELECT doc_id + {DUP_OFFSET},
+                 substring(text, instr(text, ' ') + 1)
+          FROM documents WHERE doc_id < 100
+        ),
+        sh AS (SELECT doc_id, text, {_dk_shingles()} AS sh FROM unioned),
+        sig AS (SELECT doc_id, text, {_dk_minhash_sig()} AS sig FROM sh),
+        banded AS (
+          SELECT doc_id, unnest({_dk_band_keys()}) AS band_key FROM sig
+        ),
+        pairs AS (
+          SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+          FROM banded l JOIN banded r
+            ON l.band_key = r.band_key AND l.doc_id < r.doc_id
+        )
+        SELECT p.doc_a, p.doc_b,
+               CAST(len(a.sh) AS INTEGER) AS n_shingles_a,
+               CAST(len(b.sh) AS INTEGER) AS n_shingles_b,
+               round(len(list_intersect(a.sh, b.sh)) * 1.0
+                     / greatest(len(a.sh), 1), 4) AS containment_a,
+               round(len(list_intersect(a.sh, b.sh)) * 1.0
+                     / greatest(len(b.sh), 1), 4) AS containment_b
+        FROM pairs p
+        JOIN sh a ON p.doc_a = a.doc_id
+        JOIN sh b ON p.doc_b = b.doc_id
+    """
+
+
+def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment — the writer-side step of
+    a pretraining pipeline: every document hashes to one of N output
+    shards (reproducible across runs/engines, unlike round-robin
+    repartition), and the per-shard audit proves the balance a
+    hash-partitioned ``.write`` will see. Zero-shuffle assignment (a
+    projection over the scan); one N-key aggregate. At 100 TB the same
+    column feeds ``df.repartition(N, col).write`` so shard files land
+    balanced without a global sort."""
+    from interop_spark.operators.text import token_bucket
+
+    d = load(spark, sf_dir, "documents")
+    shard = token_bucket(col("doc_id").cast("string"), N_SHARDS)
+    return (
+        d.select(shard.alias("shard"), "doc_id", "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+def _shard_oracle() -> str:
+    bucket = (
+        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+        f" AS BIGINT) % {N_SHARDS}"
+    )
+    return f"""
+        SELECT {bucket} AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               min(doc_id) AS min_doc,
+               max(doc_id) AS max_doc
+        FROM documents GROUP BY 1
+    """
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: what fraction of token
+    OCCURRENCES a closed top-{VOCAB_TOP} vocabulary covers, per
+    language — the OOV-rate check run before committing to a tokenizer.
+    The vocabulary is the corpus's own top-{VOCAB_TOP} tokens under a
+    TOTAL order (count desc, token asc — boundary ties are
+    deterministic in both engines); coverage is exact integer ppm.
+
+    Scale shape: vocab induction is one token-keyed count + a top-k
+    (TakeOrderedAndProject); the coverage pass joins the corpus tokens
+    against the broadcast {VOCAB_TOP}-row vocab — no corpus-keyed
+    shuffle beyond the per-language aggregate."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(tx_tokens(col("text"))).alias("tok"))
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(VOCAB_TOP)
+        .select("tok", F.lit(1).alias("_inv"))
+    )
+    return (
+        toks.join(F.broadcast(top), "tok", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("_inv"), F.lit(0)))
+            .cast("long")
+            .alias("n_covered"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_covered",
+            F.expr("n_covered * 1000000 div n_tokens").alias(
+                "coverage_ppm"
+            ),
+        )
+    )
+
+
+def _vocab_coverage_oracle() -> str:
+    return f"""
+        WITH toks AS (
+          SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+          FROM documents
+        ),
+        top AS (
+          SELECT tok FROM toks GROUP BY tok
+          ORDER BY count(*) DESC, tok ASC LIMIT {VOCAB_TOP}
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN tok IN (SELECT tok FROM top)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+               CAST(sum(CASE WHEN tok IN (SELECT tok FROM top)
+                        THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+                 // count(*) AS coverage_ppm
+        FROM toks GROUP BY lang
+    """
+
+
 QUERIES = {
     "edit_distance_neardup": q_edit_distance_neardup,
     "dsir_importance": q_dsir_importance,
@@ -1990,6 +2147,9 @@ QUERIES = {
     "temperature_sample": q_temperature_sample,
     "bloom_dedup": q_bloom_dedup,
     "pagerank_weights": q_pagerank_weights,
+    "containment_neardup": q_containment_neardup,
+    "shard_assignment": q_shard_assignment,
+    "vocab_coverage": q_vocab_coverage,
 }
 
 ORACLE = {
@@ -2015,4 +2175,7 @@ ORACLE = {
     "temperature_sample": _temperature_oracle(),
     "bloom_dedup": _bloom_oracle(),
     "pagerank_weights": _pagerank_oracle(),
+    "containment_neardup": _containment_oracle(),
+    "shard_assignment": _shard_oracle(),
+    "vocab_coverage": _vocab_coverage_oracle(),
 }

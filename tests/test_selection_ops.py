@@ -608,3 +608,38 @@ def test_temperature_sample_upweights_small_language(spark, sf_dir):
     assert frac[smallest] > frac[biggest]
     # the largest language samples at ~r0 = 0.25 (hash-Bernoulli noise)
     assert 0.15 < frac[biggest] < 0.35
+
+
+def test_containment_flags_embedded_subset(spark):
+    """A document wholly contained in a longer one must score
+    containment 1.0 from its own side while Jaccard-style symmetric
+    measures stay low — the asymmetric case the operator exists for."""
+    from interop_spark.operators.dedup import containment_verified_pairs
+
+    # the short doc is a PREFIX run of the long one, large enough that
+    # the band join fires (LSH recalls high-Jaccard candidates; a tiny
+    # embedded quote needs small-side banding, documented trade-off)
+    long_text = " ".join(f"w{i}" for i in range(20))
+    short_text = " ".join(f"w{i}" for i in range(15))
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, short_text)], ["doc_id", "text"]
+    )
+    rows = containment_verified_pairs(
+        docs, "doc_id", "text", k=12, bands=4, rows=3, shingle_n=3,
+        spread=False,
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    # the short doc's shingles are all inside the long doc
+    assert r.containment_b == 1.0
+    # but the long doc is NOT contained in the short one
+    assert r.containment_a < 1.0
+
+
+def test_vocab_coverage_bounds(spark, sf_dir):
+    from interop_spark.queries.selection_q import q_vocab_coverage
+
+    for r in q_vocab_coverage(spark, sf_dir).collect():
+        assert 0 < r.n_covered <= r.n_tokens
+        assert 0 < r.coverage_ppm <= 1_000_000
