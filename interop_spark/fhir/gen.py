@@ -40,7 +40,8 @@ from pyspark.sql.functions import col
 # v7: + Encounter, Procedure (round-11 OMOP widening: visit_occurrence /
 #     procedure_occurrence sources — both types were already deep in the
 #     curated catalog, the corpus just never carried them)
-CORPUS_VERSION = "v7"
+# v8: + AdverseEvent (round-11 fourth promotion batch — safety reporting)
+CORPUS_VERSION = "v8"
 LOINC = "http://loinc.org"
 
 CPT = "http://www.ama-assn.org/go/cpt"
@@ -90,8 +91,8 @@ def bundle_json_df(
     bundle per customer with c_custkey < ``max_custkey``, each holding a
     Patient, Condition, Claim (2 items), MedicationRequest, Practitioner,
     Observation, DiagnosticReport, QuestionnaireResponse, Slot, Flag,
-    Encounter, Procedure and a spine-only NutritionOrder whose fields
-    are closed-form functions of c_custkey.
+    Encounter, Procedure, AdverseEvent and a spine-only NutritionOrder
+    whose fields are closed-form functions of c_custkey.
     ``_file_path`` is the stable pseudo-path ``mem://bundles/<key>`` so
     bundleUUIDs are reproducible and oracle-computable (md5 of the same
     string)."""
@@ -397,6 +398,35 @@ def bundle_json_df(
         ).alias("performedDateTime"),
     )
 
+    # AdverseEvent exercises the round-11 fourth promotion batch
+    # (safety reporting): actuality code, seriousness/severity
+    # CodeableConcepts, patient subject, 0..1 identifier
+    adverse = F.struct(
+        F.lit("AdverseEvent").alias("resourceType"),
+        _cat("ae-", k).alias("id"),
+        F.when(k % 4 == 0, F.lit("potential"))
+        .otherwise(F.lit("actual"))
+        .alias("actuality"),
+        _codeable(
+            _cat("AE", k % 12), _cat("event-", k % 12), SNOMED
+        ).alias("event"),
+        F.struct(_cat("Patient/p-", k).alias("reference")).alias("subject"),
+        F.format_string(
+            "%04d-%02d-%02d", (k % 4 + 2021).cast("int"),
+            ((k + 12) % 12 + 1).cast("int"), ((k + 21) % 28 + 1).cast("int"),
+        ).alias("date"),
+        _codeable(
+            _pick(("serious", "non-serious"), k),
+            _pick(("serious", "non-serious"), k),
+            "http://terminology.hl7.org/CodeSystem/adverse-event-seriousness",
+        ).alias("seriousness"),
+        _codeable(
+            _pick(("mild", "moderate", "severe"), k + 1),
+            _pick(("mild", "moderate", "severe"), k + 1),
+            "http://terminology.hl7.org/CodeSystem/adverse-event-severity",
+        ).alias("severity"),
+    )
+
     def entry_json(resource: F.Column) -> F.Column:
         return F.to_json(F.struct(resource.alias("resource")))
 
@@ -419,6 +449,7 @@ def bundle_json_df(
             entry_json(flag),
             entry_json(encounter),
             entry_json(procedure),
+            entry_json(adverse),
         ),
         F.lit("]}"),
     )

@@ -593,6 +593,28 @@ def q_fhir_omop_drug_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return omop_drug_exposure(_synthetic_entry(spark, sf_dir, schemas=schemas))
 
 
+def q_fhir_adverse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AdverseEvent flattening through the round-11 FOURTH promotion
+    batch (AdverseEvent/AuditEvent/Person/Questionnaire/
+    DeviceUseStatement — the safety-reporting / access-audit / MPI /
+    form-definition frontier): proves a batch-4 promoted type carries
+    its deep fields — actuality code, seriousness/severity
+    CodeableConcepts, subject reference — end-to-end from generated
+    corpus JSON without a user override (the ``fhir_flags`` pattern
+    for the new batch)."""
+    entry = _synthetic_entry(spark, sf_dir)
+    a = entry.select(col("bundleUUID"), F.explode("AdverseEvent").alias("ae"))
+    return a.select(
+        col("ae.id").alias("event_id"),
+        col("ae.actuality").alias("actuality"),
+        F.get(col("ae.event.coding"), 0)["code"].alias("event_code"),
+        F.get(col("ae.seriousness.coding"), 0)["code"].alias("seriousness"),
+        F.get(col("ae.severity.coding"), 0)["code"].alias("severity"),
+        col("ae.subject.reference").alias("patient_ref"),
+        col("ae.date").alias("event_date"),
+    )
+
+
 def q_fhir_omop_visit_occurrence(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -756,6 +778,7 @@ QUERIES = {
     "fhir_ndjson_patient_conditions": q_fhir_ndjson_patient_conditions,
     "fhir_omop_condition_occurrence": q_fhir_omop_condition_occurrence,
     "fhir_omop_drug_exposure": q_fhir_omop_drug_exposure,
+    "fhir_adverse_events": q_fhir_adverse_events,
     "fhir_omop_visit_occurrence": q_fhir_omop_visit_occurrence,
     "fhir_omop_procedure_occurrence": q_fhir_omop_procedure_occurrence,
     "fhir_omop_measurement": q_fhir_omop_measurement,
@@ -1049,6 +1072,21 @@ ORACLE = {
                       (c_custkey + 1) % 12 + 1,
                       (c_custkey + 7) % 28 + 1) AS drug_exposure_start_date,
                {_DK_MED_STATUS} AS drug_status_source_value
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+    """,
+    "fhir_adverse_events": f"""
+        SELECT 'ae-' || c_custkey::VARCHAR AS event_id,
+               CASE WHEN c_custkey % 4 = 0 THEN 'potential'
+                 ELSE 'actual' END AS actuality,
+               'AE' || (c_custkey % 12)::VARCHAR AS event_code,
+               CASE (c_custkey % 2) WHEN 0 THEN 'serious'
+                 ELSE 'non-serious' END AS seriousness,
+               CASE ((c_custkey + 1) % 3) WHEN 0 THEN 'mild'
+                 WHEN 1 THEN 'moderate' ELSE 'severe' END AS severity,
+               'Patient/p-' || c_custkey::VARCHAR AS patient_ref,
+               printf('%04d-%02d-%02d', 2021 + c_custkey % 4,
+                      (c_custkey + 12) % 12 + 1,
+                      (c_custkey + 21) % 28 + 1) AS event_date
         FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
     """,
     "fhir_omop_visit_occurrence": f"""

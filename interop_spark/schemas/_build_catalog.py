@@ -1307,6 +1307,197 @@ LIST_RESOURCE = _resource(
     emptyReason=CODEABLE_CONCEPT,
 )
 
+
+# ---- round-11 continuation: fourth promotion batch (clinical ops) ---------
+# AdverseEvent / AuditEvent / Person / Questionnaire / DeviceUseStatement —
+# the safety-reporting, access-audit, MPI, and form-definition types a
+# hospital operations export carries (public R4 definitions, hl7.org/fhir/
+# R4/<type>.html). Questionnaire.item is recursive in the spec; the
+# catalog bounds it one level (the QuestionnaireResponse pattern).
+
+ADVERSE_EVENT = _resource(
+    **_SPINE_FIELDS,
+    identifier=IDENTIFIER,  # 0..1 in R4, like QuestionnaireResponse
+    actuality=S,
+    category=_arr(CODEABLE_CONCEPT),
+    event=CODEABLE_CONCEPT,
+    subject=REFERENCE,
+    encounter=REFERENCE,
+    date=S,
+    detected=S,
+    recordedDate=S,
+    resultingCondition=_arr(REFERENCE),
+    location=REFERENCE,
+    seriousness=CODEABLE_CONCEPT,
+    severity=CODEABLE_CONCEPT,
+    outcome=CODEABLE_CONCEPT,
+    recorder=REFERENCE,
+    contributor=_arr(REFERENCE),
+    suspectEntity=_arr(
+        _struct(
+            instance=REFERENCE,
+            causality=_arr(
+                _struct(
+                    assessment=CODEABLE_CONCEPT,
+                    productRelatedness=S,
+                    author=REFERENCE,
+                    method=CODEABLE_CONCEPT,
+                )
+            ),
+        )
+    ),
+    subjectMedicalHistory=_arr(REFERENCE),
+    referenceDocument=_arr(REFERENCE),
+    study=_arr(REFERENCE),
+)
+
+AUDIT_EVENT = _resource(
+    **_SPINE_FIELDS,
+    type=CODING,
+    subtype=_arr(CODING),
+    action=S,
+    period=PERIOD,
+    recorded=S,
+    outcome=S,
+    outcomeDesc=S,
+    purposeOfEvent=_arr(CODEABLE_CONCEPT),
+    agent=_arr(
+        _struct(
+            type=CODEABLE_CONCEPT,
+            role=_arr(CODEABLE_CONCEPT),
+            who=REFERENCE,
+            altId=S,
+            name=S,
+            requestor=B,
+            location=REFERENCE,
+            policy=_arr(S),
+            media=CODING,
+            network=_struct(address=S, type=S),
+            purposeOfUse=_arr(CODEABLE_CONCEPT),
+        )
+    ),
+    source=_struct(site=S, observer=REFERENCE, type=_arr(CODING)),
+    entity=_arr(
+        _struct(
+            what=REFERENCE,
+            type=CODING,
+            role=CODING,
+            lifecycle=CODING,
+            securityLabel=_arr(CODING),
+            name=S,
+            description=S,
+            query=S,
+            detail=_arr(
+                _struct(type=S, valueString=S, valueBase64Binary=S)
+            ),
+        )
+    ),
+)
+
+PERSON = _resource(
+    **_SPINE_FIELDS,
+    identifier=_arr(IDENTIFIER),
+    name=_arr(HUMAN_NAME),
+    telecom=_arr(CONTACT_POINT),
+    gender=S,
+    birthDate=S,
+    address=_arr(ADDRESS),
+    photo=ATTACHMENT,
+    managingOrganization=REFERENCE,
+    active=B,
+    link=_arr(_struct(target=REFERENCE, assurance=S)),
+)
+
+_Q_ANSWER_OPTION = _struct(
+    valueInteger=I,
+    valueDate=S,
+    valueTime=S,
+    valueString=S,
+    valueCoding=CODING,
+    initialSelected=B,
+)
+
+_Q_ITEM_LEAF = _struct(
+    linkId=S,
+    definition=S,
+    code=_arr(CODING),
+    prefix=S,
+    text=S,
+    type=S,
+    required=B,
+    repeats=B,
+    readOnly=B,
+    maxLength=I,
+    answerValueSet=S,
+    answerOption=_arr(_Q_ANSWER_OPTION),
+)
+
+QUESTIONNAIRE = _resource(
+    **_SPINE_FIELDS,
+    url=S,
+    identifier=_arr(IDENTIFIER),
+    version=S,
+    name=S,
+    title=S,
+    derivedFrom=_arr(S),
+    status=S,
+    experimental=B,
+    subjectType=_arr(S),
+    date=S,
+    publisher=S,
+    description=S,
+    purpose=S,
+    approvalDate=S,
+    lastReviewDate=S,
+    effectivePeriod=PERIOD,
+    code=_arr(CODING),
+    item=_arr(
+        _struct(
+            linkId=S,
+            definition=S,
+            code=_arr(CODING),
+            prefix=S,
+            text=S,
+            type=S,
+            enableBehavior=S,
+            required=B,
+            repeats=B,
+            readOnly=B,
+            maxLength=I,
+            answerValueSet=S,
+            answerOption=_arr(_Q_ANSWER_OPTION),
+            initial=_arr(
+                _struct(
+                    valueBoolean=B,
+                    valueInteger=I,
+                    valueString=S,
+                    valueCoding=CODING,
+                )
+            ),
+            item=_arr(_Q_ITEM_LEAF),
+        )
+    ),
+)
+
+DEVICE_USE_STATEMENT = _resource(
+    **_SPINE_FIELDS,
+    identifier=_arr(IDENTIFIER),
+    basedOn=_arr(REFERENCE),
+    status=S,
+    subject=REFERENCE,
+    derivedFrom=_arr(REFERENCE),
+    timingPeriod=PERIOD,
+    timingDateTime=S,
+    recordedOn=S,
+    source=REFERENCE,
+    device=REFERENCE,
+    reasonCode=_arr(CODEABLE_CONCEPT),
+    reasonReference=_arr(REFERENCE),
+    bodySite=CODEABLE_CONCEPT,
+    note=_arr(ANNOTATION),
+)
+
+
 CATALOG = {
     "Patient": PATIENT,
     "MessageHeader": MESSAGE_HEADER,
@@ -1362,6 +1553,11 @@ CATALOG = {
     "ClinicalImpression": CLINICAL_IMPRESSION,
     "DeviceRequest": DEVICE_REQUEST,
     "CommunicationRequest": COMMUNICATION_REQUEST,
+    "AdverseEvent": ADVERSE_EVENT,
+    "AuditEvent": AUDIT_EVENT,
+    "Person": PERSON,
+    "Questionnaire": QUESTIONNAIRE,
+    "DeviceUseStatement": DEVICE_USE_STATEMENT,
 }
 
 
@@ -1392,13 +1588,13 @@ _SPINE = _resource(
 BINARY = _resource(contentType=S, data=S, securityContext=REFERENCE)
 
 FULL_SPINE_TYPES = [
-    "ActivityDefinition", "AdverseEvent", "AuditEvent", "Basic", "BiologicallyDerivedProduct", "BodyStructure",
+    "ActivityDefinition", "Basic", "BiologicallyDerivedProduct", "BodyStructure",
     "CapabilityStatement", "CatalogEntry", "ChargeItem",
     "ChargeItemDefinition", 
     "CodeSystem", "CompartmentDefinition",
     "ConceptMap", "Contract", "CoverageEligibilityRequest",
     "CoverageEligibilityResponse", "DeviceDefinition",
-    "DeviceMetric", "DeviceUseStatement",
+    "DeviceMetric",
     "DocumentManifest", "EffectEvidenceSynthesis", "Endpoint",
     "EnrollmentRequest", "EnrollmentResponse", "EventDefinition",
     "Evidence", "EvidenceVariable", "ExampleScenario", 
@@ -1414,7 +1610,7 @@ FULL_SPINE_TYPES = [
     "MessageDefinition", "MolecularSequence", "NamingSystem",
     "NutritionOrder", "ObservationDefinition", "OperationDefinition",
     "OperationOutcome", "OrganizationAffiliation", "PaymentNotice",
-    "PaymentReconciliation", "Person", "PlanDefinition", "Questionnaire",
+    "PaymentReconciliation", "PlanDefinition",
     "RequestGroup", "ResearchDefinition",
     "ResearchElementDefinition", "ResearchStudy", "ResearchSubject",
     "RiskEvidenceSynthesis", "SearchParameter", "SpecimenDefinition",

@@ -504,11 +504,12 @@ def test_full_catalog_recognizes_off_catalog_types(spark, tmp_path):
     assert row.Person[0].language == "en"
     assert row.Person[0].text.status == "generated"
 
-    # Task is curated (deep) since round 10 and appears in the default
-    # catalog; Person stays spine-only and the default catalog drops it
-    # (into _other only when asked)
+    # Task (round 10) and Person (round-11 batch 4) are curated (deep)
+    # and appear in the default catalog; Substance stays spine-only and
+    # the default catalog drops it (into _other only when asked)
     lean = read_from_directory(str(d), spark=spark).entry()
-    assert "Task" in lean.columns and "Person" not in lean.columns
+    assert "Task" in lean.columns and "Person" in lean.columns
+    assert "Substance" not in lean.columns
 
 
 def test_ndjson_reader_type_filter_and_malformed_lines(spark, tmp_path):
