@@ -41,7 +41,10 @@ from pyspark.sql.functions import col
 #     procedure_occurrence sources — both types were already deep in the
 #     curated catalog, the corpus just never carried them)
 # v8: + AdverseEvent (round-11 fourth promotion batch — safety reporting)
-CORPUS_VERSION = "v8"
+# v9: + Questionnaire definitions (3 distinct forms, fields closed-form
+#     in k % 3 so the per-bundle copies are identical and the canonical
+#     definition↔response join has a clean distinct-definitions side)
+CORPUS_VERSION = "v9"
 LOINC = "http://loinc.org"
 
 CPT = "http://www.ama-assn.org/go/cpt"
@@ -91,8 +94,9 @@ def bundle_json_df(
     bundle per customer with c_custkey < ``max_custkey``, each holding a
     Patient, Condition, Claim (2 items), MedicationRequest, Practitioner,
     Observation, DiagnosticReport, QuestionnaireResponse, Slot, Flag,
-    Encounter, Procedure, AdverseEvent and a spine-only NutritionOrder
-    whose fields are closed-form functions of c_custkey.
+    Encounter, Procedure, AdverseEvent, Questionnaire (3 distinct
+    definitions) and a spine-only NutritionOrder whose fields are
+    closed-form functions of c_custkey.
     ``_file_path`` is the stable pseudo-path ``mem://bundles/<key>`` so
     bundleUUIDs are reproducible and oracle-computable (md5 of the same
     string)."""
@@ -398,6 +402,30 @@ def bundle_json_df(
         ).alias("performedDateTime"),
     )
 
+    # Questionnaire DEFINITION (batch-4 promoted type): every field is a
+    # function of k % 3 only, so the corpus carries exactly 3 distinct
+    # definitions (one per PHQ form) replicated per bundle — the
+    # canonical-reference join target for QuestionnaireResponse. The
+    # url deliberately equals the response's `questionnaire` value.
+    j = k % 3
+    qdef = F.struct(
+        F.lit("Questionnaire").alias("resourceType"),
+        _cat("qdef-", j).alias("id"),
+        _cat("Questionnaire/phq-", j).alias("url"),
+        _cat("v", j).alias("version"),
+        _cat("phq-", j).alias("name"),
+        _cat("PHQ form ", j).alias("title"),
+        _pick(("active", "draft", "retired"), j).alias("status"),
+        F.array(
+            F.struct(
+                F.lit("score").alias("linkId"),
+                _cat("How often? (form ", j, ")").alias("text"),
+                F.lit("integer").alias("type"),
+                F.lit(True).alias("required"),
+            )
+        ).alias("item"),
+    )
+
     # AdverseEvent exercises the round-11 fourth promotion batch
     # (safety reporting): actuality code, seriousness/severity
     # CodeableConcepts, patient subject, 0..1 identifier
@@ -450,6 +478,7 @@ def bundle_json_df(
             entry_json(encounter),
             entry_json(procedure),
             entry_json(adverse),
+            entry_json(qdef),
         ),
         F.lit("]}"),
     )

@@ -1204,3 +1204,53 @@ def containment_verified_pairs(
             ).alias("containment_b"),
         )
     )
+
+
+def remove_repeated_lines(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """WITHIN-document repeated-line removal: each distinct line keeps
+    only its FIRST occurrence inside its own document (log/transcript/
+    scraped-page cleaning — the within-doc complement of
+    ``remove_boilerplate_lines``' cross-document frequency rule). Blank
+    and all-whitespace lines always survive (they are formatting, not
+    content). Returns ``(id, n_lines, n_removed, clean_md5)``.
+
+    Scale shape: the first-occurrence window partitions by
+    (document, line-hash) — a PER-DOCUMENT key, so no corpus-global hot
+    key can exist and every window partition is bounded by one
+    document's own repetitions of one line; reassembly is the per-doc
+    sort+fold (``collect_list`` bounded by the doc's line count, the
+    ``remove_boilerplate_lines`` contract)."""
+    from pyspark.sql.window import Window
+
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    )
+    w = Window.partitionBy("_id", F.md5(F.col("_line"))).orderBy("_pos")
+    flagged = lines.select(
+        "_id",
+        "_pos",
+        "_line",
+        (
+            (F.trim(F.col("_line")) == "")
+            | (F.row_number().over(w) == 1)
+        ).alias("_keep"),
+    )
+    kept_struct = F.when(F.col("_keep"), F.struct("_pos", "_line"))
+    return flagged.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum((~F.col("_keep")).cast("int")).cast("long").alias("n_removed"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            )
+        ).alias("clean_md5"),
+    ).select(
+        F.col("_id").alias(id_col), "n_lines", "n_removed", "clean_md5"
+    )

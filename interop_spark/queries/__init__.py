@@ -39,19 +39,22 @@ _MODULES = (
 # live in git history (prior revisions of this block — trimmed per
 # ADVICE r9 #3 / r10 verdict item 8; history belongs in git log).
 #
-# ROUND-11 window (50), CONTINUATION REVISION: the session added ELEVEN
-# new oracle rows after the original round-11 rotation landed —
-# temperature_sample, bloom_dedup, pagerank_weights, stream_join_pairs,
-# fhir_omop_visit_occurrence, fhir_omop_procedure_occurrence,
-# fhir_omop_measurement, containment_neardup, shard_assignment,
-# vocab_coverage, fhir_adverse_events (the batch-4 schema-promotion
-# proof over corpus v8) — and new rows MUST sit in the first 50, so
-# ELEVEN rows of the r7 staleness queue are displaced to head the
+# ROUND-11 window (50), CONTINUATION REVISION: the session added
+# THIRTEEN new oracle rows after the original round-11 rotation landed
+# — temperature_sample, bloom_dedup, pagerank_weights,
+# stream_join_pairs, fhir_omop_visit_occurrence,
+# fhir_omop_procedure_occurrence, fhir_omop_measurement,
+# containment_neardup, shard_assignment, vocab_coverage,
+# fhir_adverse_events (the batch-4 schema-promotion proof, corpus v8),
+# fhir_questionnaire_join (cross-resource canonical join, corpus v9),
+# dup_line_removal — and new rows MUST sit in the first 50, so
+# THIRTEEN rows of the r7 staleness queue are displaced to head the
 # round-12 queue (knn_cosine, text_quality, doc_fingerprint,
 # drop_duplicates, train_test_split, enrich_events, conditional_agg,
-# winnow_dup_pairs, semdedup_keep, knn_batch, cube_agg — all r7-green
-# AND judge-re-run green in r10; cube_agg displaced instead of
-# substring_dup_runs because relational_ext.py is untouched this round
+# winnow_dup_pairs, semdedup_keep, knn_batch, cube_agg, pivot_agg,
+# grouping_sets — all r7-green AND judge-re-run green in r10;
+# cube_agg/pivot_agg/grouping_sets displaced instead of
+# substring_dup_runs because their modules are untouched this round
 # while substring's operator module gained appends). asof_join /
 # range_join_pairs stay in-window deliberately: temporal_q.py is a
 # touched module this round (stream_join_pairs appended; existing
@@ -61,7 +64,7 @@ _MODULES = (
 # fhir/analytics.py — hunk-verified: no existing function modified);
 # fhir/gen.py corpus v7 (+Encounter/Procedure) re-verifies every
 # synthetic-corpus consumer, all of which were already in-window.
-# ROUND-12 QUEUE: the 11 displaced r7 rows above, THEN the 37 rows whose
+# ROUND-12 QUEUE: the 13 displaced r7 rows above, THEN the 37 rows whose
 # newest green is r8 — agg_stats, audio_stats, bpe_encode,
 # bpe_merge_candidates, bsq_hamming_search, c4_clean, chunk_sliding,
 # classifier_train_steps, countmin_estimate, date_series,
@@ -117,13 +120,13 @@ _MODULES = (
 #     appended query/oracle pairs plus the two ndjson ORACLE edits
 #     above (hunk-verified); every other row in those modules keeps
 #     its prior green (the corpus consumers are in-window anyway).
-#   * STALENESS ROTATION — the r7 queue less the 11 rows displaced by
+#   * STALENESS ROTATION — the r7 queue less the 13 rows displaced by
 #     the continuation's new queries (all r7-green, judge-re-run green
 #     in r10): embedding_neardup, embedding_centroids,
 #     lsh_bucket_sizes, token_count_bpe, tfidf_top_terms, frame_sample,
 #     stratified_sample, media_stats, ngram_jaccard_pairs, unpivot,
-#     window_rank_battery, array_funcs, pivot_agg, grouping_sets,
-#     substring_dup_runs, asof_join, range_join_pairs (17).
+#     window_rank_battery, array_funcs,
+#     substring_dup_runs, asof_join, range_join_pairs (15).
 # --------------------------------------------------------------------------
 _WINDOW = (
     # --- ROUND 11: new queries (3) ---
@@ -165,7 +168,9 @@ _WINDOW = (
     "shard_assignment",
     "vocab_coverage",
     "fhir_adverse_events",
-    # --- ROUND 11: the r7 staleness queue less the 11 displaced (17) ---
+    "fhir_questionnaire_join",
+    "dup_line_removal",
+    # --- ROUND 11: the r7 staleness queue less the 13 displaced (15) ---
     "embedding_neardup",
     "embedding_centroids",
     "lsh_bucket_sizes",
@@ -178,8 +183,6 @@ _WINDOW = (
     "unpivot",
     "window_rank_battery",
     "array_funcs",
-    "pivot_agg",
-    "grouping_sets",
     "substring_dup_runs",
     "asof_join",
     "range_join_pairs",

@@ -615,6 +615,41 @@ def q_fhir_adverse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fhir_questionnaire_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-RESOURCE canonical-reference join — a join shape the
+    within-bundle flattens don't cover: QuestionnaireResponse rows from
+    EVERY bundle join the 3 distinct Questionnaire DEFINITIONS on the
+    canonical url (real FHIR analytics: responses reference a form
+    definition that lives in a definitions corpus, not in the same
+    bundle). The definitions side dedups to its distinct rows (3) and
+    broadcasts; the response side never shuffles before the per-form
+    aggregate. Exercises the batch-4 promoted Questionnaire deep
+    schema end-to-end."""
+    entry = _synthetic_entry(spark, sf_dir)
+    qr = entry.select(F.explode("QuestionnaireResponse").alias("qr")).select(
+        col("qr.questionnaire").alias("questionnaire_url"),
+        col("qr.authored").alias("authored"),
+    )
+    qdef = (
+        entry.select(F.explode("Questionnaire").alias("q"))
+        .select(
+            col("q.url").alias("questionnaire_url"),
+            col("q.title").alias("form_title"),
+            col("q.status").alias("form_status"),
+        )
+        .distinct()
+    )
+    return (
+        qr.join(F.broadcast(qdef), "questionnaire_url")
+        .groupBy("questionnaire_url", "form_title", "form_status")
+        .agg(
+            F.count(F.lit(1)).alias("n_responses"),
+            F.min("authored").alias("min_authored"),
+            F.max("authored").alias("max_authored"),
+        )
+    )
+
+
 def q_fhir_omop_visit_occurrence(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -779,6 +814,7 @@ QUERIES = {
     "fhir_omop_condition_occurrence": q_fhir_omop_condition_occurrence,
     "fhir_omop_drug_exposure": q_fhir_omop_drug_exposure,
     "fhir_adverse_events": q_fhir_adverse_events,
+    "fhir_questionnaire_join": q_fhir_questionnaire_join,
     "fhir_omop_visit_occurrence": q_fhir_omop_visit_occurrence,
     "fhir_omop_procedure_occurrence": q_fhir_omop_procedure_occurrence,
     "fhir_omop_measurement": q_fhir_omop_measurement,
@@ -1073,6 +1109,22 @@ ORACLE = {
                       (c_custkey + 7) % 28 + 1) AS drug_exposure_start_date,
                {_DK_MED_STATUS} AS drug_status_source_value
         FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+    """,
+    "fhir_questionnaire_join": f"""
+        SELECT 'Questionnaire/phq-' || (c_custkey % 3)::VARCHAR
+                 AS questionnaire_url,
+               'PHQ form ' || (c_custkey % 3)::VARCHAR AS form_title,
+               CASE (c_custkey % 3) WHEN 0 THEN 'active'
+                 WHEN 1 THEN 'draft' ELSE 'retired' END AS form_status,
+               CAST(count(1) AS BIGINT) AS n_responses,
+               min(printf('%04d-%02d-%02d', 2021 + c_custkey % 3,
+                          (c_custkey + 6) % 12 + 1,
+                          (c_custkey + 13) % 28 + 1)) AS min_authored,
+               max(printf('%04d-%02d-%02d', 2021 + c_custkey % 3,
+                          (c_custkey + 6) % 12 + 1,
+                          (c_custkey + 13) % 28 + 1)) AS max_authored
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+        GROUP BY 1, 2, 3
     """,
     "fhir_adverse_events": f"""
         SELECT 'ae-' || c_custkey::VARCHAR AS event_id,

@@ -2124,6 +2124,67 @@ def _vocab_coverage_oracle() -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# Within-document repeated-line removal
+# --------------------------------------------------------------------------
+
+RL_LIMIT = 200
+
+
+def q_dup_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-line removal through the gate: every 4th
+    document gets its own FIRST line re-appended at the end (planted
+    in-doc repetition — scraped pages and logs repeat their own
+    headers), and ``dedup.remove_repeated_lines`` must excise exactly
+    the planted copies while untouched docs pass through with
+    n_removed = 0 and an unchanged reassembly hash."""
+    from interop_spark.operators.dedup import remove_repeated_lines
+
+    d = load(spark, sf_dir, "documents").where(col("doc_id") < RL_LIMIT)
+    first_line = F.get(F.split(col("text"), "\n"), 0)
+    planted = d.select(
+        "doc_id",
+        F.when(
+            col("doc_id") % 4 == 0,
+            F.concat_ws("\n", col("text"), first_line),
+        )
+        .otherwise(col("text"))
+        .alias("text"),
+    )
+    return remove_repeated_lines(planted)
+
+
+def _dup_line_oracle() -> str:
+    return f"""
+        WITH docs AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 4 = 0 THEN
+                   text || chr(10) || string_split(text, chr(10))[1]
+                 ELSE text END AS text
+          FROM documents WHERE doc_id < {RL_LIMIT}
+        ),
+        sp AS (SELECT doc_id, string_split(text, chr(10)) AS sp FROM docs),
+        lines AS (
+          SELECT doc_id, i - 1 AS pos, sp[i] AS line
+          FROM sp, unnest(generate_series(1, len(sp))) AS g(i)
+        ),
+        flagged AS (
+          SELECT doc_id, pos, line,
+                 (trim(line) = '' OR row_number() OVER (
+                    PARTITION BY doc_id, md5(line) ORDER BY pos) = 1)
+                   AS keep
+          FROM lines
+        )
+        SELECT doc_id,
+               CAST(count(1) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_removed,
+               md5(string_agg(line, chr(10) ORDER BY pos)
+                   FILTER (WHERE keep)) AS clean_md5
+        FROM flagged GROUP BY doc_id
+    """
+
+
 QUERIES = {
     "edit_distance_neardup": q_edit_distance_neardup,
     "dsir_importance": q_dsir_importance,
@@ -2150,6 +2211,7 @@ QUERIES = {
     "containment_neardup": q_containment_neardup,
     "shard_assignment": q_shard_assignment,
     "vocab_coverage": q_vocab_coverage,
+    "dup_line_removal": q_dup_line_removal,
 }
 
 ORACLE = {
@@ -2178,4 +2240,5 @@ ORACLE = {
     "containment_neardup": _containment_oracle(),
     "shard_assignment": _shard_oracle(),
     "vocab_coverage": _vocab_coverage_oracle(),
+    "dup_line_removal": _dup_line_oracle(),
 }

@@ -643,3 +643,28 @@ def test_vocab_coverage_bounds(spark, sf_dir):
     for r in q_vocab_coverage(spark, sf_dir).collect():
         assert 0 < r.n_covered <= r.n_tokens
         assert 0 < r.coverage_ppm <= 1_000_000
+
+
+def test_remove_repeated_lines_planted(spark):
+    """First occurrence survives, later copies are excised, blank lines
+    always survive, and a repetition-free doc passes through intact."""
+    from interop_spark.operators.dedup import remove_repeated_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "header\nbody one\nheader\n\nbody two\nheader"),
+            (2, "alpha\nbeta\ngamma"),
+            (3, "x\n\n\nx"),  # blanks between repeats all survive
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in remove_repeated_lines(docs).collect()}
+    import hashlib
+
+    md5 = lambda t: hashlib.md5(t.encode()).hexdigest()  # noqa: E731
+    assert out[1].n_lines == 6 and out[1].n_removed == 2
+    assert out[1].clean_md5 == md5("header\nbody one\n\nbody two")
+    assert out[2].n_removed == 0
+    assert out[2].clean_md5 == md5("alpha\nbeta\ngamma")
+    assert out[3].n_lines == 4 and out[3].n_removed == 1
+    assert out[3].clean_md5 == md5("x\n\n")
