@@ -86,9 +86,11 @@ def entry_from_json(
     ~1.5 s even with every typed column a literal NULL; it amortizes
     once tasks carry more than a few MB of bundles), and (2) the typed
     extraction of resource types actually present. Re-measured at the
-    round-11 54-type catalog: full-catalog entry() over the corpus runs
-    ~6.5x a 2-type narrowed scan (3.7 s vs 0.56 s local[8]) — the gap
-    WIDENS as the catalog grows, so callers that know their resource
+    round-11 59-type catalog (corpus v9, 14 resources/bundle):
+    full-catalog entry() runs ~2.5-6.5x a 2-type narrowed scan across
+    measurement sessions (1.96 s vs 0.77 s on one local[8] run; 3.7 s
+    vs 0.56 s on another at 54 types — the ratio is load-sensitive but
+    consistently a MULTIPLE), so callers that know their resource
     types should still pass a narrowed ``FhirSchemaModel``
     (``fhir_ingest_corpus`` does).
     """
