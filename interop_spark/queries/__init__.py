@@ -75,8 +75,10 @@ _MODULES = (
 # multimodal_features, multiway_join_agg, paragraph_dedup,
 # percentile_agg, pq_adc_topk, pq_encode, pricing_summary,
 # quality_classifier_filter, scd2_intervals, stream_dedup_counts,
-# stream_windowed_counts, string_agg_sorted, unimax_sample — leaving 6
-# slots for round-12 new/changed rows (the r9 residue spills to r13).
+# stream_windowed_counts, string_agg_sorted, unimax_sample. The 13
+# displaced rows + the 37 r8 rows fill 50 exactly, so every round-12
+# NEW/changed row displaces an r8-row to the r13 queue head (and the
+# r9 residue spills to r13 behind them).
 #   * NEW this round (3): fhir_flags (corpus-v6 Flag flatten through
 #     the third schema-promotion batch), fhir_ndjson_patient_conditions
 #     (the NDJSON→bundle-row bridge: bundles_from_ndjson + the
