@@ -61,6 +61,13 @@ COMMENT = {
  "bpe_encode": "True BPE encode: the merge loop runs per DISTINCT word (pandas_udf over the vocabulary table, cost scales with vocab not corpus); the corpus pass is then a broadcast word->pieces join + explode -- the corpus-side plan is one broadcast join, zero corpus shuffles.",
  "text_token_stats": "Token/word statistics as pure Column folds (split + aggregate) in ONE projection -- zero exchanges; scan-bandwidth bound. The r9-flagged query: its plan has no shuffle to regress, so wall-clock moves only with machine load (see BENCH spread).",
  "pretrain_pipeline": "Composed pretraining-data accounting in ONE corpus scan: every stage (quality, language, dedup-keep) is a per-row FLAG over the same projection, so the only exchanges are the fingerprint window (dedup representative) and the two tiny aggregates -- a naive stage-by-stage job re-reads the corpus once per stage. The flag frame is localCheckpoint-ed because accounting and packing both consume it.",
+ "bloom_dedup": "Bloom incremental dedup: the history bitmap build is the ONLY hash exchange (distinct over <= n_bits keys -- bounded regardless of history size); the one-row bitmap broadcasts onto a zero-shuffle probe projection; the ground-truth fingerprint semi-join (gate-only) broadcasts the distinct history fps.",
+ "temperature_sample": "Temperature language mixing: per-language counts and the one-row max broadcast back onto a zero-shuffle keep projection; the keep test is exact integer arithmetic (squared hash-Bernoulli), so no libm and no cross-language float sum exists in the plan.",
+ "pagerank_weights": "Integer PageRank: per iteration one rank->edge equi-join + one dst-keyed integer SUM + one left join onto the node list -- the Pregel dataflow as plain uniform-key shuffles; the top-k is TakeOrderedAndProject, never a global sort; ranks are ppm integers so partial-agg order cannot change the result.",
+ "containment_neardup": "Asymmetric containment verify: candidates from the shared MinHash band join (compact (band,id) exchange); the exact set intersections run per CANDIDATE via two keyed joins back to the shingle table -- the shingle payload never enters the band exchange.",
+ "shard_assignment": "Training-shard assignment: the shard id is a hash projection over the scan (zero shuffle); the audit is one N-key aggregate. At 100 TB the same column feeds repartition(N, col).write for balanced shard files without a global sort.",
+ "vocab_coverage": "Vocabulary OOV audit: vocab induction is one token-keyed count + TakeOrderedAndProject top-k under a total tie order; the coverage pass joins corpus tokens against the broadcast vocab and aggregates per language -- no corpus-keyed shuffle beyond the lang aggregate.",
+ "dup_line_removal": "Within-doc repeated-line removal: posexplode projection -> first-occurrence window partitioned by (doc, line-hash) -- a PER-DOCUMENT key, so no corpus-global hot key exists -- -> per-doc sort+fold reassembly (collect_list bounded by the doc's own line count).",
 }
 
 out = ["# PLANS — physical plans of the headline queries (sf0.1, AQE on)",
@@ -92,7 +99,10 @@ for name in ["pricing_summary", "multiway_join_agg", "latest_event_per_user",
              "bsq_hamming_search", "countmin_estimate",
              "resample_ffill", "chunk_sliding",
              "corpus_clean", "bpe_encode", "text_token_stats",
-             "pretrain_pipeline"]:
+             "pretrain_pipeline",
+             "bloom_dedup", "temperature_sample", "pagerank_weights",
+             "containment_neardup", "shard_assignment", "vocab_coverage",
+             "dup_line_removal"]:
     df = qs[name](spark, SF)
     df.write.format("noop").mode("overwrite").save()  # let AQE finalize
     plan = df._jdf.queryExecution().executedPlan().toString()
