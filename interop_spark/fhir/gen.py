@@ -543,7 +543,13 @@ def write_corpus(
 # v2: + Condition (the type the patient-conditions flatten consumes, so
 #     the NDJSON→bundle-row bridge can be oracled against the same
 #     closed-form derivations as the bundle corpus)
-NDJSON_VERSION = "v2"
+# v3: + Coverage / Account / AllergyIntolerance — the three patient-
+#     attribution shapes beyond subject/patient structs (r11 verdict
+#     item 2): Coverage keys on ``beneficiary``, Account on a 0..*
+#     ``subject`` ARRAY (every 10th account names TWO patients, so the
+#     multi-patient compartment fan-out is exercised, not just typed),
+#     AllergyIntolerance on the ``patient`` struct.
+NDJSON_VERSION = "v3"
 
 
 def ndjson_resource_dfs(
@@ -602,11 +608,64 @@ def ndjson_resource_dfs(
             ((k + 3) % 12 + 1).cast("int"), ((k + 5) % 28 + 1).cast("int"),
         ).alias("recordedDate"),
     )
+    # Coverage attributes through `beneficiary` (the R4 patient
+    # compartment's Coverage path — neither subject nor patient exists
+    # on the type).
+    coverage = F.struct(
+        F.lit("Coverage").alias("resourceType"),
+        _cat("cov-", k).alias("id"),
+        F.when(k % 5 == 0, F.lit("cancelled"))
+        .otherwise(F.lit("active"))
+        .alias("status"),
+        _codeable(
+            _pick(("EHCPOL", "PUBLICPOL", "HSAPOL"), k),
+            _pick(("EHCPOL", "PUBLICPOL", "HSAPOL"), k),
+            "http://terminology.hl7.org/CodeSystem/v3-ActCode",
+        ).alias("type"),
+        F.struct(_cat("Patient/p-", k).alias("reference")).alias(
+            "beneficiary"
+        ),
+        F.array(
+            F.struct(_cat("Organization/org-", k % 4).alias("reference"))
+        ).alias("payor"),
+    )
+    # Account.subject is 0..* Reference — every 10th account names the
+    # NEXT patient too, so bridge attribution must fan the row into two
+    # bundles (the compartment contract, not a coalesce).
+    subj = lambda kk: F.struct(_cat("Patient/p-", kk).alias("reference"))  # noqa: E731
+    account = F.struct(
+        F.lit("Account").alias("resourceType"),
+        _cat("acct-", k).alias("id"),
+        _pick(("active", "inactive"), k).alias("status"),
+        _cat("acct-name-", k % 20).alias("name"),
+        F.when(k % 10 == 0, F.array(subj(k), subj(k + 1)))
+        .otherwise(F.array(subj(k)))
+        .alias("subject"),
+    )
+    allergy = F.struct(
+        F.lit("AllergyIntolerance").alias("resourceType"),
+        _cat("alg-", k).alias("id"),
+        _pick(("allergy", "intolerance"), k).alias("type"),
+        _pick(("low", "high", "unable-to-assess"), k + 1).alias(
+            "criticality"
+        ),
+        _codeable(
+            _cat("ALG", k % 15), _cat("allergen-", k % 15), SNOMED
+        ).alias("code"),
+        F.struct(_cat("Patient/p-", k).alias("reference")).alias("patient"),
+        F.format_string(
+            "%04d-%02d-%02d", (k % 5 + 2018).cast("int"),
+            ((k + 9) % 12 + 1).cast("int"), ((k + 14) % 28 + 1).cast("int"),
+        ).alias("recordedDate"),
+    )
     base = c.where(k < max_custkey)
     return {
         "Patient": base.select(F.to_json(patient).alias("value")),
         "Observation": base.select(F.to_json(observation).alias("value")),
         "Condition": base.select(F.to_json(condition).alias("value")),
+        "Coverage": base.select(F.to_json(coverage).alias("value")),
+        "Account": base.select(F.to_json(account).alias("value")),
+        "AllergyIntolerance": base.select(F.to_json(allergy).alias("value")),
     }
 
 

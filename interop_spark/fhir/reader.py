@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import ArrayType, StructType
 
 from interop_spark.fhir.schema import FhirSchemaModel
 
@@ -374,11 +374,16 @@ def bundles_from_ndjson(
     timestamp) plus one ``array<struct>`` column per requested type.
 
     Patient attribution: ``Patient`` rows key on ``Patient/<id>``;
-    every other type keys on the FHIR patient-compartment reference —
-    ``subject.reference`` / ``patient.reference``, whichever the
-    declared schema carries (coalesced when both). Rows with no
-    patient reference are dropped (un-attributable resources belong in
-    the per-type frames, not in patient bundles).
+    every other type keys on the FHIR patient-compartment references
+    the declared schema carries — the single-reference fields
+    ``subject`` / ``patient`` / ``beneficiary`` (Coverage keys on
+    ``beneficiary``, hl7.org/fhir/R4/compartmentdefinition-patient)
+    coalesced into ONE primary ref, plus every value of an
+    array-of-Reference field of those names (Account.subject is
+    0..*): a resource naming several patients lands in each named
+    patient's bundle row, which is exactly the compartment contract.
+    Rows with no patient reference are dropped (un-attributable
+    resources belong in the per-type frames, not in patient bundles).
 
     Scale shape: each type aggregates independently — one shuffle per
     type keyed by patient reference, ``collect_list`` arrays bounded by
@@ -394,30 +399,40 @@ def bundles_from_ndjson(
         st = schemas.schema(rt)
         fields = {f.name: f.dataType for f in st.fields}
         if rt == "Patient":
-            key = F.concat(F.lit("Patient/"), F.col("id"))
+            keys = F.array(F.concat(F.lit("Patient/"), F.col("id")))
         else:
-            refs = [
+            single = [
                 F.col(f"{c}.reference")
-                for c in ("subject", "patient")
+                for c in ("subject", "patient", "beneficiary")
                 if c in fields
                 and isinstance(fields[c], StructType)
                 and "reference" in fields[c].fieldNames()
             ]
-            if not refs:
+            multi = [
+                F.transform(F.col(c), lambda x: x["reference"])
+                for c in ("subject", "patient", "beneficiary")
+                if c in fields
+                and isinstance(fields[c], ArrayType)
+                and isinstance(fields[c].elementType, StructType)
+                and "reference" in fields[c].elementType.fieldNames()
+            ]
+            parts = ([F.array(F.coalesce(*single))] if single else []) + multi
+            if not parts:
                 raise ValueError(
-                    f"{rt}: declared schema has no subject/patient "
-                    "reference to attribute rows to a patient"
+                    f"{rt}: declared schema has no subject/patient/"
+                    "beneficiary reference to attribute rows to a patient"
                 )
-            key = F.coalesce(*refs)
+            keys = F.array_distinct(
+                F.array_compact(parts[0] if len(parts) == 1 else F.concat(*parts))
+            )
         typed = nd.resource(rt, schemas=schemas)
         agg = (
-            typed.where(key.isNotNull())
-            .groupBy(key.alias("_patient_ref"))
-            .agg(
-                F.collect_list(
-                    F.struct(*[F.col(f.name) for f in st.fields])
-                ).alias(rt)
+            typed.select(
+                F.explode(keys).alias("_patient_ref"),
+                F.struct(*[F.col(f.name) for f in st.fields]).alias("_r"),
             )
+            .groupBy("_patient_ref")
+            .agg(F.collect_list("_r").alias(rt))
         )
         joined = (
             agg

@@ -754,6 +754,60 @@ def q_fhir_ndjson_patient_conditions(
     return patient_conditions(entry)
 
 
+def q_fhir_ndjson_coverage_bundles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bridge attribution beyond subject/patient structs (r11 verdict
+    item 2): a three-type ``bundles_from_ndjson`` where EVERY type keys
+    differently — Coverage through ``beneficiary.reference`` (the R4
+    patient-compartment path for the type), Account through its 0..*
+    ``subject`` Reference ARRAY (every 10th account names two patients,
+    so one resource row must land in BOTH patients' bundle rows — the
+    compartment fan-out, not a coalesce), AllergyIntolerance through
+    the ``patient`` struct. The flatten aggregates per bundle so the
+    multi-patient accounts surface as n_accounts=2 with deterministic
+    min/max ids (collect_list order never reaches the output)."""
+    from interop_spark.fhir import bundles_from_ndjson, read_from_ndjson
+    from interop_spark.fhir.gen import write_ndjson_corpus
+    from interop_spark.fhir.schema import (
+        ACCOUNT,
+        ALLERGY_INTOLERANCE,
+        COVERAGE,
+        FhirSchemaModel,
+    )
+
+    d = write_ndjson_corpus(spark, sf_dir, max_custkey=_SYNTH_LIMIT)
+    nd = read_from_ndjson("file://" + d, spark=spark, glob_filter="*.ndjson")
+    entry = bundles_from_ndjson(
+        nd,
+        ["Coverage", "Account", "AllergyIntolerance"],
+        schemas=FhirSchemaModel(
+            fhir_resource_map={
+                "Coverage": COVERAGE,
+                "Account": ACCOUNT,
+                "AllergyIntolerance": ALLERGY_INTOLERANCE,
+            }
+        ),
+    )
+    cov = F.get(col("Coverage"), 0)
+    alg = F.get(col("AllergyIntolerance"), 0)
+    acct_ids = F.transform(col("Account"), lambda x: x["id"])
+    return entry.select(
+        col("bundleUUID").alias("UNIQUE_FHIR_ID"),
+        col("bundleId").alias("patient_ref"),
+        F.size("Coverage").alias("n_coverage"),
+        cov["status"].alias("coverage_status"),
+        F.get(cov["type"]["coding"], 0)["code"].alias("coverage_type"),
+        F.get(cov["payor"], 0)["reference"].alias("payor_ref"),
+        F.size("Account").alias("n_accounts"),
+        F.array_min(acct_ids).alias("min_account_id"),
+        F.array_max(acct_ids).alias("max_account_id"),
+        F.size("AllergyIntolerance").alias("n_allergies"),
+        F.get(alg["code"]["coding"], 0)["code"].alias("allergy_code"),
+        alg["criticality"].alias("criticality"),
+    )
+
+
 def q_fhir_ingest_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reader THROUGHPUT path over a real file corpus: ~1200 generated
     bundle files (one .json per bundle, deterministic content) →
@@ -811,6 +865,7 @@ QUERIES = {
     "fhir_ndjson_observations": q_fhir_ndjson_observations,
     "fhir_ndjson_type_counts": q_fhir_ndjson_type_counts,
     "fhir_ndjson_patient_conditions": q_fhir_ndjson_patient_conditions,
+    "fhir_ndjson_coverage_bundles": q_fhir_ndjson_coverage_bundles,
     "fhir_omop_condition_occurrence": q_fhir_omop_condition_occurrence,
     "fhir_omop_drug_exposure": q_fhir_omop_drug_exposure,
     "fhir_adverse_events": q_fhir_adverse_events,
@@ -1208,6 +1263,15 @@ ORACLE = {
         UNION ALL
         SELECT 'Condition', CAST(count(1) AS BIGINT)
         FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+        UNION ALL
+        SELECT 'Coverage', CAST(count(1) AS BIGINT)
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+        UNION ALL
+        SELECT 'Account', CAST(count(1) AS BIGINT)
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+        UNION ALL
+        SELECT 'AllergyIntolerance', CAST(count(1) AS BIGINT)
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
     """,
     "fhir_ndjson_patient_conditions": f"""
         SELECT {_dk_uuid("'ndjson://Patient/p-' || c_custkey::VARCHAR")}
@@ -1219,6 +1283,33 @@ ORACLE = {
                'http://snomed.info/sct' AS condition_type_code,
                'cond-' || (c_custkey % 50)::VARCHAR AS condition_description,
                {_DK_COND_DATE} AS condition_date
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+    """,
+    "fhir_ndjson_coverage_bundles": f"""
+        SELECT {_dk_uuid("'ndjson://Patient/p-' || c_custkey::VARCHAR")}
+                 AS UNIQUE_FHIR_ID,
+               'Patient/p-' || c_custkey::VARCHAR AS patient_ref,
+               CAST(1 AS INTEGER) AS n_coverage,
+               CASE WHEN c_custkey % 5 = 0 THEN 'cancelled'
+                 ELSE 'active' END AS coverage_status,
+               CASE (c_custkey % 3) WHEN 0 THEN 'EHCPOL'
+                 WHEN 1 THEN 'PUBLICPOL' ELSE 'HSAPOL' END AS coverage_type,
+               'Organization/org-' || (c_custkey % 4)::VARCHAR AS payor_ref,
+               CAST(CASE WHEN c_custkey >= 1 AND (c_custkey - 1) % 10 = 0
+                 THEN 2 ELSE 1 END AS INTEGER) AS n_accounts,
+               CASE WHEN c_custkey >= 1 AND (c_custkey - 1) % 10 = 0
+                 THEN least('acct-' || c_custkey::VARCHAR,
+                            'acct-' || (c_custkey - 1)::VARCHAR)
+                 ELSE 'acct-' || c_custkey::VARCHAR END AS min_account_id,
+               CASE WHEN c_custkey >= 1 AND (c_custkey - 1) % 10 = 0
+                 THEN greatest('acct-' || c_custkey::VARCHAR,
+                               'acct-' || (c_custkey - 1)::VARCHAR)
+                 ELSE 'acct-' || c_custkey::VARCHAR END AS max_account_id,
+               CAST(1 AS INTEGER) AS n_allergies,
+               'ALG' || (c_custkey % 15)::VARCHAR AS allergy_code,
+               CASE ((c_custkey + 1) % 3) WHEN 0 THEN 'low'
+                 WHEN 1 THEN 'high' ELSE 'unable-to-assess' END
+                 AS criticality
         FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
     """,
     "fhir_condition_text": f"""

@@ -627,6 +627,66 @@ def test_bundles_from_ndjson_bridge(spark, tmp_path):
         bundles_from_ndjson(nd, ["Practitioner"])
 
 
+def test_bundles_from_ndjson_compartment_attribution(spark, tmp_path):
+    """Bridge attribution beyond subject/patient structs (round-12):
+    Coverage keys on ``beneficiary.reference`` (the R4 patient-
+    compartment path — the type has neither subject nor patient),
+    Account keys on its 0..* ``subject`` Reference ARRAY — a resource
+    naming two patients lands in BOTH bundle rows (compartment fan-out)
+    and appears exactly once per bundle even when listed twice
+    (array_distinct) — and a null/absent ref inside the array is
+    dropped, not attributed."""
+    from interop_spark.fhir import bundles_from_ndjson, read_from_ndjson
+
+    d = tmp_path / "export"
+    d.mkdir()
+    (d / "Patient.ndjson").write_text(
+        '{"resourceType":"Patient","id":"p-1"}\n'
+        '{"resourceType":"Patient","id":"p-2"}\n'
+    )
+    (d / "Coverage.ndjson").write_text(
+        '{"resourceType":"Coverage","id":"cov-1","status":"active",'
+        '"beneficiary":{"reference":"Patient/p-1"}}\n'
+        '{"resourceType":"Coverage","id":"cov-2","status":"cancelled",'
+        '"beneficiary":{"reference":"Patient/p-2"}}\n'
+    )
+    (d / "Account.ndjson").write_text(
+        # names BOTH patients -> one row in each bundle
+        '{"resourceType":"Account","id":"a-shared","subject":'
+        '[{"reference":"Patient/p-1"},{"reference":"Patient/p-2"}]}\n'
+        # duplicate ref -> attributed ONCE (array_distinct)
+        '{"resourceType":"Account","id":"a-dup","subject":'
+        '[{"reference":"Patient/p-1"},{"reference":"Patient/p-1"}]}\n'
+        # null ref element + real ref -> null dropped, real kept
+        '{"resourceType":"Account","id":"a-null","subject":'
+        '[{"display":"no ref"},{"reference":"Patient/p-2"}]}\n'
+        # no refs at all -> dropped entirely
+        '{"resourceType":"Account","id":"a-orphan","subject":[]}\n'
+    )
+    (d / "AllergyIntolerance.ndjson").write_text(
+        '{"resourceType":"AllergyIntolerance","id":"alg-1",'
+        '"criticality":"high","patient":{"reference":"Patient/p-1"}}\n'
+    )
+    nd = read_from_ndjson(str(d), spark=spark)
+    entry = bundles_from_ndjson(
+        nd, ["Patient", "Coverage", "Account", "AllergyIntolerance"]
+    )
+    rows = {r.bundleId: r for r in entry.collect()}
+    assert set(rows) == {"Patient/p-1", "Patient/p-2"}
+    assert [c.id for c in rows["Patient/p-1"].Coverage] == ["cov-1"]
+    assert [c.id for c in rows["Patient/p-2"].Coverage] == ["cov-2"]
+    assert sorted(a.id for a in rows["Patient/p-1"].Account) == [
+        "a-dup",
+        "a-shared",
+    ]
+    assert sorted(a.id for a in rows["Patient/p-2"].Account) == [
+        "a-null",
+        "a-shared",
+    ]
+    assert rows["Patient/p-1"].AllergyIntolerance[0].criticality == "high"
+    assert rows["Patient/p-2"].AllergyIntolerance is None
+
+
 def test_bridge_matches_bundle_path_on_same_corpus(spark, tmp_path):
     """The SAME resources ingested as transaction bundles and as a
     $export NDJSON directory produce identical patient_conditions rows
