@@ -380,6 +380,80 @@ def omop_measurement(entry_df: DataFrame) -> DataFrame:
     )
 
 
+def omop_death(entry_df: DataFrame) -> DataFrame:
+    """OMOP CDM death projection from ``Patient.deceased[x]`` (choice
+    type: ``deceasedDateTime`` gives a dated row; a bare
+    ``deceasedBoolean=true`` gives a row with NULL death_date — death
+    known, date unknown — which is how a real FHIR→OMOP ETL lands the
+    choice). Patients with no deceased indication emit no row.
+    death_type_concept_id 32817 = "EHR" (OMOP standard vocabulary).
+    Scale: one explode + filter, no shuffle at all."""
+    p = entry_df.select(explode("Patient").alias("p"))
+    return p.where(
+        (col("p.deceasedBoolean") == F.lit(True))
+        | col("p.deceasedDateTime").isNotNull()
+    ).select(
+        col("p.id").alias("person_id"),
+        F.substring(col("p.deceasedDateTime"), 1, 10).alias("death_date"),
+        F.lit(32817).alias("death_type_concept_id"),
+    )
+
+
+def omop_observation_period(entry_df: DataFrame) -> DataFrame:
+    """OMOP CDM observation_period: the [min, max] clinical-event date
+    span per person, derived from the dated clinical resources
+    (Condition.recordedDate, Encounter.period bounds,
+    Procedure.performedDateTime, MedicationRequest.authoredOn,
+    Observation/DiagnosticReport.effectiveDateTime) — the aggregate a
+    real FHIR→OMOP ETL runs last, once the event tables are mapped.
+    period_type_concept_id 44814724 = "Period covering healthcare
+    encounters" (OMOP standard vocabulary).
+
+    Scale shape: each source explodes to a narrow (person_id, date)
+    pair — Catalyst prunes every other resource column before the
+    union — and partial min/max aggregation collapses each map task to
+    at most one row per person BEFORE the single person-keyed
+    shuffle."""
+    srcs = (
+        ("Condition", "subject", ["recordedDate"]),
+        ("Encounter", "subject", ["period.start", "period.end"]),
+        ("Procedure", "subject", ["performedDateTime"]),
+        ("MedicationRequest", "subject", ["authoredOn"]),
+        ("Observation", "subject", ["effectiveDateTime"]),
+        ("DiagnosticReport", "subject", ["effectiveDateTime"]),
+    )
+    parts = []
+    for rt, subj, dates in srcs:
+        r = entry_df.select(explode(rt).alias("r"))
+        parts.append(
+            r.select(
+                F.substring_index(
+                    col(f"r.{subj}.reference"), "/", -1
+                ).alias("person_id"),
+                F.explode(
+                    F.array(*[F.substring(col(f"r.{d}"), 1, 10) for d in dates])
+                ).alias("event_date"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    return (
+        u.where(col("event_date").isNotNull())
+        .groupBy("person_id")
+        .agg(
+            F.min("event_date").alias("observation_period_start_date"),
+            F.max("event_date").alias("observation_period_end_date"),
+        )
+        .select(
+            "person_id",
+            "observation_period_start_date",
+            "observation_period_end_date",
+            F.lit(44814724).alias("period_type_concept_id"),
+        )
+    )
+
+
 def omop_drug_exposure(entry_df: DataFrame) -> DataFrame:
     """OMOP CDM drug_exposure projection from MedicationRequest (requires
     the medicationCodeableConcept schema extension, the reference's own

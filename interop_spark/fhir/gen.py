@@ -44,7 +44,13 @@ from pyspark.sql.functions import col
 # v9: + Questionnaire definitions (3 distinct forms, fields closed-form
 #     in k % 3 so the per-bundle copies are identical and the canonical
 #     definition↔response join has a clean distinct-definitions side)
-CORPUS_VERSION = "v9"
+# v10: Patient gains deceased[x] (every 7th by dateTime, every 7th+3 by
+#     boolean — the OMOP death source); NutritionOrder carries its deep
+#     fields (round-12 fifth promotion batch proof); Basic takes over
+#     the spine-only mixed-corpus retention role NutritionOrder played
+#     (its code/subject/created are real R4 fields the DomainResource
+#     spine does NOT declare)
+CORPUS_VERSION = "v10"
 LOINC = "http://loinc.org"
 
 CPT = "http://www.ama-assn.org/go/cpt"
@@ -93,10 +99,10 @@ def bundle_json_df(
     """(value, _file_path) frame of synthetic bundle JSON documents — one
     bundle per customer with c_custkey < ``max_custkey``, each holding a
     Patient, Condition, Claim (2 items), MedicationRequest, Practitioner,
-    Observation, DiagnosticReport, QuestionnaireResponse, Slot, Flag,
-    Encounter, Procedure, AdverseEvent, Questionnaire (3 distinct
-    definitions) and a spine-only NutritionOrder whose fields are
-    closed-form functions of c_custkey.
+    Observation, DiagnosticReport, QuestionnaireResponse, NutritionOrder,
+    Slot, Flag, Encounter, Procedure, AdverseEvent, Questionnaire (3
+    distinct definitions) and a spine-only Basic, all fields closed-form
+    functions of c_custkey.
     ``_file_path`` is the stable pseudo-path ``mem://bundles/<key>`` so
     bundleUUIDs are reproducible and oracle-computable (md5 of the same
     string)."""
@@ -119,6 +125,22 @@ def bundle_json_df(
         ).alias("name"),
         F.when(k % 2 == 0, F.lit("male")).otherwise(F.lit("female")).alias("gender"),
         birth.alias("birthDate"),
+        # deceased[x] choice: every 7th patient by dateTime, every
+        # 7th+3 by bare boolean (death known, date unknown) — to_json's
+        # ignoreNullFields drops the absent branch, so emitted JSON
+        # carries at most one, like real FHIR
+        F.when(k % 7 == 3, F.lit(True))
+        .otherwise(F.lit(None).cast("boolean"))
+        .alias("deceasedBoolean"),
+        F.when(
+            k % 7 == 0,
+            F.format_string(
+                "%04d-%02d-%02d", (k % 30 + 1990).cast("int"),
+                ((k + 2) % 12 + 1).cast("int"), ((k + 10) % 28 + 1).cast("int"),
+            ),
+        )
+        .otherwise(F.lit(None).cast("string"))
+        .alias("deceasedDateTime"),
         F.array(
             F.struct(
                 F.lit("home").alias("use"),
@@ -288,16 +310,45 @@ def bundle_json_df(
         ).alias("item"),
     )
 
-    # NutritionOrder stays SPINE-ONLY in the catalog: status/intent are
-    # real R4 fields the spine does NOT declare — full=True must retain
-    # the row (id/language extracted) while ignoring the undeclared
-    # fields, which is the mixed-corpus retention contract.
+    # NutritionOrder carries its deep fields since the round-12 fifth
+    # promotion batch (diet codes, patient attribution, order date) —
+    # the spine-only retention role it used to play moved to Basic
+    # below.
     nutrition = F.struct(
         F.lit("NutritionOrder").alias("resourceType"),
         _cat("nut-", k).alias("id"),
         _pick(("en", "es", "fr"), k).alias("language"),
-        F.lit("active").alias("status"),
+        _pick(("active", "on-hold", "completed"), k).alias("status"),
         F.lit("order").alias("intent"),
+        F.struct(_cat("Patient/p-", k).alias("reference")).alias("patient"),
+        F.format_string(
+            "%04d-%02d-%02d", (k % 3 + 2022).cast("int"),
+            ((k + 7) % 12 + 1).cast("int"), ((k + 15) % 28 + 1).cast("int"),
+        ).alias("dateTime"),
+        F.struct(
+            F.array(
+                _codeable(
+                    _cat("DIET", k % 6), _cat("diet-", k % 6), SNOMED
+                )
+            ).alias("type"),
+            _cat("instruction-", k % 9).alias("instruction"),
+        ).alias("oralDiet"),
+    )
+
+    # Basic is the spine-only mixed-corpus retention exerciser:
+    # code/subject/created are real R4 fields the DomainResource spine
+    # does NOT declare — full=True must retain the row (id/language
+    # extracted) while ignoring the undeclared fields. Basic is FHIR's
+    # designated "no appropriate resource type" escape hatch, so it is
+    # the one type that should NEVER be promoted to a deep schema.
+    basic = F.struct(
+        F.lit("Basic").alias("resourceType"),
+        _cat("bas-", k).alias("id"),
+        _pick(("en", "es", "fr"), k).alias("language"),
+        _codeable(_cat("BAS", k % 4), _cat("basic-", k % 4), SNOMED).alias(
+            "code"
+        ),
+        F.struct(_cat("Patient/p-", k).alias("reference")).alias("subject"),
     )
 
     # Slot exercises the round-10 second promotion batch (scheduling):
@@ -479,6 +530,7 @@ def bundle_json_df(
             entry_json(procedure),
             entry_json(adverse),
             entry_json(qdef),
+            entry_json(basic),
         ),
         F.lit("]}"),
     )

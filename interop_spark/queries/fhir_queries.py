@@ -484,9 +484,10 @@ def q_fhir_questionnaire_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fhir_mixed_resource_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-corpus FULL-catalog ingest through the value-hash gate (r9
     verdict item 4): the synthetic corpus carries a resource type that is
-    spine-only in the catalog (NutritionOrder — its status/intent fields
-    are NOT declared), and ``FhirSchemaModel(full=True)`` must retain its
-    rows with the spine fields (id, language) extracted rather than
+    spine-only in the catalog (Basic since corpus v10 — its code/subject
+    fields are NOT declared; NutritionOrder played this role until its
+    round-12 promotion), and ``FhirSchemaModel(full=True)`` must retain
+    its rows with the spine fields (id, language) extracted rather than
     silently dropping the type. One row per resource type: count, id
     range, and the distinct-language count that only the spine-extracted
     type populates (reference motivation: non-standard FHIR,
@@ -501,11 +502,11 @@ def q_fhir_mixed_resource_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Patient",
         "DiagnosticReport",
         "QuestionnaireResponse",
-        "NutritionOrder",
+        "Basic",
     ):
         lang = (
             col("r.language")
-            if rt == "NutritionOrder"
+            if rt == "Basic"
             else F.lit(None).cast("string")
         )
         parts.append(
@@ -680,6 +681,50 @@ def q_fhir_omop_measurement(spark: SparkSession, sf_dir: str) -> DataFrame:
     from interop_spark.fhir.analytics import omop_measurement
 
     return omop_measurement(_synthetic_entry(spark, sf_dir))
+
+
+def q_fhir_omop_death(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OMOP death over the synthetic corpus (round-12: Patient
+    ``deceased[x]`` choice — every 7th patient carries a
+    deceasedDateTime, every 7th+3 a bare deceasedBoolean that lands as
+    a NULL-dated row; everyone else emits nothing)."""
+    from interop_spark.fhir.analytics import omop_death
+
+    return omop_death(_synthetic_entry(spark, sf_dir))
+
+
+def q_fhir_omop_observation_period(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OMOP observation_period over the synthetic corpus (round-12):
+    min/max clinical event date per person across six dated resource
+    types — a new aggregate shape over entry() (explode → narrow
+    union → person-keyed min/max), closing the OMOP clinical core
+    alongside death."""
+    from interop_spark.fhir.analytics import omop_observation_period
+
+    return omop_observation_period(_synthetic_entry(spark, sf_dir))
+
+
+def q_fhir_nutrition_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NutritionOrder flattening through the round-12 FIFTH promotion
+    batch: proves the newly-deep schema (status/intent/patient/
+    dateTime/oralDiet) carries end-to-end from generated corpus JSON
+    without a user override — the per-batch proof-row pattern
+    (fhir_flags batch 3, fhir_adverse_events batch 4)."""
+    entry = _synthetic_entry(spark, sf_dir)
+    n = entry.select(col("bundleUUID"), F.explode("NutritionOrder").alias("n"))
+    return n.select(
+        col("n.id").alias("order_id"),
+        col("n.status").alias("order_status"),
+        col("n.intent").alias("order_intent"),
+        col("n.patient.reference").alias("patient_ref"),
+        col("n.dateTime").alias("order_date"),
+        F.get(F.get(col("n.oralDiet.type"), 0)["coding"], 0)["code"].alias(
+            "diet_code"
+        ),
+        col("n.oralDiet.instruction").alias("diet_instruction"),
+    )
 
 
 def q_fhir_ndjson_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -873,6 +918,9 @@ QUERIES = {
     "fhir_omop_visit_occurrence": q_fhir_omop_visit_occurrence,
     "fhir_omop_procedure_occurrence": q_fhir_omop_procedure_occurrence,
     "fhir_omop_measurement": q_fhir_omop_measurement,
+    "fhir_omop_death": q_fhir_omop_death,
+    "fhir_omop_observation_period": q_fhir_omop_observation_period,
+    "fhir_nutrition_orders": q_fhir_nutrition_orders,
     "fhir_slots": q_fhir_slots,
     "fhir_flags": q_fhir_flags,
 }
@@ -1106,8 +1154,8 @@ ORACLE = {
                max('qr-' || k::VARCHAR), CAST(0 AS BIGINT)
         FROM b
         UNION ALL
-        SELECT 'NutritionOrder', count(1), min('nut-' || k::VARCHAR),
-               max('nut-' || k::VARCHAR),
+        SELECT 'Basic', count(1), min('bas-' || k::VARCHAR),
+               max('bas-' || k::VARCHAR),
                CAST(count(DISTINCT CASE (k % 3) WHEN 0 THEN 'en'
                      WHEN 1 THEN 'es' ELSE 'fr' END) AS BIGINT)
         FROM b
@@ -1241,6 +1289,65 @@ ORACLE = {
                c_custkey % 60 + 140 + (c_custkey % 10) / 10.0
                  AS value_as_number,
                'cm' AS unit_source_value
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+    """,
+    "fhir_omop_death": f"""
+        SELECT 'p-' || c_custkey::VARCHAR AS person_id,
+               CASE WHEN c_custkey % 7 = 0
+                 THEN printf('%04d-%02d-%02d', 1990 + c_custkey % 30,
+                             (c_custkey + 2) % 12 + 1,
+                             (c_custkey + 10) % 28 + 1)
+                 ELSE NULL END AS death_date,
+               CAST(32817 AS INTEGER) AS death_type_concept_id
+        FROM customer
+        WHERE c_custkey < {_SYNTH_LIMIT} AND c_custkey % 7 IN (0, 3)
+    """,
+    "fhir_omop_observation_period": f"""
+        WITH d AS (
+          SELECT 'p-' || c_custkey::VARCHAR AS person_id,
+                 printf('%04d-%02d-%02d', 2015 + c_custkey % 8,
+                        (c_custkey + 3) % 12 + 1,
+                        (c_custkey + 5) % 28 + 1) AS cond_d,
+                 printf('%04d-%02d-%02d', 2017 + c_custkey % 6,
+                        (c_custkey + 4) % 12 + 1,
+                        (c_custkey + 6) % 28 + 1) AS enc_start,
+                 printf('%04d-%02d-%02d', 2017 + c_custkey % 6,
+                        (c_custkey + 4) % 12 + 1,
+                        (c_custkey + 11) % 28 + 1) AS enc_end,
+                 printf('%04d-%02d-%02d', 2016 + c_custkey % 7,
+                        (c_custkey + 5) % 12 + 1,
+                        (c_custkey + 8) % 28 + 1) AS proc_d,
+                 printf('%04d-%02d-%02d', 2018 + c_custkey % 6,
+                        (c_custkey + 1) % 12 + 1,
+                        (c_custkey + 7) % 28 + 1) AS med_d,
+                 printf('%04d-%02d-%02d', 2019 + c_custkey % 5,
+                        (c_custkey + 2) % 12 + 1,
+                        (c_custkey + 9) % 28 + 1) AS obs_d,
+                 printf('%04d-%02d-%02d', 2020 + c_custkey % 4,
+                        (c_custkey + 4) % 12 + 1,
+                        (c_custkey + 11) % 28 + 1) AS diag_d
+          FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+        )
+        SELECT person_id,
+               least(cond_d, enc_start, enc_end, proc_d, med_d, obs_d,
+                     diag_d) AS observation_period_start_date,
+               greatest(cond_d, enc_start, enc_end, proc_d, med_d, obs_d,
+                        diag_d) AS observation_period_end_date,
+               CAST(44814724 AS INTEGER) AS period_type_concept_id
+        FROM d
+    """,
+    "fhir_nutrition_orders": f"""
+        SELECT 'nut-' || c_custkey::VARCHAR AS order_id,
+               CASE (c_custkey % 3) WHEN 0 THEN 'active'
+                 WHEN 1 THEN 'on-hold' ELSE 'completed' END AS order_status,
+               'order' AS order_intent,
+               'Patient/p-' || c_custkey::VARCHAR AS patient_ref,
+               printf('%04d-%02d-%02d', 2022 + c_custkey % 3,
+                      (c_custkey + 7) % 12 + 1,
+                      (c_custkey + 15) % 28 + 1) AS order_date,
+               'DIET' || (c_custkey % 6)::VARCHAR AS diet_code,
+               'instruction-' || (c_custkey % 9)::VARCHAR
+                 AS diet_instruction
         FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
     """,
     "fhir_ndjson_observations": f"""

@@ -1498,6 +1498,161 @@ DEVICE_USE_STATEMENT = _resource(
 )
 
 
+# Round-12 fifth batch: nutrition/supply ordering (NutritionOrder —
+# previously the corpus's spine-only exerciser, a role Basic now plays —
+# and SupplyRequest, the request twin of curated SupplyDelivery),
+# quality reporting (MeasureReport — eCQM output, the highest-volume
+# population-health artifact), immunization registry forecasts
+# (ImmunizationRecommendation, companion to curated Immunization), and
+# the provider-directory pair (HealthcareService, Endpoint). Same
+# monotone-promotion contract: spine fields retained.
+
+NUTRITION_ORDER = _resource(
+    identifier=_arr(IDENTIFIER),
+    status=S,
+    intent=S,
+    patient=REFERENCE,
+    encounter=REFERENCE,
+    dateTime=S,
+    orderer=REFERENCE,
+    allergyIntolerance=_arr(REFERENCE),
+    foodPreferenceModifier=_arr(CODEABLE_CONCEPT),
+    excludeFoodModifier=_arr(CODEABLE_CONCEPT),
+    oralDiet=_struct(
+        type=_arr(CODEABLE_CONCEPT),
+        nutrient=_arr(_struct(modifier=CODEABLE_CONCEPT, amount=QUANTITY)),
+        texture=_arr(
+            _struct(modifier=CODEABLE_CONCEPT, foodType=CODEABLE_CONCEPT)
+        ),
+        fluidConsistencyType=_arr(CODEABLE_CONCEPT),
+        instruction=S,
+    ),
+    supplement=_arr(
+        _struct(
+            type=CODEABLE_CONCEPT,
+            productName=S,
+            quantity=QUANTITY,
+            instruction=S,
+        )
+    ),
+    enteralFormula=_struct(
+        baseFormulaType=CODEABLE_CONCEPT,
+        baseFormulaProductName=S,
+        additiveType=CODEABLE_CONCEPT,
+        caloricDensity=QUANTITY,
+        routeofAdministration=CODEABLE_CONCEPT,
+        maxVolumeToDeliver=QUANTITY,
+        administrationInstruction=S,
+    ),
+    note=_arr(ANNOTATION),
+)
+
+SUPPLY_REQUEST = _resource(
+    identifier=_arr(IDENTIFIER),
+    status=S,
+    category=CODEABLE_CONCEPT,
+    priority=S,
+    itemCodeableConcept=CODEABLE_CONCEPT,
+    itemReference=REFERENCE,
+    quantity=QUANTITY,
+    occurrenceDateTime=S,
+    occurrencePeriod=PERIOD,
+    authoredOn=S,
+    requester=REFERENCE,
+    supplier=_arr(REFERENCE),
+    reasonCode=_arr(CODEABLE_CONCEPT),
+    reasonReference=_arr(REFERENCE),
+    deliverFrom=REFERENCE,
+    deliverTo=REFERENCE,
+)
+
+MEASURE_REPORT = _resource(
+    identifier=_arr(IDENTIFIER),
+    status=S,
+    type=S,
+    measure=S,
+    subject=REFERENCE,
+    date=S,
+    reporter=REFERENCE,
+    period=PERIOD,
+    improvementNotation=CODEABLE_CONCEPT,
+    group=_arr(
+        _struct(
+            code=CODEABLE_CONCEPT,
+            population=_arr(_struct(code=CODEABLE_CONCEPT, count=I)),
+            measureScore=QUANTITY,
+        )
+    ),
+    evaluatedResource=_arr(REFERENCE),
+)
+
+IMMUNIZATION_RECOMMENDATION = _resource(
+    identifier=_arr(IDENTIFIER),
+    patient=REFERENCE,
+    date=S,
+    authority=REFERENCE,
+    recommendation=_arr(
+        _struct(
+            vaccineCode=_arr(CODEABLE_CONCEPT),
+            targetDisease=CODEABLE_CONCEPT,
+            contraindicatedVaccineCode=_arr(CODEABLE_CONCEPT),
+            forecastStatus=CODEABLE_CONCEPT,
+            forecastReason=_arr(CODEABLE_CONCEPT),
+            dateCriterion=_arr(_struct(code=CODEABLE_CONCEPT, value=S)),
+            description=S,
+            series=S,
+            doseNumberPositiveInt=I,
+            seriesDosesPositiveInt=I,
+            supportingImmunization=_arr(REFERENCE),
+        )
+    ),
+)
+
+HEALTHCARE_SERVICE = _resource(
+    identifier=_arr(IDENTIFIER),
+    active=B,
+    providedBy=REFERENCE,
+    category=_arr(CODEABLE_CONCEPT),
+    type=_arr(CODEABLE_CONCEPT),
+    specialty=_arr(CODEABLE_CONCEPT),
+    location=_arr(REFERENCE),
+    name=S,
+    comment=S,
+    telecom=_arr(CONTACT_POINT),
+    coverageArea=_arr(REFERENCE),
+    serviceProvisionCode=_arr(CODEABLE_CONCEPT),
+    program=_arr(CODEABLE_CONCEPT),
+    communication=_arr(CODEABLE_CONCEPT),
+    referralMethod=_arr(CODEABLE_CONCEPT),
+    appointmentRequired=B,
+    availableTime=_arr(
+        _struct(
+            daysOfWeek=_arr(S),
+            allDay=B,
+            availableStartTime=S,
+            availableEndTime=S,
+        )
+    ),
+    notAvailable=_arr(_struct(description=S, during=PERIOD)),
+    availabilityExceptions=S,
+    endpoint=_arr(REFERENCE),
+)
+
+ENDPOINT = _resource(
+    identifier=_arr(IDENTIFIER),
+    status=S,
+    connectionType=CODING,
+    name=S,
+    managingOrganization=REFERENCE,
+    contact=_arr(CONTACT_POINT),
+    period=PERIOD,
+    payloadType=_arr(CODEABLE_CONCEPT),
+    payloadMimeType=_arr(S),
+    address=S,
+    header=_arr(S),
+)
+
+
 CATALOG = {
     "Patient": PATIENT,
     "MessageHeader": MESSAGE_HEADER,
@@ -1558,6 +1713,12 @@ CATALOG = {
     "Person": PERSON,
     "Questionnaire": QUESTIONNAIRE,
     "DeviceUseStatement": DEVICE_USE_STATEMENT,
+    "NutritionOrder": NUTRITION_ORDER,
+    "SupplyRequest": SUPPLY_REQUEST,
+    "MeasureReport": MEASURE_REPORT,
+    "ImmunizationRecommendation": IMMUNIZATION_RECOMMENDATION,
+    "HealthcareService": HEALTHCARE_SERVICE,
+    "Endpoint": ENDPOINT,
 }
 
 
@@ -1595,20 +1756,20 @@ FULL_SPINE_TYPES = [
     "ConceptMap", "Contract", "CoverageEligibilityRequest",
     "CoverageEligibilityResponse", "DeviceDefinition",
     "DeviceMetric",
-    "DocumentManifest", "EffectEvidenceSynthesis", "Endpoint",
+    "DocumentManifest", "EffectEvidenceSynthesis", 
     "EnrollmentRequest", "EnrollmentResponse", "EventDefinition",
     "Evidence", "EvidenceVariable", "ExampleScenario", 
-    "GraphDefinition", "GuidanceResponse", "HealthcareService",
-    "ImmunizationEvaluation", "ImmunizationRecommendation",
+    "GraphDefinition", "GuidanceResponse", 
+    "ImmunizationEvaluation", 
     "ImplementationGuide", "InsurancePlan", "Invoice", "Library",
-    "Linkage", "Measure", "MeasureReport", "MedicationKnowledge",
+    "Linkage", "Measure", "MedicationKnowledge",
     "MedicinalProduct", "MedicinalProductAuthorization",
     "MedicinalProductContraindication", "MedicinalProductIndication",
     "MedicinalProductIngredient", "MedicinalProductInteraction",
     "MedicinalProductManufactured", "MedicinalProductPackaged",
     "MedicinalProductPharmaceutical", "MedicinalProductUndesirableEffect",
     "MessageDefinition", "MolecularSequence", "NamingSystem",
-    "NutritionOrder", "ObservationDefinition", "OperationDefinition",
+    "ObservationDefinition", "OperationDefinition",
     "OperationOutcome", "OrganizationAffiliation", "PaymentNotice",
     "PaymentReconciliation", "PlanDefinition",
     "RequestGroup", "ResearchDefinition",
@@ -1617,7 +1778,7 @@ FULL_SPINE_TYPES = [
     "StructureDefinition", "StructureMap", "Subscription", "Substance",
     "SubstanceNucleicAcid", "SubstancePolymer", "SubstanceProtein",
     "SubstanceReferenceInformation", "SubstanceSourceMaterial",
-    "SubstanceSpecification", "SupplyRequest", "TerminologyCapabilities", "TestReport", "TestScript", "ValueSet",
+    "SubstanceSpecification", "TerminologyCapabilities", "TestReport", "TestScript", "ValueSet",
     "VerificationResult", "VisionPrescription",
 ]
 
