@@ -290,6 +290,72 @@ def q_stream_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_stream_join_pairs_watermarked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The WATERMARKED stream-stream join configuration through the
+    correctness gate (r11 verdict item 3 — ``stream_join_pairs`` covers
+    only the no-watermark bounded backfill): the same purchases×clicks
+    interval join with ``withWatermark`` on BOTH sides, which is the
+    state-bounded shape a continuous deployment runs — Spark derives
+    the click-state retention bound (watermark + the 4h interval) from
+    the join condition and evicts state behind it.
+
+    Why the batch join is still an exact oracle HERE: the fixture is a
+    single parquet file, so availableNow processes every event in ONE
+    micro-batch whose starting watermark is epoch 0 — no row is late
+    with respect to the watermark in effect while it is joined, and
+    inner-join emission happens before the post-batch watermark
+    advance. Eviction across MULTI-batch progressions (where late rows
+    genuinely drop) is pinned by
+    ``test_stream_join_watermark_evicts_state`` instead — per-batch
+    state row counts strictly drop once the watermark passes old
+    purchases — because replaying it here would make the oracle depend
+    on file-arrival order. Gap arithmetic is integer µs, never float
+    epoch seconds."""
+    import uuid
+
+    from interop_spark.io import load_stream
+
+    name = "stream_join_wm_" + uuid.uuid4().hex[:8]
+    p = (
+        load_stream(spark, sf_dir, "events")
+        .where((col("event_type") == "purchase") & (col("user_id") < 40))
+        .select("user_id", col("ts").alias("p_ts"),
+                col("event_id").alias("purchase_id"))
+        .withWatermark("p_ts", "30 minutes")
+    )
+    c = (
+        load_stream(spark, sf_dir, "events")
+        .where((col("event_type") == "click") & (col("user_id") < 40))
+        .select(col("user_id").alias("c_user"), col("ts").alias("c_ts"),
+                col("event_id").alias("click_id"))
+        .withWatermark("c_ts", "30 minutes")
+    )
+    joined = p.join(
+        c,
+        (col("user_id") == col("c_user"))
+        & (col("c_ts") >= col("p_ts") - F.expr("INTERVAL 14400 SECONDS"))
+        & (col("c_ts") <= col("p_ts")),
+    ).select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        F.expr(
+            "(unix_micros(p_ts) - unix_micros(c_ts)) div 1000000"
+        ).alias("gap_seconds"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 QUERIES = {
     "asof_join": q_asof_join,
     "range_join_pairs": q_range_join_pairs,
@@ -298,6 +364,7 @@ QUERIES = {
     "stream_sessionize_counts": q_stream_sessionize_counts,
     "stream_ndjson_counts": q_stream_ndjson_counts,
     "stream_join_pairs": q_stream_join_pairs,
+    "stream_join_pairs_watermarked": q_stream_join_pairs_watermarked,
 }
 
 ORACLE = {
@@ -305,6 +372,16 @@ ORACLE = {
     # (no-watermark bounded backfill: state never evicted, inner joins
     # emit every match); integer-µs gap arithmetic on both sides
     "stream_join_pairs": """
+        SELECT p.user_id,
+               p.event_id AS purchase_id,
+               c.event_id AS click_id,
+               (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_seconds
+        FROM events p JOIN events c ON p.user_id = c.user_id
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+          AND p.user_id < 40
+          AND c.ts >= p.ts - INTERVAL 14400 SECONDS AND c.ts <= p.ts
+    """,
+    "stream_join_pairs_watermarked": """
         SELECT p.user_id,
                p.event_id AS purchase_id,
                c.event_id AS click_id,

@@ -606,3 +606,127 @@ def test_stream_join_pairs_equals_batch_join(spark, sf_dir):
     )
     assert streamed == sorted(map(tuple, batch.collect()))
     assert len(streamed) > 0
+
+
+def test_stream_join_watermarked_driver_query_equals_batch(spark, sf_dir):
+    """The watermarked driver row's determinism argument, pinned: on the
+    single-file events fixture availableNow runs ONE micro-batch whose
+    starting watermark is epoch 0, so the watermarked interval join
+    emits exactly the no-watermark variant's pairs."""
+    from interop_spark.queries.temporal_q import (
+        q_stream_join_pairs,
+        q_stream_join_pairs_watermarked,
+    )
+
+    wm = sorted(map(tuple, q_stream_join_pairs_watermarked(spark, sf_dir).collect()))
+    plain = sorted(map(tuple, q_stream_join_pairs(spark, sf_dir).collect()))
+    assert wm == plain
+    assert len(wm) > 0
+
+
+def test_stream_join_watermark_evicts_state(spark, tmp_path):
+    """Watermarked stream-stream join MUST evict join state once the
+    watermark passes it (r11 verdict item 3 — the configuration the
+    oracle row can't exercise because a multi-batch replay would depend
+    on file order): three files an hour apart, maxFilesPerTrigger=1 so
+    availableNow runs one micro-batch per file, watermark 10s and a 60s
+    interval — by the later batches the engine must REMOVE the earlier
+    hours' state rows (numRowsRemoved > 0) and finish holding fewer
+    rows than it ingested, while still emitting every in-window pair
+    (one click 30s before each purchase; nothing is ever late, so
+    eviction costs no output)."""
+    import datetime as dt
+    import json
+    import uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.IntegerType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+    base = dt.datetime(2024, 1, 1, 1, 0, 0)
+    src = tmp_path / "ev"
+    src.mkdir()
+    for h in range(3):  # sequential writes: mtime order == hour order
+        rows = [
+            (1, "purchase", base + dt.timedelta(hours=h), 10 * h + 1),
+            (
+                1,
+                "click",
+                base + dt.timedelta(hours=h, seconds=-30),
+                10 * h + 2,
+            ),
+        ]
+        # flat single files (the source does not recurse into
+        # write.parquet's output directories): stage, then move the
+        # lone part-file up as <h>.parquet
+        stage = tmp_path / f"stage{h}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(stage)
+        )
+        (part,) = [f for f in stage.iterdir() if f.name.endswith(".parquet")]
+        part.rename(src / f"{h}.parquet")
+
+    def side(event_type, ts_name, id_name, key_name):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .where(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(key_name),
+                F.col("ts").alias(ts_name),
+                F.col("event_id").alias(id_name),
+            )
+            .withWatermark(ts_name, "10 seconds")
+        )
+
+    p = side("purchase", "p_ts", "purchase_id", "user_id")
+    c = side("click", "c_ts", "click_id", "c_user")
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 60 SECONDS"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        F.expr(
+            "(unix_micros(p_ts) - unix_micros(c_ts)) div 1000000"
+        ).alias("gap_seconds"),
+    )
+    name = "wm_evict_" + uuid.uuid4().hex[:8]
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(map(tuple, spark.table(name).collect()))
+    assert got == [(1, 10 * h + 1, 10 * h + 2, 30) for h in range(3)]
+
+    progs = [
+        pr if isinstance(pr, dict) else json.loads(pr.json)
+        for pr in q.recentProgress
+    ]
+    state = [
+        op
+        for pr in progs
+        for op in pr.get("stateOperators", [])
+        if pr.get("stateOperators")
+    ]
+    assert state, "no stateOperators metrics reported"
+    removed = sum(op.get("numRowsRemoved", 0) for op in state)
+    assert removed > 0, f"watermark never evicted state: {state}"
+    # the final batch holds strictly less than everything ingested
+    assert state[-1]["numRowsTotal"] < 6
