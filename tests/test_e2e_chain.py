@@ -1,0 +1,162 @@
+"""Notebook-parity end-to-end chain (r11 verdict item 7): replay the
+reference notebook's FULL sequence as one test — ingest → entry() →
+flattens → table sinks → dedupe-lookup → ADT timeline over the WRITTEN
+tables → OMOP CTAS → writer roundtrip — mirroring the reference CI's own
+pass criterion ("notebook completes",
+`.github/workflows/integration-test-aws-pr.yml`). Every stage asserts
+its row count, so a regression anywhere in the chain fails loudly even
+when each piece's unit test still passes (the pieces were all tested;
+the CHAINED run was not).
+
+Stage map to `/root/reference/01_dbignite_sample.py`:
+  1. read_from_directory → entry()            (:20-26)
+  2. patient_conditions flatten + table sink  (:47-72)
+  3. patient_claims flatten + table sink      (:78-116)
+  4. medication_requests w/ schema override   (:118-174)
+  5. claim dedupe-lookup exists flag          (:384-397)
+  6. ADT: entry → bulk_table_write(Patient,
+     MessageHeader) → timeline over TABLES    (:404-459)
+  7. OMOP person CTAS                         (:472-484)
+  8. df_to_fhir writer roundtrip              (:560-602)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+ADT_DIR = "/root/reference/sampledata/adt_records/"
+N_BUNDLES = 100  # own corpus fixture dir (keyed by max_custkey)
+
+
+def test_notebook_chain(spark, sf_dir, tmp_path):
+    from interop_spark.fhir import read_from_directory
+    from interop_spark.fhir.analytics import (
+        adt_events,
+        medication_requests,
+        omop_person,
+        patient_claims,
+        patient_conditions,
+    )
+    from pyspark.sql.types import StructField, StructType
+
+    from interop_spark.fhir.gen import write_corpus
+    from interop_spark.fhir.schema import (
+        CODEABLE_CONCEPT,
+        MEDICATION_REQUEST,
+        FhirSchemaModel,
+    )
+    from interop_spark.fhir.write import (
+        bulk_table_write,
+        drop_table_if_exists,
+        save_as_table,
+    )
+
+    loc = "hls_healthcare.hls_dev"
+
+    # -- 1. ingest a bundle directory, materialize entry() ------------
+    corpus = write_corpus(spark, sf_dir, max_custkey=N_BUNDLES)
+    entry = read_from_directory(
+        "file://" + corpus, spark=spark, glob_filter="*.json"
+    ).entry(
+        schemas=FhirSchemaModel().with_overrides(
+            {
+                "MedicationRequest": StructType(
+                    MEDICATION_REQUEST.fields
+                    + [
+                        StructField(
+                            "medicationCodeableConcept",
+                            CODEABLE_CONCEPT,
+                            True,
+                        )
+                    ]
+                )
+            }
+        )
+    )
+    assert entry.count() == N_BUNDLES
+
+    # -- 2. conditions flatten → table ---------------------------------
+    conds = patient_conditions(entry)
+    drop_table_if_exists(spark, f"{loc}.patient_conditions")
+    save_as_table(conds, f"{loc}.patient_conditions")
+    assert spark.table(
+        "hls_healthcare_hls_dev.patient_conditions"
+    ).count() == N_BUNDLES  # one condition per bundle
+
+    # -- 3. claims flatten → table -------------------------------------
+    claims = patient_claims(entry)
+    drop_table_if_exists(spark, f"{loc}.patient_claims")
+    save_as_table(claims, f"{loc}.patient_claims")
+    n_claims = spark.table(
+        "hls_healthcare_hls_dev.patient_claims"
+    ).count()
+    assert n_claims == N_BUNDLES  # one claim (two items) per bundle
+
+    # -- 4. medications via the schema-override surface ----------------
+    meds = medication_requests(entry)
+    assert meds.count() == N_BUNDLES
+    assert meds.where(col("rx_text").isNull()).count() == 0
+
+    # -- 5. dedupe-lookup: staging claims vs written claim table -------
+    staging = claims.where(col("claim_id").isin(
+        [f"cl-{k}" for k in range(0, N_BUNDLES, 2)]
+    )).select(col("claim_id").alias("stg_claim_id"))
+    flag = staging.join(
+        spark.table("hls_healthcare_hls_dev.patient_claims").select(
+            "claim_id"
+        ),
+        staging.stg_claim_id == col("claim_id"),
+        "left_outer",
+    ).select(
+        "stg_claim_id",
+        F.when(col("claim_id").isNotNull(), "Y").otherwise("N").alias(
+            "record_exists_flag"
+        ),
+    )
+    got = flag.groupBy("record_exists_flag").count().collect()
+    assert {(r[0], r[1]) for r in got} == {("Y", N_BUNDLES // 2)}
+
+    # -- 6. ADT feed: entry → per-resource tables → timeline SQL -------
+    adt = read_from_directory(ADT_DIR, spark=spark)
+    adt_entry = adt.entry()
+    assert adt_entry.count() == 4
+    for t in ("Patient", "MessageHeader"):
+        drop_table_if_exists(spark, f"{loc}.{t}")
+    bulk_table_write(
+        adt_entry, loc, write_mode="overwrite",
+        columns=["Patient", "MessageHeader"],
+    )
+    # reconstruct the notebook's bundleUUID join over the WRITTEN
+    # tables, then run the same timeline (get_action SQL UDF inside)
+    p_tab = spark.table("hls_healthcare_hls_dev.Patient")
+    mh_tab = spark.table("hls_healthcare_hls_dev.MessageHeader").select(
+        "bundleUUID", "timestamp", "MessageHeader"
+    )
+    rejoined = p_tab.select("bundleUUID", "Patient").join(
+        mh_tab, "bundleUUID"
+    )
+    from_tables = adt_events(rejoined)
+    direct = adt_events(adt_entry)
+    assert sorted(map(tuple, from_tables.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    assert from_tables.count() == 4
+
+    # -- 7. OMOP person CTAS -------------------------------------------
+    drop_table_if_exists(spark, f"{loc}.OMOP_PERSON")
+    save_as_table(omop_person(entry), f"{loc}.OMOP_PERSON")
+    assert spark.table(
+        "hls_healthcare_hls_dev.OMOP_PERSON"
+    ).count() == N_BUNDLES
+
+    # -- 8. writer roundtrip (df → FHIR JSON → re-parse) ---------------
+    from interop_spark.queries.fhir_queries import q_fhir_writer_roundtrip
+
+    rt = q_fhir_writer_roundtrip(spark, sf_dir)
+    n_src = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .where(col("c_custkey") < 50)
+        .count()
+    )
+    assert rt.count() == n_src > 0
