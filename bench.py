@@ -285,6 +285,21 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
         # 2-out-link graph derived from the scaled corpus — K chained
         # join+agg shuffles on uniform id keys; linear edge volume.
         "pagerank": "_PAGERANK",
+        # round-12 (r11 verdict item 6): containment rides the SAME
+        # band join as minhash but re-joins FULL shingle arrays to the
+        # surviving candidates — this probe proves those two keyed
+        # equi-joins scale with the corpus. Retokened input (disjoint
+        # per-replica vocabularies), because with identical replicas
+        # every replica pair is a genuine candidate and the ratio
+        # would measure the quadratic pair OUTPUT, not the operator
+        # (the simhash r9 lesson).
+        "containment": lambda d: dd.containment_verified_pairs(
+            d, "doc_id", "text", max_band_docs=64
+        ),
+        # round-12 (r11 verdict item 6): within-doc repeated-line
+        # removal — per-document window on (doc, line-hash), no
+        # corpus-global key exists, so ~linear is the expectation.
+        "dup_line_removal": lambda d: dd.remove_repeated_lines(d),
     }
 
     def _rotated_documents(mult: int):
@@ -447,7 +462,8 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
             _scaled_embeddings if name in _EMB_PROBES else
             _planted_skew_documents if name in _SKEW_PROBES else
             _rotated_documents if name == "substring_dup_runs" else
-            _retokened_documents if name == "simhash_neardup_pairs" else
+            _retokened_documents
+            if name in ("simhash_neardup_pairs", "containment") else
             lambda m: _scaled_documents(spark, sf_dir, m)
         )
         try:
