@@ -470,3 +470,58 @@ def omop_drug_exposure(entry_df: DataFrame) -> DataFrame:
         col("mr.authoredOn").alias("drug_exposure_start_date"),
         col("mr.status").alias("drug_status_source_value"),
     )
+
+
+def reference_integrity(
+    entry_df: DataFrame,
+    checks: list[tuple[str, str, str]],
+) -> DataFrame:
+    """Cross-resource REFERENCE-INTEGRITY audit: for each
+    ``(source_type, ref_path, target_type)`` check, resolve every
+    ``Type/id`` reference the corpus carries against the ids actually
+    present — the first data-quality pass a real FHIR ETL runs (the
+    reference's own claim→coverage lookup idiom,
+    `01_dbignite_sample.py:384-397`, generalized). One row per check:
+    total refs, resolved, dangling.
+
+    ``ref_path`` is a dotted path inside the exploded source resource
+    (``subject.reference``, ``schedule.reference``); array hops are not
+    supported here — pre-explode shapes belong in dedicated queries.
+
+    Scale shape: per check, the source side projects to ONE string
+    column before the join; the target side is a distinct-id frame
+    (bounded by the resource population, typically broadcastable after
+    distinct); the final aggregate is a single row per check, unioned.
+    Catalyst prunes every untouched resource column from the scan."""
+    parts = []
+    for src_type, ref_path, tgt_type in checks:
+        refs = entry_df.select(explode(src_type).alias("r")).select(
+            col(f"r.{ref_path}").alias("ref")
+        ).where(col("ref").isNotNull())
+        ids = (
+            entry_df.select(explode(tgt_type).alias("t"))
+            .select(
+                F.concat(F.lit(tgt_type), F.lit("/"), col("t.id")).alias(
+                    "ref"
+                )
+            )
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
+        parts.append(
+            refs.join(ids, "ref", "left_outer").agg(
+                F.lit(src_type).alias("source_type"),
+                F.lit(tgt_type).alias("target_type"),
+                F.count(F.lit(1)).cast("long").alias("n_refs"),
+                F.sum(F.coalesce(col("_hit"), F.lit(0)))
+                .cast("long")
+                .alias("n_resolved"),
+                F.sum(F.when(col("_hit").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_dangling"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

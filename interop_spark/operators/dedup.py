@@ -1254,3 +1254,54 @@ def remove_repeated_lines(
     ).select(
         F.col("_id").alias(id_col), "n_lines", "n_removed", "clean_md5"
     )
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark DECONTAMINATION audit: flag corpus documents sharing
+    any word n-gram with an evaluation set (the train-test overlap
+    filter every serious pretraining run applies — Brown et al. 2020
+    Appendix C use 13-grams; Gao et al. 2021 §6.3 the same family).
+    Returns one row per CONTAMINATED document: its distinct-collision
+    count, its distinct n-gram count, and the contamination ratio —
+    the caller drops or quarantines (anti-join on the returned ids).
+
+    Scale shape: an eval benchmark is small by definition, so its
+    distinct n-gram set broadcasts; the corpus side explodes to
+    (doc_id, gram) and inner-joins the broadcast WITHOUT shuffling the
+    corpus — only COLLIDING grams (rare by construction) reach the
+    doc-keyed count aggregate, and the per-doc gram totals come from
+    the same projection before the join, so the corpus is scanned
+    once."""
+    grams = F.array_distinct(word_ngrams(F.col(text_col), n))
+    bench_grams = (
+        benchmark.select(F.explode(grams).alias("gram")).distinct()
+    )
+    docs = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(grams).alias("n_grams"),
+        F.explode(grams).alias("gram"),
+    )
+    hits = docs.join(F.broadcast(bench_grams), "gram")
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_collisions"),
+            F.first("n_grams").alias("_n_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_collisions",
+            F.col("_n_grams").cast("long").alias("n_grams"),
+            F.round(
+                F.col("n_collisions")
+                / F.greatest(F.col("_n_grams"), F.lit(1)),
+                4,
+            ).alias("contamination_ratio"),
+        )
+    )

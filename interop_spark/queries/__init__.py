@@ -39,105 +39,95 @@ _MODULES = (
 # live in git history (prior revisions of this block — trimmed per
 # ADVICE r9 #3 / r10 verdict item 8; history belongs in git log).
 #
-# ROUND-11 window (50), CONTINUATION REVISION: the session added
-# THIRTEEN new oracle rows after the original round-11 rotation landed
-# — temperature_sample, bloom_dedup, pagerank_weights,
-# stream_join_pairs, fhir_omop_visit_occurrence,
-# fhir_omop_procedure_occurrence, fhir_omop_measurement,
-# containment_neardup, shard_assignment, vocab_coverage,
-# fhir_adverse_events (the batch-4 schema-promotion proof, corpus v8),
-# fhir_questionnaire_join (cross-resource canonical join, corpus v9),
-# dup_line_removal — and new rows MUST sit in the first 50, so
-# THIRTEEN rows of the r7 staleness queue are displaced to head the
-# round-12 queue (knn_cosine, text_quality, doc_fingerprint,
-# drop_duplicates, train_test_split, enrich_events, conditional_agg,
-# winnow_dup_pairs, semdedup_keep, knn_batch, cube_agg, pivot_agg,
-# grouping_sets — all r7-green AND judge-re-run green in r10;
-# cube_agg/pivot_agg/grouping_sets displaced instead of
-# substring_dup_runs because their modules are untouched this round
-# while substring's operator module gained appends). asof_join /
-# range_join_pairs stay in-window deliberately: temporal_q.py is a
-# touched module this round (stream_join_pairs appended; existing
-# functions hunk-verified byte-identical, but module-granular caution
-# keeps its two r7 rows checked). Other touched modules are additive-
-# only appends (selection_q.py, fhir_queries.py, operators/dedup.py,
-# fhir/analytics.py — hunk-verified: no existing function modified);
-# fhir/gen.py corpus v7 (+Encounter/Procedure) re-verifies every
-# synthetic-corpus consumer, all of which were already in-window.
-# ROUND-12 QUEUE: the 13 displaced r7 rows above, THEN the 37 rows whose
-# newest green is r8 — agg_stats, audio_stats, bpe_encode,
-# bpe_merge_candidates, bsq_hamming_search, c4_clean, chunk_sliding,
-# classifier_train_steps, countmin_estimate, date_series,
-# dsir_importance, dup_span_removal, image_dims, ivf_multiprobe_topk,
-# ivf_probe_topk, ivf_recall_at_k, ivfpq_rerank,
-# ivfpq_residual_search, ivfpq_search, join_filter_pushdown, lang_id,
-# lm_perplexity_filter, minhash_est_error, mrl_recall_at_k,
-# multimodal_features, multiway_join_agg, paragraph_dedup,
-# percentile_agg, pq_adc_topk, pq_encode, pricing_summary,
-# quality_classifier_filter, scd2_intervals, stream_dedup_counts,
-# stream_windowed_counts, string_agg_sorted, unimax_sample. The 13
-# displaced rows + the 37 r8 rows fill 50 exactly, so every round-12
-# NEW/changed row displaces an r8-row to the r13 queue head (and the
-# r9 residue spills to r13 behind them).
-#   * NEW this round (3): fhir_flags (corpus-v6 Flag flatten through
-#     the third schema-promotion batch), fhir_ndjson_patient_conditions
-#     (the NDJSON→bundle-row bridge: bundles_from_ndjson + the
-#     UNCHANGED patient_conditions flatten), stream_ndjson_counts
-#     (streaming NDJSON ingest, availableNow → memory sink — closes
-#     the last pytest-only stream operator).
-#   * operators/dedup.py changed: edit_verified_pairs now consumes the
-#     factored _minhash_candidates core (skips the exact-Jaccard
-#     verify joins it discarded; levenshtein computed once) →
-#     edit_distance_neardup re-verifies (1). Finer-than-module claim
-#     for the minhash rows: minhash_candidate_pairs's diff is PURE
-#     CODE MOTION into _minhash_candidates — analyzed plans verified
-#     byte-identical modulo expression ids for both max_band_docs
-#     configurations — so minhash_lsh_neardup, neardup_clusters(_star),
-#     corpus_clean, dedup_representatives keep their r10 green; the
-#     substring/simhash/winnowing/paragraph functions are
-#     byte-identical (substring/winnow rows rotate below anyway).
-#   * fhir/gen.py corpus v6 (+Flag per bundle) + the third promotion
-#     batch re-touching the catalog data files (5 new curated types;
-#     existing type files byte-identical): every synthetic-corpus /
-#     default-catalog entry() consumer re-verifies —
-#     fhir_patient_conditions, fhir_patient_claims,
+# ROUND-12 window (50): executes the documented r12 rotation (the 13
+# displaced r7 rows head the window) and re-checks everything this
+# round's diffs could touch.
+#   * NEW this round (7): fhir_ndjson_coverage_bundles (3-shape bridge
+#     attribution), fhir_omop_death + fhir_omop_observation_period
+#     (OMOP clinical-core completion), fhir_nutrition_orders (batch-5
+#     promotion proof), stream_join_pairs_watermarked (watermarked
+#     stream-stream join configuration), ngram_decontaminate
+#     (benchmark-overlap audit; appended to operators/dedup.py +
+#     queries/pipeline.py — hunk-verified append-only, so the modules'
+#     existing rows keep their greens), fhir_reference_integrity
+#     (cross-resource dangling-ref audit; appended to fhir/analytics.py
+#     whose consumers are all in-window this round anyway).
+#   * fhir/reader.py bundles_from_ndjson attribution widened →
+#     fhir_ndjson_patient_conditions re-verifies (1).
+#   * fhir/gen.py NDJSON corpus v3 (+Coverage/Account/
+#     AllergyIntolerance files): fhir_ndjson_type_counts (RESULT
+#     changes — 3 new type rows), fhir_ndjson_observations,
+#     stream_ndjson_counts (results provably unchanged — their type
+#     filters drop the new files — but the input directory changed, so
+#     they re-verify) (3).
+#   * fhir/gen.py corpus v10 (Patient deceased[x], deep NutritionOrder,
+#     +Basic) + catalog batch-5 promotion (65 curated / 79 spine):
+#     every synthetic-corpus / default-catalog entry() consumer
+#     re-verifies — fhir_patient_conditions, fhir_patient_claims,
 #     fhir_medication_requests, fhir_providers_practitioners,
 #     fhir_omop_person, fhir_patient_observations, fhir_condition_text,
 #     fhir_ingest_corpus, fhir_slots, fhir_diagnostic_reports,
-#     fhir_questionnaire_answers, fhir_mixed_resource_counts,
-#     fhir_omop_condition_occurrence, fhir_omop_drug_exposure (14) —
-#     plus fhir_adt_timeline (reader over the ADT samples under the
-#     widened default catalog) (1).
-#   * fhir/gen.py NDJSON corpus v2 (+Condition.ndjson):
-#     fhir_ndjson_observations, fhir_ndjson_type_counts re-verify (2;
-#     type_counts' RESULT changes — new Condition row).
-#   * fhir/writer.py: _bundle_column's per-type struct build factored
-#     into _resource_columns (pure code motion; 18 writer pytests
-#     green incl. every roundtrip) + NEW NDJSON emitters
-#     (df_to_fhir_ndjson_df / write_fhir_ndjson, pytest-consumed) →
-#     fhir_writer_roundtrip re-verifies (1).
-#   * fhir/write.py bulk_ndjson_write lazy localCheckpoint (ADVICE r10
-#     #4): pytest-only consumers; no registry row on its path.
-#   * queries/temporal_q.py + queries/fhir_queries.py diffs are
-#     appended query/oracle pairs plus the two ndjson ORACLE edits
-#     above (hunk-verified); every other row in those modules keeps
-#     its prior green (the corpus consumers are in-window anyway).
-#   * STALENESS ROTATION — the r7 queue less the 13 rows displaced by
-#     the continuation's new queries (all r7-green, judge-re-run green
-#     in r10): embedding_neardup, embedding_centroids,
-#     lsh_bucket_sizes, token_count_bpe, tfidf_top_terms, frame_sample,
-#     stratified_sample, media_stats, ngram_jaccard_pairs, unpivot,
-#     window_rank_battery, array_funcs,
-#     substring_dup_runs, asof_join, range_join_pairs (15).
+#     fhir_questionnaire_answers, fhir_mixed_resource_counts (RESULT
+#     changes — NutritionOrder row → Basic row), fhir_omop_condition_
+#     occurrence, fhir_omop_drug_exposure, fhir_omop_visit_occurrence,
+#     fhir_omop_procedure_occurrence, fhir_omop_measurement,
+#     fhir_flags, fhir_adverse_events, fhir_questionnaire_join,
+#     fhir_adt_timeline (ADT reader under the widened default
+#     catalog) (21).
+#   * queries/temporal_q.py diff is the APPENDED watermarked function +
+#     registry entries (hunk-verified: no existing function modified),
+#     so its other rows keep their greens; stream_join_pairs stays
+#     in-window anyway as the new row's no-watermark twin (1).
+#   * bundle_collect_flatten / fhir_writer_roundtrip verified
+#     catalog-free (pure relational build; variant_get re-parse) —
+#     they keep their r10/r11 greens.
+#   * STALENESS ROTATION (17): the 13 displaced r7 rows (knn_cosine,
+#     text_quality, doc_fingerprint, drop_duplicates, train_test_split,
+#     enrich_events, conditional_agg, winnow_dup_pairs, semdedup_keep,
+#     knn_batch, cube_agg, pivot_agg, grouping_sets) + the 4 head rows
+#     of the r8 queue (agg_stats, audio_stats, bpe_encode,
+#     bpe_merge_candidates).
+# ROUND-13 QUEUE: the remaining 33 r8 rows — bsq_hamming_search,
+# c4_clean, chunk_sliding,
+# classifier_train_steps, countmin_estimate, date_series,
+# dsir_importance, dup_span_removal, image_dims, ivf_multiprobe_topk,
+# ivf_probe_topk, ivf_recall_at_k, ivfpq_rerank, ivfpq_residual_search,
+# ivfpq_search, join_filter_pushdown, lang_id, lm_perplexity_filter,
+# minhash_est_error, mrl_recall_at_k, multimodal_features,
+# multiway_join_agg, paragraph_dedup, percentile_agg, pq_adc_topk,
+# pq_encode, pricing_summary, quality_classifier_filter, scd2_intervals,
+# stream_dedup_counts, stream_windowed_counts, string_agg_sorted,
+# unimax_sample — then the r9 residue behind them.
 # --------------------------------------------------------------------------
 _WINDOW = (
-    # --- ROUND 11: new queries (3) ---
-    "fhir_flags",
+    # --- ROUND 12: the 13 displaced r7 rows (staleness drain) ---
+    "knn_cosine",
+    "text_quality",
+    "doc_fingerprint",
+    "drop_duplicates",
+    "train_test_split",
+    "enrich_events",
+    "conditional_agg",
+    "winnow_dup_pairs",
+    "semdedup_keep",
+    "knn_batch",
+    "cube_agg",
+    "pivot_agg",
+    "grouping_sets",
+    # --- ROUND 12: new queries (5) ---
+    "fhir_ndjson_coverage_bundles",
+    "fhir_omop_death",
+    "fhir_omop_observation_period",
+    "fhir_nutrition_orders",
+    "stream_join_pairs_watermarked",
+    "ngram_decontaminate",
+    "fhir_reference_integrity",
+    # --- ROUND 12: bridge widening + NDJSON corpus v3 consumers (4) ---
     "fhir_ndjson_patient_conditions",
+    "fhir_ndjson_type_counts",
+    "fhir_ndjson_observations",
     "stream_ndjson_counts",
-    # --- ROUND 11: dedup.py edit-verify refactor (1) ---
-    "edit_distance_neardup",
-    # --- ROUND 11: corpus v6 + catalog batch-3 consumers (15) ---
+    # --- ROUND 12: corpus v10 + catalog batch-5 consumers (21) ---
     "fhir_patient_conditions",
     "fhir_patient_claims",
     "fhir_medication_requests",
@@ -152,42 +142,20 @@ _WINDOW = (
     "fhir_mixed_resource_counts",
     "fhir_omop_condition_occurrence",
     "fhir_omop_drug_exposure",
-    "fhir_adt_timeline",
-    # --- ROUND 11: NDJSON corpus v2 consumers (2) ---
-    "fhir_ndjson_observations",
-    "fhir_ndjson_type_counts",
-    # --- ROUND 11: writer refactor (1) ---
-    "fhir_writer_roundtrip",
-    # --- ROUND 11 continuation: new oracle rows (7) ---
-    "temperature_sample",
-    "bloom_dedup",
-    "pagerank_weights",
-    "stream_join_pairs",
     "fhir_omop_visit_occurrence",
     "fhir_omop_procedure_occurrence",
     "fhir_omop_measurement",
-    "containment_neardup",
-    "shard_assignment",
-    "vocab_coverage",
+    "fhir_flags",
     "fhir_adverse_events",
     "fhir_questionnaire_join",
-    "dup_line_removal",
-    # --- ROUND 11: the r7 staleness queue less the 13 displaced (15) ---
-    "embedding_neardup",
-    "embedding_centroids",
-    "lsh_bucket_sizes",
-    "token_count_bpe",
-    "tfidf_top_terms",
-    "frame_sample",
-    "stratified_sample",
-    "media_stats",
-    "ngram_jaccard_pairs",
-    "unpivot",
-    "window_rank_battery",
-    "array_funcs",
-    "substring_dup_runs",
-    "asof_join",
-    "range_join_pairs",
+    "fhir_adt_timeline",
+    # --- ROUND 12: the new row's no-watermark twin (1) ---
+    "stream_join_pairs",
+    # --- ROUND 12: r8-queue head (staleness drain, 4) ---
+    "agg_stats",
+    "audio_stats",
+    "bpe_encode",
+    "bpe_merge_candidates",
 )
 
 

@@ -853,6 +853,29 @@ def q_fhir_ndjson_coverage_bundles(
     )
 
 
+def q_fhir_reference_integrity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-resource reference-integrity audit over the synthetic
+    corpus (round-12): four checks with known ground truth — Condition/
+    Claim/NutritionOrder patient references all resolve (the
+    NutritionOrder row also re-proves the batch-5 deep schema), while
+    every Slot.schedule reference DANGLES because the corpus carries no
+    Schedule resources — the dangling-reference shape a real ETL must
+    surface, not silently join away."""
+    from interop_spark.fhir.analytics import reference_integrity
+
+    return reference_integrity(
+        _synthetic_entry(spark, sf_dir),
+        [
+            ("Condition", "subject.reference", "Patient"),
+            ("Claim", "patient.reference", "Patient"),
+            ("NutritionOrder", "patient.reference", "Patient"),
+            ("Slot", "schedule.reference", "Schedule"),
+        ],
+    )
+
+
 def q_fhir_ingest_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reader THROUGHPUT path over a real file corpus: ~1200 generated
     bundle files (one .json per bundle, deterministic content) →
@@ -921,6 +944,7 @@ QUERIES = {
     "fhir_omop_death": q_fhir_omop_death,
     "fhir_omop_observation_period": q_fhir_omop_observation_period,
     "fhir_nutrition_orders": q_fhir_nutrition_orders,
+    "fhir_reference_integrity": q_fhir_reference_integrity,
     "fhir_slots": q_fhir_slots,
     "fhir_flags": q_fhir_flags,
 }
@@ -1418,6 +1442,22 @@ ORACLE = {
                  WHEN 1 THEN 'high' ELSE 'unable-to-assess' END
                  AS criticality
         FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+    """,
+    "fhir_reference_integrity": f"""
+        WITH n AS (
+          SELECT CAST(count(1) AS BIGINT) AS c FROM customer
+          WHERE c_custkey < {_SYNTH_LIMIT}
+        )
+        SELECT 'Condition' AS source_type, 'Patient' AS target_type,
+               c AS n_refs, c AS n_resolved,
+               CAST(0 AS BIGINT) AS n_dangling
+        FROM n
+        UNION ALL
+        SELECT 'Claim', 'Patient', c, c, CAST(0 AS BIGINT) FROM n
+        UNION ALL
+        SELECT 'NutritionOrder', 'Patient', c, c, CAST(0 AS BIGINT) FROM n
+        UNION ALL
+        SELECT 'Slot', 'Schedule', c, CAST(0 AS BIGINT), c FROM n
     """,
     "fhir_condition_text": f"""
         SELECT {_DK_UUID} AS UNIQUE_FHIR_ID,

@@ -968,8 +968,31 @@ def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECON_N = 5  # fixture docs are short; real pipelines use 13 (GPT-3 App. C)
+
+
+def q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination DROP-LIST (round-12): every 50th
+    document plays the EVALUATION set; the full corpus is checked for
+    any shared word 5-gram (Brown et al. 2020 Appendix C's 13-gram
+    rule, scaled to the fixture's short docs). Benchmark members
+    contaminate themselves totally (ratio 1.0) and any genuine
+    near-dup surfaces beside them. Complements
+    ``decontam_ngram_overlap`` (pipeline_ext.py), which attributes
+    PAIRWISE train×eval hits for forensics — this row is the per-doc
+    collision-count/ratio form a pretraining run consumes directly as
+    a drop-list, with the per-doc gram totals carried through so the
+    threshold can be ratio-based, not just any-hit."""
+    d = load(spark, sf_dir, "documents")
+    bench = d.where(col("doc_id") % 50 == 0)
+    return dd.ngram_decontaminate(
+        d, bench, id_col="doc_id", text_col="text", n=DECON_N
+    )
+
+
 QUERIES = {
     "drop_duplicates": q_drop_duplicates,
+    "ngram_decontaminate": q_ngram_decontaminate,
     "train_test_split": q_train_test_split,
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
@@ -1022,6 +1045,16 @@ def _dk_lang_id() -> str:
         f"WHEN s_{lang} = greatest({scores}) THEN '{lang}'" for lang in langs
     )
     return f"CASE {whens} END"
+
+
+def _dk_shingles_n(n: int, text_expr: str = "text") -> str:
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len(string_split_regex(trim({text_expr}),"
+        f" '\\s+')) - {n - 1}, 1)),"
+        f" i -> array_to_string((string_split_regex(trim({text_expr}),"
+        f" '\\s+'))[i:i+{n - 1}], ' ')))"
+    )
 
 
 def _dk_shingles(text_expr: str = "text") -> str:
@@ -1296,6 +1329,24 @@ def _dk_planes_sql() -> str:
 
 
 ORACLE = {
+    "ngram_decontaminate": f"""
+        WITH g5 AS (
+          SELECT doc_id, {_dk_shingles_n(5)} AS sh FROM documents
+        ),
+        bg AS (
+          SELECT DISTINCT unnest(sh) AS gram FROM g5 WHERE doc_id % 50 = 0
+        ),
+        dg AS (
+          SELECT doc_id, len(sh) AS n_grams, unnest(sh) AS gram FROM g5
+        )
+        SELECT doc_id,
+               count(1) AS n_collisions,
+               min(n_grams) AS n_grams,
+               round(count(1) * 1.0 / greatest(min(n_grams), 1), 4)
+                 AS contamination_ratio
+        FROM dg JOIN bg USING (gram)
+        GROUP BY doc_id
+    """,
     "drop_duplicates": f"""
         SELECT DISTINCT
                md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp

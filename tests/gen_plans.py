@@ -68,6 +68,9 @@ COMMENT = {
  "shard_assignment": "Training-shard assignment: the shard id is a hash projection over the scan (zero shuffle); the audit is one N-key aggregate. At 100 TB the same column feeds repartition(N, col).write for balanced shard files without a global sort.",
  "vocab_coverage": "Vocabulary OOV audit: vocab induction is one token-keyed count + TakeOrderedAndProject top-k under a total tie order; the coverage pass joins corpus tokens against the broadcast vocab and aggregates per language -- no corpus-keyed shuffle beyond the lang aggregate.",
  "dup_line_removal": "Within-doc repeated-line removal: posexplode projection -> first-occurrence window partitioned by (doc, line-hash) -- a PER-DOCUMENT key, so no corpus-global hot key exists -- -> per-doc sort+fold reassembly (collect_list bounded by the doc's own line count).",
+ "ngram_decontaminate": "Benchmark decontamination drop-list: the eval set's distinct 5-grams BROADCAST onto the exploded corpus -- the corpus itself never shuffles; only COLLIDING grams reach the doc-keyed count, and the per-doc gram totals ride the same pre-join projection (one corpus scan).",
+ "fhir_omop_observation_period": "OMOP observation_period: 6 dated resource explodes union into narrow (person, date) pairs; partial min/max collapses each map task to <=1 row per person BEFORE the single person-keyed exchange (plan-asserted: exactly one hashpartitioning).",
+ "fhir_reference_integrity": "Reference-integrity audit: per check the source side projects ONE ref string; the target-id side is a bounded distinct (broadcast after it); each check aggregates to a single row and the 4 rows union -- no Cartesian, no corpus-wide shuffle.",
 }
 
 out = ["# PLANS — physical plans of the headline queries (sf0.1, AQE on)",
@@ -102,7 +105,8 @@ for name in ["pricing_summary", "multiway_join_agg", "latest_event_per_user",
              "pretrain_pipeline",
              "bloom_dedup", "temperature_sample", "pagerank_weights",
              "containment_neardup", "shard_assignment", "vocab_coverage",
-             "dup_line_removal"]:
+             "dup_line_removal", "ngram_decontaminate",
+             "fhir_omop_observation_period", "fhir_reference_integrity"]:
     df = qs[name](spark, SF)
     df.write.format("noop").mode("overwrite").save()  # let AQE finalize
     plan = df._jdf.queryExecution().executedPlan().toString()

@@ -444,3 +444,43 @@ def test_round11_continuation_plan_shapes(spark, sf_dir):
     # lang-count agg + one-row max + final per-lang agg only — the
     # corpus-side keep projection adds no exchange of its own
     assert ex.count("Exchange hashpartitioning") <= 3, ex[:2000]
+
+
+def test_round12_plan_shapes(spark, sf_dir):
+    """Scale posture of the round-12 additions, pinned:
+
+    - ngram_decontaminate never shuffles the CORPUS: the eval set's
+      distinct grams broadcast onto the exploded corpus (one
+      BroadcastHashJoin); the hash Exchanges belong to the tiny
+      benchmark distinct and the post-join collision count, whose
+      input is only the COLLIDING grams;
+    - omop_observation_period partial-aggregates before its single
+      person-keyed shuffle: exactly one hashpartitioning Exchange on
+      person_id above the 6-way union, with partial_min/partial_max on
+      the map side (each task emits ≤1 row per person);
+    - reference_integrity per check: the target-id side is a bounded
+      distinct; no Cartesian anywhere, and each check's aggregate is a
+      single row (the union of 4 single-row aggregates)."""
+    from interop_spark.io import load
+    from interop_spark.operators import dedup as dd
+    from interop_spark.queries import all_queries
+
+    q = all_queries()
+
+    d = load(spark, sf_dir, "documents")
+    dec = dd.ngram_decontaminate(d, d.where(F.col("doc_id") % 50 == 0), n=5)
+    ex = dec._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in ex, ex[:1500]
+    # benchmark distinct (2 stages of one agg) + final doc-keyed count:
+    # the corpus explode itself adds no exchange
+    assert ex.count("Exchange hashpartitioning") <= 3, ex[:2000]
+    assert "Cartesian" not in ex
+
+    op = q["fhir_omop_observation_period"](spark, sf_dir)
+    ex = op._jdf.queryExecution().executedPlan().toString()
+    assert ex.count("Exchange hashpartitioning") == 1, ex[:2000]
+    assert "partial_min" in ex and "partial_max" in ex, ex[:2000]
+
+    ri = q["fhir_reference_integrity"](spark, sf_dir)
+    opt = ri._jdf.queryExecution().optimizedPlan().toString()
+    assert "Cartesian" not in opt and "collect_list" not in opt
