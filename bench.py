@@ -281,6 +281,17 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
         # then the zero-shuffle probe over the 1x/10x batch. Done-bar:
         # ratio_10x ~linear-in-bytes (pure broadcast + projection).
         "bloom_probe": "_BLOOM_SPECIAL",
+        # round-12: the incremental MINHASH probe — near-dup sibling of
+        # bloom_probe. History index (shingle + band tables) built ONCE
+        # on the 1x history (a real pipeline persists it per corpus
+        # build), then the 1x/10x RETOKENED batch probes it: rep-0 docs
+        # match their identical history twins, retokened replicas have
+        # disjoint vocabularies (zero cross-replica candidates), so the
+        # ratio isolates the probe path — new-side hashing + the
+        # new×history band join — not quadratic match output. Done-bar:
+        # ratio_10x sublinear (the history side is never shuffled; the
+        # small new band table broadcasts).
+        "minhash_probe": "_MINHASH_INC_SPECIAL",
         # round-11 continuation: 3 integer-PageRank iterations over the
         # 2-out-link graph derived from the scaled corpus — K chained
         # join+agg shuffles on uniform id keys; linear edge volume.
@@ -423,6 +434,17 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
         bits = dd.bloom_bits(hist, "text").localCheckpoint()
         return lambda d: dd.bloom_probe(d, bits)
 
+    def _make_minhash_inc_fn():
+        # index build is UNTIMED (localCheckpoint inside the builder is
+        # eager) — the probe measures only the per-batch path
+        hist = _scaled_documents(spark, sf_dir, 1).where(
+            col("doc_id") % 2 == 0
+        )
+        idx = dd.build_minhash_index(hist, "doc_id", "text")
+        return lambda d: dd.minhash_incremental_dedup(
+            d, None, history_index=idx, max_band_docs=64
+        )
+
     def _pagerank_probe(d):
         from interop_spark.operators.graph import pagerank_int
 
@@ -456,6 +478,12 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
             except Exception as e:
                 out[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
                 continue
+        elif fn == "_MINHASH_INC_SPECIAL":
+            try:
+                fn = _make_minhash_inc_fn()
+            except Exception as e:
+                out[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+                continue
         elif fn == "_PAGERANK":
             fn = _pagerank_probe
         scaled = (
@@ -463,7 +491,9 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
             _planted_skew_documents if name in _SKEW_PROBES else
             _rotated_documents if name == "substring_dup_runs" else
             _retokened_documents
-            if name in ("simhash_neardup_pairs", "containment") else
+            if name
+            in ("simhash_neardup_pairs", "containment", "minhash_probe")
+            else
             lambda m: _scaled_documents(spark, sf_dir, m)
         )
         try:

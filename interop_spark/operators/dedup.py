@@ -1305,3 +1305,191 @@ def ngram_decontaminate(
             ).alias("contamination_ratio"),
         )
     )
+
+
+def _shingle_band_tables(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    bands: int,
+    rows: int,
+    shingle_n: int,
+    materialize: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """(shingle table, banded table) for ONE side of a CROSS-corpus band
+    join. Same signature/band construction as ``_minhash_candidates``
+    (constant-sequence explode so InferFiltersFromGenerate can't clone
+    the hashing into a scan filter; checkpoint so the signature pipeline
+    runs once per side, not once per downstream consumer) — kept as a
+    separate single-side helper so the self-join core's expression tree,
+    and therefore every existing minhash row's verified plan, stays
+    byte-identical."""
+    shing = df.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    )
+    if materialize:
+        shing = shing.localCheckpoint()
+    sig = shing.select(
+        "doc_id", minhash_signature(F.col("shingles"), k).alias("sig")
+    )
+    banded = sig.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("_b"),
+        F.col("sig"),
+    ).select(
+        "doc_id",
+        F.concat(
+            F.col("_b").cast("string"),
+            F.lit(":"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.element_at(F.col("sig"), F.col("_b") * rows + r + 1)
+                        for r in range(rows)
+                    ],
+                )
+            ),
+        ).alias("band_key"),
+    )
+    if materialize:
+        banded = banded.localCheckpoint()
+    return shing, banded
+
+
+def build_minhash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 12,
+    bands: int = 4,
+    rows: int = 3,
+    shingle_n: int = 3,
+    materialize: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """The persistable history-side index of
+    ``minhash_incremental_dedup``: (shingle table, banded table). A
+    production pipeline writes both as parquet once per corpus build
+    and every subsequent batch probes them — the same
+    hash-once/probe-many amortization as the PQ codebooks
+    (``ivfpq_search_only``) and the Bloom bitmap."""
+    return _shingle_band_tables(
+        df, id_col, text_col, k, bands, rows, shingle_n, materialize
+    )
+
+
+def minhash_incremental_dedup(
+    new: DataFrame,
+    history: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 12,
+    bands: int = 4,
+    rows: int = 3,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    materialize: bool = True,
+    max_band_docs: int | None = None,
+    history_index: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """INCREMENTAL near-dup filter: screen a NEW batch of documents
+    against an EXISTING corpus without ever self-joining the corpus —
+    the MinHash sibling of ``bloom_history_dedup`` (which answers the
+    same question for EXACT duplicates). This is the shape a continuous
+    crawl pipeline runs every day: history is petabytes and already
+    deduplicated; only the new batch needs verdicts.
+
+    One row per NEW document: ``is_dup`` (any history doc with exact
+    shingle-Jaccard ≥ threshold among LSH candidates), ``n_matches``,
+    ``best_match`` (history id with the highest Jaccard, smallest id on
+    ties — deterministic), ``best_jaccard``.
+
+    Scale shape: the band join is new×history — NEVER history×history
+    (a daily batch is ~1/1000th of the corpus, so candidate volume
+    scales with the batch, not the archive), and in a production run
+    the history side's signature/band table is the PRECOMPUTED index a
+    previous run persisted (here it's derived in-query so the row stays
+    self-contained — the bench probe isolates the probe side exactly
+    like ``ivfpq_search_only`` does for PQ training). The join shuffles
+    only (band_key, doc_id); shingle arrays re-join per CANDIDATE for
+    exact-Jaccard verification; the final aggregate is keyed by new-doc
+    id. ``max_band_docs`` drops boilerplate mega-bands on the history
+    side before the join (same guard semantics as
+    ``minhash_candidate_pairs``). ``history_index`` takes a prebuilt
+    (shingle table, banded table) pair — ``build_minhash_index`` — so a
+    recurring pipeline pays history hashing once, not per batch; the
+    ``history`` frame is ignored when it's given."""
+    n_sh, n_band = _shingle_band_tables(
+        new, id_col, text_col, k, bands, rows, shingle_n, materialize
+    )
+    if history_index is not None:
+        h_sh, h_band = history_index
+    else:
+        h_sh, h_band = _shingle_band_tables(
+            history, id_col, text_col, k, bands, rows, shingle_n, materialize
+        )
+    if max_band_docs is not None:
+        keep = (
+            h_band.groupBy("band_key")
+            .agg(F.count(F.lit(1)).alias("_nd"))
+            .where(F.col("_nd") <= max_band_docs)
+            .select("band_key")
+        )
+        h_band = h_band.join(keep, "band_key")
+    cand = (
+        n_band.select(F.col("doc_id").alias("new_id"), "band_key")
+        .join(
+            h_band.select(F.col("doc_id").alias("hist_id"), "band_key"),
+            "band_key",
+        )
+        .select("new_id", "hist_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(
+            n_sh.select(
+                F.col("doc_id").alias("new_id"),
+                F.col("shingles").alias("_sh_n"),
+            ),
+            "new_id",
+        )
+        .join(
+            h_sh.select(
+                F.col("doc_id").alias("hist_id"),
+                F.col("shingles").alias("_sh_h"),
+            ),
+            "hist_id",
+        )
+        .select(
+            "new_id",
+            "hist_id",
+            jaccard(F.col("_sh_n"), F.col("_sh_h")).alias("jaccard_sim"),
+        )
+        .where(F.col("jaccard_sim") >= threshold)
+    )
+    agg = scored.groupBy("new_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.max("jaccard_sim").alias("best_jaccard"),
+        # struct max: highest jaccard, then smallest hist_id (negated)
+        F.max(
+            F.struct(
+                F.col("jaccard_sim").alias("_j"),
+                (-F.col("hist_id")).alias("_nh"),
+            )
+        ).alias("_best"),
+    )
+    return (
+        new.select(F.col(id_col).alias("doc_id"))
+        .join(agg.withColumnRenamed("new_id", "doc_id"), "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.col("n_matches").isNotNull().alias("is_dup"),
+            F.coalesce(F.col("n_matches"), F.lit(0).cast("long")).alias(
+                "n_matches"
+            ),
+            (-F.col("_best._nh")).cast("long").alias("best_match"),
+            "best_jaccard",
+        )
+    )

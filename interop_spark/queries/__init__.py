@@ -81,14 +81,19 @@ _MODULES = (
 #   * bundle_collect_flatten / fhir_writer_roundtrip verified
 #     catalog-free (pure relational build; variant_get re-parse) —
 #     they keep their r10/r11 greens.
-#   * STALENESS ROTATION (17): the 13 displaced r7 rows (knn_cosine,
+#   * minhash_incremental_dedup (NEW, continuation): incremental
+#     cross-corpus near-dup screen, appended to operators/dedup.py +
+#     queries/pipeline.py (hunk-verified append-only: the self-join
+#     core _minhash_candidates is untouched, so existing minhash rows
+#     keep their greens); its window slot displaces
+#     bpe_merge_candidates back to the r13 queue head.
+#   * STALENESS ROTATION (16): the 13 displaced r7 rows (knn_cosine,
 #     text_quality, doc_fingerprint, drop_duplicates, train_test_split,
 #     enrich_events, conditional_agg, winnow_dup_pairs, semdedup_keep,
-#     knn_batch, cube_agg, pivot_agg, grouping_sets) + the 4 head rows
-#     of the r8 queue (agg_stats, audio_stats, bpe_encode,
-#     bpe_merge_candidates).
-# ROUND-13 QUEUE: the remaining 33 r8 rows — bsq_hamming_search,
-# c4_clean, chunk_sliding,
+#     knn_batch, cube_agg, pivot_agg, grouping_sets) + the r8-queue
+#     head (agg_stats, audio_stats, bpe_encode).
+# ROUND-13 QUEUE: bpe_merge_candidates, then the remaining 33 r8 rows —
+# bsq_hamming_search, c4_clean, chunk_sliding,
 # classifier_train_steps, countmin_estimate, date_series,
 # dsir_importance, dup_span_removal, image_dims, ivf_multiprobe_topk,
 # ivf_probe_topk, ivf_recall_at_k, ivfpq_rerank, ivfpq_residual_search,
@@ -155,7 +160,8 @@ _WINDOW = (
     "agg_stats",
     "audio_stats",
     "bpe_encode",
-    "bpe_merge_candidates",
+    # --- ROUND 12 continuation: incremental near-dup screen (1) ---
+    "minhash_incremental_dedup",
 )
 
 

@@ -125,6 +125,39 @@ def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(col("jaccard_sim") >= 0.5)
 
 
+INC_HIST_N = 150  # history corpus: doc_id < 150
+INC_MUT_N = 50  # new batch: mutations of doc_id < 50 + originals 150-199
+
+
+def q_minhash_incremental_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental near-dup screening (round-12): a NEW batch — 50
+    first-word-dropped mutations of history docs (planted near-dups)
+    plus 50 genuinely unseen docs — probed against a 150-doc HISTORY
+    corpus via a new×history band join (never history×history). The
+    mutations resolve to their originals (best_match = source id);
+    the unseen docs come back is_dup=false."""
+    d = load(spark, sf_dir, "documents")
+    history = d.where(col("doc_id") < INC_HIST_N).select("doc_id", "text")
+    new = (
+        d.where(col("doc_id") < INC_MUT_N)
+        .select(
+            (col("doc_id") + DUP_OFFSET).alias("doc_id"),
+            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+        )
+        .unionByName(
+            d.where(
+                (col("doc_id") >= INC_HIST_N) & (col("doc_id") < 200)
+            ).select("doc_id", "text")
+        )
+    )
+    return dd.minhash_incremental_dedup(
+        new, history, k=MINHASH_K, bands=BANDS, rows=ROWS,
+        shingle_n=SHINGLE_N,
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document (near-dup fingerprint; banded Hamming
     join reuses the minhash LSH shape)."""
@@ -1000,6 +1033,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "exact_dedup": q_exact_dedup,
     "minhash_lsh_neardup": q_minhash_lsh_neardup,
+    "minhash_incremental_dedup": q_minhash_incremental_dedup,
     "simhash": q_simhash,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "ivf_probe_topk": q_ivf_probe_topk,
@@ -1424,6 +1458,55 @@ ORACLE = {
         "WITH " + _dk_minhash_pair_ctes(100)
         + " SELECT doc_a, doc_b, jaccard_sim FROM mh_pairs"
     ),
+    "minhash_incremental_dedup": f"""
+        WITH hist AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < {INC_HIST_N}
+        ),
+        newb AS (
+          SELECT doc_id + {DUP_OFFSET} AS doc_id,
+                 substring(text, instr(text, ' ') + 1) AS text
+          FROM documents WHERE doc_id < {INC_MUT_N}
+          UNION ALL
+          SELECT doc_id, text FROM documents
+          WHERE doc_id >= {INC_HIST_N} AND doc_id < 200
+        ),
+        hsh AS (SELECT doc_id, {_dk_shingles()} AS sh FROM hist),
+        nsh AS (SELECT doc_id, {_dk_shingles()} AS sh FROM newb),
+        hsig AS (SELECT doc_id, sh, {_dk_minhash_sig()} AS sig FROM hsh),
+        nsig AS (SELECT doc_id, sh, {_dk_minhash_sig()} AS sig FROM nsh),
+        hband AS (
+          SELECT doc_id, sh, unnest({_dk_band_keys()}) AS band_key FROM hsig
+        ),
+        nband AS (
+          SELECT doc_id, sh, unnest({_dk_band_keys()}) AS band_key FROM nsig
+        ),
+        cand AS (
+          SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS hist_id,
+                 round(len(list_intersect(n.sh, h.sh)) * 1.0
+                   / greatest(len(list_distinct(list_concat(n.sh, h.sh))), 1),
+                   4) AS jaccard_sim
+          FROM nband n JOIN hband h USING (band_key)
+        ),
+        scored AS (SELECT * FROM cand WHERE jaccard_sim >= 0.5),
+        best AS (
+          SELECT new_id,
+                 CAST(count(1) OVER w AS BIGINT) AS n_matches,
+                 max(jaccard_sim) OVER w AS best_jaccard,
+                 hist_id AS best_match,
+                 row_number() OVER
+                   (PARTITION BY new_id
+                    ORDER BY jaccard_sim DESC, hist_id ASC) AS rn
+          FROM scored
+          WINDOW w AS (PARTITION BY new_id)
+          QUALIFY rn = 1
+        )
+        SELECT b.doc_id,
+               (a.new_id IS NOT NULL) AS is_dup,
+               COALESCE(a.n_matches, 0) AS n_matches,
+               a.best_match,
+               a.best_jaccard
+        FROM newb b LEFT JOIN best a ON b.doc_id = a.new_id
+    """,
     "simhash": f"""
         SELECT doc_id, {_dk_simhash(_TOKENS)} AS simhash
         FROM documents WHERE doc_id < 200

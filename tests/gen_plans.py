@@ -69,6 +69,7 @@ COMMENT = {
  "vocab_coverage": "Vocabulary OOV audit: vocab induction is one token-keyed count + TakeOrderedAndProject top-k under a total tie order; the coverage pass joins corpus tokens against the broadcast vocab and aggregates per language -- no corpus-keyed shuffle beyond the lang aggregate.",
  "dup_line_removal": "Within-doc repeated-line removal: posexplode projection -> first-occurrence window partitioned by (doc, line-hash) -- a PER-DOCUMENT key, so no corpus-global hot key exists -- -> per-doc sort+fold reassembly (collect_list bounded by the doc's own line count).",
  "ngram_decontaminate": "Benchmark decontamination drop-list: the eval set's distinct 5-grams BROADCAST onto the exploded corpus -- the corpus itself never shuffles; only COLLIDING grams reach the doc-keyed count, and the per-doc gram totals ride the same pre-join projection (one corpus scan).",
+ "minhash_incremental_dedup": "Incremental near-dup screen: new-batch bands equi-join HISTORY bands (never history x history -- candidate volume scales with the batch, not the archive); shingles re-join per surviving candidate; final agg keyed by new-doc id. At scale the history band/shingle tables are a persisted index (build_minhash_index) probed by every batch.",
  "fhir_omop_observation_period": "OMOP observation_period: 6 dated resource explodes union into narrow (person, date) pairs; partial min/max collapses each map task to <=1 row per person BEFORE the single person-keyed exchange (plan-asserted: exactly one hashpartitioning).",
  "fhir_reference_integrity": "Reference-integrity audit: per check the source side projects ONE ref string; the target-id side is a bounded distinct (broadcast after it); each check aggregates to a single row and the 4 rows union -- no Cartesian, no corpus-wide shuffle.",
 }
@@ -106,7 +107,8 @@ for name in ["pricing_summary", "multiway_join_agg", "latest_event_per_user",
              "bloom_dedup", "temperature_sample", "pagerank_weights",
              "containment_neardup", "shard_assignment", "vocab_coverage",
              "dup_line_removal", "ngram_decontaminate",
-             "fhir_omop_observation_period", "fhir_reference_integrity"]:
+             "fhir_omop_observation_period", "fhir_reference_integrity",
+             "minhash_incremental_dedup"]:
     df = qs[name](spark, SF)
     df.write.format("noop").mode("overwrite").save()  # let AQE finalize
     plan = df._jdf.queryExecution().executedPlan().toString()

@@ -484,3 +484,33 @@ def test_round12_plan_shapes(spark, sf_dir):
     ri = q["fhir_reference_integrity"](spark, sf_dir)
     opt = ri._jdf.queryExecution().optimizedPlan().toString()
     assert "Cartesian" not in opt and "collect_list" not in opt
+
+
+def test_minhash_incremental_probe_plan_shape(spark, sf_dir):
+    """Incremental near-dup probe against a PREBUILT history index:
+    the join is new×history (never history×history), the history side
+    enters via the checkpointed index scans with no Exchange of its
+    own, and no stage materializes per-bucket arrays. With the guard
+    on, the only hashpartitioning Exchanges are the hot-band count,
+    the candidate distinct, and the new-doc-keyed final aggregate."""
+    from interop_spark.io import load
+    from interop_spark.operators import dedup as dd
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = dd.build_minhash_index(d.where(F.col("doc_id") % 2 == 0))
+    probe = dd.minhash_incremental_dedup(
+        d.where(F.col("doc_id") < 50),
+        None,
+        history_index=idx,
+        max_band_docs=64,
+    )
+    ex = probe._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in ex, ex[:1500]
+    assert "collect_list" not in ex, ex[:1500]
+    # band-join + 2 shingle re-joins + final left join: equi-joins only
+    assert ex.count("Exchange hashpartitioning") <= 5, ex[:2500]
+    # verdicts cover every new doc, planted mutations resolve
+    rows = {r["doc_id"]: r for r in probe.collect()}
+    assert len(rows) == 50
+    evens = [r for i, r in rows.items() if i % 2 == 0]
+    assert all(r["is_dup"] and r["best_match"] == r["doc_id"] for r in evens)
