@@ -50,7 +50,9 @@ from pyspark.sql.functions import col
 #     the spine-only mixed-corpus retention role NutritionOrder played
 #     (its code/subject/created are real R4 fields the DomainResource
 #     spine does NOT declare)
-CORPUS_VERSION = "v10"
+# v11: + Invoice (round-12 sixth promotion batch proof — the
+#     payer/financial cycle; Money totals + lineItem priceComponent)
+CORPUS_VERSION = "v11"
 LOINC = "http://loinc.org"
 
 CPT = "http://www.ama-assn.org/go/cpt"
@@ -101,8 +103,8 @@ def bundle_json_df(
     Patient, Condition, Claim (2 items), MedicationRequest, Practitioner,
     Observation, DiagnosticReport, QuestionnaireResponse, NutritionOrder,
     Slot, Flag, Encounter, Procedure, AdverseEvent, Questionnaire (3
-    distinct definitions) and a spine-only Basic, all fields closed-form
-    functions of c_custkey.
+    distinct definitions), a spine-only Basic and an Invoice, all fields
+    closed-form functions of c_custkey.
     ``_file_path`` is the stable pseudo-path ``mem://bundles/<key>`` so
     bundleUUIDs are reproducible and oracle-computable (md5 of the same
     string)."""
@@ -506,6 +508,43 @@ def bundle_json_df(
         ).alias("severity"),
     )
 
+    # Invoice exercises the round-12 sixth promotion batch (payer/
+    # financial cycle): Money totals and a lineItem priceComponent —
+    # quarter-dollar values so the doubles are float-exact on both the
+    # Spark and DuckDB sides.
+    gross = (k % 900) + 100 + (k % 4) / F.lit(4.0)
+    money = F.struct(gross.alias("value"), F.lit("USD").alias("currency"))
+    invoice = F.struct(
+        F.lit("Invoice").alias("resourceType"),
+        _cat("inv-", k).alias("id"),
+        _pick(("issued", "balanced", "draft"), k).alias("status"),
+        _codeable(
+            _pick(("patient", "insurance"), k),
+            _pick(("patient", "insurance"), k),
+            "http://terminology.hl7.org/CodeSystem/invoice-type",
+        ).alias("type"),
+        F.struct(_cat("Patient/p-", k).alias("reference")).alias("subject"),
+        F.format_string(
+            "%04d-%02d-%02d", (k % 4 + 2021).cast("int"),
+            ((k + 10) % 12 + 1).cast("int"), ((k + 19) % 28 + 1).cast("int"),
+        ).alias("date"),
+        F.array(
+            F.struct(
+                F.lit(1).alias("sequence"),
+                _codeable(
+                    _cat("CHG", k % 8), _cat("charge-", k % 8), CPT
+                ).alias("chargeItemCodeableConcept"),
+                F.array(
+                    F.struct(
+                        F.lit("base").alias("type"), money.alias("amount")
+                    )
+                ).alias("priceComponent"),
+            )
+        ).alias("lineItem"),
+        money.alias("totalNet"),
+        money.alias("totalGross"),
+    )
+
     def entry_json(resource: F.Column) -> F.Column:
         return F.to_json(F.struct(resource.alias("resource")))
 
@@ -531,6 +570,7 @@ def bundle_json_df(
             entry_json(adverse),
             entry_json(qdef),
             entry_json(basic),
+            entry_json(invoice),
         ),
         F.lit("]}"),
     )
@@ -601,7 +641,11 @@ def write_corpus(
 #     ``subject`` ARRAY (every 10th account names TWO patients, so the
 #     multi-patient compartment fan-out is exercised, not just typed),
 #     AllergyIntolerance on the ``patient`` struct.
-NDJSON_VERSION = "v3"
+# v4: + OperationOutcome — what a bulk ``$export``'s ERROR files carry
+#     (the spec's manifest lists OperationOutcome NDJSON files under
+#     ``error``); every 4th outcome has TWO issues so the issue-array
+#     explode is exercised, not just typed.
+NDJSON_VERSION = "v4"
 
 
 def ndjson_resource_dfs(
@@ -710,6 +754,31 @@ def ndjson_resource_dfs(
             ((k + 9) % 12 + 1).cast("int"), ((k + 14) % 28 + 1).cast("int"),
         ).alias("recordedDate"),
     )
+    # OperationOutcome rows emulate a bulk export's error file: issue
+    # severity/code/diagnostics closed-form; every 4th outcome carries a
+    # second (warning/processing) issue.
+    def issue(sev, code_, diag) -> F.Column:
+        return F.struct(
+            sev.alias("severity"),
+            code_.alias("code"),
+            diag.alias("diagnostics"),
+        )
+
+    first_issue = issue(
+        _pick(("error", "warning", "information"), k),
+        _pick(("not-found", "invalid", "timeout"), k + 1),
+        _cat("diag-", k % 25),
+    )
+    second_issue = issue(
+        F.lit("warning"), F.lit("processing"), _cat("retry-", k % 6)
+    )
+    outcome = F.struct(
+        F.lit("OperationOutcome").alias("resourceType"),
+        _cat("oo-", k).alias("id"),
+        F.when(k % 4 == 0, F.array(first_issue, second_issue))
+        .otherwise(F.array(first_issue))
+        .alias("issue"),
+    )
     base = c.where(k < max_custkey)
     return {
         "Patient": base.select(F.to_json(patient).alias("value")),
@@ -718,6 +787,7 @@ def ndjson_resource_dfs(
         "Coverage": base.select(F.to_json(coverage).alias("value")),
         "Account": base.select(F.to_json(account).alias("value")),
         "AllergyIntolerance": base.select(F.to_json(allergy).alias("value")),
+        "OperationOutcome": base.select(F.to_json(outcome).alias("value")),
     }
 
 

@@ -81,19 +81,27 @@ _MODULES = (
 #   * bundle_collect_flatten / fhir_writer_roundtrip verified
 #     catalog-free (pure relational build; variant_get re-parse) —
 #     they keep their r10/r11 greens.
+#   * BATCH-6 PROMOTION (continuation): corpus v11 (+Invoice) and
+#     NDJSON corpus v4 (+OperationOutcome) prove the sixth promotion
+#     batch (payer/financial cycle + export error files) with two NEW
+#     rows — fhir_invoice_totals, fhir_ndjson_export_errors — whose
+#     window slots displace audio_stats and bpe_encode back to the r13
+#     queue head; fhir_ndjson_type_counts' RESULT changes (new
+#     OperationOutcome row) and every corpus/NDJSON consumer re-verifies
+#     (all already in-window this round).
 #   * minhash_incremental_dedup (NEW, continuation): incremental
 #     cross-corpus near-dup screen, appended to operators/dedup.py +
 #     queries/pipeline.py (hunk-verified append-only: the self-join
 #     core _minhash_candidates is untouched, so existing minhash rows
 #     keep their greens); its window slot displaces
 #     bpe_merge_candidates back to the r13 queue head.
-#   * STALENESS ROTATION (16): the 13 displaced r7 rows (knn_cosine,
+#   * STALENESS ROTATION (14): the 13 displaced r7 rows (knn_cosine,
 #     text_quality, doc_fingerprint, drop_duplicates, train_test_split,
 #     enrich_events, conditional_agg, winnow_dup_pairs, semdedup_keep,
 #     knn_batch, cube_agg, pivot_agg, grouping_sets) + the r8-queue
-#     head (agg_stats, audio_stats, bpe_encode).
-# ROUND-13 QUEUE: bpe_merge_candidates, then the remaining 33 r8 rows —
-# bsq_hamming_search, c4_clean, chunk_sliding,
+#     head (agg_stats).
+# ROUND-13 QUEUE: audio_stats, bpe_encode, bpe_merge_candidates, then
+# the remaining 33 r8 rows — bsq_hamming_search, c4_clean, chunk_sliding,
 # classifier_train_steps, countmin_estimate, date_series,
 # dsir_importance, dup_span_removal, image_dims, ivf_multiprobe_topk,
 # ivf_probe_topk, ivf_recall_at_k, ivfpq_rerank, ivfpq_residual_search,
@@ -124,6 +132,8 @@ _WINDOW = (
     "fhir_omop_death",
     "fhir_omop_observation_period",
     "fhir_nutrition_orders",
+    "fhir_invoice_totals",
+    "fhir_ndjson_export_errors",
     "stream_join_pairs_watermarked",
     "ngram_decontaminate",
     "fhir_reference_integrity",
@@ -158,8 +168,6 @@ _WINDOW = (
     "stream_join_pairs",
     # --- ROUND 12: r8-queue head (staleness drain, 4) ---
     "agg_stats",
-    "audio_stats",
-    "bpe_encode",
     # --- ROUND 12 continuation: incremental near-dup screen (1) ---
     "minhash_incremental_dedup",
 )

@@ -752,6 +752,29 @@ def q_fhir_ndjson_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fhir_ndjson_export_errors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bulk-export ERROR-file triage (round-12 sixth promotion batch
+    proof): a ``$export`` manifest lists OperationOutcome NDJSON files
+    under ``error`` — the first thing an ingest job does with them is
+    tally issues by severity/code to decide retry vs quarantine. Reads
+    the corpus's OperationOutcome.ndjson through the newly-deep schema
+    (issue array explode), so it proves the batch end-to-end."""
+    from interop_spark.fhir import read_from_ndjson
+    from interop_spark.fhir.gen import write_ndjson_corpus
+
+    d = write_ndjson_corpus(spark, sf_dir, max_custkey=_SYNTH_LIMIT)
+    oo = read_from_ndjson(
+        "file://" + d, spark=spark, glob_filter="*.ndjson"
+    ).resource("OperationOutcome")
+    iss = oo.select(F.explode("issue").alias("i"))
+    return iss.groupBy(
+        col("i.severity").alias("severity"),
+        col("i.code").alias("issue_code"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_issues"))
+
+
 def q_fhir_ndjson_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bulk-export audit scan: per-resourceType line counts over the
     NDJSON directory (``FhirNdjson.resource_types()``) — the pass a real
@@ -876,6 +899,32 @@ def q_fhir_reference_integrity(
     )
 
 
+def q_fhir_invoice_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invoice flattening through the round-12 SIXTH promotion batch
+    (payer/financial cycle): Money totals and the lineItem
+    priceComponent carry end-to-end from generated corpus JSON without
+    a user override — the per-batch proof-row pattern (fhir_flags
+    batch 3, fhir_adverse_events batch 4, fhir_nutrition_orders
+    batch 5)."""
+    entry = _synthetic_entry(spark, sf_dir)
+    inv = entry.select(F.explode("Invoice").alias("i"))
+    li = F.get(col("i.lineItem"), 0)
+    pc = F.get(li["priceComponent"], 0)
+    return inv.select(
+        col("i.id").alias("invoice_id"),
+        col("i.status").alias("invoice_status"),
+        F.get(col("i.type.coding"), 0)["code"].alias("invoice_type"),
+        col("i.subject.reference").alias("patient_ref"),
+        col("i.date").alias("invoice_date"),
+        col("i.totalGross.value").alias("total_gross"),
+        col("i.totalGross.currency").alias("currency"),
+        F.get(li["chargeItemCodeableConcept"]["coding"], 0)["code"].alias(
+            "charge_code"
+        ),
+        pc["amount"]["value"].alias("line_base_amount"),
+    )
+
+
 def q_fhir_ingest_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reader THROUGHPUT path over a real file corpus: ~1200 generated
     bundle files (one .json per bundle, deterministic content) →
@@ -944,6 +993,8 @@ QUERIES = {
     "fhir_omop_death": q_fhir_omop_death,
     "fhir_omop_observation_period": q_fhir_omop_observation_period,
     "fhir_nutrition_orders": q_fhir_nutrition_orders,
+    "fhir_invoice_totals": q_fhir_invoice_totals,
+    "fhir_ndjson_export_errors": q_fhir_ndjson_export_errors,
     "fhir_reference_integrity": q_fhir_reference_integrity,
     "fhir_slots": q_fhir_slots,
     "fhir_flags": q_fhir_flags,
@@ -1403,6 +1454,9 @@ ORACLE = {
         UNION ALL
         SELECT 'AllergyIntolerance', CAST(count(1) AS BIGINT)
         FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+        UNION ALL
+        SELECT 'OperationOutcome', CAST(count(1) AS BIGINT)
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
     """,
     "fhir_ndjson_patient_conditions": f"""
         SELECT {_dk_uuid("'ndjson://Patient/p-' || c_custkey::VARCHAR")}
@@ -1442,6 +1496,39 @@ ORACLE = {
                  WHEN 1 THEN 'high' ELSE 'unable-to-assess' END
                  AS criticality
         FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+    """,
+    "fhir_invoice_totals": f"""
+        SELECT 'inv-' || c_custkey::VARCHAR AS invoice_id,
+               CASE (c_custkey % 3) WHEN 0 THEN 'issued'
+                 WHEN 1 THEN 'balanced' ELSE 'draft' END AS invoice_status,
+               CASE (c_custkey % 2) WHEN 0 THEN 'patient'
+                 ELSE 'insurance' END AS invoice_type,
+               'Patient/p-' || c_custkey::VARCHAR AS patient_ref,
+               printf('%04d-%02d-%02d', 2021 + c_custkey % 4,
+                      (c_custkey + 10) % 12 + 1,
+                      (c_custkey + 19) % 28 + 1) AS invoice_date,
+               (c_custkey % 900) + 100 + (c_custkey % 4) / 4.0
+                 AS total_gross,
+               'USD' AS currency,
+               'CHG' || (c_custkey % 8)::VARCHAR AS charge_code,
+               (c_custkey % 900) + 100 + (c_custkey % 4) / 4.0
+                 AS line_base_amount
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+    """,
+    "fhir_ndjson_export_errors": f"""
+        WITH iss AS (
+          SELECT CASE (c_custkey % 3) WHEN 0 THEN 'error'
+                   WHEN 1 THEN 'warning' ELSE 'information' END AS severity,
+                 CASE ((c_custkey + 1) % 3) WHEN 0 THEN 'not-found'
+                   WHEN 1 THEN 'invalid' ELSE 'timeout' END AS issue_code
+          FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+          UNION ALL
+          SELECT 'warning', 'processing'
+          FROM customer
+          WHERE c_custkey < {_SYNTH_LIMIT} AND c_custkey % 4 = 0
+        )
+        SELECT severity, issue_code, CAST(count(1) AS BIGINT) AS n_issues
+        FROM iss GROUP BY severity, issue_code
     """,
     "fhir_reference_integrity": f"""
         WITH n AS (

@@ -1652,6 +1652,198 @@ ENDPOINT = _resource(
     header=_arr(S),
 )
 
+# Round-12 sixth batch: the payer/financial transaction cycle —
+# eligibility (CoverageEligibilityRequest/Response, the FHIR analog of
+# X12 270/271, the highest-volume payer exchange), charging/billing
+# (ChargeItem → Invoice), payment notification (PaymentNotice) — which
+# completes the financial chain around the already-curated
+# Claim/ClaimResponse/Coverage/ExplanationOfBenefit/Account — plus
+# OperationOutcome, the error/warning resource every FHIR REST
+# response and bulk-$export error file carries. Same monotone-promotion
+# contract: spine fields retained.
+
+COVERAGE_ELIGIBILITY_REQUEST = _resource(
+    identifier=_arr(IDENTIFIER),
+    status=S,
+    priority=CODEABLE_CONCEPT,
+    purpose=_arr(S),
+    patient=REFERENCE,
+    servicedDate=S,
+    servicedPeriod=PERIOD,
+    created=S,
+    enterer=REFERENCE,
+    provider=REFERENCE,
+    insurer=REFERENCE,
+    facility=REFERENCE,
+    supportingInfo=_arr(
+        _struct(sequence=I, information=REFERENCE, appliesToAll=B)
+    ),
+    insurance=_arr(
+        _struct(focal=B, coverage=REFERENCE, businessArrangement=S)
+    ),
+    item=_arr(
+        _struct(
+            supportingInfoSequence=_arr(I),
+            category=CODEABLE_CONCEPT,
+            productOrService=CODEABLE_CONCEPT,
+            modifier=_arr(CODEABLE_CONCEPT),
+            provider=REFERENCE,
+            quantity=QUANTITY,
+            unitPrice=MONEY,
+            facility=REFERENCE,
+            diagnosis=_arr(
+                _struct(
+                    diagnosisCodeableConcept=CODEABLE_CONCEPT,
+                    diagnosisReference=REFERENCE,
+                )
+            ),
+            detail=_arr(REFERENCE),
+        )
+    ),
+)
+
+COVERAGE_ELIGIBILITY_RESPONSE = _resource(
+    identifier=_arr(IDENTIFIER),
+    status=S,
+    purpose=_arr(S),
+    patient=REFERENCE,
+    servicedDate=S,
+    servicedPeriod=PERIOD,
+    created=S,
+    requestor=REFERENCE,
+    request=REFERENCE,
+    outcome=S,
+    disposition=S,
+    insurer=REFERENCE,
+    insurance=_arr(
+        _struct(
+            coverage=REFERENCE,
+            inforce=B,
+            benefitPeriod=PERIOD,
+            item=_arr(
+                _struct(
+                    category=CODEABLE_CONCEPT,
+                    productOrService=CODEABLE_CONCEPT,
+                    modifier=_arr(CODEABLE_CONCEPT),
+                    provider=REFERENCE,
+                    excluded=B,
+                    name=S,
+                    description=S,
+                    network=CODEABLE_CONCEPT,
+                    unit=CODEABLE_CONCEPT,
+                    term=CODEABLE_CONCEPT,
+                    benefit=_arr(
+                        _struct(
+                            type=CODEABLE_CONCEPT,
+                            allowedUnsignedInt=I,
+                            allowedString=S,
+                            allowedMoney=MONEY,
+                            usedUnsignedInt=I,
+                            usedString=S,
+                            usedMoney=MONEY,
+                        )
+                    ),
+                    authorizationRequired=B,
+                    authorizationSupporting=_arr(CODEABLE_CONCEPT),
+                    authorizationUrl=S,
+                )
+            ),
+        )
+    ),
+    preAuthRef=S,
+    form=CODEABLE_CONCEPT,
+    error=_arr(_struct(code=CODEABLE_CONCEPT)),
+)
+
+CHARGE_ITEM = _resource(
+    identifier=_arr(IDENTIFIER),
+    definitionUri=_arr(S),
+    definitionCanonical=_arr(S),
+    status=S,
+    partOf=_arr(REFERENCE),
+    code=CODEABLE_CONCEPT,
+    subject=REFERENCE,
+    context=REFERENCE,
+    occurrenceDateTime=S,
+    occurrencePeriod=PERIOD,
+    performer=_arr(_struct(function=CODEABLE_CONCEPT, actor=REFERENCE)),
+    performingOrganization=REFERENCE,
+    requestingOrganization=REFERENCE,
+    costCenter=REFERENCE,
+    quantity=QUANTITY,
+    bodysite=_arr(CODEABLE_CONCEPT),
+    factorOverride=D,
+    priceOverride=MONEY,
+    overrideReason=S,
+    enterer=REFERENCE,
+    enteredDate=S,
+    reason=_arr(CODEABLE_CONCEPT),
+    service=_arr(REFERENCE),
+    productReference=REFERENCE,
+    productCodeableConcept=CODEABLE_CONCEPT,
+    account=_arr(REFERENCE),
+    note=_arr(ANNOTATION),
+    supportingInformation=_arr(REFERENCE),
+)
+
+_PRICE_COMPONENT = _struct(
+    type=S, code=CODEABLE_CONCEPT, factor=D, amount=MONEY
+)
+
+INVOICE = _resource(
+    identifier=_arr(IDENTIFIER),
+    status=S,
+    cancelledReason=S,
+    type=CODEABLE_CONCEPT,
+    subject=REFERENCE,
+    recipient=REFERENCE,
+    date=S,
+    participant=_arr(_struct(role=CODEABLE_CONCEPT, actor=REFERENCE)),
+    issuer=REFERENCE,
+    account=REFERENCE,
+    lineItem=_arr(
+        _struct(
+            sequence=I,
+            chargeItemReference=REFERENCE,
+            chargeItemCodeableConcept=CODEABLE_CONCEPT,
+            priceComponent=_arr(_PRICE_COMPONENT),
+        )
+    ),
+    totalPriceComponent=_arr(_PRICE_COMPONENT),
+    totalNet=MONEY,
+    totalGross=MONEY,
+    paymentTerms=S,
+    note=_arr(ANNOTATION),
+)
+
+PAYMENT_NOTICE = _resource(
+    identifier=_arr(IDENTIFIER),
+    status=S,
+    request=REFERENCE,
+    response=REFERENCE,
+    created=S,
+    provider=REFERENCE,
+    payment=REFERENCE,
+    paymentDate=S,
+    payee=REFERENCE,
+    recipient=REFERENCE,
+    amount=MONEY,
+    paymentStatus=CODEABLE_CONCEPT,
+)
+
+OPERATION_OUTCOME = _resource(
+    issue=_arr(
+        _struct(
+            severity=S,
+            code=S,
+            details=CODEABLE_CONCEPT,
+            diagnostics=S,
+            location=_arr(S),
+            expression=_arr(S),
+        )
+    ),
+)
+
 
 CATALOG = {
     "Patient": PATIENT,
@@ -1719,6 +1911,12 @@ CATALOG = {
     "ImmunizationRecommendation": IMMUNIZATION_RECOMMENDATION,
     "HealthcareService": HEALTHCARE_SERVICE,
     "Endpoint": ENDPOINT,
+    "CoverageEligibilityRequest": COVERAGE_ELIGIBILITY_REQUEST,
+    "CoverageEligibilityResponse": COVERAGE_ELIGIBILITY_RESPONSE,
+    "ChargeItem": CHARGE_ITEM,
+    "Invoice": INVOICE,
+    "PaymentNotice": PAYMENT_NOTICE,
+    "OperationOutcome": OPERATION_OUTCOME,
 }
 
 
@@ -1750,18 +1948,17 @@ BINARY = _resource(contentType=S, data=S, securityContext=REFERENCE)
 
 FULL_SPINE_TYPES = [
     "ActivityDefinition", "Basic", "BiologicallyDerivedProduct", "BodyStructure",
-    "CapabilityStatement", "CatalogEntry", "ChargeItem",
-    "ChargeItemDefinition", 
+    "CapabilityStatement", "CatalogEntry",
+    "ChargeItemDefinition",
     "CodeSystem", "CompartmentDefinition",
-    "ConceptMap", "Contract", "CoverageEligibilityRequest",
-    "CoverageEligibilityResponse", "DeviceDefinition",
+    "ConceptMap", "Contract", "DeviceDefinition",
     "DeviceMetric",
     "DocumentManifest", "EffectEvidenceSynthesis", 
     "EnrollmentRequest", "EnrollmentResponse", "EventDefinition",
     "Evidence", "EvidenceVariable", "ExampleScenario", 
     "GraphDefinition", "GuidanceResponse", 
     "ImmunizationEvaluation", 
-    "ImplementationGuide", "InsurancePlan", "Invoice", "Library",
+    "ImplementationGuide", "InsurancePlan", "Library",
     "Linkage", "Measure", "MedicationKnowledge",
     "MedicinalProduct", "MedicinalProductAuthorization",
     "MedicinalProductContraindication", "MedicinalProductIndication",
@@ -1770,7 +1967,7 @@ FULL_SPINE_TYPES = [
     "MedicinalProductPharmaceutical", "MedicinalProductUndesirableEffect",
     "MessageDefinition", "MolecularSequence", "NamingSystem",
     "ObservationDefinition", "OperationDefinition",
-    "OperationOutcome", "OrganizationAffiliation", "PaymentNotice",
+    "OrganizationAffiliation",
     "PaymentReconciliation", "PlanDefinition",
     "RequestGroup", "ResearchDefinition",
     "ResearchElementDefinition", "ResearchStudy", "ResearchSubject",
