@@ -89,18 +89,24 @@ _MODULES = (
 #     queue head; fhir_ndjson_type_counts' RESULT changes (new
 #     OperationOutcome row) and every corpus/NDJSON consumer re-verifies
 #     (all already in-window this round).
+#   * stream_neardup_pairs (NEW, continuation): the STREAMING twin of
+#     minhash_incremental_dedup (stream-static join against the
+#     prebuilt index; availableNow → memory sink value-hashed against
+#     the shared `scored` CTE chain); its slot displaces agg_stats —
+#     the r8 drain is fully deferred to r13 in favor of new-operator
+#     coverage, a conscious trade (the drain rows stay queue-head).
 #   * minhash_incremental_dedup (NEW, continuation): incremental
 #     cross-corpus near-dup screen, appended to operators/dedup.py +
 #     queries/pipeline.py (hunk-verified append-only: the self-join
 #     core _minhash_candidates is untouched, so existing minhash rows
 #     keep their greens); its window slot displaces
 #     bpe_merge_candidates back to the r13 queue head.
-#   * STALENESS ROTATION (14): the 13 displaced r7 rows (knn_cosine,
+#   * STALENESS ROTATION (13): the 13 displaced r7 rows (knn_cosine,
 #     text_quality, doc_fingerprint, drop_duplicates, train_test_split,
 #     enrich_events, conditional_agg, winnow_dup_pairs, semdedup_keep,
-#     knn_batch, cube_agg, pivot_agg, grouping_sets) + the r8-queue
-#     head (agg_stats).
-# ROUND-13 QUEUE: audio_stats, bpe_encode, bpe_merge_candidates, then
+#     knn_batch, cube_agg, pivot_agg, grouping_sets).
+# ROUND-13 QUEUE: agg_stats, audio_stats, bpe_encode,
+# bpe_merge_candidates, then
 # the remaining 33 r8 rows — bsq_hamming_search, c4_clean, chunk_sliding,
 # classifier_train_steps, countmin_estimate, date_series,
 # dsir_importance, dup_span_removal, image_dims, ivf_multiprobe_topk,
@@ -166,10 +172,9 @@ _WINDOW = (
     "fhir_adt_timeline",
     # --- ROUND 12: the new row's no-watermark twin (1) ---
     "stream_join_pairs",
-    # --- ROUND 12: r8-queue head (staleness drain, 4) ---
-    "agg_stats",
-    # --- ROUND 12 continuation: incremental near-dup screen (1) ---
+    # --- ROUND 12 continuation: incremental near-dup screen (2) ---
     "minhash_incremental_dedup",
+    "stream_neardup_pairs",
 )
 
 

@@ -158,6 +158,52 @@ def q_minhash_incremental_dedup(
     )
 
 
+def q_stream_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental near-dup screening (round-12): the same
+    new-batch fixture as ``minhash_incremental_dedup`` arrives as a
+    file STREAM (two sources unioned — mutations + unseen docs, the
+    at-least-once multi-feed shape) and probes the STATIC prebuilt
+    history index via a stream-static join; availableNow → memory sink,
+    so emitted (new, hist, jaccard) pairs must equal the batch
+    construction's verified candidates exactly — stream==batch by
+    shared hash/band/verify expressions."""
+    import uuid
+
+    from interop_spark.io import load_stream
+    from interop_spark.streaming.streams import stream_neardup_pairs
+
+    history = (
+        load(spark, sf_dir, "documents")
+        .where(col("doc_id") < INC_HIST_N)
+        .select("doc_id", "text")
+    )
+    idx = dd.build_minhash_index(history)
+    mut = (
+        load_stream(spark, sf_dir, "documents")
+        .where(col("doc_id") < INC_MUT_N)
+        .select(
+            (col("doc_id") + DUP_OFFSET).alias("doc_id"),
+            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+        )
+    )
+    fresh = (
+        load_stream(spark, sf_dir, "documents")
+        .where((col("doc_id") >= INC_HIST_N) & (col("doc_id") < 200))
+        .select("doc_id", "text")
+    )
+    pairs = stream_neardup_pairs(mut.unionByName(fresh), idx)
+    name = "stream_neardup_" + uuid.uuid4().hex[:8]
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document (near-dup fingerprint; banded Hamming
     join reuses the minhash LSH shape)."""
@@ -1034,6 +1080,7 @@ QUERIES = {
     "exact_dedup": q_exact_dedup,
     "minhash_lsh_neardup": q_minhash_lsh_neardup,
     "minhash_incremental_dedup": q_minhash_incremental_dedup,
+    "stream_neardup_pairs": q_stream_neardup_pairs,
     "simhash": q_simhash,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "ivf_probe_topk": q_ivf_probe_topk,
@@ -1352,6 +1399,43 @@ def _dk_minhash_pair_ctes(limit: int) -> str:
     """
 
 
+def _dk_incremental_ctes() -> str:
+    """CTE chain ending in ``scored`` (new_id, hist_id, jaccard_sim ≥
+    0.5 cross-corpus candidates) — shared by the batch incremental-dedup
+    oracle and its streaming twin, which must agree by construction."""
+    return f"""
+        hist AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < {INC_HIST_N}
+        ),
+        newb AS (
+          SELECT doc_id + {DUP_OFFSET} AS doc_id,
+                 substring(text, instr(text, ' ') + 1) AS text
+          FROM documents WHERE doc_id < {INC_MUT_N}
+          UNION ALL
+          SELECT doc_id, text FROM documents
+          WHERE doc_id >= {INC_HIST_N} AND doc_id < 200
+        ),
+        hsh AS (SELECT doc_id, {_dk_shingles()} AS sh FROM hist),
+        nsh AS (SELECT doc_id, {_dk_shingles()} AS sh FROM newb),
+        hsig AS (SELECT doc_id, sh, {_dk_minhash_sig()} AS sig FROM hsh),
+        nsig AS (SELECT doc_id, sh, {_dk_minhash_sig()} AS sig FROM nsh),
+        hband AS (
+          SELECT doc_id, sh, unnest({_dk_band_keys()}) AS band_key FROM hsig
+        ),
+        nband AS (
+          SELECT doc_id, sh, unnest({_dk_band_keys()}) AS band_key FROM nsig
+        ),
+        cand AS (
+          SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS hist_id,
+                 round(len(list_intersect(n.sh, h.sh)) * 1.0
+                   / greatest(len(list_distinct(list_concat(n.sh, h.sh))), 1),
+                   4) AS jaccard_sim
+          FROM nband n JOIN hband h USING (band_key)
+        ),
+        scored AS (SELECT * FROM cand WHERE jaccard_sim >= 0.5)
+    """
+
+
 def _dk_planes_sql() -> str:
     """The 6 deterministic hyperplanes as an inline VALUES list."""
     rows = []
@@ -1458,36 +1542,9 @@ ORACLE = {
         "WITH " + _dk_minhash_pair_ctes(100)
         + " SELECT doc_a, doc_b, jaccard_sim FROM mh_pairs"
     ),
-    "minhash_incremental_dedup": f"""
-        WITH hist AS (
-          SELECT doc_id, text FROM documents WHERE doc_id < {INC_HIST_N}
-        ),
-        newb AS (
-          SELECT doc_id + {DUP_OFFSET} AS doc_id,
-                 substring(text, instr(text, ' ') + 1) AS text
-          FROM documents WHERE doc_id < {INC_MUT_N}
-          UNION ALL
-          SELECT doc_id, text FROM documents
-          WHERE doc_id >= {INC_HIST_N} AND doc_id < 200
-        ),
-        hsh AS (SELECT doc_id, {_dk_shingles()} AS sh FROM hist),
-        nsh AS (SELECT doc_id, {_dk_shingles()} AS sh FROM newb),
-        hsig AS (SELECT doc_id, sh, {_dk_minhash_sig()} AS sig FROM hsh),
-        nsig AS (SELECT doc_id, sh, {_dk_minhash_sig()} AS sig FROM nsh),
-        hband AS (
-          SELECT doc_id, sh, unnest({_dk_band_keys()}) AS band_key FROM hsig
-        ),
-        nband AS (
-          SELECT doc_id, sh, unnest({_dk_band_keys()}) AS band_key FROM nsig
-        ),
-        cand AS (
-          SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS hist_id,
-                 round(len(list_intersect(n.sh, h.sh)) * 1.0
-                   / greatest(len(list_distinct(list_concat(n.sh, h.sh))), 1),
-                   4) AS jaccard_sim
-          FROM nband n JOIN hband h USING (band_key)
-        ),
-        scored AS (SELECT * FROM cand WHERE jaccard_sim >= 0.5),
+    "minhash_incremental_dedup": "WITH "
+    + _dk_incremental_ctes()
+    + """,
         best AS (
           SELECT new_id,
                  CAST(count(1) OVER w AS BIGINT) AS n_matches,
@@ -1507,6 +1564,9 @@ ORACLE = {
                a.best_jaccard
         FROM newb b LEFT JOIN best a ON b.doc_id = a.new_id
     """,
+    "stream_neardup_pairs": "WITH "
+    + _dk_incremental_ctes()
+    + " SELECT new_id, hist_id, jaccard_sim FROM scored",
     "simhash": f"""
         SELECT doc_id, {_dk_simhash(_TOKENS)} AS simhash
         FROM documents WHERE doc_id < 200

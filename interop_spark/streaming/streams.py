@@ -362,3 +362,101 @@ def stream_ndjson_resources(
         )
     )
     return ndjson_resource_from_lines(raw, resource_type, schemas=schemas)
+
+
+def stream_neardup_pairs(
+    stream_docs: DataFrame,
+    history_index: tuple[DataFrame, DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 12,
+    bands: int = 4,
+    rows: int = 3,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """CONTINUOUS-CRAWL near-dup screening: the streaming twin of
+    ``dedup.minhash_incremental_dedup``. New documents arrive as a
+    STREAM and probe a STATIC prebuilt MinHash index
+    (``dedup.build_minhash_index`` — yesterday's corpus build), which is
+    Structured Streaming's native STREAM-STATIC join shape: per
+    micro-batch the stream side computes shingles, signature and band
+    keys as STATELESS projections, inner-joins the static band table,
+    re-joins the static shingle table for exact-Jaccard verification,
+    and de-duplicates the (new, hist) pair across bands with streaming
+    ``dropDuplicates`` — the only stateful operator in the plan, keyed
+    by the pair, so state is bounded by the matches within the
+    deduplication horizon (unbounded here = the bounded-backfill
+    availableNow contract, same as ``streaming_dedupe(watermark=None)``;
+    a continuous deployment adds ``withWatermark`` + a key TTL).
+
+    One deliberate divergence from the batch plan: the stream side
+    CARRIES its shingle array through the band explode instead of
+    re-joining it per candidate — a batch self-re-join would make the
+    stream side join ITSELF (stream-stream state on every row); carrying
+    ~shingle-sized rows through a stateless projection is the right
+    trade in a micro-batch. Emits (new_id, hist_id, jaccard_sim) pairs
+    in append mode.
+    """
+    from interop_spark.operators.dedup import (
+        jaccard,
+        minhash_signature,
+        word_shingles,
+    )
+
+    h_sh, h_band = history_index
+    sig = stream_docs.select(
+        F.col(id_col).alias("new_id"),
+        word_shingles(F.col(text_col), shingle_n).alias("_sh_n"),
+    ).select(
+        "new_id",
+        "_sh_n",
+        minhash_signature(F.col("_sh_n"), k).alias("sig"),
+    )
+    # constant-sequence explode, same rationale as dedup's banding: an
+    # explode of the band-key array itself would let
+    # InferFiltersFromGenerate clone the hashing into the scan filter
+    banded = sig.select(
+        "new_id",
+        "_sh_n",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("_b"),
+        F.col("sig"),
+    ).select(
+        "new_id",
+        "_sh_n",
+        F.concat(
+            F.col("_b").cast("string"),
+            F.lit(":"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.element_at(F.col("sig"), F.col("_b") * rows + r + 1)
+                        for r in range(rows)
+                    ],
+                )
+            ),
+        ).alias("band_key"),
+    )
+    return (
+        banded.join(
+            h_band.select(
+                F.col("doc_id").alias("hist_id"), "band_key"
+            ),
+            "band_key",
+        )
+        .join(
+            h_sh.select(
+                F.col("doc_id").alias("hist_id"),
+                F.col("shingles").alias("_sh_h"),
+            ),
+            "hist_id",
+        )
+        .select(
+            "new_id",
+            "hist_id",
+            jaccard(F.col("_sh_n"), F.col("_sh_h")).alias("jaccard_sim"),
+        )
+        .where(F.col("jaccard_sim") >= threshold)
+        .dropDuplicates(["new_id", "hist_id"])
+    )

@@ -730,3 +730,26 @@ def test_stream_join_watermark_evicts_state(spark, tmp_path):
     assert removed > 0, f"watermark never evicted state: {state}"
     # the final batch holds strictly less than everything ingested
     assert state[-1]["numRowsTotal"] < 6
+
+
+def test_stream_neardup_pairs_equals_batch_candidates(spark, sf_dir):
+    """The streaming incremental near-dup screen (stream-static join
+    against the prebuilt MinHash index) must emit EXACTLY the batch
+    construction's verified candidate pairs: same fixture, every
+    planted mutation pairs with its source, and the streaming
+    dropDuplicates leaves no cross-band duplicate pair."""
+    from interop_spark.queries import all_queries
+
+    q = all_queries()
+    got = q["stream_neardup_pairs"](spark, sf_dir).collect()
+    pairs = {(r["new_id"], r["hist_id"]) for r in got}
+    assert len(pairs) == len(got), "cross-band duplicate pairs leaked"
+    # every planted mutation (doc_id + 1M) matches its source doc
+    from interop_spark.queries.pipeline import DUP_OFFSET, INC_MUT_N
+
+    planted = {(i + DUP_OFFSET, i) for i in range(INC_MUT_N)}
+    assert planted <= pairs
+    # and the batch operator confirms the same verdict set
+    batch = q["minhash_incremental_dedup"](spark, sf_dir).collect()
+    dup_ids = {r["doc_id"] for r in batch if r["is_dup"]}
+    assert {n for n, _ in pairs} == dup_ids
