@@ -454,6 +454,29 @@ def omop_observation_period(entry_df: DataFrame) -> DataFrame:
     )
 
 
+def omop_provider(entry_df: DataFrame) -> DataFrame:
+    """OMOP CDM provider projection from Practitioner: NPI (the
+    us-npi-system identifier, extracted with a higher-order ``filter``
+    like the reference's SSN idiom, `01_dbignite_sample.py:440-444`),
+    name, specialty source (first qualification code) and gender.
+    Completes the CDM's health-system domain beside the clinical core.
+    Scale: one explode, per-row HOF projections, no shuffle at all."""
+    pr = entry_df.select(explode("Practitioner").alias("pr"))
+    npi = F.filter(
+        col("pr.identifier"),
+        lambda i: i["system"] == "http://hl7.org/fhir/sid/us-npi",
+    )
+    return pr.select(
+        col("pr.id").alias("provider_id"),
+        _first(col("pr.name.text")).alias("provider_name"),
+        _first(npi["value"]).alias("npi"),
+        _first(_first(col("pr.qualification.code"))["coding"])[
+            "code"
+        ].alias("specialty_source_value"),
+        col("pr.gender").alias("gender_source_value"),
+    )
+
+
 def omop_drug_exposure(entry_df: DataFrame) -> DataFrame:
     """OMOP CDM drug_exposure projection from MedicationRequest (requires
     the medicationCodeableConcept schema extension, the reference's own

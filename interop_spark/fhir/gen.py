@@ -52,7 +52,9 @@ from pyspark.sql.functions import col
 #     spine does NOT declare)
 # v11: + Invoice (round-12 sixth promotion batch proof — the
 #     payer/financial cycle; Money totals + lineItem priceComponent)
-CORPUS_VERSION = "v11"
+# v12: Practitioner gains identifier (NPI), name and qualification —
+#     the source fields of the OMOP provider mapping
+CORPUS_VERSION = "v12"
 LOINC = "http://loinc.org"
 
 CPT = "http://www.ama-assn.org/go/cpt"
@@ -226,7 +228,24 @@ def bundle_json_df(
     practitioner = F.struct(
         F.lit("Practitioner").alias("resourceType"),
         _cat("dr-", k).alias("id"),
+        # NPI identifier + name + qualification: the source fields of
+        # the OMOP provider mapping (corpus v12)
+        F.array(
+            F.struct(
+                F.lit("http://hl7.org/fhir/sid/us-npi").alias("system"),
+                F.format_string("1%09d", (k % 1000000).cast("int")).alias(
+                    "value"
+                ),
+            )
+        ).alias("identifier"),
         (k % 2 == 0).alias("active"),
+        F.array(
+            F.struct(
+                _cat("Dr. D", k % 100).alias("text"),
+                _cat("D", k % 100).alias("family"),
+                F.array(_cat("E", k % 100)).alias("given"),
+            )
+        ).alias("name"),
         F.when(k % 2 == 0, F.lit("female")).otherwise(F.lit("male")).alias("gender"),
         F.array(
             F.struct(
@@ -235,6 +254,16 @@ def bundle_json_df(
                 F.lit("work").alias("use"),
             )
         ).alias("telecom"),
+        F.array(
+            F.struct(
+                _codeable(
+                    _pick(("MD", "DO", "NP"), k),
+                    _pick(("Doctor of Medicine", "Doctor of Osteopathy",
+                           "Nurse Practitioner"), k),
+                    "http://terminology.hl7.org/CodeSystem/v2-0360",
+                ).alias("code")
+            )
+        ).alias("qualification"),
     )
 
     observation = F.struct(

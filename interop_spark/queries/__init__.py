@@ -76,11 +76,18 @@ _MODULES = (
 #     catalog) (21).
 #   * queries/temporal_q.py diff is the APPENDED watermarked function +
 #     registry entries (hunk-verified: no existing function modified),
-#     so its other rows keep their greens; stream_join_pairs stays
-#     in-window anyway as the new row's no-watermark twin (1).
+#     so its other rows keep their greens — including stream_join_pairs
+#     (r11 green), whose tentative slot the continuation reassigned to
+#     fhir_omop_provider (a NEW row must sit in the first 50; the twin's
+#     code is untouched and its green is one round old, well inside the
+#     staleness bar).
 #   * bundle_collect_flatten / fhir_writer_roundtrip verified
 #     catalog-free (pure relational build; variant_get re-parse) —
 #     they keep their r10/r11 greens.
+#   * fhir_omop_provider (NEW, continuation): OMOP health-system-domain
+#     provider table; corpus v12 enriches Practitioner with its source
+#     fields (NPI identifier / name / qualification — additive, so every
+#     corpus consumer re-verifies, all already in-window).
 #   * BATCH-6 PROMOTION (continuation): corpus v11 (+Invoice) and
 #     NDJSON corpus v4 (+OperationOutcome) prove the sixth promotion
 #     batch (payer/financial cycle + export error files) with two NEW
@@ -170,8 +177,8 @@ _WINDOW = (
     "fhir_adverse_events",
     "fhir_questionnaire_join",
     "fhir_adt_timeline",
-    # --- ROUND 12: the new row's no-watermark twin (1) ---
-    "stream_join_pairs",
+    # --- ROUND 12 continuation: OMOP provider (corpus v12 proof) ---
+    "fhir_omop_provider",
     # --- ROUND 12 continuation: incremental near-dup screen (2) ---
     "minhash_incremental_dedup",
     "stream_neardup_pairs",

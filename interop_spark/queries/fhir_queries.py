@@ -899,6 +899,17 @@ def q_fhir_reference_integrity(
     )
 
 
+def q_fhir_omop_provider(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OMOP CDM provider table from Practitioner (corpus v12 adds the
+    source fields: NPI identifier, name, qualification) — the
+    health-system-domain companion of the clinical core, mapped the way
+    a real FHIR→OMOP ETL lands it (NPI via identifier-system filter,
+    specialty from the first qualification code)."""
+    from interop_spark.fhir.analytics import omop_provider
+
+    return omop_provider(_synthetic_entry(spark, sf_dir))
+
+
 def q_fhir_invoice_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Invoice flattening through the round-12 SIXTH promotion batch
     (payer/financial cycle): Money totals and the lineItem
@@ -994,6 +1005,7 @@ QUERIES = {
     "fhir_omop_observation_period": q_fhir_omop_observation_period,
     "fhir_nutrition_orders": q_fhir_nutrition_orders,
     "fhir_invoice_totals": q_fhir_invoice_totals,
+    "fhir_omop_provider": q_fhir_omop_provider,
     "fhir_ndjson_export_errors": q_fhir_ndjson_export_errors,
     "fhir_reference_integrity": q_fhir_reference_integrity,
     "fhir_slots": q_fhir_slots,
@@ -1495,6 +1507,16 @@ ORACLE = {
                CASE ((c_custkey + 1) % 3) WHEN 0 THEN 'low'
                  WHEN 1 THEN 'high' ELSE 'unable-to-assess' END
                  AS criticality
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+    """,
+    "fhir_omop_provider": f"""
+        SELECT 'dr-' || c_custkey::VARCHAR AS provider_id,
+               'Dr. D' || (c_custkey % 100)::VARCHAR AS provider_name,
+               printf('1%09d', c_custkey % 1000000) AS npi,
+               CASE (c_custkey % 3) WHEN 0 THEN 'MD'
+                 WHEN 1 THEN 'DO' ELSE 'NP' END AS specialty_source_value,
+               CASE (c_custkey % 2) WHEN 0 THEN 'female'
+                 ELSE 'male' END AS gender_source_value
         FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
     """,
     "fhir_invoice_totals": f"""
