@@ -2185,6 +2185,194 @@ def _dup_line_oracle() -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# Per-source quota capping (round-12 continuation)
+# --------------------------------------------------------------------------
+
+SOURCE_QUOTA = 10
+
+
+def q_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota — the MassiveText / RefinedWeb host-cap
+    rule (Rae et al. 2021 §A.1.2 cap documents per domain; Penedo et
+    al. 2023): keep at most ``SOURCE_QUOTA`` documents per source,
+    chosen deterministically by md5(doc_id) rank so the cut is
+    rerun-stable and engine-independent. COUNT-capped selection — a
+    different contract from the rate-based ``domain_mix_sample`` /
+    ``stratified_sample`` Bernoulli gates: quotas bound the worst-case
+    contribution of any single host no matter how large it is.
+
+    Scale shape: the quota decision needs a per-source RANK, but only
+    over-quota sources ever pay for it — per-source counts are a tiny
+    partial-agg broadcast, under-quota sources' documents bypass with a
+    broadcast anti-join (zero shuffle, the common case for the long
+    tail of small hosts), and only documents of over-quota sources
+    enter the one rank shuffle. A planted hot host therefore inflates
+    ONE branch, and that branch's window partitions carry exactly the
+    over-quota docs, never the corpus. Output pins membership, not just
+    counts: ``kept_id_sum`` is the order-independent checksum of WHICH
+    documents survived."""
+    d = load(spark, sf_dir, "documents").select("source", "doc_id")
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total")
+    )
+    over = counts.where(col("n_total") > SOURCE_QUOTA).select("source")
+    under_docs = d.join(F.broadcast(over), "source", "left_anti")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(col("doc_id").cast("string")), "doc_id"
+    )
+    over_docs = (
+        d.join(F.broadcast(over), "source", "left_semi")
+        .withColumn("rn", F.row_number().over(w))
+        .where(col("rn") <= SOURCE_QUOTA)
+        .drop("rn")
+    )
+    kept = under_docs.unionByName(over_docs)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
+        )
+        .join(F.broadcast(counts), "source")
+        .select("source", "n_total", "n_kept", "kept_id_sum")
+    )
+
+
+def _source_quota_oracle() -> str:
+    return f"""
+        WITH r AS (
+          SELECT source, doc_id,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS rn,
+                 count(*) OVER (PARTITION BY source) AS n_total
+          FROM documents
+        )
+        SELECT source,
+               CAST(max(n_total) AS BIGINT) AS n_total,
+               CAST(count(*) FILTER (WHERE rn <= {SOURCE_QUOTA}) AS BIGINT)
+                 AS n_kept,
+               CAST(sum(doc_id) FILTER (WHERE rn <= {SOURCE_QUOTA}) AS BIGINT)
+                 AS kept_id_sum
+        FROM r GROUP BY source
+    """
+
+
+# --------------------------------------------------------------------------
+# Per-domain quality-quantile filtering (round-12 continuation)
+# --------------------------------------------------------------------------
+
+QUANTILE_KEEP_NUM = 1  # keep the top 1/4 of each source by score
+QUANTILE_KEEP_DEN = 4
+
+
+def q_domain_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality-quantile selection — the FineWeb-Edu /
+    classifier-threshold curation shape (Penedo et al. 2024; Brown et
+    al. 2020 §A used a global score cut): within every source, keep the
+    documents whose quality score reaches that source's top-q quantile,
+    so one high-volume low-quality domain cannot flood the cut and
+    small clean domains are not globally out-scored.
+
+    The score is integer lexical diversity (distinct-token per-mille,
+    ``(1000·distinct) div total`` — exact in any engine; plug in a
+    calibrated classifier logit in production). The quantile threshold
+    is NOT a per-source sort: scores live in a bounded range
+    [0, 1000], so the corpus collapses into a per-(source, score)
+    histogram — partial aggregation caps every map task's output at
+    1001 rows per source, the only corpus-wide shuffle is on those
+    bounded keys, the running-sum window runs over the TINY histogram,
+    and the thresholds broadcast back onto a zero-shuffle filter. The
+    k-th-largest-with-ties contract (``cum ≥ ceil(q·n)``, keep
+    ``score ≥ threshold``) is deterministic under any tie layout.
+    ``kept_id_sum`` pins membership."""
+    d = load(spark, sf_dir, "documents")
+    t = tx_tokens(col("text"))
+    scored = d.select(
+        "source",
+        "doc_id",
+        F.size(F.array_distinct(t)).cast("long").alias("nd"),
+        F.size(t).cast("long").alias("nt"),
+    ).select(
+        "source",
+        "doc_id",
+        F.expr("CAST((1000 * nd) div nt AS INT)").alias("score"),
+    )
+    hist = scored.groupBy("source", "score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    totals = hist.groupBy("source").agg(F.sum("cnt").alias("n_total"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).join(
+        F.broadcast(totals), "source"
+    )
+    k = F.ceil(
+        col("n_total") * QUANTILE_KEEP_NUM / QUANTILE_KEEP_DEN
+    ).cast("bigint")
+    thr = (
+        cum.where(col("cum") >= k)
+        .groupBy("source")
+        .agg(
+            F.max("score").alias("threshold"),
+            F.min("n_total").cast("bigint").alias("n_total"),
+        )
+    )
+    kept = scored.join(F.broadcast(thr), "source").where(
+        col("score") >= col("threshold")
+    )
+    return kept.groupBy("source").agg(
+        F.min("n_total").alias("n_total"),
+        F.min("threshold").alias("threshold"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
+    )
+
+
+def _domain_quantile_oracle() -> str:
+    return f"""
+        WITH s AS (
+          SELECT source, doc_id,
+                 CAST((1000 * len(list_distinct({_SEL_TOKENS})))
+                      // len({_SEL_TOKENS}) AS INT) AS score
+          FROM documents
+        ),
+        h AS (SELECT source, score, count(*) AS cnt FROM s GROUP BY 1, 2),
+        n AS (SELECT source, sum(cnt) AS n_total FROM h GROUP BY 1),
+        c AS (
+          SELECT h.source, h.score,
+                 sum(h.cnt) OVER (
+                   PARTITION BY h.source ORDER BY h.score DESC
+                 ) AS cum,
+                 n.n_total
+          FROM h JOIN n USING (source)
+        ),
+        t AS (
+          SELECT source, max(score) AS threshold, min(n_total) AS n_total
+          FROM c
+          WHERE cum >= ceil(n_total * {QUANTILE_KEEP_NUM}
+                            / {QUANTILE_KEEP_DEN})
+          GROUP BY source
+        )
+        SELECT s.source,
+               CAST(min(t.n_total) AS BIGINT) AS n_total,
+               CAST(min(t.threshold) AS INT) AS threshold,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(sum(s.doc_id) AS BIGINT) AS kept_id_sum
+        FROM s JOIN t USING (source)
+        WHERE s.score >= t.threshold
+        GROUP BY s.source
+    """
+
+
+_SEL_TOKENS = "string_split_regex(trim(text), '\\s+')"
+
+
 QUERIES = {
     "edit_distance_neardup": q_edit_distance_neardup,
     "dsir_importance": q_dsir_importance,
@@ -2212,6 +2400,8 @@ QUERIES = {
     "shard_assignment": q_shard_assignment,
     "vocab_coverage": q_vocab_coverage,
     "dup_line_removal": q_dup_line_removal,
+    "source_quota_sample": q_source_quota_sample,
+    "domain_quantile_filter": q_domain_quantile_filter,
 }
 
 ORACLE = {
@@ -2241,4 +2431,6 @@ ORACLE = {
     "shard_assignment": _shard_oracle(),
     "vocab_coverage": _vocab_coverage_oracle(),
     "dup_line_removal": _dup_line_oracle(),
+    "source_quota_sample": _source_quota_oracle(),
+    "domain_quantile_filter": _domain_quantile_oracle(),
 }

@@ -514,3 +514,54 @@ def test_minhash_incremental_probe_plan_shape(spark, sf_dir):
     assert len(rows) == 50
     evens = [r for i, r in rows.items() if i % 2 == 0]
     assert all(r["is_dup"] and r["best_match"] == r["doc_id"] for r in evens)
+
+
+def test_round12_continuation_selection_plan_shapes(spark, sf_dir):
+    """Scale posture of the round-12 continuation selection ops:
+
+    - source_quota_sample ranks ONLY over-quota sources: the plan has
+      exactly one Window, and the under-quota bypass reaches it as a
+      broadcast anti-join (the corpus never shuffles for sources whose
+      count fits the quota — the long-tail common case);
+    - domain_quantile_filter never sorts the corpus: threshold
+      derivation runs over the bounded (source, score) histogram, the
+      thresholds come back as a broadcast, and the corpus-side filter
+      adds no exchange of its own (histogram agg + final per-source
+      agg are the only corpus-keyed shuffles)."""
+    from interop_spark.queries import all_queries
+
+    q = all_queries()
+
+    import math
+    import re
+
+    def n_nodes(plan: str, node: str) -> int:
+        return len(re.findall(rf"\+\- {node} \[", plan))
+
+    sq = q["source_quota_sample"](spark, sf_dir)
+    ex = sq._jdf.queryExecution().executedPlan().toString()
+    assert n_nodes(ex, "Window") == 1, ex[:2000]
+    # row_number ≤ quota is pushed down as a PARTIAL WindowGroupLimit:
+    # map tasks prune to the per-source top-N BEFORE the rank shuffle
+    assert "WindowGroupLimit" in ex and "Partial" in ex, ex[:2000]
+    assert "BroadcastHashJoin" in ex, ex[:1500]
+    assert "CartesianProduct" not in ex
+    rows = sq.collect()
+    assert rows, "no sources"
+    from interop_spark.queries.selection_q import SOURCE_QUOTA
+
+    for r in rows:
+        assert r["n_kept"] == min(r["n_total"], SOURCE_QUOTA), r
+
+    dq = q["domain_quantile_filter"](spark, sf_dir)
+    ex = dq._jdf.queryExecution().executedPlan().toString()
+    assert n_nodes(ex, "Window") == 1, ex[:2000]
+    assert "BroadcastHashJoin" in ex, ex[:1500]
+    assert "CartesianProduct" not in ex
+    rows = dq.collect()
+    assert rows
+    for r in rows:
+        # threshold contract: at least ceil(q·n) docs reach the cut
+        k = math.ceil(r["n_total"] / 4)
+        assert r["n_kept"] >= k, r
+        assert 0 <= r["threshold"] <= 1000, r
