@@ -107,3 +107,67 @@ def merge_into(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def merge_into_conditional(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    matched_condition: str,
+    when_not_matched: str = "insert",
+    source_unique: bool = False,
+) -> DataFrame:
+    """The conditional matched clause of the public Delta contract —
+    ``WHEN MATCHED AND <condition> THEN UPDATE SET *`` — which plain
+    ``merge_into`` cannot express: a matched target row is replaced by
+    its source row ONLY when ``matched_condition`` holds, and kept
+    as-is otherwise. The condition is a SQL expression referencing the
+    source row as ``s.<col>`` and the target row as ``t.<col>``
+    (e.g. ``"s.ts > t.ts"`` — the idempotent CDC upsert guard); a NULL
+    condition counts as NOT matched-for-update, per Delta.
+
+    This is the clause that makes streaming ``foreachBatch`` upserts
+    batch-split independent: with a last-writer-wins guard in the
+    condition, applying batches in any grouping converges to the same
+    per-key winner. Appended alongside ``merge_into`` (same validation,
+    same duplicate-source-rows error path, same scale shape: equi-joins
+    on the merge keys only; the matched branch is ONE join evaluated
+    once — per-column ``CASE WHEN cond THEN s ELSE t`` — not two)."""
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError(
+            f"when_not_matched must be insert|ignore, got {when_not_matched!r}"
+        )
+    missing = [c for c in target.columns if c not in source.columns]
+    if missing:
+        raise ValueError(
+            f"UPDATE SET * / INSERT * needs source to cover target columns; "
+            f"missing {missing}"
+        )
+    cols = target.columns
+    source = source.select(*cols)
+    tkeys = target.select(*keys)
+
+    matched_src = source.join(tkeys, keys, "left_semi")
+    if not source_unique:
+        matched_src = _checked_unique(matched_src, keys)
+
+    cond = F.coalesce(F.expr(matched_condition), F.lit(False))
+    joined = target.alias("t").join(
+        matched_src.alias("s"),
+        [F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}")) for k in keys],
+        "inner",
+    )
+    merged_matched = joined.select(
+        *[
+            F.when(cond, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            for c in cols
+        ]
+    )
+
+    parts = [target.join(source.select(*keys), keys, "left_anti"), merged_matched]
+    if when_not_matched == "insert":
+        parts.append(source.join(tkeys, keys, "left_anti"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

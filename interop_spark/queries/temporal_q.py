@@ -356,6 +356,100 @@ def q_stream_join_pairs_watermarked(
     return spark.table(name)
 
 
+def q_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert — the foreachBatch MERGE pattern the
+    reference's Delta sinks run in production (change records arrive as
+    a stream; each micro-batch merges into an accumulating target): the
+    events table is re-landed as FOUR chunk files, streamed with
+    ``maxFilesPerTrigger=1`` so availableNow executes 4 real
+    micro-batches, and every batch applies the CONDITIONAL merge clause
+    (``WHEN MATCHED AND s is newer THEN UPDATE SET *``,
+    ``WHEN NOT MATCHED INSERT *`` — `operators/merge.py:
+    merge_into_conditional`) with a last-writer-wins guard on
+    ``(ts, event_id)``.
+
+    The guard makes the result BATCH-SPLIT INDEPENDENT: per-key
+    max-by-(ts, event_id) is associative and commutative, so any
+    grouping of files into micro-batches converges to the same target —
+    which is exactly the batch latest-event-per-user argmax the oracle
+    computes. A reordered delivery or a re-split backfill changes
+    nothing; THAT is the idempotence contract a CDC consumer relies on.
+
+    Scale shape: per batch, ONE partial-aggregated winners shuffle on
+    user_id (map tasks emit ≤1 row per user) + the merge's equi-joins
+    on the same key; the target is localCheckpoint-ed each batch so
+    plan depth stays O(1) in the number of batches (the parquet-table
+    analog of Delta's transactional rewrite)."""
+    import os
+    import tempfile
+    import uuid
+
+    from interop_spark.io import load
+    from interop_spark.operators.merge import merge_into_conditional
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    land = tempfile.mkdtemp(prefix="cdc_land_" + uuid.uuid4().hex[:6])
+    flat = os.path.join(land, "flat")
+    os.makedirs(flat)
+    for i in range(4):
+        part_dir = os.path.join(land, f"c{i}")
+        ev.where(col("event_id") % 4 == i).coalesce(1).write.parquet(part_dir)
+        (pf,) = [
+            f for f in os.listdir(part_dir) if f.endswith(".parquet")
+        ]
+        os.rename(
+            os.path.join(part_dir, pf), os.path.join(flat, f"chunk{i}.parquet")
+        )
+
+    schema = spark.read.parquet(flat).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+
+    state: dict = {"tgt": None}
+
+    def _upsert(batch_df: DataFrame, _batch_id: int) -> None:
+        winners = (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.max(
+                    F.struct("ts", "event_id", "event_type", "value")
+                ).alias("m")
+            )
+            .select("user_id", "m.ts", "m.event_id", "m.event_type", "m.value")
+        )
+        if state["tgt"] is None:
+            state["tgt"] = winners.localCheckpoint()
+        else:
+            state["tgt"] = merge_into_conditional(
+                state["tgt"],
+                winners,
+                ["user_id"],
+                matched_condition=(
+                    "s.ts > t.ts OR (s.ts = t.ts AND s.event_id > t.event_id)"
+                ),
+                source_unique=True,
+            ).localCheckpoint()
+
+    q = (
+        src.writeStream.foreachBatch(_upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return state["tgt"].select(
+        "user_id",
+        col("ts").alias("last_ts"),
+        col("event_id").alias("last_event_id"),
+        col("event_type").alias("last_type"),
+        (F.round(col("value"), 6) + F.lit(0.0)).alias("last_value"),
+    )
+
+
 QUERIES = {
     "asof_join": q_asof_join,
     "range_join_pairs": q_range_join_pairs,
@@ -365,9 +459,28 @@ QUERIES = {
     "stream_ndjson_counts": q_stream_ndjson_counts,
     "stream_join_pairs": q_stream_join_pairs,
     "stream_join_pairs_watermarked": q_stream_join_pairs_watermarked,
+    "stream_merge_upsert": q_stream_merge_upsert,
 }
 
 ORACLE = {
+    # any micro-batch split of the conditional-merge upsert converges
+    # to the batch per-user argmax by (ts, event_id) — the idempotent
+    # last-writer-wins CDC contract
+    "stream_merge_upsert": """
+        WITH w AS (
+          SELECT user_id, ts, event_id, event_type, value,
+                 row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                 ) AS rn
+          FROM events
+        )
+        SELECT user_id,
+               ts AS last_ts,
+               CAST(event_id AS BIGINT) AS last_event_id,
+               event_type AS last_type,
+               round(value, 6) + 0.0 AS last_value
+        FROM w WHERE rn = 1
+    """,
     # the streaming inner interval join equals the batch join exactly
     # (no-watermark bounded backfill: state never evicted, inner joins
     # emit every match); integer-µs gap arithmetic on both sides

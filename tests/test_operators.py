@@ -872,3 +872,72 @@ def test_remove_boilerplate_lines_edges(spark):
     assert out[1].clean_text == "alpha one\n\nbody a"
     assert out[4].n_removed == 1 and out[4].clean_text == ""
     assert out[5].n_removed == 0
+
+
+def test_merge_into_conditional_clause(spark):
+    """WHEN MATCHED AND <cond> THEN UPDATE SET *: matched rows failing
+    the condition keep the target row; NULL condition counts as false
+    (Delta semantics); unmatched source rows still insert."""
+    from interop_spark.operators.merge import merge_into_conditional
+
+    target = spark.createDataFrame(
+        [(1, 10, "t1"), (2, 20, "t2"), (3, None, "t3")],
+        "k int, ver int, v string",
+    )
+    source = spark.createDataFrame(
+        [(1, 11, "s1"), (2, 5, "s2"), (3, 9, "s3"), (4, 1, "s4")],
+        "k int, ver int, v string",
+    )
+    out = {
+        (r.k, r.ver, r.v)
+        for r in merge_into_conditional(
+            target, source, ["k"], "s.ver > t.ver", source_unique=True
+        ).collect()
+    }
+    assert out == {
+        (1, 11, "s1"),  # condition true → source wins
+        (2, 20, "t2"),  # condition false → target kept
+        (3, None, "t3"),  # NULL condition → target kept
+        (4, 1, "s4"),  # not matched → insert
+    }
+
+
+def test_merge_into_conditional_duplicate_source_raises(spark):
+    """The multiple-source-rows-match error applies to the conditional
+    clause exactly as to the unconditional one."""
+    import pytest as _pytest
+
+    from interop_spark.operators.merge import merge_into_conditional
+
+    target = spark.createDataFrame([(1, 1, "t")], "k int, ver int, v string")
+    dup = spark.createDataFrame(
+        [(1, 2, "a"), (1, 3, "b")], "k int, ver int, v string"
+    )
+    merged = merge_into_conditional(target, dup, ["k"], "s.ver > t.ver")
+    with _pytest.raises(Exception, match="multiple source rows"):
+        merged.collect()
+
+
+def test_merge_into_conditional_batch_split_independent(spark):
+    """Applying a source in ONE merge vs split across TWO sequential
+    merges converges to the same target when the condition is a
+    last-writer-wins guard — the foreachBatch CDC idempotence contract
+    `stream_merge_upsert` relies on."""
+    from interop_spark.operators.merge import merge_into_conditional
+
+    target = spark.createDataFrame([(1, 0, "t")], "k int, ver int, v string")
+    s1 = spark.createDataFrame([(1, 5, "a"), (2, 1, "b")], "k int, ver int, v string")
+    s2 = spark.createDataFrame([(1, 3, "c"), (2, 2, "d")], "k int, ver int, v string")
+    guard = "s.ver > t.ver"
+
+    seq = merge_into_conditional(
+        merge_into_conditional(target, s1, ["k"], guard, source_unique=True),
+        s2, ["k"], guard, source_unique=True,
+    )
+    rev = merge_into_conditional(
+        merge_into_conditional(target, s2, ["k"], guard, source_unique=True),
+        s1, ["k"], guard, source_unique=True,
+    )
+    want = {(1, 5, "a"), (2, 2, "d")}
+    assert {(r.k, r.ver, r.v) for r in seq.collect()} == want
+    assert {(r.k, r.ver, r.v) for r in rev.collect()} == want
