@@ -548,3 +548,32 @@ def reference_integrity(
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+OMOP_OPEN_END = "2099-12-31"  # open-ended plan sentinel (no period.end)
+
+
+def omop_payer_plan_period(coverage_df: DataFrame) -> DataFrame:
+    """OMOP CDM payer_plan_period projection from Coverage — the
+    payer-domain interval table (person, payer, plan, validity dates).
+    Source-agnostic: takes the typed Coverage frame whichever scan
+    produced it (the driver row feeds it from the NDJSON bulk-export
+    path, composing S6 with the OMOP family). Open-ended coverages
+    (no ``period.end`` — active plans) are censored to the
+    ``OMOP_OPEN_END`` sentinel, the CDM convention for
+    still-in-force periods. Dates stay 'YYYY-MM-DD' strings
+    end-to-end (driver date-type contract). One scan, zero shuffles —
+    a pure typed projection."""
+    return coverage_df.select(
+        col("id").alias("payer_plan_period_id"),
+        F.regexp_replace(col("beneficiary.reference"), "^Patient/", "").alias(
+            "person_id"
+        ),
+        col("period.start").alias("payer_plan_period_start_date"),
+        F.coalesce(col("period.end"), F.lit(OMOP_OPEN_END)).alias(
+            "payer_plan_period_end_date"
+        ),
+        F.get(col("payor"), 0)["reference"].alias("payer_source_value"),
+        F.get(col("type.coding"), 0)["code"].alias("plan_source_value"),
+        col("status").alias("status_source_value"),
+    )

@@ -674,7 +674,10 @@ def write_corpus(
 #     (the spec's manifest lists OperationOutcome NDJSON files under
 #     ``error``); every 4th outcome has TWO issues so the issue-array
 #     explode is exercised, not just typed.
-NDJSON_VERSION = "v4"
+# v5: Coverage gains ``period`` (start always; end only when cancelled —
+#     to_json drops the null) so the OMOP payer_plan_period mapping has
+#     its source interval.
+NDJSON_VERSION = "v5"
 
 
 def ndjson_resource_dfs(
@@ -750,6 +753,24 @@ def ndjson_resource_dfs(
         F.struct(_cat("Patient/p-", k).alias("reference")).alias(
             "beneficiary"
         ),
+        # v5: plan validity period — cancelled coverages (k%5==0) carry
+        # an end date, active ones are open-ended (null end is DROPPED
+        # by to_json, matching real payer feeds where `end` is absent)
+        F.struct(
+            F.format_string(
+                "%04d-%02d-01",
+                (k % 8 + 2015).cast("int"),
+                (k % 12 + 1).cast("int"),
+            ).alias("start"),
+            F.when(
+                k % 5 == 0,
+                F.format_string(
+                    "%04d-%02d-28",
+                    (k % 8 + 2016).cast("int"),
+                    ((k + 3) % 12 + 1).cast("int"),
+                ),
+            ).alias("end"),
+        ).alias("period"),
         F.array(
             F.struct(_cat("Organization/org-", k % 4).alias("reference"))
         ).alias("payor"),

@@ -910,6 +910,26 @@ def q_fhir_omop_provider(spark: SparkSession, sf_dir: str) -> DataFrame:
     return omop_provider(_synthetic_entry(spark, sf_dir))
 
 
+def q_fhir_omop_payer_plan_period(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OMOP CDM payer_plan_period from the NDJSON bulk-export path
+    (corpus v5 gives Coverage its ``period``): $export Coverage lines →
+    typed resource frame → payer-domain interval table. Composes the
+    line-splittable S6 scan with the OMOP family — at 100 TB the payer
+    feed IS a bulk export, not bundles — and pins the open-end censor
+    (active coverages carry no ``period.end``; cancelled ones do)."""
+    from interop_spark.fhir import read_from_ndjson
+    from interop_spark.fhir.analytics import omop_payer_plan_period
+    from interop_spark.fhir.gen import write_ndjson_corpus
+
+    d = write_ndjson_corpus(spark, sf_dir, max_custkey=_SYNTH_LIMIT)
+    cov = read_from_ndjson(
+        "file://" + d, spark=spark, glob_filter="*.ndjson"
+    ).resource("Coverage")
+    return omop_payer_plan_period(cov)
+
+
 def q_fhir_invoice_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Invoice flattening through the round-12 SIXTH promotion batch
     (payer/financial cycle): Money totals and the lineItem
@@ -1006,6 +1026,7 @@ QUERIES = {
     "fhir_nutrition_orders": q_fhir_nutrition_orders,
     "fhir_invoice_totals": q_fhir_invoice_totals,
     "fhir_omop_provider": q_fhir_omop_provider,
+    "fhir_omop_payer_plan_period": q_fhir_omop_payer_plan_period,
     "fhir_ndjson_export_errors": q_fhir_ndjson_export_errors,
     "fhir_reference_integrity": q_fhir_reference_integrity,
     "fhir_slots": q_fhir_slots,
@@ -1507,6 +1528,24 @@ ORACLE = {
                CASE ((c_custkey + 1) % 3) WHEN 0 THEN 'low'
                  WHEN 1 THEN 'high' ELSE 'unable-to-assess' END
                  AS criticality
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+    """,
+    "fhir_omop_payer_plan_period": f"""
+        SELECT 'cov-' || c_custkey::VARCHAR AS payer_plan_period_id,
+               'p-' || c_custkey::VARCHAR AS person_id,
+               printf('%04d-%02d-01', c_custkey % 8 + 2015,
+                      c_custkey % 12 + 1) AS payer_plan_period_start_date,
+               CASE WHEN c_custkey % 5 = 0
+                 THEN printf('%04d-%02d-28', c_custkey % 8 + 2016,
+                             (c_custkey + 3) % 12 + 1)
+                 ELSE '2099-12-31' END AS payer_plan_period_end_date,
+               'Organization/org-' || (c_custkey % 4)::VARCHAR
+                 AS payer_source_value,
+               CASE (c_custkey % 3) WHEN 0 THEN 'EHCPOL'
+                 WHEN 1 THEN 'PUBLICPOL' ELSE 'HSAPOL' END
+                 AS plan_source_value,
+               CASE WHEN c_custkey % 5 = 0 THEN 'cancelled'
+                 ELSE 'active' END AS status_source_value
         FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
     """,
     "fhir_omop_provider": f"""
