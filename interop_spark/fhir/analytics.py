@@ -577,3 +577,59 @@ def omop_payer_plan_period(coverage_df: DataFrame) -> DataFrame:
         F.get(col("type.coding"), 0)["code"].alias("plan_source_value"),
         col("status").alias("status_source_value"),
     )
+
+
+def omop_care_site(entry_df: DataFrame) -> DataFrame:
+    """OMOP CDM care_site (+ inline location columns, the
+    pre-normalization join product a FHIR→OMOP ETL lands before
+    splitting the CDM's care_site/location pair): Location resources
+    give the site id/name/type/address/coordinates,
+    ``managingOrganization`` joins the owning Organization's name in as
+    ``care_site_source_value``.
+
+    Scale shape: bundles re-ship their facility dimension, so both
+    sides are exploded-then-distinct — the distinct collapses to the
+    (small) facility cardinality before the join, and the Organization
+    side broadcasts. The corpus-sized explode feeds a partial
+    aggregate; no facility-keyed skew can exceed the number of
+    facilities."""
+    locs = (
+        entry_df.select(explode("Location").alias("l"))
+        .select(
+            col("l.id").alias("care_site_id"),
+            col("l.name").alias("care_site_name"),
+            F.get(F.get(col("l.type"), 0)["coding"], 0)["code"].alias(
+                "place_of_service_source_value"
+            ),
+            col("l.address.city").alias("location_city"),
+            col("l.address.state").alias("location_state"),
+            col("l.address.postalCode").alias("location_zip"),
+            col("l.position.latitude").alias("latitude"),
+            col("l.position.longitude").alias("longitude"),
+            F.regexp_replace(
+                col("l.managingOrganization.reference"),
+                "^Organization/",
+                "",
+            ).alias("org_id"),
+        )
+        .distinct()
+    )
+    orgs = (
+        entry_df.select(explode("Organization").alias("o"))
+        .select(
+            col("o.id").alias("org_id"),
+            col("o.name").alias("care_site_source_value"),
+        )
+        .distinct()
+    )
+    return locs.join(F.broadcast(orgs), "org_id", "left").select(
+        "care_site_id",
+        "care_site_name",
+        "place_of_service_source_value",
+        "care_site_source_value",
+        "location_city",
+        "location_state",
+        "location_zip",
+        "latitude",
+        "longitude",
+    )

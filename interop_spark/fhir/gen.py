@@ -54,7 +54,15 @@ from pyspark.sql.functions import col
 #     payer/financial cycle; Money totals + lineItem priceComponent)
 # v12: Practitioner gains identifier (NPI), name and qualification —
 #     the source fields of the OMOP provider mapping
-CORPUS_VERSION = "v12"
+# v13: + Organization and Location (modular facility dimension — ids
+#     org-(k%4) / loc-(k%6), all fields functions of the id index so
+#     cross-bundle copies dedupe) — the OMOP care_site/location
+#     sources; Location carries position + managingOrganization (added
+#     to the curated schema from the R4 spec)
+# v14: + InsurancePlan (modular plan catalog, ip-(k%5)) — the round-12
+#     seventh promotion batch proof (payer/provider directory:
+#     InsurancePlan, OrganizationAffiliation, PaymentReconciliation)
+CORPUS_VERSION = "v14"
 LOINC = "http://loinc.org"
 
 CPT = "http://www.ama-assn.org/go/cpt"
@@ -574,6 +582,161 @@ def bundle_json_df(
         money.alias("totalGross"),
     )
 
+    # v13: Organization + Location — the OMOP health-system domain's
+    # care_site/location sources. Ids are MODULAR (org-(k%4), loc-(k%6))
+    # and every field is a function of the id index alone, so the same
+    # facility re-shipped by many bundles is byte-identical and the
+    # mapper's distinct collapses it; Location.managingOrganization is
+    # keyed off the LOCATION index (org-((k%6)%4)) so a given ward
+    # always names the same hospital.
+    org_i = k % 4
+    loc_i = k % 6
+    organization = F.struct(
+        F.lit("Organization").alias("resourceType"),
+        _cat("org-", org_i).alias("id"),
+        F.lit(True).alias("active"),
+        F.array(
+            _codeable(
+                F.lit("prov"),
+                F.lit("Healthcare Provider"),
+                "http://terminology.hl7.org/CodeSystem/organization-type",
+            )
+        ).alias("type"),
+        _cat("Hospital ", org_i).alias("name"),
+        F.array(
+            F.struct(
+                F.array(_cat(org_i * 100 + 100, " Main St")).alias("line"),
+                _cat("City", org_i).alias("city"),
+                _pick(("CA", "NY", "TX", "WA"), org_i).alias("state"),
+                F.format_string(
+                    "9%04d", (org_i * 13 + 11).cast("int")
+                ).alias("postalCode"),
+            )
+        ).alias("address"),
+    )
+    location = F.struct(
+        F.lit("Location").alias("resourceType"),
+        _cat("loc-", loc_i).alias("id"),
+        F.lit("active").alias("status"),
+        _cat("Ward ", loc_i).alias("name"),
+        F.lit("instance").alias("mode"),
+        F.array(
+            _codeable(
+                _pick(("HOSP", "ER", "ICU"), loc_i),
+                _pick(("HOSP", "ER", "ICU"), loc_i),
+                "http://terminology.hl7.org/CodeSystem/v3-RoleCode",
+            )
+        ).alias("type"),
+        F.struct(
+            F.array(_cat(loc_i + 1, " Care Way")).alias("line"),
+            _cat("LCity", loc_i).alias("city"),
+            _pick(("CA", "NY", "TX", "WA", "OR", "AZ"), loc_i).alias(
+                "state"
+            ),
+            F.format_string(
+                "8%04d", (loc_i * 31 + 7).cast("int")
+            ).alias("postalCode"),
+        ).alias("address"),
+        # exact quarter/half-degree coordinates: float-identical in any
+        # engine (the OMOP location lat/lon source)
+        F.struct(
+            (F.lit(-120.0) + loc_i / F.lit(4.0)).alias("longitude"),
+            (F.lit(30.0) + loc_i / F.lit(2.0)).alias("latitude"),
+        ).alias("position"),
+        F.struct(
+            _cat("Organization/org-", loc_i % 4).alias("reference")
+        ).alias("managingOrganization"),
+    )
+
+    # v14: InsurancePlan — the round-12 SEVENTH promotion batch proof
+    # (payer/provider directory). A modular plan-catalog dimension
+    # (ip-(k%5), fields functions of the index alone) whose nested
+    # coverage.benefit.limit and plan.generalCost arrays exercise the
+    # promoted schema three levels deep; money/limit values are
+    # quarter-exact doubles.
+    ip_i = k % 5
+    iplan = F.struct(
+        F.lit("InsurancePlan").alias("resourceType"),
+        _cat("ip-", ip_i).alias("id"),
+        _pick(("active", "retired"), ip_i).alias("status"),
+        F.array(
+            _codeable(
+                F.lit("medical"),
+                F.lit("Medical"),
+                "http://terminology.hl7.org/CodeSystem/insurance-plan-type",
+            )
+        ).alias("type"),
+        _cat("Plan ", ip_i).alias("name"),
+        F.struct(
+            _cat("Organization/org-", ip_i % 4).alias("reference")
+        ).alias("ownedBy"),
+        F.struct(
+            _cat("Organization/org-", (ip_i + 1) % 4).alias("reference")
+        ).alias("administeredBy"),
+        F.array(
+            F.struct(
+                _codeable(F.lit("medical"), F.lit("Medical"), SNOMED).alias(
+                    "type"
+                ),
+                F.array(
+                    F.struct(
+                        _codeable(
+                            _pick(
+                                ("primary-care", "emergency", "specialty"),
+                                ip_i,
+                            ),
+                            _pick(
+                                ("primary-care", "emergency", "specialty"),
+                                ip_i,
+                            ),
+                            SNOMED,
+                        ).alias("type"),
+                        F.array(
+                            F.struct(
+                                F.struct(
+                                    (
+                                        F.lit(10.0) + ip_i * F.lit(10.0)
+                                    ).alias("value"),
+                                    F.lit("visits").alias("unit"),
+                                ).alias("value"),
+                                _codeable(
+                                    F.lit("visits-per-year"),
+                                    F.lit("Visits per year"),
+                                    SNOMED,
+                                ).alias("code"),
+                            )
+                        ).alias("limit"),
+                    )
+                ).alias("benefit"),
+            )
+        ).alias("coverage"),
+        F.array(
+            F.struct(
+                _codeable(
+                    _pick(("bronze", "silver", "gold"), ip_i),
+                    _pick(("bronze", "silver", "gold"), ip_i),
+                    "http://terminology.hl7.org/CodeSystem/insurance-plan-type",
+                ).alias("type"),
+                F.array(
+                    F.struct(
+                        _codeable(
+                            F.lit("premium"), F.lit("Premium"), SNOMED
+                        ).alias("type"),
+                        (ip_i + 1).cast("int").alias("groupSize"),
+                        F.struct(
+                            (
+                                F.lit(100.0)
+                                + ip_i * F.lit(25.0)
+                                + ip_i / F.lit(4.0)
+                            ).alias("value"),
+                            F.lit("USD").alias("currency"),
+                        ).alias("cost"),
+                    )
+                ).alias("generalCost"),
+            )
+        ).alias("plan"),
+    )
+
     def entry_json(resource: F.Column) -> F.Column:
         return F.to_json(F.struct(resource.alias("resource")))
 
@@ -600,6 +763,9 @@ def bundle_json_df(
             entry_json(qdef),
             entry_json(basic),
             entry_json(invoice),
+            entry_json(organization),
+            entry_json(location),
+            entry_json(iplan),
         ),
         F.lit("]}"),
     )

@@ -930,6 +930,46 @@ def q_fhir_omop_payer_plan_period(
     return omop_payer_plan_period(cov)
 
 
+def q_fhir_omop_care_site(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OMOP CDM care_site with inline location columns (corpus v13 adds
+    the modular Organization/Location facility dimension): Location →
+    site id/name/type/address/coordinates, managingOrganization →
+    owning Organization's name. Completes the health-system domain
+    beside provider; the cross-bundle facility copies collapse through
+    the exploded-distinct before a broadcast join."""
+    from interop_spark.fhir.analytics import omop_care_site
+
+    return omop_care_site(_synthetic_entry(spark, sf_dir))
+
+
+def q_fhir_insurance_plans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InsurancePlan flattening through the round-12 SEVENTH promotion
+    batch (payer/provider directory: InsurancePlan,
+    OrganizationAffiliation, PaymentReconciliation): the proof row
+    walks the promoted schema three nested-array levels deep —
+    coverage→benefit→limit and plan→generalCost — from generated
+    corpus JSON without a user override. The plan catalog is a modular
+    dimension, so the cross-bundle copies collapse through distinct."""
+    entry = _synthetic_entry(spark, sf_dir)
+    ip = entry.select(F.explode("InsurancePlan").alias("p"))
+    cov = F.get(col("p.coverage"), 0)
+    ben = F.get(cov["benefit"], 0)
+    lim = F.get(ben["limit"], 0)
+    pl = F.get(col("p.plan"), 0)
+    gc = F.get(pl["generalCost"], 0)
+    return ip.select(
+        col("p.id").alias("plan_id"),
+        col("p.status").alias("plan_status"),
+        col("p.name").alias("plan_name"),
+        col("p.ownedBy.reference").alias("owned_by"),
+        F.get(ben["type"]["coding"], 0)["code"].alias("benefit_type"),
+        lim["value"]["value"].alias("visit_limit"),
+        F.get(pl["type"]["coding"], 0)["code"].alias("tier"),
+        gc["groupSize"].alias("group_size"),
+        gc["cost"]["value"].alias("premium"),
+    ).distinct()
+
+
 def q_fhir_invoice_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Invoice flattening through the round-12 SIXTH promotion batch
     (payer/financial cycle): Money totals and the lineItem
@@ -1027,6 +1067,8 @@ QUERIES = {
     "fhir_invoice_totals": q_fhir_invoice_totals,
     "fhir_omop_provider": q_fhir_omop_provider,
     "fhir_omop_payer_plan_period": q_fhir_omop_payer_plan_period,
+    "fhir_omop_care_site": q_fhir_omop_care_site,
+    "fhir_insurance_plans": q_fhir_insurance_plans,
     "fhir_ndjson_export_errors": q_fhir_ndjson_export_errors,
     "fhir_reference_integrity": q_fhir_reference_integrity,
     "fhir_slots": q_fhir_slots,
@@ -1529,6 +1571,36 @@ ORACLE = {
                  WHEN 1 THEN 'high' ELSE 'unable-to-assess' END
                  AS criticality
         FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+    """,
+    "fhir_insurance_plans": """
+        SELECT 'ip-' || i::VARCHAR AS plan_id,
+               CASE (i % 2) WHEN 0 THEN 'active' ELSE 'retired' END
+                 AS plan_status,
+               'Plan ' || i::VARCHAR AS plan_name,
+               'Organization/org-' || (i % 4)::VARCHAR AS owned_by,
+               CASE (i % 3) WHEN 0 THEN 'primary-care' WHEN 1 THEN 'emergency'
+                 ELSE 'specialty' END AS benefit_type,
+               10.0 + i * 10.0 AS visit_limit,
+               CASE (i % 3) WHEN 0 THEN 'bronze' WHEN 1 THEN 'silver'
+                 ELSE 'gold' END AS tier,
+               CAST(i + 1 AS INTEGER) AS group_size,
+               100.0 + i * 25.0 + i / 4.0 AS premium
+        FROM range(5) AS t(i)
+    """,
+    "fhir_omop_care_site": """
+        SELECT 'loc-' || j::VARCHAR AS care_site_id,
+               'Ward ' || j::VARCHAR AS care_site_name,
+               CASE (j % 3) WHEN 0 THEN 'HOSP' WHEN 1 THEN 'ER'
+                 ELSE 'ICU' END AS place_of_service_source_value,
+               'Hospital ' || (j % 4)::VARCHAR AS care_site_source_value,
+               'LCity' || j::VARCHAR AS location_city,
+               CASE j WHEN 0 THEN 'CA' WHEN 1 THEN 'NY' WHEN 2 THEN 'TX'
+                 WHEN 3 THEN 'WA' WHEN 4 THEN 'OR' ELSE 'AZ' END
+                 AS location_state,
+               printf('8%04d', j * 31 + 7) AS location_zip,
+               30.0 + j / 2.0 AS latitude,
+               -120.0 + j / 4.0 AS longitude
+        FROM range(6) AS t(j)
     """,
     "fhir_omop_payer_plan_period": f"""
         SELECT 'cov-' || c_custkey::VARCHAR AS payer_plan_period_id,

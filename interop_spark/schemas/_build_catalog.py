@@ -175,6 +175,10 @@ LOCATION = _resource(
     telecom=_arr(CONTACT_POINT),
     address=ADDRESS,
     physicalType=CODEABLE_CONCEPT,
+    # R4 Location.position / managingOrganization (hl7.org/fhir/R4/
+    # location.html) — the OMOP location/care_site mapping sources
+    position=_struct(longitude=D, latitude=D, altitude=D),
+    managingOrganization=REFERENCE,
     partOf=REFERENCE,
 )
 
@@ -1831,6 +1835,127 @@ PAYMENT_NOTICE = _resource(
     paymentStatus=CODEABLE_CONCEPT,
 )
 
+# ---- round-12 seventh promotion batch: payer/provider directory ----------
+# (hl7.org/fhir/R4/insuranceplan.html, organizationaffiliation.html,
+# paymentreconciliation.html — the plan-catalog / network-directory /
+# remittance trio that completes the batch-6 financial cycle)
+
+INSURANCE_PLAN = _resource(
+    identifier=_arr(IDENTIFIER),
+    status=S,
+    type=_arr(CODEABLE_CONCEPT),
+    name=S,
+    alias=_arr(S),
+    period=PERIOD,
+    ownedBy=REFERENCE,
+    administeredBy=REFERENCE,
+    coverageArea=_arr(REFERENCE),
+    contact=_arr(
+        _struct(
+            purpose=CODEABLE_CONCEPT,
+            name=HUMAN_NAME,
+            telecom=_arr(CONTACT_POINT),
+            address=ADDRESS,
+        )
+    ),
+    network=_arr(REFERENCE),
+    coverage=_arr(
+        _struct(
+            type=CODEABLE_CONCEPT,
+            network=_arr(REFERENCE),
+            benefit=_arr(
+                _struct(
+                    type=CODEABLE_CONCEPT,
+                    requirement=S,
+                    limit=_arr(
+                        _struct(value=QUANTITY, code=CODEABLE_CONCEPT)
+                    ),
+                )
+            ),
+        )
+    ),
+    plan=_arr(
+        _struct(
+            identifier=_arr(IDENTIFIER),
+            type=CODEABLE_CONCEPT,
+            coverageArea=_arr(REFERENCE),
+            network=_arr(REFERENCE),
+            generalCost=_arr(
+                _struct(
+                    type=CODEABLE_CONCEPT,
+                    groupSize=I,
+                    cost=MONEY,
+                    comment=S,
+                )
+            ),
+            specificCost=_arr(
+                _struct(
+                    category=CODEABLE_CONCEPT,
+                    benefit=_arr(
+                        _struct(
+                            type=CODEABLE_CONCEPT,
+                            cost=_arr(
+                                _struct(
+                                    type=CODEABLE_CONCEPT,
+                                    applicability=CODEABLE_CONCEPT,
+                                    qualifiers=_arr(CODEABLE_CONCEPT),
+                                    value=QUANTITY,
+                                )
+                            ),
+                        )
+                    ),
+                )
+            ),
+        )
+    ),
+)
+
+ORGANIZATION_AFFILIATION = _resource(
+    identifier=_arr(IDENTIFIER),
+    active=B,
+    period=PERIOD,
+    organization=REFERENCE,
+    participatingOrganization=REFERENCE,
+    network=_arr(REFERENCE),
+    code=_arr(CODEABLE_CONCEPT),
+    specialty=_arr(CODEABLE_CONCEPT),
+    location=_arr(REFERENCE),
+    healthcareService=_arr(REFERENCE),
+    telecom=_arr(CONTACT_POINT),
+    endpoint=_arr(REFERENCE),
+)
+
+PAYMENT_RECONCILIATION = _resource(
+    identifier=_arr(IDENTIFIER),
+    status=S,
+    period=PERIOD,
+    created=S,
+    paymentIssuer=REFERENCE,
+    request=REFERENCE,
+    requestor=REFERENCE,
+    outcome=S,
+    disposition=S,
+    paymentDate=S,
+    paymentAmount=MONEY,
+    paymentIdentifier=IDENTIFIER,
+    detail=_arr(
+        _struct(
+            identifier=IDENTIFIER,
+            predecessor=IDENTIFIER,
+            type=CODEABLE_CONCEPT,
+            request=REFERENCE,
+            submitter=REFERENCE,
+            response=REFERENCE,
+            date=S,
+            responsible=REFERENCE,
+            payee=REFERENCE,
+            amount=MONEY,
+        )
+    ),
+    formCode=CODEABLE_CONCEPT,
+    processNote=_arr(_struct(type=S, text=S)),
+)
+
 OPERATION_OUTCOME = _resource(
     issue=_arr(
         _struct(
@@ -1916,6 +2041,9 @@ CATALOG = {
     "ChargeItem": CHARGE_ITEM,
     "Invoice": INVOICE,
     "PaymentNotice": PAYMENT_NOTICE,
+    "InsurancePlan": INSURANCE_PLAN,
+    "OrganizationAffiliation": ORGANIZATION_AFFILIATION,
+    "PaymentReconciliation": PAYMENT_RECONCILIATION,
     "OperationOutcome": OPERATION_OUTCOME,
 }
 
@@ -1958,7 +2086,7 @@ FULL_SPINE_TYPES = [
     "Evidence", "EvidenceVariable", "ExampleScenario", 
     "GraphDefinition", "GuidanceResponse", 
     "ImmunizationEvaluation", 
-    "ImplementationGuide", "InsurancePlan", "Library",
+    "ImplementationGuide", "Library",
     "Linkage", "Measure", "MedicationKnowledge",
     "MedicinalProduct", "MedicinalProductAuthorization",
     "MedicinalProductContraindication", "MedicinalProductIndication",
@@ -1967,8 +2095,7 @@ FULL_SPINE_TYPES = [
     "MedicinalProductPharmaceutical", "MedicinalProductUndesirableEffect",
     "MessageDefinition", "MolecularSequence", "NamingSystem",
     "ObservationDefinition", "OperationDefinition",
-    "OrganizationAffiliation",
-    "PaymentReconciliation", "PlanDefinition",
+    "PlanDefinition",
     "RequestGroup", "ResearchDefinition",
     "ResearchElementDefinition", "ResearchStudy", "ResearchSubject",
     "RiskEvidenceSynthesis", "SearchParameter", "SpecimenDefinition",
