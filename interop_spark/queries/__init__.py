@@ -112,7 +112,29 @@ _MODULES = (
 #     text_quality, doc_fingerprint, drop_duplicates, train_test_split,
 #     enrich_events, conditional_agg, winnow_dup_pairs, semdedup_keep,
 #     knn_batch, cube_agg, pivot_agg, grouping_sets).
-# ROUND-13 QUEUE: agg_stats, audio_stats, bpe_encode,
+#   * LATE-CONTINUATION ADDITIONS (7, all verified by full local
+#     driver_sim this round; the window was already saturated by the
+#     mandated r7 staleness drain + this round's diff re-verification
+#     set, so — the same conscious trade r11 made in the opposite
+#     direction — these NEW rows head the r13 queue instead of
+#     displacing drain or diff-affected rows): source_quota_sample +
+#     domain_quantile_filter (selection_q append-only — existing rows
+#     keep greens), stream_merge_upsert (temporal_q append-only;
+#     merge.py gains merge_into_conditional as an APPENDED function,
+#     merge_into untouched so merge_upsert keeps its green),
+#     fhir_omop_payer_plan_period (NDJSON corpus v5: Coverage.period —
+#     all NDJSON consumer rows re-verified green), fhir_omop_care_site
+#     (corpus v13: Organization/Location; Location schema gains R4
+#     position/managingOrganization), fhir_insurance_plans (corpus
+#     v14 + SEVENTH promotion batch: InsurancePlan/
+#     OrganizationAffiliation/PaymentReconciliation, 74 curated / 70
+#     spine; every bundle-corpus consumer row re-verified green at
+#     v14).
+# ROUND-13 QUEUE: source_quota_sample, domain_quantile_filter,
+# stream_merge_upsert, fhir_omop_payer_plan_period,
+# fhir_omop_care_site, fhir_insurance_plans (the late-continuation
+# rows above — first driver green pending), then
+# agg_stats, audio_stats, bpe_encode,
 # bpe_merge_candidates, then
 # the remaining 33 r8 rows — bsq_hamming_search, c4_clean, chunk_sliding,
 # classifier_train_steps, countmin_estimate, date_series,
