@@ -311,7 +311,28 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
         # removal — per-document window on (doc, line-hash), no
         # corpus-global key exists, so ~linear is the expectation.
         "dup_line_removal": lambda d: dd.remove_repeated_lines(d),
+        # round-12 continuation: per-source quota cap with a PLANTED
+        # HOT HOST (half the corpus lands in one source): the
+        # under-quota long tail bypasses shuffle-free, and the
+        # over-quota branch's rank exchange is pruned map-side by the
+        # partial WindowGroupLimit to ≤quota rows per (task, source) —
+        # the hot key inflates the scan, never the shuffle. Done-bar:
+        # ~linear in bytes.
+        "source_quota": lambda d: _source_quota_hot(d),
     }
+
+    def _source_quota_hot(d):
+        from interop_spark.queries.selection_q import source_quota_kept
+
+        skewed = d.select(
+            F.when(col("doc_id") % 2 == 0, F.lit("hot"))
+            .otherwise(
+                F.concat(F.lit("s"), (col("doc_id") % 50).cast("string"))
+            )
+            .alias("source"),
+            "doc_id",
+        )
+        return source_quota_kept(skewed, quota=10)
 
     def _rotated_documents(mult: int):
         import os as _os

@@ -633,3 +633,29 @@ def omop_care_site(entry_df: DataFrame) -> DataFrame:
         "latitude",
         "longitude",
     )
+
+
+def omop_cost(entry_df: DataFrame) -> DataFrame:
+    """OMOP CDM cost projection from Invoice (corpus v11 carries the
+    Money totals and CPT-coded lineItem): one cost row per invoice,
+    person from ``subject``, domain pinned by the charge code system
+    (CPT → Procedure), charge/cost from totalGross/totalNet. The date
+    stays a 'YYYY-MM-DD' string (driver date-type contract). Pure
+    typed projection — one scan, zero shuffles."""
+    inv = entry_df.select(explode("Invoice").alias("i"))
+    li = F.get(col("i.lineItem"), 0)
+    return inv.select(
+        col("i.id").alias("cost_id"),
+        F.regexp_replace(col("i.subject.reference"), "^Patient/", "").alias(
+            "person_id"
+        ),
+        F.lit("Procedure").alias("cost_domain_id"),
+        col("i.date").alias("incurred_date"),
+        col("i.totalGross.currency").alias("currency_source_value"),
+        col("i.totalGross.value").alias("total_charge"),
+        col("i.totalNet.value").alias("total_cost"),
+        F.get(li["chargeItemCodeableConcept"]["coding"], 0)["code"].alias(
+            "charge_source_value"
+        ),
+        col("i.status").alias("status_source_value"),
+    )

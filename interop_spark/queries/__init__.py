@@ -129,11 +129,12 @@ _MODULES = (
 #     v14 + SEVENTH promotion batch: InsurancePlan/
 #     OrganizationAffiliation/PaymentReconciliation, 74 curated / 70
 #     spine; every bundle-corpus consumer row re-verified green at
-#     v14).
+#     v14), fhir_omop_cost (CDM economics table from the corpus-v11
+#     Invoice — no corpus change).
 # ROUND-13 QUEUE: source_quota_sample, domain_quantile_filter,
 # stream_merge_upsert, fhir_omop_payer_plan_period,
-# fhir_omop_care_site, fhir_insurance_plans (the late-continuation
-# rows above — first driver green pending), then
+# fhir_omop_care_site, fhir_insurance_plans, fhir_omop_cost (the
+# late-continuation rows above — first driver green pending), then
 # agg_stats, audio_stats, bpe_encode,
 # bpe_merge_candidates, then
 # the remaining 33 r8 rows — bsq_hamming_search, c4_clean, chunk_sliding,

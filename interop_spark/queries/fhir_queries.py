@@ -970,6 +970,16 @@ def q_fhir_insurance_plans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+def q_fhir_omop_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OMOP CDM cost from Invoice — the economics table beside the
+    payer domain's payer_plan_period: per-invoice charge/cost Money
+    totals, CPT charge code, incurred date. Completes the CDM tables a
+    FHIR billing feed can populate from this corpus."""
+    from interop_spark.fhir.analytics import omop_cost
+
+    return omop_cost(_synthetic_entry(spark, sf_dir))
+
+
 def q_fhir_invoice_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Invoice flattening through the round-12 SIXTH promotion batch
     (payer/financial cycle): Money totals and the lineItem
@@ -1069,6 +1079,7 @@ QUERIES = {
     "fhir_omop_payer_plan_period": q_fhir_omop_payer_plan_period,
     "fhir_omop_care_site": q_fhir_omop_care_site,
     "fhir_insurance_plans": q_fhir_insurance_plans,
+    "fhir_omop_cost": q_fhir_omop_cost,
     "fhir_ndjson_export_errors": q_fhir_ndjson_export_errors,
     "fhir_reference_integrity": q_fhir_reference_integrity,
     "fhir_slots": q_fhir_slots,
@@ -1570,6 +1581,24 @@ ORACLE = {
                CASE ((c_custkey + 1) % 3) WHEN 0 THEN 'low'
                  WHEN 1 THEN 'high' ELSE 'unable-to-assess' END
                  AS criticality
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+    """,
+    "fhir_omop_cost": f"""
+        SELECT 'inv-' || c_custkey::VARCHAR AS cost_id,
+               'p-' || c_custkey::VARCHAR AS person_id,
+               'Procedure' AS cost_domain_id,
+               printf('%04d-%02d-%02d', c_custkey % 4 + 2021,
+                      (c_custkey + 10) % 12 + 1,
+                      (c_custkey + 19) % 28 + 1) AS incurred_date,
+               'USD' AS currency_source_value,
+               (c_custkey % 900) + 100 + (c_custkey % 4) / 4.0
+                 AS total_charge,
+               (c_custkey % 900) + 100 + (c_custkey % 4) / 4.0
+                 AS total_cost,
+               'CHG' || (c_custkey % 8)::VARCHAR AS charge_source_value,
+               CASE (c_custkey % 3) WHEN 0 THEN 'issued'
+                 WHEN 1 THEN 'balanced' ELSE 'draft' END
+                 AS status_source_value
         FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
     """,
     "fhir_insurance_plans": """

@@ -2192,6 +2192,35 @@ def _dup_line_oracle() -> str:
 SOURCE_QUOTA = 10
 
 
+def source_quota_kept(d: DataFrame, quota: int = SOURCE_QUOTA) -> DataFrame:
+    """Core of the per-source quota cap over a ``(source, doc_id)``
+    frame: keep at most ``quota`` documents per source, chosen
+    deterministically by md5(doc_id) rank. Only over-quota sources pay
+    for a rank — per-source counts are a tiny partial-agg broadcast,
+    under-quota sources' documents bypass with a broadcast anti-join
+    (zero shuffle, the long-tail common case), and the single
+    row_number window over the over-quota subset is pruned map-side by
+    Spark's partial WindowGroupLimit (each task forwards ≤quota rows
+    per source into the rank shuffle — a planted hot host inflates the
+    scan, never the exchange). Shared by the driver row and the bench
+    scaling probe."""
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total")
+    )
+    over = counts.where(col("n_total") > quota).select("source")
+    under_docs = d.join(F.broadcast(over), "source", "left_anti")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(col("doc_id").cast("string")), "doc_id"
+    )
+    over_docs = (
+        d.join(F.broadcast(over), "source", "left_semi")
+        .withColumn("rn", F.row_number().over(w))
+        .where(col("rn") <= quota)
+        .drop("rn")
+    )
+    return under_docs.unionByName(over_docs)
+
+
 def q_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document quota — the MassiveText / RefinedWeb host-cap
     rule (Rae et al. 2021 §A.1.2 cap documents per domain; Penedo et
@@ -2201,33 +2230,14 @@ def q_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     different contract from the rate-based ``domain_mix_sample`` /
     ``stratified_sample`` Bernoulli gates: quotas bound the worst-case
     contribution of any single host no matter how large it is.
-
-    Scale shape: the quota decision needs a per-source RANK, but only
-    over-quota sources ever pay for it — per-source counts are a tiny
-    partial-agg broadcast, under-quota sources' documents bypass with a
-    broadcast anti-join (zero shuffle, the common case for the long
-    tail of small hosts), and only documents of over-quota sources
-    enter the one rank shuffle. A planted hot host therefore inflates
-    ONE branch, and that branch's window partitions carry exactly the
-    over-quota docs, never the corpus. Output pins membership, not just
-    counts: ``kept_id_sum`` is the order-independent checksum of WHICH
-    documents survived."""
+    Scale shape: see ``source_quota_kept``. Output pins membership,
+    not just counts: ``kept_id_sum`` is the order-independent checksum
+    of WHICH documents survived."""
     d = load(spark, sf_dir, "documents").select("source", "doc_id")
     counts = d.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_total")
     )
-    over = counts.where(col("n_total") > SOURCE_QUOTA).select("source")
-    under_docs = d.join(F.broadcast(over), "source", "left_anti")
-    w = Window.partitionBy("source").orderBy(
-        F.md5(col("doc_id").cast("string")), "doc_id"
-    )
-    over_docs = (
-        d.join(F.broadcast(over), "source", "left_semi")
-        .withColumn("rn", F.row_number().over(w))
-        .where(col("rn") <= SOURCE_QUOTA)
-        .drop("rn")
-    )
-    kept = under_docs.unionByName(over_docs)
+    kept = source_quota_kept(d, SOURCE_QUOTA)
     return (
         kept.groupBy("source")
         .agg(
