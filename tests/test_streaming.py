@@ -753,3 +753,80 @@ def test_stream_neardup_pairs_equals_batch_candidates(spark, sf_dir):
     batch = q["minhash_incremental_dedup"](spark, sf_dir).collect()
     dup_ids = {r["doc_id"] for r in batch if r["is_dup"]}
     assert {n for n, _ in pairs} == dup_ids
+
+
+def test_stream_merge_upsert_runs_multiple_batches(spark, sf_dir):
+    """The CDC upsert row's value-hash oracle would pass trivially if
+    the stream collapsed into ONE micro-batch (a single merge of
+    everything) — this pins that maxFilesPerTrigger=1 really yields
+    multiple batches, i.e. the conditional-merge guard is actually
+    exercised across batch boundaries, and that the final table equals
+    the batch argmax."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from interop_spark.io import load
+    from interop_spark.operators.merge import merge_into_conditional
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    land = tempfile.mkdtemp(prefix="cdc_test_" + uuid.uuid4().hex[:6])
+    flat = os.path.join(land, "flat")
+    os.makedirs(flat)
+    for i in range(4):
+        part = os.path.join(land, f"c{i}")
+        ev.where(F.col("event_id") % 4 == i).coalesce(1).write.parquet(part)
+        (pf,) = [f for f in os.listdir(part) if f.endswith(".parquet")]
+        os.rename(os.path.join(part, pf), os.path.join(flat, f"c{i}.parquet"))
+
+    schema = spark.read.parquet(flat).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    state = {"tgt": None, "batches": 0}
+
+    def _upsert(batch_df, _bid):
+        state["batches"] += 1
+        winners = (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.max(
+                    F.struct("ts", "event_id", "event_type", "value")
+                ).alias("m")
+            )
+            .select("user_id", "m.ts", "m.event_id", "m.event_type", "m.value")
+        )
+        if state["tgt"] is None:
+            state["tgt"] = winners.localCheckpoint()
+        else:
+            state["tgt"] = merge_into_conditional(
+                state["tgt"], winners, ["user_id"],
+                "s.ts > t.ts OR (s.ts = t.ts AND s.event_id > t.event_id)",
+                source_unique=True,
+            ).localCheckpoint()
+
+    q = src.writeStream.foreachBatch(_upsert).trigger(availableNow=True).start()
+    q.awaitTermination()
+    assert state["batches"] == 4, f"expected 4 micro-batches, got {state['batches']}"
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    want = {
+        (r["user_id"], r["event_id"])
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .collect()
+    }
+    got = {
+        (r["user_id"], r["event_id"]) for r in state["tgt"].collect()
+    }
+    assert got == want
