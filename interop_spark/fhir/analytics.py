@@ -495,6 +495,86 @@ def omop_drug_exposure(entry_df: DataFrame) -> DataFrame:
     )
 
 
+def omop_drug_era(
+    entry_df: DataFrame, persistence_days: int = 30
+) -> DataFrame:
+    """OMOP CDM drug_era: contiguous drug_exposure rows for one
+    (person, drug concept) merge into an era whenever the gap between
+    successive exposures is at most the OMOP persistence window
+    (30 days) — the standard gap-and-island derivation every CDM ETL
+    runs after drug_exposure lands (extends the reference's person-only
+    OMOP mapping, `01_dbignite_sample.py:472-484`).
+
+    Scale shape: ONE exchange end-to-end. Both window functions (lag
+    for the gap flag, running sum for the era id) share the
+    (person, concept) partitioning and date ordering, so they reuse a
+    single sort; the final groupBy keys (person, concept, era) are a
+    superset of the window partition keys, so HashPartitioning(person,
+    concept) already satisfies its clustering and no second shuffle is
+    planned (plan-asserted in tests/test_scale.py)."""
+    from pyspark.sql.window import Window
+
+    e = omop_drug_exposure(entry_df).select(
+        "person_id",
+        "drug_concept_code",
+        F.to_date("drug_exposure_start_date").alias("d"),
+    )
+    w = Window.partitionBy("person_id", "drug_concept_code").orderBy("d")
+    flagged = e.withColumn(
+        "new_era",
+        F.when(
+            F.datediff(col("d"), F.lag("d").over(w)) > persistence_days, 1
+        ).otherwise(0),  # first row: datediff(NULL) is NULL -> 0
+    )
+    eras = flagged.withColumn(
+        "era_seq",
+        (
+            F.sum("new_era").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            + 1
+        ).cast("int"),
+    )
+    return eras.groupBy("person_id", "drug_concept_code", "era_seq").agg(
+        F.date_format(F.min("d"), "yyyy-MM-dd").alias("drug_era_start_date"),
+        F.date_format(F.max("d"), "yyyy-MM-dd").alias("drug_era_end_date"),
+        F.count(F.lit(1)).cast("long").alias("drug_exposure_count"),
+    )
+
+
+def omop_device_exposure(entry_df: DataFrame) -> DataFrame:
+    """OMOP CDM device_exposure from the DeviceUseStatement → Device
+    pair: the use statement carries the person and the wear interval,
+    the referenced Device carries the concept (SNOMED type) and the
+    UDI — so the mapping RESOLVES the within-bundle device reference
+    (``dus.device.reference == 'Device/' || dev.id``) instead of
+    trusting co-location, the way a real FHIR→OMOP ETL lands it.
+
+    Scale shape: sequential explodes over one scan (within-bundle
+    cross product) with the reference-equality filter applied before
+    the projection — no shuffle at all; Catalyst prunes every other
+    resource column out of the parse."""
+    pairs = _explode2(
+        entry_df, "DeviceUseStatement", "dus", "Device", "dev"
+    ).where(
+        col("dus.device.reference")
+        == F.concat(F.lit("Device/"), col("dev.id"))
+    )
+    return pairs.select(
+        col("dus.id").alias("device_exposure_id"),
+        F.regexp_replace(
+            col("dus.subject.reference"), "^Patient/", ""
+        ).alias("person_id"),
+        _first(col("dev.type.coding.code")).alias("device_concept_code"),
+        _first(col("dev.udiCarrier.deviceIdentifier")).alias(
+            "unique_device_id"
+        ),
+        col("dus.timingPeriod.start").alias("device_exposure_start_date"),
+        col("dus.timingPeriod.end").alias("device_exposure_end_date"),
+        col("dus.status").alias("device_status_source_value"),
+    )
+
+
 def reference_integrity(
     entry_df: DataFrame,
     checks: list[tuple[str, str, str]],

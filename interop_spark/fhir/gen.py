@@ -62,7 +62,15 @@ from pyspark.sql.functions import col
 # v14: + InsurancePlan (modular plan catalog, ip-(k%5)) — the round-12
 #     seventh promotion batch proof (payer/provider directory:
 #     InsurancePlan, OrganizationAffiliation, PaymentReconciliation)
-CORPUS_VERSION = "v14"
+# v15: MedicationRequest becomes a 3-exposure refill HISTORY per
+#     patient (mr-/mr2-/mr3-, same RxNorm concept; follow-up gaps
+#     10+k%40 and 25+k%20 days straddle the 30-day OMOP persistence
+#     window) — the source shape of the drug_era gap-and-island merge
+# v16: + Device / DeviceUseStatement / DeviceMetric (the device-domain
+#     chain: DUS references its Device within-bundle — the OMOP
+#     device_exposure source pair — and DeviceMetric is the EIGHTH
+#     promotion batch's proof resource)
+CORPUS_VERSION = "v16"
 LOINC = "http://loinc.org"
 
 CPT = "http://www.ama-assn.org/go/cpt"
@@ -110,7 +118,8 @@ def bundle_json_df(
 ) -> DataFrame:
     """(value, _file_path) frame of synthetic bundle JSON documents — one
     bundle per customer with c_custkey < ``max_custkey``, each holding a
-    Patient, Condition, Claim (2 items), MedicationRequest, Practitioner,
+    Patient, Condition, Claim (2 items), 3 MedicationRequests (a refill
+    history on one RxNorm concept, v15), Practitioner,
     Observation, DiagnosticReport, QuestionnaireResponse, NutritionOrder,
     Slot, Flag, Encounter, Procedure, AdverseEvent, Questionnaire (3
     distinct definitions), a spine-only Basic and an Invoice, all fields
@@ -213,25 +222,52 @@ def bundle_json_df(
             col("c_acctbal").alias("value"), F.lit("USD").alias("currency")
         ).alias("total"),
     )
-    medreq = F.struct(
-        F.lit("MedicationRequest").alias("resourceType"),
-        _cat("mr-", k).alias("id"),
-        _pick(MED_STATUSES, k).alias("status"),
-        F.lit("order").alias("intent"),
-        F.struct(
-            F.array(
-                F.struct(
-                    F.lit(RXNORM).alias("system"),
-                    _cat("RX", k % 30).alias("code"),
-                )
-            ).alias("coding"),
-            _cat("med-", k % 30).alias("text"),
-        ).alias("medicationCodeableConcept"),
-        F.struct(_cat("Patient/p-", k).alias("reference")).alias("subject"),
-        F.format_string(
-            "%04d-%02d-%02d", (k % 6 + 2018).cast("int"),
-            ((k + 1) % 12 + 1).cast("int"), ((k + 7) % 28 + 1).cast("int"),
-        ).alias("authoredOn"),
+    med_base = F.format_string(
+        "%04d-%02d-%02d", (k % 6 + 2018).cast("int"),
+        ((k + 1) % 12 + 1).cast("int"), ((k + 7) % 28 + 1).cast("int"),
+    )
+
+    def _medreq(id_prefix: str, status_idx, authored: F.Column) -> F.Column:
+        return F.struct(
+            F.lit("MedicationRequest").alias("resourceType"),
+            _cat(id_prefix, k).alias("id"),
+            _pick(MED_STATUSES, status_idx).alias("status"),
+            F.lit("order").alias("intent"),
+            F.struct(
+                F.array(
+                    F.struct(
+                        F.lit(RXNORM).alias("system"),
+                        _cat("RX", k % 30).alias("code"),
+                    )
+                ).alias("coding"),
+                _cat("med-", k % 30).alias("text"),
+            ).alias("medicationCodeableConcept"),
+            F.struct(_cat("Patient/p-", k).alias("reference")).alias(
+                "subject"
+            ),
+            authored.alias("authoredOn"),
+        )
+
+    # v15: a refill history — same RxNorm concept, follow-up gaps that
+    # straddle the 30-day OMOP drug_era persistence window (gap1 in
+    # [10, 49], gap2 in [25, 44]) so era merging is data-dependent
+    medreq = _medreq("mr-", k, med_base)
+    medreq2 = _medreq(
+        "mr2-", k + 1,
+        F.date_format(
+            F.date_add(F.to_date(med_base), (k % 40 + 10).cast("int")),
+            "yyyy-MM-dd",
+        ),
+    )
+    medreq3 = _medreq(
+        "mr3-", k + 2,
+        F.date_format(
+            F.date_add(
+                F.to_date(med_base),
+                (k % 40 + 10 + k % 20 + 25).cast("int"),
+            ),
+            "yyyy-MM-dd",
+        ),
     )
     practitioner = F.struct(
         F.lit("Practitioner").alias("resourceType"),
@@ -654,6 +690,70 @@ def bundle_json_df(
     # coverage.benefit.limit and plan.generalCost arrays exercise the
     # promoted schema three levels deep; money/limit values are
     # quarter-exact doubles.
+    # v16 device-domain chain: Device + its use statement (references
+    # the device within-bundle, the OMOP device_exposure source pair)
+    # + a telemetry DeviceMetric (eighth promotion batch proof)
+    device = F.struct(
+        F.lit("Device").alias("resourceType"),
+        _cat("dev-", k).alias("id"),
+        F.array(
+            F.struct(
+                _cat("UDI-", k % 18).alias("deviceIdentifier"),
+                F.lit("FDA").alias("issuer"),
+            )
+        ).alias("udiCarrier"),
+        _pick(("active", "inactive"), k).alias("status"),
+        _cat("mfg-", k % 6).alias("manufacturer"),
+        _cat("SN", k).alias("serialNumber"),
+        F.array(
+            F.struct(
+                _cat("devname-", k % 15).alias("name"),
+                F.lit("user-friendly-name").alias("type"),
+            )
+        ).alias("deviceName"),
+        _codeable(_cat("DV", k % 15), _cat("devtype-", k % 15), SNOMED).alias(
+            "type"
+        ),
+        F.struct(_cat("Patient/p-", k).alias("reference")).alias("patient"),
+    )
+    dus_start = F.format_string(
+        "%04d-%02d-%02d", (k % 4 + 2021).cast("int"),
+        ((k + 3) % 12 + 1).cast("int"), ((k + 14) % 28 + 1).cast("int"),
+    )
+    devuse = F.struct(
+        F.lit("DeviceUseStatement").alias("resourceType"),
+        _cat("dus-", k).alias("id"),
+        _pick(("active", "completed", "intended"), k + 1).alias("status"),
+        F.struct(_cat("Patient/p-", k).alias("reference")).alias("subject"),
+        F.struct(
+            dus_start.alias("start"),
+            F.date_format(
+                F.date_add(F.to_date(dus_start), (k % 90 + 30).cast("int")),
+                "yyyy-MM-dd",
+            ).alias("end"),
+        ).alias("timingPeriod"),
+        dus_start.alias("recordedOn"),
+        F.struct(_cat("Device/dev-", k).alias("reference")).alias("device"),
+        _codeable(_cat("BS", k % 8), _cat("site-", k % 8), SNOMED).alias(
+            "bodySite"
+        ),
+    )
+    devmetric = F.struct(
+        F.lit("DeviceMetric").alias("resourceType"),
+        _cat("dm-", k).alias("id"),
+        _codeable(
+            _cat("MDC", k % 12), _cat("metric-", k % 12),
+            "urn:iso:std:iso:11073:10101",
+        ).alias("type"),
+        _codeable(
+            _pick(("mmHg", "bpm", "pct"), k),
+            _pick(("mmHg", "bpm", "pct"), k),
+            "http://unitsofmeasure.org",
+        ).alias("unit"),
+        F.struct(_cat("Device/dev-", k).alias("reference")).alias("parent"),
+        _pick(("on", "off", "standby"), k + 1).alias("operationalStatus"),
+        _pick(("measurement", "setting", "calculation"), k).alias("category"),
+    )
     ip_i = k % 5
     iplan = F.struct(
         F.lit("InsurancePlan").alias("resourceType"),
@@ -750,6 +850,8 @@ def bundle_json_df(
             entry_json(condition),
             entry_json(claim),
             entry_json(medreq),
+            entry_json(medreq2),
+            entry_json(medreq3),
             entry_json(practitioner),
             entry_json(observation),
             entry_json(diagreport),
@@ -766,6 +868,9 @@ def bundle_json_df(
             entry_json(organization),
             entry_json(location),
             entry_json(iplan),
+            entry_json(device),
+            entry_json(devuse),
+            entry_json(devmetric),
         ),
         F.lit("]}"),
     )

@@ -131,7 +131,18 @@ _MODULES = (
 #     spine; every bundle-corpus consumer row re-verified green at
 #     v14), fhir_omop_cost (CDM economics table from the corpus-v11
 #     Invoice — no corpus change).
-# ROUND-13 QUEUE: source_quota_sample, domain_quantile_filter,
+#   * fhir_omop_drug_era (NEW, late continuation): corpus v15 turns
+#     MedicationRequest into a 3-exposure refill history per patient
+#     (same RxNorm concept; follow-up gaps straddle the 30-day OMOP
+#     persistence window), and the gap-and-island era merge lands on
+#     top. RESULT changes for fhir_medication_requests /
+#     fhir_omop_drug_exposure (1 → 3 rows per patient) and
+#     fhir_omop_observation_period (max date can extend) — all three
+#     already in-window this round, so the driver re-verifies them at
+#     v15; every other corpus consumer re-parses with unchanged values
+#     (also all in-window). The era row itself heads the r13 queue.
+# ROUND-13 QUEUE: fhir_omop_drug_era, source_quota_sample,
+# domain_quantile_filter,
 # stream_merge_upsert, fhir_omop_payer_plan_period,
 # fhir_omop_care_site, fhir_insurance_plans, fhir_omop_cost (the
 # late-continuation rows above — first driver green pending), then

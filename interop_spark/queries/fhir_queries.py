@@ -594,6 +594,31 @@ def q_fhir_omop_drug_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return omop_drug_exposure(_synthetic_entry(spark, sf_dir, schemas=schemas))
 
 
+def q_fhir_omop_drug_era(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OMOP drug_era over the synthetic corpus (round-12): the
+    gap-and-island merge of each patient's 3-exposure refill history
+    (corpus v15 — follow-up gaps straddle the 30-day persistence window,
+    so era merging is data-dependent: some patients' first two refills
+    fuse into one era, others' split). The DERIVED-era aggregate shape —
+    lag-window gap flag → running-sum era id → interval groupBy — under
+    a single (person, concept)-keyed exchange."""
+    from pyspark.sql.types import StructField, StructType
+
+    from interop_spark.fhir.analytics import omop_drug_era
+    from interop_spark.fhir.schema import (
+        CODEABLE_CONCEPT,
+        MEDICATION_REQUEST,
+        FhirSchemaModel,
+    )
+
+    extended = StructType(
+        MEDICATION_REQUEST.fields
+        + [StructField("medicationCodeableConcept", CODEABLE_CONCEPT, True)]
+    )
+    schemas = FhirSchemaModel().with_overrides({"MedicationRequest": extended})
+    return omop_drug_era(_synthetic_entry(spark, sf_dir, schemas=schemas))
+
+
 def q_fhir_adverse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AdverseEvent flattening through the round-11 FOURTH promotion
     batch (AdverseEvent/AuditEvent/Person/Questionnaire/
@@ -910,6 +935,37 @@ def q_fhir_omop_provider(spark: SparkSession, sf_dir: str) -> DataFrame:
     return omop_provider(_synthetic_entry(spark, sf_dir))
 
 
+def q_fhir_omop_device_exposure(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OMOP device_exposure over the synthetic corpus (round-12, corpus
+    v16): DeviceUseStatement resolves its within-bundle Device
+    reference for the concept/UDI — the CDM's device domain, landed
+    from the promoted Device/DeviceUseStatement pair."""
+    from interop_spark.fhir.analytics import omop_device_exposure
+
+    return omop_device_exposure(_synthetic_entry(spark, sf_dir))
+
+
+def q_fhir_device_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeviceMetric flattening through the round-12 EIGHTH promotion
+    batch (DeviceDefinition/DeviceMetric/Substance — the device-domain
+    chain): proves the newly-deep schema (ISO 11073 type, UCUM unit,
+    category/operationalStatus codes, parent device reference) carries
+    end-to-end from generated corpus JSON without a user override —
+    the per-batch proof-row pattern."""
+    entry = _synthetic_entry(spark, sf_dir)
+    m = entry.select(col("bundleUUID"), F.explode("DeviceMetric").alias("m"))
+    return m.select(
+        col("m.id").alias("metric_id"),
+        F.get(col("m.type.coding"), 0)["code"].alias("metric_code"),
+        F.get(col("m.unit.coding"), 0)["code"].alias("metric_unit"),
+        col("m.category").alias("metric_category"),
+        col("m.operationalStatus").alias("operational_status"),
+        col("m.parent.reference").alias("parent_device_ref"),
+    )
+
+
 def q_fhir_omop_payer_plan_period(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1066,6 +1122,9 @@ QUERIES = {
     "fhir_ndjson_coverage_bundles": q_fhir_ndjson_coverage_bundles,
     "fhir_omop_condition_occurrence": q_fhir_omop_condition_occurrence,
     "fhir_omop_drug_exposure": q_fhir_omop_drug_exposure,
+    "fhir_omop_drug_era": q_fhir_omop_drug_era,
+    "fhir_omop_device_exposure": q_fhir_omop_device_exposure,
+    "fhir_device_metrics": q_fhir_device_metrics,
     "fhir_adverse_events": q_fhir_adverse_events,
     "fhir_questionnaire_join": q_fhir_questionnaire_join,
     "fhir_omop_visit_occurrence": q_fhir_omop_visit_occurrence,
@@ -1167,6 +1226,30 @@ _DK_MED_STATUS = (
     "CASE (c_custkey % 3) WHEN 0 THEN 'active' WHEN 1 THEN 'completed' "
     "ELSE 'stopped' END"
 )
+# v15 refill history: the base authoredOn and the two follow-up dates
+# (gaps straddle the 30-day OMOP persistence window) + shifted statuses
+_DK_MED_DATE = (
+    "printf('%04d-%02d-%02d', 2018 + c_custkey % 6, "
+    "(c_custkey + 1) % 12 + 1, (c_custkey + 7) % 28 + 1)"
+)
+
+
+def _dk_med_date_plus(days_expr: str) -> str:
+    return (
+        f"strftime(CAST({_DK_MED_DATE} AS DATE) + "
+        f"to_days(CAST({days_expr} AS INTEGER)), '%Y-%m-%d')"
+    )
+
+
+def _dk_med_status(shift: int) -> str:
+    return (
+        f"CASE ((c_custkey + {shift}) % 3) WHEN 0 THEN 'active' "
+        "WHEN 1 THEN 'completed' ELSE 'stopped' END"
+    )
+
+
+_DK_MED_DATE2 = _dk_med_date_plus("c_custkey % 40 + 10")
+_DK_MED_DATE3 = _dk_med_date_plus("c_custkey % 40 + 10 + c_custkey % 20 + 25")
 _CPT = "http://www.ama-assn.org/go/cpt"
 
 
@@ -1203,12 +1286,24 @@ ORACLE = {
                'p-' || c_custkey::VARCHAR AS Patient,
                {_DK_MED_STATUS} AS status,
                'order' AS intent,
-               printf('%04d-%02d-%02d', 2018 + c_custkey % 6,
-                      (c_custkey + 1) % 12 + 1,
-                      (c_custkey + 7) % 28 + 1) AS authoredOn,
+               {_DK_MED_DATE} AS authoredOn,
                'med-' || (c_custkey % 30)::VARCHAR AS rx_text,
                'RX' || (c_custkey % 30)::VARCHAR AS rx_code,
                'http://www.nlm.nih.gov/research/umls/rxnorm' AS code_type
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+        UNION ALL
+        SELECT {_DK_UUID}, 'p-' || c_custkey::VARCHAR,
+               {_dk_med_status(1)}, 'order', {_DK_MED_DATE2},
+               'med-' || (c_custkey % 30)::VARCHAR,
+               'RX' || (c_custkey % 30)::VARCHAR,
+               'http://www.nlm.nih.gov/research/umls/rxnorm'
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+        UNION ALL
+        SELECT {_DK_UUID}, 'p-' || c_custkey::VARCHAR,
+               {_dk_med_status(2)}, 'order', {_DK_MED_DATE3},
+               'med-' || (c_custkey % 30)::VARCHAR,
+               'RX' || (c_custkey % 30)::VARCHAR,
+               'http://www.nlm.nih.gov/research/umls/rxnorm'
         FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
     """,
     "fhir_providers_practitioners": f"""
@@ -1368,11 +1463,95 @@ ORACLE = {
                'p-' || c_custkey::VARCHAR AS person_id,
                'RX' || (c_custkey % 30)::VARCHAR AS drug_concept_code,
                'med-' || (c_custkey % 30)::VARCHAR AS drug_source_value,
-               printf('%04d-%02d-%02d', 2018 + c_custkey % 6,
-                      (c_custkey + 1) % 12 + 1,
-                      (c_custkey + 7) % 28 + 1) AS drug_exposure_start_date,
+               {_DK_MED_DATE} AS drug_exposure_start_date,
                {_DK_MED_STATUS} AS drug_status_source_value
         FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+        UNION ALL
+        SELECT 'mr2-' || c_custkey::VARCHAR, 'p-' || c_custkey::VARCHAR,
+               'RX' || (c_custkey % 30)::VARCHAR,
+               'med-' || (c_custkey % 30)::VARCHAR,
+               {_DK_MED_DATE2}, {_dk_med_status(1)}
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+        UNION ALL
+        SELECT 'mr3-' || c_custkey::VARCHAR, 'p-' || c_custkey::VARCHAR,
+               'RX' || (c_custkey % 30)::VARCHAR,
+               'med-' || (c_custkey % 30)::VARCHAR,
+               {_DK_MED_DATE3}, {_dk_med_status(2)}
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+    """,
+    "fhir_omop_device_exposure": f"""
+        WITH d AS (
+          SELECT c_custkey AS k,
+                 printf('%04d-%02d-%02d', 2021 + c_custkey % 4,
+                        (c_custkey + 3) % 12 + 1,
+                        (c_custkey + 14) % 28 + 1) AS dus_start
+          FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+        )
+        SELECT 'dus-' || k::VARCHAR AS device_exposure_id,
+               'p-' || k::VARCHAR AS person_id,
+               'DV' || (k % 15)::VARCHAR AS device_concept_code,
+               'UDI-' || (k % 18)::VARCHAR AS unique_device_id,
+               dus_start AS device_exposure_start_date,
+               strftime(CAST(dus_start AS DATE)
+                        + to_days(CAST(k % 90 + 30 AS INTEGER)),
+                        '%Y-%m-%d') AS device_exposure_end_date,
+               CASE ((k + 1) % 3) WHEN 0 THEN 'active'
+                 WHEN 1 THEN 'completed' ELSE 'intended'
+                 END AS device_status_source_value
+        FROM d
+    """,
+    "fhir_device_metrics": f"""
+        SELECT 'dm-' || c_custkey::VARCHAR AS metric_id,
+               'MDC' || (c_custkey % 12)::VARCHAR AS metric_code,
+               CASE (c_custkey % 3) WHEN 0 THEN 'mmHg'
+                 WHEN 1 THEN 'bpm' ELSE 'pct' END AS metric_unit,
+               CASE (c_custkey % 3) WHEN 0 THEN 'measurement'
+                 WHEN 1 THEN 'setting' ELSE 'calculation'
+                 END AS metric_category,
+               CASE ((c_custkey + 1) % 3) WHEN 0 THEN 'on'
+                 WHEN 1 THEN 'off' ELSE 'standby'
+                 END AS operational_status,
+               'Device/dev-' || c_custkey::VARCHAR AS parent_device_ref
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+    """,
+    "fhir_omop_drug_era": f"""
+        WITH e AS (
+          SELECT 'p-' || c_custkey::VARCHAR AS person_id,
+                 'RX' || (c_custkey % 30)::VARCHAR AS drug_concept_code,
+                 CAST({_DK_MED_DATE} AS DATE) AS d
+          FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+          UNION ALL
+          SELECT 'p-' || c_custkey::VARCHAR,
+                 'RX' || (c_custkey % 30)::VARCHAR,
+                 CAST({_DK_MED_DATE2} AS DATE)
+          FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+          UNION ALL
+          SELECT 'p-' || c_custkey::VARCHAR,
+                 'RX' || (c_custkey % 30)::VARCHAR,
+                 CAST({_DK_MED_DATE3} AS DATE)
+          FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+        ),
+        f AS (
+          SELECT person_id, drug_concept_code, d,
+                 CASE WHEN d - lag(d) OVER (
+                        PARTITION BY person_id, drug_concept_code
+                        ORDER BY d) > 30
+                      THEN 1 ELSE 0 END AS new_era
+          FROM e
+        ),
+        g AS (
+          SELECT person_id, drug_concept_code, d,
+                 CAST(sum(new_era) OVER (
+                        PARTITION BY person_id, drug_concept_code
+                        ORDER BY d ROWS UNBOUNDED PRECEDING) + 1
+                      AS INTEGER) AS era_seq
+          FROM f
+        )
+        SELECT person_id, drug_concept_code, era_seq,
+               strftime(min(d), '%Y-%m-%d') AS drug_era_start_date,
+               strftime(max(d), '%Y-%m-%d') AS drug_era_end_date,
+               CAST(count(1) AS BIGINT) AS drug_exposure_count
+        FROM g GROUP BY 1, 2, 3
     """,
     "fhir_questionnaire_join": f"""
         SELECT 'Questionnaire/phq-' || (c_custkey % 3)::VARCHAR
@@ -1478,9 +1657,9 @@ ORACLE = {
                  printf('%04d-%02d-%02d', 2016 + c_custkey % 7,
                         (c_custkey + 5) % 12 + 1,
                         (c_custkey + 8) % 28 + 1) AS proc_d,
-                 printf('%04d-%02d-%02d', 2018 + c_custkey % 6,
-                        (c_custkey + 1) % 12 + 1,
-                        (c_custkey + 7) % 28 + 1) AS med_d,
+                 {_DK_MED_DATE} AS med_d,
+                 {_DK_MED_DATE2} AS med_d2,
+                 {_DK_MED_DATE3} AS med_d3,
                  printf('%04d-%02d-%02d', 2019 + c_custkey % 5,
                         (c_custkey + 2) % 12 + 1,
                         (c_custkey + 9) % 28 + 1) AS obs_d,
@@ -1490,10 +1669,12 @@ ORACLE = {
           FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
         )
         SELECT person_id,
-               least(cond_d, enc_start, enc_end, proc_d, med_d, obs_d,
-                     diag_d) AS observation_period_start_date,
-               greatest(cond_d, enc_start, enc_end, proc_d, med_d, obs_d,
-                        diag_d) AS observation_period_end_date,
+               least(cond_d, enc_start, enc_end, proc_d, med_d, med_d2,
+                     med_d3, obs_d, diag_d)
+                 AS observation_period_start_date,
+               greatest(cond_d, enc_start, enc_end, proc_d, med_d, med_d2,
+                        med_d3, obs_d, diag_d)
+                 AS observation_period_end_date,
                CAST(44814724 AS INTEGER) AS period_type_concept_id
         FROM d
     """,

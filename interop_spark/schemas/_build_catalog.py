@@ -1969,6 +1969,81 @@ OPERATION_OUTCOME = _resource(
     ),
 )
 
+# Round-12 EIGHTH batch (device-domain chain, hl7.org/fhir/R4):
+# DeviceDefinition (the catalog entry a Device instantiates),
+# DeviceMetric (the telemetry channel a monitor exposes — what a
+# device-integration feed ships at volume, and the OMOP
+# device-exposure companion dimension), and Substance (the
+# material/ingredient dimension AllergyIntolerance and Medication
+# reference) — rounding out the already-curated Device /
+# DeviceUseStatement pair. Monotone-promotion contract: spine fields
+# retained.
+
+DEVICE_DEFINITION = _resource(
+    **_SPINE_FIELDS,
+    identifier=_arr(IDENTIFIER),
+    udiDeviceIdentifier=_arr(
+        _struct(deviceIdentifier=S, issuer=S, jurisdiction=S)
+    ),
+    manufacturerString=S,
+    manufacturerReference=REFERENCE,
+    deviceName=_arr(_struct(name=S, type=S)),
+    modelNumber=S,
+    type=CODEABLE_CONCEPT,
+    specialization=_arr(_struct(systemType=S, version=S)),
+    version=_arr(S),
+    safety=_arr(CODEABLE_CONCEPT),
+    capability=_arr(
+        _struct(type=CODEABLE_CONCEPT, description=_arr(CODEABLE_CONCEPT))
+    ),
+    property=_arr(
+        _struct(
+            type=CODEABLE_CONCEPT,
+            valueQuantity=_arr(QUANTITY),
+            valueCode=_arr(CODEABLE_CONCEPT),
+        )
+    ),
+    owner=REFERENCE,
+    url=S,
+    note=_arr(ANNOTATION),
+    quantity=QUANTITY,
+    parentDevice=REFERENCE,
+    material=_arr(
+        _struct(substance=CODEABLE_CONCEPT, alternate=B, allergenicIndicator=B)
+    ),
+)
+
+DEVICE_METRIC = _resource(
+    **_SPINE_FIELDS,
+    identifier=_arr(IDENTIFIER),
+    type=CODEABLE_CONCEPT,
+    unit=CODEABLE_CONCEPT,
+    source=REFERENCE,
+    parent=REFERENCE,
+    operationalStatus=S,
+    color=S,
+    category=S,
+    calibration=_arr(_struct(type=S, state=S, time=S)),
+)
+
+SUBSTANCE = _resource(
+    **_SPINE_FIELDS,
+    identifier=_arr(IDENTIFIER),
+    status=S,
+    category=_arr(CODEABLE_CONCEPT),
+    code=CODEABLE_CONCEPT,
+    description=S,
+    instance=_arr(
+        _struct(identifier=IDENTIFIER, expiry=S, quantity=QUANTITY)
+    ),
+    ingredient=_arr(
+        _struct(
+            substanceCodeableConcept=CODEABLE_CONCEPT,
+            substanceReference=REFERENCE,
+        )
+    ),
+)
+
 
 CATALOG = {
     "Patient": PATIENT,
@@ -2045,6 +2120,9 @@ CATALOG = {
     "OrganizationAffiliation": ORGANIZATION_AFFILIATION,
     "PaymentReconciliation": PAYMENT_RECONCILIATION,
     "OperationOutcome": OPERATION_OUTCOME,
+    "DeviceDefinition": DEVICE_DEFINITION,
+    "DeviceMetric": DEVICE_METRIC,
+    "Substance": SUBSTANCE,
 }
 
 
@@ -2079,8 +2157,7 @@ FULL_SPINE_TYPES = [
     "CapabilityStatement", "CatalogEntry",
     "ChargeItemDefinition",
     "CodeSystem", "CompartmentDefinition",
-    "ConceptMap", "Contract", "DeviceDefinition",
-    "DeviceMetric",
+    "ConceptMap", "Contract",
     "DocumentManifest", "EffectEvidenceSynthesis", 
     "EnrollmentRequest", "EnrollmentResponse", "EventDefinition",
     "Evidence", "EvidenceVariable", "ExampleScenario", 
@@ -2099,7 +2176,7 @@ FULL_SPINE_TYPES = [
     "RequestGroup", "ResearchDefinition",
     "ResearchElementDefinition", "ResearchStudy", "ResearchSubject",
     "RiskEvidenceSynthesis", "SearchParameter", "SpecimenDefinition",
-    "StructureDefinition", "StructureMap", "Subscription", "Substance",
+    "StructureDefinition", "StructureMap", "Subscription",
     "SubstanceNucleicAcid", "SubstancePolymer", "SubstanceProtein",
     "SubstanceReferenceInformation", "SubstanceSourceMaterial",
     "SubstanceSpecification", "TerminologyCapabilities", "TestReport", "TestScript", "ValueSet",

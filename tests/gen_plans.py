@@ -72,6 +72,12 @@ COMMENT = {
  "minhash_incremental_dedup": "Incremental near-dup screen: new-batch bands equi-join HISTORY bands (never history x history -- candidate volume scales with the batch, not the archive); shingles re-join per surviving candidate; final agg keyed by new-doc id. At scale the history band/shingle tables are a persisted index (build_minhash_index) probed by every batch.",
  "fhir_omop_observation_period": "OMOP observation_period: 6 dated resource explodes union into narrow (person, date) pairs; partial min/max collapses each map task to <=1 row per person BEFORE the single person-keyed exchange (plan-asserted: exactly one hashpartitioning).",
  "fhir_reference_integrity": "Reference-integrity audit: per check the source side projects ONE ref string; the target-id side is a bounded distinct (broadcast after it); each check aggregates to a single row and the 4 rows union -- no Cartesian, no corpus-wide shuffle.",
+ "source_quota_sample": "Per-source COUNT quota: per-source counts are a tiny broadcast; under-quota sources bypass through a broadcast ANTI join (zero shuffle, the long-tail common case); only over-quota sources enter the single row_number window, whose exchange is pruned map-side by the partial WindowGroupLimit to <=quota rows per (task, source) -- a hot host inflates the scan, never the shuffle.",
+ "domain_quantile_filter": "Per-domain quality quantile with NO corpus sort: scores live in [0,1000] so the corpus collapses into a bounded (source, score) histogram (partial agg caps map output at 1001 rows/source); the running-sum window and threshold pick run over the TINY histogram; thresholds broadcast back onto a zero-shuffle filter; the final per-source aggregate is the only other corpus-keyed exchange.",
+ "fhir_omop_payer_plan_period": "OMOP payer_plan_period from the NDJSON bulk-export scan: line-splittable Coverage file -> one variant parse per line -> pure typed projection (open-end censor is a coalesce) -- zero exchanges; scan-bandwidth bound like every $export mapping.",
+ "fhir_omop_care_site": "OMOP care_site: the corpus-sized Location/Organization explodes feed exploded-DISTINCTs that collapse to the facility cardinality (partial agg map-side) before a BROADCAST join -- the join input is bounded by the number of facilities, not bundles.",
+ "fhir_omop_cost": "OMOP cost from Invoice: one explode + typed projection over the corpus scan -- zero exchanges beyond the parse; Money totals and CPT code are plain nested-field plucks.",
+ "fhir_omop_drug_era": "OMOP drug_era gap-and-island: ONE (person, concept)-keyed Exchange end-to-end -- the lag gap-flag window and the running-sum era-id window share one sort, and the era groupBy's keys are a superset of the window partition keys so no second shuffle is planned.",
 }
 
 out = ["# PLANS — physical plans of the headline queries (sf0.1, AQE on)",
@@ -108,7 +114,10 @@ for name in ["pricing_summary", "multiway_join_agg", "latest_event_per_user",
              "containment_neardup", "shard_assignment", "vocab_coverage",
              "dup_line_removal", "ngram_decontaminate",
              "fhir_omop_observation_period", "fhir_reference_integrity",
-             "minhash_incremental_dedup"]:
+             "minhash_incremental_dedup",
+             "source_quota_sample", "domain_quantile_filter",
+             "fhir_omop_payer_plan_period", "fhir_omop_care_site",
+             "fhir_omop_cost", "fhir_omop_drug_era"]:
     df = qs[name](spark, SF)
     df.write.format("noop").mode("overwrite").save()  # let AQE finalize
     plan = df._jdf.queryExecution().executedPlan().toString()

@@ -95,7 +95,7 @@ def test_notebook_chain(spark, sf_dir, tmp_path):
 
     # -- 4. medications via the schema-override surface ----------------
     meds = medication_requests(entry)
-    assert meds.count() == N_BUNDLES
+    assert meds.count() == 3 * N_BUNDLES  # v15: 3-exposure refill history
     assert meds.where(col("rx_text").isNull()).count() == 0
 
     # -- 5. dedupe-lookup: staging claims vs written claim table -------

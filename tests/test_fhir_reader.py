@@ -457,6 +457,58 @@ def test_explode2_preserves_cross_product_and_inner_semantics(spark):
     )
 
 
+def test_omop_drug_era_gap_and_island(spark):
+    """drug_era merge semantics on constructed exposures: a gap of at
+    most the 30-day persistence window fuses successive exposures into
+    one era (including the exact-30 boundary); a larger gap starts a
+    new era. Era bounds are the min/max exposure dates and the count
+    is the number of fused exposures."""
+    from pyspark.sql import Row
+
+    from interop_spark.fhir.analytics import omop_drug_era
+
+    def mr(mid, day):
+        return Row(
+            id=mid, status="active",
+            medicationCodeableConcept=Row(
+                coding=[Row(system="rx", code="RX1")], text="drug"
+            ),
+            authoredOn=day,
+        )
+
+    entry = spark.createDataFrame(
+        [
+            # merge (gap 20) then split (gap 101)
+            Row(bundleUUID="b1", Patient=[Row(id="pA")],
+                MedicationRequest=[
+                    mr("m1", "2020-01-01"), mr("m2", "2020-01-21"),
+                    mr("m3", "2020-05-01")]),
+            # split (gap 45)
+            Row(bundleUUID="b2", Patient=[Row(id="pB")],
+                MedicationRequest=[
+                    mr("m4", "2020-01-01"), mr("m5", "2020-02-15")]),
+            # exact persistence-window boundary (gap 30) merges
+            Row(bundleUUID="b3", Patient=[Row(id="pC")],
+                MedicationRequest=[
+                    mr("m6", "2020-01-01"), mr("m7", "2020-01-31")]),
+        ]
+    )
+    got = {
+        (r.person_id, r.era_seq): (
+            r.drug_era_start_date, r.drug_era_end_date,
+            r.drug_exposure_count,
+        )
+        for r in omop_drug_era(entry).collect()
+    }
+    assert got == {
+        ("pA", 1): ("2020-01-01", "2020-01-21", 2),
+        ("pA", 2): ("2020-05-01", "2020-05-01", 1),
+        ("pB", 1): ("2020-01-01", "2020-01-01", 1),
+        ("pB", 2): ("2020-02-15", "2020-02-15", 1),
+        ("pC", 1): ("2020-01-01", "2020-01-31", 2),
+    }
+
+
 def test_full_catalog_recognizes_off_catalog_types(spark, tmp_path):
     """FhirSchemaModel(full=True): every R4 resource type resolves — an
     off-catalog resource (Person; Flag, the previous exemplar, was

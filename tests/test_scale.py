@@ -486,6 +486,22 @@ def test_round12_plan_shapes(spark, sf_dir):
     assert "Cartesian" not in opt and "collect_list" not in opt
 
 
+def test_drug_era_single_exchange(spark, sf_dir):
+    """The drug_era gap-and-island derivation plans exactly ONE
+    corpus-keyed Exchange: both windows (lag gap flag, running-sum era
+    id) share the (person, concept) partitioning and date sort, and
+    the final groupBy keys are a superset of the window partition
+    keys, so HashPartitioning(person, concept) already satisfies its
+    clustering — no second shuffle, no global sort."""
+    from interop_spark.queries import all_queries
+
+    df = all_queries()["fhir_omop_drug_era"](spark, sf_dir)
+    ex = df._jdf.queryExecution().executedPlan().toString()
+    assert ex.count("Exchange hashpartitioning") == 1, ex[:2500]
+    assert ex.count("Window") >= 1, ex[:2500]
+    assert "Exchange rangepartitioning" not in ex, ex[:2500]
+
+
 def test_minhash_incremental_probe_plan_shape(spark, sf_dir):
     """Incremental near-dup probe against a PREBUILT history index:
     the join is new×history (never history×history), the history side
