@@ -557,11 +557,20 @@ def test_full_catalog_recognizes_off_catalog_types(spark, tmp_path):
     assert row.Person[0].text.status == "generated"
 
     # Task (round 10) and Person (round-11 batch 4) are curated (deep)
-    # and appear in the default catalog; Substance stays spine-only and
-    # the default catalog drops it (into _other only when asked)
+    # and appear in the default catalog; spine-only types are dropped by
+    # the default catalog (into _other only when asked). The spine-only
+    # exemplars are DERIVED from the live catalog — hard-coded names
+    # went stale twice (Flag promoted r11, Substance promoted r12).
+    from interop_spark.fhir.schema import default_resource_map, full_resource_map
+
+    spine_only = sorted(set(full_resource_map()) - set(default_resource_map()))
+    assert spine_only, (
+        "every R4 type is now curated — replace this spine-only check "
+        "with a full-promotion invariant"
+    )
     lean = read_from_directory(str(d), spark=spark).entry()
     assert "Task" in lean.columns and "Person" in lean.columns
-    assert "Substance" not in lean.columns
+    assert not set(spine_only) & set(lean.columns)
 
 
 def test_ndjson_reader_type_filter_and_malformed_lines(spark, tmp_path):
