@@ -152,9 +152,14 @@ def merge_into_conditional(
         matched_src = _checked_unique(matched_src, keys)
 
     cond = F.coalesce(F.expr(matched_condition), F.lit(False))
+    # Plain (null-unsafe) equality, matching Delta's ON semantics and the
+    # semi/anti clauses above/below: a null-keyed row never "matches",
+    # so it is preserved by the anti join exactly once. (A null-SAFE
+    # inner join here would emit null-keyed target rows twice if the
+    # semi join were ever made null-safe too.)
     joined = target.alias("t").join(
         matched_src.alias("s"),
-        [F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}")) for k in keys],
+        [F.col(f"s.{k}") == F.col(f"t.{k}") for k in keys],
         "inner",
     )
     merged_matched = joined.select(

@@ -375,33 +375,20 @@ def q_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes. A reordered delivery or a re-split backfill changes
     nothing; THAT is the idempotence contract a CDC consumer relies on.
 
-    Scale shape: per batch, ONE partial-aggregated winners shuffle on
-    user_id (map tasks emit ≤1 row per user) + the merge's equi-joins
-    on the same key; the target is localCheckpoint-ed each batch so
-    plan depth stays O(1) in the number of batches (the parquet-table
-    analog of Delta's transactional rewrite)."""
+    Landing + upsert live in ``streaming/cdc.py`` (shared with the
+    multi-batch pytest so the two copies cannot drift); the landing is
+    marker-idempotent, so repeated bench/driver runs reuse one copy.
+    Scale shape: see ``lww_upsert_sink``."""
     import os
-    import tempfile
-    import uuid
 
     from interop_spark.io import load
-    from interop_spark.operators.merge import merge_into_conditional
+    from interop_spark.streaming.cdc import land_event_chunks, lww_upsert_sink
 
     ev = load(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type", "value"
     )
-    land = tempfile.mkdtemp(prefix="cdc_land_" + uuid.uuid4().hex[:6])
-    flat = os.path.join(land, "flat")
-    os.makedirs(flat)
-    for i in range(4):
-        part_dir = os.path.join(land, f"c{i}")
-        ev.where(col("event_id") % 4 == i).coalesce(1).write.parquet(part_dir)
-        (pf,) = [
-            f for f in os.listdir(part_dir) if f.endswith(".parquet")
-        ]
-        os.rename(
-            os.path.join(part_dir, pf), os.path.join(flat, f"chunk{i}.parquet")
-        )
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    flat = land_event_chunks(ev, 4, key)
 
     schema = spark.read.parquet(flat).schema
     src = (
@@ -410,33 +397,9 @@ def q_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(flat)
     )
 
-    state: dict = {"tgt": None}
-
-    def _upsert(batch_df: DataFrame, _batch_id: int) -> None:
-        winners = (
-            batch_df.groupBy("user_id")
-            .agg(
-                F.max(
-                    F.struct("ts", "event_id", "event_type", "value")
-                ).alias("m")
-            )
-            .select("user_id", "m.ts", "m.event_id", "m.event_type", "m.value")
-        )
-        if state["tgt"] is None:
-            state["tgt"] = winners.localCheckpoint()
-        else:
-            state["tgt"] = merge_into_conditional(
-                state["tgt"],
-                winners,
-                ["user_id"],
-                matched_condition=(
-                    "s.ts > t.ts OR (s.ts = t.ts AND s.event_id > t.event_id)"
-                ),
-                source_unique=True,
-            ).localCheckpoint()
-
+    state: dict = {}
     q = (
-        src.writeStream.foreachBatch(_upsert)
+        src.writeStream.foreachBatch(lww_upsert_sink(state))
         .trigger(availableNow=True)
         .start()
     )

@@ -760,28 +760,28 @@ def test_stream_merge_upsert_runs_multiple_batches(spark, sf_dir):
     the stream collapsed into ONE micro-batch (a single merge of
     everything) — this pins that maxFilesPerTrigger=1 really yields
     multiple batches, i.e. the conditional-merge guard is actually
-    exercised across batch boundaries, and that the final table equals
-    the batch argmax."""
+    exercised across batch boundaries, that the final table equals the
+    batch argmax, and that the marker-idempotent landing skips the
+    write on a second invocation (no per-run /tmp accumulation)."""
     import os
-    import tempfile
-    import uuid
 
     from pyspark.sql import functions as F
 
     from interop_spark.io import load
-    from interop_spark.operators.merge import merge_into_conditional
+    from interop_spark.streaming.cdc import land_event_chunks, lww_upsert_sink
 
     ev = load(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type", "value"
     )
-    land = tempfile.mkdtemp(prefix="cdc_test_" + uuid.uuid4().hex[:6])
-    flat = os.path.join(land, "flat")
-    os.makedirs(flat)
-    for i in range(4):
-        part = os.path.join(land, f"c{i}")
-        ev.where(F.col("event_id") % 4 == i).coalesce(1).write.parquet(part)
-        (pf,) = [f for f in os.listdir(part) if f.endswith(".parquet")]
-        os.rename(os.path.join(part, pf), os.path.join(flat, f"c{i}.parquet"))
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    flat = land_event_chunks(ev, 4, key)
+    # idempotency: the second call finds the _COMPLETE marker and
+    # returns the SAME directory without re-landing (mtimes unchanged)
+    mtimes = {f: os.path.getmtime(os.path.join(flat, f)) for f in os.listdir(flat)}
+    assert land_event_chunks(ev, 4, key) == flat
+    assert mtimes == {
+        f: os.path.getmtime(os.path.join(flat, f)) for f in os.listdir(flat)
+    }
 
     schema = spark.read.parquet(flat).schema
     src = (
@@ -789,29 +789,12 @@ def test_stream_merge_upsert_runs_multiple_batches(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(flat)
     )
-    state = {"tgt": None, "batches": 0}
-
-    def _upsert(batch_df, _bid):
-        state["batches"] += 1
-        winners = (
-            batch_df.groupBy("user_id")
-            .agg(
-                F.max(
-                    F.struct("ts", "event_id", "event_type", "value")
-                ).alias("m")
-            )
-            .select("user_id", "m.ts", "m.event_id", "m.event_type", "m.value")
-        )
-        if state["tgt"] is None:
-            state["tgt"] = winners.localCheckpoint()
-        else:
-            state["tgt"] = merge_into_conditional(
-                state["tgt"], winners, ["user_id"],
-                "s.ts > t.ts OR (s.ts = t.ts AND s.event_id > t.event_id)",
-                source_unique=True,
-            ).localCheckpoint()
-
-    q = src.writeStream.foreachBatch(_upsert).trigger(availableNow=True).start()
+    state = {}
+    q = (
+        src.writeStream.foreachBatch(lww_upsert_sink(state))
+        .trigger(availableNow=True)
+        .start()
+    )
     q.awaitTermination()
     assert state["batches"] == 4, f"expected 4 micro-batches, got {state['batches']}"
 
