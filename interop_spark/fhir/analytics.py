@@ -495,15 +495,20 @@ def omop_drug_exposure(entry_df: DataFrame) -> DataFrame:
     )
 
 
-def omop_drug_era(
-    entry_df: DataFrame, persistence_days: int = 30
+def _era_merge(
+    occurrences: DataFrame,
+    concept_col: str,
+    prefix: str,
+    count_alias: str,
+    persistence_days: int,
 ) -> DataFrame:
-    """OMOP CDM drug_era: contiguous drug_exposure rows for one
-    (person, drug concept) merge into an era whenever the gap between
-    successive exposures is at most the OMOP persistence window
-    (30 days) — the standard gap-and-island derivation every CDM ETL
-    runs after drug_exposure lands (extends the reference's person-only
-    OMOP mapping, `01_dbignite_sample.py:472-484`).
+    """Shared gap-and-island core of the OMOP ``*_era`` tables:
+    contiguous occurrence rows for one (person, concept) merge into an
+    era whenever the gap between successive dates is at most the OMOP
+    persistence window — the standard derivation every CDM ETL runs
+    after the occurrence tables land. Input: (person_id, <concept_col>,
+    d::date); output: era intervals named ``{prefix}_era_start_date`` /
+    ``{prefix}_era_end_date`` / ``{count_alias}``.
 
     Scale shape: ONE exchange end-to-end. Both window functions (lag
     for the gap flag, running sum for the era id) share the
@@ -514,13 +519,8 @@ def omop_drug_era(
     planned (plan-asserted in tests/test_scale.py)."""
     from pyspark.sql.window import Window
 
-    e = omop_drug_exposure(entry_df).select(
-        "person_id",
-        "drug_concept_code",
-        F.to_date("drug_exposure_start_date").alias("d"),
-    )
-    w = Window.partitionBy("person_id", "drug_concept_code").orderBy("d")
-    flagged = e.withColumn(
+    w = Window.partitionBy("person_id", concept_col).orderBy("d")
+    flagged = occurrences.withColumn(
         "new_era",
         F.when(
             F.datediff(col("d"), F.lag("d").over(w)) > persistence_days, 1
@@ -535,10 +535,50 @@ def omop_drug_era(
             + 1
         ).cast("int"),
     )
-    return eras.groupBy("person_id", "drug_concept_code", "era_seq").agg(
-        F.date_format(F.min("d"), "yyyy-MM-dd").alias("drug_era_start_date"),
-        F.date_format(F.max("d"), "yyyy-MM-dd").alias("drug_era_end_date"),
-        F.count(F.lit(1)).cast("long").alias("drug_exposure_count"),
+    return eras.groupBy("person_id", concept_col, "era_seq").agg(
+        F.date_format(F.min("d"), "yyyy-MM-dd").alias(
+            f"{prefix}_era_start_date"
+        ),
+        F.date_format(F.max("d"), "yyyy-MM-dd").alias(
+            f"{prefix}_era_end_date"
+        ),
+        F.count(F.lit(1)).cast("long").alias(count_alias),
+    )
+
+
+def omop_drug_era(
+    entry_df: DataFrame, persistence_days: int = 30
+) -> DataFrame:
+    """OMOP CDM drug_era over drug_exposure (30-day persistence window;
+    extends the reference's person-only OMOP mapping,
+    `01_dbignite_sample.py:472-484`). Gap-and-island core + scale shape:
+    see ``_era_merge`` (shared with ``omop_condition_era``)."""
+    e = omop_drug_exposure(entry_df).select(
+        "person_id",
+        "drug_concept_code",
+        F.to_date("drug_exposure_start_date").alias("d"),
+    )
+    return _era_merge(
+        e, "drug_concept_code", "drug", "drug_exposure_count",
+        persistence_days,
+    )
+
+
+def omop_condition_era(
+    entry_df: DataFrame, persistence_days: int = 30
+) -> DataFrame:
+    """OMOP CDM condition_era over condition_occurrence — the same
+    gap-and-island merge as drug_era (OMOP specifies a 30-day
+    persistence window for conditions too), via the shared
+    ``_era_merge`` core."""
+    e = omop_condition_occurrence(entry_df).select(
+        "person_id",
+        "condition_concept_code",
+        F.to_date("condition_start_date").alias("d"),
+    )
+    return _era_merge(
+        e, "condition_concept_code", "condition",
+        "condition_occurrence_count", persistence_days,
     )
 
 

@@ -509,6 +509,54 @@ def test_omop_drug_era_gap_and_island(spark):
     }
 
 
+def test_omop_condition_era_shares_era_core(spark):
+    """condition_era runs the SAME gap-and-island core as drug_era
+    (``_era_merge``): a ≤30-day gap between successive recordings of
+    one (person, SNOMED code) fuses into an era; a larger gap splits.
+    Distinct concepts for one person never merge."""
+    from pyspark.sql import Row
+
+    from interop_spark.fhir.analytics import omop_condition_era
+
+    def cond(cid, code, day):
+        return Row(
+            id=cid,
+            clinicalStatus=Row(coding=[Row(code="active")]),
+            code=Row(coding=[Row(system="sct", code=code)], text=code),
+            recordedDate=day,
+        )
+
+    entry = spark.createDataFrame(
+        [
+            # C1: merge (gap 25) then split (gap 60); C2: independent era
+            Row(bundleUUID="b1", Patient=[Row(id="pA")],
+                Condition=[
+                    cond("c1", "C1", "2021-01-01"),
+                    cond("c2", "C1", "2021-01-26"),
+                    cond("c3", "C1", "2021-03-27"),
+                    cond("c4", "C2", "2021-01-10")]),
+            # exact 30-day boundary merges
+            Row(bundleUUID="b2", Patient=[Row(id="pB")],
+                Condition=[
+                    cond("c5", "C1", "2021-01-01"),
+                    cond("c6", "C1", "2021-01-31")]),
+        ]
+    )
+    got = {
+        (r.person_id, r.condition_concept_code, r.era_seq): (
+            r.condition_era_start_date, r.condition_era_end_date,
+            r.condition_occurrence_count,
+        )
+        for r in omop_condition_era(entry).collect()
+    }
+    assert got == {
+        ("pA", "C1", 1): ("2021-01-01", "2021-01-26", 2),
+        ("pA", "C1", 2): ("2021-03-27", "2021-03-27", 1),
+        ("pA", "C2", 1): ("2021-01-10", "2021-01-10", 1),
+        ("pB", "C1", 1): ("2021-01-01", "2021-01-31", 2),
+    }
+
+
 def test_full_catalog_recognizes_off_catalog_types(spark, tmp_path):
     """FhirSchemaModel(full=True): every R4 resource type resolves — an
     off-catalog resource (Person; Flag, the previous exemplar, was
