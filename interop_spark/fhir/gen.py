@@ -948,7 +948,18 @@ def write_corpus(
 # v5: Coverage gains ``period`` (start always; end only when cancelled —
 #     to_json drops the null) so the OMOP payer_plan_period mapping has
 #     its source interval.
-NDJSON_VERSION = "v5"
+# v6: (a) Condition becomes a 3-recording FOLLOW-UP HISTORY per patient
+#     (same SNOMED code; the two follow-up gaps straddle the 30-day OMOP
+#     persistence window exactly like the bundle corpus's med refills)
+#     so condition_era's gap-and-island merge is data-dependent;
+#     (b) + the terminology trio (CodeSystem / ValueSet / ConceptMap —
+#     the round-13 NINTH promotion batch): bounded DEFINITIONAL files
+#     the way a real terminology feed ships them — one CodeSystem
+#     carrying the 50 synthetic condition concepts, one ValueSet
+#     selecting the reportable subset, one ConceptMap collapsing the 50
+#     source codes onto 10 standard target concepts (what a FHIR→OMOP
+#     ETL loads to translate source codes to standard concept ids).
+NDJSON_VERSION = "v6"
 
 
 def ndjson_resource_dfs(
@@ -985,27 +996,49 @@ def ndjson_resource_dfs(
             F.lit("cm").alias("unit"),
         ).alias("valueQuantity"),
     )
-    condition = F.struct(
-        F.lit("Condition").alias("resourceType"),
-        _cat("cond-", k).alias("id"),
-        F.struct(
-            F.array(
-                F.struct(
-                    F.when(k % 3 == 0, F.lit("resolved"))
-                    .otherwise(F.lit("active"))
-                    .alias("code")
-                )
-            ).alias("coding")
-        ).alias("clinicalStatus"),
-        _codeable(
-            _cat("C", k % 50), _cat("cond-", k % 50), SNOMED,
-            text=_cat("condtext-", k % 50),
-        ).alias("code"),
-        F.struct(_cat("Patient/p-", k).alias("reference")).alias("subject"),
-        F.format_string(
-            "%04d-%02d-%02d", (k % 8 + 2015).cast("int"),
-            ((k + 3) % 12 + 1).cast("int"), ((k + 5) % 28 + 1).cast("int"),
-        ).alias("recordedDate"),
+    # v6: a 3-recording follow-up history per patient (same code, so the
+    # per-(person, concept) era merge is exercised; the first follow-up
+    # gap k%40+10 and the second k%20+25 straddle the 30-day window).
+    cond_d0 = F.format_string(
+        "%04d-%02d-%02d", (k % 8 + 2015).cast("int"),
+        ((k + 3) % 12 + 1).cast("int"), ((k + 5) % 28 + 1).cast("int"),
+    )
+    cond_d1 = F.date_format(
+        F.date_add(F.to_date(cond_d0), (k % 40 + 10).cast("int")),
+        "yyyy-MM-dd",
+    )
+    cond_d2 = F.date_format(
+        F.date_add(F.to_date(cond_d1), (k % 20 + 25).cast("int")),
+        "yyyy-MM-dd",
+    )
+
+    def _condition(cid: F.Column, recorded: F.Column) -> F.Column:
+        return F.struct(
+            F.lit("Condition").alias("resourceType"),
+            cid.alias("id"),
+            F.struct(
+                F.array(
+                    F.struct(
+                        F.when(k % 3 == 0, F.lit("resolved"))
+                        .otherwise(F.lit("active"))
+                        .alias("code")
+                    )
+                ).alias("coding")
+            ).alias("clinicalStatus"),
+            _codeable(
+                _cat("C", k % 50), _cat("cond-", k % 50), SNOMED,
+                text=_cat("condtext-", k % 50),
+            ).alias("code"),
+            F.struct(_cat("Patient/p-", k).alias("reference")).alias(
+                "subject"
+            ),
+            recorded.alias("recordedDate"),
+        )
+
+    conditions = F.array(
+        _condition(_cat("cond-", k), cond_d0),
+        _condition(F.concat(_cat("cond-", k), F.lit("-f1")), cond_d1),
+        _condition(F.concat(_cat("cond-", k), F.lit("-f2")), cond_d2),
     )
     # Coverage attributes through `beneficiary` (the R4 patient
     # compartment's Coverage path — neither subject nor patient exists
@@ -1101,14 +1134,110 @@ def ndjson_resource_dfs(
         .alias("issue"),
     )
     base = c.where(k < max_custkey)
-    return {
+    out = {
         "Patient": base.select(F.to_json(patient).alias("value")),
         "Observation": base.select(F.to_json(observation).alias("value")),
-        "Condition": base.select(F.to_json(condition).alias("value")),
+        "Condition": base.select(
+            F.explode(conditions).alias("c")
+        ).select(F.to_json(col("c")).alias("value")),
         "Coverage": base.select(F.to_json(coverage).alias("value")),
         "Account": base.select(F.to_json(account).alias("value")),
         "AllergyIntolerance": base.select(F.to_json(allergy).alias("value")),
         "OperationOutcome": base.select(F.to_json(outcome).alias("value")),
+    }
+    out.update(_terminology_dfs(spark))
+    return out
+
+
+# The synthetic "standard vocabulary" the ConceptMap targets — the stand-in
+# for OMOP standard concepts (a real ETL maps SNOMED source codes to OMOP
+# standard concept ids through exactly this translate shape).
+SYNTH_STD_SYSTEM = "urn:synthetic:std-vocab"
+
+
+def _terminology_dfs(spark: SparkSession) -> dict[str, DataFrame]:
+    """The v6 DEFINITIONAL files (terminology trio): bounded handfuls of
+    resources, built as Python dicts because a terminology feed carries
+    a few definition resources, not one per patient — this is fixture
+    tooling, not a per-row generation path.
+
+    Content is closed-form so DuckDB oracles can recompute translations
+    relationally: CodeSystem carries concepts C0..C49 (display
+    cond-<i>); ValueSet selects the ``reportable`` subset (every 5th
+    code); ConceptMap collapses C<i> onto standard code STD-<i%10>
+    (display std-<i%10>, equivalence alternating equivalent/wider)."""
+    import json as _json
+
+    codesystem = {
+        "resourceType": "CodeSystem",
+        "id": "cs-synth-cond",
+        "url": "urn:synthetic:condition-codes",
+        "version": "1.0",
+        "name": "SyntheticConditionCodes",
+        "status": "active",
+        "content": "complete",
+        "concept": [
+            {"code": f"C{i}", "display": f"cond-{i}",
+             "definition": f"synthetic condition {i}"}
+            for i in range(50)
+        ],
+    }
+    valueset = {
+        "resourceType": "ValueSet",
+        "id": "vs-reportable",
+        "url": "urn:synthetic:reportable-conditions",
+        "version": "1.0",
+        "name": "ReportableConditions",
+        "status": "active",
+        "compose": {
+            "include": [
+                {
+                    "system": SNOMED,
+                    "concept": [
+                        {"code": f"C{i}", "display": f"cond-{i}"}
+                        for i in range(0, 50, 5)
+                    ],
+                }
+            ]
+        },
+    }
+    conceptmap = {
+        "resourceType": "ConceptMap",
+        "id": "cm-cond-to-std",
+        "url": "urn:synthetic:cond-to-std",
+        "version": "1.0",
+        "name": "CondToStandard",
+        "status": "active",
+        "group": [
+            {
+                "source": SNOMED,
+                "target": SYNTH_STD_SYSTEM,
+                "element": [
+                    {
+                        "code": f"C{i}",
+                        "display": f"cond-{i}",
+                        "target": [
+                            {
+                                "code": f"STD-{i % 10}",
+                                "display": f"std-{i % 10}",
+                                "equivalence": (
+                                    "equivalent" if i % 2 == 0 else "wider"
+                                ),
+                            }
+                        ],
+                    }
+                    for i in range(50)
+                ],
+            }
+        ],
+    }
+    mk = lambda d: spark.createDataFrame(  # noqa: E731 - local shape helper
+        [(_json.dumps(d, sort_keys=True),)], "value string"
+    )
+    return {
+        "CodeSystem": mk(codesystem),
+        "ValueSet": mk(valueset),
+        "ConceptMap": mk(conceptmap),
     }
 
 

@@ -1062,6 +1062,140 @@ def q_fhir_invoice_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fhir_omop_condition_era(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OMOP condition_era from the NDJSON bulk-export path (round-13;
+    NDJSON corpus v6 turns Condition into a 3-recording follow-up
+    history per patient whose gaps straddle the 30-day persistence
+    window): $export Patient/Condition lines → bundle-row bridge → the
+    SHARED gap-and-island era core (``_era_merge``, the same helper
+    drug_era runs). Era merging is data-dependent — k%40+10 ≤ 30 fuses
+    the first follow-up, k%20+25 ≤ 30 the second — so the oracle
+    recomputes the full lag/running-sum/groupBy chain, not a count."""
+    from interop_spark.fhir import bundles_from_ndjson, read_from_ndjson
+    from interop_spark.fhir.analytics import omop_condition_era
+    from interop_spark.fhir.gen import write_ndjson_corpus
+    from interop_spark.fhir.schema import CONDITION, PATIENT, FhirSchemaModel
+
+    d = write_ndjson_corpus(spark, sf_dir, max_custkey=_SYNTH_LIMIT)
+    nd = read_from_ndjson("file://" + d, spark=spark, glob_filter="*.ndjson")
+    entry = bundles_from_ndjson(
+        nd,
+        ["Patient", "Condition"],
+        schemas=FhirSchemaModel(
+            fhir_resource_map={"Patient": PATIENT, "Condition": CONDITION}
+        ),
+    )
+    return omop_condition_era(entry)
+
+
+def q_fhir_concept_map_translate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ConceptMap-driven code TRANSLATION — the round-13 NINTH promotion
+    batch's proof row (terminology trio: CodeSystem/ValueSet/
+    ConceptMap), and the first step of every real FHIR→OMOP ETL: source
+    SNOMED-coded conditions translate to standard concepts through the
+    map's group→element→target walk (three nested-array levels of the
+    newly-deep schema, no user override). The map is definitional (one
+    resource, 50 elements) so it BROADCASTS; the condition side
+    aggregates per standard concept after the map join — corpus-sized
+    data never shuffles on a terminology key."""
+    from interop_spark.fhir import read_from_ndjson
+    from interop_spark.fhir.gen import write_ndjson_corpus
+
+    d = write_ndjson_corpus(spark, sf_dir, max_custkey=_SYNTH_LIMIT)
+    nd = read_from_ndjson("file://" + d, spark=spark, glob_filter="*.ndjson")
+    mapping = (
+        nd.resource("ConceptMap")
+        .select(F.explode("group").alias("g"))
+        .select(
+            col("g.target").alias("target_system"),
+            F.explode("g.element").alias("e"),
+        )
+        .select(
+            "target_system",
+            col("e.code").alias("source_code"),
+            F.explode("e.target").alias("t"),
+        )
+        .select(
+            "target_system",
+            "source_code",
+            col("t.code").alias("std_code"),
+            col("t.display").alias("std_display"),
+            col("t.equivalence").alias("equivalence"),
+        )
+    )
+    cond = nd.resource("Condition").select(
+        F.get(col("code.coding"), 0)["code"].alias("source_code")
+    )
+    return (
+        cond.join(F.broadcast(mapping), "source_code")
+        .groupBy("target_system", "std_code", "std_display")
+        .agg(
+            F.count(F.lit(1)).alias("n_conditions"),
+            F.countDistinct("source_code").alias("n_source_codes"),
+            F.sum(
+                F.when(col("equivalence") == "equivalent", 1).otherwise(0)
+            ).cast("long").alias("n_equivalent"),
+        )
+    )
+
+
+def q_fhir_terminology_catalog(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ValueSet membership resolved against its CodeSystem (batch-9
+    companion row): each compose.include concept of the reportable-
+    conditions ValueSet joins the CodeSystem's concept list for its
+    formal definition — the expansion-with-designations lookup a
+    terminology service answers. Both sides are definitional handfuls;
+    the join broadcasts and nothing corpus-sized participates."""
+    from interop_spark.fhir import read_from_ndjson
+    from interop_spark.fhir.gen import write_ndjson_corpus
+
+    d = write_ndjson_corpus(spark, sf_dir, max_custkey=_SYNTH_LIMIT)
+    nd = read_from_ndjson("file://" + d, spark=spark, glob_filter="*.ndjson")
+    vs = (
+        nd.resource("ValueSet")
+        .select(
+            col("url").alias("valueset_url"),
+            col("status").alias("valueset_status"),
+            F.explode("compose.include").alias("inc"),
+        )
+        .select(
+            "valueset_url",
+            "valueset_status",
+            col("inc.system").alias("include_system"),
+            F.explode("inc.concept").alias("vc"),
+        )
+        .select(
+            "valueset_url",
+            "valueset_status",
+            "include_system",
+            col("vc.code").alias("code"),
+            col("vc.display").alias("display"),
+        )
+    )
+    cs = (
+        nd.resource("CodeSystem")
+        .select(col("content").alias("cs_content"), F.explode("concept").alias("c"))
+        .select(
+            "cs_content",
+            col("c.code").alias("code"),
+            col("c.definition").alias("definition"),
+        )
+    )
+    return vs.join(F.broadcast(cs), "code", "left").select(
+        "valueset_url",
+        "valueset_status",
+        "include_system",
+        "code",
+        "display",
+        "definition",
+        "cs_content",
+    )
+
+
 def q_fhir_ingest_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reader THROUGHPUT path over a real file corpus: ~1200 generated
     bundle files (one .json per bundle, deterministic content) →
@@ -1139,6 +1273,9 @@ QUERIES = {
     "fhir_omop_care_site": q_fhir_omop_care_site,
     "fhir_insurance_plans": q_fhir_insurance_plans,
     "fhir_omop_cost": q_fhir_omop_cost,
+    "fhir_omop_condition_era": q_fhir_omop_condition_era,
+    "fhir_concept_map_translate": q_fhir_concept_map_translate,
+    "fhir_terminology_catalog": q_fhir_terminology_catalog,
     "fhir_ndjson_export_errors": q_fhir_ndjson_export_errors,
     "fhir_reference_integrity": q_fhir_reference_integrity,
     "fhir_slots": q_fhir_slots,
@@ -1218,6 +1355,21 @@ _DK_COND_DATE = (
 _DK_CLIN_STATUS = (
     "CASE WHEN c_custkey % 3 = 0 THEN 'resolved' ELSE 'active' END"
 )
+
+
+# NDJSON-v6 condition follow-up history: the base recordedDate plus the
+# two follow-up dates (gaps k%40+10 and k%20+25 straddle the 30-day OMOP
+# persistence window). Applies to the NDJSON corpus only — the bundle
+# corpus keeps its single Condition per patient.
+def _dk_cond_date_plus(days_expr: str) -> str:
+    return (
+        f"strftime(CAST({_DK_COND_DATE} AS DATE) + "
+        f"to_days(CAST({days_expr} AS INTEGER)), '%Y-%m-%d')"
+    )
+
+
+_DK_COND_DATE2 = _dk_cond_date_plus("c_custkey % 40 + 10")
+_DK_COND_DATE3 = _dk_cond_date_plus("c_custkey % 40 + 10 + c_custkey % 20 + 25")
 _DK_CLAIM_TYPE = (
     "CASE (c_custkey % 4) WHEN 0 THEN 'institutional' WHEN 1 THEN 'oral' "
     "WHEN 2 THEN 'pharmacy' ELSE 'professional' END"
@@ -1710,7 +1862,7 @@ ORACLE = {
         SELECT 'Observation', CAST(count(1) AS BIGINT)
         FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
         UNION ALL
-        SELECT 'Condition', CAST(count(1) AS BIGINT)
+        SELECT 'Condition', CAST(count(1) * 3 AS BIGINT)  -- v6 follow-ups
         FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
         UNION ALL
         SELECT 'Coverage', CAST(count(1) AS BIGINT)
@@ -1724,7 +1876,12 @@ ORACLE = {
         UNION ALL
         SELECT 'OperationOutcome', CAST(count(1) AS BIGINT)
         FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+        UNION ALL SELECT 'CodeSystem', CAST(1 AS BIGINT)
+        UNION ALL SELECT 'ValueSet', CAST(1 AS BIGINT)
+        UNION ALL SELECT 'ConceptMap', CAST(1 AS BIGINT)
     """,
+    # v6: three recordings per patient — the flatten carries no
+    # condition id, so the rows differ only in condition_date (unnest)
     "fhir_ndjson_patient_conditions": f"""
         SELECT {_dk_uuid("'ndjson://Patient/p-' || c_custkey::VARCHAR")}
                  AS UNIQUE_FHIR_ID,
@@ -1734,8 +1891,76 @@ ORACLE = {
                'C' || (c_custkey % 50)::VARCHAR AS condition_code,
                'http://snomed.info/sct' AS condition_type_code,
                'cond-' || (c_custkey % 50)::VARCHAR AS condition_description,
-               {_DK_COND_DATE} AS condition_date
+               unnest([{_DK_COND_DATE}, {_DK_COND_DATE2}, {_DK_COND_DATE3}])
+                 AS condition_date
         FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+    """,
+    "fhir_omop_condition_era": f"""
+        WITH e AS (
+          SELECT 'p-' || c_custkey::VARCHAR AS person_id,
+                 'C' || (c_custkey % 50)::VARCHAR AS condition_concept_code,
+                 unnest([CAST({_DK_COND_DATE} AS DATE),
+                         CAST({_DK_COND_DATE2} AS DATE),
+                         CAST({_DK_COND_DATE3} AS DATE)]) AS d
+          FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+        ),
+        f AS (
+          SELECT person_id, condition_concept_code, d,
+                 CASE WHEN d - lag(d) OVER (
+                        PARTITION BY person_id, condition_concept_code
+                        ORDER BY d) > 30
+                      THEN 1 ELSE 0 END AS new_era
+          FROM e
+        ),
+        g AS (
+          SELECT person_id, condition_concept_code, d,
+                 CAST(sum(new_era) OVER (
+                        PARTITION BY person_id, condition_concept_code
+                        ORDER BY d ROWS UNBOUNDED PRECEDING) + 1
+                      AS INTEGER) AS era_seq
+          FROM f
+        )
+        SELECT person_id, condition_concept_code, era_seq,
+               strftime(min(d), '%Y-%m-%d') AS condition_era_start_date,
+               strftime(max(d), '%Y-%m-%d') AS condition_era_end_date,
+               CAST(count(1) AS BIGINT) AS condition_occurrence_count
+        FROM g GROUP BY 1, 2, 3
+    """,
+    # the ConceptMap is closed-form (element C<i> -> STD-<i%10>,
+    # equivalence alternating), so the translate recomputes relationally:
+    # each patient contributes 3 recordings of code C<k%50>
+    "fhir_concept_map_translate": f"""
+        WITH mapping AS (
+          SELECT 'urn:synthetic:std-vocab' AS target_system,
+                 'C' || i::VARCHAR AS source_code,
+                 'STD-' || (i % 10)::VARCHAR AS std_code,
+                 'std-' || (i % 10)::VARCHAR AS std_display,
+                 CASE WHEN i % 2 = 0 THEN 'equivalent' ELSE 'wider' END
+                   AS equivalence
+          FROM range(50) t(i)
+        ),
+        cond AS (
+          SELECT 'C' || (c_custkey % 50)::VARCHAR AS source_code
+          FROM customer, range(3) WHERE c_custkey < {_SYNTH_LIMIT}
+        )
+        SELECT target_system, std_code, std_display,
+               CAST(count(1) AS BIGINT) AS n_conditions,
+               CAST(count(DISTINCT cond.source_code) AS BIGINT)
+                 AS n_source_codes,
+               CAST(sum(CASE WHEN equivalence = 'equivalent'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_equivalent
+        FROM cond JOIN mapping ON cond.source_code = mapping.source_code
+        GROUP BY 1, 2, 3
+    """,
+    "fhir_terminology_catalog": """
+        SELECT 'urn:synthetic:reportable-conditions' AS valueset_url,
+               'active' AS valueset_status,
+               'http://snomed.info/sct' AS include_system,
+               'C' || i::VARCHAR AS code,
+               'cond-' || i::VARCHAR AS display,
+               'synthetic condition ' || i::VARCHAR AS definition,
+               'complete' AS cs_content
+        FROM range(0, 50, 5) t(i)
     """,
     "fhir_ndjson_coverage_bundles": f"""
         SELECT {_dk_uuid("'ndjson://Patient/p-' || c_custkey::VARCHAR")}

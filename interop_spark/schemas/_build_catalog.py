@@ -2045,6 +2045,149 @@ SUBSTANCE = _resource(
 )
 
 
+# Round-13 NINTH batch (terminology service trio, hl7.org/fhir/R4):
+# CodeSystem / ValueSet / ConceptMap — the definitional resources a
+# real FHIR→OMOP ETL loads before anything else (source-to-standard
+# code translation is the first step of every CDM mapping; cohort
+# definitions ship as ValueSets; code membership checks read
+# CodeSystem). Concept hierarchies are recursive in the spec; Spark
+# StructTypes cannot recurse, so child ``concept`` arrays are captured
+# one level deep (code/display/definition) — deeper nesting lands in
+# ``_other``-style overrides if a corpus ever needs it. Monotone
+# promotion: spine fields retained.
+
+_DESIGNATION = _struct(language=S, use=CODING, value=S)
+
+CODE_SYSTEM = _resource(
+    **_SPINE_FIELDS,
+    url=S,
+    identifier=_arr(IDENTIFIER),
+    version=S,
+    name=S,
+    title=S,
+    status=S,
+    experimental=B,
+    date=S,
+    publisher=S,
+    description=S,
+    caseSensitive=B,
+    valueSet=S,
+    hierarchyMeaning=S,
+    compositional=B,
+    versionNeeded=B,
+    content=S,
+    supplements=S,
+    count=I,
+    filter=_arr(_struct(code=S, description=S, operator=_arr(S), value=S)),
+    property=_arr(_struct(code=S, uri=S, description=S, type=S)),
+    concept=_arr(
+        _struct(
+            code=S,
+            display=S,
+            definition=S,
+            designation=_arr(_DESIGNATION),
+            property=_arr(
+                _struct(
+                    code=S, valueCode=S, valueString=S, valueInteger=I,
+                    valueBoolean=B,
+                )
+            ),
+            concept=_arr(_struct(code=S, display=S, definition=S)),
+        )
+    ),
+)
+
+_VS_CONCEPT_SET = _struct(
+    system=S,
+    version=S,
+    concept=_arr(
+        _struct(code=S, display=S, designation=_arr(_DESIGNATION))
+    ),
+    filter=_arr(_struct(property=S, op=S, value=S)),
+    valueSet=_arr(S),
+)
+
+VALUE_SET = _resource(
+    **_SPINE_FIELDS,
+    url=S,
+    identifier=_arr(IDENTIFIER),
+    version=S,
+    name=S,
+    title=S,
+    status=S,
+    experimental=B,
+    date=S,
+    publisher=S,
+    description=S,
+    immutable=B,
+    purpose=S,
+    compose=_struct(
+        lockedDate=S,
+        inactive=B,
+        include=_arr(_VS_CONCEPT_SET),
+        exclude=_arr(_VS_CONCEPT_SET),
+    ),
+    expansion=_struct(
+        identifier=S,
+        timestamp=S,
+        total=I,
+        offset=I,
+        contains=_arr(
+            _struct(
+                system=S, abstract=B, inactive=B, version=S, code=S,
+                display=S,
+            )
+        ),
+    ),
+)
+
+_CM_DEPENDS_ON = _struct(property=S, system=S, value=S, display=S)
+
+CONCEPT_MAP = _resource(
+    **_SPINE_FIELDS,
+    url=S,
+    identifier=IDENTIFIER,
+    version=S,
+    name=S,
+    title=S,
+    status=S,
+    experimental=B,
+    date=S,
+    publisher=S,
+    description=S,
+    purpose=S,
+    sourceUri=S,
+    sourceCanonical=S,
+    targetUri=S,
+    targetCanonical=S,
+    group=_arr(
+        _struct(
+            source=S,
+            sourceVersion=S,
+            target=S,
+            targetVersion=S,
+            element=_arr(
+                _struct(
+                    code=S,
+                    display=S,
+                    target=_arr(
+                        _struct(
+                            code=S,
+                            display=S,
+                            equivalence=S,
+                            comment=S,
+                            dependsOn=_arr(_CM_DEPENDS_ON),
+                            product=_arr(_CM_DEPENDS_ON),
+                        )
+                    ),
+                )
+            ),
+            unmapped=_struct(mode=S, code=S, display=S, url=S),
+        )
+    ),
+)
+
+
 CATALOG = {
     "Patient": PATIENT,
     "MessageHeader": MESSAGE_HEADER,
@@ -2123,6 +2266,9 @@ CATALOG = {
     "DeviceDefinition": DEVICE_DEFINITION,
     "DeviceMetric": DEVICE_METRIC,
     "Substance": SUBSTANCE,
+    "CodeSystem": CODE_SYSTEM,
+    "ValueSet": VALUE_SET,
+    "ConceptMap": CONCEPT_MAP,
 }
 
 
@@ -2156,8 +2302,8 @@ FULL_SPINE_TYPES = [
     "ActivityDefinition", "Basic", "BiologicallyDerivedProduct", "BodyStructure",
     "CapabilityStatement", "CatalogEntry",
     "ChargeItemDefinition",
-    "CodeSystem", "CompartmentDefinition",
-    "ConceptMap", "Contract",
+    "CompartmentDefinition",
+    "Contract",
     "DocumentManifest", "EffectEvidenceSynthesis", 
     "EnrollmentRequest", "EnrollmentResponse", "EventDefinition",
     "Evidence", "EvidenceVariable", "ExampleScenario", 
@@ -2179,7 +2325,7 @@ FULL_SPINE_TYPES = [
     "StructureDefinition", "StructureMap", "Subscription",
     "SubstanceNucleicAcid", "SubstancePolymer", "SubstanceProtein",
     "SubstanceReferenceInformation", "SubstanceSourceMaterial",
-    "SubstanceSpecification", "TerminologyCapabilities", "TestReport", "TestScript", "ValueSet",
+    "SubstanceSpecification", "TerminologyCapabilities", "TestReport", "TestScript",
     "VerificationResult", "VisionPrescription",
 ]
 

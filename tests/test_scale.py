@@ -502,6 +502,50 @@ def test_drug_era_single_exchange(spark, sf_dir):
     assert "Exchange rangepartitioning" not in ex, ex[:2500]
 
 
+def test_round13_plan_shapes(spark, sf_dir):
+    """Round-13 additions hold the posture:
+    - condition_era (the _era_merge twin over the NDJSON bridge) keeps
+      the era core's contract — its windows/groupBy add exactly ONE
+      hashpartitioning Exchange beyond the bridge's per-type
+      aggregates, and never a global (range) sort;
+    - concept_map_translate BROADCASTS the definitional map: the
+      corpus-sized condition side never hash-shuffles on the
+      terminology key (only the final per-standard-code aggregate
+      exchanges, on 10 keys)."""
+    from interop_spark.queries import all_queries
+
+    q = all_queries()
+
+    ex = (
+        q["fhir_omop_condition_era"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert ex.count("Window") >= 1, ex[:2500]
+    assert "Exchange rangepartitioning" not in ex, ex[:2500]
+    # bridge = one exchange per resource type (2) + its join bookkeeping;
+    # the era derivation itself must add exactly one more
+    n_bridge = (
+        q["fhir_ndjson_patient_conditions"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .count("Exchange hashpartitioning")
+    )
+    assert ex.count("Exchange hashpartitioning") == n_bridge + 1, (
+        ex.count("Exchange hashpartitioning"), n_bridge)
+
+    ex2 = (
+        q["fhir_concept_map_translate"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in ex2, ex2[:2500]
+    assert "SortMergeJoin" not in ex2, ex2[:2500]
+
+
 def test_minhash_incremental_probe_plan_shape(spark, sf_dir):
     """Incremental near-dup probe against a PREBUILT history index:
     the join is new×history (never history×history), the history side
