@@ -2383,6 +2383,63 @@ def _domain_quantile_oracle() -> str:
 _SEL_TOKENS = "string_split_regex(trim(text), '\\s+')"
 
 
+# --------------------------------------------------------------------------
+# Deterministic weighted priority sampling (round-13)
+# --------------------------------------------------------------------------
+
+WEIGHTED_SAMPLE_K = 100
+
+
+def q_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement as a top-k priority draw —
+    the Efraimidis–Spirakis (2006) reservoir shape every curation
+    pipeline uses to take a fixed-size, quality/length-weighted sample
+    of an unbounded corpus in one pass. Each document draws a
+    deterministic uniform from md5(doc_id) and competes with priority
+    ``u / w`` (smaller wins; heavier documents win proportionally more
+    often). The textbook key is ``u^(1/w)``; this uses the
+    integer-ratio variant because ``pow``/``ln`` are not bit-portable
+    across engines while IEEE double DIVISION is exact-rounded — so
+    membership (not just counts) is engine-reproducible and the DuckDB
+    oracle pins the exact sampled set.
+
+    Scale shape: the priority is a per-row expression (no shuffle); the
+    global top-k plans as TakeOrderedAndProject — every task keeps its
+    local k and only k-row heaps travel, never a full sort or a
+    corpus-wide Exchange. At 100 TB this is a single pass with O(k)
+    driver state, the same contract as a streaming reservoir."""
+    d = load(spark, sf_dir, "documents")
+    t = tx_tokens(col("text"))
+    w = F.greatest(F.size(t), F.lit(1)).cast("long")
+    h = F.conv(
+        F.substring(F.md5(col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    scored = d.select(
+        "doc_id",
+        "source",
+        w.alias("weight"),
+        (h.cast("double") / w.cast("double")).alias("priority"),
+    )
+    return scored.orderBy("priority", "doc_id").limit(WEIGHTED_SAMPLE_K)
+
+
+def _weighted_sample_oracle() -> str:
+    return f"""
+        WITH s AS (
+          SELECT doc_id, source,
+                 CAST(greatest(len({_SEL_TOKENS}), 1) AS BIGINT) AS weight,
+                 CAST(CAST(concat('0x',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) AS DOUBLE)
+                   / CAST(greatest(len({_SEL_TOKENS}), 1) AS DOUBLE)
+                   AS priority
+          FROM documents
+        )
+        SELECT doc_id, source, weight, priority
+        FROM s ORDER BY priority, doc_id LIMIT {WEIGHTED_SAMPLE_K}
+    """
+
+
 QUERIES = {
     "edit_distance_neardup": q_edit_distance_neardup,
     "dsir_importance": q_dsir_importance,
@@ -2412,6 +2469,7 @@ QUERIES = {
     "dup_line_removal": q_dup_line_removal,
     "source_quota_sample": q_source_quota_sample,
     "domain_quantile_filter": q_domain_quantile_filter,
+    "weighted_sample_topk": q_weighted_sample_topk,
 }
 
 ORACLE = {
@@ -2443,4 +2501,5 @@ ORACLE = {
     "dup_line_removal": _dup_line_oracle(),
     "source_quota_sample": _source_quota_oracle(),
     "domain_quantile_filter": _domain_quantile_oracle(),
+    "weighted_sample_topk": _weighted_sample_oracle(),
 }

@@ -545,6 +545,16 @@ def test_round13_plan_shapes(spark, sf_dir):
     assert "BroadcastHashJoin" in ex2, ex2[:2500]
     assert "SortMergeJoin" not in ex2, ex2[:2500]
 
+    # weighted priority sample: per-task local top-k, zero Exchange
+    ex3 = (
+        q["weighted_sample_topk"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in ex3, ex3[:2500]
+    assert "Exchange" not in ex3, ex3[:2500]
+
 
 def test_minhash_incremental_probe_plan_shape(spark, sf_dir):
     """Incremental near-dup probe against a PREBUILT history index:
