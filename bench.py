@@ -611,6 +611,18 @@ def main() -> None:
         # cross-round per-query drift against this first.
         "loadavg_1m": round(os.getloadavg()[0], 2),
     }
+    # fixture provenance (r12 verdict item on cross-round comparability):
+    # fhir_ingest_corpus cost scales with the bundle corpus's content
+    # revision, so growth between rounds (v9->v16 added ~2.5x JSON per
+    # file) must be attributable to the fixture, not read as a plan
+    # regression. Stamp both generator versions into the artifact.
+    try:
+        from interop_spark.fhir.gen import CORPUS_VERSION, NDJSON_VERSION
+
+        result["corpus_version"] = CORPUS_VERSION
+        result["ndjson_version"] = NDJSON_VERSION
+    except Exception:
+        pass
     if errors:
         result["errors"] = errors
     detail = {
