@@ -699,6 +699,45 @@ def omop_payer_plan_period(coverage_df: DataFrame) -> DataFrame:
     )
 
 
+def omop_location(entry_df: DataFrame, zip_prefix: int = 3) -> DataFrame:
+    """OMOP CDM location from Patient.address — the normalized address
+    dimension person rows reference (completes the health-system domain
+    beside provider/care_site; extends the reference's person-only
+    mapping, `01_dbignite_sample.py:472-484`). ``zip`` is truncated to
+    its ``zip_prefix``-digit prefix by default — the HIPAA Safe Harbor
+    geographic generalization a de-identified CDM ships with.
+    ``location_id`` is the deterministic md5 of the address tuple (the
+    CDM uses a surrogate key; a content hash keeps it rerun- and
+    engine-stable), and ``n_persons`` carries the denormalization count
+    an ETL QA report wants.
+
+    Scale shape: per-patient project → groupBy the address tuple.
+    Partial aggregation collapses each map task to its distinct
+    addresses before the single bounded-key shuffle (address
+    cardinality ≪ person count; no person-keyed skew is possible)."""
+    p = entry_df.select(explode("Patient").alias("patient")).select(
+        F.get(col("patient.address"), 0).alias("a")
+    )
+    addr = p.select(
+        col("a.city").alias("city"),
+        col("a.state").alias("state"),
+        F.substring(col("a.postalCode"), 1, zip_prefix).alias("zip"),
+        col("a.country").alias("country"),
+    )
+    return addr.groupBy("city", "state", "zip", "country").agg(
+        F.count(F.lit(1)).cast("long").alias("n_persons")
+    ).select(
+        F.md5(
+            F.concat_ws("|", "city", "state", "zip", "country")
+        ).alias("location_id"),
+        "city",
+        "state",
+        "zip",
+        "country",
+        "n_persons",
+    )
+
+
 def omop_care_site(entry_df: DataFrame) -> DataFrame:
     """OMOP CDM care_site (+ inline location columns, the
     pre-normalization join product a FHIR→OMOP ETL lands before

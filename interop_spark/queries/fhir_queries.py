@@ -1088,6 +1088,17 @@ def q_fhir_omop_condition_era(spark: SparkSession, sf_dir: str) -> DataFrame:
     return omop_condition_era(entry)
 
 
+def q_fhir_omop_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OMOP location over the synthetic corpus (round-13): the address
+    dimension with HIPAA Safe Harbor zip3 generalization — distinct
+    (city, state, zip3, country) tuples with a content-hash surrogate
+    key and the per-address person count. Completes the CDM
+    health-system domain (person/provider/care_site/location)."""
+    from interop_spark.fhir.analytics import omop_location
+
+    return omop_location(_synthetic_entry(spark, sf_dir))
+
+
 def q_fhir_concept_map_translate(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1274,6 +1285,7 @@ QUERIES = {
     "fhir_insurance_plans": q_fhir_insurance_plans,
     "fhir_omop_cost": q_fhir_omop_cost,
     "fhir_omop_condition_era": q_fhir_omop_condition_era,
+    "fhir_omop_location": q_fhir_omop_location,
     "fhir_concept_map_translate": q_fhir_concept_map_translate,
     "fhir_terminology_catalog": q_fhir_terminology_catalog,
     "fhir_ndjson_export_errors": q_fhir_ndjson_export_errors,
@@ -1951,6 +1963,24 @@ ORACLE = {
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_equivalent
         FROM cond JOIN mapping ON cond.source_code = mapping.source_code
         GROUP BY 1, 2, 3
+    """,
+    "fhir_omop_location": f"""
+        WITH a AS (
+          SELECT 'city-' || (c_custkey % 25)::VARCHAR AS city,
+                 'S' || (c_custkey % 50)::VARCHAR AS state,
+                 substr(printf('%05d', c_custkey % 99999), 1, 3) AS zip,
+                 'US' AS country
+          FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+        ),
+        g AS (
+          SELECT city, state, zip, country,
+                 CAST(count(1) AS BIGINT) AS n_persons
+          FROM a GROUP BY 1, 2, 3, 4
+        )
+        SELECT md5(concat_ws('|', city, state, zip, country))
+                 AS location_id,
+               city, state, zip, country, n_persons
+        FROM g
     """,
     "fhir_terminology_catalog": """
         SELECT 'urn:synthetic:reportable-conditions' AS valueset_url,

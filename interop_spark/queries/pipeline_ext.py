@@ -1695,7 +1695,83 @@ def _boilerplate_oracle() -> str:
     """
 
 
+def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embeddings corpus by
+    fixed-iteration power method (round-13, `operators/linalg.py`):
+    covariance accumulated as ONE d×d partial per Arrow batch
+    (mapInPandas treeAggregate shape — shuffle volume scales with task
+    count, never N·d² row expansion), then 3 power steps as broadcast
+    joins on the tiny d²-row matrix. Every derived quantity is rounded
+    to 9 before feeding the next step, so the DuckDB oracle's unrolled
+    CTE chain is bit-identical (the `kmeans_fit` determinism
+    discipline); the eigenvector's sign ambiguity is fixed by making
+    the largest-|loading| component non-negative."""
+    from interop_spark.operators.linalg import pca_top_component
+
+    e = load(spark, sf_dir, "embeddings")
+    return pca_top_component(e)
+
+
+def _pca_oracle(iters: int) -> str:
+    """Unrolled power-method CTE chain replicating operators/linalg.py
+    exactly: same /n biased covariance, same 9-decimal rounding at
+    every step, same sign fix."""
+    steps = []
+    prev = "v0"
+    for t in range(1, iters + 1):
+        steps.append(f"""w{t} AS (
+          SELECT c.i, round(sum(c.c * {prev}.vj), 9) AS w
+          FROM c JOIN {prev} ON c.j = {prev}.j GROUP BY c.i
+        ),
+        n{t} AS (SELECT round(sqrt(sum(w * w)), 9) AS nrm FROM w{t}),
+        v{t} AS (
+          SELECT i AS j, round(w / (SELECT nrm FROM n{t}), 9) AS vj
+          FROM w{t}
+        )""")
+        prev = f"v{t}"
+    chain = ",\n        ".join(steps)
+    from interop_spark.queries.pipeline import EMB_DIM
+
+    return f"""
+        WITH x AS (
+          SELECT CAST(g.i - 1 AS INT) AS i,
+                 CAST(e.embedding[g.i] AS DOUBLE) AS x, e.vec_id
+          FROM embeddings e
+          CROSS JOIN generate_series(1, {EMB_DIM}) AS g(i)
+        ),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+        m AS (
+          SELECT i, round(sum(x) / (SELECT n FROM nn), 9) AS m
+          FROM x GROUP BY i
+        ),
+        g AS (
+          SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS g
+          FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2
+        ),
+        c AS (
+          SELECT g.i, g.j,
+                 round(g.g / (SELECT n FROM nn) - mi.m * mj.m, 9) AS c
+          FROM g JOIN m mi ON g.i = mi.i JOIN m mj ON g.j = mj.i
+        ),
+        v0 AS (
+          SELECT i AS j, CASE WHEN i = 0 THEN 1.0 ELSE 0.0 END AS vj
+          FROM m
+        ),
+        {chain},
+        flip AS (
+          SELECT CASE WHEN s < 0 THEN -1.0 ELSE 1.0 END AS f
+          FROM (SELECT sign(vj) AS s FROM {prev}
+                ORDER BY abs(vj) DESC, j ASC LIMIT 1)
+        )
+        SELECT j AS dim,
+               round(vj * (SELECT f FROM flip), 9) + 0.0 AS loading,
+               round((SELECT nrm FROM n{iters}), 6) + 0.0 AS eigenvalue
+        FROM {prev}
+    """
+
+
 QUERIES = {
+    "pca_top_component": q_pca_top_component,
     "gopher_quality_flags": q_gopher_quality_flags,
     "gopher_repetition_signals": q_gopher_repetition_signals,
     "sequence_pack": q_sequence_pack,
@@ -1727,6 +1803,7 @@ QUERIES = {
 
 
 ORACLE = {
+    "pca_top_component": _pca_oracle(3),
     "gopher_quality_flags": f"""
         WITH t AS (
           SELECT doc_id, text, {_TOKENS} AS toks,

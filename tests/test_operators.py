@@ -941,3 +941,26 @@ def test_merge_into_conditional_batch_split_independent(spark):
     want = {(1, 5, "a"), (2, 2, "d")}
     assert {(r.k, r.ver, r.v) for r in seq.collect()} == want
     assert {(r.k, r.ver, r.v) for r in rev.collect()} == want
+
+
+def test_pca_top_component_known_direction(spark):
+    """Rank-1 data along (0.6, 0.8): the power method recovers the
+    direction exactly (sign-fixed so the largest |loading| is
+    positive) and the Rayleigh norm equals the variance along it
+    (t in 1..4 -> var 1.25). Also pins the scale shape: the plan
+    accumulates via mapInPandas partials — no N*d^2 corpus explode."""
+    from interop_spark.operators.linalg import pca_top_component
+
+    rows = [([0.6 * t, 0.8 * t],) for t in (1.0, 2.0, 3.0, 4.0)]
+    e = spark.createDataFrame(rows, "embedding array<double>")
+    out = pca_top_component(e)
+    got = {r.dim: (r.loading, r.eigenvalue) for r in out.collect()}
+    assert got == {0: (0.6, 1.25), 1: (0.8, 1.25)}
+
+    # the iteration runs on a localCheckpoint of the covariance, so the
+    # accumulation plan is asserted on the covariance stage itself
+    from interop_spark.operators.linalg import covariance
+
+    ex = covariance(e)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in ex, ex[:2000]
+    assert "PosExplode" not in ex and "Generate" not in ex, ex[:2000]
