@@ -73,8 +73,11 @@ _MODULES = (
 #     pca_top_component (distributed PCA: mapInPandas treeAggregate
 #     Gram partials + fixed power iteration; new operators/linalg.py,
 #     query appended to pipeline_ext.py — append-only, existing rows
-#     keep greens). The last two new rows displace percentile_agg and
-#     pq_adc_topk from the drain tail back to the r14 queue head.
+#     keep greens), hll_distinct_estimate (engine-exact HyperLogLog
+#     over a seeded-md5 hash — the CountMin/Bloom determinism trick
+#     applied to cardinality; selection_q.py append-only). The last
+#     three new rows displace percentile_agg, pq_adc_topk and
+#     paragraph_dedup from the drain tail back to the r14 queue head.
 #   * NDJSON corpus v6 consumers re-verify (6): fhir_ndjson_patient_
 #     conditions + fhir_ndjson_type_counts (RESULT changes — 3x
 #     Condition lines, 3 new terminology type rows), fhir_ndjson_
@@ -86,11 +89,11 @@ _MODULES = (
 #     is untouched — only merge_into_conditional changed — but the
 #     module diffed, so it re-verifies rather than relying on the
 #     hunk claim alone).
-#   * STALENESS DRAIN (27): agg_stats, audio_stats, bpe_encode,
+#   * STALENESS DRAIN (26): agg_stats, audio_stats, bpe_encode,
 #     bpe_merge_candidates (the four displaced drain-head rows), then
-#     the first 23 of the 33 r8 rows in ledger order.
-# ROUND-14 QUEUE: the 10 remaining r8 rows — percentile_agg,
-# pq_adc_topk, pq_encode,
+#     the first 22 of the 33 r8 rows in ledger order.
+# ROUND-14 QUEUE: the 11 remaining r8 rows — paragraph_dedup,
+# percentile_agg, pq_adc_topk, pq_encode,
 # pricing_summary, quality_classifier_filter, scd2_intervals,
 # stream_dedup_counts, stream_windowed_counts, string_agg_sorted,
 # unimax_sample — then the r9 residue behind them.
@@ -107,13 +110,14 @@ _WINDOW = (
     "source_quota_sample",
     "domain_quantile_filter",
     "stream_merge_upsert",
-    # --- ROUND 13: new queries (6) ---
+    # --- ROUND 13: new queries (7) ---
     "fhir_omop_condition_era",
     "fhir_concept_map_translate",
     "fhir_terminology_catalog",
     "weighted_sample_topk",
     "fhir_omop_location",
     "pca_top_component",
+    "hll_distinct_estimate",
     # --- ROUND 13: NDJSON corpus v6 consumers (6) ---
     "fhir_ndjson_patient_conditions",
     "fhir_ndjson_type_counts",
@@ -150,7 +154,6 @@ _WINDOW = (
     "mrl_recall_at_k",
     "multimodal_features",
     "multiway_join_agg",
-    "paragraph_dedup",
 )
 
 

@@ -2384,6 +2384,105 @@ _SEL_TOKENS = "string_split_regex(trim(text), '\\s+')"
 
 
 # --------------------------------------------------------------------------
+# HyperLogLog distinct-cardinality sketch (round-13)
+# --------------------------------------------------------------------------
+
+HLL_P = 8  # 2^8 = 256 registers
+HLL_WBITS = 40  # rank bits after the register index (48-bit md5 slice)
+# Flajolet et al. 2007 bias constant for m >= 128, computed once so the
+# Spark literal and the oracle literal are the same double
+HLL_ALPHA = 0.7213 / (1 + 1.079 / (1 << HLL_P))
+
+
+def q_hll_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token cardinality (Flajolet et al. 2007) —
+    the sketch every corpus accountant keeps where exact COUNT(DISTINCT)
+    would shuffle the full key set (vocabulary growth curves, unique
+    URL/host tallies). Like the CountMin/Bloom rows, the hash is a
+    seeded md5 slice so the sketch is ENGINE-EXACT and the estimate is
+    oracle-pinned, not just statistically close: register index = low 8
+    bits of a 48-bit slice, rank = leading-zero count of the remaining
+    40 bits via integer bit-length (``length(bin(w))`` — no float log),
+    and the harmonic sum is a sum of dyadic rationals (each 2^-M has one
+    mantissa bit, rank ≤ 41, 256 terms → exact in a 53-bit double in ANY
+    summation order). The small-range linear-counting correction is
+    deliberately omitted (ln is not exact-rounded cross-engine);
+    production estimators add LogLog-Beta on top. ``overestimate`` bias
+    is exposed against the exact count the way ``minhash_est_error``
+    and ``countmin_estimate`` pin sketch quality.
+
+    Scale shape: one explode → 256-key max aggregate (partial max
+    collapses every map task to ≤256 rows); the exact side is the only
+    full-vocabulary shuffle and exists purely as the quality yardstick."""
+    m = 1 << HLL_P
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tx_tokens(col("text"))).alias("w")).where(
+        col("w") != ""
+    )
+    h = F.conv(F.substring(F.md5(col("w")), 1, 12), 16, 10).cast("bigint")
+    slotted = toks.select(
+        (h % m).alias("bucket"), (h / F.lit(m)).cast("bigint").alias("tail")
+    )
+    regs = slotted.select(
+        "bucket",
+        F.when(col("tail") == 0, F.lit(HLL_WBITS + 1))
+        .otherwise(F.lit(HLL_WBITS) - F.length(F.bin(col("tail"))) + 1)
+        .cast("int")
+        .alias("rho"),
+    ).groupBy("bucket").agg(F.max("rho").alias("reg"))
+    sums = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -col("reg"))).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    exact = toks.agg(F.countDistinct("w").alias("n_exact"))
+    return sums.crossJoin(F.broadcast(exact)).select(
+        col("n_exact").cast("long").alias("n_exact"),
+        F.round(
+            F.lit(HLL_ALPHA)
+            * F.lit(float(m * m))
+            / (col("s_present") + (F.lit(m) - col("n_present"))),
+            6,
+        ).alias("hll_estimate"),
+        (F.lit(m) - col("n_present")).cast("long").alias("n_empty_buckets"),
+    )
+
+
+def _hll_oracle() -> str:
+    m = 1 << HLL_P
+    return f"""
+        WITH toks AS (
+          SELECT unnest({_SEL_TOKENS}) AS w FROM documents
+        ),
+        t AS (SELECT w FROM toks WHERE w <> ''),
+        h AS (
+          SELECT CAST(concat('0x', substr(md5(w), 1, 12)) AS BIGINT) AS hv
+          FROM t
+        ),
+        r AS (
+          SELECT hv % {m} AS bucket,
+                 CASE WHEN hv // {m} = 0 THEN {HLL_WBITS + 1}
+                      ELSE {HLL_WBITS} - length(bin(hv // {m})) + 1
+                 END AS rho
+          FROM h
+        ),
+        regs AS (SELECT bucket, max(rho) AS reg FROM r GROUP BY bucket),
+        s AS (
+          SELECT sum(pow(2.0, -reg)) AS s_present,
+                 count(*) AS n_present
+          FROM regs
+        ),
+        e AS (SELECT count(DISTINCT w) AS n_exact FROM t)
+        SELECT CAST(e.n_exact AS BIGINT) AS n_exact,
+               round(CAST({HLL_ALPHA!r} AS DOUBLE)
+                     * CAST({float(m * m)!r} AS DOUBLE)
+                     / (s.s_present + ({m} - s.n_present)), 6)
+                 AS hll_estimate,
+               CAST({m} - s.n_present AS BIGINT) AS n_empty_buckets
+        FROM s, e
+    """
+
+
+# --------------------------------------------------------------------------
 # Deterministic weighted priority sampling (round-13)
 # --------------------------------------------------------------------------
 
@@ -2470,6 +2569,7 @@ QUERIES = {
     "source_quota_sample": q_source_quota_sample,
     "domain_quantile_filter": q_domain_quantile_filter,
     "weighted_sample_topk": q_weighted_sample_topk,
+    "hll_distinct_estimate": q_hll_distinct_estimate,
 }
 
 ORACLE = {
@@ -2502,4 +2602,5 @@ ORACLE = {
     "source_quota_sample": _source_quota_oracle(),
     "domain_quantile_filter": _domain_quantile_oracle(),
     "weighted_sample_topk": _weighted_sample_oracle(),
+    "hll_distinct_estimate": _hll_oracle(),
 }
