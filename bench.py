@@ -62,6 +62,11 @@ HEADLINE = [
     "corpus_clean",
     # round-10: the composed pretraining-data accounting pipeline
     "pretrain_pipeline",
+    # round-13: the new sketch/sampling/linalg operators get headline
+    # timing guard from their first round
+    "weighted_sample_topk",
+    "hll_distinct_estimate",
+    "pca_top_component",
 ]
 
 

@@ -75,9 +75,18 @@ _MODULES = (
 #     query appended to pipeline_ext.py — append-only, existing rows
 #     keep greens), hll_distinct_estimate (engine-exact HyperLogLog
 #     over a seeded-md5 hash — the CountMin/Bloom determinism trick
-#     applied to cardinality; selection_q.py append-only). The last
-#     three new rows displace percentile_agg, pq_adc_topk and
-#     paragraph_dedup from the drain tail back to the r14 queue head.
+#     applied to cardinality; selection_q.py append-only; core in new
+#     operators/sketch.py), stream_hll_users (the STREAMING register-
+#     merge twin: 4 real micro-batches fold per-batch registers with
+#     per-bucket max — mergeability makes the result provably equal to
+#     the one-pass batch sketch, so the oracle is the batch HLL over
+#     all events; temporal_q.py append-only — the only non-append
+#     temporal_q change this round is the q_stream_merge_upsert body
+#     replacement, hunk-verified, and that row is in-window). The last
+#     four new rows displace percentile_agg, pq_adc_topk,
+#     paragraph_dedup and multiway_join_agg from the drain tail back
+#     to the r14 queue head (multiway_join_agg additionally stays
+#     smoke-checked every round as the entry() flagship).
 #   * NDJSON corpus v6 consumers re-verify (6): fhir_ndjson_patient_
 #     conditions + fhir_ndjson_type_counts (RESULT changes — 3x
 #     Condition lines, 3 new terminology type rows), fhir_ndjson_
@@ -89,11 +98,11 @@ _MODULES = (
 #     is untouched — only merge_into_conditional changed — but the
 #     module diffed, so it re-verifies rather than relying on the
 #     hunk claim alone).
-#   * STALENESS DRAIN (26): agg_stats, audio_stats, bpe_encode,
+#   * STALENESS DRAIN (25): agg_stats, audio_stats, bpe_encode,
 #     bpe_merge_candidates (the four displaced drain-head rows), then
-#     the first 22 of the 33 r8 rows in ledger order.
-# ROUND-14 QUEUE: the 11 remaining r8 rows — paragraph_dedup,
-# percentile_agg, pq_adc_topk, pq_encode,
+#     the first 21 of the 33 r8 rows in ledger order.
+# ROUND-14 QUEUE: the 12 remaining r8 rows — multiway_join_agg,
+# paragraph_dedup, percentile_agg, pq_adc_topk, pq_encode,
 # pricing_summary, quality_classifier_filter, scd2_intervals,
 # stream_dedup_counts, stream_windowed_counts, string_agg_sorted,
 # unimax_sample — then the r9 residue behind them.
@@ -110,7 +119,7 @@ _WINDOW = (
     "source_quota_sample",
     "domain_quantile_filter",
     "stream_merge_upsert",
-    # --- ROUND 13: new queries (7) ---
+    # --- ROUND 13: new queries (8) ---
     "fhir_omop_condition_era",
     "fhir_concept_map_translate",
     "fhir_terminology_catalog",
@@ -118,6 +127,7 @@ _WINDOW = (
     "fhir_omop_location",
     "pca_top_component",
     "hll_distinct_estimate",
+    "stream_hll_users",
     # --- ROUND 13: NDJSON corpus v6 consumers (6) ---
     "fhir_ndjson_patient_conditions",
     "fhir_ndjson_type_counts",
@@ -153,7 +163,6 @@ _WINDOW = (
     "minhash_est_error",
     "mrl_recall_at_k",
     "multimodal_features",
-    "multiway_join_agg",
 )
 
 

@@ -2387,11 +2387,14 @@ _SEL_TOKENS = "string_split_regex(trim(text), '\\s+')"
 # HyperLogLog distinct-cardinality sketch (round-13)
 # --------------------------------------------------------------------------
 
-HLL_P = 8  # 2^8 = 256 registers
-HLL_WBITS = 40  # rank bits after the register index (48-bit md5 slice)
-# Flajolet et al. 2007 bias constant for m >= 128, computed once so the
-# Spark literal and the oracle literal are the same double
-HLL_ALPHA = 0.7213 / (1 + 1.079 / (1 << HLL_P))
+from interop_spark.operators.sketch import (  # noqa: E402 - section header
+    HLL_ALPHA,
+    HLL_M,
+    HLL_P,
+    HLL_WBITS,
+    hll_estimate,
+    hll_registers,
+)
 
 
 def q_hll_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2413,37 +2416,19 @@ def q_hll_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one explode → 256-key max aggregate (partial max
     collapses every map task to ≤256 rows); the exact side is the only
-    full-vocabulary shuffle and exists purely as the quality yardstick."""
-    m = 1 << HLL_P
+    full-vocabulary shuffle and exists purely as the quality yardstick.
+    Core in `operators/sketch.py` (shared with the streaming
+    register-merge twin `stream_hll_users`)."""
     d = load(spark, sf_dir, "documents")
     toks = d.select(F.explode(tx_tokens(col("text"))).alias("w")).where(
         col("w") != ""
     )
-    h = F.conv(F.substring(F.md5(col("w")), 1, 12), 16, 10).cast("bigint")
-    slotted = toks.select(
-        (h % m).alias("bucket"), (h / F.lit(m)).cast("bigint").alias("tail")
-    )
-    regs = slotted.select(
-        "bucket",
-        F.when(col("tail") == 0, F.lit(HLL_WBITS + 1))
-        .otherwise(F.lit(HLL_WBITS) - F.length(F.bin(col("tail"))) + 1)
-        .cast("int")
-        .alias("rho"),
-    ).groupBy("bucket").agg(F.max("rho").alias("reg"))
-    sums = regs.agg(
-        F.sum(F.pow(F.lit(2.0), -col("reg"))).alias("s_present"),
-        F.count(F.lit(1)).alias("n_present"),
-    )
+    est = hll_estimate(hll_registers(toks, col("w")))
     exact = toks.agg(F.countDistinct("w").alias("n_exact"))
-    return sums.crossJoin(F.broadcast(exact)).select(
+    return est.crossJoin(F.broadcast(exact)).select(
         col("n_exact").cast("long").alias("n_exact"),
-        F.round(
-            F.lit(HLL_ALPHA)
-            * F.lit(float(m * m))
-            / (col("s_present") + (F.lit(m) - col("n_present"))),
-            6,
-        ).alias("hll_estimate"),
-        (F.lit(m) - col("n_present")).cast("long").alias("n_empty_buckets"),
+        "hll_estimate",
+        "n_empty_buckets",
     )
 
 

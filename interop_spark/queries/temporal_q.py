@@ -413,6 +413,63 @@ def q_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING HyperLogLog — distinct-user cardinality maintained
+    across micro-batches by REGISTER MERGE (round-13): the events table
+    streams as the same 4-chunk landing the CDC upsert uses
+    (``maxFilesPerTrigger=1`` → 4 real micro-batches), each batch
+    computes its own ≤256-row register frame, and ``foreachBatch``
+    folds them with per-bucket max. Mergeability (max is associative
+    and commutative) makes the final registers — and therefore the
+    estimate — EQUAL to the single-pass batch sketch for ANY batch
+    split, which is exactly what the DuckDB oracle computes over all
+    events at once: the sketch sibling of ``stream_merge_upsert``'s
+    batch-split independence.
+
+    State is O(m): only register frames are checkpointed between
+    batches, never event rows — the property that lets a production
+    stream keep an unbounded-cardinality counter in fixed memory."""
+    import os
+
+    from interop_spark.operators.sketch import hll_estimate, hll_merge, hll_registers
+    from interop_spark.io import load
+    from interop_spark.streaming.cdc import land_event_chunks
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    flat = land_event_chunks(ev, 4, key)  # shared with stream_merge_upsert
+    schema = spark.read.parquet(flat).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    state: dict = {"regs": None}
+
+    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        regs_b = hll_registers(batch_df, col("user_id"))
+        if state["regs"] is None:
+            state["regs"] = regs_b.localCheckpoint()
+        else:
+            state["regs"] = hll_merge(state["regs"], regs_b).localCheckpoint()
+
+    q = (
+        src.writeStream.foreachBatch(_merge)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    est = hll_estimate(state["regs"])
+    exact = ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        col("n_exact").cast("long").alias("n_exact"),
+        "hll_estimate",
+        "n_empty_buckets",
+    )
+
+
 QUERIES = {
     "asof_join": q_asof_join,
     "range_join_pairs": q_range_join_pairs,
@@ -423,9 +480,47 @@ QUERIES = {
     "stream_join_pairs": q_stream_join_pairs,
     "stream_join_pairs_watermarked": q_stream_join_pairs_watermarked,
     "stream_merge_upsert": q_stream_merge_upsert,
+    "stream_hll_users": q_stream_hll_users,
 }
 
+from interop_spark.operators.sketch import (  # noqa: E402
+    HLL_ALPHA as _HLL_ALPHA,
+    HLL_M as _HLL_M,
+    HLL_WBITS as _HLL_WBITS,
+)
+
 ORACLE = {
+    # the streaming register merge provably equals the one-pass sketch
+    # (per-bucket max is associative/commutative), so the oracle is the
+    # batch HLL over ALL events — same md5/bit-length/dyadic-sum
+    # derivation as operators/sketch.py
+    "stream_hll_users": f"""
+        WITH h AS (
+          SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                                          1, 12)) AS BIGINT) AS hv
+          FROM events
+        ),
+        r AS (
+          SELECT hv % {_HLL_M} AS bucket,
+                 CASE WHEN hv // {_HLL_M} = 0 THEN {_HLL_WBITS + 1}
+                      ELSE {_HLL_WBITS} - length(bin(hv // {_HLL_M})) + 1
+                 END AS rho
+          FROM h
+        ),
+        regs AS (SELECT bucket, max(rho) AS reg FROM r GROUP BY bucket),
+        s AS (
+          SELECT sum(pow(2.0, -reg)) AS s_present, count(*) AS n_present
+          FROM regs
+        ),
+        e AS (SELECT count(DISTINCT user_id) AS n_exact FROM events)
+        SELECT CAST(e.n_exact AS BIGINT) AS n_exact,
+               round(CAST({_HLL_ALPHA!r} AS DOUBLE)
+                     * CAST({float(_HLL_M * _HLL_M)!r} AS DOUBLE)
+                     / (s.s_present + ({_HLL_M} - s.n_present)), 6)
+                 AS hll_estimate,
+               CAST({_HLL_M} - s.n_present AS BIGINT) AS n_empty_buckets
+        FROM s, e
+    """,
     # any micro-batch split of the conditional-merge upsert converges
     # to the batch per-user argmax by (ts, event_id) — the idempotent
     # last-writer-wins CDC contract

@@ -813,3 +813,60 @@ def test_stream_merge_upsert_runs_multiple_batches(spark, sf_dir):
         (r["user_id"], r["event_id"]) for r in state["tgt"].collect()
     }
     assert got == want
+
+
+def test_stream_hll_register_merge_multiple_batches(spark, sf_dir):
+    """The streaming HLL row's oracle would pass trivially if the
+    stream collapsed into one micro-batch — this pins that 4 real
+    batches fold through hll_merge, and that the merged registers
+    (and thus the estimate) EQUAL the one-pass batch sketch: the
+    mergeability contract that makes HLL a streaming citizen."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from interop_spark.io import load
+    from interop_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+    from interop_spark.streaming.cdc import land_event_chunks
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    flat = land_event_chunks(ev, 4, key)
+    schema = spark.read.parquet(flat).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    state = {"regs": None, "batches": 0}
+
+    def _merge(batch_df, _bid):
+        state["batches"] += 1
+        regs_b = hll_registers(batch_df, F.col("user_id"))
+        if state["regs"] is None:
+            state["regs"] = regs_b.localCheckpoint()
+        else:
+            state["regs"] = hll_merge(state["regs"], regs_b).localCheckpoint()
+
+    q = src.writeStream.foreachBatch(_merge).trigger(availableNow=True).start()
+    q.awaitTermination()
+    assert state["batches"] == 4, state["batches"]
+
+    streamed = {
+        (r.bucket, r.reg) for r in state["regs"].collect()
+    }
+    one_pass = {
+        (r.bucket, r.reg)
+        for r in hll_registers(ev, F.col("user_id")).collect()
+    }
+    assert streamed == one_pass
+    got = hll_estimate(state["regs"]).first()
+    want = hll_estimate(hll_registers(ev, F.col("user_id"))).first()
+    assert got.hll_estimate == want.hll_estimate
+    assert got.n_empty_buckets == want.n_empty_buckets
