@@ -78,6 +78,12 @@ COMMENT = {
  "fhir_omop_care_site": "OMOP care_site: the corpus-sized Location/Organization explodes feed exploded-DISTINCTs that collapse to the facility cardinality (partial agg map-side) before a BROADCAST join -- the join input is bounded by the number of facilities, not bundles.",
  "fhir_omop_cost": "OMOP cost from Invoice: one explode + typed projection over the corpus scan -- zero exchanges beyond the parse; Money totals and CPT code are plain nested-field plucks.",
  "fhir_omop_drug_era": "OMOP drug_era gap-and-island: ONE (person, concept)-keyed Exchange end-to-end -- the lag gap-flag window and the running-sum era-id window share one sort, and the era groupBy's keys are a superset of the window partition keys so no second shuffle is planned.",
+ "fhir_omop_condition_era": "OMOP condition_era: the SAME shared _era_merge core as drug_era over the NDJSON bridge -- the bridge's per-type aggregates plus exactly ONE additional (person, concept) exchange for both windows and the era groupBy (plan-asserted relative to the bridge's own count).",
+ "fhir_concept_map_translate": "Terminology translation: the ConceptMap is definitional, so the group->element->target walk collapses to a tiny mapping frame that BROADCASTS; the corpus-sized condition side never shuffles on a terminology key -- the only exchange is the 10-key per-standard-code aggregate.",
+ "fhir_omop_location": "OMOP location: per-patient address projection -> groupBy the (city, state, zip3, country) tuple; partial aggregation collapses each map task to its distinct addresses before the single bounded-key shuffle (address cardinality << person count).",
+ "weighted_sample_topk": "Weighted priority sample: the md5-uniform/weight key is a per-row projection and the global top-k plans as TakeOrderedAndProject -- every task keeps a local k-heap, ZERO Exchange (plan-asserted); O(k) driver state, the streaming-reservoir contract.",
+ "hll_distinct_estimate": "HyperLogLog cardinality: one token explode -> 256-key max aggregate (partial max caps map output at m rows); the harmonic sum and estimate are one tiny aggregate. The exact COUNT(DISTINCT) alongside is the only full-vocabulary shuffle and exists purely as the quality yardstick.",
+ "pca_top_component": "Distributed PCA: covariance accumulates as ONE dxd partial per Arrow batch via MapInPandas (treeAggregate shape -- shuffle volume scales with task count, never the N*d^2 pair explode); the 3-step power iteration is broadcast joins over the d^2-row matrix behind a localCheckpoint.",
 }
 
 out = ["# PLANS — physical plans of the headline queries (sf0.1, AQE on)",
