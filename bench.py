@@ -324,7 +324,43 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
         # the hot key inflates the scan, never the shuffle. Done-bar:
         # ~linear in bytes.
         "source_quota": lambda d: _source_quota_hot(d),
+        # round-13: the new sketch/sampling/linalg operators.
+        # hll: one token explode -> 256-key max agg; ~linear in bytes.
+        "hll": lambda d: _hll_probe(d),
+        # weighted sample: per-row priority + TakeOrderedAndProject —
+        # zero Exchange, so the ratio is pure scan scaling.
+        "weighted_sample": lambda d: _weighted_sample_probe(d),
+        # pca covariance: one dxd mapInPandas partial per Arrow batch +
+        # a d^2-key agg — the corpus-scaled stage of pca_top_component
+        # (the power iteration is fixed-size and untimed here).
+        "pca_covariance": "_PCA_COV",
     }
+
+    def _hll_probe(d):
+        from interop_spark.operators.sketch import hll_estimate, hll_registers
+        from interop_spark.operators.text import tokens as _tx
+
+        toks = d.select(F.explode(_tx(col("text"))).alias("w")).where(
+            col("w") != ""
+        )
+        return hll_estimate(hll_registers(toks, col("w")))
+
+    def _weighted_sample_probe(d):
+        from interop_spark.operators.text import tokens as _tx
+
+        w = F.greatest(F.size(_tx(col("text"))), F.lit(1)).cast("long")
+        h = F.conv(
+            F.substring(F.md5(col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        return (
+            d.select(
+                "doc_id",
+                w.alias("weight"),
+                (h.cast("double") / w.cast("double")).alias("priority"),
+            )
+            .orderBy("priority", "doc_id")
+            .limit(100)
+        )
 
     def _source_quota_hot(d):
         from interop_spark.queries.selection_q import source_quota_kept
@@ -488,10 +524,16 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
         )
         return pagerank_int(nodes, edges, iterations=3)
 
-    _EMB_PROBES = frozenset({"ivf_assign", "ivfpq_search_only"})
+    _EMB_PROBES = frozenset(
+        {"ivf_assign", "ivfpq_search_only", "pca_covariance"}
+    )
     out: dict = {}
     for name, fn in probes.items():
         entry = {}
+        if fn == "_PCA_COV":
+            from interop_spark.operators.linalg import covariance as _cov
+
+            fn = _cov
         if fn == "_IVFPQ_SPECIAL":
             try:
                 fn = _make_ivfpq_search_fn()
