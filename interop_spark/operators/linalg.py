@@ -38,8 +38,6 @@ def gram_stats(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     Arrow batch collapses to d² + d + 1 rows before any shuffle."""
     import numpy as np
 
-    d_holder: dict = {}
-
     def _acc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         g = None
         s = None
@@ -67,7 +65,6 @@ def gram_stats(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
             }
         )
 
-    _ = d_holder  # (no driver state; kept for symmetry with kmeans)
     parts = emb.select(vec_col).mapInPandas(_acc, "i int, j int, v double")
     return parts.groupBy("i", "j").agg(F.sum("v").alias("v"))
 
