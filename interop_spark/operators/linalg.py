@@ -141,14 +141,19 @@ def pca_top_component(
                 "nrm"
             )
         )
+        # checkpoint per step (the kmeans_fit discipline): the next
+        # iteration re-reads a 64-row materialized frame instead of
+        # replaying the whole prior-iteration DAG, so plan depth — and
+        # the final plan a reviewer reads — stays O(1) in iters
         v = (
             w.crossJoin(F.broadcast(nrm))
             .select(
                 col("i").alias("j"),
                 F.round(col("w") / col("nrm"), COV_ROUND).alias("vj"),
             )
+            .localCheckpoint()
         )
-        norm = nrm
+        norm = nrm.localCheckpoint()
     # sign fix: flip so the largest-|loading| (lowest dim on ties) is >= 0
     pick = v.select(
         F.max(

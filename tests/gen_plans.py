@@ -123,7 +123,10 @@ for name in ["pricing_summary", "multiway_join_agg", "latest_event_per_user",
              "minhash_incremental_dedup",
              "source_quota_sample", "domain_quantile_filter",
              "fhir_omop_payer_plan_period", "fhir_omop_care_site",
-             "fhir_omop_cost", "fhir_omop_drug_era"]:
+             "fhir_omop_cost", "fhir_omop_drug_era",
+             "fhir_omop_condition_era", "fhir_concept_map_translate",
+             "fhir_omop_location", "weighted_sample_topk",
+             "hll_distinct_estimate", "pca_top_component"]:
     df = qs[name](spark, SF)
     df.write.format("noop").mode("overwrite").save()  # let AQE finalize
     plan = df._jdf.queryExecution().executedPlan().toString()
