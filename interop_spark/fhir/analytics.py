@@ -497,7 +497,7 @@ def omop_drug_exposure(entry_df: DataFrame) -> DataFrame:
 
 def _era_merge(
     occurrences: DataFrame,
-    concept_col: str,
+    concept_col: str | list[str],
     prefix: str,
     count_alias: str,
     persistence_days: int,
@@ -506,9 +506,12 @@ def _era_merge(
     contiguous occurrence rows for one (person, concept) merge into an
     era whenever the gap between successive dates is at most the OMOP
     persistence window — the standard derivation every CDM ETL runs
-    after the occurrence tables land. Input: (person_id, <concept_col>,
-    d::date); output: era intervals named ``{prefix}_era_start_date`` /
-    ``{prefix}_era_end_date`` / ``{count_alias}``.
+    after the occurrence tables land. ``concept_col`` may be a list for
+    composite era keys (dose_era eras are per (drug, dose value, dose
+    unit) — a dose change splits the era even with no gap). Input:
+    (person_id, <concept cols>, d::date); output: era intervals named
+    ``{prefix}_era_start_date`` / ``{prefix}_era_end_date`` /
+    ``{count_alias}``.
 
     Scale shape: ONE exchange end-to-end. Both window functions (lag
     for the gap flag, running sum for the era id) share the
@@ -519,7 +522,10 @@ def _era_merge(
     planned (plan-asserted in tests/test_scale.py)."""
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("person_id", concept_col).orderBy("d")
+    concept_cols = (
+        [concept_col] if isinstance(concept_col, str) else list(concept_col)
+    )
+    w = Window.partitionBy("person_id", *concept_cols).orderBy("d")
     flagged = occurrences.withColumn(
         "new_era",
         F.when(
@@ -535,7 +541,7 @@ def _era_merge(
             + 1
         ).cast("int"),
     )
-    return eras.groupBy("person_id", concept_col, "era_seq").agg(
+    return eras.groupBy("person_id", *concept_cols, "era_seq").agg(
         F.date_format(F.min("d"), "yyyy-MM-dd").alias(
             f"{prefix}_era_start_date"
         ),
@@ -696,6 +702,40 @@ def omop_payer_plan_period(coverage_df: DataFrame) -> DataFrame:
         F.get(col("payor"), 0)["reference"].alias("payer_source_value"),
         F.get(col("type.coding"), 0)["code"].alias("plan_source_value"),
         col("status").alias("status_source_value"),
+    )
+
+
+def omop_dose_era(
+    mr_df: DataFrame, persistence_days: int = 30
+) -> DataFrame:
+    """OMOP CDM dose_era from a TYPED MedicationRequest frame (the
+    NDJSON bulk-export path): eras are per (person, drug concept, dose
+    value, dose unit) — the composite-key form of the shared
+    ``_era_merge`` core, so a DOSE CHANGE splits the era even when the
+    refill gap is inside the persistence window (the dose-escalation
+    semantics the CDM specifies). Completes the OMOP era family
+    (drug_era, condition_era, dose_era)."""
+    e = mr_df.select(
+        F.regexp_replace(col("subject.reference"), "^Patient/", "").alias(
+            "person_id"
+        ),
+        _first(col("medicationCodeableConcept.coding.code")).alias(
+            "drug_concept_code"
+        ),
+        F.get(F.get(col("dosageInstruction"), 0)["doseAndRate"], 0)[
+            "doseQuantity"
+        ]["value"].alias("dose_value"),
+        F.get(F.get(col("dosageInstruction"), 0)["doseAndRate"], 0)[
+            "doseQuantity"
+        ]["unit"].alias("dose_unit"),
+        F.to_date("authoredOn").alias("d"),
+    )
+    return _era_merge(
+        e,
+        ["drug_concept_code", "dose_value", "dose_unit"],
+        "dose",
+        "dose_exposure_count",
+        persistence_days,
     )
 
 

@@ -959,7 +959,13 @@ def write_corpus(
 #     selecting the reportable subset, one ConceptMap collapsing the 50
 #     source codes onto 10 standard target concepts (what a FHIR→OMOP
 #     ETL loads to translate source codes to standard concept ids).
-NDJSON_VERSION = "v6"
+# v7: + MedicationRequest — the 3-refill history (SAME closed-form
+#     dates as the bundle corpus's v15 refill history, so the oracle
+#     macros are shared) with dosageInstruction doseQuantity; every
+#     third patient's final refill DOUBLES the dose, so the OMOP
+#     dose_era mapping must split that era on the dose dimension even
+#     though the gap is inside the persistence window.
+NDJSON_VERSION = "v7"
 
 
 def ndjson_resource_dfs(
@@ -1133,6 +1139,64 @@ def ndjson_resource_dfs(
         .otherwise(F.array(first_issue))
         .alias("issue"),
     )
+    # v7: the 3-refill medication history as an export file — SAME date
+    # closed forms as the bundle corpus's v15 refill history (base +
+    # k%40+10 + k%20+25 day gaps) so the DuckDB oracle macros are
+    # shared; dose doubles on the final refill for every third patient
+    # (k%3==0), the dose-escalation split dose_era must honor.
+    med_d0 = F.format_string(
+        "%04d-%02d-%02d", (k % 6 + 2018).cast("int"),
+        ((k + 1) % 12 + 1).cast("int"), ((k + 7) % 28 + 1).cast("int"),
+    )
+    med_d1 = F.date_format(
+        F.date_add(F.to_date(med_d0), (k % 40 + 10).cast("int")),
+        "yyyy-MM-dd",
+    )
+    med_d2 = F.date_format(
+        F.date_add(F.to_date(med_d1), (k % 20 + 25).cast("int")),
+        "yyyy-MM-dd",
+    )
+    base_dose = ((k % 4 + 1) * 50).cast("double")
+
+    def _medreq_nd(suffix: str, authored: F.Column, dose: F.Column) -> F.Column:
+        return F.struct(
+            F.lit("MedicationRequest").alias("resourceType"),
+            F.concat(_cat("mr-", k), F.lit(suffix)).alias("id"),
+            F.lit("active").alias("status"),
+            F.lit("order").alias("intent"),
+            F.struct(
+                F.array(
+                    F.struct(
+                        F.lit(RXNORM).alias("system"),
+                        _cat("RX", k % 30).alias("code"),
+                    )
+                ).alias("coding")
+            ).alias("medicationCodeableConcept"),
+            F.struct(_cat("Patient/p-", k).alias("reference")).alias(
+                "subject"
+            ),
+            authored.alias("authoredOn"),
+            F.array(
+                F.struct(
+                    F.array(
+                        F.struct(
+                            F.struct(
+                                dose.alias("value"), F.lit("mg").alias("unit")
+                            ).alias("doseQuantity")
+                        )
+                    ).alias("doseAndRate")
+                )
+            ).alias("dosageInstruction"),
+        )
+
+    medreqs = F.array(
+        _medreq_nd("", med_d0, base_dose),
+        _medreq_nd("-f1", med_d1, base_dose),
+        _medreq_nd(
+            "-f2", med_d2,
+            F.when(k % 3 == 0, base_dose * 2).otherwise(base_dose),
+        ),
+    )
     base = c.where(k < max_custkey)
     out = {
         "Patient": base.select(F.to_json(patient).alias("value")),
@@ -1144,6 +1208,9 @@ def ndjson_resource_dfs(
         "Account": base.select(F.to_json(account).alias("value")),
         "AllergyIntolerance": base.select(F.to_json(allergy).alias("value")),
         "OperationOutcome": base.select(F.to_json(outcome).alias("value")),
+        "MedicationRequest": base.select(
+            F.explode(medreqs).alias("m")
+        ).select(F.to_json(col("m")).alias("value")),
     }
     out.update(_terminology_dfs(spark))
     return out

@@ -86,8 +86,13 @@ _MODULES = (
 #     four new rows displace percentile_agg, pq_adc_topk,
 #     paragraph_dedup and multiway_join_agg from the drain tail back
 #     to the r14 queue head (multiway_join_agg additionally stays
-#     smoke-checked every round as the entry() flagship).
-#   * NDJSON corpus v6 consumers re-verify (6): fhir_ndjson_patient_
+#     smoke-checked every round as the entry() flagship), and
+#     fhir_omop_dose_era (NDJSON corpus v7 adds the MedicationRequest
+#     export file — same refill-date closed forms as the bundle corpus
+#     — and the S4-override x S6-scan composition feeds the COMPOSITE-
+#     key _era_merge: dose escalation splits the era; completes the CDM
+#     era family) displaces multimodal_features the same way.
+#   * NDJSON corpus v6+v7 consumers re-verify (6): fhir_ndjson_patient_
 #     conditions + fhir_ndjson_type_counts (RESULT changes — 3x
 #     Condition lines, 3 new terminology type rows), fhir_ndjson_
 #     observations, fhir_ndjson_export_errors, fhir_ndjson_coverage_
@@ -98,10 +103,11 @@ _MODULES = (
 #     is untouched — only merge_into_conditional changed — but the
 #     module diffed, so it re-verifies rather than relying on the
 #     hunk claim alone).
-#   * STALENESS DRAIN (25): agg_stats, audio_stats, bpe_encode,
+#   * STALENESS DRAIN (24): agg_stats, audio_stats, bpe_encode,
 #     bpe_merge_candidates (the four displaced drain-head rows), then
-#     the first 21 of the 33 r8 rows in ledger order.
-# ROUND-14 QUEUE: the 12 remaining r8 rows — multiway_join_agg,
+#     the first 20 of the 33 r8 rows in ledger order.
+# ROUND-14 QUEUE: the 13 remaining r8 rows — multimodal_features,
+# multiway_join_agg,
 # paragraph_dedup, percentile_agg, pq_adc_topk, pq_encode,
 # pricing_summary, quality_classifier_filter, scd2_intervals,
 # stream_dedup_counts, stream_windowed_counts, string_agg_sorted,
@@ -119,7 +125,7 @@ _WINDOW = (
     "source_quota_sample",
     "domain_quantile_filter",
     "stream_merge_upsert",
-    # --- ROUND 13: new queries (8) ---
+    # --- ROUND 13: new queries (9) ---
     "fhir_omop_condition_era",
     "fhir_concept_map_translate",
     "fhir_terminology_catalog",
@@ -128,6 +134,7 @@ _WINDOW = (
     "pca_top_component",
     "hll_distinct_estimate",
     "stream_hll_users",
+    "fhir_omop_dose_era",
     # --- ROUND 13: NDJSON corpus v6 consumers (6) ---
     "fhir_ndjson_patient_conditions",
     "fhir_ndjson_type_counts",
@@ -162,7 +169,6 @@ _WINDOW = (
     "lm_perplexity_filter",
     "minhash_est_error",
     "mrl_recall_at_k",
-    "multimodal_features",
 )
 
 

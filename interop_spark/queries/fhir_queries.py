@@ -1088,6 +1088,79 @@ def q_fhir_omop_condition_era(spark: SparkSession, sf_dir: str) -> DataFrame:
     return omop_condition_era(entry)
 
 
+def q_fhir_omop_dose_era(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OMOP dose_era from the NDJSON bulk-export path (round-13; NDJSON
+    corpus v7 adds the MedicationRequest export file with the SAME
+    refill-date closed forms as the bundle corpus): the S4 schema
+    override composed with the S6 line-splittable scan — the catalog
+    MedicationRequest carries neither medicationCodeableConcept nor
+    doseAndRate, so the query extends it ``with_overrides`` exactly the
+    way ``fhir_omop_drug_era`` does on the bundle side — then the
+    COMPOSITE-KEY ``_era_merge``: eras per (person, drug, dose value,
+    dose unit), so every third patient's doubled final refill SPLITS
+    its era on the dose dimension even though the gap is inside the
+    30-day window. Completes the CDM era family."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from interop_spark.fhir import read_from_ndjson
+    from interop_spark.fhir.analytics import omop_dose_era
+    from interop_spark.fhir.gen import write_ndjson_corpus
+    from interop_spark.fhir.schema import (
+        CODEABLE_CONCEPT,
+        MEDICATION_REQUEST,
+        FhirSchemaModel,
+    )
+
+    dose_qty = StructType(
+        [
+            StructField("value", DoubleType(), True),
+            StructField("unit", StringType(), True),
+        ]
+    )
+    dosage = ArrayType(
+        StructType(
+            [
+                StructField(
+                    "doseAndRate",
+                    ArrayType(
+                        StructType(
+                            [StructField("doseQuantity", dose_qty, True)]
+                        )
+                    ),
+                    True,
+                )
+            ]
+        )
+    )
+    extended = StructType(
+        [
+            f
+            for f in MEDICATION_REQUEST.fields
+            if f.name != "dosageInstruction"
+        ]
+        + [
+            StructField("medicationCodeableConcept", CODEABLE_CONCEPT, True),
+            StructField("dosageInstruction", dosage, True),
+        ]
+    )
+    d = write_ndjson_corpus(spark, sf_dir, max_custkey=_SYNTH_LIMIT)
+    mr = read_from_ndjson(
+        "file://" + d, spark=spark, glob_filter="*.ndjson"
+    ).resource(
+        "MedicationRequest",
+        schemas=FhirSchemaModel().with_overrides(
+            {"MedicationRequest": extended}
+        ),
+    )
+    return omop_dose_era(mr)
+
+
 def q_fhir_omop_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OMOP location over the synthetic corpus (round-13): the address
     dimension with HIPAA Safe Harbor zip3 generalization — distinct
@@ -1286,6 +1359,7 @@ QUERIES = {
     "fhir_omop_cost": q_fhir_omop_cost,
     "fhir_omop_condition_era": q_fhir_omop_condition_era,
     "fhir_omop_location": q_fhir_omop_location,
+    "fhir_omop_dose_era": q_fhir_omop_dose_era,
     "fhir_concept_map_translate": q_fhir_concept_map_translate,
     "fhir_terminology_catalog": q_fhir_terminology_catalog,
     "fhir_ndjson_export_errors": q_fhir_ndjson_export_errors,
@@ -1888,6 +1962,9 @@ ORACLE = {
         UNION ALL
         SELECT 'OperationOutcome', CAST(count(1) AS BIGINT)
         FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+        UNION ALL
+        SELECT 'MedicationRequest', CAST(count(1) * 3 AS BIGINT)  -- v7
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
         UNION ALL SELECT 'CodeSystem', CAST(1 AS BIGINT)
         UNION ALL SELECT 'ValueSet', CAST(1 AS BIGINT)
         UNION ALL SELECT 'ConceptMap', CAST(1 AS BIGINT)
@@ -1963,6 +2040,55 @@ ORACLE = {
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_equivalent
         FROM cond JOIN mapping ON cond.source_code = mapping.source_code
         GROUP BY 1, 2, 3
+    """,
+    "fhir_omop_dose_era": f"""
+        WITH e AS (
+          SELECT 'p-' || c_custkey::VARCHAR AS person_id,
+                 'RX' || (c_custkey % 30)::VARCHAR AS drug_concept_code,
+                 CAST((c_custkey % 4 + 1) * 50 AS DOUBLE) AS dose_value,
+                 'mg' AS dose_unit,
+                 CAST({_DK_MED_DATE} AS DATE) AS d
+          FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+          UNION ALL
+          SELECT 'p-' || c_custkey::VARCHAR,
+                 'RX' || (c_custkey % 30)::VARCHAR,
+                 CAST((c_custkey % 4 + 1) * 50 AS DOUBLE), 'mg',
+                 CAST({_DK_MED_DATE2} AS DATE)
+          FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+          UNION ALL
+          SELECT 'p-' || c_custkey::VARCHAR,
+                 'RX' || (c_custkey % 30)::VARCHAR,
+                 CASE WHEN c_custkey % 3 = 0
+                      THEN CAST((c_custkey % 4 + 1) * 100 AS DOUBLE)
+                      ELSE CAST((c_custkey % 4 + 1) * 50 AS DOUBLE) END,
+                 'mg',
+                 CAST({_DK_MED_DATE3} AS DATE)
+          FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+        ),
+        f AS (
+          SELECT person_id, drug_concept_code, dose_value, dose_unit, d,
+                 CASE WHEN d - lag(d) OVER (
+                        PARTITION BY person_id, drug_concept_code,
+                                     dose_value, dose_unit
+                        ORDER BY d) > 30
+                      THEN 1 ELSE 0 END AS new_era
+          FROM e
+        ),
+        g AS (
+          SELECT person_id, drug_concept_code, dose_value, dose_unit, d,
+                 CAST(sum(new_era) OVER (
+                        PARTITION BY person_id, drug_concept_code,
+                                     dose_value, dose_unit
+                        ORDER BY d ROWS UNBOUNDED PRECEDING) + 1
+                      AS INTEGER) AS era_seq
+          FROM f
+        )
+        SELECT person_id, drug_concept_code, dose_value, dose_unit,
+               era_seq,
+               strftime(min(d), '%Y-%m-%d') AS dose_era_start_date,
+               strftime(max(d), '%Y-%m-%d') AS dose_era_end_date,
+               CAST(count(1) AS BIGINT) AS dose_exposure_count
+        FROM g GROUP BY 1, 2, 3, 4, 5
     """,
     "fhir_omop_location": f"""
         WITH a AS (
