@@ -870,3 +870,19 @@ def test_stream_hll_register_merge_multiple_batches(spark, sf_dir):
     want = hll_estimate(hll_registers(ev, F.col("user_id"))).first()
     assert got.hll_estimate == want.hll_estimate
     assert got.n_empty_buckets == want.n_empty_buckets
+
+
+def test_land_event_chunks_rejects_null_event_ids(spark, tmp_path):
+    """The ADVICE r12 invariant, pinned: pmod chunk assignment silently
+    drops NULL event_ids, so the landing must FAIL LOUDLY (landed-count
+    check) instead of corrupting the parity row."""
+    import pytest as _pytest
+
+    from interop_spark.streaming.cdc import land_event_chunks
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (None, 2.0), (3, 3.0)],
+        "event_id bigint, value double",
+    )
+    with _pytest.raises(ValueError, match="dropped rows"):
+        land_event_chunks(df, 2, "nulltest")
