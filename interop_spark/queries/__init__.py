@@ -58,7 +58,7 @@ _MODULES = (
 #     plans, fhir_omop_cost, source_quota_sample, domain_quantile_
 #     filter, stream_merge_upsert (also re-verifies the r13 cdc.py
 #     extraction + merge_into_conditional null-safety fix).
-#   * NEW this round (4): fhir_omop_condition_era (NDJSON corpus v6
+#   * NEW this round (9): fhir_omop_condition_era (NDJSON corpus v6
 #     3-recording condition follow-up history through the bridge +
 #     the shared _era_merge core), fhir_concept_map_translate +
 #     fhir_terminology_catalog (NINTH promotion batch proof rows —
