@@ -430,3 +430,41 @@ def test_parse_mp4_rejects_headerless_payloads(prefix, ts, dur):
     body = struct.pack(">II", ts, dur)
     if prefix[4:8] != b"ftyp":
         assert parse_mp4(prefix + b"mvhd" + body) is None
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    days=st.lists(st.integers(0, 120), min_size=1, max_size=12),
+    window=st.integers(5, 45),
+)
+def test_era_merge_matches_python_reference(sparkp, days, window):
+    """_era_merge (the shared OMOP *_era core) equals a pure-Python
+    gap-and-island on arbitrary day sets: eras partition the
+    occurrences, within-era gaps are <= window, consecutive eras are
+    separated by > window, and counts sum to the occurrence count
+    (duplicate days collapse into the same era but still count)."""
+    import datetime as dt
+
+    from interop_spark.fhir.analytics import _era_merge
+
+    base = dt.date(2020, 1, 1)
+    dates = sorted(base + dt.timedelta(days=d) for d in days)
+    expected = []
+    for d in dates:
+        if expected and (d - expected[-1][-1]).days <= window:
+            expected[-1].append(d)
+        else:
+            expected.append([d])
+    want = {
+        (i + 1): (e[0].isoformat(), e[-1].isoformat(), len(e))
+        for i, e in enumerate(expected)
+    }
+
+    df = sparkp.createDataFrame(
+        [("p", "C", d) for d in dates], "person_id string, c string, d date"
+    )
+    got = {
+        r.era_seq: (r.x_era_start_date, r.x_era_end_date, r.n)
+        for r in _era_merge(df, "c", "x", "n", window).collect()
+    }
+    assert got == want
