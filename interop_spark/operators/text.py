@@ -645,3 +645,107 @@ def script_profile(text: Column) -> Column:
         *[c.alias(f"n_{n}") for n, c in counts.items()],
         dom.alias("dominant"),
     )
+
+
+def bpe_train_merges(wf, rounds: int = 4):
+    """Iterated BPE vocabulary TRAINING (Sennrich et al. 2016 §3.2) —
+    the full merge LOOP on top of ``bpe_merge_candidates``'s one-round
+    pair count: each round counts adjacent symbol pairs over the
+    word-frequency table (weighted by frequency), picks the argmax pair
+    (ties → lexicographically smallest (a, b), a fixed total order both
+    engines share), applies it GREEDILY left-to-right, and re-numbers.
+    Returns the trained merge list: (merge_round, a, b, merged, pair_count).
+
+    Greedy application without any fold/UDF — pure window functions, so
+    the DuckDB oracle can replicate it CTE-for-CTE: a match flag per
+    position, runs of consecutive matches collapse via the
+    gap-and-island key (pos − running match count; overlapping matches
+    only arise when a == b), odd offsets within a run are kept (the
+    left-to-right rule), a kept match rewrites its symbol to ``a||b``
+    and CONSUMES the following row (lag of the keep flag), and
+    row_number re-densifies positions for the next round.
+
+    Scale shape: the corpus is touched ONCE (the word-frequency
+    aggregate any tokenizer trainer pays); every round operates on the
+    VOCABULARY-sized symbol table — windows keyed per word, pair counts
+    keyed by the bounded pair space, and the argmax is a 1-row
+    TakeOrdered. Rounds are localCheckpoint-ed so plan depth stays O(1)
+    (the kmeans_fit discipline).
+
+    ``wf``: DataFrame (w string, c long). The caller derives it from the
+    corpus; cost scales with vocabulary, not corpus, thereafter."""
+    from pyspark.sql import Window
+
+    seq = wf.select(
+        "w", "c", F.posexplode(F.split("w", "")).alias("pos", "sym")
+    ).localCheckpoint()
+    wseq = Window.partitionBy("w").orderBy("pos")
+    merges = []
+    for r in range(1, rounds + 1):
+        paired = seq.withColumn("nxt", F.lead("sym", 1).over(wseq))
+        counts = (
+            paired.where(F.col("nxt").isNotNull())
+            .groupBy(F.col("sym").alias("a"), F.col("nxt").alias("b"))
+            .agg(F.sum("c").alias("pair_count"))
+        )
+        best = (
+            counts.orderBy(F.col("pair_count").desc(), "a", "b")
+            .limit(1)
+            .select(
+                F.lit(r).alias("merge_round"),
+                "a",
+                "b",
+                F.concat("a", "b").alias("merged"),
+                F.col("pair_count").cast("long").alias("pair_count"),
+            )
+            .localCheckpoint()
+        )
+        if not best.take(1):  # vocabulary exhausted: no pairs remain
+            break
+        merges.append(best)
+        m = paired.crossJoin(
+            F.broadcast(
+                best.select(
+                    F.col("a").alias("_ma"), F.col("b").alias("_mb")
+                )
+            )
+        ).withColumn(
+            "is_match",
+            (F.col("sym") == F.col("_ma")) & (F.col("nxt") == F.col("_mb")),
+        )
+        g = m.withColumn(
+            "cnt",
+            F.sum(F.col("is_match").cast("int")).over(
+                wseq.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        i = g.withColumn(
+            "idx",
+            F.row_number().over(
+                Window.partitionBy(
+                    "w", F.col("pos") - F.col("cnt"), "is_match"
+                ).orderBy("pos")
+            ),
+        )
+        k = i.withColumn(
+            "keep", F.col("is_match") & (F.col("idx") % 2 == 1)
+        )
+        d = k.withColumn(
+            "consumed", F.lag("keep", 1, False).over(wseq)
+        )
+        seq = (
+            d.where(~F.col("consumed"))
+            .select(
+                "w",
+                "c",
+                (F.row_number().over(wseq) - 1).alias("pos"),
+                F.when(
+                    F.col("keep"), F.concat("sym", "nxt")
+                ).otherwise(F.col("sym")).alias("sym"),
+            )
+            .localCheckpoint()
+        )
+    out = merges[0]
+    for b in merges[1:]:
+        out = out.unionByName(b)
+    return out

@@ -2384,6 +2384,106 @@ _SEL_TOKENS = "string_split_regex(trim(text), '\\s+')"
 
 
 # --------------------------------------------------------------------------
+# Iterated BPE vocabulary training (round-13)
+# --------------------------------------------------------------------------
+
+BPE_TRAIN_ROUNDS = 4
+
+
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full BPE training LOOP (Sennrich et al. 2016 §3.2) as a
+    driver query — `bpe_merge_candidates` checks one round's pair
+    count; this checks ``BPE_TRAIN_ROUNDS`` iterated rounds including
+    greedy merge APPLICATION between them (window-function formulation,
+    `operators/text.py:bpe_train_merges`), completing the tokenizer
+    story beside `bpe_encode`'s fixed-vocab encoding. The oracle
+    unrolls the rounds as chained CTEs replicating every window
+    exactly; ties in the argmax resolve by the shared (count desc,
+    a asc, b asc) total order. Corpus cost is the one word-frequency
+    aggregate; every round is vocabulary-sized."""
+    from interop_spark.operators.text import bpe_train_merges
+
+    d = load(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(tx_tokens(col("text"))).alias("w"))
+        .where(col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return bpe_train_merges(wf, BPE_TRAIN_ROUNDS)
+
+
+def _bpe_train_oracle(rounds: int) -> str:
+    """Unrolled CTE chain replicating bpe_train_merges round-for-round:
+    lead-pair count → argmax (count desc, (a,b) asc) → match flag →
+    gap-and-island run key (pos − running match count) → odd-offset
+    keep → consume-next via lag → renumber."""
+    parts = [
+        f"""wf AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT unnest({_SEL_TOKENS}) AS w FROM documents)
+          WHERE w <> '' GROUP BY w
+        ),
+        idx AS (  -- lateral list-unnest: generate_series as a scalar
+          SELECT w, c, unnest(generate_series(1, length(w))) AS i FROM wf
+        ),
+        seq0 AS (
+          SELECT w, c, i - 1 AS pos, substr(w, i, 1) AS sym FROM idx
+        )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""p{r} AS (
+          SELECT w, c, pos, sym,
+                 lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+          FROM seq{r - 1}
+        ),
+        c{r} AS (
+          SELECT sym AS a, nxt AS b, sum(c) AS pc
+          FROM p{r} WHERE nxt IS NOT NULL GROUP BY 1, 2
+        ),
+        b{r} AS (SELECT a, b, pc FROM c{r} ORDER BY pc DESC, a, b LIMIT 1),
+        m{r} AS (
+          SELECT p.*, (p.sym = (SELECT a FROM b{r})
+                       AND p.nxt = (SELECT b FROM b{r})) AS is_match
+          FROM p{r} p
+        ),
+        g{r} AS (
+          SELECT *, sum(CASE WHEN is_match THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY w ORDER BY pos ROWS UNBOUNDED PRECEDING
+                 ) AS cnt
+          FROM m{r}
+        ),
+        i{r} AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY w, pos - cnt, is_match ORDER BY pos
+                 ) AS idx
+          FROM g{r}
+        ),
+        k{r} AS (
+          SELECT *, (is_match AND idx % 2 = 1) AS keep FROM i{r}
+        ),
+        d{r} AS (
+          SELECT *, coalesce(lag(keep) OVER (
+                   PARTITION BY w ORDER BY pos), false) AS consumed
+          FROM k{r}
+        ),
+        seq{r} AS (
+          SELECT w, c,
+                 row_number() OVER (PARTITION BY w ORDER BY pos) - 1
+                   AS pos,
+                 CASE WHEN keep THEN sym || nxt ELSE sym END AS sym
+          FROM d{r} WHERE NOT consumed
+        )""")
+        # (seq{rounds} is unused but keeps the per-round shape uniform)
+    selects = "\n        UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS merge_round, a, b, a || b AS merged,"
+        f" CAST(pc AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n        ".join(parts) + "\n        " + selects
+
+
+# --------------------------------------------------------------------------
 # HyperLogLog distinct-cardinality sketch (round-13)
 # --------------------------------------------------------------------------
 
@@ -2555,6 +2655,7 @@ QUERIES = {
     "domain_quantile_filter": q_domain_quantile_filter,
     "weighted_sample_topk": q_weighted_sample_topk,
     "hll_distinct_estimate": q_hll_distinct_estimate,
+    "bpe_train_merges": q_bpe_train_merges,
 }
 
 ORACLE = {
@@ -2588,4 +2689,5 @@ ORACLE = {
     "domain_quantile_filter": _domain_quantile_oracle(),
     "weighted_sample_topk": _weighted_sample_oracle(),
     "hll_distinct_estimate": _hll_oracle(),
+    "bpe_train_merges": _bpe_train_oracle(BPE_TRAIN_ROUNDS),
 }

@@ -104,3 +104,24 @@ def test_bpe_merge_table_is_consistent():
         for part in (a, b):
             assert len(part) == 1 or part in known, (a, b, part)
         known.add(a + b)
+
+
+def test_bpe_train_merges_classic_example(spark):
+    """The Sennrich §3.2 walkthrough word, hand-traced under this
+    trainer's fixed tie order (count desc, then (a, b) asc):
+    aa(4) -> ab(2; beats (aa,a) on the tie) -> aa+ab(2) -> ac(1).
+    Also pins greedy overlap handling: 'aaa' merges to [aa, a],
+    never [a, aa] or [aa, aa]."""
+    from interop_spark.operators.text import bpe_train_merges
+
+    wf = spark.createDataFrame([("aaabdaaabac", 1)], "w string, c long")
+    got = sorted(
+        (r.merge_round, r.a, r.b, r.merged, r.pair_count)
+        for r in bpe_train_merges(wf, 4).collect()
+    )
+    assert got == [
+        (1, "a", "a", "aa", 4),
+        (2, "a", "b", "ab", 2),
+        (3, "aa", "ab", "aaab", 2),
+        (4, "a", "c", "ac", 1),
+    ]
