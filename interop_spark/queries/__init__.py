@@ -58,7 +58,7 @@ _MODULES = (
 #     plans, fhir_omop_cost, source_quota_sample, domain_quantile_
 #     filter, stream_merge_upsert (also re-verifies the r13 cdc.py
 #     extraction + merge_into_conditional null-safety fix).
-#   * NEW this round (10): fhir_omop_condition_era (NDJSON corpus v6
+#   * NEW this round (11): fhir_omop_condition_era (NDJSON corpus v6
 #     3-recording condition follow-up history through the bridge +
 #     the shared _era_merge core), fhir_concept_map_translate +
 #     fhir_terminology_catalog (NINTH promotion batch proof rows —
@@ -97,7 +97,12 @@ _MODULES = (
 #     the tokenizer story beside bpe_merge_candidates/bpe_encode;
 #     operator appended to operators/text.py, which existing rows
 #     import only for untouched functions — hunk-verified append-only)
-#     displaces mrl_recall_at_k the same way.
+#     displaces mrl_recall_at_k the same way, and fhir_omop_cohort
+#     (COHORT SELECTION — the analytic the CDM tables exist for:
+#     ValueSet membership broadcast onto condition_occurrence, the
+#     person-keyed temporal join to drug_exposure, first-qualifying-
+#     exposure argmin; reads both corpora, changes neither) displaces
+#     minhash_est_error the same way.
 #   * NDJSON corpus v6+v7 consumers re-verify (6): fhir_ndjson_patient_
 #     conditions + fhir_ndjson_type_counts (RESULT changes — 3x
 #     Condition lines, 3 new terminology type rows), fhir_ndjson_
@@ -109,10 +114,11 @@ _MODULES = (
 #     is untouched — only merge_into_conditional changed — but the
 #     module diffed, so it re-verifies rather than relying on the
 #     hunk claim alone).
-#   * STALENESS DRAIN (23): agg_stats, audio_stats, bpe_encode,
+#   * STALENESS DRAIN (22): agg_stats, audio_stats, bpe_encode,
 #     bpe_merge_candidates (the four displaced drain-head rows), then
-#     the first 19 of the 33 r8 rows in ledger order.
-# ROUND-14 QUEUE: the 14 remaining r8 rows — mrl_recall_at_k,
+#     the first 18 of the 33 r8 rows in ledger order.
+# ROUND-14 QUEUE: the 15 remaining r8 rows — minhash_est_error,
+# mrl_recall_at_k,
 # multimodal_features, multiway_join_agg,
 # paragraph_dedup, percentile_agg, pq_adc_topk, pq_encode,
 # pricing_summary, quality_classifier_filter, scd2_intervals,
@@ -131,7 +137,7 @@ _WINDOW = (
     "source_quota_sample",
     "domain_quantile_filter",
     "stream_merge_upsert",
-    # --- ROUND 13: new queries (10) ---
+    # --- ROUND 13: new queries (11) ---
     "fhir_omop_condition_era",
     "fhir_concept_map_translate",
     "fhir_terminology_catalog",
@@ -142,6 +148,7 @@ _WINDOW = (
     "stream_hll_users",
     "fhir_omop_dose_era",
     "bpe_train_merges",
+    "fhir_omop_cohort",
     # --- ROUND 13: NDJSON corpus v6 consumers (6) ---
     "fhir_ndjson_patient_conditions",
     "fhir_ndjson_type_counts",
@@ -174,7 +181,6 @@ _WINDOW = (
     "join_filter_pushdown",
     "lang_id",
     "lm_perplexity_filter",
-    "minhash_est_error",
 )
 
 

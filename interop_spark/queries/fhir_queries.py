@@ -1161,6 +1161,108 @@ def q_fhir_omop_dose_era(spark: SparkSession, sf_dir: str) -> DataFrame:
     return omop_dose_era(mr)
 
 
+COHORT_WINDOW_DAYS = 1500
+
+
+def q_fhir_omop_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT SELECTION over the CDM tables this engine lands — the
+    analytic OMOP exists for (round-13): persons whose condition code is
+    in the reportable-conditions ValueSet (the NDJSON terminology feed)
+    AND who received a drug exposure within ``COHORT_WINDOW_DAYS`` days
+    AFTER the condition was recorded; one row per qualifying (person,
+    condition) with the FIRST qualifying exposure and days-to-treatment.
+    Composes three surfaces built this round and before: bundle-corpus
+    occurrence tables, the definitional ValueSet (broadcast membership
+    filter — no corpus shuffle on a terminology key), and the temporal
+    join + argmin-by-date the era family also uses.
+
+    Scale shape: ValueSet codes broadcast onto the condition scan; the
+    condition↔exposure join is person-keyed (the one corpus shuffle);
+    the first-exposure argmin is a partial-aggregated min(struct) on
+    the same key, so it reuses the join's partitioning."""
+    from pyspark.sql.types import StructField, StructType
+
+    from interop_spark.fhir import read_from_ndjson
+    from interop_spark.fhir.analytics import (
+        omop_condition_occurrence,
+        omop_drug_exposure,
+    )
+    from interop_spark.fhir.gen import write_ndjson_corpus
+    from interop_spark.fhir.schema import (
+        CODEABLE_CONCEPT,
+        MEDICATION_REQUEST,
+        FhirSchemaModel,
+    )
+
+    entry = _synthetic_entry(
+        spark,
+        sf_dir,
+        schemas=FhirSchemaModel().with_overrides(
+            {
+                "MedicationRequest": StructType(
+                    MEDICATION_REQUEST.fields
+                    + [
+                        StructField(
+                            "medicationCodeableConcept",
+                            CODEABLE_CONCEPT,
+                            True,
+                        )
+                    ]
+                )
+            }
+        ),
+    )
+    nd_dir = write_ndjson_corpus(spark, sf_dir, max_custkey=_SYNTH_LIMIT)
+    vs_codes = (
+        read_from_ndjson(
+            "file://" + nd_dir, spark=spark, glob_filter="*.ndjson"
+        )
+        .resource("ValueSet")
+        .select(F.explode("compose.include").alias("inc"))
+        .select(F.explode("inc.concept").alias("vc"))
+        .select(col("vc.code").alias("condition_concept_code"))
+        .distinct()
+    )
+    co = omop_condition_occurrence(entry).select(
+        "person_id",
+        "condition_concept_code",
+        F.to_date("condition_start_date").alias("cond_date"),
+    )
+    de = omop_drug_exposure(entry).select(
+        "person_id",
+        "drug_concept_code",
+        F.to_date("drug_exposure_start_date").alias("exp_date"),
+    )
+    qualifying = (
+        co.join(F.broadcast(vs_codes), "condition_concept_code")
+        .join(de, "person_id")
+        .where(
+            (col("exp_date") >= col("cond_date"))
+            & (
+                F.datediff(col("exp_date"), col("cond_date"))
+                <= COHORT_WINDOW_DAYS
+            )
+        )
+    )
+    first = qualifying.groupBy(
+        "person_id", "condition_concept_code", "cond_date"
+    ).agg(F.min(F.struct("exp_date", "drug_concept_code")).alias("m"))
+    return first.select(
+        "person_id",
+        "condition_concept_code",
+        F.date_format("cond_date", "yyyy-MM-dd").alias(
+            "condition_start_date"
+        ),
+        F.date_format(col("m.exp_date"), "yyyy-MM-dd").alias(
+            "first_exposure_date"
+        ),
+        col("m.drug_concept_code").alias("first_drug_concept_code"),
+        F.datediff(col("m.exp_date"), col("cond_date"))
+        .cast("int")
+        .alias("days_to_treatment"),
+    )
+
+
 def q_fhir_omop_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OMOP location over the synthetic corpus (round-13): the address
     dimension with HIPAA Safe Harbor zip3 generalization — distinct
@@ -1360,6 +1462,7 @@ QUERIES = {
     "fhir_omop_condition_era": q_fhir_omop_condition_era,
     "fhir_omop_location": q_fhir_omop_location,
     "fhir_omop_dose_era": q_fhir_omop_dose_era,
+    "fhir_omop_cohort": q_fhir_omop_cohort,
     "fhir_concept_map_translate": q_fhir_concept_map_translate,
     "fhir_terminology_catalog": q_fhir_terminology_catalog,
     "fhir_ndjson_export_errors": q_fhir_ndjson_export_errors,
@@ -2089,6 +2192,51 @@ ORACLE = {
                strftime(max(d), '%Y-%m-%d') AS dose_era_end_date,
                CAST(count(1) AS BIGINT) AS dose_exposure_count
         FROM g GROUP BY 1, 2, 3, 4, 5
+    """,
+    # cohort: ValueSet membership is (k%50)%5==0 (codes C0,C5,...,C45);
+    # the three refills are the shared _DK_MED_DATE closed forms; the
+    # single drug code per person makes the first-exposure struct-min
+    # tie-free
+    "fhir_omop_cohort": f"""
+        WITH e AS (
+          SELECT 'p-' || c_custkey::VARCHAR AS person_id,
+                 'RX' || (c_custkey % 30)::VARCHAR AS drug_concept_code,
+                 CAST({_DK_MED_DATE} AS DATE) AS exp_date
+          FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+          UNION ALL
+          SELECT 'p-' || c_custkey::VARCHAR,
+                 'RX' || (c_custkey % 30)::VARCHAR,
+                 CAST({_DK_MED_DATE2} AS DATE)
+          FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+          UNION ALL
+          SELECT 'p-' || c_custkey::VARCHAR,
+                 'RX' || (c_custkey % 30)::VARCHAR,
+                 CAST({_DK_MED_DATE3} AS DATE)
+          FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+        ),
+        co AS (
+          SELECT 'p-' || c_custkey::VARCHAR AS person_id,
+                 'C' || (c_custkey % 50)::VARCHAR
+                   AS condition_concept_code,
+                 CAST({_DK_COND_DATE} AS DATE) AS cond_date
+          FROM customer
+          WHERE c_custkey < {_SYNTH_LIMIT} AND (c_custkey % 50) % 5 = 0
+        ),
+        q AS (
+          SELECT co.person_id, co.condition_concept_code, co.cond_date,
+                 e.exp_date, e.drug_concept_code
+          FROM co JOIN e ON co.person_id = e.person_id
+          WHERE e.exp_date >= co.cond_date
+            AND e.exp_date - co.cond_date <= {COHORT_WINDOW_DAYS}
+        )
+        SELECT person_id, condition_concept_code,
+               strftime(cond_date, '%Y-%m-%d') AS condition_start_date,
+               strftime(min(exp_date), '%Y-%m-%d')
+                 AS first_exposure_date,
+               min(drug_concept_code) AS first_drug_concept_code,
+               CAST(min(exp_date) - min(cond_date) AS INT)
+                 AS days_to_treatment
+        FROM q GROUP BY 1, 2, 3
     """,
     "fhir_omop_location": f"""
         WITH a AS (
