@@ -58,7 +58,7 @@ _MODULES = (
 #     plans, fhir_omop_cost, source_quota_sample, domain_quantile_
 #     filter, stream_merge_upsert (also re-verifies the r13 cdc.py
 #     extraction + merge_into_conditional null-safety fix).
-#   * NEW this round (11): fhir_omop_condition_era (NDJSON corpus v6
+#   * NEW this round (12): fhir_omop_condition_era (NDJSON corpus v6
 #     3-recording condition follow-up history through the bridge +
 #     the shared _era_merge core), fhir_concept_map_translate +
 #     fhir_terminology_catalog (NINTH promotion batch proof rows —
@@ -102,7 +102,11 @@ _MODULES = (
 #     ValueSet membership broadcast onto condition_occurrence, the
 #     person-keyed temporal join to drug_exposure, first-qualifying-
 #     exposure argmin; reads both corpora, changes neither) displaces
-#     minhash_est_error the same way.
+#     minhash_est_error the same way, and source_drift_chi2 (per-source
+#     bucketed-χ² distribution-drift monitor — χ² instead of KL so the
+#     arithmetic is products/divisions only and the oracle is exact
+#     under round-6; bounded (source x bucket) aggregate; selection_q
+#     append-only) displaces lm_perplexity_filter the same way.
 #   * NDJSON corpus v6+v7 consumers re-verify (6): fhir_ndjson_patient_
 #     conditions + fhir_ndjson_type_counts (RESULT changes — 3x
 #     Condition lines, 3 new terminology type rows), fhir_ndjson_
@@ -114,11 +118,11 @@ _MODULES = (
 #     is untouched — only merge_into_conditional changed — but the
 #     module diffed, so it re-verifies rather than relying on the
 #     hunk claim alone).
-#   * STALENESS DRAIN (22): agg_stats, audio_stats, bpe_encode,
+#   * STALENESS DRAIN (21): agg_stats, audio_stats, bpe_encode,
 #     bpe_merge_candidates (the four displaced drain-head rows), then
-#     the first 18 of the 33 r8 rows in ledger order.
-# ROUND-14 QUEUE: the 15 remaining r8 rows — minhash_est_error,
-# mrl_recall_at_k,
+#     the first 17 of the 33 r8 rows in ledger order.
+# ROUND-14 QUEUE: the 16 remaining r8 rows — lm_perplexity_filter,
+# minhash_est_error, mrl_recall_at_k,
 # multimodal_features, multiway_join_agg,
 # paragraph_dedup, percentile_agg, pq_adc_topk, pq_encode,
 # pricing_summary, quality_classifier_filter, scd2_intervals,
@@ -137,7 +141,7 @@ _WINDOW = (
     "source_quota_sample",
     "domain_quantile_filter",
     "stream_merge_upsert",
-    # --- ROUND 13: new queries (11) ---
+    # --- ROUND 13: new queries (12) ---
     "fhir_omop_condition_era",
     "fhir_concept_map_translate",
     "fhir_terminology_catalog",
@@ -149,6 +153,7 @@ _WINDOW = (
     "fhir_omop_dose_era",
     "bpe_train_merges",
     "fhir_omop_cohort",
+    "source_drift_chi2",
     # --- ROUND 13: NDJSON corpus v6 consumers (6) ---
     "fhir_ndjson_patient_conditions",
     "fhir_ndjson_type_counts",
@@ -180,7 +185,6 @@ _WINDOW = (
     "ivfpq_search",
     "join_filter_pushdown",
     "lang_id",
-    "lm_perplexity_filter",
 )
 
 

@@ -2384,6 +2384,99 @@ _SEL_TOKENS = "string_split_regex(trim(text), '\\s+')"
 
 
 # --------------------------------------------------------------------------
+# Per-source distribution-drift monitor (round-13)
+# --------------------------------------------------------------------------
+
+DRIFT_BUCKETS = 64
+
+
+def q_source_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-DRIFT monitor — the χ² statistic of each source's
+    token distribution against the whole corpus, over ``DRIFT_BUCKETS``
+    hashed vocabulary buckets: the "did today's crawl shift?" check a
+    production ingest runs before mixing a new source in (the
+    bucketed-χ² form keeps the statistic bounded-dimensional no matter
+    the vocabulary). KL would need ln (not exact-rounded cross-engine);
+    χ² is products/divisions only, so with both engines evaluating the
+    SAME operand order per term, the only nondeterminism is summation
+    order — absorbed by the final round-6.
+
+    Missing (source, bucket) cells contribute (0−e)²/e = e, so the
+    statistic folds to ``n_s + Σ_present((o−e)²/e − e)`` — no
+    densification join. Scale shape: one token explode into a BOUNDED
+    (source × bucket) aggregate (partial agg caps map output), corpus
+    bucket totals broadcast back, per-source sum over ≤64 terms."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(tx_tokens(col("text"))).alias("w")
+    ).where(col("w") != "")
+    b = toks.select(
+        "source",
+        (
+            F.conv(F.substring(F.md5(col("w")), 1, 8), 16, 10).cast(
+                "bigint"
+            )
+            % DRIFT_BUCKETS
+        ).alias("bucket"),
+    )
+    sb = b.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    n_s = sb.groupBy("source").agg(F.sum("o").alias("n_s"))
+    cb = sb.groupBy("bucket").agg(F.sum("o").alias("nb"))
+    nn = sb.agg(F.sum("o").alias("nn"))
+    x = (
+        sb.join(F.broadcast(n_s), "source")
+        .join(F.broadcast(cb), "bucket")
+        .crossJoin(F.broadcast(nn))
+        .withColumn("e", col("n_s") * col("nb") / col("nn"))
+        .withColumn(
+            "term",
+            (col("o") - col("e")) * (col("o") - col("e")) / col("e")
+            - col("e"),
+        )
+    )
+    return x.groupBy("source").agg(
+        F.min("n_s").cast("long").alias("n_tokens"),
+        F.round(F.min("n_s") + F.sum("term"), 6).alias("chi2"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets_present"),
+    )
+
+
+def _source_drift_oracle() -> str:
+    return f"""
+        WITH t AS (
+          SELECT source, unnest({_SEL_TOKENS}) AS w FROM documents
+        ),
+        t2 AS (SELECT source, w FROM t WHERE w <> ''),
+        b AS (
+          SELECT source,
+                 CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT)
+                   % {DRIFT_BUCKETS} AS bucket
+          FROM t2
+        ),
+        sb AS (
+          SELECT source, bucket, CAST(count(*) AS DOUBLE) AS o
+          FROM b GROUP BY 1, 2
+        ),
+        s AS (SELECT source, sum(o) AS n_s FROM sb GROUP BY 1),
+        cb AS (SELECT bucket, sum(o) AS nb FROM sb GROUP BY 1),
+        n AS (SELECT sum(o) AS nn FROM sb),
+        x AS (
+          SELECT sb.source, sb.o, s.n_s,
+                 s.n_s * cb.nb / n.nn AS e
+          FROM sb JOIN s USING (source) JOIN cb USING (bucket), n
+        )
+        SELECT source,
+               CAST(min(n_s) AS BIGINT) AS n_tokens,
+               round(min(n_s)
+                     + sum((o - e) * (o - e) / e - e), 6) AS chi2,
+               CAST(count(*) AS BIGINT) AS n_buckets_present
+        FROM x GROUP BY source
+    """
+
+
+# --------------------------------------------------------------------------
 # Iterated BPE vocabulary training (round-13)
 # --------------------------------------------------------------------------
 
@@ -2656,6 +2749,7 @@ QUERIES = {
     "weighted_sample_topk": q_weighted_sample_topk,
     "hll_distinct_estimate": q_hll_distinct_estimate,
     "bpe_train_merges": q_bpe_train_merges,
+    "source_drift_chi2": q_source_drift_chi2,
 }
 
 ORACLE = {
@@ -2690,4 +2784,5 @@ ORACLE = {
     "weighted_sample_topk": _weighted_sample_oracle(),
     "hll_distinct_estimate": _hll_oracle(),
     "bpe_train_merges": _bpe_train_oracle(BPE_TRAIN_ROUNDS),
+    "source_drift_chi2": _source_drift_oracle(),
 }
