@@ -85,6 +85,7 @@ COMMENT = {
  "hll_distinct_estimate": "HyperLogLog cardinality: one token explode -> 256-key max aggregate (partial max caps map output at m rows); the harmonic sum and estimate are one tiny aggregate. The exact COUNT(DISTINCT) alongside is the only full-vocabulary shuffle and exists purely as the quality yardstick.",
  "pca_top_component": "Distributed PCA: covariance accumulates as ONE dxd partial per Arrow batch via MapInPandas (treeAggregate shape -- shuffle volume scales with task count, never the N*d^2 pair explode); the 3-step power iteration is broadcast joins over the d^2-row matrix behind a localCheckpoint.",
  "fhir_omop_cohort": "CDM cohort selection: the 10-code ValueSet BROADCASTS onto the condition scan; the condition-exposure join exchanges each side once on person_id (the only corpus-keyed shuffle stage) and the first-exposure min(struct) reuses that partitioning map-side -- no further corpus Exchange for the whole cohort build.",
+ "source_drift_chi2": "Distribution-drift monitor: one token explode collapses into the BOUNDED (source x bucket) aggregate (partial agg caps map output at 64 rows/source/task); source totals and corpus bucket totals broadcast back; the chi-square sum is over <=64 terms per source. No vocabulary-keyed shuffle exists.",
  "bpe_train_merges": "Iterated BPE training: ONE corpus-scan word-frequency aggregate, then every round is VOCABULARY-sized -- per-word windows (lead/lag/row_number share the (w, pos) sort), a bounded pair-count aggregate, and a 1-row TakeOrdered argmax; rounds are localCheckpoint-ed so the final plan shows only the last round.",
 }
 
@@ -129,7 +130,8 @@ for name in ["pricing_summary", "multiway_join_agg", "latest_event_per_user",
              "fhir_omop_condition_era", "fhir_concept_map_translate",
              "fhir_omop_location", "weighted_sample_topk",
              "hll_distinct_estimate", "pca_top_component",
-             "fhir_omop_cohort", "bpe_train_merges"]:
+             "fhir_omop_cohort", "bpe_train_merges",
+             "source_drift_chi2"]:
     df = qs[name](spark, SF)
     df.write.format("noop").mode("overwrite").save()  # let AQE finalize
     plan = df._jdf.queryExecution().executedPlan().toString()
