@@ -150,7 +150,41 @@ def test_notebook_chain(spark, sf_dir, tmp_path):
         "hls_healthcare_hls_dev.OMOP_PERSON"
     ).count() == N_BUNDLES
 
-    # -- 8. writer roundtrip (df → FHIR JSON → re-parse) ---------------
+    # -- 8. derived era over the WRITTEN occurrence table ---------------
+    # the production sequence: land the occurrence table first, derive
+    # eras from the TABLE (not from the source bundles) — _era_merge is
+    # the shared core, so table-fed and entry-fed eras must be equal
+    # (non-trivial here: the corpus gives every patient a 3-refill
+    # history whose gaps straddle the 30-day window)
+    from interop_spark.fhir.analytics import (
+        _era_merge,
+        omop_drug_era,
+        omop_drug_exposure,
+    )
+
+    drop_table_if_exists(spark, f"{loc}.OMOP_DRUG_EXPOSURE")
+    save_as_table(omop_drug_exposure(entry), f"{loc}.OMOP_DRUG_EXPOSURE")
+    occ = spark.table("hls_healthcare_hls_dev.OMOP_DRUG_EXPOSURE")
+    assert occ.count() == 3 * N_BUNDLES  # the refill history landed
+    era_from_table = _era_merge(
+        occ.select(
+            "person_id",
+            "drug_concept_code",
+            F.to_date("drug_exposure_start_date").alias("d"),
+        ),
+        "drug_concept_code",
+        "drug",
+        "drug_exposure_count",
+        30,
+    )
+    t_rows = sorted(map(tuple, era_from_table.collect()))
+    d_rows = sorted(map(tuple, omop_drug_era(entry).collect()))
+    assert t_rows == d_rows and len(t_rows) > 0
+    # at least one patient's refills actually merged into a multi-
+    # exposure era (the corpus guarantees straddling gaps)
+    assert any(r[-1] > 1 for r in t_rows)
+
+    # -- 9. writer roundtrip (df → FHIR JSON → re-parse) ---------------
     from interop_spark.queries.fhir_queries import q_fhir_writer_roundtrip
 
     rt = q_fhir_writer_roundtrip(spark, sf_dir)
