@@ -120,6 +120,13 @@ def pca_top_component(
     matrix with a d-row vector — no corpus-sized data exists here at
     all."""
     c = covariance(emb, vec_col).localCheckpoint()
+    if not c.take(1):
+        # empty input: gram_stats yields nothing, so there is no
+        # dimensionality to iterate over — return the empty result
+        # frame instead of TypeError-ing on max(i) (ADVICE r13)
+        return emb.sparkSession.createDataFrame(
+            [], "dim int, loading double, eigenvalue double"
+        )
     v = c.sparkSession.range(1).select(
         F.lit(0).alias("j"), F.lit(1.0).alias("vj")
     )
@@ -149,7 +156,12 @@ def pca_top_component(
             w.crossJoin(F.broadcast(nrm))
             .select(
                 col("i").alias("j"),
-                F.round(col("w") / col("nrm"), COV_ROUND).alias("vj"),
+                # zero covariance (all-constant embeddings) gives
+                # ‖Cv‖ = 0: define the step as the zero vector instead
+                # of NaN/Infinity loadings (ADVICE r13)
+                F.when(col("nrm") == 0, F.lit(0.0))
+                .otherwise(F.round(col("w") / col("nrm"), COV_ROUND))
+                .alias("vj"),
             )
             .localCheckpoint()
         )

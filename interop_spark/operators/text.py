@@ -676,6 +676,9 @@ def bpe_train_merges(wf, rounds: int = 4):
     corpus; cost scales with vocabulary, not corpus, thereafter."""
     from pyspark.sql import Window
 
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+
     seq = wf.select(
         "w", "c", F.posexplode(F.split("w", "")).alias("pos", "sym")
     ).localCheckpoint()
@@ -744,6 +747,16 @@ def bpe_train_merges(wf, rounds: int = 4):
                 ).otherwise(F.col("sym")).alias("sym"),
             )
             .localCheckpoint()
+        )
+    if not merges:
+        # no adjacent pair exists even in round 1 (e.g. a corpus of only
+        # single-character words) — the oracle's CTE chain yields zero
+        # rows for the same input, so return the empty merge frame
+        # rather than raising (ADVICE r13).
+        return wf.sparkSession.createDataFrame(
+            [],
+            "merge_round int, a string, b string, merged string,"
+            " pair_count long",
         )
     out = merges[0]
     for b in merges[1:]:

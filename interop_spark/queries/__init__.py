@@ -163,7 +163,7 @@ _WINDOW = (
     "stream_ndjson_counts",
     # --- ROUND 13: merge.py module-diff insurance (1) ---
     "merge_upsert",
-    # --- ROUND 13: staleness drain (29, ledger order) ---
+    # --- ROUND 13: staleness drain (21, ledger order) ---
     "agg_stats",
     "audio_stats",
     "bpe_encode",

@@ -37,15 +37,27 @@ def land_event_chunks(df: DataFrame, n: int, cache_key: str) -> str:
     ``%`` which preserves sign — and the landed row count is verified
     against the input count so a fixture change introducing NULL or
     missing event_ids fails loudly instead of silently diverging from
-    the all-rows oracle. The input count is part of the cache key, so a
-    regenerated fixture of a different size never reuses a stale
-    landing. Fixture tooling: a real CDC source is a change feed (Kafka
-    / CDF), not a re-land of the table.
+    the all-rows oracle. The cache key folds in BOTH the row count and
+    an order-independent content fingerprint (summed crc32 over every
+    column, stringified), so a regenerated fixture of the same size but
+    different content never reuses a stale landing (ADVICE r13).
+    Fixture tooling: a real CDC source is a change feed (Kafka / CDF),
+    not a re-land of the table.
     """
-    total = df.count()
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.crc32(
+                F.concat_ws(
+                    "|", *[F.col(c).cast("string") for c in df.columns]
+                )
+            )
+        ).alias("fp"),
+    ).first()
+    total, fp = stats["n"], stats["fp"] or 0
     out = os.path.join(
         "/tmp/interop_spark_fixtures",
-        f"cdc-{cache_key}-r{total}-n{n}-{_LAND_VERSION}",
+        f"cdc-{cache_key}-r{total}-f{fp:x}-n{n}-{_LAND_VERSION}",
     )
     flat = os.path.join(out, "flat")
     if os.path.exists(os.path.join(out, "_COMPLETE")):

@@ -125,3 +125,22 @@ def test_bpe_train_merges_classic_example(spark):
         (3, "aa", "ab", "aaab", 2),
         (4, "a", "c", "ac", 1),
     ]
+
+
+def test_bpe_train_merges_degenerate_inputs(spark):
+    """A corpus of only single-character words has no adjacent pair even
+    in round 1: the trainer returns the EMPTY merge frame (matching the
+    oracle CTE chain's zero rows) instead of raising, and rounds < 1 is
+    rejected up front (ADVICE r13)."""
+    import pytest as _pytest
+
+    from interop_spark.operators.text import bpe_train_merges
+
+    wf = spark.createDataFrame([("a", 3), ("b", 2)], "w string, c long")
+    out = bpe_train_merges(wf, 4)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == [
+        "merge_round", "a", "b", "merged", "pair_count",
+    ]
+    with _pytest.raises(ValueError, match="rounds"):
+        bpe_train_merges(wf, 0)

@@ -964,3 +964,26 @@ def test_pca_top_component_known_direction(spark):
     ex = covariance(e)._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in ex, ex[:2000]
     assert "PosExplode" not in ex and "Generate" not in ex, ex[:2000]
+
+
+def test_pca_top_component_degenerate_inputs(spark):
+    """Degenerate guards (ADVICE r13): an EMPTY embeddings frame returns
+    the empty (dim, loading, eigenvalue) frame instead of TypeError-ing
+    on max(i)+1, and an all-constant corpus (zero covariance, Rayleigh
+    norm 0) yields defined zero loadings / zero eigenvalue rather than
+    NaN/Infinity."""
+    from interop_spark.operators.linalg import pca_top_component
+
+    empty = spark.createDataFrame([], "embedding array<double>")
+    out = pca_top_component(empty)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == [
+        "dim", "loading", "eigenvalue",
+    ]
+
+    const = spark.createDataFrame(
+        [([1.0, 2.0],)] * 4, "embedding array<double>"
+    )
+    got = {r.dim: (r.loading, r.eigenvalue) for r in
+           pca_top_component(const).collect()}
+    assert got == {0: (0.0, 0.0), 1: (0.0, 0.0)}

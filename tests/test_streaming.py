@@ -886,3 +886,25 @@ def test_land_event_chunks_rejects_null_event_ids(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="dropped rows"):
         land_event_chunks(df, 2, "nulltest")
+
+
+def test_land_event_chunks_content_fingerprint(spark):
+    """Two fixtures with the SAME cache key and row count but different
+    content must land in DIFFERENT directories — the ADVICE r13 hole
+    (a regenerated fixture silently reusing the stale landing) is
+    closed by folding a content fingerprint into the key."""
+    from interop_spark.streaming.cdc import land_event_chunks
+
+    a = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "event_id bigint, value double"
+    )
+    b = spark.createDataFrame(
+        [(1, 10.0), (2, 99.0)], "event_id bigint, value double"
+    )
+    flat_a = land_event_chunks(a, 2, "fptest")
+    flat_b = land_event_chunks(b, 2, "fptest")
+    assert flat_a != flat_b
+    got_b = {
+        (r.event_id, r.value) for r in spark.read.parquet(flat_b).collect()
+    }
+    assert got_b == {(1, 10.0), (2, 99.0)}
