@@ -858,3 +858,89 @@ def omop_cost(entry_df: DataFrame) -> DataFrame:
         ),
         col("i.status").alias("status_source_value"),
     )
+
+
+def omop_observation(obs_df: DataFrame) -> DataFrame:
+    """OMOP CDM observation projection — the DOMAIN SPLIT side of
+    ``omop_measurement``: R4 Observations whose category is NOT
+    laboratory / vital-signs (social history, surveys…) belong in the
+    CDM observation table with the value landed as a CODED value
+    (value_as_concept), not a number — the standard OMOP domain
+    decision (extends the reference's person-only OMOP mapping,
+    `01_dbignite_sample.py:470-484`). Takes the TYPED Observation frame
+    (NDJSON scan or exploded bundle column), the
+    ``omop_payer_plan_period`` calling convention.
+
+    Scale shape: one scan, a category-membership filter evaluated on
+    the pruned struct, pure projection — zero shuffles."""
+    is_measurement = F.exists(
+        col("category"),
+        lambda cc: F.exists(
+            cc["coding"],
+            lambda cd: cd["code"].isin("laboratory", "vital-signs"),
+        ),
+    )
+    return obs_df.where(
+        col("category").isNotNull() & ~is_measurement
+    ).select(
+        col("id").alias("observation_id"),
+        F.regexp_replace(col("subject.reference"), "^Patient/", "").alias(
+            "person_id"
+        ),
+        _first(col("code.coding.code")).alias("observation_concept_code"),
+        _first(col("code.coding.system")).alias("observation_vocabulary"),
+        F.substring(col("effectiveDateTime"), 1, 10).alias(
+            "observation_date"
+        ),
+        _first(col("valueCodeableConcept.coding.code")).alias(
+            "value_as_concept_code"
+        ),
+        _first(col("valueCodeableConcept.coding.display")).alias(
+            "value_as_string"
+        ),
+        F.lit(32817).alias("observation_type_concept_id"),
+    )
+
+
+def omop_specimen(spec_df: DataFrame) -> DataFrame:
+    """OMOP CDM specimen projection from the R4 Specimen resource:
+    concept from ``type``, date from ``collection.collectedDateTime``,
+    quantity/unit from ``collection.quantity`` — the biobank table that
+    completes the CDM clinical-data story. Takes the TYPED Specimen
+    frame (the ``omop_payer_plan_period`` calling convention). Pure
+    typed projection — one scan, zero shuffles."""
+    return spec_df.select(
+        col("id").alias("specimen_id"),
+        F.regexp_replace(col("subject.reference"), "^Patient/", "").alias(
+            "person_id"
+        ),
+        _first(col("type.coding.code")).alias("specimen_concept_code"),
+        _first(col("type.coding.display")).alias("specimen_source_value"),
+        F.substring(col("collection.collectedDateTime"), 1, 10).alias(
+            "specimen_date"
+        ),
+        col("collection.quantity.value").alias("quantity"),
+        col("collection.quantity.unit").alias("unit_source_value"),
+        col("status").alias("status_source_value"),
+    )
+
+
+def omop_device_era(
+    entry_df: DataFrame, persistence_days: int = 30
+) -> DataFrame:
+    """Device eras over ``omop_device_exposure`` — the same
+    gap-and-island persistence-window merge as drug/condition/dose eras
+    via the shared ``_era_merge`` core, keyed per (person, device
+    concept). Scale shape: the exposure mapping is shuffle-free
+    (within-bundle reference resolution), so the era derivation's ONE
+    (person, concept)-keyed exchange is the whole cost — see
+    ``_era_merge``."""
+    e = omop_device_exposure(entry_df).select(
+        "person_id",
+        "device_concept_code",
+        F.to_date("device_exposure_start_date").alias("d"),
+    )
+    return _era_merge(
+        e, "device_concept_code", "device", "device_exposure_count",
+        persistence_days,
+    )

@@ -965,7 +965,16 @@ def write_corpus(
 #     third patient's final refill DOUBLES the dose, so the OMOP
 #     dose_era mapping must split that era on the dose dimension even
 #     though the gap is inside the persistence window.
-NDJSON_VERSION = "v7"
+# v8: Observation rows gain the R4 `category` (laboratory) and every
+#     patient adds a smoking-status SOCIAL-HISTORY Observation
+#     (valueCodeableConcept, no valueQuantity) — the category split the
+#     OMOP measurement-vs-observation domain decision runs on; +
+#     Specimen (type coding, collection.collectedDateTime, quantity) for
+#     the CDM specimen table; + Device / DeviceUseStatement — a 3-wear
+#     history per patient (same gap closed forms as the condition
+#     follow-ups, straddling the 30-day persistence window) so
+#     device_era's merge is data-dependent.
+NDJSON_VERSION = "v8"
 
 
 def ndjson_resource_dfs(
@@ -989,10 +998,17 @@ def ndjson_resource_dfs(
             (k % 12 + 1).cast("int"), (k % 28 + 1).cast("int"),
         ).alias("birthDate"),
     )
+    # v8: the lab rows carry the R4 category the OMOP domain split keys
+    # on; the social-history twin has valueCodeableConcept instead of
+    # valueQuantity (smoking status, the canonical OMOP observation row)
+    _OBS_CAT = "http://terminology.hl7.org/CodeSystem/observation-category"
     observation = F.struct(
         F.lit("Observation").alias("resourceType"),
         _cat("obs-", k).alias("id"),
         _pick(("final", "amended", "preliminary"), k).alias("status"),
+        F.array(
+            _codeable(F.lit("laboratory"), F.lit("Laboratory"), _OBS_CAT)
+        ).alias("category"),
         _codeable(_cat("L", k % 20), _cat("loinc-", k % 20), LOINC).alias(
             "code"
         ),
@@ -1001,6 +1017,29 @@ def ndjson_resource_dfs(
             (k % 60 + 140 + (k % 10) / F.lit(10.0)).alias("value"),
             F.lit("cm").alias("unit"),
         ).alias("valueQuantity"),
+    )
+    smoking_codes = ("266919005", "8517006", "77176002")
+    smoking_texts = ("Never smoker", "Former smoker", "Current smoker")
+    obs_social = F.struct(
+        F.lit("Observation").alias("resourceType"),
+        _cat("obs-sh-", k).alias("id"),
+        F.lit("final").alias("status"),
+        F.array(
+            _codeable(
+                F.lit("social-history"), F.lit("Social History"), _OBS_CAT
+            )
+        ).alias("category"),
+        _codeable(
+            F.lit("72166-2"), F.lit("Tobacco smoking status"), LOINC
+        ).alias("code"),
+        F.struct(_cat("Patient/p-", k).alias("reference")).alias("subject"),
+        F.format_string(
+            "%04d-%02d-%02d", (k % 6 + 2017).cast("int"),
+            ((k + 8) % 12 + 1).cast("int"), ((k + 3) % 28 + 1).cast("int"),
+        ).alias("effectiveDateTime"),
+        _codeable(
+            _pick(smoking_codes, k), _pick(smoking_texts, k), SNOMED
+        ).alias("valueCodeableConcept"),
     )
     # v6: a 3-recording follow-up history per patient (same code, so the
     # per-(person, concept) era merge is exercised; the first follow-up
@@ -1197,10 +1236,88 @@ def ndjson_resource_dfs(
             F.when(k % 3 == 0, base_dose * 2).otherwise(base_dose),
         ),
     )
+    # v8: Specimen — type coding + collection (collectedDateTime,
+    # quantity in quarter-exact mL so both engines compute the same
+    # double from the same expression)
+    specimen = F.struct(
+        F.lit("Specimen").alias("resourceType"),
+        _cat("spec-", k).alias("id"),
+        _pick(("available", "unavailable"), k).alias("status"),
+        _codeable(
+            _cat("SPEC", k % 10), _pick(("Serum", "Urine", "Whole blood"), k),
+            "http://terminology.hl7.org/CodeSystem/v2-0487",
+        ).alias("type"),
+        F.struct(_cat("Patient/p-", k).alias("reference")).alias("subject"),
+        F.struct(
+            F.format_string(
+                "%04d-%02d-%02d", (k % 7 + 2018).cast("int"),
+                ((k + 6) % 12 + 1).cast("int"),
+                ((k + 17) % 28 + 1).cast("int"),
+            ).alias("collectedDateTime"),
+            F.struct(
+                ((k % 8 + 1) * F.lit(2.5)).alias("value"),
+                F.lit("mL").alias("unit"),
+            ).alias("quantity"),
+        ).alias("collection"),
+    )
+    # v8: Device + its 3-wear DeviceUseStatement history — the DUS
+    # carries person + wear start, the referenced Device carries the
+    # concept; wear gaps reuse the condition follow-up closed forms
+    # (k%40+10 and k%20+25 straddle the 30-day persistence window) so
+    # the device_era merge is data-dependent
+    device_nd = F.struct(
+        F.lit("Device").alias("resourceType"),
+        _cat("dev-", k).alias("id"),
+        _pick(("active", "inactive"), k).alias("status"),
+        _codeable(_cat("DV", k % 15), _cat("devtype-", k % 15), SNOMED).alias(
+            "type"
+        ),
+        F.struct(_cat("Patient/p-", k).alias("reference")).alias("patient"),
+    )
+    dus_d0 = F.format_string(
+        "%04d-%02d-%02d", (k % 4 + 2021).cast("int"),
+        ((k + 3) % 12 + 1).cast("int"), ((k + 14) % 28 + 1).cast("int"),
+    )
+    dus_d1 = F.date_format(
+        F.date_add(F.to_date(dus_d0), (k % 40 + 10).cast("int")),
+        "yyyy-MM-dd",
+    )
+    dus_d2 = F.date_format(
+        F.date_add(F.to_date(dus_d1), (k % 20 + 25).cast("int")),
+        "yyyy-MM-dd",
+    )
+
+    def _dus_nd(suffix: str, start: F.Column) -> F.Column:
+        return F.struct(
+            F.lit("DeviceUseStatement").alias("resourceType"),
+            F.concat(_cat("dus-", k), F.lit(suffix)).alias("id"),
+            F.lit("active").alias("status"),
+            F.struct(_cat("Patient/p-", k).alias("reference")).alias(
+                "subject"
+            ),
+            F.struct(start.alias("start")).alias("timingPeriod"),
+            F.struct(_cat("Device/dev-", k).alias("reference")).alias(
+                "device"
+            ),
+        )
+
+    dus_history = F.array(
+        _dus_nd("", dus_d0), _dus_nd("-f1", dus_d1), _dus_nd("-f2", dus_d2)
+    )
     base = c.where(k < max_custkey)
     out = {
         "Patient": base.select(F.to_json(patient).alias("value")),
-        "Observation": base.select(F.to_json(observation).alias("value")),
+        # two selects (not one exploded array): the lab and social
+        # structs have different value[x] shapes, and to_json keeps
+        # each idiomatic instead of null-padding a common shape
+        "Observation": base.select(
+            F.to_json(observation).alias("value")
+        ).unionAll(base.select(F.to_json(obs_social).alias("value"))),
+        "Specimen": base.select(F.to_json(specimen).alias("value")),
+        "Device": base.select(F.to_json(device_nd).alias("value")),
+        "DeviceUseStatement": base.select(
+            F.explode(dus_history).alias("d")
+        ).select(F.to_json(col("d")).alias("value")),
         "Condition": base.select(
             F.explode(conditions).alias("c")
         ).select(F.to_json(col("c")).alias("value")),

@@ -1274,6 +1274,62 @@ def q_fhir_omop_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     return omop_location(_synthetic_entry(spark, sf_dir))
 
 
+def q_fhir_omop_observation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OMOP observation from the NDJSON bulk-export path (round-14;
+    corpus v8 adds the R4 ``category`` to the lab Observations and a
+    social-history smoking-status twin with valueCodeableConcept): the
+    $export Observation scan feeds ``omop_observation``, which applies
+    the OMOP DOMAIN SPLIT — categories outside laboratory/vital-signs
+    land in the observation table with a CODED value, the complement of
+    ``omop_measurement``. Completes the CDM clinical tables together
+    with specimen/device_era this round."""
+    from interop_spark.fhir import read_from_ndjson
+    from interop_spark.fhir.analytics import omop_observation
+    from interop_spark.fhir.gen import write_ndjson_corpus
+
+    d = write_ndjson_corpus(spark, sf_dir, max_custkey=_SYNTH_LIMIT)
+    obs = read_from_ndjson(
+        "file://" + d, spark=spark, glob_filter="*.ndjson"
+    ).resource("Observation")
+    return omop_observation(obs)
+
+
+def q_fhir_omop_specimen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OMOP specimen from the NDJSON bulk-export path (round-14; corpus
+    v8 adds the Specimen export file): typed Specimen scan →
+    ``omop_specimen`` — concept from type, date from
+    collection.collectedDateTime, quarter-exact quantity. One
+    line-splittable scan, zero shuffles."""
+    from interop_spark.fhir import read_from_ndjson
+    from interop_spark.fhir.analytics import omop_specimen
+    from interop_spark.fhir.gen import write_ndjson_corpus
+
+    d = write_ndjson_corpus(spark, sf_dir, max_custkey=_SYNTH_LIMIT)
+    spec = read_from_ndjson(
+        "file://" + d, spark=spark, glob_filter="*.ndjson"
+    ).resource("Specimen")
+    return omop_specimen(spec)
+
+
+def q_fhir_omop_device_era(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Device eras from the NDJSON bulk-export path (round-14; corpus v8
+    adds Device + a 3-wear DeviceUseStatement history whose gaps reuse
+    the condition follow-up closed forms, straddling the 30-day
+    window): $export Device/DeviceUseStatement lines → bundle-row
+    bridge → the UNCHANGED ``omop_device_exposure`` within-bundle
+    reference resolution → the SHARED ``_era_merge`` core. Fourth
+    consumer of the era helper (drug/condition/dose/device) — the CDM
+    derived-table family is one algorithm, written once."""
+    from interop_spark.fhir import bundles_from_ndjson, read_from_ndjson
+    from interop_spark.fhir.analytics import omop_device_era
+    from interop_spark.fhir.gen import write_ndjson_corpus
+
+    d = write_ndjson_corpus(spark, sf_dir, max_custkey=_SYNTH_LIMIT)
+    nd = read_from_ndjson("file://" + d, spark=spark, glob_filter="*.ndjson")
+    entry = bundles_from_ndjson(nd, ["Device", "DeviceUseStatement"])
+    return omop_device_era(entry)
+
+
 def q_fhir_concept_map_translate(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1461,6 +1517,9 @@ QUERIES = {
     "fhir_omop_cost": q_fhir_omop_cost,
     "fhir_omop_condition_era": q_fhir_omop_condition_era,
     "fhir_omop_location": q_fhir_omop_location,
+    "fhir_omop_observation": q_fhir_omop_observation,
+    "fhir_omop_specimen": q_fhir_omop_specimen,
+    "fhir_omop_device_era": q_fhir_omop_device_era,
     "fhir_omop_dose_era": q_fhir_omop_dose_era,
     "fhir_omop_cohort": q_fhir_omop_cohort,
     "fhir_concept_map_translate": q_fhir_concept_map_translate,
@@ -1592,6 +1651,32 @@ def _dk_med_status(shift: int) -> str:
 _DK_MED_DATE2 = _dk_med_date_plus("c_custkey % 40 + 10")
 _DK_MED_DATE3 = _dk_med_date_plus("c_custkey % 40 + 10 + c_custkey % 20 + 25")
 _CPT = "http://www.ama-assn.org/go/cpt"
+# NDJSON-v8 closed forms: social-history Observation date, Specimen
+# collection date, and the 3-wear DeviceUseStatement history (same
+# k%40+10 / k%20+25 gap forms as the condition follow-ups)
+_DK_SH_OBS_DATE = (
+    "printf('%04d-%02d-%02d', 2017 + c_custkey % 6, "
+    "(c_custkey + 8) % 12 + 1, (c_custkey + 3) % 28 + 1)"
+)
+_DK_SPEC_DATE = (
+    "printf('%04d-%02d-%02d', 2018 + c_custkey % 7, "
+    "(c_custkey + 6) % 12 + 1, (c_custkey + 17) % 28 + 1)"
+)
+_DK_DUS_DATE = (
+    "printf('%04d-%02d-%02d', 2021 + c_custkey % 4, "
+    "(c_custkey + 3) % 12 + 1, (c_custkey + 14) % 28 + 1)"
+)
+
+
+def _dk_dus_date_plus(days_expr: str) -> str:
+    return (
+        f"strftime(CAST({_DK_DUS_DATE} AS DATE) + "
+        f"to_days(CAST({days_expr} AS INTEGER)), '%Y-%m-%d')"
+    )
+
+
+_DK_DUS_DATE2 = _dk_dus_date_plus("c_custkey % 40 + 10")
+_DK_DUS_DATE3 = _dk_dus_date_plus("c_custkey % 40 + 10 + c_custkey % 20 + 25")
 
 
 ORACLE = {
@@ -2042,13 +2127,27 @@ ORACLE = {
                c_custkey % 60 + 140 + (c_custkey % 10) / 10.0 AS obs_value,
                'cm' AS obs_unit
         FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+        UNION ALL  -- v8 social-history twin: coded value, no quantity
+        SELECT 'obs-sh-' || c_custkey::VARCHAR, 'final', '72166-2',
+               'Patient/p-' || c_custkey::VARCHAR,
+               CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
     """,
     "fhir_ndjson_type_counts": f"""
         SELECT 'Patient' AS resourceType,
                CAST(count(1) AS BIGINT) AS n_resources
         FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
         UNION ALL
-        SELECT 'Observation', CAST(count(1) AS BIGINT)
+        SELECT 'Observation', CAST(count(1) * 2 AS BIGINT)  -- v8 sh twin
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+        UNION ALL
+        SELECT 'Specimen', CAST(count(1) AS BIGINT)  -- v8
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+        UNION ALL
+        SELECT 'Device', CAST(count(1) AS BIGINT)  -- v8
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+        UNION ALL
+        SELECT 'DeviceUseStatement', CAST(count(1) * 3 AS BIGINT)  -- v8
         FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
         UNION ALL
         SELECT 'Condition', CAST(count(1) * 3 AS BIGINT)  -- v6 follow-ups
@@ -2255,6 +2354,73 @@ ORACLE = {
                  AS location_id,
                city, state, zip, country, n_persons
         FROM g
+    """,
+    # v8 domain split: only the social-history twin passes the
+    # NOT-IN-(laboratory, vital-signs) category filter
+    "fhir_omop_observation": f"""
+        SELECT 'obs-sh-' || c_custkey::VARCHAR AS observation_id,
+               'p-' || c_custkey::VARCHAR AS person_id,
+               '72166-2' AS observation_concept_code,
+               'http://loinc.org' AS observation_vocabulary,
+               {_DK_SH_OBS_DATE} AS observation_date,
+               CASE (c_custkey % 3) WHEN 0 THEN '266919005'
+                 WHEN 1 THEN '8517006' ELSE '77176002'
+               END AS value_as_concept_code,
+               CASE (c_custkey % 3) WHEN 0 THEN 'Never smoker'
+                 WHEN 1 THEN 'Former smoker' ELSE 'Current smoker'
+               END AS value_as_string,
+               32817 AS observation_type_concept_id
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+    """,
+    "fhir_omop_specimen": f"""
+        SELECT 'spec-' || c_custkey::VARCHAR AS specimen_id,
+               'p-' || c_custkey::VARCHAR AS person_id,
+               'SPEC' || (c_custkey % 10)::VARCHAR
+                 AS specimen_concept_code,
+               CASE (c_custkey % 3) WHEN 0 THEN 'Serum'
+                 WHEN 1 THEN 'Urine' ELSE 'Whole blood'
+               END AS specimen_source_value,
+               {_DK_SPEC_DATE} AS specimen_date,
+               (c_custkey % 8 + 1) * 2.5 AS quantity,
+               'mL' AS unit_source_value,
+               CASE (c_custkey % 2) WHEN 0 THEN 'available'
+                 ELSE 'unavailable'
+               END AS status_source_value
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+    """,
+    # same lag/running-sum chain as the condition_era oracle, over the
+    # v8 3-wear DUS history dates
+    "fhir_omop_device_era": f"""
+        WITH e AS (
+          SELECT 'p-' || c_custkey::VARCHAR AS person_id,
+                 'DV' || (c_custkey % 15)::VARCHAR
+                   AS device_concept_code,
+                 unnest([CAST({_DK_DUS_DATE} AS DATE),
+                         CAST({_DK_DUS_DATE2} AS DATE),
+                         CAST({_DK_DUS_DATE3} AS DATE)]) AS d
+          FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+        ),
+        f AS (
+          SELECT person_id, device_concept_code, d,
+                 CASE WHEN d - lag(d) OVER (
+                        PARTITION BY person_id, device_concept_code
+                        ORDER BY d) > 30
+                      THEN 1 ELSE 0 END AS new_era
+          FROM e
+        ),
+        g AS (
+          SELECT person_id, device_concept_code, d,
+                 CAST(sum(new_era) OVER (
+                        PARTITION BY person_id, device_concept_code
+                        ORDER BY d ROWS UNBOUNDED PRECEDING) + 1
+                      AS INTEGER) AS era_seq
+          FROM f
+        )
+        SELECT person_id, device_concept_code, era_seq,
+               strftime(min(d), '%Y-%m-%d') AS device_era_start_date,
+               strftime(max(d), '%Y-%m-%d') AS device_era_end_date,
+               CAST(count(1) AS BIGINT) AS device_exposure_count
+        FROM g GROUP BY 1, 2, 3
     """,
     "fhir_terminology_catalog": """
         SELECT 'urn:synthetic:reportable-conditions' AS valueset_url,

@@ -651,14 +651,20 @@ ORACLE = {
     # (shared with fhir_queries' fhir_ndjson_observations oracle); the
     # 400 literal is fhir_queries._SYNTH_LIMIT
     "stream_ndjson_counts": """
-        SELECT CASE (c_custkey % 3) WHEN 0 THEN 'final'
-                 WHEN 1 THEN 'amended' ELSE 'preliminary' END AS status,
-               CAST(count(1) AS BIGINT) AS n_obs,
-               min('obs-' || c_custkey::VARCHAR) AS min_id,
-               max('obs-' || c_custkey::VARCHAR) AS max_id,
-               round(sum(c_custkey % 60 + 140 + (c_custkey % 10) / 10.0), 6)
-                 + 0.0 AS total_value
-        FROM customer WHERE c_custkey < 400
-        GROUP BY 1
+        WITH o AS (
+          SELECT CASE (c_custkey % 3) WHEN 0 THEN 'final'
+                   WHEN 1 THEN 'amended' ELSE 'preliminary' END AS status,
+                 'obs-' || c_custkey::VARCHAR AS id,
+                 c_custkey % 60 + 140 + (c_custkey % 10) / 10.0 AS v
+          FROM customer WHERE c_custkey < 400
+          UNION ALL  -- v8 social-history twin: final, no valueQuantity
+          SELECT 'final', 'obs-sh-' || c_custkey::VARCHAR,
+                 CAST(NULL AS DOUBLE)
+          FROM customer WHERE c_custkey < 400
+        )
+        SELECT status, CAST(count(1) AS BIGINT) AS n_obs,
+               min(id) AS min_id, max(id) AS max_id,
+               round(sum(v), 6) + 0.0 AS total_value
+        FROM o GROUP BY 1
     """,
 }

@@ -878,3 +878,131 @@ def test_bridge_matches_bundle_path_on_same_corpus(spark, tmp_path):
     b = sorted(map(tuple, via_bridge.select(cols).collect()))
     assert a == b
     assert len(a) == len(conds)
+
+
+def test_omop_observation_domain_split(spark):
+    """The OMOP domain decision, pinned: laboratory / vital-signs
+    categories belong to measurement and are EXCLUDED here; any other
+    category (social-history, survey) lands in the observation table
+    with the value as a coded concept; a category-less Observation maps
+    to neither table (unknowable domain)."""
+    from pyspark.sql import Row
+
+    from interop_spark.fhir.analytics import omop_observation
+
+    def obs(oid, cats, vcc=None):
+        return Row(
+            id=oid,
+            subject=Row(reference="Patient/p1"),
+            category=(
+                [Row(coding=[Row(system="s", code=c)]) for c in cats]
+                if cats is not None else None
+            ),
+            code=Row(coding=[Row(system="http://loinc.org", code="72166-2")]),
+            effectiveDateTime="2021-05-04T10:00:00Z",
+            valueCodeableConcept=(
+                Row(coding=[Row(system="sct", code=vcc, display="disp")])
+                if vcc else None
+            ),
+        )
+
+    frame = spark.createDataFrame(
+        [
+            obs("lab", ["laboratory"]),
+            obs("vit", ["vital-signs"]),
+            obs("sh", ["social-history"], vcc="8517006"),
+            obs("survey", ["survey"], vcc="LA33-6"),
+            obs("none", None),
+        ]
+    )
+    got = {
+        r.observation_id: (
+            r.person_id, r.observation_date, r.value_as_concept_code
+        )
+        for r in omop_observation(frame).collect()
+    }
+    assert got == {
+        "sh": ("p1", "2021-05-04", "8517006"),
+        "survey": ("p1", "2021-05-04", "LA33-6"),
+    }
+
+
+def test_omop_specimen_projection(spark):
+    """Specimen → CDM specimen: concept from type, date from
+    collection.collectedDateTime (string-typed per the driver date
+    contract), quantity/unit from collection.quantity."""
+    from pyspark.sql import Row
+
+    from interop_spark.fhir.analytics import omop_specimen
+
+    frame = spark.createDataFrame(
+        [
+            Row(
+                id="s1",
+                status="available",
+                subject=Row(reference="Patient/p9"),
+                type=Row(coding=[Row(system="v2", code="SER",
+                                     display="Serum")]),
+                collection=Row(
+                    collectedDateTime="2020-02-29T08:15:00Z",
+                    quantity=Row(value=7.5, unit="mL"),
+                ),
+            )
+        ]
+    )
+    (r,) = omop_specimen(frame).collect()
+    assert (
+        r.specimen_id, r.person_id, r.specimen_concept_code,
+        r.specimen_source_value, r.specimen_date, r.quantity,
+        r.unit_source_value, r.status_source_value,
+    ) == ("s1", "p9", "SER", "Serum", "2020-02-29", 7.5, "mL", "available")
+
+
+def test_omop_device_era_shares_era_core(spark):
+    """device_era is the FOURTH consumer of ``_era_merge``: the wear
+    history resolves the within-bundle Device reference (concept comes
+    from the Device, person/date from the DeviceUseStatement), then
+    merges per (person, device concept) under the 30-day window."""
+    from pyspark.sql import Row
+
+    from interop_spark.fhir.analytics import omop_device_era
+
+    def dus(did, dev_ref, start):
+        return Row(
+            id=did,
+            status="active",
+            subject=Row(reference="Patient/pA"),
+            timingPeriod=Row(start=start, end=start),
+            device=Row(reference=dev_ref),
+        )
+
+    dev = Row(
+        id="d1",
+        type=Row(coding=[Row(system="sct", code="DV7")]),
+        udiCarrier=[Row(deviceIdentifier="UDI-1")],
+    )
+    entry = spark.createDataFrame(
+        [
+            Row(
+                bundleUUID="b1",
+                Device=[dev],
+                DeviceUseStatement=[
+                    dus("u1", "Device/d1", "2022-01-01"),
+                    dus("u2", "Device/d1", "2022-01-31"),  # gap 30: fuse
+                    dus("u3", "Device/d1", "2022-04-01"),  # gap 60: split
+                    dus("u4", "Device/other", "2022-01-05"),  # dangling
+                ],
+            )
+        ]
+    )
+    got = {
+        (r.person_id, r.device_concept_code, r.era_seq): (
+            r.device_era_start_date, r.device_era_end_date,
+            r.device_exposure_count,
+        )
+        for r in omop_device_era(entry).collect()
+    }
+    assert got == {
+        ("pA", "DV7", 1): ("2022-01-01", "2022-01-31", 2),
+        ("pA", "DV7", 2): ("2022-04-01", "2022-04-01", 1),
+    }
