@@ -86,3 +86,181 @@ def hll_estimate(regs: DataFrame) -> DataFrame:
             "n_empty_buckets"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable rank/quantile sketch (round-14): hash-level sampling.
+#
+# The streaming/unbounded twin of `domain_quantile_filter`'s exact
+# histogram: that query is exact only because its scores live in a
+# bounded integer range; this sketch estimates ranks/quantiles of an
+# UNBOUNDED value column in O(capacity) state. Each item's LEVEL is the
+# leading-zero count of a seeded 32-bit md5 slice of its unique key
+# (P[level >= t] = 2^-t — the distinct-sampling / bottom-k discipline,
+# Gibbons VLDB 2001; Cohen & Kaplan 2007), and the sketch keeps exactly
+# the items at level >= T, where T is the smallest threshold whose
+# survivor count fits the capacity. Every survivor at threshold T
+# represents 2^T items, so est_rank(v) = 2^T * |{kept <= v}|.
+#
+# Determinism contract (the HLL discipline applied to ranks): the level
+# is integer bit-length arithmetic on an md5 slice — no randomness, no
+# floats — and T is a pure function of the LEVEL HISTOGRAM, so the kept
+# set is a pure function of the data SET. That makes the sketch
+# (a) oracle-exact (DuckDB replays the same md5/bin/shift integers) and
+# (b) PROVABLY mergeable: histograms add; T is monotone under union
+# (counts only grow), so each batch's kept set at its own T_b is a
+# superset of the merged kept set at T_m >= T_b, and union-then-filter
+# equals the one-pass sketch EXACTLY — not just in distribution.
+#
+# Scale shape: the build is one narrow projection + a <=33-key partial-
+# aggregated histogram; the survivor filter is a second scan-side
+# projection against a broadcast 1-row threshold (at 100 TB you rescan
+# 2 pruned columns rather than cache the corpus). Estimation runs on
+# the capacity-bounded survivor frame only.
+# ---------------------------------------------------------------------------
+
+RS_HBITS = 32  # hash width: level in [0, 32]
+RS_CAPACITY = 128  # max survivors the sketch retains
+
+
+def rank_sketch_items(df: DataFrame, value: Column, key: Column) -> DataFrame:
+    """(v, level) item frame: ``value`` carried verbatim (the sketch
+    never does arithmetic on it — only ordering), level = leading-zero
+    count of the 32-bit seeded hash of ``key`` (unique per item)."""
+    h = F.conv(
+        F.substring(F.md5(key.cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    return df.select(
+        value.alias("v"),
+        F.when(h == 0, F.lit(RS_HBITS))
+        .otherwise(F.lit(RS_HBITS) - F.length(F.bin(h)))
+        .cast("int")
+        .alias("level"),
+    )
+
+
+def rank_sketch_hist(items: DataFrame) -> DataFrame:
+    """(level, cnt) level histogram — <=33 rows, mergeable by sum."""
+    return items.groupBy("level").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def rank_sketch_threshold(hist: DataFrame, capacity: int = RS_CAPACITY) -> DataFrame:
+    """One-row (t) frame: the SMALLEST t in [0, 33] whose survivor
+    count sum(cnt | level >= t) fits the capacity. Evaluated over the
+    full candidate range (not just observed levels) so that when the
+    whole input fits, t = 0 and est_rank is exact with weight 1."""
+    spark = hist.sparkSession
+    ts = spark.range(0, RS_HBITS + 2).select(col("id").cast("int").alias("t"))
+    tails = (
+        ts.join(F.broadcast(hist), col("level") >= col("t"), "left")
+        .groupBy("t")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("tail"))
+    )
+    return tails.where(col("tail") <= capacity).agg(
+        F.min("t").cast("int").alias("t")
+    )
+
+
+def rank_sketch_build(
+    df: DataFrame, value: Column, key: Column, capacity: int = RS_CAPACITY
+) -> DataFrame:
+    """The sketch as ONE mergeable frame of tagged rows:
+    ``('h', level, NULL, cnt)`` histogram rows plus
+    ``('k', level, v, 1)`` survivor rows at the build's threshold."""
+    items = rank_sketch_items(df, value, key)
+    hist = rank_sketch_hist(items)
+    thr = rank_sketch_threshold(hist, capacity)
+    kept = items.crossJoin(F.broadcast(thr)).where(
+        col("level") >= col("t")
+    )
+    return hist.select(
+        F.lit("h").alias("kind"), "level",
+        F.lit(None).cast("double").alias("v"), "cnt",
+    ).unionByName(
+        kept.select(
+            F.lit("k").alias("kind"), "level", "v",
+            F.lit(1).cast("long").alias("cnt"),
+        )
+    )
+
+
+def rank_sketch_merge(
+    a: DataFrame, b: DataFrame, capacity: int = RS_CAPACITY
+) -> DataFrame:
+    """Merge two sketch frames: histograms ADD per level; the merged
+    threshold is recomputed from the merged histogram and the unioned
+    survivors re-filtered to it — provably equal to the one-pass sketch
+    of the union (T is monotone under union, see module comment)."""
+    u = a.unionByName(b)
+    hist = (
+        u.where(col("kind") == "h")
+        .groupBy("level")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    thr = rank_sketch_threshold(hist, capacity)
+    kept = (
+        u.where(col("kind") == "k")
+        .crossJoin(F.broadcast(thr))
+        .where(col("level") >= col("t"))
+    )
+    return hist.select(
+        F.lit("h").alias("kind"), "level",
+        F.lit(None).cast("double").alias("v"), "cnt",
+    ).unionByName(kept.select("kind", "level", "v", "cnt"))
+
+
+def rank_sketch_quantiles(
+    sketch: DataFrame, qs: list[tuple[str, int, int]] | None = None
+) -> DataFrame:
+    """Quantile estimates off a sketch frame. The survivors are a
+    deterministic uniform sample of the input (each item kept iff its
+    hash level >= T — coordinated/bottom-k sampling), so the estimate
+    SELF-NORMALIZES: quantile q is the sample quantile, i.e. the
+    smallest survivor v with ``|kept <= v| * den >= num * n_kept`` —
+    an ALL-INTEGER comparison both engines evaluate identically, and
+    one that cancels the tail-count bias a raw ``2^T * count`` scale-up
+    carries (the per-level population only EXPECTS n/2^T members).
+    ``est_rank`` reports the implied corpus rank ``(n * ck) div
+    n_kept``. Emits (quantile, est_value, est_rank, n_total,
+    threshold_level, n_kept); always selectable — the max survivor
+    qualifies for every q <= 1."""
+    from pyspark.sql.window import Window
+
+    qs = qs or [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
+    hist = sketch.where(col("kind") == "h").select("level", "cnt")
+    thr = rank_sketch_threshold(hist)
+    n = hist.agg(F.sum("cnt").alias("n"))
+    kept = sketch.where(col("kind") == "k")
+    nk = kept.agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+    cum = (
+        kept.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .withColumn(
+            "ck",
+            F.sum("c").over(
+                Window.orderBy("v").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(nk))
+        .withColumn("est_rank", F.expr("(n * ck) div n_kept"))
+    )
+    out = None
+    for label, num, den in qs:
+        qualifies = col("ck") * den >= col("n_kept") * num
+        pick = cum.agg(
+            F.min(F.when(qualifies, col("v"))).alias("est_value"),
+            F.min(F.when(qualifies, col("est_rank"))).alias("est_rank"),
+        ).select(F.lit(label).alias("quantile"), "est_value", "est_rank")
+        out = pick if out is None else out.unionByName(pick)
+    return (
+        out.crossJoin(F.broadcast(n.select(col("n").alias("n_total"))))
+        .crossJoin(
+            F.broadcast(thr.select(col("t").alias("threshold_level")))
+        )
+        .crossJoin(F.broadcast(nk))
+    )

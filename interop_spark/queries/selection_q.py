@@ -2585,8 +2585,12 @@ from interop_spark.operators.sketch import (  # noqa: E402 - section header
     HLL_M,
     HLL_P,
     HLL_WBITS,
+    RS_CAPACITY,
+    RS_HBITS,
     hll_estimate,
     hll_registers,
+    rank_sketch_build,
+    rank_sketch_quantiles,
 )
 
 
@@ -2717,6 +2721,105 @@ def _weighted_sample_oracle() -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# Mergeable rank/quantile sketch (round-14)
+# --------------------------------------------------------------------------
+
+
+def q_quantile_sketch_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation over an UNBOUNDED value column in O(capacity)
+    state — the mergeable twin `domain_quantile_filter`'s exact
+    histogram cannot be (that query relies on scores living in a
+    bounded integer range). Hash-level sampling (the distinct-sampling
+    / bottom-k discipline, Gibbons VLDB 2001, with the HLL determinism
+    contract): each event's level is the leading-zero count of a
+    seeded md5 slice of its unique event_id, the sketch keeps the
+    ≤``RS_CAPACITY`` items at level ≥ T — a deterministic uniform
+    sample — and quantile selection is the SAMPLE quantile via an
+    ALL-INTEGER rank comparison both engines evaluate identically
+    (self-normalizing, so the tail-count bias of a raw 2^T scale-up
+    cancels). ``true_rank`` pins estimator quality against the exact
+    corpus rank, the ``countmin_estimate`` / ``minhash_est_error``
+    instrumentation pattern.
+
+    Scale shape: one narrow projection + a ≤33-key partial-aggregated
+    histogram; the survivor filter is a second pruned-column scan
+    against a broadcast 1-row threshold; estimation runs on the
+    capacity-bounded survivor frame. Core in `operators/sketch.py`
+    (shared with the streaming register-merge twin
+    `stream_quantile_sketch`)."""
+    ev = load(spark, sf_dir, "events")
+    sk = rank_sketch_build(ev, col("value"), col("event_id"))
+    est = rank_sketch_quantiles(sk)
+    # exact rank of each estimate — 3 broadcast rows against one
+    # corpus aggregate pass, instrumentation only
+    tr = (
+        est.select("quantile", "est_value")
+        .join(ev, ev.value <= col("est_value"), "left")
+        .groupBy("quantile")
+        .agg(F.count("value").cast("long").alias("true_rank"))
+    )
+    return est.join(F.broadcast(tr), "quantile")
+
+
+def _quantile_sketch_oracle() -> str:
+    return f"""
+        WITH items AS (
+          SELECT v,
+                 CASE WHEN h = 0 THEN {RS_HBITS}
+                      ELSE {RS_HBITS} - length(bin(h)) END AS level
+          FROM (
+            SELECT value AS v,
+                   CAST(concat('0x',
+                        substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) AS h
+            FROM events)
+        ),
+        hist AS (
+          SELECT level, CAST(count(*) AS BIGINT) AS cnt
+          FROM items GROUP BY 1
+        ),
+        ts AS (SELECT unnest(generate_series(0, {RS_HBITS + 1})) AS t),
+        tails AS (
+          SELECT t, (SELECT COALESCE(sum(cnt), 0) FROM hist
+                     WHERE level >= ts.t) AS tail
+          FROM ts
+        ),
+        thr AS (SELECT CAST(min(t) AS INT) AS t FROM tails
+                WHERE tail <= {RS_CAPACITY}),
+        n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist),
+        kept AS (SELECT v FROM items, thr WHERE level >= thr.t),
+        nk AS (SELECT CAST(count(*) AS BIGINT) AS n_kept FROM kept),
+        cum AS (
+          SELECT v,
+                 CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS ck
+          FROM (SELECT v, CAST(count(*) AS BIGINT) AS c
+                FROM kept GROUP BY v)
+        ),
+        qsel AS (
+          SELECT 'p50' AS quantile, 1 AS num, 2 AS den
+          UNION ALL SELECT 'p90', 9, 10
+          UNION ALL SELECT 'p99', 99, 100
+        ),
+        est AS (
+          SELECT q.quantile,
+                 min(c.v) FILTER (c.ck * q.den >= nk.n_kept * q.num)
+                   AS est_value,
+                 min((n.n * c.ck) // nk.n_kept)
+                   FILTER (c.ck * q.den >= nk.n_kept * q.num)
+                   AS est_rank
+          FROM qsel q, cum c, n, nk
+          GROUP BY q.quantile
+        )
+        SELECT e.quantile, e.est_value, e.est_rank,
+               n.n AS n_total, thr.t AS threshold_level, nk.n_kept,
+               (SELECT CAST(count(value) AS BIGINT) FROM events ev
+                WHERE ev.value <= e.est_value) AS true_rank
+        FROM est e, n, thr, nk
+    """
+
+
 QUERIES = {
     "edit_distance_neardup": q_edit_distance_neardup,
     "dsir_importance": q_dsir_importance,
@@ -2750,6 +2853,7 @@ QUERIES = {
     "hll_distinct_estimate": q_hll_distinct_estimate,
     "bpe_train_merges": q_bpe_train_merges,
     "source_drift_chi2": q_source_drift_chi2,
+    "quantile_sketch_estimate": q_quantile_sketch_estimate,
 }
 
 ORACLE = {
@@ -2785,4 +2889,5 @@ ORACLE = {
     "hll_distinct_estimate": _hll_oracle(),
     "bpe_train_merges": _bpe_train_oracle(BPE_TRAIN_ROUNDS),
     "source_drift_chi2": _source_drift_oracle(),
+    "quantile_sketch_estimate": _quantile_sketch_oracle(),
 }

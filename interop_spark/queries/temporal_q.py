@@ -470,6 +470,62 @@ def q_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING quantile sketch — per-domain-threshold math on an
+    UNBOUNDED score stream in O(capacity) state (round-14): the events
+    table streams as the same 4-chunk landing the CDC upsert and the
+    HLL twin use, each micro-batch builds its own hash-level rank
+    sketch (histogram + capacity-bounded survivors), and
+    ``foreachBatch`` folds them with ``rank_sketch_merge``. The merge
+    is PROVABLY exact, not approximate-compounding: histograms add, the
+    merged threshold is monotone under union, and union-then-refilter
+    equals the one-pass sketch for ANY batch split — so the oracle is
+    simply the batch sketch over all events (the same SQL as
+    ``quantile_sketch_estimate`` minus the true-rank audit).
+
+    State between batches is O(capacity + levels): survivor values and
+    a ≤33-row histogram, never event rows."""
+    import os
+
+    from interop_spark.operators.sketch import (
+        rank_sketch_build,
+        rank_sketch_merge,
+        rank_sketch_quantiles,
+    )
+    from interop_spark.io import load
+    from interop_spark.streaming.cdc import land_event_chunks
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    flat = land_event_chunks(ev, 4, key)  # shared with stream_merge_upsert
+    schema = spark.read.parquet(flat).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    state: dict = {"sk": None}
+
+    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        sk_b = rank_sketch_build(batch_df, col("value"), col("event_id"))
+        if state["sk"] is None:
+            state["sk"] = sk_b.localCheckpoint()
+        else:
+            state["sk"] = rank_sketch_merge(
+                state["sk"], sk_b
+            ).localCheckpoint()
+
+    q = (
+        src.writeStream.foreachBatch(_merge)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return rank_sketch_quantiles(state["sk"])
+
+
 QUERIES = {
     "asof_join": q_asof_join,
     "range_join_pairs": q_range_join_pairs,
@@ -481,12 +537,15 @@ QUERIES = {
     "stream_join_pairs_watermarked": q_stream_join_pairs_watermarked,
     "stream_merge_upsert": q_stream_merge_upsert,
     "stream_hll_users": q_stream_hll_users,
+    "stream_quantile_sketch": q_stream_quantile_sketch,
 }
 
 from interop_spark.operators.sketch import (  # noqa: E402
     HLL_ALPHA as _HLL_ALPHA,
     HLL_M as _HLL_M,
     HLL_WBITS as _HLL_WBITS,
+    RS_CAPACITY as _RS_CAPACITY,
+    RS_HBITS as _RS_HBITS,
 )
 
 ORACLE = {
@@ -520,6 +579,63 @@ ORACLE = {
                  AS hll_estimate,
                CAST({_HLL_M} - s.n_present AS BIGINT) AS n_empty_buckets
         FROM s, e
+    """,
+    # the rank-sketch merge provably equals the one-pass sketch
+    # (histograms add; the threshold is monotone under union and the
+    # survivor set is a pure function of the data set + threshold), so
+    # the oracle is the batch sketch over ALL events — same md5/bin
+    # integer derivation as operators/sketch.py, minus the batch row's
+    # true-rank audit
+    "stream_quantile_sketch": f"""
+        WITH items AS (
+          SELECT v,
+                 CASE WHEN h = 0 THEN {_RS_HBITS}
+                      ELSE {_RS_HBITS} - length(bin(h)) END AS level
+          FROM (
+            SELECT value AS v,
+                   CAST(concat('0x',
+                        substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) AS h
+            FROM events)
+        ),
+        hist AS (
+          SELECT level, CAST(count(*) AS BIGINT) AS cnt
+          FROM items GROUP BY 1
+        ),
+        ts AS (SELECT unnest(generate_series(0, {_RS_HBITS + 1})) AS t),
+        tails AS (
+          SELECT t, (SELECT COALESCE(sum(cnt), 0) FROM hist
+                     WHERE level >= ts.t) AS tail
+          FROM ts
+        ),
+        thr AS (SELECT CAST(min(t) AS INT) AS t FROM tails
+                WHERE tail <= {_RS_CAPACITY}),
+        n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist),
+        kept AS (SELECT v FROM items, thr WHERE level >= thr.t),
+        nk AS (SELECT CAST(count(*) AS BIGINT) AS n_kept FROM kept),
+        cum AS (
+          SELECT v,
+                 CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS ck
+          FROM (SELECT v, CAST(count(*) AS BIGINT) AS c
+                FROM kept GROUP BY v)
+        ),
+        qsel AS (
+          SELECT 'p50' AS quantile, 1 AS num, 2 AS den
+          UNION ALL SELECT 'p90', 9, 10
+          UNION ALL SELECT 'p99', 99, 100
+        )
+        SELECT q.quantile,
+               min(c.v) FILTER (c.ck * q.den >= nk.n_kept * q.num)
+                 AS est_value,
+               min((n.n * c.ck) // nk.n_kept)
+                 FILTER (c.ck * q.den >= nk.n_kept * q.num)
+                 AS est_rank,
+               CAST(min(n.n) AS BIGINT) AS n_total,
+               CAST(min(thr.t) AS INT) AS threshold_level,
+               CAST(min(nk.n_kept) AS BIGINT) AS n_kept
+        FROM qsel q, cum c, n, thr, nk
+        GROUP BY q.quantile
     """,
     # any micro-batch split of the conditional-merge upsert converges
     # to the batch per-user argmax by (ts, event_id) — the idempotent

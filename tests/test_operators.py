@@ -987,3 +987,86 @@ def test_pca_top_component_degenerate_inputs(spark):
     got = {r.dim: (r.loading, r.eigenvalue) for r in
            pca_top_component(const).collect()}
     assert got == {0: (0.0, 0.0), 1: (0.0, 0.0)}
+
+
+def test_rank_sketch_merge_equals_one_pass(spark):
+    """The mergeability CONTRACT of the hash-level rank sketch, pinned
+    exactly (not statistically): for an arbitrary 3-way split of the
+    input, merging per-part sketches yields the IDENTICAL sketch frame
+    (histogram and survivor multiset) as one pass over everything —
+    because histograms add, the threshold is monotone under union, and
+    the survivor set is a pure function of (data set, threshold)."""
+    from pyspark.sql import functions as F
+
+    from interop_spark.operators.sketch import (
+        rank_sketch_build,
+        rank_sketch_merge,
+    )
+
+    full = spark.range(0, 3000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 997).cast("double").alias("score"),
+    )
+    parts = [
+        full.where(F.col("k") % 3 == i) for i in range(3)
+    ]
+    one_pass = rank_sketch_build(full, F.col("score"), F.col("k"))
+    merged = rank_sketch_merge(
+        rank_sketch_merge(
+            rank_sketch_build(parts[0], F.col("score"), F.col("k")),
+            rank_sketch_build(parts[1], F.col("score"), F.col("k")),
+        ),
+        rank_sketch_build(parts[2], F.col("score"), F.col("k")),
+    )
+
+    def as_multiset(df):
+        return sorted(
+            (r.kind, r.level, r.v, r.cnt) for r in df.collect()
+        )
+
+    assert as_multiset(merged) == as_multiset(one_pass)
+
+
+def test_rank_sketch_quantile_accuracy(spark):
+    """Estimator sanity on a known distribution: scores 0..2999 uniform;
+    with capacity 128 the p50/p90 estimates must land within ~15% rank
+    error of the true quantiles, and the exact-fit case (n <= capacity)
+    must be EXACT with threshold 0 and weight 1."""
+    from pyspark.sql import functions as F
+
+    from interop_spark.operators.sketch import (
+        rank_sketch_build,
+        rank_sketch_quantiles,
+    )
+
+    big = spark.range(0, 3000).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("score")
+    )
+    est = {
+        r.quantile: r
+        for r in rank_sketch_quantiles(
+            rank_sketch_build(big, F.col("score"), F.col("k"))
+        ).collect()
+    }
+    assert est["p50"].n_total == 3000
+    assert est["p50"].threshold_level >= 1
+    assert est["p50"].n_kept <= 128
+    # self-normalized sample quantile: ~n/sqrt(n_kept) rank noise
+    assert abs(est["p50"].est_value - 1500) <= 450
+    assert abs(est["p90"].est_value - 2700) <= 450
+
+    small = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("score")
+    )
+    est_s = {
+        r.quantile: r
+        for r in rank_sketch_quantiles(
+            rank_sketch_build(small, F.col("score"), F.col("k"))
+        ).collect()
+    }
+    # everything fits: T = 0, every item kept, ranks exact
+    assert est_s["p50"].threshold_level == 0
+    assert est_s["p50"].n_kept == 100
+    assert est_s["p50"].est_value == 49.0  # rank 50 of 100
+    assert est_s["p90"].est_value == 89.0
+    assert est_s["p99"].est_value == 98.0

@@ -908,3 +908,57 @@ def test_land_event_chunks_content_fingerprint(spark):
         (r.event_id, r.value) for r in spark.read.parquet(flat_b).collect()
     }
     assert got_b == {(1, 10.0), (2, 99.0)}
+
+
+def test_stream_rank_sketch_merge_multiple_batches(spark, sf_dir):
+    """The streaming quantile row's oracle would pass trivially if the
+    stream collapsed into one micro-batch — this pins that 4 real
+    batches fold through rank_sketch_merge and that the merged sketch
+    frame (histogram AND survivor multiset) EQUALS the one-pass batch
+    sketch: the exact-mergeability contract that makes the rank sketch
+    a streaming citizen."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from interop_spark.io import load
+    from interop_spark.operators.sketch import (
+        rank_sketch_build,
+        rank_sketch_merge,
+    )
+    from interop_spark.streaming.cdc import land_event_chunks
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    flat = land_event_chunks(ev, 4, key)
+    schema = spark.read.parquet(flat).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    state = {"sk": None, "batches": 0}
+
+    def _merge(batch_df, _bid):
+        state["batches"] += 1
+        sk_b = rank_sketch_build(
+            batch_df, F.col("value"), F.col("event_id")
+        )
+        if state["sk"] is None:
+            state["sk"] = sk_b.localCheckpoint()
+        else:
+            state["sk"] = rank_sketch_merge(
+                state["sk"], sk_b
+            ).localCheckpoint()
+
+    q = src.writeStream.foreachBatch(_merge).trigger(availableNow=True).start()
+    q.awaitTermination()
+    assert state["batches"] == 4, state["batches"]
+
+    one_pass = rank_sketch_build(ev, F.col("value"), F.col("event_id"))
+    as_ms = lambda df: sorted(  # noqa: E731 - comparator
+        (r.kind, r.level, r.v, r.cnt) for r in df.collect()
+    )
+    assert as_ms(state["sk"]) == as_ms(one_pass)
