@@ -2506,11 +2506,12 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_merges(wf, BPE_TRAIN_ROUNDS)
 
 
-def _bpe_train_oracle(rounds: int) -> str:
-    """Unrolled CTE chain replicating bpe_train_merges round-for-round:
-    lead-pair count → argmax (count desc, (a,b) asc) → match flag →
-    gap-and-island run key (pos − running match count) → odd-offset
-    keep → consume-next via lag → renumber."""
+def _bpe_train_ctes(rounds: int) -> list[str]:
+    """The unrolled training CTE parts (shared by the train-only oracle
+    and the train→encode composition oracle): lead-pair count → argmax
+    (count desc, (a,b) asc) → match flag → gap-and-island run key →
+    odd-offset keep → consume-next via lag → renumber; round r's argmax
+    lands in CTE ``b{r}``."""
     parts = [
         f"""wf AS (
           SELECT w, CAST(count(*) AS BIGINT) AS c
@@ -2568,12 +2569,141 @@ def _bpe_train_oracle(rounds: int) -> str:
           FROM d{r} WHERE NOT consumed
         )""")
         # (seq{rounds} is unused but keeps the per-round shape uniform)
+    return parts
+
+
+def _bpe_train_oracle(rounds: int) -> str:
+    """Train-only oracle: the unrolled CTE chain's per-round argmaxes."""
+    parts = _bpe_train_ctes(rounds)
     selects = "\n        UNION ALL ".join(
         f"SELECT CAST({r} AS INT) AS merge_round, a, b, a || b AS merged,"
         f" CAST(pc AS BIGINT) AS pair_count FROM b{r}"
         for r in range(1, rounds + 1)
     )
     return "WITH " + ",\n        ".join(parts) + "\n        " + selects
+
+
+def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN → ENCODE composition (round-14): the tokenizer loop CLOSED
+    — ``bpe_train_merges`` learns ``BPE_TRAIN_ROUNDS`` merges from the
+    corpus word-frequency table, and the corpus is then encoded with
+    the LEARNED merge list (not the fixed toy vocab ``bpe_encode``
+    uses), proving the training output actually drives encoding. Same
+    per-doc output contract as ``bpe_encode``: token count, piece
+    count, and the order-independent (word → pieces) hash that pins the
+    actual subword strings. The oracle chains the training CTEs into
+    the recursive greedy-encode replay, so DuckDB re-learns AND
+    re-applies the identical merges.
+
+    Scale shape: training cost is the one word-frequency aggregate plus
+    vocabulary-sized rounds (`operators/text.py:bpe_train_merges`); the
+    learned table is ``rounds`` rows — a bounded model fetch, the PQ-
+    codebook pattern — and encoding touches Python only on the
+    DISTINCT-word dictionary (Arrow-batched), never the token stream."""
+    from interop_spark.operators.text import (
+        bpe_pieces_udf,
+        bpe_train_merges,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(tx_tokens(col("text"))).alias("w")
+    ).where(col("w") != "")
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    trained = bpe_train_merges(wf, BPE_TRAIN_ROUNDS)
+    merges = [
+        (r.a, r.b) for r in trained.orderBy("merge_round").collect()
+    ]  # rounds-sized model fetch (the PQ-codebook pattern)
+    vocab = words.select("w").distinct()
+    enc = vocab.select(
+        "w", bpe_pieces_udf(merges)(col("w")).alias("pieces_str")
+    )
+    return (
+        words.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.size(F.split(col("pieces_str"), " ")))
+            .cast("bigint")
+            .alias("n_pieces"),
+            F.sum(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                col("w"), F.lit("->"), col("pieces_str")
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("enc_hash"),
+        )
+    )
+
+
+def _bpe_train_encode_oracle(rounds: int) -> str:
+    """Training CTEs (the learned per-round argmaxes ``b1..b{rounds}``)
+    feeding the same recursive greedy-encode replay `bpe_encode`'s
+    oracle runs against its literal table: each recursion fuses the
+    LEFTMOST occurrence of the MIN-RANK applicable merge on a
+    chr(31)-delimited piece string."""
+    parts = _bpe_train_ctes(rounds)
+    trained = "\n          UNION ALL ".join(
+        f"SELECT {r} AS rank,"
+        f" chr(31) || a || chr(31) || b || chr(31) AS pat,"
+        f" chr(31) || a || b || chr(31) AS rep FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    joined_parts = ",\n        ".join(parts)
+    return f"""
+        WITH RECURSIVE
+        {joined_parts},
+        trained AS (
+          {trained}
+        ),
+        dwords AS (
+          SELECT doc_id, unnest({_SEL_TOKENS}) AS w FROM documents
+        ),
+        vocab AS (SELECT DISTINCT w FROM dwords WHERE w <> ''),
+        enc AS (
+          SELECT w,
+                 chr(31) || regexp_replace(w, '(.)', '\\1' || chr(31), 'g')
+                   AS s
+          FROM vocab
+          UNION ALL
+          SELECT w,
+                 (SELECT substr(s, 1, position(m.pat IN s) - 1) || m.rep
+                         || substr(s, position(m.pat IN s) + length(m.pat))
+                  FROM trained m WHERE position(m.pat IN s) > 0
+                  ORDER BY m.rank LIMIT 1)
+          FROM enc
+          WHERE EXISTS (SELECT 1 FROM trained m
+                        WHERE position(m.pat IN s) > 0)
+        ),
+        pieced AS (
+          SELECT w,
+                 replace(trim(s, chr(31)), chr(31), ' ') AS pieces_str
+          FROM enc
+          WHERE NOT EXISTS (SELECT 1 FROM trained m
+                            WHERE position(m.pat IN s) > 0)
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(len(string_split(p.pieces_str, ' '))) AS BIGINT)
+                 AS n_pieces,
+               CAST(sum(CAST(concat('0x',
+                        substr(md5(concat(w, '->', p.pieces_str)), 1, 8))
+                      AS BIGINT)) AS BIGINT) AS enc_hash
+        FROM dwords JOIN pieced p USING (w)
+        WHERE w <> ''
+        GROUP BY doc_id
+    """
 
 
 # --------------------------------------------------------------------------
@@ -2854,6 +2984,7 @@ QUERIES = {
     "bpe_train_merges": q_bpe_train_merges,
     "source_drift_chi2": q_source_drift_chi2,
     "quantile_sketch_estimate": q_quantile_sketch_estimate,
+    "bpe_train_encode": q_bpe_train_encode,
 }
 
 ORACLE = {
@@ -2890,4 +3021,5 @@ ORACLE = {
     "bpe_train_merges": _bpe_train_oracle(BPE_TRAIN_ROUNDS),
     "source_drift_chi2": _source_drift_oracle(),
     "quantile_sketch_estimate": _quantile_sketch_oracle(),
+    "bpe_train_encode": _bpe_train_encode_oracle(BPE_TRAIN_ROUNDS),
 }

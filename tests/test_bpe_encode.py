@@ -144,3 +144,37 @@ def test_bpe_train_merges_degenerate_inputs(spark):
     ]
     with _pytest.raises(ValueError, match="rounds"):
         bpe_train_merges(wf, 0)
+
+
+def test_bpe_train_encode_composition(spark):
+    """Train→encode composition: merges learned from the corpus drive
+    the encoder (not the fixed toy vocab). On the Sennrich walkthrough
+    word the learned table is aa/ab/aaab/ac, so 'aaabdaaabac' encodes
+    to [aaab, d, aaab, ac] — 4 pieces the DEFAULT table could never
+    produce (it has no 'a'+'a' merge)."""
+    from interop_spark.operators.text import (
+        bpe_pieces_udf,
+        bpe_train_merges,
+        bpe_word_pieces,
+    )
+    from pyspark.sql import functions as F
+
+    wf = spark.createDataFrame([("aaabdaaabac", 1)], "w string, c long")
+    merges = [
+        (r.a, r.b)
+        for r in bpe_train_merges(wf, 4).orderBy("merge_round").collect()
+    ]
+    assert merges == [("a", "a"), ("a", "b"), ("aa", "ab"), ("a", "c")]
+    # the local reference encoder and the Arrow UDF agree on the
+    # learned table
+    assert bpe_word_pieces("aaabdaaabac", merges) == [
+        "aaab", "d", "aaab", "ac",
+    ]
+    (row,) = (
+        spark.createDataFrame([("aaabdaaabac",)], "w string")
+        .select(bpe_pieces_udf(merges)(F.col("w")).alias("p"))
+        .collect()
+    )
+    assert row.p == "aaab d aaab ac"
+    # and the default table gives a different segmentation
+    assert bpe_word_pieces("aaabdaaabac") != ["aaab", "d", "aaab", "ac"]
