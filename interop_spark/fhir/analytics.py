@@ -944,3 +944,57 @@ def omop_device_era(
         e, "device_concept_code", "device", "device_exposure_count",
         persistence_days,
     )
+
+
+def omop_cohort(
+    condition_occurrence: DataFrame,
+    drug_exposure: DataFrame,
+    vs_codes: DataFrame,
+    window_days: int = 1500,
+) -> DataFrame:
+    """Cohort selection over CDM occurrence tables (round-13 logic,
+    extracted round-14 so the e2e chain can run it over WRITTEN tables):
+    persons whose condition code is in the ValueSet (``vs_codes``: one
+    ``condition_concept_code`` column, broadcast — a terminology key
+    never shuffles the corpus) and who received a drug exposure within
+    ``window_days`` days AFTER the condition was recorded; one row per
+    qualifying (person, condition) with the FIRST qualifying exposure.
+
+    Scale shape: the condition↔exposure join is person-keyed (the one
+    corpus shuffle); the first-exposure argmin is a partial-aggregated
+    min(struct) on the same key, so it reuses the join's partitioning."""
+    co = condition_occurrence.select(
+        "person_id",
+        "condition_concept_code",
+        F.to_date("condition_start_date").alias("cond_date"),
+    )
+    de = drug_exposure.select(
+        "person_id",
+        "drug_concept_code",
+        F.to_date("drug_exposure_start_date").alias("exp_date"),
+    )
+    qualifying = (
+        co.join(F.broadcast(vs_codes), "condition_concept_code")
+        .join(de, "person_id")
+        .where(
+            (col("exp_date") >= col("cond_date"))
+            & (F.datediff(col("exp_date"), col("cond_date")) <= window_days)
+        )
+    )
+    first = qualifying.groupBy(
+        "person_id", "condition_concept_code", "cond_date"
+    ).agg(F.min(F.struct("exp_date", "drug_concept_code")).alias("m"))
+    return first.select(
+        "person_id",
+        "condition_concept_code",
+        F.date_format("cond_date", "yyyy-MM-dd").alias(
+            "condition_start_date"
+        ),
+        F.date_format(col("m.exp_date"), "yyyy-MM-dd").alias(
+            "first_exposure_date"
+        ),
+        col("m.drug_concept_code").alias("first_drug_concept_code"),
+        F.datediff(col("m.exp_date"), col("cond_date"))
+        .cast("int")
+        .alias("days_to_treatment"),
+    )

@@ -1184,6 +1184,7 @@ def q_fhir_omop_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from interop_spark.fhir import read_from_ndjson
     from interop_spark.fhir.analytics import (
+        omop_cohort,
         omop_condition_occurrence,
         omop_drug_exposure,
     )
@@ -1223,43 +1224,11 @@ def q_fhir_omop_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(col("vc.code").alias("condition_concept_code"))
         .distinct()
     )
-    co = omop_condition_occurrence(entry).select(
-        "person_id",
-        "condition_concept_code",
-        F.to_date("condition_start_date").alias("cond_date"),
-    )
-    de = omop_drug_exposure(entry).select(
-        "person_id",
-        "drug_concept_code",
-        F.to_date("drug_exposure_start_date").alias("exp_date"),
-    )
-    qualifying = (
-        co.join(F.broadcast(vs_codes), "condition_concept_code")
-        .join(de, "person_id")
-        .where(
-            (col("exp_date") >= col("cond_date"))
-            & (
-                F.datediff(col("exp_date"), col("cond_date"))
-                <= COHORT_WINDOW_DAYS
-            )
-        )
-    )
-    first = qualifying.groupBy(
-        "person_id", "condition_concept_code", "cond_date"
-    ).agg(F.min(F.struct("exp_date", "drug_concept_code")).alias("m"))
-    return first.select(
-        "person_id",
-        "condition_concept_code",
-        F.date_format("cond_date", "yyyy-MM-dd").alias(
-            "condition_start_date"
-        ),
-        F.date_format(col("m.exp_date"), "yyyy-MM-dd").alias(
-            "first_exposure_date"
-        ),
-        col("m.drug_concept_code").alias("first_drug_concept_code"),
-        F.datediff(col("m.exp_date"), col("cond_date"))
-        .cast("int")
-        .alias("days_to_treatment"),
+    return omop_cohort(
+        omop_condition_occurrence(entry),
+        omop_drug_exposure(entry),
+        vs_codes,
+        window_days=COHORT_WINDOW_DAYS,
     )
 
 

@@ -17,7 +17,11 @@ Stage map to `/root/reference/01_dbignite_sample.py`:
   6. ADT: entry → bulk_table_write(Patient,
      MessageHeader) → timeline over TABLES    (:404-459)
   7. OMOP person CTAS                         (:472-484)
-  8. df_to_fhir writer roundtrip              (:560-602)
+  8. derived drug eras from the WRITTEN
+     occurrence table (shared _era_merge)     (:472-484, extended)
+  9. cohort selection over the WRITTEN
+     condition/drug occurrence tables         (:472-484, extended)
+ 10. df_to_fhir writer roundtrip              (:560-602)
 """
 
 from __future__ import annotations
@@ -184,7 +188,54 @@ def test_notebook_chain(spark, sf_dir, tmp_path):
     # exposure era (the corpus guarantees straddling gaps)
     assert any(r[-1] > 1 for r in t_rows)
 
-    # -- 9. writer roundtrip (df → FHIR JSON → re-parse) ---------------
+    # -- 9. cohort over the WRITTEN occurrence tables -------------------
+    # the full OMOP shop sequence: ingest → land condition/drug
+    # occurrence tables → select the cohort FROM THE TABLES (the
+    # analytic the CDM exists for), asserting table-fed equals
+    # entry-fed and that the temporal window genuinely filters
+    from interop_spark.fhir import read_from_ndjson
+    from interop_spark.fhir.analytics import (
+        omop_cohort,
+        omop_condition_occurrence,
+    )
+    from interop_spark.fhir.gen import write_ndjson_corpus
+
+    drop_table_if_exists(spark, f"{loc}.OMOP_CONDITION_OCCURRENCE")
+    save_as_table(
+        omop_condition_occurrence(entry),
+        f"{loc}.OMOP_CONDITION_OCCURRENCE",
+    )
+    co_tab = spark.table("hls_healthcare_hls_dev.OMOP_CONDITION_OCCURRENCE")
+    assert co_tab.count() == N_BUNDLES
+    nd_dir = write_ndjson_corpus(spark, sf_dir, max_custkey=N_BUNDLES)
+    vs_codes = (
+        read_from_ndjson(
+            "file://" + nd_dir, spark=spark, glob_filter="*.ndjson"
+        )
+        .resource("ValueSet")
+        .select(F.explode("compose.include").alias("inc"))
+        .select(F.explode("inc.concept").alias("vc"))
+        .select(col("vc.code").alias("condition_concept_code"))
+        .distinct()
+    )
+    cohort_tables = omop_cohort(co_tab, occ, vs_codes)
+    cohort_entry = omop_cohort(
+        omop_condition_occurrence(entry), omop_drug_exposure(entry),
+        vs_codes,
+    )
+    c_rows = sorted(map(tuple, cohort_tables.collect()))
+    assert c_rows == sorted(map(tuple, cohort_entry.collect()))
+    # the ValueSet and the 1500-day window both bite: some persons
+    # qualify, not all ValueSet-matched persons do
+    n_vs_persons = (
+        co_tab.join(F.broadcast(vs_codes), "condition_concept_code")
+        .select("person_id")
+        .distinct()
+        .count()
+    )
+    assert 0 < len(c_rows) < n_vs_persons
+
+    # -- 10. writer roundtrip (df → FHIR JSON → re-parse) ---------------
     from interop_spark.queries.fhir_queries import q_fhir_writer_roundtrip
 
     rt = q_fhir_writer_roundtrip(spark, sf_dir)
