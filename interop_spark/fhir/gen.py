@@ -974,7 +974,12 @@ def write_corpus(
 #     history per patient (same gap closed forms as the condition
 #     follow-ups, straddling the 30-day persistence window) so
 #     device_era's merge is data-dependent.
-NDJSON_VERSION = "v8"
+# v9: + Measure / Library / PlanDefinition definitional files (tenth
+#     promotion batch — the quality-measure/eCQM trio): 5 measures
+#     naming their logic Library by canonical url, 5 libraries with CQL
+#     attachment stubs, 5 plan definitions with applicability-condition
+#     actions.
+NDJSON_VERSION = "v9"
 
 
 def ndjson_resource_dfs(
@@ -1330,6 +1335,7 @@ def ndjson_resource_dfs(
         ).select(F.to_json(col("m")).alias("value")),
     }
     out.update(_terminology_dfs(spark))
+    out.update(_quality_dfs(spark))
     return out
 
 
@@ -1422,6 +1428,118 @@ def _terminology_dfs(spark: SparkSession) -> dict[str, DataFrame]:
         "CodeSystem": mk(codesystem),
         "ValueSet": mk(valueset),
         "ConceptMap": mk(conceptmap),
+    }
+
+
+def _quality_dfs(spark: SparkSession) -> dict[str, DataFrame]:
+    """The v9 DEFINITIONAL files (quality-measure/eCQM trio, TENTH
+    promotion batch): 5 Measures, each naming its logic Library by
+    canonical url (the CMS eCQM packaging shape) with a 2-population
+    group; 5 Libraries with a CQL attachment stub; 5 PlanDefinitions
+    whose actions reference the same libraries and carry applicability
+    conditions. Bounded fixture tooling, the ``_terminology_dfs``
+    pattern — closed-form in the index so the proof-row oracle
+    recomputes the catalog relationally."""
+    import json as _json
+
+    scorings = ("proportion", "ratio", "cohort")
+    measures = [
+        {
+            "resourceType": "Measure",
+            "id": f"m-{i}",
+            "url": f"urn:synthetic:measure/m-{i}",
+            "version": f"1.{i}",
+            "name": f"SyntheticMeasure{i}",
+            "title": f"Synthetic Measure {i}",
+            "status": "active",
+            "scoring": {
+                "coding": [
+                    {
+                        "system": (
+                            "http://terminology.hl7.org/CodeSystem"
+                            "/measure-scoring"
+                        ),
+                        "code": scorings[i % 3],
+                    }
+                ]
+            },
+            "library": [f"urn:synthetic:library/l-{i}"],
+            "group": [
+                {
+                    "population": [
+                        {
+                            "code": {"coding": [{"code": pop}]},
+                            "criteria": {
+                                "language": "text/cql.identifier",
+                                "expression": f"{pop}-{i}",
+                            },
+                        }
+                        for pop in ("initial-population", "numerator")
+                    ]
+                }
+            ],
+        }
+        for i in range(5)
+    ]
+    libraries = [
+        {
+            "resourceType": "Library",
+            "id": f"l-{i}",
+            "url": f"urn:synthetic:library/l-{i}",
+            "version": f"2.{i}",
+            "title": f"Synthetic Library {i}",
+            "status": "active",
+            "type": {
+                "coding": [
+                    {
+                        "system": (
+                            "http://terminology.hl7.org/CodeSystem"
+                            "/library-type"
+                        ),
+                        "code": "logic-library",
+                    }
+                ]
+            },
+            "content": [
+                {"contentType": "text/cql", "title": f"cql-{i}"}
+            ],
+        }
+        for i in range(5)
+    ]
+    plans = [
+        {
+            "resourceType": "PlanDefinition",
+            "id": f"pd-{i}",
+            "url": f"urn:synthetic:plan/pd-{i}",
+            "version": f"3.{i}",
+            "title": f"Synthetic Plan {i}",
+            "status": "active",
+            "library": [f"urn:synthetic:library/l-{i}"],
+            "action": [
+                {
+                    "title": f"step-{i}-{j}",
+                    "condition": [
+                        {
+                            "kind": "applicability",
+                            "expression": {
+                                "language": "text/cql.identifier",
+                                "expression": f"cond-{i}-{j}",
+                            },
+                        }
+                    ],
+                }
+                for j in range(i % 2 + 1)
+            ],
+        }
+        for i in range(5)
+    ]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731 - shape helper
+        [(_json.dumps(d, sort_keys=True),) for d in rows], "value string"
+    )
+    return {
+        "Measure": mk(measures),
+        "Library": mk(libraries),
+        "PlanDefinition": mk(plans),
     }
 
 

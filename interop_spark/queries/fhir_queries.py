@@ -1299,6 +1299,47 @@ def q_fhir_omop_device_era(spark: SparkSession, sf_dir: str) -> DataFrame:
     return omop_device_era(entry)
 
 
+def q_fhir_quality_measure_catalog(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-measure catalog resolution — the round-14 TENTH promotion
+    batch's proof row (eCQM trio: Measure/Library/PlanDefinition, the
+    definitional resources a quality-reporting shop loads after
+    terminology): each Measure resolves its logic Library by canonical
+    url (the CMS eCQM packaging shape — scoring coding, group
+    population count, the Library's CQL attachment title) and the
+    PlanDefinition that operationalizes the same library joins on
+    alongside with its action count. All three frames are definitional
+    handfuls, so every join BROADCASTS — the terminology-row scale
+    posture."""
+    from interop_spark.fhir import read_from_ndjson
+    from interop_spark.fhir.gen import write_ndjson_corpus
+
+    d = write_ndjson_corpus(spark, sf_dir, max_custkey=_SYNTH_LIMIT)
+    nd = read_from_ndjson("file://" + d, spark=spark, glob_filter="*.ndjson")
+    measures = nd.resource("Measure").select(
+        col("id").alias("measure_id"),
+        col("name").alias("measure_name"),
+        F.get(col("scoring.coding"), 0)["code"].alias("scoring_code"),
+        F.size(F.get(col("group"), 0)["population"]).alias("n_populations"),
+        F.get(col("library"), 0).alias("library_url"),
+    )
+    libs = nd.resource("Library").select(
+        col("url").alias("library_url"),
+        col("title").alias("library_title"),
+        col("version").alias("library_version"),
+        F.get(col("content"), 0)["title"].alias("cql_title"),
+    )
+    plans = nd.resource("PlanDefinition").select(
+        F.get(col("library"), 0).alias("library_url"),
+        col("id").alias("plan_id"),
+        F.size("action").alias("n_actions"),
+    )
+    return measures.join(F.broadcast(libs), "library_url").join(
+        F.broadcast(plans), "library_url"
+    )
+
+
 def q_fhir_concept_map_translate(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1489,6 +1530,7 @@ QUERIES = {
     "fhir_omop_observation": q_fhir_omop_observation,
     "fhir_omop_specimen": q_fhir_omop_specimen,
     "fhir_omop_device_era": q_fhir_omop_device_era,
+    "fhir_quality_measure_catalog": q_fhir_quality_measure_catalog,
     "fhir_omop_dose_era": q_fhir_omop_dose_era,
     "fhir_omop_cohort": q_fhir_omop_cohort,
     "fhir_concept_map_translate": q_fhir_concept_map_translate,
@@ -2118,6 +2160,9 @@ ORACLE = {
         UNION ALL
         SELECT 'DeviceUseStatement', CAST(count(1) * 3 AS BIGINT)  -- v8
         FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+        UNION ALL SELECT 'Measure', CAST(5 AS BIGINT)  -- v9
+        UNION ALL SELECT 'Library', CAST(5 AS BIGINT)  -- v9
+        UNION ALL SELECT 'PlanDefinition', CAST(5 AS BIGINT)  -- v9
         UNION ALL
         SELECT 'Condition', CAST(count(1) * 3 AS BIGINT)  -- v6 follow-ups
         FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
@@ -2323,6 +2368,21 @@ ORACLE = {
                  AS location_id,
                city, state, zip, country, n_persons
         FROM g
+    """,
+    # v9 quality trio: closed-form in the 0..4 fixture index
+    "fhir_quality_measure_catalog": """
+        SELECT 'urn:synthetic:library/l-' || i::VARCHAR AS library_url,
+               'm-' || i::VARCHAR AS measure_id,
+               'SyntheticMeasure' || i::VARCHAR AS measure_name,
+               CASE (i % 3) WHEN 0 THEN 'proportion'
+                 WHEN 1 THEN 'ratio' ELSE 'cohort' END AS scoring_code,
+               CAST(2 AS INT) AS n_populations,
+               'Synthetic Library ' || i::VARCHAR AS library_title,
+               '2.' || i::VARCHAR AS library_version,
+               'cql-' || i::VARCHAR AS cql_title,
+               'pd-' || i::VARCHAR AS plan_id,
+               CAST(i % 2 + 1 AS INT) AS n_actions
+        FROM (SELECT unnest(generate_series(0, 4)) AS i)
     """,
     # v8 domain split: only the social-history twin passes the
     # NOT-IN-(laboratory, vital-signs) category filter

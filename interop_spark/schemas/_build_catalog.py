@@ -2188,6 +2188,223 @@ CONCEPT_MAP = _resource(
 )
 
 
+# Round-14 TENTH batch (the quality-measure / eCQM trio, hl7.org/fhir/
+# R4): Measure / Library / PlanDefinition — the definitional resources
+# a quality-reporting shop loads next after terminology (CMS eCQMs ship
+# as Measure+Library bundles; order sets and protocols as
+# PlanDefinitions; the curated MeasureReport already carries the
+# results side). Expression/DataRequirement are the shared metadata
+# types; PlanDefinition.action is recursive in the spec, so child
+# ``action`` arrays are captured one level deep (the ConceptMap
+# precedent). Monotone promotion: spine fields retained.
+
+_EXPRESSION = _struct(
+    description=S, name=S, language=S, expression=S, reference=S
+)
+
+_DATA_REQUIREMENT = _struct(
+    type=S,
+    profile=_arr(S),
+    subjectCodeableConcept=CODEABLE_CONCEPT,
+    subjectReference=REFERENCE,
+    mustSupport=_arr(S),
+    codeFilter=_arr(
+        _struct(path=S, searchParam=S, valueSet=S, code=_arr(CODING))
+    ),
+    dateFilter=_arr(
+        _struct(path=S, searchParam=S, valueDateTime=S, valuePeriod=PERIOD)
+    ),
+    limit=I,
+    sort=_arr(_struct(path=S, direction=S)),
+)
+
+MEASURE = _resource(
+    **_SPINE_FIELDS,
+    url=S,
+    identifier=_arr(IDENTIFIER),
+    version=S,
+    name=S,
+    title=S,
+    subtitle=S,
+    status=S,
+    experimental=B,
+    subjectCodeableConcept=CODEABLE_CONCEPT,
+    date=S,
+    publisher=S,
+    description=S,
+    purpose=S,
+    usage=S,
+    approvalDate=S,
+    lastReviewDate=S,
+    effectivePeriod=PERIOD,
+    topic=_arr(CODEABLE_CONCEPT),
+    library=_arr(S),
+    disclaimer=S,
+    scoring=CODEABLE_CONCEPT,
+    compositeScoring=CODEABLE_CONCEPT,
+    type=_arr(CODEABLE_CONCEPT),
+    riskAdjustment=S,
+    rateAggregation=S,
+    rationale=S,
+    clinicalRecommendationStatement=S,
+    improvementNotation=CODEABLE_CONCEPT,
+    definition=_arr(S),
+    guidance=S,
+    group=_arr(
+        _struct(
+            code=CODEABLE_CONCEPT,
+            description=S,
+            population=_arr(
+                _struct(
+                    code=CODEABLE_CONCEPT,
+                    description=S,
+                    criteria=_EXPRESSION,
+                )
+            ),
+            stratifier=_arr(
+                _struct(
+                    code=CODEABLE_CONCEPT,
+                    description=S,
+                    criteria=_EXPRESSION,
+                    component=_arr(
+                        _struct(
+                            code=CODEABLE_CONCEPT,
+                            description=S,
+                            criteria=_EXPRESSION,
+                        )
+                    ),
+                )
+            ),
+        )
+    ),
+    supplementalData=_arr(
+        _struct(
+            code=CODEABLE_CONCEPT,
+            usage=_arr(CODEABLE_CONCEPT),
+            description=S,
+            criteria=_EXPRESSION,
+        )
+    ),
+)
+
+LIBRARY = _resource(
+    **_SPINE_FIELDS,
+    url=S,
+    identifier=_arr(IDENTIFIER),
+    version=S,
+    name=S,
+    title=S,
+    subtitle=S,
+    status=S,
+    experimental=B,
+    type=CODEABLE_CONCEPT,
+    subjectCodeableConcept=CODEABLE_CONCEPT,
+    subjectReference=REFERENCE,
+    date=S,
+    publisher=S,
+    description=S,
+    purpose=S,
+    usage=S,
+    approvalDate=S,
+    lastReviewDate=S,
+    effectivePeriod=PERIOD,
+    topic=_arr(CODEABLE_CONCEPT),
+    parameter=_arr(
+        _struct(
+            name=S, use=S, min=I, max=S, documentation=S, type=S,
+            profile=S,
+        )
+    ),
+    dataRequirement=_arr(_DATA_REQUIREMENT),
+    content=_arr(ATTACHMENT),
+)
+
+PLAN_DEFINITION = _resource(
+    **_SPINE_FIELDS,
+    url=S,
+    identifier=_arr(IDENTIFIER),
+    version=S,
+    name=S,
+    title=S,
+    subtitle=S,
+    type=CODEABLE_CONCEPT,
+    status=S,
+    experimental=B,
+    subjectCodeableConcept=CODEABLE_CONCEPT,
+    subjectReference=REFERENCE,
+    date=S,
+    publisher=S,
+    description=S,
+    purpose=S,
+    usage=S,
+    approvalDate=S,
+    lastReviewDate=S,
+    effectivePeriod=PERIOD,
+    topic=_arr(CODEABLE_CONCEPT),
+    library=_arr(S),
+    goal=_arr(
+        _struct(
+            category=CODEABLE_CONCEPT,
+            description=CODEABLE_CONCEPT,
+            priority=CODEABLE_CONCEPT,
+            start=CODEABLE_CONCEPT,
+            addresses=_arr(CODEABLE_CONCEPT),
+            target=_arr(
+                _struct(
+                    measure=CODEABLE_CONCEPT,
+                    detailQuantity=QUANTITY,
+                    detailRange=_struct(low=QUANTITY, high=QUANTITY),
+                    due=_struct(value=D, unit=S, system=S, code=S),
+                )
+            ),
+        )
+    ),
+    action=_arr(
+        _struct(
+            prefix=S,
+            title=S,
+            description=S,
+            textEquivalent=S,
+            priority=S,
+            code=_arr(CODEABLE_CONCEPT),
+            reason=_arr(CODEABLE_CONCEPT),
+            goalId=_arr(S),
+            triggerDefinition=_arr(_struct(type=S, name=S)),
+            condition=_arr(_struct(kind=S, expression=_EXPRESSION)),
+            input=_arr(_DATA_REQUIREMENT),
+            output=_arr(_DATA_REQUIREMENT),
+            relatedAction=_arr(
+                _struct(actionId=S, relationship=S, offsetDuration=S)
+            ),
+            timingDateTime=S,
+            timingPeriod=PERIOD,
+            participant=_arr(_struct(type=S, role=CODEABLE_CONCEPT)),
+            type=CODEABLE_CONCEPT,
+            groupingBehavior=S,
+            selectionBehavior=S,
+            requiredBehavior=S,
+            precheckBehavior=S,
+            cardinalityBehavior=S,
+            definitionCanonical=S,
+            definitionUri=S,
+            transform=S,
+            dynamicValue=_arr(_struct(path=S, expression=_EXPRESSION)),
+            # recursive in the spec — one level deep, ConceptMap style
+            action=_arr(
+                _struct(
+                    title=S,
+                    description=S,
+                    definitionCanonical=S,
+                    condition=_arr(
+                        _struct(kind=S, expression=_EXPRESSION)
+                    ),
+                )
+            ),
+        )
+    ),
+)
+
+
 CATALOG = {
     "Patient": PATIENT,
     "MessageHeader": MESSAGE_HEADER,
@@ -2269,6 +2486,9 @@ CATALOG = {
     "CodeSystem": CODE_SYSTEM,
     "ValueSet": VALUE_SET,
     "ConceptMap": CONCEPT_MAP,
+    "Measure": MEASURE,
+    "Library": LIBRARY,
+    "PlanDefinition": PLAN_DEFINITION,
 }
 
 
@@ -2309,8 +2529,8 @@ FULL_SPINE_TYPES = [
     "Evidence", "EvidenceVariable", "ExampleScenario", 
     "GraphDefinition", "GuidanceResponse", 
     "ImmunizationEvaluation", 
-    "ImplementationGuide", "Library",
-    "Linkage", "Measure", "MedicationKnowledge",
+    "ImplementationGuide",
+    "Linkage", "MedicationKnowledge",
     "MedicinalProduct", "MedicinalProductAuthorization",
     "MedicinalProductContraindication", "MedicinalProductIndication",
     "MedicinalProductIngredient", "MedicinalProductInteraction",
@@ -2318,7 +2538,6 @@ FULL_SPINE_TYPES = [
     "MedicinalProductPharmaceutical", "MedicinalProductUndesirableEffect",
     "MessageDefinition", "MolecularSequence", "NamingSystem",
     "ObservationDefinition", "OperationDefinition",
-    "PlanDefinition",
     "RequestGroup", "ResearchDefinition",
     "ResearchElementDefinition", "ResearchStudy", "ResearchSubject",
     "RiskEvidenceSynthesis", "SearchParameter", "SpecimenDefinition",
