@@ -42,149 +42,127 @@ _MODULES = (
 # ROUND-12 window and rationale: git history (this block's prior
 # revision), per the trimming convention adopted in r9.
 #
-# ROUND-13 window (50): executes the r13 rotation — ALL 10 never-
-# driver-green rows head the window (the 8 documented queue-head rows
-# PLUS fhir_omop_device_exposure / fhir_device_metrics, restoring the
-# ledger invariant per the r12 verdict item 2), then this round's NEW
-# rows and diff re-verifies, then the r8 staleness drain fills the
-# remaining slots.
-#   * NEVER-GREEN 10 (r12 late-continuation rows, all judge-green last
-#     session): fhir_omop_drug_era (also re-verifies this round's
-#     _era_merge refactor of fhir/analytics.py — omop_drug_era is the
-#     ONLY existing function modified, hunk-verified; every other
-#     analytics consumer keeps its r12 green), fhir_omop_device_
-#     exposure, fhir_device_metrics, fhir_omop_payer_plan_period (also
-#     an NDJSON-v6 consumer), fhir_omop_care_site, fhir_insurance_
-#     plans, fhir_omop_cost, source_quota_sample, domain_quantile_
-#     filter, stream_merge_upsert (also re-verifies the r13 cdc.py
-#     extraction + merge_into_conditional null-safety fix).
-#   * NEW this round (12): fhir_omop_condition_era (NDJSON corpus v6
-#     3-recording condition follow-up history through the bridge +
-#     the shared _era_merge core), fhir_concept_map_translate +
-#     fhir_terminology_catalog (NINTH promotion batch proof rows —
-#     terminology trio CodeSystem/ValueSet/ConceptMap, 80 curated /
-#     64 spine; the promotion only ADDS catalog entries, no existing
-#     schema file changed, so bundle-corpus consumer results are
-#     unaffected and keep their r12 greens), weighted_sample_topk
-#     (deterministic Efraimidis-Spirakis weighted priority sample,
-#     appended to selection_q.py — append-only, existing rows keep
-#     greens), fhir_omop_location (CDM address dimension with HIPAA
-#     Safe Harbor zip3 generalization; fhir_queries.py append-only),
-#     pca_top_component (distributed PCA: mapInPandas treeAggregate
-#     Gram partials + fixed power iteration; new operators/linalg.py,
-#     query appended to pipeline_ext.py — append-only, existing rows
-#     keep greens), hll_distinct_estimate (engine-exact HyperLogLog
-#     over a seeded-md5 hash — the CountMin/Bloom determinism trick
-#     applied to cardinality; selection_q.py append-only; core in new
-#     operators/sketch.py), stream_hll_users (the STREAMING register-
-#     merge twin: 4 real micro-batches fold per-batch registers with
-#     per-bucket max — mergeability makes the result provably equal to
-#     the one-pass batch sketch, so the oracle is the batch HLL over
-#     all events; temporal_q.py append-only — the only non-append
-#     temporal_q change this round is the q_stream_merge_upsert body
-#     replacement, hunk-verified, and that row is in-window). The last
-#     four new rows displace percentile_agg, pq_adc_topk,
-#     paragraph_dedup and multiway_join_agg from the drain tail back
-#     to the r14 queue head (multiway_join_agg additionally stays
-#     smoke-checked every round as the entry() flagship), and
-#     fhir_omop_dose_era (NDJSON corpus v7 adds the MedicationRequest
-#     export file — same refill-date closed forms as the bundle corpus
-#     — and the S4-override x S6-scan composition feeds the COMPOSITE-
-#     key _era_merge: dose escalation splits the era; completes the CDM
-#     era family) displaces multimodal_features the same way, and
-#     bpe_train_merges (the ITERATED BPE training loop — 4 unrolled
-#     rounds with greedy window-function merge application, completing
-#     the tokenizer story beside bpe_merge_candidates/bpe_encode;
-#     operator appended to operators/text.py, which existing rows
-#     import only for untouched functions — hunk-verified append-only)
-#     displaces mrl_recall_at_k the same way, and fhir_omop_cohort
-#     (COHORT SELECTION — the analytic the CDM tables exist for:
-#     ValueSet membership broadcast onto condition_occurrence, the
-#     person-keyed temporal join to drug_exposure, first-qualifying-
-#     exposure argmin; reads both corpora, changes neither) displaces
-#     minhash_est_error the same way, and source_drift_chi2 (per-source
-#     bucketed-χ² distribution-drift monitor — χ² instead of KL so the
-#     arithmetic is products/divisions only and the oracle is exact
-#     under round-6; bounded (source x bucket) aggregate; selection_q
-#     append-only) displaces lm_perplexity_filter the same way.
-#   * NDJSON corpus v6+v7 consumers re-verify (6): fhir_ndjson_patient_
-#     conditions + fhir_ndjson_type_counts (RESULT changes — 3x
-#     Condition lines, 3 new terminology type rows), fhir_ndjson_
-#     observations, fhir_ndjson_export_errors, fhir_ndjson_coverage_
-#     bundles, stream_ndjson_counts (results provably unchanged —
-#     their type filters drop the new/changed files — but the input
-#     directory changed, so they re-verify).
-#   * merge.py diff insurance (1): merge_upsert (its merge_into core
-#     is untouched — only merge_into_conditional changed — but the
-#     module diffed, so it re-verifies rather than relying on the
-#     hunk claim alone).
-#   * STALENESS DRAIN (21): agg_stats, audio_stats, bpe_encode,
-#     bpe_merge_candidates (the four displaced drain-head rows), then
-#     the first 17 of the 33 r8 rows in ledger order.
-# ROUND-14 QUEUE: the 16 remaining r8 rows — lm_perplexity_filter,
-# minhash_est_error, mrl_recall_at_k,
-# multimodal_features, multiway_join_agg,
-# paragraph_dedup, percentile_agg, pq_adc_topk, pq_encode,
-# pricing_summary, quality_classifier_filter, scd2_intervals,
-# stream_dedup_counts, stream_windowed_counts, string_agg_sorted,
-# unimax_sample — then the r9 residue behind them.
+# ROUND-13 window and rationale: git history (this block's prior
+# revision), per the trimming convention adopted in r9.
+#
+# ROUND-14 window (50): drains the ENTIRE 16-row r8-stale queue (r13
+# verdict item 1 — after this round no registry green is older than
+# r9), then this round's NEW rows, the diff re-verifies, and an 11-row
+# r9-residue drain head.
+#   * R8 QUEUE DRAIN (16, exactly the r13 ledger's queue, all
+#     judge-re-proven last session): lm_perplexity_filter,
+#     minhash_est_error, mrl_recall_at_k, multimodal_features,
+#     multiway_join_agg (also the entry() flagship), paragraph_dedup,
+#     percentile_agg, pq_adc_topk, pq_encode, pricing_summary,
+#     quality_classifier_filter, scd2_intervals, stream_dedup_counts,
+#     stream_windowed_counts, string_agg_sorted, unimax_sample.
+#   * NEW this round (7): fhir_omop_observation + fhir_omop_specimen +
+#     fhir_omop_device_era (OMOP CDM clinical completion over NDJSON
+#     corpus v8: the category domain split, the Specimen mapping, and
+#     the fourth _era_merge consumer via the Device/DUS bridge — all
+#     three are NEW functions appended to fhir/analytics.py; no
+#     existing analytics function changed, hunk-verified, so
+#     bundle-corpus consumers keep their greens),
+#     fhir_quality_measure_catalog (TENTH promotion batch proof row —
+#     eCQM trio Measure/Library/PlanDefinition, 83 curated / 61 spine;
+#     the promotion only ADDS catalog entries), quantile_sketch_
+#     estimate + stream_quantile_sketch (mergeable hash-level rank
+#     sketch, batch + exact streaming register-merge twin; appended to
+#     operators/sketch.py — HLL functions untouched, hunk-verified, so
+#     hll_distinct_estimate keeps its r13 green), bpe_train_encode
+#     (train→encode composition; selection_q.py append plus the
+#     _bpe_train_oracle → _bpe_train_ctes refactor, which is why
+#     bpe_train_merges re-verifies below).
+#   * DIFF RE-VERIFIES (16): bpe_train_merges (ADVICE empty-merge
+#     guard in operators/text.py + the oracle-builder refactor; the
+#     only other text.py consumers import untouched functions,
+#     hunk-verified, so bpe_encode/bpe_merge_candidates keep r13
+#     greens), stream_merge_upsert + stream_hll_users (cdc.py landing
+#     cache key now folds a content fingerprint — both rows consume
+#     land_event_chunks), pca_top_component (ADVICE degenerate-input
+#     guards in operators/linalg.py), fhir_omop_cohort (query body now
+#     calls the extracted analytics.omop_cohort core), and the 11
+#     NDJSON corpus v8+v9 consumers: fhir_ndjson_observations +
+#     fhir_ndjson_type_counts + stream_ndjson_counts (RESULTS change —
+#     the v8 social-history Observation twin and the v8/v9 type rows),
+#     fhir_ndjson_patient_conditions, fhir_ndjson_coverage_bundles,
+#     fhir_ndjson_export_errors, fhir_omop_payer_plan_period,
+#     fhir_omop_dose_era, fhir_omop_condition_era,
+#     fhir_concept_map_translate, fhir_terminology_catalog (results
+#     provably unchanged — their type filters drop the new files —
+#     but the input directory changed, so they re-verify). The bundle
+#     corpus stays at v16, so its consumer rows keep their greens.
+#   * R9-RESIDUE DRAIN (11, alphabetical ledger order — 33 r9 rows
+#     remain for r15): agg_minmax, arith_funcs, bm25_inverted_topk,
+#     bm25_topk, case_when_literal, computed_key_join, count_distinct,
+#     date_funcs, date_parts, decontam_ngram_overlap, dup_ngram_stats.
+# ROUND-15 QUEUE: the remaining 33 r9 rows, alphabetical from
+# exact_dedup (exact_dedup, explode_roundtrip, gopher_quality_flags,
+# gopher_repetition_signals, groupby_count, having_filter,
+# hof_filter_array, hybrid_rrf_topk, inner_equi_join, ivf_index_search,
+# ivfpq_rerank_sweep, kmeans_fit, kmeans_one_step, left_anti_join,
+# left_outer_exists_flag, left_semi_join, like_filter_or,
+# nested_struct_pluck, pii_redact, resample_ffill, salted_join_agg,
+# scan_project_filter, sequence_pack, set_except, set_intersect,
+# set_union, simhash, simhash_neardup_pairs, stream_sessionize_counts,
+# string_funcs, substring_key, topk_orders, video_meta), then the r10
+# residue behind them.
 # --------------------------------------------------------------------------
 _WINDOW = (
-    # --- ROUND 13: the 10 never-driver-green rows ---
-    "fhir_omop_drug_era",
-    "fhir_omop_device_exposure",
-    "fhir_device_metrics",
-    "fhir_omop_payer_plan_period",
-    "fhir_omop_care_site",
-    "fhir_insurance_plans",
-    "fhir_omop_cost",
-    "source_quota_sample",
-    "domain_quantile_filter",
+    # --- ROUND 14: the 16-row r8 queue drain ---
+    "lm_perplexity_filter",
+    "minhash_est_error",
+    "mrl_recall_at_k",
+    "multimodal_features",
+    "multiway_join_agg",
+    "paragraph_dedup",
+    "percentile_agg",
+    "pq_adc_topk",
+    "pq_encode",
+    "pricing_summary",
+    "quality_classifier_filter",
+    "scd2_intervals",
+    "stream_dedup_counts",
+    "stream_windowed_counts",
+    "string_agg_sorted",
+    "unimax_sample",
+    # --- ROUND 14: new queries (7) ---
+    "fhir_omop_observation",
+    "fhir_omop_specimen",
+    "fhir_omop_device_era",
+    "fhir_quality_measure_catalog",
+    "quantile_sketch_estimate",
+    "stream_quantile_sketch",
+    "bpe_train_encode",
+    # --- ROUND 14: diff re-verifies (16) ---
+    "bpe_train_merges",
     "stream_merge_upsert",
-    # --- ROUND 13: new queries (12) ---
+    "stream_hll_users",
+    "pca_top_component",
+    "fhir_omop_cohort",
+    "fhir_ndjson_observations",
+    "fhir_ndjson_type_counts",
+    "stream_ndjson_counts",
+    "fhir_ndjson_patient_conditions",
+    "fhir_ndjson_coverage_bundles",
+    "fhir_ndjson_export_errors",
+    "fhir_omop_payer_plan_period",
+    "fhir_omop_dose_era",
     "fhir_omop_condition_era",
     "fhir_concept_map_translate",
     "fhir_terminology_catalog",
-    "weighted_sample_topk",
-    "fhir_omop_location",
-    "pca_top_component",
-    "hll_distinct_estimate",
-    "stream_hll_users",
-    "fhir_omop_dose_era",
-    "bpe_train_merges",
-    "fhir_omop_cohort",
-    "source_drift_chi2",
-    # --- ROUND 13: NDJSON corpus v6 consumers (6) ---
-    "fhir_ndjson_patient_conditions",
-    "fhir_ndjson_type_counts",
-    "fhir_ndjson_observations",
-    "fhir_ndjson_export_errors",
-    "fhir_ndjson_coverage_bundles",
-    "stream_ndjson_counts",
-    # --- ROUND 13: merge.py module-diff insurance (1) ---
-    "merge_upsert",
-    # --- ROUND 13: staleness drain (21, ledger order) ---
-    "agg_stats",
-    "audio_stats",
-    "bpe_encode",
-    "bpe_merge_candidates",
-    "bsq_hamming_search",
-    "c4_clean",
-    "chunk_sliding",
-    "classifier_train_steps",
-    "countmin_estimate",
-    "date_series",
-    "dsir_importance",
-    "dup_span_removal",
-    "image_dims",
-    "ivf_multiprobe_topk",
-    "ivf_probe_topk",
-    "ivf_recall_at_k",
-    "ivfpq_rerank",
-    "ivfpq_residual_search",
-    "ivfpq_search",
-    "join_filter_pushdown",
-    "lang_id",
+    # --- ROUND 14: r9-residue drain (11, alphabetical) ---
+    "agg_minmax",
+    "arith_funcs",
+    "bm25_inverted_topk",
+    "bm25_topk",
+    "case_when_literal",
+    "computed_key_join",
+    "count_distinct",
+    "date_funcs",
+    "date_parts",
+    "decontam_ngram_overlap",
+    "dup_ngram_stats",
 )
 
 
