@@ -67,6 +67,11 @@ HEADLINE = [
     "weighted_sample_topk",
     "hll_distinct_estimate",
     "pca_top_component",
+    # round-14: the rank sketch, the trained-tokenizer composition, and
+    # the bridge-fed era derivation
+    "quantile_sketch_estimate",
+    "bpe_train_encode",
+    "fhir_omop_device_era",
 ]
 
 
@@ -334,7 +339,24 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
         # a d^2-key agg — the corpus-scaled stage of pca_top_component
         # (the power iteration is fixed-size and untimed here).
         "pca_covariance": "_PCA_COV",
+        # round-14 rank sketch: two pruned scans (histogram pass +
+        # broadcast-threshold survivor filter) + bounded aggregates —
+        # ~linear in bytes; estimation is capacity-bounded and untimed
+        # separately.
+        "rank_sketch": lambda d: _rank_sketch_probe(d),
     }
+
+    def _rank_sketch_probe(d):
+        from interop_spark.operators.sketch import (
+            rank_sketch_build,
+            rank_sketch_quantiles,
+        )
+
+        return rank_sketch_quantiles(
+            rank_sketch_build(
+                d, F.length("text").cast("double"), col("doc_id")
+            )
+        )
 
     def _hll_probe(d):
         from interop_spark.operators.sketch import hll_estimate, hll_registers

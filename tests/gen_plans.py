@@ -87,6 +87,12 @@ COMMENT = {
  "fhir_omop_cohort": "CDM cohort selection: the 10-code ValueSet BROADCASTS onto the condition scan; the condition-exposure join exchanges each side once on person_id (the only corpus-keyed shuffle stage) and the first-exposure min(struct) reuses that partitioning map-side -- no further corpus Exchange for the whole cohort build.",
  "source_drift_chi2": "Distribution-drift monitor: one token explode collapses into the BOUNDED (source x bucket) aggregate (partial agg caps map output at 64 rows/source/task); source totals and corpus bucket totals broadcast back; the chi-square sum is over <=64 terms per source. No vocabulary-keyed shuffle exists.",
  "bpe_train_merges": "Iterated BPE training: ONE corpus-scan word-frequency aggregate, then every round is VOCABULARY-sized -- per-word windows (lead/lag/row_number share the (w, pos) sort), a bounded pair-count aggregate, and a 1-row TakeOrdered argmax; rounds are localCheckpoint-ed so the final plan shows only the last round.",
+ "fhir_omop_observation": "OMOP observation (domain split): line-splittable NDJSON scan -> one variant parse per line -> category-membership filter + typed projection -- ZERO Exchange (plan-asserted); scan-bandwidth bound like every $export mapping.",
+ "fhir_omop_specimen": "OMOP specimen: the same zero-Exchange $export projection shape -- concept/date/quantity are nested-field plucks off the pruned Specimen struct.",
+ "fhir_omop_device_era": "Device eras: the Device/DUS bridge (one patient-keyed exchange per type) resolves the within-bundle reference shuffle-free, then the shared _era_merge core adds exactly ONE (person, concept) Exchange for both windows and the era groupBy (plan-asserted relative to the bridge's own count).",
+ "fhir_quality_measure_catalog": "eCQM catalog resolution: all three frames are definitional handfuls, so the Measure->Library->PlanDefinition canonical-url joins BROADCAST (no SortMergeJoin, plan-asserted) -- the terminology-row posture.",
+ "quantile_sketch_estimate": "Mergeable rank sketch: one narrow projection -> <=33-key level histogram (partial agg caps map output); the threshold is a 1-row broadcast onto a second pruned-column scan; estimation runs on the capacity-bounded survivor frame; the true-rank audit is the only extra corpus aggregate and exists purely as the quality yardstick.",
+ "bpe_train_encode": "Train->encode composition: training cost is the word-frequency aggregate + vocabulary-sized rounds; the learned table is a rounds-sized model fetch; encoding touches Python only on the DISTINCT-word dictionary (Arrow-batched) and the corpus pass is the word->pieces equi-join + per-doc aggregate.",
 }
 
 out = ["# PLANS — physical plans of the headline queries (sf0.1, AQE on)",
@@ -131,7 +137,10 @@ for name in ["pricing_summary", "multiway_join_agg", "latest_event_per_user",
              "fhir_omop_location", "weighted_sample_topk",
              "hll_distinct_estimate", "pca_top_component",
              "fhir_omop_cohort", "bpe_train_merges",
-             "source_drift_chi2"]:
+             "source_drift_chi2",
+             "fhir_omop_observation", "fhir_omop_specimen",
+             "fhir_omop_device_era", "fhir_quality_measure_catalog",
+             "quantile_sketch_estimate", "bpe_train_encode"]:
     df = qs[name](spark, SF)
     df.write.format("noop").mode("overwrite").save()  # let AQE finalize
     plan = df._jdf.queryExecution().executedPlan().toString()

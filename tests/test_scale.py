@@ -635,3 +635,68 @@ def test_round12_continuation_selection_plan_shapes(spark, sf_dir):
         k = math.ceil(r["n_total"] / 4)
         assert r["n_kept"] >= k, r
         assert 0 <= r["threshold"] <= 1000, r
+
+
+def test_round14_plan_shapes(spark, sf_dir):
+    """Round-14 additions hold the posture:
+    - the observation/specimen CDM mappings are pure typed projections
+      over the line-splittable NDJSON scan — ZERO Exchange;
+    - device_era keeps the _era_merge contract over the Device/DUS
+      bridge: exactly ONE hashpartitioning Exchange beyond the
+      bridge's own, and never a global sort;
+    - the quality-measure catalog joins its definitional frames
+      broadcast-only (no SortMergeJoin);
+    - the rank-sketch build/estimate never materializes a corpus-sized
+      join (no cartesian product; the survivor filter enters via a
+      broadcast threshold)."""
+    from interop_spark.fhir import bundles_from_ndjson, read_from_ndjson
+    from interop_spark.fhir.gen import write_ndjson_corpus
+    from interop_spark.queries import all_queries
+
+    q = all_queries()
+
+    for name in ("fhir_omop_observation", "fhir_omop_specimen"):
+        ex = (
+            q[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in ex, (name, ex[:2000])
+
+    ex = (
+        q["fhir_omop_device_era"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange rangepartitioning" not in ex, ex[:2500]
+    d = write_ndjson_corpus(spark, sf_dir, max_custkey=50)
+    nd = read_from_ndjson("file://" + d, spark=spark, glob_filter="*.ndjson")
+    n_bridge = (
+        bundles_from_ndjson(nd, ["Device", "DeviceUseStatement"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .count("Exchange hashpartitioning")
+    )
+    assert ex.count("Exchange hashpartitioning") == n_bridge + 1, (
+        ex.count("Exchange hashpartitioning"), n_bridge)
+
+    ex2 = (
+        q["fhir_quality_measure_catalog"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in ex2, ex2[:2500]
+    assert "SortMergeJoin" not in ex2, ex2[:2500]
+
+    ex3 = (
+        q["quantile_sketch_estimate"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in ex3, ex3[:2500]
+    assert "BroadcastExchange" in ex3, ex3[:2500]
