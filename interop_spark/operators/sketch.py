@@ -264,3 +264,104 @@ def rank_sketch_quantiles(
         )
         .crossJoin(F.broadcast(nk))
     )
+
+
+def rank_sketch_group_quantile(
+    df: DataFrame,
+    group: Column,
+    value: Column,
+    key: Column,
+    capacity: int = RS_CAPACITY,
+    num: int = 9,
+    den: int = 10,
+) -> DataFrame:
+    """PER-GROUP quantile estimation — the grouped form of the rank
+    sketch, i.e. per-domain thresholds on an UNBOUNDED score column in
+    O(groups * capacity) state (what `domain_quantile_filter`'s exact
+    histogram cannot give once scores leave a bounded integer range).
+    Each group runs its own hash-level sample: per-(group, level)
+    histogram, per-group threshold T_g (smallest t whose survivor
+    count fits the capacity), survivors at level >= T_g, and the
+    sample quantile via the same all-integer comparison as
+    :func:`rank_sketch_quantiles`. Emits one row per group:
+    (g, est_value, est_rank, n_total, threshold_level, n_kept).
+
+    Scale shape: corpus-side cost is ONE (group, level) partial-
+    aggregated histogram (<=33 rows per group) plus the survivor
+    filter against the broadcast per-group thresholds; the candidate
+    grid, cumulative ranks and quantile picks all run on
+    groups-x-capacity-bounded frames."""
+    from pyspark.sql.window import Window
+
+    h = F.conv(
+        F.substring(F.md5(key.cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    items = df.select(
+        group.alias("g"),
+        value.alias("v"),
+        F.when(h == 0, F.lit(RS_HBITS))
+        .otherwise(F.lit(RS_HBITS) - F.length(F.bin(h)))
+        .cast("int")
+        .alias("level"),
+    )
+    hist = items.groupBy("g", "level").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    spark = df.sparkSession
+    ts = spark.range(0, RS_HBITS + 2).select(
+        col("id").cast("int").alias("t")
+    )
+    grid = hist.select("g").distinct().crossJoin(F.broadcast(ts))
+    h2 = hist.select(
+        col("g").alias("hg"), col("level"), col("cnt")
+    )
+    tails = (
+        grid.join(
+            h2, (col("g") == col("hg")) & (col("level") >= col("t")), "left"
+        )
+        .groupBy("g", "t")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("tail"))
+    )
+    thr = (
+        tails.where(col("tail") <= capacity)
+        .groupBy("g")
+        .agg(F.min("t").cast("int").alias("t"))
+    )
+    n = hist.groupBy("g").agg(F.sum("cnt").alias("n"))
+    kept = items.join(F.broadcast(thr), "g").where(
+        col("level") >= col("t")
+    )
+    nk = kept.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept")
+    )
+    cum = (
+        kept.groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .withColumn(
+            "ck",
+            F.sum("c").over(
+                Window.partitionBy("g")
+                .orderBy("v")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .join(F.broadcast(nk), "g")
+        .join(F.broadcast(n), "g")
+        .withColumn("er", F.expr("(n * ck) div n_kept"))
+    )
+    pick = (
+        cum.where(col("ck") * den >= col("n_kept") * num)
+        .groupBy("g")
+        .agg(
+            F.min("v").alias("est_value"),
+            F.min("er").alias("est_rank"),
+        )
+    )
+    return (
+        pick.join(F.broadcast(n.select("g", col("n").alias("n_total"))), "g")
+        .join(
+            F.broadcast(thr.select("g", col("t").alias("threshold_level"))),
+            "g",
+        )
+        .join(F.broadcast(nk), "g")
+    )

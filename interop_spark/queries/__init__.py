@@ -56,7 +56,7 @@ _MODULES = (
 #     percentile_agg, pq_adc_topk, pq_encode, pricing_summary,
 #     quality_classifier_filter, scd2_intervals, stream_dedup_counts,
 #     stream_windowed_counts, string_agg_sorted, unimax_sample.
-#   * NEW this round (7): fhir_omop_observation + fhir_omop_specimen +
+#   * NEW this round (8): fhir_omop_observation + fhir_omop_specimen +
 #     fhir_omop_device_era (OMOP CDM clinical completion over NDJSON
 #     corpus v8: the category domain split, the Specimen mapping, and
 #     the fourth _era_merge consumer via the Device/DUS bridge — all
@@ -72,7 +72,12 @@ _MODULES = (
 #     hll_distinct_estimate keeps its r13 green), bpe_train_encode
 #     (train→encode composition; selection_q.py append plus the
 #     _bpe_train_oracle → _bpe_train_ctes refactor, which is why
-#     bpe_train_merges re-verifies below).
+#     bpe_train_merges re-verifies below), domain_quantile_sketch
+#     (the GROUPED rank sketch: per-source p90 thresholds on an
+#     unbounded score in O(groups × capacity) state, per-source
+#     sampling genuinely exercised at capacity 16, true-rank audit;
+#     displaces dup_ngram_stats from the drain tail back to the r15
+#     queue head — the documented trade).
 #   * DIFF RE-VERIFIES (16): bpe_train_merges (ADVICE empty-merge
 #     guard in operators/text.py + the oracle-builder refactor; the
 #     only other text.py consumers import untouched functions,
@@ -92,11 +97,12 @@ _MODULES = (
 #     provably unchanged — their type filters drop the new files —
 #     but the input directory changed, so they re-verify). The bundle
 #     corpus stays at v16, so its consumer rows keep their greens.
-#   * R9-RESIDUE DRAIN (11, alphabetical ledger order — 33 r9 rows
+#   * R9-RESIDUE DRAIN (10, alphabetical ledger order — 34 r9 rows
 #     remain for r15): agg_minmax, arith_funcs, bm25_inverted_topk,
 #     bm25_topk, case_when_literal, computed_key_join, count_distinct,
-#     date_funcs, date_parts, decontam_ngram_overlap, dup_ngram_stats.
-# ROUND-15 QUEUE: the remaining 33 r9 rows, alphabetical from
+#     date_funcs, date_parts, decontam_ngram_overlap.
+# ROUND-15 QUEUE: the remaining 34 r9 rows — dup_ngram_stats (the
+# displaced drain-tail row), then alphabetical from
 # exact_dedup (exact_dedup, explode_roundtrip, gopher_quality_flags,
 # gopher_repetition_signals, groupby_count, having_filter,
 # hof_filter_array, hybrid_rrf_topk, inner_equi_join, ivf_index_search,
@@ -134,6 +140,7 @@ _WINDOW = (
     "quantile_sketch_estimate",
     "stream_quantile_sketch",
     "bpe_train_encode",
+    "domain_quantile_sketch",
     # --- ROUND 14: diff re-verifies (16) ---
     "bpe_train_merges",
     "stream_merge_upsert",
@@ -151,7 +158,7 @@ _WINDOW = (
     "fhir_omop_condition_era",
     "fhir_concept_map_translate",
     "fhir_terminology_catalog",
-    # --- ROUND 14: r9-residue drain (11, alphabetical) ---
+    # --- ROUND 14: r9-residue drain (10, alphabetical) ---
     "agg_minmax",
     "arith_funcs",
     "bm25_inverted_topk",
@@ -162,7 +169,6 @@ _WINDOW = (
     "date_funcs",
     "date_parts",
     "decontam_ngram_overlap",
-    "dup_ngram_stats",
 )
 
 

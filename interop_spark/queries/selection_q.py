@@ -2720,6 +2720,7 @@ from interop_spark.operators.sketch import (  # noqa: E402 - section header
     hll_estimate,
     hll_registers,
     rank_sketch_build,
+    rank_sketch_group_quantile,
     rank_sketch_quantiles,
 )
 
@@ -2950,6 +2951,114 @@ def _quantile_sketch_oracle() -> str:
     """
 
 
+DQS_CAPACITY = 16  # per-source survivor capacity (forces sampling at sf0.01)
+
+
+def q_domain_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DOMAIN quantile thresholds on an UNBOUNDED score — the
+    grouped rank sketch closing the gap `domain_quantile_filter`'s
+    exact histogram leaves (that query needs scores in a bounded
+    integer range; this one estimates each source's p90 document-length
+    threshold in O(groups × capacity) state). Per-source capacity is
+    deliberately small (16) so the hash-level sampling is genuinely
+    exercised at sf0.01 (25 docs/source → per-source T ≥ 1), and
+    ``true_rank`` audits each estimate against the exact per-source
+    rank — the `countmin_estimate` instrumentation pattern.
+
+    Scale shape: corpus-side cost is ONE (source, level) partial-
+    aggregated histogram + the survivor filter against broadcast
+    per-source thresholds; grid/rank/pick frames are all
+    groups×capacity-bounded. Core in `operators/sketch.py`
+    (`rank_sketch_group_quantile`)."""
+    d = load(spark, sf_dir, "documents")
+    est = rank_sketch_group_quantile(
+        d,
+        col("source"),
+        col("n_chars").cast("long"),
+        col("doc_id"),
+        capacity=DQS_CAPACITY,
+        num=9,
+        den=10,
+    ).withColumnRenamed("g", "source")
+    tr = (
+        est.select("source", "est_value")
+        .join(
+            d.select("source", col("n_chars").cast("long").alias("nc")),
+            "source",
+        )
+        .where(col("nc") <= col("est_value"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_rank"))
+    )
+    return est.join(F.broadcast(tr), "source")
+
+
+def _domain_quantile_sketch_oracle() -> str:
+    return f"""
+        WITH items AS (
+          SELECT g, v,
+                 CASE WHEN h = 0 THEN {RS_HBITS}
+                      ELSE {RS_HBITS} - length(bin(h)) END AS level
+          FROM (
+            SELECT source AS g, CAST(n_chars AS BIGINT) AS v,
+                   CAST(concat('0x',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) AS h
+            FROM documents)
+        ),
+        hist AS (
+          SELECT g, level, CAST(count(*) AS BIGINT) AS cnt
+          FROM items GROUP BY 1, 2
+        ),
+        grid AS (
+          SELECT g, t
+          FROM (SELECT DISTINCT g FROM hist)
+          CROSS JOIN (SELECT unnest(generate_series(0, {RS_HBITS + 1}))
+                      AS t)
+        ),
+        tails AS (
+          SELECT grid.g, grid.t,
+                 COALESCE((SELECT sum(cnt) FROM hist
+                           WHERE hist.g = grid.g
+                             AND hist.level >= grid.t), 0) AS tail
+          FROM grid
+        ),
+        thr AS (SELECT g, CAST(min(t) AS INT) AS t FROM tails
+                WHERE tail <= {DQS_CAPACITY} GROUP BY g),
+        n AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n
+              FROM hist GROUP BY g),
+        kept AS (SELECT i.g, i.v FROM items i
+                 JOIN thr ON thr.g = i.g AND i.level >= thr.t),
+        nk AS (SELECT g, CAST(count(*) AS BIGINT) AS n_kept
+               FROM kept GROUP BY g),
+        cum AS (
+          SELECT g, v,
+                 CAST(sum(c) OVER (PARTITION BY g ORDER BY v
+                                   ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS ck
+          FROM (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+                FROM kept GROUP BY g, v)
+        ),
+        pick AS (
+          SELECT c.g,
+                 min(c.v) FILTER (c.ck * 10 >= nk.n_kept * 9)
+                   AS est_value,
+                 min((n.n * c.ck) // nk.n_kept)
+                   FILTER (c.ck * 10 >= nk.n_kept * 9) AS est_rank
+          FROM cum c JOIN nk USING (g) JOIN n USING (g)
+          GROUP BY c.g
+        )
+        SELECT p.g AS source, p.est_value, p.est_rank,
+               n.n AS n_total, thr.t AS threshold_level, nk.n_kept,
+               (SELECT CAST(count(*) AS BIGINT) FROM documents d2
+                WHERE d2.source = p.g
+                  AND CAST(d2.n_chars AS BIGINT) <= p.est_value)
+                 AS true_rank
+        FROM pick p JOIN n USING (g) JOIN thr USING (g)
+             JOIN nk USING (g)
+    """
+
+
 QUERIES = {
     "edit_distance_neardup": q_edit_distance_neardup,
     "dsir_importance": q_dsir_importance,
@@ -2985,6 +3094,7 @@ QUERIES = {
     "source_drift_chi2": q_source_drift_chi2,
     "quantile_sketch_estimate": q_quantile_sketch_estimate,
     "bpe_train_encode": q_bpe_train_encode,
+    "domain_quantile_sketch": q_domain_quantile_sketch,
 }
 
 ORACLE = {
@@ -3022,4 +3132,5 @@ ORACLE = {
     "source_drift_chi2": _source_drift_oracle(),
     "quantile_sketch_estimate": _quantile_sketch_oracle(),
     "bpe_train_encode": _bpe_train_encode_oracle(BPE_TRAIN_ROUNDS),
+    "domain_quantile_sketch": _domain_quantile_sketch_oracle(),
 }

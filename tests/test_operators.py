@@ -1070,3 +1070,41 @@ def test_rank_sketch_quantile_accuracy(spark):
     assert est_s["p50"].est_value == 49.0  # rank 50 of 100
     assert est_s["p90"].est_value == 89.0
     assert est_s["p99"].est_value == 98.0
+
+
+def test_rank_sketch_group_quantile_per_group_isolation(spark):
+    """The grouped sketch runs each group's sample INDEPENDENTLY: a big
+    group must sample (T >= 1, n_kept <= capacity) while a small group
+    in the same frame stays exact (T = 0, est == true quantile) —
+    the property that makes per-domain thresholds honest when domain
+    sizes are skewed."""
+    from pyspark.sql import functions as F
+
+    from interop_spark.operators.sketch import rank_sketch_group_quantile
+
+    big = spark.range(0, 2000).select(
+        F.lit("big").alias("src"),
+        F.col("id").alias("k"),
+        F.col("id").cast("long").alias("score"),
+    )
+    small = spark.range(0, 10).select(
+        F.lit("small").alias("src"),
+        (F.col("id") + 10_000).alias("k"),
+        F.col("id").cast("long").alias("score"),
+    )
+    out = {
+        r.g: r
+        for r in rank_sketch_group_quantile(
+            big.unionByName(small),
+            F.col("src"), F.col("score"), F.col("k"),
+            capacity=64, num=9, den=10,
+        ).collect()
+    }
+    assert out["big"].threshold_level >= 1
+    assert out["big"].n_kept <= 64
+    assert out["big"].n_total == 2000
+    # sample-quantile noise ~ n/sqrt(n_kept)
+    assert abs(out["big"].est_value - 1800) <= 600
+    assert out["small"].threshold_level == 0
+    assert out["small"].n_kept == 10
+    assert out["small"].est_value == 8  # exact p90 of 0..9
