@@ -168,9 +168,15 @@ def rank_sketch_build(
 ) -> DataFrame:
     """The sketch as ONE mergeable frame of tagged rows:
     ``('h', level, NULL, cnt)`` histogram rows plus
-    ``('k', level, v, 1)`` survivor rows at the build's threshold."""
+    ``('k', level, v, 1)`` survivor rows at the build's threshold.
+
+    The <=33-row histogram is localCheckpoint-ed (the kmeans/HLL
+    discipline) so the threshold derivation and the histogram output
+    rows read the materialized frame instead of re-scanning the corpus
+    — the whole build costs exactly TWO pruned corpus scans (histogram
+    pass + survivor filter)."""
     items = rank_sketch_items(df, value, key)
-    hist = rank_sketch_hist(items)
+    hist = rank_sketch_hist(items).localCheckpoint()
     thr = rank_sketch_threshold(hist, capacity)
     kept = items.crossJoin(F.broadcast(thr)).where(
         col("level") >= col("t")
@@ -225,10 +231,17 @@ def rank_sketch_quantiles(
     ``est_rank`` reports the implied corpus rank ``(n * ck) div
     n_kept``. Emits (quantile, est_value, est_rank, n_total,
     threshold_level, n_kept); always selectable — the max survivor
-    qualifies for every q <= 1."""
+    qualifies for every q <= 1.
+
+    The input sketch frame is capacity-bounded BY CONSTRUCTION, so it
+    is localCheckpoint-ed up front: every estimation branch (threshold,
+    totals, cumulative ranks, one pick per quantile) reads the tiny
+    materialized frame instead of re-deriving the build's corpus
+    scans."""
     from pyspark.sql.window import Window
 
     qs = qs or [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
+    sketch = sketch.localCheckpoint()
     hist = sketch.where(col("kind") == "h").select("level", "cnt")
     thr = rank_sketch_threshold(hist)
     n = hist.agg(F.sum("cnt").alias("n"))
@@ -304,9 +317,13 @@ def rank_sketch_group_quantile(
         .cast("int")
         .alias("level"),
     )
+    # the (group, level) histogram and the survivor frame are bounded
+    # by construction — localCheckpoint both so the grid/threshold/
+    # rank/pick branches never re-derive the corpus scans (the build
+    # costs exactly two pruned scans, as in rank_sketch_build)
     hist = items.groupBy("g", "level").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
-    )
+    ).localCheckpoint()
     spark = df.sparkSession
     ts = spark.range(0, RS_HBITS + 2).select(
         col("id").cast("int").alias("t")
@@ -328,8 +345,10 @@ def rank_sketch_group_quantile(
         .agg(F.min("t").cast("int").alias("t"))
     )
     n = hist.groupBy("g").agg(F.sum("cnt").alias("n"))
-    kept = items.join(F.broadcast(thr), "g").where(
-        col("level") >= col("t")
+    kept = (
+        items.join(F.broadcast(thr), "g")
+        .where(col("level") >= col("t"))
+        .localCheckpoint()
     )
     nk = kept.groupBy("g").agg(
         F.count(F.lit(1)).cast("long").alias("n_kept")
