@@ -72,6 +72,7 @@ HEADLINE = [
     "quantile_sketch_estimate",
     "bpe_train_encode",
     "fhir_omop_device_era",
+    "domain_quantile_sketch",
 ]
 
 
