@@ -998,3 +998,31 @@ def omop_cohort(
         .cast("int")
         .alias("days_to_treatment"),
     )
+
+
+def omop_note(docref_df: DataFrame) -> DataFrame:
+    """OMOP CDM note projection from DocumentReference — the clinical-
+    TEXT bridge between the FHIR surface and the text-pipeline
+    operators (lang-ID / quality / dedup run on exactly this column at
+    scale): note class from ``type``, date from ``date``, and the body
+    DECODED from the base64 ``content.attachment.data`` payload the
+    $export carries (extends the reference's person-only OMOP mapping,
+    `01_dbignite_sample.py:470-484`). Takes the TYPED DocumentReference
+    frame (the ``omop_payer_plan_period`` calling convention).
+
+    Scale shape: one scan, pure projection incl. the JVM-side
+    ``unbase64`` — zero shuffles; decode cost is linear in payload
+    bytes, the floor for any note ETL."""
+    att = F.get(col("content"), 0)["attachment"]
+    return docref_df.select(
+        col("id").alias("note_id"),
+        F.regexp_replace(col("subject.reference"), "^Patient/", "").alias(
+            "person_id"
+        ),
+        F.substring(col("date"), 1, 10).alias("note_date"),
+        _first(col("type.coding.code")).alias("note_class_concept_code"),
+        att["title"].alias("note_title"),
+        F.unbase64(att["data"]).cast("string").alias("note_text"),
+        att["contentType"].alias("encoding_source_value"),
+        col("status").alias("status_source_value"),
+    )

@@ -979,7 +979,13 @@ def write_corpus(
 #     naming their logic Library by canonical url, 5 libraries with CQL
 #     attachment stubs, 5 plan definitions with applicability-condition
 #     actions.
-NDJSON_VERSION = "v9"
+# v10: + ResearchStudy (5 trial definitions with phase/arms, eleventh
+#     promotion batch) / ResearchSubject (one enrollment per patient —
+#     the Patient↔study linkage with arm + status closed-form) +
+#     DocumentReference — one progress note per patient whose
+#     content.attachment.data is the BASE64 of a closed-form note text
+#     (the OMOP note source; the oracle recomputes the plaintext).
+NDJSON_VERSION = "v10"
 
 
 def ndjson_resource_dfs(
@@ -1309,6 +1315,55 @@ def ndjson_resource_dfs(
     dus_history = F.array(
         _dus_nd("", dus_d0), _dus_nd("-f1", dus_d1), _dus_nd("-f2", dus_d2)
     )
+    # v10: trial enrollment — one ResearchSubject per patient linking
+    # Patient -> ResearchStudy/study-(k%5) with arm + status closed-form
+    rsubject = F.struct(
+        F.lit("ResearchSubject").alias("resourceType"),
+        _cat("rs-", k).alias("id"),
+        _pick(("candidate", "on-study", "completed", "withdrawn"), k)
+        .alias("status"),
+        F.struct(
+            F.format_string(
+                "%04d-%02d-01", (k % 5 + 2019).cast("int"),
+                ((k + 4) % 12 + 1).cast("int"),
+            ).alias("start")
+        ).alias("period"),
+        F.struct(_cat("ResearchStudy/study-", k % 5).alias("reference"))
+        .alias("study"),
+        F.struct(_cat("Patient/p-", k).alias("reference")).alias(
+            "individual"
+        ),
+        _pick(("arm-a", "arm-b"), k).alias("assignedArm"),
+    )
+    # v10: one progress note per patient; the attachment payload is the
+    # BASE64 of a closed-form plaintext so the OMOP note mapping must
+    # actually decode it (the oracle recomputes the plaintext directly)
+    note_text = F.format_string(
+        "Progress note %d: patient reports condtext-%d symptoms.",
+        (k % 7).cast("int"), (k % 50).cast("int"),
+    )
+    docref = F.struct(
+        F.lit("DocumentReference").alias("resourceType"),
+        _cat("note-", k).alias("id"),
+        F.lit("current").alias("status"),
+        _codeable(F.lit("11506-3"), F.lit("Progress note"), LOINC).alias(
+            "type"
+        ),
+        F.struct(_cat("Patient/p-", k).alias("reference")).alias("subject"),
+        F.format_string(
+            "%04d-%02d-%02dT09:00:00Z", (k % 6 + 2018).cast("int"),
+            ((k + 5) % 12 + 1).cast("int"), ((k + 11) % 28 + 1).cast("int"),
+        ).alias("date"),
+        F.array(
+            F.struct(
+                F.struct(
+                    F.lit("text/plain").alias("contentType"),
+                    F.base64(F.encode(note_text, "UTF-8")).alias("data"),
+                    _cat("note-title-", k % 9).alias("title"),
+                ).alias("attachment")
+            )
+        ).alias("content"),
+    )
     base = c.where(k < max_custkey)
     out = {
         "Patient": base.select(F.to_json(patient).alias("value")),
@@ -1323,6 +1378,8 @@ def ndjson_resource_dfs(
         "DeviceUseStatement": base.select(
             F.explode(dus_history).alias("d")
         ).select(F.to_json(col("d")).alias("value")),
+        "ResearchSubject": base.select(F.to_json(rsubject).alias("value")),
+        "DocumentReference": base.select(F.to_json(docref).alias("value")),
         "Condition": base.select(
             F.explode(conditions).alias("c")
         ).select(F.to_json(col("c")).alias("value")),
@@ -1336,6 +1393,7 @@ def ndjson_resource_dfs(
     }
     out.update(_terminology_dfs(spark))
     out.update(_quality_dfs(spark))
+    out.update(_research_dfs(spark))
     return out
 
 
@@ -1541,6 +1599,48 @@ def _quality_dfs(spark: SparkSession) -> dict[str, DataFrame]:
         "Library": mk(libraries),
         "PlanDefinition": mk(plans),
     }
+
+
+def _research_dfs(spark: SparkSession) -> dict[str, DataFrame]:
+    """The v10 DEFINITIONAL file (clinical-research pair, ELEVENTH
+    promotion batch): 5 ResearchStudy trial definitions with
+    phase/status/arms, closed-form in the index — the protocol side
+    the per-patient ResearchSubject enrollments link onto."""
+    import json as _json
+
+    phases = ("phase-1", "phase-2", "phase-3")
+    statuses = ("active", "completed")
+    studies = [
+        {
+            "resourceType": "ResearchStudy",
+            "id": f"study-{i}",
+            "title": f"Synthetic Trial {i}",
+            "status": statuses[i % 2],
+            "phase": {
+                "coding": [
+                    {
+                        "system": (
+                            "http://terminology.hl7.org/CodeSystem"
+                            "/research-study-phase"
+                        ),
+                        "code": phases[i % 3],
+                    }
+                ]
+            },
+            "principalInvestigator": {
+                "reference": f"Practitioner/prac-{i}"
+            },
+            "arm": [
+                {"name": "arm-a", "description": f"control arm {i}"},
+                {"name": "arm-b", "description": f"treatment arm {i}"},
+            ],
+        }
+        for i in range(5)
+    ]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731 - shape helper
+        [(_json.dumps(d, sort_keys=True),) for d in rows], "value string"
+    )
+    return {"ResearchStudy": mk(studies)}
 
 
 def write_ndjson_corpus(

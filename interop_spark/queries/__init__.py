@@ -56,7 +56,7 @@ _MODULES = (
 #     percentile_agg, pq_adc_topk, pq_encode, pricing_summary,
 #     quality_classifier_filter, scd2_intervals, stream_dedup_counts,
 #     stream_windowed_counts, string_agg_sorted, unimax_sample.
-#   * NEW this round (8): fhir_omop_observation + fhir_omop_specimen +
+#   * NEW this round (10): fhir_omop_observation + fhir_omop_specimen +
 #     fhir_omop_device_era (OMOP CDM clinical completion over NDJSON
 #     corpus v8: the category domain split, the Specimen mapping, and
 #     the fourth _era_merge consumer via the Device/DUS bridge — all
@@ -77,7 +77,15 @@ _MODULES = (
 #     unbounded score in O(groups × capacity) state, per-source
 #     sampling genuinely exercised at capacity 16, true-rank audit;
 #     displaces dup_ngram_stats from the drain tail back to the r15
-#     queue head — the documented trade).
+#     queue head — the documented trade), fhir_omop_note (NDJSON
+#     corpus v10 DocumentReference progress notes with BASE64
+#     attachment payloads the mapping must decode — the clinical-text
+#     bridge to the text-pipeline operators; displaces
+#     decontam_ngram_overlap the same way) and fhir_research_enrollment
+#     (ELEVENTH promotion batch proof row — research pair
+#     ResearchStudy/ResearchSubject, 85 curated / 59 spine; per-patient
+#     enrollments broadcast-join the 5 trial definitions; displaces
+#     date_parts the same way).
 #   * DIFF RE-VERIFIES (16): bpe_train_merges (ADVICE empty-merge
 #     guard in operators/text.py + the oracle-builder refactor; the
 #     only other text.py consumers import untouched functions,
@@ -95,14 +103,20 @@ _MODULES = (
 #     fhir_omop_dose_era, fhir_omop_condition_era,
 #     fhir_concept_map_translate, fhir_terminology_catalog (results
 #     provably unchanged — their type filters drop the new files —
-#     but the input directory changed, so they re-verify). The bundle
-#     corpus stays at v16, so its consumer rows keep their greens.
-#   * R9-RESIDUE DRAIN (10, alphabetical ledger order — 34 r9 rows
+#     but the input directory changed, so they re-verify; the corpus
+#     moved v7→v8→v9→v10 this round — category-split Observations +
+#     Specimen + Device/DUS wear history, then the eCQM definitional
+#     files, then ResearchStudy/ResearchSubject/DocumentReference —
+#     and every consumer row was re-verified after EACH bump, so the
+#     in-window greens are against the final v10). The bundle corpus
+#     stays at v16, so its consumer rows keep their greens.
+#   * R9-RESIDUE DRAIN (8, alphabetical ledger order — 36 r9 rows
 #     remain for r15): agg_minmax, arith_funcs, bm25_inverted_topk,
 #     bm25_topk, case_when_literal, computed_key_join, count_distinct,
-#     date_funcs, date_parts, decontam_ngram_overlap.
-# ROUND-15 QUEUE: the remaining 34 r9 rows — dup_ngram_stats (the
-# displaced drain-tail row), then alphabetical from
+#     date_funcs.
+# ROUND-15 QUEUE: the remaining 36 r9 rows — dup_ngram_stats,
+# decontam_ngram_overlap, date_parts (the displaced drain-tail rows),
+# then alphabetical from
 # exact_dedup (exact_dedup, explode_roundtrip, gopher_quality_flags,
 # gopher_repetition_signals, groupby_count, having_filter,
 # hof_filter_array, hybrid_rrf_topk, inner_equi_join, ivf_index_search,
@@ -141,6 +155,8 @@ _WINDOW = (
     "stream_quantile_sketch",
     "bpe_train_encode",
     "domain_quantile_sketch",
+    "fhir_omop_note",
+    "fhir_research_enrollment",
     # --- ROUND 14: diff re-verifies (16) ---
     "bpe_train_merges",
     "stream_merge_upsert",
@@ -158,7 +174,7 @@ _WINDOW = (
     "fhir_omop_condition_era",
     "fhir_concept_map_translate",
     "fhir_terminology_catalog",
-    # --- ROUND 14: r9-residue drain (10, alphabetical) ---
+    # --- ROUND 14: r9-residue drain (8, alphabetical) ---
     "agg_minmax",
     "arith_funcs",
     "bm25_inverted_topk",
@@ -167,8 +183,6 @@ _WINDOW = (
     "computed_key_join",
     "count_distinct",
     "date_funcs",
-    "date_parts",
-    "decontam_ngram_overlap",
 )
 
 

@@ -1340,6 +1340,61 @@ def q_fhir_quality_measure_catalog(
     )
 
 
+def q_fhir_omop_note(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OMOP note from the NDJSON bulk-export path (round-14; corpus v10
+    adds a DocumentReference progress note per patient whose attachment
+    payload is BASE64): typed scan → ``omop_note`` — the mapping must
+    actually DECODE the payload (the oracle recomputes the plaintext
+    from the closed form), landing the clinical-text column every
+    text-pipeline operator in this engine consumes. Zero shuffles."""
+    from interop_spark.fhir import read_from_ndjson
+    from interop_spark.fhir.analytics import omop_note
+    from interop_spark.fhir.gen import write_ndjson_corpus
+
+    d = write_ndjson_corpus(spark, sf_dir, max_custkey=_SYNTH_LIMIT)
+    dr = read_from_ndjson(
+        "file://" + d, spark=spark, glob_filter="*.ndjson"
+    ).resource("DocumentReference")
+    return omop_note(dr)
+
+
+def q_fhir_research_enrollment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Clinical-trial enrollment rollup — the round-14 ELEVENTH
+    promotion batch's proof row (research pair ResearchStudy /
+    ResearchSubject): per-patient enrollments resolve their study
+    reference onto the 5 trial definitions (definitional → BROADCAST,
+    the terminology posture) and roll up per (study, subject status)
+    with the study's title and phase coding riding along — the
+    accrual report every trial data warehouse runs."""
+    from interop_spark.fhir import read_from_ndjson
+    from interop_spark.fhir.gen import write_ndjson_corpus
+
+    d = write_ndjson_corpus(spark, sf_dir, max_custkey=_SYNTH_LIMIT)
+    nd = read_from_ndjson("file://" + d, spark=spark, glob_filter="*.ndjson")
+    subj = nd.resource("ResearchSubject").select(
+        F.regexp_replace(
+            col("study.reference"), "^ResearchStudy/", ""
+        ).alias("study_id"),
+        col("status").alias("subject_status"),
+        col("assignedArm").alias("assigned_arm"),
+    )
+    studies = nd.resource("ResearchStudy").select(
+        col("id").alias("study_id"),
+        col("title").alias("study_title"),
+        F.get(col("phase.coding"), 0)["code"].alias("phase_code"),
+    )
+    return (
+        subj.join(F.broadcast(studies), "study_id")
+        .groupBy(
+            "study_id", "study_title", "phase_code", "subject_status",
+            "assigned_arm",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_subjects"))
+    )
+
+
 def q_fhir_concept_map_translate(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1531,6 +1586,8 @@ QUERIES = {
     "fhir_omop_specimen": q_fhir_omop_specimen,
     "fhir_omop_device_era": q_fhir_omop_device_era,
     "fhir_quality_measure_catalog": q_fhir_quality_measure_catalog,
+    "fhir_omop_note": q_fhir_omop_note,
+    "fhir_research_enrollment": q_fhir_research_enrollment,
     "fhir_omop_dose_era": q_fhir_omop_dose_era,
     "fhir_omop_cohort": q_fhir_omop_cohort,
     "fhir_concept_map_translate": q_fhir_concept_map_translate,
@@ -2163,6 +2220,13 @@ ORACLE = {
         UNION ALL SELECT 'Measure', CAST(5 AS BIGINT)  -- v9
         UNION ALL SELECT 'Library', CAST(5 AS BIGINT)  -- v9
         UNION ALL SELECT 'PlanDefinition', CAST(5 AS BIGINT)  -- v9
+        UNION ALL SELECT 'ResearchStudy', CAST(5 AS BIGINT)  -- v10
+        UNION ALL
+        SELECT 'ResearchSubject', CAST(count(1) AS BIGINT)  -- v10
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+        UNION ALL
+        SELECT 'DocumentReference', CAST(count(1) AS BIGINT)  -- v10
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
         UNION ALL
         SELECT 'Condition', CAST(count(1) * 3 AS BIGINT)  -- v6 follow-ups
         FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
@@ -2368,6 +2432,44 @@ ORACLE = {
                  AS location_id,
                city, state, zip, country, n_persons
         FROM g
+    """,
+    # v10: the note mapping must DECODE the base64 payload; the oracle
+    # just re-derives the plaintext from the closed form
+    "fhir_omop_note": f"""
+        SELECT 'note-' || c_custkey::VARCHAR AS note_id,
+               'p-' || c_custkey::VARCHAR AS person_id,
+               printf('%04d-%02d-%02d', 2018 + c_custkey % 6,
+                      (c_custkey + 5) % 12 + 1,
+                      (c_custkey + 11) % 28 + 1) AS note_date,
+               '11506-3' AS note_class_concept_code,
+               'note-title-' || (c_custkey % 9)::VARCHAR AS note_title,
+               printf('Progress note %d: patient reports condtext-%d'
+                      || ' symptoms.', c_custkey % 7, c_custkey % 50)
+                 AS note_text,
+               'text/plain' AS encoding_source_value,
+               'current' AS status_source_value
+        FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+    """,
+    # v10 research pair: enrollments roll up against the 5 closed-form
+    # trial definitions
+    "fhir_research_enrollment": f"""
+        WITH s AS (
+          SELECT 'study-' || (c_custkey % 5)::VARCHAR AS study_id,
+                 c_custkey % 5 AS i,
+                 CASE (c_custkey % 4) WHEN 0 THEN 'candidate'
+                   WHEN 1 THEN 'on-study' WHEN 2 THEN 'completed'
+                   ELSE 'withdrawn' END AS subject_status,
+                 CASE (c_custkey % 2) WHEN 0 THEN 'arm-a'
+                   ELSE 'arm-b' END AS assigned_arm
+          FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+        )
+        SELECT study_id,
+               'Synthetic Trial ' || i::VARCHAR AS study_title,
+               CASE (i % 3) WHEN 0 THEN 'phase-1' WHEN 1 THEN 'phase-2'
+                 ELSE 'phase-3' END AS phase_code,
+               subject_status, assigned_arm,
+               CAST(count(*) AS BIGINT) AS n_subjects
+        FROM s GROUP BY 1, 2, 3, 4, 5
     """,
     # v9 quality trio: closed-form in the 0..4 fixture index
     "fhir_quality_measure_catalog": """

@@ -2405,6 +2405,53 @@ PLAN_DEFINITION = _resource(
 )
 
 
+# Round-14 ELEVENTH batch (the clinical-research pair, hl7.org/fhir/
+# R4): ResearchStudy / ResearchSubject — the trial-linkage resources a
+# research data warehouse loads to join patients onto protocols
+# (ResearchSubject is the Patient↔ResearchStudy association with arm
+# assignment and enrollment period; OMOP's episode/cohort analytics
+# consume exactly this linkage). Monotone promotion: spine fields
+# retained.
+
+RESEARCH_STUDY = _resource(
+    **_SPINE_FIELDS,
+    identifier=_arr(IDENTIFIER),
+    title=S,
+    protocol=_arr(REFERENCE),
+    partOf=_arr(REFERENCE),
+    status=S,
+    primaryPurposeType=CODEABLE_CONCEPT,
+    phase=CODEABLE_CONCEPT,
+    category=_arr(CODEABLE_CONCEPT),
+    focus=_arr(CODEABLE_CONCEPT),
+    condition=_arr(CODEABLE_CONCEPT),
+    keyword=_arr(CODEABLE_CONCEPT),
+    location=_arr(CODEABLE_CONCEPT),
+    description=S,
+    enrollment=_arr(REFERENCE),
+    period=PERIOD,
+    sponsor=REFERENCE,
+    principalInvestigator=REFERENCE,
+    site=_arr(REFERENCE),
+    reasonStopped=CODEABLE_CONCEPT,
+    note=_arr(ANNOTATION),
+    arm=_arr(_struct(name=S, type=CODEABLE_CONCEPT, description=S)),
+    objective=_arr(_struct(name=S, type=CODEABLE_CONCEPT)),
+)
+
+RESEARCH_SUBJECT = _resource(
+    **_SPINE_FIELDS,
+    identifier=_arr(IDENTIFIER),
+    status=S,
+    period=PERIOD,
+    study=REFERENCE,
+    individual=REFERENCE,
+    assignedArm=S,
+    actualArm=S,
+    consent=REFERENCE,
+)
+
+
 CATALOG = {
     "Patient": PATIENT,
     "MessageHeader": MESSAGE_HEADER,
@@ -2489,6 +2536,8 @@ CATALOG = {
     "Measure": MEASURE,
     "Library": LIBRARY,
     "PlanDefinition": PLAN_DEFINITION,
+    "ResearchStudy": RESEARCH_STUDY,
+    "ResearchSubject": RESEARCH_SUBJECT,
 }
 
 
@@ -2539,7 +2588,7 @@ FULL_SPINE_TYPES = [
     "MessageDefinition", "MolecularSequence", "NamingSystem",
     "ObservationDefinition", "OperationDefinition",
     "RequestGroup", "ResearchDefinition",
-    "ResearchElementDefinition", "ResearchStudy", "ResearchSubject",
+    "ResearchElementDefinition",
     "RiskEvidenceSynthesis", "SearchParameter", "SpecimenDefinition",
     "StructureDefinition", "StructureMap", "Subscription",
     "SubstanceNucleicAcid", "SubstancePolymer", "SubstanceProtein",

@@ -1006,3 +1006,45 @@ def test_omop_device_era_shares_era_core(spark):
         ("pA", "DV7", 1): ("2022-01-01", "2022-01-31", 2),
         ("pA", "DV7", 2): ("2022-04-01", "2022-04-01", 1),
     }
+
+
+def test_omop_note_decodes_base64_payload(spark):
+    """The note mapping must DECODE content.attachment.data (base64),
+    not pass the payload through — and strip the person prefix / date
+    time part like every other CDM mapping."""
+    import base64
+
+    from pyspark.sql import Row
+
+    from interop_spark.fhir.analytics import omop_note
+
+    body = "Patient reports improvement after therapy."
+    frame = spark.createDataFrame(
+        [
+            Row(
+                id="n1",
+                status="current",
+                subject=Row(reference="Patient/p7"),
+                date="2022-03-04T09:00:00Z",
+                type=Row(coding=[Row(system="http://loinc.org",
+                                     code="11506-3")]),
+                content=[
+                    Row(
+                        attachment=Row(
+                            contentType="text/plain",
+                            data=base64.b64encode(
+                                body.encode()
+                            ).decode(),
+                            title="visit-note",
+                        )
+                    )
+                ],
+            )
+        ]
+    )
+    (r,) = omop_note(frame).collect()
+    assert (
+        r.note_id, r.person_id, r.note_date, r.note_class_concept_code,
+        r.note_title, r.note_text, r.encoding_source_value,
+    ) == ("n1", "p7", "2022-03-04", "11506-3", "visit-note", body,
+          "text/plain")
