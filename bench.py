@@ -73,6 +73,7 @@ HEADLINE = [
     "bpe_train_encode",
     "fhir_omop_device_era",
     "domain_quantile_sketch",
+    "fhir_omop_note",
 ]
 
 

@@ -94,6 +94,8 @@ COMMENT = {
  "quantile_sketch_estimate": "Mergeable rank sketch: one narrow projection -> <=33-key level histogram (partial agg caps map output); the threshold is a 1-row broadcast onto a second pruned-column scan; estimation runs on the capacity-bounded survivor frame; the true-rank audit is the only extra corpus aggregate and exists purely as the quality yardstick.",
  "bpe_train_encode": "Train->encode composition: training cost is the word-frequency aggregate + vocabulary-sized rounds; the learned table is a rounds-sized model fetch; encoding touches Python only on the DISTINCT-word dictionary (Arrow-batched) and the corpus pass is the word->pieces equi-join + per-doc aggregate.",
  "domain_quantile_sketch": "Grouped rank sketch: ONE (source, level) partial-aggregated histogram + a survivor filter against broadcast per-source thresholds are the only corpus-side stages; the candidate grid, cumulative ranks and quantile picks run on groups-x-capacity frames -- per-domain thresholds on an unbounded score with no per-source sort.",
+ "fhir_omop_note": "OMOP note: line-splittable NDJSON scan -> typed projection incl. the JVM-side unbase64 decode of the attachment payload -- ZERO Exchange; decode cost is linear in payload bytes, the floor for any note ETL.",
+ "fhir_research_enrollment": "Trial accrual rollup: per-patient enrollments BROADCAST-join the 5 definitional studies (the terminology posture); the only exchange is the bounded (study x status x arm) aggregate with map-side partials.",
 }
 
 out = ["# PLANS — physical plans of the headline queries (sf0.1, AQE on)",
@@ -142,7 +144,8 @@ for name in ["pricing_summary", "multiway_join_agg", "latest_event_per_user",
              "fhir_omop_observation", "fhir_omop_specimen",
              "fhir_omop_device_era", "fhir_quality_measure_catalog",
              "quantile_sketch_estimate", "bpe_train_encode",
-             "domain_quantile_sketch"]:
+             "domain_quantile_sketch",
+             "fhir_omop_note", "fhir_research_enrollment"]:
     df = qs[name](spark, SF)
     df.write.format("noop").mode("overwrite").save()  # let AQE finalize
     plan = df._jdf.queryExecution().executedPlan().toString()
