@@ -468,3 +468,49 @@ def test_era_merge_matches_python_reference(sparkp, days, window):
         for r in _era_merge(df, "c", "x", "n", window).collect()
     }
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    values=st.lists(
+        st.integers(min_value=-1000, max_value=1000),
+        min_size=1, max_size=300,
+    ),
+    n_parts=st.integers(min_value=2, max_value=4),
+    salt=st.integers(min_value=0, max_value=10_000),
+)
+def test_rank_sketch_merge_partition_invariant(
+    spark, values, n_parts, salt
+):
+    """PROPERTY: for ANY value multiset, key offset, and partition
+    count, folding per-part rank sketches through rank_sketch_merge
+    yields the IDENTICAL sketch frame as one pass — the exact
+    mergeability contract (histograms add; threshold monotone under
+    union; survivors a pure function of data set + threshold), at a
+    capacity small enough that sampling is usually exercised."""
+    from interop_spark.operators.sketch import (
+        rank_sketch_build,
+        rank_sketch_merge,
+    )
+
+    rows = [(salt + i, float(v)) for i, v in enumerate(values)]
+    full = spark.createDataFrame(rows, "k long, score double")
+    cap = 16
+    one = rank_sketch_build(full, F.col("score"), F.col("k"), capacity=cap)
+    merged = None
+    for p in range(n_parts):
+        part = full.where(F.col("k") % n_parts == p)
+        if not part.take(1):
+            continue
+        sk = rank_sketch_build(
+            part, F.col("score"), F.col("k"), capacity=cap
+        )
+        merged = (
+            sk if merged is None
+            else rank_sketch_merge(merged, sk, capacity=cap)
+        )
+
+    def ms(df):
+        return sorted((r.kind, r.level, r.v, r.cnt) for r in df.collect())
+
+    assert ms(merged) == ms(one)
