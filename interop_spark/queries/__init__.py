@@ -56,7 +56,7 @@ _MODULES = (
 #     percentile_agg, pq_adc_topk, pq_encode, pricing_summary,
 #     quality_classifier_filter, scd2_intervals, stream_dedup_counts,
 #     stream_windowed_counts, string_agg_sorted, unimax_sample.
-#   * NEW this round (10): fhir_omop_observation + fhir_omop_specimen +
+#   * NEW this round (11): fhir_omop_observation + fhir_omop_specimen +
 #     fhir_omop_device_era (OMOP CDM clinical completion over NDJSON
 #     corpus v8: the category domain split, the Specimen mapping, and
 #     the fourth _era_merge consumer via the Device/DUS bridge — all
@@ -85,7 +85,10 @@ _MODULES = (
 #     (ELEVENTH promotion batch proof row — research pair
 #     ResearchStudy/ResearchSubject, 85 curated / 59 spine; per-patient
 #     enrollments broadcast-join the 5 trial definitions; displaces
-#     date_parts the same way).
+#     date_parts the same way), and domain_reweight_step (the DoReMi
+#     mixture-optimization update, linearized for engine exactness —
+#     one bounded per-source rollup + ppm renormalization; displaces
+#     date_funcs the same way).
 #   * DIFF RE-VERIFIES (16): bpe_train_merges (ADVICE empty-merge
 #     guard in operators/text.py + the oracle-builder refactor; the
 #     only other text.py consumers import untouched functions,
@@ -110,13 +113,12 @@ _MODULES = (
 #     and every consumer row was re-verified after EACH bump, so the
 #     in-window greens are against the final v10). The bundle corpus
 #     stays at v16, so its consumer rows keep their greens.
-#   * R9-RESIDUE DRAIN (8, alphabetical ledger order — 36 r9 rows
+#   * R9-RESIDUE DRAIN (7, alphabetical ledger order — 37 r9 rows
 #     remain for r15): agg_minmax, arith_funcs, bm25_inverted_topk,
-#     bm25_topk, case_when_literal, computed_key_join, count_distinct,
-#     date_funcs.
-# ROUND-15 QUEUE: the remaining 36 r9 rows — dup_ngram_stats,
-# decontam_ngram_overlap, date_parts (the displaced drain-tail rows),
-# then alphabetical from
+#     bm25_topk, case_when_literal, computed_key_join, count_distinct.
+# ROUND-15 QUEUE: the remaining 37 r9 rows — dup_ngram_stats,
+# decontam_ngram_overlap, date_parts, date_funcs (the displaced
+# drain-tail rows), then alphabetical from
 # exact_dedup (exact_dedup, explode_roundtrip, gopher_quality_flags,
 # gopher_repetition_signals, groupby_count, having_filter,
 # hof_filter_array, hybrid_rrf_topk, inner_equi_join, ivf_index_search,
@@ -157,6 +159,7 @@ _WINDOW = (
     "domain_quantile_sketch",
     "fhir_omop_note",
     "fhir_research_enrollment",
+    "domain_reweight_step",
     # --- ROUND 14: diff re-verifies (16) ---
     "bpe_train_merges",
     "stream_merge_upsert",
@@ -174,7 +177,7 @@ _WINDOW = (
     "fhir_omop_condition_era",
     "fhir_concept_map_translate",
     "fhir_terminology_catalog",
-    # --- ROUND 14: r9-residue drain (8, alphabetical) ---
+    # --- ROUND 14: r9-residue drain (7, alphabetical) ---
     "agg_minmax",
     "arith_funcs",
     "bm25_inverted_topk",
@@ -182,7 +185,6 @@ _WINDOW = (
     "case_when_literal",
     "computed_key_join",
     "count_distinct",
-    "date_funcs",
 )
 
 

@@ -3059,6 +3059,82 @@ def _domain_quantile_sketch_oracle() -> str:
     """
 
 
+def q_domain_reweight_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE domain-reweighting step — the mixture-optimization update
+    the DoReMi recipe (Xie et al. 2023, Algorithm 1) runs per round:
+    each domain's weight moves multiplicatively with its excess signal,
+    then the weights renormalize into a sampling distribution. The
+    exponential tilt is LINEARIZED (score = 1000 + excess‰) because
+    ``exp`` is not bit-portable across engines while integer
+    multiply/divide is exact — the engine-determinism discipline every
+    sampling row here follows. The excess signal is the per-source mean
+    token count relative to the corpus mean, in per-mille integer
+    arithmetic (plug in per-domain excess LOSS from the proxy/reference
+    models in production). Output: one row per source with its doc
+    count, excess signal, and the renormalized ppm sampling weight.
+
+    Scale shape: ONE partial-aggregated per-source (count, token-sum)
+    rollup — bounded keys, map tasks emit ≤1 row per source — plus a
+    broadcast 1-row corpus total; the update and renormalization run on
+    the sources-sized frame. No corpus sort, no per-doc state."""
+    d = load(spark, sf_dir, "documents")
+    # the per-source rollup is sources-sized — localCheckpoint it so
+    # the totals/update/renormalization branches read the bounded
+    # frame instead of re-deriving the corpus scan (one scan total)
+    per = d.select(
+        "source", F.size(tx_tokens(col("text"))).cast("long").alias("nt")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nt").alias("sum_tok"),
+    ).localCheckpoint()
+    tot = per.agg(
+        F.sum("n_docs").alias("n_total"), F.sum("sum_tok").alias("tok_total")
+    )
+    scored = per.crossJoin(F.broadcast(tot)).withColumn(
+        "excess_permille",
+        F.expr("(1000 * sum_tok * n_total) div (n_docs * tok_total)"),
+    ).withColumn("score", F.lit(1000) + col("excess_permille"))
+    z = scored.agg(F.sum("score").alias("z"))
+    return (
+        scored.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            col("excess_permille").cast("long").alias("excess_permille"),
+            F.expr("(1000000 * score) div z").cast("long").alias(
+                "weight_ppm"
+            ),
+        )
+    )
+
+
+def _domain_reweight_oracle() -> str:
+    return f"""
+        WITH per AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len({_SEL_TOKENS})) AS BIGINT) AS sum_tok
+          FROM documents GROUP BY source
+        ),
+        tot AS (
+          SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+                 CAST(sum(sum_tok) AS BIGINT) AS tok_total
+          FROM per
+        ),
+        scored AS (
+          SELECT source, n_docs,
+                 (1000 * sum_tok * n_total) // (n_docs * tok_total)
+                   AS excess_permille
+          FROM per, tot
+        ),
+        z AS (SELECT sum(1000 + excess_permille) AS z FROM scored)
+        SELECT source, n_docs,
+               CAST(excess_permille AS BIGINT) AS excess_permille,
+               CAST((1000000 * (1000 + excess_permille)) // z.z AS BIGINT)
+                 AS weight_ppm
+        FROM scored, z
+    """
+
+
 QUERIES = {
     "edit_distance_neardup": q_edit_distance_neardup,
     "dsir_importance": q_dsir_importance,
@@ -3095,6 +3171,7 @@ QUERIES = {
     "quantile_sketch_estimate": q_quantile_sketch_estimate,
     "bpe_train_encode": q_bpe_train_encode,
     "domain_quantile_sketch": q_domain_quantile_sketch,
+    "domain_reweight_step": q_domain_reweight_step,
 }
 
 ORACLE = {
@@ -3133,4 +3210,5 @@ ORACLE = {
     "quantile_sketch_estimate": _quantile_sketch_oracle(),
     "bpe_train_encode": _bpe_train_encode_oracle(BPE_TRAIN_ROUNDS),
     "domain_quantile_sketch": _domain_quantile_sketch_oracle(),
+    "domain_reweight_step": _domain_reweight_oracle(),
 }

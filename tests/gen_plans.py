@@ -96,6 +96,7 @@ COMMENT = {
  "domain_quantile_sketch": "Grouped rank sketch: ONE (source, level) partial-aggregated histogram + a survivor filter against broadcast per-source thresholds are the only corpus-side stages; the candidate grid, cumulative ranks and quantile picks run on groups-x-capacity frames -- per-domain thresholds on an unbounded score with no per-source sort.",
  "fhir_omop_note": "OMOP note: line-splittable NDJSON scan -> typed projection incl. the JVM-side unbase64 decode of the attachment payload -- ZERO Exchange; decode cost is linear in payload bytes, the floor for any note ETL.",
  "fhir_research_enrollment": "Trial accrual rollup: per-patient enrollments BROADCAST-join the 5 definitional studies (the terminology posture); the only exchange is the bounded (study x status x arm) aggregate with map-side partials.",
+ "domain_reweight_step": "DoReMi mixture update (linearized): ONE partial-aggregated per-source rollup (bounded keys, map tasks emit <=1 row per source) + a broadcast corpus total; the multiplicative update and ppm renormalization run on the sources-sized frame -- no corpus sort, no per-doc state.",
 }
 
 out = ["# PLANS — physical plans of the headline queries (sf0.1, AQE on)",
@@ -145,7 +146,8 @@ for name in ["pricing_summary", "multiway_join_agg", "latest_event_per_user",
              "fhir_omop_device_era", "fhir_quality_measure_catalog",
              "quantile_sketch_estimate", "bpe_train_encode",
              "domain_quantile_sketch",
-             "fhir_omop_note", "fhir_research_enrollment"]:
+             "fhir_omop_note", "fhir_research_enrollment",
+             "domain_reweight_step"]:
     df = qs[name](spark, SF)
     df.write.format("noop").mode("overwrite").save()  # let AQE finalize
     plan = df._jdf.queryExecution().executedPlan().toString()
