@@ -74,7 +74,31 @@ HEADLINE = [
     "fhir_omop_device_era",
     "domain_quantile_sketch",
     "fhir_omop_note",
+    # round-15: the DoReMi loop, the ext-corpus CDM/promotion rows, and
+    # the writer canonical row get timing guard from their first round
+    "domain_reweight_converge",
+    "fhir_omop_visit_detail",
+    "fhir_request_group_actions",
+    "fhir_writer_canonical_leaves",
 ]
+
+# Cross-round drift accounting (r14 verdict item 2), written into
+# BENCH_DETAIL so the note travels with the numbers. The r15 re-bench
+# started from a genuinely idle machine (1-min loadavg 0.25; the
+# recorded loadavg_1m is sampled AFTER the headline loop, so it
+# includes the bench's own 32-thread load — interpret the field as
+# "machine state the run ENDED at", not ambient quiet).
+DRIFT_NOTE = (
+    "r15 quiet re-bench (ambient loadavg 0.25 at start): shared-query "
+    "subtotal 1.01x r14 / 1.05x r13 — the r14 deltas were real, not "
+    "load noise. Corpus-version-matched drift: fhir_ingest_corpus "
+    "2.25s at v16 vs r13's 2.28s at v16 — STABLE; its 1.62x-vs-r3 "
+    "ratio is corpus growth (v12->v16), re-baselined at v16. "
+    "bm25_topk 0.69s, back under its r13 value — r14's 1.42x was "
+    "noise. corpus_clean 2.62s vs r13 2.29s on constant input — "
+    "genuine ~14%/two-rounds creep with an unchanged plan shape "
+    "(probe band 3.2-3.4@10x); re-baselined here, watch item for r16."
+)
 
 
 def _scaled_documents(spark, sf_dir: str, mult: int):
@@ -125,30 +149,20 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
     from interop_spark.operators import dedup as dd
 
     def simhash_pairs(d):
-        # the q_simhash_neardup_pairs operator body, parameterized on its
-        # input (the query itself pins a bounded oracle slice)
-        sh = d.select(
-            "doc_id", dd.simhash_wide_of_hashes(dd.token_hashes_wide(col("text"))).alias("sh")
-        ).localCheckpoint()
-        banded = sh.select(
-            "doc_id", "sh",
-            F.posexplode(dd.simhash_wide_bands(col("sh"))).alias("band_idx", "band_val"),
+        # the q_simhash_neardup_pairs operator body (shared function as
+        # of r15), with the hot-band guard ON — the posture a 100 TB run
+        # uses (the r14 verdict item-3 fix: the 7.5x@10x probe band was
+        # dominated by hot-band candidate output, not signature work)
+        return dd.simhash_candidate_pairs(
+            d, "doc_id", "text", hamming_max=12, max_band_docs=64
         )
-        return (
-            banded.alias("l")
-            .join(
-                banded.alias("r"),
-                (col("l.band_idx") == col("r.band_idx"))
-                & (col("l.band_val") == col("r.band_val"))
-                & (col("l.doc_id") < col("r.doc_id")),
-            )
-            .select(
-                col("l.doc_id").alias("doc_a"),
-                col("r.doc_id").alias("doc_b"),
-                dd.hamming_wide(col("l.sh"), col("r.sh")).cast("int").alias("hamming"),
-            )
-            .where(col("hamming") <= 12)
-            .distinct()
+
+    def simhash_pairs_noguard(d):
+        # no-guard CONTROL (r14 verdict item 3): measures the inherent
+        # banded-Hamming candidate floor at this fixture shape, so the
+        # guarded probe's ratio is attributable to the guard
+        return dd.simhash_candidate_pairs(
+            d, "doc_id", "text", hamming_max=12, max_band_docs=None
         )
 
     def _scaled_embeddings(mult: int):
@@ -228,6 +242,7 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
             d, "doc_id", "text", spread=False  # input pre-repartitioned
         ),
         "simhash_neardup_pairs": simhash_pairs,
+        "simhash_noguard": simhash_pairs_noguard,
         "ivf_assign": ivf_assign_probe,
         # the substring-dedup family's full window-hash → frequency
         # guard → candidate join → run-merge pipeline. NOTE: this probe
@@ -584,7 +599,8 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
             _rotated_documents if name == "substring_dup_runs" else
             _retokened_documents
             if name
-            in ("simhash_neardup_pairs", "containment", "minhash_probe")
+            in ("simhash_neardup_pairs", "simhash_noguard", "containment",
+                "minhash_probe")
             else
             lambda m: _scaled_documents(spark, sf_dir, m)
         )
@@ -699,6 +715,7 @@ def main() -> None:
     detail = {
         "spread": spread,
         "loadavg_1m_post_headline": round(os.getloadavg()[0], 2),
+        "drift_note": DRIFT_NOTE,
     }
     # safety net: the headline numbers exist in the output even if the
     # probes below take the JVM down (round-4 lost the whole artifact

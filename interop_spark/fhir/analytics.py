@@ -1026,3 +1026,43 @@ def omop_note(docref_df: DataFrame) -> DataFrame:
         att["contentType"].alias("encoding_source_value"),
         col("status").alias("status_source_value"),
     )
+
+
+def omop_visit_detail(enc_df: DataFrame) -> DataFrame:
+    """OMOP CDM visit_detail from Encounter.location — the fine-grained
+    (ward / bed transfer) companion of ``omop_visit_occurrence``
+    (ohdsi.github.io/CommonDataModel/cdm54.html#visit_detail): each
+    Encounter.location segment becomes one visit_detail row with its own
+    period, ordered by array position, FK'd to its parent visit via
+    ``visit_occurrence_id``. Extends the reference's person-only OMOP
+    mapping (`01_dbignite_sample.py:470-484`) like the rest of the CDM
+    family. Takes the TYPED Encounter frame (the ``omop_specimen``
+    calling convention) — the caller reads it with a ``location.period``
+    schema override (S4), since the catalog's curated Encounter keeps
+    the location struct minimal.
+
+    Scale shape: one scan, posexplode + pure projection — zero
+    shuffles; output rows bounded by total location segments."""
+    seg = enc_df.select(
+        col("id").alias("visit_occurrence_id"),
+        F.regexp_replace(col("subject.reference"), "^Patient/", "").alias(
+            "person_id"
+        ),
+        col("class.code").alias("visit_concept_code"),
+        F.posexplode("location").alias("seg", "l"),
+    )
+    return seg.select(
+        F.concat_ws(
+            "-", col("visit_occurrence_id"), col("seg").cast("string")
+        ).alias("visit_detail_id"),
+        "person_id",
+        (col("seg") + 1).cast("int").alias("visit_detail_seq"),
+        F.regexp_replace(
+            col("l.location.reference"), "^Location/", ""
+        ).alias("care_site_source_value"),
+        col("l.period.start").alias("visit_detail_start_date"),
+        col("l.period.end").alias("visit_detail_end_date"),
+        col("l.status").alias("status_source_value"),
+        "visit_concept_code",
+        "visit_occurrence_id",
+    )

@@ -1676,3 +1676,187 @@ def write_ndjson_corpus(
 
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# Round-15 EXTENSION corpus — its own version constant and directory so
+# new consumers never force the main bundle/NDJSON consumer fleets back
+# into the check window (the confine-changes convention: bumping
+# EXT_NDJSON_VERSION re-verifies only the ext-corpus rows).
+# --------------------------------------------------------------------------
+
+EXT_NDJSON_VERSION = "v1"
+
+
+def ext_resource_dfs(
+    spark: SparkSession, sf_dir: str, max_custkey: int = 400
+) -> dict[str, DataFrame]:
+    """Per-type ``value`` frames for the r15 extension corpus, all
+    closed-form in c_custkey:
+
+    - ``Encounter`` rows with 1-3 ``location`` ward-transfer segments
+      (each a Location reference + per-segment Period) — the OMOP
+      visit_detail source. The main bundle corpus's Encounters carry no
+      location array, and extending them would bump CORPUS_VERSION for
+      every bundle consumer; the ext corpus confines the change.
+    - ``ActivityDefinition``: 6 order-template definitions (url +
+      version + kind + code + `library` canonical array) — the
+      definitional side, _research_dfs style.
+    - ``RequestGroup`` per patient whose ``instantiatesCanonical``
+      entries carry the canonical-with-version form
+      ``<url>|<version>`` (hl7.org/fhir/R4/references.html#canonical)
+      — the $apply output linking executed orders back to their
+      ActivityDefinitions.
+    """
+    import json as _json
+
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    k = col("c_custkey")
+    base = c.where(k < max_custkey)
+
+    v3 = "http://terminology.hl7.org/CodeSystem/v3-ActCode"
+    enc_base = F.make_date(
+        (k % 5 + 2018).cast("int"),
+        ((k + 2) % 12 + 1).cast("int"),
+        ((k + 7) % 28 + 1).cast("int"),
+    )
+    seg_len = (k % 4 + 1).cast("int")
+    encounter = F.struct(
+        F.lit("Encounter").alias("resourceType"),
+        _cat("vd-enc-", k).alias("id"),
+        _pick(("finished", "in-progress", "cancelled"), k).alias("status"),
+        F.struct(
+            F.lit(v3).alias("system"),
+            _pick(("AMB", "IMP", "EMER"), k + 1).alias("code"),
+        ).alias("class"),
+        F.struct(_cat("Patient/p-", k).alias("reference")).alias("subject"),
+        F.struct(
+            F.date_format(enc_base, "yyyy-MM-dd").alias("start"),
+            F.date_format(
+                F.date_add(enc_base, seg_len * ((k % 3) + 1).cast("int")),
+                "yyyy-MM-dd",
+            ).alias("end"),
+        ).alias("period"),
+        F.transform(
+            F.sequence(F.lit(0), (k % 3).cast("int")),
+            lambda i: F.struct(
+                F.struct(
+                    F.concat(
+                        F.lit("Location/ward-"),
+                        ((k + i) % 7).cast("string"),
+                    ).alias("reference")
+                ).alias("location"),
+                F.when(i < (k % 3).cast("int"), F.lit("completed"))
+                .otherwise(F.lit("active"))
+                .alias("status"),
+                F.struct(
+                    F.date_format(
+                        F.date_add(enc_base, i * seg_len), "yyyy-MM-dd"
+                    ).alias("start"),
+                    F.date_format(
+                        F.date_add(enc_base, (i + 1) * seg_len),
+                        "yyyy-MM-dd",
+                    ).alias("end"),
+                ).alias("period"),
+            ),
+        ).alias("location"),
+    )
+
+    n_canon = (k % 2 + 1).cast("int")
+    rg = F.struct(
+        F.lit("RequestGroup").alias("resourceType"),
+        _cat("rg-", k).alias("id"),
+        F.transform(
+            F.sequence(F.lit(0), n_canon - 1),
+            lambda j: F.concat(
+                F.lit("http://example.org/fhir/ActivityDefinition/order-"),
+                ((k + j) % 6).cast("string"),
+                F.lit("|1."),
+                ((k + j) % 6).cast("string"),
+            ),
+        ).alias("instantiatesCanonical"),
+        _pick(("active", "completed", "draft"), k).alias("status"),
+        F.lit("order").alias("intent"),
+        _pick(("routine", "urgent", "asap"), k + 1).alias("priority"),
+        F.struct(_cat("Patient/p-", k).alias("reference")).alias("subject"),
+        F.format_string(
+            "%04d-%02d-%02d", (k % 4 + 2020).cast("int"),
+            ((k + 6) % 12 + 1).cast("int"), ((k + 9) % 28 + 1).cast("int"),
+        ).alias("authoredOn"),
+        F.array(
+            F.struct(
+                _cat("order ", k % 6).alias("title"),
+                F.struct(
+                    _cat("MedicationRequest/mr-", k).alias("reference")
+                ).alias("resource"),
+            )
+        ).alias("action"),
+    )
+
+    kinds = ("ServiceRequest", "MedicationRequest")
+    actdefs = [
+        {
+            "resourceType": "ActivityDefinition",
+            "id": f"actdef-{i}",
+            "url": f"http://example.org/fhir/ActivityDefinition/order-{i}",
+            "version": f"1.{i}",
+            "name": f"order-{i}",
+            "title": f"Order template {i}",
+            "status": "active" if i % 2 == 0 else "draft",
+            "kind": kinds[i % 2],
+            "intent": "order",
+            "priority": "routine" if i % 3 else "urgent",
+            "code": {
+                "coding": [
+                    {
+                        "system": "http://snomed.info/sct",
+                        "code": f"AD{i}",
+                        "display": f"order-proc-{i}",
+                    }
+                ]
+            },
+            "library": [f"http://example.org/fhir/Library/lib-{i % 3}"],
+        }
+        for i in range(6)
+    ]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731 - shape helper
+        [(_json.dumps(d, sort_keys=True),) for d in rows], "value string"
+    )
+    return {
+        "Encounter": base.select(F.to_json(encounter).alias("value")),
+        "RequestGroup": base.select(F.to_json(rg).alias("value")),
+        "ActivityDefinition": mk(actdefs),
+    }
+
+
+def write_ext_corpus(
+    spark: SparkSession, sf_dir: str, max_custkey: int = 400
+) -> str:
+    """Materialize the r15 extension corpus (same marker/rename protocol
+    as ``write_ndjson_corpus``) and return the directory."""
+    sf_name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(
+        "/tmp/interop_spark_fixtures",
+        f"extnd-{sf_name}-k{max_custkey}-{EXT_NDJSON_VERSION}",
+    )
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+    dfs = ext_resource_dfs(spark, sf_dir, max_custkey)
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp)
+    n = 0
+    for rt, df in dfs.items():
+        lines = sorted(r["value"] for r in df.collect())
+        n += len(lines)
+        with open(os.path.join(tmp, f"{rt}.ndjson"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+        f.write(f"{n}\n")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

@@ -401,6 +401,83 @@ def hamming_wide(a: Column, b: Column) -> Column:
     )
 
 
+def simhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hamming_max: int = 12,
+    max_band_docs: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Banded SimHash near-duplicate pairs at the scale-safe width: docs
+    sharing any 30-bit band of their 120-bit simhash become candidates
+    via a band-key SELF-JOIN, verified by Hamming ≤ ``hamming_max`` over
+    the full 120 bits (the single body behind ``simhash_neardup_pairs``
+    and the bench scaling probe — previously duplicated).
+
+    Scale shape: the self-join shuffles only (band_idx, band_val,
+    doc_id, sh) — AQE-splittable, no per-bucket collect_list; 30-bit
+    bands give a ~1B key space per band so bucket occupancy stays O(1)
+    as the corpus grows. ``materialize`` checkpoints the signature
+    table so the hash pipeline runs once, not once per join side.
+
+    ``max_band_docs`` is the hot-band frequency guard — the SimHash
+    twin of ``minhash_candidate_pairs``'s parameter of the same name: a
+    band value shared by more than that many documents (a boilerplate /
+    template mega-cluster, or short docs whose majority-vote bits
+    collapse onto the corpus's common-token signature) is dropped
+    BEFORE the self-join, which otherwise emits O(cluster²) candidate
+    pairs for that band. Default ``None`` preserves exact candidate
+    semantics (the driver oracle's); at corpus scale pass a cap and
+    collapse exact-identical texts first so the guard only trims
+    pathological clusters, whose membership a cluster-level output
+    (``dedup_clusters``) represents without enumerating pairs.
+    Recall note: a doc pair trimmed from one hot band still pairs
+    through any of its other 3 bands, so only pairs agreeing SOLELY on
+    a mega-cluster band are lost."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        simhash_wide_of_hashes(token_hashes_wide(F.col(text_col))).alias(
+            "sh"
+        ),
+    )
+    if materialize:
+        sh = sh.localCheckpoint()
+    banded = sh.select(
+        "doc_id",
+        "sh",
+        F.posexplode(simhash_wide_bands(F.col("sh"))).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    if max_band_docs is not None:
+        keep = (
+            banded.groupBy("band_idx", "band_val")
+            .agg(F.count(F.lit(1)).alias("_nd"))
+            .where(F.col("_nd") <= max_band_docs)
+            .select("band_idx", "band_val")
+        )
+        banded = banded.join(keep, ["band_idx", "band_val"])
+    return (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            hamming_wide(F.col("l.sh"), F.col("r.sh"))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= hamming_max)
+        .distinct()
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     a: str = "doc_a",

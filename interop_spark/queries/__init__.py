@@ -45,146 +45,123 @@ _MODULES = (
 # ROUND-13 window and rationale: git history (this block's prior
 # revision), per the trimming convention adopted in r9.
 #
-# ROUND-14 window (50): drains the ENTIRE 16-row r8-stale queue (r13
+# ROUND-14 window and rationale: git history (this block's prior
+# revision), per the trimming convention adopted in r9.
+#
+# ROUND-15 window (50): drains the ENTIRE 37-row r9-stale queue (r14
 # verdict item 1 — after this round no registry green is older than
-# r9), then this round's NEW rows, the diff re-verifies, and an 11-row
-# r9-residue drain head.
-#   * R8 QUEUE DRAIN (16, exactly the r13 ledger's queue, all
-#     judge-re-proven last session): lm_perplexity_filter,
-#     minhash_est_error, mrl_recall_at_k, multimodal_features,
-#     multiway_join_agg (also the entry() flagship), paragraph_dedup,
-#     percentile_agg, pq_adc_topk, pq_encode, pricing_summary,
-#     quality_classifier_filter, scd2_intervals, stream_dedup_counts,
-#     stream_windowed_counts, string_agg_sorted, unimax_sample.
-#   * NEW this round (11): fhir_omop_observation + fhir_omop_specimen +
-#     fhir_omop_device_era (OMOP CDM clinical completion over NDJSON
-#     corpus v8: the category domain split, the Specimen mapping, and
-#     the fourth _era_merge consumer via the Device/DUS bridge — all
-#     three are NEW functions appended to fhir/analytics.py; no
-#     existing analytics function changed, hunk-verified, so
-#     bundle-corpus consumers keep their greens),
-#     fhir_quality_measure_catalog (TENTH promotion batch proof row —
-#     eCQM trio Measure/Library/PlanDefinition, 83 curated / 61 spine;
-#     the promotion only ADDS catalog entries), quantile_sketch_
-#     estimate + stream_quantile_sketch (mergeable hash-level rank
-#     sketch, batch + exact streaming register-merge twin; appended to
-#     operators/sketch.py — HLL functions untouched, hunk-verified, so
-#     hll_distinct_estimate keeps its r13 green), bpe_train_encode
-#     (train→encode composition; selection_q.py append plus the
-#     _bpe_train_oracle → _bpe_train_ctes refactor, which is why
-#     bpe_train_merges re-verifies below), domain_quantile_sketch
-#     (the GROUPED rank sketch: per-source p90 thresholds on an
-#     unbounded score in O(groups × capacity) state, per-source
-#     sampling genuinely exercised at capacity 16, true-rank audit;
-#     displaces dup_ngram_stats from the drain tail back to the r15
-#     queue head — the documented trade), fhir_omop_note (NDJSON
-#     corpus v10 DocumentReference progress notes with BASE64
-#     attachment payloads the mapping must decode — the clinical-text
-#     bridge to the text-pipeline operators; displaces
-#     decontam_ngram_overlap the same way) and fhir_research_enrollment
-#     (ELEVENTH promotion batch proof row — research pair
-#     ResearchStudy/ResearchSubject, 85 curated / 59 spine; per-patient
-#     enrollments broadcast-join the 5 trial definitions; displaces
-#     date_parts the same way), and domain_reweight_step (the DoReMi
-#     mixture-optimization update, linearized for engine exactness —
-#     one bounded per-source rollup + ppm renormalization; displaces
-#     date_funcs the same way).
-#   * DIFF RE-VERIFIES (16): bpe_train_merges (ADVICE empty-merge
-#     guard in operators/text.py + the oracle-builder refactor; the
-#     only other text.py consumers import untouched functions,
-#     hunk-verified, so bpe_encode/bpe_merge_candidates keep r13
-#     greens), stream_merge_upsert + stream_hll_users (cdc.py landing
-#     cache key now folds a content fingerprint — both rows consume
-#     land_event_chunks), pca_top_component (ADVICE degenerate-input
-#     guards in operators/linalg.py), fhir_omop_cohort (query body now
-#     calls the extracted analytics.omop_cohort core), and the 11
-#     NDJSON corpus v8+v9 consumers: fhir_ndjson_observations +
-#     fhir_ndjson_type_counts + stream_ndjson_counts (RESULTS change —
-#     the v8 social-history Observation twin and the v8/v9 type rows),
-#     fhir_ndjson_patient_conditions, fhir_ndjson_coverage_bundles,
-#     fhir_ndjson_export_errors, fhir_omop_payer_plan_period,
-#     fhir_omop_dose_era, fhir_omop_condition_era,
-#     fhir_concept_map_translate, fhir_terminology_catalog (results
-#     provably unchanged — their type filters drop the new files —
-#     but the input directory changed, so they re-verify; the corpus
-#     moved v7→v8→v9→v10 this round — category-split Observations +
-#     Specimen + Device/DUS wear history, then the eCQM definitional
-#     files, then ResearchStudy/ResearchSubject/DocumentReference —
-#     and every consumer row was re-verified after EACH bump, so the
-#     in-window greens are against the final v10). The bundle corpus
-#     stays at v16, so its consumer rows keep their greens.
-#   * R9-RESIDUE DRAIN (7, alphabetical ledger order — 37 r9 rows
-#     remain for r15): agg_minmax, arith_funcs, bm25_inverted_topk,
-#     bm25_topk, case_when_literal, computed_key_join, count_distinct.
-# ROUND-15 QUEUE: the remaining 37 r9 rows — dup_ngram_stats,
-# decontam_ngram_overlap, date_parts, date_funcs (the displaced
-# drain-tail rows), then alphabetical from
-# exact_dedup (exact_dedup, explode_roundtrip, gopher_quality_flags,
-# gopher_repetition_signals, groupby_count, having_filter,
-# hof_filter_array, hybrid_rrf_topk, inner_equi_join, ivf_index_search,
-# ivfpq_rerank_sweep, kmeans_fit, kmeans_one_step, left_anti_join,
-# left_outer_exists_flag, left_semi_join, like_filter_or,
-# nested_struct_pluck, pii_redact, resample_ffill, salted_join_agg,
-# scan_project_filter, sequence_pack, set_except, set_intersect,
-# set_union, simhash, simhash_neardup_pairs, stream_sessionize_counts,
-# string_funcs, substring_key, topk_orders, video_meta), then the r10
+# r10), then this round's NEW rows, the diff re-verify, and an 8-row
+# r10-residue drain head.
+#   * R9 QUEUE DRAIN (37, exactly the r14 ledger's queue): the four
+#     twice-displaced heads dup_ngram_stats, decontam_ngram_overlap,
+#     date_parts, date_funcs FIRST (the r14 verdict: do not displace
+#     them again), then alphabetical from exact_dedup through
+#     video_meta. Two of these — simhash + simhash_neardup_pairs —
+#     double as diff re-verifies: the banded-join body moved to the
+#     new shared ``operators/dedup.py:simhash_candidate_pairs`` (with
+#     the hot-band ``max_band_docs`` guard, r14 verdict item 3; the
+#     driver row passes None → exact candidate semantics, oracle
+#     unchanged). The dedup.py change is one inserted function — no
+#     existing function's hunks touched, so other dedup consumers
+#     keep their greens; pipeline.py's only changed hunk is
+#     q_simhash_neardup_pairs's body.
+#   * NEW this round (4): domain_reweight_converge (the DoReMi k=4
+#     iteration composed from the r14 single step — integer
+#     tilt→renormalize→ε-smooth per round, localCheckpoint between
+#     rounds, unrolled-CTE oracle; r14 verdict item 4),
+#     fhir_omop_visit_detail (Encounter.location ward transfers →
+#     CDM visit_detail via a location.period SCHEMA OVERRIDE read —
+#     S4 exercised on a real row; r14 verdict item 7),
+#     fhir_request_group_actions (TWELFTH promotion batch proof row —
+#     execution pair ActivityDefinition/RequestGroup, 87 curated / 57
+#     spine; canonical-with-version split + broadcast resolve; r14
+#     verdict item 5), fhir_writer_canonical_leaves (writer
+#     canonical/uri passthrough-vs-urn-normalization contrast row —
+#     the typed-leaf residue, r14 verdict item 6; no writer.py code
+#     change, so fhir_writer_roundtrip keeps its r11 green). The
+#     three FHIR rows read the NEW r15 EXTENSION corpus
+#     (gen.py:EXT_NDJSON_VERSION, own directory) — the main
+#     bundle (v16) and NDJSON (v10) corpora are UNTOUCHED this
+#     round, so their consumer fleets keep their greens and the
+#     37-row drain fits the window.
+#   * DIFF RE-VERIFY (1): domain_reweight_step (its scored-frame
+#     build moved to the shared ``_reweight_scored`` helper the
+#     converge row reuses — same plan, but the body changed, so it
+#     re-verifies; selection_q.py's other hunks are pure appends).
+#     The twelfth promotion batch only ADDS catalog entries
+#     (ActivityDefinition/RequestGroup were spine-only; no curated
+#     schema changed — catalog JSON diff is additions + the two
+#     spine-file removals), so no other FHIR row re-verifies.
+#   * R10-RESIDUE DRAIN (8, alphabetical ledger order — 23 r10 rows
+#     remain for r16): approx_count_distinct, approx_quantile,
+#     argmax_agg, boilerplate_lines, bundle_collect_flatten,
+#     corpus_clean (also the bench drift-watch item — see
+#     BENCH_DETAIL drift note), correlated_exists, cross_join_sql.
+# ROUND-16 QUEUE: the remaining 23 r10 rows, alphabetical from
+# dedup_representatives (dedup_representatives, domain_mix_sample,
+# encoding_quality, groupby_ordinal_sql, in_subquery, json_extract,
+# latest_event_per_user, lead_lag, minhash_lsh_neardup,
+# neardup_clusters, neardup_clusters_star, pretrain_pipeline,
+# rollup_agg, running_total, scalar_subquery, script_profile,
+# select_star_expansion, sessionize, sq8_roundtrip, text_token_stats,
+# token_entropy, tumbling_window, union_all_sql), then the r11
 # residue behind them.
 # --------------------------------------------------------------------------
 _WINDOW = (
-    # --- ROUND 14: the 16-row r8 queue drain ---
-    "lm_perplexity_filter",
-    "minhash_est_error",
-    "mrl_recall_at_k",
-    "multimodal_features",
-    "multiway_join_agg",
-    "paragraph_dedup",
-    "percentile_agg",
-    "pq_adc_topk",
-    "pq_encode",
-    "pricing_summary",
-    "quality_classifier_filter",
-    "scd2_intervals",
-    "stream_dedup_counts",
-    "stream_windowed_counts",
-    "string_agg_sorted",
-    "unimax_sample",
-    # --- ROUND 14: new queries (7) ---
-    "fhir_omop_observation",
-    "fhir_omop_specimen",
-    "fhir_omop_device_era",
-    "fhir_quality_measure_catalog",
-    "quantile_sketch_estimate",
-    "stream_quantile_sketch",
-    "bpe_train_encode",
-    "domain_quantile_sketch",
-    "fhir_omop_note",
-    "fhir_research_enrollment",
+    # --- ROUND 15: the 37-row r9 queue drain (heads first) ---
+    "dup_ngram_stats",
+    "decontam_ngram_overlap",
+    "date_parts",
+    "date_funcs",
+    "exact_dedup",
+    "explode_roundtrip",
+    "gopher_quality_flags",
+    "gopher_repetition_signals",
+    "groupby_count",
+    "having_filter",
+    "hof_filter_array",
+    "hybrid_rrf_topk",
+    "inner_equi_join",
+    "ivf_index_search",
+    "ivfpq_rerank_sweep",
+    "kmeans_fit",
+    "kmeans_one_step",
+    "left_anti_join",
+    "left_outer_exists_flag",
+    "left_semi_join",
+    "like_filter_or",
+    "nested_struct_pluck",
+    "pii_redact",
+    "resample_ffill",
+    "salted_join_agg",
+    "scan_project_filter",
+    "sequence_pack",
+    "set_except",
+    "set_intersect",
+    "set_union",
+    "simhash",
+    "simhash_neardup_pairs",
+    "stream_sessionize_counts",
+    "string_funcs",
+    "substring_key",
+    "topk_orders",
+    "video_meta",
+    # --- ROUND 15: new queries (4) ---
+    "domain_reweight_converge",
+    "fhir_omop_visit_detail",
+    "fhir_request_group_actions",
+    "fhir_writer_canonical_leaves",
+    # --- ROUND 15: diff re-verify (1) ---
     "domain_reweight_step",
-    # --- ROUND 14: diff re-verifies (16) ---
-    "bpe_train_merges",
-    "stream_merge_upsert",
-    "stream_hll_users",
-    "pca_top_component",
-    "fhir_omop_cohort",
-    "fhir_ndjson_observations",
-    "fhir_ndjson_type_counts",
-    "stream_ndjson_counts",
-    "fhir_ndjson_patient_conditions",
-    "fhir_ndjson_coverage_bundles",
-    "fhir_ndjson_export_errors",
-    "fhir_omop_payer_plan_period",
-    "fhir_omop_dose_era",
-    "fhir_omop_condition_era",
-    "fhir_concept_map_translate",
-    "fhir_terminology_catalog",
-    # --- ROUND 14: r9-residue drain (7, alphabetical) ---
-    "agg_minmax",
-    "arith_funcs",
-    "bm25_inverted_topk",
-    "bm25_topk",
-    "case_when_literal",
-    "computed_key_join",
-    "count_distinct",
+    # --- ROUND 15: r10-residue drain (8, alphabetical) ---
+    "approx_count_distinct",
+    "approx_quantile",
+    "argmax_agg",
+    "boilerplate_lines",
+    "bundle_collect_flatten",
+    "corpus_clean",
+    "correlated_exists",
+    "cross_join_sql",
 )
 
 

@@ -1541,6 +1541,180 @@ def q_fhir_ingest_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fhir_omop_visit_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OMOP visit_detail over the r15 EXTENSION corpus (verdict r14 item
+    7): Encounter.location ward-transfer segments → one visit_detail row
+    each, FK'd to the parent visit. The ext corpus's Encounters carry
+    1-3 location segments with per-segment Periods; the catalog's
+    curated Encounter keeps the location struct minimal, so this read
+    exercises the SCHEMA-OVERRIDE path (§2.1 S4) for real — the
+    `location.period` field arrives only because the override declares
+    it. Scale shape: one scan, posexplode projection, zero Exchanges."""
+    from pyspark.sql.types import ArrayType, StructField, StructType
+
+    from interop_spark.fhir import read_from_ndjson
+    from interop_spark.fhir.analytics import omop_visit_detail
+    from interop_spark.fhir.gen import write_ext_corpus
+    from interop_spark.fhir.schema import PERIOD, FhirSchemaModel
+
+    base = FhirSchemaModel()
+    enc = base.schema("Encounter")
+    loc_elem = enc["location"].dataType.elementType
+    loc_ext = StructType(
+        loc_elem.fields + [StructField("period", PERIOD, True)]
+    )
+    enc_ext = StructType(
+        [
+            f if f.name != "location"
+            else StructField("location", ArrayType(loc_ext), True)
+            for f in enc.fields
+        ]
+    )
+    schemas = base.with_overrides({"Encounter": enc_ext})
+
+    d = write_ext_corpus(spark, sf_dir, max_custkey=_SYNTH_LIMIT)
+    nd = read_from_ndjson("file://" + d, spark=spark, glob_filter="*.ndjson")
+    return omop_visit_detail(nd.resource("Encounter", schemas=schemas))
+
+
+def q_fhir_request_group_actions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-execution rollup — the round-15 TWELFTH promotion batch's
+    proof row (execution pair ActivityDefinition / RequestGroup): each
+    patient RequestGroup's ``instantiatesCanonical`` entries carry the
+    canonical-with-version form ``<url>|<version>``; the query splits
+    off the version suffix (the canonical value-space walk,
+    hl7.org/fhir/R4/references.html#canonical), resolves the base URL
+    onto the 6 ActivityDefinition order templates (definitional →
+    BROADCAST, the terminology posture), and rolls up executed orders
+    per (template, group status) — verifying the pinned version matches
+    the definition's along the way."""
+    from interop_spark.fhir import read_from_ndjson
+    from interop_spark.fhir.gen import write_ext_corpus
+
+    d = write_ext_corpus(spark, sf_dir, max_custkey=_SYNTH_LIMIT)
+    nd = read_from_ndjson("file://" + d, spark=spark, glob_filter="*.ndjson")
+    rg = (
+        nd.resource("RequestGroup")
+        .select(
+            col("status").alias("rg_status"),
+            F.explode("instantiatesCanonical").alias("canon"),
+        )
+        .select(
+            "rg_status",
+            F.split_part(col("canon"), F.lit("|"), F.lit(1)).alias("url"),
+            F.split_part(col("canon"), F.lit("|"), F.lit(2)).alias(
+                "pinned_version"
+            ),
+        )
+    )
+    ad = nd.resource("ActivityDefinition").select(
+        "url",
+        col("version").alias("def_version"),
+        col("title").alias("def_title"),
+        col("kind").alias("def_kind"),
+    )
+    return (
+        rg.join(F.broadcast(ad), "url")
+        .groupBy("url", "def_title", "def_kind", "rg_status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(
+                F.when(col("pinned_version") == col("def_version"), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_version_matched"),
+        )
+    )
+
+
+def q_fhir_writer_canonical_leaves(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Writer typed-leaf residue (verdict r14 item 6): the `canonical` /
+    `uri` value-space contract, which is a PASSTHROUGH contract — and
+    only provable in contrast with the urn-normalized leaves. One
+    bundle per customer row carrying an ActivityDefinition whose
+    ``url`` (plain canonical base), ``transform`` (canonical REFERENCE
+    with the ``|version`` suffix — the pipe must survive verbatim) and
+    ``profile`` (a bare-OID-SHAPED value) all pass through unchanged,
+    next to a Patient whose ``identifier.system`` receives the SAME
+    bare OID and must come back ``urn:oid:``-prefixed — the leaf-typed
+    dispatch (writer.py `_URN_VALUE_LEAVES` keys system/fullUrl only,
+    `canonical` stays the plain cast by design) pinned in one row.
+    Round-trips through the newly-CURATED ActivityDefinition schema's
+    variant path, tying the twelfth promotion batch to the writer."""
+    from interop_spark.fhir import Bundle, Mapping, MappingManager
+
+    src = (
+        load(spark, sf_dir, "customer")
+        .where(col("c_custkey") < 50)
+        .select(
+            (col("c_custkey") + 500000).cast("string").alias("AD_ID"),
+            F.concat(
+                F.lit("http://example.org/fhir/ActivityDefinition/tpl-"),
+                col("c_custkey").cast("string"),
+            ).alias("AD_URL"),
+            F.concat(
+                F.lit("2."), (col("c_custkey") % 4).cast("string")
+            ).alias("AD_VERSION"),
+            F.concat(
+                F.lit("http://example.org/fhir/StructureMap/map-"),
+                (col("c_custkey") % 3).cast("string"),
+                F.lit("|0."),
+                (col("c_custkey") % 3).cast("string"),
+            ).alias("AD_TRANSFORM"),
+            # bare OID: canonical `profile` must pass it through
+            # verbatim; Identifier.system must urn:oid: it
+            F.concat(
+                F.lit("2.16.840.1."), col("c_custkey").cast("string")
+            ).alias("BARE_OID"),
+            col("c_custkey").cast("string").alias("PAT_ID"),
+            F.concat(F.lit("mrn-"), col("c_custkey").cast("string")).alias(
+                "PAT_MRN"
+            ),
+        )
+    )
+    maps = [
+        Mapping("AD_ID", "ActivityDefinition.id"),
+        Mapping("AD_URL", "ActivityDefinition.url"),
+        Mapping("AD_VERSION", "ActivityDefinition.version"),
+        Mapping("AD_TRANSFORM", "ActivityDefinition.transform"),
+        Mapping("BARE_OID", "ActivityDefinition.profile"),
+        Mapping("PAT_ID", "Patient.id"),
+        Mapping("BARE_OID", "Patient.identifier.system"),
+        Mapping("PAT_MRN", "Patient.identifier.value"),
+    ]
+    emitted = Bundle(MappingManager(maps, src.schema)).df_to_fhir_df(src)
+    v = emitted.select(F.try_parse_json(col("value")).alias("v"))
+    return v.select(
+        F.variant_get("v", "$.entry[0].resource.id", "string").alias(
+            "ad_id"
+        ),
+        F.variant_get("v", "$.entry[0].resource.url", "string").alias(
+            "ad_url"
+        ),
+        F.variant_get("v", "$.entry[0].resource.version", "string").alias(
+            "ad_version"
+        ),
+        F.variant_get(
+            "v", "$.entry[0].resource.transform", "string"
+        ).alias("ad_transform"),
+        F.variant_get("v", "$.entry[0].resource.profile", "string").alias(
+            "ad_profile"
+        ),
+        F.variant_get("v", "$.entry[1].resource.id", "string").alias(
+            "patient_id"
+        ),
+        F.variant_get(
+            "v", "$.entry[1].resource.identifier[0].system", "string"
+        ).alias("pat_id_system"),
+        F.variant_get(
+            "v", "$.entry[1].resource.identifier[0].value", "string"
+        ).alias("pat_mrn"),
+    )
+
+
 QUERIES = {
     "bundle_collect_flatten": q_bundle_collect_flatten,
     "fhir_adt_timeline": q_fhir_adt_timeline,
@@ -1588,6 +1762,9 @@ QUERIES = {
     "fhir_quality_measure_catalog": q_fhir_quality_measure_catalog,
     "fhir_omop_note": q_fhir_omop_note,
     "fhir_research_enrollment": q_fhir_research_enrollment,
+    "fhir_omop_visit_detail": q_fhir_omop_visit_detail,
+    "fhir_request_group_actions": q_fhir_request_group_actions,
+    "fhir_writer_canonical_leaves": q_fhir_writer_canonical_leaves,
     "fhir_omop_dose_era": q_fhir_omop_dose_era,
     "fhir_omop_cohort": q_fhir_omop_cohort,
     "fhir_concept_map_translate": q_fhir_concept_map_translate,
@@ -2470,6 +2647,75 @@ ORACLE = {
                subject_status, assigned_arm,
                CAST(count(*) AS BIGINT) AS n_subjects
         FROM s GROUP BY 1, 2, 3, 4, 5
+    """,
+    # r15 ext corpus: Encounter.location ward-transfer segments, 1-3
+    # per encounter, per-segment periods — the visit_detail replay
+    "fhir_omop_visit_detail": f"""
+        SELECT 'vd-enc-' || k::VARCHAR || '-' || i::VARCHAR
+                 AS visit_detail_id,
+               'p-' || k::VARCHAR AS person_id,
+               CAST(i + 1 AS INTEGER) AS visit_detail_seq,
+               'ward-' || ((k + i) % 7)::VARCHAR
+                 AS care_site_source_value,
+               strftime(base + to_days(CAST(i * (k % 4 + 1) AS INTEGER)),
+                        '%Y-%m-%d') AS visit_detail_start_date,
+               strftime(base + to_days(CAST((i + 1) * (k % 4 + 1)
+                                            AS INTEGER)),
+                        '%Y-%m-%d') AS visit_detail_end_date,
+               CASE WHEN i < k % 3 THEN 'completed' ELSE 'active' END
+                 AS status_source_value,
+               CASE ((k + 1) % 3) WHEN 0 THEN 'AMB' WHEN 1 THEN 'IMP'
+                 ELSE 'EMER' END AS visit_concept_code,
+               'vd-enc-' || k::VARCHAR AS visit_occurrence_id
+        FROM (SELECT c_custkey AS k,
+                     CAST(printf('%04d-%02d-%02d', 2018 + c_custkey % 5,
+                                 (c_custkey + 2) % 12 + 1,
+                                 (c_custkey + 7) % 28 + 1) AS DATE)
+                       AS base
+              FROM customer WHERE c_custkey < {_SYNTH_LIMIT})
+        CROSS JOIN generate_series(0, 2) AS g(i)
+        WHERE i <= k % 3
+    """,
+    # r15 ext corpus: instantiatesCanonical url|version entries resolve
+    # onto the 6 order templates; versions match by construction
+    "fhir_request_group_actions": f"""
+        WITH rg AS (
+          SELECT CASE (k % 3) WHEN 0 THEN 'active' WHEN 1 THEN 'completed'
+                   ELSE 'draft' END AS rg_status,
+                 (k + j) % 6 AS def_idx
+          FROM (SELECT c_custkey AS k FROM customer
+                WHERE c_custkey < {_SYNTH_LIMIT})
+          CROSS JOIN generate_series(0, 1) AS g(j)
+          WHERE j <= k % 2
+        )
+        SELECT 'http://example.org/fhir/ActivityDefinition/order-'
+                 || def_idx::VARCHAR AS url,
+               'Order template ' || def_idx::VARCHAR AS def_title,
+               CASE (def_idx % 2) WHEN 0 THEN 'ServiceRequest'
+                 ELSE 'MedicationRequest' END AS def_kind,
+               rg_status,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(count(*) AS BIGINT) AS n_version_matched
+        FROM rg GROUP BY 1, 2, 3, 4
+    """,
+    # writer canonical/uri passthrough vs urn-normalized system — the
+    # oracle is the source projection with ONLY identifier.system
+    # prefixed (canonical leaves must come back verbatim)
+    "fhir_writer_canonical_leaves": """
+        SELECT CAST(c_custkey + 500000 AS VARCHAR) AS ad_id,
+               'http://example.org/fhir/ActivityDefinition/tpl-'
+                 || CAST(c_custkey AS VARCHAR) AS ad_url,
+               '2.' || CAST(c_custkey % 4 AS VARCHAR) AS ad_version,
+               'http://example.org/fhir/StructureMap/map-'
+                 || CAST(c_custkey % 3 AS VARCHAR)
+                 || '|0.' || CAST(c_custkey % 3 AS VARCHAR)
+                 AS ad_transform,
+               '2.16.840.1.' || CAST(c_custkey AS VARCHAR) AS ad_profile,
+               CAST(c_custkey AS VARCHAR) AS patient_id,
+               'urn:oid:2.16.840.1.' || CAST(c_custkey AS VARCHAR)
+                 AS pat_id_system,
+               'mrn-' || CAST(c_custkey AS VARCHAR) AS pat_mrn
+        FROM customer WHERE c_custkey < 50
     """,
     # v9 quality trio: closed-form in the 0..4 fixture index
     "fhir_quality_measure_catalog": """

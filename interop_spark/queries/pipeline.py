@@ -221,35 +221,10 @@ def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     saturated at 32k keys), and the self-join shuffles only
     (band, doc_id, sh) — AQE-splittable, no per-bucket collect_list."""
     d = _with_near_dups(load(spark, sf_dir, "documents"), limit=60)
-    th = d.select("doc_id", dd.token_hashes_wide(col("text")).alias("th"))
-    sh = th.select(
-        "doc_id", dd.simhash_wide_of_hashes(col("th")).alias("sh")
-    ).localCheckpoint()  # persist the signature table: the self-join would
-    # otherwise recompute the full hash pipeline on BOTH sides (2.5x)
-    banded = sh.select(
-        "doc_id",
-        "sh",
-        F.posexplode(dd.simhash_wide_bands(col("sh"))).alias(
-            "band_idx", "band_val"
-        ),
-    )
-    return (
-        banded.alias("l")
-        .join(
-            banded.alias("r"),
-            (col("l.band_idx") == col("r.band_idx"))
-            & (col("l.band_val") == col("r.band_val"))
-            & (col("l.doc_id") < col("r.doc_id")),
-        )
-        .select(
-            col("l.doc_id").alias("doc_a"),
-            col("r.doc_id").alias("doc_b"),
-            dd.hamming_wide(col("l.sh"), col("r.sh"))
-            .cast("int")
-            .alias("hamming"),
-        )
-        .where(col("hamming") <= 12)
-        .distinct()
+    # shared operator body (operators/dedup.py:simhash_candidate_pairs);
+    # max_band_docs=None → exact candidate semantics, the oracle's
+    return dd.simhash_candidate_pairs(
+        d, "doc_id", "text", hamming_max=12, max_band_docs=None
     )
 
 

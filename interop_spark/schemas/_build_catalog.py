@@ -2452,6 +2452,119 @@ RESEARCH_SUBJECT = _resource(
 )
 
 
+# Round-15 TWELFTH batch (the order-set EXECUTION pair, hl7.org/fhir/
+# R4): ActivityDefinition / RequestGroup — the companions of the
+# round-14 PlanDefinition batch. PlanDefinition is the protocol,
+# ActivityDefinition the reusable order template it instantiates, and
+# RequestGroup the per-patient "apply" result whose
+# `instantiatesCanonical` links the executed orders back to their
+# definitions (CDS-Hooks / $apply output lands as RequestGroups).
+# RequestGroup.action is recursive in the spec — captured one level
+# deep, the ConceptMap/PlanDefinition precedent. Monotone promotion:
+# spine fields retained.
+
+ACTIVITY_DEFINITION = _resource(
+    **_SPINE_FIELDS,
+    url=S,
+    identifier=_arr(IDENTIFIER),
+    version=S,
+    name=S,
+    title=S,
+    subtitle=S,
+    status=S,
+    experimental=B,
+    subjectCodeableConcept=CODEABLE_CONCEPT,
+    subjectReference=REFERENCE,
+    date=S,
+    publisher=S,
+    description=S,
+    purpose=S,
+    usage=S,
+    approvalDate=S,
+    lastReviewDate=S,
+    effectivePeriod=PERIOD,
+    topic=_arr(CODEABLE_CONCEPT),
+    library=_arr(S),
+    kind=S,
+    profile=S,
+    code=CODEABLE_CONCEPT,
+    intent=S,
+    priority=S,
+    doNotPerform=B,
+    timingDateTime=S,
+    timingPeriod=PERIOD,
+    timingDuration=_struct(value=D, unit=S, system=S, code=S),
+    location=REFERENCE,
+    participant=_arr(_struct(type=S, role=CODEABLE_CONCEPT)),
+    productReference=REFERENCE,
+    productCodeableConcept=CODEABLE_CONCEPT,
+    quantity=QUANTITY,
+    dosage=_arr(_struct(sequence=I, text=S, asNeededBoolean=B)),
+    bodySite=_arr(CODEABLE_CONCEPT),
+    specimenRequirement=_arr(REFERENCE),
+    observationRequirement=_arr(REFERENCE),
+    observationResultRequirement=_arr(REFERENCE),
+    transform=S,
+    dynamicValue=_arr(_struct(path=S, expression=_EXPRESSION)),
+)
+
+REQUEST_GROUP = _resource(
+    **_SPINE_FIELDS,
+    identifier=_arr(IDENTIFIER),
+    instantiatesCanonical=_arr(S),
+    instantiatesUri=_arr(S),
+    basedOn=_arr(REFERENCE),
+    replaces=_arr(REFERENCE),
+    groupIdentifier=IDENTIFIER,
+    status=S,
+    intent=S,
+    priority=S,
+    code=CODEABLE_CONCEPT,
+    subject=REFERENCE,
+    encounter=REFERENCE,
+    authoredOn=S,
+    author=REFERENCE,
+    reasonCode=_arr(CODEABLE_CONCEPT),
+    reasonReference=_arr(REFERENCE),
+    note=_arr(ANNOTATION),
+    action=_arr(
+        _struct(
+            prefix=S,
+            title=S,
+            description=S,
+            textEquivalent=S,
+            priority=S,
+            code=_arr(CODEABLE_CONCEPT),
+            condition=_arr(_struct(kind=S, expression=_EXPRESSION)),
+            relatedAction=_arr(
+                _struct(actionId=S, relationship=S, offsetDuration=S)
+            ),
+            timingDateTime=S,
+            timingPeriod=PERIOD,
+            participant=_arr(REFERENCE),
+            type=CODEABLE_CONCEPT,
+            groupingBehavior=S,
+            selectionBehavior=S,
+            requiredBehavior=S,
+            precheckBehavior=S,
+            cardinalityBehavior=S,
+            resource=REFERENCE,
+            # recursive in the spec — one level deep, ConceptMap style
+            action=_arr(
+                _struct(
+                    title=S,
+                    description=S,
+                    resource=REFERENCE,
+                    condition=_arr(
+                        _struct(kind=S, expression=_EXPRESSION)
+                    ),
+                )
+            ),
+        )
+    ),
+)
+
+
 CATALOG = {
     "Patient": PATIENT,
     "MessageHeader": MESSAGE_HEADER,
@@ -2538,6 +2651,8 @@ CATALOG = {
     "PlanDefinition": PLAN_DEFINITION,
     "ResearchStudy": RESEARCH_STUDY,
     "ResearchSubject": RESEARCH_SUBJECT,
+    "ActivityDefinition": ACTIVITY_DEFINITION,
+    "RequestGroup": REQUEST_GROUP,
 }
 
 
@@ -2568,7 +2683,7 @@ _SPINE = _resource(
 BINARY = _resource(contentType=S, data=S, securityContext=REFERENCE)
 
 FULL_SPINE_TYPES = [
-    "ActivityDefinition", "Basic", "BiologicallyDerivedProduct", "BodyStructure",
+    "Basic", "BiologicallyDerivedProduct", "BodyStructure",
     "CapabilityStatement", "CatalogEntry",
     "ChargeItemDefinition",
     "CompartmentDefinition",
@@ -2587,7 +2702,7 @@ FULL_SPINE_TYPES = [
     "MedicinalProductPharmaceutical", "MedicinalProductUndesirableEffect",
     "MessageDefinition", "MolecularSequence", "NamingSystem",
     "ObservationDefinition", "OperationDefinition",
-    "RequestGroup", "ResearchDefinition",
+    "ResearchDefinition",
     "ResearchElementDefinition",
     "RiskEvidenceSynthesis", "SearchParameter", "SpecimenDefinition",
     "StructureDefinition", "StructureMap", "Subscription",

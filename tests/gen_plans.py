@@ -97,6 +97,10 @@ COMMENT = {
  "fhir_omop_note": "OMOP note: line-splittable NDJSON scan -> typed projection incl. the JVM-side unbase64 decode of the attachment payload -- ZERO Exchange; decode cost is linear in payload bytes, the floor for any note ETL.",
  "fhir_research_enrollment": "Trial accrual rollup: per-patient enrollments BROADCAST-join the 5 definitional studies (the terminology posture); the only exchange is the bounded (study x status x arm) aggregate with map-side partials.",
  "domain_reweight_step": "DoReMi mixture update (linearized): ONE partial-aggregated per-source rollup (bounded keys, map tasks emit <=1 row per source) + a broadcast corpus total; the multiplicative update and ppm renormalization run on the sources-sized frame -- no corpus sort, no per-doc state.",
+ "domain_reweight_converge": "DoReMi k=4 loop: the corpus is scanned ONCE (the shared scored-frame rollup, localCheckpointed); each round is integer tilt -> renormalize -> eps-mix on the sources-sized state, checkpointed so round t+1 reads <=|sources| rows -- the final plan contains ZERO corpus-side operators.",
+ "fhir_omop_visit_detail": "OMOP visit_detail: line-splittable ext-corpus NDJSON scan with a location.period SCHEMA OVERRIDE (S4) -> posexplode of the ward-transfer segments + pure typed projection -- ZERO Exchange; output rows bounded by total location segments.",
+ "fhir_request_group_actions": "Promotion proof row: RequestGroup instantiatesCanonical url|version split (split_part, JVM-side) -> BROADCAST join onto the 6 ActivityDefinition templates -> bounded (url, status)-keyed rollup; corpus-sized data never shuffles on a definitional key.",
+ "fhir_writer_canonical_leaves": "Writer canonical contrast row: one projection pass builds the bundle JSON (typed-leaf dispatch inside to_json expressions), one variant re-parse extracts the round-trip values -- zero exchanges, scan-bandwidth-bound like the writer itself.",
 }
 
 out = ["# PLANS — physical plans of the headline queries (sf0.1, AQE on)",
@@ -147,7 +151,10 @@ for name in ["pricing_summary", "multiway_join_agg", "latest_event_per_user",
              "quantile_sketch_estimate", "bpe_train_encode",
              "domain_quantile_sketch",
              "fhir_omop_note", "fhir_research_enrollment",
-             "domain_reweight_step"]:
+             "domain_reweight_step",
+             "domain_reweight_converge", "fhir_omop_visit_detail",
+             "fhir_request_group_actions",
+             "fhir_writer_canonical_leaves"]:
     df = qs[name](spark, SF)
     df.write.format("noop").mode("overwrite").save()  # let AQE finalize
     plan = df._jdf.queryExecution().executedPlan().toString()

@@ -700,3 +700,82 @@ def test_round14_plan_shapes(spark, sf_dir):
     )
     assert "CartesianProduct" not in ex3, ex3[:2500]
     assert "BroadcastExchange" in ex3, ex3[:2500]
+
+
+def test_round15_plan_shapes(spark, sf_dir):
+    """Round-15 additions hold the posture:
+    - visit_detail is a pure posexplode projection over the
+      line-splittable ext-corpus scan — ZERO Exchange;
+    - the request-group proof row resolves its 6 definitions
+      broadcast-only (no SortMergeJoin) and its single Exchange is the
+      bounded (url, status)-keyed rollup;
+    - the DoReMi converge loop's returned frame reads the final
+      localCheckpointed sources-sized state — no corpus-sized operator
+      (no CartesianProduct, no Exchange) survives into the last plan,
+      because every round's state was truncated at a bounded frame."""
+    from interop_spark.queries import all_queries
+
+    q = all_queries()
+
+    ex = (
+        q["fhir_omop_visit_detail"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in ex, ex[:2000]
+
+    ex2 = (
+        q["fhir_request_group_actions"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in ex2, ex2[:2500]
+    assert "SortMergeJoin" not in ex2, ex2[:2500]
+    assert ex2.count("Exchange hashpartitioning") <= 2, ex2[:2500]
+
+    ex3 = (
+        q["domain_reweight_converge"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in ex3, ex3[:2500]
+    assert "Exchange" not in ex3, ex3[:2500]
+
+
+def test_simhash_guard_drops_hot_band_pairs(spark):
+    """The r15 hot-band guard (simhash_candidate_pairs max_band_docs —
+    r14 verdict item 3): a planted mega-cluster of identical docs
+    (sharing ALL bands, bucket size over the cap) contributes ZERO
+    pairs under the guard, while an ordinary near-dup pair (bucket
+    size 2) survives; unguarded output is a strict superset containing
+    the full O(cluster²) pair fan-out."""
+    from interop_spark.operators.dedup import simhash_candidate_pairs
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    rows = [(i, "clone " + base) for i in range(10)]  # mega-cluster
+    rows += [(100, "pair one " + base), (101, "pair one " + base + "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    unguarded = simhash_candidate_pairs(
+        df, "doc_id", "text", hamming_max=12, max_band_docs=None
+    ).collect()
+    guarded = simhash_candidate_pairs(
+        df, "doc_id", "text", hamming_max=12, max_band_docs=8
+    ).collect()
+
+    un_pairs = {(r.doc_a, r.doc_b) for r in unguarded}
+    g_pairs = {(r.doc_a, r.doc_b) for r in guarded}
+    # identical clones: all 45 pairs present unguarded, gone guarded
+    clone_pairs = {(a, b) for a in range(10) for b in range(10) if a < b}
+    assert clone_pairs <= un_pairs
+    assert not (clone_pairs & g_pairs)
+    # the ordinary near-dup pair survives both
+    assert (100, 101) in un_pairs
+    assert (100, 101) in g_pairs
+    assert g_pairs <= un_pairs

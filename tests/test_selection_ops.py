@@ -668,3 +668,37 @@ def test_remove_repeated_lines_planted(spark):
     assert out[2].clean_md5 == md5("alpha\nbeta\ngamma")
     assert out[3].n_lines == 4 and out[3].n_removed == 1
     assert out[3].clean_md5 == md5("x\n\n")
+
+
+def test_domain_reweight_converge_invariants(spark, sf_dir):
+    """The k-round DoReMi loop (r14 verdict item 4) keeps the
+    distribution invariants at every exposure the registry can't see:
+    weights stay a (ppm) distribution up to bounded floor loss, the
+    ε-smoothing floor keeps every source alive, and the update is
+    MONOTONE in the static excess score — a higher-scoring source
+    never ends below a lower-scoring one (integer floors preserve
+    order because the tilt is the same monotone map each round)."""
+    from interop_spark.queries.selection_q import (
+        REWEIGHT_EPS,
+        q_domain_reweight_converge,
+        q_domain_reweight_step,
+    )
+
+    out = q_domain_reweight_converge(spark, sf_dir).collect()
+    n = len(out)
+    assert n > 1
+    total = sum(r.weight_ppm for r in out)
+    # each round's renormalize + mix floors lose < 2 ppm per source
+    assert 1_000_000 - 3 * n <= total <= 1_000_000
+    floor = (REWEIGHT_EPS * (1_000_000 // n)) // 1000 - 1
+    assert all(r.weight_ppm >= floor for r in out)
+    assert all(r.rounds == 4 for r in out)
+
+    # monotone in the excess signal, and genuinely different from the
+    # single step (the tilt compounds across rounds)
+    by_excess = sorted(out, key=lambda r: (r.excess_permille, r.source))
+    ws = [r.weight_ppm for r in by_excess]
+    assert all(a <= b or abs(a - b) <= 1 for a, b in zip(ws, ws[1:]))
+    one = {r.source: r.weight_ppm for r in
+           q_domain_reweight_step(spark, sf_dir).collect()}
+    assert any(one[r.source] != r.weight_ppm for r in out)
