@@ -245,3 +245,32 @@ def test_notebook_chain(spark, sf_dir, tmp_path):
         .count()
     )
     assert rt.count() == n_src > 0
+
+    # -- 11. visit_detail from the r15 ext corpus, landed + re-read -----
+    # the r15 CDM addition joins the same land-then-analyze sequence:
+    # schema-override read → visit_detail mapping → table sink → the
+    # segments-per-visit rollup over the WRITTEN table equals the
+    # closed form (every encounter carries 1 + k % 3 ward segments)
+    from interop_spark.queries.fhir_queries import q_fhir_omop_visit_detail
+
+    drop_table_if_exists(spark, f"{loc}.OMOP_VISIT_DETAIL")
+    save_as_table(
+        q_fhir_omop_visit_detail(spark, sf_dir), f"{loc}.OMOP_VISIT_DETAIL"
+    )
+    vd_tab = spark.table("hls_healthcare_hls_dev.OMOP_VISIT_DETAIL")
+    custkeys = [
+        r.c_custkey
+        for r in spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .where(col("c_custkey") < 400)
+        .select("c_custkey")
+        .collect()
+    ]
+    assert vd_tab.count() == sum(1 + k % 3 for k in custkeys)
+    per_visit = (
+        vd_tab.groupBy("visit_occurrence_id")
+        .agg(F.count(F.lit(1)).alias("n_segments"))
+    )
+    assert per_visit.count() == len(custkeys)
+    assert set(
+        r.n_segments for r in per_visit.collect()
+    ) == {1, 2, 3}
