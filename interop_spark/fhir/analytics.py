@@ -1066,3 +1066,112 @@ def omop_visit_detail(enc_df: DataFrame) -> DataFrame:
         "visit_concept_code",
         "visit_occurrence_id",
     )
+
+
+def omop_episode(
+    entry_df: DataFrame,
+    persistence_days: int = 30,
+    episode_gap_days: int = 40,
+) -> DataFrame:
+    """OMOP CDM EPISODE over condition eras — the two-level
+    gap-and-island the CDM v5.4 oncology/chronic-disease extension
+    derives (ohdsi.github.io/CommonDataModel/cdm54.html#episode):
+    condition occurrences merge into eras at the 30-day persistence
+    window (level 1, the shared ``_era_merge`` core), and eras whose
+    inter-era gap (era start minus previous era END) stays within
+    ``episode_gap_days`` merge into one disease EPISODE (level 2).
+    ``episode_event_count`` carries the linked occurrence total — the
+    EPISODE_EVENT companion table's cardinality — and ``era_count`` the
+    level-1 island count. Extends the reference's person-only OMOP
+    mapping (`01_dbignite_sample.py:470-484`) like the rest of the CDM
+    family.
+
+    Scale shape: ONE exchange end-to-end — the level-2 windows
+    partition by (person, concept), which the level-1 era groupBy's
+    HashPartitioning(person_id, concept, era_seq) does NOT satisfy
+    directly, but Spark plans the level-1 chain on
+    (person_id, concept) clustering (superset-key groupBy after the
+    era windows), so the episode lag/cumsum reuse that partitioning;
+    the interval arithmetic is all within-partition."""
+    from pyspark.sql.window import Window
+
+    eras = omop_condition_era(entry_df, persistence_days)
+    w = Window.partitionBy("person_id", "condition_concept_code").orderBy(
+        F.to_date("condition_era_start_date")
+    )
+    flagged = eras.withColumn(
+        "new_ep",
+        F.when(
+            F.datediff(
+                F.to_date("condition_era_start_date"),
+                F.lag(F.to_date("condition_era_end_date")).over(w),
+            )
+            > episode_gap_days,
+            1,
+        ).otherwise(0),
+    )
+    eps = flagged.withColumn(
+        "episode_number",
+        (
+            F.sum("new_ep").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            + 1
+        ).cast("int"),
+    )
+    return eps.groupBy(
+        "person_id",
+        col("condition_concept_code").alias("episode_concept_code"),
+        "episode_number",
+    ).agg(
+        F.min("condition_era_start_date").alias("episode_start_date"),
+        F.max("condition_era_end_date").alias("episode_end_date"),
+        F.count(F.lit(1)).cast("long").alias("era_count"),
+        F.sum("condition_occurrence_count")
+        .cast("long")
+        .alias("episode_event_count"),
+    )
+
+
+def omop_fact_relationship(spec_df: DataFrame) -> DataFrame:
+    """OMOP CDM FACT_RELATIONSHIP from the Specimen parent/aliquot
+    chain (ohdsi.github.io/CommonDataModel/cdm54.html#fact_relationship):
+    every child specimen's ``parent`` reference lands as TWO rows — the
+    CDM stores relationships BIDIRECTIONALLY (child-of and parent-of are
+    separate facts), the quirk every OMOP ETL must reproduce. Domains
+    are carried as source values ('Specimen' both sides here); extends
+    the reference's person-only OMOP mapping
+    (`01_dbignite_sample.py:470-484`) like the rest of the CDM family.
+
+    Scale shape: one scan + explode + a UNION of two pure projections —
+    zero shuffles; output rows = 2x the parent references."""
+    child = spec_df.where(F.size(col("parent")) > 0).select(
+        col("id").alias("child_id"),
+        F.regexp_replace(col("subject.reference"), "^Patient/", "").alias(
+            "person_id"
+        ),
+        F.explode("parent").alias("p"),
+    ).select(
+        "child_id",
+        "person_id",
+        F.regexp_replace(col("p.reference"), "^Specimen/", "").alias(
+            "parent_id"
+        ),
+    )
+    fwd = child.select(
+        "person_id",
+        F.lit("Specimen").alias("domain_concept_1"),
+        col("child_id").alias("fact_id_1"),
+        F.lit("Specimen").alias("domain_concept_2"),
+        col("parent_id").alias("fact_id_2"),
+        F.lit("child of").alias("relationship_concept"),
+    )
+    rev = child.select(
+        "person_id",
+        F.lit("Specimen").alias("domain_concept_1"),
+        col("parent_id").alias("fact_id_1"),
+        F.lit("Specimen").alias("domain_concept_2"),
+        col("child_id").alias("fact_id_2"),
+        F.lit("parent of").alias("relationship_concept"),
+    )
+    return fwd.unionByName(rev)

@@ -1685,7 +1685,9 @@ def write_ndjson_corpus(
 # EXT_NDJSON_VERSION re-verifies only the ext-corpus rows).
 # --------------------------------------------------------------------------
 
-EXT_NDJSON_VERSION = "v1"
+EXT_NDJSON_VERSION = "v2"  # v2: +MedicationKnowledge/Contract (13th
+# promotion batch) and parent/child Specimen aliquots (the OMOP
+# fact_relationship source)
 
 
 def ext_resource_dfs(
@@ -1793,6 +1795,116 @@ def ext_resource_dfs(
         ).alias("action"),
     )
 
+    # v2: parent/child Specimen aliquots — each patient's parent
+    # specimen spawns k%2+1 child aliquots whose `parent` reference
+    # names it; the OMOP fact_relationship source (bidirectional
+    # parent-of / child-of rows)
+    spec_type = _codeable(
+        _cat("SPEC", k % 10), _pick(("Serum", "Urine", "Whole blood"), k),
+        "http://terminology.hl7.org/CodeSystem/v2-0487",
+    )
+    spec_parent = F.struct(
+        F.lit("Specimen").alias("resourceType"),
+        _cat("espec-", k).alias("id"),
+        F.lit("available").alias("status"),
+        spec_type.alias("type"),
+        F.struct(_cat("Patient/p-", k).alias("reference")).alias("subject"),
+    )
+
+    def _spec_child(j) -> F.Column:
+        return F.struct(
+            F.lit("Specimen").alias("resourceType"),
+            F.concat(_cat("espec-", k), F.lit(f"-a{j}")).alias("id"),
+            F.lit("available").alias("status"),
+            spec_type.alias("type"),
+            F.struct(_cat("Patient/p-", k).alias("reference")).alias(
+                "subject"
+            ),
+            F.array(
+                F.struct(_cat("Specimen/espec-", k).alias("reference"))
+            ).alias("parent"),
+        )
+
+    # v2: per-patient payer Contract with k%3+1 terms, quarter-exact
+    # valued-item nets (cents-exact * 100)
+    ct_issued = F.make_date(
+        (k % 6 + 2019).cast("int"),
+        ((k + 4) % 12 + 1).cast("int"),
+        ((k + 11) % 28 + 1).cast("int"),
+    )
+    contract = F.struct(
+        F.lit("Contract").alias("resourceType"),
+        _cat("ct-", k).alias("id"),
+        _pick(("executed", "offered", "terminated"), k).alias("status"),
+        F.date_format(ct_issued, "yyyy-MM-dd").alias("issued"),
+        F.struct(
+            F.date_format(ct_issued, "yyyy-MM-dd").alias("start"),
+            F.date_format(
+                F.date_add(ct_issued, (((k % 3) + 1) * 90).cast("int")),
+                "yyyy-MM-dd",
+            ).alias("end"),
+        ).alias("applies"),
+        F.array(
+            F.struct(_cat("Patient/p-", k).alias("reference"))
+        ).alias("subject"),
+        F.struct(
+            F.array(
+                F.struct(
+                    F.lit(
+                        "http://terminology.hl7.org/CodeSystem/"
+                        "contract-type"
+                    ).alias("system"),
+                    _pick(("healthinsurance", "privacy"), k).alias("code"),
+                )
+            ).alias("coding")
+        ).alias("type"),
+        F.transform(
+            F.sequence(F.lit(0), (k % 3).cast("int")),
+            lambda j: F.struct(
+                F.date_format(
+                    F.date_add(ct_issued, j * 30), "yyyy-MM-dd"
+                ).alias("issued"),
+                F.struct(
+                    F.date_format(
+                        F.date_add(ct_issued, j * 30), "yyyy-MM-dd"
+                    ).alias("start"),
+                    F.date_format(
+                        F.date_add(ct_issued, (j + 1) * 30), "yyyy-MM-dd"
+                    ).alias("end"),
+                ).alias("applies"),
+                F.struct(
+                    F.array(
+                        F.struct(
+                            F.when((k + j) % 2 == 0, F.lit("statutory"))
+                            .otherwise(F.lit("subject-to"))
+                            .alias("code")
+                        )
+                    ).alias("coding")
+                ).alias("type"),
+                F.struct(
+                    F.concat(
+                        F.lit("offer "), _cat("", k), F.lit("-"),
+                        j.cast("string"),
+                    ).alias("text")
+                ).alias("offer"),
+                F.array(
+                    F.struct(
+                        F.array(
+                            F.struct(
+                                F.struct(
+                                    (((k + j) % 20 + 1) * F.lit(2.5)).alias(
+                                        "value"
+                                    ),
+                                    F.lit("USD").alias("currency"),
+                                ).alias("net")
+                            )
+                        ).alias("valuedItem")
+                    )
+                ).alias("asset"),
+            ),
+        ).alias("term"),
+    )
+
     kinds = ("ServiceRequest", "MedicationRequest")
     actdefs = [
         {
@@ -1819,6 +1931,48 @@ def ext_resource_dfs(
         }
         for i in range(6)
     ]
+    # v2: the 30-entry MedicationKnowledge formulary — one record per
+    # RxNorm code the corpus's MedicationRequests carry (RX0..RX29),
+    # quarter-exact list costs so cents arithmetic is integer-exact
+    dose_forms = ("tablet", "capsule", "solution")
+    medknow = [
+        {
+            "resourceType": "MedicationKnowledge",
+            "id": f"mk-{i}",
+            "code": {
+                "coding": [
+                    {
+                        "system": RXNORM,
+                        "code": f"RX{i}",
+                        "display": f"drug-{i}",
+                    }
+                ]
+            },
+            "status": "inactive" if i % 5 == 0 else "active",
+            "doseForm": {
+                "coding": [
+                    {
+                        "system": SNOMED,
+                        "code": f"DF{i % 3}",
+                        "display": dose_forms[i % 3],
+                    }
+                ]
+            },
+            "amount": {"value": (i % 4 + 1) * 10.0, "unit": "mg"},
+            "synonym": [f"drug-{i}-alt"],
+            "cost": [
+                {
+                    "type": {"coding": [{"code": "list"}]},
+                    "source": "formulary",
+                    "cost": {
+                        "value": (i % 16 + 1) * 2.5,
+                        "currency": "USD",
+                    },
+                }
+            ],
+        }
+        for i in range(30)
+    ]
     mk = lambda rows: spark.createDataFrame(  # noqa: E731 - shape helper
         [(_json.dumps(d, sort_keys=True),) for d in rows], "value string"
     )
@@ -1826,6 +1980,17 @@ def ext_resource_dfs(
         "Encounter": base.select(F.to_json(encounter).alias("value")),
         "RequestGroup": base.select(F.to_json(rg).alias("value")),
         "ActivityDefinition": mk(actdefs),
+        "MedicationKnowledge": mk(medknow),
+        "Contract": base.select(F.to_json(contract).alias("value")),
+        "Specimen": base.select(
+            F.to_json(spec_parent).alias("value")
+        ).unionByName(
+            base.select(F.to_json(_spec_child(0)).alias("value"))
+        ).unionByName(
+            base.where(k % 2 == 0).select(
+                F.to_json(_spec_child(1)).alias("value")
+            )
+        ),
     }
 
 

@@ -21,6 +21,7 @@ _MODULES = (
     "interop_spark.queries.relational",
     "interop_spark.queries.functions_battery",
     "interop_spark.queries.selection_q",
+    "interop_spark.queries.corpus_ext",
 )
 
 # --------------------------------------------------------------------------
@@ -92,20 +93,38 @@ _MODULES = (
 #     (ActivityDefinition/RequestGroup were spine-only; no curated
 #     schema changed — catalog JSON diff is additions + the two
 #     spine-file removals), so no other FHIR row re-verifies.
-#   * R10-RESIDUE DRAIN (8, alphabetical ledger order — 23 r10 rows
-#     remain for r16): approx_count_distinct, approx_quantile,
-#     argmax_agg, boilerplate_lines, bundle_collect_flatten,
-#     corpus_clean (also the bench drift-watch item — see
-#     BENCH_DETAIL drift note), correlated_exists, cross_join_sql.
-# ROUND-16 QUEUE: the remaining 23 r10 rows, alphabetical from
-# dedup_representatives (dedup_representatives, domain_mix_sample,
-# encoding_quality, groupby_ordinal_sql, in_subquery, json_extract,
-# latest_event_per_user, lead_lag, minhash_lsh_neardup,
-# neardup_clusters, neardup_clusters_star, pretrain_pipeline,
-# rollup_agg, running_total, scalar_subquery, script_profile,
-# select_star_expansion, sessionize, sq8_roundtrip, text_token_stats,
-# token_entropy, tumbling_window, union_all_sql), then the r11
-# residue behind them.
+#   * NEW ROUND-15b (8, displacing the planned 8-row r10-residue
+#     drain — new/diff-affected rows outrank drain schedule for the
+#     50 slots; the drain rows return to the r16 queue HEAD):
+#     theta_sketch_setops / heavy_hitter_tokens / cooccurrence_topk /
+#     int4_roundtrip (NEW MODULE queries/corpus_ext.py + NEW operator
+#     modules operators/theta.py, operators/quantize.py — no existing
+#     query module's code changed, so no out-of-window row is
+#     diff-affected by them), fhir_omop_episode (two-level
+#     gap-and-island over the UNCHANGED main NDJSON corpus; pure
+#     appends to fhir/analytics.py + queries/fhir_queries.py),
+#     fhir_omop_fact_relationship + fhir_medication_knowledge_costs +
+#     fhir_contract_terms (THIRTEENTH promotion batch
+#     MedicationKnowledge/Contract, ext corpus v1->v2 — its three v1
+#     consumers fhir_omop_visit_detail / fhir_request_group_actions /
+#     fhir_writer_canonical_leaves are already in-window above; the
+#     curated Specimen gains the R4 `parent` field, a monotone ADD
+#     absent from the main corpora, so existing Specimen consumers
+#     parse identically; batch-13 catalog diff is otherwise additions
+#     + two spine-file removals).
+# ROUND-16 QUEUE: first the 8 r10 rows displaced from this window
+# (approx_count_distinct, approx_quantile, argmax_agg,
+# boilerplate_lines, bundle_collect_flatten, corpus_clean — also the
+# bench drift-watch item, see BENCH_DETAIL drift note —
+# correlated_exists, cross_join_sql), then the remaining 23 r10 rows
+# alphabetical from dedup_representatives (dedup_representatives,
+# domain_mix_sample, encoding_quality, groupby_ordinal_sql,
+# in_subquery, json_extract, latest_event_per_user, lead_lag,
+# minhash_lsh_neardup, neardup_clusters, neardup_clusters_star,
+# pretrain_pipeline, rollup_agg, running_total, scalar_subquery,
+# script_profile, select_star_expansion, sessionize, sq8_roundtrip,
+# text_token_stats, token_entropy, tumbling_window, union_all_sql),
+# then the r11 residue behind them.
 # --------------------------------------------------------------------------
 _WINDOW = (
     # --- ROUND 15: the 37-row r9 queue drain (heads first) ---
@@ -153,15 +172,17 @@ _WINDOW = (
     "fhir_writer_canonical_leaves",
     # --- ROUND 15: diff re-verify (1) ---
     "domain_reweight_step",
-    # --- ROUND 15: r10-residue drain (8, alphabetical) ---
-    "approx_count_distinct",
-    "approx_quantile",
-    "argmax_agg",
-    "boilerplate_lines",
-    "bundle_collect_flatten",
-    "corpus_clean",
-    "correlated_exists",
-    "cross_join_sql",
+    # --- ROUND 15b: new queries (8; displaced the 8-row r10-residue
+    # drain head back to the r16 queue — new rows MUST sit in-window,
+    # the drain is schedule, not debt) ---
+    "theta_sketch_setops",
+    "heavy_hitter_tokens",
+    "cooccurrence_topk",
+    "int4_roundtrip",
+    "fhir_omop_episode",
+    "fhir_omop_fact_relationship",
+    "fhir_medication_knowledge_costs",
+    "fhir_contract_terms",
 )
 
 

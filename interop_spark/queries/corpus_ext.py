@@ -1,0 +1,572 @@
+"""Round-15b corpus-analytics extensions (new module so the existing
+query modules' out-of-window green rows stay untouched — the window
+invariant note in ``queries/__init__``).
+
+Four oracle-backed driver rows:
+
+- ``theta_sketch_setops`` — KMV/theta distinct sketch with UNION and
+  INTERSECTION estimates over source-pair shingle vocabularies
+  (Bar-Yossef et al. 2002; the set-operation algebra HLL registers
+  cannot express), next to the exact counts as the quality audit.
+- ``heavy_hitter_tokens`` — Count-Min frequent-items detection
+  (Cormode & Muthukrishnan 2005): probe the FULL vocabulary against
+  the sketch, keep candidates whose estimate clears phi*N, verify
+  against exact counts. CMS overestimates only, so the candidate set
+  provably contains every true heavy hitter; the false positives the
+  narrow sketch admits are the pinned quality signal.
+- ``cooccurrence_topk`` — document-level token co-occurrence counts
+  with an integer lift score (the PMI-precursor statistics a
+  word-embedding / phrase-mining pipeline aggregates corpus-wide).
+- ``int4_roundtrip`` — blockwise int4 scalar-quantization fidelity
+  (`operators/quantize.py`), the 8x compression rung below
+  ``sq8_roundtrip``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from interop_spark.io import load
+from interop_spark.operators import dedup as dd
+from interop_spark.operators.text import tokens as tx_tokens
+from interop_spark.operators.theta import (
+    THETA_K,
+    THETA_MAXH,
+    theta_items,
+    theta_pair_setops,
+    theta_sketch,
+)
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+# theta sketch: fixed source panel (exists at every SF fixture), 3-word
+# shingle keys — the 31-word token vocabulary saturates a k=64 sketch,
+# shingle vocabularies (~1.2-1.5k per source at sf0.01) exercise it.
+THETA_SOURCES = ("src0", "src1", "src2", "src3")
+THETA_SHINGLE_N = 3
+
+# heavy hitters: depth 3 x width 8 is deliberately NARROW against the
+# 31-word vocabulary so collisions are real and the candidate set
+# admits visible false positives; phi = 1/30 lands inside the fixture's
+# near-uniform frequency band so the true/false split is data-driven.
+HH_DEPTH = 3
+HH_WIDTH = 8
+HH_PHI_DEN = 30
+
+COOC_TOPK = 50
+
+
+# --------------------------------------------------------------------------
+# Theta / KMV sketch set operations
+# --------------------------------------------------------------------------
+
+def q_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair vocabulary overlap via theta sketches: per source in
+    the fixed panel, the k={THETA_K} minimum md5 hashes of its distinct
+    3-word shingles form the sketch; per pair, union/intersection
+    estimates come from the coordinated sample under
+    min(theta_a, theta_b) with the all-integer ``(cnt * 2^32) div
+    theta`` estimator. Exact counts ride along as the audit (the
+    ``ivf_recall_at_k`` instrumentation pattern — a sketch-quality
+    regression must not stay green).
+
+    Scale shape: corpus-side cost is one distinct shingle projection +
+    the <=33-key level-histogram prefilter; the bottom-k sort runs on
+    the ~2k-row survivor frame per source, and ALL pair algebra runs on
+    k-bounded broadcast frames. The exact audit is the only
+    vocabulary-sized join and exists purely as the yardstick."""
+    d = load(spark, sf_dir, "documents").where(
+        col("source").isin(*THETA_SOURCES)
+    )
+    sh = d.select(
+        col("source"),
+        F.explode(
+            dd.word_shingles(col("text"), THETA_SHINGLE_N)
+        ).alias("k"),
+    )
+    # the distinct-shingle frame feeds the sketch (histogram + survivor
+    # passes) AND the exact audit — localCheckpoint it once, coalesced
+    # to the executor parallelism so downstream scans of the
+    # vocabulary-bounded frame don't inherit the distinct's full
+    # shuffle-partition fan-out
+    items = (
+        theta_items(sh, col("source"), col("k"))
+        .coalesce(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+    )
+    kept, theta = theta_sketch(items, k=THETA_K)
+    # pair panel as a JVM-side literal explode (a Python-backed
+    # createDataFrame source would respawn its worker chain on every
+    # downstream reference)
+    pairs = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(a).alias("ga"), F.lit(b).alias("gb"))
+                    for a in THETA_SOURCES
+                    for b in THETA_SOURCES
+                    if a < b
+                ]
+            )
+        ).alias("pr")
+    ).select("pr.ga", "pr.gb")
+    # est is pairs-bounded (6 rows) — checkpoint so the final join does
+    # not re-derive the pair algebra per downstream reference
+    est = theta_pair_setops(kept, theta, pairs).localCheckpoint()
+
+    # exact audit in ONE aggregation: per key, the sorted set of
+    # sources holding it; every in-set pair contributes one exact
+    # intersection count, every membership one exact per-source count —
+    # no vocabulary self-join
+    grpsets = items.groupBy("k").agg(
+        F.sort_array(F.collect_set("g")).alias("gs")
+    )
+    cnts = (
+        grpsets.select(F.explode("gs").alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    inter = (
+        grpsets.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            col("gs"),
+                            lambda a: F.transform(
+                                col("gs"), lambda b: F.struct(a.alias("ga"), b.alias("gb"))
+                            ),
+                        )
+                    ),
+                    lambda s: s["ga"] < s["gb"],
+                )
+            ).alias("pr")
+        )
+        .groupBy(col("pr.ga").alias("ga"), col("pr.gb").alias("gb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("inter_exact"))
+    )
+    exact = (
+        pairs.join(F.broadcast(inter), ["ga", "gb"], "left")
+        .join(
+            F.broadcast(cnts.select(col("g").alias("ga"), col("c").alias("ca"))),
+            "ga",
+        )
+        .join(
+            F.broadcast(cnts.select(col("g").alias("gb"), col("c").alias("cb"))),
+            "gb",
+        )
+        .select(
+            "ga",
+            "gb",
+            F.coalesce(col("inter_exact"), F.lit(0)).alias("inter_exact"),
+            (col("ca") + col("cb") - F.coalesce(col("inter_exact"), F.lit(0)))
+            .cast("long")
+            .alias("union_exact"),
+        )
+    )
+    return (
+        est.join(F.broadcast(exact), ["ga", "gb"])
+        .select(
+            col("ga").alias("source_a"),
+            col("gb").alias("source_b"),
+            col("theta_ab").cast("long").alias("theta_ab"),
+            col("union_est").cast("long").alias("union_est"),
+            col("union_exact"),
+            col("inter_est").cast("long").alias("inter_est"),
+            col("inter_exact"),
+            F.expr("(inter_est * 1000000) div union_est")
+            .cast("long")
+            .alias("jaccard_est_ppm"),
+            F.expr("(inter_exact * 1000000) div union_exact")
+            .cast("long")
+            .alias("jaccard_exact_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _theta_oracle() -> str:
+    srcs = ", ".join(f"'{s}'" for s in THETA_SOURCES)
+    n = THETA_SHINGLE_N
+    shingles = (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len({_TOKS}) - {n - 1}, 1)),"
+        f" i -> array_to_string(({_TOKS})[i:i+{n - 1}], ' ')))"
+    )
+    return f"""
+        WITH items AS (
+          SELECT DISTINCT g, k FROM (
+            SELECT source AS g, unnest({shingles}) AS k
+            FROM documents WHERE source IN ({srcs})
+          )
+        ),
+        h AS (
+          SELECT g, k,
+                 CAST(concat('0x', substr(md5(k), 1, 8)) AS BIGINT) AS h
+          FROM items
+        ),
+        r AS (
+          SELECT g, k, h,
+                 row_number() OVER (PARTITION BY g ORDER BY h, k) AS rn
+          FROM h
+        ),
+        kept AS (SELECT * FROM r WHERE rn <= {THETA_K}),
+        theta AS (
+          SELECT g,
+                 coalesce(max(CASE WHEN rn = {THETA_K} THEN h END),
+                          {THETA_MAXH}) AS theta
+          FROM kept GROUP BY g
+        ),
+        pairs AS (
+          SELECT a.g AS ga, b.g AS gb,
+                 least(a.theta, b.theta) AS theta_ab
+          FROM theta a JOIN theta b ON a.g < b.g
+        ),
+        u AS (
+          SELECT ga, gb, theta_ab, count(DISTINCT k) AS u_cnt FROM (
+            SELECT p.ga, p.gb, p.theta_ab, s.k, s.h
+            FROM pairs p JOIN kept s ON s.g = p.ga
+            UNION ALL
+            SELECT p.ga, p.gb, p.theta_ab, s.k, s.h
+            FROM pairs p JOIN kept s ON s.g = p.gb
+          ) WHERE h < theta_ab GROUP BY 1, 2, 3
+        ),
+        i AS (
+          SELECT p.ga, p.gb, count(*) AS i_cnt
+          FROM pairs p
+          JOIN kept a ON a.g = p.ga
+          JOIN kept b ON b.g = p.gb AND b.k = a.k
+          WHERE a.h < p.theta_ab
+          GROUP BY 1, 2
+        ),
+        exi AS (
+          SELECT a.g AS ga, b.g AS gb, CAST(count(*) AS BIGINT) AS ix
+          FROM items a JOIN items b ON a.k = b.k AND a.g < b.g
+          GROUP BY 1, 2
+        ),
+        cnts AS (SELECT g, count(*) AS c FROM items GROUP BY g)
+        SELECT u.ga AS source_a, u.gb AS source_b,
+               CAST(u.theta_ab AS BIGINT) AS theta_ab,
+               CAST((u.u_cnt * {THETA_MAXH}) // u.theta_ab AS BIGINT)
+                 AS union_est,
+               CAST(ca.c + cb.c - coalesce(exi.ix, 0) AS BIGINT)
+                 AS union_exact,
+               CAST((coalesce(i.i_cnt, 0) * {THETA_MAXH}) // u.theta_ab
+                    AS BIGINT) AS inter_est,
+               CAST(coalesce(exi.ix, 0) AS BIGINT) AS inter_exact,
+               CAST(((coalesce(i.i_cnt, 0) * {THETA_MAXH}) // u.theta_ab
+                     * 1000000)
+                    // ((u.u_cnt * {THETA_MAXH}) // u.theta_ab)
+                    AS BIGINT) AS jaccard_est_ppm,
+               CAST((coalesce(exi.ix, 0) * 1000000)
+                    // (ca.c + cb.c - coalesce(exi.ix, 0))
+                    AS BIGINT) AS jaccard_exact_ppm
+        FROM u
+        LEFT JOIN i ON i.ga = u.ga AND i.gb = u.gb
+        LEFT JOIN exi ON exi.ga = u.ga AND exi.gb = u.gb
+        JOIN cnts ca ON ca.g = u.ga
+        JOIN cnts cb ON cb.g = u.gb
+        ORDER BY source_a, source_b
+    """
+
+
+# --------------------------------------------------------------------------
+# Count-Min heavy hitters
+# --------------------------------------------------------------------------
+
+def _cms_bucket(j_expr, tok_col):
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(j_expr.cast("string"), F.lit("|"), tok_col)),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % HH_WIDTH
+    )
+
+
+def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items detection over the token stream: build a
+    depth-{HH_DEPTH} x width-{HH_WIDTH} Count-Min sketch, probe EVERY
+    distinct token, and keep candidates whose estimate clears
+    N/{HH_PHI_DEN}. CMS never underestimates, so every true heavy
+    hitter is in the candidate set by construction; ``is_true_hh``
+    (the exact-count verdict) exposes the false positives the narrow
+    width admits — the detection-quality contract this row pins.
+
+    Scale shape: one explode feeds BOTH the sketch (depth x width
+    partial-agg rows) and the exact counts; the probe pass joins the
+    vocabulary-sized distinct frame against the BROADCAST <=24-row
+    sketch; the total-N threshold is a 1-row broadcast. No
+    vocabulary-sized sort, no driver collect."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tx_tokens(col("text"))).alias("w")).where(
+        col("w") != ""
+    )
+    exact = toks.groupBy(col("w").alias("token")).agg(
+        F.count(F.lit(1)).cast("long").alias("exact_cnt")
+    )
+    rows = toks.select(
+        "w",
+        F.explode(F.sequence(F.lit(0), F.lit(HH_DEPTH - 1))).alias("j"),
+    )
+    sketch = (
+        rows.withColumn("b", _cms_bucket(col("j"), col("w")))
+        .groupBy("j", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    probes = exact.select("token").select(
+        "token",
+        F.explode(F.sequence(F.lit(0), F.lit(HH_DEPTH - 1))).alias("j"),
+    ).withColumn("b", _cms_bucket(col("j"), col("token")))
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "b"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce(col("cnt"), F.lit(0))).alias("cms_est"))
+    )
+    n = toks.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        est.crossJoin(F.broadcast(n))
+        .where(col("cms_est") * HH_PHI_DEN >= col("n"))
+        .join(exact, "token", "left")
+        .select(
+            "token",
+            col("cms_est").cast("long").alias("cms_est"),
+            F.coalesce(col("exact_cnt"), F.lit(0)).alias("exact_cnt"),
+            (
+                F.coalesce(col("exact_cnt"), F.lit(0)) * HH_PHI_DEN
+                >= col("n")
+            ).alias("is_true_hh"),
+        )
+        .orderBy("token")
+    )
+
+
+def _hh_oracle() -> str:
+    bucket = (
+        "CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), '|',"
+        " {tok})), 1, 8)) AS BIGINT) % " + str(HH_WIDTH)
+    )
+    return f"""
+        WITH t AS (
+          SELECT w FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+          WHERE w <> ''
+        ),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+        exact AS (
+          SELECT w AS token, CAST(count(*) AS BIGINT) AS exact_cnt
+          FROM t GROUP BY w
+        ),
+        rows_ AS (
+          SELECT w, j FROM t,
+            unnest(generate_series(0, {HH_DEPTH - 1})) AS g(j)
+        ),
+        sketch AS (
+          SELECT j, {bucket.format(tok='w')} AS b, count(*) AS cnt
+          FROM rows_ GROUP BY 1, 2
+        ),
+        probes AS (
+          SELECT token, j, {bucket.format(tok='token')} AS b
+          FROM exact, unnest(generate_series(0, {HH_DEPTH - 1})) AS g(j)
+        ),
+        est AS (
+          SELECT p.token,
+                 CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS cms_est
+          FROM probes p LEFT JOIN sketch s ON p.j = s.j AND p.b = s.b
+          GROUP BY p.token
+        )
+        SELECT e.token, e.cms_est, x.exact_cnt,
+               x.exact_cnt * {HH_PHI_DEN} >= n.n AS is_true_hh
+        FROM est e JOIN exact x ON x.token = e.token CROSS JOIN n
+        WHERE e.cms_est * {HH_PHI_DEN} >= n.n
+        ORDER BY e.token
+    """
+
+
+# --------------------------------------------------------------------------
+# Token co-occurrence
+# --------------------------------------------------------------------------
+
+def q_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level token co-occurrence — the count matrix a
+    word-embedding / phrase-mining / PMI pipeline aggregates before any
+    model sees the corpus. Per document, the DISTINCT token set
+    self-joins under ``w1 < w2`` (presence co-occurrence); pair counts,
+    per-token document frequencies, and the integer lift score
+    ``(pair_n * n_docs * 1e6) div (df1 * df2)`` (monotone in PMI —
+    no cross-engine log) rank the top-{COOC_TOPK} pairs.
+
+    Scale shape: the self-join is keyed on doc_id, so the blowup is
+    bounded by the per-doc DISTINCT vocabulary (quadratic in it — a
+    production run caps it exactly as `minhash` caps shingles);
+    downstream is one (w1, w2) partial-aggregated count, a broadcast of
+    the vocabulary-bounded document-frequency frame, and a
+    TakeOrderedAndProject boundary — no vocabulary-squared sort."""
+    d = load(spark, sf_dir, "documents")
+    dt = d.select(
+        "doc_id", F.explode(F.array_distinct(tx_tokens(col("text")))).alias("w")
+    ).where(col("w") != "")
+    df_cnt = dt.groupBy(col("w").alias("token")).agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    n_docs = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    pairs = (
+        dt.alias("a")
+        .join(
+            dt.alias("b"),
+            (col("a.doc_id") == col("b.doc_id")) & (col("a.w") < col("b.w")),
+        )
+        .groupBy(col("a.w").alias("w1"), col("b.w").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_n"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(df_cnt.select(col("token").alias("w1"), col("df").alias("df1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(df_cnt.select(col("token").alias("w2"), col("df").alias("df2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "w1",
+            "w2",
+            "pair_n",
+            "df1",
+            "df2",
+            F.expr("(pair_n * n_docs * 1000000) div (df1 * df2)")
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+        .orderBy(col("pair_n").desc(), "w1", "w2")
+        .limit(COOC_TOPK)
+    )
+
+
+def _cooc_oracle() -> str:
+    return f"""
+        WITH dt AS (
+          SELECT DISTINCT doc_id, w FROM (
+            SELECT doc_id, unnest({_TOKS}) AS w FROM documents
+          ) WHERE w <> ''
+        ),
+        df_cnt AS (
+          SELECT w AS token, CAST(count(*) AS BIGINT) AS df
+          FROM dt GROUP BY w
+        ),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        pairs AS (
+          SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS pair_n
+          FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.w < b.w
+          GROUP BY 1, 2
+        )
+        SELECT w1, w2, pair_n, d1.df AS df1, d2.df AS df2,
+               CAST((pair_n * n_docs * 1000000) // (d1.df * d2.df)
+                    AS BIGINT) AS lift_ppm
+        FROM pairs
+        JOIN df_cnt d1 ON d1.token = w1
+        JOIN df_cnt d2 ON d2.token = w2
+        CROSS JOIN nd
+        ORDER BY pair_n DESC, w1, w2
+        LIMIT {COOC_TOPK}
+    """
+
+
+# --------------------------------------------------------------------------
+# Blockwise int4 quantization fidelity
+# --------------------------------------------------------------------------
+
+INT4_BLOCK = 8
+
+
+def q_int4_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blockwise int4 quantization fidelity: encode → decode every
+    embedding (8 blocks of 8 dims, per-block min/scale) and report max
+    reconstruction error + cosine similarity against the original —
+    ``sq8_roundtrip``'s 8x-compression sibling; blockwise scaling is
+    what keeps 4-bit codes usable. One scan, no shuffle, pure HOF
+    codegen."""
+    from interop_spark.operators.quantize import int4_decode, int4_encode
+    from interop_spark.operators.similarity import as_double, cosine_sim
+
+    e = load(spark, sf_dir, "embeddings")
+    x = as_double(col("embedding"))
+    xp = int4_decode(int4_encode(col("embedding"), block=INT4_BLOCK))
+    return e.select(
+        "vec_id",
+        F.round(
+            F.array_max(F.zip_with(x, xp, lambda a, b: F.abs(a - b))), 9
+        ).alias("max_abs_err"),
+        F.round(cosine_sim(x, xp), 9).alias("cosine_fidelity"),
+    )
+
+
+def _int4_oracle() -> str:
+    from interop_spark.queries.pipeline import EMB_DIM, _dk_dot, _dk_norm
+
+    nb = EMB_DIM // INT4_BLOCK
+    return f"""
+        WITH v AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+          FROM embeddings
+        ),
+        d AS (
+          SELECT vec_id, x,
+                 flatten(list_transform(generate_series(0, {nb - 1}),
+                   b -> list_transform(
+                     x[b * {INT4_BLOCK} + 1 : (b + 1) * {INT4_BLOCK}],
+                     xi -> list_min(
+                             x[b * {INT4_BLOCK} + 1 : (b + 1) * {INT4_BLOCK}])
+                       + (CASE WHEN (list_max(x[b * {INT4_BLOCK} + 1 :
+                                               (b + 1) * {INT4_BLOCK}])
+                                     - list_min(x[b * {INT4_BLOCK} + 1 :
+                                                  (b + 1) * {INT4_BLOCK}]))
+                                    / 15.0 > 0
+                               THEN round((xi - list_min(
+                                      x[b * {INT4_BLOCK} + 1 :
+                                        (b + 1) * {INT4_BLOCK}]))
+                                    / ((list_max(x[b * {INT4_BLOCK} + 1 :
+                                                   (b + 1) * {INT4_BLOCK}])
+                                        - list_min(x[b * {INT4_BLOCK} + 1 :
+                                                     (b + 1) * {INT4_BLOCK}]))
+                                       / 15.0))
+                               ELSE 0 END)
+                         * ((list_max(x[b * {INT4_BLOCK} + 1 :
+                                        (b + 1) * {INT4_BLOCK}])
+                             - list_min(x[b * {INT4_BLOCK} + 1 :
+                                          (b + 1) * {INT4_BLOCK}]))
+                            / 15.0)))) AS xp
+          FROM v
+        )
+        SELECT vec_id,
+               round(list_max(list_transform(
+                 generate_series(1, {EMB_DIM}), i -> abs(x[i] - xp[i]))), 9)
+                 AS max_abs_err,
+               round({_dk_dot('x', 'xp')}
+                     / greatest({_dk_norm('x')} * {_dk_norm('xp')}, 1e-12),
+                     9) AS cosine_fidelity
+        FROM d
+    """
+
+
+QUERIES = {
+    "theta_sketch_setops": q_theta_sketch_setops,
+    "heavy_hitter_tokens": q_heavy_hitter_tokens,
+    "cooccurrence_topk": q_cooccurrence_topk,
+    "int4_roundtrip": q_int4_roundtrip,
+}
+
+ORACLE = {
+    "theta_sketch_setops": _theta_oracle(),
+    "heavy_hitter_tokens": _hh_oracle(),
+    "cooccurrence_topk": _cooc_oracle(),
+    "int4_roundtrip": _int4_oracle(),
+}

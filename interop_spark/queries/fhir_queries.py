@@ -1715,6 +1715,161 @@ def q_fhir_writer_canonical_leaves(
     )
 
 
+def q_fhir_omop_episode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OMOP EPISODE from the NDJSON bulk-export path (round-15b): the
+    TWO-LEVEL gap-and-island — the v6 Condition follow-up history
+    merges into eras at the 30-day persistence window (level 1, the
+    shared ``_era_merge``), eras into disease EPISODES at a 40-day
+    inter-era gap (level 2). Both fixture gaps straddle both windows
+    (k%40+10 vs 30/40, k%20+25 vs 30/40), so era AND episode splits are
+    data-dependent; the oracle replays the full two-level
+    lag/cumsum/groupBy chain."""
+    from interop_spark.fhir import bundles_from_ndjson, read_from_ndjson
+    from interop_spark.fhir.analytics import omop_episode
+    from interop_spark.fhir.gen import write_ndjson_corpus
+    from interop_spark.fhir.schema import CONDITION, PATIENT, FhirSchemaModel
+
+    d = write_ndjson_corpus(spark, sf_dir, max_custkey=_SYNTH_LIMIT)
+    nd = read_from_ndjson("file://" + d, spark=spark, glob_filter="*.ndjson")
+    entry = bundles_from_ndjson(
+        nd,
+        ["Patient", "Condition"],
+        schemas=FhirSchemaModel(
+            fhir_resource_map={"Patient": PATIENT, "Condition": CONDITION}
+        ),
+    )
+    return omop_episode(entry)
+
+
+def q_fhir_omop_fact_relationship(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OMOP FACT_RELATIONSHIP over the r15b EXTENSION corpus's Specimen
+    parent/aliquot chain: every child specimen's ``parent`` reference
+    (read through the r15b-promoted curated ``Specimen.parent`` field)
+    lands BIDIRECTIONALLY — child-of and parent-of are separate CDM
+    rows, the ETL quirk this row pins. Zero-shuffle plan: scan +
+    explode + union of two projections."""
+    from interop_spark.fhir import read_from_ndjson
+    from interop_spark.fhir.analytics import omop_fact_relationship
+    from interop_spark.fhir.gen import write_ext_corpus
+
+    d = write_ext_corpus(spark, sf_dir, max_custkey=_SYNTH_LIMIT)
+    nd = read_from_ndjson("file://" + d, spark=spark, glob_filter="*.ndjson")
+    return omop_fact_relationship(nd.resource("Specimen"))
+
+
+def q_fhir_medication_knowledge_costs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Formulary cost rollup — the round-15b THIRTEENTH promotion
+    batch's MedicationKnowledge proof row: the 30-entry ext-corpus
+    formulary (one record per RxNorm code, quarter-exact list costs)
+    resolves the MAIN NDJSON corpus's MedicationRequests by code —
+    definitional side BROADCAST, the terminology posture — and rolls up
+    per-drug request counts against integer cents arithmetic. The
+    MedicationRequest read reuses dose_era's S4 override (the catalog
+    type carries no medicationCodeableConcept)."""
+    from pyspark.sql.types import StructField, StructType
+
+    from interop_spark.fhir import read_from_ndjson
+    from interop_spark.fhir.gen import write_ext_corpus, write_ndjson_corpus
+    from interop_spark.fhir.schema import (
+        CODEABLE_CONCEPT,
+        MEDICATION_REQUEST,
+        FhirSchemaModel,
+    )
+
+    dext = write_ext_corpus(spark, sf_dir, max_custkey=_SYNTH_LIMIT)
+    mk = read_from_ndjson(
+        "file://" + dext, spark=spark, glob_filter="*.ndjson"
+    ).resource("MedicationKnowledge")
+    mk_flat = mk.select(
+        F.get(col("code.coding"), 0)["code"].alias("rx_code"),
+        col("status").alias("mk_status"),
+        F.get(col("doseForm.coding"), 0)["display"].alias("dose_form"),
+        (F.get(col("cost"), 0)["cost"]["value"] * 100)
+        .cast("long")
+        .alias("unit_cost_cents"),
+    )
+
+    extended = StructType(
+        list(MEDICATION_REQUEST.fields)
+        + [StructField("medicationCodeableConcept", CODEABLE_CONCEPT, True)]
+    )
+    dmain = write_ndjson_corpus(spark, sf_dir, max_custkey=_SYNTH_LIMIT)
+    mr = read_from_ndjson(
+        "file://" + dmain, spark=spark, glob_filter="*.ndjson"
+    ).resource(
+        "MedicationRequest",
+        schemas=FhirSchemaModel().with_overrides(
+            {"MedicationRequest": extended}
+        ),
+    )
+    mr_codes = mr.select(
+        F.get(col("medicationCodeableConcept.coding"), 0)["code"].alias(
+            "rx_code"
+        )
+    )
+    return (
+        mr_codes.join(F.broadcast(mk_flat), "rx_code")
+        .groupBy("rx_code", "dose_form", "mk_status", "unit_cost_cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_requests"))
+        .select(
+            "rx_code",
+            "dose_form",
+            "mk_status",
+            "n_requests",
+            "unit_cost_cents",
+            (col("n_requests") * col("unit_cost_cents"))
+            .cast("long")
+            .alias("total_cost_cents"),
+        )
+    )
+
+
+def q_fhir_contract_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payer-contract term rollup — the THIRTEENTH batch's Contract
+    proof row: per-patient ext-corpus Contracts carry k%3+1 terms
+    (per-term applies Periods, typed offers, quarter-exact valued-item
+    nets); the query explodes the one-level-deep term tree through the
+    newly-curated recursive-capped schema and rolls up per (contract
+    type, status, term type) with integer cents totals and the term
+    applies span."""
+    from interop_spark.fhir import read_from_ndjson
+    from interop_spark.fhir.gen import write_ext_corpus
+
+    d = write_ext_corpus(spark, sf_dir, max_custkey=_SYNTH_LIMIT)
+    nd = read_from_ndjson("file://" + d, spark=spark, glob_filter="*.ndjson")
+    ct = nd.resource("Contract").select(
+        "id",
+        "status",
+        F.get(col("type.coding"), 0)["code"].alias("contract_type"),
+        F.explode("term").alias("t"),
+    )
+    terms = ct.select(
+        "id",
+        "status",
+        "contract_type",
+        F.get(col("t.type.coding"), 0)["code"].alias("term_type"),
+        col("t.applies.start").alias("t_start"),
+        col("t.applies.end").alias("t_end"),
+        (
+            F.get(F.get(col("t.asset"), 0)["valuedItem"], 0)["net"]["value"]
+            * 100
+        )
+        .cast("long")
+        .alias("net_cents"),
+    )
+    return terms.groupBy("contract_type", "status", "term_type").agg(
+        F.countDistinct("id").cast("long").alias("n_contracts"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("net_cents").cast("long").alias("total_net_cents"),
+        F.min("t_start").alias("min_term_start"),
+        F.max("t_end").alias("max_term_end"),
+    )
+
+
 QUERIES = {
     "bundle_collect_flatten": q_bundle_collect_flatten,
     "fhir_adt_timeline": q_fhir_adt_timeline,
@@ -1773,6 +1928,10 @@ QUERIES = {
     "fhir_reference_integrity": q_fhir_reference_integrity,
     "fhir_slots": q_fhir_slots,
     "fhir_flags": q_fhir_flags,
+    "fhir_omop_episode": q_fhir_omop_episode,
+    "fhir_omop_fact_relationship": q_fhir_omop_fact_relationship,
+    "fhir_medication_knowledge_costs": q_fhir_medication_knowledge_costs,
+    "fhir_contract_terms": q_fhir_contract_terms,
 }
 
 # the 4 deterministic rows adt_events yields from the reference's sample
@@ -3024,5 +3183,137 @@ ORACLE = {
                sha256(text) AS sha256,
                CAST(16 AS INTEGER) AS feat_dim
         FROM documents WHERE doc_id < 100
+    """,
+    # r15b two-level gap-and-island: occurrences -> eras (30d) ->
+    # episodes (40d inter-era gap); replays the full window chain
+    "fhir_omop_episode": f"""
+        WITH e AS (
+          SELECT 'p-' || c_custkey::VARCHAR AS person_id,
+                 'C' || (c_custkey % 50)::VARCHAR AS code,
+                 unnest([CAST({_DK_COND_DATE} AS DATE),
+                         CAST({_DK_COND_DATE2} AS DATE),
+                         CAST({_DK_COND_DATE3} AS DATE)]) AS d
+          FROM customer WHERE c_custkey < {_SYNTH_LIMIT}
+        ),
+        f AS (
+          SELECT person_id, code, d,
+                 CASE WHEN d - lag(d) OVER (
+                        PARTITION BY person_id, code ORDER BY d) > 30
+                      THEN 1 ELSE 0 END AS new_era
+          FROM e
+        ),
+        g AS (
+          SELECT person_id, code, d,
+                 sum(new_era) OVER (
+                   PARTITION BY person_id, code
+                   ORDER BY d ROWS UNBOUNDED PRECEDING) AS era_seq
+          FROM f
+        ),
+        eras AS (
+          SELECT person_id, code, era_seq, min(d) AS s, max(d) AS e2,
+                 count(1) AS occ
+          FROM g GROUP BY 1, 2, 3
+        ),
+        f2 AS (
+          SELECT person_id, code, s, e2, occ,
+                 CASE WHEN s - lag(e2) OVER (
+                        PARTITION BY person_id, code ORDER BY s) > 40
+                      THEN 1 ELSE 0 END AS new_ep
+          FROM eras
+        ),
+        g2 AS (
+          SELECT person_id, code, s, e2, occ,
+                 CAST(sum(new_ep) OVER (
+                        PARTITION BY person_id, code
+                        ORDER BY s ROWS UNBOUNDED PRECEDING) + 1
+                      AS INTEGER) AS episode_number
+          FROM f2
+        )
+        SELECT person_id, code AS episode_concept_code, episode_number,
+               strftime(min(s), '%Y-%m-%d') AS episode_start_date,
+               strftime(max(e2), '%Y-%m-%d') AS episode_end_date,
+               CAST(count(1) AS BIGINT) AS era_count,
+               CAST(sum(occ) AS BIGINT) AS episode_event_count
+        FROM g2 GROUP BY 1, 2, 3
+    """,
+    # r15b ext corpus v2: parent specimen espec-k spawns child a0 for
+    # every k and a1 for even k; CDM stores both directions
+    "fhir_omop_fact_relationship": f"""
+        WITH ch AS (
+          SELECT 'p-' || k::VARCHAR AS person_id,
+                 'espec-' || k::VARCHAR || '-a' || j::VARCHAR AS child_id,
+                 'espec-' || k::VARCHAR AS parent_id
+          FROM (SELECT c_custkey AS k FROM customer
+                WHERE c_custkey < {_SYNTH_LIMIT}),
+               generate_series(0, 1) AS g(j)
+          WHERE j = 0 OR k % 2 = 0
+        )
+        SELECT person_id, 'Specimen' AS domain_concept_1,
+               child_id AS fact_id_1, 'Specimen' AS domain_concept_2,
+               parent_id AS fact_id_2,
+               'child of' AS relationship_concept
+        FROM ch
+        UNION ALL
+        SELECT person_id, 'Specimen', parent_id, 'Specimen', child_id,
+               'parent of'
+        FROM ch
+    """,
+    # r15b formulary: 30 MedicationKnowledge records, quarter-exact
+    # list costs as cents; MAIN corpus MedicationRequests carry code
+    # RX(k%30), 3 per patient
+    "fhir_medication_knowledge_costs": f"""
+        WITH mr AS (
+          SELECT 'RX' || (c_custkey % 30)::VARCHAR AS rx_code
+          FROM customer, range(3) WHERE c_custkey < {_SYNTH_LIMIT}
+        ),
+        mk AS (
+          SELECT 'RX' || i::VARCHAR AS rx_code,
+                 CASE WHEN i % 5 = 0 THEN 'inactive' ELSE 'active' END
+                   AS mk_status,
+                 CASE (i % 3) WHEN 0 THEN 'tablet' WHEN 1 THEN 'capsule'
+                   ELSE 'solution' END AS dose_form,
+                 CAST((i % 16 + 1) * 250 AS BIGINT) AS unit_cost_cents
+          FROM range(30) t(i)
+        )
+        SELECT mk.rx_code, dose_form, mk_status,
+               CAST(count(1) AS BIGINT) AS n_requests,
+               unit_cost_cents,
+               CAST(count(1) * unit_cost_cents AS BIGINT)
+                 AS total_cost_cents
+        FROM mr JOIN mk ON mr.rx_code = mk.rx_code
+        GROUP BY 1, 2, 3, 5
+    """,
+    # r15b payer contracts: k%3+1 terms each, quarter-exact nets,
+    # term j applies [issued + 30j, issued + 30(j+1)]
+    "fhir_contract_terms": f"""
+        WITH t AS (
+          SELECT k,
+                 CASE (k % 3) WHEN 0 THEN 'executed' WHEN 1 THEN 'offered'
+                   ELSE 'terminated' END AS status,
+                 CASE (k % 2) WHEN 0 THEN 'healthinsurance'
+                   ELSE 'privacy' END AS contract_type,
+                 CASE ((k + j) % 2) WHEN 0 THEN 'statutory'
+                   ELSE 'subject-to' END AS term_type,
+                 strftime(issued + to_days(CAST(j * 30 AS INTEGER)),
+                          '%Y-%m-%d') AS t_start,
+                 strftime(issued + to_days(CAST((j + 1) * 30 AS INTEGER)),
+                          '%Y-%m-%d') AS t_end,
+                 CAST(((k + j) % 20 + 1) * 250 AS BIGINT) AS net_cents
+          FROM (SELECT c_custkey AS k,
+                       make_date(CAST(2019 + c_custkey % 6 AS INTEGER),
+                                 CAST((c_custkey + 4) % 12 + 1 AS INTEGER),
+                                 CAST((c_custkey + 11) % 28 + 1 AS INTEGER))
+                         AS issued
+                FROM customer WHERE c_custkey < {_SYNTH_LIMIT}),
+               generate_series(0, 2) AS g(j)
+          WHERE j <= k % 3
+        )
+        SELECT contract_type, status, term_type,
+               CAST(count(DISTINCT k) AS BIGINT) AS n_contracts,
+               CAST(count(1) AS BIGINT) AS n_terms,
+               CAST(sum(net_cents) AS BIGINT) AS total_net_cents,
+               min(t_start) AS min_term_start,
+               max(t_end) AS max_term_end
+        FROM t GROUP BY 1, 2, 3
     """,
 }

@@ -679,6 +679,10 @@ SPECIMEN = _resource(
     type=CODEABLE_CONCEPT,
     subject=REFERENCE,
     receivedTime=S,
+    # r15b: parent aliquot chain (hl7.org/fhir/R4/specimen.html) — the
+    # OMOP fact_relationship source; monotone field add, absent in the
+    # main corpora so existing Specimen consumers parse unchanged
+    parent=_arr(REFERENCE),
     collection=_struct(
         collector=REFERENCE,
         collectedDateTime=S,
@@ -2565,6 +2569,268 @@ REQUEST_GROUP = _resource(
 )
 
 
+# Round-15b THIRTEENTH batch (the payer/knowledge pair, hl7.org/fhir/
+# R4): MedicationKnowledge / Contract — the definitional drug-catalog
+# side of the medication family (MedicationRequest/Administration/
+# Dispense/Statement are all curated since r8-r11; MedicationKnowledge
+# is the formulary record their codes resolve against, cost + dose-form
+# + regulatory) and the payer agreement resource the Coverage/
+# InsurancePlan/PaymentReconciliation flow executes under. Recursive
+# Contract.term is captured one level deep (the ConceptMap/RequestGroup
+# precedent). Monotone promotion: spine fields retained.
+
+_RATIO = _struct(
+    numerator=QUANTITY,
+    denominator=QUANTITY,
+)
+
+MEDICATION_KNOWLEDGE = _resource(
+    **_SPINE_FIELDS,
+    code=CODEABLE_CONCEPT,
+    status=S,
+    manufacturer=REFERENCE,
+    doseForm=CODEABLE_CONCEPT,
+    amount=QUANTITY,
+    synonym=_arr(S),
+    relatedMedicationKnowledge=_arr(
+        _struct(type=CODEABLE_CONCEPT, reference=_arr(REFERENCE))
+    ),
+    associatedMedication=_arr(REFERENCE),
+    productType=_arr(CODEABLE_CONCEPT),
+    monograph=_arr(_struct(type=CODEABLE_CONCEPT, source=REFERENCE)),
+    ingredient=_arr(
+        _struct(
+            itemCodeableConcept=CODEABLE_CONCEPT,
+            itemReference=REFERENCE,
+            isActive=B,
+            strength=_RATIO,
+        )
+    ),
+    preparationInstruction=S,
+    intendedRoute=_arr(CODEABLE_CONCEPT),
+    cost=_arr(_struct(type=CODEABLE_CONCEPT, source=S, cost=MONEY)),
+    monitoringProgram=_arr(_struct(type=CODEABLE_CONCEPT, name=S)),
+    administrationGuidelines=_arr(
+        _struct(
+            dosage=_arr(
+                _struct(
+                    type=CODEABLE_CONCEPT,
+                    dosage=_arr(_struct(sequence=I, text=S)),
+                )
+            ),
+            indicationCodeableConcept=CODEABLE_CONCEPT,
+            indicationReference=REFERENCE,
+        )
+    ),
+    medicineClassification=_arr(
+        _struct(
+            type=CODEABLE_CONCEPT,
+            classification=_arr(CODEABLE_CONCEPT),
+        )
+    ),
+    packaging=_struct(type=CODEABLE_CONCEPT, quantity=QUANTITY),
+    drugCharacteristic=_arr(
+        _struct(
+            type=CODEABLE_CONCEPT,
+            valueCodeableConcept=CODEABLE_CONCEPT,
+            valueString=S,
+            valueQuantity=QUANTITY,
+            valueBase64Binary=S,
+        )
+    ),
+    contraindication=_arr(REFERENCE),
+    regulatory=_arr(
+        _struct(
+            regulatoryAuthority=REFERENCE,
+            substitution=_arr(
+                _struct(type=CODEABLE_CONCEPT, allowed=B)
+            ),
+            schedule=_arr(_struct(schedule=CODEABLE_CONCEPT)),
+            maxDispense=_struct(
+                quantity=QUANTITY,
+                period=_struct(value=D, unit=S, system=S, code=S),
+            ),
+        )
+    ),
+    kinetics=_arr(
+        _struct(
+            areaUnderCurve=_arr(QUANTITY),
+            lethalDose50=_arr(QUANTITY),
+            halfLifePeriod=_struct(value=D, unit=S, system=S, code=S),
+        )
+    ),
+)
+
+_CONTRACT_TERM_OFFER = _struct(
+    identifier=_arr(IDENTIFIER),
+    party=_arr(
+        _struct(reference=_arr(REFERENCE), role=CODEABLE_CONCEPT)
+    ),
+    topic=REFERENCE,
+    type=CODEABLE_CONCEPT,
+    decision=CODEABLE_CONCEPT,
+    decisionMode=_arr(CODEABLE_CONCEPT),
+    text=S,
+    linkId=_arr(S),
+    securityLabelNumber=_arr(I),
+)
+
+CONTRACT = _resource(
+    **_SPINE_FIELDS,
+    identifier=_arr(IDENTIFIER),
+    url=S,
+    version=S,
+    status=S,
+    legalState=CODEABLE_CONCEPT,
+    instantiatesCanonical=REFERENCE,
+    instantiatesUri=S,
+    contentDerivative=CODEABLE_CONCEPT,
+    issued=S,
+    applies=PERIOD,
+    expirationType=CODEABLE_CONCEPT,
+    subject=_arr(REFERENCE),
+    authority=_arr(REFERENCE),
+    domain=_arr(REFERENCE),
+    site=_arr(REFERENCE),
+    name=S,
+    title=S,
+    subtitle=S,
+    alias=_arr(S),
+    author=REFERENCE,
+    scope=CODEABLE_CONCEPT,
+    topicCodeableConcept=CODEABLE_CONCEPT,
+    topicReference=REFERENCE,
+    type=CODEABLE_CONCEPT,
+    subType=_arr(CODEABLE_CONCEPT),
+    contentDefinition=_struct(
+        type=CODEABLE_CONCEPT,
+        subType=CODEABLE_CONCEPT,
+        publisher=REFERENCE,
+        publicationDate=S,
+        publicationStatus=S,
+        copyright=S,
+    ),
+    term=_arr(
+        _struct(
+            identifier=IDENTIFIER,
+            issued=S,
+            applies=PERIOD,
+            topicCodeableConcept=CODEABLE_CONCEPT,
+            topicReference=REFERENCE,
+            type=CODEABLE_CONCEPT,
+            subType=CODEABLE_CONCEPT,
+            text=S,
+            securityLabel=_arr(
+                _struct(
+                    number=_arr(I),
+                    classification=CODING,
+                    category=_arr(CODING),
+                    control=_arr(CODING),
+                )
+            ),
+            offer=_CONTRACT_TERM_OFFER,
+            asset=_arr(
+                _struct(
+                    scope=CODEABLE_CONCEPT,
+                    type=_arr(CODEABLE_CONCEPT),
+                    typeReference=_arr(REFERENCE),
+                    subtype=_arr(CODEABLE_CONCEPT),
+                    relationship=CODING,
+                    condition=S,
+                    periodType=_arr(CODEABLE_CONCEPT),
+                    period=_arr(PERIOD),
+                    usePeriod=_arr(PERIOD),
+                    text=S,
+                    linkId=_arr(S),
+                    securityLabelNumber=_arr(I),
+                    valuedItem=_arr(
+                        _struct(
+                            entityCodeableConcept=CODEABLE_CONCEPT,
+                            entityReference=REFERENCE,
+                            identifier=IDENTIFIER,
+                            effectiveTime=S,
+                            quantity=QUANTITY,
+                            unitPrice=MONEY,
+                            factor=D,
+                            points=D,
+                            net=MONEY,
+                            payment=S,
+                            paymentDate=S,
+                            responsible=REFERENCE,
+                            recipient=REFERENCE,
+                        )
+                    ),
+                )
+            ),
+            action=_arr(
+                _struct(
+                    doNotPerform=B,
+                    type=CODEABLE_CONCEPT,
+                    subject=_arr(
+                        _struct(
+                            reference=_arr(REFERENCE),
+                            role=CODEABLE_CONCEPT,
+                        )
+                    ),
+                    intent=CODEABLE_CONCEPT,
+                    linkId=_arr(S),
+                    status=CODEABLE_CONCEPT,
+                    context=REFERENCE,
+                    occurrenceDateTime=S,
+                    occurrencePeriod=PERIOD,
+                    requester=_arr(REFERENCE),
+                    performerType=_arr(CODEABLE_CONCEPT),
+                    performerRole=CODEABLE_CONCEPT,
+                    performer=REFERENCE,
+                    reasonCode=_arr(CODEABLE_CONCEPT),
+                    reason=_arr(S),
+                    note=_arr(ANNOTATION),
+                    securityLabelNumber=_arr(I),
+                )
+            ),
+            # recursive in the spec — one level deep, the ConceptMap/
+            # RequestGroup convention
+            group=_arr(
+                _struct(
+                    type=CODEABLE_CONCEPT,
+                    subType=CODEABLE_CONCEPT,
+                    text=S,
+                    offer=_CONTRACT_TERM_OFFER,
+                )
+            ),
+        )
+    ),
+    supportingInfo=_arr(REFERENCE),
+    relevantHistory=_arr(REFERENCE),
+    signer=_arr(
+        _struct(
+            type=CODING,
+            party=REFERENCE,
+            signature=_arr(
+                _struct(
+                    type=_arr(CODING),
+                    when=S,
+                    who=REFERENCE,
+                    sigFormat=S,
+                    data=S,
+                )
+            ),
+        )
+    ),
+    friendly=_arr(
+        _struct(contentAttachment=ATTACHMENT, contentReference=REFERENCE)
+    ),
+    legal=_arr(
+        _struct(contentAttachment=ATTACHMENT, contentReference=REFERENCE)
+    ),
+    rule=_arr(
+        _struct(contentAttachment=ATTACHMENT, contentReference=REFERENCE)
+    ),
+    legallyBindingAttachment=ATTACHMENT,
+    legallyBindingReference=REFERENCE,
+)
+
+
 CATALOG = {
     "Patient": PATIENT,
     "MessageHeader": MESSAGE_HEADER,
@@ -2653,6 +2919,8 @@ CATALOG = {
     "ResearchSubject": RESEARCH_SUBJECT,
     "ActivityDefinition": ACTIVITY_DEFINITION,
     "RequestGroup": REQUEST_GROUP,
+    "MedicationKnowledge": MEDICATION_KNOWLEDGE,
+    "Contract": CONTRACT,
 }
 
 
@@ -2687,14 +2955,13 @@ FULL_SPINE_TYPES = [
     "CapabilityStatement", "CatalogEntry",
     "ChargeItemDefinition",
     "CompartmentDefinition",
-    "Contract",
-    "DocumentManifest", "EffectEvidenceSynthesis", 
+    "DocumentManifest", "EffectEvidenceSynthesis",
     "EnrollmentRequest", "EnrollmentResponse", "EventDefinition",
     "Evidence", "EvidenceVariable", "ExampleScenario", 
     "GraphDefinition", "GuidanceResponse", 
     "ImmunizationEvaluation", 
     "ImplementationGuide",
-    "Linkage", "MedicationKnowledge",
+    "Linkage",
     "MedicinalProduct", "MedicinalProductAuthorization",
     "MedicinalProductContraindication", "MedicinalProductIndication",
     "MedicinalProductIngredient", "MedicinalProductInteraction",

@@ -1,0 +1,182 @@
+"""Round-15b corpus-extension operators: theta/KMV sketch set algebra,
+Count-Min heavy hitters, co-occurrence counts, int4 block quantization.
+Driver rows live in `queries/corpus_ext.py`; these tests pin the
+operator CONTRACTS the oracles can't see (estimator guarantees,
+prefilter equivalence, quantizer error bounds)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from tests.conftest import SF_DIR
+
+
+def test_theta_bottomk_equals_bruteforce(spark):
+    """The histogram-prefiltered bottom-k equals the brute-force
+    bottom-k (the prefilter keeps >= k survivors by construction), and
+    theta is the k-th smallest hash exactly when the group saturates."""
+    from interop_spark.operators.theta import (
+        THETA_MAXH,
+        theta_items,
+        theta_sketch,
+    )
+
+    k = 8
+    df = spark.range(200).select(
+        (col("id") % 3).cast("string").alias("g"),
+        F.concat(F.lit("key-"), col("id").cast("string")).alias("k"),
+    )
+    # group '2' gets only 5 members — below k, sketch must be exact
+    df = df.where((col("g") != "2") | (col("id") < 15))
+    items = theta_items(df, col("g"), col("k"))
+    kept, theta = theta_sketch(items, k=k)
+
+    brute = {
+        (r["g"], r["k"])
+        for r in items.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark").sql.window.Window.partitionBy(
+                    "g"
+                ).orderBy("h", "k")
+            ),
+        )
+        .where(col("rn") <= k)
+        .collect()
+    }
+    got = {(r["g"], r["k"]) for r in kept.collect()}
+    assert got == brute
+
+    th = {r["g"]: r["theta"] for r in theta.collect()}
+    assert th["2"] == THETA_MAXH  # unsaturated -> exact mode
+    kth = {
+        r["g"]: r["h"]
+        for r in kept.where(col("rn") == k).collect()
+    }
+    assert th["0"] == kth["0"] and th["1"] == kth["1"]
+
+
+def test_theta_setops_exact_when_unsaturated(spark):
+    """With k larger than every group, the sketch union/intersection
+    ARE the exact set counts — the estimator's integer floor division
+    degrades to identity at theta = 2^32."""
+    from interop_spark.operators.theta import (
+        theta_items,
+        theta_pair_setops,
+        theta_sketch,
+    )
+
+    rows = [("a", f"k{i}") for i in range(20)] + [
+        ("b", f"k{i}") for i in range(10, 35)
+    ]
+    df = spark.createDataFrame(rows, ["g", "k"])
+    items = theta_items(df, col("g"), col("k"))
+    kept, theta = theta_sketch(items, k=64)
+    pairs = spark.range(1).select(
+        F.lit("a").alias("ga"), F.lit("b").alias("gb")
+    )
+    out = theta_pair_setops(kept, theta, pairs).collect()[0]
+    assert out["union_est"] == 35  # |0..34|
+    assert out["inter_est"] == 10  # |10..19|
+
+
+def test_heavy_hitters_no_false_negatives(spark):
+    """CMS only overestimates: every token whose exact count clears the
+    phi threshold MUST appear in the candidate output, and every
+    estimate dominates its exact count."""
+    from interop_spark.queries.corpus_ext import (
+        HH_PHI_DEN,
+        q_heavy_hitter_tokens,
+    )
+    from interop_spark.io import load
+    from interop_spark.operators.text import tokens as tx_tokens
+
+    out = {r["token"]: r for r in q_heavy_hitter_tokens(spark, SF_DIR).collect()}
+    toks = (
+        load(spark, SF_DIR, "documents")
+        .select(F.explode(tx_tokens(col("text"))).alias("w"))
+        .where(col("w") != "")
+    )
+    n = toks.count()
+    exact = {
+        r["w"]: r["c"]
+        for r in toks.groupBy("w").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    true_hh = {w for w, c in exact.items() if c * HH_PHI_DEN >= n}
+    assert true_hh <= set(out), "CMS candidate set missed a true heavy hitter"
+    for w, r in out.items():
+        assert r["cms_est"] >= r["exact_cnt"], w
+        assert r["is_true_hh"] == (w in true_hh)
+
+
+def test_cooccurrence_counts_match_bruteforce(spark):
+    """Pair counts on a hand-built corpus: presence co-occurrence over
+    per-doc DISTINCT tokens, w1 < w2."""
+    from interop_spark.operators.text import tokens as tx_tokens
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b c"), (3, "a a a"), (4, "c b a")],
+        ["doc_id", "text"],
+    )
+    dt = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tx_tokens(col("text")))).alias("w"),
+    )
+    pairs = (
+        dt.alias("x")
+        .join(
+            dt.alias("y"),
+            (col("x.doc_id") == col("y.doc_id")) & (col("x.w") < col("y.w")),
+        )
+        .groupBy(col("x.w").alias("w1"), col("y.w").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {(r["w1"], r["w2"]): r["n"] for r in pairs.collect()}
+    # docs: {a,b,c}, {b,c}, {a}, {a,b,c}
+    assert got == {("a", "b"): 2, ("a", "c"): 2, ("b", "c"): 3}
+
+
+def test_int4_roundtrip_error_bound(spark):
+    """The int4 quantizer's reconstruction error is bounded by half a
+    quantization step PER BLOCK (scale_b / 2), codes stay in [0, 15],
+    and decode inverts encode's shape (flat 64-dim array)."""
+    from interop_spark.io import load
+    from interop_spark.operators.quantize import (
+        INT4_LEVELS,
+        int4_decode,
+        int4_encode,
+    )
+    from interop_spark.operators.similarity import as_double
+
+    e = load(spark, SF_DIR, "embeddings").limit(50)
+    enc = int4_encode(col("embedding"), block=8)
+    checked = e.select(
+        F.size(int4_decode(enc)).alias("dim"),
+        F.array_max(
+            F.transform(
+                enc, lambda b: F.array_max(b["codes"])
+            )
+        ).alias("max_code"),
+        F.array_min(
+            F.transform(
+                enc, lambda b: F.array_min(b["codes"])
+            )
+        ).alias("min_code"),
+        F.array_max(
+            F.zip_with(
+                as_double(col("embedding")),
+                int4_decode(enc),
+                lambda a, b: F.abs(a - b),
+            )
+        ).alias("err"),
+        F.array_max(
+            F.transform(enc, lambda b: b["scale"])
+        ).alias("max_scale"),
+    ).collect()
+    for r in checked:
+        assert r["dim"] == 64
+        assert 0 <= r["min_code"] and r["max_code"] <= INT4_LEVELS
+        # rounding puts every point within half a step of its code
+        assert r["err"] <= r["max_scale"] / 2 + 1e-12
