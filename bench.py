@@ -80,6 +80,17 @@ HEADLINE = [
     "fhir_omop_visit_detail",
     "fhir_request_group_actions",
     "fhir_writer_canonical_leaves",
+    # round-15b: the theta/heavy-hitter/co-occurrence/int4 corpus
+    # operators and the episode/fact_relationship/batch-13 CDM rows get
+    # timing guard from their first round
+    "theta_sketch_setops",
+    "heavy_hitter_tokens",
+    "cooccurrence_topk",
+    "int4_roundtrip",
+    "fhir_omop_episode",
+    "fhir_omop_fact_relationship",
+    "fhir_medication_knowledge_costs",
+    "fhir_contract_terms",
 ]
 
 # Cross-round drift accounting (r14 verdict item 2), written into
@@ -97,7 +108,12 @@ DRIFT_NOTE = (
     "bm25_topk 0.69s, back under its r13 value — r14's 1.42x was "
     "noise. corpus_clean 2.62s vs r13 2.29s on constant input — "
     "genuine ~14%/two-rounds creep with an unchanged plan shape "
-    "(probe band 3.2-3.4@10x); re-baselined here, watch item for r16."
+    "(probe band 3.2-3.4@10x); re-baselined here, watch item for r16. "
+    "r15b: 8 new headline rows (theta/HH/cooccurrence/int4 + "
+    "episode/fact_relationship/batch-13) recorded from their first "
+    "round; ext corpus v2 — visit_detail/request_group/canonical rows "
+    "now read v2 (same closed forms for their fields; input sizes "
+    "unchanged)."
 )
 
 
@@ -236,6 +252,75 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
         drop2 = pairs.select(col("doc_b").alias("doc_id")).distinct()
         return keep1.join(drop2, "doc_id", "left_anti")
 
+    def _theta_probe(d):
+        from interop_spark.operators import dedup as _dd
+        from interop_spark.operators.theta import theta_items, theta_sketch
+
+        sh = d.select(
+            (col("doc_id") % 4).cast("string").alias("g"),
+            F.explode(_dd.word_shingles(col("text"), 3)).alias("k"),
+        )
+        items = theta_items(sh, col("g"), col("k"))
+        kept, _theta = theta_sketch(items, k=64)
+        return kept
+
+    def _hh_probe(d):
+        from interop_spark.queries.corpus_ext import _cms_bucket
+        from interop_spark.operators.text import tokens as _toks
+
+        t = d.select(F.explode(_toks(col("text"))).alias("w")).where(
+            col("w") != ""
+        )
+        rows = t.select(
+            "w", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j")
+        )
+        sketch = (
+            rows.withColumn("b", _cms_bucket(col("j"), col("w")))
+            .groupBy("j", "b")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        probes_ = (
+            t.distinct()
+            .select(
+                col("w").alias("token"),
+                F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j"),
+            )
+            .withColumn("b", _cms_bucket(col("j"), col("token")))
+        )
+        return (
+            probes_.join(F.broadcast(sketch), ["j", "b"], "left")
+            .groupBy("token")
+            .agg(F.min(F.coalesce(col("cnt"), F.lit(0))).alias("cms_est"))
+        )
+
+    def _cooc_probe(d):
+        from interop_spark.operators.text import tokens as _toks
+
+        dt = d.select(
+            "doc_id",
+            F.explode(F.array_distinct(_toks(col("text")))).alias("w"),
+        ).where(col("w") != "")
+        return (
+            dt.alias("a")
+            .join(
+                dt.alias("b"),
+                (col("a.doc_id") == col("b.doc_id"))
+                & (col("a.w") < col("b.w")),
+            )
+            .groupBy(col("a.w").alias("w1"), col("b.w").alias("w2"))
+            .agg(F.count(F.lit(1)).alias("pair_n"))
+        )
+
+    def _int4_probe(e):
+        from interop_spark.operators.quantize import int4_decode, int4_encode
+
+        return e.select(
+            "vec_id",
+            F.array_max(int4_decode(int4_encode(col("embedding")))).alias(
+                "mx"
+            ),
+        )
+
     probes = {
         "exact_dedup": lambda d: dd.exact_dup_groups(d, "text", "doc_id"),
         "minhash_lsh_neardup": lambda d: dd.minhash_candidate_pairs(
@@ -258,6 +343,18 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
         # vocabulary fixed, so the LM table is constant and scoring
         # should scale with the corpus, not the model.
         "lm_score": lm_score_probe,
+        # round-15b: the theta/KMV sketch build (distinct projection →
+        # level-histogram prefilter → survivor bottom-k; retokened so
+        # the distinct key set genuinely grows 10x), the CMS
+        # heavy-hitter detector (sketch + full-vocab probe + exact
+        # verify; replication grows counts, not vocabulary), the
+        # co-occurrence pair join (per-doc distinct self-join, blowup
+        # bounded by per-doc vocabulary), and the int4 block quantizer
+        # (pure HOF map over embeddings).
+        "theta_sketch": _theta_probe,
+        "heavy_hitters": _hh_probe,
+        "cooccurrence": _cooc_probe,
+        "int4_encode": _int4_probe,
         # round-9 (r8 verdict item 2): the composed cleaning pipeline
         # at corpus scale
         "corpus_clean": corpus_clean_probe,
@@ -564,7 +661,7 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
         return pagerank_int(nodes, edges, iterations=3)
 
     _EMB_PROBES = frozenset(
-        {"ivf_assign", "ivfpq_search_only", "pca_covariance"}
+        {"ivf_assign", "ivfpq_search_only", "pca_covariance", "int4_encode"}
     )
     out: dict = {}
     for name, fn in probes.items():
@@ -600,7 +697,7 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
             _retokened_documents
             if name
             in ("simhash_neardup_pairs", "simhash_noguard", "containment",
-                "minhash_probe")
+                "minhash_probe", "theta_sketch")
             else
             lambda m: _scaled_documents(spark, sf_dir, m)
         )

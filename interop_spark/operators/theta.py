@@ -138,6 +138,41 @@ def theta_sketch(
     return kept, theta
 
 
+def theta_merge(
+    kept_a: DataFrame, kept_b: DataFrame, k: int = THETA_K
+) -> tuple[DataFrame, DataFrame]:
+    """Merge two kept frames into the sketch of the union: union the
+    survivors, drop per-(group, key) duplicates, re-rank, re-take k.
+    PROVABLY equal to the one-pass sketch of the combined input — the
+    k minima of A ∪ B are all among bottomk(A) ∪ bottomk(B), and the
+    kept set is a pure function of the key SET (deterministic hash,
+    deterministic ties) — so shard-combining / foreachBatch
+    accumulation converges to the single-pass sketch EXACTLY, not just
+    in distribution (the rank-sketch merge discipline,
+    `sketch.rank_sketch_merge`). Inputs are k-bounded per group, so the
+    merge never touches corpus-sized data."""
+    from pyspark.sql.window import Window
+
+    u = (
+        kept_a.select("g", "k", "h")
+        .unionByName(kept_b.select("g", "k", "h"))
+        .dropDuplicates(["g", "k"])
+    )
+    ranked = u.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("g").orderBy("h", "k")),
+    )
+    kept = ranked.where(col("rn") <= k).select("g", "k", "h", "rn")
+    theta = (
+        kept.groupBy("g")
+        .agg(F.max(F.when(col("rn") == k, col("h"))).alias("hk"))
+        .select(
+            "g", F.coalesce(col("hk"), F.lit(THETA_MAXH)).alias("theta")
+        )
+    )
+    return kept, theta
+
+
 def theta_pair_setops(
     kept: DataFrame, theta: DataFrame, pairs: DataFrame
 ) -> DataFrame:

@@ -101,6 +101,14 @@ COMMENT = {
  "fhir_omop_visit_detail": "OMOP visit_detail: line-splittable ext-corpus NDJSON scan with a location.period SCHEMA OVERRIDE (S4) -> posexplode of the ward-transfer segments + pure typed projection -- ZERO Exchange; output rows bounded by total location segments.",
  "fhir_request_group_actions": "Promotion proof row: RequestGroup instantiatesCanonical url|version split (split_part, JVM-side) -> BROADCAST join onto the 6 ActivityDefinition templates -> bounded (url, status)-keyed rollup; corpus-sized data never shuffles on a definitional key.",
  "fhir_writer_canonical_leaves": "Writer canonical contrast row: one projection pass builds the bundle JSON (typed-leaf dispatch inside to_json expressions), one variant re-parse extracts the round-trip values -- zero exchanges, scan-bandwidth-bound like the writer itself.",
+ "theta_sketch_setops": "Theta/KMV sketch set ops: corpus side is one distinct-shingle projection + a <=33-key level histogram (partial agg) + a survivor filter vs broadcast per-group thresholds; the exact bottom-k window sorts only the ~2k-row survivor frame; ALL pair algebra (union/intersect samples, inclusion-exclusion) runs on k-bounded localCheckpointed frames via broadcast joins. The exact audit is one group-set aggregation (collect_set per key, in-set pair explode) -- no vocabulary self-join.",
+ "heavy_hitter_tokens": "CMS heavy hitters: one token explode feeds BOTH the depth*width sketch (partial-agg, <=24 rows) and the exact counts; the full-vocabulary probe joins the BROADCAST sketch; the phi threshold is a 1-row broadcast crossJoin. No vocabulary sort, no driver collect.",
+ "cooccurrence_topk": "Co-occurrence: per-doc DISTINCT token self-join keyed on doc_id (blowup bounded by per-doc vocabulary), one (w1,w2) partial-aggregated count, document frequencies joined BROADCAST, TakeOrderedAndProject top-k boundary -- no vocabulary-squared sort.",
+ "int4_roundtrip": "Blockwise int4 quantizer: one embeddings scan, pure HOF encode->decode->error projection inside WholeStageCodegen -- ZERO Exchange.",
+ "fhir_omop_episode": "OMOP EPISODE: NDJSON bridge scan -> level-1 era windows+groupBy and level-2 episode windows+groupBy all share the (person, concept) clustering -- the era chain's single Exchange serves all four window/agg operators; no second corpus shuffle.",
+ "fhir_omop_fact_relationship": "OMOP FACT_RELATIONSHIP: ext-corpus Specimen scan -> parent explode -> UNION of two pure projections (child-of / parent-of) -- ZERO Exchange; output = 2x parent references.",
+ "fhir_medication_knowledge_costs": "Batch-13 proof row: 30-row formulary BROADCAST onto the corpus-side MedicationRequest code projection (S4 override read), one bounded (code, form, status)-keyed rollup -- corpus never shuffles on a definitional key.",
+ "fhir_contract_terms": "Batch-13 proof row: Contract scan -> term explode -> one (type, status, term-type)-keyed partial-aggregated rollup with integer cents -- a single bounded-key Exchange.",
 }
 
 out = ["# PLANS — physical plans of the headline queries (sf0.1, AQE on)",
@@ -154,7 +162,11 @@ for name in ["pricing_summary", "multiway_join_agg", "latest_event_per_user",
              "domain_reweight_step",
              "domain_reweight_converge", "fhir_omop_visit_detail",
              "fhir_request_group_actions",
-             "fhir_writer_canonical_leaves"]:
+             "fhir_writer_canonical_leaves",
+             "theta_sketch_setops", "heavy_hitter_tokens",
+             "cooccurrence_topk", "int4_roundtrip",
+             "fhir_omop_episode", "fhir_omop_fact_relationship",
+             "fhir_medication_knowledge_costs", "fhir_contract_terms"]:
     df = qs[name](spark, SF)
     df.write.format("noop").mode("overwrite").save()  # let AQE finalize
     plan = df._jdf.queryExecution().executedPlan().toString()

@@ -180,3 +180,104 @@ def test_int4_roundtrip_error_bound(spark):
         assert 0 <= r["min_code"] and r["max_code"] <= INT4_LEVELS
         # rounding puts every point within half a step of its code
         assert r["err"] <= r["max_scale"] / 2 + 1e-12
+
+
+def test_theta_merge_equals_one_pass(spark):
+    """The KMV merge CONTRACT: splitting the input arbitrarily (hash
+    parity here), sketching each part, and merging yields the
+    IDENTICAL (kept, theta) frames as the one-pass sketch — exact
+    equality, not distributional (the k minima of a union are all
+    among each part's k minima, and the kept set is a pure function of
+    the key set)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col
+
+    from interop_spark.operators.theta import (
+        theta_items,
+        theta_merge,
+        theta_sketch,
+    )
+
+    k = 8
+    df = spark.range(300).select(
+        (col("id") % 2).cast("string").alias("g"),
+        F.concat(F.lit("m-"), col("id").cast("string")).alias("k"),
+    )
+    items = theta_items(df, col("g"), col("k"))
+    one_kept, one_theta = theta_sketch(items, k=k)
+
+    part_a = items.where(col("h") % 2 == 0)
+    part_b = items.where(col("h") % 2 == 1)
+    ka, _ = theta_sketch(part_a, k=k)
+    kb, _ = theta_sketch(part_b, k=k)
+    m_kept, m_theta = theta_merge(ka, kb, k=k)
+
+    assert sorted(map(tuple, m_kept.collect())) == sorted(
+        map(tuple, one_kept.collect())
+    )
+    assert sorted(map(tuple, m_theta.collect())) == sorted(
+        map(tuple, one_theta.collect())
+    )
+
+
+def test_theta_streaming_fold_equals_batch(spark, sf_dir):
+    """Streaming readiness of the theta sketch: folding per-micro-batch
+    sketches with `theta_merge` across a real 4-chunk file stream
+    (`land_event_chunks`, the stream_hll_users landing) yields the
+    IDENTICAL sketch as the one-pass batch build over all events —
+    per (event_type) group, distinct user_id keys. O(groups * k) state
+    between batches, never event rows. Registry row candidate for r16
+    (this round's check window is full)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col
+
+    from interop_spark.io import load
+    from interop_spark.operators.theta import (
+        theta_items,
+        theta_merge,
+        theta_sketch,
+    )
+    from interop_spark.streaming.cdc import land_event_chunks
+
+    k = 16
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    one_kept, one_theta = theta_sketch(
+        theta_items(ev, col("event_type"), col("user_id")), k=k
+    )
+
+    key = "theta-" + (sf_dir.rstrip("/").rsplit("/", 1)[-1] or "sf")
+    flat = land_event_chunks(ev, 4, key)
+    schema = spark.read.parquet(flat).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    state: dict = {"kept": None}
+
+    def _fold(batch_df, _batch_id):
+        kb, _ = theta_sketch(
+            theta_items(batch_df, col("event_type"), col("user_id")), k=k
+        )
+        if state["kept"] is None:
+            state["kept"] = kb.localCheckpoint()
+        else:
+            mk, _ = theta_merge(state["kept"], kb, k=k)
+            state["kept"] = mk.localCheckpoint()
+
+    q = (
+        src.writeStream.foreachBatch(_fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    m_kept, m_theta = theta_merge(state["kept"], state["kept"], k=k)
+    assert sorted(map(tuple, m_kept.collect())) == sorted(
+        map(tuple, one_kept.collect())
+    )
+    assert sorted(map(tuple, m_theta.collect())) == sorted(
+        map(tuple, one_theta.collect())
+    )

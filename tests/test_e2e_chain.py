@@ -274,3 +274,28 @@ def test_notebook_chain(spark, sf_dir, tmp_path):
     assert set(
         r.n_segments for r in per_visit.collect()
     ) == {1, 2, 3}
+
+    # -- 12. fact_relationship from the r15b ext corpus, landed +
+    # re-read: aliquot chain → bidirectional CDM rows → table sink →
+    # the re-read table must be direction-symmetric (every child-of
+    # fact has its parent-of mirror) and sized 2x the closed-form
+    # parent-reference count (a0 for every k, a1 for even k)
+    from interop_spark.queries.fhir_queries import (
+        q_fhir_omop_fact_relationship,
+    )
+
+    drop_table_if_exists(spark, f"{loc}.OMOP_FACT_RELATIONSHIP")
+    save_as_table(
+        q_fhir_omop_fact_relationship(spark, sf_dir),
+        f"{loc}.OMOP_FACT_RELATIONSHIP",
+    )
+    fr_tab = spark.table("hls_healthcare_hls_dev.OMOP_FACT_RELATIONSHIP")
+    n_refs = sum(1 + (1 if k % 2 == 0 else 0) for k in custkeys)
+    assert fr_tab.count() == 2 * n_refs
+    fwd = fr_tab.where(col("relationship_concept") == "child of").select(
+        col("fact_id_1").alias("a"), col("fact_id_2").alias("b")
+    )
+    rev = fr_tab.where(col("relationship_concept") == "parent of").select(
+        col("fact_id_2").alias("a"), col("fact_id_1").alias("b")
+    )
+    assert fwd.exceptAll(rev).count() == 0 and rev.exceptAll(fwd).count() == 0

@@ -779,3 +779,60 @@ def test_simhash_guard_drops_hot_band_pairs(spark):
     assert (100, 101) in un_pairs
     assert (100, 101) in g_pairs
     assert g_pairs <= un_pairs
+
+
+def test_round15b_plan_shapes(spark, sf_dir):
+    """Round-15b additions hold the posture:
+    - int4_roundtrip and fact_relationship are pure projection plans —
+      ZERO Exchange;
+    - the formulary proof row resolves its 30 MedicationKnowledge
+      records broadcast-only (no SortMergeJoin) and its single Exchange
+      is the bounded code-keyed rollup;
+    - the theta-sketch pair algebra never SortMergeJoins — every
+      post-sketch join reads broadcast k-bounded frames — and the
+      episode chain's level-1/level-2 windows reuse one (person,
+      concept) partitioning (era + episode derivation adds no second
+      hashpartitioning exchange on a different key)."""
+    from interop_spark.queries import all_queries
+
+    q = all_queries()
+
+    for name in ("int4_roundtrip", "fhir_omop_fact_relationship"):
+        ex = (
+            q[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in ex, (name, ex[:2000])
+
+    ex2 = (
+        q["fhir_medication_knowledge_costs"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in ex2, ex2[:2500]
+    assert "SortMergeJoin" not in ex2, ex2[:2500]
+    assert ex2.count("Exchange hashpartitioning") <= 2, ex2[:2500]
+
+    ex3 = (
+        q["theta_sketch_setops"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in ex3, ex3[:2500]
+    assert "CartesianProduct" not in ex3, ex3[:2500]
+
+    ex4 = (
+        q["fhir_omop_episode"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # ONE (person, concept) hashpartitioning serves the level-1 era
+    # windows+agg AND the level-2 episode windows+agg (the NDJSON
+    # bridge's own per-patient collect_list exchanges are upstream of
+    # the era chain and not what this pin is about)
+    assert ex4.count("Exchange hashpartitioning(person_id") == 1, ex4[:3000]
