@@ -351,7 +351,14 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
         # co-occurrence pair join (per-doc distinct self-join, blowup
         # bounded by per-doc vocabulary), and the int4 block quantizer
         # (pure HOF map over embeddings).
+        # two theta probes: retokened input grows the DISTINCT key set
+        # 10x (the corpus-side distinct is inherently linear in that —
+        # expect a high ratio bounded by fixed overhead), replicated
+        # input keeps keys constant (the distinct collapses — expect a
+        # low ratio measuring the pre-distinct scan). Together they
+        # bracket the operator: state is O(k), cost is the distinct.
         "theta_sketch": _theta_probe,
+        "theta_sketch_repl": _theta_probe,
         "heavy_hitters": _hh_probe,
         "cooccurrence": _cooc_probe,
         "int4_encode": _int4_probe,

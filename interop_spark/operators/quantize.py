@@ -25,15 +25,23 @@ def int4_encode(vec: Column, block: int = 8) -> Column:
     """Blockwise int4 quantization: array of per-block
     struct(mn, scale, codes) with ``code[i] = round((x[i] - mn_b) /
     scale_b)`` in [0, 15]; a constant block gets scale 0 and all-zero
-    codes. ``block`` must divide the dimension."""
+    codes. ``block`` must divide the dimension.
+
+    Shape note: the slice happens in an OUTER transform whose lambda
+    variable binds the block array — Catalyst expression trees have no
+    let-binding, so referencing ``F.slice(...)`` inside the per-element
+    lambda would re-slice (and re-scan for min/max) for EVERY code
+    element; the nested-transform form evaluates each slice exactly
+    once per block."""
     from interop_spark.operators.similarity import as_double
 
     v = as_double(vec)
     nblocks = (F.size(v) / F.lit(block)).cast("int")
-    return F.transform(
+    blocks = F.transform(
         F.sequence(F.lit(1), nblocks),
-        lambda b: _encode_block(F.slice(v, (b - 1) * block + 1, block)),
+        lambda b: F.slice(v, (b - 1) * block + 1, block),
     )
+    return F.transform(blocks, _encode_block)
 
 
 def _encode_block(blk: Column) -> Column:

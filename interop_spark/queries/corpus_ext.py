@@ -497,14 +497,26 @@ def q_int4_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from interop_spark.operators.similarity import as_double, cosine_sim
 
     e = load(spark, sf_dir, "embeddings")
-    x = as_double(col("embedding"))
-    xp = int4_decode(int4_encode(col("embedding"), block=INT4_BLOCK))
-    return e.select(
+    # two projections: the encoded struct array materializes as a
+    # column attribute in the first, so the two metric expressions in
+    # the second decode a CONCRETE value instead of each re-expanding
+    # the whole encode tree (CollapseProject declines to merge because
+    # the producer expression is expensive and referenced twice)
+    enc_df = e.select(
+        "vec_id",
+        as_double(col("embedding")).alias("x"),
+        int4_encode(col("embedding"), block=INT4_BLOCK).alias("enc"),
+    )
+    xp = int4_decode(col("enc"))
+    return enc_df.select(
         "vec_id",
         F.round(
-            F.array_max(F.zip_with(x, xp, lambda a, b: F.abs(a - b))), 9
+            F.array_max(
+                F.zip_with(col("x"), xp, lambda a, b: F.abs(a - b))
+            ),
+            9,
         ).alias("max_abs_err"),
-        F.round(cosine_sim(x, xp), 9).alias("cosine_fidelity"),
+        F.round(cosine_sim(col("x"), xp), 9).alias("cosine_fidelity"),
     )
 
 
