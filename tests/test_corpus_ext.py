@@ -281,3 +281,28 @@ def test_theta_streaming_fold_equals_batch(spark, sf_dir):
     assert sorted(map(tuple, m_theta.collect())) == sorted(
         map(tuple, one_theta.collect())
     )
+
+
+def test_theta_setops_estimate_quality(spark):
+    """Sketch-quality regression pin (the ivf_recall_at_k pattern): on
+    the sf fixture's source pairs, every union/intersection estimate
+    must land within 50% relative error of its exact count — k=64 KMV
+    has ~1/sqrt(62) ≈ 13% standard error, so a 50% miss means the
+    estimator (not the noise) broke. Jaccard ppm columns must agree
+    with their own ratio definition."""
+    from interop_spark.queries.corpus_ext import q_theta_sketch_setops
+
+    rows = q_theta_sketch_setops(spark, SF_DIR).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r["union_exact"] > 0
+        assert abs(r["union_est"] - r["union_exact"]) <= 0.5 * r["union_exact"], r
+        assert (
+            abs(r["inter_est"] - r["inter_exact"])
+            <= 0.5 * max(r["inter_exact"], r["union_exact"] // 10)
+        ), r
+        assert r["jaccard_est_ppm"] == (r["inter_est"] * 1_000_000) // r["union_est"]
+        assert (
+            r["jaccard_exact_ppm"]
+            == (r["inter_exact"] * 1_000_000) // r["union_exact"]
+        )

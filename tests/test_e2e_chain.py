@@ -299,3 +299,40 @@ def test_notebook_chain(spark, sf_dir, tmp_path):
         col("fact_id_2").alias("a"), col("fact_id_1").alias("b")
     )
     assert fwd.exceptAll(rev).count() == 0 and rev.exceptAll(fwd).count() == 0
+
+    # -- 13. EPISODE from the main NDJSON corpus, landed + re-read:
+    # the two-level gap-and-island output must conserve its inputs —
+    # every (person, code)'s episode_event_count sums to the 3
+    # recorded occurrences, era_count never exceeds event count, and
+    # episode intervals for one (person, code) never overlap (the
+    # level-2 merge invariant)
+    from interop_spark.queries.fhir_queries import q_fhir_omop_episode
+
+    drop_table_if_exists(spark, f"{loc}.OMOP_EPISODE")
+    save_as_table(q_fhir_omop_episode(spark, sf_dir), f"{loc}.OMOP_EPISODE")
+    ep_tab = spark.table("hls_healthcare_hls_dev.OMOP_EPISODE")
+    per_pc = ep_tab.groupBy("person_id", "episode_concept_code").agg(
+        F.sum("episode_event_count").alias("n_events"),
+        F.sum("era_count").alias("n_eras"),
+    )
+    assert per_pc.count() == len(custkeys)
+    assert per_pc.where(col("n_events") != 3).count() == 0
+    assert ep_tab.where(col("era_count") > col("episode_event_count")).count() == 0
+    # no overlapping episodes within a (person, code): count self-join
+    # pairs whose intervals intersect with different episode numbers
+    a = ep_tab.select(
+        "person_id", "episode_concept_code",
+        col("episode_number").alias("na"),
+        col("episode_start_date").alias("sa"),
+        col("episode_end_date").alias("ea"),
+    )
+    b = ep_tab.select(
+        "person_id", "episode_concept_code",
+        col("episode_number").alias("nb"),
+        col("episode_start_date").alias("sb"),
+        col("episode_end_date").alias("eb"),
+    )
+    overlaps = a.join(b, ["person_id", "episode_concept_code"]).where(
+        (col("na") < col("nb")) & (col("sa") <= col("eb")) & (col("sb") <= col("ea"))
+    )
+    assert overlaps.count() == 0
