@@ -582,3 +582,111 @@ ORACLE = {
     "cooccurrence_topk": _cooc_oracle(),
     "int4_roundtrip": _int4_oracle(),
 }
+
+
+# --------------------------------------------------------------------------
+# STAGED r16 registry candidates — implemented, oracle-paired, and
+# pytest-proven THIS round, but deliberately NOT merged into
+# QUERIES/ORACLE: the r15 check window is full (37-row r9 drain + 13),
+# and the window invariant requires every registered new row to sit in
+# the first 50. r16's first action: move these into the dicts + window.
+# --------------------------------------------------------------------------
+
+MMR_QUERY_ID = 1
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity rerank (Carbonell & Goldstein 1998) as a driver
+    query: vec_id={MMR_QUERY_ID}'s embedding queries the corpus, the
+    relevance top-{operators.mmr.MMR_SHORTLIST} shortlist reranks down
+    to k={operators.mmr.MMR_K} diverse picks with lambda=0.7. All
+    similarity is floor-ppb INTEGER (engine-exact); the oracle replays
+    the identical greedy as unrolled CTE steps."""
+    from interop_spark.operators.mmr import mmr_rerank
+
+    e = load(spark, sf_dir, "embeddings")
+    q = [
+        float(x)
+        for x in e.where(col("vec_id") == MMR_QUERY_ID)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+    return mmr_rerank(e, q)
+
+
+def _mmr_oracle() -> str:
+    from interop_spark.operators.mmr import (
+        MMR_K,
+        MMR_LAM_DEN,
+        MMR_LAM_NUM,
+        MMR_SHORTLIST,
+        PPB,
+    )
+    from interop_spark.queries.pipeline import _dk_dot, _dk_norm
+
+    ln, ld = MMR_LAM_NUM, MMR_LAM_DEN - MMR_LAM_NUM
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"({_dk_dot(a, b)} / greatest({_dk_norm(a)} * {_dk_norm(b)},"
+            f" 1e-12))"
+        )
+
+    parts = [
+        f"""
+        WITH qv AS MATERIALIZED (
+          SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q
+          FROM embeddings WHERE vec_id = {MMR_QUERY_ID}
+        ),
+        sl AS MATERIALIZED (
+          SELECT vec_id AS id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                 CAST(floor({cos("embedding", "q")} * {PPB}.0) AS BIGINT)
+                   AS rel_ppb
+          FROM embeddings CROSS JOIN qv
+          ORDER BY rel_ppb DESC, id LIMIT {MMR_SHORTLIST}
+        ),
+        pairs AS MATERIALIZED (
+          SELECT a.id AS ia, b.id AS ib,
+                 CAST(floor({cos("a.v", "b.v")} * {PPB}.0) AS BIGINT)
+                   AS sim_ppb
+          FROM sl a JOIN sl b ON a.id <> b.id
+        ),
+        p1 AS MATERIALIZED (
+          SELECT id, rel_ppb, CAST(0 AS BIGINT) AS div_ppb,
+                 CAST({ln} * rel_ppb AS BIGINT) AS score_scaled
+          FROM sl ORDER BY rel_ppb DESC, id LIMIT 1
+        ),
+        sel1 AS MATERIALIZED (SELECT id FROM p1)"""
+    ]
+    for i in range(2, MMR_K + 1):
+        parts.append(
+            f""",
+        c{i} AS MATERIALIZED (
+          SELECT s.id, s.rel_ppb,
+                 CAST(coalesce(max(p.sim_ppb), 0) AS BIGINT) AS div_ppb
+          FROM sl s
+          LEFT JOIN pairs p
+            ON p.ia = s.id AND p.ib IN (SELECT id FROM sel{i - 1})
+          WHERE s.id NOT IN (SELECT id FROM sel{i - 1})
+          GROUP BY s.id, s.rel_ppb
+        ),
+        p{i} AS MATERIALIZED (
+          SELECT id, rel_ppb, div_ppb,
+                 CAST({ln} * rel_ppb - {ld} * div_ppb AS BIGINT)
+                   AS score_scaled
+          FROM c{i} ORDER BY score_scaled DESC, id LIMIT 1
+        ),
+        sel{i} AS MATERIALIZED (SELECT id FROM sel{i - 1} UNION ALL SELECT id FROM p{i})"""
+        )
+    unions = "\n        UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS rank, id, rel_ppb, div_ppb,"
+        f" score_scaled FROM p{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    parts.append(f"\n        {unions}\n        ORDER BY rank\n    ")
+    return "".join(parts)
+
+
+R16_CANDIDATE_QUERIES = {"mmr_rerank": q_mmr_rerank}
+R16_CANDIDATE_ORACLE = {"mmr_rerank": _mmr_oracle()}

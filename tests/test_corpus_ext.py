@@ -306,3 +306,61 @@ def test_theta_setops_estimate_quality(spark):
             r["jaccard_exact_ppm"]
             == (r["inter_exact"] * 1_000_000) // r["union_exact"]
         )
+
+
+def test_mmr_rerank_oracle_parity(spark):
+    """The staged r16 row `mmr_rerank` already satisfies the driver's
+    full oracle contract: Spark result == DuckDB unrolled-greedy twin
+    at sf0.01 (columns sorted, values canonicalized — the
+    test_oracle_parity harness applied to the staged pair)."""
+    from interop_spark.queries.corpus_ext import (
+        R16_CANDIDATE_ORACLE,
+        R16_CANDIDATE_QUERIES,
+    )
+    from tests.test_oracle_parity import _canon, _duck
+
+    sf = "/root/testdata/sf0.01"
+    sdf = R16_CANDIDATE_QUERIES["mmr_rerank"](spark, sf).toPandas()
+    con = _duck(sf)
+    ddf = con.execute(R16_CANDIDATE_ORACLE["mmr_rerank"]).df()
+    con.close()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert _canon(sdf) == _canon(ddf)
+
+
+def test_mmr_rerank_diversifies(spark):
+    """MMR semantics: the seed is the most relevant candidate, ranks
+    are 1..k over distinct ids, and on a shortlist with planted
+    near-duplicates of the seed the picked set must NOT equal the
+    plain relevance top-k (the duplicate is deferred by the diversity
+    penalty)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col
+
+    from interop_spark.operators.mmr import mmr_rerank
+
+    # the seed (id 0) is OBLIQUE to the query (rel 0.9) so its
+    # near-duplicates (ids 1-2, sim-to-seed ~0.9999, rel ~0.9) pay the
+    # full diversity penalty while the independent candidate id 3
+    # (rel 0.85, sim-to-seed ~0.765) doesn't — at lambda=0.7 the
+    # independent one must outrank at least one duplicate, which a
+    # plain relevance top-3 ({0,1,2}) never does
+    rows = [
+        (0, [0.9, 0.43589, 0.0, 0.0]),
+        (1, [0.9, 0.43589, 0.01, 0.0]),
+        (2, [0.9, 0.43589, 0.0, 0.01]),
+        (3, [0.85, 0.0, 0.52678, 0.0]),
+    ]
+    rows += [(i, [0.1, 0.3, 0.7, 0.5]) for i in range(4, 10)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+    out = mmr_rerank(df, [1.0, 0.0, 0.0, 0.0], k=3, shortlist=6).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert out[0]["id"] == 0 and out[0]["div_ppb"] == 0
+    picked = {r["id"] for r in out}
+    assert len(picked) == 3
+    assert 3 in picked, out  # the diverse candidate beat a duplicate
+    assert not {1, 2} <= picked, out  # both dupes never survive
+    assert all(r["div_ppb"] >= 0 for r in out)
