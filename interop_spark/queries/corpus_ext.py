@@ -690,3 +690,131 @@ def _mmr_oracle() -> str:
 
 R16_CANDIDATE_QUERIES = {"mmr_rerank": q_mmr_rerank}
 R16_CANDIDATE_ORACLE = {"mmr_rerank": _mmr_oracle()}
+
+
+def q_stream_theta_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING theta/KMV distinct sketch — per-event-type distinct
+    USERS maintained across micro-batches by `theta_merge` (staged r16
+    row; the KMV sibling of `stream_hll_users`): the events table
+    streams as the same 4-chunk landing the CDC/HLL/rank-sketch twins
+    use, each batch builds its own k-bounded bottom-k sketch, and
+    ``foreachBatch`` folds them. The merge is PROVABLY exact for any
+    batch split (`test_theta_streaming_fold_equals_batch`), so the
+    oracle is the batch sketch over all events. Unlike HLL this sketch
+    also supports INTERSECTION algebra — the reason both exist.
+
+    Emits per event_type: n_kept, theta, est_distinct (the KMV
+    ``(k-1) * 2^32 div theta`` estimator, exact when unsaturated) and
+    exact_distinct as the audit. State between batches is
+    O(groups * k) survivor rows, never event rows."""
+    import os
+
+    from interop_spark.operators.theta import (
+        THETA_K,
+        THETA_MAXH,
+        theta_items,
+        theta_merge,
+        theta_sketch,
+    )
+    from interop_spark.streaming.cdc import land_event_chunks
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    key = "thetaq-" + (
+        os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    )
+    flat = land_event_chunks(ev, 4, key)
+    schema = spark.read.parquet(flat).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    state: dict = {"kept": None}
+
+    def _fold(batch_df: DataFrame, _batch_id: int) -> None:
+        kb, _ = theta_sketch(
+            theta_items(batch_df, col("event_type"), col("user_id")),
+            k=THETA_K,
+        )
+        if state["kept"] is None:
+            state["kept"] = kb.localCheckpoint()
+        else:
+            mk, _ = theta_merge(state["kept"], kb, k=THETA_K)
+            state["kept"] = mk.localCheckpoint()
+
+    q = (
+        src.writeStream.foreachBatch(_fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    kept, theta = theta_merge(state["kept"], state["kept"], k=THETA_K)
+    nk = kept.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+    exact = ev.groupBy(col("event_type").alias("g")).agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return (
+        nk.join(F.broadcast(theta), "g")
+        .join(F.broadcast(exact), "g")
+        .select(
+            col("g").alias("event_type"),
+            "n_kept",
+            col("theta").cast("long").alias("theta"),
+            F.when(
+                col("theta") == THETA_MAXH, col("n_kept")
+            )
+            .otherwise(
+                F.expr(f"(({THETA_K} - 1) * {THETA_MAXH}) div theta")
+            )
+            .cast("long")
+            .alias("est_distinct"),
+            "exact_distinct",
+        )
+        .orderBy("event_type")
+    )
+
+
+def _stream_theta_oracle() -> str:
+    from interop_spark.operators.theta import THETA_K, THETA_MAXH
+
+    return f"""
+        WITH items AS (
+          SELECT DISTINCT event_type AS g, CAST(user_id AS VARCHAR) AS k
+          FROM events
+        ),
+        h AS (
+          SELECT g, k,
+                 CAST(concat('0x', substr(md5(k), 1, 8)) AS BIGINT) AS h
+          FROM items
+        ),
+        r AS (
+          SELECT g, h,
+                 row_number() OVER (PARTITION BY g ORDER BY h, k) AS rn
+          FROM h
+        ),
+        kept AS (SELECT * FROM r WHERE rn <= {THETA_K}),
+        agg AS (
+          SELECT g, CAST(count(1) AS BIGINT) AS n_kept,
+                 coalesce(max(CASE WHEN rn = {THETA_K} THEN h END),
+                          {THETA_MAXH}) AS theta
+          FROM kept GROUP BY g
+        ),
+        exact AS (
+          SELECT event_type AS g,
+                 CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+          FROM events GROUP BY 1
+        )
+        SELECT a.g AS event_type, a.n_kept, CAST(a.theta AS BIGINT) AS theta,
+               CAST(CASE WHEN a.theta = {THETA_MAXH} THEN a.n_kept
+                    ELSE (({THETA_K} - 1) * {THETA_MAXH}) // a.theta
+                    END AS BIGINT) AS est_distinct,
+               x.exact_distinct
+        FROM agg a JOIN exact x ON x.g = a.g
+        ORDER BY event_type
+    """
+
+
+R16_CANDIDATE_QUERIES["stream_theta_distinct"] = q_stream_theta_distinct
+R16_CANDIDATE_ORACLE["stream_theta_distinct"] = _stream_theta_oracle()

@@ -364,3 +364,33 @@ def test_mmr_rerank_diversifies(spark):
     assert 3 in picked, out  # the diverse candidate beat a duplicate
     assert not {1, 2} <= picked, out  # both dupes never survive
     assert all(r["div_ppb"] >= 0 for r in out)
+
+
+def test_stream_theta_distinct_oracle_parity(spark):
+    """The staged r16 row `stream_theta_distinct` satisfies the
+    driver's oracle contract: the streaming-fold result equals the
+    DuckDB batch-sketch twin at sf0.01 (merge == one-pass, so the
+    batch SQL IS the oracle)."""
+    from interop_spark.queries.corpus_ext import (
+        R16_CANDIDATE_ORACLE,
+        R16_CANDIDATE_QUERIES,
+    )
+    from tests.test_oracle_parity import _canon, _duck
+
+    sf = "/root/testdata/sf0.01"
+    sdf = R16_CANDIDATE_QUERIES["stream_theta_distinct"](spark, sf).toPandas()
+    con = _duck(sf)
+    ddf = con.execute(R16_CANDIDATE_ORACLE["stream_theta_distinct"]).df()
+    con.close()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert _canon(sdf) == _canon(ddf)
+    # the estimator audit: saturated groups estimate within 40% of
+    # exact (k=64 KMV), unsaturated groups are exact by construction
+    for r in sdf.to_dict("records"):
+        if r["n_kept"] < 64:
+            assert r["est_distinct"] == r["exact_distinct"]
+        else:
+            assert (
+                abs(r["est_distinct"] - r["exact_distinct"])
+                <= 0.4 * r["exact_distinct"]
+            )
