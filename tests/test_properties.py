@@ -514,3 +514,85 @@ def test_rank_sketch_merge_partition_invariant(
         return sorted((r.kind, r.level, r.v, r.cnt) for r in df.collect())
 
     assert ms(merged) == ms(one)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    keys=st.lists(
+        st.text(alphabet="abcdefghij", min_size=1, max_size=5),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    mask=st.integers(min_value=0, max_value=2**16 - 1),
+)
+def test_theta_merge_partition_invariant_property(sparkp, keys, mask):
+    """Generalized KMV mergeability (the fixed-split test's hypothesis
+    twin): for ANY key set and ANY 2-way split (driven by a random
+    mask over key index), sketch-each-part + theta_merge equals the
+    one-pass sketch frame EXACTLY."""
+    from pyspark.sql.functions import col
+
+    from interop_spark.operators.theta import (
+        theta_items,
+        theta_merge,
+        theta_sketch,
+    )
+
+    k = 4
+    df = sparkp.createDataFrame([("g", w) for w in keys], ["g", "k"])
+    items = theta_items(df, col("g"), col("k"))
+    one_kept, one_theta = theta_sketch(items, k=k)
+
+    sel = [w for i, w in enumerate(sorted(keys)) if (mask >> (i % 16)) & 1]
+    part_a = items.where(col("k").isin(*sel) if sel else F.lit(False))
+    part_b = items.where(~col("k").isin(*sel) if sel else F.lit(True))
+    ka, _ = theta_sketch(part_a, k=k)
+    kb, _ = theta_sketch(part_b, k=k)
+    m_kept, m_theta = theta_merge(ka, kb, k=k)
+
+    assert sorted(map(tuple, m_kept.collect())) == sorted(
+        map(tuple, one_kept.collect())
+    )
+    assert m_theta.collect()[0]["theta"] == one_theta.collect()[0]["theta"]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vec=st.lists(
+        st.floats(
+            min_value=-100.0,
+            max_value=100.0,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=16,
+        max_size=16,
+    )
+)
+def test_int4_error_bound_property(sparkp, vec):
+    """For ANY 16-dim vector, blockwise int4 decode lands within half a
+    quantization step of the input in every dimension, and codes stay
+    in [0, 15] — the quantizer's contract independent of the embedding
+    fixture's value range."""
+    from pyspark.sql.functions import col
+
+    from interop_spark.operators.quantize import (
+        INT4_LEVELS,
+        int4_decode,
+        int4_encode,
+    )
+
+    df = sparkp.createDataFrame([(vec,)], "embedding array<double>")
+    enc = int4_encode(col("embedding"), block=8)
+    r = df.select(
+        F.zip_with(
+            col("embedding"), int4_decode(enc), lambda a, b: F.abs(a - b)
+        ).alias("errs"),
+        F.transform(enc, lambda b: b["scale"]).alias("scales"),
+        F.flatten(F.transform(enc, lambda b: b["codes"])).alias("codes"),
+    ).collect()[0]
+    assert all(0 <= c <= INT4_LEVELS for c in r["codes"])
+    # per-block bound: dims 0-7 against scale[0], 8-15 against scale[1]
+    for i, e in enumerate(r["errs"]):
+        assert e <= r["scales"][i // 8] / 2 + 1e-9, (i, e, r["scales"])
