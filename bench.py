@@ -113,7 +113,10 @@ DRIFT_NOTE = (
     "episode/fact_relationship/batch-13) recorded from their first "
     "round; ext corpus v2 — visit_detail/request_group/canonical rows "
     "now read v2 (same closed forms for their fields; input sizes "
-    "unchanged)."
+    "unchanged). corpus_clean probe band OBSERVATION (r16 watch): "
+    "3.5/3.7/4.5/4.4 across four r15b runs vs the documented 3.2-3.4 "
+    "— the 10x leg drifted, plan shape unchanged; investigate at r16 "
+    "alongside the headline creep."
 )
 
 
