@@ -77,6 +77,10 @@ def mmr_rerank(
             as_double(col(vec_col)).alias("v"),
         )
         .withColumn("rel_ppb", _cos_ppb(col("v"), q))
+        # a NULL embedding (or null elements) yields NULL rel_ppb; drop
+        # those rows BEFORE the shortlist so rel[c] is never None in the
+        # driver greedy (ADVICE r15)
+        .where(col("rel_ppb").isNotNull())
         .orderBy(col("rel_ppb").desc(), "id")
         .limit(shortlist)
         .localCheckpoint()  # bounded by construction; feeds 2 branches
@@ -106,16 +110,23 @@ def mmr_rerank(
         for c in remaining:
             div = max((sim[(c, s)] for s in selected), default=0)
             score = lam_num * rel[c] - (lam_den - lam_num) * div
-            # maximize score, tie-break on SMALLEST id (ids are numeric)
-            key = (score, -c)
-            if best is None or key > best[0]:
-                best = (key, c, div, score)
-        _, cid, div, score = best
+            # maximize score, tie-break on SMALLEST id; compare the id
+            # directly (no negation) so any orderable id type works
+            # (ADVICE r15)
+            if (
+                best is None
+                or score > best[0]
+                or (score == best[0] and c < best[1])
+            ):
+                best = (score, c, div)
+        score, cid, div = best
         picks.append((rank, cid, rel[cid], div, score))
         selected.append(cid)
         remaining.discard(cid)
+    id_type = dict(emb_df.dtypes)[id_col]  # works for any orderable id
     out = spark.createDataFrame(
         picks,
-        "rank int, id long, rel_ppb long, div_ppb long, score_scaled long",
+        f"rank int, id {id_type}, rel_ppb long, div_ppb long,"
+        " score_scaled long",
     )
     return out.orderBy("rank")

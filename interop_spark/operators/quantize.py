@@ -25,7 +25,10 @@ def int4_encode(vec: Column, block: int = 8) -> Column:
     """Blockwise int4 quantization: array of per-block
     struct(mn, scale, codes) with ``code[i] = round((x[i] - mn_b) /
     scale_b)`` in [0, 15]; a constant block gets scale 0 and all-zero
-    codes. ``block`` must divide the dimension.
+    codes. A dimension ``block`` does not divide gets a final SHORT
+    block (``F.slice`` clamps at the array end), so every element is
+    encoded — trailing dimensions are never silently dropped (ADVICE
+    r15) and ``int4_decode`` returns the full-length vector.
 
     Shape note: the slice happens in an OUTER transform whose lambda
     variable binds the block array — Catalyst expression trees have no
@@ -36,7 +39,7 @@ def int4_encode(vec: Column, block: int = 8) -> Column:
     from interop_spark.operators.similarity import as_double
 
     v = as_double(vec)
-    nblocks = (F.size(v) / F.lit(block)).cast("int")
+    nblocks = F.ceil(F.size(v) / F.lit(block)).cast("int")
     blocks = F.transform(
         F.sequence(F.lit(1), nblocks),
         lambda b: F.slice(v, (b - 1) * block + 1, block),

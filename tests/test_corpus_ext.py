@@ -394,3 +394,57 @@ def test_stream_theta_distinct_oracle_parity(spark):
                 abs(r["est_distinct"] - r["exact_distinct"])
                 <= 0.4 * r["exact_distinct"]
             )
+
+
+def test_int4_tail_block_encoded(spark):
+    """ADVICE r15: a dimension `block` does NOT divide must still encode
+    every element — the final short block is sliced-and-clamped, decode
+    returns the FULL-length vector, and the per-block error bound holds
+    on the tail too (previously the tail was silently dropped)."""
+    from interop_spark.operators.quantize import int4_decode, int4_encode
+
+    df = spark.createDataFrame(
+        [([0.1 * i for i in range(10)],), ([5.0] * 10,)],
+        "v array<double>",
+    )
+    enc = int4_encode(col("v"), block=8)
+    out = df.select(
+        F.size(enc).alias("nblocks"),
+        F.size(F.element_at(enc, -1)["codes"]).alias("tail_len"),
+        F.size(int4_decode(enc)).alias("dim"),
+        F.array_max(
+            F.zip_with(col("v"), int4_decode(enc), lambda a, b: F.abs(a - b))
+        ).alias("err"),
+        F.array_max(
+            F.transform(enc, lambda b: b["scale"])
+        ).alias("max_scale"),
+    ).collect()
+    for r in out:
+        assert r["nblocks"] == 2 and r["tail_len"] == 2
+        assert r["dim"] == 10
+        assert r["err"] <= r["max_scale"] / 2 + 1e-12
+
+
+def test_mmr_rerank_string_ids_and_null_embeddings(spark):
+    """ADVICE r15: (a) string id columns work — the greedy tie-break no
+    longer negates the id, and the output schema inherits the id type;
+    (b) rows with NULL embeddings (or null elements) are dropped before
+    the shortlist instead of entering it with a None relevance and
+    crashing the driver greedy."""
+    from interop_spark.operators.mmr import mmr_rerank
+
+    rows = [
+        ("a", [1.0, 0.0]),
+        ("b", [1.0, 0.0]),  # exact tie with "a": id order decides
+        ("c", [0.0, 1.0]),
+        ("d", None),  # NULL embedding: must be excluded, not crash
+    ]
+    df = spark.createDataFrame(rows, "doc string, embedding array<double>")
+    out = mmr_rerank(
+        df, [1.0, 0.0], k=3, shortlist=4, id_col="doc", vec_col="embedding"
+    ).collect()
+    # seed: "a"/"b" tie exactly on score — the string-id tie-break picks
+    # the SMALLER id ("a"); "d" (NULL) never appears
+    assert [r["id"] for r in out] == ["a", "b", "c"]
+    assert dict(df.dtypes)["doc"] == "string"
+    assert all(r["rel_ppb"] is not None for r in out)
