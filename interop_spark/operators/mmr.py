@@ -1,7 +1,6 @@
 """Maximal Marginal Relevance diversity rerank (round-15b; public
-method: Carbonell & Goldstein, SIGIR 1998). Registry-row candidate for
-r16 (`queries/corpus_ext.py` keeps the query+oracle pair staged; this
-round's check window is full).
+method: Carbonell & Goldstein, SIGIR 1998). Registered driver row
+since r16 (`queries/corpus_ext.py:mmr_rerank`).
 
 MMR picks k results that are RELEVANT to the query but DIVERSE among
 themselves: after seeding with the most relevant candidate, each step

@@ -585,11 +585,9 @@ ORACLE = {
 
 
 # --------------------------------------------------------------------------
-# STAGED r16 registry candidates — implemented, oracle-paired, and
-# pytest-proven THIS round, but deliberately NOT merged into
-# QUERIES/ORACLE: the r15 check window is full (37-row r9 drain + 13),
-# and the window invariant requires every registered new row to sit in
-# the first 50. r16's first action: move these into the dicts + window.
+# Round-16 registrations (staged + parity-proven in r15, registered in
+# r16 with window slots — the r15 window was full): `mmr_rerank` and
+# `stream_theta_distinct` join QUERIES/ORACLE below.
 # --------------------------------------------------------------------------
 
 MMR_QUERY_ID = 1
@@ -688,8 +686,8 @@ def _mmr_oracle() -> str:
     return "".join(parts)
 
 
-R16_CANDIDATE_QUERIES = {"mmr_rerank": q_mmr_rerank}
-R16_CANDIDATE_ORACLE = {"mmr_rerank": _mmr_oracle()}
+QUERIES["mmr_rerank"] = q_mmr_rerank
+ORACLE["mmr_rerank"] = _mmr_oracle()
 
 
 def q_stream_theta_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -816,5 +814,5 @@ def _stream_theta_oracle() -> str:
     """
 
 
-R16_CANDIDATE_QUERIES["stream_theta_distinct"] = q_stream_theta_distinct
-R16_CANDIDATE_ORACLE["stream_theta_distinct"] = _stream_theta_oracle()
+QUERIES["stream_theta_distinct"] = q_stream_theta_distinct
+ORACLE["stream_theta_distinct"] = _stream_theta_oracle()

@@ -309,20 +309,17 @@ def test_theta_setops_estimate_quality(spark):
 
 
 def test_mmr_rerank_oracle_parity(spark):
-    """The staged r16 row `mmr_rerank` already satisfies the driver's
+    """The r16-registered row `mmr_rerank` satisfies the driver's
     full oracle contract: Spark result == DuckDB unrolled-greedy twin
     at sf0.01 (columns sorted, values canonicalized — the
     test_oracle_parity harness applied to the staged pair)."""
-    from interop_spark.queries.corpus_ext import (
-        R16_CANDIDATE_ORACLE,
-        R16_CANDIDATE_QUERIES,
-    )
+    from interop_spark.queries.corpus_ext import ORACLE, QUERIES
     from tests.test_oracle_parity import _canon, _duck
 
     sf = "/root/testdata/sf0.01"
-    sdf = R16_CANDIDATE_QUERIES["mmr_rerank"](spark, sf).toPandas()
+    sdf = QUERIES["mmr_rerank"](spark, sf).toPandas()
     con = _duck(sf)
-    ddf = con.execute(R16_CANDIDATE_ORACLE["mmr_rerank"]).df()
+    ddf = con.execute(ORACLE["mmr_rerank"]).df()
     con.close()
     assert sorted(sdf.columns) == sorted(ddf.columns)
     assert _canon(sdf) == _canon(ddf)
@@ -367,20 +364,17 @@ def test_mmr_rerank_diversifies(spark):
 
 
 def test_stream_theta_distinct_oracle_parity(spark):
-    """The staged r16 row `stream_theta_distinct` satisfies the
+    """The r16-registered row `stream_theta_distinct` satisfies the
     driver's oracle contract: the streaming-fold result equals the
     DuckDB batch-sketch twin at sf0.01 (merge == one-pass, so the
     batch SQL IS the oracle)."""
-    from interop_spark.queries.corpus_ext import (
-        R16_CANDIDATE_ORACLE,
-        R16_CANDIDATE_QUERIES,
-    )
+    from interop_spark.queries.corpus_ext import ORACLE, QUERIES
     from tests.test_oracle_parity import _canon, _duck
 
     sf = "/root/testdata/sf0.01"
-    sdf = R16_CANDIDATE_QUERIES["stream_theta_distinct"](spark, sf).toPandas()
+    sdf = QUERIES["stream_theta_distinct"](spark, sf).toPandas()
     con = _duck(sf)
-    ddf = con.execute(R16_CANDIDATE_ORACLE["stream_theta_distinct"]).df()
+    ddf = con.execute(ORACLE["stream_theta_distinct"]).df()
     con.close()
     assert sorted(sdf.columns) == sorted(ddf.columns)
     assert _canon(sdf) == _canon(ddf)
