@@ -100,23 +100,30 @@ HEADLINE = [
 # includes the bench's own 32-thread load — interpret the field as
 # "machine state the run ENDED at", not ambient quiet).
 DRIFT_NOTE = (
-    "r15 quiet re-bench (ambient loadavg 0.25 at start): shared-query "
-    "subtotal 1.01x r14 / 1.05x r13 — the r14 deltas were real, not "
-    "load noise. Corpus-version-matched drift: fhir_ingest_corpus "
-    "2.25s at v16 vs r13's 2.28s at v16 — STABLE; its 1.62x-vs-r3 "
-    "ratio is corpus growth (v12->v16), re-baselined at v16. "
-    "bm25_topk 0.69s, back under its r13 value — r14's 1.42x was "
-    "noise. corpus_clean 2.62s vs r13 2.29s on constant input — "
-    "genuine ~14%/two-rounds creep with an unchanged plan shape "
-    "(probe band 3.2-3.4@10x); re-baselined here, watch item for r16. "
-    "r15b: 8 new headline rows (theta/HH/cooccurrence/int4 + "
-    "episode/fact_relationship/batch-13) recorded from their first "
-    "round; ext corpus v2 — visit_detail/request_group/canonical rows "
-    "now read v2 (same closed forms for their fields; input sizes "
-    "unchanged). corpus_clean probe band OBSERVATION (r16 watch): "
-    "3.5/3.7/4.5/4.4 across four r15b runs vs the documented 3.2-3.4 "
-    "— the 10x leg drifted, plan shape unchanged; investigate at r16 "
-    "alongside the headline creep."
+    "r16 root-cause of the two r15 watch items (both MEASURED, not "
+    "re-baselined). (1) corpus_clean headline creep 2.29->2.62s: "
+    "MECHANISM = it is the FIRST headline query, so its 5 timed reps "
+    "absorb the whole JVM's JIT warm-up; a quiet 9-rep run descends "
+    "3.1->2.2s with steady state 2.2-2.4s == r13's 2.29. Fix: one "
+    "untimed JVM warm-up execution before the headline loop (below). "
+    "(2) corpus_clean probe band 3.2-3.4 -> 3.5-4.5: MECHANISM = the "
+    "10x leg's within-session spread (6.5-13.3s across 8 same-code "
+    "samples; GC/checkpoint churn) makes a 2-sample min a noisy "
+    "estimator; steady state ~6.5s/2.1s ~= 3.1x, IN band. Fix: 4 "
+    "samples on corpus_clean's 10x leg (_PROBE_REPS). Accumulated-"
+    "state hypothesis REJECTED by experiment: ratio after running the "
+    "five r15b probes first = 3.75 vs 3.96 fresh. (3) simhash probe "
+    "7.5x vs the 4.6x decomposition floor: the decomposition was "
+    "rerun per-stage — the candidate JOIN adds ~1s on BOTH legs "
+    "(guard working as designed); ~90% of the 10x leg is the md5 "
+    "signature stage, which is linear in TOKEN BYTES, and the "
+    "retokened fixture carries 14.9x the bytes at the '10x' leg "
+    "(rN_-prefixed tokens inflate short tokens ~1.66x): measured "
+    "signature-stage ratio 6.5x at 14.9x bytes = 0.44x per byte, "
+    "decisively sublinear. The probe now publishes bytes_x1/bytes_x10/"
+    "ratio_per_byte for both simhash probes so the band is read "
+    "against byte volume, not replica count. Expect ratio_10x ~5-6 "
+    "and ratio_per_byte well under 1.0."
 )
 
 
@@ -152,6 +159,12 @@ def _scaled_documents(spark, sf_dir: str, mult: int):
         )
         .repartition(par)
     )
+
+
+# (reps_at_1x, reps_at_10x) overrides; default (3, 2). See the r16
+# drift note: corpus_clean's 10x leg needs 4 samples to reach steady
+# state reliably.
+_PROBE_REPS = {"corpus_clean": (3, 4)}
 
 
 def _scaling_probes(spark, sf_dir: str) -> dict:
@@ -711,11 +724,17 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
             else
             lambda m: _scaled_documents(spark, sf_dir, m)
         )
+        # per-probe sample counts: corpus_clean's 10x leg spreads
+        # 6.5-13.3s across identical samples (GC/checkpoint churn — the
+        # r15 "probe band drift" was this estimator noise, not the
+        # operator); 4 samples reliably reach the ~6.5s steady state a
+        # 2-sample min only sometimes sees.
+        reps1, reps10 = _PROBE_REPS.get(name, (3, 2))
         try:
-            for mult in (1, 10):
+            for mult, nrep in ((1, reps1), (10, reps10)):
                 d = scaled(mult)
                 samples = []
-                for _ in range(3 if mult == 1 else 2):
+                for _ in range(nrep):
                     t0 = _time.time()
                     fn(d).write.format("noop").mode("overwrite").save()
                     samples.append(_time.time() - t0)
@@ -725,6 +744,19 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
                     spark._jvm.System.gc()
                 entry[f"x{mult}"] = round(min(samples), 3)
             entry["ratio_10x"] = round(entry["x10"] / max(entry["x1"], 1e-9), 1)
+            if name in ("simhash_neardup_pairs", "simhash_noguard"):
+                # the signature stage is linear in token BYTES, and the
+                # retokened fixture inflates bytes ~1.49x beyond the
+                # replica count (rN_ prefixes on short tokens) — publish
+                # the byte volumes so the ratio is read against bytes,
+                # not the nominal 10x (r15 verdict item 5)
+                b1 = scaled(1).agg(F.sum(F.length("text"))).collect()[0][0]
+                b10 = scaled(10).agg(F.sum(F.length("text"))).collect()[0][0]
+                entry["bytes_x1"] = int(b1)
+                entry["bytes_x10"] = int(b10)
+                entry["ratio_per_byte"] = round(
+                    entry["ratio_10x"] / (b10 / b1), 2
+                )
         except Exception as e:  # a probe failure must not void the bench
             entry["error"] = f"{type(e).__name__}: {e}"[:300]
         out[name] = entry
@@ -732,6 +764,13 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
 
 
 def main() -> None:
+    # AMBIENT load, sampled BEFORE the JVM spins up and the headline
+    # loop runs (r15 verdict item 1: the post-loop `loadavg_1m` stamp
+    # cannot distinguish "machine was busy when we started" from "our
+    # own 32 threads" — r15's final refresh captured a degraded session
+    # that its own post-loop stamp of 1.61 made look quiet). Anything
+    # >~1 here means external contention: the artifact flags itself.
+    ambient = os.getloadavg()[0]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
@@ -751,6 +790,17 @@ def main() -> None:
     times: dict[str, float] = {}
     spread: dict[str, dict] = {}
     errors: dict[str, str] = {}
+    # JVM warm-up, once, before any timed rep: the FIRST headline query
+    # otherwise absorbs the whole JVM's JIT compilation in its timed
+    # reps (r16 drift note: corpus_clean's quiet samples descend
+    # 3.1->2.2s across 9 reps purely from C2 warm-up; one extra untimed
+    # execution of the first query moves that cost out of the medians).
+    try:
+        queries[HEADLINE[0]](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception:
+        pass  # the per-query loop below records the real error
     for name in HEADLINE:
         # per-query fault isolation (the round-6 lesson: one query's
         # loader assumption going stale must cost that query's row, not
@@ -804,7 +854,13 @@ def main() -> None:
         # ~2x a quiet run's median on identical code). Interpret any
         # cross-round per-query drift against this first.
         "loadavg_1m": round(os.getloadavg()[0], 2),
+        "loadavg_pre": round(ambient, 2),
     }
+    if ambient > 1.0:
+        result["ambient_load_warning"] = (
+            f"pre-run 1-min loadavg {ambient:.2f} > 1.0 — external "
+            "contention; timings are upper bounds, re-record quiet"
+        )
     # fixture provenance (r12 verdict item on cross-round comparability):
     # fhir_ingest_corpus cost scales with the bundle corpus's content
     # revision, so growth between rounds (v9->v16 added ~2.5x JSON per
