@@ -79,12 +79,23 @@ _MODULES = (
 #     changed). operators/mmr.py also changed (ADVICE r15: null-rel
 #     filter, negation-free tie-break, id-type inheritance) — its only
 #     consumer is the NEW mmr_rerank row, in-window above.
-#   * R11 RESIDUE DRAIN (15): alphabetical array_funcs ..
-#     range_join_pairs.
-# ROUND-17 QUEUE: the remaining 10 r11 rows (shard_assignment,
-# stratified_sample, stream_join_pairs, substring_dup_runs,
-# temperature_sample, tfidf_top_terms, token_count_bpe, unpivot,
-# vocab_coverage, window_rank_battery), then the r12 band behind them.
+#   * NEW second pass (2, displacing the last two r11-residue drains
+#     pagerank_weights / range_join_pairs back to the r17 queue head —
+#     new rows outrank drain schedule): stream_cms_topk (streaming
+#     Count-Min fold — the third mergeable-sketch streaming member;
+#     counter-sum merge is exactly additive so the batch SQL is the
+#     oracle) and unicode_normalize_stats (NFC normalization via a
+#     vectorized Arrow pandas UDF over planted decomposed sequences,
+#     DuckDB nfc_normalize twin). Both are corpus_ext.py appends — no
+#     existing function hunk touched.
+#   * R11 RESIDUE DRAIN (13): alphabetical array_funcs ..
+#     ngram_jaccard_pairs.
+# ROUND-17 QUEUE: FIRST the 2 displaced r11 rows (pagerank_weights,
+# range_join_pairs — the displaced-head rule), then the remaining 10
+# r11 rows (shard_assignment, stratified_sample, stream_join_pairs,
+# substring_dup_runs, temperature_sample, tfidf_top_terms,
+# token_count_bpe, unpivot, vocab_coverage, window_rank_battery), then
+# the r12 band behind them.
 # --------------------------------------------------------------------------
 _WINDOW = (
     # --- ROUND 16: displaced r10 heads (8) ---
@@ -126,7 +137,10 @@ _WINDOW = (
     "fhir_notebook_e2e",
     # --- ROUND 16: diff re-verify (1) ---
     "int4_roundtrip",
-    # --- ROUND 16: r11 residue drain (15) ---
+    # --- ROUND 16 second pass: new queries (2) ---
+    "stream_cms_topk",
+    "unicode_normalize_stats",
+    # --- ROUND 16: r11 residue drain (13) ---
     "array_funcs",
     "asof_join",
     "bloom_dedup",
@@ -140,8 +154,6 @@ _WINDOW = (
     "lsh_bucket_sizes",
     "media_stats",
     "ngram_jaccard_pairs",
-    "pagerank_weights",
-    "range_join_pairs",
 )
 
 

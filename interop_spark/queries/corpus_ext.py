@@ -2,7 +2,10 @@
 query modules' out-of-window green rows stay untouched — the window
 invariant note in ``queries/__init__``).
 
-Four oracle-backed driver rows:
+Oracle-backed driver rows (four r15b originals, then the r16
+additions ``mmr_rerank`` / ``stream_theta_distinct`` /
+``stream_cms_topk`` / ``unicode_normalize_stats`` registered at the
+bottom of the module):
 
 - ``theta_sketch_setops`` — KMV/theta distinct sketch with UNION and
   INTERSECTION estimates over source-pair shingle vocabularies
@@ -23,6 +26,10 @@ Four oracle-backed driver rows:
 """
 
 from __future__ import annotations
+
+import pandas as pd  # module-level so the pandas_udf's stringified
+# type hints ('pd.Series', via the future-annotations import) resolve
+# against module globals when PySpark infers the eval type
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -816,3 +823,238 @@ def _stream_theta_oracle() -> str:
 
 QUERIES["stream_theta_distinct"] = q_stream_theta_distinct
 ORACLE["stream_theta_distinct"] = _stream_theta_oracle()
+
+
+# --------------------------------------------------------------------------
+# Round-16: streaming Count-Min fold — the third mergeable-sketch
+# streaming member (HLL folds by register-max, theta/KMV by bottom-k
+# union, CMS by counter-wise SUM, which is exactly additive — so the
+# streaming fold equals the batch sketch EXACTLY, and the batch SQL is
+# the oracle with no estimator slack).
+# --------------------------------------------------------------------------
+
+CMS_PHI_DEN = 40  # heavy-user threshold: est >= n_events / 40
+
+
+def q_stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Count-Min heavy hitters — per-user event-count sketch
+    maintained across micro-batches by counter-wise SUM (the CMS merge;
+    additive, hence fold == one-pass with NO estimator drift): the
+    events table streams as the same 4-chunk landing the CDC/HLL/theta
+    twins use, each batch contributes its own depth x width counter
+    frame, and ``foreachBatch`` folds them by (j, b) sum. The final
+    probe joins every DISTINCT user against the <= depth*width
+    broadcast sketch and keeps users whose estimate clears
+    n_events/{CMS_PHI_DEN}; exact counts ride along as the audit
+    (CMS never underestimates, so every true heavy user survives).
+
+    Scale shape: state between batches is O(depth * width) counter
+    rows, never event rows; the probe is a broadcast join against the
+    user-id distinct frame. At 100 TB the sketch frame is bytes-sized
+    while exact per-user counts would be a full keyed shuffle — the
+    reason the sketch family exists."""
+    import os
+
+    from interop_spark.streaming.cdc import land_event_chunks
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id")
+    key = "cmsq-" + (os.path.basename(os.path.normpath(sf_dir)) or "sf")
+    flat = land_event_chunks(ev, 4, key)
+    schema = spark.read.parquet(flat).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    state: dict = {"sketch": None}
+
+    def _fold(batch_df: DataFrame, _batch_id: int) -> None:
+        rows = batch_df.select(
+            col("user_id").cast("string").alias("w"),
+            F.explode(F.sequence(F.lit(0), F.lit(HH_DEPTH - 1))).alias("j"),
+        )
+        sk = (
+            rows.withColumn("b", _cms_bucket(col("j"), col("w")))
+            .groupBy("j", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        if state["sketch"] is None:
+            state["sketch"] = sk.localCheckpoint()
+        else:
+            merged = (
+                state["sketch"].unionByName(sk)
+                .groupBy("j", "b")
+                .agg(F.sum("cnt").cast("long").alias("cnt"))
+            )
+            state["sketch"] = merged.localCheckpoint()
+
+    q = (
+        src.writeStream.foreachBatch(_fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sketch = state["sketch"]
+    exact = ev.groupBy(col("user_id").cast("string").alias("token")).agg(
+        F.count(F.lit(1)).cast("long").alias("exact_cnt")
+    )
+    probes = exact.select(
+        "token",
+        F.explode(F.sequence(F.lit(0), F.lit(HH_DEPTH - 1))).alias("j"),
+    ).withColumn("b", _cms_bucket(col("j"), col("token")))
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "b"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce(col("cnt"), F.lit(0))).alias("cms_est"))
+    )
+    n = ev.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        est.crossJoin(F.broadcast(n))
+        .where(col("cms_est") * CMS_PHI_DEN >= col("n"))
+        .join(exact, "token")
+        .select(
+            col("token").cast("long").alias("user_id"),
+            col("cms_est").cast("long").alias("cms_est"),
+            "exact_cnt",
+            (col("exact_cnt") * CMS_PHI_DEN >= col("n")).alias("is_true_hh"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _stream_cms_oracle() -> str:
+    bucket = (
+        "CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), '|',"
+        " {tok})), 1, 8)) AS BIGINT) % " + str(HH_WIDTH)
+    )
+    return f"""
+        WITH t AS (
+          SELECT CAST(user_id AS VARCHAR) AS w FROM events
+        ),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+        exact AS (
+          SELECT w AS token, CAST(count(*) AS BIGINT) AS exact_cnt
+          FROM t GROUP BY w
+        ),
+        rows_ AS (
+          SELECT w, j FROM t,
+            unnest(generate_series(0, {HH_DEPTH - 1})) AS g(j)
+        ),
+        sketch AS (
+          SELECT j, {bucket.format(tok='w')} AS b, count(*) AS cnt
+          FROM rows_ GROUP BY 1, 2
+        ),
+        probes AS (
+          SELECT token, j, {bucket.format(tok='token')} AS b
+          FROM exact, unnest(generate_series(0, {HH_DEPTH - 1})) AS g(j)
+        ),
+        est AS (
+          SELECT p.token,
+                 CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS cms_est
+          FROM probes p LEFT JOIN sketch s ON p.j = s.j AND p.b = s.b
+          GROUP BY p.token
+        )
+        SELECT CAST(e.token AS BIGINT) AS user_id, e.cms_est, x.exact_cnt,
+               x.exact_cnt * {CMS_PHI_DEN} >= n.n AS is_true_hh
+        FROM est e JOIN exact x ON x.token = e.token CROSS JOIN n
+        WHERE e.cms_est * {CMS_PHI_DEN} >= n.n
+        ORDER BY user_id
+    """
+
+
+QUERIES["stream_cms_topk"] = q_stream_cms_topk
+ORACLE["stream_cms_topk"] = _stream_cms_oracle()
+
+
+# --------------------------------------------------------------------------
+# Round-16: Unicode NFC normalization pass — a cleaning stage Spark has
+# no built-in for (vectorized Arrow pandas UDF over unicodedata; DuckDB
+# replays it with nfc_normalize). The fixture text is ASCII, so the
+# query PLANTS decomposed sequences deterministically (combining grave
+# U+0300 after each 'a' on doc_id % 3 == 0) — both engines construct
+# the identical pre-normalization text, then normalize independently,
+# pinning true cross-engine NFC parity rather than a no-op.
+# --------------------------------------------------------------------------
+
+
+def q_unicode_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (lang, source) Unicode-normalization accounting over the
+    planted-decomposition corpus: how many docs NFC actually changed,
+    and the total char-length delta (combining pairs compose to single
+    code points, so normalized length shrinks by the number of planted
+    marks). The normalization itself is a VECTORIZED Arrow pandas UDF
+    (`unicodedata.normalize` batch-applied) — the sanctioned shape for
+    a per-row Python dependency: one scan, zero shuffle before the
+    bounded group-by.
+
+    Scale shape: normalize-then-aggregate touches each row once inside
+    the Arrow batch; the only Exchange is the (lang, source) partial
+    agg (<= langs x sources groups)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: None if t is None else unicodedata.normalize("NFC", t)
+        )
+
+    d = load(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.when(
+            col("doc_id") % 3 == 0,
+            F.regexp_replace(col("text"), "a", "à"),
+        )
+        .otherwise(col("text"))
+        .alias("raw"),
+    )
+    normed = planted.select(
+        "lang",
+        "source",
+        F.length("raw").alias("raw_len"),
+        F.length(nfc(col("raw"))).alias("nfc_len"),
+    )
+    return (
+        normed.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((col("raw_len") != col("nfc_len")).cast("int"))
+            .cast("long")
+            .alias("n_changed"),
+            F.sum(col("raw_len") - col("nfc_len"))
+            .cast("long")
+            .alias("chars_composed"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def _unicode_oracle() -> str:
+    return """
+        WITH planted AS (
+          SELECT lang, source,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN replace(text, 'a', 'a' || chr(768))
+                      ELSE text END AS raw
+          FROM documents
+        ),
+        normed AS (
+          SELECT lang, source, length(raw) AS raw_len,
+                 length(nfc_normalize(raw)) AS nfc_len
+          FROM planted
+        )
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN raw_len <> nfc_len THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_changed,
+               CAST(sum(raw_len - nfc_len) AS BIGINT) AS chars_composed
+        FROM normed GROUP BY lang, source
+        ORDER BY lang, source
+    """
+
+
+QUERIES["unicode_normalize_stats"] = q_unicode_normalize_stats
+ORACLE["unicode_normalize_stats"] = _unicode_oracle()
