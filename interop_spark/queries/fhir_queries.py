@@ -1909,6 +1909,20 @@ def q_fhir_notebook_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # -- table sink, then REJOIN over the written tables (K2 + S5) -----
     for t in ("Patient", "Condition"):
         drop_table_if_exists(spark, f"{loc}.{t}")
+    # a PRIOR session's warehouse may have left the managed-table
+    # location behind with no catalog entry (DROP above is then a
+    # no-op and saveAsTable fails LOCATION_ALREADY_EXISTS) — purge the
+    # row's DEDICATED database directory so the chain is idempotent
+    # across sessions sharing a cwd
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    if wh:
+        shutil.rmtree(
+            os.path.join(wh, "nb_e2e_driver.db"), ignore_errors=True
+        )
     bulk_table_write(entry, loc, columns=["Patient", "Condition"])
     rejoined = spark.table("nb_e2e_driver.Patient").join(
         spark.table("nb_e2e_driver.Condition"), "bundleUUID"

@@ -105,6 +105,9 @@ COMMENT = {
  "heavy_hitter_tokens": "CMS heavy hitters: one token explode feeds BOTH the depth*width sketch (partial-agg, <=24 rows) and the exact counts; the full-vocabulary probe joins the BROADCAST sketch; the phi threshold is a 1-row broadcast crossJoin. No vocabulary sort, no driver collect.",
  "cooccurrence_topk": "Co-occurrence: per-doc DISTINCT token self-join keyed on doc_id (blowup bounded by per-doc vocabulary), one (w1,w2) partial-aggregated count, document frequencies joined BROADCAST, TakeOrderedAndProject top-k boundary -- no vocabulary-squared sort.",
  "int4_roundtrip": "Blockwise int4 quantizer: one embeddings scan, pure HOF encode->decode->error projection inside WholeStageCodegen -- ZERO Exchange.",
+ "fhir_notebook_e2e": "Notebook-mirror chain's final frame: the two WRITTEN parquet tables rejoin on bundleUUID; the writer leg re-parses its emitted JSON as ONE variant projection (try_parse_json + variant_get); OMOP person is a projection of the entry parse. At 100 TB each hop is a table-to-table parquet job; nothing collects.",
+ "unicode_normalize_stats": "NFC normalization: ONE ArrowEvalPython projection (vectorized unicodedata batch) feeding length deltas; the only Exchange is the bounded (lang, source) partial agg. At 100 TB: scan-bandwidth-bound, Python cost amortized across Arrow batches.",
+ "stream_cms_topk": "Streaming CMS fold (post-fold probe plan): the <=depth*width counter state BROADCASTS onto the distinct-user probe; threshold is a 1-row broadcast. Between batches the state is counter rows, never events. At 100 TB the sketch is bytes while exact per-user counts would be a full keyed shuffle.",
  "fhir_omop_episode": "OMOP EPISODE: NDJSON bridge scan -> level-1 era windows+groupBy and level-2 episode windows+groupBy all share the (person, concept) clustering -- the era chain's single Exchange serves all four window/agg operators; no second corpus shuffle.",
  "fhir_omop_fact_relationship": "OMOP FACT_RELATIONSHIP: ext-corpus Specimen scan -> parent explode -> UNION of two pure projections (child-of / parent-of) -- ZERO Exchange; output = 2x parent references.",
  "fhir_medication_knowledge_costs": "Batch-13 proof row: 30-row formulary BROADCAST onto the corpus-side MedicationRequest code projection (S4 override read), one bounded (code, form, status)-keyed rollup -- corpus never shuffles on a definitional key.",
@@ -165,6 +168,8 @@ for name in ["pricing_summary", "multiway_join_agg", "latest_event_per_user",
              "fhir_writer_canonical_leaves",
              "theta_sketch_setops", "heavy_hitter_tokens",
              "cooccurrence_topk", "int4_roundtrip",
+             "fhir_notebook_e2e", "unicode_normalize_stats",
+             "stream_cms_topk",
              "fhir_omop_episode", "fhir_omop_fact_relationship",
              "fhir_medication_knowledge_costs", "fhir_contract_terms"]:
     df = qs[name](spark, SF)

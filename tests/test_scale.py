@@ -836,3 +836,46 @@ def test_round15b_plan_shapes(spark, sf_dir):
     # bridge's own per-patient collect_list exchanges are upstream of
     # the era chain and not what this pin is about)
     assert ex4.count("Exchange hashpartitioning(person_id") == 1, ex4[:3000]
+
+
+def test_round16_plan_shapes(spark, sf_dir):
+    """Round-16 additions hold the posture:
+    - unicode_normalize_stats: the Arrow pandas-UDF normalization is a
+      single scan-side projection (one ArrowEvalPython, no Python rows
+      crossing an Exchange); the only Exchange is the bounded
+      (lang, source) partial aggregate;
+    - fhir_notebook_e2e's final frame joins the two WRITTEN parquet
+      tables on bundleUUID plus the bounded writer re-parse — no
+      CartesianProduct anywhere (the variant re-parse is a projection);
+    - stream_cms_topk's post-fold probe joins the distinct user frame
+      against the BROADCAST <=depth*width sketch (no SortMergeJoin
+      against the sketch side)."""
+    from interop_spark.queries import all_queries
+
+    q = all_queries()
+
+    ex = (
+        q["unicode_normalize_stats"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert ex.count("ArrowEvalPython") == 1, ex[:2500]
+    assert "CartesianProduct" not in ex, ex[:2500]
+    assert ex.count("Exchange hashpartitioning") <= 1, ex[:2500]
+
+    ex2 = (
+        q["fhir_notebook_e2e"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in ex2, ex2[:2500]
+
+    ex3 = (
+        q["stream_cms_topk"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in ex3, ex3[:2500]
