@@ -91,6 +91,11 @@ HEADLINE = [
     "fhir_omop_fact_relationship",
     "fhir_medication_knowledge_costs",
     "fhir_contract_terms",
+    # round-16: new rows under the timing guard from their first round
+    # (streaming rows stay out of HEADLINE per the standing convention)
+    "mmr_rerank",
+    "unicode_normalize_stats",
+    "fhir_notebook_e2e",
 ]
 
 # Cross-round drift accounting (r14 verdict item 2), written into

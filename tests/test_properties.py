@@ -4,6 +4,7 @@ MinHash's Jaccard-estimation property, SimHash locality."""
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf string hints resolve in module globals
 import pytest
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
@@ -596,3 +597,105 @@ def test_int4_error_bound_property(sparkp, vec):
     # per-block bound: dims 0-7 against scale[0], 8-15 against scale[1]
     for i, e in enumerate(r["errs"]):
         assert e <= r["scales"][i // 8] / 2 + 1e-9, (i, e, r["scales"])
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    counts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=999),  # user id
+            st.integers(min_value=1, max_value=5),    # event multiplicity
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    mask=st.integers(min_value=0, max_value=2**16 - 1),
+)
+def test_cms_fold_equals_batch_property(sparkp, counts, mask):
+    """Count-Min mergeability (the contract behind `stream_cms_topk`):
+    for ANY multiset of items and ANY 2-way split, building a sketch
+    per part and folding by (j, b) counter SUM equals the one-pass
+    sketch EXACTLY — counter addition is associative, so the streaming
+    fold carries zero estimator drift."""
+    from pyspark.sql.functions import col
+
+    from interop_spark.queries.corpus_ext import HH_DEPTH, _cms_bucket
+
+    rows = [
+        (str(uid), i)
+        for uid, mult in counts
+        for i in range(mult)
+    ]
+    df = sparkp.createDataFrame(rows, ["w", "i"])
+
+    def sketch(d):
+        r = d.select(
+            "w",
+            F.explode(F.sequence(F.lit(0), F.lit(HH_DEPTH - 1))).alias("j"),
+        )
+        return (
+            r.withColumn("b", _cms_bucket(col("j"), col("w")))
+            .groupBy("j", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+
+    one = {(r["j"], r["b"]): r["cnt"] for r in sketch(df).collect()}
+    # shiftright() needs a literal shift in the Python API — build the
+    # row-dependent shift in SQL instead
+    bit = F.expr(
+        f"pmod(shiftright({mask}, CAST(pmod(xxhash64(w, i), 16) AS INT)), 2)"
+    )
+    part_a = df.where(bit == 1)
+    part_b = df.where(bit == 0)
+    folded: dict = {}
+    for part in (part_a, part_b):
+        for r in sketch(part).collect():
+            folded[(r["j"], r["b"])] = (
+                folded.get((r["j"], r["b"]), 0) + r["cnt"]
+            )
+    assert folded == one
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from(
+                # precomposed, combining marks, ASCII, and a non-BMP char
+                list("abcò́àé ") + ["\U0001f600"]
+            ),
+            min_size=0,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_nfc_udf_matches_duckdb_property(sparkp, texts):
+    """Cross-engine NFC parity (the contract behind
+    `unicode_normalize_stats`): for ANY string over a combining-mark-
+    heavy alphabet, the Arrow pandas-UDF normalization (Python
+    unicodedata) and DuckDB's nfc_normalize produce the IDENTICAL
+    normalized string — both implement Unicode NFC, and the driver
+    oracle hash depends on it."""
+    import duckdb
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: None if t is None else unicodedata.normalize("NFC", t)
+        )
+
+    df = sparkp.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", nfc(col("t")).alias("n")).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        want = con.execute("SELECT nfc_normalize(?)", [t]).fetchone()[0]
+        assert got[i] == want, (t, got[i], want)
+    con.close()
