@@ -96,6 +96,20 @@ HEADLINE = [
     "mmr_rerank",
     "unicode_normalize_stats",
     "fhir_notebook_e2e",
+    # round-16 third pass: the product-analytics rows
+    "funnel_conversion",
+    "cohort_retention",
+    "salted_agg_skew",
+    "mad_outliers",
+    # round-16 fourth pass
+    "rolling_7d_users",
+    "event_transition_matrix",
+    "zipf_fit_slope",
+    "js_divergence_sources",
+    # round-16 fifth pass
+    "ndcg_bsq_eval",
+    "gini_user_activity",
+    "anomaly_days_zscore",
 ]
 
 # Cross-round drift accounting (r14 verdict item 2), written into

@@ -62,6 +62,51 @@ def salted_join(
     return out.drop("_salt")
 
 
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    exprs: dict,
+    salt: int = 16,
+    salt_on: str | None = None,
+) -> DataFrame:
+    """Two-phase skew-salted aggregation — the group-by twin of
+    ``salted_join``: partial-aggregate by (key, salt) so a
+    pathologically hot key spreads over ``salt`` reducers, then combine
+    the partials by key. (Spark's own partial aggregation already
+    map-combines; explicit salting adds a REDUCER-side split for the
+    hot-key case where even combined partials of one key overwhelm a
+    single task — e.g. high-cardinality payloads under collect-style or
+    distinct-style aggregates, or AQE disabled.)
+
+    ``exprs`` maps output name -> (partial aggregate Column, combine)
+    where combine is one of "sum" / "min" / "max" — the decomposable
+    combines (count and sum re-combine by SUM; avg is sum/count
+    composed by the caller). Non-decomposable aggregates don't belong
+    here; that's the point of the salt.
+
+    ``salt_on``: a column whose hash spreads rows across salts;
+    defaults to a hash of all columns (deterministic per row, retry-safe
+    — never rand()).
+    """
+    spread = (
+        F.xxhash64(col(salt_on))
+        if salt_on is not None
+        else F.xxhash64(*[col(c) for c in df.columns])
+    )
+    partial = (
+        df.withColumn("_salt", F.pmod(spread, F.lit(salt)))
+        .groupBy(key, "_salt")
+        .agg(*[e.alias(f"_p_{n}") for n, (e, _) in exprs.items()])
+    )
+    combine = {"sum": F.sum, "min": F.min, "max": F.max}
+    bad = [c for _, (_, c) in exprs.items() if c not in combine]
+    if bad:
+        raise ValueError(f"salted_agg combine must be sum/min/max, got {bad}")
+    return partial.groupBy(key).agg(
+        *[combine[c](f"_p_{n}").alias(n) for n, (e, c) in exprs.items()]
+    )
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

@@ -22,6 +22,7 @@ _MODULES = (
     "interop_spark.queries.functions_battery",
     "interop_spark.queries.selection_q",
     "interop_spark.queries.corpus_ext",
+    "interop_spark.queries.analytics_q",
 )
 
 # --------------------------------------------------------------------------
@@ -88,11 +89,45 @@ _MODULES = (
 #     vectorized Arrow pandas UDF over planted decomposed sequences,
 #     DuckDB nfc_normalize twin). Both are corpus_ext.py appends — no
 #     existing function hunk touched.
-#   * R11 RESIDUE DRAIN (13): alphabetical array_funcs ..
-#     ngram_jaccard_pairs.
-# ROUND-17 QUEUE: FIRST the 2 displaced r11 rows (pagerank_weights,
-# range_join_pairs — the displaced-head rule), then the remaining 10
-# r11 rows (shard_assignment, stratified_sample, stream_join_pairs,
+#   * NEW third pass (4, displacing the last four r11-residue drains
+#     frame_sample .. ngram_jaccard_pairs back to the r17 queue head —
+#     new rows outrank drain schedule): the analytics_q module
+#     (funnel_conversion, cohort_retention, salted_agg_skew,
+#     mad_outliers) — ordered 3-stage funnel, weekly cohort retention,
+#     two-phase skew-salted aggregation (oracle = the PLAIN group-by,
+#     the group-by twin of r8's salted_join_agg contract), and
+#     median/MAD robust outliers. All are pure appends (new module +
+#     a salted_agg append to operators/scale.py past salted_join's
+#     unchanged hunk); no existing function hunk touched, so every
+#     out-of-window green stands. (Gap-fill+LOCF and the SCD2 build
+#     were deliberately NOT added — resample_ffill and scd2_intervals
+#     already cover those shapes.)
+#   * NEW fourth pass (4, displacing four more r11-residue drains
+#     edit_distance_neardup .. fhir_writer_roundtrip to the r17 queue
+#     head): rolling_7d_users (offset-densified trailing rolling
+#     distinct — Spark windows can't COUNT DISTINCT over a range
+#     frame), event_transition_matrix (per-user lead() Markov pairs on
+#     the bounded from x to grid), zipf_fit_slope (vocab-sized
+#     regr_slope/intercept/corr over ln-rank/ln-freq),
+#     js_divergence_sources (pairwise JS divergence on the zero-filled
+#     vocab x source grid). Pure appends to analytics_q.py.
+#   * NEW fifth pass (3, displacing three more r11-residue drains
+#     bloom_dedup / containment_neardup / dup_line_removal to the r17
+#     queue head): ndcg_bsq_eval (graded nDCG@10 of the BSQ Hamming
+#     ranking vs exact-cosine relevance — the ranking-quality metric
+#     next to the recall@k rows), gini_user_activity (activity
+#     concentration on the user-sized ranked frame, integer sums),
+#     anomaly_days_zscore (daily-volume z-score flags, 1-row stats
+#     broadcast). Pure appends to analytics_q.py.
+#   * R11 RESIDUE DRAIN (2): array_funcs, asof_join.
+# ROUND-17 QUEUE: FIRST the 13 displaced r11 rows (pagerank_weights,
+# range_join_pairs from r16's second pass; frame_sample,
+# lsh_bucket_sizes, media_stats, ngram_jaccard_pairs from the third
+# pass; edit_distance_neardup, embedding_centroids, embedding_neardup,
+# fhir_writer_roundtrip from the fourth; bloom_dedup,
+# containment_neardup, dup_line_removal from the fifth — the
+# displaced-head rule), then the remaining 10 r11 rows
+# (shard_assignment, stratified_sample, stream_join_pairs,
 # substring_dup_runs, temperature_sample, tfidf_top_terms,
 # token_count_bpe, unpivot, vocab_coverage, window_rank_battery), then
 # the r12 band behind them.
@@ -140,20 +175,23 @@ _WINDOW = (
     # --- ROUND 16 second pass: new queries (2) ---
     "stream_cms_topk",
     "unicode_normalize_stats",
-    # --- ROUND 16: r11 residue drain (13) ---
+    # --- ROUND 16 third pass: new queries (4) ---
+    "funnel_conversion",
+    "cohort_retention",
+    "salted_agg_skew",
+    "mad_outliers",
+    # --- ROUND 16 fourth pass: new queries (4) ---
+    "rolling_7d_users",
+    "event_transition_matrix",
+    "zipf_fit_slope",
+    "js_divergence_sources",
+    # --- ROUND 16 fifth pass: new queries (3) ---
+    "ndcg_bsq_eval",
+    "gini_user_activity",
+    "anomaly_days_zscore",
+    # --- ROUND 16: r11 residue drain (2) ---
     "array_funcs",
     "asof_join",
-    "bloom_dedup",
-    "containment_neardup",
-    "dup_line_removal",
-    "edit_distance_neardup",
-    "embedding_centroids",
-    "embedding_neardup",
-    "fhir_writer_roundtrip",
-    "frame_sample",
-    "lsh_bucket_sizes",
-    "media_stats",
-    "ngram_jaccard_pairs",
 )
 
 

@@ -112,6 +112,17 @@ COMMENT = {
  "fhir_omop_fact_relationship": "OMOP FACT_RELATIONSHIP: ext-corpus Specimen scan -> parent explode -> UNION of two pure projections (child-of / parent-of) -- ZERO Exchange; output = 2x parent references.",
  "fhir_medication_knowledge_costs": "Batch-13 proof row: 30-row formulary BROADCAST onto the corpus-side MedicationRequest code projection (S4 override read), one bounded (code, form, status)-keyed rollup -- corpus never shuffles on a definitional key.",
  "fhir_contract_terms": "Batch-13 proof row: Contract scan -> term explode -> one (type, status, term-type)-keyed partial-aggregated rollup with integer cents -- a single bounded-key Exchange.",
+ "funnel_conversion": "Ordered 3-stage funnel: each stage is a user_id equi-join of the event scan against the PREVIOUS stage's per-user min-time frame (monotonically shrinking), then three 1-row counts crossJoin as broadcasts. No global sort, no window over the stream; at 100 TB each stage is one keyed shuffle whose right side only ever shrinks.",
+ "cohort_retention": "Weekly cohort retention: the per-user cohort dim and the distinct (user, week) activity frame join on user_id (the single corpus-keyed exchange pair); the aggregate lands on the BOUNDED (cohort_week x offset) grid and cohort sizes come back as a BroadcastHashJoin -- integer-ppm math keeps it hash-stable.",
+ "salted_agg_skew": "Two-phase skew-salted aggregation: exactly TWO hash exchanges -- (key, salt16) partial then key combine (plan-asserted) -- so a 1000x hot key spreads over 16 reducers before the bounded combine; the oracle is the PLAIN group-by, pinning salting as execution-only.",
+ "mad_outliers": "Exact median/MAD robust outliers: three aggregate-to-5-rows passes over the stream; every med/mad frame rejoins as a BroadcastHashJoin (plan-asserted, no SortMergeJoin) -- the sort cost lives inside the per-key grouped median aggregate, never a corpus-global window.",
+ "rolling_7d_users": "Rolling 7-day WAU by offset densification: each distinct (user, day) row explodes to its 7 target days (a projection, no shuffle), observed-day semi-join is a BROADCAST, then ONE day-keyed distinct count -- the range-frame COUNT DISTINCT Spark windows can't express, without a per-day self-join over the event stream.",
+ "event_transition_matrix": "Markov transition estimates: ONE user-keyed Exchange serves the lead() window; the pair count lands on the bounded (from x to) grid with map-side partials; row totals come back as a BroadcastHashJoin for the integer-ppm probabilities.",
+ "zipf_fit_slope": "Zipf fit: one token explode + token-keyed count is the only corpus-side work; the rank window and regr_slope/intercept/corr run on the VOCABULARY-sized frame (single-partition window over vocab rows is the vocab_coverage posture -- bounded by dictionary size, not corpus).",
+ "js_divergence_sources": "Pairwise JS divergence: the corpus collapses into the bounded (source x token) count frame; the zero-filled distribution grid (vocab x sources, built from two bounded frames) self-joins on token per ordered source pair -- every post-explode stage is vocabulary-sized, and the log terms round AFTER the pair aggregate.",
+ "ndcg_bsq_eval": "Graded nDCG@10 of the BSQ Hamming ranking vs exact-cosine relevance: two TakeOrderedAndProject scans (8-byte codes for the approx leg, broadcast 1-row query for both) produce k-row frames; the rel join, DCG terms and IDCG division are all k-bounded -- ranking-quality evaluation without ever re-sorting the corpus.",
+ "gini_user_activity": "Gini activity concentration: the corpus collapses to the per-user count frame; the rank window and the closed-form sum run user-sized (single-partition window over a bounded frame, the vocab_coverage posture); every sum is integer so the ONE floating division is the only inexact step.",
+ "anomaly_days_zscore": "Daily-volume z-score flags: one day-keyed count with map-side partials, a 1-row mean/stddev aggregate broadcast back (BroadcastNestedLoopJoin over 1 row) -- the z projection and the |z|>2 flag are rounded identically on both engines.",
 }
 
 out = ["# PLANS — physical plans of the headline queries (sf0.1, AQE on)",
@@ -171,7 +182,13 @@ for name in ["pricing_summary", "multiway_join_agg", "latest_event_per_user",
              "fhir_notebook_e2e", "unicode_normalize_stats",
              "stream_cms_topk",
              "fhir_omop_episode", "fhir_omop_fact_relationship",
-             "fhir_medication_knowledge_costs", "fhir_contract_terms"]:
+             "fhir_medication_knowledge_costs", "fhir_contract_terms",
+             "funnel_conversion", "cohort_retention",
+             "salted_agg_skew", "mad_outliers",
+             "rolling_7d_users", "event_transition_matrix",
+             "zipf_fit_slope", "js_divergence_sources",
+             "ndcg_bsq_eval", "gini_user_activity",
+             "anomaly_days_zscore"]:
     df = qs[name](spark, SF)
     df.write.format("noop").mode("overwrite").save()  # let AQE finalize
     plan = df._jdf.queryExecution().executedPlan().toString()

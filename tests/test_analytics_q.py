@@ -1,0 +1,292 @@
+"""Semantic tests for the round-16 third-wave analytics rows
+(queries/analytics_q.py) beyond the auto-parameterized oracle parity:
+funnel ordering invariants, cohort base-week totality, salted-agg
+equivalence on a planted hot key, and MAD outlier detection on planted
+contamination."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from interop_spark.operators.scale import salted_agg
+from interop_spark.queries.analytics_q import QUERIES
+
+
+def test_funnel_stage_monotonicity(spark, sf_dir):
+    """Each funnel stage requires the previous one strictly earlier, so
+    counts can only shrink; ppm rates stay in [0, 1e6]."""
+    row = QUERIES["funnel_conversion"](spark, sf_dir).collect()[0]
+    assert row.n_view >= row.n_click >= row.n_purchase >= 0
+    assert 0 <= row.click_ppm <= 1_000_000
+    assert 0 <= row.purchase_ppm <= 1_000_000
+
+
+def test_cohort_week_zero_is_total(spark, sf_dir):
+    """Every user is active in their own first-seen week, so offset-0
+    retention is exactly 1e6 ppm for every cohort, and the offset-0
+    user counts sum to the total user count."""
+    out = QUERIES["cohort_retention"](spark, sf_dir)
+    base = out.where(col("week_offset") == 0).collect()
+    assert base, "no offset-0 rows"
+    assert all(r.retained_ppm == 1_000_000 for r in base)
+    from interop_spark.io import load
+
+    n_users = (
+        load(spark, sf_dir, "events")
+        .agg(F.countDistinct("user_id"))
+        .collect()[0][0]
+    )
+    assert sum(r.n_users for r in base) == n_users
+
+
+def test_salted_agg_equals_plain_on_hot_key(spark):
+    """A pathologically hot key (90% of rows on one key) aggregates to
+    the same result salted and unsalted — salting is execution-only."""
+    df = spark.range(1000).select(
+        F.when(col("id") < 900, F.lit("hot"))
+        .otherwise(F.lit("cold"))
+        .alias("k"),
+        col("id").alias("i"),
+        (col("id") * 1.5).alias("v"),
+    )
+    salted = salted_agg(
+        df,
+        "k",
+        {
+            "n": (F.count("*"), "sum"),
+            "s": (F.sum("v"), "sum"),
+            "lo": (F.min("v"), "min"),
+            "hi": (F.max("v"), "max"),
+        },
+        salt=8,
+        salt_on="i",
+    )
+    plain = df.groupBy("k").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+    got = {r.k: (r.n, r.s, r.lo, r.hi) for r in salted.collect()}
+    want = {r.k: (r.n, r.s, r.lo, r.hi) for r in plain.collect()}
+    assert got == want
+    # the partial stage really spreads the hot key: >1 distinct salt
+    n_salts = (
+        df.withColumn(
+            "_salt", F.pmod(F.xxhash64(col("i")), F.lit(8))
+        )
+        .where(col("k") == "hot")
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert n_salts > 1
+
+
+def test_salted_agg_rejects_bad_combine(spark):
+    df = spark.range(10).select(F.lit("a").alias("k"), col("id").alias("v"))
+    with pytest.raises(ValueError, match="sum/min/max"):
+        salted_agg(df, "k", {"n": (F.avg("v"), "avg")})
+
+
+def test_mad_flags_planted_outlier(spark):
+    """A tight cluster plus one far point: the far point is the only
+    3-MAD outlier; MAD is robust to it (stays at the cluster scale)."""
+    vals = [10.0, 10.1, 9.9, 10.2, 9.8, 10.0, 10.1, 9.9, 1000.0]
+    df = spark.createDataFrame(
+        [("a", v) for v in vals], "event_type string, value double"
+    )
+    med = df.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = df.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.median(F.abs(col("value") - col("med"))).alias("mad")
+    )
+    r = (
+        dev.join(F.broadcast(mad), "event_type")
+        .agg(
+            F.sum(
+                (F.abs(col("value") - col("med")) > 3 * col("mad")).cast(
+                    "long"
+                )
+            ).alias("n_out")
+        )
+        .collect()[0]
+    )
+    assert r.n_out == 1
+    m = mad.collect()[0].mad
+    assert m < 1.0, f"MAD not robust: {m}"
+
+
+def test_rolling_7d_superset_of_dau(spark, sf_dir):
+    """The trailing 7-day window contains each day's own actives, so
+    rolling_users >= that day's DAU everywhere, and never exceeds the
+    total user count."""
+    from interop_spark.io import load
+
+    rolled = {
+        r.day: r.rolling_users
+        for r in QUERIES["rolling_7d_users"](spark, sf_dir).collect()
+    }
+    ev = load(spark, sf_dir, "events")
+    dau = {
+        r.day: r.n
+        for r in ev.groupBy(
+            F.date_format(
+                F.date_trunc("day", col("ts")), "yyyy-MM-dd"
+            ).alias("day")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    n_total = ev.agg(F.countDistinct("user_id")).collect()[0][0]
+    assert set(rolled) == set(dau)
+    for day, n in rolled.items():
+        assert dau[day] <= n <= n_total, (day, dau[day], n, n_total)
+
+
+def test_transition_matrix_accounting(spark, sf_dir):
+    """Each user with k events contributes exactly k-1 transitions, so
+    the matrix total is n_events - n_users; per-from ppm sums land in
+    [1e6 - n_to_types, 1e6] (floor slack)."""
+    from collections import defaultdict
+
+    from interop_spark.io import load
+
+    rows = QUERIES["event_transition_matrix"](spark, sf_dir).collect()
+    ev = load(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n for r in rows) == n_events - n_users
+    by_from = defaultdict(list)
+    for r in rows:
+        by_from[r.from_type].append(r.p_ppm)
+    for ft, ppms in by_from.items():
+        s = sum(ppms)
+        assert 1_000_000 - len(ppms) <= s <= 1_000_000, (ft, s)
+
+
+def test_zipf_fit_is_decreasing_fit(spark, sf_dir):
+    """Token frequency decreases with rank, so the fitted slope is
+    negative and r2 is a valid square in [0, 1]."""
+    r = QUERIES["zipf_fit_slope"](spark, sf_dir).collect()[0]
+    assert r.zipf_slope < 0
+    assert 0.0 <= r.r2 <= 1.0
+    assert r.n_vocab > 0
+
+
+def test_js_divergence_bounds_and_identity(spark, sf_dir):
+    """JS divergence (natural log) lives in [0, ln 2]; identical
+    planted distributions give exactly 0 after rounding."""
+    import math
+
+    rows = QUERIES["js_divergence_sources"](spark, sf_dir).collect()
+    n_sources = len(
+        {r.source_a for r in rows} | {r.source_b for r in rows}
+    )
+    assert len(rows) == n_sources * (n_sources - 1) // 2
+    for r in rows:
+        assert 0.0 <= r.js_divergence <= math.log(2) + 1e-9
+
+    # planted identity: two sources with the SAME text distribution
+    # (load() only reads <dir>/documents.parquet, so a temp fixture dir
+    # stands in for sf_dir)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [("a", "x y z"), ("b", "x y z"), ("a", "x x"), ("b", "x x")],
+            "source string, text string",
+        ).coalesce(1).write.parquet(f"{td}/documents.parquet")
+        out = QUERIES["js_divergence_sources"](spark, td).collect()
+    assert len(out) == 1 and out[0].js_divergence == 0.0
+
+
+def test_ndcg_bounds(spark, sf_dir):
+    """DCG can't exceed IDCG, so ndcg lives in [0, 1]; a self-query
+    (vec 0 is its own exact rank-1 AND hamming-0 neighbor) keeps the
+    top of both rankings aligned, so ndcg is strictly positive."""
+    r = QUERIES["ndcg_bsq_eval"](spark, sf_dir).collect()[0]
+    assert r.k == 10
+    assert 0.0 < r.ndcg <= 1.0
+    assert r.dcg <= r.idcg + 1e-9
+
+
+def test_gini_planted_distributions(spark):
+    """Gini = 0 for perfectly equal activity; near (n-1)/n when one
+    user owns everything."""
+    from pyspark.sql.window import Window as W
+
+    def gini_of(counts):
+        df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(counts)], "user_id long, c long"
+        )
+        w = W.orderBy(col("c").asc(), col("user_id").asc())
+        ranked = df.select(
+            "c", F.row_number().over(w).cast("long").alias("i")
+        )
+        r = ranked.agg(
+            F.count("*").alias("n"),
+            F.sum("c").alias("t"),
+            F.sum(col("i") * col("c")).alias("ic"),
+        ).collect()[0]
+        return (2 * r.ic - (r.n + 1) * r.t) / (r.n * r.t)
+
+    assert gini_of([5, 5, 5, 5]) == 0.0
+    # one user owns all 100 events among 10 users: G = (n-1)/n = 0.9
+    assert abs(gini_of([0] * 9 + [100]) - 0.9) < 1e-9
+
+    # and the fixture row is a valid coefficient
+    r = QUERIES["gini_user_activity"](spark, "/root/testdata/sf0.01")
+    g = r.collect()[0].gini
+    assert 0.0 <= g < 1.0
+
+
+def test_anomaly_zscore_accounting(spark, sf_dir):
+    """Flags are exactly the rows whose rounded |z| exceeds 2, and
+    z-scores average to ~0 (they're centered by construction)."""
+    rows = QUERIES["anomaly_days_zscore"](spark, sf_dir).collect()
+    assert all((abs(r.z) > 2) == r.is_anomaly for r in rows)
+    mean_z = sum(r.z for r in rows) / len(rows)
+    assert abs(mean_z) < 1e-3
+
+
+def test_analytics_plan_shapes(spark, sf_dir):
+    """Scale posture of the new rows:
+    - salted_agg_skew: exactly TWO hash Exchanges — (key, salt) partial
+      then key combine — and no sort-merge join anywhere;
+    - mad_outliers: every med/mad join back onto the stream is a
+      BroadcastHashJoin (5-row frames), never SortMergeJoin;
+    - cohort_retention: no CartesianProduct; the cohort-size join is
+      broadcast."""
+    from interop_spark.queries import all_queries
+
+    q = all_queries()
+
+    ex = (
+        q["salted_agg_skew"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert ex.count("Exchange hashpartitioning") == 2, ex[:2500]
+    assert "SortMergeJoin" not in ex, ex[:2500]
+
+    ex2 = (
+        q["mad_outliers"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in ex2, ex2[:2500]
+    assert "BroadcastHashJoin" in ex2, ex2[:2500]
+
+    ex3 = (
+        q["cohort_retention"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in ex3, ex3[:2500]
+    assert "BroadcastHashJoin" in ex3, ex3[:2500]

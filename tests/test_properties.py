@@ -699,3 +699,55 @@ def test_nfc_udf_matches_duckdb_property(sparkp, texts):
         want = con.execute("SELECT nfc_normalize(?)", [t]).fetchone()[0]
         assert got[i] == want, (t, got[i], want)
     con.close()
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "hot"]),
+            st.integers(0, 10_000),
+            st.integers(-1000, 1000),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    nparts=st.sampled_from([1, 3, 7]),
+    salt=st.sampled_from([1, 2, 8]),
+)
+def test_salted_agg_equals_plain_property(sparkp, rows, nparts, salt):
+    """salted_agg == plain groupBy for ANY partitioning and salt width
+    (integer values so no float-order term exists): salting must be a
+    pure execution-strategy change."""
+    from interop_spark.operators.scale import salted_agg
+
+    df = sparkp.createDataFrame(
+        rows, "k string, i long, v long"
+    ).repartition(nparts)
+    got = {
+        r.k: (r.n, r.s, r.lo, r.hi)
+        for r in salted_agg(
+            df,
+            "k",
+            {
+                "n": (F.count("*"), "sum"),
+                "s": (F.sum("v"), "sum"),
+                "lo": (F.min("v"), "min"),
+                "hi": (F.max("v"), "max"),
+            },
+            salt=salt,
+            salt_on="i",
+        ).collect()
+    }
+    want = {
+        r.k: (r.n, r.s, r.lo, r.hi)
+        for r in df.groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+    assert got == want
