@@ -527,6 +527,73 @@ def q_anomaly_days_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING daily-volume anomaly detection — the fourth
+    exactly-mergeable streaming fold next to the HLL register-max,
+    theta bottom-k, and CMS counter-sum members: per-batch (day, n)
+    partial counts fold by day-keyed SUM across the shared 4-chunk
+    landing, and the z-score/flag math runs on the <= span-days final
+    state. Count addition is exactly mergeable, so the batch SQL (the
+    ``anomaly_days_zscore`` oracle) is this row's oracle with zero
+    estimator slack. State between batches is O(days), never events.
+
+    Lives in analytics_q (not temporal_q) as a pure append so
+    temporal_q's out-of-window streaming greens stay untouched — the
+    window invariant in ``queries/__init__``."""
+    import os
+
+    from interop_spark.streaming.cdc import land_event_chunks
+
+    ev = load(spark, sf_dir, "events").select("event_id", "ts")
+    key = "danom-" + (os.path.basename(os.path.normpath(sf_dir)) or "sf")
+    flat = land_event_chunks(ev, 4, key)
+    schema = spark.read.parquet(flat).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    state: dict = {"daily": None}
+
+    def _fold(batch_df: DataFrame, _batch_id: int) -> None:
+        d = batch_df.groupBy(
+            F.date_format(
+                F.date_trunc("day", col("ts")), "yyyy-MM-dd"
+            ).alias("day")
+        ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+        if state["daily"] is None:
+            state["daily"] = d.localCheckpoint()
+        else:
+            state["daily"] = (
+                state["daily"]
+                .unionByName(d)
+                .groupBy("day")
+                .agg(F.sum("n").cast("long").alias("n"))
+                .localCheckpoint()
+            )
+
+    q = (
+        src.writeStream.foreachBatch(_fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    daily = state["daily"]
+    stats = daily.agg(
+        F.avg("n").alias("mu"), F.stddev_pop("n").alias("sd")
+    )
+    z = F.round((col("n") - col("mu")) / col("sd"), 6)
+    return (
+        daily.crossJoin(F.broadcast(stats))
+        .select(
+            "day",
+            col("n").cast("long").alias("n"),
+            z.alias("z"),
+            (F.abs(z) > 2).alias("is_anomaly"),
+        )
+    )
+
+
 def _ndcg_bsq_oracle() -> str:
     """DuckDB twin of q_ndcg_bsq_eval — the knn_cosine cosine idiom +
     the bsq_hamming_search sign-word idiom, composed."""
@@ -588,6 +655,20 @@ def _ndcg_bsq_oracle() -> str:
     """
 
 
+# shared by the batch row and its streaming fold twin
+_ANOMALY_DAYS_SQL = """
+    WITH daily AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             count(*) AS n
+      FROM events GROUP BY 1
+    ),
+    stats AS (SELECT avg(n) AS mu, stddev_pop(n) AS sd FROM daily)
+    SELECT day, CAST(n AS BIGINT) AS n,
+           round((n - mu) / sd, 6) AS z,
+           (abs(round((n - mu) / sd, 6)) > 2) AS is_anomaly
+    FROM daily, stats
+"""
+
 QUERIES = {
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
@@ -600,6 +681,7 @@ QUERIES = {
     "ndcg_bsq_eval": q_ndcg_bsq_eval,
     "gini_user_activity": q_gini_user_activity,
     "anomaly_days_zscore": q_anomaly_days_zscore,
+    "stream_daily_anomaly": q_stream_daily_anomaly,
 }
 
 ORACLE = {
@@ -761,18 +843,11 @@ ORACLE = {
                      / (count(*) * sum(c)), 6) AS gini
         FROM ranked
     """,
-    "anomaly_days_zscore": """
-        WITH daily AS (
-          SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-                 count(*) AS n
-          FROM events GROUP BY 1
-        ),
-        stats AS (SELECT avg(n) AS mu, stddev_pop(n) AS sd FROM daily)
-        SELECT day, CAST(n AS BIGINT) AS n,
-               round((n - mu) / sd, 6) AS z,
-               (abs(round((n - mu) / sd, 6)) > 2) AS is_anomaly
-        FROM daily, stats
-    """,
+    "anomaly_days_zscore": _ANOMALY_DAYS_SQL,
+    # the streaming day-count fold is exactly additive (count-sum
+    # merge), so the batch SQL is the oracle with zero estimator slack
+    # — the stream_hll_users / stream_cms_topk convention
+    "stream_daily_anomaly": _ANOMALY_DAYS_SQL,
     "mad_outliers": """
         WITH med AS (
           SELECT event_type, median(value) AS med

@@ -751,3 +751,37 @@ def test_salted_agg_equals_plain_property(sparkp, rows, nparts, salt):
         .collect()
     }
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    days=st.lists(st.integers(1, 28), min_size=1, max_size=25),
+    mask=st.lists(st.booleans(), min_size=1, max_size=25),
+)
+def test_daily_count_fold_equals_batch_property(sparkp, days, mask):
+    """The stream_daily_anomaly fold contract: day-keyed count SUM over
+    ANY 2-way batch split equals the one-pass daily count (count
+    addition is exactly mergeable — zero estimator slack)."""
+    mask = (mask * ((len(days) // len(mask)) + 1))[: len(days)]
+    rows = [(f"2024-01-{d:02d}",) for d in days]
+    a = [r for r, m in zip(rows, mask) if m]
+    b = [r for r, m in zip(rows, mask) if not m]
+
+    def daily(batch):
+        if not batch:
+            return None
+        return (
+            sparkp.createDataFrame(batch, "day string")
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+    da, db = daily(a), daily(b)
+    folded = (
+        da.unionByName(db).groupBy("day")
+        .agg(F.sum("n").cast("long").alias("n"))
+        if da is not None and db is not None
+        else (da if da is not None else db)
+    )
+    got = {r.day: r.n for r in folded.collect()}
+    want = {r.day: r.n for r in daily(rows).collect()}
+    assert got == want
