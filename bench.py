@@ -110,6 +110,9 @@ HEADLINE = [
     "ndcg_bsq_eval",
     "gini_user_activity",
     "anomaly_days_zscore",
+    # round-16 sixth pass (the write cost IS the operation being
+    # measured: a physical-design row re-lays both tables per rep)
+    "bucketed_join_agg",
 ]
 
 # Cross-round drift accounting (r14 verdict item 2), written into

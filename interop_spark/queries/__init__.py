@@ -119,18 +119,23 @@ _MODULES = (
 #     concentration on the user-sized ranked frame, integer sums),
 #     anomaly_days_zscore (daily-volume z-score flags, 1-row stats
 #     broadcast). Pure appends to analytics_q.py.
-#   * NEW sixth pass (1, displacing the r11 drain asof_join to the r17
-#     queue head): stream_daily_anomaly — the fourth exactly-mergeable
-#     streaming fold (day-count SUM next to HLL register-max, theta
-#     bottom-k, CMS counter-sum); oracle = the batch anomaly SQL.
-#   * R11 RESIDUE DRAIN (1): array_funcs.
-# ROUND-17 QUEUE: FIRST the 14 displaced r11 rows (pagerank_weights,
+#   * NEW sixth pass (2, displacing the final two r11 drains asof_join
+#     and array_funcs to the r17 queue head): stream_daily_anomaly —
+#     the fourth exactly-mergeable streaming fold (day-count SUM next
+#     to HLL register-max, theta bottom-k, CMS counter-sum; oracle =
+#     the batch anomaly SQL) — and bucketed_join_agg — the bucketed
+#     CO-LOCATED join as a driver row (write both fact tables bucketed
+#     on the join key, merge-hinted SMJ with zero pre-join Exchange;
+#     oracle = the plain join+agg SQL, pinning the layout as a pure
+#     execution-strategy change).
+# ROUND-17 QUEUE: FIRST the 15 displaced r11 rows (pagerank_weights,
 # range_join_pairs from r16's second pass; frame_sample,
 # lsh_bucket_sizes, media_stats, ngram_jaccard_pairs from the third
 # pass; edit_distance_neardup, embedding_centroids, embedding_neardup,
 # fhir_writer_roundtrip from the fourth; bloom_dedup,
-# containment_neardup, dup_line_removal from the fifth; asof_join from
-# the sixth — the displaced-head rule), then the remaining 10 r11 rows
+# containment_neardup, dup_line_removal from the fifth; asof_join and
+# array_funcs from the sixth — the displaced-head rule), then the
+# remaining 10 r11 rows
 # (shard_assignment, stratified_sample, stream_join_pairs,
 # substring_dup_runs, temperature_sample, tfidf_top_terms,
 # token_count_bpe, unpivot, vocab_coverage, window_rank_battery), then
@@ -193,10 +198,9 @@ _WINDOW = (
     "ndcg_bsq_eval",
     "gini_user_activity",
     "anomaly_days_zscore",
-    # --- ROUND 16 sixth pass: new query (1) ---
+    # --- ROUND 16 sixth pass: new queries (2) ---
     "stream_daily_anomaly",
-    # --- ROUND 16: r11 residue drain (1) ---
-    "array_funcs",
+    "bucketed_join_agg",
 )
 
 

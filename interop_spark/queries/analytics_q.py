@@ -655,6 +655,65 @@ def _ndcg_bsq_oracle() -> str:
     """
 
 
+def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed CO-LOCATED join as a driver row (the physical design a
+    100 TB deployment uses for its recurring fact-fact joins): orders
+    and lineitem are written as 8-bucket tables ON THE JOIN KEY, then
+    merge-join hinted (no session-conf mutation) so the bucketed
+    SortMergeJoin runs with ZERO pre-join Exchange — bucketing
+    satisfies both sides' clustering; the only shuffle left is the
+    bounded priority aggregate. The oracle is the plain join+agg SQL:
+    the layout must be a pure execution-strategy change (the
+    salted_agg_skew contract, applied to storage layout).
+
+    Cross-session idempotency: DROP + purge the managed-table dirs a
+    prior session's warehouse may have left behind (the
+    fhir_notebook_e2e pattern)."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from interop_spark.operators.scale import write_bucketed
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    for t in ("bja_orders", "bja_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        if wh:
+            shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    write_bucketed(
+        load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ),
+        "bja_orders",
+        "o_orderkey",
+        8,
+    )
+    write_bucketed(
+        load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_quantity"
+        ),
+        "bja_lineitem",
+        "l_orderkey",
+        8,
+    )
+    joined = (
+        spark.table("bja_orders")
+        .hint("merge")
+        .join(
+            spark.table("bja_lineitem"),
+            col("o_orderkey") == col("l_orderkey"),
+        )
+    )
+    # round 2, not 4: the per-priority price sum is ~6e9 at sf0.1, so
+    # double ULP (~1e-6 relative) makes the 4th decimal order-sensitive
+    # (the pricing_summary convention for sums of this magnitude)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
 # shared by the batch row and its streaming fold twin
 _ANOMALY_DAYS_SQL = """
     WITH daily AS (
@@ -682,6 +741,7 @@ QUERIES = {
     "gini_user_activity": q_gini_user_activity,
     "anomaly_days_zscore": q_anomaly_days_zscore,
     "stream_daily_anomaly": q_stream_daily_anomaly,
+    "bucketed_join_agg": q_bucketed_join_agg,
 }
 
 ORACLE = {
@@ -848,6 +908,16 @@ ORACLE = {
     # merge), so the batch SQL is the oracle with zero estimator slack
     # — the stream_hll_users / stream_cms_topk convention
     "stream_daily_anomaly": _ANOMALY_DAYS_SQL,
+    # the bucketed layout must be a pure execution-strategy change —
+    # the oracle is deliberately the plain join+agg
+    "bucketed_join_agg": """
+        SELECT o.o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               round(sum(l.l_extendedprice), 2) AS sum_price,
+               round(sum(l.l_quantity), 2) AS sum_qty
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1
+    """,
     "mad_outliers": """
         WITH med AS (
           SELECT event_type, median(value) AS med

@@ -124,6 +124,7 @@ COMMENT = {
  "gini_user_activity": "Gini activity concentration: the corpus collapses to the per-user count frame; the rank window and the closed-form sum run user-sized (single-partition window over a bounded frame, the vocab_coverage posture); every sum is integer so the ONE floating division is the only inexact step.",
  "anomaly_days_zscore": "Daily-volume z-score flags: one day-keyed count with map-side partials, a 1-row mean/stddev aggregate broadcast back (BroadcastNestedLoopJoin over 1 row) -- the z projection and the |z|>2 flag are rounded identically on both engines.",
  "stream_daily_anomaly": "Streaming day-count fold (post-fold plan): the <= span-days folded state (Scan ExistingRDD behind the localCheckpoint) feeds the same 1-row stats broadcast + z projection as the batch twin; between batches the state is day rows, never events. Count addition is exactly mergeable, so fold == one-pass (property-pinned).",
+ "bucketed_join_agg": "Bucketed co-located join: both fact tables written 8-bucket on the join key, merge-hinted SortMergeJoin with ZERO pre-join Exchange (bucketing satisfies both sides' clustering; plan-asserted 1 Exchange total -- the bounded priority aggregate). At 100 TB this is the recurring fact-fact join layout: pay the bucketed write once, every subsequent join skips its shuffle.",
 }
 
 out = ["# PLANS — physical plans of the headline queries (sf0.1, AQE on)",
@@ -189,7 +190,8 @@ for name in ["pricing_summary", "multiway_join_agg", "latest_event_per_user",
              "rolling_7d_users", "event_transition_matrix",
              "zipf_fit_slope", "js_divergence_sources",
              "ndcg_bsq_eval", "gini_user_activity",
-             "anomaly_days_zscore", "stream_daily_anomaly"]:
+             "anomaly_days_zscore", "stream_daily_anomaly",
+             "bucketed_join_agg"]:
     df = qs[name](spark, SF)
     df.write.format("noop").mode("overwrite").save()  # let AQE finalize
     plan = df._jdf.queryExecution().executedPlan().toString()

@@ -290,3 +290,17 @@ def test_analytics_plan_shapes(spark, sf_dir):
     )
     assert "CartesianProduct" not in ex3, ex3[:2500]
     assert "BroadcastHashJoin" in ex3, ex3[:2500]
+
+
+def test_bucketed_join_agg_plan_shape(spark, sf_dir):
+    """The bucketed layout removes the join's shuffles entirely: the
+    merge-hinted SMJ reads both bucketed tables with ZERO pre-join
+    Exchange — the only Exchange left is the bounded priority
+    aggregate (1 total)."""
+    from interop_spark.queries import all_queries
+
+    q = all_queries()
+    df = q["bucketed_join_agg"](spark, sf_dir)
+    ex = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in ex, ex[:2500]
+    assert ex.count("Exchange hashpartitioning") == 1, ex[:2500]
