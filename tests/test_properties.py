@@ -785,3 +785,42 @@ def test_daily_count_fold_equals_batch_property(sparkp, days, mask):
     got = {r.day: r.n for r in folded.collect()}
     want = {r.day: r.n for r in daily(rows).collect()}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(1, 20)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_rolling_window_equals_bruteforce_property(sparkp, pts):
+    """The rolling_7d_users offset-densification (each (user, day)
+    activity row contributes to its next 7 target days, then one
+    day-keyed distinct count over observed days) equals the brute-force
+    trailing-window set union for ANY activity pattern."""
+    rows = sorted({(u, f"2024-01-{d:02d}") for u, d in pts})
+    df = sparkp.createDataFrame(rows, "user_id long, day string").select(
+        "user_id", F.to_date("day").alias("day")
+    )
+    days = df.select("day").distinct()
+    contrib = df.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(day, day + interval 6 days, interval 1 day)")
+        ).alias("day"),
+    )
+    got = {
+        str(r.day): r.n
+        for r in contrib.join(F.broadcast(days), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    want = {}
+    obs_days = sorted({d for _, d in rows})
+    for g in obs_days:
+        gd = int(g[-2:])
+        want[g] = len({u for u, d in rows if gd - 6 <= int(d[-2:]) <= gd})
+    assert got == want
