@@ -128,7 +128,11 @@ _MODULES = (
 #     on the join key, merge-hinted SMJ with zero pre-join Exchange;
 #     oracle = the plain join+agg SQL, pinning the layout as a pure
 #     execution-strategy change).
-# ROUND-17 QUEUE: FIRST the 15 displaced r11 rows (pagerank_weights,
+# ROUND-17 QUEUE: the two r17-STAGED rows first (topk_per_group,
+# percent_change_wow — full query+oracle pairs in
+# analytics_q.R17_CANDIDATE_* with passing parity tests; registration =
+# move into QUERIES/ORACLE + window), then the 15 displaced r11 rows
+# (pagerank_weights,
 # range_join_pairs from r16's second pass; frame_sample,
 # lsh_bucket_sizes, media_stats, ngram_jaccard_pairs from the third
 # pass; edit_distance_neardup, embedding_centroids, embedding_neardup,

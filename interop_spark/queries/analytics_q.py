@@ -714,6 +714,102 @@ def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# ROUND-17 STAGED CANDIDATES — full query+oracle pairs kept OUTSIDE
+# QUERIES/ORACLE (the registry and the driver window are untouched; the
+# r15->r16 mmr_rerank / stream_theta_distinct convention). Each has a
+# passing parity test in tests/test_analytics_q.py; r17 registers them
+# by moving the dict entries into QUERIES/ORACLE and the window.
+# --------------------------------------------------------------------------
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer (customers < 30) — the per-group-limit
+    window shape. Spark 3.5+ plans a rank-filter window as
+    WindowGroupLimit: each map task keeps only k rows per group BEFORE
+    the exchange, so the shuffle carries <= k rows per (task, group)
+    instead of the group's full history — the same partial-limit
+    pushdown source_quota_sample relies on. Tie-broken on the unique
+    order key for a total order."""
+    from pyspark.sql.window import Window as W
+
+    o = load(spark, sf_dir, "orders").where(col("o_custkey") < 30)
+    w = W.partitionBy("o_custkey").orderBy(
+        col("o_totalprice").desc(), col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "rnk",
+            F.round(col("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def q_percent_change_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week volume change per event_type in integer ppm: the
+    weekly rollup collapses the stream to the bounded (type x week)
+    grid; the lag window and the ppm delta run grid-sized. NULL delta
+    marks each type's first week."""
+    from pyspark.sql.window import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("week", col("ts")), "yyyy-MM-dd").alias(
+            "week"
+        ),
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = W.partitionBy("event_type").orderBy(col("week").asc())
+    prev = F.lag("n").over(w)
+    return weekly.select(
+        "event_type",
+        "week",
+        "n",
+        F.when(
+            prev.isNotNull(),
+            F.floor((col("n") - prev) * 1000000 / prev),
+        ).alias("delta_ppm"),
+    )
+
+
+R17_CANDIDATE_QUERIES = {
+    "topk_per_group": q_topk_per_group,
+    "percent_change_wow": q_percent_change_wow,
+}
+
+R17_CANDIDATE_ORACLE = {
+    "topk_per_group": """
+        SELECT o_custkey, o_orderkey,
+               CAST(rnk AS INT) AS rnk,
+               round(o_totalprice, 2) AS total_price
+        FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+          FROM orders WHERE o_custkey < 30
+        )
+        WHERE rnk <= 3
+    """,
+    "percent_change_wow": """
+        WITH weekly AS (
+          SELECT event_type,
+                 strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, week, n,
+               CAST(floor((n - lag(n) OVER w) * 1000000.0
+                          / lag(n) OVER w) AS BIGINT) AS delta_ppm
+        FROM weekly
+        WINDOW w AS (PARTITION BY event_type ORDER BY week ASC)
+    """,
+}
+
+
 # shared by the batch row and its streaming fold twin
 _ANOMALY_DAYS_SQL = """
     WITH daily AS (

@@ -292,6 +292,79 @@ def test_analytics_plan_shapes(spark, sf_dir):
     assert "BroadcastHashJoin" in ex3, ex3[:2500]
 
 
+def test_topk_per_group_oracle_parity(spark):
+    """The r17-staged row `topk_per_group` satisfies the driver's full
+    oracle contract at sf0.01 (the staged-row convention: parity proven
+    BEFORE registration)."""
+    from tests.test_oracle_parity import _canon, _duck
+
+    from interop_spark.queries.analytics_q import (
+        R17_CANDIDATE_ORACLE,
+        R17_CANDIDATE_QUERIES,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    sdf = R17_CANDIDATE_QUERIES["topk_per_group"](spark, sf).toPandas()
+    con = _duck(sf)
+    ddf = con.execute(R17_CANDIDATE_ORACLE["topk_per_group"]).df()
+    con.close()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert _canon(sdf) == _canon(ddf)
+
+
+def test_topk_per_group_plan_uses_window_group_limit(spark, sf_dir):
+    """The rank<=k filter plans as WindowGroupLimit (map-side partial
+    limit BEFORE the exchange) — the scale property that makes
+    per-group top-k safe on a group with millions of rows."""
+    from interop_spark.queries.analytics_q import R17_CANDIDATE_QUERIES
+
+    ex = (
+        R17_CANDIDATE_QUERIES["topk_per_group"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in ex, ex[:2500]
+
+
+def test_percent_change_wow_oracle_parity(spark):
+    """The r17-staged row `percent_change_wow` satisfies the driver's
+    full oracle contract at sf0.01."""
+    from tests.test_oracle_parity import _canon, _duck
+
+    from interop_spark.queries.analytics_q import (
+        R17_CANDIDATE_ORACLE,
+        R17_CANDIDATE_QUERIES,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    sdf = R17_CANDIDATE_QUERIES["percent_change_wow"](spark, sf).toPandas()
+    con = _duck(sf)
+    ddf = con.execute(R17_CANDIDATE_ORACLE["percent_change_wow"]).df()
+    con.close()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert _canon(sdf) == _canon(ddf)
+
+
+def test_percent_change_wow_first_week_null(spark, sf_dir):
+    """Each event_type's first week has no predecessor: exactly one
+    NULL delta per type, and every later delta is finite."""
+    from collections import defaultdict
+
+    from interop_spark.queries.analytics_q import R17_CANDIDATE_QUERIES
+
+    rows = R17_CANDIDATE_QUERIES["percent_change_wow"](
+        spark, sf_dir
+    ).collect()
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r.event_type].append(r)
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r.week)
+        assert rs[0].delta_ppm is None, t
+        assert all(r.delta_ppm is not None for r in rs[1:]), t
+
+
 def test_bucketed_join_agg_plan_shape(spark, sf_dir):
     """The bucketed layout removes the join's shuffles entirely: the
     merge-hinted SMJ reads both bucketed tables with ZERO pre-join
