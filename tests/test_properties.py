@@ -824,3 +824,75 @@ def test_rolling_window_equals_bruteforce_property(sparkp, pts):
         gd = int(g[-2:])
         want[g] = len({u for u, d in rows if gd - 6 <= int(d[-2:]) <= gd})
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)),
+        min_size=1,
+        max_size=15,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 99)),
+        min_size=1,
+        max_size=15,
+    ),
+)
+def test_asof_join_matches_python_reference_property(sparkp, left, right):
+    """asof_join == "latest right row with right_ts <= left_ts per key"
+    for arbitrary data. Right (key, ts) pairs are deduped so the
+    reference is unambiguous without a tie column."""
+    from interop_spark.operators.temporal import asof_join
+
+    rmap = {}
+    for k, t, v in right:
+        rmap[(k, t)] = v
+    rrows = [(k, t, v) for (k, t), v in sorted(rmap.items())]
+    lrows = [
+        (k, t, i) for i, (k, t) in enumerate(left)
+    ]  # unique lid per row
+
+    ldf = sparkp.createDataFrame(lrows, "k int, ts long, lid long")
+    rdf = sparkp.createDataFrame(rrows, "k int, ts long, v long")
+    out = asof_join(ldf, rdf, "k", "ts", "ts", ["v"])
+    got = {r.lid: r.asof_v for r in out.collect()}
+
+    want = {}
+    for k, t, lid in lrows:
+        cands = [(rt, v) for (rk, rt), v in rmap.items()
+                 if rk == k and rt <= t]
+        want[lid] = max(cands)[1] if cands else None
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 500)),
+        min_size=1,
+        max_size=18,
+        unique=True,
+    ),
+    delta=st.sampled_from([1, 7, 60]),
+)
+def test_range_pairs_within_matches_bruteforce_property(
+    sparkp, rows, delta
+):
+    """range_pairs_within (coarse-bucket equi-join) == the O(n^2)
+    brute-force |ts_a - ts_b| <= delta pair set, for any delta."""
+    from interop_spark.operators.temporal import range_pairs_within
+
+    data = [(k, i, t) for i, (k, t) in enumerate(rows)]
+    df = sparkp.createDataFrame(data, "k int, id long, e long").select(
+        "k", "id", F.timestamp_seconds(F.col("e")).alias("ts")
+    )
+    out = range_pairs_within(df, "k", "ts", "id", delta)
+    got = {(r.k, r.id_a, r.id_b, r.gap_seconds) for r in out.collect()}
+
+    want = set()
+    for ka, ia, ta in data:
+        for kb, ib, tb in data:
+            if ka == kb and ia < ib and abs(ta - tb) <= delta:
+                want.add((ka, ia, ib, abs(ta - tb)))
+    assert got == want
