@@ -377,3 +377,73 @@ def test_bucketed_join_agg_plan_shape(spark, sf_dir):
     ex = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in ex, ex[:2500]
     assert ex.count("Exchange hashpartitioning") == 1, ex[:2500]
+
+
+def test_funnel_matches_python_reference(spark):
+    """The 3-stage horizon funnel equals an independent per-user python
+    simulation on a planted frame covering the edge cases: click
+    exactly AT the horizon boundary (kept — <=), click exactly at t1
+    (dropped — strict >), purchase before click (dropped), and a user
+    with stages out of order."""
+    import datetime as dt
+
+    from interop_spark.queries.analytics_q import (
+        FUNNEL_HORIZON_DAYS,
+        q_funnel_conversion,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(days):
+        return t0 + dt.timedelta(days=days)
+
+    rows = [
+        # u1: full conversion inside horizons
+        (1, ts(0), "view"), (1, ts(1), "click"), (1, ts(2), "purchase"),
+        # u2: click exactly at the 3-day boundary (kept), no purchase
+        (2, ts(0), "view"), (2, ts(3), "click"),
+        # u3: click AT t1 (strict >, dropped from stage 2)
+        (3, ts(0), "view"), (3, ts(0), "click"),
+        # u4: purchase BEFORE the click (dropped from stage 3)
+        (4, ts(0), "view"), (4, ts(1), "click"), (4, ts(0.5), "purchase"),
+        # u5: click past the horizon (dropped)
+        (5, ts(0), "view"), (5, ts(4), "click"),
+        # u6: no view at all
+        (6, ts(0), "click"), (6, ts(1), "purchase"),
+    ]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [(i, t, u, e, 0.0, "{}") for i, (u, t, e) in enumerate(rows)],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).coalesce(1).write.parquet(f"{td}/events.parquet")
+        got = q_funnel_conversion(spark, td).collect()[0]
+
+    # python reference
+    horizon = dt.timedelta(days=FUNNEL_HORIZON_DAYS)
+    users = {u for u, _, _ in rows}
+    t1 = {}
+    for u in users:
+        vs = [t for (uu, t, e) in rows if uu == u and e == "view"]
+        if vs:
+            t1[u] = min(vs)
+    t2 = {}
+    for u, start in t1.items():
+        cs = [t for (uu, t, e) in rows
+              if uu == u and e == "click" and start < t <= start + horizon]
+        if cs:
+            t2[u] = min(cs)
+    t3 = {}
+    for u, start in t2.items():
+        ps = [t for (uu, t, e) in rows
+              if uu == u and e == "purchase"
+              and start < t <= start + horizon]
+        if ps:
+            t3[u] = min(ps)
+    assert (got.n_view, got.n_click, got.n_purchase) == (
+        len(t1), len(t2), len(t3)
+    )
+    # and the planted expectations themselves
+    assert len(t1) == 5 and len(t2) == 3 and len(t3) == 1
