@@ -1,0 +1,72 @@
+"""Blocked record linkage (EMPI-style entity resolution).
+
+The reference's dedupe intent is patient identity — the notebook
+derives a patient MPI frame and carries EMPI/SSN/DL identifier idioms
+(reference 01_dbignite_sample.py:370-379, :453) — and the registry's
+near-dup families cover documents, not structured records. This
+operator applies the dedup.py posture to structured rows:
+
+1. **Block**: records shuffle ONCE on a deterministic blocking key
+   (birth-year bucket, region, soundex — whatever the caller derives).
+   No all-pairs stage exists anywhere.
+2. **Guard**: blocks larger than ``max_block_size`` are dropped before
+   pairing (the standard linkage guard — an oversized block means the
+   blocking key carries no information there, and at 100 TB it is the
+   difference between |B|² per block and a bounded candidate set).
+   The guard is a block-keyed COUNT + semi-join on the same key, so it
+   co-partitions with the pairing join (one logical shuffle family).
+3. **Pair**: a self equi-join on the block key with ``id_a < id_b``
+   emits each unordered candidate pair once.
+4. **Verify**: the caller's predicate (edit distance, identifier
+   equality, ...) runs per CANDIDATE pair only — never per record
+   pair.
+
+At 1000 executors this is: one hash shuffle of the record set by block
+key, a per-block bounded nested loop (bounded by the guard), and a
+cheap scalar predicate — the same cost envelope as the banded
+MinHash/SimHash joins in operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+
+def blocked_pairs(
+    records: DataFrame,
+    block_cols: list[str],
+    id_col: str,
+    max_block_size: int = 1000,
+) -> DataFrame:
+    """Candidate pairs from block-key co-membership.
+
+    Returns one row per unordered record pair sharing the block key
+    (``<id>_a < <id>_b``), with the block columns unprefixed and every
+    other column suffixed ``_a`` / ``_b``. Blocks with more than
+    ``max_block_size`` records are dropped entirely (see module
+    docstring). Verification is the caller's job — filter the returned
+    frame with a pair predicate.
+    """
+    sizes = (
+        records.groupBy(*block_cols)
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .where(col("_bn") <= max_block_size)
+        .drop("_bn")
+    )
+    # semi-join, not broadcast: the block-key frame is #blocks-sized
+    # (unbounded at corpus scale); keyed on the same columns as the
+    # pairing join below, so it rides the same shuffle family.
+    ok = records.join(sizes, block_cols, "left_semi")
+
+    other = [c for c in records.columns if c not in block_cols]
+    a = ok.select(
+        *block_cols, *[col(c).alias(f"{c}_a") for c in other]
+    )
+    b = ok.select(
+        *block_cols, *[col(c).alias(f"{c}_b") for c in other]
+    )
+    return a.join(b, block_cols).where(
+        col(f"{id_col}_a") < col(f"{id_col}_b")
+    )

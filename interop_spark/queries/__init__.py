@@ -23,6 +23,7 @@ _MODULES = (
     "interop_spark.queries.selection_q",
     "interop_spark.queries.corpus_ext",
     "interop_spark.queries.analytics_q",
+    "interop_spark.queries.linkage_q",
 )
 
 # --------------------------------------------------------------------------
@@ -53,158 +54,120 @@ _MODULES = (
 # ROUND-15 window and rationale: git history (this block's prior
 # revision), per the trimming convention adopted in r9.
 #
-# ROUND-16 window (50): drains the ENTIRE 31-row r10 stale band (r15
-# verdict item 2 — after this round no registry green is older than
-# r11), heads first, then this round's NEW rows, the diff re-verify,
-# and a 15-row r11-residue drain.
-#   * DISPLACED HEADS FIRST (8, the r15b displacement, per the standing
-#     displaced-head rule): approx_count_distinct .. cross_join_sql.
-#     corpus_clean doubles as the bench drift-watch re-verify (r15
-#     verdict item 4).
-#   * R10 RESIDUE (23): alphabetical from dedup_representatives.
-#   * NEW this round (3): mmr_rerank + stream_theta_distinct (the two
-#     r15-staged rows moved from corpus_ext.R16_CANDIDATE_* into
-#     QUERIES/ORACLE — r15 verdict item 3; both already passed the
-#     pytest parity harness in r15), fhir_notebook_e2e (notebook-mirror
-#     e2e chain as one driver row: ingest -> bulk table sink -> rejoin
-#     SQL -> OMOP person -> df_to_fhir -> JSON re-parse — r15 verdict
-#     item 7). fhir_queries.py's diff is a pure insert (new function +
-#     dict/oracle entries; no existing function hunk touched), so the
-#     other FHIR rows keep their greens; corpus_ext.py's diff is the
-#     two dict registrations + comment text, so its four r15 rows keep
-#     theirs except int4_roundtrip (below).
-#   * DIFF RE-VERIFY (1): int4_roundtrip — operators/quantize.py now
-#     ceil-counts blocks so non-divisible dimensions encode a final
-#     short block (ADVICE r15; EMB_DIM=64 divides evenly, so the driver
-#     row's values are unchanged — re-verified anyway, operator module
-#     changed). operators/mmr.py also changed (ADVICE r15: null-rel
-#     filter, negation-free tie-break, id-type inheritance) — its only
-#     consumer is the NEW mmr_rerank row, in-window above.
-#   * NEW second pass (2, displacing the last two r11-residue drains
-#     pagerank_weights / range_join_pairs back to the r17 queue head —
-#     new rows outrank drain schedule): stream_cms_topk (streaming
-#     Count-Min fold — the third mergeable-sketch streaming member;
-#     counter-sum merge is exactly additive so the batch SQL is the
-#     oracle) and unicode_normalize_stats (NFC normalization via a
-#     vectorized Arrow pandas UDF over planted decomposed sequences,
-#     DuckDB nfc_normalize twin). Both are corpus_ext.py appends — no
-#     existing function hunk touched.
-#   * NEW third pass (4, displacing the last four r11-residue drains
-#     frame_sample .. ngram_jaccard_pairs back to the r17 queue head —
-#     new rows outrank drain schedule): the analytics_q module
-#     (funnel_conversion, cohort_retention, salted_agg_skew,
-#     mad_outliers) — ordered 3-stage funnel, weekly cohort retention,
-#     two-phase skew-salted aggregation (oracle = the PLAIN group-by,
-#     the group-by twin of r8's salted_join_agg contract), and
-#     median/MAD robust outliers. All are pure appends (new module +
-#     a salted_agg append to operators/scale.py past salted_join's
-#     unchanged hunk); no existing function hunk touched, so every
-#     out-of-window green stands. (Gap-fill+LOCF and the SCD2 build
-#     were deliberately NOT added — resample_ffill and scd2_intervals
-#     already cover those shapes.)
-#   * NEW fourth pass (4, displacing four more r11-residue drains
-#     edit_distance_neardup .. fhir_writer_roundtrip to the r17 queue
-#     head): rolling_7d_users (offset-densified trailing rolling
-#     distinct — Spark windows can't COUNT DISTINCT over a range
-#     frame), event_transition_matrix (per-user lead() Markov pairs on
-#     the bounded from x to grid), zipf_fit_slope (vocab-sized
-#     regr_slope/intercept/corr over ln-rank/ln-freq),
-#     js_divergence_sources (pairwise JS divergence on the zero-filled
-#     vocab x source grid). Pure appends to analytics_q.py.
-#   * NEW fifth pass (3, displacing three more r11-residue drains
-#     bloom_dedup / containment_neardup / dup_line_removal to the r17
-#     queue head): ndcg_bsq_eval (graded nDCG@10 of the BSQ Hamming
-#     ranking vs exact-cosine relevance — the ranking-quality metric
-#     next to the recall@k rows), gini_user_activity (activity
-#     concentration on the user-sized ranked frame, integer sums),
-#     anomaly_days_zscore (daily-volume z-score flags, 1-row stats
-#     broadcast). Pure appends to analytics_q.py.
-#   * NEW sixth pass (2, displacing the final two r11 drains asof_join
-#     and array_funcs to the r17 queue head): stream_daily_anomaly —
-#     the fourth exactly-mergeable streaming fold (day-count SUM next
-#     to HLL register-max, theta bottom-k, CMS counter-sum; oracle =
-#     the batch anomaly SQL) — and bucketed_join_agg — the bucketed
-#     CO-LOCATED join as a driver row (write both fact tables bucketed
-#     on the join key, merge-hinted SMJ with zero pre-join Exchange;
-#     oracle = the plain join+agg SQL, pinning the layout as a pure
-#     execution-strategy change).
-# ROUND-17 QUEUE: the two r17-STAGED rows first (topk_per_group,
-# percent_change_wow — full query+oracle pairs in
-# analytics_q.R17_CANDIDATE_* with passing parity tests; registration =
-# move into QUERIES/ORACLE + window), then the 15 displaced r11 rows
-# (pagerank_weights,
-# range_join_pairs from r16's second pass; frame_sample,
-# lsh_bucket_sizes, media_stats, ngram_jaccard_pairs from the third
-# pass; edit_distance_neardup, embedding_centroids, embedding_neardup,
-# fhir_writer_roundtrip from the fourth; bloom_dedup,
-# containment_neardup, dup_line_removal from the fifth; asof_join and
-# array_funcs from the sixth — the displaced-head rule), then the
-# remaining 10 r11 rows
-# (shard_assignment, stratified_sample, stream_join_pairs,
-# substring_dup_runs, temperature_sample, tfidf_top_terms,
-# token_count_bpe, unpivot, vocab_coverage, window_rank_battery), then
-# the r12 band behind them.
+# ROUND-16 window and rationale: git history (this block's prior
+# revision), per the trimming convention adopted in r9.
+#
+# ROUND-17 window (50): executes the r16 verdict's queue exactly.
+#   * REGISTERED FROM STAGING (2, queue head per the staging rule):
+#     topk_per_group + percent_change_wow moved from
+#     analytics_q.R17_CANDIDATE_* into QUERIES/ORACLE (both passed the
+#     pytest parity harness in r16).
+#   * NEW this round (1): patient_record_linkage — blocked EMPI-style
+#     entity resolution (r16 verdict item 4): blocking-key equi-join +
+#     bounded per-pair verify over a planted patient registry
+#     (operators/linkage.py + queries/linkage_q.py, a NEW module so no
+#     existing module's out-of-window greens are touched).
+#   * DIFF RE-VERIFY (6, the ADVICE r16 fixes — all in
+#     queries/analytics_q.py): funnel_conversion +
+#     anomaly_days_zscore + stream_daily_anomaly (nullif guards on
+#     degenerate denominators, BOTH engines), zipf_fit_slope +
+#     js_divergence_sources (statistical outputs rounded at 5dp, BOTH
+#     engines), bucketed_join_agg (sf_dir folded into the managed
+#     table names). analytics_q.py's other rows (cohort_retention,
+#     salted_agg_skew, mad_outliers, rolling_7d_users,
+#     event_transition_matrix, ndcg_bsq_eval, gini_user_activity) are
+#     untouched by these hunks except rolling_7d_users' DOCSTRING
+#     (text only, zero expression change) — their r16 greens stand.
+#   * R11 DRAIN (25, the ENTIRE band — displaced heads first per the
+#     standing rule, in displacement order, then the 10-row residue):
+#     after this round no registry green is older than r12.
+#   * R12 DRAIN (14): alphabetical head of the 44-row r12 band
+#     (conditional_agg .. fhir_mixed_resource_counts).
+#   * NEW second pass (2, displacing the last two r12 drains
+#     fhir_nutrition_orders / fhir_omop_condition_occurrence to the
+#     r18 queue head — new rows outrank drain schedule):
+#     bitmap_distinct_users (exact distinct via the bitmap OR-fold,
+#     operators/bitmap.py — shuffle bounded by id-space geometry, not
+#     event count; oracle = the plain COUNT(DISTINCT) SQL, the
+#     execution-strategy contract) and stream_bitmap_distinct (the
+#     FIFTH exactly-mergeable streaming fold — bit_or is idempotent
+#     as well as associative/commutative, so the fold is exact even
+#     under re-delivery; same batch SQL as oracle). Both are
+#     analytics_q.py appends + a NEW operators/bitmap.py — no
+#     existing function hunk touched, out-of-window greens stand.
+# ROUND-18 QUEUE: the two displaced r12 rows first
+# (fhir_nutrition_orders, fhir_omop_condition_occurrence — the
+# displaced-head rule), then the remaining 28 r12 rows (fhir_omop_death,
+# fhir_omop_drug_exposure, fhir_omop_measurement,
+# fhir_omop_observation_period, fhir_omop_person,
+# fhir_omop_procedure_occurrence, fhir_omop_provider,
+# fhir_omop_visit_occurrence, fhir_patient_claims,
+# fhir_patient_conditions, fhir_patient_observations,
+# fhir_providers_practitioners, fhir_questionnaire_answers,
+# fhir_questionnaire_join, fhir_reference_integrity, fhir_slots,
+# grouping_sets, knn_batch, knn_cosine, minhash_incremental_dedup,
+# ngram_decontaminate, pivot_agg, semdedup_keep,
+# stream_join_pairs_watermarked, stream_neardup_pairs, text_quality,
+# train_test_split, winnow_dup_pairs), then the r13 band behind them.
 # --------------------------------------------------------------------------
 _WINDOW = (
-    # --- ROUND 16: displaced r10 heads (8) ---
-    "approx_count_distinct",
-    "approx_quantile",
-    "argmax_agg",
-    "boilerplate_lines",
-    "bundle_collect_flatten",
-    "corpus_clean",
-    "correlated_exists",
-    "cross_join_sql",
-    # --- ROUND 16: r10 residue drain (23) ---
-    "dedup_representatives",
-    "domain_mix_sample",
-    "encoding_quality",
-    "groupby_ordinal_sql",
-    "in_subquery",
-    "json_extract",
-    "latest_event_per_user",
-    "lead_lag",
-    "minhash_lsh_neardup",
-    "neardup_clusters",
-    "neardup_clusters_star",
-    "pretrain_pipeline",
-    "rollup_agg",
-    "running_total",
-    "scalar_subquery",
-    "script_profile",
-    "select_star_expansion",
-    "sessionize",
-    "sq8_roundtrip",
-    "text_token_stats",
-    "token_entropy",
-    "tumbling_window",
-    "union_all_sql",
-    # --- ROUND 16: new queries (3) ---
-    "mmr_rerank",
-    "stream_theta_distinct",
-    "fhir_notebook_e2e",
-    # --- ROUND 16: diff re-verify (1) ---
-    "int4_roundtrip",
-    # --- ROUND 16 second pass: new queries (2) ---
-    "stream_cms_topk",
-    "unicode_normalize_stats",
-    # --- ROUND 16 third pass: new queries (4) ---
+    # --- ROUND 17: registered from staging (2) ---
+    "topk_per_group",
+    "percent_change_wow",
+    # --- ROUND 17: new query (1) ---
+    "patient_record_linkage",
+    # --- ROUND 17: diff re-verify, ADVICE r16 fixes (6) ---
     "funnel_conversion",
-    "cohort_retention",
-    "salted_agg_skew",
-    "mad_outliers",
-    # --- ROUND 16 fourth pass: new queries (4) ---
-    "rolling_7d_users",
-    "event_transition_matrix",
+    "anomaly_days_zscore",
+    "stream_daily_anomaly",
     "zipf_fit_slope",
     "js_divergence_sources",
-    # --- ROUND 16 fifth pass: new queries (3) ---
-    "ndcg_bsq_eval",
-    "gini_user_activity",
-    "anomaly_days_zscore",
-    # --- ROUND 16 sixth pass: new queries (2) ---
-    "stream_daily_anomaly",
     "bucketed_join_agg",
+    # --- ROUND 17: r11 drain, displaced heads first (15) ---
+    "pagerank_weights",
+    "range_join_pairs",
+    "frame_sample",
+    "lsh_bucket_sizes",
+    "media_stats",
+    "ngram_jaccard_pairs",
+    "edit_distance_neardup",
+    "embedding_centroids",
+    "embedding_neardup",
+    "fhir_writer_roundtrip",
+    "bloom_dedup",
+    "containment_neardup",
+    "dup_line_removal",
+    "asof_join",
+    "array_funcs",
+    # --- ROUND 17: r11 residue (10) ---
+    "shard_assignment",
+    "stratified_sample",
+    "stream_join_pairs",
+    "substring_dup_runs",
+    "temperature_sample",
+    "tfidf_top_terms",
+    "token_count_bpe",
+    "unpivot",
+    "vocab_coverage",
+    "window_rank_battery",
+    # --- ROUND 17: r12 drain, alphabetical head (16) ---
+    "conditional_agg",
+    "cube_agg",
+    "doc_fingerprint",
+    "drop_duplicates",
+    "enrich_events",
+    "fhir_adt_timeline",
+    "fhir_adverse_events",
+    "fhir_condition_text",
+    "fhir_diagnostic_reports",
+    "fhir_flags",
+    "fhir_ingest_corpus",
+    "fhir_invoice_totals",
+    "fhir_medication_requests",
+    "fhir_mixed_resource_counts",
+    # --- ROUND 17 second pass: new queries (2) ---
+    "bitmap_distinct_users",
+    "stream_bitmap_distinct",
 )
 
 

@@ -120,12 +120,19 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             col("n_view").cast("long").alias("n_view"),
             col("n_click").cast("long").alias("n_click"),
             col("n_purchase").cast("long").alias("n_purchase"),
-            F.floor(col("n_click") * 1000000 / col("n_view")).alias(
-                "click_ppm"
-            ),
-            F.floor(col("n_purchase") * 1000000 / col("n_click")).alias(
-                "purchase_ppm"
-            ),
+            # nullif guards (ADVICE r16): on a fixture with no 'view'
+            # or 'click' events the denominator is 0 — Spark and
+            # DuckDB diverge on 0-division (NULL vs inf, and DuckDB's
+            # CAST(floor(inf) AS BIGINT) errors), so both engines pin
+            # the degenerate case to NULL.
+            F.floor(
+                col("n_click") * 1000000 / F.nullif(col("n_view"), F.lit(0))
+            ).alias("click_ppm"),
+            F.floor(
+                col("n_purchase")
+                * 1000000
+                / F.nullif(col("n_click"), F.lit(0))
+            ).alias("purchase_ppm"),
         )
     )
 
@@ -233,9 +240,14 @@ def q_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark windows can't COUNT DISTINCT over a range frame, so the
     scalable form is offset densification: each distinct (user, day)
     activity row contributes itself to the next 7 target days (a x7
-    projection, no shuffle), then one day-keyed distinct count. Target
-    days past the observed span drop via a broadcast semi-join against
-    the observed-day frame."""
+    projection, no shuffle), then one day-keyed distinct count. The
+    broadcast semi-join against the observed-day frame drops EVERY
+    unobserved target day — days past the span AND interior gap days
+    with no activity of their own (such a day gets no row even when
+    users were active in its trailing window): the row's semantics are
+    rolling WAU over ACTIVE days, not a dense daily series (ADVICE r16
+    docstring clarification; densify against a min-max day sequence if
+    a dense series is ever wanted)."""
     ev = load(spark, sf_dir, "events")
     activity = ev.select(
         "user_id", F.to_date(F.date_trunc("day", col("ts"))).alias("day")
@@ -309,13 +321,17 @@ def q_zipf_fit_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log(col("n").cast("double")).alias("y"),
     )
     return ranked.agg(
-        (F.round(F.regr_slope("y", "x"), 6) + F.lit(0.0)).alias(
+        # 5dp, not 6 (ADVICE r16): regr_slope/corr partial-aggregate in
+        # a different order per engine, so a value landing on a 5e-7
+        # boundary could round differently at 6dp on a regenerated
+        # fixture.
+        (F.round(F.regr_slope("y", "x"), 5) + F.lit(0.0)).alias(
             "zipf_slope"
         ),
-        (F.round(F.regr_intercept("y", "x"), 6) + F.lit(0.0)).alias(
+        (F.round(F.regr_intercept("y", "x"), 5) + F.lit(0.0)).alias(
             "zipf_intercept"
         ),
-        (F.round(F.pow(F.corr("x", "y"), 2), 6) + F.lit(0.0)).alias("r2"),
+        (F.round(F.pow(F.corr("x", "y"), 2), 5) + F.lit(0.0)).alias("r2"),
         F.count("*").cast("long").alias("n_vocab"),
     )
 
@@ -372,7 +388,9 @@ def q_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy("source_a", "source_b")
         .agg(
             (
-                F.round(half * F.sum(term_p) + half * F.sum(term_q), 6)
+                # 5dp: summed log terms are order-sensitive across
+                # engines (ADVICE r16, same rationale as zipf's 5dp)
+                F.round(half * F.sum(term_p) + half * F.sum(term_q), 5)
                 + F.lit(0.0)
             ).alias("js_divergence")
         )
@@ -515,7 +533,10 @@ def q_anomaly_days_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = daily.agg(
         F.avg("n").alias("mu"), F.stddev_pop("n").alias("sd")
     )
-    z = F.round((col("n") - col("mu")) / col("sd"), 6)
+    # nullif guard (ADVICE r16): constant daily volume gives sd = 0 —
+    # pin the degenerate z to NULL on both engines (see the oracle's
+    # matching nullif) instead of Spark-NULL vs DuckDB-inf divergence.
+    z = F.round((col("n") - col("mu")) / F.nullif(col("sd"), F.lit(0.0)), 6)
     return (
         daily.crossJoin(F.broadcast(stats))
         .select(
@@ -582,7 +603,8 @@ def q_stream_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = daily.agg(
         F.avg("n").alias("mu"), F.stddev_pop("n").alias("sd")
     )
-    z = F.round((col("n") - col("mu")) / col("sd"), 6)
+    # same sd=0 nullif guard as the batch twin (ADVICE r16)
+    z = F.round((col("n") - col("mu")) / F.nullif(col("sd"), F.lit(0.0)), 6)
     return (
         daily.crossJoin(F.broadcast(stats))
         .select(
@@ -668,15 +690,25 @@ def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cross-session idempotency: DROP + purge the managed-table dirs a
     prior session's warehouse may have left behind (the
-    fhir_notebook_e2e pattern)."""
+    fhir_notebook_e2e pattern). Table names fold in the sf_dir (ADVICE
+    r16, the land_event_chunks cache-key convention) so two sessions
+    benching different scales against one shared warehouse never
+    drop/overwrite each other's tables; the rmtree is scoped to the
+    catalog's own warehouse dir and these two table names only."""
     import os
+    import re
     import shutil
     from urllib.parse import urlparse
 
     from interop_spark.operators.scale import write_bucketed
 
+    sf_key = re.sub(
+        r"[^A-Za-z0-9]", "_",
+        os.path.basename(os.path.normpath(sf_dir)) or "sf",
+    )
+    t_orders, t_lineitem = f"bja_orders_{sf_key}", f"bja_lineitem_{sf_key}"
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
-    for t in ("bja_orders", "bja_lineitem"):
+    for t in (t_orders, t_lineitem):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         if wh:
             shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
@@ -684,7 +716,7 @@ def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderpriority"
         ),
-        "bja_orders",
+        t_orders,
         "o_orderkey",
         8,
     )
@@ -692,15 +724,15 @@ def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_extendedprice", "l_quantity"
         ),
-        "bja_lineitem",
+        t_lineitem,
         "l_orderkey",
         8,
     )
     joined = (
-        spark.table("bja_orders")
+        spark.table(t_orders)
         .hint("merge")
         .join(
-            spark.table("bja_lineitem"),
+            spark.table(t_lineitem),
             col("o_orderkey") == col("l_orderkey"),
         )
     )
@@ -714,12 +746,100 @@ def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event_type (plus an ALL roll-up) via
+    the bitmap OR-fold (``operators/bitmap.py``): ids pack into 64-bit
+    words keyed (group, id div 64); ``bit_or`` partials collapse each
+    map task to |groups| x |id_space|/64 rows BEFORE the exchange —
+    shuffle volume is set by the id-space geometry, independent of
+    event count, where COUNT(DISTINCT) shuffles every distinct
+    (group, id) pair. The ALL row re-merges the SAME word frame with a
+    second bit_or (lossless — the re-mergeability COUNT DISTINCT
+    results never have). The oracle is the plain COUNT(DISTINCT) SQL:
+    the bitmap layout is a pure execution-strategy change (the
+    salted_agg_skew / bucketed_join_agg contract)."""
+    from interop_spark.operators.bitmap import (
+        bitmap_words,
+        merge_words,
+        popcount,
+    )
+
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    # hash once, merge many (the minhash persisted-signature pattern):
+    # without the checkpoint the ALL branch re-scans the event stream;
+    # with it both roll-ups read the bounded word frame.
+    words = bitmap_words(ev, ["event_type"], "user_id").localCheckpoint()
+    per_type = popcount(words, ["event_type"]).select(
+        "event_type", col("n_distinct").alias("n_users")
+    )
+    total = popcount(merge_words(words, []), []).select(
+        F.lit("ALL").alias("event_type"),
+        col("n_distinct").alias("n_users"),
+    )
+    return per_type.unionByName(total)
+
+
+def q_stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact distinct users — the FIFTH exactly-mergeable
+    streaming fold (bitmap bit_or, next to HLL register-max, theta
+    bottom-k, CMS counter-sum, day-count SUM): per-batch (event_type,
+    word) bitmap partials fold by bit_or across the shared 4-chunk
+    landing. OR is idempotent as well as associative/commutative, so
+    re-delivered events cannot even double-count — the strongest merge
+    algebra of the five members — and the batch SQL is the oracle with
+    zero estimator slack AND zero approximation (unlike the HLL
+    member, this streaming distinct is EXACT). State between batches
+    is O(|types| x |id_space|/64) words, never events."""
+    import os
+
+    from interop_spark.operators.bitmap import (
+        bitmap_words,
+        merge_words,
+        popcount,
+    )
+    from interop_spark.streaming.cdc import land_event_chunks
+
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    key = "bitmap-" + (os.path.basename(os.path.normpath(sf_dir)) or "sf")
+    flat = land_event_chunks(ev, 4, key)
+    schema = spark.read.parquet(flat).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    state: dict = {"words": None}
+
+    def _fold(batch_df: DataFrame, _batch_id: int) -> None:
+        w = bitmap_words(batch_df, ["event_type"], "user_id")
+        if state["words"] is None:
+            state["words"] = w.localCheckpoint()
+        else:
+            state["words"] = merge_words(
+                state["words"].unionByName(w), ["event_type"]
+            ).localCheckpoint()
+
+    q = (
+        src.writeStream.foreachBatch(_fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    words = state["words"]
+    per_type = popcount(words, ["event_type"]).select(
+        "event_type", col("n_distinct").alias("n_users")
+    )
+    total = popcount(merge_words(words, []), []).select(
+        F.lit("ALL").alias("event_type"),
+        col("n_distinct").alias("n_users"),
+    )
+    return per_type.unionByName(total)
+
+
 # --------------------------------------------------------------------------
-# ROUND-17 STAGED CANDIDATES — full query+oracle pairs kept OUTSIDE
-# QUERIES/ORACLE (the registry and the driver window are untouched; the
-# r15->r16 mmr_rerank / stream_theta_distinct convention). Each has a
-# passing parity test in tests/test_analytics_q.py; r17 registers them
-# by moving the dict entries into QUERIES/ORACLE and the window.
+# Fourth wave (staged in r16 as R17_CANDIDATE_*, registered r17 per the
+# staging convention — parity tests passed a full round before the
+# driver row went live).
 # --------------------------------------------------------------------------
 
 
@@ -776,40 +896,6 @@ def q_percent_change_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-R17_CANDIDATE_QUERIES = {
-    "topk_per_group": q_topk_per_group,
-    "percent_change_wow": q_percent_change_wow,
-}
-
-R17_CANDIDATE_ORACLE = {
-    "topk_per_group": """
-        SELECT o_custkey, o_orderkey,
-               CAST(rnk AS INT) AS rnk,
-               round(o_totalprice, 2) AS total_price
-        FROM (
-          SELECT o_custkey, o_orderkey, o_totalprice,
-                 row_number() OVER (PARTITION BY o_custkey
-                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
-          FROM orders WHERE o_custkey < 30
-        )
-        WHERE rnk <= 3
-    """,
-    "percent_change_wow": """
-        WITH weekly AS (
-          SELECT event_type,
-                 strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
-                 CAST(count(*) AS BIGINT) AS n
-          FROM events GROUP BY 1, 2
-        )
-        SELECT event_type, week, n,
-               CAST(floor((n - lag(n) OVER w) * 1000000.0
-                          / lag(n) OVER w) AS BIGINT) AS delta_ppm
-        FROM weekly
-        WINDOW w AS (PARTITION BY event_type ORDER BY week ASC)
-    """,
-}
-
-
 # shared by the batch row and its streaming fold twin
 _ANOMALY_DAYS_SQL = """
     WITH daily AS (
@@ -819,9 +905,23 @@ _ANOMALY_DAYS_SQL = """
     ),
     stats AS (SELECT avg(n) AS mu, stddev_pop(n) AS sd FROM daily)
     SELECT day, CAST(n AS BIGINT) AS n,
-           round((n - mu) / sd, 6) AS z,
-           (abs(round((n - mu) / sd, 6)) > 2) AS is_anomaly
+           round((n - mu) / nullif(sd, 0), 6) AS z,
+           (abs(round((n - mu) / nullif(sd, 0), 6)) > 2) AS is_anomaly
     FROM daily, stats
+"""
+
+# the bitmap OR-fold must equal the plain COUNT(DISTINCT) — the oracle
+# is deliberately the unoptimized SQL (execution-strategy contract);
+# the streaming fold is exactly mergeable AND idempotent, so the same
+# SQL is its oracle with zero slack
+_BITMAP_DISTINCT_SQL = """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT 'ALL' AS event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
 """
 
 QUERIES = {
@@ -838,6 +938,10 @@ QUERIES = {
     "anomaly_days_zscore": q_anomaly_days_zscore,
     "stream_daily_anomaly": q_stream_daily_anomaly,
     "bucketed_join_agg": q_bucketed_join_agg,
+    "topk_per_group": q_topk_per_group,
+    "percent_change_wow": q_percent_change_wow,
+    "bitmap_distinct_users": q_bitmap_distinct_users,
+    "stream_bitmap_distinct": q_stream_bitmap_distinct,
 }
 
 ORACLE = {
@@ -864,11 +968,11 @@ ORACLE = {
                CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_click,
                CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_purchase,
                CAST(floor((SELECT count(*) FROM s2) * 1000000.0
-                          / (SELECT count(*) FROM s1)) AS BIGINT)
-                 AS click_ppm,
+                          / nullif((SELECT count(*) FROM s1), 0))
+                    AS BIGINT) AS click_ppm,
                CAST(floor((SELECT count(*) FROM s3) * 1000000.0
-                          / (SELECT count(*) FROM s2)) AS BIGINT)
-                 AS purchase_ppm
+                          / nullif((SELECT count(*) FROM s2), 0))
+                    AS BIGINT) AS purchase_ppm
     """,
     "cohort_retention": """
         WITH first AS (
@@ -947,9 +1051,9 @@ ORACLE = {
                  ln(CAST(n AS DOUBLE)) AS y
           FROM freq
         )
-        SELECT round(regr_slope(y, x), 6) + 0.0 AS zipf_slope,
-               round(regr_intercept(y, x), 6) + 0.0 AS zipf_intercept,
-               round(pow(corr(x, y), 2), 6) + 0.0 AS r2,
+        SELECT round(regr_slope(y, x), 5) + 0.0 AS zipf_slope,
+               round(regr_intercept(y, x), 5) + 0.0 AS zipf_intercept,
+               round(pow(corr(x, y), 2), 5) + 0.0 AS r2,
                CAST(count(*) AS BIGINT) AS n_vocab
         FROM ranked
     """,
@@ -977,7 +1081,7 @@ ORACLE = {
                                     ELSE 0.0 END)
                    + 0.5 * sum(CASE WHEN b.p > 0
                                     THEN b.p * ln(2 * b.p / (a.p + b.p))
-                                    ELSE 0.0 END), 6) + 0.0
+                                    ELSE 0.0 END), 5) + 0.0
                  AS js_divergence
         FROM dist a
         JOIN dist b ON a.tok = b.tok AND a.source < b.source
@@ -1035,4 +1139,31 @@ ORACLE = {
         JOIN mad d USING (event_type)
         GROUP BY 1
     """,
+    "topk_per_group": """
+        SELECT o_custkey, o_orderkey,
+               CAST(rnk AS INT) AS rnk,
+               round(o_totalprice, 2) AS total_price
+        FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+          FROM orders WHERE o_custkey < 30
+        )
+        WHERE rnk <= 3
+    """,
+    "percent_change_wow": """
+        WITH weekly AS (
+          SELECT event_type,
+                 strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, week, n,
+               CAST(floor((n - lag(n) OVER w) * 1000000.0
+                          / lag(n) OVER w) AS BIGINT) AS delta_ppm
+        FROM weekly
+        WINDOW w AS (PARTITION BY event_type ORDER BY week ASC)
+    """,
+    "bitmap_distinct_users": _BITMAP_DISTINCT_SQL,
+    "stream_bitmap_distinct": _BITMAP_DISTINCT_SQL,
 }

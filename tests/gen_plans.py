@@ -124,6 +124,10 @@ COMMENT = {
  "gini_user_activity": "Gini activity concentration: the corpus collapses to the per-user count frame; the rank window and the closed-form sum run user-sized (single-partition window over a bounded frame, the vocab_coverage posture); every sum is integer so the ONE floating division is the only inexact step.",
  "anomaly_days_zscore": "Daily-volume z-score flags: one day-keyed count with map-side partials, a 1-row mean/stddev aggregate broadcast back (BroadcastNestedLoopJoin over 1 row) -- the z projection and the |z|>2 flag are rounded identically on both engines.",
  "stream_daily_anomaly": "Streaming day-count fold (post-fold plan): the <= span-days folded state (Scan ExistingRDD behind the localCheckpoint) feeds the same 1-row stats broadcast + z projection as the batch twin; between batches the state is day rows, never events. Count addition is exactly mergeable, so fold == one-pass (property-pinned).",
+ "topk_per_group": "Per-group top-k: the rank<=3 filter plans as WindowGroupLimit -- each map task keeps only k rows per group BEFORE the user-key exchange, so the shuffle carries <=k rows per (task, group) instead of a customer's full order history. At 100 TB: the per-entity-limit shape with map-side pruning.",
+ "percent_change_wow": "Week-over-week deltas: the event stream collapses to the bounded (type x week) grid in ONE partially-aggregated exchange; the lag window and ppm arithmetic run grid-sized. At 100 TB: window state never touches raw events.",
+ "patient_record_linkage": "Blocked EMPI record linkage: records shuffle ONCE on the (birth_year, state) blocking key -- the oversized-block guard (count + semi-join) and the pairing self-join ride the same key; per-pair levenshtein verify runs ONLY on block co-members (plan-asserted: no CartesianProduct / BroadcastNestedLoopJoin). At 100 TB: candidate work is sum of block^2 with blocks capped, never |records|^2 -- the dedup.py band-join posture applied to structured rows.",
+ "bitmap_distinct_users": "Bitmap-rollup exact distinct: ids pack into 64-bit words, bit_or partials collapse each map task to |groups| x |id_space|/64 rows BEFORE the exchange -- shuffle volume set by id-space geometry, independent of event count (no Expand, no distinct (group,id) pair shuffle); the ALL row re-merges the checkpointed word frame (hash once, merge many). At 100 TB: exact distinct with bounded shuffle where COUNT(DISTINCT) pays the full pair cardinality.",
  "bucketed_join_agg": "Bucketed co-located join: both fact tables written 8-bucket on the join key, merge-hinted SortMergeJoin with ZERO pre-join Exchange (bucketing satisfies both sides' clustering; plan-asserted 1 Exchange total -- the bounded priority aggregate). At 100 TB this is the recurring fact-fact join layout: pay the bucketed write once, every subsequent join skips its shuffle.",
 }
 
@@ -191,7 +195,9 @@ for name in ["pricing_summary", "multiway_join_agg", "latest_event_per_user",
              "zipf_fit_slope", "js_divergence_sources",
              "ndcg_bsq_eval", "gini_user_activity",
              "anomaly_days_zscore", "stream_daily_anomaly",
-             "bucketed_join_agg"]:
+             "bucketed_join_agg",
+             "topk_per_group", "percent_change_wow",
+             "patient_record_linkage", "bitmap_distinct_users"]:
     df = qs[name](spark, SF)
     df.write.format("noop").mode("overwrite").save()  # let AQE finalize
     plan = df._jdf.queryExecution().executedPlan().toString()

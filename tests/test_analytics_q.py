@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import col
 
 from interop_spark.operators.scale import salted_agg
-from interop_spark.queries.analytics_q import QUERIES
+from interop_spark.queries.analytics_q import ORACLE, QUERIES
 
 
 def test_funnel_stage_monotonicity(spark, sf_dir):
@@ -213,7 +213,7 @@ def test_ndcg_bounds(spark, sf_dir):
     assert r.dcg <= r.idcg + 1e-9
 
 
-def test_gini_planted_distributions(spark):
+def test_gini_planted_distributions(spark, sf_dir):
     """Gini = 0 for perfectly equal activity; near (n-1)/n when one
     user owns everything."""
     from pyspark.sql.window import Window as W
@@ -237,8 +237,9 @@ def test_gini_planted_distributions(spark):
     # one user owns all 100 events among 10 users: G = (n-1)/n = 0.9
     assert abs(gini_of([0] * 9 + [100]) - 0.9) < 1e-9
 
-    # and the fixture row is a valid coefficient
-    r = QUERIES["gini_user_activity"](spark, "/root/testdata/sf0.01")
+    # and the fixture row is a valid coefficient (sf_dir per ADVICE
+    # r16: the suite must follow SPARK_GRAFT_TEST_SF_DIR)
+    r = QUERIES["gini_user_activity"](spark, sf_dir)
     g = r.collect()[0].gini
     assert 0.0 <= g < 1.0
 
@@ -292,21 +293,14 @@ def test_analytics_plan_shapes(spark, sf_dir):
     assert "BroadcastHashJoin" in ex3, ex3[:2500]
 
 
-def test_topk_per_group_oracle_parity(spark):
-    """The r17-staged row `topk_per_group` satisfies the driver's full
-    oracle contract at sf0.01 (the staged-row convention: parity proven
-    BEFORE registration)."""
+def test_topk_per_group_oracle_parity(spark, sf_dir):
+    """`topk_per_group` (staged r16, registered r17) satisfies the
+    driver's full oracle contract; sf_dir fixture per ADVICE r16."""
     from tests.test_oracle_parity import _canon, _duck
 
-    from interop_spark.queries.analytics_q import (
-        R17_CANDIDATE_ORACLE,
-        R17_CANDIDATE_QUERIES,
-    )
-
-    sf = "/root/testdata/sf0.01"
-    sdf = R17_CANDIDATE_QUERIES["topk_per_group"](spark, sf).toPandas()
-    con = _duck(sf)
-    ddf = con.execute(R17_CANDIDATE_ORACLE["topk_per_group"]).df()
+    sdf = QUERIES["topk_per_group"](spark, sf_dir).toPandas()
+    con = _duck(sf_dir)
+    ddf = con.execute(ORACLE["topk_per_group"]).df()
     con.close()
     assert sorted(sdf.columns) == sorted(ddf.columns)
     assert _canon(sdf) == _canon(ddf)
@@ -316,10 +310,8 @@ def test_topk_per_group_plan_uses_window_group_limit(spark, sf_dir):
     """The rank<=k filter plans as WindowGroupLimit (map-side partial
     limit BEFORE the exchange) — the scale property that makes
     per-group top-k safe on a group with millions of rows."""
-    from interop_spark.queries.analytics_q import R17_CANDIDATE_QUERIES
-
     ex = (
-        R17_CANDIDATE_QUERIES["topk_per_group"](spark, sf_dir)
+        QUERIES["topk_per_group"](spark, sf_dir)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -327,20 +319,14 @@ def test_topk_per_group_plan_uses_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in ex, ex[:2500]
 
 
-def test_percent_change_wow_oracle_parity(spark):
-    """The r17-staged row `percent_change_wow` satisfies the driver's
-    full oracle contract at sf0.01."""
+def test_percent_change_wow_oracle_parity(spark, sf_dir):
+    """`percent_change_wow` (staged r16, registered r17) satisfies the
+    driver's full oracle contract; sf_dir fixture per ADVICE r16."""
     from tests.test_oracle_parity import _canon, _duck
 
-    from interop_spark.queries.analytics_q import (
-        R17_CANDIDATE_ORACLE,
-        R17_CANDIDATE_QUERIES,
-    )
-
-    sf = "/root/testdata/sf0.01"
-    sdf = R17_CANDIDATE_QUERIES["percent_change_wow"](spark, sf).toPandas()
-    con = _duck(sf)
-    ddf = con.execute(R17_CANDIDATE_ORACLE["percent_change_wow"]).df()
+    sdf = QUERIES["percent_change_wow"](spark, sf_dir).toPandas()
+    con = _duck(sf_dir)
+    ddf = con.execute(ORACLE["percent_change_wow"]).df()
     con.close()
     assert sorted(sdf.columns) == sorted(ddf.columns)
     assert _canon(sdf) == _canon(ddf)
@@ -351,11 +337,7 @@ def test_percent_change_wow_first_week_null(spark, sf_dir):
     NULL delta per type, and every later delta is finite."""
     from collections import defaultdict
 
-    from interop_spark.queries.analytics_q import R17_CANDIDATE_QUERIES
-
-    rows = R17_CANDIDATE_QUERIES["percent_change_wow"](
-        spark, sf_dir
-    ).collect()
+    rows = QUERIES["percent_change_wow"](spark, sf_dir).collect()
     by_type = defaultdict(list)
     for r in rows:
         by_type[r.event_type].append(r)
@@ -447,3 +429,65 @@ def test_funnel_matches_python_reference(spark):
     )
     # and the planted expectations themselves
     assert len(t1) == 5 and len(t2) == 3 and len(t3) == 1
+
+
+def test_bitmap_distinct_matches_plain_distinct(spark):
+    """Bitmap OR-fold popcounts equal COUNT(DISTINCT) on a planted
+    frame with duplicate events, a sparse id, and a word-boundary id
+    (63/64) — the packing edge cases."""
+    rows = [
+        ("a", 0), ("a", 0), ("a", 63), ("a", 64),   # dup + boundary
+        ("b", 1), ("b", 1), ("b", 1),               # all dups
+        ("c", 1000),                                 # sparse id
+    ]
+    df = spark.createDataFrame(rows, ["g", "uid"])
+    from interop_spark.operators.bitmap import bitmap_words, popcount
+
+    got = {
+        r.g: r.n_distinct
+        for r in popcount(bitmap_words(df, ["g"], "uid"), ["g"]).collect()
+    }
+    assert got == {"a": 3, "b": 1, "c": 1}
+
+
+def test_bitmap_merge_is_idempotent(spark):
+    """bit_or is idempotent: re-merging a word frame with ITSELF (the
+    re-delivered-batch scenario the streaming fold can meet) changes
+    nothing — the property that makes the streaming member exactly
+    correct under at-least-once delivery."""
+    from interop_spark.operators.bitmap import (
+        bitmap_words,
+        merge_words,
+        popcount,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i % 70) for i in range(200)] + [("b", 5)], ["g", "uid"]
+    )
+    words = bitmap_words(df, ["g"], "uid")
+    doubled = merge_words(words.unionByName(words), ["g"])
+    one = {(r.g, r.n_distinct) for r in popcount(words, ["g"]).collect()}
+    two = {
+        (r.g, r.n_distinct) for r in popcount(doubled, ["g"]).collect()
+    }
+    assert one == two == {("a", 70), ("b", 1)}
+
+
+def test_bitmap_plan_shape(spark, sf_dir):
+    """Scale posture: the word-frame build is ONE partially-aggregated
+    (group, word) hash exchange — no Expand (the distinct-agg
+    rewrite's row multiplier) anywhere, and the event stream never
+    shuffles raw (group, id) pairs."""
+    from interop_spark.io import load
+    from interop_spark.operators.bitmap import bitmap_words
+
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    ex = (
+        bitmap_words(ev, ["event_type"], "user_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert ex.count("Exchange hashpartitioning") == 1, ex[:2500]
+    assert "Expand" not in ex, ex[:2500]
+    assert "partial_bit_or" in ex or "partial" in ex.lower(), ex[:2500]

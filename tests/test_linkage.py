@@ -1,0 +1,129 @@
+"""Blocked record linkage (operators/linkage.py + queries/linkage_q.py).
+
+Citations: the reference's patient-identity dedupe intent is
+01_dbignite_sample.py:370-379 (patient MPI frame) and :453 (EMPI
+identifier idiom); this family is its structured-record entity
+resolution, built on the blocked-join posture of operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from interop_spark.operators.linkage import blocked_pairs
+from interop_spark.queries.linkage_q import (
+    DUP_MOD,
+    DUP_OFFSET,
+    DUP_RESIDUE,
+    ORACLE,
+    QUERIES,
+    _registry,
+)
+
+
+def test_blocked_pairs_basic(spark):
+    """Every unordered co-block pair appears exactly once (id_a < id_b),
+    and no cross-block pair exists."""
+    rows = [
+        (1, "b1", "x"), (2, "b1", "y"), (3, "b1", "z"),
+        (4, "b2", "p"), (5, "b2", "q"),
+        (6, "b3", "lonely"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "blk", "payload"])
+    out = blocked_pairs(df, ["blk"], "id").collect()
+    got = {(r.blk, r.id_a, r.id_b) for r in out}
+    assert got == {
+        ("b1", 1, 2), ("b1", 1, 3), ("b1", 2, 3), ("b2", 4, 5)
+    }
+    assert all(r.id_a < r.id_b for r in out)
+
+
+def test_blocked_pairs_size_guard(spark):
+    """A block above max_block_size contributes ZERO pairs — the
+    oversized-block guard that bounds per-block work at scale."""
+    rows = [(i, "hot", str(i)) for i in range(10)] + [
+        (100, "cold", "a"), (101, "cold", "b")
+    ]
+    df = spark.createDataFrame(rows, ["id", "blk", "payload"])
+    out = blocked_pairs(df, ["blk"], "id", max_block_size=5).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(100, 101)}
+
+
+def test_linkage_recovers_planted_duplicates(spark, sf_dir):
+    """Every planted double-entry (custkey ≡ 3 mod 9) is recovered as a
+    matched pair with family edit distance exactly 1 (one-char
+    deletion), paired with its own original record."""
+    from interop_spark.io import load
+
+    keys = {
+        r.c_custkey
+        for r in load(spark, sf_dir, "customer")
+        .where(col("c_custkey") % DUP_MOD == DUP_RESIDUE)
+        .select("c_custkey")
+        .collect()
+    }
+    rows = QUERIES["patient_record_linkage"](spark, sf_dir).collect()
+    planted = {
+        (r.rec_id_a, r.rec_id_b)
+        for r in rows
+        if r.rec_id_b == r.rec_id_a + DUP_OFFSET
+    }
+    assert planted == {(k, k + DUP_OFFSET) for k in keys}
+    by_pair = {(r.rec_id_a, r.rec_id_b): r for r in rows}
+    assert all(by_pair[p].family_dist == 1 for p in planted)
+
+
+def test_linkage_oracle_parity(spark, sf_dir):
+    """Full driver oracle contract (the registration-round check)."""
+    from tests.test_oracle_parity import _canon, _duck
+
+    sdf = QUERIES["patient_record_linkage"](spark, sf_dir).toPandas()
+    con = _duck(sf_dir)
+    ddf = con.execute(ORACLE["patient_record_linkage"]).df()
+    con.close()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert _canon(sdf) == _canon(ddf)
+
+
+def test_linkage_plan_is_blocked_not_allpairs(spark, sf_dir):
+    """Scale posture: the pairing is a block-key EQUI-join (hash or
+    sort-merge), never CartesianProduct / BroadcastNestedLoopJoin —
+    the guarantee that per-pair verify work is bounded by block
+    co-membership, not |records|²."""
+    ex = (
+        QUERIES["patient_record_linkage"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in ex, ex[:2500]
+    assert "BroadcastNestedLoopJoin" not in ex, ex[:2500]
+    assert ("SortMergeJoin" in ex) or ("ShuffledHashJoin" in ex) or (
+        "BroadcastHashJoin" in ex
+    ), ex[:2500]
+
+
+def test_registry_is_deterministic(spark, sf_dir):
+    """The planted registry is pure custkey arithmetic: rebuilt twice,
+    identical; duplicate count = |custkey ≡ 3 mod 9|."""
+    r1 = _registry(spark, sf_dir)
+    n_customers = r1.where(col("rec_id") < DUP_OFFSET).count()
+    n_dups = r1.where(col("rec_id") >= DUP_OFFSET).count()
+    expected_dups = (
+        r1.where(
+            (col("rec_id") < DUP_OFFSET)
+            & (col("rec_id") % DUP_MOD == DUP_RESIDUE)
+        ).count()
+    )
+    assert n_dups == expected_dups
+    assert r1.count() == n_customers + n_dups
+    assert (
+        r1.select(F.sum(F.hash("rec_id", "given", "family")).alias("h"))
+        .collect()[0]
+        .h
+        == _registry(spark, sf_dir)
+        .select(F.sum(F.hash("rec_id", "given", "family")).alias("h"))
+        .collect()[0]
+        .h
+    )
