@@ -95,7 +95,10 @@ _MODULES = (
 #     under re-delivery; same batch SQL as oracle). Both are
 #     analytics_q.py appends + a NEW operators/bitmap.py — no
 #     existing function hunk touched, out-of-window greens stand.
-# ROUND-18 QUEUE: the two displaced r12 rows first
+# ROUND-18 QUEUE: the r18-STAGED row first (linkage_entities — full
+# query+oracle pair in linkage_q.R18_CANDIDATE_* with passing parity
+# tests; registration = move into QUERIES/ORACLE + window), then the
+# two displaced r12 rows
 # (fhir_nutrition_orders, fhir_omop_condition_occurrence — the
 # displaced-head rule), then the remaining 28 r12 rows (fhir_omop_death,
 # fhir_omop_drug_exposure, fhir_omop_measurement,

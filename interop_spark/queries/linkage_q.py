@@ -118,6 +118,50 @@ def q_patient_record_linkage(
     )
 
 
+# --------------------------------------------------------------------------
+# ROUND-18 STAGED CANDIDATE — full query+oracle pair kept OUTSIDE
+# QUERIES/ORACLE (the staging convention: parity proven a round before
+# the driver row registers). r18 registers it by moving the dict
+# entries into QUERIES/ORACLE and the window.
+# --------------------------------------------------------------------------
+
+
+def q_linkage_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matched pairs → ENTITIES (the EMPI crosswalk table): connected
+    components by min-label propagation (``operators/dedup.py
+    dedup_clusters`` — the same engine the document near-dup clusters
+    use, applied to the linkage pair graph), then every registry
+    record gets its entity id (= min rec_id reachable; singletons are
+    their own entity) and a survivorship flag (the golden record is
+    the entity's min rec_id — here always the original registration,
+    since planted duplicates carry offset ids). Iterations are bounded
+    by component diameter — linkage components are stars around an
+    original, so propagation converges in 2 rounds."""
+    from interop_spark.operators.dedup import dedup_clusters
+
+    records = _registry(spark, sf_dir)
+    pairs = q_patient_record_linkage(spark, sf_dir)
+    lab = dedup_clusters(pairs, a="rec_id_a", b="rec_id_b").select(
+        col("doc_id").alias("rec_id"),
+        col("cluster").alias("entity_id"),
+    )
+    return (
+        records.select("rec_id")
+        .join(lab, "rec_id", "left")
+        .select(
+            "rec_id",
+            F.coalesce(col("entity_id"), col("rec_id")).alias(
+                "entity_id"
+            ),
+        )
+        .select(
+            "rec_id",
+            "entity_id",
+            (col("rec_id") == col("entity_id")).alias("is_survivor"),
+        )
+    )
+
+
 def _given_sql() -> str:
     names = ", ".join(f"'{g}'" for g in GIVEN_NAMES)
     return f"([{names}])[CAST(c_custkey % 16 AS INT) + 1]"
@@ -128,13 +172,7 @@ def _family_sql() -> str:
     return f"([{names}])[CAST((c_custkey // 16) % 16 AS INT) + 1]"
 
 
-QUERIES = {
-    "patient_record_linkage": q_patient_record_linkage,
-}
-
-ORACLE = {
-    "patient_record_linkage": f"""
-        WITH base AS (
+_REGISTRY_CTES = f"""base AS (
           SELECT CAST(c_custkey AS BIGINT) AS rec_id,
                  {_given_sql()} AS given,
                  {_family_sql()} AS family,
@@ -159,8 +197,9 @@ ORACLE = {
           SELECT r.* FROM records r
           JOIN sizes s USING (birth_year, state)
           WHERE s.bn <= {MAX_BLOCK}
-        )
-        SELECT a.rec_id AS rec_id_a, b.rec_id AS rec_id_b,
+        )"""
+
+_PAIRS_SELECT = f"""SELECT a.rec_id AS rec_id_a, b.rec_id AS rec_id_b,
                a.given AS given, a.birth_year AS birth_year,
                a.state AS state,
                CAST(levenshtein(a.family, b.family) AS INT)
@@ -170,6 +209,51 @@ ORACLE = {
                  AND a.state = b.state
                  AND a.rec_id < b.rec_id
         WHERE a.given = b.given
-          AND levenshtein(a.family, b.family) <= {MAX_FAMILY_DIST}
+          AND levenshtein(a.family, b.family) <= {MAX_FAMILY_DIST}"""
+
+QUERIES = {
+    "patient_record_linkage": q_patient_record_linkage,
+}
+
+ORACLE = {
+    "patient_record_linkage": f"""
+        WITH {_REGISTRY_CTES}
+        {_PAIRS_SELECT}
+    """,
+}
+
+R18_CANDIDATE_QUERIES = {
+    "linkage_entities": q_linkage_entities,
+}
+
+# recursive min-label reachability — the neardup_clusters oracle idiom
+# over the linkage pair graph, with singleton records coalesced to
+# their own entity
+R18_CANDIDATE_ORACLE = {
+    "linkage_entities": f"""
+        WITH RECURSIVE {_REGISTRY_CTES},
+        pairs AS (
+          {_PAIRS_SELECT}
+        ),
+        edges AS (
+          SELECT rec_id_a AS src, rec_id_b AS dst FROM pairs
+          UNION
+          SELECT rec_id_b, rec_id_a FROM pairs
+        ),
+        reach AS (
+          SELECT src AS node, src AS lab FROM edges
+          UNION
+          SELECT e.dst, reach.lab FROM reach
+          JOIN edges e ON e.src = reach.node
+        ),
+        lab AS (
+          SELECT node AS rec_id, min(lab) AS entity_id
+          FROM reach GROUP BY 1
+        )
+        SELECT r.rec_id,
+               coalesce(l.entity_id, r.rec_id) AS entity_id,
+               (r.rec_id = coalesce(l.entity_id, r.rec_id))
+                 AS is_survivor
+        FROM records r LEFT JOIN lab l USING (rec_id)
     """,
 }

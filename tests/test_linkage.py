@@ -127,3 +127,49 @@ def test_registry_is_deterministic(spark, sf_dir):
         .collect()[0]
         .h
     )
+
+
+def test_linkage_entities_staged_oracle_parity(spark, sf_dir):
+    """The r18-staged row `linkage_entities` satisfies the driver's
+    full oracle contract (staging convention: parity proven a round
+    BEFORE registration)."""
+    from tests.test_oracle_parity import _canon, _duck
+
+    from interop_spark.queries.linkage_q import (
+        R18_CANDIDATE_ORACLE,
+        R18_CANDIDATE_QUERIES,
+    )
+
+    sdf = R18_CANDIDATE_QUERIES["linkage_entities"](
+        spark, sf_dir
+    ).toPandas()
+    con = _duck(sf_dir)
+    ddf = con.execute(R18_CANDIDATE_ORACLE["linkage_entities"]).df()
+    con.close()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert _canon(sdf) == _canon(ddf)
+
+
+def test_linkage_entities_crosswalk_semantics(spark, sf_dir):
+    """Every record appears exactly once; each planted duplicate maps
+    to its original's entity; each entity has exactly one survivor
+    (the min rec_id)."""
+    from collections import defaultdict
+
+    from interop_spark.queries.linkage_q import R18_CANDIDATE_QUERIES
+
+    rows = R18_CANDIDATE_QUERIES["linkage_entities"](
+        spark, sf_dir
+    ).collect()
+    assert len({r.rec_id for r in rows}) == len(rows)
+    ent = {r.rec_id: r.entity_id for r in rows}
+    for rid in ent:
+        if rid >= DUP_OFFSET:
+            assert ent[rid] == ent[rid - DUP_OFFSET]
+    by_ent = defaultdict(list)
+    for r in rows:
+        by_ent[r.entity_id].append(r)
+    for e, members in by_ent.items():
+        survivors = [r for r in members if r.is_survivor]
+        assert len(survivors) == 1
+        assert survivors[0].rec_id == min(r.rec_id for r in members) == e
