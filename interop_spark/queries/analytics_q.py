@@ -910,6 +910,166 @@ _ANOMALY_DAYS_SQL = """
     FROM daily, stats
 """
 
+# --------------------------------------------------------------------------
+# ROUND-18 STAGED CANDIDATES — full query+oracle pairs kept OUTSIDE
+# QUERIES/ORACLE (the staging convention; r18 registers them by moving
+# the dict entries into QUERIES/ORACLE and the window).
+# --------------------------------------------------------------------------
+
+
+def q_twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (the TWAP shape ops and
+    finance pipelines run on irregular event streams): each event's
+    value holds until the user's next event, weight = that interval in
+    seconds, TWAP = sum(value*dt)/sum(dt). One user-keyed lead()
+    window, then a per-user aggregate — no self-join, no
+    densification; the per-user state the window sorts is the user's
+    own history, the same cost class as sessionize. The last event per
+    user has no interval and drops; all-tied timestamps give sum(dt)=0
+    and a NULL TWAP on BOTH engines (nullif — the ADVICE r16
+    degenerate-denominator convention, applied from birth)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        col("ts").asc(), col("event_id").asc()
+    )
+    # exact epoch MICROSECONDS on both engines (unix_micros/epoch_us):
+    # second-granularity diffs (timestampdiff vs date_diff) truncate
+    # differently around fractional seconds and drift the span
+    us = F.unix_micros(col("ts"))
+    dt = F.lead(us).over(w) - us
+    stepped = ev.withColumn("dt", dt).where(col("dt").isNotNull())
+    return stepped.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum("dt").cast("long").alias("span_us"),
+        F.round(
+            F.sum(col("value") * col("dt"))
+            / F.nullif(F.sum("dt").cast("double"), F.lit(0.0)),
+            4,
+        ).alias("twap"),
+    )
+
+
+def q_ab_test_zstat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between two planted experiment arms
+    (arm = user_id % 2; conversion = the user has any purchase event):
+    the A/B readout every product-analytics stack ships. The event
+    stream collapses to one row per user (exposed flag + converted
+    flag), arms aggregate to a 2-row frame, and the pooled z-statistic
+    is computed on the crossed 1-row pair — everything after the
+    per-user collapse is constant-size. Degenerate pooled rates (0 or
+    1 => zero variance) give a NULL z on BOTH engines via nullif."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type")
+    # conversion = purchase count STRICTLY ABOVE the global per-user
+    # mean — scale-relative, so the rates stay non-degenerate at every
+    # sf (a fixed predicate saturates: at sf0.01 every user purchases)
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            (col("event_type") == "purchase").cast("long")
+        ).alias("n_purch")
+    )
+    mean = per_user.agg(F.avg("n_purch").alias("mu"))
+    flagged = per_user.crossJoin(F.broadcast(mean)).select(
+        "user_id", (col("n_purch") > col("mu")).cast("int").alias("converted")
+    )
+    arms = (
+        flagged.groupBy((col("user_id") % 2).cast("int").alias("arm"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("converted").cast("long").alias("n_converted"),
+        )
+    )
+    a = arms.where(col("arm") == 0).select(
+        col("n_users").alias("n0"), col("n_converted").alias("c0")
+    )
+    b = arms.where(col("arm") == 1).select(
+        col("n_users").alias("n1"), col("n_converted").alias("c1")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    p0 = col("c0") / col("n0")
+    p1 = col("c1") / col("n1")
+    pp = (col("c0") + col("c1")) / (col("n0") + col("n1"))
+    se = F.sqrt(
+        pp * (1 - pp) * (1 / col("n0") + 1 / col("n1"))
+    )
+    z = F.round((p0 - p1) / F.nullif(se, F.lit(0.0)), 5)
+    return j.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.round(p0, 5).alias("rate0"),
+        F.round(p1, 5).alias("rate1"),
+        z.alias("z"),
+        # coalesce: a NULL boolean round-trips as None in Spark but
+        # NaN through DuckDB's pandas bridge — pin degenerate to FALSE
+        F.coalesce(F.abs(z) > 1.96, F.lit(False)).alias("significant"),
+    )
+
+
+R18_CANDIDATE_QUERIES = {
+    "twap_per_user": q_twap_per_user,
+    "ab_test_zstat": q_ab_test_zstat,
+}
+
+R18_CANDIDATE_ORACLE = {
+    "twap_per_user": """
+        WITH stepped AS (
+          SELECT user_id, value,
+                 lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                   - epoch_us(ts) AS dt
+          FROM events
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_intervals,
+               CAST(sum(dt) AS BIGINT) AS span_us,
+               round(sum(value * dt)
+                     / nullif(CAST(sum(dt) AS DOUBLE), 0), 4) AS twap
+        FROM stepped WHERE dt IS NOT NULL
+        GROUP BY 1
+    """,
+    "ab_test_zstat": """
+        WITH counts AS (
+          SELECT user_id,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_purch
+          FROM events GROUP BY 1
+        ),
+        mean AS (SELECT avg(n_purch) AS mu FROM counts),
+        per_user AS (
+          SELECT user_id,
+                 CASE WHEN n_purch > mu THEN 1 ELSE 0 END AS converted
+          FROM counts, mean
+        ),
+        arms AS (
+          SELECT CAST(user_id % 2 AS INT) AS arm,
+                 CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(converted) AS BIGINT) AS n_converted
+          FROM per_user GROUP BY 1
+        ),
+        a AS (SELECT n_users AS n0, n_converted AS c0
+              FROM arms WHERE arm = 0),
+        b AS (SELECT n_users AS n1, n_converted AS c1
+              FROM arms WHERE arm = 1)
+        SELECT n0, c0, n1, c1,
+               round(c0 * 1.0 / n0, 5) AS rate0,
+               round(c1 * 1.0 / n1, 5) AS rate1,
+               round((c0 * 1.0 / n0 - c1 * 1.0 / n1)
+                     / nullif(sqrt((c0 + c1) * 1.0 / (n0 + n1)
+                              * (1 - (c0 + c1) * 1.0 / (n0 + n1))
+                              * (1.0 / n0 + 1.0 / n1)), 0), 5) AS z,
+               coalesce(abs(round((c0 * 1.0 / n0 - c1 * 1.0 / n1)
+                     / nullif(sqrt((c0 + c1) * 1.0 / (n0 + n1)
+                              * (1 - (c0 + c1) * 1.0 / (n0 + n1))
+                              * (1.0 / n0 + 1.0 / n1)), 0), 5)) > 1.96,
+                        FALSE) AS significant
+        FROM a CROSS JOIN b
+    """,
+}
+
+
 # the bitmap OR-fold must equal the plain COUNT(DISTINCT) — the oracle
 # is deliberately the unoptimized SQL (execution-strategy contract);
 # the streaming fold is exactly mergeable AND idempotent, so the same

@@ -491,3 +491,87 @@ def test_bitmap_plan_shape(spark, sf_dir):
     assert ex.count("Exchange hashpartitioning") == 1, ex[:2500]
     assert "Expand" not in ex, ex[:2500]
     assert "partial_bit_or" in ex or "partial" in ex.lower(), ex[:2500]
+
+
+def test_twap_staged_oracle_parity(spark, sf_dir):
+    """The r18-staged row `twap_per_user` satisfies the driver's full
+    oracle contract (staging convention)."""
+    from tests.test_oracle_parity import _canon, _duck
+
+    from interop_spark.queries.analytics_q import (
+        R18_CANDIDATE_ORACLE,
+        R18_CANDIDATE_QUERIES,
+    )
+
+    sdf = R18_CANDIDATE_QUERIES["twap_per_user"](spark, sf_dir).toPandas()
+    con = _duck(sf_dir)
+    ddf = con.execute(R18_CANDIDATE_ORACLE["twap_per_user"]).df()
+    con.close()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert _canon(sdf) == _canon(ddf)
+
+
+def test_twap_hand_computed(spark):
+    """TWAP on a planted 3-event series equals the hand-computed
+    interval-weighted mean; a user with one event emits no row; tied
+    timestamps give a NULL TWAP (sum(dt)=0), not a crash."""
+    import datetime as dt
+
+    from interop_spark.queries.analytics_q import R18_CANDIDATE_QUERIES
+    from interop_spark.io import load  # noqa: F401 (fixture parity)
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # u1: value 10 held 60s, value 30 held 180s -> twap = 25.0
+        (1, t0, 1, 10.0),
+        (1, t0 + dt.timedelta(seconds=60), 2, 30.0),
+        (1, t0 + dt.timedelta(seconds=240), 3, 99.0),
+        # u2: single event -> no interval, no row
+        (2, t0, 4, 5.0),
+        # u3: two events at the SAME timestamp -> dt 0, twap NULL
+        (3, t0, 5, 1.0),
+        (3, t0, 6, 2.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    df.createOrReplaceTempView("_twap_fixture")
+    import interop_spark.queries.analytics_q as aq
+
+    orig = aq.load
+    try:
+        aq.load = lambda s, d, t: df
+        out = {
+            r.user_id: r
+            for r in R18_CANDIDATE_QUERIES["twap_per_user"](
+                spark, "unused"
+            ).collect()
+        }
+    finally:
+        aq.load = orig
+    assert set(out) == {1, 3}
+    assert out[1].n_intervals == 2
+    assert out[1].span_us == 240_000_000
+    assert abs(out[1].twap - 25.0) < 1e-9
+    assert out[3].twap is None and out[3].span_us == 0
+
+
+def test_ab_test_staged_oracle_parity(spark, sf_dir):
+    """The r18-staged row `ab_test_zstat` satisfies the driver's full
+    oracle contract; the readout is internally consistent (rates match
+    counts, arms partition the users, significant is never NULL)."""
+    from tests.test_oracle_parity import _canon, _duck
+
+    from interop_spark.queries.analytics_q import (
+        R18_CANDIDATE_ORACLE,
+        R18_CANDIDATE_QUERIES,
+    )
+
+    sdf = R18_CANDIDATE_QUERIES["ab_test_zstat"](spark, sf_dir).toPandas()
+    con = _duck(sf_dir)
+    ddf = con.execute(R18_CANDIDATE_ORACLE["ab_test_zstat"]).df()
+    con.close()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert _canon(sdf) == _canon(ddf)
+    r = sdf.iloc[0]
+    assert r.c0 <= r.n0 and r.c1 <= r.n1
+    assert round(r.c0 / r.n0, 5) == r.rate0
+    assert r.significant in (True, False)
