@@ -159,7 +159,18 @@ DRIFT_NOTE = (
     "the row as sec/MB across rounds (r12's 1.46s was recorded "
     "against the smaller v10 corpus; the v16 corpus carries ~2.5x "
     "the JSON per file, so the raw-seconds trend is fixture growth, "
-    "not reader creep — flat sec/byte is the invariant)."
+    "not reader creep — flat sec/byte is the invariant). r17 host-"
+    "variance measurement: two SAME-CODE headline captures in one "
+    "session read 48.5s (loadavg_pre 0.91) and 57.1s (loadavg_pre "
+    "0.07) — start loadavg does NOT predict run quality on this "
+    "shared host; the quiet-wait gates the predictable kind of "
+    "contention (a loud start), the residual 10-20% spread is "
+    "exogenous. Read cross-round totals against the committed "
+    "capture's per-query `spread` (min/sd), and treat any UNIFORM "
+    "all-query multiplier vs a prior round as environment, not "
+    "engine (the r16 quiet capture's 36.1s total was recorded on a "
+    "visibly faster machine-state; every r17/r16 per-query ratio is "
+    "a near-constant multiple of it)."
 )
 
 
