@@ -1,0 +1,60 @@
+"""Property tests: blocked_pairs and the bitmap fold vs independent
+python references (the asof/range/funnel property-test pattern —
+`786800a` / `cd1bf72`): hypothesis generates the frame, pure python
+computes the truth, the Spark operator must agree exactly.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from interop_spark.operators.bitmap import bitmap_words, merge_words, popcount
+from interop_spark.operators.linkage import blocked_pairs
+
+# (id is made unique by index; block keys collide on purpose)
+ROWS = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 3)),  # (block, payload)
+    min_size=1,
+    max_size=24,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=ROWS, cap=st.integers(1, 8))
+def test_blocked_pairs_matches_bruteforce(spark, rows, cap):
+    """blocked_pairs == {unordered same-block pairs with the block under
+    the size cap}, computed by brute force in python."""
+    data = [(i, f"b{blk}", pay) for i, (blk, pay) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["id", "blk", "payload"])
+    got = {
+        (r.blk, r.id_a, r.id_b)
+        for r in blocked_pairs(df, ["blk"], "id", max_block_size=cap)
+        .collect()
+    }
+    from collections import Counter
+
+    sizes = Counter(blk for _, blk, _ in data)
+    want = {
+        (blk_a, i, j)
+        for i, blk_a, _ in data
+        for j, blk_b, _ in data
+        if i < j and blk_a == blk_b and sizes[blk_a] <= cap
+    }
+    assert got == want
+
+
+IDS = st.lists(st.integers(0, 300), min_size=1, max_size=60)
+
+
+@settings(max_examples=10, deadline=None)
+@given(ids=IDS)
+def test_bitmap_popcount_matches_set_distinct(spark, ids):
+    """Bitmap OR-fold popcount == len(set(ids)) for arbitrary
+    (duplicated, sparse, word-straddling) id multisets; re-merging the
+    word frame with itself changes nothing (idempotence)."""
+    df = spark.createDataFrame([("g", i) for i in ids], ["g", "uid"])
+    words = bitmap_words(df, ["g"], "uid")
+    n = popcount(words, ["g"]).collect()[0].n_distinct
+    assert n == len(set(ids))
+    doubled = merge_words(words.unionByName(words), ["g"])
+    assert popcount(doubled, ["g"]).collect()[0].n_distinct == n
