@@ -89,3 +89,76 @@ def pagerank_int(
     return ranks.select(
         F.col("_n").alias(node_col), F.col("_r").alias("rank_ppm")
     )
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact triangle count via DEGREE ORIENTATION (the classic
+    MapReduce/GraphX algorithm): canonicalize to simple undirected
+    edges, orient every edge from its lower-(degree, id) endpoint to
+    the higher, and count directed 2-paths closed by a third oriented
+    edge. Each triangle is counted exactly once, and orientation
+    bounds every node's out-degree by O(sqrt(|E|)) — the wedge join's
+    output is O(|E|^{3/2}) instead of the naive sum of deg² — which is
+    what makes the two equi-joins survive a power-law graph at scale.
+
+    Input may contain duplicates and self-loops; both are dropped.
+    Returns a 1-row frame (n_nodes, n_edges, n_triangles), all exact
+    integers.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    withdeg = (
+        und.join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+    )
+    # orient low (deg, id) -> high (deg, id); the tuple order is total
+    lo_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = withdeg.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    )
+    e1 = oriented.select(
+        F.col("a").alias("x"), F.col("b").alias("y"), F.col("db").alias("dy")
+    )
+    e2 = oriented.select(
+        F.col("a").alias("x"), F.col("b").alias("z"), F.col("db").alias("dz")
+    )
+    # wedge endpoints ordered by the SAME (deg, id) total order the
+    # orientation uses, so the closing edge is exactly the oriented
+    # y->z — a plain two-column EQUI-join (an OR-of-directions
+    # predicate here would plan as a nested loop)
+    wedges = e1.join(e2, "x").where(
+        (F.col("dy") < F.col("dz"))
+        | ((F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z")))
+    )
+    closed = wedges.join(
+        oriented.select(F.col("a").alias("y"), F.col("b").alias("z")),
+        ["y", "z"],
+    )
+    n_tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_e = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_n = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    return (
+        n_n.crossJoin(F.broadcast(n_e))
+        .crossJoin(F.broadcast(n_tri))
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+        )
+    )

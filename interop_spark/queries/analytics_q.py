@@ -1008,12 +1008,93 @@ def q_ab_test_zstat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count via DEGREE ORIENTATION
+    (``operators/graph.triangle_count``): orient each edge
+    low-(deg,id) -> high, join wedges, close with ONE two-column
+    equi-join. Orientation bounds out-degrees by O(sqrt(|E|)), so the
+    wedge join is O(|E|^1.5) instead of sum-of-deg² — the property
+    that lets the clustering-coefficient audit survive a power-law
+    web graph at 100 TB. The deterministic graph is ring + skip-2 +
+    a 7i+1 chord over the document ids (closed-form, so the DuckDB
+    oracle rebuilds it; NOT the pagerank 2-out-link graph, which is
+    triangle-FREE and would make the row a vacuous zero): every
+    consecutive id triple closes a triangle, so the expected count is
+    >= n and the oracle genuinely discriminates. All-integer output."""
+    from interop_spark.operators.graph import triangle_count
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    nrow = d.agg(F.count(F.lit(1)).alias("n"))
+    edges = d.crossJoin(F.broadcast(nrow)).select(
+        col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                (col("doc_id") + 1) % col("n"),
+                (col("doc_id") + 2) % col("n"),
+                (col("doc_id") * 7 + 1) % col("n"),
+            )
+        ).alias("dst"),
+    )
+    return triangle_count(edges)
+
+
 R18_CANDIDATE_QUERIES = {
     "twap_per_user": q_twap_per_user,
     "ab_test_zstat": q_ab_test_zstat,
+    "triangle_count": q_triangle_count,
 }
 
 R18_CANDIDATE_ORACLE = {
+    "triangle_count": """
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        ed AS (
+          SELECT doc_id AS src, (doc_id + 1) % nn.n AS dst
+          FROM documents, nn
+          UNION ALL
+          SELECT doc_id, (doc_id + 2) % nn.n FROM documents, nn
+          UNION ALL
+          SELECT doc_id, (doc_id * 7 + 1) % nn.n FROM documents, nn
+        ),
+        und AS (
+          SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+          FROM ed WHERE src <> dst
+        ),
+        deg AS (
+          SELECT node, count(*) AS deg FROM (
+            SELECT u AS node FROM und UNION ALL SELECT v FROM und
+          ) GROUP BY 1
+        ),
+        withdeg AS (
+          SELECT e.u, e.v, d1.deg AS du, d2.deg AS dv
+          FROM und e
+          JOIN deg d1 ON d1.node = e.u
+          JOIN deg d2 ON d2.node = e.v
+        ),
+        orient AS (
+          SELECT CASE WHEN du < dv OR (du = dv AND u < v)
+                      THEN u ELSE v END AS a,
+                 CASE WHEN du < dv OR (du = dv AND u < v)
+                      THEN v ELSE u END AS b,
+                 CASE WHEN du < dv OR (du = dv AND u < v)
+                      THEN dv ELSE du END AS db
+          FROM withdeg
+        ),
+        wedges AS (
+          SELECT e1.y, e2.z
+          FROM (SELECT a AS x, b AS y, db AS dy FROM orient) e1
+          JOIN (SELECT a AS x, b AS z, db AS dz FROM orient) e2
+            USING (x)
+          WHERE e1.dy < e2.dz OR (e1.dy = e2.dz AND e1.y < e2.z)
+        ),
+        closed AS (
+          SELECT 1 FROM wedges w
+          JOIN orient o ON o.a = w.y AND o.b = w.z
+        )
+        SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+               CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
+               CAST((SELECT count(*) FROM closed) AS BIGINT)
+                 AS n_triangles
+    """,
     "twap_per_user": """
         WITH stepped AS (
           SELECT user_id, value,

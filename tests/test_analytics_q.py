@@ -575,3 +575,35 @@ def test_ab_test_staged_oracle_parity(spark, sf_dir):
     assert r.c0 <= r.n0 and r.c1 <= r.n1
     assert round(r.c0 / r.n0, 5) == r.rate0
     assert r.significant in (True, False)
+
+
+def test_triangle_staged_oracle_parity_and_plan(spark, sf_dir):
+    """The r18-staged row `triangle_count` satisfies the driver's full
+    oracle contract; the fixture graph is triangle-BEARING (a zero
+    count would make the row vacuous); the wedge-close join is an
+    EQUI-join (no CartesianProduct / BroadcastNestedLoopJoin)."""
+    from tests.test_oracle_parity import _canon, _duck
+
+    from interop_spark.queries.analytics_q import (
+        R18_CANDIDATE_ORACLE,
+        R18_CANDIDATE_QUERIES,
+    )
+
+    df = R18_CANDIDATE_QUERIES["triangle_count"](spark, sf_dir)
+    sdf = df.toPandas()
+    con = _duck(sf_dir)
+    ddf = con.execute(R18_CANDIDATE_ORACLE["triangle_count"]).df()
+    con.close()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert _canon(sdf) == _canon(ddf)
+    assert int(sdf.iloc[0].n_triangles) > 0
+    ex = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in ex, ex[:2500]
+    # nested-loop joins appear ONLY as broadcast crosses with 1-row
+    # sides (the n-count onto the edge projection + the three stat
+    # aggregates — the pagerank_weights convention); the wedge and
+    # closing joins themselves plan as keyed joins, and nothing plans
+    # as an unbroadcast CartesianProduct (asserted above)
+    assert ("SortMergeJoin" in ex) or ("ShuffledHashJoin" in ex) or (
+        "BroadcastHashJoin" in ex
+    ), ex[:2500]

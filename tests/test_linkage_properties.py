@@ -58,3 +58,35 @@ def test_bitmap_popcount_matches_set_distinct(spark, ids):
     assert n == len(set(ids))
     doubled = merge_words(words.unionByName(words), ["g"])
     assert popcount(doubled, ["g"]).collect()[0].n_distinct == n
+
+
+EDGES = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(edges=EDGES)
+def test_triangle_count_matches_bruteforce(spark, edges):
+    """Degree-oriented triangle_count == the O(n³) python reference on
+    arbitrary small multigraphs (dups, self-loops, both directions)."""
+    from itertools import combinations
+
+    from interop_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(
+        edges or [(0, 0)], ["src", "dst"]
+    )  # empty frames need a schema; (0,0) is a self-loop and drops
+    r = triangle_count(df).collect()[0]
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = {n for e in und for n in e}
+    tri = sum(
+        1
+        for a, b, c in combinations(sorted(nodes), 3)
+        if (a, b) in und and (b, c) in und and (a, c) in und
+    )
+    assert r.n_nodes == len(nodes)
+    assert r.n_edges == len(und)
+    assert r.n_triangles == tri
