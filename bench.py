@@ -534,7 +534,38 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
         # scan grows 10x — expect ~linear-in-scan, and the word frame
         # (the state a rollup would persist) identical at both legs.
         "bitmap_distinct": lambda ev: _bitmap_probe(ev),
+        # round-17 blocked record linkage under a PLANTED HOT BLOCK
+        # (the substring_dup_skew design applied to structured rows):
+        # every 20th record's blocking key is overwritten with one
+        # constant (1800, 0) — the hot block holds ~5% of ALL records
+        # and grows linearly with the corpus (750 at 1x / 7500 at 10x
+        # at sf0.1 => ~2.8e5 vs ~2.8e7 within-block pairs), while
+        # normal blocks stay constant-size (each replica gets its own
+        # birth_year band). max_block_size=64 must drop the hot block
+        # BEFORE pairing at both legs, so the guarded ratio measures
+        # the linear rest; the no-guard control lets the hot block's
+        # |B|^2 pairs into the join — its ratio diverging far above
+        # the guarded probe's is the direct evidence of what the
+        # guard prevents.
+        "linkage_blocked": lambda r: _linkage_probe(r, 64),
+        "linkage_blocked_noguard": lambda r: _linkage_probe(r, None),
     }
+
+    def _linkage_probe(records, cap):
+        from pyspark.sql import functions as _F
+
+        from interop_spark.operators.linkage import blocked_pairs
+
+        pairs = blocked_pairs(
+            records,
+            ["birth_year", "state"],
+            "rec_id",
+            max_block_size=cap if cap is not None else 1 << 40,
+        )
+        dist = _F.levenshtein(col("family_a"), col("family_b"))
+        return pairs.where(
+            (col("given_a") == col("given_b")) & (dist <= 2)
+        ).select("rec_id_a", "rec_id_b", dist.alias("d"))
 
     def _bitmap_probe(ev):
         from interop_spark.operators.bitmap import bitmap_words, popcount
@@ -593,6 +624,50 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
             "doc_id",
         )
         return source_quota_kept(skewed, quota=10)
+
+    def _scaled_records(mult: int):
+        # planted patient registry from customer x mult: replicas get
+        # DISTINCT birth_year bands (normal block sizes stay constant
+        # as the corpus grows) except the planted hot block — every
+        # 20th base customer collapses to the constant key (1800, 0)
+        # across ALL replicas, so only the hot block grows.
+        import os as _os
+
+        from interop_spark.queries.linkage_q import (
+            FAMILY_NAMES,
+            GIVEN_NAMES,
+        )
+
+        c = spark.read.parquet(
+            _os.path.join(sf_dir, "customer.parquet")
+        ).select("c_custkey", "c_nationkey")
+        par = spark.sparkContext.defaultParallelism
+        reps = spark.range(mult).select(col("id").alias("rep"))
+        from pyspark.sql import functions as _F
+
+        given = _F.element_at(
+            _F.array(*[_F.lit(g) for g in GIVEN_NAMES]),
+            (col("c_custkey") % 16 + 1).cast("int"),
+        )
+        family = _F.element_at(
+            _F.array(*[_F.lit(f) for f in FAMILY_NAMES]),
+            (_F.expr("c_custkey div 16") % 16 + 1).cast("int"),
+        )
+        base = c.crossJoin(reps).select(
+            (col("c_custkey") * mult + col("rep")).alias("rec_id"),
+            given.alias("given"),
+            family.alias("family"),
+            _F.when(col("c_custkey") % 20 == 0, _F.lit(1800))
+            .otherwise(
+                1900 + col("rep") * 60 + col("c_custkey") % 50
+            )
+            .cast("int")
+            .alias("birth_year"),
+            _F.when(col("c_custkey") % 20 == 0, _F.lit(0))
+            .otherwise(col("c_nationkey"))
+            .alias("state"),
+        )
+        return base.repartition(par)
 
     def _scaled_events_cols(mult: int):
         # events x mult with the USER BASE CONSTANT (the daily-active
@@ -793,6 +868,8 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
         elif fn == "_PAGERANK":
             fn = _pagerank_probe
         scaled = (
+            _scaled_records
+            if name in ("linkage_blocked", "linkage_blocked_noguard") else
             _scaled_events_cols if name == "bitmap_distinct" else
             _scaled_embeddings if name in _EMB_PROBES else
             _planted_skew_documents if name in _SKEW_PROBES else
