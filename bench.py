@@ -162,10 +162,12 @@ DRIFT_NOTE = (
     "not reader creep — flat sec/byte is the invariant). r17 host-"
     "variance measurement: two SAME-CODE headline captures in one "
     "session read 48.5s (loadavg_pre 0.91) and 57.1s (loadavg_pre "
-    "0.07) — start loadavg does NOT predict run quality on this "
-    "shared host; the quiet-wait gates the predictable kind of "
-    "contention (a loud start), the residual 10-20% spread is "
-    "exogenous. Read cross-round totals against the committed "
+    "0.07), a third full run 54.5s (loadavg_pre 0.90; the committed "
+    "artifact — it carries the round's full 30-probe set incl. the "
+    "linkage guard pair) — start loadavg does NOT predict run "
+    "quality on this shared host; the quiet-wait gates the "
+    "predictable kind of contention (a loud start), the residual "
+    "10-20% spread is exogenous. Read cross-round totals against the committed "
     "capture's per-query `spread` (min/sd), and treat any UNIFORM "
     "all-query multiplier vs a prior round as environment, not "
     "engine (the r16 quiet capture's 36.1s total was recorded on a "
