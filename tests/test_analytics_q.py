@@ -607,3 +607,38 @@ def test_triangle_staged_oracle_parity_and_plan(spark, sf_dir):
     assert ("SortMergeJoin" in ex) or ("ShuffledHashJoin" in ex) or (
         "BroadcastHashJoin" in ex
     ), ex[:2500]
+
+
+def test_r17_float_rows_partitioning_invariant(spark, sf_dir):
+    """The float-heaviest r17 rows (zipf regression, JS divergence
+    sums, the staged TWAP weighted means) must produce IDENTICAL
+    rounded output under very different shuffle.partitions — the
+    round-6 contract: the driver runs at whatever parallelism it
+    likes, and summation order must be absorbed by the rounding."""
+    from interop_spark.queries.analytics_q import (
+        R18_CANDIDATE_QUERIES,
+        q_js_divergence_sources,
+        q_zipf_fit_slope,
+    )
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = []
+        for n in ("2", "31"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            z = sorted(map(tuple, q_zipf_fit_slope(spark, sf_dir).collect()))
+            j = sorted(
+                map(tuple, q_js_divergence_sources(spark, sf_dir).collect())
+            )
+            t = sorted(
+                map(
+                    tuple,
+                    R18_CANDIDATE_QUERIES["twap_per_user"](
+                        spark, sf_dir
+                    ).collect(),
+                )
+            )
+            results.append((z, j, t))
+        assert results[0] == results[1]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
