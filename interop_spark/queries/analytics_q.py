@@ -1038,13 +1038,106 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout audit over orders: normalize
+    (o_custkey, order day) to the 16-bit domain, interleave into a
+    Morton code (``operators/zorder.z_value`` — one codegen HOF fold),
+    assign fixed-width Z range buckets (top 4 code bits), and emit
+    each bucket's row count + BOUNDING BOX over both normalized
+    dimensions. The output IS the layout guarantee: every bucket's
+    box spans at most a quarter of EACH dimension (asserted in
+    tests), which is the multi-dimensional data-skipping property a
+    single-column sort cannot give — the relational core of the
+    reference stack's OPTIMIZE ZORDER step (engine-independent; the
+    Delta boundary note in STATUS.md). At 100 TB the same code keys
+    repartitionByRange + sorted writes; this row pins the arithmetic
+    and the locality, both exactly reproducible in the DuckDB twin."""
+    from interop_spark.operators.zorder import z_bucket, z_value
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day"),
+    )
+    stats = o.agg(
+        F.min("o_custkey").alias("minc"),
+        F.max("o_custkey").alias("maxc"),
+        F.min("day").alias("mind"),
+        F.max("day").alias("maxd"),
+    )
+    n = o.crossJoin(F.broadcast(stats))
+    xn = F.floor(
+        (col("o_custkey") - col("minc"))
+        * 65535
+        / F.nullif((col("maxc") - col("minc")).cast("double"), F.lit(0.0))
+    ).cast("bigint")
+    yn = F.floor(
+        (col("day") - col("mind"))
+        * 65535
+        / F.nullif((col("maxd") - col("mind")).cast("double"), F.lit(0.0))
+    ).cast("bigint")
+    coded = n.select(xn.alias("x"), yn.alias("y")).select(
+        "x", "y", z_bucket(z_value(col("x"), col("y"))).alias("z_bucket")
+    )
+    return coded.groupBy("z_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("x").cast("long").alias("min_x"),
+        F.max("x").cast("long").alias("max_x"),
+        F.min("y").cast("long").alias("min_y"),
+        F.max("y").cast("long").alias("max_y"),
+    )
+
+
 R18_CANDIDATE_QUERIES = {
+    "zorder_layout": q_zorder_layout,
     "twap_per_user": q_twap_per_user,
     "ab_test_zstat": q_ab_test_zstat,
     "triangle_count": q_triangle_count,
 }
 
 R18_CANDIDATE_ORACLE = {
+    "zorder_layout": """
+        WITH o AS (
+          SELECT o_custkey,
+                 CAST(date_diff('day', DATE '1992-01-01',
+                                CAST(o_orderdate AS DATE)) AS BIGINT)
+                   AS day
+          FROM orders
+        ),
+        st AS (
+          SELECT min(o_custkey) AS minc, max(o_custkey) AS maxc,
+                 min(day) AS mind, max(day) AS maxd
+          FROM o
+        ),
+        norm AS (
+          SELECT CAST(floor((o_custkey - minc) * 65535
+                       / nullif(CAST(maxc - minc AS DOUBLE), 0))
+                      AS BIGINT) AS x,
+                 CAST(floor((day - mind) * 65535
+                       / nullif(CAST(maxd - mind AS DOUBLE), 0))
+                      AS BIGINT) AS y
+          FROM o, st
+        ),
+        coded AS (
+          SELECT x, y,
+                 CAST(floor(list_sum(list_transform(
+                        generate_series(0, 15), i ->
+                          CAST(floor(x / power(2, i)) AS BIGINT) % 2
+                            * CAST(power(2, 2 * i) AS BIGINT)
+                        + CAST(floor(y / power(2, i)) AS BIGINT) % 2
+                            * CAST(power(2, 2 * i + 1) AS BIGINT)
+                      )) / power(2, 28)) AS INT) AS z_bucket
+          FROM norm
+        )
+        SELECT z_bucket,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(min(x) AS BIGINT) AS min_x,
+               CAST(max(x) AS BIGINT) AS max_x,
+               CAST(min(y) AS BIGINT) AS min_y,
+               CAST(max(y) AS BIGINT) AS max_y
+        FROM coded GROUP BY 1
+    """,
     "triangle_count": """
         WITH nn AS (SELECT count(*) AS n FROM documents),
         ed AS (

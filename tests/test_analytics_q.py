@@ -642,3 +642,29 @@ def test_r17_float_rows_partitioning_invariant(spark, sf_dir):
         assert results[0] == results[1]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_zorder_staged_oracle_parity_and_locality(spark, sf_dir):
+    """The r18-staged row `zorder_layout` satisfies the driver's full
+    oracle contract, and delivers the layout guarantee that IS the
+    point: every Z bucket's bounding box spans at most a quarter of
+    EACH normalized dimension (span <= 16383 of 65536) — the
+    multi-dimensional data-skipping property a single-column sort
+    cannot give."""
+    from tests.test_oracle_parity import _canon, _duck
+
+    from interop_spark.queries.analytics_q import (
+        R18_CANDIDATE_ORACLE,
+        R18_CANDIDATE_QUERIES,
+    )
+
+    sdf = R18_CANDIDATE_QUERIES["zorder_layout"](spark, sf_dir).toPandas()
+    con = _duck(sf_dir)
+    ddf = con.execute(R18_CANDIDATE_ORACLE["zorder_layout"]).df()
+    con.close()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert _canon(sdf) == _canon(ddf)
+    assert len(sdf) > 1  # non-vacuous: the data occupies many buckets
+    for _, r in sdf.iterrows():
+        assert r.max_x - r.min_x <= 16383, r.to_dict()
+        assert r.max_y - r.min_y <= 16383, r.to_dict()

@@ -90,3 +90,37 @@ def test_triangle_count_matches_bruteforce(spark, edges):
     assert r.n_nodes == len(nodes)
     assert r.n_edges == len(und)
     assert r.n_triangles == tri
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 65535), st.integers(0, 65535)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_z_value_matches_python_morton(spark, pts):
+    """operators/zorder.z_value == the python bit-interleave reference
+    over arbitrary 16-bit points."""
+    from pyspark.sql import functions as F
+
+    from interop_spark.operators.zorder import z_value
+
+    def morton(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)], ["i", "x", "y"]
+    )
+    got = {
+        r.i: r.z
+        for r in df.select(
+            "i", z_value(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    }
+    assert got == {i: morton(x, y) for i, (x, y) in enumerate(pts)}
