@@ -1089,14 +1089,60 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_7d_users_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`rolling_7d_users` recomputed through the BITMAP word frame —
+    same semantics, same ORACLE (the plain SQL), different execution
+    strategy: per-day (day, word) bitmaps OR-merge across each
+    trailing window instead of exploding per-user activity rows. The
+    x7 projection here carries the WORD frame (|days| x |id_space|/64
+    rows) rather than the (user, day) activity frame — smaller by a
+    factor of ~64/densification, and the merge is the bitmap
+    re-mergeability property doing real windowed work. The pairing
+    with `rolling_7d_users` pins that both strategies are
+    interchangeable (the salted_agg / bucketed_join execution-strategy
+    contract, applied to a rolling distinct)."""
+    from interop_spark.operators.bitmap import bitmap_words
+
+    ev = load(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", col("ts"))).alias("day")
+    ).distinct()
+    days = activity.select("day").distinct()
+    words = bitmap_words(activity, ["day"], "user_id")
+    contrib = words.select(
+        F.explode(
+            F.expr(
+                f"sequence(day, day + interval {ROLLING_DAYS - 1} days,"
+                " interval 1 day)"
+            )
+        ).alias("day"),
+        "w",
+        "bits",
+    )
+    merged = (
+        contrib.join(F.broadcast(days), "day", "left_semi")
+        .groupBy("day", "w")
+        .agg(F.bit_or("bits").alias("bits"))
+        .groupBy("day")
+        .agg(F.sum(F.bit_count("bits")).cast("long").alias("rolling_users"))
+    )
+    return merged.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "rolling_users"
+    )
+
+
 R18_CANDIDATE_QUERIES = {
     "zorder_layout": q_zorder_layout,
+    "rolling_7d_users_bitmap": q_rolling_7d_users_bitmap,
     "twap_per_user": q_twap_per_user,
     "ab_test_zstat": q_ab_test_zstat,
     "triangle_count": q_triangle_count,
 }
 
 R18_CANDIDATE_ORACLE = {
+    # deliberately ORACLE["rolling_7d_users"]: the bitmap window merge
+    # must equal the plain rolling COUNT DISTINCT (execution-strategy
+    # contract); assigned after the ORACLE dict below.
     "zorder_layout": """
         WITH o AS (
           SELECT o_custkey,
@@ -1501,3 +1547,5 @@ ORACLE = {
     "bitmap_distinct_users": _BITMAP_DISTINCT_SQL,
     "stream_bitmap_distinct": _BITMAP_DISTINCT_SQL,
 }
+
+R18_CANDIDATE_ORACLE["rolling_7d_users_bitmap"] = ORACLE["rolling_7d_users"]

@@ -668,3 +668,28 @@ def test_zorder_staged_oracle_parity_and_locality(spark, sf_dir):
     for _, r in sdf.iterrows():
         assert r.max_x - r.min_x <= 16383, r.to_dict()
         assert r.max_y - r.min_y <= 16383, r.to_dict()
+
+
+def test_rolling_bitmap_staged_matches_oracle_and_twin(spark, sf_dir):
+    """The r18-staged row `rolling_7d_users_bitmap` equals BOTH its
+    oracle (the plain rolling COUNT DISTINCT — deliberately shared
+    with `rolling_7d_users`) and the registered densification twin:
+    two execution strategies, one semantics."""
+    from tests.test_oracle_parity import _canon, _duck
+
+    from interop_spark.queries.analytics_q import (
+        QUERIES,
+        R18_CANDIDATE_ORACLE,
+        R18_CANDIDATE_QUERIES,
+    )
+
+    sdf = R18_CANDIDATE_QUERIES["rolling_7d_users_bitmap"](
+        spark, sf_dir
+    ).toPandas()
+    con = _duck(sf_dir)
+    ddf = con.execute(R18_CANDIDATE_ORACLE["rolling_7d_users_bitmap"]).df()
+    con.close()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert _canon(sdf) == _canon(ddf)
+    twin = QUERIES["rolling_7d_users"](spark, sf_dir).toPandas()
+    assert _canon(sdf) == _canon(twin)
