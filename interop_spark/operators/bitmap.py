@@ -26,7 +26,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import col
 
 
 def bitmap_words(df: DataFrame, group_cols: list[str], id_col: str) -> DataFrame:

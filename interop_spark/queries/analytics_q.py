@@ -543,7 +543,10 @@ def q_anomaly_days_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day",
             col("n").cast("long").alias("n"),
             z.alias("z"),
-            (F.abs(z) > 2).alias("is_anomaly"),
+            # coalesce: sd=0 makes z NULL (intended), but a NULL
+            # boolean breaks cross-engine parity (the SKILL.md
+            # NULL-boolean trap) — pin the degenerate flag to FALSE
+            F.coalesce(F.abs(z) > 2, F.lit(False)).alias("is_anomaly"),
         )
     )
 
@@ -611,7 +614,10 @@ def q_stream_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day",
             col("n").cast("long").alias("n"),
             z.alias("z"),
-            (F.abs(z) > 2).alias("is_anomaly"),
+            # coalesce: sd=0 makes z NULL (intended), but a NULL
+            # boolean breaks cross-engine parity (the SKILL.md
+            # NULL-boolean trap) — pin the degenerate flag to FALSE
+            F.coalesce(F.abs(z) > 2, F.lit(False)).alias("is_anomaly"),
         )
     )
 
@@ -708,7 +714,9 @@ def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t_orders, t_lineitem = f"bja_orders_{sf_key}", f"bja_lineitem_{sf_key}"
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
-    for t in (t_orders, t_lineitem):
+    # legacy fixed names included: a warehouse written before the
+    # sf-keyed rename would otherwise keep its pre-r17 tables forever
+    for t in (t_orders, t_lineitem, "bja_orders", "bja_lineitem"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         if wh:
             shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
@@ -906,7 +914,8 @@ _ANOMALY_DAYS_SQL = """
     stats AS (SELECT avg(n) AS mu, stddev_pop(n) AS sd FROM daily)
     SELECT day, CAST(n AS BIGINT) AS n,
            round((n - mu) / nullif(sd, 0), 6) AS z,
-           (abs(round((n - mu) / nullif(sd, 0), 6)) > 2) AS is_anomaly
+           coalesce(abs(round((n - mu) / nullif(sd, 0), 6)) > 2, FALSE)
+             AS is_anomaly
     FROM daily, stats
 """
 

@@ -140,7 +140,11 @@ def q_linkage_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from interop_spark.operators.dedup import dedup_clusters
 
     records = _registry(spark, sf_dir)
-    pairs = q_patient_record_linkage(spark, sf_dir)
+    # checkpoint: dedup_clusters re-evaluates its edge frame on every
+    # propagation iteration (join + convergence count), which would
+    # re-run the blocked self-join + levenshtein from the customer
+    # scan each round — materialize the pairs once
+    pairs = q_patient_record_linkage(spark, sf_dir).localCheckpoint()
     lab = dedup_clusters(pairs, a="rec_id_a", b="rec_id_b").select(
         col("doc_id").alias("rec_id"),
         col("cluster").alias("entity_id"),
