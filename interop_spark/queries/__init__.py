@@ -95,11 +95,12 @@ _MODULES = (
 #     under re-delivery; same batch SQL as oracle). Both are
 #     analytics_q.py appends + a NEW operators/bitmap.py — no
 #     existing function hunk touched, out-of-window greens stand.
-# ROUND-18 QUEUE: the six r18-STAGED rows first (linkage_entities in
-# linkage_q.R18_CANDIDATE_*; twap_per_user + ab_test_zstat +
-# triangle_count + zorder_layout + rolling_7d_users_bitmap in
-# analytics_q.R18_CANDIDATE_* — full query+oracle pairs with passing
-# parity tests; registration = move into QUERIES/ORACLE + window),
+# ROUND-18 QUEUE: the seven r18-STAGED rows first (linkage_entities
+# in linkage_q.R18_CANDIDATE_*; twap_per_user + ab_test_zstat +
+# triangle_count + zorder_layout + rolling_7d_users_bitmap +
+# top_paths in analytics_q.R18_CANDIDATE_* — full query+oracle pairs
+# with passing parity tests; registration = move into QUERIES/ORACLE
+# + window),
 # then the two displaced r12 rows
 # (fhir_nutrition_orders, fhir_omop_condition_occurrence — the
 # displaced-head rule), then the remaining 28 r12 rows (fhir_omop_death,

@@ -1140,7 +1140,46 @@ def q_rolling_7d_users_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 user journey paths: each user's FIRST 5 events (by time,
+    event_id tie-break) concatenated into a '>' path string, counted
+    across users — the path-analysis readout next to
+    event_transition_matrix's one-step Markov view. Scale shape: one
+    user-keyed window ranks events, rank<=5 plans as WindowGroupLimit
+    (<=5 rows per user survive map-side), the per-user path is an
+    ordered in-group aggregate (sort_array over (rank, type) structs —
+    collect_list alone has NO order guarantee), and the path count +
+    top-k are a bounded aggregate + TakeOrderedAndProject."""
+    w = Window.partitionBy("user_id").orderBy(
+        col("ts").asc(), col("event_id").asc()
+    )
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    first5 = ev.withColumn("rn", F.row_number().over(w)).where(
+        col("rn") <= 5
+    )
+    paths = first5.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy(col("n_users").desc(), col("path").asc())
+        .limit(20)
+    )
+
+
 R18_CANDIDATE_QUERIES = {
+    "top_paths": q_top_paths,
     "zorder_layout": q_zorder_layout,
     "rolling_7d_users_bitmap": q_rolling_7d_users_bitmap,
     "twap_per_user": q_twap_per_user,
@@ -1149,6 +1188,22 @@ R18_CANDIDATE_QUERIES = {
 }
 
 R18_CANDIDATE_ORACLE = {
+    "top_paths": """
+        WITH ranked AS (
+          SELECT user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events
+        ),
+        paths AS (
+          SELECT user_id,
+                 string_agg(event_type, '>' ORDER BY rn) AS path
+          FROM ranked WHERE rn <= 5 GROUP BY 1
+        )
+        SELECT path, CAST(count(*) AS BIGINT) AS n_users
+        FROM paths GROUP BY 1
+        ORDER BY n_users DESC, path ASC LIMIT 20
+    """,
     # deliberately ORACLE["rolling_7d_users"]: the bitmap window merge
     # must equal the plain rolling COUNT DISTINCT (execution-strategy
     # contract); assigned after the ORACLE dict below.

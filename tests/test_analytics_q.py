@@ -719,3 +719,27 @@ def test_anomaly_degenerate_constant_volume(spark):
     assert len(out) == 5
     assert all(r.z is None for r in out)
     assert all(r.is_anomaly is False for r in out)
+
+
+def test_top_paths_staged_oracle_parity_and_order(spark, sf_dir):
+    """The r18-staged row `top_paths` satisfies the driver's full
+    oracle contract; paths are built with an ORDER GUARANTEE
+    (sort_array over (rank, type) structs — collect_list alone has
+    none) and the rank<=5 filter plans as WindowGroupLimit."""
+    from tests.test_oracle_parity import _canon, _duck
+
+    from interop_spark.queries.analytics_q import (
+        R18_CANDIDATE_ORACLE,
+        R18_CANDIDATE_QUERIES,
+    )
+
+    df = R18_CANDIDATE_QUERIES["top_paths"](spark, sf_dir)
+    sdf = df.toPandas()
+    con = _duck(sf_dir)
+    ddf = con.execute(R18_CANDIDATE_ORACLE["top_paths"]).df()
+    con.close()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert _canon(sdf) == _canon(ddf)
+    assert all(p.count(">") <= 4 for p in sdf.path)
+    ex = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in ex, ex[:2500]
