@@ -57,123 +57,108 @@ _MODULES = (
 # ROUND-16 window and rationale: git history (this block's prior
 # revision), per the trimming convention adopted in r9.
 #
-# ROUND-17 window (50): executes the r16 verdict's queue exactly.
-#   * REGISTERED FROM STAGING (2, queue head per the staging rule):
-#     topk_per_group + percent_change_wow moved from
-#     analytics_q.R17_CANDIDATE_* into QUERIES/ORACLE (both passed the
-#     pytest parity harness in r16).
-#   * NEW this round (1): patient_record_linkage — blocked EMPI-style
-#     entity resolution (r16 verdict item 4): blocking-key equi-join +
-#     bounded per-pair verify over a planted patient registry
-#     (operators/linkage.py + queries/linkage_q.py, a NEW module so no
-#     existing module's out-of-window greens are touched).
-#   * DIFF RE-VERIFY (6, the ADVICE r16 fixes — all in
-#     queries/analytics_q.py): funnel_conversion +
-#     anomaly_days_zscore + stream_daily_anomaly (nullif guards on
-#     degenerate denominators, BOTH engines), zipf_fit_slope +
-#     js_divergence_sources (statistical outputs rounded at 5dp, BOTH
-#     engines), bucketed_join_agg (sf_dir folded into the managed
-#     table names). analytics_q.py's other rows (cohort_retention,
-#     salted_agg_skew, mad_outliers, rolling_7d_users,
-#     event_transition_matrix, ndcg_bsq_eval, gini_user_activity) are
-#     untouched by these hunks except rolling_7d_users' DOCSTRING
-#     (text only, zero expression change) — their r16 greens stand.
-#   * R11 DRAIN (25, the ENTIRE band — displaced heads first per the
-#     standing rule, in displacement order, then the 10-row residue):
-#     after this round no registry green is older than r12.
-#   * R12 DRAIN (14): alphabetical head of the 44-row r12 band
-#     (conditional_agg .. fhir_mixed_resource_counts).
-#   * NEW second pass (2, displacing the last two r12 drains
-#     fhir_nutrition_orders / fhir_omop_condition_occurrence to the
-#     r18 queue head — new rows outrank drain schedule):
-#     bitmap_distinct_users (exact distinct via the bitmap OR-fold,
-#     operators/bitmap.py — shuffle bounded by id-space geometry, not
-#     event count; oracle = the plain COUNT(DISTINCT) SQL, the
-#     execution-strategy contract) and stream_bitmap_distinct (the
-#     FIFTH exactly-mergeable streaming fold — bit_or is idempotent
-#     as well as associative/commutative, so the fold is exact even
-#     under re-delivery; same batch SQL as oracle). Both are
-#     analytics_q.py appends + a NEW operators/bitmap.py — no
-#     existing function hunk touched, out-of-window greens stand.
-# ROUND-18 QUEUE: the seven r18-STAGED rows first (linkage_entities
-# in linkage_q.R18_CANDIDATE_*; twap_per_user + ab_test_zstat +
-# triangle_count + zorder_layout + rolling_7d_users_bitmap +
-# top_paths in analytics_q.R18_CANDIDATE_* — full query+oracle pairs
-# with passing parity tests; registration = move into QUERIES/ORACLE
-# + window),
-# then the two displaced r12 rows
-# (fhir_nutrition_orders, fhir_omop_condition_occurrence — the
-# displaced-head rule), then the remaining 28 r12 rows (fhir_omop_death,
-# fhir_omop_drug_exposure, fhir_omop_measurement,
-# fhir_omop_observation_period, fhir_omop_person,
-# fhir_omop_procedure_occurrence, fhir_omop_provider,
-# fhir_omop_visit_occurrence, fhir_patient_claims,
-# fhir_patient_conditions, fhir_patient_observations,
-# fhir_providers_practitioners, fhir_questionnaire_answers,
-# fhir_questionnaire_join, fhir_reference_integrity, fhir_slots,
-# grouping_sets, knn_batch, knn_cosine, minhash_incremental_dedup,
-# ngram_decontaminate, pivot_agg, semdedup_keep,
-# stream_join_pairs_watermarked, stream_neardup_pairs, text_quality,
-# train_test_split, winnow_dup_pairs), then the r13 band behind them.
+# ROUND-17 window and rationale: git history (this block's prior
+# revision), per the trimming convention adopted in r9.
+#
+# ROUND-18 window (50): executes the r17 verdict's queue exactly.
+#   * REGISTERED FROM STAGING (7, the whole staged set per verdict
+#     item 1): linkage_entities (linkage_q), twap_per_user +
+#     ab_test_zstat + triangle_count + zorder_layout +
+#     rolling_7d_users_bitmap + top_paths (analytics_q) moved from
+#     R18_CANDIDATE_* into QUERIES/ORACLE (all seven passed the pytest
+#     parity harness in r17).
+#   * NEW this round (2): linkage_incremental (verdict item 5 — batch
+#     vs PERSISTED bucketed crosswalk, operators/linkage.py
+#     incremental_pairs + linkage_q append) and scd2_history (verdict
+#     item 6 — multi-attribute SCD2 dimension build over orders,
+#     analytics_q append; the single-attribute event build is the
+#     r13-green scd2_intervals).
+#   * DIFF RE-VERIFY (3): patient_record_linkage (blocked_pairs now
+#     localCheckpoints the guarded frame — verdict item 4);
+#     bitmap_distinct_users + stream_bitmap_distinct (operators/
+#     bitmap.py ADVICE r17 fixes: signed-id shiftright/pmod mapping,
+#     popcount coalesce-to-0, word-column collision guard + rename —
+#     rolling_7d_users_bitmap consumes the same module but is already
+#     in the staged set above). All other modules' hunks this round
+#     are pure appends (new functions + new dict entries only; no
+#     existing function hunk touched), so out-of-window greens stand.
+#   * R12 DRAIN (30 = the ENTIRE remaining r12 band): the two
+#     displaced heads first (fhir_nutrition_orders,
+#     fhir_omop_condition_occurrence — the displaced-head rule), then
+#     the 28-row residue. After this round no registry green is older
+#     than r13.
+#   * R13 DRAIN (8): alphabetical head of the 34-row r13 band
+#     (agg_stats .. classifier_train_steps).
+# ROUND-19 QUEUE: the remaining 26 r13 rows (countmin_estimate,
+# date_series, domain_quantile_filter, dsir_importance,
+# dup_span_removal, fhir_device_metrics, fhir_insurance_plans,
+# fhir_omop_care_site, fhir_omop_cost, fhir_omop_device_exposure,
+# fhir_omop_drug_era, fhir_omop_location, hll_distinct_estimate,
+# image_dims, ivf_multiprobe_topk, ivf_probe_topk, ivf_recall_at_k,
+# ivfpq_rerank, ivfpq_residual_search, ivfpq_search,
+# join_filter_pushdown, lang_id, merge_upsert, source_drift_chi2,
+# source_quota_sample, weighted_sample_topk), then the r14 band head
+# behind them — minus however many slots r19's new/staged rows and
+# diff re-verifications take, per the standing window invariant.
+#
 # --------------------------------------------------------------------------
 _WINDOW = (
-    # --- ROUND 17: registered from staging (2) ---
-    "topk_per_group",
-    "percent_change_wow",
-    # --- ROUND 17: new query (1) ---
+    # --- ROUND 18: registered from staging (7) ---
+    "linkage_entities",
+    "twap_per_user",
+    "ab_test_zstat",
+    "triangle_count",
+    "zorder_layout",
+    "rolling_7d_users_bitmap",
+    "top_paths",
+    # --- ROUND 18: new queries (2) ---
+    "linkage_incremental",
+    "scd2_history",
+    # --- ROUND 18: diff re-verify (3) ---
     "patient_record_linkage",
-    # --- ROUND 17: diff re-verify, ADVICE r16 fixes (6) ---
-    "funnel_conversion",
-    "anomaly_days_zscore",
-    "stream_daily_anomaly",
-    "zipf_fit_slope",
-    "js_divergence_sources",
-    "bucketed_join_agg",
-    # --- ROUND 17: r11 drain, displaced heads first (15) ---
-    "pagerank_weights",
-    "range_join_pairs",
-    "frame_sample",
-    "lsh_bucket_sizes",
-    "media_stats",
-    "ngram_jaccard_pairs",
-    "edit_distance_neardup",
-    "embedding_centroids",
-    "embedding_neardup",
-    "fhir_writer_roundtrip",
-    "bloom_dedup",
-    "containment_neardup",
-    "dup_line_removal",
-    "asof_join",
-    "array_funcs",
-    # --- ROUND 17: r11 residue (10) ---
-    "shard_assignment",
-    "stratified_sample",
-    "stream_join_pairs",
-    "substring_dup_runs",
-    "temperature_sample",
-    "tfidf_top_terms",
-    "token_count_bpe",
-    "unpivot",
-    "vocab_coverage",
-    "window_rank_battery",
-    # --- ROUND 17: r12 drain, alphabetical head (14) ---
-    "conditional_agg",
-    "cube_agg",
-    "doc_fingerprint",
-    "drop_duplicates",
-    "enrich_events",
-    "fhir_adt_timeline",
-    "fhir_adverse_events",
-    "fhir_condition_text",
-    "fhir_diagnostic_reports",
-    "fhir_flags",
-    "fhir_ingest_corpus",
-    "fhir_invoice_totals",
-    "fhir_medication_requests",
-    "fhir_mixed_resource_counts",
-    # --- ROUND 17 second pass: new queries (2) ---
     "bitmap_distinct_users",
     "stream_bitmap_distinct",
+    # --- ROUND 18: r12 drain, displaced heads first (2) ---
+    "fhir_nutrition_orders",
+    "fhir_omop_condition_occurrence",
+    # --- ROUND 18: r12 residue (28) ---
+    "fhir_omop_death",
+    "fhir_omop_drug_exposure",
+    "fhir_omop_measurement",
+    "fhir_omop_observation_period",
+    "fhir_omop_person",
+    "fhir_omop_procedure_occurrence",
+    "fhir_omop_provider",
+    "fhir_omop_visit_occurrence",
+    "fhir_patient_claims",
+    "fhir_patient_conditions",
+    "fhir_patient_observations",
+    "fhir_providers_practitioners",
+    "fhir_questionnaire_answers",
+    "fhir_questionnaire_join",
+    "fhir_reference_integrity",
+    "fhir_slots",
+    "grouping_sets",
+    "knn_batch",
+    "knn_cosine",
+    "minhash_incremental_dedup",
+    "ngram_decontaminate",
+    "pivot_agg",
+    "semdedup_keep",
+    "stream_join_pairs_watermarked",
+    "stream_neardup_pairs",
+    "text_quality",
+    "train_test_split",
+    "winnow_dup_pairs",
+    # --- ROUND 18: r13 drain, alphabetical head (8) ---
+    "agg_stats",
+    "audio_stats",
+    "bpe_encode",
+    "bpe_merge_candidates",
+    "bsq_hamming_search",
+    "c4_clean",
+    "chunk_sliding",
+    "classifier_train_steps",
 )
 
 

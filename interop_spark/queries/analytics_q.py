@@ -920,9 +920,9 @@ _ANOMALY_DAYS_SQL = """
 """
 
 # --------------------------------------------------------------------------
-# ROUND-18 STAGED CANDIDATES — full query+oracle pairs kept OUTSIDE
-# QUERIES/ORACLE (the staging convention; r18 registers them by moving
-# the dict entries into QUERIES/ORACLE and the window).
+# Fifth wave (staged in r16/r17 as R18_CANDIDATE_*, registered r18 per
+# the staging convention — parity tests passed a full round before the
+# driver rows went live).
 # --------------------------------------------------------------------------
 
 
@@ -1110,7 +1110,7 @@ def q_rolling_7d_users_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     with `rolling_7d_users` pins that both strategies are
     interchangeable (the salted_agg / bucketed_join execution-strategy
     contract, applied to a rolling distinct)."""
-    from interop_spark.operators.bitmap import bitmap_words
+    from interop_spark.operators.bitmap import WORD_COL, bitmap_words
 
     ev = load(spark, sf_dir, "events")
     activity = ev.select(
@@ -1125,12 +1125,12 @@ def q_rolling_7d_users_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " interval 1 day)"
             )
         ).alias("day"),
-        "w",
+        WORD_COL,
         "bits",
     )
     merged = (
         contrib.join(F.broadcast(days), "day", "left_semi")
-        .groupBy("day", "w")
+        .groupBy("day", WORD_COL)
         .agg(F.bit_or("bits").alias("bits"))
         .groupBy("day")
         .agg(F.sum(F.bit_count("bits")).cast("long").alias("rolling_users"))
@@ -1178,16 +1178,7 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-R18_CANDIDATE_QUERIES = {
-    "top_paths": q_top_paths,
-    "zorder_layout": q_zorder_layout,
-    "rolling_7d_users_bitmap": q_rolling_7d_users_bitmap,
-    "twap_per_user": q_twap_per_user,
-    "ab_test_zstat": q_ab_test_zstat,
-    "triangle_count": q_triangle_count,
-}
-
-R18_CANDIDATE_ORACLE = {
+_R18_WAVE_ORACLE = {
     "top_paths": """
         WITH ranked AS (
           SELECT user_id, event_type,
@@ -1386,6 +1377,13 @@ QUERIES = {
     "percent_change_wow": q_percent_change_wow,
     "bitmap_distinct_users": q_bitmap_distinct_users,
     "stream_bitmap_distinct": q_stream_bitmap_distinct,
+    # --- registered r18 (staged r16/r17; the staging convention) ---
+    "top_paths": q_top_paths,
+    "zorder_layout": q_zorder_layout,
+    "rolling_7d_users_bitmap": q_rolling_7d_users_bitmap,
+    "twap_per_user": q_twap_per_user,
+    "ab_test_zstat": q_ab_test_zstat,
+    "triangle_count": q_triangle_count,
 }
 
 ORACLE = {
@@ -1612,4 +1610,124 @@ ORACLE = {
     "stream_bitmap_distinct": _BITMAP_DISTINCT_SQL,
 }
 
-R18_CANDIDATE_ORACLE["rolling_7d_users_bitmap"] = ORACLE["rolling_7d_users"]
+ORACLE.update(_R18_WAVE_ORACLE)
+# the bitmap window merge must equal the plain rolling COUNT DISTINCT
+# (execution-strategy contract): deliberately the same oracle SQL
+ORACLE["rolling_7d_users_bitmap"] = ORACLE["rolling_7d_users"]
+
+
+# --------------------------------------------------------------------------
+# NEW round-18: multi-attribute SCD Type-2 dimension build (r17 verdict
+# item 6). The single-attribute event-stream build already exists as
+# ``scd2_intervals`` (queries/selection_q.py, r13 green); this row is
+# the WAREHOUSE-DIMENSION variant the verdict asked for: effective-dated
+# history of a composite attribute tuple per dimension key, where a
+# change in ANY tracked attribute opens a new version.
+# --------------------------------------------------------------------------
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history over ``orders``: per customer, the
+    effective-dated history of the tracked attribute tuple
+    (o_orderstatus, o_orderpriority), ordered by (o_orderdate,
+    o_orderkey) — the unique key makes the ordering total, so run
+    boundaries are deterministic on both engines (the dup_span_removal
+    tie-order lesson). Gap-and-island: a lag-change flag (a change in
+    ANY tracked attribute) cumulative-sums into a run id; each run
+    collapses to one version row (valid_from, valid_to = next run's
+    valid_from, is_current, version, n_orders).
+
+    Scale shape: ONE exchange on the dimension key serves the lag
+    window, the run groupBy (custkey partitioning satisfies the
+    (custkey, _grp) clustering), and the lead/row_number window — the
+    ``scd2_intervals`` single-shuffle contract (plan-asserted in
+    tests/test_analytics_q.py); per-customer state is bounded by run
+    count. Effective dates emit as 'yyyy-MM-dd' STRINGS on both
+    engines (the r10 OMOP date convention)."""
+    o = load(spark, sf_dir, "orders").select(
+        col("o_custkey").alias("custkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("eff_date"),
+        col("o_orderkey").alias("okey"),
+        col("o_orderstatus").alias("status"),
+        col("o_orderpriority").alias("priority"),
+    )
+    w = Window.partitionBy("custkey").orderBy(
+        col("eff_date").asc(), col("okey").asc()
+    )
+    prev_s = F.lag("status").over(w)
+    prev_p = F.lag("priority").over(w)
+    chg = F.when(
+        prev_s.isNull()
+        | (prev_s != col("status"))
+        | (prev_p != col("priority")),
+        1,
+    ).otherwise(0)
+    runs = o.select(
+        "custkey",
+        "eff_date",
+        "status",
+        "priority",
+        F.sum(chg).over(w).alias("_grp"),
+    )
+    g = runs.groupBy("custkey", "_grp").agg(
+        F.min("eff_date").alias("valid_from"),
+        F.min("status").alias("status"),
+        F.min("priority").alias("priority"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    w2 = Window.partitionBy("custkey").orderBy(col("_grp").asc())
+    nxt = F.lead("valid_from").over(w2)
+    return g.select(
+        "custkey",
+        "status",
+        "priority",
+        "valid_from",
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        F.row_number().over(w2).cast("long").alias("version"),
+        "n_orders",
+    )
+
+
+QUERIES["scd2_history"] = q_scd2_history
+
+ORACLE["scd2_history"] = """
+    WITH r AS (
+      SELECT o_custkey AS custkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS eff_date,
+             o_orderkey AS okey,
+             o_orderstatus AS status,
+             o_orderpriority AS priority
+      FROM orders
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN lag(status) OVER w IS NULL
+                    OR lag(status) OVER w <> status
+                    OR lag(priority) OVER w <> priority
+                  THEN 1 ELSE 0 END AS chg
+      FROM r
+      WINDOW w AS (PARTITION BY custkey ORDER BY eff_date, okey)
+    ),
+    runs AS (
+      SELECT custkey, eff_date, status, priority,
+             sum(chg) OVER
+               (PARTITION BY custkey ORDER BY eff_date, okey) AS grp
+      FROM flagged
+    ),
+    g AS (
+      SELECT custkey, grp,
+             min(eff_date) AS valid_from,
+             min(status) AS status,
+             min(priority) AS priority,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM runs GROUP BY 1, 2
+    )
+    SELECT custkey, status, priority, valid_from,
+           lead(valid_from) OVER w2 AS valid_to,
+           lead(valid_from) OVER w2 IS NULL AS is_current,
+           CAST(row_number() OVER w2 AS BIGINT) AS version,
+           n_orders
+    FROM g
+    WINDOW w2 AS (PARTITION BY custkey ORDER BY grp)
+"""

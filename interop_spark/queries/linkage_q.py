@@ -1,6 +1,5 @@
-"""Round-17 record-linkage row (new module so existing modules'
-out-of-window green rows stay untouched — the window invariant note in
-``queries/__init__``).
+"""Record-linkage family (module introduced r17; linkage_entities
+registered and linkage_incremental added r18).
 
 ``patient_record_linkage`` — blocked EMPI-style entity resolution over
 a deterministically planted patient registry (r16 verdict item 4). The
@@ -119,10 +118,8 @@ def q_patient_record_linkage(
 
 
 # --------------------------------------------------------------------------
-# ROUND-18 STAGED CANDIDATE — full query+oracle pair kept OUTSIDE
-# QUERIES/ORACLE (the staging convention: parity proven a round before
-# the driver row registers). r18 registers it by moving the dict
-# entries into QUERIES/ORACLE and the window.
+# Staged in r17, REGISTERED r18 (the staging convention: parity proven
+# a full round before the driver row went live).
 # --------------------------------------------------------------------------
 
 
@@ -226,15 +223,12 @@ ORACLE = {
     """,
 }
 
-R18_CANDIDATE_QUERIES = {
-    "linkage_entities": q_linkage_entities,
-}
+QUERIES["linkage_entities"] = q_linkage_entities
 
 # recursive min-label reachability — the neardup_clusters oracle idiom
 # over the linkage pair graph, with singleton records coalesced to
 # their own entity
-R18_CANDIDATE_ORACLE = {
-    "linkage_entities": f"""
+ORACLE["linkage_entities"] = f"""
         WITH RECURSIVE {_REGISTRY_CTES},
         pairs AS (
           {_PAIRS_SELECT}
@@ -259,5 +253,205 @@ R18_CANDIDATE_ORACLE = {
                (r.rec_id = coalesce(l.entity_id, r.rec_id))
                  AS is_survivor
         FROM records r LEFT JOIN lab l USING (rec_id)
-    """,
-}
+    """
+
+
+# --------------------------------------------------------------------------
+# NEW round-18: incremental linkage — the production EMPI shape
+# (r17 verdict item 5).
+# --------------------------------------------------------------------------
+
+# second planted arrival class: every custkey ≡ 7 (mod 9) also sends a
+# GENUINELY NEW patient (rec_id offset 2x) whose family name carries a
+# 3-char suffix — edit distance ≥ 3 from every dictionary name, so the
+# verify band can never claim it and the assignment must MINT an
+# entity. Both batch classes are closed-form custkey arithmetic, so
+# the DuckDB twin rebuilds them exactly.
+NEW_RESIDUE, NEW_OFFSET = 7, 2 * DUP_OFFSET
+
+
+def q_linkage_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental entity resolution: an arriving batch (the planted
+    typo duplicates + the planted genuinely-new patients) is matched
+    against the PERSISTED entity crosswalk — never against the raw
+    corpus. Prior state = ``linkage_entities``' survivor registry over
+    the already-linked base records, written BUCKETED on the block key
+    (``operators/scale.write_bucketed``, sf-keyed table name — the
+    bucketed_join_agg convention); the incremental step is
+    ``operators/linkage.incremental_pairs``: a block-key equi-join
+    whose ONLY shuffle is the batch side (plan-asserted in
+    tests/test_linkage.py), per-pair verify (exact given + family
+    levenshtein ≤ 2) on co-members only, min-survivor assignment for
+    matches, minted entity (= own rec_id) for the rest. At 100 TB the
+    crosswalk is written once and every arriving batch streams past it
+    pre-co-located — the production form of the reference's staging
+    dedupe (its left-outer exists flag, 01_dbignite_sample.py:370-379).
+    Output: one row per batch record (rec_id, entity_id, is_new)."""
+    import os
+    import re
+    import shutil
+    from urllib.parse import urlparse
+
+    from interop_spark.operators.dedup import dedup_clusters
+    from interop_spark.operators.linkage import incremental_pairs
+    from interop_spark.operators.scale import write_bucketed
+
+    records = _registry(spark, sf_dir)
+    base = records.where(col("rec_id") < DUP_OFFSET)
+    dups = records.where(col("rec_id") >= DUP_OFFSET)
+    novel = base.where(col("rec_id") % DUP_MOD == NEW_RESIDUE).select(
+        (col("rec_id") + NEW_OFFSET).alias("rec_id"),
+        "given",
+        F.concat("family", F.lit("xyz")).alias("family"),
+        "birth_year",
+        "state",
+    )
+    batch = dups.unionByName(novel)
+
+    # ---- prior state: crosswalk over the ALREADY-LINKED base records
+    # (in production this table exists; rebuilding it here keeps the
+    # row self-contained and the oracle closed-form) ----------------
+    pairs = blocked_pairs(
+        base, ["birth_year", "state"], "rec_id", max_block_size=MAX_BLOCK
+    )
+    dist = F.levenshtein(col("family_a"), col("family_b"))
+    matched = pairs.where(
+        (col("given_a") == col("given_b")) & (dist <= MAX_FAMILY_DIST)
+    ).localCheckpoint()
+    lab = dedup_clusters(matched, a="rec_id_a", b="rec_id_b").select(
+        col("doc_id").alias("rec_id"), col("cluster").alias("entity_id")
+    )
+    entities = (
+        base.select("rec_id")
+        .join(lab, "rec_id", "left")
+        .select(
+            "rec_id",
+            F.coalesce(col("entity_id"), col("rec_id")).alias("entity_id"),
+        )
+    )
+    survivors = (
+        entities.where(col("rec_id") == col("entity_id"))
+        .join(base, "rec_id")
+        .select(
+            "entity_id",
+            "given",
+            "family",
+            (col("birth_year") * 100 + col("state"))
+            .cast("int")
+            .alias("block_key"),
+        )
+    )
+    sf_key = re.sub(
+        r"[^A-Za-z0-9]",
+        "_",
+        os.path.basename(os.path.normpath(sf_dir)) or "sf",
+    )
+    t_reg = f"linkage_registry_{sf_key}"
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    spark.sql(f"DROP TABLE IF EXISTS {t_reg}")
+    if wh:
+        shutil.rmtree(os.path.join(wh, t_reg), ignore_errors=True)
+    write_bucketed(survivors, t_reg, "block_key", 8)
+
+    # ---- the incremental step: batch vs persisted registry ---------
+    b = batch.select(
+        "rec_id",
+        "given",
+        "family",
+        (col("birth_year") * 100 + col("state"))
+        .cast("int")
+        .alias("block_key"),
+    )
+    cand = incremental_pairs(b, spark.table(t_reg), "block_key")
+    hits = cand.where(
+        (col("given_new") == col("given_reg"))
+        & (F.levenshtein(col("family_new"), col("family_reg")) <= MAX_FAMILY_DIST)
+    )
+    assigned = hits.groupBy(col("rec_id_new").alias("rec_id")).agg(
+        F.min("entity_id_reg").alias("matched_entity")
+    )
+    return (
+        batch.select("rec_id")
+        .join(assigned, "rec_id", "left")
+        .select(
+            "rec_id",
+            F.coalesce(col("matched_entity"), col("rec_id")).alias(
+                "entity_id"
+            ),
+            col("matched_entity").isNull().alias("is_new"),
+        )
+    )
+
+
+QUERIES["linkage_incremental"] = q_linkage_incremental
+
+# base-only components → survivor registry → batch assignment, all in
+# closed-form custkey arithmetic (same recursive reach idiom as
+# linkage_entities, restricted to base-base edges)
+ORACLE["linkage_incremental"] = f"""
+    WITH RECURSIVE {_REGISTRY_CTES},
+    novel AS (
+      SELECT rec_id + {NEW_OFFSET} AS rec_id, given,
+             family || 'xyz' AS family, birth_year, state
+      FROM base WHERE rec_id % {DUP_MOD} = {NEW_RESIDUE}
+    ),
+    batch AS (
+      SELECT * FROM dup UNION ALL SELECT * FROM novel
+    ),
+    bsizes AS (
+      SELECT birth_year, state, count(*) AS bn
+      FROM base GROUP BY 1, 2
+    ),
+    bok AS (
+      SELECT b.* FROM base b
+      JOIN bsizes s USING (birth_year, state)
+      WHERE s.bn <= {MAX_BLOCK}
+    ),
+    bpairs AS (
+      SELECT a.rec_id AS ra, b.rec_id AS rb
+      FROM bok a
+      JOIN bok b ON a.birth_year = b.birth_year
+                AND a.state = b.state
+                AND a.rec_id < b.rec_id
+      WHERE a.given = b.given
+        AND levenshtein(a.family, b.family) <= {MAX_FAMILY_DIST}
+    ),
+    edges AS (
+      SELECT ra AS src, rb AS dst FROM bpairs
+      UNION
+      SELECT rb, ra FROM bpairs
+    ),
+    reach AS (
+      SELECT src AS node, src AS lab FROM edges
+      UNION
+      SELECT e.dst, reach.lab FROM reach
+      JOIN edges e ON e.src = reach.node
+    ),
+    lab AS (
+      SELECT node AS rec_id, min(lab) AS entity_id
+      FROM reach GROUP BY 1
+    ),
+    entities AS (
+      SELECT b.rec_id, coalesce(l.entity_id, b.rec_id) AS entity_id
+      FROM base b LEFT JOIN lab l USING (rec_id)
+    ),
+    survivors AS (
+      SELECT e.entity_id, r.given, r.family, r.birth_year, r.state
+      FROM entities e
+      JOIN base r ON r.rec_id = e.rec_id
+      WHERE e.rec_id = e.entity_id
+    ),
+    matched AS (
+      SELECT d.rec_id, min(s.entity_id) AS matched_entity
+      FROM batch d
+      JOIN survivors s
+        ON s.birth_year = d.birth_year AND s.state = d.state
+       AND s.given = d.given
+       AND levenshtein(s.family, d.family) <= {MAX_FAMILY_DIST}
+      GROUP BY 1
+    )
+    SELECT d.rec_id,
+           coalesce(m.matched_entity, d.rec_id) AS entity_id,
+           m.matched_entity IS NULL AS is_new
+    FROM batch d LEFT JOIN matched m USING (rec_id)
+"""

@@ -494,18 +494,18 @@ def test_bitmap_plan_shape(spark, sf_dir):
 
 
 def test_twap_staged_oracle_parity(spark, sf_dir):
-    """The r18-staged row `twap_per_user` satisfies the driver's full
+    """`twap_per_user` (staged r17, registered r18) satisfies the driver's full
     oracle contract (staging convention)."""
     from tests.test_oracle_parity import _canon, _duck
 
     from interop_spark.queries.analytics_q import (
-        R18_CANDIDATE_ORACLE,
-        R18_CANDIDATE_QUERIES,
+        ORACLE,
+        QUERIES,
     )
 
-    sdf = R18_CANDIDATE_QUERIES["twap_per_user"](spark, sf_dir).toPandas()
+    sdf = QUERIES["twap_per_user"](spark, sf_dir).toPandas()
     con = _duck(sf_dir)
-    ddf = con.execute(R18_CANDIDATE_ORACLE["twap_per_user"]).df()
+    ddf = con.execute(ORACLE["twap_per_user"]).df()
     con.close()
     assert sorted(sdf.columns) == sorted(ddf.columns)
     assert _canon(sdf) == _canon(ddf)
@@ -517,7 +517,7 @@ def test_twap_hand_computed(spark):
     timestamps give a NULL TWAP (sum(dt)=0), not a crash."""
     import datetime as dt
 
-    from interop_spark.queries.analytics_q import R18_CANDIDATE_QUERIES
+    from interop_spark.queries.analytics_q import QUERIES
 
     t0 = dt.datetime(2024, 1, 1)
     rows = [
@@ -539,7 +539,7 @@ def test_twap_hand_computed(spark):
         aq.load = lambda s, d, t: df
         out = {
             r.user_id: r
-            for r in R18_CANDIDATE_QUERIES["twap_per_user"](
+            for r in QUERIES["twap_per_user"](
                 spark, "unused"
             ).collect()
         }
@@ -553,19 +553,19 @@ def test_twap_hand_computed(spark):
 
 
 def test_ab_test_staged_oracle_parity(spark, sf_dir):
-    """The r18-staged row `ab_test_zstat` satisfies the driver's full
+    """`ab_test_zstat` (staged r17, registered r18) satisfies the driver's full
     oracle contract; the readout is internally consistent (rates match
     counts, arms partition the users, significant is never NULL)."""
     from tests.test_oracle_parity import _canon, _duck
 
     from interop_spark.queries.analytics_q import (
-        R18_CANDIDATE_ORACLE,
-        R18_CANDIDATE_QUERIES,
+        ORACLE,
+        QUERIES,
     )
 
-    sdf = R18_CANDIDATE_QUERIES["ab_test_zstat"](spark, sf_dir).toPandas()
+    sdf = QUERIES["ab_test_zstat"](spark, sf_dir).toPandas()
     con = _duck(sf_dir)
-    ddf = con.execute(R18_CANDIDATE_ORACLE["ab_test_zstat"]).df()
+    ddf = con.execute(ORACLE["ab_test_zstat"]).df()
     con.close()
     assert sorted(sdf.columns) == sorted(ddf.columns)
     assert _canon(sdf) == _canon(ddf)
@@ -576,21 +576,21 @@ def test_ab_test_staged_oracle_parity(spark, sf_dir):
 
 
 def test_triangle_staged_oracle_parity_and_plan(spark, sf_dir):
-    """The r18-staged row `triangle_count` satisfies the driver's full
+    """`triangle_count` (staged r17, registered r18) satisfies the driver's full
     oracle contract; the fixture graph is triangle-BEARING (a zero
     count would make the row vacuous); the wedge-close join is an
     EQUI-join (no CartesianProduct / BroadcastNestedLoopJoin)."""
     from tests.test_oracle_parity import _canon, _duck
 
     from interop_spark.queries.analytics_q import (
-        R18_CANDIDATE_ORACLE,
-        R18_CANDIDATE_QUERIES,
+        ORACLE,
+        QUERIES,
     )
 
-    df = R18_CANDIDATE_QUERIES["triangle_count"](spark, sf_dir)
+    df = QUERIES["triangle_count"](spark, sf_dir)
     sdf = df.toPandas()
     con = _duck(sf_dir)
-    ddf = con.execute(R18_CANDIDATE_ORACLE["triangle_count"]).df()
+    ddf = con.execute(ORACLE["triangle_count"]).df()
     con.close()
     assert sorted(sdf.columns) == sorted(ddf.columns)
     assert _canon(sdf) == _canon(ddf)
@@ -614,7 +614,7 @@ def test_r17_float_rows_partitioning_invariant(spark, sf_dir):
     round-6 contract: the driver runs at whatever parallelism it
     likes, and summation order must be absorbed by the rounding."""
     from interop_spark.queries.analytics_q import (
-        R18_CANDIDATE_QUERIES,
+        QUERIES,
         q_js_divergence_sources,
         q_zipf_fit_slope,
     )
@@ -631,7 +631,7 @@ def test_r17_float_rows_partitioning_invariant(spark, sf_dir):
             t = sorted(
                 map(
                     tuple,
-                    R18_CANDIDATE_QUERIES["twap_per_user"](
+                    QUERIES["twap_per_user"](
                         spark, sf_dir
                     ).collect(),
                 )
@@ -643,7 +643,7 @@ def test_r17_float_rows_partitioning_invariant(spark, sf_dir):
 
 
 def test_zorder_staged_oracle_parity_and_locality(spark, sf_dir):
-    """The r18-staged row `zorder_layout` satisfies the driver's full
+    """`zorder_layout` (staged r17, registered r18) satisfies the driver's full
     oracle contract, and delivers the layout guarantee that IS the
     point: every Z bucket's bounding box spans at most a quarter of
     EACH normalized dimension (span <= 16383 of 65536) — the
@@ -652,13 +652,13 @@ def test_zorder_staged_oracle_parity_and_locality(spark, sf_dir):
     from tests.test_oracle_parity import _canon, _duck
 
     from interop_spark.queries.analytics_q import (
-        R18_CANDIDATE_ORACLE,
-        R18_CANDIDATE_QUERIES,
+        ORACLE,
+        QUERIES,
     )
 
-    sdf = R18_CANDIDATE_QUERIES["zorder_layout"](spark, sf_dir).toPandas()
+    sdf = QUERIES["zorder_layout"](spark, sf_dir).toPandas()
     con = _duck(sf_dir)
-    ddf = con.execute(R18_CANDIDATE_ORACLE["zorder_layout"]).df()
+    ddf = con.execute(ORACLE["zorder_layout"]).df()
     con.close()
     assert sorted(sdf.columns) == sorted(ddf.columns)
     assert _canon(sdf) == _canon(ddf)
@@ -669,7 +669,7 @@ def test_zorder_staged_oracle_parity_and_locality(spark, sf_dir):
 
 
 def test_rolling_bitmap_staged_matches_oracle_and_twin(spark, sf_dir):
-    """The r18-staged row `rolling_7d_users_bitmap` equals BOTH its
+    """`rolling_7d_users_bitmap` (staged r17, registered r18) equals BOTH its
     oracle (the plain rolling COUNT DISTINCT — deliberately shared
     with `rolling_7d_users`) and the registered densification twin:
     two execution strategies, one semantics."""
@@ -677,15 +677,15 @@ def test_rolling_bitmap_staged_matches_oracle_and_twin(spark, sf_dir):
 
     from interop_spark.queries.analytics_q import (
         QUERIES,
-        R18_CANDIDATE_ORACLE,
-        R18_CANDIDATE_QUERIES,
+        ORACLE,
+        QUERIES,
     )
 
-    sdf = R18_CANDIDATE_QUERIES["rolling_7d_users_bitmap"](
+    sdf = QUERIES["rolling_7d_users_bitmap"](
         spark, sf_dir
     ).toPandas()
     con = _duck(sf_dir)
-    ddf = con.execute(R18_CANDIDATE_ORACLE["rolling_7d_users_bitmap"]).df()
+    ddf = con.execute(ORACLE["rolling_7d_users_bitmap"]).df()
     con.close()
     assert sorted(sdf.columns) == sorted(ddf.columns)
     assert _canon(sdf) == _canon(ddf)
@@ -722,24 +722,77 @@ def test_anomaly_degenerate_constant_volume(spark):
 
 
 def test_top_paths_staged_oracle_parity_and_order(spark, sf_dir):
-    """The r18-staged row `top_paths` satisfies the driver's full
+    """`top_paths` (staged r17, registered r18) satisfies the driver's full
     oracle contract; paths are built with an ORDER GUARANTEE
     (sort_array over (rank, type) structs — collect_list alone has
     none) and the rank<=5 filter plans as WindowGroupLimit."""
     from tests.test_oracle_parity import _canon, _duck
 
     from interop_spark.queries.analytics_q import (
-        R18_CANDIDATE_ORACLE,
-        R18_CANDIDATE_QUERIES,
+        ORACLE,
+        QUERIES,
     )
 
-    df = R18_CANDIDATE_QUERIES["top_paths"](spark, sf_dir)
+    df = QUERIES["top_paths"](spark, sf_dir)
     sdf = df.toPandas()
     con = _duck(sf_dir)
-    ddf = con.execute(R18_CANDIDATE_ORACLE["top_paths"]).df()
+    ddf = con.execute(ORACLE["top_paths"]).df()
     con.close()
     assert sorted(sdf.columns) == sorted(ddf.columns)
     assert _canon(sdf) == _canon(ddf)
     assert all(p.count(">") <= 4 for p in sdf.path)
     ex = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in ex, ex[:2500]
+
+
+def test_scd2_history_oracle_parity(spark, sf_dir):
+    """NEW r18 row `scd2_history`: full driver oracle contract over
+    the orders dimension-history build."""
+    from tests.test_oracle_parity import _canon, _duck
+
+    from interop_spark.queries.analytics_q import ORACLE, QUERIES
+
+    sdf = QUERIES["scd2_history"](spark, sf_dir).toPandas()
+    con = _duck(sf_dir)
+    ddf = con.execute(ORACLE["scd2_history"]).df()
+    con.close()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert _canon(sdf) == _canon(ddf)
+
+
+def test_scd2_history_invariants(spark, sf_dir):
+    """Warehouse SCD2 contract: per customer the versions are
+    contiguous from 1, exactly one row is current (and it is the last
+    version), intervals chain (valid_to == next valid_from), and
+    adjacent versions differ in at least one tracked attribute."""
+    from collections import defaultdict
+
+    from interop_spark.queries.analytics_q import QUERIES
+
+    rows = QUERIES["scd2_history"](spark, sf_dir).collect()
+    by_key = defaultdict(list)
+    for r in rows:
+        by_key[r.custkey].append(r)
+    for ck, hist in by_key.items():
+        hist.sort(key=lambda r: r.version)
+        assert [r.version for r in hist] == list(range(1, len(hist) + 1))
+        assert sum(1 for r in hist if r.is_current) == 1
+        assert hist[-1].is_current and hist[-1].valid_to is None
+        for a, b in zip(hist, hist[1:]):
+            assert a.valid_to == b.valid_from
+            assert (a.status, a.priority) != (b.status, b.priority)
+
+
+def test_scd2_history_single_shuffle(spark, sf_dir):
+    """Scale posture: ONE exchange on the dimension key serves the lag
+    window, the run groupBy, and the versioning window (the
+    scd2_intervals single-shuffle contract)."""
+    from interop_spark.queries.analytics_q import QUERIES
+
+    p = (
+        QUERIES["scd2_history"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert p.count("Exchange hashpartitioning") == 1, p[:2500]

@@ -102,6 +102,13 @@ def test_linkage_plan_is_blocked_not_allpairs(spark, sf_dir):
     assert ("SortMergeJoin" in ex) or ("ShuffledHashJoin" in ex) or (
         "BroadcastHashJoin" in ex
     ), ex[:2500]
+    # r17 verdict item 4: the guarded record frame is localCheckpoint-ed
+    # inside blocked_pairs, so the pairing plan reads the materialized
+    # rows on BOTH join sides — the guard aggregate (its `_bn` count)
+    # must appear ZERO times here (it ran once, at checkpoint time),
+    # not once per side as the pre-r18 duplicated subtrees did.
+    assert ex.count("_bn") == 0, ex[:2500]
+    assert "Scan ExistingRDD" in ex, ex[:2500]
 
 
 def test_registry_is_deterministic(spark, sf_dir):
@@ -130,21 +137,21 @@ def test_registry_is_deterministic(spark, sf_dir):
 
 
 def test_linkage_entities_staged_oracle_parity(spark, sf_dir):
-    """The r18-staged row `linkage_entities` satisfies the driver's
-    full oracle contract (staging convention: parity proven a round
+    """`linkage_entities` (staged r17, registered r18) satisfies the driver's
+    full oracle contract (registered r18; parity was proven a round
     BEFORE registration)."""
     from tests.test_oracle_parity import _canon, _duck
 
     from interop_spark.queries.linkage_q import (
-        R18_CANDIDATE_ORACLE,
-        R18_CANDIDATE_QUERIES,
+        ORACLE,
+        QUERIES,
     )
 
-    sdf = R18_CANDIDATE_QUERIES["linkage_entities"](
+    sdf = QUERIES["linkage_entities"](
         spark, sf_dir
     ).toPandas()
     con = _duck(sf_dir)
-    ddf = con.execute(R18_CANDIDATE_ORACLE["linkage_entities"]).df()
+    ddf = con.execute(ORACLE["linkage_entities"]).df()
     con.close()
     assert sorted(sdf.columns) == sorted(ddf.columns)
     assert _canon(sdf) == _canon(ddf)
@@ -156,9 +163,9 @@ def test_linkage_entities_crosswalk_semantics(spark, sf_dir):
     (the min rec_id)."""
     from collections import defaultdict
 
-    from interop_spark.queries.linkage_q import R18_CANDIDATE_QUERIES
+    from interop_spark.queries.linkage_q import QUERIES
 
-    rows = R18_CANDIDATE_QUERIES["linkage_entities"](
+    rows = QUERIES["linkage_entities"](
         spark, sf_dir
     ).collect()
     assert len({r.rec_id for r in rows}) == len(rows)
@@ -173,3 +180,73 @@ def test_linkage_entities_crosswalk_semantics(spark, sf_dir):
         survivors = [r for r in members if r.is_survivor]
         assert len(survivors) == 1
         assert survivors[0].rec_id == min(r.rec_id for r in members) == e
+
+
+def test_linkage_incremental_oracle_parity(spark, sf_dir):
+    """NEW r18 row `linkage_incremental`: full driver oracle contract
+    for the batch-vs-persisted-crosswalk assignment."""
+    from tests.test_oracle_parity import _canon, _duck
+
+    sdf = QUERIES["linkage_incremental"](spark, sf_dir).toPandas()
+    con = _duck(sf_dir)
+    ddf = con.execute(ORACLE["linkage_incremental"]).df()
+    con.close()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert _canon(sdf) == _canon(ddf)
+
+
+def test_linkage_incremental_semantics(spark, sf_dir):
+    """Every planted typo duplicate matches an EXISTING entity (its
+    survivor id lives below the dup offset); every planted
+    genuinely-new patient (family outside the dictionary's edit band)
+    mints a NEW entity equal to its own rec_id."""
+    from interop_spark.queries.linkage_q import NEW_OFFSET
+
+    rows = QUERIES["linkage_incremental"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    dups = [r for r in rows if r.rec_id < NEW_OFFSET]
+    novels = [r for r in rows if r.rec_id >= NEW_OFFSET]
+    assert dups and novels
+    for r in dups:
+        assert r.is_new is False
+        assert r.entity_id < DUP_OFFSET
+    for r in novels:
+        assert r.is_new is True
+        assert r.entity_id == r.rec_id
+
+
+def test_incremental_join_shuffles_batch_side_only(spark):
+    """Scale posture (r17 verdict item 5): with the registry PERSISTED
+    BUCKETED on the block key, the incremental candidate join plans
+    with exactly ONE hash exchange — the batch side; the registry
+    reads pre-co-located (no crosswalk re-shuffle per arriving
+    batch)."""
+    from interop_spark.operators.linkage import incremental_pairs
+    from interop_spark.operators.scale import write_bucketed
+
+    reg = spark.createDataFrame(
+        [(i % 7, i, f"n{i}") for i in range(60)],
+        ["block_key", "entity_id", "family"],
+    )
+    spark.sql("DROP TABLE IF EXISTS t_inc_reg")
+    write_bucketed(reg, "t_inc_reg", "block_key", 4)
+    batch = spark.createDataFrame(
+        [(i % 7, 1000 + i, f"m{i}") for i in range(20)],
+        ["block_key", "rec_id", "family"],
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            incremental_pairs(batch, spark.table("t_inc_reg"), "block_key")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", "10485760"
+        )
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2500]
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), (
+        plan[:2500]
+    )

@@ -43,21 +43,61 @@ def test_blocked_pairs_matches_bruteforce(spark, rows, cap):
     assert got == want
 
 
-IDS = st.lists(st.integers(0, 300), min_size=1, max_size=60)
+# NEGATIVE ids included (ADVICE r17 #1): shiftright/pmod keep the
+# (word, bit) mapping injective over the full signed range, where the
+# old div/% pair wrapped negatives onto word 0 and silently collided
+IDS = st.lists(st.integers(-300, 300), min_size=1, max_size=60)
 
 
 @settings(max_examples=10, deadline=None)
 @given(ids=IDS)
 def test_bitmap_popcount_matches_set_distinct(spark, ids):
     """Bitmap OR-fold popcount == len(set(ids)) for arbitrary
-    (duplicated, sparse, word-straddling) id multisets; re-merging the
-    word frame with itself changes nothing (idempotence)."""
+    (duplicated, sparse, word-straddling, SIGNED) id multisets;
+    re-merging the word frame with itself changes nothing
+    (idempotence)."""
     df = spark.createDataFrame([("g", i) for i in ids], ["g", "uid"])
     words = bitmap_words(df, ["g"], "uid")
     n = popcount(words, ["g"]).collect()[0].n_distinct
     assert n == len(set(ids))
     doubled = merge_words(words.unionByName(words), ["g"])
     assert popcount(doubled, ["g"]).collect()[0].n_distinct == n
+
+
+def test_bitmap_negative_ids_do_not_collide(spark):
+    """Regression (ADVICE r17 #1): -1 and any id in word 0 used to
+    collide (truncating % mapped -1 to bit -1 -> shift wrap). The
+    floor/pmod mapping must count {-1, 0, 63, -64, -65} as 5."""
+    ids = [-1, 0, 63, -64, -65, -1, 63]
+    df = spark.createDataFrame([("g", i) for i in ids], ["g", "uid"])
+    n = popcount(bitmap_words(df, ["g"], "uid"), ["g"]).collect()
+    assert n[0].n_distinct == len(set(ids)) == 5
+
+
+def test_bitmap_empty_global_rollup_is_zero(spark):
+    """Regression (ADVICE r17 #2): a GLOBAL popcount over an empty
+    word frame must report 0 (what COUNT(DISTINCT) SQL returns), not
+    the sum(NULL) of Spark's always-emitted global-agg row."""
+    from pyspark.sql import types as T
+
+    empty = spark.createDataFrame(
+        [], T.StructType([T.StructField("uid", T.LongType())])
+    )
+    rows = popcount(merge_words(bitmap_words(empty, [], "uid"), []), []).collect()
+    assert len(rows) == 1 and rows[0].n_distinct == 0
+
+
+def test_bitmap_word_col_collision_raises(spark):
+    """Regression (ADVICE r17 #3): an input already carrying the
+    internal word column name must fail loudly, not silently
+    self-join ambiguously."""
+    import pytest
+
+    from interop_spark.operators.bitmap import WORD_COL
+
+    df = spark.createDataFrame([(1, 2)], ["uid", WORD_COL])
+    with pytest.raises(ValueError, match=WORD_COL):
+        bitmap_words(df, [WORD_COL], "uid")
 
 
 EDGES = st.lists(
