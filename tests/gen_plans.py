@@ -129,6 +129,15 @@ COMMENT = {
  "patient_record_linkage": "Blocked EMPI record linkage: records shuffle ONCE on the (birth_year, state) blocking key -- the oversized-block guard (count + semi-join) and the pairing self-join ride the same key; per-pair levenshtein verify runs ONLY on block co-members (plan-asserted: no CartesianProduct / BroadcastNestedLoopJoin). At 100 TB: candidate work is sum of block^2 with blocks capped, never |records|^2 -- the dedup.py band-join posture applied to structured rows.",
  "bitmap_distinct_users": "Bitmap-rollup exact distinct: ids pack into 64-bit words, bit_or partials collapse each map task to |groups| x |id_space|/64 rows BEFORE the exchange -- shuffle volume set by id-space geometry, independent of event count (no Expand, no distinct (group,id) pair shuffle); the ALL row re-merges the checkpointed word frame (hash once, merge many). At 100 TB: exact distinct with bounded shuffle where COUNT(DISTINCT) pays the full pair cardinality.",
  "bucketed_join_agg": "Bucketed co-located join: both fact tables written 8-bucket on the join key, merge-hinted SortMergeJoin with ZERO pre-join Exchange (bucketing satisfies both sides' clustering; plan-asserted 1 Exchange total -- the bounded priority aggregate). At 100 TB this is the recurring fact-fact join layout: pay the bucketed write once, every subsequent join skips its shuffle.",
+ "linkage_entities": "Pairs -> EMPI crosswalk: the blocked pair frame localCheckpoints once (Scan ExistingRDD here), min-label propagation converges in 2 rounds on star-shaped linkage components, the final assignment is one left join on rec_id. At 100 TB: iteration cost is |pairs|-bounded, never |records|^2; the crosswalk write is the amortized output.",
+ "linkage_incremental": "Incremental linkage, the production EMPI shape: the survivor crosswalk persists BUCKETED on the block key, the arriving batch is the ONLY side that shuffles (plan-asserted 1 Exchange in the candidate join), per-pair verify on co-members, min-survivor assignment. At 100 TB: the billion-entity registry is never re-shuffled per batch.",
+ "scd2_history": "Multi-attribute SCD2 dimension build: ONE exchange on the dimension key serves the lag-change window, the run groupBy (custkey partitioning satisfies the (custkey,grp) clustering) and the lead/row_number versioning window (plan-asserted). Per-key state bounded by run count.",
+ "twap_per_user": "Time-weighted average: one user-keyed lead() window then a per-user aggregate that reuses the window's partitioning -- single shuffle, no densification, exact integer epoch-micros arithmetic.",
+ "ab_test_zstat": "Two-proportion z-test: per-user collapse is the only event-scale aggregate; arms reduce to 2 rows; the z-statistic computes on a crossed pair of 1-row broadcast frames. At 100 TB: one event-scale shuffle, constant-size tail.",
+ "triangle_count": "Degree-oriented exact triangle count: edges orient low-(deg,id)->high bounding out-degree by O(sqrt|E|), the wedge self-join is O(|E|^1.5) not sum-of-deg^2, closure is ONE two-column equi-join. Survives power-law graphs where naive wedge counting funnels hub degrees.",
+ "zorder_layout": "Z-order layout audit: Morton interleave is a codegen HOF fold (zero shuffle), stats reduce to one broadcast row, the bucket rollup is the only exchange. At 100 TB the same code keys repartitionByRange + sorted writes for multi-dimensional data skipping.",
+ "rolling_7d_users_bitmap": "Rolling distinct via bitmap word frames: per-day bitmaps explode x7 on the WORD frame (|days| x |id_space|/64 rows, ~64x smaller than (user,day) activity), bit_or re-merge per trailing window, popcount per day. Same oracle as rolling_7d_users -- execution-strategy contract.",
+ "top_paths": "First-5-event journey paths: rank<=5 plans as WindowGroupLimit (map-side per-user pruning BEFORE the exchange), the path is an ordered in-group aggregate (sort_array over (rank,type) structs -- collect_list alone has no order guarantee), top-20 is TakeOrderedAndProject.",
 }
 
 out = ["# PLANS — physical plans of the headline queries (sf0.1, AQE on)",
@@ -197,7 +206,10 @@ for name in ["pricing_summary", "multiway_join_agg", "latest_event_per_user",
              "anomaly_days_zscore", "stream_daily_anomaly",
              "bucketed_join_agg",
              "topk_per_group", "percent_change_wow",
-             "patient_record_linkage", "bitmap_distinct_users"]:
+             "patient_record_linkage", "bitmap_distinct_users",
+             "linkage_entities", "linkage_incremental", "scd2_history",
+             "twap_per_user", "ab_test_zstat", "triangle_count",
+             "zorder_layout", "rolling_7d_users_bitmap", "top_paths"]:
     df = qs[name](spark, SF)
     df.write.format("noop").mode("overwrite").save()  # let AQE finalize
     plan = df._jdf.queryExecution().executedPlan().toString()
