@@ -1731,3 +1731,187 @@ ORACLE["scd2_history"] = """
     FROM g
     WINDOW w2 AS (PARTITION BY custkey ORDER BY grp)
 """
+
+
+# --------------------------------------------------------------------------
+# ROUND-19 STAGED CANDIDATES — full query+oracle pairs kept OUTSIDE
+# QUERIES/ORACLE (the staging convention; r19 registers them by moving
+# the dict entries into QUERIES/ORACLE and the window). Both extend
+# the bitmap algebra from fold (bit_or) to INTERSECTION (bit_and) —
+# the set-operation reuse COUNT(DISTINCT) results can never offer.
+# --------------------------------------------------------------------------
+
+
+def q_cohort_retention_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cohort_retention`` recomputed through BITMAP word frames —
+    same semantics, same ORACLE (the plain SQL), different execution
+    strategy (the rolling_7d_users_bitmap contract, applied to the
+    retention matrix): per-cohort and per-week user bitmaps join on
+    the WORD INDEX and intersect with bitwise AND, so the retention
+    cell (cohort c, week w) is popcount(bits_c & bits_w) — computed
+    on the |cohorts| x |weeks| x |id_space|/64 word grid instead of
+    re-shuffling per-user activity rows per cell. Cohort sizes are
+    popcounts of the SAME cohort frame (hash once, merge many —
+    localCheckpoint). Cells where the AND comes out empty are exactly
+    the (c, w) combinations the oracle's inner join never emits, so
+    they filter on n_users > 0."""
+    from interop_spark.operators.bitmap import (
+        WORD_COL,
+        bitmap_words,
+        popcount,
+    )
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", col("ts"))).alias("week")
+    ).distinct()
+    cw = bitmap_words(first, ["cohort_week"], "user_id").localCheckpoint()
+    aw = bitmap_words(active, ["week"], "user_id")
+    sizes = popcount(cw, ["cohort_week"]).select(
+        "cohort_week", col("n_distinct").alias("n_cohort")
+    )
+    cells = (
+        cw.select("cohort_week", WORD_COL, col("bits").alias("_cbits"))
+        .join(
+            aw.select("week", WORD_COL, col("bits").alias("_abits")),
+            WORD_COL,
+        )
+        .groupBy("cohort_week", "week")
+        .agg(
+            F.sum(F.bit_count(F.expr("_cbits & _abits")))
+            .cast("long")
+            .alias("n_users")
+        )
+        .where(col("n_users") > 0)
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(col("week"), col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+            "n_users",
+            F.floor(col("n_users") * 1000000 / col("n_cohort")).alias(
+                "retained_ppm"
+            ),
+        )
+    )
+
+
+def q_event_type_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jaccard similarity of USER SETS between event types,
+    exactly, via bitmap set algebra: one bitmap per event type (built
+    once, localCheckpoint — hash once, merge many), pair intersections
+    as popcount(bits_a & bits_b) over a word-index self-join, unions
+    by inclusion-exclusion (|A|+|B|-|A∩B| — no second pass, no OR
+    join). Integer ppm output end-to-end. The audience-overlap /
+    segment-similarity readout every analytics stack ships; at 100 TB
+    the pair work is |types|² x |id_space|/64 words — independent of
+    event count — where the COUNT(DISTINCT)-based SQL twin pays a
+    user-level self-join. Oracle = that plain SQL (execution-strategy
+    contract)."""
+    from interop_spark.operators.bitmap import (
+        WORD_COL,
+        bitmap_words,
+        popcount,
+    )
+
+    tu = (
+        load(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    words = bitmap_words(tu, ["event_type"], "user_id").localCheckpoint()
+    sizes = popcount(words, ["event_type"])
+    inter = (
+        words.select(
+            col("event_type").alias("type_a"),
+            WORD_COL,
+            col("bits").alias("_ba"),
+        )
+        .join(
+            words.select(
+                col("event_type").alias("type_b"),
+                WORD_COL,
+                col("bits").alias("_bb"),
+            ),
+            WORD_COL,
+        )
+        .where(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.bit_count(F.expr("_ba & _bb")))
+            .cast("long")
+            .alias("n_inter")
+        )
+    )
+    grid = (
+        sizes.select(col("event_type").alias("type_a"), col("n_distinct").alias("_na"))
+        .crossJoin(
+            F.broadcast(
+                sizes.select(
+                    col("event_type").alias("type_b"),
+                    col("n_distinct").alias("_nb"),
+                )
+            )
+        )
+        .where(col("type_a") < col("type_b"))
+    )
+    un = col("_na") + col("_nb") - F.coalesce(col("n_inter"), F.lit(0))
+    return (
+        grid.join(inter, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            F.coalesce(col("n_inter"), F.lit(0)).cast("long").alias("n_inter"),
+            un.cast("long").alias("n_union"),
+            F.floor(
+                F.coalesce(col("n_inter"), F.lit(0)) * 1000000 / un
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
+R19_CANDIDATE_QUERIES = {
+    "cohort_retention_bitmap": q_cohort_retention_bitmap,
+    "event_type_jaccard": q_event_type_jaccard,
+}
+
+R19_CANDIDATE_ORACLE = {
+    # deliberately ORACLE["cohort_retention"]: the bitmap AND grid must
+    # equal the plain join+COUNT(DISTINCT) retention matrix
+    # (execution-strategy contract); assigned below.
+    "event_type_jaccard": """
+        WITH tu AS (
+          SELECT DISTINCT event_type, user_id FROM events
+        ),
+        sizes AS (
+          SELECT event_type, count(*) AS n FROM tu GROUP BY 1
+        ),
+        inter AS (
+          SELECT x.event_type AS type_a, y.event_type AS type_b,
+                 count(*) AS n_inter
+          FROM tu x
+          JOIN tu y ON x.user_id = y.user_id
+                   AND x.event_type < y.event_type
+          GROUP BY 1, 2
+        )
+        SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+               CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+               CAST(sa.n + sb.n - coalesce(i.n_inter, 0) AS BIGINT)
+                 AS n_union,
+               CAST(floor(coalesce(i.n_inter, 0) * 1000000.0
+                          / (sa.n + sb.n - coalesce(i.n_inter, 0)))
+                    AS BIGINT) AS jaccard_ppm
+        FROM sizes sa
+        JOIN sizes sb ON sa.event_type < sb.event_type
+        LEFT JOIN inter i
+          ON i.type_a = sa.event_type AND i.type_b = sb.event_type
+    """,
+}
+
+R19_CANDIDATE_ORACLE["cohort_retention_bitmap"] = ORACLE["cohort_retention"]

@@ -796,3 +796,59 @@ def test_scd2_history_single_shuffle(spark, sf_dir):
         .toString()
     )
     assert p.count("Exchange hashpartitioning") == 1, p[:2500]
+
+
+def test_cohort_retention_bitmap_staged_parity_and_twin(spark, sf_dir):
+    """The r19-staged row `cohort_retention_bitmap` equals BOTH its
+    DuckDB oracle and the plain `cohort_retention` twin (the
+    execution-strategy contract: bitmap AND grid == join+COUNT
+    DISTINCT retention matrix)."""
+    from tests.test_oracle_parity import _canon, _duck
+
+    from interop_spark.queries.analytics_q import (
+        ORACLE,
+        QUERIES,
+        R19_CANDIDATE_ORACLE,
+        R19_CANDIDATE_QUERIES,
+    )
+
+    sdf = R19_CANDIDATE_QUERIES["cohort_retention_bitmap"](
+        spark, sf_dir
+    ).toPandas()
+    con = _duck(sf_dir)
+    ddf = con.execute(R19_CANDIDATE_ORACLE["cohort_retention_bitmap"]).df()
+    con.close()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert _canon(sdf) == _canon(ddf)
+    twin = QUERIES["cohort_retention"](spark, sf_dir).toPandas()
+    assert _canon(sdf) == _canon(twin)
+    assert ORACLE["cohort_retention"] == R19_CANDIDATE_ORACLE[
+        "cohort_retention_bitmap"
+    ]
+
+
+def test_event_type_jaccard_staged_parity_and_bounds(spark, sf_dir):
+    """The r19-staged row `event_type_jaccard` satisfies the driver's
+    full oracle contract; Jaccard invariants hold (0 <= inter <=
+    min(|A|,|B|), union >= max, ppm in [0, 1e6], each unordered pair
+    once)."""
+    from tests.test_oracle_parity import _canon, _duck
+
+    from interop_spark.queries.analytics_q import (
+        R19_CANDIDATE_ORACLE,
+        R19_CANDIDATE_QUERIES,
+    )
+
+    df = R19_CANDIDATE_QUERIES["event_type_jaccard"](spark, sf_dir)
+    sdf = df.toPandas()
+    con = _duck(sf_dir)
+    ddf = con.execute(R19_CANDIDATE_ORACLE["event_type_jaccard"]).df()
+    con.close()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert _canon(sdf) == _canon(ddf)
+    rows = list(sdf.itertuples(index=False))
+    assert len(rows) == len({(r.type_a, r.type_b) for r in rows})
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert 0 <= r.n_inter <= r.n_union
+        assert 0 <= r.jaccard_ppm <= 1_000_000
