@@ -570,6 +570,23 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
         # guard prevents.
         "linkage_blocked": lambda r: _linkage_probe(r, 64),
         "linkage_blocked_noguard": lambda r: _linkage_probe(r, None),
+        # round-18 incremental linkage: the survivor registry is built
+        # and bucket-written ONCE from the 1x records (untimed — a real
+        # pipeline persists the crosswalk), then the 1x/10x BATCH
+        # probes it through the block-key join + verify + min-survivor
+        # assignment. Replicas carry disjoint birth_year bands (no
+        # registry co-block) except the planted hot block, whose
+        # candidates grow linearly in the batch against the FIXED
+        # registry side — so ratio_10x ~linear is the done-bar, and
+        # the registry is never re-shuffled (the plan-asserted
+        # batch-side-only Exchange).
+        "linkage_incremental": "_LINKINC_SPECIAL",
+        # round-18 SCD2 dimension build: orders x10 with the CUSTOMER
+        # BASE CONSTANT (per-key history grows 10x — the window-state
+        # dimension), through the full lag-change -> run groupBy ->
+        # versioning-window chain. One custkey exchange serves all
+        # three stages, so ~linear-in-rows is the done-bar.
+        "scd2_history": lambda o: _scd2_probe(o),
     }
 
     def _linkage_probe(records, cap):
@@ -594,6 +611,126 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
         return popcount(
             bitmap_words(ev, ["event_type"], "user_id"), ["event_type"]
         )
+
+    def _scd2_probe(o):
+        # the q_scd2_history core over an arbitrary orders frame
+        from pyspark.sql import functions as _F
+        from pyspark.sql.window import Window as _W
+
+        w = _W.partitionBy("o_custkey").orderBy(
+            col("o_orderdate").asc(), col("o_orderkey").asc()
+        )
+        prev_s = _F.lag("o_orderstatus").over(w)
+        prev_p = _F.lag("o_orderpriority").over(w)
+        chg = _F.when(
+            prev_s.isNull()
+            | (prev_s != col("o_orderstatus"))
+            | (prev_p != col("o_orderpriority")),
+            1,
+        ).otherwise(0)
+        runs = o.select(
+            "o_custkey",
+            "o_orderdate",
+            "o_orderstatus",
+            "o_orderpriority",
+            _F.sum(chg).over(w).alias("_grp"),
+        )
+        g = runs.groupBy("o_custkey", "_grp").agg(
+            _F.min("o_orderdate").alias("valid_from"),
+            _F.min("o_orderstatus").alias("status"),
+            _F.min("o_orderpriority").alias("priority"),
+            _F.count(_F.lit(1)).alias("n_orders"),
+        )
+        w2 = _W.partitionBy("o_custkey").orderBy(col("_grp").asc())
+        return g.select(
+            "o_custkey",
+            "status",
+            "priority",
+            "valid_from",
+            _F.lead("valid_from").over(w2).alias("valid_to"),
+            _F.row_number().over(w2).alias("version"),
+            "n_orders",
+        )
+
+    def _scaled_orders(mult: int):
+        # orders x mult with the customer base CONSTANT: each replica
+        # extends every customer's order history (distinct order keys),
+        # so per-key window state grows 10x while the key space holds.
+        import os as _os
+
+        o = spark.read.parquet(
+            _os.path.join(sf_dir, "orders.parquet")
+        ).select(
+            "o_custkey",
+            "o_orderdate",
+            "o_orderkey",
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        par = spark.sparkContext.defaultParallelism
+        if mult == 1:
+            return o.repartition(par)
+        reps = spark.range(mult).select(col("id").alias("rep"))
+        return (
+            o.crossJoin(reps)
+            .select(
+                "o_custkey",
+                "o_orderdate",
+                (col("o_orderkey") * mult + col("rep")).alias(
+                    "o_orderkey"
+                ),
+                "o_orderstatus",
+                "o_orderpriority",
+            )
+            .repartition(par)
+        )
+
+    def _make_linkage_inc_fn():
+        # registry built + bucket-written ONCE from the 1x records
+        # (untimed); the returned closure is the pure per-batch path
+        import shutil as _sh
+        from urllib.parse import urlparse as _up
+
+        from interop_spark.operators.linkage import incremental_pairs
+        from interop_spark.operators.scale import write_bucketed
+
+        reg = _scaled_records(1).select(
+            col("rec_id").alias("entity_id"),
+            "given",
+            "family",
+            (col("birth_year") * 100 + col("state"))
+            .cast("int")
+            .alias("block_key"),
+        )
+        t = "linkage_probe_reg"
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        wh = _up(spark.conf.get("spark.sql.warehouse.dir", "")).path
+        if wh:
+            _sh.rmtree(
+                __import__("os").path.join(wh, t), ignore_errors=True
+            )
+        write_bucketed(reg, t, "block_key", 8)
+        table = spark.table(t)
+
+        def fn(records):
+            b = records.select(
+                "rec_id",
+                "given",
+                "family",
+                (col("birth_year") * 100 + col("state"))
+                .cast("int")
+                .alias("block_key"),
+            )
+            cand = incremental_pairs(b, table, "block_key")
+            hits = cand.where(
+                (col("given_new") == col("given_reg"))
+                & (F.levenshtein("family_new", "family_reg") <= 2)
+            )
+            return hits.groupBy(col("rec_id_new").alias("rec_id")).agg(
+                F.min("entity_id_reg").alias("entity_id")
+            )
+
+        return fn
 
     def _rank_sketch_probe(d):
         from interop_spark.operators.sketch import (
@@ -886,11 +1023,19 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
             except Exception as e:
                 out[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
                 continue
+        elif fn == "_LINKINC_SPECIAL":
+            try:
+                fn = _make_linkage_inc_fn()
+            except Exception as e:
+                out[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+                continue
         elif fn == "_PAGERANK":
             fn = _pagerank_probe
         scaled = (
             _scaled_records
-            if name in ("linkage_blocked", "linkage_blocked_noguard") else
+            if name in ("linkage_blocked", "linkage_blocked_noguard",
+                        "linkage_incremental") else
+            _scaled_orders if name == "scd2_history" else
             _scaled_events_cols if name == "bitmap_distinct" else
             _scaled_embeddings if name in _EMB_PROBES else
             _planted_skew_documents if name in _SKEW_PROBES else
