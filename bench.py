@@ -613,43 +613,22 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
         )
 
     def _scd2_probe(o):
-        # the q_scd2_history core over an arbitrary orders frame
+        # the registered row's own core (shared function — the probe
+        # can never time a different run segmentation than the row)
         from pyspark.sql import functions as _F
-        from pyspark.sql.window import Window as _W
 
-        w = _W.partitionBy("o_custkey").orderBy(
-            col("o_orderdate").asc(), col("o_orderkey").asc()
-        )
-        prev_s = _F.lag("o_orderstatus").over(w)
-        prev_p = _F.lag("o_orderpriority").over(w)
-        chg = _F.when(
-            prev_s.isNull()
-            | (prev_s != col("o_orderstatus"))
-            | (prev_p != col("o_orderpriority")),
-            1,
-        ).otherwise(0)
-        runs = o.select(
-            "o_custkey",
-            "o_orderdate",
-            "o_orderstatus",
-            "o_orderpriority",
-            _F.sum(chg).over(w).alias("_grp"),
-        )
-        g = runs.groupBy("o_custkey", "_grp").agg(
-            _F.min("o_orderdate").alias("valid_from"),
-            _F.min("o_orderstatus").alias("status"),
-            _F.min("o_orderpriority").alias("priority"),
-            _F.count(_F.lit(1)).alias("n_orders"),
-        )
-        w2 = _W.partitionBy("o_custkey").orderBy(col("_grp").asc())
-        return g.select(
-            "o_custkey",
-            "status",
-            "priority",
-            "valid_from",
-            _F.lead("valid_from").over(w2).alias("valid_to"),
-            _F.row_number().over(w2).alias("version"),
-            "n_orders",
+        from interop_spark.queries.analytics_q import scd2_core
+
+        return scd2_core(
+            o.select(
+                col("o_custkey").alias("custkey"),
+                _F.date_format("o_orderdate", "yyyy-MM-dd").alias(
+                    "eff_date"
+                ),
+                col("o_orderkey").alias("okey"),
+                col("o_orderstatus").alias("status"),
+                col("o_orderpriority").alias("priority"),
+            )
         )
 
     def _scaled_orders(mult: int):
@@ -1312,27 +1291,30 @@ def main() -> None:
         "loadavg_1m_post_headline": round(os.getloadavg()[0], 2),
         "drift_note": DRIFT_NOTE,
     }
-    # r17 verdict item 2 (second half): per-leg timing for the e2e
-    # chain — the next fhir_notebook_e2e drift names a LEG (fixture /
-    # ingest / sink / rejoin / writer), not a lump.
-    try:
-        from interop_spark.queries.fhir_queries import (
-            notebook_e2e_leg_times,
-        )
-
-        detail["fhir_notebook_e2e_legs"] = notebook_e2e_leg_times(
-            spark, sf_dir
-        )
-    except Exception as e:
-        detail["fhir_notebook_e2e_legs"] = {
-            "error": f"{type(e).__name__}: {e}"[:300]
-        }
     # safety net: the headline numbers exist in the output even if the
     # probes below take the JVM down (round-4 lost the whole artifact
     # that way). Prefixed + stderr so the driver's one-JSON-line stdout
     # contract still holds.
     print("HEADLINE (pre-probe): " + json.dumps(result), file=sys.stderr, flush=True)
+    # r17 verdict item 2 (second half): per-leg timing for the e2e
+    # chain — the next fhir_notebook_e2e drift names a LEG (fixture /
+    # ingest / sink / rejoin / writer), not a lump. AFTER the safety-
+    # net print and behind the probe gate: this re-runs the heaviest
+    # chain in the suite, and a JVM-killing failure here must cost the
+    # probe block, never the headline artifact (the round-4 lesson).
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+        try:
+            from interop_spark.queries.fhir_queries import (
+                notebook_e2e_leg_times,
+            )
+
+            detail["fhir_notebook_e2e_legs"] = notebook_e2e_leg_times(
+                spark, sf_dir
+            )
+        except Exception as e:
+            detail["fhir_notebook_e2e_legs"] = {
+                "error": f"{type(e).__name__}: {e}"[:300]
+            }
         try:
             detail["scaling"] = _scaling_probes(spark, sf_dir)
         except Exception as e:

@@ -1651,6 +1651,16 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         col("o_orderstatus").alias("status"),
         col("o_orderpriority").alias("priority"),
     )
+    return scd2_core(o)
+
+
+def scd2_core(o: DataFrame) -> DataFrame:
+    """The SCD2 gap-and-island core over a (custkey, eff_date, okey,
+    status, priority) frame — ONE implementation shared by
+    ``q_scd2_history`` and bench.py's ``scd2_history`` scaling probe,
+    so the probe can never silently time a different run segmentation
+    than the registered row. ``(eff_date, okey)`` must be a total
+    order (okey unique)."""
     w = Window.partitionBy("custkey").orderBy(
         col("eff_date").asc(), col("okey").asc()
     )

@@ -676,7 +676,6 @@ def test_rolling_bitmap_staged_matches_oracle_and_twin(spark, sf_dir):
     from tests.test_oracle_parity import _canon, _duck
 
     from interop_spark.queries.analytics_q import (
-        QUERIES,
         ORACLE,
         QUERIES,
     )
