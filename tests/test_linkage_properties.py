@@ -164,3 +164,99 @@ def test_z_value_matches_python_morton(spark, pts):
         ).collect()
     }
     assert got == {i: morton(x, y) for i, (x, y) in enumerate(pts)}
+
+
+ORDERS = st.lists(
+    st.tuples(
+        st.integers(0, 3),            # custkey
+        st.integers(0, 5),            # day (eff_date)
+        st.sampled_from("OFP"),       # status
+        st.sampled_from(["1-URGENT", "3-MEDIUM", "5-LOW"]),  # priority
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=ORDERS)
+def test_scd2_core_matches_bruteforce(spark, rows):
+    """scd2_core == a pure-python gap-and-island reference: same runs,
+    same validity chaining, same versions, for arbitrary (key, date,
+    attrs) multisets (okey = index keeps the order total)."""
+    from collections import defaultdict
+
+    from interop_spark.queries.analytics_q import scd2_core
+
+    data = [
+        (ck, f"2024-01-{d + 1:02d}", i, s, p)
+        for i, (ck, d, s, p) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, ["custkey", "eff_date", "okey", "status", "priority"]
+    )
+    got = {
+        (r.custkey, r.version): (
+            r.status, r.priority, r.valid_from, r.valid_to,
+            r.is_current, r.n_orders,
+        )
+        for r in scd2_core(df).collect()
+    }
+    by_key = defaultdict(list)
+    for ck, ed, i, s, p in data:
+        by_key[ck].append((ed, i, s, p))
+    want = {}
+    for ck, evs in by_key.items():
+        evs.sort()
+        runs = []
+        for ed, _i, s, p in evs:
+            if runs and runs[-1][0] == (s, p):
+                runs[-1][1].append(ed)
+            else:
+                runs.append([(s, p), [ed]])
+        for v, ((s, p), dates) in enumerate(runs, start=1):
+            nxt = runs[v][1][0] if v < len(runs) else None
+            want[(ck, v)] = (
+                s, p, dates[0], nxt, v == len(runs), len(dates)
+            )
+    assert got == want
+
+
+BATCH = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 3)),  # (block, tag)
+    min_size=0,
+    max_size=15,
+)
+REG = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 3)),
+    min_size=0,
+    max_size=15,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(batch=BATCH, reg=REG)
+def test_incremental_pairs_matches_bruteforce(spark, batch, reg):
+    """incremental_pairs == the full (batch x registry) co-block cross
+    product, computed by brute force in python."""
+    from interop_spark.operators.linkage import incremental_pairs
+
+    bdata = [(blk, 1000 + i, f"b{tag}") for i, (blk, tag) in enumerate(batch)]
+    rdata = [(blk, i, f"r{tag}") for i, (blk, tag) in enumerate(reg)]
+    cols_b = ["block_key", "rec_id", "payload"]
+    cols_r = ["block_key", "entity_id", "payload"]
+    if not bdata or not rdata:
+        return  # createDataFrame needs rows to infer types; vacuous case
+    bdf = spark.createDataFrame(bdata, cols_b)
+    rdf = spark.createDataFrame(rdata, cols_r)
+    got = {
+        (r.block_key, r.rec_id_new, r.entity_id_reg)
+        for r in incremental_pairs(bdf, rdf, "block_key").collect()
+    }
+    want = {
+        (bb, rid, eid)
+        for bb, rid, _ in bdata
+        for rb, eid, _ in rdata
+        if bb == rb
+    }
+    assert got == want
