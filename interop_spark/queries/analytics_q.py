@@ -1925,3 +1925,98 @@ R19_CANDIDATE_ORACLE = {
 }
 
 R19_CANDIDATE_ORACLE["cohort_retention_bitmap"] = ORACLE["cohort_retention"]
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (the marketing-analytics staple):
+    per-customer Recency (days from last order to the corpus anchor =
+    global max order date), Frequency (order count), Monetary (order
+    value sum), banded into 1-4 scores and rolled up to segment
+    counts. Bands are FIXED ARITHMETIC thresholds, not quantiles — a
+    global ntile would funnel every customer through one window
+    partition at 100 TB, while fixed bands are a pure projection over
+    the bounded per-customer frame (the unimax integer-arithmetic
+    posture; a quantile-banded variant would broadcast
+    percentile_approx thresholds, trading exactness for the same
+    shuffle shape). Monetary is rounded to 2dp per customer BEFORE
+    banding on BOTH engines: cent-sums carry fp error ~1e-9 which
+    round(.,2) absorbs (no true cent value sits at a .xx5 rounding
+    boundary), so band membership is cross-engine exact. Plan: one
+    per-customer shuffle, a 1-row broadcast anchor, a bounded
+    (4x4x4 max) rollup."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    anchor = o.agg(F.max("o_orderdate").alias("anchor"))
+    per = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    j = per.crossJoin(F.broadcast(anchor))
+    rec = F.datediff(col("anchor"), col("last_order"))
+    r_s = (
+        F.when(rec <= 180, 4)
+        .when(rec <= 365, 3)
+        .when(rec <= 730, 2)
+        .otherwise(1)
+    )
+    f_s = (
+        F.when(col("n_orders") >= 15, 4)
+        .when(col("n_orders") >= 10, 3)
+        .when(col("n_orders") >= 5, 2)
+        .otherwise(1)
+    )
+    m_s = (
+        F.when(col("monetary") >= 2000000, 4)
+        .when(col("monetary") >= 1000000, 3)
+        .when(col("monetary") >= 300000, 2)
+        .otherwise(1)
+    )
+    return (
+        j.groupBy(
+            r_s.cast("int").alias("r_score"),
+            f_s.cast("int").alias("f_score"),
+            m_s.cast("int").alias("m_score"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(F.sum("monetary"), 2).alias("sum_monetary"),
+        )
+    )
+
+
+R19_CANDIDATE_QUERIES["rfm_segments"] = q_rfm_segments
+
+R19_CANDIDATE_ORACLE["rfm_segments"] = """
+    WITH anchor AS (SELECT max(o_orderdate) AS anchor FROM orders),
+    per AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY 1
+    ),
+    scored AS (
+      SELECT CASE WHEN date_diff('day', last_order, anchor) <= 180 THEN 4
+                  WHEN date_diff('day', last_order, anchor) <= 365 THEN 3
+                  WHEN date_diff('day', last_order, anchor) <= 730 THEN 2
+                  ELSE 1 END AS r_score,
+             CASE WHEN n_orders >= 15 THEN 4
+                  WHEN n_orders >= 10 THEN 3
+                  WHEN n_orders >= 5 THEN 2
+                  ELSE 1 END AS f_score,
+             CASE WHEN monetary >= 2000000 THEN 4
+                  WHEN monetary >= 1000000 THEN 3
+                  WHEN monetary >= 300000 THEN 2
+                  ELSE 1 END AS m_score,
+             monetary
+      FROM per, anchor
+    )
+    SELECT CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(monetary), 2) AS sum_monetary
+    FROM scored GROUP BY 1, 2, 3
+"""

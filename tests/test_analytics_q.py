@@ -851,3 +851,31 @@ def test_event_type_jaccard_staged_parity_and_bounds(spark, sf_dir):
         assert r.type_a < r.type_b
         assert 0 <= r.n_inter <= r.n_union
         assert 0 <= r.jaccard_ppm <= 1_000_000
+
+
+def test_rfm_segments_staged_parity_and_bands(spark, sf_dir):
+    """The r19-staged row `rfm_segments` satisfies the driver's full
+    oracle contract; band invariants hold (scores in 1-4, customer
+    counts partition the customer base, at least two distinct
+    segments so the banding discriminates)."""
+    from tests.test_oracle_parity import _canon, _duck
+
+    from interop_spark.io import load
+    from interop_spark.queries.analytics_q import (
+        R19_CANDIDATE_ORACLE,
+        R19_CANDIDATE_QUERIES,
+    )
+
+    sdf = R19_CANDIDATE_QUERIES["rfm_segments"](spark, sf_dir).toPandas()
+    con = _duck(sf_dir)
+    ddf = con.execute(R19_CANDIDATE_ORACLE["rfm_segments"]).df()
+    con.close()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert _canon(sdf) == _canon(ddf)
+    assert len(sdf) >= 2
+    for c in ("r_score", "f_score", "m_score"):
+        assert sdf[c].between(1, 4).all()
+    n_cust = (
+        load(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert int(sdf.n_customers.sum()) == n_cust
