@@ -1823,12 +1823,9 @@ def q_event_type_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair work is |types|² x |id_space|/64 words — independent of
     event count — where the COUNT(DISTINCT)-based SQL twin pays a
     user-level self-join. Oracle = that plain SQL (execution-strategy
-    contract)."""
-    from interop_spark.operators.bitmap import (
-        WORD_COL,
-        bitmap_words,
-        popcount,
-    )
+    contract). Core is the shared ``_jaccard_readout`` (also the
+    streaming twin's final step)."""
+    from interop_spark.operators.bitmap import bitmap_words
 
     tu = (
         load(spark, sf_dir, "events")
@@ -1836,6 +1833,17 @@ def q_event_type_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     words = bitmap_words(tu, ["event_type"], "user_id").localCheckpoint()
+    return _jaccard_readout(words)
+
+
+def _jaccard_readout(words: DataFrame) -> DataFrame:
+    """Pairwise Jaccard from a (event_type, word, bits) frame — ONE
+    implementation shared by the batch row and the streaming fold
+    twin (the scd2_core convention), so the two rows can never
+    silently diverge. Intersections are popcount(bits_a & bits_b)
+    over a word-index self-join; unions by inclusion-exclusion."""
+    from interop_spark.operators.bitmap import WORD_COL, popcount
+
     sizes = popcount(words, ["event_type"])
     inter = (
         words.select(
@@ -2020,3 +2028,57 @@ R19_CANDIDATE_ORACLE["rfm_segments"] = """
            round(sum(monetary), 2) AS sum_monetary
     FROM scored GROUP BY 1, 2, 3
 """
+
+
+def q_stream_type_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING pairwise user-set Jaccard between event types: the
+    per-batch (event_type, word) bitmap partials fold by bit_or across
+    the shared 4-chunk landing (the stream_bitmap_distinct state,
+    byte for byte), and the final state answers a question the batches
+    were never asked — pairwise set INTERSECTION sizes — through the
+    SAME ``_jaccard_readout`` as the batch row. This is the bitmap
+    re-mergeability claim doing new work: COUNT(DISTINCT)-style
+    per-batch results could never be combined into cross-set algebra
+    after the fact, while O(|types| x |id_space|/64) words can. Fold
+    is exactly mergeable AND idempotent, so the batch SQL is the
+    oracle with zero slack."""
+    import os
+
+    from interop_spark.operators.bitmap import bitmap_words, merge_words
+    from interop_spark.streaming.cdc import land_event_chunks
+
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    # same landing as stream_bitmap_distinct: identical input frame,
+    # and the cache key content-fingerprints the rows
+    key = "bitmap-" + (os.path.basename(os.path.normpath(sf_dir)) or "sf")
+    flat = land_event_chunks(ev, 4, key)
+    schema = spark.read.parquet(flat).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    state: dict = {"words": None}
+
+    def _fold(batch_df: DataFrame, _batch_id: int) -> None:
+        w = bitmap_words(batch_df, ["event_type"], "user_id")
+        if state["words"] is None:
+            state["words"] = w.localCheckpoint()
+        else:
+            state["words"] = merge_words(
+                state["words"].unionByName(w), ["event_type"]
+            ).localCheckpoint()
+
+    q = (
+        src.writeStream.foreachBatch(_fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _jaccard_readout(state["words"])
+
+
+R19_CANDIDATE_QUERIES["stream_type_jaccard"] = q_stream_type_jaccard
+R19_CANDIDATE_ORACLE["stream_type_jaccard"] = R19_CANDIDATE_ORACLE[
+    "event_type_jaccard"
+]

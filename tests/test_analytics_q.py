@@ -879,3 +879,28 @@ def test_rfm_segments_staged_parity_and_bands(spark, sf_dir):
         load(spark, sf_dir, "orders").select("o_custkey").distinct().count()
     )
     assert int(sdf.n_customers.sum()) == n_cust
+
+
+def test_stream_type_jaccard_staged_matches_oracle_and_twin(spark, sf_dir):
+    """The r19-staged streaming Jaccard equals BOTH the batch SQL
+    oracle (exactly-mergeable idempotent fold — zero slack) and the
+    batch bitmap twin."""
+    from tests.test_oracle_parity import _canon, _duck
+
+    from interop_spark.queries.analytics_q import (
+        R19_CANDIDATE_ORACLE,
+        R19_CANDIDATE_QUERIES,
+    )
+
+    sdf = R19_CANDIDATE_QUERIES["stream_type_jaccard"](
+        spark, sf_dir
+    ).toPandas()
+    con = _duck(sf_dir)
+    ddf = con.execute(R19_CANDIDATE_ORACLE["stream_type_jaccard"]).df()
+    con.close()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert _canon(sdf) == _canon(ddf)
+    twin = R19_CANDIDATE_QUERIES["event_type_jaccard"](
+        spark, sf_dir
+    ).toPandas()
+    assert _canon(sdf) == _canon(twin)

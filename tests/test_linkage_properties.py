@@ -260,3 +260,41 @@ def test_incremental_pairs_matches_bruteforce(spark, batch, reg):
         if bb == rb
     }
     assert got == want
+
+
+PAIRS = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(-40, 40)),  # (type, user)
+    min_size=1,
+    max_size=50,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(pairs=PAIRS)
+def test_jaccard_readout_matches_python_sets(spark, pairs):
+    """_jaccard_readout over bitmap word frames == python set algebra
+    (intersection, inclusion-exclusion union, floor ppm) for arbitrary
+    signed-id (type, user) multisets."""
+    from collections import defaultdict
+
+    from interop_spark.queries.analytics_q import _jaccard_readout
+
+    df = spark.createDataFrame(
+        [(f"t{t}", u) for t, u in pairs], ["event_type", "user_id"]
+    )
+    words = bitmap_words(df, ["event_type"], "user_id")
+    got = {
+        (r.type_a, r.type_b): (r.n_inter, r.n_union, r.jaccard_ppm)
+        for r in _jaccard_readout(words).collect()
+    }
+    sets = defaultdict(set)
+    for t, u in pairs:
+        sets[f"t{t}"].add(u)
+    types = sorted(sets)
+    want = {}
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            want[(a, b)] = (inter, union, inter * 1_000_000 // union)
+    assert got == want
