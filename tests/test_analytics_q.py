@@ -904,3 +904,31 @@ def test_stream_type_jaccard_staged_matches_oracle_and_twin(spark, sf_dir):
         spark, sf_dir
     ).toPandas()
     assert _canon(sdf) == _canon(twin)
+
+
+def test_staged_bitmap_rows_plan_shape(spark, sf_dir):
+    """r19-prep plan pins for the staged bit_and rows: neither plan
+    may contain Expand (the distinct-agg rewrite's row multiplier) or
+    a user-keyed exchange — the pair/cell work must happen on word
+    frames (the bitmap execution-strategy contract); the word build's
+    partial bit_or collapse must appear."""
+    from interop_spark.queries.analytics_q import R19_CANDIDATE_QUERIES
+
+    # jaccard checkpoints its word frame (hash once, pair many), so its
+    # plan reads Scan ExistingRDD; the retention row's active-week word
+    # build stays inline, so its partial bit_or collapse must appear
+    pins = {
+        "event_type_jaccard": "Scan ExistingRDD",
+        "cohort_retention_bitmap": "partial_bit_or",
+    }
+    for name, pin in pins.items():
+        ex = (
+            R19_CANDIDATE_QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Expand" not in ex, (name, ex[:2500])
+        assert pin in ex, (name, ex[:2500])
+        # the pairing/cell join keys on the word index, never user_id
+        assert "hashpartitioning(user_id" not in ex, (name, ex[:2500])
