@@ -46,6 +46,16 @@ def bitmap_words(df: DataFrame, group_cols: list[str], id_col: str) -> DataFrame
         raise ValueError(
             f"bitmap_words: input already has a {WORD_COL!r} column"
         )
+    if "bits" in group_cols:
+        # a 'bits' group column would survive the groupBy alongside the
+        # bit_or alias, leaving two 'bits' columns and ambiguous
+        # downstream bit_or/bit_count references (ADVICE r18 #3 — the
+        # WORD_COL guard's twin; a 'bits' column NOT in group_cols is
+        # dropped by the aggregation and is harmless)
+        raise ValueError(
+            "bitmap_words: 'bits' is the reserved output column and"
+            " cannot be a group column"
+        )
     word = F.expr(
         f"shiftright(CAST({id_col} AS BIGINT), 6)"
     ).alias(WORD_COL)

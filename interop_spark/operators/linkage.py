@@ -39,6 +39,7 @@ def blocked_pairs(
     block_cols: list[str],
     id_col: str,
     max_block_size: int = 1000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Candidate pairs from block-key co-membership.
 
@@ -48,6 +49,16 @@ def blocked_pairs(
     ``max_block_size`` records are dropped entirely (see module
     docstring). Verification is the caller's job — filter the returned
     frame with a pair predicate.
+
+    ``materialize`` (default True) localCheckpoints the guarded record
+    frame LAZILY (``eager=False``) so the self-join's two legs read one
+    materialized copy instead of each rebuilding the guard subtree —
+    but nothing runs until the caller's first action (ADVICE r18 #1;
+    the r17-era eager checkpoint triggered a job even when the pair
+    frame was never consumed). Pass ``materialize=False`` when the
+    caller needs lineage-based fault tolerance (localCheckpoint blocks
+    are executor-local, not replicated) or predicate pushdown into the
+    record scan more than it needs the single-pass guard.
     """
     sizes = (
         records.groupBy(*block_cols)
@@ -67,7 +78,9 @@ def blocked_pairs(
     # The bitmap_distinct_users hash-once-merge-many pattern: compute
     # the guarded frame once, let both pair sides read the
     # materialized rows.
-    ok = records.join(sizes, block_cols, "left_semi").localCheckpoint()
+    ok = records.join(sizes, block_cols, "left_semi")
+    if materialize:
+        ok = ok.localCheckpoint(eager=False)
 
     other = [c for c in records.columns if c not in block_cols]
     a = ok.select(

@@ -60,105 +60,113 @@ _MODULES = (
 # ROUND-17 window and rationale: git history (this block's prior
 # revision), per the trimming convention adopted in r9.
 #
-# ROUND-18 window (50): executes the r17 verdict's queue exactly.
-#   * REGISTERED FROM STAGING (7, the whole staged set per verdict
-#     item 1): linkage_entities (linkage_q), twap_per_user +
-#     ab_test_zstat + triangle_count + zorder_layout +
-#     rolling_7d_users_bitmap + top_paths (analytics_q) moved from
-#     R18_CANDIDATE_* into QUERIES/ORACLE (all seven passed the pytest
-#     parity harness in r17).
-#   * NEW this round (2): linkage_incremental (verdict item 5 — batch
-#     vs PERSISTED bucketed crosswalk, operators/linkage.py
-#     incremental_pairs + linkage_q append) and scd2_history (verdict
-#     item 6 — multi-attribute SCD2 dimension build over orders,
-#     analytics_q append; the single-attribute event build is the
-#     r13-green scd2_intervals).
-#   * DIFF RE-VERIFY (3): patient_record_linkage (blocked_pairs now
-#     localCheckpoints the guarded frame — verdict item 4);
-#     bitmap_distinct_users + stream_bitmap_distinct (operators/
-#     bitmap.py ADVICE r17 fixes: signed-id shiftright/pmod mapping,
-#     popcount coalesce-to-0, word-column collision guard + rename —
-#     rolling_7d_users_bitmap consumes the same module but is already
-#     in the staged set above). All other modules' hunks this round
-#     are pure appends (new functions + new dict entries only; no
-#     existing function hunk touched), so out-of-window greens stand.
-#   * R12 DRAIN (30 = the ENTIRE remaining r12 band): the two
-#     displaced heads first (fhir_nutrition_orders,
-#     fhir_omop_condition_occurrence — the displaced-head rule), then
-#     the 28-row residue. After this round no registry green is older
-#     than r13.
-#   * R13 DRAIN (8): alphabetical head of the 34-row r13 band
-#     (agg_stats .. classifier_train_steps).
-# ROUND-19 QUEUE: the remaining 26 r13 rows (countmin_estimate,
-# date_series, domain_quantile_filter, dsir_importance,
-# dup_span_removal, fhir_device_metrics, fhir_insurance_plans,
-# fhir_omop_care_site, fhir_omop_cost, fhir_omop_device_exposure,
-# fhir_omop_drug_era, fhir_omop_location, hll_distinct_estimate,
-# image_dims, ivf_multiprobe_topk, ivf_probe_topk, ivf_recall_at_k,
-# ivfpq_rerank, ivfpq_residual_search, ivfpq_search,
-# join_filter_pushdown, lang_id, merge_upsert, source_drift_chi2,
-# source_quota_sample, weighted_sample_topk), then the r14 band head
-# behind them — minus however many slots r19's new/staged rows and
-# diff re-verifications take, per the standing window invariant.
+# ROUND-18 window and rationale: git history (this block's prior
+# revision), per the trimming convention adopted in r9.
+#
+# ROUND-19 window (50): executes the r18 verdict's queue exactly.
+#   * REGISTERED FROM STAGING (4, the whole staged set per verdict
+#     item 1): cohort_retention_bitmap + event_type_jaccard +
+#     stream_type_jaccard + rfm_segments (analytics_q) moved from
+#     R19_CANDIDATE_* into QUERIES/ORACLE (all four passed the pytest
+#     parity harness in r18). Completes the bitmap bit_and
+#     intersection algebra whose bit_or fold half shipped r17/r18.
+#   * NEW this round (2, verdict item 7): grouped_percentile_approx
+#     (Spark's native mergeable percentile_approx sketch agg vs exact
+#     DuckDB quantile_disc — exact at test SF by the accuracy choice)
+#     and stratified_reservoir (per-stratum deterministic hash-order
+#     reservoir via EXACT salted two-phase top-k), both selection_q
+#     appends.
+#   * DIFF RE-VERIFY (6): bitmap_distinct_users +
+#     stream_bitmap_distinct + rolling_7d_users_bitmap (operators/
+#     bitmap.py ADVICE r18 #3 'bits' group-column guard — the other
+#     bitmap consumers, cohort_retention_bitmap / *_type_jaccard, are
+#     in the staged set above); patient_record_linkage +
+#     linkage_entities + linkage_incremental (operators/linkage.py
+#     ADVICE r18 #1 lazy/opt-out localCheckpoint in blocked_pairs,
+#     and linkage_q ADVICE r18 #2 collision-free registry prefix +
+#     db-qualified purge in q_linkage_incremental). All other module
+#     hunks this round are pure appends (new functions + dict-entry
+#     registration only; no existing function hunk touched), so
+#     out-of-window greens stand.
+#   * R13 DRAIN (26 = the ENTIRE remaining r13 band): after this
+#     round no registry green is older than r14.
+#   * R14 DRAIN (12): alphabetical head of the 49-row r14 band
+#     (agg_minmax .. fhir_ndjson_coverage_bundles).
+# ROUND-20 QUEUE: the remaining 37 r14 rows
+# (fhir_ndjson_export_errors, fhir_ndjson_observations,
+# fhir_ndjson_patient_conditions, fhir_ndjson_type_counts,
+# fhir_omop_cohort, fhir_omop_condition_era, fhir_omop_device_era,
+# fhir_omop_dose_era, fhir_omop_note, fhir_omop_observation,
+# fhir_omop_payer_plan_period, fhir_omop_specimen,
+# fhir_quality_measure_catalog, fhir_research_enrollment,
+# fhir_terminology_catalog, lm_perplexity_filter, minhash_est_error,
+# mrl_recall_at_k, multimodal_features, multiway_join_agg,
+# paragraph_dedup, pca_top_component, percentile_agg, pq_adc_topk,
+# pq_encode, pricing_summary, quality_classifier_filter,
+# quantile_sketch_estimate, scd2_intervals, stream_dedup_counts,
+# stream_hll_users, stream_merge_upsert, stream_ndjson_counts,
+# stream_quantile_sketch, stream_windowed_counts, string_agg_sorted,
+# unimax_sample), then the r15 band head behind them — minus however
+# many slots r20's new/staged rows and diff re-verifications take,
+# per the standing window invariant.
 #
 # --------------------------------------------------------------------------
 _WINDOW = (
-    # --- ROUND 18: registered from staging (7) ---
-    "linkage_entities",
-    "twap_per_user",
-    "ab_test_zstat",
-    "triangle_count",
-    "zorder_layout",
-    "rolling_7d_users_bitmap",
-    "top_paths",
-    # --- ROUND 18: new queries (2) ---
-    "linkage_incremental",
-    "scd2_history",
-    # --- ROUND 18: diff re-verify (3) ---
-    "patient_record_linkage",
+    # --- ROUND 19: registered from staging (4) ---
+    "cohort_retention_bitmap",
+    "event_type_jaccard",
+    "stream_type_jaccard",
+    "rfm_segments",
+    # --- ROUND 19: new queries (2) ---
+    "grouped_percentile_approx",
+    "stratified_reservoir",
+    # --- ROUND 19: diff re-verify (6) ---
     "bitmap_distinct_users",
     "stream_bitmap_distinct",
-    # --- ROUND 18: r12 drain, displaced heads first (2) ---
-    "fhir_nutrition_orders",
-    "fhir_omop_condition_occurrence",
-    # --- ROUND 18: r12 residue (28) ---
-    "fhir_omop_death",
-    "fhir_omop_drug_exposure",
-    "fhir_omop_measurement",
-    "fhir_omop_observation_period",
-    "fhir_omop_person",
-    "fhir_omop_procedure_occurrence",
-    "fhir_omop_provider",
-    "fhir_omop_visit_occurrence",
-    "fhir_patient_claims",
-    "fhir_patient_conditions",
-    "fhir_patient_observations",
-    "fhir_providers_practitioners",
-    "fhir_questionnaire_answers",
-    "fhir_questionnaire_join",
-    "fhir_reference_integrity",
-    "fhir_slots",
-    "grouping_sets",
-    "knn_batch",
-    "knn_cosine",
-    "minhash_incremental_dedup",
-    "ngram_decontaminate",
-    "pivot_agg",
-    "semdedup_keep",
-    "stream_join_pairs_watermarked",
-    "stream_neardup_pairs",
-    "text_quality",
-    "train_test_split",
-    "winnow_dup_pairs",
-    # --- ROUND 18: r13 drain, alphabetical head (8) ---
-    "agg_stats",
-    "audio_stats",
-    "bpe_encode",
-    "bpe_merge_candidates",
-    "bsq_hamming_search",
-    "c4_clean",
-    "chunk_sliding",
-    "classifier_train_steps",
+    "rolling_7d_users_bitmap",
+    "patient_record_linkage",
+    "linkage_entities",
+    "linkage_incremental",
+    # --- ROUND 19: r13 drain, the entire remaining band (26) ---
+    "countmin_estimate",
+    "date_series",
+    "domain_quantile_filter",
+    "dsir_importance",
+    "dup_span_removal",
+    "fhir_device_metrics",
+    "fhir_insurance_plans",
+    "fhir_omop_care_site",
+    "fhir_omop_cost",
+    "fhir_omop_device_exposure",
+    "fhir_omop_drug_era",
+    "fhir_omop_location",
+    "hll_distinct_estimate",
+    "image_dims",
+    "ivf_multiprobe_topk",
+    "ivf_probe_topk",
+    "ivf_recall_at_k",
+    "ivfpq_rerank",
+    "ivfpq_residual_search",
+    "ivfpq_search",
+    "join_filter_pushdown",
+    "lang_id",
+    "merge_upsert",
+    "source_drift_chi2",
+    "source_quota_sample",
+    "weighted_sample_topk",
+    # --- ROUND 19: r14 drain, alphabetical head (12) ---
+    "agg_minmax",
+    "arith_funcs",
+    "bm25_inverted_topk",
+    "bm25_topk",
+    "bpe_train_encode",
+    "bpe_train_merges",
+    "case_when_literal",
+    "computed_key_join",
+    "count_distinct",
+    "domain_quantile_sketch",
+    "fhir_concept_map_translate",
+    "fhir_ndjson_coverage_bundles",
 )
 
 

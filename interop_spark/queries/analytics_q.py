@@ -1894,12 +1894,12 @@ def _jaccard_readout(words: DataFrame) -> DataFrame:
     )
 
 
-R19_CANDIDATE_QUERIES = {
+_R19_WAVE_QUERIES = {
     "cohort_retention_bitmap": q_cohort_retention_bitmap,
     "event_type_jaccard": q_event_type_jaccard,
 }
 
-R19_CANDIDATE_ORACLE = {
+_R19_WAVE_ORACLE = {
     # deliberately ORACLE["cohort_retention"]: the bitmap AND grid must
     # equal the plain join+COUNT(DISTINCT) retention matrix
     # (execution-strategy contract); assigned below.
@@ -1932,7 +1932,7 @@ R19_CANDIDATE_ORACLE = {
     """,
 }
 
-R19_CANDIDATE_ORACLE["cohort_retention_bitmap"] = ORACLE["cohort_retention"]
+_R19_WAVE_ORACLE["cohort_retention_bitmap"] = ORACLE["cohort_retention"]
 
 
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1994,9 +1994,9 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-R19_CANDIDATE_QUERIES["rfm_segments"] = q_rfm_segments
+_R19_WAVE_QUERIES["rfm_segments"] = q_rfm_segments
 
-R19_CANDIDATE_ORACLE["rfm_segments"] = """
+_R19_WAVE_ORACLE["rfm_segments"] = """
     WITH anchor AS (SELECT max(o_orderdate) AS anchor FROM orders),
     per AS (
       SELECT o_custkey,
@@ -2078,7 +2078,20 @@ def q_stream_type_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_readout(state["words"])
 
 
-R19_CANDIDATE_QUERIES["stream_type_jaccard"] = q_stream_type_jaccard
-R19_CANDIDATE_ORACLE["stream_type_jaccard"] = R19_CANDIDATE_ORACLE[
+_R19_WAVE_QUERIES["stream_type_jaccard"] = q_stream_type_jaccard
+_R19_WAVE_ORACLE["stream_type_jaccard"] = _R19_WAVE_ORACLE[
     "event_type_jaccard"
 ]
+
+# --------------------------------------------------------------------------
+# Registered round-19 (r18 verdict item 1; staged in r18 as
+# R19_CANDIDATE_* with green parity tests): the bitmap-intersection
+# pair (event_type_jaccard + its streaming fold twin
+# stream_type_jaccard — completing the bit_and algebra whose bit_or
+# fold half shipped r17/r18), cohort_retention_bitmap, and
+# rfm_segments. cohort_retention_bitmap and stream_type_jaccard
+# deliberately share their plain-SQL twins' oracle text
+# (execution-strategy contract, the rolling_7d_users_bitmap
+# convention).
+QUERIES.update(_R19_WAVE_QUERIES)
+ORACLE.update(_R19_WAVE_ORACLE)

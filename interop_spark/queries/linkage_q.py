@@ -309,6 +309,7 @@ def q_linkage_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import re
     import shutil
+    import zlib
     from urllib.parse import urlparse
 
     from interop_spark.operators.linkage import incremental_pairs
@@ -340,10 +341,18 @@ def q_linkage_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fp"),
     ).first()
     fp = stats["fp"] or 0
-    sf_key = re.sub(
-        r"[^A-Za-z0-9]",
-        "_",
-        os.path.basename(os.path.normpath(sf_dir)) or "sf",
+    # collision-free fixture key (ADVICE r18 #2): the readable basename
+    # slug alone can alias distinct fixtures ('sf0.1' and 'sf0_1' both
+    # sanitize to 'sf0_1'), and the purge below deletes tables under
+    # the prefix — so the full absolute path's crc32 is folded in,
+    # making the prefix injective per fixture directory.
+    sf_key = "{}_{:08x}".format(
+        re.sub(
+            r"[^A-Za-z0-9]",
+            "_",
+            os.path.basename(os.path.normpath(sf_dir)) or "sf",
+        ),
+        zlib.crc32(os.path.abspath(sf_dir).encode("utf-8")),
     )
     prefix = f"linkage_registry_{sf_key}_"
     t_reg = f"{prefix}r{stats['n']}_f{fp:x}"
@@ -361,15 +370,26 @@ def q_linkage_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("block_key"),
             )
         )
-        # purge registries built from superseded fixture content
+        # purge registries built from superseded fixture content —
+        # scoped to the CURRENT database explicitly (ADVICE r18 #2:
+        # listTables() without an argument already lists only the
+        # current database, but the drop below must name the same
+        # database it listed, and the warehouse dir for a non-default
+        # database carries a `<db>.db` segment)
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
-        for t in spark.catalog.listTables():
+        db = spark.catalog.currentDatabase()
+        dbdir = (
+            wh if db == "default" else os.path.join(wh, f"{db}.db")
+        ) if wh else ""
+        for t in spark.catalog.listTables(db):
             if t.name.startswith(prefix) and t.name != t_reg:
-                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
-                if wh:
-                    shutil.rmtree(os.path.join(wh, t.name), ignore_errors=True)
-        if wh:
-            shutil.rmtree(os.path.join(wh, t_reg), ignore_errors=True)
+                spark.sql(f"DROP TABLE IF EXISTS `{db}`.`{t.name}`")
+                if dbdir:
+                    shutil.rmtree(
+                        os.path.join(dbdir, t.name), ignore_errors=True
+                    )
+        if dbdir:
+            shutil.rmtree(os.path.join(dbdir, t_reg), ignore_errors=True)
         write_bucketed(survivors, t_reg, "block_key", 8)
 
     # ---- the incremental step: batch vs persisted registry ---------

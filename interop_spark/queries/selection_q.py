@@ -3330,3 +3330,134 @@ ORACLE = {
     "domain_reweight_step": _domain_reweight_oracle(),
     "domain_reweight_converge": _domain_reweight_converge_oracle(),
 }
+
+
+# --------------------------------------------------------------------------
+# NEW round-19 (r18 verdict item 7): the two pipeline staples the
+# registry circled (rank sketch, quotas) but never named as driver
+# rows — the NATIVE mergeable grouped percentile and a per-stratum
+# deterministic reservoir sample.
+# --------------------------------------------------------------------------
+
+GPA_PS = (0.25, 0.5, 0.75, 0.95)
+# relative rank error = 1/accuracy; 1e6 keeps it below 1/(2n) at every
+# test SF, where the sketch's answer is EXACTLY the discrete-quantile
+# element — which is the oracle contract (DuckDB quantile_disc;
+# convention match verified empirically across the p grid, n=7/10 and
+# the real events table)
+GPA_ACCURACY = 1_000_000
+
+
+def q_grouped_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped quantiles via Spark's NATIVE mergeable percentile
+    sketch (``percentile_approx`` = Greenwald-Khanna QuantileSummaries
+    as an ImperativeAggregate): each map task folds its rows into an
+    O((1/ε)·log(εn)) summary, the exchange moves SKETCHES (one per
+    group per task), and merge happens reduce-side — the third point
+    on the registry's quantile spectrum: ``percentile_agg`` is exact
+    but buffers whole groups, ``quantile_sketch_estimate`` is a custom
+    bottom-k sampler, this row is the built-in production form a user
+    actually reaches for first. At 100 TB accuracy is the dial —
+    state is INDEPENDENT of group size, so a trillion-row group costs
+    the same exchange bytes as a million-row one; at test SF the
+    chosen accuracy makes rank error < 1/(2n), i.e. the sketch
+    degenerates to the exact discrete quantile, giving a zero-slack
+    DuckDB ``quantile_disc`` oracle. One partial-agg shuffle keyed on
+    the group column; no second pass, no window."""
+    ev = load(spark, sf_dir, "events")
+    aggs = [
+        F.percentile_approx(
+            "value", F.lit(p), F.lit(GPA_ACCURACY)
+        ).alias(f"value_p{int(p * 100)}")
+        for p in GPA_PS
+    ]
+    return ev.groupBy("event_type").agg(
+        *aggs, F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+
+
+def _grouped_percentile_approx_oracle() -> str:
+    cols = ",\n               ".join(
+        f"quantile_disc(value, {repr(p)}) AS value_p{int(p * 100)}"
+        for p in GPA_PS
+    )
+    return f"""
+        SELECT event_type,
+               {cols},
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY event_type
+    """
+
+
+STRAT_K = 50  # reservoir size per stratum
+STRAT_SALTS = 8  # phase-1 parallelism per stratum
+
+
+def q_stratified_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum DETERMINISTIC reservoir sample: the k rows with the
+    smallest md5(unique key) per stratum — Vitter's Algorithm R with
+    the randomness replaced by a hash order, the standard
+    reproducible-pipeline variant (same sample across runs, engines,
+    and partitionings; ``weighted_sample_topk``'s unweighted
+    stratified sibling; pipeline.py's rate-based ``stratified_sample``
+    draws a Bernoulli FRACTION per stratum, this row draws an exact
+    fixed SIZE k per stratum). The naive shape — one row_number window per
+    stratum — funnels every stratum through ONE reducer (the hot-
+    stratum problem: a 10-billion-row stratum at 100 TB becomes a
+    single task). Instead the top-k decomposes EXACTLY over salt
+    cells: a stratum's k smallest hashes are each among the k smallest
+    of their own salt cell, so phase 1 ranks (stratum × salt) cells
+    S-way parallel and keeps ≤ k per cell, phase 2 re-ranks the
+    ≤ S·k survivors per stratum — the second window sees a bounded
+    frame regardless of stratum size. Output: the sampled rows with
+    their in-stratum rank."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "event_id", "user_id"
+    )
+    h = F.md5(col("event_id").cast("string"))
+    salted = ev.select(
+        "*",
+        h.alias("_h"),
+        F.pmod(col("event_id"), F.lit(STRAT_SALTS)).alias("_salt"),
+    )
+    w1 = Window.partitionBy("event_type", "_salt").orderBy("_h")
+    cell = salted.select(
+        "*", F.row_number().over(w1).alias("_r1")
+    ).where(col("_r1") <= STRAT_K)
+    w2 = Window.partitionBy("event_type").orderBy("_h")
+    return (
+        cell.select(
+            "event_type",
+            "event_id",
+            "user_id",
+            F.row_number().over(w2).alias("_rk"),
+        )
+        .where(col("_rk") <= STRAT_K)
+        .select(
+            "event_type",
+            "event_id",
+            "user_id",
+            col("_rk").cast("long").alias("rk"),
+        )
+    )
+
+
+def _stratified_reservoir_oracle() -> str:
+    return f"""
+        WITH ranked AS (
+          SELECT event_type, event_id, user_id,
+                 row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY md5(CAST(event_id AS VARCHAR))
+                 ) AS rk
+          FROM events
+        )
+        SELECT event_type, event_id, user_id, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= {STRAT_K}
+    """
+
+
+QUERIES["grouped_percentile_approx"] = q_grouped_percentile_approx
+QUERIES["stratified_reservoir"] = q_stratified_reservoir
+ORACLE["grouped_percentile_approx"] = _grouped_percentile_approx_oracle()
+ORACLE["stratified_reservoir"] = _stratified_reservoir_oracle()

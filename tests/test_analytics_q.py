@@ -798,50 +798,42 @@ def test_scd2_history_single_shuffle(spark, sf_dir):
 
 
 def test_cohort_retention_bitmap_staged_parity_and_twin(spark, sf_dir):
-    """The r19-staged row `cohort_retention_bitmap` equals BOTH its
+    """The row (staged r18, registered r19) `cohort_retention_bitmap` equals BOTH its
     DuckDB oracle and the plain `cohort_retention` twin (the
     execution-strategy contract: bitmap AND grid == join+COUNT
     DISTINCT retention matrix)."""
     from tests.test_oracle_parity import _canon, _duck
 
-    from interop_spark.queries.analytics_q import (
-        ORACLE,
-        QUERIES,
-        R19_CANDIDATE_ORACLE,
-        R19_CANDIDATE_QUERIES,
-    )
+    from interop_spark.queries.analytics_q import ORACLE, QUERIES
 
-    sdf = R19_CANDIDATE_QUERIES["cohort_retention_bitmap"](
+    sdf = QUERIES["cohort_retention_bitmap"](
         spark, sf_dir
     ).toPandas()
     con = _duck(sf_dir)
-    ddf = con.execute(R19_CANDIDATE_ORACLE["cohort_retention_bitmap"]).df()
+    ddf = con.execute(ORACLE["cohort_retention_bitmap"]).df()
     con.close()
     assert sorted(sdf.columns) == sorted(ddf.columns)
     assert _canon(sdf) == _canon(ddf)
     twin = QUERIES["cohort_retention"](spark, sf_dir).toPandas()
     assert _canon(sdf) == _canon(twin)
-    assert ORACLE["cohort_retention"] == R19_CANDIDATE_ORACLE[
+    assert ORACLE["cohort_retention"] == ORACLE[
         "cohort_retention_bitmap"
     ]
 
 
 def test_event_type_jaccard_staged_parity_and_bounds(spark, sf_dir):
-    """The r19-staged row `event_type_jaccard` satisfies the driver's
+    """The row (staged r18, registered r19) `event_type_jaccard` satisfies the driver's
     full oracle contract; Jaccard invariants hold (0 <= inter <=
     min(|A|,|B|), union >= max, ppm in [0, 1e6], each unordered pair
     once)."""
     from tests.test_oracle_parity import _canon, _duck
 
-    from interop_spark.queries.analytics_q import (
-        R19_CANDIDATE_ORACLE,
-        R19_CANDIDATE_QUERIES,
-    )
+    from interop_spark.queries.analytics_q import ORACLE, QUERIES
 
-    df = R19_CANDIDATE_QUERIES["event_type_jaccard"](spark, sf_dir)
+    df = QUERIES["event_type_jaccard"](spark, sf_dir)
     sdf = df.toPandas()
     con = _duck(sf_dir)
-    ddf = con.execute(R19_CANDIDATE_ORACLE["event_type_jaccard"]).df()
+    ddf = con.execute(ORACLE["event_type_jaccard"]).df()
     con.close()
     assert sorted(sdf.columns) == sorted(ddf.columns)
     assert _canon(sdf) == _canon(ddf)
@@ -854,21 +846,18 @@ def test_event_type_jaccard_staged_parity_and_bounds(spark, sf_dir):
 
 
 def test_rfm_segments_staged_parity_and_bands(spark, sf_dir):
-    """The r19-staged row `rfm_segments` satisfies the driver's full
+    """The row (staged r18, registered r19) `rfm_segments` satisfies the driver's full
     oracle contract; band invariants hold (scores in 1-4, customer
     counts partition the customer base, at least two distinct
     segments so the banding discriminates)."""
     from tests.test_oracle_parity import _canon, _duck
 
     from interop_spark.io import load
-    from interop_spark.queries.analytics_q import (
-        R19_CANDIDATE_ORACLE,
-        R19_CANDIDATE_QUERIES,
-    )
+    from interop_spark.queries.analytics_q import ORACLE, QUERIES
 
-    sdf = R19_CANDIDATE_QUERIES["rfm_segments"](spark, sf_dir).toPandas()
+    sdf = QUERIES["rfm_segments"](spark, sf_dir).toPandas()
     con = _duck(sf_dir)
-    ddf = con.execute(R19_CANDIDATE_ORACLE["rfm_segments"]).df()
+    ddf = con.execute(ORACLE["rfm_segments"]).df()
     con.close()
     assert sorted(sdf.columns) == sorted(ddf.columns)
     assert _canon(sdf) == _canon(ddf)
@@ -882,37 +871,34 @@ def test_rfm_segments_staged_parity_and_bands(spark, sf_dir):
 
 
 def test_stream_type_jaccard_staged_matches_oracle_and_twin(spark, sf_dir):
-    """The r19-staged streaming Jaccard equals BOTH the batch SQL
+    """The streaming Jaccard (staged r18, registered r19) equals BOTH the batch SQL
     oracle (exactly-mergeable idempotent fold — zero slack) and the
     batch bitmap twin."""
     from tests.test_oracle_parity import _canon, _duck
 
-    from interop_spark.queries.analytics_q import (
-        R19_CANDIDATE_ORACLE,
-        R19_CANDIDATE_QUERIES,
-    )
+    from interop_spark.queries.analytics_q import ORACLE, QUERIES
 
-    sdf = R19_CANDIDATE_QUERIES["stream_type_jaccard"](
+    sdf = QUERIES["stream_type_jaccard"](
         spark, sf_dir
     ).toPandas()
     con = _duck(sf_dir)
-    ddf = con.execute(R19_CANDIDATE_ORACLE["stream_type_jaccard"]).df()
+    ddf = con.execute(ORACLE["stream_type_jaccard"]).df()
     con.close()
     assert sorted(sdf.columns) == sorted(ddf.columns)
     assert _canon(sdf) == _canon(ddf)
-    twin = R19_CANDIDATE_QUERIES["event_type_jaccard"](
+    twin = QUERIES["event_type_jaccard"](
         spark, sf_dir
     ).toPandas()
     assert _canon(sdf) == _canon(twin)
 
 
 def test_staged_bitmap_rows_plan_shape(spark, sf_dir):
-    """r19-prep plan pins for the staged bit_and rows: neither plan
+    """Plan pins for the r19-registered bit_and rows: neither plan
     may contain Expand (the distinct-agg rewrite's row multiplier) or
     a user-keyed exchange — the pair/cell work must happen on word
     frames (the bitmap execution-strategy contract); the word build's
     partial bit_or collapse must appear."""
-    from interop_spark.queries.analytics_q import R19_CANDIDATE_QUERIES
+    from interop_spark.queries.analytics_q import QUERIES
 
     # jaccard checkpoints its word frame (hash once, pair many), so its
     # plan reads Scan ExistingRDD; the retention row's active-week word
@@ -923,7 +909,7 @@ def test_staged_bitmap_rows_plan_shape(spark, sf_dir):
     }
     for name, pin in pins.items():
         ex = (
-            R19_CANDIDATE_QUERIES[name](spark, sf_dir)
+            QUERIES[name](spark, sf_dir)
             ._jdf.queryExecution()
             .executedPlan()
             .toString()
