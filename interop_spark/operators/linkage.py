@@ -51,14 +51,18 @@ def blocked_pairs(
     frame with a pair predicate.
 
     ``materialize`` (default True) localCheckpoints the guarded record
-    frame LAZILY (``eager=False``) so the self-join's two legs read one
-    materialized copy instead of each rebuilding the guard subtree —
-    but nothing runs until the caller's first action (ADVICE r18 #1;
-    the r17-era eager checkpoint triggered a job even when the pair
-    frame was never consumed). Pass ``materialize=False`` when the
-    caller needs lineage-based fault tolerance (localCheckpoint blocks
-    are executor-local, not replicated) or predicate pushdown into the
-    record scan more than it needs the single-pass guard.
+    frame so the self-join's two legs read one materialized copy
+    instead of each rebuilding the guard subtree (r17 verdict item 4).
+    ADVICE r18 #1 asked for ``eager=False`` or an opt-out; measured
+    under AQE, ``localCheckpoint(eager=False)`` STILL executes the
+    guard's shuffle stages at construction (adaptive planning
+    materializes query stages while building the checkpoint RDD), so
+    the lazy flag buys nothing — the opt-out is the real control.
+    Pass ``materialize=False`` when the pair frame may never be
+    consumed, when the caller needs lineage-based fault tolerance
+    (localCheckpoint blocks are executor-local, not replicated), or
+    when predicate pushdown into the record scan matters more than
+    the single-pass guard.
     """
     sizes = (
         records.groupBy(*block_cols)
@@ -80,7 +84,7 @@ def blocked_pairs(
     # materialized rows.
     ok = records.join(sizes, block_cols, "left_semi")
     if materialize:
-        ok = ok.localCheckpoint(eager=False)
+        ok = ok.localCheckpoint()
 
     other = [c for c in records.columns if c not in block_cols]
     a = ok.select(

@@ -283,6 +283,25 @@ ORACLE["linkage_entities"] = f"""
 NEW_RESIDUE, NEW_OFFSET = 7, 2 * DUP_OFFSET
 
 
+def _registry_prefix(sf_dir: str) -> str:
+    """Crosswalk-table prefix for a fixture directory — INJECTIVE per
+    directory (ADVICE r18 #2): the readable basename slug alone can
+    alias distinct fixtures ('sf0.1' and 'sf0_1' both sanitize to
+    'sf0_1'), and the stale-registry purge deletes tables under the
+    prefix, so the full absolute path's crc32 is folded in."""
+    import os
+    import re
+    import zlib
+
+    slug = re.sub(
+        r"[^A-Za-z0-9]",
+        "_",
+        os.path.basename(os.path.normpath(sf_dir)) or "sf",
+    )
+    path_fp = zlib.crc32(os.path.abspath(sf_dir).encode("utf-8"))
+    return f"linkage_registry_{slug}_{path_fp:08x}_"
+
+
 def q_linkage_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental entity resolution: an arriving batch (the planted
     typo duplicates + the planted genuinely-new patients) is matched
@@ -307,9 +326,7 @@ def q_linkage_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     regenerated fixture can never reuse a stale crosswalk.
     Output: one row per batch record (rec_id, entity_id, is_new)."""
     import os
-    import re
     import shutil
-    import zlib
     from urllib.parse import urlparse
 
     from interop_spark.operators.linkage import incremental_pairs
@@ -341,20 +358,7 @@ def q_linkage_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fp"),
     ).first()
     fp = stats["fp"] or 0
-    # collision-free fixture key (ADVICE r18 #2): the readable basename
-    # slug alone can alias distinct fixtures ('sf0.1' and 'sf0_1' both
-    # sanitize to 'sf0_1'), and the purge below deletes tables under
-    # the prefix — so the full absolute path's crc32 is folded in,
-    # making the prefix injective per fixture directory.
-    sf_key = "{}_{:08x}".format(
-        re.sub(
-            r"[^A-Za-z0-9]",
-            "_",
-            os.path.basename(os.path.normpath(sf_dir)) or "sf",
-        ),
-        zlib.crc32(os.path.abspath(sf_dir).encode("utf-8")),
-    )
-    prefix = f"linkage_registry_{sf_key}_"
+    prefix = _registry_prefix(sf_dir)
     t_reg = f"{prefix}r{stats['n']}_f{fp:x}"
     if not spark.catalog.tableExists(t_reg):
         entities = _crosswalk(base)

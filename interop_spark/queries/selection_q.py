@@ -3401,16 +3401,19 @@ def q_stratified_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     and partitionings; ``weighted_sample_topk``'s unweighted
     stratified sibling; pipeline.py's rate-based ``stratified_sample``
     draws a Bernoulli FRACTION per stratum, this row draws an exact
-    fixed SIZE k per stratum). The naive shape — one row_number window per
-    stratum — funnels every stratum through ONE reducer (the hot-
-    stratum problem: a 10-billion-row stratum at 100 TB becomes a
-    single task). Instead the top-k decomposes EXACTLY over salt
-    cells: a stratum's k smallest hashes are each among the k smallest
-    of their own salt cell, so phase 1 ranks (stratum × salt) cells
-    S-way parallel and keeps ≤ k per cell, phase 2 re-ranks the
-    ≤ S·k survivors per stratum — the second window sees a bounded
-    frame regardless of stratum size. Output: the sampled rows with
-    their in-stratum rank."""
+    fixed SIZE k per stratum). The top-k decomposes EXACTLY over salt
+    cells — a stratum's k smallest hashes are each among the k
+    smallest of their own salt cell — so phase 1 ranks (stratum ×
+    salt) cells S-way parallel and keeps ≤ k per cell, phase 2
+    re-ranks the ≤ S·k survivors per stratum. Scale accounting, plan-
+    verified: Spark's rank-limit pushdown (WindowGroupLimit, the
+    ``row_number() <= k`` filter rewrite) already caps each map task's
+    contribution at k per window group, so even a naive single window
+    shuffles only ≤ P·k rows per stratum (P = upstream partitions) —
+    the salt phase's marginal win is tightening the final one-reducer
+    sort from P·k (P ≈ 10⁵ at 100 TB) to a constant S·k, keeping the
+    last rank O(k) regardless of cluster width. Output: the sampled
+    rows with their in-stratum rank."""
     ev = load(spark, sf_dir, "events").select(
         "event_type", "event_id", "user_id"
     )

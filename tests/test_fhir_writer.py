@@ -622,3 +622,60 @@ def test_ndjson_emit_honors_encoder_overrides(spark, synpuf_df):
     # the comma-joined source cell 'A123,B456' splits into two codings
     assert {c["code"] for c in codings} == {"A123", "B456", "G0008"}
     assert all(c["system"] == HCPCS_URI for c in codings)
+
+
+def test_default_writer_paths_compile_to_zero_python_udfs(spark, synpuf_df):
+    """r18 verdict item 4 — pin the FhirEncoder fallback boundary: a
+    writer mapping WITHOUT overrides compiles end-to-end to JVM Column
+    expressions, ZERO Python UDFs in the executed plan (SURVEY §3 EP3;
+    the scoped override fallback in fhir/writer.py is the ONLY place
+    Python may enter the write path). The override twin proves the
+    detector actually fires, so a future change routing default paths
+    through F.udf fails this test rather than silently de-vectorizing
+    every write."""
+    from interop_spark.fhir import (
+        Bundle,
+        FhirEncoder,
+        FhirEncoderManager,
+        Mapping,
+        MappingManager,
+    )
+
+    maps = [
+        Mapping("DESYNPUF_ID", "Patient.id"),
+        Mapping("BENE_BIRTH_DT", "Patient.birthDate"),
+        Mapping("BENE_COUNTY_CD", "Patient.address.postalCode"),
+        Mapping("CLM_ID", "Claim.id"),
+        Mapping("HCPCS_CD_1",
+                "Claim.procedure.procedureCodeableConcept.coding.code"),
+        Mapping("ICD9_DGNS_CD_1",
+                "Claim.diagnosis.diagnosisCodeableConcept.coding.code"),
+    ]
+
+    def _plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    mm = MappingManager(maps, synpuf_df.schema)  # no overrides
+    b = Bundle(mm)
+    for frame in (
+        b.df_to_fhir_df(synpuf_df),
+        b.df_to_fhir_ndjson_df(synpuf_df),
+    ):
+        p = _plan(frame)
+        assert "BatchEvalPython" not in p, p[:2000]
+        assert "pythonudf" not in p.lower(), p[:2000]
+
+    # control: WITH an override the Python eval node MUST appear
+    em = FhirEncoderManager(
+        override_encoders={
+            "Claim.procedure.procedureCodeableConcept.coding": FhirEncoder(
+                False, False, lambda x: x
+            )
+        }
+    )
+    p = _plan(
+        Bundle(MappingManager(maps, synpuf_df.schema, em)).df_to_fhir_df(
+            synpuf_df
+        )
+    )
+    assert "BatchEvalPython" in p or "pythonudf" in p.lower(), p[:2000]

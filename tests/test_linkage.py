@@ -250,3 +250,50 @@ def test_incremental_join_shuffles_batch_side_only(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), (
         plan[:2500]
     )
+
+
+def test_blocked_pairs_materialize_modes(spark):
+    """ADVICE r18 #1: the guard materialization is OPT-OUT. With
+    materialize=False, constructing the pair frame runs NO Spark job
+    (measured: even localCheckpoint(eager=False) executes the guard's
+    shuffle stages at construction under AQE, so the opt-out is the
+    real control) and the plan keeps the live guard subtree (no
+    checkpoint scan) — lineage fault tolerance and scan pushdown
+    restored. Both modes return identical pairs."""
+    rows = [
+        (1, "b1", "x"), (2, "b1", "y"), (3, "b1", "z"),
+        (4, "b2", "p"), (5, "b2", "q"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "blk", "payload"])
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    plain = blocked_pairs(df, ["blk"], "id", materialize=False)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "materialize=False ran a Spark job"
+    plan = plain._jdf.queryExecution().executedPlan().toString()
+    # the guard aggregate is LIVE in the plan (once per join leg), not
+    # pre-materialized away as the checkpointed default reads
+    assert plan.count("_bn") >= 2, plan[:1500]
+
+    mat = blocked_pairs(df, ["blk"], "id")
+    got_mat = {(r.id_a, r.id_b) for r in mat.collect()}
+    got_plain = {(r.id_a, r.id_b) for r in plain.collect()}
+    assert got_mat == got_plain == {(1, 2), (1, 3), (2, 3), (4, 5)}
+
+
+def test_registry_prefix_injective_per_fixture_dir(tmp_path):
+    """ADVICE r18 #2: distinct fixture directories whose basenames
+    sanitize to the same slug ('sf0.1' vs 'sf0_1') must get DIFFERENT
+    crosswalk-table prefixes — the stale-registry purge deletes tables
+    and warehouse dirs under the prefix, so a slug collision would let
+    one fixture's run drop a sibling's still-valid registry."""
+    from interop_spark.queries.linkage_q import _registry_prefix
+
+    a = _registry_prefix(str(tmp_path / "sf0.1"))
+    b = _registry_prefix(str(tmp_path / "sf0_1"))
+    assert a != b
+    # same directory → stable prefix (the cache key must not drift)
+    assert a == _registry_prefix(str(tmp_path / "sf0.1"))
+    # trailing-slash normalization
+    assert a == _registry_prefix(str(tmp_path / "sf0.1") + "/")

@@ -100,6 +100,22 @@ def test_bitmap_word_col_collision_raises(spark):
         bitmap_words(df, [WORD_COL], "uid")
 
 
+def test_bitmap_bits_group_col_raises(spark):
+    """Regression (ADVICE r18 #3): 'bits' as a GROUP column would
+    survive the groupBy beside the bit_or alias — two 'bits' columns,
+    ambiguous downstream popcount/merge references — so it must fail
+    loudly. A 'bits' column NOT in group_cols is dropped by the
+    aggregation and stays legal."""
+    import pytest
+
+    df = spark.createDataFrame([(1, 2)], ["uid", "bits"])
+    with pytest.raises(ValueError, match="bits"):
+        bitmap_words(df, ["bits"], "uid")
+    # non-grouped 'bits' input column: allowed, output has exactly one
+    out = bitmap_words(df, [], "uid")
+    assert out.columns.count("bits") == 1
+
+
 EDGES = st.lists(
     st.tuples(st.integers(0, 12), st.integers(0, 12)),
     min_size=0,

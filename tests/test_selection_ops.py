@@ -702,3 +702,123 @@ def test_domain_reweight_converge_invariants(spark, sf_dir):
     one = {r.source: r.weight_ppm for r in
            q_domain_reweight_step(spark, sf_dir).collect()}
     assert any(one[r.source] != r.weight_ppm for r in out)
+
+
+# --------------------------------------------------------------------------
+# round-19: grouped_percentile_approx + stratified_reservoir
+# --------------------------------------------------------------------------
+
+def test_grouped_percentile_approx_exact_at_test_scale(spark):
+    """With accuracy 1e6 the native percentile_approx sketch is EXACT
+    at test scale: for every group and p it returns the element at
+    1-based rank ceil(p·n) of the sorted group — the discrete-quantile
+    convention DuckDB's quantile_disc shares (the oracle contract).
+    Verified against a pure-Python reference on odd/even group sizes
+    with duplicates."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from interop_spark.queries.selection_q import GPA_ACCURACY, GPA_PS
+
+    groups = {
+        "a": [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0],          # n=7, dups
+        "b": [float(i) for i in range(1, 11)],             # n=10
+        "c": [7.5],                                        # n=1
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {
+        r.g: [r[f"p{int(p * 100)}"] for p in GPA_PS]
+        for r in df.groupBy("g")
+        .agg(
+            *[
+                F.percentile_approx("v", F.lit(p), F.lit(GPA_ACCURACY))
+                .alias(f"p{int(p * 100)}")
+                for p in GPA_PS
+            ]
+        )
+        .collect()
+    }
+    for g, vs in groups.items():
+        s = sorted(vs)
+        expect = [s[max(0, math.ceil(p * len(s)) - 1)] for p in GPA_PS]
+        assert got[g] == expect, (g, got[g], expect)
+
+
+def test_grouped_percentile_approx_plan_partial_sketch(spark, sf_dir):
+    """Scale pin: ONE exchange; the map side folds rows into partial
+    percentile_approx SKETCHES (ObjectHashAggregate partial_*) so
+    exchange bytes are group-count-bounded, independent of group size;
+    the scan is pruned to the two live columns."""
+    from interop_spark.queries.selection_q import QUERIES
+
+    ex = (
+        QUERIES["grouped_percentile_approx"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert ex.count("Exchange hashpartitioning") == 1, ex[:2500]
+    assert "partial_percentile_approx" in ex, ex[:2500]
+    assert "ObjectHashAggregate" in ex, ex[:2500]
+    assert "ReadSchema: struct<event_type:string,value:double>" in ex, (
+        ex[:2500]
+    )
+
+
+def test_stratified_reservoir_matches_python_reference(spark, sf_dir):
+    """The salted two-phase top-k is EXACT: per stratum it returns
+    precisely the min(k, n) rows with the smallest md5(event_id), with
+    correct in-stratum ranks — verified against a single-pass Python
+    reference (hashlib md5 == Spark md5 on utf-8 decimal strings)."""
+    import hashlib
+
+    from interop_spark.io import load
+    from interop_spark.queries.selection_q import QUERIES, STRAT_K
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "event_id", "user_id"
+    ).collect()
+    expect: dict[str, list] = {}
+    for r in ev:
+        h = hashlib.md5(str(r.event_id).encode()).hexdigest()
+        expect.setdefault(r.event_type, []).append((h, r.event_id, r.user_id))
+    want = set()
+    for et, items in expect.items():
+        for rk, (h, eid, uid) in enumerate(sorted(items)[:STRAT_K], 1):
+            want.add((et, eid, uid, rk))
+    got = {
+        (r.event_type, r.event_id, r.user_id, r.rk)
+        for r in QUERIES["stratified_reservoir"](spark, sf_dir).collect()
+    }
+    assert got == want
+    # per-stratum sizes: min(k, stratum size)
+    sizes = {et: len(v) for et, v in expect.items()}
+    per = {}
+    for et, _eid, _uid, _rk in got:
+        per[et] = per.get(et, 0) + 1
+    assert per == {et: min(STRAT_K, n) for et, n in sizes.items()}
+
+
+def test_stratified_reservoir_plan_rank_limit_pushdown(spark, sf_dir):
+    """Scale pin: both window phases get Spark's rank-limit pushdown —
+    a map-side (Partial) WindowGroupLimit BEFORE each exchange caps
+    every task's contribution at k per window group, so shuffle volume
+    is partition-count-bounded, never stratum-size-bounded; the scan
+    reads only the three live columns."""
+    from interop_spark.queries.selection_q import QUERIES
+
+    ex = (
+        QUERIES["stratified_reservoir"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert ex.count("Exchange hashpartitioning") == 2, ex[:3000]
+    assert ex.count("WindowGroupLimit") == 4, ex[:3000]  # 2× Partial+Final
+    assert "Partial" in ex, ex[:3000]
+    assert (
+        "ReadSchema: struct<event_id:bigint,user_id:bigint,event_type:string>"
+        in ex
+    ), ex[:3000]
