@@ -130,6 +130,13 @@ HEADLINE = [
     "zorder_layout",
     "rolling_7d_users_bitmap",
     "top_paths",
+    # round-19: the four registered staged rows + the two new rows
+    # (streaming rows stay out of HEADLINE per the standing convention)
+    "event_type_jaccard",
+    "cohort_retention_bitmap",
+    "rfm_segments",
+    "grouped_percentile_approx",
+    "stratified_reservoir",
 ]
 
 # Cross-round drift accounting (r14 verdict item 2), written into
@@ -555,6 +562,14 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
         # scan grows 10x — expect ~linear-in-scan, and the word frame
         # (the state a rollup would persist) identical at both legs.
         "bitmap_distinct": lambda ev: _bitmap_probe(ev),
+        # round-19 bitmap pairwise Jaccard (the bit_and intersection
+        # half; bitmap_distinct covers the bit_or fold): 10x events
+        # at CONSTANT id space — the word frame is |types| x
+        # |id_space|/64 rows at BOTH legs (stamped words_x1/words_x10,
+        # equal by construction), so the pair-intersection stage is
+        # CONSTANT work and the ratio is scan/word-build dominated —
+        # read against bitmap_distinct's band.
+        "bitmap_jaccard": lambda ev: _jaccard_probe(ev),
         # round-17 blocked record linkage under a PLANTED HOT BLOCK
         # (the substring_dup_skew design applied to structured rows):
         # every 20th record's blocking key is overwritten with one
@@ -610,6 +625,18 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
 
         return popcount(
             bitmap_words(ev, ["event_type"], "user_id"), ["event_type"]
+        )
+
+    def _jaccard_probe(ev):
+        # the registered row's own core (shared _jaccard_readout — the
+        # probe can never time a different pair algebra than the row);
+        # the word build + checkpoint is inside the timed section, as
+        # in the row
+        from interop_spark.operators.bitmap import bitmap_words
+        from interop_spark.queries.analytics_q import _jaccard_readout
+
+        return _jaccard_readout(
+            bitmap_words(ev, ["event_type"], "user_id").localCheckpoint()
         )
 
     def _scd2_probe(o):
@@ -1015,7 +1042,8 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
             if name in ("linkage_blocked", "linkage_blocked_noguard",
                         "linkage_incremental") else
             _scaled_orders if name == "scd2_history" else
-            _scaled_events_cols if name == "bitmap_distinct" else
+            _scaled_events_cols
+            if name in ("bitmap_distinct", "bitmap_jaccard") else
             _scaled_embeddings if name in _EMB_PROBES else
             _planted_skew_documents if name in _SKEW_PROBES else
             _rotated_documents if name == "substring_dup_runs" else
@@ -1058,6 +1086,19 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
                 entry["bytes_x10"] = int(b10)
                 entry["ratio_per_byte"] = round(
                     entry["ratio_10x"] / (b10 / b1), 2
+                )
+            if name == "bitmap_jaccard":
+                # the flat word-frame claim, stamped: constant id
+                # space => identical word-frame size at both legs
+                from interop_spark.operators.bitmap import (
+                    bitmap_words as _bw,
+                )
+
+                entry["words_x1"] = int(
+                    _bw(scaled(1), ["event_type"], "user_id").count()
+                )
+                entry["words_x10"] = int(
+                    _bw(scaled(10), ["event_type"], "user_id").count()
                 )
         except Exception as e:  # a probe failure must not void the bench
             entry["error"] = f"{type(e).__name__}: {e}"[:300]

@@ -1775,9 +1775,14 @@ def q_cohort_retention_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = ev.groupBy("user_id").agg(
         F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
     )
+    # raw (user, week) rows feed the word build directly — bit_or
+    # idempotence makes a pre-DISTINCT redundant, and the partial
+    # bit_or collapses map-side to words before the exchange (r19:
+    # dropped the staged version's distinct; same-shape note on
+    # q_event_type_jaccard)
     active = ev.select(
         "user_id", F.to_date(F.date_trunc("week", col("ts"))).alias("week")
-    ).distinct()
+    )
     cw = bitmap_words(first, ["cohort_week"], "user_id").localCheckpoint()
     aw = bitmap_words(active, ["week"], "user_id")
     sizes = popcount(cw, ["cohort_week"]).select(
@@ -1824,14 +1829,15 @@ def q_event_type_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     event count — where the COUNT(DISTINCT)-based SQL twin pays a
     user-level self-join. Oracle = that plain SQL (execution-strategy
     contract). Core is the shared ``_jaccard_readout`` (also the
-    streaming twin's final step)."""
+    streaming twin's final step). Raw event rows feed the word build
+    DIRECTLY — bit_or idempotence makes a pre-DISTINCT redundant, and
+    the partial bit_or collapses each map task to words before the
+    exchange, so the build pays ONE word-level shuffle instead of a
+    pair-level DISTINCT exchange plus the word one (r19: dropped the
+    staged version's distinct)."""
     from interop_spark.operators.bitmap import bitmap_words
 
-    tu = (
-        load(spark, sf_dir, "events")
-        .select("event_type", "user_id")
-        .distinct()
-    )
+    tu = load(spark, sf_dir, "events").select("event_type", "user_id")
     words = bitmap_words(tu, ["event_type"], "user_id").localCheckpoint()
     return _jaccard_readout(words)
 
@@ -2095,3 +2101,239 @@ _R19_WAVE_ORACLE["stream_type_jaccard"] = _R19_WAVE_ORACLE[
 # convention).
 QUERIES.update(_R19_WAVE_QUERIES)
 ORACLE.update(_R19_WAVE_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# STAGED for round-20 (the staging convention: parity-tested now,
+# registered + windowed next round): the data-quality / dashboard
+# staples the registry still circles — a per-column table profiler,
+# an equi-width histogram, and inter-arrival-time quantiles.
+# --------------------------------------------------------------------------
+
+PROFILE_NUM_COLS = ("o_orderkey", "o_custkey", "o_totalprice")
+PROFILE_STR_COLS = ("o_orderstatus", "o_orderpriority")
+PROFILE_DATE_COLS = ("o_orderdate",)
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of ``orders`` (the
+    deequ/dbt-test staple): one output row per column with row count,
+    null count, EXACT distinct count, and typed min/max (numeric
+    columns fill ``min_num``/``max_num``; string/date columns fill
+    ``min_str``/``max_str`` — dates as 'YYYY-MM-DD' strings per the
+    cross-engine date contract). Shape: one single-column global
+    aggregate PER COLUMN, unioned — six pruned scans whose TOTAL bytes
+    equal one full-table pass (columnar layout), each compiling to a
+    partial+final HashAggregate pair with NO Expand (the one-pass
+    multi-count-distinct form multiplies every row x|columns| through
+    the distinct-agg rewrite — strictly worse at 100 TB than pruned
+    per-column passes, and this is the registry's one deliberate
+    multi-scan plan). Exact distincts are the profiler contract; an
+    approx_count_distinct variant would drop the exchange rows but
+    break the oracle."""
+    o = load(spark, sf_dir, "orders")
+
+    def leg(c: str, kind: str) -> DataFrame:
+        if kind == "num":
+            mn = F.min(col(c)).cast("double").alias("min_num")
+            mx = F.max(col(c)).cast("double").alias("max_num")
+            ms = F.lit(None).cast("string").alias("min_str")
+            xs = F.lit(None).cast("string").alias("max_str")
+        else:
+            fmt = (
+                (lambda x: F.date_format(x, "yyyy-MM-dd"))
+                if kind == "date"
+                else (lambda x: x.cast("string"))
+            )
+            mn = F.lit(None).cast("double").alias("min_num")
+            mx = F.lit(None).cast("double").alias("max_num")
+            ms = fmt(F.min(col(c))).alias("min_str")
+            xs = fmt(F.max(col(c))).alias("max_str")
+        return o.select(col(c)).agg(
+            F.lit(c).alias("column"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(col(c)))
+            .cast("long")
+            .alias("n_nulls"),
+            F.count_distinct(col(c)).cast("long").alias("n_distinct"),
+            mn,
+            mx,
+            ms,
+            xs,
+        )
+
+    legs = (
+        [leg(c, "num") for c in PROFILE_NUM_COLS]
+        + [leg(c, "str") for c in PROFILE_STR_COLS]
+        + [leg(c, "date") for c in PROFILE_DATE_COLS]
+    )
+    out = legs[0]
+    for l in legs[1:]:
+        out = out.unionByName(l)
+    return out
+
+
+def _column_profile_oracle() -> str:
+    legs = []
+    for c in PROFILE_NUM_COLS:
+        legs.append(f"""
+          SELECT '{c}' AS column,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+                 CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                 CAST(min({c}) AS DOUBLE) AS min_num,
+                 CAST(max({c}) AS DOUBLE) AS max_num,
+                 CAST(NULL AS VARCHAR) AS min_str,
+                 CAST(NULL AS VARCHAR) AS max_str
+          FROM orders""")
+    for c in PROFILE_STR_COLS:
+        legs.append(f"""
+          SELECT '{c}' AS column,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+                 CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                 CAST(NULL AS DOUBLE) AS min_num,
+                 CAST(NULL AS DOUBLE) AS max_num,
+                 min({c}) AS min_str,
+                 max({c}) AS max_str
+          FROM orders""")
+    for c in PROFILE_DATE_COLS:
+        legs.append(f"""
+          SELECT '{c}' AS column,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+                 CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                 CAST(NULL AS DOUBLE) AS min_num,
+                 CAST(NULL AS DOUBLE) AS max_num,
+                 strftime(min({c}), '%Y-%m-%d') AS min_str,
+                 strftime(max({c}), '%Y-%m-%d') AS max_str
+          FROM orders""")
+    return " UNION ALL ".join(legs)
+
+
+HIST_BINS = 20
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of ``events.value`` per event type (the
+    dashboard staple): global [min, max] reduces to ONE broadcast row,
+    bin = least(floor((v-min)/width), bins-1) is a pure projection
+    (identical IEEE double arithmetic on both engines — no
+    summation-order dependence anywhere), and the rollup is a bounded
+    |types| x bins aggregate. Two exchanges total: the 1-row stats
+    agg and the (type, bin) count; the scan never shuffles row-level
+    values. Empty bins are absent (the oracle's GROUP BY shape)."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    stats = ev.agg(
+        F.min("value").alias("_mn"), F.max("value").alias("_mx")
+    )
+    width = (col("_mx") - col("_mn")) / HIST_BINS
+    b = F.least(
+        F.floor((col("value") - col("_mn")) / width),
+        F.lit(HIST_BINS - 1),
+    ).cast("int")
+    return (
+        ev.crossJoin(F.broadcast(stats))
+        .select("event_type", b.alias("bin"), "_mn", "_mx")
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (
+                F.round(
+                    F.first("_mn")
+                    + col("bin") * (F.first("_mx") - F.first("_mn")) / HIST_BINS,
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("bin_lo"),
+        )
+    )
+
+
+def _value_histogram_oracle() -> str:
+    return f"""
+        WITH stats AS (
+          SELECT min(value) AS mn, max(value) AS mx FROM events
+        ),
+        binned AS (
+          SELECT event_type,
+                 CAST(least(floor((value - mn) / ((mx - mn) / {HIST_BINS})),
+                            {HIST_BINS - 1}) AS INT) AS bin,
+                 mn, mx
+          FROM events, stats
+        )
+        SELECT event_type, bin,
+               CAST(count(*) AS BIGINT) AS n,
+               round(min(mn) + bin * (min(mx) - min(mn)) / {HIST_BINS},
+                     6) + 0.0 AS bin_lo
+        FROM binned GROUP BY event_type, bin
+    """
+
+
+IA_PS = (0.5, 0.9, 0.99)
+
+
+def q_interarrival_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type quantiles of USER inter-arrival time (the
+    engagement-cadence staple): gap = this event's epoch MICROSECONDS
+    minus the same user's previous event (any type; integer
+    arithmetic end-to-end per the cross-engine timestamp contract —
+    unix_micros vs epoch_us, never second-granularity diffs), gaps
+    attributed to the LATER event's type, then EXACT interpolating
+    percentiles (Spark ``percentile`` ≡ DuckDB ``quantile_cont``,
+    both Hyndman-Fan type 7 — the percentile_agg precedent). The lag
+    window orders by (ts, event_id): the unique tiebreak makes the
+    ordering total, so tied timestamps cannot flip gap attribution
+    between evaluations (the dup_span_removal lesson). Shape: one
+    user_id exchange for the window, one |types|-key percentile agg."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(col("ts"))
+    gap = (us - F.lag(us).over(w)).alias("gap_us")
+    gaps = ev.select("event_type", gap).where(col("gap_us").isNotNull())
+    aggs = [
+        (
+            F.round(F.percentile(col("gap_us"), F.lit(p)), 6) + F.lit(0.0)
+        ).alias(f"gap_us_p{int(p * 100)}")
+        for p in IA_PS
+    ]
+    return gaps.groupBy("event_type").agg(
+        *aggs, F.count(F.lit(1)).cast("long").alias("n_gaps")
+    )
+
+
+def _interarrival_oracle() -> str:
+    cols = ",\n               ".join(
+        f"round(quantile_cont(gap_us, {repr(p)}), 6) + 0.0"
+        f" AS gap_us_p{int(p * 100)}"
+        for p in IA_PS
+    )
+    return f"""
+        WITH gaps AS (
+          SELECT event_type,
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS gap_us
+          FROM events
+        )
+        SELECT event_type,
+               {cols},
+               CAST(count(*) AS BIGINT) AS n_gaps
+        FROM gaps WHERE gap_us IS NOT NULL
+        GROUP BY event_type
+    """
+
+
+R20_CANDIDATE_QUERIES = {
+    "column_profile": q_column_profile,
+    "value_histogram": q_value_histogram,
+    "interarrival_quantiles": q_interarrival_quantiles,
+}
+
+R20_CANDIDATE_ORACLE = {
+    "column_profile": _column_profile_oracle(),
+    "value_histogram": _value_histogram_oracle(),
+    "interarrival_quantiles": _interarrival_oracle(),
+}

@@ -138,6 +138,11 @@ COMMENT = {
  "zorder_layout": "Z-order layout audit: Morton interleave is a codegen HOF fold (zero shuffle), stats reduce to one broadcast row, the bucket rollup is the only exchange. At 100 TB the same code keys repartitionByRange + sorted writes for multi-dimensional data skipping.",
  "rolling_7d_users_bitmap": "Rolling distinct via bitmap word frames: per-day bitmaps explode x7 on the WORD frame (|days| x |id_space|/64 rows, ~64x smaller than (user,day) activity), bit_or re-merge per trailing window, popcount per day. Same oracle as rolling_7d_users -- execution-strategy contract.",
  "top_paths": "First-5-event journey paths: rank<=5 plans as WindowGroupLimit (map-side per-user pruning BEFORE the exchange), the path is an ordered in-group aggregate (sort_array over (rank,type) structs -- collect_list alone has no order guarantee), top-20 is TakeOrderedAndProject.",
+ "event_type_jaccard": "Pairwise user-set Jaccard via bitmap algebra: raw events feed the word build directly (bit_or idempotence makes a pre-DISTINCT redundant; partial bit_or collapses map-side), the checkpointed word frame self-joins on WORD INDEX with popcount(bits_a & bits_b) -- pair work is |types|^2 x |id_space|/64 words, independent of event count, where the SQL twin pays a user-level self-join.",
+ "cohort_retention_bitmap": "Retention matrix via bitmap AND: cohort and active-week word frames join on word index; cell (c,w) = popcount(bits_c & bits_w) over the |cohorts| x |weeks| x |id_space|/64 grid instead of re-shuffling per-user activity per cell; cohort sizes are popcounts of the SAME checkpointed cohort frame (hash once, merge many).",
+ "rfm_segments": "RFM segmentation: one per-customer shuffle, a 1-row broadcast anchor (max order date), FIXED-arithmetic band scores (no global ntile that would funnel all customers through one window partition), bounded 4x4x4 rollup.",
+ "grouped_percentile_approx": "Native mergeable grouped percentile: map side folds rows into partial percentile_approx SKETCHES (ObjectHashAggregate), the ONE exchange moves sketches -- bytes bounded by group count, independent of group size; accuracy 1e6 makes the answer exact (= discrete quantile) at test SF.",
+ "stratified_reservoir": "Per-stratum deterministic reservoir: salted two-phase exact top-k by md5(unique key); rank-limit pushdown (WindowGroupLimit Partial) caps every map task at k per window group BEFORE each of the two exchanges, and the salt phase bounds the final per-stratum rank at S*k rows regardless of cluster width.",
 }
 
 out = ["# PLANS — physical plans of the headline queries (sf0.1, AQE on)",
@@ -209,7 +214,10 @@ for name in ["pricing_summary", "multiway_join_agg", "latest_event_per_user",
              "patient_record_linkage", "bitmap_distinct_users",
              "linkage_entities", "linkage_incremental", "scd2_history",
              "twap_per_user", "ab_test_zstat", "triangle_count",
-             "zorder_layout", "rolling_7d_users_bitmap", "top_paths"]:
+             "zorder_layout", "rolling_7d_users_bitmap", "top_paths",
+             "event_type_jaccard", "cohort_retention_bitmap",
+             "rfm_segments", "grouped_percentile_approx",
+             "stratified_reservoir"]:
     df = qs[name](spark, SF)
     df.write.format("noop").mode("overwrite").save()  # let AQE finalize
     plan = df._jdf.queryExecution().executedPlan().toString()

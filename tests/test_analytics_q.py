@@ -918,3 +918,108 @@ def test_staged_bitmap_rows_plan_shape(spark, sf_dir):
         assert pin in ex, (name, ex[:2500])
         # the pairing/cell join keys on the word index, never user_id
         assert "hashpartitioning(user_id" not in ex, (name, ex[:2500])
+
+
+# --------------------------------------------------------------------------
+# round-20 staged candidates (the staging convention: full driver
+# oracle contract proven now, registration + window next round)
+# --------------------------------------------------------------------------
+
+def test_column_profile_staged_parity_and_semantics(spark, sf_dir):
+    """r20-staged `column_profile` satisfies the driver's full oracle
+    contract; profiler invariants hold (one row per profiled column,
+    n_nulls <= n_rows, n_distinct <= n_rows - n_nulls, typed min/max
+    populated on exactly one side)."""
+    from tests.test_oracle_parity import _canon, _duck
+
+    from interop_spark.queries.analytics_q import (
+        PROFILE_DATE_COLS,
+        PROFILE_NUM_COLS,
+        PROFILE_STR_COLS,
+        R20_CANDIDATE_ORACLE,
+        R20_CANDIDATE_QUERIES,
+    )
+
+    sdf = R20_CANDIDATE_QUERIES["column_profile"](spark, sf_dir).toPandas()
+    con = _duck(sf_dir)
+    ddf = con.execute(R20_CANDIDATE_ORACLE["column_profile"]).df()
+    con.close()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert _canon(sdf) == _canon(ddf)
+    want = set(PROFILE_NUM_COLS + PROFILE_STR_COLS + PROFILE_DATE_COLS)
+    assert set(sdf["column"]) == want and len(sdf) == len(want)
+    for r in sdf.itertuples(index=False):
+        assert 0 <= r.n_nulls <= r.n_rows
+        assert 0 < r.n_distinct <= r.n_rows - r.n_nulls
+        numeric = r.column in PROFILE_NUM_COLS
+        import pandas as pd
+
+        assert numeric == pd.notna(r.min_num) == pd.notna(r.max_num)
+        assert numeric != (isinstance(r.min_str, str))
+
+
+def test_column_profile_plan_no_expand(spark, sf_dir):
+    """Plan pin: the per-column-leg shape — NO Expand (the one-pass
+    multi-count-distinct rewrite's x|columns| row multiplier), every
+    leg's scan pruned to its single column."""
+    from interop_spark.queries.analytics_q import R20_CANDIDATE_QUERIES
+
+    ex = (
+        R20_CANDIDATE_QUERIES["column_profile"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" not in ex, ex[:2500]
+    import re
+
+    reads = re.findall(r"ReadSchema: struct<([^>]*)", ex)
+    assert reads and all(r.count(":") == 1 for r in reads), reads
+
+
+def test_value_histogram_staged_parity_and_mass(spark, sf_dir):
+    """r20-staged `value_histogram` satisfies the driver's full oracle
+    contract; the histogram partitions the corpus (counts sum to the
+    event count, bins within [0, BINS))."""
+    from tests.test_oracle_parity import _canon, _duck
+
+    from interop_spark.io import load
+    from interop_spark.queries.analytics_q import (
+        HIST_BINS,
+        R20_CANDIDATE_ORACLE,
+        R20_CANDIDATE_QUERIES,
+    )
+
+    sdf = R20_CANDIDATE_QUERIES["value_histogram"](spark, sf_dir).toPandas()
+    con = _duck(sf_dir)
+    ddf = con.execute(R20_CANDIDATE_ORACLE["value_histogram"]).df()
+    con.close()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert _canon(sdf) == _canon(ddf)
+    n_ev = load(spark, sf_dir, "events").count()
+    assert int(sdf.n.sum()) == n_ev
+    assert sdf.bin.between(0, HIST_BINS - 1).all()
+
+
+def test_interarrival_quantiles_staged_parity(spark, sf_dir):
+    """r20-staged `interarrival_quantiles` satisfies the driver's full
+    oracle contract; quantiles are monotone p50 <= p90 <= p99 and
+    positive (ts ties broken by unique event_id keep gaps >= 0)."""
+    from tests.test_oracle_parity import _canon, _duck
+
+    from interop_spark.queries.analytics_q import (
+        R20_CANDIDATE_ORACLE,
+        R20_CANDIDATE_QUERIES,
+    )
+
+    sdf = R20_CANDIDATE_QUERIES["interarrival_quantiles"](
+        spark, sf_dir
+    ).toPandas()
+    con = _duck(sf_dir)
+    ddf = con.execute(R20_CANDIDATE_ORACLE["interarrival_quantiles"]).df()
+    con.close()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert _canon(sdf) == _canon(ddf)
+    for r in sdf.itertuples(index=False):
+        assert 0 <= r.gap_us_p50 <= r.gap_us_p90 <= r.gap_us_p99
+        assert r.n_gaps > 0
