@@ -2337,3 +2337,173 @@ R20_CANDIDATE_ORACLE = {
     "value_histogram": _value_histogram_oracle(),
     "interarrival_quantiles": _interarrival_oracle(),
 }
+
+
+def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per acquisition cohort by cohort age (the
+    LTV-curve staple `cohort_retention` counts users for — this row
+    sums money): cohort = customer's first order week, revenue rolls
+    up to (cohort_week, week_offset), then a cumulative window over
+    offset WITHIN cohort. Float discipline: per-cell sums round to
+    2dp BEFORE the cumulative sum (a ~1e-8-ULP float sum rounds
+    identically on both engines at cent granularity; the rfm_segments
+    precedent), so the running total is integer-exact cent
+    arithmetic. Shape: one custkey shuffle for the cohort frame, a
+    broadcast-joinable (custkey → cohort) map back onto orders, one
+    (cohort, offset) rollup, and a cumulative window whose partitions
+    are cohort-sized — bounded by the calendar, not the corpus."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    first = o.groupBy("o_custkey").agg(
+        F.to_date(F.date_trunc("week", F.min("o_orderdate"))).alias(
+            "cohort_week"
+        )
+    )
+    cells = (
+        o.join(first, "o_custkey")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.to_date(F.date_trunc("week", col("o_orderdate"))),
+                    col("cohort_week"),
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+            "o_totalprice",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cells.select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "n_orders",
+        "revenue",
+        (F.round(F.sum("revenue").over(w), 2) + F.lit(0.0)).alias(
+            "cum_revenue"
+        ),
+    )
+
+
+def _cohort_ltv_oracle() -> str:
+    return """
+        WITH first AS (
+          SELECT o_custkey,
+                 CAST(date_trunc('week', min(o_orderdate)) AS DATE)
+                   AS cohort_week
+          FROM orders GROUP BY 1
+        ),
+        cells AS (
+          SELECT f.cohort_week,
+                 CAST(date_diff('day', f.cohort_week,
+                      CAST(date_trunc('week', o.o_orderdate) AS DATE)) // 7
+                      AS INT) AS week_offset,
+                 round(sum(o.o_totalprice), 2) AS revenue,
+                 CAST(count(*) AS BIGINT) AS n_orders
+          FROM orders o JOIN first f USING (o_custkey)
+          GROUP BY 1, 2
+        )
+        SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+               week_offset, n_orders, revenue,
+               round(sum(revenue) OVER (
+                 PARTITION BY cohort_week ORDER BY week_offset
+                 ROWS UNBOUNDED PRECEDING
+               ), 2) + 0.0 AS cum_revenue
+        FROM cells
+    """
+
+
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals (the
+    fraud/data-quality screen): observed first-significant-digit
+    counts vs the Benford expectation log10(1+1/d), with the
+    per-digit deviation in ppm. The digit extraction is pure string
+    arithmetic on the absolute value (no float log per row), counts
+    are exact integers, and the expectation is nine compile-time
+    literals — one 9-key aggregate over a single pruned scan; at
+    100 TB this is scan-bandwidth bound with a 9-row result. (TPC-H
+    prices are uniform-ish, NOT Benford — the row reports the
+    deviation rather than asserting conformance; the operator is the
+    deliverable, the fixture just exercises it.)"""
+    o = load(spark, sf_dir, "orders").select("o_totalprice")
+    d1 = F.substring(
+        F.regexp_replace(
+            F.abs(col("o_totalprice")).cast("string"), r"[0.]*", ""
+        ),
+        1,
+        1,
+    ).cast("int")
+    obs = (
+        o.select(d1.alias("digit"))
+        .where(col("digit").isNotNull() & (col("digit") > 0))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = obs.agg(F.sum("n").alias("_t"))
+    expect = F.element_at(
+        F.array(
+            *[
+                F.lit(int(round(math.log10(1 + 1 / d) * 1_000_000)))
+                for d in range(1, 10)
+            ]
+        ),
+        col("digit"),
+    )
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.floor(col("n") * 1_000_000 / col("_t"))
+        .cast("long")
+        .alias("observed_ppm"),
+        expect.cast("long").alias("benford_ppm"),
+        (
+            F.floor(col("n") * 1_000_000 / col("_t")) - expect
+        )
+        .cast("long")
+        .alias("delta_ppm"),
+    )
+
+
+def _benford_oracle() -> str:
+    import math as _m
+
+    cases = " ".join(
+        f"WHEN {d} THEN {int(round(_m.log10(1 + 1 / d) * 1_000_000))}"
+        for d in range(1, 10)
+    )
+    return f"""
+        WITH obs AS (
+          SELECT TRY_CAST(substr(regexp_replace(
+                   CAST(abs(o_totalprice) AS VARCHAR), '[0.]*', ''),
+                   1, 1) AS INT) AS digit,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM orders
+          GROUP BY 1
+        ),
+        tot AS (SELECT sum(n) AS t FROM obs WHERE digit > 0)
+        SELECT digit, n,
+               CAST(floor(n * 1000000.0 / t) AS BIGINT) AS observed_ppm,
+               CAST(CASE digit {cases} END AS BIGINT) AS benford_ppm,
+               CAST(floor(n * 1000000.0 / t)
+                    - CASE digit {cases} END AS BIGINT) AS delta_ppm
+        FROM obs, tot
+        WHERE digit IS NOT NULL AND digit > 0
+    """
+
+
+R20_CANDIDATE_QUERIES["cohort_ltv_curve"] = q_cohort_ltv_curve
+R20_CANDIDATE_ORACLE["cohort_ltv_curve"] = _cohort_ltv_oracle()
+R20_CANDIDATE_QUERIES["benford_first_digit"] = q_benford_first_digit
+R20_CANDIDATE_ORACLE["benford_first_digit"] = _benford_oracle()

@@ -1023,3 +1023,59 @@ def test_interarrival_quantiles_staged_parity(spark, sf_dir):
     for r in sdf.itertuples(index=False):
         assert 0 <= r.gap_us_p50 <= r.gap_us_p90 <= r.gap_us_p99
         assert r.n_gaps > 0
+
+
+def test_cohort_ltv_curve_staged_parity_and_monotone(spark, sf_dir):
+    """r20-staged `cohort_ltv_curve` satisfies the driver's full
+    oracle contract; LTV invariants hold (cumulative revenue
+    non-decreasing within cohort, final cum equals the cohort's
+    rounded cell sum, offsets non-negative)."""
+    from tests.test_oracle_parity import _canon, _duck
+
+    from interop_spark.queries.analytics_q import (
+        R20_CANDIDATE_ORACLE,
+        R20_CANDIDATE_QUERIES,
+    )
+
+    sdf = R20_CANDIDATE_QUERIES["cohort_ltv_curve"](spark, sf_dir).toPandas()
+    con = _duck(sf_dir)
+    ddf = con.execute(R20_CANDIDATE_ORACLE["cohort_ltv_curve"]).df()
+    con.close()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert _canon(sdf) == _canon(ddf)
+    assert (sdf.week_offset >= 0).all()
+    for _, g in sdf.sort_values("week_offset").groupby("cohort_week"):
+        cum = list(g.cum_revenue)
+        assert cum == sorted(cum)
+        assert abs(cum[-1] - round(g.revenue.sum(), 2)) < 0.05
+
+
+def test_benford_first_digit_staged_parity_and_digits(spark, sf_dir):
+    """r20-staged `benford_first_digit` satisfies the driver's full
+    oracle contract; digits are 1-9, observed ppm sums to ~1e6, and
+    the Benford expectation column carries the nine literal
+    log10(1+1/d) masses."""
+    import math
+
+    from tests.test_oracle_parity import _canon, _duck
+
+    from interop_spark.queries.analytics_q import (
+        R20_CANDIDATE_ORACLE,
+        R20_CANDIDATE_QUERIES,
+    )
+
+    sdf = R20_CANDIDATE_QUERIES["benford_first_digit"](
+        spark, sf_dir
+    ).toPandas()
+    con = _duck(sf_dir)
+    ddf = con.execute(R20_CANDIDATE_ORACLE["benford_first_digit"]).df()
+    con.close()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert _canon(sdf) == _canon(ddf)
+    assert set(sdf.digit) <= set(range(1, 10))
+    assert 1_000_000 - 9 <= sdf.observed_ppm.sum() <= 1_000_000
+    for r in sdf.itertuples(index=False):
+        assert r.benford_ppm == int(
+            round(math.log10(1 + 1 / r.digit) * 1_000_000)
+        )
+        assert r.delta_ppm == r.observed_ppm - r.benford_ppm
