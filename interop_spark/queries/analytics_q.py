@@ -2228,10 +2228,16 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("_mn"), F.max("value").alias("_mx")
     )
     width = (col("_mx") - col("_mn")) / HIST_BINS
-    b = F.least(
-        F.floor((col("value") - col("_mn")) / width),
-        F.lit(HIST_BINS - 1),
-    ).cast("int")
+    # degenerate corpus (min == max): width 0 makes the Spark bin 0/0
+    # = NaN (ANSI cast throws) while DuckDB 0/0 returns NULL — pin
+    # both engines to bin 0 instead (r19 review)
+    b = F.when(
+        col("_mx") > col("_mn"),
+        F.least(
+            F.floor((col("value") - col("_mn")) / width),
+            F.lit(HIST_BINS - 1),
+        ),
+    ).otherwise(F.lit(0)).cast("int")
     return (
         ev.crossJoin(F.broadcast(stats))
         .select("event_type", b.alias("bin"), "_mn", "_mx")
@@ -2257,8 +2263,10 @@ def _value_histogram_oracle() -> str:
         ),
         binned AS (
           SELECT event_type,
-                 CAST(least(floor((value - mn) / ((mx - mn) / {HIST_BINS})),
-                            {HIST_BINS - 1}) AS INT) AS bin,
+                 CAST(CASE WHEN mx > mn THEN
+                        least(floor((value - mn) / ((mx - mn) / {HIST_BINS})),
+                              {HIST_BINS - 1})
+                      ELSE 0 END AS INT) AS bin,
                  mn, mx
           FROM events, stats
         )
@@ -2438,13 +2446,16 @@ def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     deviation rather than asserting conformance; the operator is the
     deliverable, the fixture just exercises it.)"""
     o = load(spark, sf_dir, "orders").select("o_totalprice")
-    d1 = F.substring(
-        F.regexp_replace(
-            F.abs(col("o_totalprice")).cast("string"), r"[0.]*", ""
-        ),
-        1,
-        1,
-    ).cast("int")
+    stripped = F.regexp_replace(
+        F.abs(col("o_totalprice")).cast("string"), r"[0.]*", ""
+    )
+    # an all-zero value strips to '' — guard the cast so it yields
+    # NULL (filtered below) instead of an ANSI CAST_INVALID_INPUT
+    # under the driver's plain session, matching the oracle's
+    # TRY_CAST (r19 review)
+    d1 = F.when(
+        F.length(stripped) > 0, F.substring(stripped, 1, 1).cast("int")
+    )
     obs = (
         o.select(d1.alias("digit"))
         .where(col("digit").isNotNull() & (col("digit") > 0))

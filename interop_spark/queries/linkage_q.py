@@ -288,7 +288,12 @@ def _registry_prefix(sf_dir: str) -> str:
     directory (ADVICE r18 #2): the readable basename slug alone can
     alias distinct fixtures ('sf0.1' and 'sf0_1' both sanitize to
     'sf0_1'), and the stale-registry purge deletes tables under the
-    prefix, so the full absolute path's crc32 is folded in."""
+    prefix, so the full absolute path's crc32 is folded in. The slug
+    is LOWERCASED: Spark stores table names lowercased, so a
+    mixed-case prefix would never match ``listTables`` output and the
+    purge would silently no-op (r19 review). The crc is computed over
+    the original-case path, so distinct dirs differing only by case
+    still get distinct prefixes."""
     import os
     import re
     import zlib
@@ -297,7 +302,7 @@ def _registry_prefix(sf_dir: str) -> str:
         r"[^A-Za-z0-9]",
         "_",
         os.path.basename(os.path.normpath(sf_dir)) or "sf",
-    )
+    ).lower()
     path_fp = zlib.crc32(os.path.abspath(sf_dir).encode("utf-8"))
     return f"linkage_registry_{slug}_{path_fp:08x}_"
 
@@ -385,8 +390,23 @@ def q_linkage_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         dbdir = (
             wh if db == "default" else os.path.join(wh, f"{db}.db")
         ) if wh else ""
+        # legacy-scheme names (pre-crc, `linkage_registry_<slug>_rN_fH`
+        # with no 8-hex path segment) are obsolete by construction —
+        # no code path can reuse them after the prefix change — so the
+        # migration sweep drops them regardless of slug (r19 review:
+        # otherwise a persistent metastore leaks them forever)
+        import re as _re
+
+        _cur = _re.compile(
+            r"linkage_registry_.*_[0-9a-f]{8}_r\d+_f[0-9a-f]+\Z"
+        )
+        _legacy = _re.compile(r"linkage_registry_.*_r\d+_f[0-9a-f]+\Z")
         for t in spark.catalog.listTables(db):
-            if t.name.startswith(prefix) and t.name != t_reg:
+            stale_cur = t.name.startswith(prefix) and t.name != t_reg
+            stale_legacy = bool(
+                _legacy.fullmatch(t.name)
+            ) and not _cur.fullmatch(t.name)
+            if stale_cur or stale_legacy:
                 spark.sql(f"DROP TABLE IF EXISTS `{db}`.`{t.name}`")
                 if dbdir:
                     shutil.rmtree(

@@ -1079,3 +1079,69 @@ def test_benford_first_digit_staged_parity_and_digits(spark, sf_dir):
             round(math.log10(1 + 1 / r.digit) * 1_000_000)
         )
         assert r.delta_ppm == r.observed_ppm - r.benford_ppm
+
+
+def test_value_histogram_degenerate_constant_value(spark, tmp_path):
+    """r19 review: min == max makes the bin expression 0/0 — Spark NaN
+    (ANSI cast throws) vs DuckDB NULL. Both engines are pinned to bin
+    0; verified end-to-end on a constant-value fixture against the
+    oracle."""
+    import duckdb
+
+    from interop_spark.queries.analytics_q import (
+        R20_CANDIDATE_ORACLE,
+        R20_CANDIDATE_QUERIES,
+    )
+
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, t0, "click" if i % 2 else "view", 7.25) for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    d = str(tmp_path / "degenerate")
+    df.coalesce(1).write.parquet(d + "/events.parquet")
+    sdf = R20_CANDIDATE_QUERIES["value_histogram"](spark, d).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'"
+    )
+    ddf = con.execute(R20_CANDIDATE_ORACLE["value_histogram"]).df()
+    con.close()
+    from tests.test_oracle_parity import _canon
+
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert _canon(sdf) == _canon(ddf)
+    assert set(sdf.bin) == {0} and int(sdf.n.sum()) == 40
+
+
+def test_benford_zero_value_row_is_dropped_not_fatal(spark, tmp_path):
+    """r19 review: an all-zero price strips to '' — the guarded cast
+    must yield NULL (row dropped, matching the oracle's TRY_CAST)
+    instead of an ANSI CAST_INVALID_INPUT under a plain session."""
+    import duckdb
+
+    from interop_spark.queries.analytics_q import (
+        R20_CANDIDATE_ORACLE,
+        R20_CANDIDATE_QUERIES,
+    )
+
+    rows = [(float(v),) for v in (0.0, 123.45, 20.07, 9.9, 123.45)]
+    df = spark.createDataFrame(rows, "o_totalprice double")
+    d = str(tmp_path / "zeroprice")
+    df.coalesce(1).write.parquet(d + "/orders.parquet")
+    sdf = R20_CANDIDATE_QUERIES["benford_first_digit"](spark, d).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{d}/orders.parquet/*.parquet'"
+    )
+    ddf = con.execute(R20_CANDIDATE_ORACLE["benford_first_digit"]).df()
+    con.close()
+    from tests.test_oracle_parity import _canon
+
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert _canon(sdf) == _canon(ddf)
+    assert set(sdf.digit) == {1, 2, 9} and int(sdf.n.sum()) == 4

@@ -297,3 +297,10 @@ def test_registry_prefix_injective_per_fixture_dir(tmp_path):
     assert a == _registry_prefix(str(tmp_path / "sf0.1"))
     # trailing-slash normalization
     assert a == _registry_prefix(str(tmp_path / "sf0.1") + "/")
+    # lowercase: Spark stores table names lowercased, so a mixed-case
+    # prefix would never match listTables output and the purge would
+    # silently no-op (r19 review); case-differing dirs stay distinct
+    # via the crc over the original-case path
+    up = _registry_prefix(str(tmp_path / "SF0.1"))
+    assert up == up.lower()
+    assert up != a
