@@ -570,6 +570,17 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
         # CONSTANT work and the ratio is scan/word-build dominated —
         # read against bitmap_distinct's band.
         "bitmap_jaccard": lambda ev: _jaccard_probe(ev),
+        # round-19 native grouped percentile: 10x events at constant
+        # type count — the exchange moves one sketch per (task, type)
+        # regardless of rows, so the ratio is scan/sketch-fold
+        # dominated (~linear in rows at fixed accuracy).
+        "grouped_percentile": lambda ev: _gpa_probe(ev),
+        # round-19 stratified reservoir: 10x events, same strata —
+        # rank-limit pushdown caps every map task at k per window
+        # group, so the exchanges carry <= P*k rows regardless of
+        # stratum growth; expect ~linear (the scan + phase-1 sort),
+        # never superlinear in the hot stratum.
+        "stratified_reservoir": lambda ev: _strat_probe(ev),
         # round-17 blocked record linkage under a PLANTED HOT BLOCK
         # (the substring_dup_skew design applied to structured rows):
         # every 20th record's blocking key is overwritten with one
@@ -637,6 +648,47 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
 
         return _jaccard_readout(
             bitmap_words(ev, ["event_type"], "user_id").localCheckpoint()
+        )
+
+    def _gpa_probe(ev):
+        from interop_spark.queries.selection_q import GPA_ACCURACY, GPA_PS
+
+        return ev.groupBy("event_type").agg(
+            *[
+                F.percentile_approx(
+                    "value", F.lit(p), F.lit(GPA_ACCURACY)
+                ).alias(f"p{int(p * 100)}")
+                for p in GPA_PS
+            ]
+        )
+
+    def _strat_probe(ev):
+        from pyspark.sql.window import Window as _W
+
+        from interop_spark.queries.selection_q import (
+            STRAT_K,
+            STRAT_SALTS,
+        )
+
+        h = F.md5(col("event_id").cast("string"))
+        salted = ev.select(
+            "*",
+            h.alias("_h"),
+            F.pmod(col("event_id"), F.lit(STRAT_SALTS)).alias("_salt"),
+        )
+        w1 = _W.partitionBy("event_type", "_salt").orderBy("_h")
+        cell = salted.select(
+            "*", F.row_number().over(w1).alias("_r1")
+        ).where(col("_r1") <= STRAT_K)
+        w2 = _W.partitionBy("event_type").orderBy("_h")
+        return (
+            cell.select(
+                "event_type",
+                "event_id",
+                "user_id",
+                F.row_number().over(w2).alias("_rk"),
+            )
+            .where(col("_rk") <= STRAT_K)
         )
 
     def _scd2_probe(o):
@@ -852,6 +904,48 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
             .repartition(par)
         )
 
+    def _scaled_events_pv(mult: int):
+        # events x mult, (event_type, value) — the grouped-percentile
+        # probe's shape: rows grow, the per-(task, type) sketch state
+        # does not
+        import os as _os
+
+        ev = spark.read.parquet(
+            _os.path.join(sf_dir, "events.parquet")
+        ).select("event_type", "value")
+        par = spark.sparkContext.defaultParallelism
+        if mult == 1:
+            return ev.repartition(par)
+        reps = spark.range(mult).select(col("id").alias("rep"))
+        return (
+            ev.crossJoin(reps)
+            .select("event_type", "value")
+            .repartition(par)
+        )
+
+    def _scaled_events_ids(mult: int):
+        # events x mult with DISTINCT event_ids per replica (unique
+        # hash keys, as production ids are) — the reservoir probe's
+        # shape: strata grow 10x, k stays fixed
+        import os as _os
+
+        ev = spark.read.parquet(
+            _os.path.join(sf_dir, "events.parquet")
+        ).select("event_type", "event_id", "user_id")
+        par = spark.sparkContext.defaultParallelism
+        if mult == 1:
+            return ev.repartition(par)
+        reps = spark.range(mult).select(col("id").alias("rep"))
+        return (
+            ev.crossJoin(reps)
+            .select(
+                "event_type",
+                (col("event_id") * mult + col("rep")).alias("event_id"),
+                "user_id",
+            )
+            .repartition(par)
+        )
+
     def _rotated_documents(mult: int):
         import os as _os
 
@@ -1044,6 +1138,8 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
             _scaled_orders if name == "scd2_history" else
             _scaled_events_cols
             if name in ("bitmap_distinct", "bitmap_jaccard") else
+            _scaled_events_pv if name == "grouped_percentile" else
+            _scaled_events_ids if name == "stratified_reservoir" else
             _scaled_embeddings if name in _EMB_PROBES else
             _planted_skew_documents if name in _SKEW_PROBES else
             _rotated_documents if name == "substring_dup_runs" else
