@@ -663,33 +663,23 @@ def _scaling_probes(spark, sf_dir: str) -> dict:
         )
 
     def _strat_probe(ev):
-        from pyspark.sql.window import Window as _W
-
+        # the registered row's own core (shared salted_grouped_topk —
+        # the probe can never time a different shape than the row)
+        from interop_spark.operators.scale import salted_grouped_topk
         from interop_spark.queries.selection_q import (
             STRAT_K,
             STRAT_SALTS,
         )
 
         h = F.md5(col("event_id").cast("string"))
-        salted = ev.select(
-            "*",
-            h.alias("_h"),
-            F.pmod(col("event_id"), F.lit(STRAT_SALTS)).alias("_salt"),
-        )
-        w1 = _W.partitionBy("event_type", "_salt").orderBy("_h")
-        cell = salted.select(
-            "*", F.row_number().over(w1).alias("_r1")
-        ).where(col("_r1") <= STRAT_K)
-        w2 = _W.partitionBy("event_type").orderBy("_h")
-        return (
-            cell.select(
-                "event_type",
-                "event_id",
-                "user_id",
-                F.row_number().over(w2).alias("_rk"),
-            )
-            .where(col("_rk") <= STRAT_K)
-        )
+        return salted_grouped_topk(
+            ev.select("*", h.alias("_h")),
+            ["event_type"],
+            "_h",
+            STRAT_K,
+            F.pmod(col("event_id"), F.lit(STRAT_SALTS)),
+            STRAT_SALTS,
+        ).select("event_type", "event_id", "user_id", "rk")
 
     def _scd2_probe(o):
         # the registered row's own core (shared function — the probe

@@ -145,3 +145,55 @@ def write_bucketed(
     if sort_col:
         w = w.sortBy(sort_col)
     w.saveAsTable(table)
+
+
+def salted_grouped_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    salt_expr,
+    salts: int = 8,
+) -> DataFrame:
+    """EXACT per-group top-k (smallest ``order_col`` first) via salted
+    two-phase rank — the hot-group-safe form of
+    ``row_number() OVER (PARTITION BY group ORDER BY key) <= k``.
+
+    Correctness: a group's k smallest order keys are each among the k
+    smallest of their own salt cell, so ranking (group × salt) cells
+    first and re-ranking the ≤ salts·k survivors loses nothing.
+    ``order_col`` MUST be a total order within each group (e.g. a hash
+    of a unique id — the ``stratified_reservoir`` pattern): with ties,
+    row_number is free to pick either side per evaluation and the two
+    phases may disagree.
+
+    Scale accounting (plan-verified in tests/test_selection_ops.py):
+    Spark's rank-limit pushdown (WindowGroupLimit Partial) caps every
+    map task at k rows per window group BEFORE each exchange, so even
+    the naive single window shuffles ≤ P·k rows per group (P =
+    upstream partitions); the salt phase tightens the final
+    one-reducer sort from P·k (P ≈ 10⁵ at 100 TB) to a constant
+    salts·k, keeping the last rank O(k) regardless of cluster width.
+    ``salt_expr`` is any deterministic int Column spreading rows
+    within a group (``F.pmod(unique_id, salts)``); determinism keeps
+    the OUTPUT deterministic, uniformity keeps phase 1 balanced.
+
+    Returns the top-k rows per group with a 1-based ``rk`` rank
+    column (long); internal columns are dropped.
+    """
+    from pyspark.sql.window import Window
+
+    salted = df.select("*", salt_expr.alias("_sgt_salt"))
+    w1 = Window.partitionBy(*group_cols, "_sgt_salt").orderBy(order_col)
+    cell = salted.select(
+        "*", F.row_number().over(w1).alias("_sgt_r1")
+    ).where(col("_sgt_r1") <= k)
+    w2 = Window.partitionBy(*group_cols).orderBy(order_col)
+    return (
+        cell.select(
+            *df.columns, F.row_number().over(w2).alias("_sgt_rk")
+        )
+        .where(col("_sgt_rk") <= k)
+        .withColumnRenamed("_sgt_rk", "rk")
+        .withColumn("rk", col("rk").cast("long"))
+    )

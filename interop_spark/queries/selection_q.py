@@ -3412,37 +3412,24 @@ def q_stratified_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles only ≤ P·k rows per stratum (P = upstream partitions) —
     the salt phase's marginal win is tightening the final one-reducer
     sort from P·k (P ≈ 10⁵ at 100 TB) to a constant S·k, keeping the
-    last rank O(k) regardless of cluster width. Output: the sampled
-    rows with their in-stratum rank."""
+    last rank O(k) regardless of cluster width. Core is the shared
+    ``operators/scale.salted_grouped_topk`` (hypothesis-tested against
+    the single-window reference on arbitrary frames). Output: the
+    sampled rows with their in-stratum rank."""
+    from interop_spark.operators.scale import salted_grouped_topk
+
     ev = load(spark, sf_dir, "events").select(
         "event_type", "event_id", "user_id"
     )
     h = F.md5(col("event_id").cast("string"))
-    salted = ev.select(
-        "*",
-        h.alias("_h"),
-        F.pmod(col("event_id"), F.lit(STRAT_SALTS)).alias("_salt"),
-    )
-    w1 = Window.partitionBy("event_type", "_salt").orderBy("_h")
-    cell = salted.select(
-        "*", F.row_number().over(w1).alias("_r1")
-    ).where(col("_r1") <= STRAT_K)
-    w2 = Window.partitionBy("event_type").orderBy("_h")
-    return (
-        cell.select(
-            "event_type",
-            "event_id",
-            "user_id",
-            F.row_number().over(w2).alias("_rk"),
-        )
-        .where(col("_rk") <= STRAT_K)
-        .select(
-            "event_type",
-            "event_id",
-            "user_id",
-            col("_rk").cast("long").alias("rk"),
-        )
-    )
+    return salted_grouped_topk(
+        ev.select("*", h.alias("_h")),
+        ["event_type"],
+        "_h",
+        STRAT_K,
+        F.pmod(col("event_id"), F.lit(STRAT_SALTS)),
+        STRAT_SALTS,
+    ).select("event_type", "event_id", "user_id", "rk")
 
 
 def _stratified_reservoir_oracle() -> str:

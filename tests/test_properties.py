@@ -896,3 +896,40 @@ def test_range_pairs_within_matches_bruteforce_property(
             if ka == kb and ia < ib and abs(ta - tb) <= delta:
                 want.add((ka, ia, ib, abs(ta - tb)))
     assert got == want
+
+
+# randomized (group, unique-key) frames: distinct int keys per draw so
+# the order column is a total order within each group (the operator's
+# stated contract)
+_TOPK_ROWS = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 10_000)),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[1],
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(rows=_TOPK_ROWS, k=st.integers(1, 7), salts=st.integers(1, 5))
+def test_salted_grouped_topk_equals_single_window(sparkp, rows, k, salts):
+    """operators/scale.salted_grouped_topk == the naive single-window
+    top-k on arbitrary frames, ranks included — the exact-decomposition
+    property (a group's k smallest keys are each the k smallest of
+    their salt cell), for every (k, salts) combination drawn."""
+    from interop_spark.operators.scale import salted_grouped_topk
+
+    df = sparkp.createDataFrame(rows, ["g", "key"])
+    got = {
+        (r.g, r.key, r.rk)
+        for r in salted_grouped_topk(
+            df, ["g"], "key", k, F.pmod(F.col("key"), F.lit(salts)), salts
+        ).collect()
+    }
+    want = set()
+    by_g: dict = {}
+    for g, key in rows:
+        by_g.setdefault(g, []).append(key)
+    for g, keys in by_g.items():
+        for rk, key in enumerate(sorted(keys)[:k], 1):
+            want.add((g, key, rk))
+    assert got == want
