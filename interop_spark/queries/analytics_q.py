@@ -2518,3 +2518,104 @@ R20_CANDIDATE_QUERIES["cohort_ltv_curve"] = q_cohort_ltv_curve
 R20_CANDIDATE_ORACLE["cohort_ltv_curve"] = _cohort_ltv_oracle()
 R20_CANDIDATE_QUERIES["benford_first_digit"] = q_benford_first_digit
 R20_CANDIDATE_ORACLE["benford_first_digit"] = _benford_oracle()
+
+
+def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert quantiles between funnel stages (the question
+    every funnel dashboard asks right after `funnel_conversion`
+    answers "how many"): per converting user, the gap from first view
+    to first qualifying click and from that click to first qualifying
+    purchase, in integer MICROSECONDS (the cross-engine timestamp
+    contract), then EXACT interpolating p50/p90 per stage. The stage
+    chain MIRRORS `funnel_conversion`'s (same horizons, same min-ts
+    semantics) — deliberately not refactored into a shared core this
+    round: funnel_conversion sits OUTSIDE the r19 check window and the
+    window invariant forbids touching its code path; unify under one
+    core when both rows are in-window together (r20). Shape: the
+    funnel joins are user-keyed equi-joins, the quantile agg is
+    2-key."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    horizon = F.expr(f"INTERVAL {FUNNEL_HORIZON_DAYS} DAYS")
+    s1 = (
+        ev.where(col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(col("event_type") == "click")
+        .join(s1, "user_id")
+        .where((col("ts") > col("t1")) & (col("ts") <= col("t1") + horizon))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where((col("ts") > col("t2")) & (col("ts") <= col("t2") + horizon))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    g2 = s2.join(s1, "user_id").select(
+        F.lit("view_to_click").alias("stage"),
+        (F.unix_micros(col("t2")) - F.unix_micros(col("t1"))).alias(
+            "gap_us"
+        ),
+    )
+    g3 = s3.join(s2, "user_id").select(
+        F.lit("click_to_purchase").alias("stage"),
+        (F.unix_micros(col("t3")) - F.unix_micros(col("t2"))).alias(
+            "gap_us"
+        ),
+    )
+    return (
+        g2.unionByName(g3)
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_converted"),
+            (F.round(F.percentile(col("gap_us"), F.lit(0.5)), 6) + F.lit(0.0))
+            .alias("gap_us_p50"),
+            (F.round(F.percentile(col("gap_us"), F.lit(0.9)), 6) + F.lit(0.0))
+            .alias("gap_us_p90"),
+        )
+    )
+
+
+def _funnel_ttc_oracle() -> str:
+    return f"""
+        WITH s1 AS (
+          SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY 1
+        ),
+        s2 AS (
+          SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN s1 USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > s1.t1
+            AND e.ts <= s1.t1 + INTERVAL {FUNNEL_HORIZON_DAYS} DAYS
+          GROUP BY 1
+        ),
+        s3 AS (
+          SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN s2 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+            AND e.ts <= s2.t2 + INTERVAL {FUNNEL_HORIZON_DAYS} DAYS
+          GROUP BY 1
+        ),
+        gaps AS (
+          SELECT 'view_to_click' AS stage,
+                 epoch_us(t2) - epoch_us(t1) AS gap_us
+          FROM s2 JOIN s1 USING (user_id)
+          UNION ALL
+          SELECT 'click_to_purchase' AS stage,
+                 epoch_us(t3) - epoch_us(t2) AS gap_us
+          FROM s3 JOIN s2 USING (user_id)
+        )
+        SELECT stage,
+               CAST(count(*) AS BIGINT) AS n_converted,
+               round(quantile_cont(gap_us, 0.5), 6) + 0.0 AS gap_us_p50,
+               round(quantile_cont(gap_us, 0.9), 6) + 0.0 AS gap_us_p90
+        FROM gaps GROUP BY stage
+    """
+
+
+R20_CANDIDATE_QUERIES["funnel_time_to_convert"] = q_funnel_time_to_convert
+R20_CANDIDATE_ORACLE["funnel_time_to_convert"] = _funnel_ttc_oracle()

@@ -1145,3 +1145,34 @@ def test_benford_zero_value_row_is_dropped_not_fatal(spark, tmp_path):
     assert sorted(sdf.columns) == sorted(ddf.columns)
     assert _canon(sdf) == _canon(ddf)
     assert set(sdf.digit) == {1, 2, 9} and int(sdf.n.sum()) == 4
+
+
+def test_funnel_time_to_convert_staged_parity(spark, sf_dir):
+    """r20-staged `funnel_time_to_convert` satisfies the driver's full
+    oracle contract; gaps are positive and bounded by the per-stage
+    horizon, quantiles monotone, converted counts consistent with
+    `funnel_conversion`."""
+    from tests.test_oracle_parity import _canon, _duck
+
+    from interop_spark.queries.analytics_q import (
+        FUNNEL_HORIZON_DAYS,
+        QUERIES,
+        R20_CANDIDATE_ORACLE,
+        R20_CANDIDATE_QUERIES,
+    )
+
+    sdf = R20_CANDIDATE_QUERIES["funnel_time_to_convert"](
+        spark, sf_dir
+    ).toPandas()
+    con = _duck(sf_dir)
+    ddf = con.execute(R20_CANDIDATE_ORACLE["funnel_time_to_convert"]).df()
+    con.close()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert _canon(sdf) == _canon(ddf)
+    horizon_us = FUNNEL_HORIZON_DAYS * 86_400 * 1_000_000
+    for r in sdf.itertuples(index=False):
+        assert 0 < r.gap_us_p50 <= r.gap_us_p90 <= horizon_us
+    fc = QUERIES["funnel_conversion"](spark, sf_dir).collect()[0]
+    by = {r.stage: r.n_converted for r in sdf.itertuples(index=False)}
+    assert by.get("view_to_click", 0) == fc.n_click
+    assert by.get("click_to_purchase", 0) == fc.n_purchase
