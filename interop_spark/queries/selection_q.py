@@ -3451,3 +3451,112 @@ QUERIES["grouped_percentile_approx"] = q_grouped_percentile_approx
 QUERIES["stratified_reservoir"] = q_stratified_reservoir
 ORACLE["grouped_percentile_approx"] = _grouped_percentile_approx_oracle()
 ORACLE["stratified_reservoir"] = _stratified_reservoir_oracle()
+
+
+# --------------------------------------------------------------------------
+# round-20 staged candidates (the staging convention: full driver oracle
+# contract proven this round, registration + window next round). These
+# live HERE next to their batch twin; the other six r20 candidates are in
+# ``analytics_q.R20_CANDIDATE_*`` — the r20 registration sweep gathers
+# BOTH dicts (see the rotation note in ``queries/__init__``).
+# --------------------------------------------------------------------------
+
+
+def _strat_topk(df: DataFrame, with_rank: bool = False) -> DataFrame:
+    """The ``STRAT_K`` smallest ``_h`` per event_type — the
+    ``stratified_reservoir`` order (md5 of the unique event_id, a total
+    order within each stratum, so ``row_number`` is deterministic and
+    the two call sites — per-batch and merge — cannot disagree on
+    ties). Spark plans the rank-filter as WindowGroupLimit, capping
+    every map task at k rows per stratum BEFORE the exchange."""
+    w = Window.partitionBy("event_type").orderBy("_h")
+    r = df.select("*", F.row_number().over(w).alias("rk")).where(
+        col("rk") <= STRAT_K
+    )
+    return r if with_rank else r.drop("rk")
+
+
+def q_stream_stratified_reservoir(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING deterministic reservoir — the SIXTH exactly-mergeable
+    streaming fold (bottom-k-of-hash, joining bitmap bit_or, HLL
+    register-max, theta bottom-k, CMS counter-sum, and the rank-sketch
+    merge), and the first whose state is the SAMPLE ITSELF: where the
+    theta member keeps bottom-k hashes to estimate a count, this keeps
+    the k hash-smallest ROWS per stratum, so what survives the stream
+    is the exact fixed-size sample ``stratified_reservoir`` draws in
+    batch. Merge exactness: a stratum's k smallest hashes over the
+    whole stream are each among the k smallest of their own
+    micro-batch, so ``topk(state ∪ topk(batch)) = topk(all)`` for ANY
+    batch split — the DuckDB oracle is therefore the batch row's SQL
+    verbatim (shared-oracle convention: same result contract, different
+    execution strategy — the ``stream_bitmap_distinct`` precedent).
+
+    The events table streams as the same 4-chunk landing the CDC
+    upsert / HLL / rank-sketch twins reuse (``maxFilesPerTrigger=1`` →
+    4 real micro-batches); each batch ranks itself with the SAME
+    ``_strat_topk`` the merge uses (WindowGroupLimit caps map tasks at
+    k per stratum before the exchange), and ``foreachBatch`` folds
+    survivor frames. State between batches is O(|strata| · k) rows,
+    never events — the fixed-memory contract that lets a production
+    crawl keep a live per-source sample forever. Batch twin + the
+    salted wide-cluster form: ``q_stratified_reservoir`` /
+    ``operators/scale.salted_grouped_topk``."""
+    import os
+
+    from interop_spark.streaming.cdc import land_event_chunks
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    flat = land_event_chunks(ev, 4, key)  # shared with stream_merge_upsert
+    schema = spark.read.parquet(flat).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    state: dict = {"res": None}
+
+    def _fold(batch_df: DataFrame, _batch_id: int) -> None:
+        b = _strat_topk(
+            batch_df.select(
+                "event_type",
+                "event_id",
+                "user_id",
+                F.md5(col("event_id").cast("string")).alias("_h"),
+            )
+        )
+        if state["res"] is None:
+            state["res"] = b.localCheckpoint()
+        else:
+            state["res"] = _strat_topk(
+                state["res"].unionByName(b)
+            ).localCheckpoint()
+
+    q = (
+        src.writeStream.foreachBatch(_fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _strat_topk(state["res"], with_rank=True).select(
+        "event_type",
+        "event_id",
+        "user_id",
+        col("rk").cast("long").alias("rk"),
+    )
+
+
+R20_CANDIDATE_QUERIES = {
+    "stream_stratified_reservoir": q_stream_stratified_reservoir,
+}
+
+# shared-oracle convention (documented per-row): the streaming fold is an
+# execution-strategy change with an identical result contract, so it pins
+# against the batch twin's SQL verbatim.
+R20_CANDIDATE_ORACLE = {
+    "stream_stratified_reservoir": _stratified_reservoir_oracle(),
+}

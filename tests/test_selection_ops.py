@@ -822,3 +822,42 @@ def test_stratified_reservoir_plan_rank_limit_pushdown(spark, sf_dir):
         "ReadSchema: struct<event_id:bigint,user_id:bigint,event_type:string>"
         in ex
     ), ex[:3000]
+
+
+# --------------------------------------------------------------------------
+# round-20 staged candidate (the staging convention: full driver oracle
+# contract proven now, registration + window next round)
+# --------------------------------------------------------------------------
+
+def test_stream_stratified_reservoir_staged_parity(spark, sf_dir):
+    """r20-staged `stream_stratified_reservoir` satisfies the driver's
+    full oracle contract: 4 REAL micro-batches folded by the bottom-k
+    merge vs the all-at-once DuckDB SQL — so the parity check IS the
+    batch-split-independence proof (`topk(state ∪ topk(batch)) =
+    topk(all)` for this split); and the stream result equals the batch
+    twin row-for-row, ranks included (same sample, either engine,
+    either execution strategy)."""
+    from tests.test_oracle_parity import _canon, _duck
+
+    from interop_spark.queries.selection_q import (
+        QUERIES,
+        R20_CANDIDATE_ORACLE,
+        R20_CANDIDATE_QUERIES,
+        STRAT_K,
+    )
+
+    sdf = R20_CANDIDATE_QUERIES["stream_stratified_reservoir"](
+        spark, sf_dir
+    ).toPandas()
+    con = _duck(sf_dir)
+    ddf = con.execute(
+        R20_CANDIDATE_ORACLE["stream_stratified_reservoir"]
+    ).df()
+    con.close()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert _canon(sdf) == _canon(ddf)
+    # streaming twin == batch twin, exactly (shared-oracle contract)
+    bdf = QUERIES["stratified_reservoir"](spark, sf_dir).toPandas()
+    assert _canon(sdf) == _canon(bdf)
+    # state bound: the surviving sample is ≤ k per stratum
+    assert sdf.groupby("event_type").size().max() <= STRAT_K
