@@ -2619,3 +2619,72 @@ def _funnel_ttc_oracle() -> str:
 
 R20_CANDIDATE_QUERIES["funnel_time_to_convert"] = q_funnel_time_to_convert
 R20_CANDIDATE_ORACLE["funnel_time_to_convert"] = _funnel_ttc_oracle()
+
+
+TREND_EPOCH = "2024-01-01"  # x-origin: recenters day index near the data
+
+
+def q_daily_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment KPI trend line — OLS slope / intercept / r² of the
+    DAILY MEAN value against the day index, per event_type (the
+    grouped sibling of ``zipf_fit_slope``'s single global log-log fit;
+    the "is this metric drifting per segment" sparkline every
+    monitoring dashboard fits). Two-level shape: the corpus pass is
+    one (type, day) rollup — the grid is calendar × |types| bounded,
+    independent of event count — and the regression runs per type on
+    that bounded frame via the ``regr_*`` partial aggregates (sums of
+    moments, one exchange of O(|types|) moment tuples at 100 TB).
+    Float discipline: daily means round to 6dp BEFORE the fit (the
+    cohort_ltv cell convention), x recenters to days-since-epoch-
+    literal so the moment magnitudes stay O(10) (keeping cross-engine
+    summation ULP far below the 5dp output rounding), r² is corr²
+    (the zipf_fit_slope convention — identical NULL semantics on both
+    engines when a degenerate group has zero variance)."""
+    ev = load(spark, sf_dir, "events").select("event_type", "ts", "value")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.round(F.avg("value"), 6).alias("y"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    x = F.datediff(
+        col("day"), F.lit(TREND_EPOCH).cast("date")
+    ).cast("double")
+    fitted = daily.select("event_type", "y", "n_events", x.alias("x"))
+    return fitted.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        (F.round(F.regr_slope("y", "x"), 5) + F.lit(0.0)).alias("slope"),
+        (F.round(F.regr_intercept("y", "x"), 5) + F.lit(0.0)).alias(
+            "intercept"
+        ),
+        (F.round(F.pow(F.corr("x", "y"), 2), 5) + F.lit(0.0)).alias("r2"),
+    )
+
+
+def _daily_value_trend_oracle() -> str:
+    return f"""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 round(avg(value), 6) AS y,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM events GROUP BY 1, 2
+        ),
+        fitted AS (
+          SELECT event_type, y, n_events,
+                 CAST(date_diff('day', DATE '{TREND_EPOCH}', day)
+                      AS DOUBLE) AS x
+          FROM daily
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(n_events) AS BIGINT) AS n_events,
+               round(regr_slope(y, x), 5) + 0.0 AS slope,
+               round(regr_intercept(y, x), 5) + 0.0 AS intercept,
+               round(pow(corr(x, y), 2), 5) + 0.0 AS r2
+        FROM fitted GROUP BY event_type
+    """
+
+
+R20_CANDIDATE_QUERIES["daily_value_trend"] = q_daily_value_trend
+R20_CANDIDATE_ORACLE["daily_value_trend"] = _daily_value_trend_oracle()

@@ -1176,3 +1176,45 @@ def test_funnel_time_to_convert_staged_parity(spark, sf_dir):
     by = {r.stage: r.n_converted for r in sdf.itertuples(index=False)}
     assert by.get("view_to_click", 0) == fc.n_click
     assert by.get("click_to_purchase", 0) == fc.n_purchase
+
+
+def test_daily_value_trend_staged_parity_and_fit(spark, sf_dir):
+    """r20-staged `daily_value_trend` satisfies the driver's full
+    oracle contract; fit invariants hold (one row per event type,
+    r2 in [0, 1], day/event counts positive, and slope/intercept
+    reproduce a numpy least-squares fit of the same daily means)."""
+    import numpy as np
+
+    from tests.test_oracle_parity import _canon, _duck
+
+    from interop_spark.io import load
+    from interop_spark.queries.analytics_q import (
+        R20_CANDIDATE_ORACLE,
+        R20_CANDIDATE_QUERIES,
+    )
+
+    sdf = R20_CANDIDATE_QUERIES["daily_value_trend"](spark, sf_dir).toPandas()
+    con = _duck(sf_dir)
+    ddf = con.execute(R20_CANDIDATE_ORACLE["daily_value_trend"]).df()
+    con.close()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert _canon(sdf) == _canon(ddf)
+    ev = load(spark, sf_dir, "events").toPandas()
+    types = set(ev.event_type)
+    assert set(sdf.event_type) == types and len(sdf) == len(types)
+    assert (sdf.n_days > 0).all() and (sdf.n_events > 0).all()
+    assert sdf.r2.between(0, 1).all()
+    assert int(sdf.n_events.sum()) == len(ev)
+    # independent reference: numpy polyfit over the same rounded
+    # daily means (5dp agreement = the output rounding)
+    ev["day"] = ev.ts.dt.normalize()
+    daily = ev.groupby(["event_type", "day"]).value.mean().round(6)
+    for r in sdf.itertuples(index=False):
+        g = daily[r.event_type]
+        x = np.array(
+            [(d - np.datetime64("2024-01-01")).days for d in g.index],
+            dtype=float,
+        )
+        slope, intercept = np.polyfit(x, g.values, 1)
+        assert abs(slope - r.slope) < 1e-4, r.event_type
+        assert abs(intercept - r.intercept) < 1e-4, r.event_type
