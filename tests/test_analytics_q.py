@@ -1218,3 +1218,30 @@ def test_daily_value_trend_staged_parity_and_fit(spark, sf_dir):
         slope, intercept = np.polyfit(x, g.values, 1)
         assert abs(slope - r.slope) < 1e-4, r.event_type
         assert abs(intercept - r.intercept) < 1e-4, r.event_type
+
+
+def test_daily_value_trend_partitioning_invariant(spark, sf_dir):
+    """Summation order changes with the partition count; the staged
+    trend row's 6dp-rounded daily means + 5dp-rounded moments must
+    absorb it (the round-6 float contract — the driver runs at
+    whatever parallelism it likes)."""
+    from interop_spark.queries.analytics_q import R20_CANDIDATE_QUERIES
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = []
+        for n in ("2", "31"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            results.append(
+                sorted(
+                    map(
+                        tuple,
+                        R20_CANDIDATE_QUERIES["daily_value_trend"](
+                            spark, sf_dir
+                        ).collect(),
+                    )
+                )
+            )
+        assert results[0] == results[1]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
