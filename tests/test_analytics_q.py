@@ -1245,3 +1245,30 @@ def test_daily_value_trend_partitioning_invariant(spark, sf_dir):
         assert results[0] == results[1]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_daily_value_trend_plan_two_level_moment_agg(spark, sf_dir):
+    """Scale pin for the staged trend row: exactly TWO exchanges (the
+    calendar-bounded (type, day) rollup, then the per-type moment
+    fold), the regression moving as partial_regr_* moment tuples (map-
+    side fold — O(|types|) tuples cross the second exchange, never
+    daily rows), and the scan pruned to the three live columns."""
+    from interop_spark.queries.analytics_q import R20_CANDIDATE_QUERIES
+
+    ex = (
+        R20_CANDIDATE_QUERIES["daily_value_trend"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert ex.count("Exchange hashpartitioning") == 2, ex[:3000]
+    assert "partial_regr_slope" in ex, ex[:3000]
+    assert "partial_avg" in ex, ex[:3000]
+    import re
+
+    reads = re.findall(r"ReadSchema: struct<([^>]*)", ex)
+    assert reads and all(
+        sorted(f.split(":")[0] for f in r.split(","))
+        == ["event_type", "ts", "value"]
+        for r in reads
+    ), reads

@@ -861,3 +861,31 @@ def test_stream_stratified_reservoir_staged_parity(spark, sf_dir):
     assert _canon(sdf) == _canon(bdf)
     # state bound: the surviving sample is ≤ k per stratum
     assert sdf.groupby("event_type").size().max() <= STRAT_K
+
+
+def test_strat_topk_plan_rank_limit_pushdown(spark, sf_dir):
+    """Scale pin for the streaming reservoir's fold core: the shared
+    `_strat_topk` rank-filter plans as WindowGroupLimit with a map-side
+    Partial pass, so every micro-batch's map tasks contribute ≤ k rows
+    per stratum BEFORE the exchange — the property that bounds the
+    foreachBatch fold's shuffle at O(|strata|·k) regardless of batch
+    size."""
+    from pyspark.sql import functions as F
+
+    from interop_spark.io import load
+    from interop_spark.queries.selection_q import _strat_topk
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "user_id",
+        F.md5(F.col("event_id").cast("string")).alias("_h"),
+    )
+    ex = (
+        _strat_topk(ev)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in ex, ex[:3000]
+    assert "Partial" in ex, ex[:3000]
