@@ -3560,3 +3560,143 @@ R20_CANDIDATE_QUERIES = {
 R20_CANDIDATE_ORACLE = {
     "stream_stratified_reservoir": _stratified_reservoir_oracle(),
 }
+
+
+# Poisson(1) inverse-CDF thresholds, computed ONCE here and consumed by
+# BOTH engines (Spark lit() and the oracle's f-string interpolation see
+# the identical Python double, so the replicate counts cannot diverge).
+import math as _math
+
+_P1_CDF: list[float] = []
+_term = _math.exp(-1.0)
+_acc = 0.0
+for _k in range(7):
+    _acc += _term
+    _P1_CDF.append(_acc)
+    _term /= _k + 1
+BOOT_B = 32  # bootstrap replicates
+BOOT_Z = 1.96
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the per-segment mean —
+    THE shuffle-free form of the bootstrap at scale (Chamandy et al.,
+    "Estimating Uncertainty for Massive Data Streams", Google 2012):
+    instead of drawing B resamples (each a full-corpus shuffle), every
+    row draws its OWN per-replicate multiplicity m ~ Poisson(1) from a
+    hash — one pass, B partial aggregates, no resample materialized.
+    Multiplicities are DETERMINISTIC (inverse-CDF over a md5-derived
+    uniform, the ``weighted_sample_topk`` hash idiom), so membership of
+    every replicate — not just the summary — is engine-reproducible
+    and the DuckDB oracle pins the exact same draws; the CDF thresholds
+    are module-level Python doubles interpolated into both engines.
+
+    Shape: explode ×B (map-side compute, no extra scan), partial-agg
+    to (type, replicate) weighted means — the ONE exchange moves
+    O(|types|·B) moment tuples — then an O(|types|·B)-row fold to the
+    replicate-spread SE. The point estimate is the plain per-type mean
+    (its own partial agg on the same scan). Float discipline: replicate
+    means and the base mean round to 6dp, SE rounds to 6dp, and the CI
+    derives from the ROUNDED components so both engines do identical
+    literal arithmetic. Poisson truncates at m=7 (P ≈ 8e-5 of draws
+    cap, identically on both sides — a bias of the estimator's
+    DEFINITION here, not an engine divergence)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    r = F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("r")
+    rep = ev.select("*", r)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        col("event_id").cast("string"),
+                        col("r").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    m = F.lit(7)
+    for k in range(6, -1, -1):
+        m = F.when(u < F.lit(_P1_CDF[k]), F.lit(k)).otherwise(m)
+    rep_means = (
+        rep.select("event_type", "r", m.alias("m"), "value")
+        .groupBy("event_type", "r")
+        .agg(
+            F.round(
+                F.sum(col("m") * col("value")) / F.sum(col("m")), 6
+            ).alias("rep_mean")
+        )
+    )
+    spread = rep_means.groupBy("event_type").agg(
+        (F.round(F.stddev_samp("rep_mean"), 6) + F.lit(0.0)).alias(
+            "boot_se"
+        )
+    )
+    base = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+    )
+    return base.join(F.broadcast(spread), "event_type").select(
+        "event_type",
+        "n_events",
+        "mean_value",
+        "boot_se",
+        F.round(
+            col("mean_value") - F.lit(BOOT_Z) * col("boot_se"), 6
+        ).alias("ci_lo"),
+        F.round(
+            col("mean_value") + F.lit(BOOT_Z) * col("boot_se"), 6
+        ).alias("ci_hi"),
+    )
+
+
+def _bootstrap_ci_oracle() -> str:
+    cases = " ".join(
+        f"WHEN u < {_P1_CDF[k]!r} THEN {k}" for k in range(7)
+    )
+    return f"""
+        WITH rep AS (
+          SELECT event_type, value, r,
+                 CAST(CAST(concat('0x', substr(md5(
+                        CAST(event_id AS VARCHAR) || ':' ||
+                        CAST(r AS VARCHAR)), 1, 8))
+                      AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+          FROM events
+          CROSS JOIN (SELECT unnest(generate_series(0, {BOOT_B - 1}))
+                      AS r) reps
+        ),
+        rep_means AS (
+          SELECT event_type, r,
+                 round(sum((CASE {cases} ELSE 7 END) * value)
+                       / sum(CASE {cases} ELSE 7 END), 6) AS rep_mean
+          FROM rep GROUP BY event_type, r
+        ),
+        spread AS (
+          SELECT event_type,
+                 round(stddev_samp(rep_mean), 6) + 0.0 AS boot_se
+          FROM rep_means GROUP BY event_type
+        ),
+        base AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 round(avg(value), 6) AS mean_value
+          FROM events GROUP BY event_type
+        )
+        SELECT event_type, n_events, mean_value, boot_se,
+               round(mean_value - {BOOT_Z!r} * boot_se, 6) AS ci_lo,
+               round(mean_value + {BOOT_Z!r} * boot_se, 6) AS ci_hi
+        FROM base JOIN spread USING (event_type)
+    """
+
+
+R20_CANDIDATE_QUERIES["bootstrap_ci"] = q_bootstrap_ci
+R20_CANDIDATE_ORACLE["bootstrap_ci"] = _bootstrap_ci_oracle()

@@ -889,3 +889,91 @@ def test_strat_topk_plan_rank_limit_pushdown(spark, sf_dir):
     )
     assert "WindowGroupLimit" in ex, ex[:3000]
     assert "Partial" in ex, ex[:3000]
+
+
+def test_bootstrap_ci_staged_parity_and_coverage(spark, sf_dir):
+    """r20-staged `bootstrap_ci` satisfies the driver's full oracle
+    contract; bootstrap invariants hold (one row per type, SE > 0,
+    CI brackets the mean symmetrically at z=1.96, and the SE is the
+    right order of magnitude: within [1/3, 3]x of stddev/sqrt(n) —
+    the textbook SE the bootstrap estimates)."""
+    from tests.test_oracle_parity import _canon, _duck
+
+    from interop_spark.io import load
+    from interop_spark.queries.selection_q import (
+        R20_CANDIDATE_ORACLE,
+        R20_CANDIDATE_QUERIES,
+    )
+
+    sdf = R20_CANDIDATE_QUERIES["bootstrap_ci"](spark, sf_dir).toPandas()
+    con = _duck(sf_dir)
+    ddf = con.execute(R20_CANDIDATE_ORACLE["bootstrap_ci"]).df()
+    con.close()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert _canon(sdf) == _canon(ddf)
+    ev = load(spark, sf_dir, "events").toPandas()
+    assert set(sdf.event_type) == set(ev.event_type)
+    assert len(sdf) == ev.event_type.nunique()
+    for r in sdf.itertuples(index=False):
+        assert r.boot_se > 0
+        assert r.ci_lo < r.mean_value < r.ci_hi
+        assert abs((r.ci_hi - r.ci_lo) - 2 * 1.96 * r.boot_se) < 2e-6
+        g = ev[ev.event_type == r.event_type].value
+        textbook = g.std() / (len(g) ** 0.5)
+        assert textbook / 3 < r.boot_se < textbook * 3, (
+            r.event_type, r.boot_se, textbook
+        )
+
+
+def test_bootstrap_ci_partitioning_invariant(spark, sf_dir):
+    """The staged bootstrap row's rounded replicate means / SE / CI
+    must absorb summation-order changes (the round-6 float contract)."""
+    from interop_spark.queries.selection_q import R20_CANDIDATE_QUERIES
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = []
+        for n in ("2", "31"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            results.append(
+                sorted(
+                    map(
+                        tuple,
+                        R20_CANDIDATE_QUERIES["bootstrap_ci"](
+                            spark, sf_dir
+                        ).collect(),
+                    )
+                )
+            )
+        assert results[0] == results[1]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_bootstrap_ci_plan_mapside_explode(spark, sf_dir):
+    """Scale pin for the staged bootstrap row: the xB replicate explode
+    is MAP-SIDE (Generate sits under the first partial aggregate, no
+    exchange between them — replicate rows never travel), the spread
+    side joins broadcast, and the scan reads only the three live
+    columns."""
+    import re
+
+    from interop_spark.queries.selection_q import R20_CANDIDATE_QUERIES
+
+    ex = (
+        R20_CANDIDATE_QUERIES["bootstrap_ci"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Generate explode" in ex, ex[:3000]
+    gen = ex.index("Generate explode")
+    agg = ex.rindex("HashAggregate", 0, gen)
+    assert "Exchange" not in ex[agg:gen], ex[agg:gen]
+    assert "BroadcastHashJoin" in ex, ex[:3000]
+    reads = re.findall(r"ReadSchema: struct<([^>]*)", ex)
+    assert reads and all(
+        sorted(f.split(":")[0] for f in r.split(","))
+        in (["event_id", "event_type", "value"], ["event_type", "value"])
+        for r in reads
+    ), reads
