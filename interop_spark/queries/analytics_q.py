@@ -2688,3 +2688,149 @@ def _daily_value_trend_oracle() -> str:
 
 R20_CANDIDATE_QUERIES["daily_value_trend"] = q_daily_value_trend
 R20_CANDIDATE_ORACLE["daily_value_trend"] = _daily_value_trend_oracle()
+
+
+KM_OBS_HOURS = 48  # administrative censoring: follow-up cap per subject
+_KM_HOUR_US = 3_600_000_000
+
+
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier time-to-first-error survival curve with
+    right-censoring — the survival-analysis staple (`cohort_retention`
+    counts returners; this estimates S(t) = P(no error within t) while
+    CORRECTLY keeping not-yet-failed subjects in the risk set instead
+    of dropping or miscounting them). Subjects: users; origin: the
+    user's first event; event: their first 'error'; follow-up is
+    administratively capped at ``KM_OBS_HOURS`` (the clinical-trial
+    fixed-horizon design) — a user whose first error lands past the
+    cap (or never) is CENSORED at the cap. Durations are integer
+    HOURS from epoch-µs integer arithmetic (the
+    interarrival_quantiles discipline). Estimator: at each failure
+    hour t, S(t) *= (1 - d_t / n_t), n_t = subjects with duration ≥ t,
+    computed as a cumulative product via exp(Σ ln) — the zipf
+    cross-engine-log precedent, one-ULP libm slack absorbed by the
+    6dp rounding; a full-failure step (d = n, ln(0)) is CASE-guarded
+    to an exact 0.0 on both engines (DuckDB ERRORS on ln(0)).
+
+    Scale shape: ONE user-keyed exchange builds the per-subject
+    (origin, first-error) frame via conditional min aggregates; from
+    there every window runs on the DISTINCT-DURATION frame — bounded
+    by the follow-up cap (≤ KM_OBS_HOURS + 1 rows), independent of
+    user count, so the unpartitioned ordered windows are O(cap) on
+    one reducer, never a corpus sort. The risk-set total is a
+    whole-frame window sum on that same bounded frame (no second
+    corpus pass, no broadcast join). Output: one row per failure
+    step (censored-only durations thin the risk set between steps
+    but print no row — the standard KM table shape)."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    us = F.unix_micros(col("ts"))
+    per = ev.groupBy("user_id").agg(
+        F.min(us).alias("first_us"),
+        F.min(F.when(col("event_type") == "error", us)).alias("err_us"),
+    )
+    cap = F.lit(KM_OBS_HOURS * _KM_HOUR_US)
+    failed = col("err_us").isNotNull() & (
+        col("err_us") - col("first_us") < cap
+    )
+    dur_us = F.when(failed, col("err_us") - col("first_us")).otherwise(cap)
+    durs = per.select(
+        failed.cast("int").alias("fail"), dur_us.alias("dur_us")
+    ).select(
+        F.expr(f"dur_us div {_KM_HOUR_US}").alias("dur_hr"), "fail"
+    )
+    counts = durs.groupBy("dur_hr").agg(
+        F.sum("fail").cast("long").alias("n_fail"),
+        F.count(F.lit(1)).cast("long").alias("n_at"),
+    )
+    w_all = Window.orderBy("dur_hr").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prev = Window.orderBy("dur_hr").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = counts.select(
+        "dur_hr",
+        "n_fail",
+        (col("n_at") - col("n_fail")).alias("n_censored"),
+        (
+            F.sum("n_at").over(w_all)
+            - F.coalesce(F.sum("n_at").over(w_prev), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    steps = risk.where(col("n_fail") > 0)
+    ln_term = F.when(
+        col("n_fail") < col("n_risk"),
+        F.log(
+            F.lit(1.0)
+            - col("n_fail").cast("double") / col("n_risk").cast("double")
+        ),
+    )  # NULL (skipped by sum) on a full-failure step; survival forced 0
+    w_cum = Window.orderBy("dur_hr").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return steps.select(
+        "dur_hr",
+        "n_risk",
+        "n_fail",
+        "n_censored",
+        F.when(col("n_fail") == col("n_risk"), F.lit(0.0))
+        .otherwise(
+            F.round(F.exp(F.sum(ln_term).over(w_cum)), 6) + F.lit(0.0)
+        )
+        .alias("survival"),
+    )
+
+
+def _survival_km_oracle() -> str:
+    cap_us = KM_OBS_HOURS * _KM_HOUR_US
+    return f"""
+        WITH per AS (
+          SELECT user_id,
+                 min(epoch_us(ts)) AS first_us,
+                 min(CASE WHEN event_type = 'error'
+                          THEN epoch_us(ts) END) AS err_us
+          FROM events GROUP BY 1
+        ),
+        durs AS (
+          SELECT CASE WHEN err_us IS NOT NULL
+                       AND err_us - first_us < {cap_us}
+                      THEN 1 ELSE 0 END AS fail,
+                 (CASE WHEN err_us IS NOT NULL
+                        AND err_us - first_us < {cap_us}
+                       THEN err_us - first_us ELSE {cap_us} END)
+                 // {_KM_HOUR_US} AS dur_hr
+          FROM per
+        ),
+        counts AS (
+          SELECT dur_hr,
+                 CAST(sum(fail) AS BIGINT) AS n_fail,
+                 CAST(count(*) AS BIGINT) AS n_at
+          FROM durs GROUP BY 1
+        ),
+        risk AS (
+          SELECT dur_hr, n_fail, n_at - n_fail AS n_censored,
+                 CAST(sum(n_at) OVER () - coalesce(sum(n_at) OVER (
+                   ORDER BY dur_hr
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS BIGINT) AS n_risk
+          FROM counts
+        ),
+        steps AS (SELECT * FROM risk WHERE n_fail > 0)
+        SELECT dur_hr, n_risk, n_fail, n_censored,
+               CASE WHEN n_fail = n_risk THEN 0.0
+                    ELSE round(exp(sum(
+                           CASE WHEN n_fail < n_risk
+                                THEN ln(1.0 - CAST(n_fail AS DOUBLE)
+                                            / CAST(n_risk AS DOUBLE))
+                           END) OVER (
+                             ORDER BY dur_hr ROWS UNBOUNDED PRECEDING
+                           )), 6) + 0.0
+               END AS survival
+        FROM steps
+    """
+
+
+R20_CANDIDATE_QUERIES["survival_km"] = q_survival_km
+R20_CANDIDATE_ORACLE["survival_km"] = _survival_km_oracle()

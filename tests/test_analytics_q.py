@@ -1272,3 +1272,71 @@ def test_daily_value_trend_plan_two_level_moment_agg(spark, sf_dir):
         == ["event_type", "ts", "value"]
         for r in reads
     ), reads
+
+
+def test_survival_km_staged_parity_and_estimator(spark, sf_dir):
+    """r20-staged `survival_km` satisfies the driver's full oracle
+    contract; Kaplan-Meier invariants hold (non-empty curve with BOTH
+    failures and censoring exercised, survival strictly decreasing
+    and in (0, 1], n_risk strictly decreasing, durations within the
+    follow-up cap) and the curve reproduces a pure-Python KM
+    reference over the same subject durations."""
+    import math
+
+    from tests.test_oracle_parity import _canon, _duck
+
+    from interop_spark.io import load
+    from interop_spark.queries.analytics_q import (
+        _KM_HOUR_US,
+        KM_OBS_HOURS,
+        R20_CANDIDATE_ORACLE,
+        R20_CANDIDATE_QUERIES,
+    )
+
+    sdf = (
+        R20_CANDIDATE_QUERIES["survival_km"](spark, sf_dir)
+        .toPandas()
+        .sort_values("dur_hr")
+        .reset_index(drop=True)
+    )
+    con = _duck(sf_dir)
+    ddf = con.execute(R20_CANDIDATE_ORACLE["survival_km"]).df()
+    con.close()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert _canon(sdf) == _canon(ddf)
+    assert len(sdf) > 0
+    assert (sdf.survival.diff().dropna() < 0).all()
+    assert ((sdf.survival > 0) | (sdf.n_fail == sdf.n_risk)).all()
+    assert (sdf.survival <= 1).all()
+    assert (sdf.n_risk.diff().dropna() < 0).all()
+    assert sdf.dur_hr.between(0, KM_OBS_HOURS).all()
+    # pure-Python reference over the same subject durations
+    ev = load(spark, sf_dir, "events").toPandas()
+    us = ev.ts.astype("int64") // 1000  # ns -> us
+    cap = KM_OBS_HOURS * _KM_HOUR_US
+    first = us.groupby(ev.user_id).min()
+    err = us[ev.event_type == "error"].groupby(
+        ev.user_id[ev.event_type == "error"]
+    ).min()
+    lives = []
+    for uid, f in first.items():
+        e = err.get(uid)
+        fail = e is not None and e - f < cap
+        lives.append((((e - f) if fail else cap) // _KM_HOUR_US, fail))
+    assert any(c for _, c in lives) and any(not c for _, c in lives), (
+        "fixture must exercise both failures and censoring"
+    )
+    n_risk = len(lives)
+    s = 1.0
+    want = []
+    for hr in sorted({h for h, _ in lives}):
+        d_n = sum(1 for h, c in lives if h == hr and c)
+        at = sum(1 for h, _ in lives if h == hr)
+        if d_n > 0:
+            s *= 1.0 - d_n / n_risk
+            want.append((hr, n_risk, d_n, at - d_n, s))
+        n_risk -= at
+    assert len(want) == len(sdf)
+    for (hr, nr, dn, nc, s), r in zip(want, sdf.itertuples(index=False)):
+        assert (hr, nr, dn, nc) == (r.dur_hr, r.n_risk, r.n_fail, r.n_censored)
+        assert math.isclose(s, r.survival, abs_tol=2e-6)
