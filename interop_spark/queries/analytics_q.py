@@ -2700,11 +2700,15 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts returners; this estimates S(t) = P(no error within t) while
     CORRECTLY keeping not-yet-failed subjects in the risk set instead
     of dropping or miscounting them). Subjects: users; origin: the
-    user's first event; event: their first 'error'; follow-up is
-    administratively capped at ``KM_OBS_HOURS`` (the clinical-trial
-    fixed-horizon design) — a user whose first error lands past the
-    cap (or never) is CENSORED at the cap. Durations are integer
-    HOURS from epoch-µs integer arithmetic (the
+    user's first event; event: their first 'error'; observation ends
+    at min(first + ``KM_OBS_HOURS``, corpus end) — the clinical-trial
+    fixed-horizon design WITH staggered entry, so a subject enrolling
+    within the cap of corpus end is censored at their TRUE (shorter)
+    follow-up instead of being mislabeled as error-free for hours
+    nobody observed; everyone else censors at the cap (past every
+    printable step, so on such a corpus the printed ``n_censored`` is
+    typically 0 — late enrollees are what make it nonzero). Durations
+    are integer HOURS from epoch-µs integer arithmetic (the
     interarrival_quantiles discipline). Estimator: at each failure
     hour t, S(t) *= (1 - d_t / n_t), n_t = subjects with duration ≥ t,
     computed as a cumulative product via exp(Σ ln) — the zipf
@@ -2713,27 +2717,32 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     to an exact 0.0 on both engines (DuckDB ERRORS on ln(0)).
 
     Scale shape: ONE user-keyed exchange builds the per-subject
-    (origin, first-error) frame via conditional min aggregates; from
-    there every window runs on the DISTINCT-DURATION frame — bounded
-    by the follow-up cap (≤ KM_OBS_HOURS + 1 rows), independent of
-    user count, so the unpartitioned ordered windows are O(cap) on
-    one reducer, never a corpus sort. The risk-set total is a
-    whole-frame window sum on that same bounded frame (no second
-    corpus pass, no broadcast join). Output: one row per failure
-    step (censored-only durations thin the risk set between steps
-    but print no row — the standard KM table shape)."""
+    (origin, last-seen, first-error) frame via conditional min/max
+    aggregates, plus a 1-row broadcast stats join for corpus end (the
+    value_histogram idiom); from there every window runs on the
+    DISTINCT-DURATION frame — bounded by the follow-up cap
+    (≤ KM_OBS_HOURS + 1 rows), independent of user count, so the
+    unpartitioned ordered windows are O(cap) on one reducer, never a
+    corpus sort. The risk-set total is a whole-frame window sum on
+    that same bounded frame. Output: one row per failure step
+    (censoring thins the risk set between steps but prints no row —
+    the standard KM table shape)."""
     ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
     us = F.unix_micros(col("ts"))
     per = ev.groupBy("user_id").agg(
         F.min(us).alias("first_us"),
+        F.max(us).alias("last_us"),
         F.min(F.when(col("event_type") == "error", us)).alias("err_us"),
     )
+    stats = per.agg(F.max("last_us").alias("_t_end"))
+    j = per.crossJoin(F.broadcast(stats))
     cap = F.lit(KM_OBS_HOURS * _KM_HOUR_US)
-    failed = col("err_us").isNotNull() & (
-        col("err_us") - col("first_us") < cap
+    obs_end = F.least(col("first_us") + cap, col("_t_end"))
+    failed = col("err_us").isNotNull() & (col("err_us") < obs_end)
+    dur_us = F.when(failed, col("err_us") - col("first_us")).otherwise(
+        obs_end - col("first_us")
     )
-    dur_us = F.when(failed, col("err_us") - col("first_us")).otherwise(cap)
-    durs = per.select(
+    durs = j.select(
         failed.cast("int").alias("fail"), dur_us.alias("dur_us")
     ).select(
         F.expr(f"dur_us div {_KM_HOUR_US}").alias("dur_hr"), "fail"
@@ -2789,19 +2798,24 @@ def _survival_km_oracle() -> str:
         WITH per AS (
           SELECT user_id,
                  min(epoch_us(ts)) AS first_us,
+                 max(epoch_us(ts)) AS last_us,
                  min(CASE WHEN event_type = 'error'
                           THEN epoch_us(ts) END) AS err_us
           FROM events GROUP BY 1
         ),
+        stats AS (SELECT max(last_us) AS t_end FROM per),
+        obs AS (
+          SELECT p.*, least(p.first_us + {cap_us}, s.t_end) AS obs_end
+          FROM per p CROSS JOIN stats s
+        ),
         durs AS (
-          SELECT CASE WHEN err_us IS NOT NULL
-                       AND err_us - first_us < {cap_us}
+          SELECT CASE WHEN err_us IS NOT NULL AND err_us < obs_end
                       THEN 1 ELSE 0 END AS fail,
-                 (CASE WHEN err_us IS NOT NULL
-                        AND err_us - first_us < {cap_us}
-                       THEN err_us - first_us ELSE {cap_us} END)
+                 (CASE WHEN err_us IS NOT NULL AND err_us < obs_end
+                       THEN err_us - first_us
+                       ELSE obs_end - first_us END)
                  // {_KM_HOUR_US} AS dur_hr
-          FROM per
+          FROM obs
         ),
         counts AS (
           SELECT dur_hr,

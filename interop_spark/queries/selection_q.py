@@ -3565,15 +3565,18 @@ R20_CANDIDATE_ORACLE = {
 # Poisson(1) inverse-CDF thresholds, computed ONCE here and consumed by
 # BOTH engines (Spark lit() and the oracle's f-string interpolation see
 # the identical Python double, so the replicate counts cannot diverge).
-import math as _math
+def _poisson1_cdf(n: int) -> tuple:
+    import math
 
-_P1_CDF: list[float] = []
-_term = _math.exp(-1.0)
-_acc = 0.0
-for _k in range(7):
-    _acc += _term
-    _P1_CDF.append(_acc)
-    _term /= _k + 1
+    out, term, acc = [], math.exp(-1.0), 0.0
+    for k in range(n):
+        acc += term
+        out.append(acc)
+        term /= k + 1
+    return tuple(out)
+
+
+_P1_CDF = _poisson1_cdf(7)
 BOOT_B = 32  # bootstrap replicates
 BOOT_Z = 1.96
 
@@ -3595,7 +3598,8 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     to (type, replicate) weighted means — the ONE exchange moves
     O(|types|·B) moment tuples — then an O(|types|·B)-row fold to the
     replicate-spread SE. The point estimate is the plain per-type mean
-    (its own partial agg on the same scan). Float discipline: replicate
+    on its own, NARROWER scan (2 columns vs the replicate branch's 3 —
+    a second table pass, but 1/B-th of the branch that dominates). Float discipline: replicate
     means and the base mean round to 6dp, SE rounds to 6dp, and the CI
     derives from the ROUNDED components so both engines do identical
     literal arithmetic. Poisson truncates at m=7 (P ≈ 8e-5 of draws

@@ -1191,6 +1191,7 @@ def test_daily_value_trend_staged_parity_and_fit(spark, sf_dir):
     from interop_spark.queries.analytics_q import (
         R20_CANDIDATE_ORACLE,
         R20_CANDIDATE_QUERIES,
+        TREND_EPOCH,
     )
 
     sdf = R20_CANDIDATE_QUERIES["daily_value_trend"](spark, sf_dir).toPandas()
@@ -1212,7 +1213,7 @@ def test_daily_value_trend_staged_parity_and_fit(spark, sf_dir):
     for r in sdf.itertuples(index=False):
         g = daily[r.event_type]
         x = np.array(
-            [(d - np.datetime64("2024-01-01")).days for d in g.index],
+            [(d - np.datetime64(TREND_EPOCH)).days for d in g.index],
             dtype=float,
         )
         slope, intercept = np.polyfit(x, g.values, 1)
@@ -1315,14 +1316,18 @@ def test_survival_km_staged_parity_and_estimator(spark, sf_dir):
     us = ev.ts.astype("int64") // 1000  # ns -> us
     cap = KM_OBS_HOURS * _KM_HOUR_US
     first = us.groupby(ev.user_id).min()
+    t_end = int(us.max())
     err = us[ev.event_type == "error"].groupby(
         ev.user_id[ev.event_type == "error"]
     ).min()
     lives = []
     for uid, f in first.items():
         e = err.get(uid)
-        fail = e is not None and e - f < cap
-        lives.append((((e - f) if fail else cap) // _KM_HOUR_US, fail))
+        obs_end = min(int(f) + cap, t_end)
+        fail = e is not None and e < obs_end
+        lives.append(
+            (((e - f) if fail else obs_end - f) // _KM_HOUR_US, fail)
+        )
     assert any(c for _, c in lives) and any(not c for _, c in lives), (
         "fixture must exercise both failures and censoring"
     )
