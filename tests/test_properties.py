@@ -933,3 +933,62 @@ def test_salted_grouped_topk_equals_single_window(sparkp, rows, k, salts):
         for rk, key in enumerate(sorted(keys)[:k], 1):
             want.add((g, key, rk))
     assert got == want
+
+
+# (group, unique-key, batch) draws for the streaming reservoir fold:
+# unique keys keep the hash-order total (the operator's contract), the
+# batch index splits rows into up to 4 micro-batches arbitrarily
+_RES_ROWS = st.lists(
+    st.tuples(
+        st.integers(0, 3), st.integers(0, 10_000), st.integers(0, 3)
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[1],
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(rows=_RES_ROWS, k=st.integers(1, 5))
+def test_stream_reservoir_fold_split_independent(sparkp, rows, k):
+    """The streaming reservoir's fold (`selection_q._strat_topk` per
+    batch, then topk(state ∪ topk(batch))) equals the single-pass
+    top-k for ANY batch split and ANY k — the merge-exactness claim
+    `q_stream_stratified_reservoir` states for the driver's fixed
+    4-chunk landing, proven here over arbitrary frames/splits/ks."""
+    from interop_spark.queries import selection_q
+
+    old_k = selection_q.STRAT_K
+    selection_q.STRAT_K = k
+    try:
+        batches: dict = {}
+        for g, key, b in rows:
+            # zero-pad so string order == int order (the md5-hex analog)
+            batches.setdefault(b, []).append((str(g), key, f"{key:05d}"))
+        state = None
+        for b in sorted(batches):
+            df = sparkp.createDataFrame(
+                batches[b], ["event_type", "event_id", "_h"]
+            )
+            part = selection_q._strat_topk(df)
+            state = (
+                part
+                if state is None
+                else selection_q._strat_topk(state.unionByName(part))
+            )
+        got = {
+            (r.event_type, r.event_id, r.rk)
+            for r in selection_q._strat_topk(
+                state, with_rank=True
+            ).collect()
+        }
+    finally:
+        selection_q.STRAT_K = old_k
+    by_g: dict = {}
+    for g, key, _b in rows:
+        by_g.setdefault(str(g), []).append(key)
+    want = set()
+    for g, keys in by_g.items():
+        for rk, key in enumerate(sorted(keys)[:k], 1):
+            want.add((g, key, rk))
+    assert got == want
