@@ -3704,3 +3704,154 @@ def _bootstrap_ci_oracle() -> str:
 
 R20_CANDIDATE_QUERIES["bootstrap_ci"] = q_bootstrap_ci
 R20_CANDIDATE_ORACLE["bootstrap_ci"] = _bootstrap_ci_oracle()
+
+
+def q_stream_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Poisson-bootstrap CI — the SEVENTH exactly-mergeable
+    streaming fold (counter-sum over bootstrap moments, next to bitmap
+    bit_or, HLL register-max, theta bottom-k, CMS counter-sum, the
+    rank-sketch merge, and the reservoir bottom-k): per batch, each
+    (type, replicate) contributes partial moment sums (Σ m·v, Σ m) and
+    each type its base sums (Σ v, n) — ALL plain additions, so folding
+    per-batch partials across ANY batch split equals the single-pass
+    sums and the batch twin's oracle pins the stream verbatim (the
+    round-6 float contract absorbs the fold's summation order exactly
+    as it absorbs partition count). What the stream maintains that no
+    other fold member does: a live STANDARD ERROR — uncertainty for an
+    unbounded metric stream in O(|types|·B) moment-row state, never
+    event rows. Replicate draws are the batch twin's hash-deterministic
+    Poisson(1) multiplicities, so re-chunking the corpus cannot change
+    any subject's draw — only WHERE its addend folds in.
+
+    Events stream as the shared 4-chunk landing (``maxFilesPerTrigger=1``
+    → 4 real micro-batches); the SE/CI readout runs post-fold on the
+    bounded state frame with the SAME rounded arithmetic as
+    ``q_bootstrap_ci``. Batch twin: ``q_bootstrap_ci``."""
+    import os
+
+    from interop_spark.streaming.cdc import land_event_chunks
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    flat = land_event_chunks(ev, 4, key)  # shared with stream_merge_upsert
+    schema = spark.read.parquet(flat).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+
+    def _partials(batch_df: DataFrame) -> DataFrame:
+        r = F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("r")
+        rep = batch_df.select("event_type", "event_id", "value", r)
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            col("event_id").cast("string"),
+                            col("r").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            / F.lit(4294967296.0)
+        )
+        m = F.lit(7)
+        for k in range(6, -1, -1):
+            m = F.when(u < F.lit(_P1_CDF[k]), F.lit(k)).otherwise(m)
+        return (
+            rep.select("event_type", "r", m.alias("m"), "value")
+            .groupBy("event_type", "r")
+            .agg(
+                F.sum(col("m") * col("value")).alias("s_mv"),
+                F.sum("m").cast("long").alias("s_m"),
+            )
+        )
+
+    def _base(batch_df: DataFrame) -> DataFrame:
+        return batch_df.groupBy("event_type").agg(
+            F.sum("value").alias("s_v"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+
+    state: dict = {"rep": None, "base": None}
+
+    def _fold(batch_df: DataFrame, _batch_id: int) -> None:
+        p, b = _partials(batch_df), _base(batch_df)
+        if state["rep"] is None:
+            state["rep"], state["base"] = (
+                p.localCheckpoint(),
+                b.localCheckpoint(),
+            )
+        else:
+            state["rep"] = (
+                state["rep"]
+                .unionByName(p)
+                .groupBy("event_type", "r")
+                .agg(
+                    F.sum("s_mv").alias("s_mv"),
+                    F.sum("s_m").cast("long").alias("s_m"),
+                )
+                .localCheckpoint()
+            )
+            state["base"] = (
+                state["base"]
+                .unionByName(b)
+                .groupBy("event_type")
+                .agg(
+                    F.sum("s_v").alias("s_v"),
+                    F.sum("n").cast("long").alias("n"),
+                )
+                .localCheckpoint()
+            )
+
+    q = (
+        src.writeStream.foreachBatch(_fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spread = (
+        state["rep"]
+        .select(
+            "event_type",
+            F.round(col("s_mv") / col("s_m"), 6).alias("rep_mean"),
+        )
+        .groupBy("event_type")
+        .agg(
+            (F.round(F.stddev_samp("rep_mean"), 6) + F.lit(0.0)).alias(
+                "boot_se"
+            )
+        )
+    )
+    base = state["base"].select(
+        "event_type",
+        col("n").alias("n_events"),
+        F.round(col("s_v") / col("n"), 6).alias("mean_value"),
+    )
+    return base.join(F.broadcast(spread), "event_type").select(
+        "event_type",
+        "n_events",
+        "mean_value",
+        "boot_se",
+        F.round(
+            col("mean_value") - F.lit(BOOT_Z) * col("boot_se"), 6
+        ).alias("ci_lo"),
+        F.round(
+            col("mean_value") + F.lit(BOOT_Z) * col("boot_se"), 6
+        ).alias("ci_hi"),
+    )
+
+
+R20_CANDIDATE_QUERIES["stream_bootstrap_ci"] = q_stream_bootstrap_ci
+# shared-oracle convention (documented per-row): the streaming fold is
+# an execution-strategy change with an identical result contract.
+R20_CANDIDATE_ORACLE["stream_bootstrap_ci"] = _bootstrap_ci_oracle()

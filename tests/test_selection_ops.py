@@ -977,3 +977,28 @@ def test_bootstrap_ci_plan_mapside_explode(spark, sf_dir):
         in (["event_id", "event_type", "value"], ["event_type", "value"])
         for r in reads
     ), reads
+
+
+def test_stream_bootstrap_ci_staged_parity(spark, sf_dir):
+    """r20-staged `stream_bootstrap_ci` satisfies the driver's full
+    oracle contract: 4 REAL micro-batches of additive moment partials
+    folded by counter-sum vs the all-at-once DuckDB SQL — the parity
+    check IS the batch-split-independence proof for this split — and
+    the stream result equals the batch twin row-for-row."""
+    from tests.test_oracle_parity import _canon, _duck
+
+    from interop_spark.queries.selection_q import (
+        R20_CANDIDATE_ORACLE,
+        R20_CANDIDATE_QUERIES,
+    )
+
+    sdf = R20_CANDIDATE_QUERIES["stream_bootstrap_ci"](
+        spark, sf_dir
+    ).toPandas()
+    con = _duck(sf_dir)
+    ddf = con.execute(R20_CANDIDATE_ORACLE["stream_bootstrap_ci"]).df()
+    con.close()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert _canon(sdf) == _canon(ddf)
+    bdf = R20_CANDIDATE_QUERIES["bootstrap_ci"](spark, sf_dir).toPandas()
+    assert _canon(sdf) == _canon(bdf)
