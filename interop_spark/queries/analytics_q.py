@@ -2729,11 +2729,15 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard KM table shape)."""
     ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
     us = F.unix_micros(col("ts"))
+    # hash once, merge many (the bitmap_distinct_users checkpoint
+    # pattern): without it the corpus-end stats branch RE-SCANS events
+    # and repeats the user-keyed exchange; with it both branches read
+    # the bounded per-subject frame.
     per = ev.groupBy("user_id").agg(
         F.min(us).alias("first_us"),
         F.max(us).alias("last_us"),
         F.min(F.when(col("event_type") == "error", us)).alias("err_us"),
-    )
+    ).localCheckpoint()
     stats = per.agg(F.max("last_us").alias("_t_end"))
     j = per.crossJoin(F.broadcast(stats))
     cap = F.lit(KM_OBS_HOURS * _KM_HOUR_US)

@@ -1345,3 +1345,23 @@ def test_survival_km_staged_parity_and_estimator(spark, sf_dir):
     for (hr, nr, dn, nc, s), r in zip(want, sdf.itertuples(index=False)):
         assert (hr, nr, dn, nc) == (r.dur_hr, r.n_risk, r.n_fail, r.n_censored)
         assert math.isclose(s, r.survival, abs_tol=2e-6)
+
+
+def test_survival_km_plan_single_corpus_pass(spark, sf_dir):
+    """Scale pin for the staged KM row: the per-subject frame is
+    checkpointed (the bitmap_distinct_users 'hash once, merge many'
+    pattern), so the READOUT plan touches no corpus scan and no
+    user-keyed exchange — the one corpus pass and its user shuffle are
+    paid once at construction; everything downstream (stats broadcast,
+    duration rollup, ordered windows) runs on bounded frames."""
+    from interop_spark.queries.analytics_q import R20_CANDIDATE_QUERIES
+
+    ex = (
+        R20_CANDIDATE_QUERIES["survival_km"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FileScan parquet" not in ex, ex[:3000]
+    assert "hashpartitioning(user_id" not in ex, ex[:3000]
+    assert "BroadcastNestedLoopJoin" in ex, ex[:3000]
