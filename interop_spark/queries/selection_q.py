@@ -3855,3 +3855,92 @@ R20_CANDIDATE_QUERIES["stream_bootstrap_ci"] = q_stream_bootstrap_ci
 # shared-oracle convention (documented per-row): the streaming fold is
 # an execution-strategy change with an identical result contract.
 R20_CANDIDATE_ORACLE["stream_bootstrap_ci"] = _bootstrap_ci_oracle()
+
+
+WP_PS = (0.5, 0.9, 0.99)
+
+
+def q_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TOKEN-MASS percentiles of document length — the exact
+    WEIGHTED quantile (inverted-CDF convention: the smallest length L
+    with Σ weight[len ≤ L] ≥ p·W), weighting each document by its token
+    count. The curation statistic the unweighted rows can't give:
+    `percentile_agg` answers "the median DOCUMENT is this long";
+    this answers "half the corpus' TOKENS live in documents shorter
+    than this" — the number a truncation/packing threshold actually
+    needs (a few giant docs dominate token mass long before they
+    dominate doc count). Completes the registry's quantile spectrum on
+    the weighted axis: exact-unweighted (percentile_agg), mergeable
+    sketch (grouped_percentile_approx), now exact-weighted.
+
+    Determinism is INTEGER, not rounded-float: weights are token
+    counts, the cumulative and total weights are integer window sums
+    over the total (n_chars, doc_id) order, and the p·W comparison is
+    one exact double product per group — no summation-order ULP
+    anywhere (documented envelope: exact while W < 2^53). Scale shape:
+    one per-source window sort (the inherent cost of EXACT weighted
+    quantiles — the mergeable alternative is the sketch row above) and
+    a per-source fold; weights come from the same pruned scan, so the
+    corpus is read once."""
+    d = load(spark, sf_dir, "documents")
+    wt = F.greatest(F.size(tx_tokens(col("text"))), F.lit(1)).cast("long")
+    base = d.select("source", "doc_id", "n_chars", wt.alias("wt"))
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("n_chars", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("source")
+    frame = base.select(
+        "source",
+        "n_chars",
+        "wt",
+        F.sum("wt").over(w_cum).alias("cumw"),
+        F.sum("wt").over(w_all).alias("tot"),
+    )
+    aggs = [
+        F.min(
+            F.when(
+                col("cumw") >= F.lit(p) * col("tot"), col("n_chars")
+            )
+        ).alias(f"len_p{int(p * 100)}")
+        for p in WP_PS
+    ]
+    return frame.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("wt").cast("long").alias("w_total"),
+        *aggs,
+    )
+
+
+def _weighted_percentile_oracle() -> str:
+    cols = ",\n               ".join(
+        f"min(CASE WHEN cumw >= {p!r} * tot THEN n_chars END)"
+        f" AS len_p{int(p * 100)}"
+        for p in WP_PS
+    )
+    return f"""
+        WITH d AS (
+          SELECT source, doc_id, n_chars,
+                 CAST(greatest(len({_SEL_TOKENS}), 1) AS BIGINT) AS wt
+          FROM documents
+        ),
+        f AS (
+          SELECT source, n_chars, wt,
+                 sum(wt) OVER (
+                   PARTITION BY source ORDER BY n_chars, doc_id
+                   ROWS UNBOUNDED PRECEDING
+                 ) AS cumw,
+                 sum(wt) OVER (PARTITION BY source) AS tot
+          FROM d
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(wt) AS BIGINT) AS w_total,
+               {cols}
+        FROM f GROUP BY source
+    """
+
+
+R20_CANDIDATE_QUERIES["weighted_percentile"] = q_weighted_percentile
+R20_CANDIDATE_ORACLE["weighted_percentile"] = _weighted_percentile_oracle()

@@ -1002,3 +1002,61 @@ def test_stream_bootstrap_ci_staged_parity(spark, sf_dir):
     assert _canon(sdf) == _canon(ddf)
     bdf = R20_CANDIDATE_QUERIES["bootstrap_ci"](spark, sf_dir).toPandas()
     assert _canon(sdf) == _canon(bdf)
+
+
+def test_weighted_percentile_staged_parity_and_reference(spark, sf_dir):
+    """r20-staged `weighted_percentile` satisfies the driver's full
+    oracle contract; quantiles are monotone p50 <= p90 <= p99 and the
+    whole row (counts, total weight, every quantile) reproduces a
+    pure-Python weighted-quantile reference over the same
+    (length, weight) pairs."""
+    from tests.test_oracle_parity import _canon, _duck
+
+    from interop_spark.io import load
+    from interop_spark.operators.text import tokens as tx_tokens
+    from interop_spark.queries.selection_q import (
+        R20_CANDIDATE_ORACLE,
+        R20_CANDIDATE_QUERIES,
+        WP_PS,
+    )
+    from pyspark.sql import functions as F
+
+    sdf = R20_CANDIDATE_QUERIES["weighted_percentile"](
+        spark, sf_dir
+    ).toPandas()
+    con = _duck(sf_dir)
+    ddf = con.execute(R20_CANDIDATE_ORACLE["weighted_percentile"]).df()
+    con.close()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert _canon(sdf) == _canon(ddf)
+    assert (sdf.len_p50 <= sdf.len_p90).all()
+    assert (sdf.len_p90 <= sdf.len_p99).all()
+    # pure-Python reference
+    d = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.greatest(F.size(tx_tokens(F.col("text"))), F.lit(1))
+            .cast("long")
+            .alias("wt"),
+        )
+        .toPandas()
+    )
+    got = {r.source: r for r in sdf.itertuples(index=False)}
+    assert set(got) == set(d.source)
+    for src, g in d.groupby("source"):
+        rows = sorted(zip(g.n_chars, g.doc_id, g.wt))
+        tot = sum(w for _, _, w in rows)
+        assert got[src].n_docs == len(rows)
+        assert got[src].w_total == tot
+        for p, colname in zip(WP_PS, ("len_p50", "len_p90", "len_p99")):
+            cum = 0
+            for length, _, w in rows:
+                cum += w
+                if cum >= p * tot:
+                    assert getattr(got[src], colname) == length, (
+                        src, p, length
+                    )
+                    break
