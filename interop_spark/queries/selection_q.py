@@ -2382,6 +2382,19 @@ def _domain_quantile_oracle() -> str:
 
 _SEL_TOKENS = "string_split_regex(trim(text), '\\s+')"
 
+# token-count document weight — a cross-engine parity-critical pair
+# (size(NULL) is -1 in Spark vs len(NULL) NULL in DuckDB; both coerced
+# by greatest): keep the Spark expression and its SQL twin together so
+# the weighted rows (weighted_sample_topk, weighted_percentile) cannot
+# drift apart (r19 review)
+_SEL_WEIGHT_SQL = f"CAST(greatest(len({_SEL_TOKENS}), 1) AS BIGINT)"
+
+
+def _token_weight():
+    return F.greatest(F.size(tx_tokens(col("text"))), F.lit(1)).cast(
+        "long"
+    )
+
 
 # --------------------------------------------------------------------------
 # Per-source distribution-drift monitor (round-13)
@@ -2821,8 +2834,7 @@ def q_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-wide Exchange. At 100 TB this is a single pass with O(k)
     driver state, the same contract as a streaming reservoir."""
     d = load(spark, sf_dir, "documents")
-    t = tx_tokens(col("text"))
-    w = F.greatest(F.size(t), F.lit(1)).cast("long")
+    w = _token_weight()
     h = F.conv(
         F.substring(F.md5(col("doc_id").cast("string")), 1, 8), 16, 10
     ).cast("long")
@@ -2839,11 +2851,11 @@ def _weighted_sample_oracle() -> str:
     return f"""
         WITH s AS (
           SELECT doc_id, source,
-                 CAST(greatest(len({_SEL_TOKENS}), 1) AS BIGINT) AS weight,
+                 {_SEL_WEIGHT_SQL} AS weight,
                  CAST(CAST(concat('0x',
                         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                       AS BIGINT) AS DOUBLE)
-                   / CAST(greatest(len({_SEL_TOKENS}), 1) AS DOUBLE)
+                   / CAST({_SEL_WEIGHT_SQL} AS DOUBLE)
                    AS priority
           FROM documents
         )
@@ -3503,21 +3515,9 @@ def q_stream_stratified_reservoir(
     crawl keep a live per-source sample forever. Batch twin + the
     salted wide-cluster form: ``q_stratified_reservoir`` /
     ``operators/scale.salted_grouped_topk``."""
-    import os
+    from interop_spark.streaming.cdc import streamed_events
 
-    from interop_spark.streaming.cdc import land_event_chunks
-
-    ev = load(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "event_type", "value"
-    )
-    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    flat = land_event_chunks(ev, 4, key)  # shared with stream_merge_upsert
-    schema = spark.read.parquet(flat).schema
-    src = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(flat)
-    )
+    src = streamed_events(spark, sf_dir)  # shared 4-chunk landing
     state: dict = {"res": None}
 
     def _fold(batch_df: DataFrame, _batch_id: int) -> None:
@@ -3727,21 +3727,9 @@ def q_stream_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     → 4 real micro-batches); the SE/CI readout runs post-fold on the
     bounded state frame with the SAME rounded arithmetic as
     ``q_bootstrap_ci``. Batch twin: ``q_bootstrap_ci``."""
-    import os
+    from interop_spark.streaming.cdc import streamed_events
 
-    from interop_spark.streaming.cdc import land_event_chunks
-
-    ev = load(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "event_type", "value"
-    )
-    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    flat = land_event_chunks(ev, 4, key)  # shared with stream_merge_upsert
-    schema = spark.read.parquet(flat).schema
-    src = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(flat)
-    )
+    src = streamed_events(spark, sf_dir)  # shared 4-chunk landing
 
     def _partials(batch_df: DataFrame) -> DataFrame:
         r = F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("r")
@@ -3777,9 +3765,13 @@ def q_stream_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def _base(batch_df: DataFrame) -> DataFrame:
+        # n_val (NULL-skipping, avg's denominator) folded separately
+        # from n (count(*), the n_events output) so the stream matches
+        # the batch twin's avg(value) even if value carries NULLs
         return batch_df.groupBy("event_type").agg(
             F.sum("value").alias("s_v"),
             F.count(F.lit(1)).cast("long").alias("n"),
+            F.count("value").cast("long").alias("n_val"),
         )
 
     state: dict = {"rep": None, "base": None}
@@ -3809,6 +3801,7 @@ def q_stream_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(
                     F.sum("s_v").alias("s_v"),
                     F.sum("n").cast("long").alias("n"),
+                    F.sum("n_val").cast("long").alias("n_val"),
                 )
                 .localCheckpoint()
             )
@@ -3835,7 +3828,7 @@ def q_stream_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = state["base"].select(
         "event_type",
         col("n").alias("n_events"),
-        F.round(col("s_v") / col("n"), 6).alias("mean_value"),
+        F.round(col("s_v") / col("n_val"), 6).alias("mean_value"),
     )
     return base.join(F.broadcast(spread), "event_type").select(
         "event_type",
@@ -3883,8 +3876,9 @@ def q_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-source fold; weights come from the same pruned scan, so the
     corpus is read once."""
     d = load(spark, sf_dir, "documents")
-    wt = F.greatest(F.size(tx_tokens(col("text"))), F.lit(1)).cast("long")
-    base = d.select("source", "doc_id", "n_chars", wt.alias("wt"))
+    base = d.select(
+        "source", "doc_id", "n_chars", _token_weight().alias("wt")
+    )
     w_cum = (
         Window.partitionBy("source")
         .orderBy("n_chars", "doc_id")
@@ -3922,7 +3916,7 @@ def _weighted_percentile_oracle() -> str:
     return f"""
         WITH d AS (
           SELECT source, doc_id, n_chars,
-                 CAST(greatest(len({_SEL_TOKENS}), 1) AS BIGINT) AS wt
+                 {_SEL_WEIGHT_SQL} AS wt
           FROM documents
         ),
         f AS (

@@ -25,6 +25,31 @@ _LAND_VERSION = "v1"
 LWW_GUARD = "s.ts > t.ts OR (s.ts = t.ts AND s.event_id > t.event_id)"
 
 
+def streamed_events(spark, sf_dir: str):
+    """The shared events-as-stream preamble: select the canonical
+     5-column frame, land it as the shared 4-chunk marker-idempotent
+    fixture (one /tmp copy per fixture content, reused by every
+    streaming twin), and return a ``readStream`` source that replays
+    it as 4 real micro-batches (``maxFilesPerTrigger=1``). Extracted
+    (r19 review) so the landing contract — chunk count, column set,
+    schema handling — lives once; the pre-r19 streaming rows carry the
+    same block inline and migrate here as window rotation brings them
+    in-window."""
+    from interop_spark.io import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    flat = land_event_chunks(ev, 4, key)
+    schema = spark.read.parquet(flat).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+
+
 def land_event_chunks(df: DataFrame, n: int, cache_key: str) -> str:
     """Land ``df`` as ``n`` single-file parquet chunks under a
     DETERMINISTIC directory and return the flat dir the file stream
