@@ -992,3 +992,66 @@ def test_stream_reservoir_fold_split_independent(sparkp, rows, k):
         for rk, key in enumerate(sorted(keys)[:k], 1):
             want.add((g, key, rk))
     assert got == want
+
+
+# (group, unique-id, value, weight) draws for the weighted quantile:
+# ids unique so the (value, id) order is total; weights >= 1
+_WQ_ROWS = st.lists(
+    st.tuples(
+        st.integers(0, 2),
+        st.integers(0, 10_000),
+        st.integers(0, 50),
+        st.integers(1, 9),
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[1],
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(rows=_WQ_ROWS, p=st.sampled_from([0.1, 0.5, 0.9]))
+def test_weighted_quantile_core_matches_reference(sparkp, rows, p):
+    """The weighted-percentile core (integer cumulative-weight window
+    over the total (value, id) order; smallest value with
+    cumw >= p*W) equals a pure-Python weighted quantile on arbitrary
+    frames — the `weighted_percentile` row's arithmetic beyond the
+    fixture."""
+    from pyspark.sql.window import Window as W
+
+    df = sparkp.createDataFrame(rows, ["g", "id", "v", "w"])
+    w_cum = (
+        W.partitionBy("g")
+        .orderBy("v", "id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_all = W.partitionBy("g")
+    out = (
+        df.select(
+            "g",
+            "v",
+            F.sum("w").over(w_cum).alias("cumw"),
+            F.sum("w").over(w_all).alias("tot"),
+        )
+        .groupBy("g")
+        .agg(
+            F.min(
+                F.when(F.col("cumw") >= F.lit(p) * F.col("tot"), F.col("v"))
+            ).alias("q")
+        )
+    )
+    got = {r.g: r.q for r in out.collect()}
+    by_g: dict = {}
+    for g, i, v, w in rows:
+        by_g.setdefault(g, []).append((v, i, w))
+    want = {}
+    for g, items in by_g.items():
+        items.sort()
+        tot = sum(w for _, _, w in items)
+        cum = 0
+        for v, _, w in items:
+            cum += w
+            if cum >= p * tot:
+                want[g] = v
+                break
+    assert got == want
