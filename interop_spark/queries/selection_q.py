@@ -3938,3 +3938,117 @@ def _weighted_percentile_oracle() -> str:
 
 R20_CANDIDATE_QUERIES["weighted_percentile"] = q_weighted_percentile
 R20_CANDIDATE_ORACLE["weighted_percentile"] = _weighted_percentile_oracle()
+
+
+def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC of the lang-ID scoring signal as an is-English
+    classifier — the evaluation gate the classifier family lacked
+    (``classifier_train_steps`` trains, ``quality_classifier_filter``
+    infers, ``ndcg_bsq_eval`` grades retrieval; nothing graded a
+    CLASSIFIER). Mann–Whitney form with FULL tie correction:
+    AUC = [Σ_s p_s·(2·cum_neg_below(s) + n_s)] / (2·P·N) — the
+    mid-rank identity — where s is the English-stopword-fraction score
+    in integer PPM (integer ``div``, the survival_km discipline), so
+    every quantity up to the final division is exact integer
+    arithmetic on both engines and ties (heavy at ppm granularity)
+    are handled by construction, not by float rank averaging. The
+    final division is one double op on identical integers; a
+    single-class corpus (P or N zero) is CASE-guarded to NULL on both
+    engines (Spark IEEE x/0=Inf vs DuckDB NULL — the ab_test_zstat
+    degenerate-fixture lesson). On THIS synthetic corpus the signal
+    carries no real separation (AUC ≈ 0.5) — the operator is the
+    deliverable, the fixture exercises it (the benford_first_digit
+    convention).
+
+    Scale shape: one corpus pass rolls up to the SCORE GRID — bounded
+    by ppm granularity (≤ 1e6 + 1 rows), independent of corpus size —
+    and the rank window + final fold run on that bounded frame (the
+    survival_km posture). Scorer twin: ``operators/text.
+    stopword_count_of_tokens`` (the lang_id scorer), SQL side via
+    ``pipeline._dk_stop_count`` — the established parity pair."""
+    from interop_spark.operators.text import stopword_count_of_tokens
+
+    d = load(spark, sf_dir, "documents").where(col("text").isNotNull())
+    toks = tx_tokens(col("text"))
+    base = d.select(
+        F.when(col("lang") == "en", 1).otherwise(0).alias("y"),
+        stopword_count_of_tokens(toks, "en").alias("sw"),
+        F.greatest(F.size(toks), F.lit(1)).alias("nt"),
+    ).select("y", F.expr("(sw * 1000000) div nt").alias("s"))
+    grid = base.groupBy("s").agg(
+        F.sum("y").cast("long").alias("p_s"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("n_s"),
+    )
+    w_prev = Window.orderBy("s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    r = grid.select(
+        "p_s",
+        "n_s",
+        F.coalesce(F.sum("n_s").over(w_prev), F.lit(0)).alias("cum_neg"),
+    )
+    return r.agg(
+        F.sum("p_s").cast("long").alias("n_pos"),
+        F.sum("n_s").cast("long").alias("n_neg"),
+        F.count(F.lit(1)).cast("long").alias("n_scores"),
+        F.when(
+            (F.sum("p_s") > 0) & (F.sum("n_s") > 0),
+            F.round(
+                F.sum(
+                    col("p_s") * (F.lit(2) * col("cum_neg") + col("n_s"))
+                ).cast("double")
+                / (
+                    F.lit(2.0)
+                    * F.sum("p_s").cast("double")
+                    * F.sum("n_s").cast("double")
+                ),
+                6,
+            )
+            + F.lit(0.0),
+        ).alias("auc"),
+    )
+
+
+def _classifier_auc_oracle() -> str:
+    from interop_spark.queries.pipeline import _dk_stop_count
+
+    sw = _dk_stop_count("en")
+    return f"""
+        WITH t AS (
+          SELECT lang, {_SEL_TOKENS} AS toks
+          FROM documents WHERE text IS NOT NULL
+        ),
+        d AS (
+          SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                 ({sw} * 1000000) // greatest(len(toks), 1) AS s
+          FROM t
+        ),
+        grid AS (
+          SELECT s, CAST(sum(y) AS BIGINT) AS p_s,
+                 CAST(count(*) - sum(y) AS BIGINT) AS n_s
+          FROM d GROUP BY 1
+        ),
+        r AS (
+          SELECT p_s, n_s,
+                 coalesce(sum(n_s) OVER (
+                   ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS cum_neg
+          FROM grid
+        )
+        SELECT CAST(sum(p_s) AS BIGINT) AS n_pos,
+               CAST(sum(n_s) AS BIGINT) AS n_neg,
+               CAST(count(*) AS BIGINT) AS n_scores,
+               CASE WHEN sum(p_s) > 0 AND sum(n_s) > 0
+                    THEN round(CAST(sum(p_s * (2 * cum_neg + n_s))
+                                    AS DOUBLE)
+                               / (2.0 * CAST(sum(p_s) AS DOUBLE)
+                                      * CAST(sum(n_s) AS DOUBLE)), 6)
+                         + 0.0
+               END AS auc
+        FROM r
+    """
+
+
+R20_CANDIDATE_QUERIES["classifier_auc"] = q_classifier_auc
+R20_CANDIDATE_ORACLE["classifier_auc"] = _classifier_auc_oracle()

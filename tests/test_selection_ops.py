@@ -1060,3 +1060,52 @@ def test_weighted_percentile_staged_parity_and_reference(spark, sf_dir):
                         src, p, length
                     )
                     break
+
+
+def test_classifier_auc_staged_parity_and_reference(spark, sf_dir):
+    """r20-staged `classifier_auc` satisfies the driver's full oracle
+    contract; the AUC reproduces a pure-Python tie-corrected
+    Mann-Whitney reference (mid-rank identity) over the same
+    (score, label) pairs, lives in [0, 1], and the class counts
+    account for every non-null document."""
+    from tests.test_oracle_parity import _canon, _duck
+
+    from interop_spark.io import load
+    from interop_spark.operators.text import STOPWORDS
+    from interop_spark.queries.selection_q import (
+        R20_CANDIDATE_ORACLE,
+        R20_CANDIDATE_QUERIES,
+    )
+
+    sdf = R20_CANDIDATE_QUERIES["classifier_auc"](spark, sf_dir).toPandas()
+    con = _duck(sf_dir)
+    ddf = con.execute(R20_CANDIDATE_ORACLE["classifier_auc"]).df()
+    con.close()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert _canon(sdf) == _canon(ddf)
+    row = sdf.iloc[0]
+    assert 0.0 <= row.auc <= 1.0
+    d = load(spark, sf_dir, "documents").toPandas()
+    d = d[d.text.notna()]
+    assert row.n_pos + row.n_neg == len(d)
+    # pure-Python tie-corrected AUC over the same integer-ppm scores
+    en = set(STOPWORDS["en"])
+    pairs = []
+    for _, r in d.iterrows():
+        toks = r.text.strip().split()
+        toks = toks if toks else [""]
+        sw = sum(1 for t in toks if t in en)
+        pairs.append(((sw * 1_000_000) // max(len(toks), 1),
+                      1 if r.lang == "en" else 0))
+    pos = sorted(s for s, y in pairs if y == 1)
+    neg = sorted(s for s, y in pairs if y == 0)
+    assert (row.n_pos, row.n_neg) == (len(pos), len(neg))
+    u2 = 0
+    for p in pos:
+        for n in neg:
+            if p > n:
+                u2 += 2
+            elif p == n:
+                u2 += 1
+    want = round(u2 / (2 * len(pos) * len(neg)), 6)
+    assert abs(row.auc - want) < 1e-9, (row.auc, want)
