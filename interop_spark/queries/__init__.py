@@ -92,15 +92,16 @@ _MODULES = (
 #     round no registry green is older than r14.
 #   * R14 DRAIN (12): alphabetical head of the 49-row r14 band
 #     (agg_minmax .. fhir_ndjson_coverage_bundles).
-# ROUND-20 QUEUE: FIRST the TWELVE staged registrations — eight in
+# ROUND-20 QUEUE: FIRST the THIRTEEN staged registrations — eight in
 # analytics_q.R20_CANDIDATE_* (column_profile, value_histogram,
 # interarrival_quantiles, cohort_ltv_curve, benford_first_digit,
 # funnel_time_to_convert — registering funnel_time_to_convert should
 # pull funnel_conversion in-window too if the stage chains are
 # unified — daily_value_trend, and survival_km) plus
-# stream_stratified_reservoir, bootstrap_ci, stream_bootstrap_ci, and
-# weighted_percentile (selection_q.R20_CANDIDATE_*, next to their
-# batch siblings) — then the remaining 37 r14 rows
+# stream_stratified_reservoir, bootstrap_ci, stream_bootstrap_ci,
+# weighted_percentile, and classifier_auc (selection_q.
+# R20_CANDIDATE_*, next to their batch siblings) — then the
+# remaining 37 r14 rows
 # (fhir_ndjson_export_errors, fhir_ndjson_observations,
 # fhir_ndjson_patient_conditions, fhir_ndjson_type_counts,
 # fhir_omop_cohort, fhir_omop_condition_era, fhir_omop_device_era,
