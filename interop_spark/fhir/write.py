@@ -52,20 +52,50 @@ def bulk_table_write(
     location: str,
     write_mode: str = "overwrite",
     columns: list[str] | None = None,
+    materialize: bool = True,
 ) -> None:
     """Write each resource column as ``<location>.<Resource>`` with its
-    bundle lineage key (+ event timestamp for message bundles)."""
+    bundle lineage key (+ event timestamp for message bundles).
+
+    r19 optimization round, two changes per the guide:
+
+    - With >1 target each ``saveAsTable`` would re-execute the full
+      input lineage (for an ``entry()`` frame: the wholetext read +
+      JSON parse of every bundle, once per resource type) — so the
+      input is lazily localCheckpoint'd and the parse runs once
+      (``bulk_ndjson_write`` has done this since r17; pass
+      ``materialize=False`` when the caller already checkpointed).
+    - The per-table write jobs are INDEPENDENT, so they run from a
+      small thread pool (guide §2.6 "overlap independent jobs"): one
+      table's write tail back-fills executors the next write would
+      leave idle. Table names are resolved (CREATE DATABASE) serially
+      up front — only the pure write jobs overlap.
+    """
     spark = df.sparkSession
     targets = columns if columns is not None else resource_columns(df)
     carry = ["bundleUUID"] + (["timestamp"] if "timestamp" in df.columns else [])
-    for rt in targets:
-        name = resolve_table_name(spark, location, rt)
+    if materialize and len(targets) > 1:
+        df = df.localCheckpoint(eager=False)
+    names = {rt: resolve_table_name(spark, location, rt) for rt in targets}
+
+    def _write(rt: str) -> None:
         (
             df.select(*carry, rt)
             .write.mode(write_mode)
             .format("parquet")
-            .saveAsTable(name)
+            .saveAsTable(names[rt])
         )
+
+    if len(targets) <= 1:
+        for rt in targets:
+            _write(rt)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=min(3, len(targets))) as pool:
+        list(pool.map(inheritable_thread_target(_write), targets))
 
 
 def save_as_table(df: DataFrame, full_name: str, mode: str = "overwrite") -> None:

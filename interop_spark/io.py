@@ -51,6 +51,44 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``load`` + a scale-adaptive width guarantee for queries whose
+    next stage is CPU-heavy per-row work (md5 shingling, signature
+    hashing, per-row codecs).
+
+    A production table arrives in many splits and passes through
+    UNTOUCHED — the size check below short-circuits driver-side (plain
+    ``os.stat``, no Spark job, no listing) and no exchange is ever
+    added to the plan. A local single-row-group fixture file arrives
+    as ONE split, which pins the whole downstream hash stage on one
+    core — the optimization guide's "one huge unsplittable file"
+    input-skew case (§2.5); for those inputs only, repartition to the
+    session's default parallelism. The threshold (4 MB of input per
+    core) keeps the rule conservative: anything near a real split
+    size per core stays on its scan layout.
+    """
+    import os
+
+    df = load(spark, sf_dir, name)
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        size = (
+            sum(
+                e.stat().st_size
+                for e in os.scandir(path)
+                if e.is_file()
+            )
+            if os.path.isdir(path)
+            else os.path.getsize(path)
+        )
+    except OSError:
+        return df  # non-local path: real deployment layout, leave it
+    par = spark.sparkContext.defaultParallelism
+    if size >= par * 4 * 1024 * 1024:
+        return df
+    return df.repartition(par)
+
+
 def load_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Streaming twin of ``load``: a file-source ``readStream`` over the
     same parquet, with the SAME type-adaptive events-ts handling (the

@@ -503,9 +503,13 @@ def dedup_clusters(
     converges in O(log^2 n) rounds regardless of diameter.
     """
     e = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    # the symmetric edge frame is re-joined EVERY propagation round —
+    # checkpoint it once so each round reads materialized edges instead
+    # of replaying the pair derivation + union + distinct shuffle (r19
+    # optimization round; the labels frame already had this treatment)
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    ).distinct().localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -518,6 +522,9 @@ def dedup_clusters(
             .groupBy(F.col("dst").alias("nb_node"))
             .agg(F.min("label").alias("nb_label"))
         )
+        # carry the convergence flag THROUGH the checkpoint: the
+        # changed-row probe then scans the materialized frame instead
+        # of re-joining new labels against old per round (r19)
         new_labels = (
             labels.join(nb, labels["node"] == nb["nb_node"], "left")
             .select(
@@ -525,17 +532,14 @@ def dedup_clusters(
                 F.least(
                     F.col("label"), F.coalesce("nb_label", "label")
                 ).alias("label"),
+                (F.coalesce("nb_label", "label") < F.col("label")).alias(
+                    "_chg"
+                ),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("_chg")).limit(1).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     else:

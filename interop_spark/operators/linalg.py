@@ -120,7 +120,11 @@ def pca_top_component(
     matrix with a d-row vector — no corpus-sized data exists here at
     all."""
     c = covariance(emb, vec_col).localCheckpoint()
-    if not c.take(1):
+    # ONE bounded job answers both "is it empty" and "how many dims"
+    # (pre-r19 this was a take(1) plus a separate max() job; r19
+    # optimization round)
+    max_i = c.select(F.max("i")).first()[0]
+    if max_i is None:
         # empty input: gram_stats yields nothing, so there is no
         # dimensionality to iterate over — return the empty result
         # frame instead of TypeError-ing on max(i) (ADVICE r13)
@@ -130,7 +134,7 @@ def pca_top_component(
     v = c.sparkSession.range(1).select(
         F.lit(0).alias("j"), F.lit(1.0).alias("vj")
     )
-    d_rows = c.select(F.max("i")).first()[0] + 1
+    d_rows = max_i + 1
     all_dims = c.sparkSession.range(d_rows).select(col("id").cast("int").alias("j"))
     # missing dims start at 0 (v0 = e0)
     v = all_dims.join(v, "j", "left").select(
@@ -165,7 +169,13 @@ def pca_top_component(
             )
             .localCheckpoint()
         )
-        norm = nrm.localCheckpoint()
+        # only the FINAL iteration's norm feeds the output (it is the
+        # eigenvalue estimate); keep the frame lazy — it re-derives one
+        # 64-row join+agg from the checkpointed v when the output plan
+        # runs, which is cheaper than a materialization job per
+        # iteration (pre-r19 checkpointed it every round; r19
+        # optimization round)
+        norm = nrm
     # sign fix: flip so the largest-|loading| (lowest dim on ties) is >= 0
     pick = v.select(
         F.max(

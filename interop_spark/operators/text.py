@@ -683,7 +683,8 @@ def bpe_train_merges(wf, rounds: int = 4):
         "w", "c", F.posexplode(F.split("w", "")).alias("pos", "sym")
     ).localCheckpoint()
     wseq = Window.partitionBy("w").orderBy("pos")
-    merges = []
+    wcum = wseq.rowsBetween(Window.unboundedPreceding, 0)
+    merges: list[tuple] = []
     for r in range(1, rounds + 1):
         paired = seq.withColumn("nxt", F.lead("sym", 1).over(wseq))
         counts = (
@@ -691,47 +692,51 @@ def bpe_train_merges(wf, rounds: int = 4):
             .groupBy(F.col("sym").alias("a"), F.col("nxt").alias("b"))
             .agg(F.sum("c").alias("pair_count"))
         )
-        best = (
+        # the argmax pair is ONE row — fetch it to the driver (the
+        # PQ-codebook bounded-model pattern) and splice it in as
+        # literals. (Pre-r19 this was localCheckpoint + take + a
+        # crossJoin(broadcast) — three jobs per round where one
+        # TakeOrdered collect suffices; same argmax, same tie order.)
+        best_row = (
             counts.orderBy(F.col("pair_count").desc(), "a", "b")
             .limit(1)
-            .select(
-                F.lit(r).alias("merge_round"),
-                "a",
-                "b",
-                F.concat("a", "b").alias("merged"),
-                F.col("pair_count").cast("long").alias("pair_count"),
-            )
-            .localCheckpoint()
+            .collect()
         )
-        if not best.take(1):  # vocabulary exhausted: no pairs remain
+        if not best_row:  # vocabulary exhausted: no pairs remain
             break
-        merges.append(best)
-        m = paired.crossJoin(
-            F.broadcast(
-                best.select(
-                    F.col("a").alias("_ma"), F.col("b").alias("_mb")
-                )
-            )
-        ).withColumn(
+        a_v, b_v = best_row[0]["a"], best_row[0]["b"]
+        merges.append((r, a_v, b_v, a_v + b_v, int(best_row[0]["pair_count"])))
+        m = paired.withColumn(
             "is_match",
-            (F.col("sym") == F.col("_ma")) & (F.col("nxt") == F.col("_mb")),
+            (F.col("sym") == F.lit(a_v)) & (F.col("nxt") == F.lit(b_v)),
         )
+        # Greedy left-to-right keep via run parity, ALL on the one
+        # (w, pos) window: cnt = running match count, a run starts
+        # where a match follows a non-match, c0 = cnt at the current
+        # run's start (last_value ignoreNulls), and a match is kept iff
+        # its within-run index cnt − c0 + 1 is odd. Identical keep set
+        # to the pre-r19 (w, pos − cnt, is_match)-partitioned
+        # row_number — consecutive matches share pos − cnt exactly when
+        # they are one run — but every window here shares the SAME
+        # (w, pos) partitioning, so each round pays ONE exchange + sort
+        # instead of two (r19 optimization round).
         g = m.withColumn(
-            "cnt",
-            F.sum(F.col("is_match").cast("int")).over(
-                wseq.rowsBetween(Window.unboundedPreceding, 0)
-            ),
+            "cnt", F.sum(F.col("is_match").cast("int")).over(wcum)
         )
-        i = g.withColumn(
-            "idx",
-            F.row_number().over(
-                Window.partitionBy(
-                    "w", F.col("pos") - F.col("cnt"), "is_match"
-                ).orderBy("pos")
+        s = g.withColumn(
+            "s",
+            F.col("is_match")
+            & ~F.coalesce(F.lag("is_match", 1).over(wseq), F.lit(False)),
+        )
+        i = s.withColumn(
+            "c0",
+            F.last(F.when(F.col("s"), F.col("cnt")), ignorenulls=True).over(
+                wcum
             ),
         )
         k = i.withColumn(
-            "keep", F.col("is_match") & (F.col("idx") % 2 == 1)
+            "keep",
+            F.col("is_match") & ((F.col("cnt") - F.col("c0")) % 2 == 0),
         )
         d = k.withColumn(
             "consumed", F.lag("keep", 1, False).over(wseq)
@@ -748,17 +753,12 @@ def bpe_train_merges(wf, rounds: int = 4):
             )
             .localCheckpoint()
         )
-    if not merges:
-        # no adjacent pair exists even in round 1 (e.g. a corpus of only
-        # single-character words) — the oracle's CTE chain yields zero
-        # rows for the same input, so return the empty merge frame
-        # rather than raising (ADVICE r13).
-        return wf.sparkSession.createDataFrame(
-            [],
-            "merge_round int, a string, b string, merged string,"
-            " pair_count long",
-        )
-    out = merges[0]
-    for b in merges[1:]:
-        out = out.unionByName(b)
-    return out
+    # merge list (possibly empty — e.g. a corpus of only single-
+    # character words, where the oracle's CTE chain also yields zero
+    # rows; ADVICE r13) as one local relation — no per-round frames to
+    # union, no jobs to build the result.
+    return wf.sparkSession.createDataFrame(
+        merges,
+        "merge_round int, a string, b string, merged string,"
+        " pair_count long",
+    )

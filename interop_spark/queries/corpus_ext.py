@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col
 
-from interop_spark.io import load
+from interop_spark.io import load, load_spread
 from interop_spark.operators import dedup as dd
 from interop_spark.operators.text import tokens as tx_tokens
 from interop_spark.operators.theta import (
@@ -84,7 +84,10 @@ def q_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ~2k-row survivor frame per source, and ALL pair algebra runs on
     k-bounded broadcast frames. The exact audit is the only
     vocabulary-sized join and exists purely as the yardstick."""
-    d = load(spark, sf_dir, "documents").where(
+    # load_spread: the shingle+md5 distinct pass is the query's only
+    # corpus-sized CPU stage — guarantee it scan width (no-op on real
+    # multi-split tables; see io.load_spread)
+    d = load_spread(spark, sf_dir, "documents").where(
         col("source").isin(*THETA_SOURCES)
     )
     sh = d.select(
@@ -119,17 +122,22 @@ def q_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pr")
     ).select("pr.ga", "pr.gb")
-    # est is pairs-bounded (6 rows) — checkpoint so the final join does
-    # not re-derive the pair algebra per downstream reference
-    est = theta_pair_setops(kept, theta, pairs).localCheckpoint()
+    # est is pairs-bounded (6 rows) and referenced exactly once below —
+    # no checkpoint (r19 optimization round: the materialization job
+    # cost more than the one inline derivation it saved)
+    est = theta_pair_setops(kept, theta, pairs)
 
     # exact audit in ONE aggregation: per key, the sorted set of
     # sources holding it; every in-set pair contributes one exact
     # intersection count, every membership one exact per-source count —
-    # no vocabulary self-join
+    # no vocabulary self-join. The per-key group-set frame feeds BOTH
+    # the per-source counts and the pair intersections — checkpoint it
+    # (vocabulary-bounded) so the (g, k)-keyed shuffle of ``items``
+    # runs once, not once per audit branch (r19: this halved the
+    # audit's exchange count).
     grpsets = items.groupBy("k").agg(
         F.sort_array(F.collect_set("g")).alias("gs")
-    )
+    ).localCheckpoint()
     cnts = (
         grpsets.select(F.explode("gs").alias("g"))
         .groupBy("g")
@@ -307,28 +315,38 @@ def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the exact-count verdict) exposes the false positives the narrow
     width admits — the detection-quality contract this row pins.
 
-    Scale shape: one explode feeds BOTH the sketch (depth x width
-    partial-agg rows) and the exact counts; the probe pass joins the
-    vocabulary-sized distinct frame against the BROADCAST <=24-row
-    sketch; the total-N threshold is a 1-row broadcast. No
-    vocabulary-sized sort, no driver collect."""
-    d = load(spark, sf_dir, "documents")
+    Scale shape: ONE tokenize pass ends in a partial-aggregated
+    per-token count (the map-side combine collapses each task to its
+    distinct tokens before the only corpus-keyed exchange); the
+    vocabulary-bounded count frame is localCheckpoint-ed and EVERY
+    downstream quantity — sketch cells (counts sum into (j, b) cells
+    exactly as raw rows would), probe estimates, the total-N threshold,
+    and the exact audit — derives from it. (Pre-r19 the sketch, probe,
+    exact and total branches each re-derived the tokenize explode:
+    four corpus scans for one query; the r19 optimization round
+    collapsed them onto the single counted pass — identical output.)
+    No vocabulary-sized sort, no driver collect."""
+    d = load_spread(spark, sf_dir, "documents")
     toks = d.select(F.explode(tx_tokens(col("text"))).alias("w")).where(
         col("w") != ""
     )
-    exact = toks.groupBy(col("w").alias("token")).agg(
-        F.count(F.lit(1)).cast("long").alias("exact_cnt")
+    counts = (
+        toks.groupBy(col("w").alias("token"))
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+        .localCheckpoint()
     )
-    rows = toks.select(
-        "w",
+    exact = counts
+    rows = counts.select(
+        "token",
+        "exact_cnt",
         F.explode(F.sequence(F.lit(0), F.lit(HH_DEPTH - 1))).alias("j"),
     )
     sketch = (
-        rows.withColumn("b", _cms_bucket(col("j"), col("w")))
+        rows.withColumn("b", _cms_bucket(col("j"), col("token")))
         .groupBy("j", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .agg(F.sum("exact_cnt").cast("long").alias("cnt"))
     )
-    probes = exact.select("token").select(
+    probes = counts.select("token").select(
         "token",
         F.explode(F.sequence(F.lit(0), F.lit(HH_DEPTH - 1))).alias("j"),
     ).withColumn("b", _cms_bucket(col("j"), col("token")))
@@ -337,7 +355,7 @@ def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.min(F.coalesce(col("cnt"), F.lit(0))).alias("cms_est"))
     )
-    n = toks.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    n = counts.agg(F.sum("exact_cnt").cast("long").alias("n"))
     return (
         est.crossJoin(F.broadcast(n))
         .where(col("cms_est") * HH_PHI_DEN >= col("n"))
@@ -415,10 +433,15 @@ def q_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream is one (w1, w2) partial-aggregated count, a broadcast of
     the vocabulary-bounded document-frequency frame, and a
     TakeOrderedAndProject boundary — no vocabulary-squared sort."""
-    d = load(spark, sf_dir, "documents")
+    # load_spread + checkpoint: the distinct-token explode feeds the
+    # self-join's BOTH sides and the document-frequency count — three
+    # tokenize passes pre-r19, one spread pass + a materialized
+    # token-list read now (r19 optimization round; the token list is
+    # smaller than the text it came from)
+    d = load_spread(spark, sf_dir, "documents")
     dt = d.select(
         "doc_id", F.explode(F.array_distinct(tx_tokens(col("text")))).alias("w")
-    ).where(col("w") != "")
+    ).where(col("w") != "").localCheckpoint()
     df_cnt = dt.groupBy(col("w").alias("token")).agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
@@ -609,7 +632,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical greedy as unrolled CTE steps."""
     from interop_spark.operators.mmr import mmr_rerank
 
-    e = load(spark, sf_dir, "embeddings")
+    e = load_spread(spark, sf_dir, "embeddings")
     q = [
         float(x)
         for x in e.where(col("vec_id") == MMR_QUERY_ID)

@@ -1906,6 +1906,12 @@ def q_fhir_notebook_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             fhir_resource_map={"Patient": PATIENT, "Condition": CONDITION}
         )
     )
+    # the entry frame feeds the two table sinks AND the omop_person
+    # leg — lazy localCheckpoint so the wholetext read + bundle parse
+    # runs ONCE for the chain instead of once per consumer (r19
+    # optimization round; the local-mode analog of staging entry() to
+    # a table, which the docstring's scale posture prescribes)
+    entry = entry.localCheckpoint(eager=False)
     # -- table sink, then REJOIN over the written tables (K2 + S5) -----
     for t in ("Patient", "Condition"):
         drop_table_if_exists(spark, f"{loc}.{t}")
@@ -1923,7 +1929,9 @@ def q_fhir_notebook_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(
             os.path.join(wh, "nb_e2e_driver.db"), ignore_errors=True
         )
-    bulk_table_write(entry, loc, columns=["Patient", "Condition"])
+    bulk_table_write(
+        entry, loc, columns=["Patient", "Condition"], materialize=False
+    )
     rejoined = spark.table("nb_e2e_driver.Patient").join(
         spark.table("nb_e2e_driver.Condition"), "bundleUUID"
     )
@@ -3482,7 +3490,9 @@ def notebook_e2e_leg_times(spark: SparkSession, sf_dir: str) -> dict:
         shutil.rmtree(
             os.path.join(wh, "nb_e2e_probe_driver.db"), ignore_errors=True
         )
-    bulk_table_write(entry, loc, columns=["Patient", "Condition"])
+    bulk_table_write(
+        entry, loc, columns=["Patient", "Condition"], materialize=False
+    )
     legs["sink_sec"] = round(_time.time() - t0, 3)
 
     t0 = _time.time()

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col
 
-from interop_spark.io import load
+from interop_spark.io import load, load_spread
 from interop_spark.operators import dedup as dd
 from interop_spark.operators import similarity as sim
 from interop_spark.operators import text as tx
@@ -66,7 +66,10 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tokenizes once, folds ALL per-language counters in one pass over the
     tokens, materializes the score array, then argmaxes it — the
     re-traverse-per-language form cost ~20 array passes per row."""
-    d = load(spark, sf_dir, "documents")
+    # load_spread: the per-row tokenize + 20-language counter fold is
+    # the whole query — guarantee it scan width (no-op on multi-split
+    # tables; io.load_spread)
+    d = load_spread(spark, sf_dir, "documents")
     scores = d.select(
         "doc_id",
         tx.lang_scores_of_tokens(tx.tokens(col("text"))).alias("sc"),
@@ -118,7 +121,7 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates with exact-Jaccard verification:
     shingle → 12-hash signature → 4 bands → band-key equi-join."""
-    d = _with_near_dups(load(spark, sf_dir, "documents"), limit=100)
+    d = _with_near_dups(load_spread(spark, sf_dir, "documents"), limit=100)
     return dd.minhash_candidate_pairs(
         d, "doc_id", "text", k=MINHASH_K, bands=BANDS, rows=ROWS,
         shingle_n=SHINGLE_N,
@@ -220,7 +223,9 @@ def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     occupancy stays O(1) as the corpus grows; the round-1 15-bit bands
     saturated at 32k keys), and the self-join shuffles only
     (band, doc_id, sh) — AQE-splittable, no per-bucket collect_list."""
-    d = _with_near_dups(load(spark, sf_dir, "documents"), limit=60)
+    # load_spread: the 120-bit signature hash pass dominates — spread
+    # the scan (no-op on multi-split tables; io.load_spread)
+    d = _with_near_dups(load_spread(spark, sf_dir, "documents"), limit=60)
     # shared operator body (operators/dedup.py:simhash_candidate_pairs);
     # max_band_docs=None → exact candidate semantics, the oracle's
     return dd.simhash_candidate_pairs(
@@ -980,7 +985,7 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dups share real cross-doc chunks — ~150 duplicate keys at
     sf0.01, so the rule does real work). Oracle replays the identical
     grid/hash/row_number pipeline in SQL."""
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     return dd.paragraph_dedup(d, "text", "doc_id").orderBy("doc_id")
 
 

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col
 
-from interop_spark.io import load
+from interop_spark.io import load, load_spread
 from interop_spark.operators import text as tx
 from interop_spark.queries.pipeline import (
     DUP_OFFSET,
@@ -840,7 +840,9 @@ def q_substring_dup_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries."""
     from interop_spark.operators.dedup import substring_dup_runs
 
-    d = load(spark, sf_dir, "documents")
+    # load_spread: the strided window-hash pass dominates — spread the
+    # scan (no-op on multi-split tables; io.load_spread)
+    d = load_spread(spark, sf_dir, "documents")
     return substring_dup_runs(
         d, w=SUBDUP_W, stride=SUBDUP_S, max_hash_docs=SUBDUP_CAP
     )

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col
 
-from interop_spark.io import load
+from interop_spark.io import load, load_spread
 from interop_spark.operators import dedup as dd
 from interop_spark.operators import retrieval as rt
 from interop_spark.operators.text import tokens as tx_tokens
@@ -133,7 +133,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     onto a zero-shuffle scoring projection, TakeOrderedAndProject
     top-k. Ordering is on the ROUNDED score (then doc_id) so both
     engines rank identically at the limit boundary."""
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     s = rt.bm25_scores(
         d, "doc_id", "text", list(BM25_TERMS), k1=BM25_K1, b=BM25_B
     )
@@ -2618,16 +2618,25 @@ def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_train_merges,
     )
 
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     words = d.select(
         "doc_id", F.explode(tx_tokens(col("text"))).alias("w")
     ).where(col("w") != "")
-    wf = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # the word-frequency table is VOCABULARY-bounded — checkpoint it so
+    # training reads it without re-tokenizing the corpus, and the
+    # encode dictionary is its key set for free (pre-r19, training and
+    # the words.distinct() vocab each re-derived the corpus tokenize:
+    # three corpus passes where one suffices; r19 optimization round)
+    wf = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
     trained = bpe_train_merges(wf, BPE_TRAIN_ROUNDS)
     merges = [
         (r.a, r.b) for r in trained.orderBy("merge_round").collect()
     ]  # rounds-sized model fetch (the PQ-codebook pattern)
-    vocab = words.select("w").distinct()
+    vocab = wf.select("w")
     enc = vocab.select(
         "w", bpe_pieces_udf(merges)(col("w")).alias("pieces_str")
     )
@@ -2891,7 +2900,9 @@ def q_quantile_sketch_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     capacity-bounded survivor frame. Core in `operators/sketch.py`
     (shared with the streaming register-merge twin
     `stream_quantile_sketch`)."""
-    ev = load(spark, sf_dir, "events")
+    # load_spread: both sketch passes md5-hash every event_id — spread
+    # the scan (no-op on multi-split tables; io.load_spread)
+    ev = load_spread(spark, sf_dir, "events")
     sk = rank_sketch_build(ev, col("value"), col("event_id"))
     est = rank_sketch_quantiles(sk)
     # exact rank of each estimate — 3 broadcast rows against one
@@ -2982,7 +2993,7 @@ def q_domain_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source thresholds; grid/rank/pick frames are all
     groups×capacity-bounded. Core in `operators/sketch.py`
     (`rank_sketch_group_quantile`)."""
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     est = rank_sketch_group_quantile(
         d,
         col("source"),
