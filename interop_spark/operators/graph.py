@@ -105,6 +105,11 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     Returns a 1-row frame (n_nodes, n_edges, n_triangles), all exact
     integers.
     """
+    # the canonical edge frame is referenced four times below (degree
+    # build x2, the orientation join, the edge count) — checkpoint it
+    # so the distinct shuffle runs once (r19 optimization round; the
+    # edge-frame materialization every distributed-graph algorithm
+    # stages anyway)
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -112,6 +117,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint()
     )
     deg = (
         und.select(F.col("u").alias("node"))
@@ -127,11 +133,13 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     lo_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
+    # oriented feeds both wedge legs AND the closing join — checkpoint
+    # so the two degree joins run once, not three times (r19)
     oriented = withdeg.select(
         F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
-    )
+    ).localCheckpoint()
     e1 = oriented.select(
         F.col("a").alias("x"), F.col("b").alias("y"), F.col("db").alias("dy")
     )

@@ -123,9 +123,31 @@ def mmr_rerank(
         selected.append(cid)
         remaining.discard(cid)
     id_type = dict(emb_df.dtypes)[id_col]  # works for any orderable id
-    out = spark.createDataFrame(
-        picks,
-        f"rank int, id {id_type}, rel_ppb long, div_ppb long,"
-        " score_scaled long",
+    if not picks:
+        return spark.createDataFrame(
+            [],
+            f"rank int, id {id_type}, rel_ppb long, div_ppb long,"
+            " score_scaled long",
+        )
+    # JVM-side literal explode (the repo's pair-panel pattern): a
+    # Python-backed createDataFrame source costs a Python worker
+    # round-trip per downstream reference (r19 optimization round)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(rk).cast("int").alias("rank"),
+                F.lit(cid).cast(id_type).alias("id"),
+                F.lit(rel_).cast("long").alias("rel_ppb"),
+                F.lit(div_).cast("long").alias("div_ppb"),
+                F.lit(sc_).cast("long").alias("score_scaled"),
+            )
+            for (rk, cid, rel_, div_, sc_) in picks
+        ]
+    )
+    out = (
+        spark.range(1)
+        .select(F.explode(rows).alias("_p"))
+        .select("_p.rank", "_p.id", "_p.rel_ppb", "_p.div_ppb",
+                "_p.score_scaled")
     )
     return out.orderBy("rank")

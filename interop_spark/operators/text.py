@@ -755,10 +755,32 @@ def bpe_train_merges(wf, rounds: int = 4):
         )
     # merge list (possibly empty — e.g. a corpus of only single-
     # character words, where the oracle's CTE chain also yields zero
-    # rows; ADVICE r13) as one local relation — no per-round frames to
-    # union, no jobs to build the result.
-    return wf.sparkSession.createDataFrame(
-        merges,
-        "merge_round int, a string, b string, merged string,"
-        " pair_count long",
+    # rows; ADVICE r13) as a JVM-side literal explode — the repo's
+    # "pair panel" pattern: a Python-backed createDataFrame would
+    # parallelize through a Python worker round-trip on every
+    # downstream reference (~0.3 s/job measured), a literal array
+    # costs none.
+    sp = wf.sparkSession
+    if not merges:
+        return sp.createDataFrame(
+            [],
+            "merge_round int, a string, b string, merged string,"
+            " pair_count long",
+        )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("int").alias("merge_round"),
+                F.lit(a_).alias("a"),
+                F.lit(b_).alias("b"),
+                F.lit(m_).alias("merged"),
+                F.lit(c_).cast("long").alias("pair_count"),
+            )
+            for (r, a_, b_, m_, c_) in merges
+        ]
+    )
+    return (
+        sp.range(1)
+        .select(F.explode(rows).alias("_m"))
+        .select("_m.merge_round", "_m.a", "_m.b", "_m.merged", "_m.pair_count")
     )

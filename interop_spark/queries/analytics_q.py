@@ -75,7 +75,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import col
 from pyspark.sql.window import Window
 
-from interop_spark.io import load
+from interop_spark.io import load, load_spread
 from interop_spark.operators.scale import salted_agg
 from interop_spark.operators.text import tokens as tx_tokens
 
@@ -346,12 +346,18 @@ def q_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab x source cross of two bounded frames) self-joins on token per
     ordered source pair, so every stage after the one corpus explode is
     vocabulary-sized."""
-    d = load(spark, sf_dir, "documents")
+    # spread + checkpoint: the (source, token) count frame is the one
+    # corpus-sized pass and is referenced by vocab/sources/grid and the
+    # pair self-join's both sides — materialize it once (it is
+    # vocab x sources-bounded) instead of re-tokenizing per reference
+    # (r19 optimization round)
+    d = load_spread(spark, sf_dir, "documents")
     cnt = (
         d.select("source", F.explode(tx_tokens(col("text"))).alias("tok"))
         .where(col("tok") != "")
         .groupBy("source", "tok")
         .agg(F.count("*").alias("n"))
+        .localCheckpoint()
     )
     vocab = cnt.select("tok").distinct()
     sources = cnt.select("source").distinct()

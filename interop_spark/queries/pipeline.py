@@ -596,10 +596,17 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.reverse(F.split(F.trim(col("text")), r"\s+"))
         ).alias("text"),
     )
+    # repartition before the checkpoint: the union of four 1-split scan
+    # branches otherwise materializes as 4 partitions and every
+    # downstream hash stage (fingerprint, shingles) runs 4-wide on a
+    # 32-core session (r19 optimization round; scale-neutral — a real
+    # corpus arrives wide already and a cluster pipeline stages this
+    # frame to a table regardless)
     corpus = (
         base.unionByName(exact_c)
         .unionByName(near_c)
         .unionByName(sem_c)
+        .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint()
     )
 

@@ -643,8 +643,11 @@ def q_bm25_inverted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    qterms = spark.createDataFrame(
-        [(t,) for t in BM25_TERMS], ["term"]
+    # JVM-side literal explode (pair-panel pattern): a Python-backed
+    # createDataFrame source respawns a Python worker chain per
+    # execution (r19 optimization round)
+    qterms = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in BM25_TERMS])).alias("term")
     )
     hits = posting.join(F.broadcast(qterms), "term")
     dfc = hits.groupBy("term").agg(
@@ -1422,8 +1425,8 @@ def q_countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("j", "b")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    probes = spark.createDataFrame(
-        [(t,) for t in CMS_PROBES], ["token"]
+    probes = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in CMS_PROBES])).alias("token")
     ).select(
         "token",
         F.explode(
