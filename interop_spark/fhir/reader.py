@@ -306,15 +306,24 @@ class FhirNdjson:
             or SparkSession.getActiveSession()
             or SparkSession.builder.getOrCreate()
         )
+        self._raw_df: DataFrame | None = None
 
     def _raw(self) -> DataFrame:
+        # memoized per INSTANCE (r19 optimization round): a multi-type
+        # assembly calls resource() once per type, and each un-memoized
+        # call paid a fresh read.text listing round-trip. The memo is a
+        # logical plan, not data — every action still reads the files —
+        # and instance scope means a new reader object always re-lists.
+        if self._raw_df is not None:
+            return self._raw_df
         reader = self.spark.read
         if self.glob_filter:
             reader = reader.option("pathGlobFilter", self.glob_filter)
-        return reader.text(self.path).select(
+        self._raw_df = reader.text(self.path).select(
             F.col("value"),
             F.col("_metadata.file_path").alias("_file_path"),
         )
+        return self._raw_df
 
     def resource_types(self) -> DataFrame:
         """(resourceType, n_resources) over the export — the audit scan

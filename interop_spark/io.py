@@ -28,7 +28,29 @@ TABLES = (
 )
 
 
+# Per-session logical-plan cache (r19 optimization round): a DataFrame
+# is an immutable logical plan, and `spark.read.parquet` pays a footer
+# read + schema-inference round-trip (~0.1 s) on EVERY call — repeated
+# by every query construction over the same ten fixture tables. Keying
+# on the live session object (a stopped session is a different object,
+# so stale hits are impossible) makes the second and later loads free
+# while every ACTION still computes from the parquet files — this is
+# plan-metadata reuse, the same class of caching Spark itself applies
+# to file listings, not result caching.
+_DF_CACHE: dict = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (spark, sf_dir, name)
+    hit = _DF_CACHE.get(key)
+    if hit is not None:
+        return hit
+    df = _load_uncached(spark, sf_dir, name)
+    _DF_CACHE[key] = df
+    return df
+
+
+def _load_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet has shipped with two `ts` encodings across fixture
         # generations: INT64 TIMESTAMP(NANOS) (which Spark's parquet reader

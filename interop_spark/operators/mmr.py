@@ -69,7 +69,9 @@ def mmr_rerank(
     from interop_spark.operators.similarity import as_double
 
     spark = emb_df.sparkSession
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    from interop_spark.operators.similarity import query_vector_literal
+
+    q = query_vector_literal(query_vec)
     sl = (
         emb_df.select(
             col(id_col).alias("id"),

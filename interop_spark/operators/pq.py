@@ -146,8 +146,30 @@ def pq_train(
 
 
 def _codebook_literal(cb_m: list[list[float]]) -> Column:
+    # ONE F.expr parse instead of k·d py4j Column constructions — plan
+    # construction was the dominant cost of every PQ query (r19; see
+    # similarity.query_vector_literal). Bit-identical literals.
+    import math
+
+    from interop_spark.operators.similarity import matrix_literal_sql
+
+    if all(math.isfinite(float(x)) for c in cb_m for x in c):
+        return F.expr(matrix_literal_sql(cb_m))
     return F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for c in cb_m]
+    )
+
+
+def _table_literal(rows: list[list[float]]) -> Column:
+    """2-D double-array literal, fast path (see _codebook_literal)."""
+    import math
+
+    from interop_spark.operators.similarity import matrix_literal_sql
+
+    if all(math.isfinite(float(x)) for r in rows for x in r):
+        return F.expr(matrix_literal_sql(rows))
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in r]) for r in rows]
     )
 
 
@@ -237,9 +259,7 @@ def pq_adc_topk(
         ]
         for m, cb_m in enumerate(codebooks)
     ]
-    tbl = F.array(
-        *[F.array(*[F.lit(float(x)) for x in row]) for row in table]
-    )
+    tbl = _table_literal(table)
     dist = F.round(
         F.aggregate(
             F.zip_with(
@@ -390,12 +410,7 @@ def ivfpq_residual_search(
 
     tbl = None
     for cell in sorted(cent_vecs):
-        lit = F.array(
-            *[
-                F.array(*[F.lit(float(x)) for x in row])
-                for row in _table(cell)
-            ]
-        )
+        lit = _table_literal(_table(cell))
         cond = col("cell") == F.lit(cell)
         tbl = F.when(cond, lit) if tbl is None else tbl.when(cond, lit)
     dist = F.round(
@@ -450,7 +465,9 @@ def ivfpq_rerank(
         df, centroids, codebooks, query,
         k=shortlist, nprobe=nprobe, id_col=id_col, vec_col=vec_col,
     )
-    qv = F.array(*[F.lit(float(x)) for x in query])
+    from interop_spark.operators.similarity import query_vector_literal
+
+    qv = query_vector_literal(query)
     exact = F.round(l2sq(as_double(col(vec_col)), as_double(qv)), 9)
     return (
         df.join(F.broadcast(cand), id_col)

@@ -61,8 +61,36 @@ def cosine_sim_given_norms(
     return dot(a, b) / F.greatest(norm_a * norm_b, F.lit(1e-12))
 
 
+def _dbl_sql(x: float) -> str:
+    # repr() is the shortest round-trip decimal: parsing it back yields
+    # the identical double, and Spark's D-suffix literal does exactly
+    # that parse — so the literal is bit-identical to F.lit(float(x)).
+    return repr(float(x)) + "D"
+
+
+def vector_literal_sql(vec) -> str:
+    """``array(..D, ..D, ...)`` SQL text for a finite float vector."""
+    return "array(" + ",".join(_dbl_sql(x) for x in vec) + ")"
+
+
+def matrix_literal_sql(rows) -> str:
+    """``array(array(..), ...)`` SQL text for rows of float vectors."""
+    return (
+        "array(" + ",".join(vector_literal_sql(r) for r in rows) + ")"
+    )
+
+
 def query_vector_literal(vec: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in vec])
+    """Vector literal as ONE ``F.expr`` parse instead of ``len(vec)``
+    py4j Column constructions (r19 optimization round: per-element
+    ``F.lit`` made PLAN CONSTRUCTION the dominant cost of the PQ/ANN
+    query family — ~0.8 s per 1k elements — while the parsed literal is
+    bit-identical). Non-finite elements fall back to the element-wise
+    path (D-suffix text has no NaN/Infinity form)."""
+    vals = [float(x) for x in vec]
+    if all(math.isfinite(x) for x in vals):
+        return F.expr(vector_literal_sql(vals))
+    return F.array(*[F.lit(x) for x in vals])
 
 
 def brute_force_topk(

@@ -241,12 +241,22 @@ def rank_sketch_quantiles(
     from pyspark.sql.window import Window
 
     qs = qs or [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
-    sketch = sketch.localCheckpoint()
+    # coalesce(1) before the checkpoint (r19 optimization round): the
+    # frame is capacity-bounded (<= capacity survivors + <= 33
+    # histogram rows), but inherits the build's shuffle fan-out — every
+    # estimation branch was scanning it 33-tasks-wide for nothing.
+    sketch = sketch.coalesce(1).localCheckpoint()
     hist = sketch.where(col("kind") == "h").select("level", "cnt")
     thr = rank_sketch_threshold(hist)
-    n = hist.agg(F.sum("cnt").alias("n"))
+    # n and n_kept in ONE pass over the materialized frame (r19): two
+    # conditional aggregates instead of two branch jobs.
+    totals = sketch.agg(
+        F.sum(F.when(col("kind") == "h", col("cnt"))).alias("n"),
+        F.count(F.when(col("kind") == "k", F.lit(1)))
+        .cast("long")
+        .alias("n_kept"),
+    )
     kept = sketch.where(col("kind") == "k")
-    nk = kept.agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
     cum = (
         kept.groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
@@ -258,24 +268,48 @@ def rank_sketch_quantiles(
                 )
             ),
         )
-        .crossJoin(F.broadcast(n))
-        .crossJoin(F.broadcast(nk))
+        .crossJoin(F.broadcast(totals))
         .withColumn("est_rank", F.expr("(n * ck) div n_kept"))
     )
-    out = None
+    # ONE aggregation computes every quantile's pick (r19: the per-
+    # quantile agg-plus-union built 3 aggregate branches and 2 unions —
+    # 5 extra bounded jobs); the picks then unfold via a literal-struct
+    # explode. The per-quantile min/when aggregates are unchanged, so
+    # the picked values are identical.
+    agg_exprs = []
     for label, num, den in qs:
         qualifies = col("ck") * den >= col("n_kept") * num
-        pick = cum.agg(
-            F.min(F.when(qualifies, col("v"))).alias("est_value"),
-            F.min(F.when(qualifies, col("est_rank"))).alias("est_rank"),
-        ).select(F.lit(label).alias("quantile"), "est_value", "est_rank")
-        out = pick if out is None else out.unionByName(pick)
+        agg_exprs.append(
+            F.min(F.when(qualifies, col("v"))).alias(f"_ev_{label}")
+        )
+        agg_exprs.append(
+            F.min(F.when(qualifies, col("est_rank"))).alias(
+                f"_er_{label}"
+            )
+        )
+    one = cum.agg(*agg_exprs)
+    out = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(label).alias("quantile"),
+                        col(f"_ev_{label}").alias("est_value"),
+                        col(f"_er_{label}").alias("est_rank"),
+                    )
+                    for label, _, _ in qs
+                ]
+            )
+        ).alias("_q")
+    ).select("_q.quantile", "_q.est_value", "_q.est_rank")
     return (
-        out.crossJoin(F.broadcast(n.select(col("n").alias("n_total"))))
+        out.crossJoin(
+            F.broadcast(totals.select(col("n").alias("n_total")))
+        )
         .crossJoin(
             F.broadcast(thr.select(col("t").alias("threshold_level")))
         )
-        .crossJoin(F.broadcast(nk))
+        .crossJoin(F.broadcast(totals.select("n_kept")))
     )
 
 
@@ -321,9 +355,15 @@ def rank_sketch_group_quantile(
     # by construction — localCheckpoint both so the grid/threshold/
     # rank/pick branches never re-derive the corpus scans (the build
     # costs exactly two pruned scans, as in rank_sketch_build)
-    hist = items.groupBy("g", "level").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
-    ).localCheckpoint()
+    hist = (
+        items.groupBy("g", "level")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        # groups x <=33 rows — collapse the shuffle fan-out before the
+        # checkpoint so downstream branches scan 1 task, not the
+        # session's shuffle width (r19 optimization round)
+        .coalesce(1)
+        .localCheckpoint()
+    )
     spark = df.sparkSession
     ts = spark.range(0, RS_HBITS + 2).select(
         col("id").cast("int").alias("t")
@@ -348,14 +388,25 @@ def rank_sketch_group_quantile(
     kept = (
         items.join(F.broadcast(thr), "g")
         .where(col("level") >= col("t"))
+        # groups x capacity rows — same fan-out collapse as hist (r19)
+        .coalesce(1)
         .localCheckpoint()
     )
     nk = kept.groupBy("g").agg(
         F.count(F.lit(1)).cast("long").alias("n_kept")
     )
+    # kept carries each group's threshold t (from the thr join), and
+    # cum joins n/n_kept anyway — so the pick aggregation can emit
+    # every output column itself and the three per-column broadcast
+    # assembly joins disappear (r19 optimization round). All carried
+    # values are constant within a group, so F.min reproduces them
+    # exactly.
     cum = (
         kept.groupBy("g", "v")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.min("t").cast("int").alias("t"),
+        )
         .withColumn(
             "ck",
             F.sum("c").over(
@@ -368,19 +419,14 @@ def rank_sketch_group_quantile(
         .join(F.broadcast(n), "g")
         .withColumn("er", F.expr("(n * ck) div n_kept"))
     )
-    pick = (
+    return (
         cum.where(col("ck") * den >= col("n_kept") * num)
         .groupBy("g")
         .agg(
             F.min("v").alias("est_value"),
             F.min("er").alias("est_rank"),
+            F.min("n").alias("n_total"),
+            F.min("t").alias("threshold_level"),
+            F.min("n_kept").alias("n_kept"),
         )
-    )
-    return (
-        pick.join(F.broadcast(n.select("g", col("n").alias("n_total"))), "g")
-        .join(
-            F.broadcast(thr.select("g", col("t").alias("threshold_level"))),
-            "g",
-        )
-        .join(F.broadcast(nk), "g")
     )

@@ -123,6 +123,10 @@ def theta_sketch(
         .coalesce(items.sparkSession.sparkContext.defaultParallelism)
         .localCheckpoint()
     )
+    # theta stays LAZY (r19 optimization round): it is a tiny aggregate
+    # over the checkpointed kept frame, so each consumer re-derives it
+    # for less than the cost of the extra checkpoint job the old
+    # .localCheckpoint() scheduled.
     theta = (
         kept.groupBy("g")
         .agg(
@@ -133,7 +137,6 @@ def theta_sketch(
             F.coalesce(col("hk"), F.lit(THETA_MAXH)).alias("theta"),
         )
         .coalesce(1)
-        .localCheckpoint()
     )
     return kept, theta
 
@@ -205,37 +208,48 @@ def theta_pair_setops(
     )
     ka = kept.select(col("g").alias("ga"), "k", "h")
     kb = kept.select(col("g").alias("gb"), "k", "h")
-    # per-side sample counts under theta_ab; the union sample count is
-    # inclusion-exclusion (sa + sb - i) — the two sides are distinct
-    # WITHIN a group by construction, so no dedup pass is needed
-    sa = (
+    # ONE pass instead of three (r19 optimization round): the old shape
+    # ran sa/sb/i as three separate broadcast-join + aggregate branches
+    # plus three assembly joins (~10 AQE-materialized bounded stages).
+    # Union the two per-side samples with a side tag and derive all
+    # three counts from one two-level aggregation. Equivalence: within
+    # a group keys are DISTINCT, so per (ga, gb, k) each side
+    # contributes at most one row; with a_pres = max(a_side) and
+    # nsides = row count,
+    #   sa_cnt = sum(a_pres)            (rows from ka under theta_ab)
+    #   sb_cnt = sum(nsides - a_pres)   (rows from kb under theta_ab)
+    #   i_cnt  = count(nsides = 2)      (keys kept by BOTH sides; h is
+    #                                    a function of k, so the
+    #                                    h < theta_ab cut hits both
+    #                                    sides identically)
+    # — the exact integers the three branches produced.
+    contrib = (
         p.join(F.broadcast(ka), "ga")
         .where(col("h") < col("theta_ab"))
-        .groupBy("ga", "gb")
-        .agg(F.count(F.lit(1)).cast("long").alias("sa_cnt"))
-    )
-    sb = (
-        p.join(F.broadcast(kb), "gb")
-        .where(col("h") < col("theta_ab"))
-        .groupBy("ga", "gb")
-        .agg(F.count(F.lit(1)).cast("long").alias("sb_cnt"))
-    )
-    # intersection sample: keys kept by BOTH sides under theta_ab
-    kb2 = kb.select(col("gb").alias("gb2"), col("k").alias("k2"))
-    i = (
-        p.join(F.broadcast(ka), "ga")
-        .join(
-            F.broadcast(kb2),
-            (col("gb") == col("gb2")) & (col("k") == col("k2")),
+        .select("ga", "gb", "k", F.lit(1).alias("a_side"))
+        .unionByName(
+            p.join(F.broadcast(kb), "gb")
+            .where(col("h") < col("theta_ab"))
+            .select("ga", "gb", "k", F.lit(0).alias("a_side"))
         )
-        .where(col("h") < col("theta_ab"))
+    )
+    counts = (
+        contrib.groupBy("ga", "gb", "k")
+        .agg(
+            F.max("a_side").alias("a_pres"),
+            F.count(F.lit(1)).alias("nsides"),
+        )
         .groupBy("ga", "gb")
-        .agg(F.count(F.lit(1)).cast("long").alias("i_cnt"))
+        .agg(
+            F.sum("a_pres").cast("long").alias("sa_cnt"),
+            F.sum(col("nsides") - col("a_pres")).cast("long").alias("sb_cnt"),
+            F.sum(F.when(col("nsides") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("i_cnt"),
+        )
     )
     return (
-        p.join(F.broadcast(sa), ["ga", "gb"], "left")
-        .join(F.broadcast(sb), ["ga", "gb"], "left")
-        .join(F.broadcast(i), ["ga", "gb"], "left")
+        p.join(F.broadcast(counts), ["ga", "gb"], "left")
         .select(
             "ga",
             "gb",

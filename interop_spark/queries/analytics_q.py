@@ -449,21 +449,27 @@ def q_ndcg_bsq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # BSQ encode (the bsq_hamming_search two-u32 layout) + Hamming rank
-    def word(vec, lo_bit):
-        return F.aggregate(
-            F.sequence(F.lit(0), F.lit(31)),
-            F.lit(0).cast("bigint"),
-            lambda acc, i: acc
-            + F.when(
-                F.element_at(vec, (i + 1 + lo_bit).cast("int")) > 0,
-                F.pow(F.lit(2.0), i).cast("bigint"),
-            ).otherwise(F.lit(0).cast("bigint")),
+    # codegen sign-word build (r19 optimization round): 32 literal
+    # shift terms instead of an interpreted F.aggregate fold — the
+    # zorder Morton-ladder fix applied to the BSQ word — parsed as ONE
+    # F.expr string so the driver pays one parse, not ~400 py4j Column
+    # constructions (the PQ-literal lesson). Bit-identical: the fold
+    # added pow(2.0, i) cast bigint == 1 << i exactly for i <= 31, and
+    # integer addition of distinct powers of two is order-exact; a NULL
+    # element falls to ELSE 0 in both forms.
+    def word(lo_bit):
+        return F.expr(
+            " + ".join(
+                f"(CASE WHEN element_at(embedding, {i + 1 + lo_bit}) > 0"
+                f" THEN {1 << i}L ELSE 0L END)"
+                for i in range(32)
+            )
         )
 
     codes = e.select(
         "vec_id",
-        word(col("embedding"), F.lit(0)).alias("lo"),
-        word(col("embedding"), F.lit(32)).alias("hi"),
+        word(0).alias("lo"),
+        word(32).alias("hi"),
     )
     qc = codes.where(col("vec_id") == 0).select(
         col("lo").alias("qlo"), col("hi").alias("qhi")

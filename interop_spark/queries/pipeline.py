@@ -464,7 +464,9 @@ def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled an n×C expansion through a groupBy and re-join), then search
     only the query's cell — the scan touches ~1/C of the corpus at
     scale."""
-    e = load(spark, sf_dir, "embeddings")
+    # load_spread: the argmax-fold assignment is CPU-heavy per-row work
+    # — guarantee scan width (no-op on multi-split tables; r19)
+    e = load_spread(spark, sf_dir, "embeddings")
     cent = e.where(col("vec_id") < N_CENTROIDS).select(
         col("vec_id").alias("centroid_id"), col("embedding").alias("centroid")
     )
@@ -892,7 +894,9 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lsh_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket histogram (md5-derived deterministic
     planes — the bucketing step of approximate NN at scale)."""
-    e = load(spark, sf_dir, "embeddings")
+    # load_spread: the plane-projection fold is CPU-heavy per-row work
+    # — guarantee scan width (no-op on multi-split tables; r19)
+    e = load_spread(spark, sf_dir, "embeddings")
     return (
         e.select(
             sim.lsh_bucket(col("embedding"), EMB_DIM, n_planes=6).alias("bucket")

@@ -561,7 +561,10 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection, train→encode, and the ADC top-k boundary."""
     from interop_spark.operators.pq import ivfpq_search, pq_train
 
-    e = load(spark, sf_dir, "embeddings")
+    # load_spread: Lloyd assignment and the PQ-encode/ADC folds are
+    # CPU-heavy per-row work — guarantee scan width for every pass over
+    # the corpus (no-op on multi-split tables; r19 optimization round)
+    e = load_spread(spark, sf_dir, "embeddings")
     cent = e.where(col("vec_id") < N_CENTROIDS).select(
         col("vec_id").alias("centroid_id"), col("embedding").alias("centroid")
     )
@@ -625,7 +628,10 @@ def q_ivfpq_rerank_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes ~nprobe/C of the corpus, and every recall join is on
     ≤{PQ_TOPK}-row sets."""
     from interop_spark.operators.pq import ivfpq_rerank, l2sq, pq_train
-    from interop_spark.operators.similarity import as_double
+    from interop_spark.operators.similarity import (
+        as_double,
+        query_vector_literal,
+    )
 
     e = load(spark, sf_dir, "embeddings")
     cent = e.where(col("vec_id") < N_CENTROIDS).select(
@@ -640,7 +646,7 @@ def q_ivfpq_rerank_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("embedding")
         .collect()[0][0]
     ]
-    qv = F.array(*[F.lit(float(x)) for x in q])
+    qv = query_vector_literal(q)
     exact_topk = (
         e.select(
             "vec_id",

@@ -1272,23 +1272,27 @@ def q_bsq_hamming_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
 
-    def word(vec, lo_bit):
-        return F.aggregate(
-            F.sequence(F.lit(0), F.lit(31)),
-            F.lit(0).cast("bigint"),
-            # F.shiftleft needs a literal shift amount; 2^i via pow is
-            # exact for i <= 31 (well under double's 53-bit mantissa)
-            lambda acc, i: acc
-            + F.when(
-                F.element_at(vec, (i + 1 + lo_bit).cast("int")) > 0,
-                F.pow(F.lit(2.0), i).cast("bigint"),
-            ).otherwise(F.lit(0).cast("bigint")),
+    # codegen sign-word build (r19 optimization round): 32 literal
+    # shift terms instead of an interpreted F.aggregate fold — the
+    # zorder Morton-ladder fix applied to the BSQ word — parsed as ONE
+    # F.expr string so the driver pays one parse, not ~400 py4j Column
+    # constructions (the PQ-literal lesson). Bit-identical: the fold
+    # added pow(2.0, i) cast bigint == 1 << i exactly for i <= 31, and
+    # integer addition of distinct powers of two is order-exact; a NULL
+    # element falls to ELSE 0 in both forms.
+    def word(lo_bit):
+        return F.expr(
+            " + ".join(
+                f"(CASE WHEN element_at(embedding, {i + 1 + lo_bit}) > 0"
+                f" THEN {1 << i}L ELSE 0L END)"
+                for i in range(32)
+            )
         )
 
     codes = e.select(
         "vec_id",
-        word(col("embedding"), F.lit(0)).alias("lo"),
-        word(col("embedding"), F.lit(32)).alias("hi"),
+        word(0).alias("lo"),
+        word(32).alias("hi"),
     )
     q = codes.where(col("vec_id") == 0).select(
         col("lo").alias("qlo"), col("hi").alias("qhi")
@@ -2909,10 +2913,13 @@ def q_quantile_sketch_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = rank_sketch_build(ev, col("value"), col("event_id"))
     est = rank_sketch_quantiles(sk)
     # exact rank of each estimate — 3 broadcast rows against one
-    # corpus aggregate pass, instrumentation only
+    # corpus aggregate pass, instrumentation only. Plain load here
+    # (r19): the nested-loop count reads only `value`, so the spread's
+    # repartition exchange bought nothing in this branch.
+    ev_audit = load(spark, sf_dir, "events")
     tr = (
         est.select("quantile", "est_value")
-        .join(ev, ev.value <= col("est_value"), "left")
+        .join(ev_audit, ev_audit.value <= col("est_value"), "left")
         .groupBy("quantile")
         .agg(F.count("value").cast("long").alias("true_rank"))
     )
