@@ -121,7 +121,11 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates with exact-Jaccard verification:
     shingle → 12-hash signature → 4 bands → band-key equi-join."""
-    d = _with_near_dups(load_spread(spark, sf_dir, "documents"), limit=100)
+    # plain load, NOT load_spread: the slice below is bounded (100 docs)
+    # regardless of corpus size, so the signature work never grows — a
+    # spread exchange here is overhead at every scale (measured locally:
+    # interleaved A/B favored the plain scan 3/3)
+    d = _with_near_dups(load(spark, sf_dir, "documents"), limit=100)
     return dd.minhash_candidate_pairs(
         d, "doc_id", "text", k=MINHASH_K, bands=BANDS, rows=ROWS,
         shingle_n=SHINGLE_N,
@@ -223,9 +227,11 @@ def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     occupancy stays O(1) as the corpus grows; the round-1 15-bit bands
     saturated at 32k keys), and the self-join shuffles only
     (band, doc_id, sh) — AQE-splittable, no per-bucket collect_list."""
-    # load_spread: the 120-bit signature hash pass dominates — spread
-    # the scan (no-op on multi-split tables; io.load_spread)
-    d = _with_near_dups(load_spread(spark, sf_dir, "documents"), limit=60)
+    # plain load, NOT load_spread: the slice below is bounded (60 docs)
+    # regardless of corpus size, so the signature work never grows — a
+    # spread exchange here is overhead at every scale (measured locally:
+    # interleaved A/B favored the plain scan)
+    d = _with_near_dups(load(spark, sf_dir, "documents"), limit=60)
     # shared operator body (operators/dedup.py:simhash_candidate_pairs);
     # max_band_docs=None → exact candidate semantics, the oracle's
     return dd.simhash_candidate_pairs(
