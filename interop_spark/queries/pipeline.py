@@ -1059,8 +1059,14 @@ def q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     collision-count/ratio form a pretraining run consumes directly as
     a drop-list, with the per-doc gram totals carried through so the
     threshold can be ratio-based, not just any-hit."""
-    d = load(spark, sf_dir, "documents")
-    bench = d.where(col("doc_id") % 50 == 0)
+    # load_spread on the CORPUS side only: the tokenize + n-gram
+    # explode over every document is the dominant per-row CPU stage
+    # and a single-split fixture file pins it on one core (no-op on
+    # multi-split tables; io.load_spread). The benchmark slice stays
+    # on the plain scan — it is a bounded side that only feeds the
+    # broadcast build, where an extra exchange buys nothing.
+    d = load_spread(spark, sf_dir, "documents")
+    bench = load(spark, sf_dir, "documents").where(col("doc_id") % 50 == 0)
     return dd.ngram_decontaminate(
         d, bench, id_col="doc_id", text_col="text", n=DECON_N
     )

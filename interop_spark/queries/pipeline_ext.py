@@ -318,7 +318,10 @@ def q_gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     char fraction, dup-{5..10}-gram char fraction) — computed doc-locally
     as sorted-run folds (zero shuffle; see
     ``operators/text.repetition_signals``)."""
-    d = load(spark, sf_dir, "documents")
+    # load_spread: the per-doc n-gram sort+run folds are CPU-heavy
+    # per-row work over the FULL corpus — single-split fixture input
+    # would pin them on one core (no-op on multi-split tables)
+    d = load_spread(spark, sf_dir, "documents")
     r = tx.repetition_signals(
         col("text"), top_ns=REP_TOP_NS, dup_ns=REP_DUP_NS
     )
@@ -1261,7 +1264,11 @@ def q_winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared substring is caught regardless of alignment)."""
     from interop_spark.operators.dedup import winnow_dup_pairs
 
-    d = load(spark, sf_dir, "documents")
+    # load_spread: the k-gram md5 + per-window struct-min selection is
+    # the query's dominant cost and runs over the FULL corpus — per-row
+    # CPU-heavy work that a single-split fixture file pins on one core
+    # (no-op on real multi-split tables; io.load_spread)
+    d = load_spread(spark, sf_dir, "documents")
     return winnow_dup_pairs(d, k=WINNOW_K, w=WINNOW_W, max_hash_docs=64)
 
 
