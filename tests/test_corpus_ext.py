@@ -272,7 +272,9 @@ def test_theta_streaming_fold_equals_batch(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.processAllAvailable()  # deterministic barrier (no fixed-clock race)
+    q.stop()
+    q.awaitTermination()
 
     m_kept, m_theta = theta_merge(state["kept"], state["kept"], k=k)
     assert sorted(map(tuple, m_kept.collect())) == sorted(

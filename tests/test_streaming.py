@@ -43,7 +43,9 @@ def _run_stream(df, name):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.processAllAvailable()  # deterministic barrier (no fixed-clock race)
+    q.stop()
+    q.awaitTermination()
     return q
 
 
@@ -154,7 +156,9 @@ def test_stream_bundles(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.processAllAvailable()  # deterministic barrier (no fixed-clock race)
+    q.stop()
+    q.awaitTermination()
     rows = spark.table("bundles").collect()
     assert len(rows) == 4
     assert all(r.np == 1 for r in rows)
@@ -176,7 +180,25 @@ def test_sessionize_stream_closed_sessions_match_batch(spark, event_json_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # A ProcessingTimeTimeout query never self-terminates under
+    # availableNow: every batch re-arms wall-clock timeouts, so the
+    # engine keeps scheduling batches and processAllAvailable never sees
+    # noNewData (measured: ~1,500 micro-batch jobs in 25 min before this
+    # fix; the leaked query then starved every later streaming test).
+    # All closed sessions come from the files' single data batch, so
+    # poll the sink to stability, then STOP the query — no leak.
+    import time as _time
+
+    last, stable, t0 = -1, 0, _time.time()
+    while _time.time() - t0 < 180:
+        n = spark.table("sess_stream").count()
+        stable = stable + 1 if n == last and n > 0 else 0
+        last = n
+        if stable >= 3:
+            break
+        _time.sleep(2.0)
+    q.stop()
+    q.awaitTermination()
     got = {
         (r.user_id, r.session_start, r.events_in_session, r.session_value)
         for r in spark.table("sess_stream").collect()
@@ -261,7 +283,9 @@ def test_sessionize_event_time_timeout(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.processAllAvailable()  # deterministic barrier (no fixed-clock race)
+    q.stop()
+    q.awaitTermination()
     got = {
         (r.user_id, int(r.session_start.timestamp()),
          int(r.session_end.timestamp()), r.events_in_session,
@@ -341,7 +365,9 @@ def test_sessionize_event_time_out_of_order_across_batches(spark, tmp_path):
         .start()
     )
     # availableNow honors maxFilesPerTrigger=1 → 3 separate micro-batches
-    q.awaitTermination(180)
+    q.processAllAvailable()  # deterministic barrier (no fixed-clock race)
+    q.stop()
+    q.awaitTermination()
     got = {
         (r.user_id, int(r.session_start.timestamp()),
          int(r.session_end.timestamp()), r.events_in_session,
@@ -430,7 +456,9 @@ def test_sessionize_event_time_boundary_joiner_at_watermark(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(240)
+    q.processAllAvailable()  # deterministic barrier (no fixed-clock race)
+    q.stop()
+    q.awaitTermination()
     got = {
         (r.user_id, int(r.session_start.timestamp()),
          int(r.session_end.timestamp()), r.events_in_session,
@@ -503,7 +531,14 @@ def test_stream_bundles_equals_batch_entry(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # deterministic completion barrier: awaitTermination(timeout) returns
+    # False when the clock runs out and the old fixed 120 s budget raced
+    # the 59-type catalog's stream-side codegen on a loaded host (the
+    # memory table then read back EMPTY — r19 opt round inherited flake);
+    # processAllAvailable blocks until every available file is committed.
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
     got = {
         r.bundleUUID: r
         for r in spark.table("parity_bundles").collect()
@@ -543,7 +578,9 @@ def test_stream_ndjson_equals_batch_resource(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.processAllAvailable()  # deterministic barrier (no fixed-clock race)
+    q.stop()
+    q.awaitTermination()
     got = {
         (r.id, r.gender)
         for r in spark.sql("SELECT * FROM parity_ndjson").collect()
