@@ -346,12 +346,15 @@ def q_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab x source cross of two bounded frames) self-joins on token per
     ordered source pair, so every stage after the one corpus explode is
     vocabulary-sized."""
-    # spread + checkpoint: the (source, token) count frame is the one
+    # checkpoint, PLAIN load: the (source, token) count frame is the one
     # corpus-sized pass and is referenced by vocab/sources/grid and the
     # pair self-join's both sides — materialize it once (it is
-    # vocab x sources-bounded) instead of re-tokenizing per reference
-    # (r19 optimization round)
-    d = load_spread(spark, sf_dir, "documents")
+    # vocab x sources-bounded) instead of re-tokenizing per reference.
+    # The scan spread was measured a net LOSS here (interleaved A/B:
+    # plain+ckpt 0.65 s vs spread+ckpt 0.86 s min) — the explode pass is
+    # cheap per row, so the round-robin exchange of the full text bytes
+    # never pays for itself (r19 optimization round, both passes)
+    d = load(spark, sf_dir, "documents")
     cnt = (
         d.select("source", F.explode(tx_tokens(col("text"))).alias("tok"))
         .where(col("tok") != "")

@@ -433,12 +433,15 @@ def q_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream is one (w1, w2) partial-aggregated count, a broadcast of
     the vocabulary-bounded document-frequency frame, and a
     TakeOrderedAndProject boundary — no vocabulary-squared sort."""
-    # load_spread + checkpoint: the distinct-token explode feeds the
+    # checkpoint, PLAIN load: the distinct-token explode feeds the
     # self-join's BOTH sides and the document-frequency count — three
-    # tokenize passes pre-r19, one spread pass + a materialized
-    # token-list read now (r19 optimization round; the token list is
-    # smaller than the text it came from)
-    d = load_spread(spark, sf_dir, "documents")
+    # tokenize passes pre-r19, one materialized token-list read now
+    # (r19 optimization round; the token list is smaller than the text
+    # it came from). The scan spread was measured a net LOSS here
+    # (interleaved A/B: plain 0.60-0.82 s vs spread 1.07-1.60 s) — the
+    # distinct-token explode is cheap per row, so the round-robin
+    # exchange of the text bytes never pays for itself
+    d = load(spark, sf_dir, "documents")
     dt = d.select(
         "doc_id", F.explode(F.array_distinct(tx_tokens(col("text")))).alias("w")
     ).where(col("w") != "").localCheckpoint()

@@ -3002,8 +3002,15 @@ def q_domain_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated histogram + the survivor filter against broadcast
     per-source thresholds; grid/rank/pick frames are all
     groups×capacity-bounded. Core in `operators/sketch.py`
-    (`rank_sketch_group_quantile`)."""
-    d = load_spread(spark, sf_dir, "documents")
+    (`rank_sketch_group_quantile`).
+
+    PLAIN load, not load_spread (r19 optimization round): both sketch
+    passes read only (source, n_chars, doc_id) — three narrow columns —
+    so the md5-per-row work is tiny and the spread exchange was
+    measured a net LOSS (interleaved A/B: plain 0.76-0.89 s vs spread
+    1.02-1.21 s). Contrast quantile_sketch_estimate, whose events-table
+    passes are 10× the rows and keep the spread."""
+    d = load(spark, sf_dir, "documents")
     est = rank_sketch_group_quantile(
         d,
         col("source"),
