@@ -42,7 +42,6 @@ from interop_spark.operators.theta import (
     THETA_K,
     THETA_MAXH,
     theta_items,
-    theta_pair_setops,
     theta_sketch,
 )
 
@@ -106,98 +105,131 @@ def q_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(spark.sparkContext.defaultParallelism)
         .localCheckpoint()
     )
-    kept, theta = theta_sketch(items, k=THETA_K)
-    # pair panel as a JVM-side literal explode (a Python-backed
-    # createDataFrame source would respawn its worker chain on every
-    # downstream reference)
-    pairs = spark.range(1).select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(a).alias("ga"), F.lit(b).alias("gb"))
-                    for a in THETA_SOURCES
-                    for b in THETA_SOURCES
-                    if a < b
-                ]
-            )
-        ).alias("pr")
-    ).select("pr.ga", "pr.gb")
-    # est is pairs-bounded (6 rows) and referenced exactly once below —
-    # no checkpoint (r19 optimization round: the materialization job
-    # cost more than the one inline derivation it saved)
-    est = theta_pair_setops(kept, theta, pairs)
+    kept, _theta = theta_sketch(items, k=THETA_K)
 
-    # exact audit in ONE aggregation: per key, the sorted set of
-    # sources holding it; every in-set pair contributes one exact
-    # intersection count, every membership one exact per-source count —
-    # no vocabulary self-join. The per-key group-set frame feeds BOTH
-    # the per-source counts and the pair intersections — checkpoint it
-    # (vocabulary-bounded) so the (g, k)-keyed shuffle of ``items``
-    # runs once, not once per audit branch (r19: this halved the
-    # audit's exchange count).
+    # ---- driver-side pair algebra over k-bounded state (r19 opt) ----
+    # `theta_pair_setops` (operators/theta.py, unchanged, still pinned
+    # by its own tests) is the mergeable-state frame contract; THIS
+    # query's panel is len(THETA_SOURCES) x k=64, so `kept` is <= 384
+    # rows — bounded driver state per the PQ-codebook precedent.
+    # Profiling showed the frame algebra made the query DRIVER-bound
+    # (job sum ~1.6 s vs 3.3 s wall: ~20 AQE-materialized bounded
+    # stages plus their plan construction). Collecting the sketch once
+    # and doing the INTEGER pair algebra in Python removes all of it;
+    # every run still computes the sketch from the parquet corpus, and
+    # the arithmetic below mirrors the operator term for term
+    # (Python // == Spark `div` on the non-negative integers here).
+    krows = kept.select("g", "k", "h", "rn").collect()
+    kept_by_g: dict = {}
+    theta_by_g: dict = {}
+    for r in krows:
+        kept_by_g.setdefault(r.g, {})[r.k] = r.h
+        if r.rn == THETA_K:
+            theta_by_g[r.g] = r.h
+    for g in kept_by_g:
+        theta_by_g.setdefault(g, THETA_MAXH)
+
+    # exact audit in ONE aggregation (was two: per-source counts +
+    # per-pair intersections — the fused explode emits a (g, g) single
+    # per membership and a (ga, gb) struct per in-set pair, so one
+    # groupBy serves both and `grpsets` is referenced once — its
+    # checkpoint job is dropped too). Output is
+    # |sources| + |pairs| <= 21 rows: bounded, collected.
     grpsets = items.groupBy("k").agg(
         F.sort_array(F.collect_set("g")).alias("gs")
-    ).localCheckpoint()
-    cnts = (
-        grpsets.select(F.explode("gs").alias("g"))
-        .groupBy("g")
-        .agg(F.count(F.lit(1)).alias("c"))
     )
-    inter = (
-        grpsets.select(
-            F.explode(
-                F.filter(
-                    F.flatten(
-                        F.transform(
-                            col("gs"),
-                            lambda a: F.transform(
-                                col("gs"), lambda b: F.struct(a.alias("ga"), b.alias("gb"))
-                            ),
-                        )
-                    ),
-                    lambda s: s["ga"] < s["gb"],
+    singles = F.transform(
+        col("gs"), lambda x: F.struct(x.alias("a"), x.alias("b"))
+    )
+    prs = F.filter(
+        F.flatten(
+            F.transform(
+                col("gs"),
+                lambda a: F.transform(
+                    col("gs"), lambda b: F.struct(a.alias("a"), b.alias("b"))
+                ),
+            )
+        ),
+        lambda s: s["a"] < s["b"],
+    )
+    audit = (
+        grpsets.select(F.explode(F.concat(singles, prs)).alias("pr"))
+        .groupBy(col("pr.a").alias("a"), col("pr.b").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .collect()
+    )
+    ca = {r.a: r.c for r in audit if r.a == r.b}
+    inter_exact = {(r.a, r.b): r.c for r in audit if r.a < r.b}
+
+    # pair panel: sources PRESENT in the sketch, ordered — the same set
+    # the old inner joins (pairs >< theta_a >< theta_b >< cnts) kept
+    present = sorted(set(ca) & set(kept_by_g))
+    out_rows = []
+    for i, a in enumerate(present):
+        for b in present[i + 1 :]:
+            t_ab = min(theta_by_g[a], theta_by_g[b])
+            sa_keys = {k2 for k2, h in kept_by_g[a].items() if h < t_ab}
+            sb_keys = {k2 for k2, h in kept_by_g[b].items() if h < t_ab}
+            i_cnt = len(sa_keys & sb_keys)  # h = f(k): same cut both sides
+            union_est = (
+                (len(sa_keys) + len(sb_keys) - i_cnt) * THETA_MAXH
+            ) // t_ab
+            inter_est = (i_cnt * THETA_MAXH) // t_ab
+            ie = inter_exact.get((a, b), 0)
+            ue = ca[a] + ca[b] - ie
+            out_rows.append(
+                (
+                    a,
+                    b,
+                    t_ab,
+                    union_est,
+                    ue,
+                    inter_est,
+                    ie,
+                    (inter_est * 1000000) // union_est if union_est else None,
+                    (ie * 1000000) // ue if ue else None,
                 )
-            ).alias("pr")
-        )
-        .groupBy(col("pr.ga").alias("ga"), col("pr.gb").alias("gb"))
-        .agg(F.count(F.lit(1)).cast("long").alias("inter_exact"))
+            )
+
+    cols = (
+        "source_a",
+        "source_b",
+        "theta_ab",
+        "union_est",
+        "union_exact",
+        "inter_est",
+        "inter_exact",
+        "jaccard_est_ppm",
+        "jaccard_exact_ppm",
     )
-    exact = (
-        pairs.join(F.broadcast(inter), ["ga", "gb"], "left")
-        .join(
-            F.broadcast(cnts.select(col("g").alias("ga"), col("c").alias("ca"))),
-            "ga",
+    if not out_rows:  # defensive: degenerate corpus, schema-matched empty
+        return spark.range(0).select(
+            F.lit("").alias(cols[0]),
+            F.lit("").alias(cols[1]),
+            *[F.lit(None).cast("long").alias(c) for c in cols[2:]],
         )
-        .join(
-            F.broadcast(cnts.select(col("g").alias("gb"), col("c").alias("cb"))),
-            "gb",
-        )
-        .select(
-            "ga",
-            "gb",
-            F.coalesce(col("inter_exact"), F.lit(0)).alias("inter_exact"),
-            (col("ca") + col("cb") - F.coalesce(col("inter_exact"), F.lit(0)))
-            .cast("long")
-            .alias("union_exact"),
-        )
-    )
+    # JVM-side literal explode (the pair-panel pattern): one expr parse,
+    # no Python-backed scan
     return (
-        est.join(F.broadcast(exact), ["ga", "gb"])
+        spark.range(1)
         .select(
-            col("ga").alias("source_a"),
-            col("gb").alias("source_b"),
-            col("theta_ab").cast("long").alias("theta_ab"),
-            col("union_est").cast("long").alias("union_est"),
-            col("union_exact"),
-            col("inter_est").cast("long").alias("inter_est"),
-            col("inter_exact"),
-            F.expr("(inter_est * 1000000) div union_est")
-            .cast("long")
-            .alias("jaccard_est_ppm"),
-            F.expr("(inter_exact * 1000000) div union_exact")
-            .cast("long")
-            .alias("jaccard_exact_ppm"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(row[0]).alias(cols[0]),
+                            F.lit(row[1]).alias(cols[1]),
+                            *[
+                                F.lit(v).cast("long").alias(c)
+                                for v, c in zip(row[2:], cols[2:])
+                            ],
+                        )
+                        for row in out_rows
+                    ]
+                )
+            ).alias("r")
         )
+        .select("r.*")
         .orderBy("source_a", "source_b")
     )
 

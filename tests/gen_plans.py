@@ -101,7 +101,7 @@ COMMENT = {
  "fhir_omop_visit_detail": "OMOP visit_detail: line-splittable ext-corpus NDJSON scan with a location.period SCHEMA OVERRIDE (S4) -> posexplode of the ward-transfer segments + pure typed projection -- ZERO Exchange; output rows bounded by total location segments.",
  "fhir_request_group_actions": "Promotion proof row: RequestGroup instantiatesCanonical url|version split (split_part, JVM-side) -> BROADCAST join onto the 6 ActivityDefinition templates -> bounded (url, status)-keyed rollup; corpus-sized data never shuffles on a definitional key.",
  "fhir_writer_canonical_leaves": "Writer canonical contrast row: one projection pass builds the bundle JSON (typed-leaf dispatch inside to_json expressions), one variant re-parse extracts the round-trip values -- zero exchanges, scan-bandwidth-bound like the writer itself.",
- "theta_sketch_setops": "Theta/KMV sketch set ops: corpus side is one distinct-shingle projection + a <=33-key level histogram (partial agg) + a survivor filter vs broadcast per-group thresholds; the exact bottom-k window sorts only the ~2k-row survivor frame; ALL pair algebra (union/intersect samples, inclusion-exclusion) runs on k-bounded localCheckpointed frames via broadcast joins. The exact audit is one group-set aggregation (collect_set per key, in-set pair explode) -- no vocabulary self-join.",
+ "theta_sketch_setops": "Theta/KMV sketch set ops: corpus side is one distinct-shingle projection + a <=33-key level histogram (partial agg) + a survivor filter vs broadcast per-group thresholds; the exact bottom-k window sorts only the ~2k-row survivor frame (operators/theta.py, unchanged). r19: the pair algebra and the <=21-row fused exact audit are collected (k-bounded driver state, the PQ-codebook pattern) and the integer set-op arithmetic runs driver-side -- the corpus-side jobs execute at query CONSTRUCTION and the final plan is the 6-row literal panel below; values are recomputed from parquet on every construction, never cached.",
  "heavy_hitter_tokens": "CMS heavy hitters: one token explode feeds BOTH the depth*width sketch (partial-agg, <=24 rows) and the exact counts; the full-vocabulary probe joins the BROADCAST sketch; the phi threshold is a 1-row broadcast crossJoin. No vocabulary sort, no driver collect.",
  "cooccurrence_topk": "Co-occurrence: per-doc DISTINCT token self-join keyed on doc_id (blowup bounded by per-doc vocabulary), one (w1,w2) partial-aggregated count, document frequencies joined BROADCAST, TakeOrderedAndProject top-k boundary -- no vocabulary-squared sort.",
  "int4_roundtrip": "Blockwise int4 quantizer: one embeddings scan, pure HOF encode->decode->error projection inside WholeStageCodegen -- ZERO Exchange.",
