@@ -217,6 +217,118 @@ def rank_sketch_merge(
     ).unionByName(kept.select("kind", "level", "v", "cnt"))
 
 
+def _order_key(v):
+    """Python sort key reproducing Spark ASC NULLS FIRST with NaN
+    sorted LAST (Spark's total order over doubles)."""
+    import math
+
+    if v is None:
+        return (0, 0.0)
+    if isinstance(v, float) and math.isnan(v):
+        return (2, 0.0)
+    return (1, v)
+
+
+def _sql_lit(v, typ: str) -> str | None:
+    """SQL literal text for a driver-side panel value, or None when the
+    value has no exact SQL form (the caller then falls back to the
+    per-element ``F.lit`` path). ``repr(double) + 'D'`` round-trips
+    bit-exactly (similarity._dbl_sql); integral and string literals are
+    exact by construction."""
+    import math
+
+    if v is None:
+        return f"CAST(NULL AS {typ})"
+    if typ == "string" and isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    if typ == "double" and isinstance(v, float):
+        return repr(v) + "D" if math.isfinite(v) else None
+    if typ in ("tinyint", "smallint", "int", "bigint") and isinstance(
+        v, int
+    ):
+        return f"CAST({v} AS {typ})"
+    return None
+
+
+def _panel_df(spark, rows, fields):
+    """Bounded driver-side result panel as ONE ``F.expr`` parse —
+    ``inline(array(named_struct(...), ...))`` — instead of per-element
+    py4j ``F.lit`` construction (~6 py4j round-trips per cell made the
+    literal build itself the dominant construction cost; the r19
+    PQ-codebook lesson). ``fields`` is [(name, spark_sql_type_text)];
+    falls back to the F.lit path when any value lacks an exact SQL
+    literal form."""
+    texts = []
+    for row in rows:
+        parts = []
+        for (name, typ), v in zip(fields, row):
+            t = _sql_lit(v, typ)
+            if t is None:
+                texts = None
+                break
+            parts.append(f"'{name}', {t}")
+        if texts is None:
+            break
+        texts.append("named_struct(" + ", ".join(parts) + ")")
+    if texts is not None:
+        return spark.range(1).select(
+            F.expr("inline(array(" + ", ".join(texts) + "))")
+        )
+    return (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            *[
+                                (
+                                    F.lit(v)
+                                    if v is not None
+                                    else F.lit(None)
+                                )
+                                .cast(typ)
+                                .alias(name)
+                                for (name, typ), v in zip(fields, row)
+                            ]
+                        )
+                        for row in rows
+                    ]
+                )
+            ).alias("_r")
+        )
+        .select("_r.*")
+    )
+
+
+def _threshold_py(hist_rows, capacity: int) -> int:
+    """Driver-side twin of :func:`rank_sketch_threshold`: the smallest
+    t in [0, RS_HBITS+1] whose survivor tail fits the capacity — pure
+    integer arithmetic, term-for-term the Spark aggregation (the tail
+    at t = RS_HBITS+1 is 0, so a qualifying t always exists)."""
+    for t in range(0, RS_HBITS + 2):
+        if sum(c for lvl, c in hist_rows if lvl >= t) <= capacity:
+            return t
+    return RS_HBITS + 1
+
+
+def _cum_ranks_py(kept_vals, n, n_kept):
+    """(v, ck, est_rank) rows: distinct survivor values in Spark's ASC
+    order with cumulative counts — ``est_rank = (n * ck) div n_kept``
+    mirrors Spark's ``div`` exactly on these non-negative longs
+    (Python ``//``), and is None when n is None (NULL propagation)."""
+    from collections import Counter
+
+    groups = Counter(kept_vals)
+    cum = []
+    ck = 0
+    for v in sorted(groups, key=_order_key):
+        ck += groups[v]
+        er = (n * ck) // n_kept if n is not None else None
+        cum.append((v, ck, er))
+    return cum
+
+
 def rank_sketch_quantiles(
     sketch: DataFrame, qs: list[tuple[str, int, int]] | None = None
 ) -> DataFrame:
@@ -233,83 +345,48 @@ def rank_sketch_quantiles(
     threshold_level, n_kept); always selectable — the max survivor
     qualifies for every q <= 1.
 
-    The input sketch frame is capacity-bounded BY CONSTRUCTION, so it
-    is localCheckpoint-ed up front: every estimation branch (threshold,
-    totals, cumulative ranks, one pick per quantile) reads the tiny
-    materialized frame instead of re-deriving the build's corpus
-    scans."""
-    from pyspark.sql.window import Window
-
+    The sketch frame is capacity-bounded BY CONSTRUCTION (≤ capacity
+    survivors + ≤ 33 histogram rows), so the estimation algebra runs
+    DRIVER-side (r20 optimization round; the theta pair-algebra
+    pattern): ONE collect materializes the build's corpus scans, the
+    threshold / totals / cumulative-rank / pick arithmetic — all exact
+    integers plus the survivor values carried verbatim — runs in
+    Python term-for-term the old Spark aggregations, and the result is
+    emitted as a literal panel. This replaces a checkpoint plus ~8
+    AQE-materialized bounded stages per query with one bounded collect.
+    NOT result caching: the collect recomputes from the input on every
+    call."""
     qs = qs or [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
-    # coalesce(1) before the checkpoint (r19 optimization round): the
-    # frame is capacity-bounded (<= capacity survivors + <= 33
-    # histogram rows), but inherits the build's shuffle fan-out — every
-    # estimation branch was scanning it 33-tasks-wide for nothing.
-    sketch = sketch.coalesce(1).localCheckpoint()
-    hist = sketch.where(col("kind") == "h").select("level", "cnt")
-    thr = rank_sketch_threshold(hist)
-    # n and n_kept in ONE pass over the materialized frame (r19): two
-    # conditional aggregates instead of two branch jobs.
-    totals = sketch.agg(
-        F.sum(F.when(col("kind") == "h", col("cnt"))).alias("n"),
-        F.count(F.when(col("kind") == "k", F.lit(1)))
-        .cast("long")
-        .alias("n_kept"),
-    )
-    kept = sketch.where(col("kind") == "k")
-    cum = (
-        kept.groupBy("v")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .withColumn(
-            "ck",
-            F.sum("c").over(
-                Window.orderBy("v").rowsBetween(
-                    Window.unboundedPreceding, 0
-                )
-            ),
-        )
-        .crossJoin(F.broadcast(totals))
-        .withColumn("est_rank", F.expr("(n * ck) div n_kept"))
-    )
-    # ONE aggregation computes every quantile's pick (r19: the per-
-    # quantile agg-plus-union built 3 aggregate branches and 2 unions —
-    # 5 extra bounded jobs); the picks then unfold via a literal-struct
-    # explode. The per-quantile min/when aggregates are unchanged, so
-    # the picked values are identical.
-    agg_exprs = []
+    spark = sketch.sparkSession
+    v_type = sketch.schema["v"].dataType.simpleString()
+    rows = sketch.select("kind", "level", "v", "cnt").collect()
+    hist_rows = [(r[1], r[3]) for r in rows if r[0] == "h"]
+    kept_vals = [r[2] for r in rows if r[0] == "k"]
+    t = _threshold_py(hist_rows, RS_CAPACITY)
+    n = sum(c for _, c in hist_rows) if hist_rows else None
+    n_kept = len(kept_vals)
+    cum = _cum_ranks_py(kept_vals, n, n_kept)
+    out_rows = []
     for label, num, den in qs:
-        qualifies = col("ck") * den >= col("n_kept") * num
-        agg_exprs.append(
-            F.min(F.when(qualifies, col("v"))).alias(f"_ev_{label}")
+        qual = [(v, ck, er) for v, ck, er in cum if ck * den >= n_kept * num]
+        ev = min(
+            (v for v, _, _ in qual if v is not None),
+            key=_order_key,
+            default=None,
         )
-        agg_exprs.append(
-            F.min(F.when(qualifies, col("est_rank"))).alias(
-                f"_er_{label}"
-            )
-        )
-    one = cum.agg(*agg_exprs)
-    out = one.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(label).alias("quantile"),
-                        col(f"_ev_{label}").alias("est_value"),
-                        col(f"_er_{label}").alias("est_rank"),
-                    )
-                    for label, _, _ in qs
-                ]
-            )
-        ).alias("_q")
-    ).select("_q.quantile", "_q.est_value", "_q.est_rank")
-    return (
-        out.crossJoin(
-            F.broadcast(totals.select(col("n").alias("n_total")))
-        )
-        .crossJoin(
-            F.broadcast(thr.select(col("t").alias("threshold_level")))
-        )
-        .crossJoin(F.broadcast(totals.select("n_kept")))
+        er = min((e for _, _, e in qual if e is not None), default=None)
+        out_rows.append((label, ev, er, n, t, n_kept))
+    return _panel_df(
+        spark,
+        out_rows,
+        [
+            ("quantile", "string"),
+            ("est_value", v_type),
+            ("est_rank", "bigint"),
+            ("n_total", "bigint"),
+            ("threshold_level", "int"),
+            ("n_kept", "bigint"),
+        ],
     )
 
 
@@ -335,11 +412,17 @@ def rank_sketch_group_quantile(
 
     Scale shape: corpus-side cost is ONE (group, level) partial-
     aggregated histogram (<=33 rows per group) plus the survivor
-    filter against the broadcast per-group thresholds; the candidate
-    grid, cumulative ranks and quantile picks all run on
-    groups-x-capacity-bounded frames."""
-    from pyspark.sql.window import Window
-
+    filter against the broadcast per-group thresholds — unchanged. The
+    post-scan algebra (candidate grid, per-group thresholds,
+    cumulative ranks, quantile picks — all groups×capacity-bounded by
+    construction) runs DRIVER-side as of r20 (the theta pair-algebra
+    pattern): the histogram collect feeds exact per-group integer
+    threshold arithmetic, the thresholds re-enter the survivor filter
+    as a broadcast literal frame, the survivor collect feeds the
+    pick arithmetic, and the result is a literal panel. Two bounded
+    collects replace two checkpoints plus ~6 AQE-materialized bounded
+    stages. NOT result caching: both collects recompute from the
+    input on every call."""
     h = F.conv(
         F.substring(F.md5(key.cast("string")), 1, 8), 16, 10
     ).cast("bigint")
@@ -351,82 +434,70 @@ def rank_sketch_group_quantile(
         .cast("int")
         .alias("level"),
     )
-    # the (group, level) histogram and the survivor frame are bounded
-    # by construction — localCheckpoint both so the grid/threshold/
-    # rank/pick branches never re-derive the corpus scans (the build
-    # costs exactly two pruned scans, as in rank_sketch_build)
-    hist = (
+    spark = df.sparkSession
+    g_type = items.schema["g"].dataType.simpleString()
+    v_type = items.schema["v"].dataType.simpleString()
+    empty_fields = [
+        ("g", g_type),
+        ("est_value", v_type),
+        ("est_rank", "bigint"),
+        ("n_total", "bigint"),
+        ("threshold_level", "int"),
+        ("n_kept", "bigint"),
+    ]
+
+    def _empty():
+        return spark.range(0).select(
+            *[
+                F.lit(None).cast(typ).alias(name)
+                for name, typ in empty_fields
+            ]
+        )
+
+    # corpus scan 1: the (group, level) histogram (<=33 rows/group)
+    hist_rows = (
         items.groupBy("g", "level")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        # groups x <=33 rows — collapse the shuffle fan-out before the
-        # checkpoint so downstream branches scan 1 task, not the
-        # session's shuffle width (r19 optimization round)
-        .coalesce(1)
-        .localCheckpoint()
+        .collect()
     )
-    spark = df.sparkSession
-    ts = spark.range(0, RS_HBITS + 2).select(
-        col("id").cast("int").alias("t")
+    by_g: dict = {}
+    for r in hist_rows:
+        by_g.setdefault(r[0], []).append((r[1], r[2]))
+    thr_py = {g: _threshold_py(rows, capacity) for g, rows in by_g.items()}
+    n_py = {g: sum(c for _, c in rows) for g, rows in by_g.items()}
+    if not thr_py:  # degenerate empty corpus: schema-matched empty
+        return _empty()
+    # per-group thresholds re-enter as a broadcast literal frame
+    thr_lit = _panel_df(
+        spark,
+        sorted(thr_py.items(), key=lambda kv: str(kv[0])),
+        [("g", g_type), ("t", "int")],
     )
-    grid = hist.select("g").distinct().crossJoin(F.broadcast(ts))
-    h2 = hist.select(
-        col("g").alias("hg"), col("level"), col("cnt")
-    )
-    tails = (
-        grid.join(
-            h2, (col("g") == col("hg")) & (col("level") >= col("t")), "left"
-        )
-        .groupBy("g", "t")
-        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("tail"))
-    )
-    thr = (
-        tails.where(col("tail") <= capacity)
-        .groupBy("g")
-        .agg(F.min("t").cast("int").alias("t"))
-    )
-    n = hist.groupBy("g").agg(F.sum("cnt").alias("n"))
-    kept = (
-        items.join(F.broadcast(thr), "g")
+    # corpus scan 2: the survivor filter (groups × capacity rows)
+    kept_rows = (
+        items.join(F.broadcast(thr_lit), "g")
         .where(col("level") >= col("t"))
-        # groups x capacity rows — same fan-out collapse as hist (r19)
-        .coalesce(1)
-        .localCheckpoint()
+        .select("g", "v")
+        .collect()
     )
-    nk = kept.groupBy("g").agg(
-        F.count(F.lit(1)).cast("long").alias("n_kept")
-    )
-    # kept carries each group's threshold t (from the thr join), and
-    # cum joins n/n_kept anyway — so the pick aggregation can emit
-    # every output column itself and the three per-column broadcast
-    # assembly joins disappear (r19 optimization round). All carried
-    # values are constant within a group, so F.min reproduces them
-    # exactly.
-    cum = (
-        kept.groupBy("g", "v")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("c"),
-            F.min("t").cast("int").alias("t"),
+    kept_by_g: dict = {}
+    for r in kept_rows:
+        kept_by_g.setdefault(r[0], []).append(r[1])
+    out_rows = []
+    for g in sorted(kept_by_g, key=str):
+        vals = kept_by_g[g]
+        n_kept = len(vals)
+        cum = _cum_ranks_py(vals, n_py[g], n_kept)
+        qual = [(v, ck, er) for v, ck, er in cum if ck * den >= n_kept * num]
+        if not qual:  # a group where nothing qualifies drops out
+            continue
+        ev = min(
+            (v for v, _, _ in qual if v is not None),
+            key=_order_key,
+            default=None,
         )
-        .withColumn(
-            "ck",
-            F.sum("c").over(
-                Window.partitionBy("g")
-                .orderBy("v")
-                .rowsBetween(Window.unboundedPreceding, 0)
-            ),
-        )
-        .join(F.broadcast(nk), "g")
-        .join(F.broadcast(n), "g")
-        .withColumn("er", F.expr("(n * ck) div n_kept"))
-    )
-    return (
-        cum.where(col("ck") * den >= col("n_kept") * num)
-        .groupBy("g")
-        .agg(
-            F.min("v").alias("est_value"),
-            F.min("er").alias("est_rank"),
-            F.min("n").alias("n_total"),
-            F.min("t").alias("threshold_level"),
-            F.min("n_kept").alias("n_kept"),
-        )
-    )
+        er = min((e for _, _, e in qual if e is not None), default=None)
+        out_rows.append((g, ev, er, n_py[g], thr_py[g], n_kept))
+    if not out_rows:
+        return _empty()
+    return _panel_df(spark, out_rows, empty_fields)
