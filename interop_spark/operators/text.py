@@ -647,33 +647,22 @@ def script_profile(text: Column) -> Column:
     )
 
 
-def bpe_train_merges(wf, rounds: int = 4):
-    """Iterated BPE vocabulary TRAINING (Sennrich et al. 2016 §3.2) —
-    the full merge LOOP on top of ``bpe_merge_candidates``'s one-round
-    pair count: each round counts adjacent symbol pairs over the
-    word-frequency table (weighted by frequency), picks the argmax pair
-    (ties → lexicographically smallest (a, b), a fixed total order both
-    engines share), applies it GREEDILY left-to-right, and re-numbers.
-    Returns the trained merge list: (merge_round, a, b, merged, pair_count).
+def bpe_train_merges_list(wf, rounds: int = 4) -> list[tuple]:
+    """Training core of :func:`bpe_train_merges`, returning the learned
+    merges as the Python list ``[(round, a, b, merged, pair_count)]``
+    directly — callers composing train→encode (``q_bpe_train_encode``)
+    need the rounds-sized model driver-side anyway, and collecting the
+    literal panel back would cost one extra job per construction (r20
+    optimization round). Same loop, same argmax/tie order.
 
-    Greedy application without any fold/UDF — pure window functions, so
-    the DuckDB oracle can replicate it CTE-for-CTE: a match flag per
-    position, runs of consecutive matches collapse via the
-    gap-and-island key (pos − running match count; overlapping matches
-    only arise when a == b), odd offsets within a run are kept (the
-    left-to-right rule), a kept match rewrites its symbol to ``a||b``
-    and CONSUMES the following row (lag of the keep flag), and
-    row_number re-densifies positions for the next round.
-
-    Scale shape: the corpus is touched ONCE (the word-frequency
-    aggregate any tokenizer trainer pays); every round operates on the
-    VOCABULARY-sized symbol table — windows keyed per word, pair counts
-    keyed by the bounded pair space, and the argmax is a 1-row
-    TakeOrdered. Rounds are localCheckpoint-ed so plan depth stays O(1)
-    (the kmeans_fit discipline).
-
-    ``wf``: DataFrame (w string, c long). The caller derives it from the
-    corpus; cost scales with vocabulary, not corpus, thereafter."""
+    Two job cuts vs the r19 shape, values unchanged:
+    - the initial symbol table is NOT checkpointed — it is a cheap
+      posexplode over the (caller-checkpointed) word-frequency table,
+      and re-deriving it inside round 1's two jobs costs less than its
+      own materialization job;
+    - the final round stops after its argmax collect — the rebuilt
+      symbol table of the last round has no consumer (the oracle's
+      ``seq{rounds}`` CTE is likewise unused)."""
     from pyspark.sql import Window
 
     if rounds < 1:
@@ -681,7 +670,7 @@ def bpe_train_merges(wf, rounds: int = 4):
 
     seq = wf.select(
         "w", "c", F.posexplode(F.split("w", "")).alias("pos", "sym")
-    ).localCheckpoint()
+    )
     wseq = Window.partitionBy("w").orderBy("pos")
     wcum = wseq.rowsBetween(Window.unboundedPreceding, 0)
     merges: list[tuple] = []
@@ -706,6 +695,8 @@ def bpe_train_merges(wf, rounds: int = 4):
             break
         a_v, b_v = best_row[0]["a"], best_row[0]["b"]
         merges.append((r, a_v, b_v, a_v + b_v, int(best_row[0]["pair_count"])))
+        if r == rounds:  # the rebuilt symbol table has no consumer
+            break
         m = paired.withColumn(
             "is_match",
             (F.col("sym") == F.lit(a_v)) & (F.col("nxt") == F.lit(b_v)),
@@ -753,6 +744,38 @@ def bpe_train_merges(wf, rounds: int = 4):
             )
             .localCheckpoint()
         )
+    return merges
+
+
+def bpe_train_merges(wf, rounds: int = 4):
+    """Iterated BPE vocabulary TRAINING (Sennrich et al. 2016 §3.2) —
+    the full merge LOOP on top of ``bpe_merge_candidates``'s one-round
+    pair count: each round counts adjacent symbol pairs over the
+    word-frequency table (weighted by frequency), picks the argmax pair
+    (ties → lexicographically smallest (a, b), a fixed total order both
+    engines share), applies it GREEDILY left-to-right, and re-numbers.
+    Returns the trained merge list: (merge_round, a, b, merged, pair_count).
+
+    Greedy application without any fold/UDF — pure window functions, so
+    the DuckDB oracle can replicate it CTE-for-CTE: a match flag per
+    position, runs of consecutive matches collapse via the
+    gap-and-island key (pos − running match count; overlapping matches
+    only arise when a == b), odd offsets within a run are kept (the
+    left-to-right rule), a kept match rewrites its symbol to ``a||b``
+    and CONSUMES the following row (lag of the keep flag), and
+    row_number re-densifies positions for the next round.
+
+    Scale shape: the corpus is touched ONCE (the word-frequency
+    aggregate any tokenizer trainer pays); every round operates on the
+    VOCABULARY-sized symbol table — windows keyed per word, pair counts
+    keyed by the bounded pair space, and the argmax is a 1-row
+    TakeOrdered. Rounds are localCheckpoint-ed so plan depth stays O(1)
+    (the kmeans_fit discipline).
+
+    ``wf``: DataFrame (w string, c long). The caller derives it from the
+    corpus; cost scales with vocabulary, not corpus, thereafter."""
+    sp = wf.sparkSession
+    merges = bpe_train_merges_list(wf, rounds)
     # merge list (possibly empty — e.g. a corpus of only single-
     # character words, where the oracle's CTE chain also yields zero
     # rows; ADVICE r13) as a JVM-side literal explode — the repo's
@@ -760,7 +783,6 @@ def bpe_train_merges(wf, rounds: int = 4):
     # parallelize through a Python worker round-trip on every
     # downstream reference (~0.3 s/job measured), a literal array
     # costs none.
-    sp = wf.sparkSession
     if not merges:
         return sp.createDataFrame(
             [],

@@ -2517,11 +2517,16 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from interop_spark.operators.text import bpe_train_merges
 
     d = load(spark, sf_dir, "documents")
+    # checkpoint the vocabulary-bounded word-frequency table (the
+    # q_bpe_train_encode discipline): training's round-1 jobs read it
+    # materialized instead of re-tokenizing the corpus per job, now
+    # that the operator derives the initial symbol table lazily (r20)
     wf = (
         d.select(F.explode(tx_tokens(col("text"))).alias("w"))
         .where(col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
     )
     return bpe_train_merges(wf, BPE_TRAIN_ROUNDS)
 
@@ -2622,7 +2627,7 @@ def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT-word dictionary (Arrow-batched), never the token stream."""
     from interop_spark.operators.text import (
         bpe_pieces_udf,
-        bpe_train_merges,
+        bpe_train_merges_list,
     )
 
     d = load_spread(spark, sf_dir, "documents")
@@ -2639,10 +2644,12 @@ def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .localCheckpoint()
     )
-    trained = bpe_train_merges(wf, BPE_TRAIN_ROUNDS)
+    trained = bpe_train_merges_list(wf, BPE_TRAIN_ROUNDS)
     merges = [
-        (r.a, r.b) for r in trained.orderBy("merge_round").collect()
-    ]  # rounds-sized model fetch (the PQ-codebook pattern)
+        (a, b) for _, a, b, _, _ in trained
+    ]  # rounds-sized model, already driver-side (r20: the literal
+    # panel's orderBy+collect round-trip was one job per construction;
+    # bpe_train_merges_list returns rounds in ascending order)
     vocab = wf.select("w")
     enc = vocab.select(
         "w", bpe_pieces_udf(merges)(col("w")).alias("pieces_str")
