@@ -1453,7 +1453,36 @@ def main() -> None:
             f.write("\n")
     except OSError as e:  # read-only checkout must not void the bench
         print(f"BENCH_DETAIL write failed: {e}", file=sys.stderr)
-    print(json.dumps(result))
+    print(stdout_line(result))
+
+
+def stdout_line(result: dict) -> str:
+    """The ONE stdout JSON line, minimal (r20, VERDICT r19 item 3): the
+    driver keeps only a bounded tail of stdout, and the full artifact
+    outgrew it three rounds running (r16-r18 `parsed: None`; the r19
+    line squeaked through at 2565 bytes). The line carries exactly the
+    driver contract — metric/value/unit/queries/sf (+reps, +errors if
+    any) — with 2-decimal per-query values and compact separators;
+    every other field (loadavg, calibration, fixture provenance,
+    3-decimal medians, spread, scaling) lives in BENCH_DETAIL.json and
+    the stderr safety-net line, which keep full precision. All 81
+    query names stay (the driver contract forbids removing/renaming),
+    which floors the line at ~2.1 KB; `test_bench_stdout_line_bounded`
+    pins the ceiling so new HEADLINE rows can't silently push it back
+    over the observed parse limit."""
+    out = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "queries": {n: round(v, 2) for n, v in result["queries"].items()},
+        "sf": result["sf"],
+        "reps": result["reps"],
+    }
+    if result.get("errors"):
+        out["errors"] = {
+            n: str(e)[:80] for n, e in result["errors"].items()
+        }
+    return json.dumps(out, separators=(",", ":"))
 
 
 if __name__ == "__main__":

@@ -66,18 +66,23 @@ def mmr_rerank(
     the previously selected set at pick time (NULL-as--2e9 never occurs
     in output — the seed's div_ppb is 0 by convention), ``score_scaled``
     the integer ``lam_num*rel - (lam_den-lam_num)*div`` it won with."""
-    from interop_spark.operators.similarity import as_double
+    from interop_spark.operators.similarity import (
+        as_double,
+        query_cosine_udf,
+    )
 
     spark = emb_df.sparkSession
-    from interop_spark.operators.similarity import query_vector_literal
-
-    q = query_vector_literal(query_vec)
     sl = (
         emb_df.select(
             col(id_col).alias("id"),
             as_double(col(vec_col)).alias("v"),
         )
-        .withColumn("rel_ppb", _cos_ppb(col("v"), q))
+        # Arrow-vectorized relevance pass (r20, guide §4): floor-ppb of
+        # the left-to-right cosine — floor is exact on doubles, so the
+        # integer is bit-identical to the _cos_ppb fold (pinned by
+        # test_query_cosine_udf_bitexact); the bounded pairwise matrix
+        # below keeps the fold (32x32 rows, not worth a Python pass)
+        .withColumn("rel_ppb", query_cosine_udf(query_vec, ppb=PPB)(col("v")))
         # a NULL embedding (or null elements) yields NULL rel_ppb; drop
         # those rows BEFORE the shortlist so rel[c] is never None in the
         # driver greedy (ADVICE r15)

@@ -91,34 +91,30 @@ def pq_train(
         ]
         for m in range(m_subspaces)
     ]
-    # subspace index as a data dimension: explode each vector into M
-    # (m, sv) rows so ONE scan + ONE (m, cell, pos)-keyed aggregate per
-    # Lloyd iteration updates all M codebooks (shuffle carries map-side
-    # combined partials, never raw vectors — kmeans.centroid_update's
-    # shape, keyed by subspace as well as cell).
-    exploded = df.select(
-        col(id_col).alias("sid"),
-        F.posexplode(
-            F.array(
-                *[
-                    as_double(subvector(col(vec_col), m, sub_dim))
-                    for m in range(m_subspaces)
-                ]
-            )
-        ).alias("m", "sv"),
-    )
+    # subspace index as a data dimension: ONE Arrow-vectorized codes
+    # pass per Lloyd iteration assigns all M subspaces at once
+    # (pq_codes_udf — r20; the r19 shape exploded (m, sv) rows and paid
+    # the interpreted argmin fold per subspace-row), then one
+    # (m, cell, pos)-keyed aggregate updates all M codebooks together
+    # (shuffle carries map-side combined partials, never raw vectors —
+    # kmeans.centroid_update's shape, keyed by subspace as well as
+    # cell). A NULL/wrong-dim vector yields NULL codes, and
+    # posexplode(NULL) emits nothing — identical net contribution to
+    # the r19 fold shape (NULL sv rows exploded to zero (pos, v) rows).
     for _ in range(iters):
-        cbs_lit = F.array(*[_codebook_literal(cb_m) for cb_m in cbs])
-        assigned = exploded.select(
-            "m",
-            "sv",
-            _argmin_code_col(
-                col("sv"), F.element_at(cbs_lit, col("m") + 1)
-            ).alias("cell"),
+        enc = df.select(
+            as_double(col(vec_col)).alias("_v"),
+            pq_codes_udf(cbs)(col(vec_col)).alias("_codes"),
         )
         rows = (
-            assigned.where(col("cell").isNotNull())
-            .select("m", "cell", F.posexplode("sv").alias("pos", "v"))
+            enc.select(F.posexplode("_codes").alias("m", "cell"), "_v")
+            .select(
+                "m",
+                "cell",
+                F.posexplode(
+                    F.expr(f"slice(_v, m * {sub_dim} + 1, {sub_dim})")
+                ).alias("pos", "v"),
+            )
             .groupBy("m", "cell", "pos")
             .agg(F.round(F.avg(col("v").cast("double")), 9).alias("mu"))
             .groupBy("m", "cell")
@@ -173,11 +169,107 @@ def _table_literal(rows: list[list[float]]) -> Column:
     )
 
 
+def pq_codes_udf(codebooks: list[list[list[float]]]):
+    """Arrow-vectorized twin of the per-subspace ``_argmin_code`` folds:
+    a ``pandas_udf`` mapping a full vector to its ``array<int>`` of M PQ
+    codes in ONE ArrowEvalPython pass (r20 optimization round, guide §4
+    — the interpreted ``F.aggregate`` folds were the family's dominant
+    executor cost; numpy does the same arithmetic on whole batches).
+
+    Bit-exactness contract (pinned by
+    ``test_pq_codes_udf_bitexact_vs_fold``):
+
+    - the squared-L2 accumulation runs LEFT-TO-RIGHT over dimensions
+      (``acc += (x_j - c_j)^2`` per j, vectorized across rows) — the
+      identical IEEE-754 double operation sequence as the ``l2sq``
+      fold, so the unrounded distances are bit-identical;
+    - round-9 replicates Spark's ``Round`` (BigDecimal HALF_UP on the
+      shortest-repr decimal): a fast ``floor(x*1e9+0.5)`` path, with
+      values within 1e-5 of a .5 boundary (where the scaled double
+      could disagree with the decimal digits) re-rounded exactly via
+      ``Decimal(repr(x))`` — Python's ``repr`` and Java's
+      ``Double.toString`` both emit the unique shortest round-trip
+      decimal, so the exact path IS Spark's rounding;
+    - ``argmin`` takes the FIRST minimum — the fold's strict ``<`` keeps
+      the lowest code id on rounded ties;
+    - NULL/NaN distances never win (fold: NULL/NaN comparisons are
+      false): NaNs are masked to +inf, an all-invalid row yields the
+      fold's init code 0;
+    - a NULL or wrong-dimension vector yields NULL codes (callers mask
+      the same way ``pq_encode`` always has).
+
+    The closure is SELF-CONTAINED (imports + helpers inside) so
+    cloudpickle ships it by value — executors under a plain session
+    have no ``interop_spark`` on sys.path."""
+    from pyspark.sql.functions import pandas_udf
+
+    cbs = [[[float(x) for x in cw] for cw in cb_m] for cb_m in codebooks]
+    sub_dim = len(cbs[0][0])
+    dim = sub_dim * len(cbs)
+
+    @pandas_udf("array<int>")
+    def _codes(s):
+        import numpy as np
+        import pandas as pd
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q9 = Decimal("1E-9")
+
+        def round9(a):
+            scaled = a * 1e9
+            fl = np.floor(scaled)
+            out = np.where(np.isfinite(a), (fl + (scaled - fl >= 0.5)) / 1e9, a)
+            risky = np.isfinite(a) & (np.abs(scaled - fl - 0.5) < 1e-5)
+            if risky.any():
+                flat, src = out.ravel(), a.ravel()
+                for i in np.flatnonzero(risky.ravel()):
+                    flat[i] = float(
+                        Decimal(repr(float(src[i]))).quantize(
+                            q9, rounding=ROUND_HALF_UP
+                        )
+                    )
+            return out
+
+        vals = list(s)
+        out = [None] * len(vals)
+        good = [
+            i
+            for i, v in enumerate(vals)
+            if v is not None and len(v) == dim
+        ]
+        if good:
+            X = np.asarray(
+                [np.asarray(vals[i], dtype=np.float64) for i in good]
+            )
+            codes = np.empty((len(good), len(cbs)), dtype=np.int64)
+            for m, cb_m in enumerate(cbs):
+                Xm = X[:, m * sub_dim : (m + 1) * sub_dim]
+                D = np.empty((len(cb_m), Xm.shape[0]))
+                for c, cw in enumerate(cb_m):
+                    acc = np.zeros(Xm.shape[0])
+                    for j in range(sub_dim):
+                        d = Xm[:, j] - cw[j]
+                        acc = acc + d * d
+                    D[c] = acc
+                D = round9(D)
+                D[np.isnan(D)] = np.inf
+                codes[:, m] = np.argmin(D, axis=0)
+            codes = codes.astype(np.int32)
+            for row_i, i in enumerate(good):
+                out[i] = codes[row_i]
+        return pd.Series(out)
+
+    return _codes
+
+
 def _argmin_code_col(sv: Column, cb_col: Column) -> Column:
     """0-based code of the L2-nearest codeword in ``cb_col`` (an
     ``array<array<double>>`` Column) — a fold carrying (best_dist,
     best_idx, cur_idx); ties go to the LOWEST code id (strict <),
-    deterministically. The distance is rounded to 9 decimals before
+    deterministically. Since r20 this interpreted fold is the REFERENCE
+    TWIN of the Arrow-vectorized ``pq_codes_udf`` (which the hot paths
+    use); ``test_pq_codes_udf_bitexact_vs_fold`` pins their equality on
+    the real fixtures. The distance is rounded to 9 decimals before
     comparison — the engine-wide argmin/argmax posture (same as
     ``ivf_assign``'s cosine): summation-order ULP differences between
     engines must not flip a near-tie."""
@@ -211,27 +303,19 @@ def pq_encode(
     keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode every vector as M code ids: ``(id[, *keep], codes
-    array<int>)``. Pure projection — M small argmin folds per row, zero
-    shuffle. ``keep`` carries extra columns through (e.g. an IVF cell).
+    array<int>)``. Pure projection — one Arrow-vectorized codes pass
+    per row (``pq_codes_udf``; r20 — the r19 shape paid M interpreted
+    argmin folds per row), zero shuffle. ``keep`` carries extra columns
+    through (e.g. an IVF cell).
 
     A NULL or wrong-dimension vector yields NULL codes (the module's
-    ``ivf_assign`` null contract) — without the guard the argmin fold's
-    NULL distances fall through every comparison and such rows would
-    silently encode as centroid 0 in every subspace, then outrank real
-    neighbors in ADC search."""
-    sub_dim = len(codebooks[0][0])
-    dim = sub_dim * len(codebooks)
-    codes = F.array(
-        *[
-            _argmin_code(
-                as_double(subvector(col(vec_col), m, sub_dim)), cb_m
-            ).cast("int")
-            for m, cb_m in enumerate(codebooks)
-        ]
-    )
-    valid = col(vec_col).isNotNull() & (F.size(col(vec_col)) == dim)
+    ``ivf_assign`` null contract) — enforced inside the UDF; without it
+    such rows would silently encode as centroid 0 in every subspace,
+    then outrank real neighbors in ADC search."""
     return df.select(
-        col(id_col), *keep, F.when(valid, codes).alias("codes")
+        col(id_col),
+        *keep,
+        pq_codes_udf(codebooks)(col(vec_col)).alias("codes"),
     )
 
 

@@ -251,6 +251,339 @@ def query_cells(
     return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["k"])
 
 
+def query_cosine_udf(
+    query_vec: list[float],
+    round_digits: int | None = None,
+    ppb: int | None = None,
+):
+    """Arrow-vectorized cosine-vs-fixed-query scorer — the ``pandas_udf``
+    twin of ``round(cosine_sim_given_norms(v, q, l2(v), l2(q)), d)``
+    (``round_digits`` mode, double) or of
+    ``floor(cosine_sim(v, q) * ppb)`` cast bigint (``ppb`` mode — MMR's
+    integer-quantized similarity; ``floor`` of a double is exact, so
+    that mode needs no rounding replication at all). One
+    ArrowEvalPython pass replaces the interpreted per-row fold chain
+    (r20 optimization round, guide §4).
+
+    Bit-exactness (pinned by ``test_query_cosine_udf_bitexact``): dot
+    and both norms accumulate LEFT-TO-RIGHT (the ``dot``/``l2_norm``
+    IEEE-754 sequence; the query norm is computed once, exactly like a
+    factored ``_nq`` column), denominator ``max(vnorm*qnorm, 1e-12)``,
+    and round-N replicates Spark's ``Round`` (BigDecimal HALF_UP on the
+    shortest-repr decimal: fast ``floor(x*scale+0.5)`` path, exact
+    ``Decimal(repr(x))`` re-round within 1e-5 of a .5 boundary —
+    Python ``repr`` and Java ``Double.toString`` both emit the unique
+    shortest round-trip decimal). NULL / wrong-dimension vectors yield
+    NULL (the fold's NULL propagation). Marked nondeterministic so a
+    filter on the score never duplicates the evaluation (guide §4.4).
+
+    The closure is SELF-CONTAINED (imports + helpers inside) — plain-
+    session executors have no ``interop_spark`` on sys.path."""
+    from pyspark.sql.functions import pandas_udf
+
+    qv = [float(x) for x in query_vec]
+    digits = round_digits
+    scale_ppb = ppb
+    out_type = "bigint" if ppb is not None else "double"
+
+    def _score(s):
+        import numpy as np
+        import pandas as pd
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def round_spark(a, d):
+            q = Decimal(1).scaleb(-d)
+            sc = 10.0 ** d
+            scaled = a * sc
+            fl = np.floor(scaled)
+            out = np.where(
+                np.isfinite(a), (fl + (scaled - fl >= 0.5)) / sc, a
+            )
+            risky = np.isfinite(a) & (np.abs(scaled - fl - 0.5) < 1e-5)
+            if risky.any():
+                flat, src = out.ravel(), a.ravel()
+                for i in np.flatnonzero(risky.ravel()):
+                    flat[i] = float(
+                        Decimal(repr(float(src[i]))).quantize(
+                            q, rounding=ROUND_HALF_UP
+                        )
+                    )
+            return out
+
+        Q = np.asarray(qv, dtype=np.float64)
+        dim = Q.shape[0]
+        nq = 0.0
+        for j in range(dim):
+            nq = nq + Q[j] * Q[j]
+        nq = np.sqrt(nq)
+        vals = list(s)
+        out = [None] * len(vals)
+        good = [
+            i
+            for i, v in enumerate(vals)
+            if v is not None and len(v) == dim
+        ]
+        if good:
+            X = np.asarray(
+                [np.asarray(vals[i], dtype=np.float64) for i in good]
+            )
+            vn = np.zeros(X.shape[0])
+            for j in range(dim):
+                vn = vn + X[:, j] * X[:, j]
+            vn = np.sqrt(vn)
+            acc = np.zeros(X.shape[0])
+            for j in range(dim):
+                acc = acc + X[:, j] * Q[j]
+            c = acc / np.maximum(vn * nq, 1e-12)
+            if scale_ppb is not None:
+                scored = np.floor(c * float(scale_ppb))
+                for row_i, i in enumerate(good):
+                    x = scored[row_i]
+                    out[i] = int(x) if np.isfinite(x) else None
+            else:
+                scored = round_spark(c, digits)
+                for row_i, i in enumerate(good):
+                    x = scored[row_i]
+                    out[i] = None if np.isnan(x) else float(x)
+        return pd.Series(out, dtype="object")
+
+    return pandas_udf(_score, out_type).asNondeterministic()
+
+
+def pair_cosine_udf(round_digits: int):
+    """Arrow-vectorized twin of ``round(cosine_sim(a, b), d)`` for two
+    vector COLUMNS (the near-dup pair-verification scorer; r20, guide
+    §4). Same left-to-right accumulation and Spark-Round replication as
+    ``query_cosine_udf`` (pinned by ``test_pair_cosine_udf_bitexact``);
+    rows are grouped by their common dimension so mixed-length inputs
+    still score. Either side NULL or a length mismatch → NULL (the
+    fold's ``zip_with`` padding makes the dot NULL). Marked
+    nondeterministic (guide §4.4: a threshold filter on the score must
+    not duplicate the evaluation)."""
+    from pyspark.sql.functions import pandas_udf
+
+    digits = round_digits
+
+    def _score(sa, sb):
+        import numpy as np
+        import pandas as pd
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def round_spark(a, d):
+            q = Decimal(1).scaleb(-d)
+            sc = 10.0 ** d
+            scaled = a * sc
+            fl = np.floor(scaled)
+            out = np.where(
+                np.isfinite(a), (fl + (scaled - fl >= 0.5)) / sc, a
+            )
+            risky = np.isfinite(a) & (np.abs(scaled - fl - 0.5) < 1e-5)
+            if risky.any():
+                flat, src = out.ravel(), a.ravel()
+                for i in np.flatnonzero(risky.ravel()):
+                    flat[i] = float(
+                        Decimal(repr(float(src[i]))).quantize(
+                            q, rounding=ROUND_HALF_UP
+                        )
+                    )
+            return out
+
+        la, lb = list(sa), list(sb)
+        out = [None] * len(la)
+        groups: dict = {}
+        for i in range(len(la)):
+            a, b = la[i], lb[i]
+            if a is None or b is None or len(a) != len(b):
+                continue
+            groups.setdefault(len(a), []).append(i)
+        for d0, grp in groups.items():
+            if d0 == 0:
+                # dot=0.0, norms=0.0 → 0.0 / 1e-12 = 0.0 (the fold's
+                # empty-array value)
+                for i in grp:
+                    out[i] = 0.0
+                continue
+            A = np.asarray(
+                [np.asarray(la[i], dtype=np.float64) for i in grp]
+            )
+            B = np.asarray(
+                [np.asarray(lb[i], dtype=np.float64) for i in grp]
+            )
+            na = np.zeros(A.shape[0])
+            for j in range(d0):
+                na = na + A[:, j] * A[:, j]
+            na = np.sqrt(na)
+            nb = np.zeros(A.shape[0])
+            for j in range(d0):
+                nb = nb + B[:, j] * B[:, j]
+            nb = np.sqrt(nb)
+            acc = np.zeros(A.shape[0])
+            for j in range(d0):
+                acc = acc + A[:, j] * B[:, j]
+            c = acc / np.maximum(na * nb, 1e-12)
+            scored = round_spark(c, digits)
+            for row_i, i in enumerate(grp):
+                x = scored[row_i]
+                out[i] = None if np.isnan(x) else float(x)
+        return pd.Series(out, dtype="object")
+
+    return pandas_udf(_score, "double").asNondeterministic()
+
+
+def lsh_bucket_udf(planes: list[list[float]]):
+    """Arrow-vectorized twin of ``lsh_bucket``: bucket id with bit i =
+    ``dot(v, plane_i) >= 0`` (r20, guide §4). ``planes`` is the
+    driver-side hyperplane list (``_hyperplane(i, dim)`` per plane).
+
+    Bit-exactness (pinned by ``test_lsh_bucket_udf_bitexact_vs_fold``):
+    each dot accumulates left-to-right; the sign test needs no rounding
+    replication (``>= 0`` on a bit-identical double). A NULL,
+    wrong-dimension or null-element vector buckets to 0 — the fold's
+    NULL dot makes every ``when(dot >= 0, bit)`` take the 0 branch. (A
+    real-NaN ELEMENT would differ: Spark orders NaN above 0 so the fold
+    would set every bit, while Arrow cannot distinguish an actual NaN
+    from a null element and takes the 0 branch — the fixtures and every
+    operator upstream produce neither.)"""
+    from pyspark.sql.functions import pandas_udf
+
+    P = [[float(x) for x in p] for p in planes]
+
+    @pandas_udf("int")
+    def _bucket(s):
+        import numpy as np
+        import pandas as pd
+
+        A = np.asarray(P, dtype=np.float64)
+        dim = A.shape[1]
+        vals = list(s)
+        out = [0] * len(vals)
+        good = [
+            i
+            for i, v in enumerate(vals)
+            if v is not None and len(v) == dim
+        ]
+        if good:
+            X = np.asarray(
+                [np.asarray(vals[i], dtype=np.float64) for i in good]
+            )
+            bucket = np.zeros(X.shape[0], dtype=np.int64)
+            for p in range(A.shape[0]):
+                acc = np.zeros(X.shape[0])
+                for j in range(dim):
+                    acc = acc + X[:, j] * A[p, j]
+                bucket = bucket + np.where(
+                    ~np.isnan(acc) & (acc >= 0), 1 << p, 0
+                )
+            for row_i, i in enumerate(good):
+                out[i] = int(bucket[row_i])
+        return pd.Series(out, dtype="int32")
+
+    return _bucket
+
+
+def nearest_centroid_udf(cents: list[tuple[int, list[float]]]):
+    """Arrow-vectorized twin of the ``nearest_centroid`` fold: a
+    ``pandas_udf`` mapping a vector to the id of its max-cosine centroid
+    in one ArrowEvalPython pass (r20 optimization round, guide §4 — the
+    interpreted per-row ``F.aggregate`` argmax was the IVF family's
+    dominant executor cost). ``cents`` is the collected centroid table
+    as ``[(id, vector), ...]`` sorted by id ASCENDING — the same order
+    ``centroid_array`` builds.
+
+    Bit-exactness contract (pinned by
+    ``test_nearest_centroid_udf_bitexact_vs_fold``):
+
+    - dot product and both norms accumulate LEFT-TO-RIGHT over
+      dimensions (identical IEEE-754 sequence to ``dot``/``l2_norm``),
+      centroid norms precomputed once exactly as the fold's
+      ``centroid_array`` does;
+    - the similarity is round-9 (Spark ``Round`` HALF_UP semantics —
+      fast path + exact ``Decimal(repr(x))`` at .5 boundaries) before
+      comparison;
+    - ties go to the LARGEST centroid id (the fold's ``>=`` over the
+      id-ascending array); NaN similarities map to +inf BEFORE the
+      argmax — Spark's NaN ordering treats NaN as greater than every
+      value and ``NaN >= NaN`` as true, so NaN behaves exactly like
+      +inf with last-wins ties;
+    - a NULL vector (or empty centroid list) yields a NULL cell.
+
+    Closure is SELF-CONTAINED (imports inside) — plain-session
+    executors have no ``interop_spark`` on sys.path."""
+    from pyspark.sql.functions import pandas_udf
+
+    ids = [int(k) for k, _ in cents]
+    vecs = [[float(x) for x in v] for _, v in cents]
+
+    @pandas_udf("bigint")
+    def _cell(s):
+        import numpy as np
+        import pandas as pd
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q9 = Decimal("1E-9")
+
+        def round9(a):
+            scaled = a * 1e9
+            fl = np.floor(scaled)
+            out = np.where(
+                np.isfinite(a), (fl + (scaled - fl >= 0.5)) / 1e9, a
+            )
+            risky = np.isfinite(a) & (np.abs(scaled - fl - 0.5) < 1e-5)
+            if risky.any():
+                flat, src = out.ravel(), a.ravel()
+                for i in np.flatnonzero(risky.ravel()):
+                    flat[i] = float(
+                        Decimal(repr(float(src[i]))).quantize(
+                            q9, rounding=ROUND_HALF_UP
+                        )
+                    )
+            return out
+
+        if not ids:
+            return pd.Series([None] * len(s), dtype="object")
+        C = np.asarray(vecs, dtype=np.float64)
+        dim = C.shape[1]
+        # centroid norms: left-to-right acc + x*x, then sqrt — the
+        # exact centroid_array expression sequence
+        cn = np.zeros(C.shape[0])
+        for j in range(dim):
+            cn = cn + C[:, j] * C[:, j]
+        cn = np.sqrt(cn)
+        karr = np.asarray(ids, dtype=np.int64)
+        vals = list(s)
+        out = [None] * len(vals)
+        good = [
+            i
+            for i, v in enumerate(vals)
+            if v is not None and len(v) == dim
+        ]
+        if good:
+            X = np.asarray(
+                [np.asarray(vals[i], dtype=np.float64) for i in good]
+            )
+            vn = np.zeros(X.shape[0])
+            for j in range(dim):
+                vn = vn + X[:, j] * X[:, j]
+            vn = np.sqrt(vn)
+            S = np.empty((C.shape[0], X.shape[0]))
+            for c in range(C.shape[0]):
+                acc = np.zeros(X.shape[0])
+                for j in range(dim):
+                    acc = acc + X[:, j] * C[c, j]
+                S[c] = acc / np.maximum(vn * cn[c], 1e-12)
+            S = round9(S)
+            S[np.isnan(S)] = np.inf
+            # ties (and NaN→inf runs) to the LARGEST id: last argmax
+            rev = S[::-1]
+            best = (S.shape[0] - 1) - np.argmax(rev, axis=0)
+            cells = karr[best]
+            for row_i, i in enumerate(good):
+                out[i] = int(cells[row_i])
+        return pd.Series(out, dtype="object")
+
+    return _cell
+
+
 def centroid_array(
     centroids: DataFrame,
     centroid_id: str = "centroid_id",
@@ -355,9 +688,39 @@ def ivf_assign(
     centroid_vec: str = "centroid",
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (max cosine) — the IVF
-    build step. Plan shape: scan → BroadcastNestedLoopJoin against the
-    ONE-ROW centroid array → per-row argmax projection. No Exchange on the
-    vector side (the round-1 crossJoin+window version shuffled n×C rows)."""
+    build step. The BOUNDED centroid table (C rows by contract — the
+    coarse quantizer is always small) is collected once per construction
+    and the assignment is one Arrow-vectorized projection
+    (``nearest_centroid_udf``; r20 — the r19 shape broadcast a one-row
+    centroid array and paid an interpreted per-row argmax fold, the IVF
+    family's dominant executor cost). Still zero Exchange on the vector
+    side, and the per-row work is numpy over whole Arrow batches."""
+    cents = sorted(
+        (
+            (int(r[0]), [float(x) for x in r[1]])
+            for r in centroids.select(
+                F.col(centroid_id).cast("bigint"), F.col(centroid_vec)
+            ).collect()
+        ),
+        key=lambda kv: kv[0],
+    )
+    cell = nearest_centroid_udf(cents)(F.col(vec_col))
+    return df.select(id_col, vec_col, cell.alias("cell"))
+
+
+def _ivf_assign_fold(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid",
+) -> DataFrame:
+    """REFERENCE TWIN of ``ivf_assign`` (the r19 shape): scan →
+    BroadcastNestedLoopJoin against the ONE-ROW centroid array →
+    per-row interpreted argmax fold. Kept for
+    ``test_nearest_centroid_udf_bitexact_vs_fold``, which pins the
+    Arrow path's equality on the real fixtures."""
     cents = centroid_array(centroids, centroid_id, centroid_vec)
     joined = df.crossJoin(F.broadcast(cents)).withColumn(
         "_vnorm", l2_norm(as_double(F.col(vec_col)))

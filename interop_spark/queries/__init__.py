@@ -92,90 +92,102 @@ _MODULES = (
 #     round no registry green is older than r14.
 #   * R14 DRAIN (12): alphabetical head of the 49-row r14 band
 #     (agg_minmax .. fhir_ndjson_coverage_bundles).
-# ROUND-20 QUEUE: FIRST the THIRTEEN staged registrations — eight in
-# analytics_q.R20_CANDIDATE_* (column_profile, value_histogram,
-# interarrival_quantiles, cohort_ltv_curve, benford_first_digit,
-# funnel_time_to_convert — registering funnel_time_to_convert should
-# pull funnel_conversion in-window too if the stage chains are
-# unified — daily_value_trend, and survival_km) plus
-# stream_stratified_reservoir, bootstrap_ci, stream_bootstrap_ci,
-# weighted_percentile, and classifier_auc (selection_q.
-# R20_CANDIDATE_*, next to their batch siblings) — then the
-# remaining 37 r14 rows
-# (fhir_ndjson_export_errors, fhir_ndjson_observations,
-# fhir_ndjson_patient_conditions, fhir_ndjson_type_counts,
-# fhir_omop_cohort, fhir_omop_condition_era, fhir_omop_device_era,
-# fhir_omop_dose_era, fhir_omop_note, fhir_omop_observation,
-# fhir_omop_payer_plan_period, fhir_omop_specimen,
-# fhir_quality_measure_catalog, fhir_research_enrollment,
-# fhir_terminology_catalog, lm_perplexity_filter, minhash_est_error,
-# mrl_recall_at_k, multimodal_features, multiway_join_agg,
-# paragraph_dedup, pca_top_component, percentile_agg, pq_adc_topk,
-# pq_encode, pricing_summary, quality_classifier_filter,
-# quantile_sketch_estimate, scd2_intervals, stream_dedup_counts,
-# stream_hll_users, stream_merge_upsert, stream_ndjson_counts,
-# stream_quantile_sketch, stream_windowed_counts, string_agg_sorted,
-# unimax_sample), then the r15 band head behind them — minus however
-# many slots r20's new/staged rows and diff re-verifications take,
-# per the standing window invariant.
+# ROUND-19 window and rationale: git history (this block's prior
+# revision), per the trimming convention adopted in r9.
 #
+# ROUND-20 window (50) — OPTIMIZATION round 2, so NO staged
+# registrations (VERDICT r19 item 9: registering the 13 staged rows is
+# feature work, deferred to the next build round; the staged queue from
+# the prior revision of this block still applies then). Slots go to:
+#   * R20 DIFF RE-VERIFY (25): every query whose result-producing code
+#     was rewired this round — the Arrow-vectorized fold family
+#     (operators/pq.py pq_codes_udf everywhere pq_encode/pq_train run:
+#     pq_encode, pq_adc_topk, the four ivfpq_* rows, ivf_index_search;
+#     operators/similarity.py ivf_assign → nearest_centroid_udf:
+#     ivf_probe/multiprobe/recall, kmeans_fit/one_step, semdedup_keep,
+#     corpus_clean; lsh_bucket_udf: lsh_bucket_sizes,
+#     embedding_neardup + its pair_cosine_udf verification;
+#     query_cosine_udf ppb mode: mmr_rerank), the driver-side
+#     rank-sketch algebra (operators/sketch.py: quantile_sketch_estimate,
+#     domain_quantile_sketch, stream_quantile_sketch), and the BPE
+#     train-loop job cuts (operators/text.py bpe_train_merges_list:
+#     bpe_train_merges, bpe_train_encode). knn_cosine ended the round
+#     with a comment-only diff (the Arrow variant was reverted on
+#     measurement) and classifier_train_steps/pca_top_component sit in
+#     diff-touched modules — all three included as cheap insurance.
+#     Remaining hunks in the touched query modules are loader-line
+#     (load_spread → load) or comment-only changes on the queries
+#     listed here.
+#   * R19 REWRITE ROTATION (15, VERDICT r19 item 2): the queries the
+#     r19 optimizer rewrote that sat outside the r19 window —
+#     theta_sketch_setops, zorder_layout, heavy_hitter_tokens,
+#     fhir_notebook_e2e, ndcg_bsq_eval, bsq_hamming_search,
+#     winnow_dup_pairs, ngram_decontaminate, gopher_repetition_signals,
+#     triangle_count, and the spread-kept corpus rows lang_id,
+#     bm25_topk, paragraph_dedup, substring_dup_runs,
+#     pretrain_pipeline.
+#   * R14 DRAIN (10): next alphabetical slice of the r14 band
+#     (fhir_ndjson_export_errors .. fhir_omop_observation).
+# Everything past 50 has a green row in a prior CORRECTNESS file and
+# its result-producing code is unchanged since that check.
 # --------------------------------------------------------------------------
 _WINDOW = (
-    # --- ROUND 19: registered from staging (4) ---
-    "cohort_retention_bitmap",
-    "event_type_jaccard",
-    "stream_type_jaccard",
-    "rfm_segments",
-    # --- ROUND 19: new queries (2) ---
-    "grouped_percentile_approx",
-    "stratified_reservoir",
-    # --- ROUND 19: diff re-verify (6) ---
-    "bitmap_distinct_users",
-    "stream_bitmap_distinct",
-    "rolling_7d_users_bitmap",
-    "patient_record_linkage",
-    "linkage_entities",
-    "linkage_incremental",
-    # --- ROUND 19: r13 drain, the entire remaining band (26) ---
-    "countmin_estimate",
-    "date_series",
-    "domain_quantile_filter",
-    "dsir_importance",
-    "dup_span_removal",
-    "fhir_device_metrics",
-    "fhir_insurance_plans",
-    "fhir_omop_care_site",
-    "fhir_omop_cost",
-    "fhir_omop_device_exposure",
-    "fhir_omop_drug_era",
-    "fhir_omop_location",
-    "hll_distinct_estimate",
-    "image_dims",
-    "ivf_multiprobe_topk",
-    "ivf_probe_topk",
-    "ivf_recall_at_k",
-    "ivfpq_rerank",
-    "ivfpq_residual_search",
+    # --- ROUND 20: diff re-verify — Arrow fold family (pq.py) ---
+    "pq_encode",
+    "pq_adc_topk",
     "ivfpq_search",
-    "join_filter_pushdown",
-    "lang_id",
-    "merge_upsert",
-    "source_drift_chi2",
-    "source_quota_sample",
-    "weighted_sample_topk",
-    # --- ROUND 19: r14 drain, alphabetical head (12) ---
-    "agg_minmax",
-    "arith_funcs",
-    "bm25_inverted_topk",
-    "bm25_topk",
-    "bpe_train_encode",
-    "bpe_train_merges",
-    "case_when_literal",
-    "computed_key_join",
-    "count_distinct",
+    "ivfpq_rerank",
+    "ivfpq_rerank_sweep",
+    "ivfpq_residual_search",
+    "ivf_index_search",
+    # --- ROUND 20: diff re-verify — ivf_assign/lsh/mmr (similarity.py) ---
+    "ivf_probe_topk",
+    "ivf_multiprobe_topk",
+    "ivf_recall_at_k",
+    "kmeans_fit",
+    "kmeans_one_step",
+    "semdedup_keep",
+    "corpus_clean",
+    "knn_cosine",
+    "embedding_neardup",
+    "lsh_bucket_sizes",
+    "mmr_rerank",
+    "classifier_train_steps",
+    "pca_top_component",
+    # --- ROUND 20: diff re-verify — sketch.py driver-side algebra ---
+    "quantile_sketch_estimate",
     "domain_quantile_sketch",
-    "fhir_concept_map_translate",
-    "fhir_ndjson_coverage_bundles",
+    "stream_quantile_sketch",
+    # --- ROUND 20: diff re-verify — BPE train-loop (text.py) ---
+    "bpe_train_merges",
+    "bpe_train_encode",
+    # --- ROUND 20: r19-rewrite rotation (VERDICT item 2) ---
+    "theta_sketch_setops",
+    "zorder_layout",
+    "heavy_hitter_tokens",
+    "fhir_notebook_e2e",
+    "ndcg_bsq_eval",
+    "bsq_hamming_search",
+    "winnow_dup_pairs",
+    "ngram_decontaminate",
+    "gopher_repetition_signals",
+    "triangle_count",
+    "lang_id",
+    "bm25_topk",
+    "paragraph_dedup",
+    "substring_dup_runs",
+    "pretrain_pipeline",
+    # --- ROUND 20: r14 drain, next alphabetical slice (10) ---
+    "fhir_ndjson_export_errors",
+    "fhir_ndjson_observations",
+    "fhir_ndjson_patient_conditions",
+    "fhir_ndjson_type_counts",
+    "fhir_omop_cohort",
+    "fhir_omop_condition_era",
+    "fhir_omop_device_era",
+    "fhir_omop_dose_era",
+    "fhir_omop_note",
+    "fhir_omop_observation",
 )
 
 

@@ -667,7 +667,10 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical greedy as unrolled CTE steps."""
     from interop_spark.operators.mmr import mmr_rerank
 
-    e = load_spread(spark, sf_dir, "embeddings")
+    # plain load (r20): the relevance pass is Arrow-vectorized now —
+    # r19's scan spreading amortized the interpreted fold; a 32-way
+    # split of the small local table just pays 32 Python round-trips
+    e = load(spark, sf_dir, "embeddings")
     q = [
         float(x)
         for x in e.where(col("vec_id") == MMR_QUERY_ID)

@@ -470,9 +470,12 @@ def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled an n×C expansion through a groupBy and re-join), then search
     only the query's cell — the scan touches ~1/C of the corpus at
     scale."""
-    # load_spread: the argmax-fold assignment is CPU-heavy per-row work
-    # — guarantee scan width (no-op on multi-split tables; r19)
-    e = load_spread(spark, sf_dir, "embeddings")
+    # plain load (r20): the assignment is Arrow-vectorized now
+    # (nearest_centroid_udf) — r19's scan spreading helped the
+    # interpreted fold; with numpy doing the per-row work a 32-way
+    # split of the small local table just pays 32 Python round-trips
+    # (on a cluster the table is multi-split and spread was a no-op)
+    e = load(spark, sf_dir, "embeddings")
     cent = e.where(col("vec_id") < N_CENTROIDS).select(
         col("vec_id").alias("centroid_id"), col("embedding").alias("centroid")
     )
@@ -789,6 +792,12 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed once on the broadcast row, not re-derived per scored vector
     (same expression/order → bit-identical rounded values)."""
     e = load(spark, sf_dir, "embeddings")
+    # kept as the interpreted fold chain (r20 negative result: the
+    # Arrow query_cosine_udf version measured 0.43-0.56 s/rep vs 0.31
+    # here — one bounded query collect + the Python round-trip cost
+    # more than the fold saves on this single cheap pass; the Arrow
+    # scorer wins only where the fold work per action exceeds the
+    # ~0.2 s Python boundary cost, see lsh_bucket_sizes/mmr_rerank)
     q = e.where(col("vec_id") == 0).select(
         col("embedding").alias("qvec"),
         sim.l2_norm(sim.as_double(col("embedding"))).alias("_nq"),
@@ -849,9 +858,15 @@ def q_embedding_neardup(
         (col("vec_id") + DUP_OFFSET).alias("vec_id"), "embedding"
     )
     u = e.select("vec_id", "embedding").unionByName(clones)
+    # Arrow-vectorized signature + pair-verification passes (r20, guide
+    # §4): the interpreted per-plane dot folds and the per-pair cosine
+    # fold were the query's executor cost; numpy does the identical
+    # arithmetic on whole batches (bit-exactness pinned in
+    # tests/test_operators.py)
+    planes = [sim._hyperplane(i, EMB_DIM) for i in range(n_planes)]
     banded = u.select(
         "vec_id",
-        sim.lsh_bucket(col("embedding"), EMB_DIM, n_planes).alias("bucket"),
+        sim.lsh_bucket_udf(planes)(col("embedding")).alias("bucket"),
     )
     if materialize:
         banded = banded.localCheckpoint()
@@ -874,12 +889,9 @@ def q_embedding_neardup(
         .select(
             "vec_a",
             "vec_b",
-            F.round(
-                sim.cosine_sim(
-                    sim.as_double(col("_e_a")), sim.as_double(col("_e_b"))
-                ),
-                6,
-            ).alias("cosine_sim"),
+            sim.pair_cosine_udf(6)(col("_e_a"), col("_e_b")).alias(
+                "cosine_sim"
+            ),
         )
         .where(col("cosine_sim") >= 0.99)
         .distinct()
@@ -900,12 +912,15 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lsh_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket histogram (md5-derived deterministic
     planes — the bucketing step of approximate NN at scale)."""
-    # load_spread: the plane-projection fold is CPU-heavy per-row work
-    # — guarantee scan width (no-op on multi-split tables; r19)
-    e = load_spread(spark, sf_dir, "embeddings")
+    # plain load + Arrow-vectorized plane projection (r20, guide §4):
+    # numpy replaces the interpreted per-plane dot folds, so r19's scan
+    # spreading (which amortized the fold) is no longer worth its
+    # exchange on the small local table (no-op on multi-split tables)
+    e = load(spark, sf_dir, "embeddings")
+    planes = [sim._hyperplane(i, EMB_DIM) for i in range(6)]
     return (
         e.select(
-            sim.lsh_bucket(col("embedding"), EMB_DIM, n_planes=6).alias("bucket")
+            sim.lsh_bucket_udf(planes)(col("embedding")).alias("bucket")
         )
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vectors"))

@@ -564,10 +564,13 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection, train→encode, and the ADC top-k boundary."""
     from interop_spark.operators.pq import ivfpq_search, pq_train
 
-    # load_spread: Lloyd assignment and the PQ-encode/ADC folds are
-    # CPU-heavy per-row work — guarantee scan width for every pass over
-    # the corpus (no-op on multi-split tables; r19 optimization round)
-    e = load_spread(spark, sf_dir, "embeddings")
+    # plain load (r20): the Lloyd/encode/ADC passes are Arrow-vectorized
+    # now (pq_codes_udf) — r19's scan spreading helped the interpreted
+    # folds, but with numpy doing the per-row work a 32-way split of the
+    # small local table just pays 32 Python round-trips per pass
+    # (interleaved A/B: spread 2.10-2.58 s vs plain ~1.6 s per rep; on a
+    # cluster the table is multi-split and spread was a no-op anyway)
+    e = load(spark, sf_dir, "embeddings")
     cent = e.where(col("vec_id") < N_CENTROIDS).select(
         col("vec_id").alias("centroid_id"), col("embedding").alias("centroid")
     )

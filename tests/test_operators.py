@@ -382,6 +382,182 @@ def test_pq_adc_equals_exact_distance_to_reconstruction(spark, sf_dir):
     assert top[0].adc_dist <= top[-1].adc_dist
 
 
+def test_pq_codes_udf_bitexact_vs_fold(spark, sf_dir):
+    """The Arrow-vectorized ``pq_codes_udf`` (r20) must reproduce the
+    interpreted argmin-fold reference code-for-code on the real fixture
+    — left-to-right accumulation, round-9 HALF_UP, ties to the lowest
+    code, NULL/wrong-dim rows to NULL codes."""
+    from interop_spark.io import load
+    from interop_spark.operators.pq import (
+        _argmin_code,
+        pq_codes_udf,
+        pq_train,
+        subvector,
+    )
+    from interop_spark.operators.similarity import as_double
+
+    e = load(spark, sf_dir, "embeddings")
+    cbs = pq_train(e, m_subspaces=4, k=4, iters=1, dim=64)
+    sub = len(cbs[0][0])
+    fold_codes = F.array(
+        *[
+            _argmin_code(
+                as_double(subvector(F.col("embedding"), m, sub)), cb
+            ).cast("int")
+            for m, cb in enumerate(cbs)
+        ]
+    )
+    valid = F.col("embedding").isNotNull() & (
+        F.size(F.col("embedding")) == 64
+    )
+    both = e.select(
+        "vec_id",
+        F.when(valid, fold_codes).alias("ref"),
+        pq_codes_udf(cbs)(F.col("embedding")).alias("got"),
+    ).collect()
+    assert len(both) > 0
+    for r in both:
+        ref = None if r.ref is None else list(r.ref)
+        got = None if r.got is None else list(r.got)
+        assert ref == got, (r.vec_id, ref, got)
+
+
+def test_nearest_centroid_udf_bitexact_vs_fold(spark, sf_dir):
+    """The Arrow-vectorized IVF assignment (r20) must reproduce the
+    interpreted argmax-fold reference cell-for-cell on the real fixture
+    — round-9 HALF_UP cosine, ties to the largest id, NULL vector to
+    NULL cell."""
+    from interop_spark.io import load
+    from interop_spark.operators.similarity import (
+        _ivf_assign_fold,
+        ivf_assign,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    cent = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    ref = {
+        r.vec_id: r.cell for r in _ivf_assign_fold(e, cent).collect()
+    }
+    got = {r.vec_id: r.cell for r in ivf_assign(e, cent).collect()}
+    assert ref == got
+    # NULL vector → NULL cell on both paths
+    bad = spark.createDataFrame(
+        [(9001, None)], "vec_id long, embedding array<float>"
+    )
+    assert ivf_assign(bad, cent).collect()[0].cell is None
+    assert _ivf_assign_fold(bad, cent).collect()[0].cell is None
+
+
+def test_query_cosine_udf_bitexact(spark, sf_dir):
+    """The Arrow query-cosine scorer (r20) must reproduce the
+    interpreted fold chain value-for-value on the real fixture, in both
+    round-6 and floor-ppb modes (incl. NULL propagation)."""
+    from interop_spark.io import load
+    from interop_spark.operators.similarity import (
+        as_double,
+        cosine_sim,
+        cosine_sim_given_norms,
+        l2_norm,
+        query_cosine_udf,
+        query_vector_literal,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    q = [float(x) for x in e.where(F.col("vec_id") == 0).first()[1]]
+    qv = query_vector_literal(q)
+    ref6 = F.round(
+        cosine_sim_given_norms(
+            as_double(F.col("embedding")),
+            as_double(qv),
+            l2_norm(as_double(F.col("embedding"))),
+            l2_norm(as_double(qv)),
+        ),
+        6,
+    )
+    refppb = F.floor(
+        cosine_sim(as_double(F.col("embedding")), as_double(qv))
+        * F.lit(1e9)
+    ).cast("bigint")
+    rows = e.select(
+        "vec_id",
+        ref6.alias("r6"),
+        refppb.alias("rp"),
+        query_cosine_udf(q, round_digits=6)(F.col("embedding")).alias(
+            "g6"
+        ),
+        query_cosine_udf(q, ppb=1_000_000_000)(
+            F.col("embedding")
+        ).alias("gp"),
+    ).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.r6 == r.g6, (r.vec_id, r.r6, r.g6)
+        assert r.rp == r.gp, (r.vec_id, r.rp, r.gp)
+    bad = spark.createDataFrame(
+        [(9001, None), (9002, [0.5, 0.25])],
+        "vec_id long, embedding array<float>",
+    )
+    got = bad.select(
+        query_cosine_udf(q, round_digits=6)(F.col("embedding")).alias("g")
+    ).collect()
+    assert all(r.g is None for r in got)
+
+
+def test_pair_cosine_udf_bitexact(spark, sf_dir):
+    """The Arrow pair-cosine scorer (r20) must reproduce
+    ``round(cosine_sim(a, b), 6)`` on real fixture pairs."""
+    from interop_spark.io import load
+    from interop_spark.operators.similarity import (
+        as_double,
+        cosine_sim,
+        pair_cosine_udf,
+    )
+
+    e = load(spark, sf_dir, "embeddings").limit(60)
+    a = e.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    pairs = a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
+    rows = pairs.select(
+        F.round(
+            cosine_sim(as_double(F.col("va")), as_double(F.col("vb"))), 6
+        ).alias("ref"),
+        pair_cosine_udf(6)(F.col("va"), F.col("vb")).alias("got"),
+    ).collect()
+    assert len(rows) > 0
+    assert all(r.ref == r.got for r in rows)
+
+
+def test_lsh_bucket_udf_bitexact_vs_fold(spark, sf_dir):
+    """The Arrow LSH bucketer (r20) must reproduce the per-plane sign
+    fold bucket-for-bucket on the real fixture (and bucket NULL vectors
+    to 0 like the fold does)."""
+    from interop_spark.io import load
+    from interop_spark.operators.similarity import (
+        _hyperplane,
+        lsh_bucket,
+        lsh_bucket_udf,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    planes = [_hyperplane(i, 64) for i in range(6)]
+    rows = e.select(
+        lsh_bucket(F.col("embedding"), 64, 6).alias("ref"),
+        lsh_bucket_udf(planes)(F.col("embedding")).alias("got"),
+    ).collect()
+    assert len(rows) > 0
+    assert all(r.ref == r.got for r in rows)
+    bad = spark.createDataFrame(
+        [(1, None), (2, [0.5, 0.25])], "vec_id long, embedding array<float>"
+    )
+    got = bad.select(
+        lsh_bucket_udf(planes)(F.col("embedding")).alias("g")
+    ).collect()
+    assert all(r.g == 0 for r in got)
+
+
 def test_pq_encode_null_contract(spark, sf_dir):
     """A NULL or wrong-dimension embedding must yield NULL codes (the
     module's ivf_assign contract) — not silently encode as centroid 0
