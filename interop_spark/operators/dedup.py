@@ -54,10 +54,23 @@ def _seeded_md5(j: int):
     return lambda s: F.md5(F.concat(F.lit(prefix), s))
 
 
-def minhash_signature(shingles: Column, k: int = 12) -> Column:
+def minhash_signature(shingles: Column | str, k: int = 12) -> Column:
     """k-element MinHash signature: for seed j, min over shingles of
     md5(j || '|' || shingle), compared lexicographically (portable across
-    engines — no engine-specific 64-bit hash needed)."""
+    engines — no engine-specific 64-bit hash needed).
+
+    Pass the shingle COLUMN NAME (str) to build the whole k-seed tree as
+    ONE ``F.expr`` SQL parse instead of ~6k py4j round-trips per seed —
+    plan construction was ~0.5 s of every minhash query's per-rep cost
+    (r20 optimization round; the parsed tree is expression-identical, see
+    ``test_minhash_signature_expr_equivalent``). The Column path remains
+    for callers holding a derived expression."""
+    if isinstance(shingles, str):
+        terms = ",".join(
+            f"array_min(transform({shingles}, s -> md5(concat('{j}|', s))))"
+            for j in range(k)
+        )
+        return F.expr(f"array({terms})")
     return F.array(
         *[F.array_min(F.transform(shingles, _seeded_md5(j))) for j in range(k)]
     )
@@ -213,7 +226,7 @@ def _minhash_candidates(
     if materialize:
         shing = shing.localCheckpoint()
     sig = shing.select(
-        "doc_id", minhash_signature(F.col("shingles"), k).alias("sig")
+        "doc_id", minhash_signature("shingles", k).alias("sig")
     )
     # explode a CONSTANT band-index sequence and derive each band key
     # after the explode: exploding the band_keys array directly makes
@@ -227,18 +240,15 @@ def _minhash_candidates(
         F.col("sig"),
     ).select(
         "doc_id",
-        F.concat(
-            F.col("_b").cast("string"),
-            F.lit(":"),
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.element_at(F.col("sig"), F.col("_b") * rows + r + 1)
-                        for r in range(rows)
-                    ],
-                )
-            ),
+        # one F.expr parse (r20, same rationale as minhash_signature's
+        # string path — expression-identical to the element-wise build)
+        F.expr(
+            "concat(cast(_b as string), ':', md5(concat_ws('|', "
+            + ", ".join(
+                f"element_at(sig, _b * {rows} + {r + 1})"
+                for r in range(rows)
+            )
+            + ")))"
         ).alias("band_key"),
     )
     if materialize:
@@ -1413,7 +1423,7 @@ def _shingle_band_tables(
     if materialize:
         shing = shing.localCheckpoint()
     sig = shing.select(
-        "doc_id", minhash_signature(F.col("shingles"), k).alias("sig")
+        "doc_id", minhash_signature("shingles", k).alias("sig")
     )
     banded = sig.select(
         "doc_id",
@@ -1421,18 +1431,15 @@ def _shingle_band_tables(
         F.col("sig"),
     ).select(
         "doc_id",
-        F.concat(
-            F.col("_b").cast("string"),
-            F.lit(":"),
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.element_at(F.col("sig"), F.col("_b") * rows + r + 1)
-                        for r in range(rows)
-                    ],
-                )
-            ),
+        # one F.expr parse (r20, same rationale as minhash_signature's
+        # string path — expression-identical to the element-wise build)
+        F.expr(
+            "concat(cast(_b as string), ':', md5(concat_ws('|', "
+            + ", ".join(
+                f"element_at(sig, _b * {rows} + {r + 1})"
+                for r in range(rows)
+            )
+            + ")))"
         ).alias("band_key"),
     )
     if materialize:

@@ -481,7 +481,9 @@ def lsh_bucket_udf(planes: list[list[float]]):
     return _bucket
 
 
-def nearest_centroid_udf(cents: list[tuple[int, list[float]]]):
+def nearest_centroid_udf(
+    cents: list[tuple[int, list[float]]], with_sim: bool = False
+):
     """Arrow-vectorized twin of the ``nearest_centroid`` fold: a
     ``pandas_udf`` mapping a vector to the id of its max-cosine centroid
     in one ArrowEvalPython pass (r20 optimization round, guide §4 — the
@@ -507,6 +509,15 @@ def nearest_centroid_udf(cents: list[tuple[int, list[float]]]):
       +inf with last-wins ties;
     - a NULL vector (or empty centroid list) yields a NULL cell.
 
+    ``with_sim=True`` (semdedup's scoring pass) returns
+    ``struct<cell:bigint, ccos9:double, vn:double>`` — the winning
+    cell, its ROUNDED-9 cosine, and the row's l2 norm in the same pass;
+    the winner's rounded similarity is bit-identical to re-deriving
+    ``round(cosine_sim(v, c_cell), 9)`` (the argmax compares the
+    already-rounded values) and ``vn`` is bit-identical to the
+    ``l2_norm`` fold (same accumulation + sqrt), so downstream pair
+    scoring via ``cosine_sim_given_norms`` stays exact.
+
     Closure is SELF-CONTAINED (imports inside) — plain-session
     executors have no ``interop_spark`` on sys.path."""
     from pyspark.sql.functions import pandas_udf
@@ -514,7 +525,6 @@ def nearest_centroid_udf(cents: list[tuple[int, list[float]]]):
     ids = [int(k) for k, _ in cents]
     vecs = [[float(x) for x in v] for _, v in cents]
 
-    @pandas_udf("bigint")
     def _cell(s):
         import numpy as np
         import pandas as pd
@@ -540,6 +550,10 @@ def nearest_centroid_udf(cents: list[tuple[int, list[float]]]):
             return out
 
         if not ids:
+            if with_sim:
+                return pd.DataFrame(
+                    {"cell": [None] * len(s), "ccos9": [None] * len(s)}
+                )
             return pd.Series([None] * len(s), dtype="object")
         C = np.asarray(vecs, dtype=np.float64)
         dim = C.shape[1]
@@ -571,17 +585,43 @@ def nearest_centroid_udf(cents: list[tuple[int, list[float]]]):
                 for j in range(dim):
                     acc = acc + X[:, j] * C[c, j]
                 S[c] = acc / np.maximum(vn * cn[c], 1e-12)
-            S = round9(S)
-            S[np.isnan(S)] = np.inf
+            Sr = round9(S)
+            S2 = Sr.copy()
+            S2[np.isnan(S2)] = np.inf
             # ties (and NaN→inf runs) to the LARGEST id: last argmax
-            rev = S[::-1]
-            best = (S.shape[0] - 1) - np.argmax(rev, axis=0)
+            rev = S2[::-1]
+            best = (S2.shape[0] - 1) - np.argmax(rev, axis=0)
             cells = karr[best]
-            for row_i, i in enumerate(good):
-                out[i] = int(cells[row_i])
+            if with_sim:
+                # the winner's rounded sim may legitimately be NaN (a
+                # NaN-element vector) — carry the NaN double through,
+                # exactly like the fold's recomputed round9 would
+                wsim = Sr[best, np.arange(Sr.shape[1])]
+                for row_i, i in enumerate(good):
+                    out[i] = (
+                        int(cells[row_i]),
+                        float(wsim[row_i]),
+                        float(vn[row_i]),
+                    )
+            else:
+                for row_i, i in enumerate(good):
+                    out[i] = int(cells[row_i])
+        if with_sim:
+            return pd.DataFrame(
+                [
+                    {"cell": None, "ccos9": None, "vn": None}
+                    if t is None
+                    else {"cell": t[0], "ccos9": t[1], "vn": t[2]}
+                    for t in out
+                ]
+            )
         return pd.Series(out, dtype="object")
 
-    return _cell
+    if with_sim:
+        return pandas_udf(
+            _cell, "struct<cell:bigint,ccos9:double,vn:double>"
+        )
+    return pandas_udf(_cell, "bigint")
 
 
 def centroid_array(
@@ -820,26 +860,33 @@ def semdedup(
     shape; cluster count must grow with the corpus so cells stay
     bounded (the paper uses ~100k clusters at web scale). The pair join
     is an equi-join on the cell id, AQE-splittable."""
-    assigned = ivf_assign(
-        df, centroids, id_col, vec_col, centroid_id, centroid_vec
+    # ONE Arrow pass scores cell + rounded centroid cosine per row (r20,
+    # guide §4): the r19 shape paid the interpreted argmax fold, a
+    # broadcast centroid re-join, and a second interpreted cosine fold.
+    # The winner's rounded-9 similarity is bit-identical to re-deriving
+    # round(cosine_sim(v, c_cell), 9) (the argmax compares the rounded
+    # values); the inner join it replaces only dropped NULL-cell rows,
+    # which the isNotNull filter reproduces.
+    cents = sorted(
+        (
+            (int(r[0]), [float(x) for x in r[1]])
+            for r in centroids.select(
+                F.col(centroid_id).cast("bigint"), F.col(centroid_vec)
+            ).collect()
+        ),
+        key=lambda kv: kv[0],
     )
-    cent = centroids.select(
-        F.col(centroid_id).cast("bigint").alias("cell"),
-        F.col(centroid_vec).alias("_cvec"),
-    )
+    a_col = nearest_centroid_udf(cents, with_sim=True)(F.col(vec_col))
     scored = (
-        assigned.join(F.broadcast(cent), "cell")
+        df.select(F.col(id_col), F.col(vec_col), a_col.alias("_a"))
         .select(
             F.col(id_col),
-            "cell",
+            F.col("_a.cell").alias("cell"),
             F.col(vec_col),
-            F.round(
-                cosine_sim(
-                    as_double(F.col(vec_col)), as_double(F.col("_cvec"))
-                ),
-                9,
-            ).alias("_ccos9"),
+            F.col("_a.ccos9").alias("_ccos9"),
+            F.col("_a.vn").alias("_vn"),
         )
+        .where(F.col("cell").isNotNull())
         .localCheckpoint()
     )
     a = scored.select(
@@ -847,19 +894,35 @@ def semdedup(
         F.col("cell"),
         F.col(vec_col).alias("_va"),
         F.col("_ccos9").alias("_accos"),
+        F.col("_vn").alias("_na"),
     )
     b = scored.select(
         F.col(id_col).alias("_bid"),
         F.col("cell"),
         F.col(vec_col).alias("_vb"),
         F.col("_ccos9").alias("_bccos"),
+        F.col("_vn").alias("_nb"),
     )
     dropped = (
         a.join(b, "cell")
         .where(F.col("_aid") != F.col("_bid"))
+        # given-norms pair verification (r20): the norms ride along from
+        # the scoring UDF (bit-identical to the l2_norm fold), so the
+        # quadratic within-cell check does ONE array pass per pair (the
+        # dot) instead of three — same rounded value as
+        # round(cosine_sim(a, b), 9), per cosine_sim_given_norms's
+        # identical multiplication order. (An Arrow pair scorer was
+        # measured SLOWER here: shipping 2×64 doubles per candidate
+        # pair through the Python boundary cost more than the fold —
+        # kept as a negative result.)
         .where(
             F.round(
-                cosine_sim(as_double(F.col("_va")), as_double(F.col("_vb"))),
+                cosine_sim_given_norms(
+                    as_double(F.col("_va")),
+                    as_double(F.col("_vb")),
+                    F.col("_na"),
+                    F.col("_nb"),
+                ),
                 9,
             )
             >= F.lit(tau)

@@ -649,20 +649,77 @@ def script_profile(text: Column) -> Column:
 
 def bpe_train_merges_list(wf, rounds: int = 4) -> list[tuple]:
     """Training core of :func:`bpe_train_merges`, returning the learned
-    merges as the Python list ``[(round, a, b, merged, pair_count)]``
-    directly — callers composing train→encode (``q_bpe_train_encode``)
-    need the rounds-sized model driver-side anyway, and collecting the
-    literal panel back would cost one extra job per construction (r20
-    optimization round). Same loop, same argmax/tie order.
+    merges as the Python list ``[(round, a, b, merged, pair_count)]``.
 
-    Two job cuts vs the r19 shape, values unchanged:
-    - the initial symbol table is NOT checkpointed — it is a cheap
-      posexplode over the (caller-checkpointed) word-frequency table,
-      and re-deriving it inside round 1's two jobs costs less than its
-      own materialization job;
-    - the final round stops after its argmax collect — the rebuilt
-      symbol table of the last round has no consumer (the oracle's
-      ``seq{rounds}`` CTE is likewise unused)."""
+    Runs ENTIRELY driver-side over the collected word-frequency table
+    (r20 optimization round — the theta/rank-sketch bounded-state
+    precedent): ``wf`` is VOCABULARY-bounded by the operator's contract,
+    so one collect replaces the per-round argmax job + window-rebuild
+    checkpoint job (~2 jobs x rounds of pure scheduling overhead; the
+    corpus itself is only ever touched by the caller's word-frequency
+    aggregate, unchanged). The Python loop mirrors the windowed frame
+    implementation term for term — `_bpe_train_merges_frames` below is
+    kept as the REFERENCE TWIN and
+    ``test_bpe_train_merges_list_equals_frames`` pins list equality on
+    the real fixture:
+
+    - symbols: ``list(w)`` replicates ``F.split(w, '')`` (no trailing
+      empty element; the empty word maps to ``['']`` — callers filter
+      empty words anyway);
+    - pair counts: SUM of word frequency over adjacent symbol pairs —
+      exact integers on both sides;
+    - argmax: highest pair_count, ties to lexicographically smallest
+      (a, b) — Python tuple order on str equals Spark's UTF8 binary
+      order code-point for code-point;
+    - greedy apply: one left-to-right scan per word (merge, then
+      continue AFTER the consumed symbol) — the identical keep set to
+      the frame version's run-parity windows (consecutive matches form
+      a run; the scan keeps exactly the odd-indexed matches of each
+      run)."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+
+    rows = wf.select("w", "c").collect()
+    words: list[tuple[list[str], int]] = [
+        (list(r[0]) if r[0] else [""], int(r[1])) for r in rows
+    ]
+    merges: list[tuple] = []
+    for r in range(1, rounds + 1):
+        counts: dict = {}
+        for sym, c in words:
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                counts[p] = counts.get(p, 0) + c
+        if not counts:  # vocabulary exhausted: no pairs remain
+            break
+        (a_v, b_v), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((r, a_v, b_v, a_v + b_v, int(cnt)))
+        if r == rounds:  # the rebuilt symbol table has no consumer
+            break
+        new_words = []
+        for sym, c in words:
+            out: list[str] = []
+            i, n = 0, len(sym)
+            while i < n:
+                if i + 1 < n and sym[i] == a_v and sym[i + 1] == b_v:
+                    out.append(a_v + b_v)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_words.append((out, c))
+        words = new_words
+    return merges
+
+
+def _bpe_train_merges_frames(wf, rounds: int = 4) -> list[tuple]:
+    """REFERENCE TWIN of :func:`bpe_train_merges_list` — the r19
+    windowed frame implementation (one exchange+sort per round via the
+    shared (w, pos) window family, per-round argmax as a TakeOrdered
+    collect). Kept for the equivalence pin; hot paths use the
+    driver-side loop."""
     from pyspark.sql import Window
 
     if rounds < 1:

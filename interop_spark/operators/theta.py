@@ -55,7 +55,7 @@ def theta_items(df: DataFrame, group: Column, key: Column) -> DataFrame:
 
 
 def theta_sketch(
-    items: DataFrame, k: int = THETA_K
+    items: DataFrame, k: int = THETA_K, materialize: bool = True
 ) -> tuple[DataFrame, DataFrame]:
     """Per-group bottom-k sketch from a (g, k, h) item frame. Returns
     ``(kept, theta)``: ``kept`` holds the <= k smallest-hash rows per
@@ -116,13 +116,16 @@ def theta_sketch(
     # (the bounded-sketch-frame discipline of rank_sketch_build) so the
     # pair algebra's several references to kept/theta read a tiny
     # materialized frame instead of re-deriving the histogram +
-    # survivor sort per reference.
-    kept = (
-        ranked.where(col("rn") <= k)
-        .select("g", "k", "h", "rn")
-        .coalesce(items.sparkSession.sparkContext.defaultParallelism)
-        .localCheckpoint()
-    )
+    # survivor sort per reference. Callers that consume kept EXACTLY
+    # ONCE (q_theta_sketch_setops collects it for the driver-side pair
+    # algebra) pass materialize=False — their single action IS the
+    # materialization, and the checkpoint job would be pure overhead
+    # (r20 optimization round).
+    kept = ranked.where(col("rn") <= k).select("g", "k", "h", "rn")
+    if materialize:
+        kept = kept.coalesce(
+            items.sparkSession.sparkContext.defaultParallelism
+        ).localCheckpoint()
     # theta stays LAZY (r19 optimization round): it is a tiny aggregate
     # over the checkpointed kept frame, so each consumer re-derives it
     # for less than the cost of the extra checkpoint job the old

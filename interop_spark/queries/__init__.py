@@ -126,8 +126,19 @@ _MODULES = (
 #     triangle_count, and the spread-kept corpus rows lang_id,
 #     bm25_topk, paragraph_dedup, substring_dup_runs,
 #     pretrain_pipeline.
-#   * R14 DRAIN (10): next alphabetical slice of the r14 band
-#     (fhir_ndjson_export_errors .. fhir_omop_observation).
+#   * R20 DIFF RE-VERIFY, second batch (9): the minhash single-parse
+#     signature/band-key build (operators/dedup.py — expression-
+#     identical, pinned by test_minhash_signature_expr_equivalent)
+#     flows through minhash_lsh_neardup, minhash_incremental_dedup,
+#     minhash_est_error, neardup_clusters, neardup_clusters_star,
+#     dedup_representatives, edit_distance_neardup and
+#     stream_neardup_pairs; the theta_sketch materialize flag +
+#     overlapped bounded collects (operators/theta.py,
+#     queries/corpus_ext.py) flow through stream_theta_distinct
+#     (theta_sketch_setops itself is already in the first batch).
+#   * R14 DRAIN (1): fhir_ndjson_export_errors — the rest of the r14
+#     slice queued in the prior revision yields its slots to the
+#     second re-verify batch; resume the drain next round.
 # Everything past 50 has a green row in a prior CORRECTNESS file and
 # its result-producing code is unchanged since that check.
 # --------------------------------------------------------------------------
@@ -177,17 +188,18 @@ _WINDOW = (
     "paragraph_dedup",
     "substring_dup_runs",
     "pretrain_pipeline",
-    # --- ROUND 20: r14 drain, next alphabetical slice (10) ---
+    # --- ROUND 20: diff re-verify, second batch (9) ---
+    "minhash_lsh_neardup",
+    "minhash_incremental_dedup",
+    "minhash_est_error",
+    "neardup_clusters",
+    "neardup_clusters_star",
+    "dedup_representatives",
+    "edit_distance_neardup",
+    "stream_neardup_pairs",
+    "stream_theta_distinct",
+    # --- ROUND 20: r14 drain (1) ---
     "fhir_ndjson_export_errors",
-    "fhir_ndjson_observations",
-    "fhir_ndjson_patient_conditions",
-    "fhir_ndjson_type_counts",
-    "fhir_omop_cohort",
-    "fhir_omop_condition_era",
-    "fhir_omop_device_era",
-    "fhir_omop_dose_era",
-    "fhir_omop_note",
-    "fhir_omop_observation",
 )
 
 

@@ -105,7 +105,10 @@ def q_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(spark.sparkContext.defaultParallelism)
         .localCheckpoint()
     )
-    kept, _theta = theta_sketch(items, k=THETA_K)
+    # materialize=False: the ONLY consumer of kept is the collect below
+    # — that action is the materialization, the checkpoint job was pure
+    # overhead (r20)
+    kept, _theta = theta_sketch(items, k=THETA_K, materialize=False)
 
     # ---- driver-side pair algebra over k-bounded state (r19 opt) ----
     # `theta_pair_setops` (operators/theta.py, unchanged, still pinned
@@ -119,15 +122,7 @@ def q_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every run still computes the sketch from the parquet corpus, and
     # the arithmetic below mirrors the operator term for term
     # (Python // == Spark `div` on the non-negative integers here).
-    krows = kept.select("g", "k", "h", "rn").collect()
-    kept_by_g: dict = {}
-    theta_by_g: dict = {}
-    for r in krows:
-        kept_by_g.setdefault(r.g, {})[r.k] = r.h
-        if r.rn == THETA_K:
-            theta_by_g[r.g] = r.h
-    for g in kept_by_g:
-        theta_by_g.setdefault(g, THETA_MAXH)
+    kept_sel = kept.select("g", "k", "h", "rn")
 
     # exact audit in ONE aggregation (was two: per-source counts +
     # per-pair intersections — the fused explode emits a (g, g) single
@@ -152,12 +147,31 @@ def q_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda s: s["a"] < s["b"],
     )
-    audit = (
+    audit_df = (
         grpsets.select(F.explode(F.concat(singles, prs)).alias("pr"))
         .groupBy(col("pr.a").alias("a"), col("pr.b").alias("b"))
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .collect()
     )
+    # the sketch collect and the audit collect are INDEPENDENT bounded
+    # jobs over the checkpointed items frame — overlap them (guide
+    # §2.6, the fhir/write.py thread-pool precedent) so one job's tail
+    # back-fills the other's ramp-up (r20)
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_k = pool.submit(inheritable_thread_target(kept_sel.collect))
+        f_a = pool.submit(inheritable_thread_target(audit_df.collect))
+        krows, audit = f_k.result(), f_a.result()
+    kept_by_g: dict = {}
+    theta_by_g: dict = {}
+    for r in krows:
+        kept_by_g.setdefault(r.g, {})[r.k] = r.h
+        if r.rn == THETA_K:
+            theta_by_g[r.g] = r.h
+    for g in kept_by_g:
+        theta_by_g.setdefault(g, THETA_MAXH)
     ca = {r.a: r.c for r in audit if r.a == r.b}
     inter_exact = {(r.a, r.b): r.c for r in audit if r.a < r.b}
 

@@ -210,7 +210,7 @@ def q_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = shing.select(
         "doc_id",
         "sh",
-        dd.minhash_signature(col("sh"), MINHASH_K).alias("sig"),
+        dd.minhash_signature("sh", MINHASH_K).alias("sig"),
     ).localCheckpoint()
     banded = sig.select(
         "doc_id",

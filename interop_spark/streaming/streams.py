@@ -411,7 +411,7 @@ def stream_neardup_pairs(
     ).select(
         "new_id",
         "_sh_n",
-        minhash_signature(F.col("_sh_n"), k).alias("sig"),
+        minhash_signature("_sh_n", k).alias("sig"),
     )
     # constant-sequence explode, same rationale as dedup's banding: an
     # explode of the band-key array itself would let

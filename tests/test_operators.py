@@ -382,6 +382,52 @@ def test_pq_adc_equals_exact_distance_to_reconstruction(spark, sf_dir):
     assert top[0].adc_dist <= top[-1].adc_dist
 
 
+def test_bpe_train_merges_list_equals_frames(spark, sf_dir):
+    """The driver-side BPE training loop (r20) must learn the identical
+    merge list to the windowed frame reference on the real fixture's
+    word-frequency table (argmax ties, greedy run-parity keep set, and
+    pair counts all pinned by list equality)."""
+    from interop_spark.io import load
+    from interop_spark.operators.text import (
+        _bpe_train_merges_frames,
+        bpe_train_merges_list,
+        tokens,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    assert bpe_train_merges_list(wf, 4) == _bpe_train_merges_frames(wf, 4)
+
+
+def test_minhash_signature_expr_equivalent(spark, sf_dir):
+    """The single-parse (string column name) build of the MinHash
+    signature must produce identical signatures to the element-wise
+    Column build on the real fixture."""
+    from interop_spark.io import load
+    from interop_spark.operators.dedup import (
+        minhash_signature,
+        word_shingles,
+    )
+
+    d = load(spark, sf_dir, "documents").limit(100)
+    sh = d.select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("shingles")
+    )
+    rows = sh.select(
+        "doc_id",
+        minhash_signature("shingles", 12).alias("a"),
+        minhash_signature(F.col("shingles"), 12).alias("b"),
+    ).collect()
+    assert len(rows) > 0
+    assert all(list(r.a) == list(r.b) for r in rows)
+
+
 def test_pq_codes_udf_bitexact_vs_fold(spark, sf_dir):
     """The Arrow-vectorized ``pq_codes_udf`` (r20) must reproduce the
     interpreted argmin-fold reference code-for-code on the real fixture
